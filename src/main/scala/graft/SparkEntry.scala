@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each module contributes (name -> query) plus matching DuckDB oracle SQL;
+  * this object is just the registry. Column names are aliased identically
+  * in the Spark query and the oracle SQL (the driver's compare hashes by
+  * sorted column name).
+  */
 object SparkEntry {
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    gold.GoldRollup.overEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    "q_gold_rollup" -> ((s, dir) => gold.GoldRollup.overEvents(Tables.events(s, dir)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_gold_rollup" -> gold.GoldRollup.overEventsOracle
+  )
 }
