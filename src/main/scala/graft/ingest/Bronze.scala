@@ -1,0 +1,77 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.Schemas
+
+/** Bronze-layer ingest: JSON payload parsing + type normalization.
+  *
+  * Reference ops covered: P1/P2 (`consumer_lake.py:44`,
+  * `process_silver.py:47`), F2–F6 (json parse, casts), F4 (epoch↔ts,
+  * `producer.py:20`), F9 (+3h display shift, `dashboard.py:43`),
+  * F11 (time formatting, `dashboard.py:109`).
+  *
+  * The same column transform works in batch and under `readStream` — it is
+  * a pure `DataFrame => DataFrame` with no actions, so Catalyst plans it
+  * identically in both modes (map-only pipeline: no shuffle, stays inside
+  * one WholeStageCodegen stage, filters/pruning push to the source scan).
+  */
+object Bronze {
+
+  /** Kafka-value JSON lines → typed trade rows.
+    * Exactly `consumer_lake.py:44` + the cast at `process_silver.py:47`:
+    * from_json with the declared schema (permissive: malformed → nulls),
+    * flatten, string→timestamp cast.
+    */
+  def parseTrades(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.select(from_json(col(valueCol).cast("string"), Schemas.tradeSchema).as("data"))
+      .select(col("data.*"))
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+
+  /** Driver-corpus analog: parse `events.props` (the stand-in Kafka
+    * payload) and surface the typed field alongside the event columns.
+    */
+  def parseEvents(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"),
+      col("value"),
+      from_json(col("props"), Schemas.propsSchema).getField("k").as("prop_k"))
+
+  val parseEventsOracle: String =
+    """SELECT event_id, ts, user_id, event_type, value,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events""".stripMargin
+
+  /** Time conversions: epoch-millis extraction, millis round-trip,
+    * ISO formatting, HH:mm:ss display, fixed +3h display shift.
+    */
+  def timeConvert(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      unix_millis(col("ts")).as("epoch_ms"),
+      timestamp_millis(unix_millis(col("ts"))).as("ts_ms"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("iso_str"),
+      date_format(col("ts"), "HH:mm:ss").as("time_str"),
+      (col("ts") + expr("INTERVAL 3 HOURS")).as("display_time"))
+
+  val timeConvertOracle: String =
+    """SELECT event_id,
+      |       epoch_ms(ts) AS epoch_ms,
+      |       make_timestamp(epoch_ms(ts) * 1000) AS ts_ms,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_str,
+      |       strftime(ts, '%H:%M:%S') AS time_str,
+      |       ts + INTERVAL 3 HOUR AS display_time
+      |FROM events""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bronze_parse" -> ((s, dir) => parseEvents(Tables.events(s, dir))),
+    "q_time_convert" -> ((s, dir) => timeConvert(Tables.events(s, dir)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_bronze_parse" -> parseEventsOracle,
+    "q_time_convert" -> timeConvertOracle
+  )
+}
