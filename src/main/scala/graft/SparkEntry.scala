@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
     "q_gold_rollup" -> ((s, dir) => gold.GoldRollup.overEvents(Tables.events(s, dir)))
-  ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries
+  ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries ++
+    analytics.Indicators.queries ++ relational.StarQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_gold_rollup" -> gold.GoldRollup.overEventsOracle
-  ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles
+  ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles ++
+    analytics.Indicators.oracles ++ relational.StarQueries.oracles
 }

@@ -1,0 +1,172 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Dashboard analytics re-expressed as Spark window functions.
+  *
+  * Reference: `dashboard.py:17-22` (RSI-14), `dashboard.py:46` (SMA-5),
+  * `dashboard.py:18,91-94` (lag diff), `dashboard.py:47` (prediction
+  * error), `dashboard.py:104-107` (buy/sell signal), `dashboard.py:89-99`
+  * (last-row pick).
+  *
+  * pandas parity notes (SURVEY §2.5):
+  *  - `rolling(n)` yields null until n observations exist → every rolling
+  *    metric is gated on a window count >= n;
+  *  - RSI divides gain/loss: pandas x/0 = inf ⇒ RSI=100; 0/0 = NaN ⇒ null.
+  *    Both cases are made explicit so Spark and DuckDB agree.
+  *
+  * Scale notes: all windows are partitioned by the series key
+  * (`event_type`) — state per partition is a bounded rows-frame, so the
+  * plan is a single shuffle on the key followed by a sorted window pass;
+  * no unbounded frames, no driver collection. Skewed keys would show up
+  * as straggler partitions; for a truly hot single series, range-bucket
+  * the time dimension and recombine (not needed at reference scale where
+  * the series count is tiny but series length is huge — there, secondary
+  * partition by coarse time bucket and stitch the boundary rows).
+  */
+object Indicators {
+
+  private def series = Window.partitionBy(col("event_type"))
+    .orderBy(col("ts"), col("event_id"))
+
+  /** W1: value − previous value per series (pandas `.diff()`). */
+  def lagDiff(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(series), 6))
+
+  val lagDiffOracle: String =
+    """SELECT event_id, ts, event_type, value,
+      |       round(value - lag(value, 1) OVER w, 6) AS delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin
+
+  /** W2: SMA-n with pandas min_periods gating. */
+  def sma(events: DataFrame, n: Int = 5): DataFrame = {
+    val frame = series.rowsBetween(-(n - 1), 0)
+    events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("sma",
+        when(count(col("value")).over(frame) >= n,
+          round(avg(col("value")).over(frame), 6)))
+  }
+
+  def smaOracle(n: Int = 5): String =
+    s"""SELECT event_id, ts, event_type, value,
+       |       CASE WHEN count(value) OVER w >= $n
+       |            THEN round(avg(value) OVER w, 6) END AS sma
+       |FROM events
+       |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |             ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** W3: simple-mean RSI-n (NOT Wilder smoothing — matches
+    * `dashboard.py:17-22` exactly): gain/loss split of the lag diff,
+    * rolling means, RS ratio with explicit 0-division semantics.
+    */
+  def rsi(events: DataFrame, n: Int = 14): DataFrame = {
+    val frame = series.rowsBetween(-(n - 1), 0)
+    val withDelta = events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(series))
+    val gain = when(col("delta") > 0, col("delta")).otherwise(lit(0.0))
+    val loss = when(col("delta") < 0, -col("delta")).otherwise(lit(0.0))
+    withDelta
+      .withColumn("avg_gain", avg(when(col("delta").isNotNull, gain)).over(frame))
+      .withColumn("avg_loss", avg(when(col("delta").isNotNull, loss)).over(frame))
+      .withColumn("n_obs", count(col("delta")).over(frame))
+      .withColumn("rsi",
+        when(col("n_obs") < n, lit(null))
+          .when(col("avg_loss") === 0 && col("avg_gain") === 0, lit(null))
+          .when(col("avg_loss") === 0, lit(100.0))
+          .otherwise(round(lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss")), 6)))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"), col("rsi"))
+  }
+
+  def rsiOracle(n: Int = 14): String =
+    s"""SELECT event_id, ts, event_type, value,
+       |       CASE WHEN n_obs < $n THEN NULL
+       |            WHEN avg_loss = 0 AND avg_gain = 0 THEN NULL
+       |            WHEN avg_loss = 0 THEN 100.0
+       |            ELSE round(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 6)
+       |       END AS rsi
+       |FROM (
+       |  SELECT *,
+       |         avg(CASE WHEN delta IS NULL THEN NULL
+       |                  WHEN delta > 0 THEN delta ELSE 0 END) OVER f AS avg_gain,
+       |         avg(CASE WHEN delta IS NULL THEN NULL
+       |                  WHEN delta < 0 THEN -delta ELSE 0 END) OVER f AS avg_loss,
+       |         count(delta) OVER f AS n_obs
+       |  FROM (
+       |    SELECT event_id, ts, event_type, value,
+       |           value - lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS delta
+       |    FROM events
+       |  )
+       |  WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |)""".stripMargin
+
+  /** W4+W6: prediction error + buy/sell signal, with SMA-5 standing in
+    * for the model prediction (`dashboard.py:47,104-107`).
+    */
+  def signal(events: DataFrame): DataFrame = {
+    val frame = series.rowsBetween(-4, 0)
+    val smaCol = when(count(col("value")).over(frame) >= 5,
+      avg(col("value")).over(frame))
+    events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("predicted", round(smaCol, 6))
+      .withColumn("diff", round(col("value") - smaCol, 6))
+      .withColumn("signal",
+        when(col("predicted").isNull, lit("HOLD"))
+          .when(col("predicted") > col("value"), lit("BUY"))
+          .otherwise(lit("SELL")))
+  }
+
+  val signalOracle: String =
+    """SELECT event_id, ts, event_type, value,
+      |       round(predicted_raw, 6) AS predicted,
+      |       round(value - predicted_raw, 6) AS diff,
+      |       CASE WHEN predicted_raw IS NULL THEN 'HOLD'
+      |            WHEN predicted_raw > value THEN 'BUY'
+      |            ELSE 'SELL' END AS signal
+      |FROM (
+      |  SELECT event_id, ts, event_type, value,
+      |         CASE WHEN count(value) OVER w >= 5
+      |              THEN avg(value) OVER w END AS predicted_raw
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |)""".stripMargin
+
+  /** W5: last row per series (`df.iloc[-1]` analog, made deterministic). */
+  def lastRow(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  val lastRowOracle: String =
+    """SELECT event_id, ts, event_type, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lag_diff" -> ((s, dir) => lagDiff(Tables.events(s, dir))),
+    "q_sma" -> ((s, dir) => sma(Tables.events(s, dir))),
+    "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
+    "q_signal" -> ((s, dir) => signal(Tables.events(s, dir))),
+    "q_last_row" -> ((s, dir) => lastRow(Tables.events(s, dir)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_lag_diff" -> lagDiffOracle,
+    "q_sma" -> smaOracle(),
+    "q_rsi" -> rsiOracle(),
+    "q_signal" -> signalOracle,
+    "q_last_row" -> lastRowOracle
+  )
+}

@@ -1,0 +1,243 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** General relational capability over the driver's star schema: joins
+  * (broadcast/shuffle, semi, anti), top-k, distinct, set ops, rollup,
+  * filter pushdown.
+  *
+  * The reference itself contains zero joins (SURVEY §2.3) — this module is
+  * the "general query surface" the rebuild ships so a lakehouse user can
+  * run arbitrary analytics, and it is where the 100 TB design choices are
+  * most visible:
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast — no shuffle of the fact table for star joins;
+  *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once,
+  *    with AQE free to convert to broadcast when a filtered side shrinks;
+  *  - aggregates ride map-side partial aggregation;
+  *  - filters are literal predicates pushed into the parquet scan
+  *    (verified via explain: PushedFilters).
+  */
+object StarQueries {
+
+  /** TPC-H Q1-shaped pricing summary (scan → filter → agg, pushdown). */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-01 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val pricingSummaryOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       round(avg(l_quantity), 6) AS avg_qty,
+      |       round(avg(l_discount), 6) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Revenue per market segment: broadcast dim ⋈ fact ⋈ fact chain. */
+  def revenueBySegment(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val revenueBySegmentOracle: String =
+    """SELECT c_mktsegment,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Customers per region: 3-level broadcast dim chain. */
+  def customersByRegion(region: DataFrame, nation: DataFrame, customer: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 6).as("avg_acctbal"))
+
+  val customersByRegionOracle: String =
+    """SELECT r_name, count(*) AS n_customers,
+      |       round(avg(c_acctbal), 6) AS avg_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1""".stripMargin
+
+  /** Left-semi: customers that have at least one order (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  val customersWithOrdersOracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Left-anti: customers with no orders (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  val customersWithoutOrdersOracle: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Top-k with deterministic tie-break (TakeOrderedAndProject — no full
+    * sort at scale: per-partition top-k then merge on the driver).
+    */
+  def topOrders(orders: DataFrame, k: Int = 10): DataFrame =
+    orders.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(k)
+
+  def topOrdersOracle(k: Int = 10): String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice
+       |FROM orders
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT $k""".stripMargin
+
+  /** Distinct counts (exact). */
+  def distinctCounts(orders: DataFrame): DataFrame =
+    orders.agg(
+      countDistinct(col("o_custkey")).as("n_buyers"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"),
+      count(lit(1)).as("n_orders"))
+
+  val distinctCountsOracle: String =
+    """SELECT count(DISTINCT o_custkey) AS n_buyers,
+      |       count(DISTINCT o_orderstatus) AS n_statuses,
+      |       count(*) AS n_orders
+      |FROM orders""".stripMargin
+
+  /** Set operations: buyers (have orders) vs rich (acctbal > 5000). */
+  def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val buyers = orders.select(col("o_custkey").as("custkey")).distinct()
+    val rich = customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    val spark = customer.sparkSession
+    import spark.implicits._
+    Seq(
+      ("intersect", buyers.intersect(rich).count()),
+      ("except", buyers.except(rich).count()),
+      ("union", buyers.union(rich).distinct().count())
+    ).toDF("op", "n")
+  }
+
+  val setOpsOracle: String =
+    """WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+      |     rich AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM buyers INTERSECT SELECT * FROM rich)
+      |UNION ALL
+      |SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM buyers EXCEPT SELECT * FROM rich)
+      |UNION ALL
+      |SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM buyers UNION SELECT * FROM rich)""".stripMargin
+
+  /** UNION ALL (J1: multi-fragment concat) + group. */
+  def unionAll(orders: DataFrame): DataFrame =
+    orders.unionByName(orders)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  val unionAllOracle: String =
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+      |GROUP BY 1""".stripMargin
+
+  /** Ranking window functions: top-3 orders per customer. */
+  def topOrdersPerCustomer(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  val topOrdersPerCustomerOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       row_number() OVER w AS rn, rank() OVER w AS rnk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |QUALIFY row_number() OVER w <= 3""".stripMargin
+
+  /** ROLLUP grouping sets over lineitem flags. */
+  def flagRollup(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  val flagRollupOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Filter + projection pushdown showcase (P3 shape). */
+  def filteredRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1995-01-01 00:00:00'") &&
+        col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("filtered_revenue"),
+        count(lit(1)).as("n"))
+
+  val filteredRevenueOracle: String =
+    """SELECT l_returnflag,
+      |       round(sum(l_extendedprice), 2) AS filtered_revenue,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_quantity > 10
+      |GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
+    "q_join_segment" -> ((s, d) => revenueBySegment(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_join_region" -> ((s, d) => customersByRegion(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d))),
+    "q_semi_join" -> ((s, d) => customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_anti_join" -> ((s, d) => customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_topk" -> ((s, d) => topOrders(Tables.orders(s, d))),
+    "q_distinct" -> ((s, d) => distinctCounts(Tables.orders(s, d))),
+    "q_set_ops" -> ((s, d) => setOps(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_union_all" -> ((s, d) => unionAll(Tables.orders(s, d))),
+    "q_window_rank" -> ((s, d) => topOrdersPerCustomer(Tables.orders(s, d))),
+    "q_rollup" -> ((s, d) => flagRollup(Tables.lineitem(s, d))),
+    "q_filter_pushdown" -> ((s, d) => filteredRevenue(Tables.lineitem(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> pricingSummaryOracle,
+    "q_join_segment" -> revenueBySegmentOracle,
+    "q_join_region" -> customersByRegionOracle,
+    "q_semi_join" -> customersWithOrdersOracle,
+    "q_anti_join" -> customersWithoutOrdersOracle,
+    "q_topk" -> topOrdersOracle(),
+    "q_distinct" -> distinctCountsOracle,
+    "q_set_ops" -> setOpsOracle,
+    "q_union_all" -> unionAllOracle,
+    "q_window_rank" -> topOrdersPerCustomerOracle,
+    "q_rollup" -> flagRollupOracle,
+    "q_filter_pushdown" -> filteredRevenueOracle
+  )
+}
