@@ -15,18 +15,24 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    gold.GoldRollup.overEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    Flagship.silverToSignal(Tables.events(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
-    "q_gold_rollup" -> ((s, dir) => gold.GoldRollup.overEvents(Tables.events(s, dir)))
+    "q_gold_rollup" -> ((s, dir) => gold.GoldRollup.overEvents(Tables.events(s, dir))),
+    "q_flagship" -> ((s, dir) => Flagship.silverToSignal(Tables.events(s, dir)))
   ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries ++
-    analytics.Indicators.queries ++ relational.StarQueries.queries
+    analytics.Indicators.queries ++ relational.StarQueries.queries ++
+    ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
+    ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q_gold_rollup" -> gold.GoldRollup.overEventsOracle
+    "q_gold_rollup" -> gold.GoldRollup.overEventsOracle,
+    "q_flagship" -> Flagship.silverToSignalOracle
   ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles ++
-    analytics.Indicators.oracles ++ relational.StarQueries.oracles
+    analytics.Indicators.oracles ++ relational.StarQueries.oracles ++
+    ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
+    ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles
 }

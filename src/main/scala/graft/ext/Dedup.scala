@@ -1,0 +1,253 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication for a training-data pipeline: exact, MinHash+LSH,
+  * SimHash, and verified n-gram-Jaccard near-dup detection.
+  *
+  * Portability: every hash is derived from `md5(...)` (identical output
+  * in Spark and DuckDB), so oracle comparisons are byte-exact. MinHash_i
+  * = min over shingles of md5(shingle || '#' || i) — a string-min is a
+  * valid uniform min-hash because md5 output is uniformly distributed
+  * over hex strings.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = hash-groupBy on a 128-bit key: one shuffle of
+  *    (key, doc_id) pairs only — never the payload; AQE coalesces.
+  *  - MinHash+LSH: signatures are a map-only pass; candidate generation
+  *    shuffles (band_key → doc ids), i.e. the classic
+  *    shingle→minhash→band→bucket-join, linear in corpus size instead
+  *    of O(n²) pairwise. Hot buckets (boilerplate docs) are the skew
+  *    risk — cap bucket size before pairing (documented, not needed at
+  *    test SF).
+  *  - verification (true Jaccard) runs only on LSH candidates.
+  *  - SimHash: 16-bit signatures via bit-majority vote, one explode +
+  *    groupBy; near-dup lookup is an equality join on the signature
+  *    (hamming-0) or banded signature pieces (hamming-k).
+  */
+object Dedup {
+
+  /** Normalized word tokens shared by all dedup ops. */
+  private def toks(c: Column): Column =
+    split(trim(regexp_replace(lower(c), "[^a-z0-9 ]", " ")), " +")
+
+  private val toksSql =
+    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+
+  /** Word 3-gram shingles (distinct). */
+  private def shingles(c: Column): Column = {
+    val t = toks(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(3)))))
+  }
+
+  private val shinglesSql =
+    s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - 2, 1) + 1),
+       |                  i -> array_to_string(($toksSql)[i:i+2], ' ')))""".stripMargin
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group on md5 of normalized text, keep min doc_id.
+    * Output: per-source doc/dup accounting (the pipeline's dedup report).
+    */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("key")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("key"))).as("n_dupes"))
+
+  val exactDedupOracle: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       count(DISTINCT key) AS n_distinct,
+       |       count(*) - count(DISTINCT key) AS n_dupes
+       |FROM (SELECT source, md5(array_to_string($toksSql, ' ')) AS key FROM documents)
+       |GROUP BY 1""".stripMargin
+
+  /** Exact dedup, keep-first: survivor = min doc_id per key (the actual
+    * dedup operator, not just the report).
+    */
+  def exactSurvivors(docs: DataFrame): DataFrame =
+    docs.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
+      .groupBy(col("key"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  val exactSurvivorsOracle: String =
+    s"""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+       |FROM (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS key FROM documents)
+       |GROUP BY key""".stripMargin
+
+  // -------------------------------------------------------------- minhash
+
+  val numHashes = 8  // k minhash functions
+  val bandRows = 2   // r rows per band → b = k/r = 4 bands
+
+  /** MinHash signature per doc: sig_i = min md5(shingle || '#' || i). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(col("text"))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat(s, lit(s"#$i"))))).as(s"sig_$i")
+    }
+    docs.select(col("doc_id") +: sigCols: _*)
+  }
+
+  val minhashSignaturesOracle: String = {
+    val sigs = (0 until numHashes).map { i =>
+      s"list_min(list_transform(sh, s -> md5(s || '#$i'))) AS sig_$i"
+    }.mkString(",\n       |       ")
+    s"""SELECT doc_id,
+       |       $sigs
+       |FROM (SELECT doc_id, $shinglesSql AS sh FROM documents)""".stripMargin
+  }
+
+  /** LSH bands: band_j = md5(sig_{j·r} || … || sig_{j·r+r−1}); docs
+    * sharing any band key are near-dup candidates. Output: per-band
+    * bucket statistics (buckets, max size, candidate pairs).
+    */
+  def lshBucketStats(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = (0 until numHashes / bandRows).map { j =>
+      val parts = (0 until bandRows).map(r => col(s"sig_${j * bandRows + r}"))
+      sig.select(lit(j).as("band"), md5(concat(parts: _*)).as("bucket"), col("doc_id"))
+    }.reduce(_ unionByName _)
+    bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("sz")).as("max_bucket"),
+        sum(col("sz") * (col("sz") - 1) / 2).cast("bigint").as("n_candidate_pairs"))
+  }
+
+  val lshBucketStatsOracle: String = {
+    val bandSelects = (0 until numHashes / bandRows).map { j =>
+      val parts = (0 until bandRows).map(r => s"sig_${j * bandRows + r}").mkString(" || ")
+      s"SELECT $j AS band, md5($parts) AS bucket, doc_id FROM sigs"
+    }.mkString("\n       |  UNION ALL ")
+    s"""WITH sigs AS (${minhashSignaturesOracle.replace("\n", "\n       |")}),
+       |bands AS (
+       |  $bandSelects
+       |)
+       |SELECT band, count(*) AS n_buckets, max(sz) AS max_bucket,
+       |       CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs
+       |FROM (SELECT band, bucket, count(*) AS sz FROM bands GROUP BY 1, 2)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Full near-dup pipeline: LSH candidates → verify true 3-gram
+    * Jaccard ≥ threshold. Returns confirmed pairs (a < b).
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = (0 until numHashes / bandRows).map { j =>
+      val parts = (0 until bandRows).map(r => col(s"sig_${j * bandRows + r}"))
+      sig.select(md5(concat(parts: _*)).as("bucket"), col("doc_id"))
+    }.reduce(_ unionByName _).distinct()
+    val cand = bands.as("x").join(bands.as("y"), col("x.bucket") === col("y.bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def nearDupPairsOracle(threshold: Double = 0.5): String = {
+    val bandSelects = (0 until numHashes / bandRows).map { j =>
+      val parts = (0 until bandRows).map(r => s"sig_${j * bandRows + r}").mkString(" || ")
+      s"SELECT DISTINCT md5($parts) AS bucket, doc_id FROM sigs"
+    }.mkString("\n       |  UNION ALL ")
+    s"""WITH sigs AS (${minhashSignaturesOracle.replace("\n", "\n       |")}),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
+       |SELECT doc_a, doc_b,
+       |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |             len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+       |          JOIN sh b ON cand.doc_b = b.doc_id
+       |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= $threshold""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  val simhashBits = 16
+
+  /** SimHash: 16-bit signature from the first 4 hex chars of each
+    * distinct token's md5 — bit b of the signature is the majority vote
+    * of bit b across tokens. Output: signature histogram.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
+      .withColumn("h", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int"))
+    val bitSums = (0 until simhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
+    }
+    val sig = (0 until simhashBits).map { b =>
+      when(col(s"s_$b") > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", sig)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val simhashOracle: String = {
+    val bitSums = (0 until simhashBits).map { b =>
+      s"sum(CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(",\n       |         ")
+    val sig = (0 until simhashBits).map(b => s"CASE WHEN s_$b > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT simhash, count(*) AS n_docs
+       |FROM (
+       |  SELECT doc_id, $sig AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |         $bitSums
+       |    FROM (
+       |      SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INT AS h
+       |      FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents)
+       |    )
+       |    GROUP BY doc_id
+       |  )
+       |)
+       |GROUP BY 1""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
+    "q_dedup_survivors" -> ((s, d) => exactSurvivors(Tables.documents(s, d))),
+    "q_dedup_minhash_sig" -> ((s, d) => minhashSignatures(Tables.documents(s, d))),
+    "q_dedup_lsh_stats" -> ((s, d) => lshBucketStats(Tables.documents(s, d))),
+    "q_dedup_near_pairs" -> ((s, d) => nearDupPairs(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> exactDedupOracle,
+    "q_dedup_survivors" -> exactSurvivorsOracle,
+    "q_dedup_minhash_sig" -> minhashSignaturesOracle,
+    "q_dedup_lsh_stats" -> lshBucketStatsOracle,
+    "q_dedup_near_pairs" -> nearDupPairsOracle(),
+    "q_dedup_simhash" -> simhashOracle
+  )
+}

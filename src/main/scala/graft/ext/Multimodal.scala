@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract / frame-sample are per-partition byte transforms.
+  *
+  * The real decode step (libjpeg/ffmpeg et al.) is NOT available in
+  * this environment — `decodeStub` below is a clearly-marked
+  * DETERMINISTIC FAKE that interprets the payload bytes as a row-major
+  * 64-px-wide "image". Everything around it — schema, binary column
+  * handling, partition-parallel `mapPartitions` shape, batch row
+  * geometry — is the real plumbing a production decode would use.
+  *
+  * Scale notes (100 TB of blobs): payloads never hit the driver; the
+  * decode runs inside `mapPartitions` (one iterator pass, no
+  * materialization of the whole partition); metadata-only queries
+  * project just the struct (column pruning keeps blob IO out of the
+  * scan entirely when metadata is a separate column in parquet).
+  */
+object Multimodal {
+
+  /** Attach the opaque payload + typed metadata. The corpus has no real
+    * blobs, so the document text bytes stand in as the payload — the
+    * engine-side handling (BinaryType column + metadata struct) is
+    * exactly what an image/audio column would use.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        md5(col("text")).as("checksum")).as("meta"))
+
+  /** Metadata-only scan: never touches payload bytes beyond the
+    * pre-computed struct (blob IO pruned at the reader).
+    */
+  def metaQuery(docs: DataFrame): DataFrame =
+    withPayload(docs).select(
+      col("doc_id"),
+      col("meta.mime").as("mime"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.checksum").as("checksum"))
+
+  val metaOracle: String =
+    """SELECT doc_id,
+      |       'application/octet-stream' AS mime,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       md5(text) AS checksum
+      |FROM documents""".stripMargin
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_byte", DoubleType)))
+
+  /** DECODE STUB — deterministic fake for the image decoder: treats the
+    * payload as a row-major image of width min(64, n) and reports its
+    * dimensions + mean pixel. A real build swaps the body for an actual
+    * codec; the `mapPartitions` contract (Iterator[Row] → Iterator[Row],
+    * no per-partition materialization) is the production shape.
+    */
+  def decodeStub(withBlob: DataFrame): DataFrame = {
+    val spark = withBlob.sparkSession
+    val rdd = withBlob.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val w = math.min(64, bytes.length)
+        val h = if (w == 0) 0 else (bytes.length + w - 1) / w
+        val mean = if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+        Row(id, w, h, BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  def decodeQuery(docs: DataFrame): DataFrame = decodeStub(withPayload(docs))
+
+  /** Oracle re-derives the fake decode from the text itself (ASCII ⇒
+    * byte == codepoint).
+    */
+  val decodeOracle: String =
+    """SELECT doc_id,
+      |       least(64, length(text))::INT AS width,
+      |       ((length(text) + least(64, length(text)) - 1)
+      |         // least(64, length(text)))::INT AS height,
+      |       round(list_aggregate(list_transform(range(1, length(text) + 1),
+      |               i -> ord(substr(text, i, 1))), 'avg'), 6) AS mean_byte
+      |FROM documents""".stripMargin
+
+  /** Frame sampling: every `stride`-th byte (video keyframe analog).
+    * Pure column ops — no UDF: sequence + transform over the payload.
+    */
+  def frameSample(docs: DataFrame, stride: Int = 16): DataFrame =
+    withPayload(docs).select(
+      col("doc_id"),
+      size(sequence(lit(1), col("meta.n_bytes"), lit(stride))).as("n_frames"),
+      aggregate(
+        transform(sequence(lit(1), col("meta.n_bytes"), lit(stride)),
+          i => ascii(substring(col("payload").cast("string"), i, lit(1)))),
+        lit(0L), (acc, v) => acc + v).as("frame_sum"))
+
+  def frameSampleOracle(stride: Int = 16): String =
+    s"""SELECT doc_id,
+       |       len(range(1, length(text) + 1, $stride)) AS n_frames,
+       |       list_aggregate(list_transform(range(1, length(text) + 1, $stride),
+       |         i -> ord(substr(text, i, 1))), 'sum') AS frame_sum
+       |FROM documents""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_meta" -> ((s, d) => metaQuery(Tables.documents(s, d))),
+    "q_mm_decode" -> ((s, d) => decodeQuery(Tables.documents(s, d))),
+    "q_mm_frames" -> ((s, d) => frameSample(Tables.documents(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_mm_meta" -> metaOracle,
+    "q_mm_decode" -> decodeOracle,
+    "q_mm_frames" -> frameSampleOracle()
+  )
+}

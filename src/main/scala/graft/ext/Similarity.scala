@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over an embedding column (`Array[Float]`): exact
+  * brute-force cosine top-k as the baseline, a sign-bit (random
+  * hyperplane LSH / IVF-style) bucketed variant as the scale path, and
+  * a cosine near-dup pair join.
+  *
+  * All math is built-in `functions` (zip_with + aggregate fold) on
+  * double-cast arrays — codegen'd, no UDFs. Ranking is on the ROUNDED
+  * cosine (6dp) with a vec_id tie-break so Spark and the DuckDB oracle
+  * order identically despite last-ulp float drift.
+  *
+  * Scale notes (100 TB): brute force is O(Q·N) — fine for a broadcast
+  * query set (Q small) since it is a map-only pass over the corpus with
+  * a per-partition top-k (window + filter ⇒ rank pushes partial limits);
+  * the bucketed variant cuts the scanned fraction to ~1/2^bits at the
+  * cost of recall, the classic IVF/LSH trade. The bucket assignment is
+  * a deterministic projection, so the corpus can be WRITTEN partitioned
+  * by bucket — then bucket search is partition pruning, not a filter.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  private def emb(df: DataFrame): DataFrame =
+    df.withColumn("e", col("embedding").cast("array<double>"))
+
+  /** Sign-bit bucket over the first 3 dimensions (hyperplane LSH with
+    * axis-aligned planes — deterministic, portable to the oracle).
+    */
+  private def bucketCol(e: Column): Column =
+    (when(element_at(e, 1) > 0, 4).otherwise(0) +
+      when(element_at(e, 2) > 0, 2).otherwise(0) +
+      when(element_at(e, 3) > 0, 1).otherwise(0)).as("bucket")
+
+  private val bucketSql =
+    """(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+      | CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+      | CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END)""".stripMargin.replace("\n", "")
+
+  private val cosSql =
+    "round(list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]), 6)"
+
+  /** Exact brute-force cosine top-k for a query set (vec_id < nQueries). */
+  def bruteForceTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = emb(vectors).select(col("vec_id"), col("e"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("e")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  def bruteForceTopKOracle(nQueries: Int = 5, k: Int = 10): String =
+    s"""SELECT query_id, vec_id, cos, rank
+       |FROM (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       |         $cosSql AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $cosSql DESC, v.vec_id) AS rank
+       |  FROM embeddings v
+       |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $nQueries) q
+       |  WHERE v.vec_id != q.vec_id
+       |)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Bucketed (IVF/LSH) top-k: search only the query's own bucket. */
+  def bucketedTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val v = emb(vectors).select(col("vec_id"), col("e"), bucketCol(col("e")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket").as("qbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    v.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("e")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  def bucketedTopKOracle(nQueries: Int = 5, k: Int = 10): String =
+    s"""SELECT query_id, vec_id, cos, rank
+       |FROM (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+       |         $cosSql AS cos,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $cosSql DESC, v.vec_id) AS rank
+       |  FROM (SELECT *, $bucketSql AS bucket FROM embeddings) v
+       |  JOIN (SELECT *, $bucketSql AS bucket FROM embeddings WHERE vec_id < $nQueries) q
+       |    ON v.bucket = q.bucket AND v.vec_id != q.vec_id
+       |)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold). */
+  def nearDupPairs(vectors: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val v = emb(vectors).select(col("vec_id"), col("e"))
+    val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    v.crossJoin(b)
+      .filter(col("vec_id") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("e"), col("eb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  def nearDupPairsOracle(threshold: Double = 0.4): String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= $threshold""".stripMargin
+
+  /** Per-label centroid similarity: groupwise mean vector, then cosine
+    * of each vector to its label centroid (avg pooling — the reduction
+    * a training pipeline uses for cluster quality).
+    */
+  def centroidSimilarity(vectors: DataFrame): DataFrame = {
+    val v = emb(vectors)
+    val dim = 64
+    val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
+    val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+      .select(col("label"), array((1 to dim).map(i => col(s"c_$i")): _*).as("centroid"))
+    v.join(broadcast(centroids), "label")
+      .withColumn("cos_to_centroid", round(cosine(col("e"), col("centroid")), 4))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("cos_to_centroid")), 4).as("avg_cos"),
+        round(min(col("cos_to_centroid")), 4).as("min_cos"))
+  }
+
+  val centroidSimilarityOracle: String =
+    """WITH c AS (
+      |  SELECT label, list(m ORDER BY i) AS centroid
+      |  FROM (
+      |    SELECT label, i, avg(v) AS m
+      |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+      |                 unnest(range(1, 1 + len(embedding))) AS i
+      |          FROM embeddings)
+      |    GROUP BY 1, 2
+      |  ) GROUP BY label
+      |)
+      |SELECT e.label, count(*) AS n,
+      |       round(avg(cos_to_centroid), 4) AS avg_cos,
+      |       round(min(cos_to_centroid), 4) AS min_cos
+      |FROM (
+      |  SELECT e.label,
+      |         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 4) AS cos_to_centroid
+      |  FROM embeddings e JOIN c ON e.label = c.label
+      |) e
+      |GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
+    "q_knn_bucketed" -> ((s, d) => bucketedTopK(Tables.embeddings(s, d))),
+    "q_embed_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
+    "q_embed_centroid" -> ((s, d) => centroidSimilarity(Tables.embeddings(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_knn_brute" -> bruteForceTopKOracle(),
+    "q_knn_bucketed" -> bucketedTopKOracle(),
+    "q_embed_neardup" -> nearDupPairsOracle(),
+    "q_embed_centroid" -> centroidSimilarityOracle
+  )
+}

@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for a large-scale training-data pipeline: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * All pure column expressions (whole-stage codegen, no UDFs, no
+  * shuffle except the final aggregates) — at 100 TB these run as a
+  * map-only pass over the corpus with filters pushed to the scan.
+  *
+  * Not present in the reference (its only text op is JSON parse,
+  * SURVEY §2.7) — this is north-star extension surface (SURVEY §7.2 M6).
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text`, empties dropped. */
+  def tokens(c: Column): Column = split(trim(c), " +")
+
+  /** BPE-ish lexer: letter runs, digit runs, single punctuation marks —
+    * the shape of a byte-pair pre-tokenizer's word-split regex.
+    */
+  val bpePattern = "[a-z]+|[A-Z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Token / char counting (whitespace + BPE-ish regex). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(tokens(col("text"))).as("n_tokens"),
+      regexp_count(col("text"), lit(bpePattern)).as("n_bpe_tokens"))
+
+  val tokenCountsOracle: String =
+    s"""SELECT doc_id,
+       |       length(text) AS n_chars,
+       |       len(regexp_split_to_array(trim(text), ' +')) AS n_tokens,
+       |       len(regexp_extract_all(text, '$bpePattern')) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean
+    * token length → a keep/discard flag (C4/Gopher-style rule filter).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]"))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      round(nPunct.cast("double") / length(col("text")), 6).as("punct_ratio"),
+      round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
+      round((length(col("text")) - nTok + 1).cast("double") / nTok, 6).as("mean_tok_len"))
+      .withColumn("keep",
+        (col("n_tokens") >= 10) && (col("punct_ratio") < 0.2) &&
+          (col("mean_tok_len") >= 2) && (col("mean_tok_len") <= 12))
+  }
+
+  val qualityOracle: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_tokens, punct_ratio, stop_ratio, mean_tok_len,
+       |       (n_tokens >= 10 AND punct_ratio < 0.2
+       |        AND mean_tok_len >= 2 AND mean_tok_len <= 12) AS keep
+       |FROM (
+       |  SELECT doc_id,
+       |         len(toks) AS n_tokens,
+       |         round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))::DOUBLE / length(text), 6) AS punct_ratio,
+       |         round(len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE / len(toks), 6) AS stop_ratio,
+       |         round((length(text) - len(toks) + 1)::DOUBLE / len(toks), 6) AS mean_tok_len
+       |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), ' +') AS toks FROM documents)
+       |)""".stripMargin
+  }
+
+  /** Language ID: marker-token overlap per language + CJK detection,
+    * argmax with a fixed tie-break order (en > de > fr > es > zh >
+    * unknown). A real n-gram model is a learned table; this keeps the
+    * same plan shape (map-only scoring + argmax) with hand markers.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "una"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = markers.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (l, ws)) =>
+        val arr = array(ws.map(lit): _*)
+        df.withColumn(s"score_$l", size(filter(toks, t => array_contains(arr, t))))
+    }.withColumn("score_zh", regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")))
+    val best = markers.map(_._1) :+ "zh"
+    val top = greatest(best.map(l => col(s"score_$l")): _*)
+    scored.withColumn("pred_lang",
+      when(top === 0, lit("unknown"))
+        .otherwise(best.foldRight(lit("unknown"): Column) { (l, els) =>
+          when(col(s"score_$l") === top, lit(l)).otherwise(els)
+        }))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val langIdOracle: String = {
+    val scoreExprs = markers.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(regexp_split_to_array(trim(text), ' +'), t -> list_contains($arr, t))) AS score_$l"
+    }.mkString(",\n       |         ")
+    val langs = markers.map(_._1) :+ "zh"
+    val top = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val pick = langs.reverse.foldLeft("'unknown'") { (els, l) =>
+      s"CASE WHEN score_$l = top THEN '$l' ELSE $els END"
+    }
+    s"""SELECT lang, pred_lang, count(*) AS n
+       |FROM (
+       |  SELECT lang, CASE WHEN top = 0 THEN 'unknown' ELSE $pick END AS pred_lang
+       |  FROM (
+       |    SELECT lang, $top AS top, *
+       |    FROM (
+       |      SELECT doc_id, lang,
+       |         $scoreExprs,
+       |         len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS score_zh
+       |      FROM documents
+       |    )
+       |  )
+       |)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 of the normalized text (exact-dup key)
+    * plus a winnowing-style content fingerprint — the minimum hash over
+    * the document's word 5-gram shingles (rolling-hash min-sketch; md5
+    * is the portable stand-in for the rolling hash so Spark and DuckDB
+    * agree byte-for-byte).
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = tokens(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "))
+    val n = size(toks)
+    val shingles = transform(
+      sequence(lit(1), greatest(n - 4, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(5))))
+    docs.select(
+      col("doc_id"),
+      md5(concat_ws(" ", toks)).as("exact_fp"),
+      array_min(transform(shingles, s => md5(s))).as("content_fp"))
+  }
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |       md5(array_to_string(toks, ' ')) AS exact_fp,
+      |       list_min(list_transform(
+      |         list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+      |                        i -> array_to_string(toks[i:i+4], ' ')),
+      |         s -> md5(s))) AS content_fp
+      |FROM (
+      |  SELECT doc_id,
+      |         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
+    "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
+    "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_tokens" -> tokenCountsOracle,
+    "q_text_quality" -> qualityOracle,
+    "q_text_langid" -> langIdOracle,
+    "q_text_fingerprint" -> fingerprintOracle
+  )
+}
