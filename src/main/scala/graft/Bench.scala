@@ -5,11 +5,19 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftExtensions.register)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/FS caches, so the first measured query
+    // isn't charged session bring-up.
+    try {
+      Seq("lineitem", "orders", "customer", "documents", "embeddings")
+        .foreach(t => Tables.load(spark, sfDir, t).count())
+      Tables.events(spark, sfDir).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

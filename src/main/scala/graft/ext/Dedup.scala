@@ -37,12 +37,26 @@ object Dedup {
   private val toksSql =
     "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
 
-  /** Word 3-gram shingles (distinct). */
-  private def shingles(c: Column): Column = {
-    val t = toks(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(t) - 2, lit(1))),
-      i => concat_ws(" ", slice(t, i, lit(3)))))
+  /** (doc_id, s): distinct word 3-gram shingle ROWS.
+    *
+    * Built by posexplode + window `lead`, NOT array lambdas: a Generate
+    * node is a hard barrier no optimizer rule can inline, so the regex
+    * token split runs exactly once per document (array-lambda versions
+    * get collapsed by CollapseProject into O(tokens²) re-evaluation of
+    * the split per element — measured 10× slower). Row form is also the
+    * scalable shape: shingles stream through the pipeline instead of
+    * materializing per-doc arrays, and every downstream step (minhash
+    * min-agg, Jaccard intersection) is a plain shuffle-agg/join.
+    */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wn = Window.partitionBy(col("doc_id"))
+    docs.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "t")))
+      .withColumn("s", concat_ws(" ", col("t"), lead(col("t"), 1).over(w), lead(col("t"), 2).over(w)))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("pos") <= greatest(col("n") - 3, lit(0)))
+      .select(col("doc_id"), col("s")).distinct()
   }
 
   private val shinglesSql =
@@ -88,13 +102,31 @@ object Dedup {
   val numHashes = 8  // k minhash functions
   val bandRows = 2   // r rows per band → b = k/r = 4 bands
 
-  /** MinHash signature per doc: sig_i = min md5(shingle || '#' || i). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(col("text"))
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(s, lit(s"#$i"))))).as(s"sig_$i")
+  /** MinHash signature per doc: sig_i = min md5(shingle || '#' || i).
+    *
+    * Shape: shingle rows → k min-aggregates; the min-agg is partial
+    * (map-side) so the shuffle carries k hashes per doc, not shingles.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(shingleRows(docs))
+
+  private def signaturesFromShingles(sh: DataFrame): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min(md5(concat(col("s"), lit(s"#$i")))).as(s"sig_$i")
     }
-    docs.select(col("doc_id") +: sigCols: _*)
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (band, bucket, doc_id) rows from a signature frame — one explode,
+    * not one plan copy per band.
+    */
+  private def bandBuckets(sig: DataFrame): DataFrame = {
+    val bandStructs = (0 until numHashes / bandRows).map { j =>
+      val parts = (0 until bandRows).map(r => col(s"sig_${j * bandRows + r}"))
+      struct(lit(j).as("band"), md5(concat(parts: _*)).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("doc_id"))
   }
 
   val minhashSignaturesOracle: String = {
@@ -110,20 +142,14 @@ object Dedup {
     * sharing any band key are near-dup candidates. Output: per-band
     * bucket statistics (buckets, max size, candidate pairs).
     */
-  def lshBucketStats(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
-    val bands = (0 until numHashes / bandRows).map { j =>
-      val parts = (0 until bandRows).map(r => col(s"sig_${j * bandRows + r}"))
-      sig.select(lit(j).as("band"), md5(concat(parts: _*)).as("bucket"), col("doc_id"))
-    }.reduce(_ unionByName _)
-    bands.groupBy(col("band"), col("bucket"))
+  def lshBucketStats(docs: DataFrame): DataFrame =
+    bandBuckets(minhashSignatures(docs)).groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("sz"))
       .groupBy(col("band"))
       .agg(
         count(lit(1)).as("n_buckets"),
         max(col("sz")).as("max_bucket"),
         sum(col("sz") * (col("sz") - 1) / 2).cast("bigint").as("n_candidate_pairs"))
-  }
 
   val lshBucketStatsOracle: String = {
     val bandSelects = (0 until numHashes / bandRows).map { j =>
@@ -144,22 +170,32 @@ object Dedup {
     * Jaccard ≥ threshold. Returns confirmed pairs (a < b).
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs)
-    val bands = (0 until numHashes / bandRows).map { j =>
-      val parts = (0 until bandRows).map(r => col(s"sig_${j * bandRows + r}"))
-      sig.select(md5(concat(parts: _*)).as("bucket"), col("doc_id"))
-    }.reduce(_ unionByName _).distinct()
+    // Shingle rows are computed once and reused by the signature
+    // derivation, the sizes, and both sides of the intersection join
+    // (at 100 TB this intermediate is written to storage; in-memory
+    // cache is the single-node analog).
+    val sh = shingleRows(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val bands = bandBuckets(signaturesFromShingles(sh))
+      .select(col("bucket"), col("doc_id")).distinct()
     val cand = bands.as("x").join(bands.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // True Jaccard on candidates only, as a row join: |A∩B| via a join
+    // on the shingle value, |A∪B| = |A|+|B|−|A∩B|. Pairs with empty
+    // intersection vanish in the inner join — their Jaccard is 0 and
+    // could never pass the threshold.
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -4,44 +4,49 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorOps
 
 /** Similarity search over an embedding column (`Array[Float]`): exact
   * brute-force cosine top-k as the baseline, a sign-bit (random
   * hyperplane LSH / IVF-style) bucketed variant as the scale path, and
   * a cosine near-dup pair join.
   *
-  * All math is built-in `functions` (zip_with + aggregate fold) on
-  * double-cast arrays — codegen'd, no UDFs. Ranking is on the ROUNDED
-  * cosine (6dp) with a vec_id tie-break so Spark and the DuckDB oracle
-  * order identically despite last-ulp float drift.
+  * The inner loop is graft's native codegen dot-product expression
+  * (`graft.functions.DotProduct`); each side's L2 norm is materialized
+  * ONCE per row, so a candidate pair costs exactly one dot product.
+  * Ranking is on the ROUNDED cosine (6dp) with a vec_id tie-break so
+  * Spark and the DuckDB oracle order identically despite last-ulp
+  * float drift.
   *
   * Scale notes (100 TB): brute force is O(Q·N) — fine for a broadcast
-  * query set (Q small) since it is a map-only pass over the corpus with
-  * a per-partition top-k (window + filter ⇒ rank pushes partial limits);
-  * the bucketed variant cuts the scanned fraction to ~1/2^bits at the
-  * cost of recall, the classic IVF/LSH trade. The bucket assignment is
-  * a deterministic projection, so the corpus can be WRITTEN partitioned
-  * by bucket — then bucket search is partition pruning, not a filter.
+  * query set (Q small): a map-only pass over the corpus, top-k per
+  * partition, merge. The bucketed variant cuts the scanned fraction to
+  * ~1/2^bits at the cost of recall, the classic IVF/LSH trade. The
+  * bucket assignment is a deterministic projection, so the corpus can
+  * be WRITTEN partitioned by bucket — then bucket search is partition
+  * pruning, not a filter.
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  /** (vec_id, e, nrm[, bucket]) — double-cast embedding with its norm
+    * materialized as a column (two-step projection: the norm is an
+    * attribute, not an inlined subtree, so it is computed once).
+    */
+  private def emb(df: DataFrame, withBucket: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", VectorOps.norm(spark, col("e")))
+    if (withBucket) base.withColumn("bucket",
+      when(element_at(col("e"), 1) > 0, 4).otherwise(0) +
+        when(element_at(col("e"), 2) > 0, 2).otherwise(0) +
+        when(element_at(col("e"), 3) > 0, 1).otherwise(0))
+    else base
   }
 
-  private def emb(df: DataFrame): DataFrame =
-    df.withColumn("e", col("embedding").cast("array<double>"))
+  private def cosRaw(spark: SparkSession): Column =
+    VectorOps.dot(spark, col("qe"), col("e")) / (col("qnrm") * col("nrm"))
 
-  /** Sign-bit bucket over the first 3 dimensions (hyperplane LSH with
-    * axis-aligned planes — deterministic, portable to the oracle).
-    */
-  private def bucketCol(e: Column): Column =
-    (when(element_at(e, 1) > 0, 4).otherwise(0) +
-      when(element_at(e, 2) > 0, 2).otherwise(0) +
-      when(element_at(e, 3) > 0, 1).otherwise(0)).as("bucket")
+  private def cosPair(spark: SparkSession): Column = round(cosRaw(spark), 6)
 
   private val bucketSql =
     """(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
@@ -53,14 +58,15 @@ object Similarity {
 
   /** Exact brute-force cosine top-k for a query set (vec_id < nQueries). */
   def bruteForceTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val v = emb(vectors).select(col("vec_id"), col("e"))
-    val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val spark = vectors.sparkSession
+    val v = emb(vectors)
+    val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+      .filter(col("query_id") < nQueries)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qe"), col("e")), 6))
+      .withColumn("cos", cosPair(spark))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
@@ -81,14 +87,16 @@ object Similarity {
 
   /** Bucketed (IVF/LSH) top-k: search only the query's own bucket. */
   def bucketedTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val v = emb(vectors).select(col("vec_id"), col("e"), bucketCol(col("e")))
-    val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket").as("qbucket"))
+    val spark = vectors.sparkSession
+    val v = emb(vectors, withBucket = true)
+    val q = v.select(col("vec_id").as("query_id"), col("e").as("qe"),
+      col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      .filter(col("query_id") < nQueries)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     v.join(broadcast(q), col("bucket") === col("qbucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qe"), col("e")), 6))
+      .withColumn("cos", cosPair(spark))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
@@ -107,13 +115,17 @@ object Similarity {
        |)
        |WHERE rank <= $k""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold). */
+  /** Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
+    * Brute-force N²/2 candidate join at one dot per pair; the bucketed
+    * LSH variant of the same predicate is `bucketedTopK`'s join shape.
+    */
   def nearDupPairs(vectors: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val v = emb(vectors).select(col("vec_id"), col("e"))
-    val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    val spark = vectors.sparkSession
+    val v = emb(vectors)
+    val b = v.select(col("vec_id").as("vec_b"), col("e").as("qe"), col("nrm").as("qnrm"))
     v.crossJoin(b)
       .filter(col("vec_id") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("e"), col("eb")), 6))
+      .withColumn("cos", cosPair(spark))
       .filter(col("cos") >= threshold)
       .select(col("vec_id").as("vec_a"), col("vec_b"), col("cos"))
   }
@@ -129,13 +141,15 @@ object Similarity {
     * a training pipeline uses for cluster quality).
     */
   def centroidSimilarity(vectors: DataFrame): DataFrame = {
-    val v = emb(vectors)
+    val spark = vectors.sparkSession
+    val v = emb(vectors).join(vectors.select(col("vec_id"), col("label")), "vec_id")
     val dim = 64
     val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
     val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
-      .select(col("label"), array((1 to dim).map(i => col(s"c_$i")): _*).as("centroid"))
+      .select(col("label"), array((1 to dim).map(i => col(s"c_$i")): _*).as("qe"))
+      .withColumn("qnrm", VectorOps.norm(spark, col("qe")))
     v.join(broadcast(centroids), "label")
-      .withColumn("cos_to_centroid", round(cosine(col("e"), col("centroid")), 4))
+      .withColumn("cos_to_centroid", round(cosRaw(spark), 4))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("cos_to_centroid")), 4).as("avg_cos"),

@@ -138,15 +138,24 @@ object TextOps {
     * agree byte-for-byte).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = tokens(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "))
-    val n = size(toks)
-    val shingles = transform(
-      sequence(lit(1), greatest(n - 4, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(5))))
-    docs.select(
-      col("doc_id"),
-      md5(concat_ws(" ", toks)).as("exact_fp"),
-      array_min(transform(shingles, s => md5(s))).as("content_fp"))
+    // Row-based 5-gram min-hash (posexplode + lead): the Generate node
+    // pins the token split to one evaluation per doc — array lambdas
+    // get inlined by CollapseProject into O(tokens²) re-splits.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wn = Window.partitionBy(col("doc_id"))
+    val contentFp = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+      .withColumn("s", concat_ws(" ", col("t"),
+        lead(col("t"), 1).over(w), lead(col("t"), 2).over(w),
+        lead(col("t"), 3).over(w), lead(col("t"), 4).over(w)))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("pos") <= greatest(col("n") - 5, lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("s"))).as("content_fp"))
+    docs.select(col("doc_id"), md5(concat_ws(" ", toks)).as("exact_fp"))
+      .join(contentFp, "doc_id")
   }
 
   val fingerprintOracle: String =

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst dot-product over two `array<double>` columns, with
+  * whole-stage codegen — the hot inner loop of every cosine-similarity
+  * operator.
+  *
+  * Why not `aggregate(zip_with(...))`: Spark's higher-order functions
+  * are evaluated on the interpreted path (a lambda dispatch per array
+  * element); at N² candidate pairs × 64 dims that is billions of
+  * interpreted calls. This expression generates a tight primitive
+  * `double` loop inside WholeStageCodegen instead (preference order per
+  * the design brief: built-in < custom codegen Expression < UDF).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session extension registering graft's native functions — wire with
+  * `SparkSession.builder.withExtensions(GraftExtensions.register)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftExtensions.register(ext)
+}
+
+object GraftExtensions {
+  val register: SparkSessionExtensions => Unit = { ext =>
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}
+
+/** Column-level vector math. Uses the native `graft_dot` expression when
+  * the session has graft's extensions; falls back to a JVM UDF (still
+  * ~100× faster than interpreted higher-order lambdas) when handed a
+  * vanilla session (e.g. the driver's own smoke harness).
+  */
+object VectorOps {
+
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot")) call_function("graft_dot", a, b)
+    else dotUdf(a, b)
+
+  /** L2 norm. Callers should materialize this as its OWN projected
+    * column per row so each pairwise cosine costs a single dot product
+    * (dot(a,b)/(na·nb)) instead of three.
+    */
+  def norm(spark: SparkSession, e: Column): Column = sqrt(dot(spark, e, e))
+}
