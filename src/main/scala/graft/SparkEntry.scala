@@ -24,7 +24,8 @@ object SparkEntry {
   ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries ++
     analytics.Indicators.queries ++ relational.StarQueries.queries ++
     ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
-    ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries
+    ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
+    sources.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
   ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles ++
     analytics.Indicators.oracles ++ relational.StarQueries.oracles ++
     ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
-    ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles
+    ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
+    sources.Sinks.oracles
 }
