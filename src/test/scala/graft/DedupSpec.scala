@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.Dedup
+
+/** Dedup semantics on constructed corpora with known duplicates. */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text) => (id, text, "src") }
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("exact survivors: identical normalized text collapses to min doc_id") {
+    val d = docs(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "different text"))
+    val out = Dedup.exactSurvivors(d).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L) // 1+2 merged
+    assert(out(1).getLong(0) == 3L && out(1).getLong(1) == 1L)
+  }
+
+  test("minhash signatures of identical docs are identical") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs((1L, text), (2L, text), (3L, "an entirely unrelated document about spark engines"))
+    val sig = Dedup.minhashSignatures(d).orderBy("doc_id").collect()
+    val s1 = sig(0).toSeq.drop(1)
+    val s2 = sig(1).toSeq.drop(1)
+    val s3 = sig(2).toSeq.drop(1)
+    assert(s1 == s2)
+    assert(s1 != s3)
+  }
+
+  test("nearDupPairs finds heavily-overlapping docs and reports Jaccard 1.0 for identical") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = docs((1L, base), (2L, base), (3L, "totally different words here nothing shared at all with others"))
+    val pairs = Dedup.nearDupPairs(d, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("nearDupPairs: ~half-overlapping docs score between 0 and 1") {
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven CHANGED WORDS HERE"))
+    val pairs = Dedup.nearDupPairs(d, 0.1).collect()
+    assert(pairs.length == 1)
+    val j = pairs(0).getDouble(2)
+    assert(j > 0.1 && j < 1.0)
+  }
+
+  test("simhash groups identical docs under one signature") {
+    val t = "spark catalyst tungsten codegen shuffle partition"
+    val d = docs((1L, t), (2L, t), (3L, t))
+    val out = Dedup.simhash(d).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 3L)
+  }
+
+  test("lshBucketStats candidate pair accounting is consistent") {
+    val t = "a b c d e f g h i j k l m n o p"
+    val d = docs((1L, t), (2L, t), (3L, "x y z w v u t s r q p o n m l k"))
+    val stats = Dedup.lshBucketStats(d).collect()
+    assert(stats.length == Dedup.numHashes / Dedup.bandRows)
+    // identical docs 1,2 share every band bucket => every band has >= 1 candidate pair
+    assert(stats.forall(_.getLong(3) >= 1L))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.analytics.Indicators
+
+/** W1–W6 semantics on tiny hand-checked series (SURVEY §2.5),
+  * including the pandas `min_periods` null-gating.
+  */
+class IndicatorsSpec extends SparkSpec {
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  private def series(values: Double*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    values.zipWithIndex
+      .map { case (v, i) => (i.toLong, ts(i), "x", v) }
+      .toDF("event_id", "ts", "event_type", "value")
+  }
+
+  test("lagDiff is value minus previous, null for the first row") {
+    val out = Indicators.lagDiff(series(10, 12, 11)).orderBy("event_id")
+      .select("delta").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(None, Some(2.0), Some(-1.0)))
+  }
+
+  test("SMA-5 is null until 5 observations exist (pandas min_periods)") {
+    val out = Indicators.sma(series(1, 2, 3, 4, 5, 6)).orderBy("event_id")
+      .select("sma").collect().map(r => Option(r.get(0)))
+    assert(out.take(4).forall(_.isEmpty))
+    assert(out(4).contains(3.0)) // mean(1..5)
+    assert(out(5).contains(4.0)) // mean(2..6)
+  }
+
+  test("RSI-14 is 100 for monotonic gains, 0 for monotonic losses") {
+    val up = Indicators.rsi(series((1 to 20).map(_.toDouble): _*))
+      .orderBy("event_id").select("rsi").collect().map(r => Option(r.get(0)))
+    assert(up.take(13).forall(_.isEmpty)) // gated until 14 deltas... first 13 rows
+    assert(up.last.contains(100.0))
+    val down = Indicators.rsi(series((1 to 20).reverse.map(_.toDouble): _*))
+      .orderBy("event_id").select("rsi").collect().map(r => Option(r.get(0)))
+    assert(down.last.contains(0.0))
+  }
+
+  test("RSI stays within [0, 100] when defined") {
+    val vals = Seq(5.0, 7.0, 6.0, 6.5, 8.0, 7.5, 7.7, 9.0, 8.2, 8.8,
+      9.5, 9.1, 10.0, 9.7, 10.2, 11.0, 10.5, 10.8, 11.5, 11.2)
+    val out = Indicators.rsi(series(vals: _*))
+      .select("rsi").collect().flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(out.nonEmpty && out.forall(v => v >= 0.0 && v <= 100.0))
+  }
+
+  test("signal: BUY when SMA above value, SELL when below, HOLD when gated") {
+    val out = Indicators.signal(series(10, 10, 10, 10, 50, 1))
+      .orderBy("event_id").select("signal").collect().map(_.getString(0))
+    assert(out.take(4).forall(_ == "HOLD")) // < 5 rows in frame
+    assert(out(4) == "SELL") // sma 18 < value 50
+    assert(out(5) == "BUY")  // sma 16.2 > value 1
+  }
+
+  test("lastRow picks the latest row per series key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, ts(1), "a", 1.0), (2L, ts(2), "a", 2.0),
+      (3L, ts(1), "b", 3.0)).toDF("event_id", "ts", "event_type", "value")
+    val out = Indicators.lastRow(df).orderBy("event_type")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 3L))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.analytics.Indicators
+import graft.ext.Dedup
+
+/** Property-based invariants (SURVEY §5.4): RSI bounds, window
+  * assignment laws, minhash stability — ScalaCheck generators sampled
+  * under fixed seeds (no scalatestplus bridge in the offline cache).
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def ts(i: Int) = new Timestamp(1704067200000L + i * 60000L)
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("RSI is always within [0, 100] when defined (random walks)") {
+    val gen = Gen.listOfN(25, Gen.choose(-5.0, 5.0))
+    for (steps <- samples(gen, 8)) {
+      val s = spark
+      import s.implicits._
+      val vals = steps.scanLeft(100.0)(_ + _)
+      val df = vals.zipWithIndex
+        .map { case (v, i) => (i.toLong, ts(i), "x", v) }
+        .toDF("event_id", "ts", "event_type", "value")
+      val out = Indicators.rsi(df).select("rsi").collect()
+        .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+      assert(out.forall(v => v >= 0.0 && v <= 100.0), s"violated for steps=$steps")
+    }
+  }
+
+  test("sliding 1-min/30-s window assigns every event to exactly 2 windows") {
+    val s = spark
+    import s.implicits._
+    for (offsets <- samples(Gen.listOfN(20, Gen.choose(0, 3600)), 8)) {
+      val df = offsets.zipWithIndex
+        .map { case (sec, i) => (i.toLong, new Timestamp(1704067200000L + sec * 1000L), "x", 1.0) }
+        .toDF("event_id", "ts", "event_type", "value")
+      val total = graft.silver.SilverAgg.sliding(df)
+        .agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+      assert(total == 2L * offsets.length)
+    }
+  }
+
+  test("minhash: identical docs always share all signatures") {
+    val wordGen = Gen.listOfN(12, Gen.oneOf("spark", "scala", "data", "lake", "agg", "join", "scan", "sort"))
+    for (words <- samples(wordGen, 8)) {
+      val s = spark
+      import s.implicits._
+      val text = words.mkString(" ")
+      val df = Seq((1L, text, "src"), (2L, text, "src")).toDF("doc_id", "text", "source")
+      val sigs = Dedup.minhashSignatures(df).collect()
+      assert(sigs(0).toSeq.drop(1) == sigs(1).toSeq.drop(1))
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.functions.VectorOps
+
+/** Cosine similarity / ANN semantics + the native dot-product expression. */
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Float], Int)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("native graft_dot equals hand-computed dot product (codegen path)") {
+    val s = spark
+    import s.implicits._
+    assert(s.catalog.functionExists("graft_dot"), "extension not registered")
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val out = df.select(VectorOps.dot(s, col("a"), col("b"))).head().getDouble(0)
+    assert(out == 32.0)
+  }
+
+  test("dot falls back to UDF and agrees with the native expression") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(0.5, -1.5), Seq(2.0, 4.0))).toDF("a", "b")
+    val native = df.select(VectorOps.dot(s, col("a"), col("b"))).head().getDouble(0)
+    assert(native == 0.5 * 2.0 + -1.5 * 4.0)
+  }
+
+  test("brute-force top-k ranks an identical vector first with cosine 1") {
+    val q = Seq(1f, 0f, 0f, 0f)
+    val d = vecs(
+      (0L, q, 0),               // query
+      (10L, q, 0),              // identical -> cos 1
+      (11L, Seq(0f, 1f, 0f, 0f), 0),  // orthogonal -> cos 0
+      (12L, Seq(-1f, 0f, 0f, 0f), 0)) // opposite -> cos -1
+    val out = Similarity.bruteForceTopK(d, nQueries = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L))
+    assert(out(0).getDouble(2) == 1.0)
+    assert(out(1).getDouble(2) == 0.0)
+    assert(out(2).getDouble(2) == -1.0)
+  }
+
+  test("bucketed top-k only searches the query's sign bucket") {
+    val d = vecs(
+      (0L, Seq(1f, 1f, 1f, 0f), 0),   // bucket 7
+      (10L, Seq(1f, 1f, 1f, 1f), 0),  // bucket 7 — reachable
+      (11L, Seq(-1f, 1f, 1f, 0f), 0)) // bucket 3 — invisible to query 0
+    val out = Similarity.bucketedTopK(d, nQueries = 1, k = 10).collect()
+    assert(out.map(_.getLong(1)).toSet == Set(10L))
+  }
+
+  test("embedding near-dup pairs at threshold") {
+    val d = vecs(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.01f), 0), (2L, Seq(0f, 1f), 0))
+    val out = Similarity.nearDupPairs(d, 0.9).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 1L)
+  }
+
+  test("centroid similarity: all-identical label has cosine 1 to its centroid") {
+    val v = Seq.fill(64)(0.5f)
+    val d = vecs((0L, v, 1), (1L, v, 1), (2L, v, 1))
+    val out = Similarity.centroidSimilarity(d).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 3L)           // n
+    assert(out(0).getDouble(2) == 1.0)        // avg_cos
+    assert(out(0).getDouble(3) == 1.0)        // min_cos
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+/** Structured Streaming semantics (SURVEY §2.8, T1–T8): MemoryStream
+  * driven micro-batches, watermark late-drop, update-mode re-emission,
+  * and stream/batch parity of the shared silver transform.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(m: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:$sec%02d")
+
+  case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("T2/T8: windowed agg over a MemoryStream emits per-window bars (update mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.silverTransform(mem.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("silver_update").start()
+    try {
+      mem.addData(Ev(ts(0, 10), "a", 10.0), Ev(ts(0, 20), "a", 20.0))
+      q.processAllAvailable()
+      val rows1 = s.table("silver_update").collect()
+      assert(rows1.nonEmpty)
+      // sliding 1-min/30-s window: each event lands in exactly 2 windows
+      val aWindows = s.table("silver_update").select("w").distinct().count()
+      assert(aWindows == 2)
+      // update mode: a later event in the same window re-emits that window
+      mem.addData(Ev(ts(0, 25), "a", 30.0))
+      q.processAllAvailable()
+      val rows2 = s.table("silver_update")
+        .groupBy("w").count().filter(col("count") > 1).count()
+      assert(rows2 >= 1, "updated window should be re-emitted (T4 semantics)")
+    } finally q.stop()
+  }
+
+  test("T1/T7: rows later than the watermark are dropped from append output") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.silverTransform(mem.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("silver_append").start()
+    try {
+      mem.addData(Ev(ts(0), "a", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark
+      mem.addData(Ev(ts(10), "a", 2.0))
+      q.processAllAvailable()
+      // late row: event-time long before the watermark => dropped
+      mem.addData(Ev(ts(0, 30), "a", 999.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(20), "a", 3.0))
+      q.processAllAvailable()
+      val closed = s.table("silver_append")
+        .filter(col("w.start") === ts(0) && col("event_type") === "a")
+        .select("average_price").collect().map(_.getDouble(0))
+      assert(closed.nonEmpty, "first window should have closed via watermark")
+      assert(closed.forall(_ == 1.0), s"late row must not contribute (got ${closed.toSeq})")
+    } finally q.stop()
+  }
+
+  test("stream/batch parity: AvailableNow streaming run equals batch tumbling agg") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streams.runSilverAvailableNow(s, dir)
+      .orderBy("window_start", "event_type")
+      .collect()
+    val batch = graft.silver.SilverAgg.tumbling(Tables.events(s, dir))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("file-source append run writes only watermark-closed windows") {
+    val s = spark
+    val out = Files.createTempDirectory("graft_t_out").toString
+    val ckpt = Files.createTempDirectory("graft_t_ckpt").toString
+    Streams.runSilverAppend(s, "/root/testdata/sf0.001", out, ckpt)
+    val n = scala.util.Try(s.read.parquet(out).count()).getOrElse(0L)
+    val total = Streams.silverTransform(Tables.events(s, "/root/testdata/sf0.001"))
+      .count()
+    // single batch => watermark only advances at the END of it; windows
+    // still open then are withheld (append semantics, T3/T7)
+    assert(n < total)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.TextOps
+
+/** Token counting / quality / language-ID / fingerprint semantics. */
+class TextOpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, text, lang) => (id, text, lang, "src", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("token counts: whitespace vs BPE-ish tokens") {
+    val out = TextOps.tokenCounts(docs((1L, "hello world, it's 42", "en"))).head()
+    assert(out.getInt(1) == 20)  // n_chars
+    assert(out.getInt(2) == 4)   // whitespace tokens
+    // BPE-ish: hello|world|,|it|'|s|42 = 7
+    assert(out.getInt(3) == 7)
+  }
+
+  test("quality: short docs are dropped, normal prose kept") {
+    val good = "the quick brown fox jumps over a lazy dog in the warm sun today"
+    val out = TextOps.quality(docs((1L, good, "en"), (2L, "too short", "en")))
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(5))   // keep
+    assert(!out(1).getBoolean(5))  // n_tokens < 10
+  }
+
+  test("language ID picks the language with most marker hits") {
+    val out = TextOps.langId(docs(
+      (1L, "the cat is on the mat and the dog", "en"),
+      (2L, "der hund ist und das haus ist gross", "de"),
+      (3L, "qwzx vbnm ghjk", "xx")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("en") == "en")
+    assert(out("de") == "de")
+    assert(out("xx") == "unknown")
+  }
+
+  test("fingerprint: same normalized content => same fingerprints") {
+    val out = TextOps.fingerprint(docs(
+      (1L, "Alpha Beta: Gamma, Delta Epsilon Zeta!", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "en"),
+      (3L, "different content entirely here now folks", "en")))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == out(1).getString(1)) // exact_fp
+    assert(out(0).getString(2) == out(1).getString(2)) // content_fp
+    assert(out(0).getString(1) != out(2).getString(1))
+  }
+}
