@@ -25,7 +25,7 @@ object SparkEntry {
     analytics.Indicators.queries ++ relational.StarQueries.queries ++
     ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
     ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
-    sources.Sinks.queries
+    sources.Sinks.queries ++ sources.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +36,5 @@ object SparkEntry {
     analytics.Indicators.oracles ++ relational.StarQueries.oracles ++
     ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
     ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
-    sources.Sinks.oracles
+    sources.Sinks.oracles ++ sources.Layout.oracles
 }

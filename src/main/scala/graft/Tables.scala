@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * from the declarative plan built on top of these frames.
   */
 object Tables {
+  /** pathGlobFilter mirrors the reference's part-file predicate (P9,
+    * `dashboard.py:31`): only *.parquet data files are scanned even if
+    * stray sidecar files land in the table directory. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.option("pathGlobFilter", "*.parquet").parquet(s"$dir/$name.parquet")
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")

@@ -65,13 +65,31 @@ object Bronze {
       |       ts + INTERVAL 3 HOUR AS display_time
       |FROM events""".stripMargin
 
+  /** F1/F2 roundtrip: to_json(struct(...)) — the producer's Kafka-value
+    * serialization (`producer.py:11`) — then parse a field back out.
+    */
+  def jsonRoundtrip(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+      .withColumn("parsed_type",
+        get_json_object(col("payload"), "$.event_type"))
+
+  val jsonRoundtripOracle: String =
+    """SELECT event_id,
+      |       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS payload,
+      |       json_extract_string(to_json(struct_pack(event_id := event_id, event_type := event_type)), '$.event_type') AS parsed_type
+      |FROM events""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bronze_parse" -> ((s, dir) => parseEvents(Tables.events(s, dir))),
-    "q_time_convert" -> ((s, dir) => timeConvert(Tables.events(s, dir)))
+    "q_time_convert" -> ((s, dir) => timeConvert(Tables.events(s, dir))),
+    "q_json_roundtrip" -> ((s, dir) => jsonRoundtrip(Tables.events(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
     "q_bronze_parse" -> parseEventsOracle,
-    "q_time_convert" -> timeConvertOracle
+    "q_time_convert" -> timeConvertOracle,
+    "q_json_roundtrip" -> jsonRoundtripOracle
   )
 }

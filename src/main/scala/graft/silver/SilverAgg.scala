@@ -108,15 +108,51 @@ object SilverAgg {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Session windows (gap-based, per user): Spark's `session_window`
+    * groups consecutive events closer than the gap; end = last event +
+    * gap. The streaming form is identical (same builtin over
+    * readStream + watermark). T10-adjacent capability the reference
+    * never used but an event pipeline needs.
+    */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** DuckDB emulation: new-session flags via lag, session ids via
+    * running sum, end = max(ts) + gap.
+    */
+  val sessionsOracle: String =
+    """SELECT min(ts) AS session_start,
+      |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |       user_id, count(*) AS n_events,
+      |       round(sum(value), 2) AS session_value
+      |FROM (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM (
+      |    SELECT user_id, ts, value,
+      |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |                THEN 1 ELSE 0 END AS new_s
+      |    FROM events
+      |  )
+      |)
+      |GROUP BY user_id, sid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_silver_tumbling" -> ((s, dir) => tumbling(Tables.events(s, dir))),
     "q_silver_sliding" -> ((s, dir) => sliding(Tables.events(s, dir))),
-    "q_volatility_fill" -> ((s, dir) => volatilityFill(Tables.events(s, dir)))
+    "q_volatility_fill" -> ((s, dir) => volatilityFill(Tables.events(s, dir))),
+    "q_session_window" -> ((s, dir) => sessions(Tables.events(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
     "q_silver_tumbling" -> tumblingOracle,
     "q_silver_sliding" -> slidingOracle,
-    "q_volatility_fill" -> volatilityFillOracle
+    "q_volatility_fill" -> volatilityFillOracle,
+    "q_session_window" -> sessionsOracle
   )
 }

@@ -1,0 +1,99 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Physical-layout operators — the 100 TB story made concrete at test
+  * scale: date-partitioned writes with partition pruning, and bucketed
+  * tables giving shuffle-free co-located joins.
+  *
+  * At 100 TB these two layouts are THE difference between scanning a
+  * day and scanning a lake, and between a one-Exchange join and a
+  * two-Exchange join; the queries below let the driver's oracle verify
+  * the results stay correct under re-layout, and `.explain` shows
+  * `PartitionFilters` / absent `Exchange` respectively.
+  */
+object Layout {
+
+  private val prepared = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Write events date-partitioned once per sf dir (the bronze table's
+    * production layout: `partitionBy(event_date)`).
+    */
+  private def partitionedEventsPath(spark: SparkSession, dir: String): String =
+    prepared.getOrElseUpdate(s"part:$dir", {
+      val out = Files.createTempDirectory("graft_part_events").toString
+      Tables.events(spark, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      out
+    })
+
+  /** Partition pruning: filter on the partition column must prune the
+    * scan to one directory (explain: PartitionFilters, one partition).
+    */
+  def partitionPruned(spark: SparkSession, dir: String): DataFrame = {
+    val path = partitionedEventsPath(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("event_date") === lit("2024-01-15"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 2).as("day_value"), count(lit(1)).as("n"))
+  }
+
+  val partitionPrunedOracle: String =
+    """SELECT event_type, round(sum(value), 2) AS day_value, count(*) AS n
+      |FROM events
+      |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      |GROUP BY 1""".stripMargin
+
+  /** Bucketed join: orders and lineitem bucketed 8 ways on the join key
+    * (datasource bucketing, external-table paths). Both sides arrive
+    * pre-partitioned — the join plans with ZERO shuffle Exchanges.
+    */
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val (to, tl) = (s"orders_b_$suffix", s"lineitem_b_$suffix")
+    prepared.getOrElseUpdate(s"bucket:$dir", {
+      val base = Files.createTempDirectory("graft_bucketed").toString
+      Tables.orders(spark, dir).write.mode("overwrite")
+        .option("path", s"$base/$to")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+      Tables.lineitem(spark, dir).write.mode("overwrite")
+        .option("path", s"$base/$tl")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      base
+    })
+    (to, tl)
+  }
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (to, tl) = bucketedTables(spark, dir)
+    spark.table(tl).hint("merge") // force SMJ so bucketing (not a small-SF broadcast) carries the join
+      .join(spark.table(to), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT o_orderstatus,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_prune" -> partitionPruned _,
+    "q_bucketed_join" -> bucketedJoin _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_partition_prune" -> partitionPrunedOracle,
+    "q_bucketed_join" -> bucketedJoinOracle
+  )
+}
