@@ -131,18 +131,19 @@ object StarQueries {
       |       count(*) AS n_orders
       |FROM orders""".stripMargin
 
-  /** Set operations: buyers (have orders) vs rich (acctbal > 5000). */
+  /** Set operations: buyers (have orders) vs rich (acctbal > 5000).
+    * One lazy plan (union of three branch counts) — no eager driver-side
+    * `.count()` loops, so the three set ops run as one job.
+    */
   def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
     val buyers = orders.select(col("o_custkey").as("custkey")).distinct()
     val rich = customer.filter(col("c_acctbal") > 5000)
       .select(col("c_custkey").as("custkey"))
-    val spark = customer.sparkSession
-    import spark.implicits._
-    Seq(
-      ("intersect", buyers.intersect(rich).count()),
-      ("except", buyers.except(rich).count()),
-      ("union", buyers.union(rich).distinct().count())
-    ).toDF("op", "n")
+    def branch(op: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    branch("intersect", buyers.intersect(rich))
+      .unionByName(branch("except", buyers.except(rich)))
+      .unionByName(branch("union", buyers.union(rich).distinct()))
   }
 
   val setOpsOracle: String =
@@ -211,8 +212,61 @@ object StarQueries {
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_quantity > 10
       |GROUP BY 1""".stripMargin
 
+  /** Skew-mitigating two-phase (salted) aggregation: the grouping key
+    * has only a handful of hot values (event_type ≈ 5), so a naive
+    * groupBy sends each key to ONE reducer. Salting fans each key over
+    * 16 partial groups, combines, then merges — the standard recipe
+    * when one key dominates a 100 TB shuffle. (Spark's map-side partial
+    * agg already does this implicitly for algebraic aggs; the explicit
+    * form is the template for aggs where it can't, e.g. collect-like.)
+    */
+  def saltedAgg(events: DataFrame, salts: Int = 16): DataFrame =
+    events
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(salts)).as("salt"))
+      .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(sum(col("s")), 2).as("total_value"),
+        sum(col("c")).as("n"))
+
+  val saltedAggOracle: String =
+    """SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`) — the distribution profile a data pipeline reports.
+    */
+  def pricePercentiles(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+
+  val pricePercentilesOracle: String =
+    """SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders
+      |GROUP BY 1""".stripMargin
+
+  /** HLL sketch distinct (approx_count_distinct): sketch-based — NOT
+    * bit-comparable across engines, so no SQL oracle (driver records a
+    * rows-only check); DedupSpec/verify rely on the exact variant
+    * (`q_distinct`) for correctness. Shipped because a 100 TB pipeline
+    * counts distincts with sketches, not exact shuffles.
+    */
+  def approxDistinct(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_buyers"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
+    "q_salted_agg" -> ((s, d) => saltedAgg(Tables.events(s, d))),
+    "q_percentiles" -> ((s, d) => pricePercentiles(Tables.orders(s, d))),
+    "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.orders(s, d))),
     "q_join_segment" -> ((s, d) => revenueBySegment(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_join_region" -> ((s, d) => customersByRegion(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
@@ -228,6 +282,9 @@ object StarQueries {
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> pricingSummaryOracle,
+    "q_salted_agg" -> saltedAggOracle,
+    "q_percentiles" -> pricePercentilesOracle,
+    // q_approx_distinct: intentionally no oracle (sketch-based, §8 note)
     "q_join_segment" -> revenueBySegmentOracle,
     "q_join_region" -> customersByRegionOracle,
     "q_semi_join" -> customersWithOrdersOracle,
