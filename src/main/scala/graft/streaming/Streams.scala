@@ -105,14 +105,82 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** The reference's FULL silver composition (`process_silver.py:60-89`):
+    * streaming window agg → foreachBatch { empty-batch guard (P7) →
+    * null-fill (P4) → cached-model inference with 0.0 fallback (M3/M5)
+    * → batch append (S7) }. The model is the daily-bars OLS trained by
+    * graft.ml.PriceModel (S9/S10); predictions land next to each bar
+    * exactly as the reference's silver rows carry `predicted_price`.
+    */
+  def runSilverInference(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ml.PriceModel
+    val model = PriceModel.saveAndLoad(
+      PriceModel.train(PriceModel.trainingSet(graft.Tables.events(spark, dir))),
+      s"${sys.props("java.io.tmpdir")}/graft_stream_model_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val out = Files.createTempDirectory("graft_stream_ml_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ml_ckpt").toString
+    val bars = eventsStream(spark, dir)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(
+        stddev_pop(col("value")).as("volatility"),
+        avg(col("value")).as("average_price"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("volatility"), col("average_price"))
+    val q = bars.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { // P7 guard (isEmpty, not the reference's extra count())
+          val filled = batch.na.fill(0.0, Seq("volatility")) // P4
+          graft.ml.PriceModel.withPrediction(filled, Some(model)) // M3 + M5 fallback
+            .write.mode("overwrite").parquet(out) // S7 (overwrite: complete mode)
+        }
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).select(
+      col("window_start"), col("event_type"),
+      round(col("volatility"), 6).as("volatility"),
+      round(col("average_price"), 6).as("average_price"),
+      round(col("predicted_price"), 2).as("predicted_price"))
+  }
+
+  /** Oracle: minute bars + the closed-form OLS fit over DAILY bars
+    * (the trained model), prediction = icept + slope · volatility.
+    */
+  val runSilverInferenceOracle: String =
+    """WITH daily AS (
+      |  SELECT coalesce(stddev_pop(value), 0) AS volatility,
+      |         avg(value) AS average_price
+      |  FROM events GROUP BY date_trunc('day', ts), event_type
+      |  HAVING avg(value) > 0 AND coalesce(stddev_pop(value), 0) >= 0
+      |), fit AS (
+      |  SELECT regr_slope(average_price, volatility) AS slope,
+      |         regr_intercept(average_price, volatility) AS icept
+      |  FROM daily
+      |), bars AS (
+      |  SELECT date_trunc('minute', ts) AS window_start, event_type,
+      |         coalesce(stddev_pop(value), 0) AS volatility,
+      |         avg(value) AS average_price
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT window_start, event_type,
+      |       round(volatility, 6) AS volatility,
+      |       round(average_price, 6) AS average_price,
+      |       round(icept + slope * volatility, 2) AS predicted_price
+      |FROM bars CROSS JOIN fit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_silver" -> runSilverAvailableNow _
+    "q_stream_silver" -> runSilverAvailableNow _,
+    "q_stream_inference" -> runSilverInference _
   )
 
   /** Same oracle as the batch tumbling silver agg — THE point: the
     * streaming pipeline must equal the batch query on replayed input.
     */
   def oracles: Map[String, String] = Map(
-    "q_stream_silver" -> SilverAgg.tumblingOracle
+    "q_stream_silver" -> SilverAgg.tumblingOracle,
+    "q_stream_inference" -> runSilverInferenceOracle
   )
 }
