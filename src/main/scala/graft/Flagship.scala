@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
   * price) → per-minute gold rollup join → SMA-5 / signal window pass →
   * sort.
   *
+  * Float-determinism rule (learned at sf0.1): round ONCE at the output,
+  * never feed rounded values into further averages — avg-of-rounded
+  * lands exactly on round-off half-boundaries where cross-engine ulp
+  * drift flips the last digit. All derived stats here (gold rollup,
+  * SMA) consume the RAW bar averages; the signal comparison uses the
+  * rounded outputs so both engines compare identical values.
+  *
   * Plan shape at scale: one shuffle for the bars aggregate (map-side
   * partial agg), the gold rollup derived FROM the bars (no second scan
   * of the fact table), a broadcast-joined rollup (small: one row per
-  * minute × type), and one window pass partitioned by the series key.
+  * minute), and one window pass partitioned by the series key.
   */
 object Flagship {
 
@@ -20,52 +27,59 @@ object Flagship {
     val bars = events
       .groupBy(date_trunc("minute", col("ts")).as("minute_window"), col("event_type"))
       .agg(
-        round(coalesce(stddev_pop(col("value")), lit(0.0)), 6).as("volatility"),
-        round(avg(col("value")), 6).as("average_price"),
+        coalesce(stddev_pop(col("value")), lit(0.0)).as("vol_raw"),
+        avg(col("value")).as("avg_raw"),
         count(lit(1)).as("n_rows"))
     val gold = bars
       .groupBy(col("minute_window").as("mw"))
       .agg(
-        round(avg(col("average_price")), 6).as("minute_avg"),
-        round(max(col("average_price")), 6).as("minute_max"))
+        round(avg(col("avg_raw")), 6).as("minute_avg"),
+        round(max(col("avg_raw")), 6).as("minute_max"))
     val series = Window.partitionBy(col("event_type"))
       .orderBy(col("minute_window"))
     val frame = series.rowsBetween(-4, 0)
-    val sma = when(count(col("average_price")).over(frame) >= 5,
-      round(avg(col("average_price")).over(frame), 6))
+    val smaRaw = when(count(col("avg_raw")).over(frame) >= 5,
+      avg(col("avg_raw")).over(frame))
     bars
       .join(broadcast(gold), col("minute_window") === col("mw"))
       .drop("mw")
-      .withColumn("sma5", sma)
+      .withColumn("sma5", round(smaRaw, 6))
+      .withColumn("volatility", round(col("vol_raw"), 6))
+      .withColumn("average_price", round(col("avg_raw"), 6))
       .withColumn("signal",
         when(col("sma5").isNull, lit("HOLD"))
           .when(col("sma5") > col("average_price"), lit("BUY"))
           .otherwise(lit("SELL")))
+      .select(col("minute_window"), col("event_type"), col("volatility"),
+        col("average_price"), col("n_rows"), col("minute_avg"),
+        col("minute_max"), col("sma5"), col("signal"))
       .orderBy(col("minute_window").desc, col("event_type"))
   }
 
   val silverToSignalOracle: String =
     """WITH bars AS (
       |  SELECT date_trunc('minute', ts) AS minute_window, event_type,
-      |         round(coalesce(stddev_pop(value), 0), 6) AS volatility,
-      |         round(avg(value), 6) AS average_price,
+      |         coalesce(stddev_pop(value), 0) AS vol_raw,
+      |         avg(value) AS avg_raw,
       |         count(*) AS n_rows
       |  FROM events GROUP BY 1, 2
       |), gold AS (
       |  SELECT minute_window AS mw,
-      |         round(avg(average_price), 6) AS minute_avg,
-      |         round(max(average_price), 6) AS minute_max
+      |         round(avg(avg_raw), 6) AS minute_avg,
+      |         round(max(avg_raw), 6) AS minute_max
       |  FROM bars GROUP BY 1
       |)
-      |SELECT minute_window, event_type, volatility, average_price, n_rows,
-      |       minute_avg, minute_max, sma5,
+      |SELECT minute_window, event_type,
+      |       round(vol_raw, 6) AS volatility,
+      |       round(avg_raw, 6) AS average_price,
+      |       n_rows, minute_avg, minute_max, sma5,
       |       CASE WHEN sma5 IS NULL THEN 'HOLD'
-      |            WHEN sma5 > average_price THEN 'BUY'
+      |            WHEN sma5 > round(avg_raw, 6) THEN 'BUY'
       |            ELSE 'SELL' END AS signal
       |FROM (
       |  SELECT b.*, g.minute_avg, g.minute_max,
-      |         CASE WHEN count(average_price) OVER f >= 5
-      |              THEN round(avg(average_price) OVER f, 6) END AS sma5
+      |         CASE WHEN count(avg_raw) OVER f >= 5
+      |              THEN round(avg(avg_raw) OVER f, 6) END AS sma5
       |  FROM bars b JOIN gold g ON b.minute_window = g.mw
       |  WINDOW f AS (PARTITION BY event_type ORDER BY minute_window
       |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)

@@ -148,12 +148,15 @@ object Similarity {
     val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
       .select(col("label"), array((1 to dim).map(i => col(s"c_$i")): _*).as("qe"))
       .withColumn("qnrm", VectorOps.norm(spark, col("qe")))
+    // round-once rule: avg over the RAW cosine (avg-of-rounded sits on
+    // half-boundaries where engine ulp drift flips digits); min over the
+    // rounded value is exact (order-insensitive).
     v.join(broadcast(centroids), "label")
-      .withColumn("cos_to_centroid", round(cosRaw(spark), 4))
+      .withColumn("cos_raw", cosRaw(spark))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("cos_to_centroid")), 4).as("avg_cos"),
-        round(min(col("cos_to_centroid")), 4).as("min_cos"))
+        round(avg(col("cos_raw")), 4).as("avg_cos"),
+        round(min(round(col("cos_raw"), 4)), 4).as("min_cos"))
   }
 
   val centroidSimilarityOracle: String =
@@ -168,11 +171,11 @@ object Similarity {
       |  ) GROUP BY label
       |)
       |SELECT e.label, count(*) AS n,
-      |       round(avg(cos_to_centroid), 4) AS avg_cos,
-      |       round(min(cos_to_centroid), 4) AS min_cos
+      |       round(avg(cos_raw), 4) AS avg_cos,
+      |       round(min(round(cos_raw, 4)), 4) AS min_cos
       |FROM (
       |  SELECT e.label,
-      |         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]), 4) AS cos_to_centroid
+      |         list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) AS cos_raw
       |  FROM embeddings e JOIN c ON e.label = c.label
       |) e
       |GROUP BY 1""".stripMargin
