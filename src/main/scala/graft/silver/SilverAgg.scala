@@ -109,8 +109,10 @@ object SilverAgg {
       |GROUP BY 1, 2""".stripMargin
 
   /** Session windows (gap-based, per user): Spark's `session_window`
-    * groups consecutive events closer than the gap; end = last event +
-    * gap. The streaming form is identical (same builtin over
+    * merges an event into the open session when its time is <= the
+    * session end (start + gap) — a gap of EXACTLY the threshold still
+    * merges (verified against Spark 4.1; oracle uses strict >); end =
+    * last event + gap. The streaming form is identical (same builtin over
     * readStream + watermark). T10-adjacent capability the reference
     * never used but an event pipeline needs.
     */
@@ -135,7 +137,7 @@ object SilverAgg {
       |  FROM (
       |    SELECT user_id, ts, value,
       |           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
       |                THEN 1 ELSE 0 END AS new_s
       |    FROM events
       |  )

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.sources.{Layout, Sinks}
+
+/** Physical-layout guarantees: the bucketed join must plan WITHOUT a
+  * shuffle on either join side, and the partitioned read must prune.
+  * These assert on the executed plan, not just results.
+  */
+class LayoutSinksSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] =
+    p +: p.children.flatMap(collectNodes)
+
+  test("bucketed join plans with no Exchange below the join") {
+    val df = Layout.bucketedJoin(spark, dir)
+    df.collect() // force AQE final plan
+    // AQE wraps stages in QueryStageExec (children hidden from the tree),
+    // so assert on the final plan string: the SMJ is present and NEITHER
+    // join key is shuffled (the only Exchange is the final group-by).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SortMergeJoin in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side must be bucketed, not shuffled:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side must be bucketed, not shuffled:\n$plan")
+  }
+
+  private def stripAdaptive(p: SparkPlan): SparkPlan = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  test("partition-pruned scan reads a single partition") {
+    val df = Layout.partitionPruned(spark, dir)
+    val scans = collectNodes(stripAdaptive(df.queryExecution.executedPlan))
+      .filter(_.nodeName.contains("Scan"))
+    assert(scans.nonEmpty)
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("PartitionFilters"), "expected partition filters in plan")
+  }
+
+  test("CSV roundtrip preserves values through the text encode/decode") {
+    val orders = Tables.orders(spark, dir)
+    val direct = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaCsv = Sinks.csvRoundtrip(spark, orders).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(viaCsv == direct)
+  }
+
+  test("recency scan returns exactly the newest rows") {
+    val out = Sinks.recentEvents(Tables.events(spark, dir), 5).collect()
+    assert(out.length == 5)
+    val all = Tables.events(spark, dir).orderBy(org.apache.spark.sql.functions.col("ts").desc,
+      org.apache.spark.sql.functions.col("event_id")).limit(5)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(out.map(_.getLong(0)).toSeq == all)
+  }
+}
