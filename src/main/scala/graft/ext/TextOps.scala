@@ -171,7 +171,53 @@ object TextOps {
       |  FROM documents
       |)""".stripMargin
 
+  /** TF-IDF top terms per source: explode tokens → per-(source, term)
+    * tf → per-term document frequency → tf·idf ranking, top-3 per
+    * source. One explode + two shuffles (term agg, source topk) — the
+    * canonical "characteristic vocabulary" pipeline, linear in corpus
+    * size. Scores rounded 6dp on RAW ratios; rank on rounded score
+    * with a term tie-break for cross-engine determinism.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val df = tok.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val tf = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("term"), col("tf"), col("doc_freq"), col("score"), col("rank"))
+  }
+
+  def tfidfTopTermsOracle(k: Int = 3): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS term
+       |  FROM documents
+       |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1),
+       |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+       |SELECT source, term, tf, doc_freq, score, rank
+       |FROM (
+       |  SELECT tf.source, tf.term, tf.tf, df.doc_freq,
+       |         round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.doc_freq + 1)), 6) AS score,
+       |         row_number() OVER (PARTITION BY tf.source
+       |                            ORDER BY round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.doc_freq + 1)), 6) DESC,
+       |                                     tf.term) AS rank
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+       |)
+       |WHERE rank <= $k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -179,6 +225,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_tfidf" -> tfidfTopTermsOracle(),
     "q_text_tokens" -> tokenCountsOracle,
     "q_text_quality" -> qualityOracle,
     "q_text_langid" -> langIdOracle,
