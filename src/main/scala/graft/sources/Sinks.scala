@@ -74,13 +74,61 @@ object Sinks {
        |ORDER BY ts DESC, event_id
        |LIMIT $n""".stripMargin
 
+  /** Lakehouse upsert (MERGE INTO semantics without a Delta log):
+    * updates = matched keys take the source row; inserts = unmatched
+    * source keys append; untouched target rows pass through
+    * (anti-join + union — the copy-on-write merge every table format
+    * compiles MERGE into; with a date-partitioned target only the
+    * touched partitions are rewritten). Here: 10% price raise for
+    * custkey < 100 plus one synthetic new order, then a checksum agg
+    * of the merged table.
+    */
+  def mergeUpsert(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val updates = orders.filter(col("o_custkey") < 100)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+    val inserts = orders.sparkSession.range(1).select(
+      lit(999999999L).as("o_orderkey"), lit(1L).as("o_custkey"),
+      lit("O").as("o_orderstatus"), lit(1234.56).as("o_totalprice"))
+    val source = updates.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .unionByName(inserts)
+    val target = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val merged = target.join(source.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(source)
+    merged.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH source AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         round(o_totalprice * 1.1, 2) AS o_totalprice
+      |  FROM orders WHERE o_custkey < 100
+      |  UNION ALL
+      |  SELECT 999999999, 1, 'O', 1234.56
+      |), merged AS (
+      |  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice
+      |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      |  UNION ALL
+      |  SELECT * FROM source
+      |)
+      |SELECT o_orderstatus, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total,
+      |       max(o_orderkey) AS max_key
+      |FROM merged
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> ((s, d) => mergeUpsert(s, Tables.orders(s, d))),
     "q_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, Tables.orders(s, d))),
     "q_sql_view_rollup" -> ((s, d) => sqlViewRollup(s, d)),
     "q_recent_events" -> ((s, d) => recentEvents(Tables.events(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
+    "q_merge_upsert" -> mergeUpsertOracle,
     "q_csv_roundtrip" -> csvRoundtripOracle,
     "q_sql_view_rollup" -> sqlViewRollupOracle,
     "q_recent_events" -> recentEventsOracle()

@@ -171,6 +171,68 @@ object Streams {
       |       round(icept + slope * volatility, 2) AS predicted_price
       |FROM bars CROSS JOIN fit""".stripMargin
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id
+    * within the watermark horizon (state is bounded by the watermark —
+    * the streaming form of the batch exact-dedup operator; at-least-once
+    * sources => exactly-once rows).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user session accumulator for `sessionizeStateful`. */
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** T10: custom stateful sessionizer via flatMapGroupsWithState —
+    * the escape hatch for session semantics `session_window` can't
+    * express (e.g. emitting session summaries with custom close rules).
+    * Event-time timeout: a group's state closes when the watermark
+    * passes last-event + gap; emits one row per closed session.
+    */
+  def sessionizeStateful(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)](
+        OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)], state: GroupState[SessionState]) =>
+          def emit(s: SessionState) =
+            (user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last + gapMs), s.n, s.sum)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(emit(s))
+          } else {
+            val sorted = rows.map { case (_, t, v) => (t.getTime, v) }.toSeq.sortBy(_._1)
+            var closed = List.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]
+            var cur = state.getOption
+            sorted.foreach { case (t, v) =>
+              cur match {
+                case Some(s) if t <= s.last + gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1, sum = s.sum + v))
+                case Some(s) =>
+                  closed ::= emit(s)
+                  cur = Some(SessionState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events", "session_value")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_silver" -> runSilverAvailableNow _,
     "q_stream_inference" -> runSilverInference _

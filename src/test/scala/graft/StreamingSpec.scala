@@ -18,6 +18,8 @@ class StreamingSpec extends SparkSpec {
   private def ts(m: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:$sec%02d")
 
   case class Ev(ts: Timestamp, event_type: String, value: Double)
+  case class E(event_id: Long, ts: Timestamp, value: Double)
+  case class UE(user_id: Long, ts: Timestamp, value: Double)
 
   test("T2/T8: windowed agg over a MemoryStream emits per-window bars (update mode)") {
     val s = spark
@@ -82,6 +84,55 @@ class StreamingSpec extends SparkSpec {
       .collect()
     assert(streamed.length == batch.length)
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("dropDuplicatesWithinWatermark drops re-delivered event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[E]
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      mem.addData(E(1L, ts(0), 1.0), E(2L, ts(0, 10), 2.0))
+      q.processAllAvailable()
+      mem.addData(E(1L, ts(0), 1.0)) // re-delivery within watermark
+      q.processAllAvailable()
+      mem.addData(E(3L, ts(1), 3.0))
+      q.processAllAvailable()
+      val ids = s.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer emits closed sessions with event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[UE]
+    val q = Streams.sessionizeStateful(mem.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_stateful").start()
+    try {
+      mem.addData(UE(1L, ts(0), 1.0), UE(1L, ts(10), 2.0)) // one session (10m gap < 30m)
+      q.processAllAvailable()
+      // jump event time far ahead: watermark passes session end -> close
+      mem.addData(UE(1L, Timestamp.valueOf("2024-01-01 03:00:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(UE(2L, Timestamp.valueOf("2024-01-01 06:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = s.table("sessions_stateful")
+        .orderBy("session_start").collect()
+      assert(rows.nonEmpty, "expected at least the first closed session")
+      val first = rows.head
+      assert(first.getLong(0) == 1L)
+      assert(first.getTimestamp(1) == ts(0))
+      assert(first.getTimestamp(2) == ts(40)) // last event 00:10 + 30m gap
+      assert(first.getLong(3) == 2L)
+      assert(first.getDouble(4) == 3.0)
+    } finally q.stop()
   }
 
   test("file-source append run writes only watermark-closed windows") {
