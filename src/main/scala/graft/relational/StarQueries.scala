@@ -252,6 +252,46 @@ object StarQueries {
       |FROM orders
       |GROUP BY 1""".stripMargin
 
+  /** PIVOT: order counts per (mktsegment × orderstatus) — wide-format
+    * rollup. Spark's `pivot` compiles to the same grouped conditional
+    * aggregation the oracle spells out (one shuffle; the pivot column
+    * domain is enumerated so the plan stays static).
+    */
+  def pivotStatus(customer: DataFrame, orders: DataFrame): DataFrame =
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("O" -> "n_open", "F" -> "n_filled", "P" -> "n_partial"))
+
+  val pivotStatusOracle: String =
+    """SELECT c_mktsegment,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+      |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
+  /** Ordered list aggregation (collect_list + sort for determinism):
+    * the per-group array materialization a feature pipeline uses.
+    */
+  def collectTopCustomers(orders: DataFrame): DataFrame =
+    orders.filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_orderstatus"))
+      .agg(sort_array(collect_list(col("o_custkey"))).as("big_buyers"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        concat_ws(",", col("big_buyers")).as("big_buyers"), col("n"))
+
+  val collectTopCustomersOracle: String =
+    """SELECT o_orderstatus,
+      |       array_to_string(list(o_custkey ORDER BY o_custkey), ',') AS big_buyers,
+      |       count(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > 400000
+      |GROUP BY 1""".stripMargin
+
   /** HLL sketch distinct (approx_count_distinct): sketch-based — NOT
     * bit-comparable across engines, so no SQL oracle (driver records a
     * rows-only check); DedupSpec/verify rely on the exact variant
@@ -267,6 +307,8 @@ object StarQueries {
     "q_salted_agg" -> ((s, d) => saltedAgg(Tables.events(s, d))),
     "q_percentiles" -> ((s, d) => pricePercentiles(Tables.orders(s, d))),
     "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.orders(s, d))),
+    "q_pivot" -> ((s, d) => pivotStatus(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_collect_list" -> ((s, d) => collectTopCustomers(Tables.orders(s, d))),
     "q_join_segment" -> ((s, d) => revenueBySegment(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_join_region" -> ((s, d) => customersByRegion(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
@@ -285,6 +327,8 @@ object StarQueries {
     "q_salted_agg" -> saltedAggOracle,
     "q_percentiles" -> pricePercentilesOracle,
     // q_approx_distinct: intentionally no oracle (sketch-based, §8 note)
+    "q_pivot" -> pivotStatusOracle,
+    "q_collect_list" -> collectTopCustomersOracle,
     "q_join_segment" -> revenueBySegmentOracle,
     "q_join_region" -> customersByRegionOracle,
     "q_semi_join" -> customersWithOrdersOracle,

@@ -43,15 +43,20 @@ object Streams {
   /** Streaming file source over the events parquet (S4/S6 analog —
     * tails a directory exactly like the Delta/Kafka source tails a log).
     */
+  private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     // The file stream source tails a DIRECTORY (like a Kafka topic / Delta
-    // log); stage the single-file fixture into one.
-    val staged = Files.createTempDirectory("graft_stream_in")
-    Files.copy(java.nio.file.Paths.get(path), staged.resolve("events.parquet"))
+    // log); stage the single-file fixture into one (once per corpus dir).
+    val staged = stagedDirs.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft_stream_in")
+      Files.copy(java.nio.file.Paths.get(path), d.resolve("events.parquet"))
+      d.toString
+    })
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(staged.toString)
+    spark.readStream.schema(schema).parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
