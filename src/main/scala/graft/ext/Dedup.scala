@@ -231,7 +231,7 @@ object Dedup {
     * distinct token's md5 — bit b of the signature is the majority vote
     * of bit b across tokens. Output: signature histogram.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhashSignature(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int"))
     val bitSums = (0 until simhashBits).map { b =>
@@ -242,10 +242,55 @@ object Dedup {
     }.reduce(_ + _)
     tok.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash", sig)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  def simhash(docs: DataFrame): DataFrame =
+    simhashSignature(docs)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** SimHash near-dup pairs: hamming distance of the 16-bit signatures
+    * ≤ maxDist, via codegen'd `bit_count(xor)`. At scale the self-join
+    * is banded (split the signature into maxDist+1 pieces, bucket-join
+    * on piece equality — pigeonhole guarantees recall); the N²/2 form
+    * here is the verification step those candidates feed.
+    */
+  def simhashNearDup(docs: DataFrame, maxDist: Int = 2): DataFrame = {
+    val sig = simhashSignature(docs)
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    sig.crossJoin(b)
+      .filter(col("doc_id") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_id").as("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Shared SQL for the per-doc simhash signature (doc_id, simhash). */
+  private def simhashSigSql: String = {
+    val bitSums = (0 until simhashBits).map { b =>
+      s"sum(CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(",\n       |         ")
+    val sig = (0 until simhashBits).map(b => s"CASE WHEN s_$b > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, $sig AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |         $bitSums
+       |    FROM (
+       |      SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INT AS h
+       |      FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents)
+       |    )
+       |    GROUP BY doc_id
+       |  )""".stripMargin
+  }
+
+  def simhashNearDupOracle(maxDist: Int = 2): String =
+    s"""WITH sig AS (${simhashSigSql.replace("\n", "\n       |")})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= $maxDist""".stripMargin
 
   val simhashOracle: String = {
     val bitSums = (0 until simhashBits).map { b =>
@@ -275,7 +320,8 @@ object Dedup {
     "q_dedup_minhash_sig" -> ((s, d) => minhashSignatures(Tables.documents(s, d))),
     "q_dedup_lsh_stats" -> ((s, d) => lshBucketStats(Tables.documents(s, d))),
     "q_dedup_near_pairs" -> ((s, d) => nearDupPairs(Tables.documents(s, d))),
-    "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d)))
+    "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
+    "q_simhash_neardup" -> ((s, d) => simhashNearDup(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -284,6 +330,7 @@ object Dedup {
     "q_dedup_minhash_sig" -> minhashSignaturesOracle,
     "q_dedup_lsh_stats" -> lshBucketStatsOracle,
     "q_dedup_near_pairs" -> nearDupPairsOracle(),
-    "q_dedup_simhash" -> simhashOracle
+    "q_dedup_simhash" -> simhashOracle,
+    "q_simhash_neardup" -> simhashNearDupOracle()
   )
 }

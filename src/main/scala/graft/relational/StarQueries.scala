@@ -195,6 +195,17 @@ object StarQueries {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** CUBE grouping sets (all 4 combinations of the two flags). */
+  def flagCube(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  val flagCubeOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** Filter + projection pushdown showcase (P3 shape). */
   def filteredRevenue(lineitem: DataFrame): DataFrame =
     lineitem
@@ -319,6 +330,7 @@ object StarQueries {
     "q_union_all" -> ((s, d) => unionAll(Tables.orders(s, d))),
     "q_window_rank" -> ((s, d) => topOrdersPerCustomer(Tables.orders(s, d))),
     "q_rollup" -> ((s, d) => flagRollup(Tables.lineitem(s, d))),
+    "q_cube" -> ((s, d) => flagCube(Tables.lineitem(s, d))),
     "q_filter_pushdown" -> ((s, d) => filteredRevenue(Tables.lineitem(s, d)))
   )
 
@@ -339,6 +351,7 @@ object StarQueries {
     "q_union_all" -> unionAllOracle,
     "q_window_rank" -> topOrdersPerCustomerOracle,
     "q_rollup" -> flagRollupOracle,
+    "q_cube" -> flagCubeOracle,
     "q_filter_pushdown" -> filteredRevenueOracle
   )
 }
