@@ -30,19 +30,19 @@ object Flagship {
         coalesce(stddev_pop(col("value")), lit(0.0)).as("vol_raw"),
         avg(col("value")).as("avg_raw"),
         count(lit(1)).as("n_rows"))
-    val gold = bars
-      .groupBy(col("minute_window").as("mw"))
-      .agg(
-        round(avg(col("avg_raw")), 6).as("minute_avg"),
-        round(max(col("avg_raw")), 6).as("minute_max"))
+    // Gold per-minute stats as WINDOW functions over the bars — not a
+    // self-join of a second aggregation: one fact scan, one agg, then
+    // two window passes. (A join of bars⋈gold re-scans the fact table:
+    // the two agg subtrees prune differently, defeating ReuseExchange.)
+    val minuteW = Window.partitionBy(col("minute_window"))
     val series = Window.partitionBy(col("event_type"))
       .orderBy(col("minute_window"))
     val frame = series.rowsBetween(-4, 0)
     val smaRaw = when(count(col("avg_raw")).over(frame) >= 5,
       avg(col("avg_raw")).over(frame))
     bars
-      .join(broadcast(gold), col("minute_window") === col("mw"))
-      .drop("mw")
+      .withColumn("minute_avg", round(avg(col("avg_raw")).over(minuteW), 6))
+      .withColumn("minute_max", round(max(col("avg_raw")).over(minuteW), 6))
       .withColumn("sma5", round(smaRaw, 6))
       .withColumn("volatility", round(col("vol_raw"), 6))
       .withColumn("average_price", round(col("avg_raw"), 6))
@@ -63,11 +63,6 @@ object Flagship {
       |         avg(value) AS avg_raw,
       |         count(*) AS n_rows
       |  FROM events GROUP BY 1, 2
-      |), gold AS (
-      |  SELECT minute_window AS mw,
-      |         round(avg(avg_raw), 6) AS minute_avg,
-      |         round(max(avg_raw), 6) AS minute_max
-      |  FROM bars GROUP BY 1
       |)
       |SELECT minute_window, event_type,
       |       round(vol_raw, 6) AS volatility,
@@ -77,11 +72,14 @@ object Flagship {
       |            WHEN sma5 > round(avg_raw, 6) THEN 'BUY'
       |            ELSE 'SELL' END AS signal
       |FROM (
-      |  SELECT b.*, g.minute_avg, g.minute_max,
+      |  SELECT b.*,
+      |         round(avg(avg_raw) OVER m, 6) AS minute_avg,
+      |         round(max(avg_raw) OVER m, 6) AS minute_max,
       |         CASE WHEN count(avg_raw) OVER f >= 5
       |              THEN round(avg(avg_raw) OVER f, 6) END AS sma5
-      |  FROM bars b JOIN gold g ON b.minute_window = g.mw
-      |  WINDOW f AS (PARTITION BY event_type ORDER BY minute_window
+      |  FROM bars b
+      |  WINDOW m AS (PARTITION BY minute_window),
+      |         f AS (PARTITION BY event_type ORDER BY minute_window
       |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |)
       |ORDER BY minute_window DESC, event_type""".stripMargin
