@@ -142,7 +142,11 @@ object Similarity {
     */
   def centroidSimilarity(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
-    val v = emb(vectors).join(vectors.select(col("vec_id"), col("label")), "vec_id")
+    // label selected in the same projection as the cast — no join-back
+    // (which would scan the corpus a second time)
+    val v = vectors.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", VectorOps.norm(spark, col("e")))
     val dim = 64
     val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
     val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)

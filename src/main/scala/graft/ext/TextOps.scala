@@ -180,16 +180,21 @@ object TextOps {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    // One pass over the exploded corpus: per-(source, term) tf AND
+    // per-source distinct-doc counts in a single aggregation; df(term)
+    // = Σ over sources (docs belong to exactly one source) as a window
+    // sum — no second corpus scan, no term self-join. n_docs is a
+    // metadata-only count(*) (doc_id unique per row).
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tok = docs.select(col("doc_id"), col("source"),
       explode(tokens(lower(col("text")))).as("term"))
-    val df = tok.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("doc_freq"))
     val tf = tok.groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("dc"))
+      .withColumn("doc_freq", sum(col("dc")).over(Window.partitionBy(col("term"))))
+      .drop("dc")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(broadcast(nDocs))
+    tf.crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("doc_freq") + 1)), 6))
       .withColumn("rank", row_number().over(w))
@@ -202,17 +207,21 @@ object TextOps {
        |  SELECT doc_id, source,
        |         unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS term
        |  FROM documents
-       |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-       |df AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1),
-       |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+       |), n AS (SELECT count(*) AS n_docs FROM documents),
+       |tf AS (
+       |  SELECT source, term, tf, sum(dc) OVER (PARTITION BY term) AS doc_freq
+       |  FROM (SELECT source, term, count(*) AS tf,
+       |               count(DISTINCT doc_id) AS dc
+       |        FROM tok GROUP BY 1, 2)
+       |)
        |SELECT source, term, tf, doc_freq, score, rank
        |FROM (
-       |  SELECT tf.source, tf.term, tf.tf, df.doc_freq,
-       |         round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.doc_freq + 1)), 6) AS score,
+       |  SELECT tf.source, tf.term, tf.tf, tf.doc_freq,
+       |         round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (tf.doc_freq + 1)), 6) AS score,
        |         row_number() OVER (PARTITION BY tf.source
-       |                            ORDER BY round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.doc_freq + 1)), 6) DESC,
+       |                            ORDER BY round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (tf.doc_freq + 1)), 6) DESC,
        |                                     tf.term) AS rank
-       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+       |  FROM tf CROSS JOIN n
        |)
        |WHERE rank <= $k""".stripMargin
 

@@ -132,18 +132,22 @@ object StarQueries {
       |FROM orders""".stripMargin
 
   /** Set operations: buyers (have orders) vs rich (acctbal > 5000).
-    * One lazy plan (union of three branch counts) — no eager driver-side
-    * `.count()` loops, so the three set ops run as one job.
+    * All three counts from ONE full-outer join of the two key sets
+    * (intersect = matched, except = left-only, union = all) — each
+    * input scanned once, vs three scans per side for three separate
+    * set-op branches. Unpivoted with `stack` to (op, n) rows.
     */
   def setOps(customer: DataFrame, orders: DataFrame): DataFrame = {
     val buyers = orders.select(col("o_custkey").as("custkey")).distinct()
+      .withColumn("b", lit(1))
     val rich = customer.filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("custkey"))
-    def branch(op: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
-    branch("intersect", buyers.intersect(rich))
-      .unionByName(branch("except", buyers.except(rich)))
-      .unionByName(branch("union", buyers.union(rich).distinct()))
+      .select(col("c_custkey").as("custkey")).withColumn("r", lit(1))
+    buyers.join(rich, Seq("custkey"), "full_outer")
+      .agg(
+        count(when(col("b").isNotNull && col("r").isNotNull, 1)).as("i"),
+        count(when(col("b").isNotNull && col("r").isNull, 1)).as("e"),
+        count(lit(1)).as("u"))
+      .selectExpr("stack(3, 'intersect', i, 'except', e, 'union', u) AS (op, n)")
   }
 
   val setOpsOracle: String =
