@@ -154,7 +154,43 @@ object Indicators {
       |FROM events
       |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
+  /** Scale-out SMA: identical output to `sma`, computed WITHOUT a
+    * single per-series partition. The series is split into coarse time
+    * buckets (week); each bucket is stitched with the previous bucket's
+    * last n−1 rows ("carry" rows, excluded from output), so every
+    * bucket computes its rows' frames locally and in parallel.
+    *
+    * This is the answer to "one hot series longer than a partition":
+    * shuffle key becomes (series, bucket) — parallelism scales with
+    * time — while the rows-frame semantics stay exact. Precondition:
+    * every bucket holds ≥ n−1 rows per series (frame ≪ bucket density;
+    * week buckets at the corpus density give 40+ rows per bucket).
+    * Output is oracle-checked against the sequential single-window SQL.
+    */
+  def smaPartitioned(events: DataFrame, n: Int = 5): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("bucket", date_trunc("week", col("ts")))
+    val wDesc = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val carry = base
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") < n)
+      .drop("rn")
+      .withColumn("bucket", col("bucket") + expr("INTERVAL 7 DAYS"))
+      .withColumn("is_carry", lit(true))
+    val stitched = base.withColumn("is_carry", lit(false)).unionByName(carry)
+    val frame = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-(n - 1), 0)
+    stitched
+      .withColumn("sma",
+        when(count(col("value")).over(frame) >= n,
+          round(avg(col("value")).over(frame), 6)))
+      .filter(!col("is_carry"))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"), col("sma"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sma_partitioned" -> ((s, dir) => smaPartitioned(Tables.events(s, dir))),
     "q_lag_diff" -> ((s, dir) => lagDiff(Tables.events(s, dir))),
     "q_sma" -> ((s, dir) => sma(Tables.events(s, dir))),
     "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
@@ -163,6 +199,8 @@ object Indicators {
   )
 
   def oracles: Map[String, String] = Map(
+    // the partitioned computation must equal the sequential definition
+    "q_sma_partitioned" -> smaOracle(),
     "q_lag_diff" -> lagDiffOracle,
     "q_sma" -> smaOracle(),
     "q_rsi" -> rsiOracle(),
