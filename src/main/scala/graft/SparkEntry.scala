@@ -23,7 +23,7 @@ object SparkEntry {
     "q_flagship" -> ((s, dir) => Flagship.silverToSignal(Tables.events(s, dir)))
   ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries ++
     analytics.Indicators.queries ++ relational.StarQueries.queries ++
-    relational.TypedQueries.queries ++
+    relational.TypedQueries.queries ++ relational.TemporalJoins.queries ++
     ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
     ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
     sources.Sinks.queries ++ sources.Layout.queries
@@ -35,7 +35,7 @@ object SparkEntry {
     "q_flagship" -> Flagship.silverToSignalOracle
   ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles ++
     analytics.Indicators.oracles ++ relational.StarQueries.oracles ++
-    relational.TypedQueries.oracles ++
+    relational.TypedQueries.oracles ++ relational.TemporalJoins.oracles ++
     ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
     ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
     sources.Sinks.oracles ++ sources.Layout.oracles
