@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.relational.TemporalJoins
+
+/** As-of join edge semantics: no-match nulls, at-or-before inclusivity,
+  * latest-wins, per-key isolation.
+  */
+class TemporalJoinsSpec extends SparkSpec {
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  private def events(rows: (Long, Timestamp, Long, String, Double)*): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("as-of: picks latest purchase at-or-before each click, null when none") {
+    val df = events(
+      (1L, ts(5), 1L, "click", 0.1),     // before any purchase -> null
+      (2L, ts(10), 1L, "purchase", 100), // p1
+      (3L, ts(11), 1L, "click", 0.2),    // -> p1
+      (4L, ts(20), 1L, "purchase", 200), // p2
+      (5L, ts(20), 1L, "click", 0.3),    // equal ts -> p2 (at-or-before)
+      (6L, ts(30), 1L, "click", 0.4),    // -> p2 (latest wins)
+      (7L, ts(31), 2L, "click", 0.5))    // other user, no purchases -> null
+    val out = TemporalJoins.asofClickPurchase(df)
+      .orderBy("event_id").collect()
+    def pv(i: Int) = Option(out(i).get(5)).map(_.asInstanceOf[Double])
+    assert(pv(0).isEmpty)
+    assert(pv(1).contains(100.0) && out(1).getTimestamp(4) == ts(10))
+    assert(pv(2).contains(200.0))
+    assert(pv(3).contains(200.0) && out(3).getTimestamp(4) == ts(20))
+    assert(pv(4).isEmpty)
+  }
+
+  test("as-of: duplicate purchases at one instant dedupe to max value") {
+    val df = events(
+      (1L, ts(1), 1L, "purchase", 5.0),
+      (2L, ts(1), 1L, "purchase", 9.0),
+      (3L, ts(2), 1L, "click", 0.0))
+    val out = TemporalJoins.asofClickPurchase(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(5) == 9.0)
+  }
+
+  test("range join: every event lands in exactly one session interval") {
+    val df = events(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 1.0),
+      (3L, ts(55), 1L, "click", 1.0)) // > 30m gap -> second session
+    val out = TemporalJoins.eventSessionRange(df)
+      .orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 2L && out(0).getLong(3) == 2L) // n_events == n_matched
+    assert(out(1).getLong(2) == 1L && out(1).getLong(3) == 1L)
+  }
+}
