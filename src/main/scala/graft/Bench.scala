@@ -20,7 +20,11 @@ object Bench {
       Tables.events(spark, sfDir).count()
       sources.Layout.prepare(spark, sfDir) // layout build = ETL, not query time
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional args = subset of query names (local iteration on hotspots).
+    val selected =
+      if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      else SparkEntry.queries
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

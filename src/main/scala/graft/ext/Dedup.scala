@@ -39,25 +39,28 @@ object Dedup {
 
   /** (doc_id, s): distinct word 3-gram shingle ROWS.
     *
-    * Built by posexplode + window `lead`, NOT array lambdas: a Generate
-    * node is a hard barrier no optimizer rule can inline, so the regex
-    * token split runs exactly once per document (array-lambda versions
-    * get collapsed by CollapseProject into O(tokens²) re-evaluation of
-    * the split per element — measured 10× slower). Row form is also the
-    * scalable shape: shingles stream through the pipeline instead of
-    * materializing per-doc arrays, and every downstream step (minhash
-    * min-agg, Jaccard intersection) is a plain shuffle-agg/join.
+    * Shuffle-free: the token array is materialized once per doc behind a
+    * Generate barrier (`explode(array(toks))`) — a Generate node is a
+    * hard boundary CollapseProject cannot inline through, so the regex
+    * token split runs exactly once per document (inlining it into the
+    * per-element lambda would re-evaluate the split O(tokens) times —
+    * measured 10× slower). Shingling + per-doc dedup then happen inside
+    * one narrow map (`transform` over positions + `array_distinct`), so
+    * the whole derivation is scan-parallel with ZERO exchanges — the
+    * previous window-function formulation (lead + count over doc_id)
+    * cost two shuffles plus a global distinct. Row output keeps the
+    * scalable shape: shingles stream into min-agg / join steps without
+    * per-doc arrays surviving past this operator.
     */
-  private def shingleRows(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wn = Window.partitionBy(col("doc_id"))
-    docs.select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "t")))
-      .withColumn("s", concat_ws(" ", col("t"), lead(col("t"), 1).over(w), lead(col("t"), 2).over(w)))
-      .withColumn("n", count(lit(1)).over(wn))
-      .filter(col("pos") <= greatest(col("n") - 3, lit(0)))
-      .select(col("doc_id"), col("s")).distinct()
-  }
+  def shingleRowsForProfiling(docs: DataFrame): DataFrame = shingleRows(docs)
+
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array(toks(col("text")))).as("arr"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("arr")) - 3, lit(0))),
+          i => concat_ws(" ", get(col("arr"), i), get(col("arr"), i + 1), get(col("arr"), i + 2))
+        ))).as("s"))
 
   private val shinglesSql =
     s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - 2, 1) + 1),
@@ -171,31 +174,34 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     // Shingle rows are computed once and reused by the signature
-    // derivation, the sizes, and both sides of the intersection join
-    // (at 100 TB this intermediate is written to storage; in-memory
-    // cache is the single-node analog).
+    // derivation and the verification step (at 100 TB this intermediate
+    // is written to storage; in-memory cache is the single-node analog).
     val sh = shingleRows(docs).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val bands = bandBuckets(signaturesFromShingles(sh))
       .select(col("bucket"), col("doc_id")).distinct()
     val cand = bands.as("x").join(bands.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // True Jaccard on candidates only, as a row join: |A∩B| via a join
-    // on the shingle value, |A∪B| = |A|+|B|−|A∩B|. Pairs with empty
-    // intersection vanish in the inner join — their Jaccard is 0 and
-    // could never pass the threshold.
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .distinct().cache() // candidate-pair-sized; read by candDocs + the pair join
+    // True Jaccard on LSH candidates only: restrict the shingle stream
+    // to docs that appear in some candidate pair (semi-join — at 100 TB
+    // that is the entire point: the verify step touches a vanishing
+    // fraction of the corpus), pack those docs' shingles into per-doc
+    // sets, and verify pairs with array_intersect. The packed side is
+    // candidate-sized, so AQE plans both pair-joins as broadcasts;
+    // nothing quadratic and no full-corpus shuffle ever runs.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shArr = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+      .cache() // candidate-doc-sized; feeds both sides of the pair join
+    cand
+      .join(shArr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shArr.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -119,9 +119,7 @@ object Streams {
     */
   def runSilverInference(spark: SparkSession, dir: String): DataFrame = {
     import graft.ml.PriceModel
-    val model = PriceModel.saveAndLoad(
-      PriceModel.train(PriceModel.trainingSet(graft.Tables.events(spark, dir))),
-      s"${sys.props("java.io.tmpdir")}/graft_stream_model_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val model = PriceModel.model(spark, dir)
     val out = Files.createTempDirectory("graft_stream_ml_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ml_ckpt").toString
     val bars = eventsStream(spark, dir)
