@@ -24,6 +24,7 @@ object SparkEntry {
   ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries ++
     analytics.Indicators.queries ++ relational.StarQueries.queries ++
     relational.TypedQueries.queries ++ relational.TemporalJoins.queries ++
+    relational.RuntimeFilters.queries ++
     ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
     ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
     sources.Sinks.queries ++ sources.Layout.queries
@@ -36,6 +37,7 @@ object SparkEntry {
   ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles ++
     analytics.Indicators.oracles ++ relational.StarQueries.oracles ++
     relational.TypedQueries.oracles ++ relational.TemporalJoins.oracles ++
+    relational.RuntimeFilters.oracles ++
     ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
     ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
     sources.Sinks.oracles ++ sources.Layout.oracles

@@ -76,11 +76,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  /** Registers graft's native functions plus public names for Spark's
+    * internal runtime-filter expressions (`BloomFilterAggregate` /
+    * `BloomFilterMightContain` — the exact expressions
+    * `InjectRuntimeFilter` plants), so queries can build explicit
+    * bloom-pruned joins (see relational.RuntimeFilters).
+    */
   val register: SparkSessionExtensions => Unit = { ext =>
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new BloomFilterAggregate(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
   }
 }
 

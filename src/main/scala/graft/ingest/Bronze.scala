@@ -81,13 +81,44 @@ object Bronze {
       |       json_extract_string(to_json(struct_pack(event_id := event_id, event_type := event_type)), '$.event_type') AS parsed_type
       |FROM events""".stripMargin
 
+  /** Semi-structured ingestion via the VARIANT type (Spark 4's
+    * lakehouse-native JSON representation): `parse_json` converts the
+    * payload once into the binary variant encoding, `variant_get`
+    * extracts typed fields by path. Unlike per-field `get_json_object`,
+    * the parse cost is paid once per row regardless of how many fields
+    * are later read — the shape to store open schemas at 100 TB (parquet
+    * writes variant columns natively with shredding).
+    */
+  def variantExtract(events: DataFrame): DataFrame =
+    events
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"), variant_get(col("v"), "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  val variantExtractOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       sum(k) AS sum_k, round(avg(k), 6) AS avg_k,
+      |       min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_variant_extract" -> ((s, dir) => variantExtract(Tables.events(s, dir))),
     "q_bronze_parse" -> ((s, dir) => parseEvents(Tables.events(s, dir))),
     "q_time_convert" -> ((s, dir) => timeConvert(Tables.events(s, dir))),
     "q_json_roundtrip" -> ((s, dir) => jsonRoundtrip(Tables.events(s, dir)))
   )
 
   def oracles: Map[String, String] = Map(
+    "q_variant_extract" -> variantExtractOracle,
     "q_bronze_parse" -> parseEventsOracle,
     "q_time_convert" -> timeConvertOracle,
     "q_json_roundtrip" -> jsonRoundtripOracle

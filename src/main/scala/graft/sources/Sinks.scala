@@ -35,6 +35,38 @@ object Sinks {
     """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total, count(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** ORC export + re-read: the other mainstream columnar format a
+    * lakehouse must speak (same pushdown/pruning contract as parquet —
+    * ORC carries its own schema, so no explicit re-read schema needed).
+    */
+  def orcRoundtrip(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    val out = Files.createTempDirectory("graft_orc").toString + "/ship_summary"
+    val summary = lineitem.groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("total"), count(lit(1)).as("n"))
+    summary.write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+  }
+
+  val orcRoundtripOracle: String =
+    """SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total, count(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** JSON-lines export + schema'd re-read: the interchange format of the
+    * ingest boundary (every row a standalone JSON object — the file-sink
+    * twin of the Kafka-value `to_json` serialization in Bronze).
+    */
+  def jsonLinesRoundtrip(spark: SparkSession, customer: DataFrame): DataFrame = {
+    val out = Files.createTempDirectory("graft_jsonl").toString + "/segment_summary"
+    val summary = customer.groupBy(col("c_mktsegment"))
+      .agg(round(avg(col("c_acctbal")), 6).as("avg_bal"), count(lit(1)).as("n"))
+    summary.write.mode("overwrite").json(out)
+    spark.read.schema("c_mktsegment STRING, avg_bal DOUBLE, n BIGINT").json(out)
+  }
+
+  val jsonLinesRoundtripOracle: String =
+    """SELECT c_mktsegment, round(avg(c_acctbal), 6) AS avg_bal, count(*) AS n
+      |FROM customer GROUP BY 1""".stripMargin
+
   /** S13 + A7 + O2: temp-view CTAS with ordinal group-by/order-by via
     * the SQL entry point (spark.sql), materialized and re-read.
     */
@@ -123,6 +155,8 @@ object Sinks {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_merge_upsert" -> ((s, d) => mergeUpsert(s, Tables.orders(s, d))),
     "q_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, Tables.orders(s, d))),
+    "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, Tables.lineitem(s, d))),
+    "q_jsonl_roundtrip" -> ((s, d) => jsonLinesRoundtrip(s, Tables.customer(s, d))),
     "q_sql_view_rollup" -> ((s, d) => sqlViewRollup(s, d)),
     "q_recent_events" -> ((s, d) => recentEvents(Tables.events(s, d)))
   )
@@ -130,6 +164,8 @@ object Sinks {
   def oracles: Map[String, String] = Map(
     "q_merge_upsert" -> mergeUpsertOracle,
     "q_csv_roundtrip" -> csvRoundtripOracle,
+    "q_orc_roundtrip" -> orcRoundtripOracle,
+    "q_jsonl_roundtrip" -> jsonLinesRoundtripOracle,
     "q_sql_view_rollup" -> sqlViewRollupOracle,
     "q_recent_events" -> recentEventsOracle()
   )
