@@ -115,6 +115,99 @@ object Similarity {
        |)
        |WHERE rank <= $k""".stripMargin
 
+  /** IVF top-k: the full inverted-file ANN shape — build a coarse
+    * codebook, assign every vector to its nearest centroid cell
+    * (inverted lists), route each query to its `nprobe` nearest cells,
+    * exact-rerank only inside probed cells.
+    *
+    * The codebook here is the per-label mean vector — deterministic (no
+    * k-means iteration randomness), so the DuckDB oracle reproduces the
+    * exact cells and the hash-compare stays byte-exact; swapping in
+    * k-means centroids changes only the codebook derivation, not the
+    * search plan. Cell assignment ranks the ROUNDED cosine (6dp) with a
+    * label tie-break — same cross-engine determinism rule as the top-k
+    * ranks.
+    *
+    * Scale shape: centroids are O(cells) and broadcast everywhere;
+    * assignment is one map-only pass over the corpus (write the corpus
+    * PARTITIONED by cell and probing becomes partition pruning); the
+    * probe join touches nprobe/cells of the data — the recall/cost dial
+    * IVF exists for.
+    */
+  def ivfTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val spark = vectors.sparkSession
+    val v = vectors.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", VectorOps.norm(spark, col("e")))
+    val dim = 64
+    val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
+    val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+      .select(col("label").as("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
+      .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
+    val cellCos = round(
+      VectorOps.dot(spark, col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
+    // inverted lists: nearest cell per vector (rank 1)
+    val assigned = v.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cellCos)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
+    // probe lists: nprobe nearest cells per query
+    val q = v.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cellCos)
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qnrm"), col("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosPair(spark))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  def ivfTopKOracle(nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): String =
+    s"""WITH c AS (
+       |  SELECT label AS cell, list(m ORDER BY i) AS ce
+       |  FROM (
+       |    SELECT label, i, avg(v) AS m
+       |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+       |                 unnest(range(1, 1 + len(embedding))) AS i
+       |          FROM embeddings)
+       |    GROUP BY 1, 2
+       |  ) GROUP BY label
+       |), ranked AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+       |                    c.cell) AS crank
+       |  FROM embeddings e CROSS JOIN c
+       |), assigned AS (
+       |  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qemb, cell
+       |  FROM ranked WHERE vec_id < $nQueries AND crank <= $nprobe
+       |)
+       |SELECT query_id, vec_id, cos, rank
+       |FROM (
+       |  SELECT p.query_id, v.vec_id,
+       |         round(list_cosine_similarity(p.qemb::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cos,
+       |         row_number() OVER (
+       |           PARTITION BY p.query_id
+       |           ORDER BY round(list_cosine_similarity(p.qemb::DOUBLE[], v.embedding::DOUBLE[]), 6) DESC,
+       |                    v.vec_id) AS rank
+       |  FROM assigned v JOIN probes p ON v.cell = p.cell
+       |  WHERE v.vec_id != p.query_id
+       |)
+       |WHERE rank <= $k""".stripMargin
+
   /** Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
     * Brute-force N²/2 candidate join at one dot per pair; the bucketed
     * LSH variant of the same predicate is `bucketedTopK`'s join shape.
@@ -187,6 +280,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "q_knn_bucketed" -> ((s, d) => bucketedTopK(Tables.embeddings(s, d))),
+    "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
     "q_embed_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_embed_centroid" -> ((s, d) => centroidSimilarity(Tables.embeddings(s, d)))
   )
@@ -194,6 +288,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "q_knn_brute" -> bruteForceTopKOracle(),
     "q_knn_bucketed" -> bucketedTopKOracle(),
+    "q_knn_ivf" -> ivfTopKOracle(),
     "q_embed_neardup" -> nearDupPairsOracle(),
     "q_embed_centroid" -> centroidSimilarityOracle
   )
