@@ -174,6 +174,67 @@ object Streams {
       |       round(icept + slope * volatility, 2) AS predicted_price
       |FROM bars CROSS JOIN fit""".stripMargin
 
+  /** Stream-stream interval join (the flagship stateful binary operator
+    * Structured Streaming adds over the reference's surface): click
+    * events join the same user's purchases landing within 30 minutes
+    * AFTER the click. Both sides are watermarked; the time-bound lets
+    * Spark evict join state once the watermark passes click_ts + 30 min
+    * — unbounded-state joins don't survive a 100 TB/day stream, the
+    * interval condition is what makes the state finite.
+    *
+    * Pure DataFrame => DataFrame over two streaming inputs — the same
+    * composition runs in batch, which is how the oracle checks it.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id").as("c_user"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 minute")
+    val p = purchases.select(
+      col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 minute")
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
+  /** End-to-end streaming run of the stream-stream join: both sides tail
+    * the same staged events dir, AvailableNow, append sink; the emitted
+    * pairs are re-read and compacted to a per-user summary in batch
+    * (inner-join emission doesn't wait on watermarks, so the replayed
+    * result equals the batch interval join — the DuckDB oracle).
+    */
+  def runClickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_ssj_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
+    val ev = eventsStream(spark, dir)
+    val joined = clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("p_value")), 2).as("purchase_value"))
+  }
+
+  val runClickPurchaseJoinOracle: String =
+    """SELECT c.user_id, count(*) AS n_pairs,
+      |       round(sum(p.value), 2) AS purchase_value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |GROUP BY 1""".stripMargin
+
   /** Streaming exact dedup: drop re-deliveries of the same event id
     * within the watermark horizon (state is bounded by the watermark —
     * the streaming form of the batch exact-dedup operator; at-least-once
@@ -238,7 +299,8 @@ object Streams {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_silver" -> runSilverAvailableNow _,
-    "q_stream_inference" -> runSilverInference _
+    "q_stream_inference" -> runSilverInference _,
+    "q_stream_join" -> runClickPurchaseJoin _
   )
 
   /** Same oracle as the batch tumbling silver agg — THE point: the
@@ -246,6 +308,7 @@ object Streams {
     */
   def oracles: Map[String, String] = Map(
     "q_stream_silver" -> SilverAgg.tumblingOracle,
-    "q_stream_inference" -> runSilverInferenceOracle
+    "q_stream_inference" -> runSilverInferenceOracle,
+    "q_stream_join" -> runClickPurchaseJoinOracle
   )
 }

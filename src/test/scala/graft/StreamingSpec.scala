@@ -135,6 +135,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches pairs across micro-batches via state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    case object _marker // (keeps case-class defs above; no-op)
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = Streams.clickPurchaseJoin(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "value"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj").start()
+    try {
+      // batch 1: click only — no output yet, click buffered in state
+      clicks.addData((1L, ts(0), 100L))
+      q.processAllAvailable()
+      assert(s.table("ssj").count() == 0)
+      // batch 2: purchase 10 min later joins the buffered click
+      purchases.addData((1L, ts(10), 42.0))
+      q.processAllAvailable()
+      val rows = s.table("ssj").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("click_id") == 100L)
+      assert(rows.head.getAs[Double]("p_value") == 42.0)
+      // purchase OUTSIDE the 30-min bound never joins
+      purchases.addData((1L, ts(45), 7.0))
+      q.processAllAvailable()
+      assert(s.table("ssj").count() == 1)
+    } finally q.stop()
+  }
+
   test("file-source append run writes only watermark-closed windows") {
     val s = spark
     val out = Files.createTempDirectory("graft_t_out").toString
