@@ -40,6 +40,25 @@ object Streams {
       events.withWatermark("ts", "1 minute"),
       "ts", "event_type", "value")
 
+  /** State-store partition count for the end-to-end runs. A streaming
+    * query's shuffle-partition setting is captured into its checkpoint
+    * at first start and doubles as the state-store partition count —
+    * size it to STATE VOLUME, not CPU count: every state partition pays
+    * per-batch checkpoint file IO (delta + snapshot + commit per store;
+    * a stream-stream join runs four stores), so oversized counts drown
+    * small state in fsyncs. The corpus state here is tiny → 8; a
+    * 100 TB/day stream raises this (and moves to RocksDB) — it is a
+    * restart-time knob, not a plan change.
+    */
+  private val statePartitions = 8
+
+  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Streaming file source over the events parquet (S4/S6 analog —
     * tails a directory exactly like the Delta/Kafka source tails a log).
     */
@@ -80,15 +99,17 @@ object Streams {
         col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("volatility"), col("average_price"),
         col("processed_time"), col("n_rows"))
-    val q = bars.writeStream
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = bars.writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
   }
 
@@ -129,19 +150,21 @@ object Streams {
         avg(col("value")).as("average_price"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("volatility"), col("average_price"))
-    val q = bars.writeStream
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { // P7 guard (isEmpty, not the reference's extra count())
-          val filled = batch.na.fill(0.0, Seq("volatility")) // P4
-          graft.ml.PriceModel.withPrediction(filled, Some(model)) // M3 + M5 fallback
-            .write.mode("overwrite").parquet(out) // S7 (overwrite: complete mode)
+    withStatePartitions(spark) {
+      val q = bars.writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) { // P7 guard (isEmpty, not the reference's extra count())
+            val filled = batch.na.fill(0.0, Seq("volatility")) // P4
+            graft.ml.PriceModel.withPrediction(filled, Some(model)) // M3 + M5 fallback
+              .write.mode("overwrite").parquet(out) // S7 (overwrite: complete mode)
+          }
         }
-      }
-      .start()
-    q.awaitTermination()
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out).select(
       col("window_start"), col("event_type"),
       round(col("volatility"), 6).as("volatility"),
@@ -212,14 +235,16 @@ object Streams {
     val joined = clickPurchaseJoin(
       ev.filter(col("event_type") === "click"),
       ev.filter(col("event_type") === "purchase"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", ckpt)
-      .option("path", out)
-      .trigger(Trigger.AvailableNow())
-      .format("parquet")
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
