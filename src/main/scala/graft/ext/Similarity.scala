@@ -144,24 +144,30 @@ object Similarity {
     val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
       .select(col("label").as("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
       .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
-    val cellCos = round(
-      VectorOps.dot(spark, col("e"), col("ce")) / (col("nrm") * col("cnrm")), 6)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))
-    // inverted lists: nearest cell per vector (rank 1)
-    val assigned = v.crossJoin(broadcast(centroids))
-      .withColumn("ccos", cellCos)
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
+    // Pack the whole codebook into ONE broadcast row. Cell routing is
+    // then a narrow per-row reduction over the packed array — the
+    // corpus is NEVER shuffled for assignment (a row_number window over
+    // vec_id would shuffle 100 TB to make a per-row decision). Ranking
+    // sorts struct(-ccos, cell) ascending = cosine desc, cell asc —
+    // identical tie-break to the oracle's ORDER BY.
+    val codebook = centroids
+      .agg(collect_list(struct(col("cell"), col("ce"), col("cnrm"))).as("cb"))
+    val ranked = sort_array(transform(col("cb"), c =>
+      struct(
+        (round(VectorOps.dot(spark, col("e"), c.getField("ce")) /
+          (col("nrm") * c.getField("cnrm")), 6) * -1).as("neg_ccos"),
+        c.getField("cell").as("cell"))))
+    val withCells = v.crossJoin(broadcast(codebook))
+      .withColumn("cells", ranked)
+    // inverted lists: nearest cell per vector
+    val assigned = withCells
+      .withColumn("cell", col("cells").getItem(0).getField("cell"))
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
-    // probe lists: nprobe nearest cells per query
-    val q = v.filter(col("vec_id") < nQueries)
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cellCos)
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"),
-        col("nrm").as("qnrm"), col("cell"))
+    // probe lists: nprobe nearest cells per query (queries are a pruned
+    // scan — the vec_id predicate pushes to parquet)
+    val q = withCells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"),
+        explode(transform(slice(col("cells"), 1, nprobe), c => c.getField("cell"))).as("cell"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(q), "cell")
