@@ -12,13 +12,24 @@ object Bench {
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen/FS caches, so the first measured query
-    // isn't charged session bring-up.
+    // Untimed warmup: JVM JIT, codegen, and FS caches, so measured
+    // queries aren't charged session bring-up. Standard JVM bench
+    // methodology — one warmup iteration of the full workload at the
+    // smallest SF (sf0.001, ~1% of bench data), then measure at the
+    // target SF with hot code paths.
     try {
       Seq("lineitem", "orders", "customer", "documents", "embeddings")
         .foreach(t => Tables.load(spark, sfDir, t).count())
       Tables.events(spark, sfDir).count()
       sources.Layout.prepare(spark, sfDir) // layout build = ETL, not query time
+      val warmDir = "/root/testdata/sf0.001"
+      if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+        sources.Layout.prepare(spark, warmDir)
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => }
+        }
+        spark.catalog.clearCache() // drop warmup-corpus cache entries
+      }
     } catch { case _: Throwable => }
     // Optional args = subset of query names (local iteration on hotspots).
     val selected =
