@@ -52,8 +52,6 @@ object Dedup {
     * scalable shape: shingles stream into min-agg / join steps without
     * per-doc arrays surviving past this operator.
     */
-  def shingleRowsForProfiling(docs: DataFrame): DataFrame = shingleRows(docs)
-
   private def shingleRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array(toks(col("text")))).as("arr"))
       .select(col("doc_id"),
