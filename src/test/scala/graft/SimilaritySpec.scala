@@ -64,6 +64,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 1L)
   }
 
+  test("IVF hits agree with brute-force cosines on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, dir))
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty)
+    // brute-force over ALL pairs (k = corpus size): every IVF hit must
+    // carry exactly the exhaustive cosine for that pair — IVF narrows
+    // the candidate set (recall trade), it must never change a score.
+    val n = Tables.embeddings(spark, dir).count().toInt
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, dir), k = n)
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (pair, cos) =>
+      assert(brute(pair) == cos, s"pair $pair: ivf=$cos brute=${brute(pair)}")
+    }
+  }
+
   test("centroid similarity: all-identical label has cosine 1 to its centroid") {
     val v = Seq.fill(64)(0.5f)
     val d = vecs((0L, v, 1), (1L, v, 1), (2L, v, 1))
