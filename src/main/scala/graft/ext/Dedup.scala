@@ -175,8 +175,12 @@ object Dedup {
     // derivation and the verification step (at 100 TB this intermediate
     // is written to storage; in-memory cache is the single-node analog).
     val sh = shingleRows(docs).cache()
+    // (bucket, doc_id) is already unique: one row per band per doc, and
+    // band buckets from different bands hash different sig columns — no
+    // distinct needed (an md5 cross-band collision would only add a
+    // candidate pair, which verification filters anyway).
     val bands = bandBuckets(signaturesFromShingles(sh))
-      .select(col("bucket"), col("doc_id")).distinct()
+      .select(col("bucket"), col("doc_id"))
     val cand = bands.as("x").join(bands.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -210,6 +210,26 @@ object StarQueries {
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * per-flag totals, per-status totals, and the grand total — without
+    * the cross combinations cube would add. One shuffle; Spark expands
+    * the sets with a single Expand node before the aggregation.
+    */
+  def flagGroupingSets(spark: SparkSession, lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  val flagGroupingSetsOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   /** Filter + projection pushdown showcase (P3 shape). */
   def filteredRevenue(lineitem: DataFrame): DataFrame =
     lineitem
@@ -335,6 +355,7 @@ object StarQueries {
     "q_window_rank" -> ((s, d) => topOrdersPerCustomer(Tables.orders(s, d))),
     "q_rollup" -> ((s, d) => flagRollup(Tables.lineitem(s, d))),
     "q_cube" -> ((s, d) => flagCube(Tables.lineitem(s, d))),
+    "q_grouping_sets" -> ((s, d) => flagGroupingSets(s, Tables.lineitem(s, d))),
     "q_filter_pushdown" -> ((s, d) => filteredRevenue(Tables.lineitem(s, d)))
   )
 
@@ -356,6 +377,7 @@ object StarQueries {
     "q_window_rank" -> topOrdersPerCustomerOracle,
     "q_rollup" -> flagRollupOracle,
     "q_cube" -> flagCubeOracle,
+    "q_grouping_sets" -> flagGroupingSetsOracle,
     "q_filter_pushdown" -> filteredRevenueOracle
   )
 }
