@@ -23,6 +23,22 @@ class DedupSpec extends SparkSpec {
     assert(out(1).getLong(0) == 3L && out(1).getLong(1) == 1L)
   }
 
+  test("short and empty docs still shingle: no doc dropped, identical shorts match") {
+    val d = docs(
+      (1L, ""),                 // empty -> one empty shingle
+      (2L, "..!!.."),           // punctuation-only -> normalizes to empty
+      (3L, "single"),           // 1 token -> 1-token shingle
+      (4L, "two words"),        // 2 tokens -> 2-token shingle
+      (5L, "two words"))        // duplicate of 4
+    val sigs = Dedup.minhashSignatures(d)
+    assert(sigs.count() == 5, "every doc must produce a signature row")
+    // identical (and identically-normalized) docs share full signatures
+    val byDoc = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(byDoc(4L) == byDoc(5L))
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(3L) != byDoc(4L))
+  }
+
   test("minhash signatures of identical docs are identical") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs((1L, text), (2L, text), (3L, "an entirely unrelated document about spark engines"))
