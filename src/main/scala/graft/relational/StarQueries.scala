@@ -269,6 +269,40 @@ object StarQueries {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Skew-mitigating SALTED JOIN template: when one join key dominates
+    * (here event_type, ~5 hot values over the whole fact table), a
+    * plain shuffle join sends each hot key to ONE reducer. Salting
+    * splits the fact side into S sub-keys (deterministic pmod of a row
+    * id — reproducible, unlike rand()) and replicates the dim side S
+    * ways, so each hot key fans over S reducers. Result is identical to
+    * the unsalted join — the oracle checks the plain join. (AQE's
+    * skew-split handles sort-merge cases automatically; the explicit
+    * form is the template for when it can't, e.g. aggregating joins.)
+    */
+  def saltedJoin(events: DataFrame, salts: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // tiny dim: per-event-type weight (stand-in for a config/rate table)
+    val dim = Seq(("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val saltedFact = events.withColumn("salt", pmod(col("event_id"), lit(salts)))
+    val saltedDim = dim.withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(saltedDim, Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value") * col("weight")), 2).as("weighted_value"),
+        count(lit(1)).as("n"))
+  }
+
+  val saltedJoinOracle: String =
+    """SELECT event_type,
+      |       round(sum(value * weight), 2) AS weighted_value,
+      |       count(*) AS n
+      |FROM events
+      |JOIN (VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
+      |             ('signup', 5.0), ('error', 0.0)) AS dim(event_type, weight)
+      |USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   /** Exact interpolated percentiles (Spark `percentile` == DuckDB
     * `quantile_cont`) — the distribution profile a data pipeline reports.
     */
@@ -340,6 +374,7 @@ object StarQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
     "q_salted_agg" -> ((s, d) => saltedAgg(Tables.events(s, d))),
+    "q_salted_join" -> ((s, d) => saltedJoin(Tables.events(s, d))),
     "q_percentiles" -> ((s, d) => pricePercentiles(Tables.orders(s, d))),
     "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => pivotStatus(Tables.customer(s, d), Tables.orders(s, d))),
@@ -362,6 +397,7 @@ object StarQueries {
   def oracles: Map[String, String] = Map(
     "q1_agg" -> pricingSummaryOracle,
     "q_salted_agg" -> saltedAggOracle,
+    "q_salted_join" -> saltedJoinOracle,
     "q_percentiles" -> pricePercentilesOracle,
     // q_approx_distinct: intentionally no oracle (sketch-based, §8 note)
     "q_pivot" -> pivotStatusOracle,

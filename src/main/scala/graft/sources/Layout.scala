@@ -87,21 +87,56 @@ object Layout {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
-  /** Materialize both layouts (idempotent). Called by the bench warmup:
+  /** Small-file compaction — the lakehouse maintenance operator every
+    * streaming ingest needs: a micro-batch sink leaves N-per-trigger
+    * small files; compaction rewrites a partition's fragments into few
+    * right-sized files (here: repartition(2) on a copy fragmented into
+    * 64 pieces). Values must survive the rewrite byte-identically —
+    * that is what the oracle checks; the spec checks the file counts.
+    * At 100 TB this runs per partition-directory, driven off file-size
+    * stats, never as one global job.
+    */
+  def compactedPath(spark: SparkSession, dir: String): String =
+    prepared.getOrElseUpdate(s"compact:$dir", {
+      val frag = Files.createTempDirectory("graft_frag").toString
+      val out = Files.createTempDirectory("graft_compact").toString
+      Tables.events(spark, dir).repartition(64).write.mode("overwrite").parquet(frag)
+      spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  def compactionQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(compactedPath(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        countDistinct(col("event_id")).as("n_ids"))
+
+  val compactionOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(sum(value), 2) AS total_value,
+      |       count(DISTINCT event_id) AS n_ids
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  /** Materialize the layouts (idempotent). Called by the bench warmup:
     * building the physical layout is ETL cost, not query cost.
     */
   def prepare(spark: SparkSession, dir: String): Unit = {
     partitionedEventsPath(spark, dir)
     bucketedTables(spark, dir)
+    compactedPath(spark, dir)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_prune" -> partitionPruned _,
-    "q_bucketed_join" -> bucketedJoin _
+    "q_bucketed_join" -> bucketedJoin _,
+    "q_compaction" -> compactionQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_partition_prune" -> partitionPrunedOracle,
-    "q_bucketed_join" -> bucketedJoinOracle
+    "q_bucketed_join" -> bucketedJoinOracle,
+    "q_compaction" -> compactionOracle
   )
 }

@@ -60,4 +60,28 @@ class LayoutSinksSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSeq
     assert(out.map(_.getLong(0)).toSeq == all)
   }
+
+  test("compaction rewrites many small files into few, values intact") {
+    val path = Layout.compactedPath(spark, dir)
+    val files = new java.io.File(path).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(files <= 2, s"expected <=2 compacted files, found $files")
+    val compacted = spark.read.parquet(path).count()
+    assert(compacted == Tables.events(spark, dir).count())
+  }
+
+  test("salted join equals the plain unsalted join") {
+    import org.apache.spark.sql.functions._
+    val salted = graft.relational.StarQueries.saltedJoin(Tables.events(spark, dir))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val plain = Tables.events(spark, dir).join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value") * col("weight")), 2).as("w"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
 }
