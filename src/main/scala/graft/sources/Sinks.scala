@@ -90,6 +90,41 @@ object Sinks {
       |GROUP BY 1, 2
       |ORDER BY 2 DESC, 1""".stripMargin
 
+  /** Schema evolution: two ingest generations land in the same table
+    * directory — an old batch WITHOUT `user_id`, a new batch WITH it —
+    * and a `mergeSchema` read unions the schemas (missing columns read
+    * as null). This is the add-a-column evolution path a long-lived
+    * lakehouse table goes through; at 100 TB the merged-footer schema
+    * resolution is why new columns cost nothing retroactively.
+    */
+  def schemaEvolution(spark: SparkSession, events: DataFrame): DataFrame = {
+    val out = Files.createTempDirectory("graft_evolve").toString + "/events_evolved"
+    events.filter(pmod(col("event_id"), lit(2)) === 0)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(out)
+    events.filter(pmod(col("event_id"), lit(2)) === 1)
+      .select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+      .write.mode("append").parquet(out)
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        count(col("user_id")).as("n_with_user"))
+  }
+
+  val schemaEvolutionOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       round(sum(value), 2) AS total_value,
+      |       count(user_id) AS n_with_user
+      |FROM (
+      |  SELECT event_type, value, NULL::BIGINT AS user_id
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_type, value, user_id
+      |  FROM events WHERE event_id % 2 = 1
+      |)
+      |GROUP BY 1""".stripMargin
+
   /** O3/S11: recency-limited scan — newest N rows by event time (the
     * transactional replacement for the reference's "newest 20 parquet
     * fragments" file-level cap; at scale this is a date-partition prune
@@ -157,6 +192,7 @@ object Sinks {
     "q_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, Tables.orders(s, d))),
     "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, Tables.lineitem(s, d))),
     "q_jsonl_roundtrip" -> ((s, d) => jsonLinesRoundtrip(s, Tables.customer(s, d))),
+    "q_schema_evolution" -> ((s, d) => schemaEvolution(s, Tables.events(s, d))),
     "q_sql_view_rollup" -> ((s, d) => sqlViewRollup(s, d)),
     "q_recent_events" -> ((s, d) => recentEvents(Tables.events(s, d)))
   )
@@ -166,6 +202,7 @@ object Sinks {
     "q_csv_roundtrip" -> csvRoundtripOracle,
     "q_orc_roundtrip" -> orcRoundtripOracle,
     "q_jsonl_roundtrip" -> jsonLinesRoundtripOracle,
+    "q_schema_evolution" -> schemaEvolutionOracle,
     "q_sql_view_rollup" -> sqlViewRollupOracle,
     "q_recent_events" -> recentEventsOracle()
   )
