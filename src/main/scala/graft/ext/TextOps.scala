@@ -138,24 +138,22 @@ object TextOps {
     * agree byte-for-byte).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = tokens(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "))
-    // Row-based 5-gram min-hash (posexplode + lead): the Generate node
-    // pins the token split to one evaluation per doc — array lambdas
-    // get inlined by CollapseProject into O(tokens²) re-splits.
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val wn = Window.partitionBy(col("doc_id"))
-    val contentFp = docs
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
-      .withColumn("s", concat_ws(" ", col("t"),
-        lead(col("t"), 1).over(w), lead(col("t"), 2).over(w),
-        lead(col("t"), 3).over(w), lead(col("t"), 4).over(w)))
-      .withColumn("n", count(lit(1)).over(wn))
-      .filter(col("pos") <= greatest(col("n") - 5, lit(0)))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("s"))).as("content_fp"))
-    docs.select(col("doc_id"), md5(concat_ws(" ", toks)).as("exact_fp"))
-      .join(contentFp, "doc_id")
+    // Shuffle-free: token array materialized once per doc behind a
+    // Generate barrier (CollapseProject can't inline through it, so the
+    // regex split runs once, not once per lambda element), then BOTH
+    // fingerprints come out of one narrow projection — min over the
+    // 5-gram hashes is per-doc arithmetic, no window/groupBy/join.
+    docs.select(col("doc_id"), explode(array(toks)).as("arr"))
+      .select(
+        col("doc_id"),
+        md5(concat_ws(" ", col("arr"))).as("exact_fp"),
+        array_min(transform(
+          sequence(lit(0), greatest(size(col("arr")) - 5, lit(0))),
+          i => md5(concat_ws(" ",
+            get(col("arr"), i), get(col("arr"), i + 1), get(col("arr"), i + 2),
+            get(col("arr"), i + 3), get(col("arr"), i + 4)))
+        )).as("content_fp"))
   }
 
   val fingerprintOracle: String =
