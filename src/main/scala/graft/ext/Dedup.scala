@@ -237,19 +237,24 @@ object Dedup {
 
   /** SimHash: 16-bit signature from the first 4 hex chars of each
     * distinct token's md5 — bit b of the signature is the majority vote
-    * of bit b across tokens. Output: signature histogram.
+    * of bit b across tokens.
+    *
+    * Shuffle-free: the per-doc token hashes are materialized once as an
+    * int array behind a Generate barrier (md5 computed once per token,
+    * not once per bit), then the 16 majority votes are per-row
+    * `aggregate` folds over that array — the signature never leaves the
+    * scan task (the previous explode+groupBy form shuffled every token
+    * row just to re-group them by the doc they came from).
     */
   def simhashSignature(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 4), 16, 10).cast("int"))
-    val bitSums = (0 until simhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b")
-    }
+    val hashes = transform(array_distinct(toks(col("text"))),
+      t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
     val sig = (0 until simhashBits).map { b =>
-      when(col(s"s_$b") > 0, lit(1 << b)).otherwise(lit(0))
+      when(aggregate(col("hs"), lit(0), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
+        lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+    docs.select(col("doc_id"), explode(array(hashes)).as("hs"))
       .select(col("doc_id"), sig.as("simhash"))
   }
 
