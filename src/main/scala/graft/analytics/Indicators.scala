@@ -189,7 +189,31 @@ object Indicators {
       .select(col("event_id"), col("ts"), col("event_type"), col("value"), col("sma"))
   }
 
+  /** RANGE-frame window (value-based, vs the ROWS frames above): the
+    * trailing 10-minute average — every peer row within the time range
+    * joins the frame regardless of row count, the frame a time-series
+    * metric actually means when events arrive unevenly. Spark needs a
+    * numeric order key for rangeBetween → epoch seconds.
+    */
+  def rangeFrameAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts"))) // full precision: second-truncation would shift frame edges
+      .rangeBetween(-600L * 1000000, 0)
+    events.select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .withColumn("avg_10m", round(avg(col("value")).over(w), 6))
+      .withColumn("n_10m", count(lit(1)).over(w))
+  }
+
+  val rangeFrameAvgOracle: String =
+    """SELECT event_id, event_type, ts, value,
+      |       round(avg(value) OVER w, 6) AS avg_10m,
+      |       count(*) OVER w AS n_10m
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_frame" -> ((s, dir) => rangeFrameAvg(graft.Tables.events(s, dir))),
     "q_sma_partitioned" -> ((s, dir) => smaPartitioned(Tables.events(s, dir))),
     "q_lag_diff" -> ((s, dir) => lagDiff(Tables.events(s, dir))),
     "q_sma" -> ((s, dir) => sma(Tables.events(s, dir))),
@@ -199,6 +223,7 @@ object Indicators {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_range_frame" -> rangeFrameAvgOracle,
     // the partitioned computation must equal the sequential definition
     "q_sma_partitioned" -> smaOracle(),
     "q_lag_diff" -> lagDiffOracle,

@@ -188,6 +188,39 @@ object StarQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
       |QUALIFY row_number() OVER w <= 3""".stripMargin
 
+  /** Analytic-function suite: the ranking/distribution window functions
+    * beyond row_number/rank — ntile buckets, percent_rank, cume_dist,
+    * dense_rank, nth_value, first/last in frame — over a fully
+    * deterministic ordering (totalprice desc, orderkey). One window,
+    * one shuffle; all functions share the same sort.
+    */
+  def analyticSuite(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("drank", dense_rank().over(w))
+      .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(wf))
+      .withColumn("top_price", first(col("o_totalprice")).over(wf))
+  }
+
+  val analyticSuiteOracle: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |       ntile(4) OVER w AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cume,
+      |       dense_rank() OVER w AS drank,
+      |       nth_value(o_totalprice, 3) OVER wf AS third_price,
+      |       first_value(o_totalprice) OVER wf AS top_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+      |       wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
   /** ROLLUP grouping sets over lineitem flags. */
   def flagRollup(lineitem: DataFrame): DataFrame =
     lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
@@ -388,6 +421,7 @@ object StarQueries {
     "q_set_ops" -> ((s, d) => setOps(Tables.customer(s, d), Tables.orders(s, d))),
     "q_union_all" -> ((s, d) => unionAll(Tables.orders(s, d))),
     "q_window_rank" -> ((s, d) => topOrdersPerCustomer(Tables.orders(s, d))),
+    "q_analytic_suite" -> ((s, d) => analyticSuite(Tables.orders(s, d))),
     "q_rollup" -> ((s, d) => flagRollup(Tables.lineitem(s, d))),
     "q_cube" -> ((s, d) => flagCube(Tables.lineitem(s, d))),
     "q_grouping_sets" -> ((s, d) => flagGroupingSets(s, Tables.lineitem(s, d))),
@@ -411,6 +445,7 @@ object StarQueries {
     "q_set_ops" -> setOpsOracle,
     "q_union_all" -> unionAllOracle,
     "q_window_rank" -> topOrdersPerCustomerOracle,
+    "q_analytic_suite" -> analyticSuiteOracle,
     "q_rollup" -> flagRollupOracle,
     "q_cube" -> flagCubeOracle,
     "q_grouping_sets" -> flagGroupingSetsOracle,
