@@ -192,8 +192,10 @@ object Dedup {
     // sets, and verify pairs with array_intersect. The packed side is
     // candidate-sized, so AQE plans both pair-joins as broadcasts;
     // nothing quadratic and no full-corpus shuffle ever runs.
+    // no distinct: a left-semi probe side needs no dedup, the join
+    // itself is set-semantic (saves a full shuffle of the id stream)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      .union(cand.select(col("doc_b").as("doc_id")))
     val shArr = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       .cache() // candidate-doc-sized; feeds both sides of the pair join
