@@ -110,7 +110,40 @@ object Bronze {
       |      FROM events)
       |GROUP BY 1""".stripMargin
 
+  /** Malformed-payload resilience (the reference's implicit error path,
+    * SURVEY §1.3): `from_json` is PERMISSIVE by default — a corrupt
+    * payload yields nulls, the pipeline keeps flowing, and the nulls are
+    * countable for a data-quality report. Every 10th payload is
+    * deterministically corrupted to exercise the path.
+    */
+  def malformedJson(events: DataFrame): DataFrame =
+    events
+      .withColumn("payload",
+        when(pmod(col("event_id"), lit(10)) === 0, lit("{not json"))
+          .otherwise(col("props")))
+      .withColumn("k", from_json(col("payload"), Schemas.propsSchema).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        (count(lit(1)) - count(col("k"))).as("n_malformed"),
+        sum(col("k")).as("sum_k"))
+
+  val malformedJsonOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |       count(k) AS n_parsed,
+      |       count(*) - count(k) AS n_malformed,
+      |       sum(k) AS sum_k
+      |FROM (
+      |  SELECT event_type,
+      |         CASE WHEN event_id % 10 = 0 THEN NULL
+      |              ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM events
+      |)
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_malformed_json" -> ((s, dir) => malformedJson(Tables.events(s, dir))),
     "q_variant_extract" -> ((s, dir) => variantExtract(Tables.events(s, dir))),
     "q_bronze_parse" -> ((s, dir) => parseEvents(Tables.events(s, dir))),
     "q_time_convert" -> ((s, dir) => timeConvert(Tables.events(s, dir))),
@@ -118,6 +151,7 @@ object Bronze {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_malformed_json" -> malformedJsonOracle,
     "q_variant_extract" -> variantExtractOracle,
     "q_bronze_parse" -> parseEventsOracle,
     "q_time_convert" -> timeConvertOracle,

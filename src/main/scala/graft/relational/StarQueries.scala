@@ -394,6 +394,40 @@ object StarQueries {
       |WHERE o_totalprice > 400000
       |GROUP BY 1""".stripMargin
 
+  /** Map-typed aggregation: per-segment map of orderstatus → count
+    * (map_from_entries over a sorted entry list), then map functions —
+    * map_entries rendering, map_values fold — consume it. Maps are the
+    * natural shape for sparse per-key stats columns in a wide pipeline
+    * table; rendered to a sorted string at the boundary so the oracle
+    * compare is representation-independent.
+    */
+  def segmentStatusMap(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val counts = orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("c_mktsegment"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("o_orderstatus"), col("n")))))
+        .as("m"))
+      .select(
+        col("c_mktsegment"),
+        concat_ws(",", transform(map_entries(col("m")),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))).as("status_counts"),
+        size(map_keys(col("m"))).as("n_statuses"),
+        aggregate(map_values(col("m")), lit(0L), (acc, v) => acc + v).as("n_orders"))
+  }
+
+  val segmentStatusMapOracle: String =
+    """SELECT c_mktsegment,
+      |       string_agg(o_orderstatus || '=' || n, ',' ORDER BY o_orderstatus) AS status_counts,
+      |       count(*) AS n_statuses,
+      |       sum(n) AS n_orders
+      |FROM (
+      |  SELECT c_mktsegment, o_orderstatus, count(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |)
+      |GROUP BY 1""".stripMargin
+
   /** HLL sketch distinct (approx_count_distinct): sketch-based — NOT
     * bit-comparable across engines, so no SQL oracle (driver records a
     * rows-only check); DedupSpec/verify rely on the exact variant
@@ -412,6 +446,7 @@ object StarQueries {
     "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => pivotStatus(Tables.customer(s, d), Tables.orders(s, d))),
     "q_collect_list" -> ((s, d) => collectTopCustomers(Tables.orders(s, d))),
+    "q_map_agg" -> ((s, d) => segmentStatusMap(Tables.customer(s, d), Tables.orders(s, d))),
     "q_join_segment" -> ((s, d) => revenueBySegment(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_join_region" -> ((s, d) => customersByRegion(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d))),
     "q_semi_join" -> ((s, d) => customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
@@ -436,6 +471,7 @@ object StarQueries {
     // q_approx_distinct: intentionally no oracle (sketch-based, §8 note)
     "q_pivot" -> pivotStatusOracle,
     "q_collect_list" -> collectTopCustomersOracle,
+    "q_map_agg" -> segmentStatusMapOracle,
     "q_join_segment" -> revenueBySegmentOracle,
     "q_join_region" -> customersByRegionOracle,
     "q_semi_join" -> customersWithOrdersOracle,
