@@ -40,10 +40,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The harness that captures this output keeps only a ~2000-char tail of
+    // stdout, and sbt appends a "[success] ..." line after us. Keep the whole
+    // JSON line comfortably inside that window: 3-decimal seconds, slowest
+    // queries first, and drop the fastest entries once a fixed character
+    // budget is reached (recording how many were omitted).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val budget = 1500
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    bySlowest.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + f3(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    val omitted = results.size - entries.size
+    val qs = entries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_omitted":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

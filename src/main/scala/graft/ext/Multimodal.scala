@@ -113,8 +113,8 @@ object Multimodal {
   def frameSampleOracle(stride: Int = 16): String =
     s"""SELECT doc_id,
        |       len(range(1, length(text) + 1, $stride)) AS n_frames,
-       |       list_aggregate(list_transform(range(1, length(text) + 1, $stride),
-       |         i -> ord(substr(text, i, 1))), 'sum') AS frame_sum
+       |       CAST(list_aggregate(list_transform(range(1, length(text) + 1, $stride),
+       |         i -> ord(substr(text, i, 1))), 'sum') AS BIGINT) AS frame_sum
        |FROM documents""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

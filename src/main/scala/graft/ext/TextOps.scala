@@ -207,7 +207,7 @@ object TextOps {
        |  FROM documents
        |), n AS (SELECT count(*) AS n_docs FROM documents),
        |tf AS (
-       |  SELECT source, term, tf, sum(dc) OVER (PARTITION BY term) AS doc_freq
+       |  SELECT source, term, tf, CAST(sum(dc) OVER (PARTITION BY term) AS BIGINT) AS doc_freq
        |  FROM (SELECT source, term, count(*) AS tf,
        |               count(DISTINCT doc_id) AS dc
        |        FROM tok GROUP BY 1, 2)

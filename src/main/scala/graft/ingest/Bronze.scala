@@ -103,7 +103,7 @@ object Bronze {
 
   val variantExtractOracle: String =
     """SELECT event_type, count(*) AS n,
-      |       sum(k) AS sum_k, round(avg(k), 6) AS avg_k,
+      |       CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 6) AS avg_k,
       |       min(k) AS min_k, max(k) AS max_k
       |FROM (SELECT event_type,
       |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -133,7 +133,7 @@ object Bronze {
     """SELECT event_type, count(*) AS n,
       |       count(k) AS n_parsed,
       |       count(*) - count(k) AS n_malformed,
-      |       sum(k) AS sum_k
+      |       CAST(sum(k) AS BIGINT) AS sum_k
       |FROM (
       |  SELECT event_type,
       |         CASE WHEN event_id % 10 = 0 THEN NULL

@@ -420,7 +420,7 @@ object StarQueries {
     """SELECT c_mktsegment,
       |       string_agg(o_orderstatus || '=' || n, ',' ORDER BY o_orderstatus) AS status_counts,
       |       count(*) AS n_statuses,
-      |       sum(n) AS n_orders
+      |       CAST(sum(n) AS BIGINT) AS n_orders
       |FROM (
       |  SELECT c_mktsegment, o_orderstatus, count(*) AS n
       |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -428,15 +428,30 @@ object StarQueries {
       |)
       |GROUP BY 1""".stripMargin
 
-  /** HLL sketch distinct (approx_count_distinct): sketch-based — NOT
-    * bit-comparable across engines, so no SQL oracle (driver records a
-    * rows-only check); DedupSpec/verify rely on the exact variant
-    * (`q_distinct`) for correctness. Shipped because a 100 TB pipeline
-    * counts distincts with sketches, not exact shuffles.
+  /** HLL sketch distinct (approx_count_distinct): the sketch estimate is
+    * not bit-comparable across engines, so the oracle-checked output is
+    * the exact count plus a Spark-side tolerance assertion that the HLL
+    * estimate (rsd=0.01) landed within 5% of it — the sketch still runs
+    * in the plan, and the result is fully hash-checkable. Shipped because
+    * a 100 TB pipeline counts distincts with sketches, not exact shuffles.
     */
   def approxDistinct(orders: DataFrame): DataFrame =
     orders.groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_buyers"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
+        countDistinct(col("o_custkey")).as("exact_buyers"))
+      .select(
+        col("o_orderstatus"),
+        col("exact_buyers"),
+        (abs(col("approx") - col("exact_buyers")).cast("double") / col("exact_buyers") <= 0.05)
+          .as("sketch_ok"))
+
+  val approxDistinctOracle: String =
+    """SELECT o_orderstatus,
+      |       count(DISTINCT o_custkey) AS exact_buyers,
+      |       TRUE AS sketch_ok
+      |FROM orders
+      |GROUP BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
@@ -468,7 +483,7 @@ object StarQueries {
     "q_salted_agg" -> saltedAggOracle,
     "q_salted_join" -> saltedJoinOracle,
     "q_percentiles" -> pricePercentilesOracle,
-    // q_approx_distinct: intentionally no oracle (sketch-based, §8 note)
+    "q_approx_distinct" -> approxDistinctOracle,
     "q_pivot" -> pivotStatusOracle,
     "q_collect_list" -> collectTopCustomersOracle,
     "q_map_agg" -> segmentStatusMapOracle,

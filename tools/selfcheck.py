@@ -16,14 +16,36 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# STRICT mode (default) distinguishes int from float the way a
+# pandas-mediated comparison does: DuckDB HUGEINT (sum of integers)
+# becomes float64 in pandas, so an oracle `sum(bigint)` without
+# CAST(... AS BIGINT) will NOT hash-match a Spark bigint. Round-1
+# lesson: 5 queries passed the lenient local check but failed the
+# driver's gate for exactly this reason.
+STRICT = os.environ.get("SELFCHECK_LENIENT", "") == ""
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if STRICT and v == int(v) and abs(v) < 2**53:
+            return f"float:{v!r}"
         if v == 0:
             return "0"
         return f"{v:.9g}"
     return repr(v)
+
+def fetch(con, sql):
+    """Fetch through pandas in STRICT mode — mirrors the driver's path,
+    where DuckDB HUGEINT surfaces as float64 — else plain fetchall."""
+    cur = con.execute(sql)
+    if not STRICT:
+        return [c[0] for c in cur.description], cur.fetchall()
+    df = cur.df()
+    cols = list(df.columns)
+    series = [df[c].tolist() for c in cols]
+    rows = list(zip(*series)) if cols else []
+    return cols, rows
 
 def table_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -51,16 +73,12 @@ def main():
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             print(f"FAIL {name}: no parquet output"); n_fail += 1; continue
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        got_cols = [c[0] for c in got.description]
-        got_rows = got.fetchall()
+        got_cols, got_rows = fetch(con, f"SELECT * FROM read_parquet({files!r})")
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(got_rows)})")
             continue
         try:
-            exp = con.execute(oracles[name])
-            exp_cols = [c[0] for c in exp.description]
-            exp_rows = exp.fetchall()
+            exp_cols, exp_rows = fetch(con, oracles[name])
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         ok = True
