@@ -37,7 +37,7 @@ object Dedup {
   private val toksSql =
     "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
 
-  /** (doc_id, s): distinct word 3-gram shingle ROWS.
+  /** (doc_id, sh): distinct word 3-gram shingles as ONE ARRAY per doc.
     *
     * Shuffle-free: the token array is materialized once per doc behind a
     * Generate barrier (`explode(array(toks))`) — a Generate node is a
@@ -45,20 +45,20 @@ object Dedup {
     * token split runs exactly once per document (inlining it into the
     * per-element lambda would re-evaluate the split O(tokens) times —
     * measured 10× slower). Shingling + per-doc dedup then happen inside
-    * one narrow map (`transform` over positions + `array_distinct`), so
-    * the whole derivation is scan-parallel with ZERO exchanges — the
-    * previous window-function formulation (lead + count over doc_id)
-    * cost two shuffles plus a global distinct. Row output keeps the
-    * scalable shape: shingles stream into min-agg / join steps without
-    * per-doc arrays surviving past this operator.
+    * one narrow map (`transform` over positions + `array_distinct`).
+    * The shingle set stays PACKED: signature derivation can then run as
+    * a narrow per-row fold (`array_min` over `transform`) with ZERO
+    * exchanges, instead of exploding to rows and paying a hash-agg
+    * shuffle to regroup them. Safe because a document is bounded-size:
+    * the array never exceeds the doc's own token count.
     */
-  private def shingleRows(docs: DataFrame): DataFrame =
+  private def shingleArrays(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(array(toks(col("text")))).as("arr"))
       .select(col("doc_id"),
-        explode(array_distinct(transform(
+        array_distinct(transform(
           sequence(lit(0), greatest(size(col("arr")) - 3, lit(0))),
           i => concat_ws(" ", get(col("arr"), i), get(col("arr"), i + 1), get(col("arr"), i + 2))
-        ))).as("s"))
+        )).as("sh"))
 
   private val shinglesSql =
     s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - 2, 1) + 1),
@@ -105,17 +105,19 @@ object Dedup {
 
   /** MinHash signature per doc: sig_i = min md5(shingle || '#' || i).
     *
-    * Shape: shingle rows → k min-aggregates; the min-agg is partial
-    * (map-side) so the shuffle carries k hashes per doc, not shingles.
+    * Shape: a narrow per-row fold (`array_min` over `transform`) on the
+    * packed shingle array — the signature derivation is scan-parallel
+    * with ZERO exchanges. The previous formulation exploded shingles to
+    * rows and paid a hash-agg shuffle (partial min-agg, but still an
+    * exchange of one k-hash tuple per doc) just to regroup rows by the
+    * doc they came from.
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    signaturesFromShingles(shingleRows(docs))
+    shingleArrays(docs).select(col("doc_id") +: sigCols: _*)
 
-  private def signaturesFromShingles(sh: DataFrame): DataFrame = {
-    val aggs = (0 until numHashes).map { i =>
-      min(md5(concat(col("s"), lit(s"#$i")))).as(s"sig_$i")
-    }
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** sig_i columns computed narrowly from a packed `sh` shingle array. */
+  private def sigCols: Seq[Column] = (0 until numHashes).map { i =>
+    array_min(transform(col("sh"), s => md5(concat(s, lit(s"#$i"))))).as(s"sig_$i")
   }
 
   /** (band, bucket, doc_id) rows from a signature frame — one explode,
@@ -171,33 +173,35 @@ object Dedup {
     * Jaccard ≥ threshold. Returns confirmed pairs (a < b).
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    // Shingle rows are computed once and reused by the signature
-    // derivation and the verification step (at 100 TB this intermediate
-    // is written to storage; in-memory cache is the single-node analog).
-    val sh = shingleRows(docs).cache()
+    // Packed shingle arrays are computed once and reused by the
+    // signature derivation and the verification step (at 100 TB this
+    // intermediate is written to storage; in-memory cache is the
+    // single-node analog). Everything up to the bucket self-join is a
+    // single narrow pass over the corpus: shingles, signatures, and
+    // band keys are all per-row folds — zero exchanges.
+    val da = shingleArrays(docs).cache()
     // (bucket, doc_id) is already unique: one row per band per doc, and
     // band buckets from different bands hash different sig columns — no
     // distinct needed (an md5 cross-band collision would only add a
     // candidate pair, which verification filters anyway).
-    val bands = bandBuckets(signaturesFromShingles(sh))
+    val bands = bandBuckets(da.select(col("doc_id") +: sigCols: _*))
       .select(col("bucket"), col("doc_id"))
     val cand = bands.as("x").join(bands.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct().cache() // candidate-pair-sized; read by candDocs + the pair join
-    // True Jaccard on LSH candidates only: restrict the shingle stream
+    // True Jaccard on LSH candidates only: restrict the shingle arrays
     // to docs that appear in some candidate pair (semi-join — at 100 TB
     // that is the entire point: the verify step touches a vanishing
-    // fraction of the corpus), pack those docs' shingles into per-doc
-    // sets, and verify pairs with array_intersect. The packed side is
-    // candidate-sized, so AQE plans both pair-joins as broadcasts;
-    // nothing quadratic and no full-corpus shuffle ever runs.
+    // fraction of the corpus) and verify pairs with array_intersect.
+    // The semi-joined side is candidate-sized, so AQE plans both
+    // pair-joins as broadcasts; nothing quadratic and no full-corpus
+    // shuffle ever runs.
     // no distinct: a left-semi probe side needs no dedup, the join
     // itself is set-semantic (saves a full shuffle of the id stream)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
-    val shArr = sh.join(candDocs, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+    val shArr = da.join(candDocs, Seq("doc_id"), "left_semi")
       .cache() // candidate-doc-sized; feeds both sides of the pair join
     cand
       .join(shArr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -266,19 +270,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
 
   /** SimHash near-dup pairs: hamming distance of the 16-bit signatures
-    * ≤ maxDist, via codegen'd `bit_count(xor)`. At scale the self-join
-    * is banded (split the signature into maxDist+1 pieces, bucket-join
-    * on piece equality — pigeonhole guarantees recall); the N²/2 form
-    * here is the verification step those candidates feed.
+    * ≤ maxDist, via codegen'd `bit_count(xor)`.
+    *
+    * Banded, not N²/2: the signature is split into maxDist+1 bit pieces
+    * and candidates are generated by an EQUALITY join on (piece index,
+    * piece value) — pigeonhole guarantees any pair within maxDist agrees
+    * on at least one whole piece, so recall is exact. The hamming filter
+    * then verifies candidates, and the (doc_a, doc_b) distinct collapses
+    * pairs that matched on several pieces. At 100 TB this is the
+    * difference between a shuffled equi-join (linear in corpus +
+    * candidates) and an unshardable quadratic cross join.
     */
   def simhashNearDup(docs: DataFrame, maxDist: Int = 2): DataFrame = {
+    val nPieces = maxDist + 1                 // 3 pieces over 16 bits: 6|5|5
+    val base = simhashBits / nPieces
+    val extra = simhashBits % nPieces         // first `extra` pieces get +1 bit
+    val offsets = (0 until nPieces).scanLeft(0)((o, j) => o + base + (if (j < extra) 1 else 0))
+    val pieces = (0 until nPieces).map { j =>
+      val width = base + (if (j < extra) 1 else 0)
+      struct(lit(j).as("pc"),
+        shiftright(col("simhash"), offsets(j)).bitwiseAND(lit((1 << width) - 1)).as("pv"))
+    }
     val sig = simhashSignature(docs)
-    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    sig.crossJoin(b)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(pieces: _*)).as("p"))
+      .select(col("doc_id"), col("simhash"), col("p.pc").as("pc"), col("p.pv").as("pv"))
+    val b = banded.select(col("pc"), col("pv"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    banded.join(b, Seq("pc", "pv"))
       .filter(col("doc_id") < col("doc_b"))
       .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_id").as("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Shared SQL for the per-doc simhash signature (doc_id, simhash). */
