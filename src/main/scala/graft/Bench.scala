@@ -58,6 +58,14 @@ object Bench {
     val qs = entries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_omitted":$omitted,"sf":"$sfDir"}""")
+    // Machine-readable copy: the full (untruncated) metric JSON, written to a
+    // file so the harness doesn't have to parse it out of an sbt stdout tail.
+    val fullQs = bySlowest.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"queries_omitted":0,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson)
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -1,8 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.Tables
 
@@ -56,32 +55,34 @@ object Multimodal {
       |       md5(text) AS checksum
       |FROM documents""".stripMargin
 
-  private val decodedSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("mean_byte", DoubleType)))
+  /** Row type of the decode output (typed seam: the Product encoder
+    * keeps the `mapPartitions` INSIDE the Dataset API — Catalyst sees a
+    * SerializeFromObject with a known schema instead of an opaque RDD
+    * re-assertion, so downstream pruning/pushdown still applies).
+    */
+  case class Decoded(doc_id: Long, width: Int, height: Int, mean_byte: Double)
 
   /** DECODE STUB — deterministic fake for the image decoder: treats the
     * payload as a row-major image of width min(64, n) and reports its
     * dimensions + mean pixel. A real build swaps the body for an actual
-    * codec; the `mapPartitions` contract (Iterator[Row] → Iterator[Row],
-    * no per-partition materialization) is the production shape.
+    * codec; the typed `Dataset.mapPartitions` contract (Iterator →
+    * Iterator, one pass, no per-partition materialization) is the
+    * production shape.
     */
   def decodeStub(withBlob: DataFrame): DataFrame = {
     val spark = withBlob.sparkSession
-    val rdd = withBlob.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val w = math.min(64, bytes.length)
-        val h = if (w == 0) 0 else (bytes.length + w - 1) / w
-        val mean = if (bytes.isEmpty) 0.0
-        else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-        Row(id, w, h, BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    import spark.implicits._
+    withBlob.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val w = math.min(64, bytes.length)
+          val h = if (w == 0) 0 else (bytes.length + w - 1) / w
+          val mean = if (bytes.isEmpty) 0.0
+          else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+          Decoded(id, w, h, BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
       }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+      .toDF()
   }
 
   def decodeQuery(docs: DataFrame): DataFrame = decodeStub(withPayload(docs))

@@ -88,11 +88,17 @@ object TextOps {
     "es" -> Seq("el", "los", "y", "es", "una"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = markers.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+    // Token array materialized ONCE behind a Generate barrier (the
+    // fingerprint idiom): each per-language score references the `toks`
+    // attribute, so CollapseProject can't inline the regex split into
+    // every score column (which would run the tokenizer once per
+    // language — measured 2× the whole query's cost).
+    val scored0 = docs.select(col("doc_id"), col("lang"), col("text"),
+      explode(array(tokens(col("text")))).as("toks"))
+    val scored = markers.foldLeft(scored0) {
       case (df, (l, ws)) =>
         val arr = array(ws.map(lit): _*)
-        df.withColumn(s"score_$l", size(filter(toks, t => array_contains(arr, t))))
+        df.withColumn(s"score_$l", size(filter(col("toks"), t => array_contains(arr, t))))
     }.withColumn("score_zh", regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")))
     val best = markers.map(_._1) :+ "zh"
     val top = greatest(best.map(l => col(s"score_$l")): _*)
