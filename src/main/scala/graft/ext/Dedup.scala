@@ -239,37 +239,32 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  val simhashBits = 16
+  val simhashBits = 64
 
-  /** SimHash: 16-bit signature from the first 4 hex chars of each
-    * distinct token's md5 — bit b of the signature is the majority vote
-    * of bit b across tokens.
+  /** SimHash: 64-bit signature — bit b of the signature is the majority
+    * vote of bit b of each distinct token's 64-bit hash (the first 16
+    * hex chars of its md5).
     *
-    * Shuffle-free: the per-doc token hashes are materialized once as an
-    * int array behind a Generate barrier (md5 computed once per token,
-    * not once per bit), then the 16 majority votes are per-row
-    * `aggregate` folds over that array — the signature never leaves the
-    * scan task (the previous explode+groupBy form shuffled every token
-    * row just to re-group them by the doc they came from).
+    * Shuffle-free AND codegen'd: the whole per-doc computation (one md5
+    * per distinct token, 64 majority counters, signature assembly) runs
+    * inside the native `graft_simhash64` expression
+    * (graft.functions.SimHash64) — a single tight JVM loop per row in
+    * the scan task. The previous formulation computed each signature
+    * bit as a separate interpreted `aggregate(...)` fold over a hash
+    * array (one lambda dispatch per element PER BIT) and was the
+    * round-2 bench regression; 64 bits would have made it 4× worse.
     */
-  def simhashSignature(docs: DataFrame): DataFrame = {
-    val hashes = transform(array_distinct(toks(col("text"))),
-      t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
-    val sig = (0 until simhashBits).map { b =>
-      when(aggregate(col("hs"), lit(0), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)) > 0,
-        lit(1 << b)).otherwise(lit(0))
-    }.reduce(_ + _)
-    docs.select(col("doc_id"), explode(array(hashes)).as("hs"))
-      .select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhashSignature(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashOps.simhash64(
+        docs.sparkSession, array_distinct(toks(col("text")))).as("simhash"))
 
   def simhash(docs: DataFrame): DataFrame =
     simhashSignature(docs)
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"))
 
-  /** SimHash near-dup pairs: hamming distance of the 16-bit signatures
+  /** SimHash near-dup pairs: hamming distance of the 64-bit signatures
     * ≤ maxDist, via codegen'd `bit_count(xor)`.
     *
     * Banded, not N²/2: the signature is split into maxDist+1 bit pieces
@@ -279,17 +274,23 @@ object Dedup {
     * then verifies candidates, and the (doc_a, doc_b) distinct collapses
     * pairs that matched on several pieces. At 100 TB this is the
     * difference between a shuffled equi-join (linear in corpus +
-    * candidates) and an unshardable quadratic cross join.
+    * candidates) and an unshardable quadratic cross join — and with
+    * 64-bit signatures each ~21-bit piece has ≥ 2²¹ possible values, so
+    * piece buckets stay selective at 10⁹ docs (the 16-bit version
+    * collapsed into ≤ 2⁶ buckets per piece).
     */
   def simhashNearDup(docs: DataFrame, maxDist: Int = 2): DataFrame = {
-    val nPieces = maxDist + 1                 // 3 pieces over 16 bits: 6|5|5
+    val nPieces = maxDist + 1                 // 3 pieces over 64 bits: 22|21|21
     val base = simhashBits / nPieces
     val extra = simhashBits % nPieces         // first `extra` pieces get +1 bit
     val offsets = (0 until nPieces).scanLeft(0)((o, j) => o + base + (if (j < extra) 1 else 0))
     val pieces = (0 until nPieces).map { j =>
       val width = base + (if (j < extra) 1 else 0)
+      // arithmetic shift + mask: the mask keeps exactly bits
+      // [offset, offset+width), so sign-extension of the top piece is
+      // harmless (same arithmetic the DuckDB oracle would use).
       struct(lit(j).as("pc"),
-        shiftright(col("simhash"), offsets(j)).bitwiseAND(lit((1 << width) - 1)).as("pv"))
+        shiftright(col("simhash"), offsets(j)).bitwiseAND(lit((1L << width) - 1)).as("pv"))
     }
     val sig = simhashSignature(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
@@ -305,53 +306,50 @@ object Dedup {
       .distinct()
   }
 
-  /** Shared SQL for the per-doc simhash signature (doc_id, simhash). */
+  /** Shared SQL for the per-doc 64-bit simhash signature (doc_id,
+    * simhash). Token hash: h1 = md5 hex chars 1–8 as uint32, h2 = hex
+    * chars 9–16; bit b of the token is bit b of h2 for b < 32, bit
+    * b−32 of h1 above. Signature bit 63 lands on the BIGINT sign bit —
+    * emitted as the literal −2⁶³ (written as −(2⁶³−1)−1 so the parser
+    * never sees an out-of-range positive literal).
+    */
   private def simhashSigSql: String = {
     val bitSums = (0 until simhashBits).map { b =>
-      s"sum(CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$b"
+      val bit = if (b < 32) s"((h2 >> $b) & 1)" else s"((h1 >> ${b - 32}) & 1)"
+      s"sum(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS s_$b"
     }.mkString(",\n       |         ")
-    val sig = (0 until simhashBits).map(b => s"CASE WHEN s_$b > 0 THEN ${1 << b} ELSE 0 END")
-      .mkString(" + ")
+    val sig = (0 until simhashBits).map { b =>
+      val w = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN s_$b > 0 THEN $w ELSE 0 END"
+    }.mkString(" + ")
     s"""SELECT doc_id, $sig AS simhash
        |  FROM (
        |    SELECT doc_id,
        |         $bitSums
        |    FROM (
-       |      SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INT AS h
+       |      SELECT doc_id,
+       |             ('0x' || substr(md5(t), 1, 8))::BIGINT AS h1,
+       |             ('0x' || substr(md5(t), 9, 8))::BIGINT AS h2
        |      FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents)
        |    )
        |    GROUP BY doc_id
        |  )""".stripMargin
   }
 
+  /** Oracle = the N²/2 hamming join over the same signatures (truth the
+    * banded candidate join must reproduce exactly).
+    */
   def simhashNearDupOracle(maxDist: Int = 2): String =
     s"""WITH sig AS (${simhashSigSql.replace("\n", "\n       |")})
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= $maxDist""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
 
-  val simhashOracle: String = {
-    val bitSums = (0 until simhashBits).map { b =>
-      s"sum(CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$b"
-    }.mkString(",\n       |         ")
-    val sig = (0 until simhashBits).map(b => s"CASE WHEN s_$b > 0 THEN ${1 << b} ELSE 0 END")
-      .mkString(" + ")
+  val simhashOracle: String =
     s"""SELECT simhash, count(*) AS n_docs
-       |FROM (
-       |  SELECT doc_id, $sig AS simhash
-       |  FROM (
-       |    SELECT doc_id,
-       |         $bitSums
-       |    FROM (
-       |      SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INT AS h
-       |      FROM (SELECT doc_id, unnest(list_distinct($toksSql)) AS t FROM documents)
-       |    )
-       |    GROUP BY doc_id
-       |  )
-       |)
+       |FROM (${simhashSigSql.replace("\n", "\n       |")})
        |GROUP BY 1""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),

@@ -91,6 +91,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) =>
