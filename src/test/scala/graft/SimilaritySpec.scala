@@ -64,6 +64,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 1L)
   }
 
+  test("near-dup pairs: cell-pruned plan has no cartesian/nested-loop join and equals N² truth") {
+    val d = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pruned = Similarity.nearDupPairs(d, 0.4)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cell-pruned near-dup must not cross join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "cell-pruned near-dup must use equi-joins only")
+    // exact recall: the pruned result must equal the brute-force N²/2 truth
+    val emb = d.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    val brute = emb.crossJoin(b).filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id"), col("vec_b"),
+        round(VectorOps.dot(spark, col("e"), col("eb")) /
+          (sqrt(VectorOps.dot(spark, col("e"), col("e"))) *
+            sqrt(VectorOps.dot(spark, col("eb"), col("eb")))), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pruned.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"pruned=${got.size} brute=${brute.size}")
+  }
+
   test("IVF hits agree with brute-force cosines on the real corpus") {
     val dir = "/root/testdata/sf0.001"
     val ivf = Similarity.ivfTopK(Tables.embeddings(spark, dir))

@@ -9,7 +9,7 @@ OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.la
 JAVA="java $OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -cp $CP"
 case "$1" in
   verify)  shift; SF="${1:-/root/testdata/sf0.001}"; OUT="${2:-/tmp/verify_out}"; shift 2 2>/dev/null || shift $#; exec $JAVA graft.Verify "$SF" "$OUT" "$@" ;;
-  bench)   shift; SPARK_GRAFT_SF_DIR="${1:-/root/testdata/sf0.01}" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" exec $JAVA graft.Bench ;;
+  bench)   shift; SF="${1:-/root/testdata/sf0.01}"; shift 2>/dev/null || true; SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" exec $JAVA graft.Bench "$@" ;;
   main)    shift; exec $JAVA "$@" ;;
   *) echo "usage: run.sh {verify [sfDir] [outDir] | bench [sfDir] | main <class> [args]}"; exit 2 ;;
 esac
