@@ -79,6 +79,40 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  // --------------------------------------------------------------- kafka
+
+  /** S1/S4/T9: the reference's Kafka front door (`consumer_lake.py:37-42`)
+    * as a real `.format("kafka")` code path — subscribe + startingOffsets
+    * (default `latest` = no backfill, exactly `consumer_lake.py:41`),
+    * value bytes parsed by the SAME `Bronze.parseTrades` every other
+    * source uses. Swapping the offline file stand-in for the broker is
+    * therefore CONFIGURATION, not code: the downstream transform plan
+    * (`silverTransform`) is byte-identical. Offline (no connector jar /
+    * broker) the call builds the full reader and fails only at Spark's
+    * data-source lookup — StreamingSpec pins that boundary, and proves
+    * the value-parse pipeline on a frame with Kafka's exact wire schema.
+    */
+  def kafkaEvents(spark: SparkSession, brokers: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    graft.ingest.Bronze.parseTrades(
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
+
+  /** S3: Kafka sink — the producer's `to_json(struct(*))` value
+    * serialization (`producer.py:9-22`) feeding a `.format("kafka")`
+    * writer. Returned unstarted so callers pick trigger/output mode.
+    */
+  def toKafkaSink(df: DataFrame, brokers: String, topic: String,
+      ckpt: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", ckpt)
+
   /** End-to-end streaming run, batch-equivalent by construction:
     * AvailableNow trigger (T5), complete-mode windowed agg rewritten by
     * `foreachBatch` (T8) into an overwrite parquet sink, checkpointed
@@ -112,6 +146,92 @@ object Streams {
     }
     spark.read.parquet(out)
   }
+
+  /** Staged TIME-RANGED multi-file input for the append-mode run: the
+    * events table written as `nFiles` range-partitioned parquet files
+    * with increasing modification times, so `maxFilesPerTrigger=1`
+    * replays them as separate micro-batches in event-time order. The
+    * time ordering is what makes the append run deterministic: the
+    * watermark can never close a window that still has rows in a later
+    * file, so nothing is late-dropped and the final emitted set depends
+    * only on the final watermark (max ts − delay) — exactly the batch
+    * SQL restricted to closed windows, which is the oracle.
+    */
+  private val rangedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageRanged(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
+    val d = Files.createTempDirectory("graft_stream_ranged")
+    Tables.events(spark, dir)
+      .repartitionByRange(nFiles, col("ts"))
+      .write.mode("overwrite").parquet(d.toString)
+    val parts = new java.io.File(d.toString).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - 600000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 10000L) }
+    d.toString
+  }
+
+  /** T3/T7/T9 end-to-end, oracle-checked: the watermarked APPEND run —
+    * the shape that survives 100 TB/day (bounded state, each window
+    * written exactly once when the watermark closes it; no complete-mode
+    * rewrite of the whole result per batch). `maxFilesPerTrigger=1`
+    * forces one micro-batch per staged range file, so the watermark
+    * advances incrementally across batches and windows are emitted as
+    * they close — multi-batch no-backfill semantics, not a single-batch
+    * replay. The DuckDB oracle is the batch tumbling SQL restricted to
+    * windows the final watermark closed.
+    */
+  def runSilverAppendChecked(spark: SparkSession, dir: String): DataFrame = {
+    val staged = rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
+    val out = Files.createTempDirectory("graft_stream_app_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_app_ckpt").toString
+    val schema = spark.read.parquet(staged).schema
+    val bars = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(
+        round(coalesce(stddev_pop(col("value")), lit(0.0)), 6).as("volatility"),
+        round(avg(col("value")), 6).as("average_price"),
+        max(col("ts")).as("processed_time"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("volatility"), col("average_price"),
+        col("processed_time"), col("n_rows"))
+    withStatePartitions(spark) {
+      val q = bars.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
+  /** Oracle: batch tumbling bars restricted to windows closed by the
+    * final watermark (max event time − 1 minute, at Spark's millisecond
+    * watermark precision).
+    */
+  val runSilverAppendCheckedOracle: String =
+    """WITH wm AS (
+      |  SELECT make_timestamp((epoch_ms(max(ts)) - 60000) * 1000) AS w FROM events
+      |), bars AS (
+      |  SELECT date_trunc('minute', ts) AS window_start,
+      |         date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end,
+      |         event_type,
+      |         round(coalesce(stddev_pop(value), 0), 6) AS volatility,
+      |         round(avg(value), 6) AS average_price,
+      |         max(ts) AS processed_time,
+      |         count(*) AS n_rows
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT window_start, window_end, event_type, volatility,
+      |       average_price, processed_time, n_rows
+      |FROM bars, wm WHERE bars.window_end <= wm.w""".stripMargin
 
   /** The watermarked append-mode variant (T3/T4/T7): emits only windows
     * the watermark has closed, appending per micro-batch — the
@@ -324,6 +444,7 @@ object Streams {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_silver" -> runSilverAvailableNow _,
+    "q_stream_append" -> runSilverAppendChecked _,
     "q_stream_inference" -> runSilverInference _,
     "q_stream_join" -> runClickPurchaseJoin _
   )
@@ -333,6 +454,7 @@ object Streams {
     */
   def oracles: Map[String, String] = Map(
     "q_stream_silver" -> SilverAgg.tumblingOracle,
+    "q_stream_append" -> runSilverAppendCheckedOracle,
     "q_stream_inference" -> runSilverInferenceOracle,
     "q_stream_join" -> runClickPurchaseJoinOracle
   )

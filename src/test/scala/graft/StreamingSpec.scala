@@ -166,6 +166,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka wire-schema rows parse through the shared trade pipeline") {
+    val s = spark
+    import s.implicits._
+    // Kafka's exact source schema: key/value binary + topic metadata —
+    // what `.format("kafka").load()` yields on a real cluster.
+    val wire = Seq(
+      (Array.empty[Byte],
+        """{"symbol":"BTCUSDT","price":96001.5,"quantity":0.0042,"timestamp":"2025-12-03T09:41:07.123000"}""".getBytes("UTF-8"),
+        "ticks", 0, 0L, new Timestamp(0L), 0),
+      (Array.empty[Byte],
+        """{"symbol":"ETHUSDT","price":3600.25,"quantity":1.5,"timestamp":"2025-12-03T09:41:08.000000"}""".getBytes("UTF-8"),
+        "ticks", 0, 1L, new Timestamp(0L), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val parsed = graft.ingest.Bronze.parseTrades(wire).orderBy("symbol").collect()
+    assert(parsed.length == 2)
+    assert(parsed(0).getString(0) == "BTCUSDT" && parsed(0).getDouble(1) == 96001.5)
+    assert(parsed(1).getString(0) == "ETHUSDT" && parsed(1).getDouble(2) == 1.5)
+    assert(!parsed(0).isNullAt(3), "timestamp string must cast to a real timestamp")
+  }
+
+  test("kafka source builds the full reader and stops only at the connector boundary") {
+    val s = spark
+    // No broker or connector jar offline: the reader (subscribe topic,
+    // startingOffsets=latest — the no-backfill semantics of T9) must be
+    // fully constructed, failing only inside Spark's data-source lookup.
+    val err = intercept[Exception](Streams.kafkaEvents(s, "broker:9092", "ticks"))
+    assert(err.getMessage.toLowerCase.contains("kafka"),
+      s"expected the kafka provider lookup to be the failure point, got: ${err.getMessage}")
+  }
+
   test("file-source append run writes only watermark-closed windows") {
     val s = spark
     val out = Files.createTempDirectory("graft_t_out").toString
