@@ -103,6 +103,18 @@ object Dedup {
   val numHashes = 8  // k minhash functions
   val bandRows = 2   // r rows per band → b = k/r = 4 bands
 
+  /** Hot-bucket cap: max docs admitted per (band, bucket) into candidate
+    * pairing. Boilerplate-heavy corpora (license headers, templated
+    * pages) put millions of docs into one LSH bucket, whose pair count
+    * grows quadratically — the classic skew failure of banded LSH at
+    * scale. Capping membership (deterministically: the `cap` lowest
+    * doc_ids survive) bounds any bucket's contribution to C(cap, 2)
+    * pairs. 256 is far above every bucket at test SF, so capped and
+    * uncapped results coincide there (the oracle stays the uncapped
+    * SQL); at 100 TB the knob is load-bearing.
+    */
+  val hotBucketCap = 256
+
   /** MinHash signature per doc: sig_i = min md5(shingle || '#' || i).
     *
     * Shape: a narrow per-row fold (`array_min` over `transform`) on the
@@ -143,7 +155,9 @@ object Dedup {
 
   /** LSH bands: band_j = md5(sig_{j·r} || … || sig_{j·r+r−1}); docs
     * sharing any band key are near-dup candidates. Output: per-band
-    * bucket statistics (buckets, max size, candidate pairs).
+    * bucket statistics (buckets, max size, candidate pairs), plus the
+    * hot-bucket cap in force and how many buckets exceed it (0 at test
+    * SF — the skew report an operator reads before a 100 TB run).
     */
   def lshBucketStats(docs: DataFrame): DataFrame =
     bandBuckets(minhashSignatures(docs)).groupBy(col("band"), col("bucket"))
@@ -152,7 +166,9 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_buckets"),
         max(col("sz")).as("max_bucket"),
-        sum(col("sz") * (col("sz") - 1) / 2).cast("bigint").as("n_candidate_pairs"))
+        sum(col("sz") * (col("sz") - 1) / 2).cast("bigint").as("n_candidate_pairs"),
+        lit(hotBucketCap).as("cap"),
+        sum(when(col("sz") > hotBucketCap, 1).otherwise(0)).cast("bigint").as("n_hot_buckets"))
 
   val lshBucketStatsOracle: String = {
     val bandSelects = (0 until numHashes / bandRows).map { j =>
@@ -164,15 +180,22 @@ object Dedup {
        |  $bandSelects
        |)
        |SELECT band, count(*) AS n_buckets, max(sz) AS max_bucket,
-       |       CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs
+       |       CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs,
+       |       $hotBucketCap AS cap,
+       |       CAST(sum(CASE WHEN sz > $hotBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets
        |FROM (SELECT band, bucket, count(*) AS sz FROM bands GROUP BY 1, 2)
        |GROUP BY 1""".stripMargin
   }
 
   /** Full near-dup pipeline: LSH candidates → verify true 3-gram
-    * Jaccard ≥ threshold. Returns confirmed pairs (a < b).
+    * Jaccard ≥ threshold. Returns confirmed pairs (a < b). Bucket
+    * membership is capped at `cap` docs (lowest doc_ids survive) so a
+    * boilerplate bucket contributes at most C(cap, 2) candidate pairs
+    * instead of exploding quadratically — inert at test SF (no bucket
+    * near the default cap), load-bearing at corpus scale.
     */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+      cap: Int = hotBucketCap): DataFrame = {
     // Packed shingle arrays are computed once and reused by the
     // signature derivation and the verification step (at 100 TB this
     // intermediate is written to storage; in-memory cache is the
@@ -183,8 +206,16 @@ object Dedup {
     // (bucket, doc_id) is already unique: one row per band per doc, and
     // band buckets from different bands hash different sig columns — no
     // distinct needed (an md5 cross-band collision would only add a
-    // candidate pair, which verification filters anyway).
+    // candidate pair, which verification filters anyway). The hot-bucket
+    // cap ranks within the bucket key ALONE — the same hash partitioning
+    // the bucket self-join needs, so the window rides the join's
+    // exchange instead of adding one (md5 collisions across bands are
+    // negligible, and a collision could only tighten the cap).
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
     val bands = bandBuckets(da.select(col("doc_id") +: sigCols: _*))
+      .withColumn("bpos", row_number().over(wBucket))
+      .filter(col("bpos") <= cap)
       .select(col("bucket"), col("doc_id"))
     val cand = bands.as("x").join(bands.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))

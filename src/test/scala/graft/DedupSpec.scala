@@ -76,6 +76,23 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == 3L)
   }
 
+  test("hot-bucket cap bounds pair counts for a boilerplate-heavy bucket") {
+    // 20 byte-identical docs land in ONE bucket per band; with cap=8
+    // only the 8 lowest doc_ids pair up: C(8,2)=28 pairs, not C(20,2)=190.
+    val boiler = "this license text repeats verbatim across every single document here"
+    val d = docs((1L to 20L).map(i => i -> boiler): _*)
+    val capped = Dedup.nearDupPairs(d, 0.5, cap = 8).collect()
+    assert(capped.length == 28, s"expected C(8,2)=28 capped pairs, got ${capped.length}")
+    assert(capped.forall(r => r.getLong(0) <= 8L && r.getLong(1) <= 8L),
+      "survivors must be the lowest doc_ids (deterministic cap)")
+    val uncapped = Dedup.nearDupPairs(d, 0.5).collect()
+    assert(uncapped.length == 190, "default cap must be inert on small buckets")
+    // the stats report flags the hot bucket relative to the cap in force
+    val stats = Dedup.lshBucketStats(d).collect()
+    assert(stats.forall(_.getInt(4) == Dedup.hotBucketCap))
+    assert(stats.forall(_.getLong(5) == 0L), "no bucket exceeds the default cap here")
+  }
+
   test("lshBucketStats candidate pair accounting is consistent") {
     val t = "a b c d e f g h i j k l m n o p"
     val d = docs((1L, t), (2L, t), (3L, "x y z w v u t s r q p o n m l k"))
