@@ -27,7 +27,7 @@ object SparkEntry {
     relational.RuntimeFilters.queries ++
     ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
     ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
-    sources.Sinks.queries ++ sources.Layout.queries
+    sources.Sinks.queries ++ sources.Layout.queries ++ sources.TxLog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +40,5 @@ object SparkEntry {
     relational.RuntimeFilters.oracles ++
     ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
     ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
-    sources.Sinks.oracles ++ sources.Layout.oracles
+    sources.Sinks.oracles ++ sources.Layout.oracles ++ sources.TxLog.oracles
 }

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.TxLog
+
+/** Transaction-log semantics: atomic commit, snapshot isolation vs the
+  * dirty raw scan, time travel, and monotonic versioning.
+  */
+class TxLogSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_txlog_spec").toString
+
+  private def events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("snapshot sees only committed files; dirty scan sees orphans too") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500), t)
+    // writer dies before committing: data lands, the log never hears of it
+    events.filter(col("event_id") >= 500)
+      .write.parquet(java.nio.file.Paths.get(t).resolve("data-orphan").toString)
+    val committed = TxLog.snapshot(s, t).count()
+    val dirty = TxLog.dirtyScan(s, t).count()
+    assert(committed == events.filter(col("event_id") < 500).count())
+    assert(dirty == events.count(), "raw glob must surface uncommitted fragments")
+    assert(dirty > committed)
+  }
+
+  test("time travel: each version is the exact cumulative file set at commit time") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val v1 = TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    val v2 = TxLog.commitAppend(events.filter(col("event_id") >= 300), t)
+    assert(v1 == 1L && v2 == 2L, "versions are assigned monotonically")
+    assert(TxLog.currentVersion(t).contains(2L))
+    assert(TxLog.snapshotAt(s, t, 1).count() == events.filter(col("event_id") < 300).count())
+    assert(TxLog.snapshotAt(s, t, 2).count() == events.count())
+  }
+
+  test("commit survives losing a version race (optimistic retry)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t)
+    // another committer claims v2 out from under us
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t).resolve("_txlog").resolve("v00000002.manifest"),
+      TxLog.snapshot(s, t).inputFiles.map(f =>
+        java.nio.file.Paths.get(t).relativize(java.nio.file.Paths.get(
+          new java.net.URI(f).getPath)).toString).mkString("\n").getBytes("UTF-8"))
+    val v = TxLog.commitAppend(events.filter(col("event_id") >= 100), t)
+    assert(v == 3L, s"commit must retry past the stolen version, got v$v")
+    assert(TxLog.snapshotAt(s, t, 3).count() == events.count())
+  }
+}
