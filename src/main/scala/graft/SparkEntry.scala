@@ -26,6 +26,7 @@ object SparkEntry {
     relational.TypedQueries.queries ++ relational.TemporalJoins.queries ++
     relational.RuntimeFilters.queries ++
     ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
+    ext.Curation.queries ++
     ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
     sources.Sinks.queries ++ sources.Layout.queries ++ sources.TxLog.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
     relational.TypedQueries.oracles ++ relational.TemporalJoins.oracles ++
     relational.RuntimeFilters.oracles ++
     ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
+    ext.Curation.oracles ++
     ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
     sources.Sinks.oracles ++ sources.Layout.oracles ++ sources.TxLog.oracles
 }

@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a training-data pipeline runs between
+  * dedup and tokenization: benchmark decontamination (n-gram overlap
+  * against an eval set), within-document repetition filtering (the
+  * Gopher rule family), and deterministic stratified sampling (data
+  * mixing weights). Not in the reference (its only text op is JSON
+  * parse) — north-star extension surface like TextOps/Dedup.
+  *
+  * All determinism comes from md5 arithmetic shared with the DuckDB
+  * oracles; every rate is rounded 6dp on both engines.
+  */
+object Curation {
+
+  /** Normalized word tokens (same normalization as Dedup). */
+  private def toks(c: Column): Column =
+    split(trim(regexp_replace(lower(c), "[^a-z0-9 ]", " ")), " +")
+
+  private val toksSql =
+    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+
+  /** Word n-grams as one packed array per doc (Generate-barrier idiom:
+    * the token split runs once per document, the grams are a narrow
+    * per-row transform).
+    */
+  private def gramArrays(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"), explode(array(toks(col("text")))).as("arr"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("arr")) - n, lit(0))),
+          i => concat_ws(" ", (0 until n).map(k => get(col("arr"), i + k)): _*)
+        )).as("grams"))
+
+  private def gramsSql(n: Int): String =
+    s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - ${n - 1}, 1) + 1),
+       |                  i -> array_to_string(($toksSql)[i:i+${n - 1}], ' ')))""".stripMargin
+
+  // ------------------------------------------------------ decontamination
+
+  /** Modulus electing the stand-in "benchmark/eval" docs (doc_id % 53
+    * == 0, ~2% of the corpus — eval sets are tiny next to training
+    * corpora, which is what makes the broadcast side small).
+    */
+  val benchmarkMod = 53
+
+  /** Train/test decontamination: flag training docs sharing any word
+    * n-gram with the benchmark set (the standard 8-to-13-gram collision
+    * rule; n=5 here so the small test docs actually collide). Output:
+    * per-source counts + contamination rate.
+    *
+    * Scale shape: the benchmark side is eval-set-sized → its distinct
+    * grams BROADCAST; the corpus side is one Generate pass over packed
+    * gram arrays + a broadcast semi-join — no corpus shuffle at all
+    * until the final per-source count agg.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = gramArrays(docs, n)
+    val bench = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val train = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+    val contaminated = train
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .select(col("doc_id"), col("source")).distinct()
+    train.select(col("doc_id"), col("source"))
+      .join(contaminated.select(col("doc_id"), lit(1).as("hit")), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_contaminated"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+  }
+
+  def decontaminateOracle(n: Int = 5): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, source, ${gramsSql(n).replace("\n", "\n       |")} AS grams
+       |  FROM documents
+       |), bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $benchmarkMod = 0
+       |), hits AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+       |        WHERE doc_id % $benchmarkMod != 0) t
+       |  JOIN bench USING (gram)
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(count(hits.doc_id) AS BIGINT) AS n_contaminated,
+       |       round(count(hits.doc_id)::DOUBLE / count(*), 6) AS contamination_rate
+       |FROM g LEFT JOIN hits USING (doc_id)
+       |WHERE g.doc_id % $benchmarkMod != 0
+       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------- repetition
+
+  /** Within-document repetition (Gopher-style): the fraction of
+    * duplicate word 2-grams. Heavily templated/looping text scores
+    * high and is dropped before training. Map-only: one Generate pass,
+    * per-row arithmetic, no shuffle.
+    */
+  def repetition(docs: DataFrame, maxDupRatio: Double = 0.2): DataFrame =
+    docs.select(col("doc_id"), explode(array(toks(col("text")))).as("arr"))
+      .select(col("doc_id"),
+        transform(
+          sequence(lit(0), greatest(size(col("arr")) - 2, lit(0))),
+          i => concat_ws(" ", get(col("arr"), i), get(col("arr"), i + 1))).as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct"))
+      .withColumn("dup_ratio",
+        round((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"), 6))
+      .withColumn("keep", col("dup_ratio") <= maxDupRatio)
+
+  def repetitionOracle(maxDupRatio: Double = 0.2): String =
+    s"""SELECT doc_id, n_grams, n_distinct,
+       |       round((n_grams - n_distinct)::DOUBLE / n_grams, 6) AS dup_ratio,
+       |       round((n_grams - n_distinct)::DOUBLE / n_grams, 6) <= $maxDupRatio AS keep
+       |FROM (
+       |  SELECT doc_id, len(grams) AS n_grams, len(list_distinct(grams)) AS n_distinct
+       |  FROM (
+       |    SELECT doc_id,
+       |           list_transform(range(1, greatest(len($toksSql) - 1, 1) + 1),
+       |                          i -> array_to_string(($toksSql)[i:i+1], ' ')) AS grams
+       |    FROM documents
+       |  )
+       |)""".stripMargin
+
+  // ------------------------------------------------------------ sampling
+
+  /** Deterministic stratified sampling — the "data mixing" step that
+    * up/down-weights sources. Each source gets a target keep-rate
+    * derived from md5(source) (10–89%); a doc is kept iff
+    * md5(doc_id) mod 100 < rate. Hash-gated sampling is reproducible
+    * across runs/engines and cluster-order-independent — `rand()` is
+    * neither. Map-only + one small agg.
+    */
+  def sampleMix(docs: DataFrame): DataFrame = {
+    val rate = (pmod(conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long"), lit(80L)) + 10).as("target_rate")
+    val kept = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(100L)) < col("target_rate")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("target_rate", rate)
+      .withColumn("kept", kept)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        first(col("target_rate")).as("target_rate"))
+      .withColumn("actual_rate",
+        round(col("n_kept").cast("double") / col("n_docs"), 6))
+  }
+
+  val sampleMixOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(first(target_rate) AS BIGINT) AS target_rate,
+      |       round(sum(CASE WHEN kept THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS actual_rate
+      |FROM (
+      |  SELECT source,
+      |         (('0x' || substr(md5(source), 1, 4))::BIGINT % 80) + 10 AS target_rate,
+      |         (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100)
+      |           < (('0x' || substr(md5(source), 1, 4))::BIGINT % 80) + 10 AS kept
+      |  FROM documents
+      |)
+      |GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
+    "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateOracle(),
+    "q_repetition" -> repetitionOracle(),
+    "q_sample_mix" -> sampleMixOracle
+  )
+}

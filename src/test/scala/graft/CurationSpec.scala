@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.Curation
+
+/** Curation semantics on constructed corpora: decontamination overlap,
+  * repetition ratios, deterministic stratified sampling.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  test("decontaminate flags only train docs sharing an n-gram with the benchmark set") {
+    val bench = "alpha beta gamma delta epsilon zeta"          // doc 0 -> benchmark (0 % 53 == 0)
+    val d = docs(
+      (0L, bench, "web"),
+      (1L, "prefix words alpha beta gamma delta epsilon tail", "web"), // shares the 5-gram
+      (2L, "completely different content with no overlap at all", "web"),
+      (3L, "another clean document of unrelated words entirely", "books"))
+    val out = Curation.decontaminate(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("web") == ((2L, 1L)), s"web: one of two train docs contaminated, got ${out("web")}")
+    assert(out("books") == ((1L, 0L)))
+  }
+
+  test("repetition: looping text scores high and is dropped; varied text keeps") {
+    val d = docs(
+      (1L, "spam ham spam ham spam ham spam ham spam ham", "web"),
+      (2L, "each word here appears exactly once in this document", "web"))
+    val byDoc = Curation.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byDoc(1L)._1 > 0.7 && !byDoc(1L)._2, "looping 2-grams must be dropped")
+    assert(byDoc(2L)._1 == 0.0 && byDoc(2L)._2)
+  }
+
+  test("sampleMix: rates are deterministic, within [10, 89], and gate per doc hash") {
+    val d = docs((1L to 200L).map(i => (i, s"text $i", if (i % 2 == 0) "web" else "books")): _*)
+    val out = Curation.sampleMix(d).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      val (n, kept, rate) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rate >= 10 && rate <= 89)
+      assert(kept <= n)
+    }
+    // deterministic: a second run yields byte-identical counts
+    val again = Curation.sampleMix(d).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+}
