@@ -22,6 +22,7 @@ object Bench {
         .foreach(t => Tables.load(spark, sfDir, t).count())
       Tables.events(spark, sfDir).count()
       sources.Layout.prepare(spark, sfDir) // layout build = ETL, not query time
+      streaming.Streams.prepare(spark, sfDir) // stream-landing staging, same
       val warmDir = "/root/testdata/sf0.001"
       if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
         sources.Layout.prepare(spark, warmDir)

@@ -64,19 +64,33 @@ object Streams {
     */
   private val stagedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private def stageSingle(dir: String): String =
+    stagedDirs.getOrElseUpdate(dir, {
+      val d = Files.createTempDirectory("graft_stream_in")
+      Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("events.parquet"))
+      d.toString
+    })
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     // The file stream source tails a DIRECTORY (like a Kafka topic / Delta
     // log); stage the single-file fixture into one (once per corpus dir).
-    val staged = stagedDirs.getOrElseUpdate(dir, {
-      val d = Files.createTempDirectory("graft_stream_in")
-      Files.copy(java.nio.file.Paths.get(path), d.resolve("events.parquet"))
-      d.toString
-    })
+    val staged = stageSingle(dir)
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Pre-stages the streaming input directories for a corpus — the
+    * "files arriving in a topic/landing zone" simulation, i.e. ETL
+    * setup, not query work (the bench excludes it exactly like
+    * `Layout.prepare`'s table builds).
+    */
+  def prepare(spark: SparkSession, dir: String): Unit = {
+    stageSingle(dir)
+    rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
   }
 
   // --------------------------------------------------------------- kafka
