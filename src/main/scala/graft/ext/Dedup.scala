@@ -268,6 +268,66 @@ object Dedup {
        |            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= $threshold""".stripMargin
   }
 
+  // ------------------------------------------------------------- clusters
+
+  /** Duplicate-CLUSTER formation: connected components over the verified
+    * near-dup pair graph — the step after pair generation in a real
+    * dedup pipeline (pairs alone can't pick survivors when A≈B≈C but
+    * A!≈C; the component's min doc_id becomes the canonical doc).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — the
+    * standard Spark shape for connected components (what GraphX/
+    * GraphFrames run underneath). Each iteration is one equi-join + one
+    * min-agg over EDGE-sized data (candidate pairs, a vanishing
+    * fraction of the corpus — the corpus-sized work already happened in
+    * `nearDupPairs`), with `localCheckpoint` truncating lineage so the
+    * plan doesn't grow with iterations. Converges in O(component
+    * diameter) rounds; dup clusters are shallow (diameter ≲ a few), the
+    * 20-round cap is generous. The fixpoint (min reachable doc_id per
+    * vertex) is unique, so the result is deterministic and the DuckDB
+    * oracle reproduces it with a recursive CTE.
+    */
+  def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("v")).distinct()
+      .withColumn("l", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges.join(labels.select(col("v").as("d"), col("l").as("nl")), "d")
+        .groupBy(col("s")).agg(min(col("nl")).as("nbr_min"))
+        .withColumnRenamed("s", "v")
+      val updated = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nbr_min"), col("l"))).as("l"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.select(col("v"), col("l").as("old")), "v")
+        .filter(col("l") =!= col("old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
+  }
+
+  def dupClustersOracle(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${nearDupPairsOracle(threshold).replace("\n", "\n       |  ")}
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(v, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v
+       |)
+       |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
+
   // -------------------------------------------------------------- simhash
 
   val simhashBits = 64
@@ -388,6 +448,7 @@ object Dedup {
     "q_dedup_minhash_sig" -> ((s, d) => minhashSignatures(Tables.documents(s, d))),
     "q_dedup_lsh_stats" -> ((s, d) => lshBucketStats(Tables.documents(s, d))),
     "q_dedup_near_pairs" -> ((s, d) => nearDupPairs(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => dupClusters(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => simhashNearDup(Tables.documents(s, d)))
   )
@@ -398,6 +459,7 @@ object Dedup {
     "q_dedup_minhash_sig" -> minhashSignaturesOracle,
     "q_dedup_lsh_stats" -> lshBucketStatsOracle,
     "q_dedup_near_pairs" -> nearDupPairsOracle(),
+    "q_dedup_clusters" -> dupClustersOracle(),
     "q_dedup_simhash" -> simhashOracle,
     "q_simhash_neardup" -> simhashNearDupOracle()
   )

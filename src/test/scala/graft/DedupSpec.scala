@@ -69,6 +69,22 @@ class DedupSpec extends SparkSpec {
     assert(j > 0.1 && j < 1.0)
   }
 
+  test("dupClusters: transitive chain A~B~C collapses into one component") {
+    // A≈B and B≈C share 3-gram shingles but A and C overlap much less —
+    // pair detection alone can't group them; the component must.
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight CHANGED WORDS"),
+      (3L, "three four five six seven eight CHANGED WORDS MORE DRIFT"),
+      (7L, "totally unrelated text in its own tiny island here"),
+      (8L, "totally unrelated text in its own tiny island here"))
+    val out = Dedup.dupClusters(d, 0.1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L,
+      s"chain must collapse to min doc_id 1, got $out")
+    assert(out(7L) == 7L && out(8L) == 7L)
+  }
+
   test("simhash groups identical docs under one signature") {
     val t = "spark catalyst tungsten codegen shuffle partition"
     val d = docs((1L, t), (2L, t), (3L, t))
