@@ -169,15 +169,100 @@ object Curation {
       |)
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------- packing
+
+  /** Sequence packing: assign docs to fixed-budget context windows
+    * ("packs") by running prefix sums of token counts WITHIN each
+    * source shard (contiguous greedy packing — what large-scale
+    * tokenizer pipelines actually do). The window partitions by source,
+    * so packing parallelizes per shard instead of forcing a global
+    * single-partition sort; pack ids are globally unique as
+    * (source, pack_no).
+    */
+  def sequencePack(docs: DataFrame, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), " +")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_no", floor((col("cum_tokens") - 1) / budget).cast("bigint"))
+      .groupBy(col("source"), col("pack_no"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  def sequencePackOracle(budget: Int = 512): String =
+    s"""SELECT source, pack_no, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                     ROWS UNBOUNDED PRECEDING) - 1) / $budget) AS BIGINT) AS pack_no
+       |  FROM (SELECT doc_id, source,
+       |               len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+       |        FROM documents)
+       |)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ scrubbing
+
+  /** PII-pattern scrub: redact email-shaped and long-digit-run tokens,
+    * report per-source hit counts and size deltas — the audit a
+    * compliance pass emits. Map-only; both regexes stay in the
+    * RE2-compatible subset so Spark (java.util.regex) and DuckDB (RE2)
+    * agree.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val digitsRe = "[0-9]{9,}"
+
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("text"),
+      regexp_count(col("text"), lit(emailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(digitsRe)).as("n_digit_runs"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"), digitsRe, "<NUM>"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).cast("bigint").as("n_emails"),
+        sum(col("n_digit_runs")).cast("bigint").as("n_digit_runs"),
+        sum(when(col("n_emails") + col("n_digit_runs") > 0, 1).otherwise(0))
+          .cast("bigint").as("n_docs_hit"),
+        sum(length(col("text")) - length(col("scrubbed"))).cast("bigint").as("chars_removed"))
+
+  val piiScrubOracle: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       |       CAST(sum(n_digit_runs) AS BIGINT) AS n_digit_runs,
+       |       CAST(sum(CASE WHEN n_emails + n_digit_runs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+       |       CAST(sum(length(text) - length(scrubbed)) AS BIGINT) AS chars_removed
+       |FROM (
+       |  SELECT source, text,
+       |         len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |         len(regexp_extract_all(text, '$digitsRe')) AS n_digit_runs,
+       |         regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'), '$digitsRe', '<NUM>', 'g') AS scrubbed
+       |  FROM documents
+       |)
+       |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
-    "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d)))
+    "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))),
+    "q_seq_pack" -> ((s, d) => sequencePack(Tables.documents(s, d))),
+    "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
     "q_decontaminate" -> decontaminateOracle(),
     "q_repetition" -> repetitionOracle(),
-    "q_sample_mix" -> sampleMixOracle
+    "q_sample_mix" -> sampleMixOracle,
+    "q_seq_pack" -> sequencePackOracle(),
+    "q_pii_scrub" -> piiScrubOracle
   )
 }

@@ -38,6 +38,29 @@ class CurationSpec extends SparkSpec {
     assert(byDoc(2L)._1 == 0.0 && byDoc(2L)._2)
   }
 
+  test("sequencePack: contiguous docs fill a budget before the next pack opens") {
+    // 5 docs × 4 tokens in one source; budget 8 → packs of 2 docs
+    val d = docs((1L to 5L).map(i => (i, "tok tok tok tok", "web")): _*)
+    val out = Curation.sequencePack(d, budget = 8).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) == ((2L, 1L, 2L)), s"pack 0 = docs 1-2, got ${out.get(0L)}")
+    assert(out(1L) == ((2L, 3L, 4L)))
+    assert(out(2L) == ((1L, 5L, 5L)))
+  }
+
+  test("piiScrub counts and redacts email and digit-run patterns") {
+    val d = docs(
+      (1L, "contact me at alice.smith@example.com or 123456789012 thanks", "web"),
+      (2L, "no sensitive content here at all", "web"))
+    val out = Curation.piiScrub(d).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(2) == 1L, "one email")
+    assert(r.getLong(3) == 1L, "one digit run")
+    assert(r.getLong(4) == 1L, "one doc hit")
+    assert(r.getLong(5) > 0L, "redaction shrank the text")
+  }
+
   test("sampleMix: rates are deterministic, within [10, 89], and gate per doc hash") {
     val d = docs((1L to 200L).map(i => (i, s"text $i", if (i % 2 == 0) "web" else "books")): _*)
     val out = Curation.sampleMix(d).collect()
