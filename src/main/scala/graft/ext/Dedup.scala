@@ -117,20 +117,21 @@ object Dedup {
 
   /** MinHash signature per doc: sig_i = min md5(shingle || '#' || i).
     *
-    * Shape: a narrow per-row fold (`array_min` over `transform`) on the
-    * packed shingle array — the signature derivation is scan-parallel
-    * with ZERO exchanges. The previous formulation exploded shingles to
-    * rows and paid a hash-agg shuffle (partial min-agg, but still an
-    * exchange of one k-hash tuple per doc) just to regroup rows by the
-    * doc they came from.
+    * Shape: the native `graft_minhash8` expression
+    * (graft.functions.MinHashSigs) builds the distinct 3-gram shingles
+    * and all k min-hashes in ONE tight JVM pass per row — zero
+    * exchanges, whole-stage codegen, and no corpus-wide shingle-array
+    * materialization. The previous formulation ran k interpreted
+    * `array_min(transform(...))` lambdas per document (one md5 lambda
+    * dispatch per shingle per hash) — the same interpreted-HOF hotspot
+    * the SimHash expression eliminated.
     */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    shingleArrays(docs).select(col("doc_id") +: sigCols: _*)
-
-  /** sig_i columns computed narrowly from a packed `sh` shingle array. */
-  private def sigCols: Seq[Column] = (0 until numHashes).map { i =>
-    array_min(transform(col("sh"), s => md5(concat(s, lit(s"#$i"))))).as(s"sig_$i")
-  }
+    docs.select(col("doc_id"),
+      graft.functions.SimHashOps.minhash8(
+        docs.sparkSession, toks(col("text"))).as("sigs"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => element_at(col("sigs"), i + 1).as(s"sig_$i")): _*)
 
   /** (band, bucket, doc_id) rows from a signature frame — one explode,
     * not one plan copy per band.
@@ -196,13 +197,10 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
       cap: Int = hotBucketCap): DataFrame = {
-    // Packed shingle arrays are computed once and reused by the
-    // signature derivation and the verification step (at 100 TB this
-    // intermediate is written to storage; in-memory cache is the
-    // single-node analog). Everything up to the bucket self-join is a
-    // single narrow pass over the corpus: shingles, signatures, and
-    // band keys are all per-row folds — zero exchanges.
-    val da = shingleArrays(docs).cache()
+    // Signatures come straight from the native expression — a single
+    // narrow corpus pass with NOTHING cached corpus-wide (round-2's
+    // packed-shingle cache is gone: at 100 TB an in-memory corpus-sized
+    // intermediate was the weakest assumption in this pipeline).
     // (bucket, doc_id) is already unique: one row per band per doc, and
     // band buckets from different bands hash different sig columns — no
     // distinct needed (an md5 cross-band collision would only add a
@@ -213,7 +211,7 @@ object Dedup {
     // negligible, and a collision could only tighten the cap).
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("doc_id"))
-    val bands = bandBuckets(da.select(col("doc_id") +: sigCols: _*))
+    val bands = bandBuckets(minhashSignatures(docs))
       .withColumn("bpos", row_number().over(wBucket))
       .filter(col("bpos") <= cap)
       .select(col("bucket"), col("doc_id"))
@@ -232,7 +230,10 @@ object Dedup {
     // itself is set-semantic (saves a full shuffle of the id stream)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
-    val shArr = da.join(candDocs, Seq("doc_id"), "left_semi")
+    // packed shingle arrays are built ONLY for candidate docs — the
+    // semi-join runs before the Generate, so the expensive shingling
+    // touches a vanishing fraction of the corpus
+    val shArr = shingleArrays(docs.join(candDocs, Seq("doc_id"), "left_semi"))
       .cache() // candidate-doc-sized; feeds both sides of the pair join
     cand
       .join(shArr.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")

@@ -118,6 +118,126 @@ object SimHash64 {
   }
 }
 
+/** Native MinHash signature bank over a token array: builds the
+  * document's distinct word 3-gram shingles and all `numHashes` min-md5
+  * signatures in ONE JVM pass per row (md5(shingle || "#i") for each
+  * hash index, exactly the portable definition the DuckDB oracle
+  * evaluates). Replaces `numHashes` interpreted
+  * `array_min(transform(...))` lambdas per document — the same
+  * interpreted-HOF hotspot the SimHash expression eliminated, and it
+  * also removes any need to materialize (or cache) corpus-wide shingle
+  * arrays just to derive signatures.
+  *
+  * Returns `array<string>` of length `MinHashSigs.numHashes` (sig_i at
+  * position i+1).
+  */
+case class MinHashSigs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash8 expects array<string> tokens, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    MinHashSigs.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+
+  val numHashes = 8   // k min-hash functions (bands derive from these)
+  val shingleWidth = 3
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct word `shingleWidth`-grams, exactly mirroring the column
+    * formulation: positions 0..max(len-width, 0), missing tokens
+    * skipped (concat_ws semantics), order-preserving dedup.
+    */
+  def shingles(tokens: IndexedSeq[String]): IndexedSeq[String] = {
+    val n = math.max(tokens.length - shingleWidth, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= n) {
+      val sb = new StringBuilder
+      var k = 0
+      var first = true
+      while (k < shingleWidth) {
+        if (i + k < tokens.length && tokens(i + k) != null) {
+          if (!first) sb.append(' ')
+          sb.append(tokens(i + k))
+          first = false
+        }
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out.toIndexedSeq
+  }
+
+  def computeSeq(tokens: IndexedSeq[String]): Array[String] = {
+    val md = mdLocal.get()
+    val mins = new Array[String](numHashes)
+    shingles(tokens).foreach { sh =>
+      var i = 0
+      while (i < numHashes) {
+        val h = md5Hex(md, sh + "#" + i)
+        if (mins(i) == null || h.compareTo(mins(i)) < 0) mins(i) = h
+        i += 1
+      }
+    }
+    mins
+  }
+
+  /** Called from generated code — one pass over the token array. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val tokens = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      tokens(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val res = computeSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(tokens))
+    val out = new Array[Any](res.length)
+    var j = 0
+    while (j < res.length) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(res(j))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level entry point: native `graft_simhash64` when the session
   * has graft's extensions, JVM UDF fallback otherwise (same arithmetic,
   * still one tight loop per row — only loses codegen fusion).
@@ -130,4 +250,12 @@ object SimHashOps {
     if (spark.catalog.functionExists("graft_simhash64"))
       call_function("graft_simhash64", tokens)
     else simhashUdf(tokens)
+
+  private val minhashUdf = udf((ts: Seq[String]) =>
+    MinHashSigs.computeSeq(ts.toIndexedSeq).toSeq)
+
+  def minhash8(spark: SparkSession, tokens: Column): Column =
+    if (spark.catalog.functionExists("graft_minhash8"))
+      call_function("graft_minhash8", tokens)
+    else minhashUdf(tokens)
 }

@@ -95,6 +95,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash8"),
+      (children: Seq[Expression]) => MinHashSigs(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) =>
