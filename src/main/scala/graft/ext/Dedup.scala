@@ -304,20 +304,28 @@ object Dedup {
     var labels = edges.select(col("s").as("v")).distinct()
       .withColumn("l", col("v"))
       .localCheckpoint()
+    // convergence probe: propagation only ever LOWERS labels, so the
+    // fixpoint is reached exactly when sum(l) stops decreasing — one
+    // cheap aggregate per round instead of an old-vs-new join. Decimal
+    // sum: overflow-proof for arbitrary id ranges (ANSI mode makes a
+    // long-sum overflow an error, not a wrap).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("l").cast("decimal(38,0)"))).head
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
       val nbrMin = edges.join(labels.select(col("v").as("d"), col("l").as("nl")), "d")
         .groupBy(col("s")).agg(min(col("nl")).as("nbr_min"))
         .withColumnRenamed("s", "v")
-      val updated = labels.join(nbrMin, Seq("v"), "left")
+      labels = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("l"), coalesce(col("nbr_min"), col("l"))).as("l"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.select(col("v"), col("l").as("old")), "v")
-        .filter(col("l") =!= col("old")).limit(1).count()
-      labels = updated
-      converged = changed == 0
+      val curSum = labelSum(labels)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
