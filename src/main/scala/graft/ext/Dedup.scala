@@ -211,10 +211,15 @@ object Dedup {
     // negligible, and a collision could only tighten the cap).
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    // cached: the bucket self-join reads this frame on BOTH sides — the
+    // band table is (bucket, doc_id) per band per doc, bytes per row,
+    // and without the cache the native signature pass + cap window
+    // would run twice
     val bands = bandBuckets(minhashSignatures(docs))
       .withColumn("bpos", row_number().over(wBucket))
       .filter(col("bpos") <= cap)
       .select(col("bucket"), col("doc_id"))
+      .cache()
     val cand = bands.as("x").join(bands.as("y"), col("x.bucket") === col("y.bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -401,9 +406,14 @@ object Dedup {
         shiftright(col("simhash"), offsets(j)).bitwiseAND(lit((1L << width) - 1)).as("pv"))
     }
     val sig = simhashSignature(docs)
+    // the self-join would otherwise evaluate the signature expression
+    // over the corpus twice (once per side); the banded signature table
+    // is (doc_id, long, piece) — bytes per doc, the materialized
+    // "signature index" a production pipeline stores anyway
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array(pieces: _*)).as("p"))
       .select(col("doc_id"), col("simhash"), col("p.pc").as("pc"), col("p.pv").as("pv"))
+      .cache()
     val b = banded.select(col("pc"), col("pv"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     banded.join(b, Seq("pc", "pv"))
