@@ -134,22 +134,37 @@ object Similarity {
     * probe join touches nprobe/cells of the data — the recall/cost dial
     * IVF exists for.
     */
-  def ivfTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): DataFrame = {
+  private val dim = 64
+
+  /** (vec_id, label, e, nrm) projection shared by the IVF variants. */
+  private def vecFrame(vectors: DataFrame): DataFrame = {
     val spark = vectors.sparkSession
-    val v = vectors.select(col("vec_id"), col("label"),
+    vectors.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", VectorOps.norm(spark, col("e")))
-    val dim = 64
+  }
+
+  /** Per-label mean centroids (cell, ce, cnrm) — the deterministic
+    * codebook seed.
+    */
+  private def labelCentroids(v: DataFrame): DataFrame = {
+    val spark = v.sparkSession
     val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
-    val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+    v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
       .select(col("label").as("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
       .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
-    // Pack the whole codebook into ONE broadcast row. Cell routing is
-    // then a narrow per-row reduction over the packed array — the
-    // corpus is NEVER shuffled for assignment (a row_number window over
-    // vec_id would shuffle 100 TB to make a per-row decision). Ranking
-    // sorts struct(-ccos, cell) ascending = cosine desc, cell asc —
-    // identical tie-break to the oracle's ORDER BY.
+  }
+
+  /** Adds a ranked `cells` array to every vector row: the codebook is
+    * packed into ONE broadcast row, so cell routing is a narrow per-row
+    * reduction — the corpus is NEVER shuffled for assignment (a
+    * row_number window over vec_id would shuffle 100 TB to make a
+    * per-row decision). Ranking sorts struct(-ccos, cell) ascending =
+    * cosine desc, cell asc — identical tie-break to the oracle's
+    * ORDER BY.
+    */
+  private def withRankedCells(v: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = v.sparkSession
     val codebook = centroids
       .agg(collect_list(struct(col("cell"), col("ce"), col("cnrm"))).as("cb"))
     val ranked = sort_array(transform(col("cb"), c =>
@@ -157,8 +172,38 @@ object Similarity {
         (round(VectorOps.dot(spark, col("e"), c.getField("ce")) /
           (col("nrm") * c.getField("cnrm")), 6) * -1).as("neg_ccos"),
         c.getField("cell").as("cell"))))
-    val withCells = v.crossJoin(broadcast(codebook))
-      .withColumn("cells", ranked)
+    v.crossJoin(broadcast(codebook)).withColumn("cells", ranked)
+  }
+
+  /** Lloyd-iterated codebook: seed with label means, then `iters`
+    * rounds of (assign to nearest centroid → recompute cell means).
+    * Deterministic end to end (no random init, rounded-cosine ranking
+    * with a cell tie-break), so the DuckDB oracle reproduces the exact
+    * codebook by unrolling the same iterations. Each round is one
+    * map-only assignment pass + one O(cells) aggregation — the standard
+    * distributed k-means shape; cells that lose all members drop out of
+    * the codebook on both engines identically.
+    */
+  private def kmeansCentroids(v: DataFrame, iters: Int): DataFrame = {
+    val spark = v.sparkSession
+    var cent = labelCentroids(v)
+    val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
+    for (_ <- 0 until iters) {
+      val assigned = withRankedCells(v, cent)
+        .withColumn("cell", col("cells").getItem(0).getField("cell"))
+        .select(col("cell"), col("e"))
+      cent = assigned.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
+        .select(col("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
+        .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
+    }
+    cent
+  }
+
+  /** Inverted-file probe + exact rerank given a codebook. */
+  private def probeTopK(v: DataFrame, centroids: DataFrame,
+      nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = v.sparkSession
+    val withCells = withRankedCells(v, centroids)
     // inverted lists: nearest cell per vector
     val assigned = withCells
       .withColumn("cell", col("cells").getItem(0).getField("cell"))
@@ -176,6 +221,21 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+  }
+
+  def ivfTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val v = vecFrame(vectors)
+    probeTopK(v, labelCentroids(v), nQueries, k, nprobe)
+  }
+
+  /** IVF with a genuinely LEARNED codebook: Lloyd-iterated k-means
+    * centroids instead of the label means — proving the codebook swap
+    * changes only the derivation, not the search plan.
+    */
+  def kmeansTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val v = vecFrame(vectors)
+    probeTopK(v, kmeansCentroids(v, iters).cache(), nQueries, k, nprobe)
   }
 
   def ivfTopKOracle(nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): String =
@@ -213,6 +273,65 @@ object Similarity {
        |  WHERE v.vec_id != p.query_id
        |)
        |WHERE rank <= $k""".stripMargin
+
+  /** Oracle for the k-means IVF: the Lloyd iterations are UNROLLED as
+    * chained CTEs (assign → recompute means), so DuckDB derives the
+    * byte-identical codebook before the same probe/rerank as the plain
+    * IVF oracle.
+    */
+  def kmeansTopKOracle(nQueries: Int = 5, k: Int = 10, nprobe: Int = 2, iters: Int = 2): String = {
+    def means(name: String, src: String, keyCol: String) =
+      s"""$name AS (
+         |  SELECT $keyCol AS cell, list(m ORDER BY i) AS ce
+         |  FROM (
+         |    SELECT $keyCol, i, avg(v) AS m
+         |    FROM (SELECT $keyCol, unnest(embedding::DOUBLE[]) AS v,
+         |                 unnest(range(1, 1 + len(embedding))) AS i
+         |          FROM $src)
+         |    GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |)"""
+    def assign(name: String, cent: String) =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+         |                      c.cell) AS rk
+         |    FROM embeddings e CROSS JOIN $cent c
+         |  ) WHERE rk = 1
+         |)"""
+    val iterCtes = (1 to iters).flatMap { n =>
+      Seq(assign(s"a$n", s"c${n - 1}"), means(s"c$n", s"a$n", "cell"))
+    }
+    val ctes = (means("c0", "embeddings", "label") +: iterCtes).mkString(",\n")
+    s"""WITH $ctes,
+       |ranked AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |         row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+       |                    c.cell) AS crank
+       |  FROM embeddings e CROSS JOIN c$iters c
+       |), assigned AS (
+       |  SELECT vec_id, embedding, cell FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, embedding AS qemb, cell
+       |  FROM ranked WHERE vec_id < $nQueries AND crank <= $nprobe
+       |)
+       |SELECT query_id, vec_id, cos, rank
+       |FROM (
+       |  SELECT p.query_id, v.vec_id,
+       |         round(list_cosine_similarity(p.qemb::DOUBLE[], v.embedding::DOUBLE[]), 6) AS cos,
+       |         row_number() OVER (
+       |           PARTITION BY p.query_id
+       |           ORDER BY round(list_cosine_similarity(p.qemb::DOUBLE[], v.embedding::DOUBLE[]), 6) DESC,
+       |                    v.vec_id) AS rank
+       |  FROM assigned v JOIN probes p ON v.cell = p.cell
+       |  WHERE v.vec_id != p.query_id
+       |)
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) with
     * EXACT results and no quadratic join: metric blocking (ball-cover
@@ -351,6 +470,7 @@ object Similarity {
     "q_knn_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "q_knn_bucketed" -> ((s, d) => bucketedTopK(Tables.embeddings(s, d))),
     "q_knn_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d))),
+    "q_knn_kmeans" -> ((s, d) => kmeansTopK(Tables.embeddings(s, d))),
     "q_embed_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_embed_centroid" -> ((s, d) => centroidSimilarity(Tables.embeddings(s, d)))
   )
@@ -359,6 +479,7 @@ object Similarity {
     "q_knn_brute" -> bruteForceTopKOracle(),
     "q_knn_bucketed" -> bucketedTopKOracle(),
     "q_knn_ivf" -> ivfTopKOracle(),
+    "q_knn_kmeans" -> kmeansTopKOracle(),
     "q_embed_neardup" -> nearDupPairsOracle(),
     "q_embed_centroid" -> centroidSimilarityOracle
   )

@@ -102,6 +102,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF hits carry exactly the exhaustive cosines (learned codebook)") {
+    val dir = "/root/testdata/sf0.001"
+    val km = Similarity.kmeansTopK(Tables.embeddings(spark, dir))
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(km.nonEmpty)
+    val n = Tables.embeddings(spark, dir).count().toInt
+    val brute = Similarity.bruteForceTopK(Tables.embeddings(spark, dir), k = n)
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    km.foreach { case (pair, cos) =>
+      assert(brute(pair) == cos, s"pair $pair: kmeans=$cos brute=${brute(pair)}")
+    }
+  }
+
   test("centroid similarity: all-identical label has cosine 1 to its centroid") {
     val v = Seq.fill(64)(0.5f)
     val d = vecs((0L, v, 1), (1L, v, 1), (2L, v, 1))

@@ -166,6 +166,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("silver transform runs on the RocksDB state store (the 100 TB state backend)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = Streams.silverTransform(mem.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("silver_rocks").start()
+    try {
+      mem.addData(Ev(ts(0, 10), "a", 10.0), Ev(ts(0, 20), "a", 20.0),
+        Ev(ts(1, 5), "b", 5.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(1, 40), "b", 7.0))
+      q.processAllAvailable()
+      // same semantics as the default HDFS-backed store: windows for both
+      // keys, state maintained across batches
+      val rows = s.table("silver_rocks").collect()
+      assert(rows.nonEmpty)
+      assert(s.table("silver_rocks").select("event_type").distinct().count() == 2)
+    } finally {
+      q.stop()
+      prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    }
+  }
+
   test("kafka wire-schema rows parse through the shared trade pipeline") {
     val s = spark
     import s.implicits._
