@@ -192,8 +192,15 @@ object TextOps {
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tok = docs.select(col("doc_id"), col("source"),
       explode(tokens(lower(col("text")))).as("term"))
-    val tf = tok.groupBy(col("source"), col("term"))
-      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("dc"))
+    // two-level agg instead of count+countDistinct in one: a mixed
+    // distinct aggregate plans an Expand that doubles the exploded
+    // token stream before the exchange; aggregating per (source, term,
+    // doc_id) first lets partial aggregation collapse the stream
+    // map-side, and the second agg is over near-distinct triples
+    val perDoc = tok.groupBy(col("source"), col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val tf = perDoc.groupBy(col("source"), col("term"))
+      .agg(sum(col("c")).cast("bigint").as("tf"), count(lit(1)).as("dc"))
       .withColumn("doc_freq", sum(col("dc")).over(Window.partitionBy(col("term"))))
       .drop("dc")
     val w = Window.partitionBy(col("source"))

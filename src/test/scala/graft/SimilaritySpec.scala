@@ -56,6 +56,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSet == Set(10L))
   }
 
+  test("multi-probe top-k reaches hamming-1 buckets but not hamming-2") {
+    val ones = Seq.fill(8)(1f)
+    val flip1 = Seq(-1f) ++ Seq.fill(7)(1f)
+    val flip2 = Seq(-1f, -1f) ++ Seq.fill(6)(1f)
+    val d = vecs(
+      (0L, ones, 0),    // query, bucket 255
+      (10L, ones, 0),   // same bucket — reachable
+      (11L, flip1, 0),  // hamming-1 bucket — reachable via probe
+      (12L, flip2, 0))  // hamming-2 bucket — invisible
+    val out = Similarity.multiProbeTopK(d, nQueries = 1, k = 10).collect()
+    assert(out.map(_.getLong(1)).toSet == Set(10L, 11L))
+  }
+
   test("embedding near-dup pairs at threshold") {
     val d = vecs(
       (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.01f), 0), (2L, Seq(0f, 1f), 0))
