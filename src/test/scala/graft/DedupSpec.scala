@@ -92,6 +92,32 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getLong(1) == 3L)
   }
 
+  test("native minhash signatures equal the column-formulation signatures") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // generated corpus with short/empty/punct/duplicate edge docs
+    val texts = Seq("", "one", "two words", "..!!..", "a b c d e f g",
+      "the quick brown fox jumps over the lazy dog") ++
+      (0 until 40).map(i => s"doc $i body ${("w" + i % 7 + " ") * (i % 11)}end")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val native = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // the pre-round-3 column formulation: k interpreted HOF folds over
+    // the packed shingle array — kept here as the semantic reference
+    val toksC = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " ")), " +")
+    val ref = d.select(col("doc_id"), explode(array(toksC)).as("arr"))
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("arr")) - 3, lit(0))),
+          i => concat_ws(" ", get(col("arr"), i), get(col("arr"), i + 1), get(col("arr"), i + 2))
+        )).as("sh"))
+      .select(col("doc_id") +: (0 until Dedup.numHashes).map { i =>
+        array_min(transform(col("sh"), sh => md5(concat(sh, lit(s"#$i"))))).as(s"sig_$i")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(native == ref)
+  }
+
   test("hot-bucket cap bounds pair counts for a boilerplate-heavy bucket") {
     // 20 byte-identical docs land in ONE bucket per band; with cap=8
     // only the 8 lowest doc_ids pair up: C(8,2)=28 pairs, not C(20,2)=190.

@@ -225,6 +225,37 @@ class StreamingSpec extends SparkSpec {
       s"expected the kafka provider lookup to be the failure point, got: ${err.getMessage}")
   }
 
+  test("checkpoint restart resumes from offsets: no backfill, no duplicates") {
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("graft_restart_src").toString
+    val out = Files.createTempDirectory("graft_restart_out").toString
+    val ckpt = Files.createTempDirectory("graft_restart_ckpt").toString
+    def writeBatch(name: String, rows: Seq[(Long, Timestamp, Double)]): Unit =
+      rows.toDF("event_id", "ts", "value")
+        .coalesce(1).write.parquet(s"$src/$name")
+    def runOnce(): Unit = {
+      val schema = s.read.option("recursiveFileLookup", "true").parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").start()
+      q.awaitTermination()
+    }
+    writeBatch("b0", Seq((1L, ts(0), 1.0), (2L, ts(1), 2.0)))
+    runOnce()
+    assert(s.read.parquet(out).count() == 2)
+    // second start with the SAME checkpoint: only the new file flows
+    // (startingOffsets-latest semantics across restarts — T9), and the
+    // first batch is not re-emitted (exactly-once file sink)
+    writeBatch("b1", Seq((3L, ts(2), 3.0)))
+    runOnce()
+    val rows = s.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L, 2L, 3L), s"expected no backfill/dupes, got ${rows.toSeq}")
+  }
+
   test("file-source append run writes only watermark-closed windows") {
     val s = spark
     val out = Files.createTempDirectory("graft_t_out").toString
