@@ -250,7 +250,67 @@ object Curation {
        |)
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- end-to-end pipeline
+
+  /** The whole curation flow as ONE declarative plan — quality filter →
+    * exact-dedup survivors → hash-gated sampling → sequence packing →
+    * per-source report. Each stage is the same operator the standalone
+    * queries use; composing them keeps everything inside Catalyst, so
+    * filters still push to the scan and the only shuffles are the dedup
+    * key agg and the per-source pack window. This is the "a user could
+    * run their entire pre-tokenization pipeline on this engine" query.
+    */
+  def curationPipeline(docs: DataFrame, budget: Int = 512): DataFrame = {
+    val kept = docs.join(
+      TextOps.quality(docs).filter(col("keep")).select(col("doc_id")), "doc_id")
+    val surv = kept.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
+      .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = kept.join(surv, "doc_id")
+    val sampled = deduped.filter(
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
+        < pmod(conv(substring(md5(col("source")), 1, 4), 16, 10).cast("long"), lit(80L)) + 10)
+    sequencePack(sampled, budget)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+  }
+
+  def curationPipelineOracle(budget: Int = 512): String =
+    s"""WITH quality AS (
+       |  ${TextOps.qualityOracle.replace("\n", "\n       |  ")}
+       |), kept AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN (SELECT doc_id FROM quality WHERE keep) q USING (doc_id)
+       |), surv AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS key FROM kept)
+       |  GROUP BY key
+       |), sampled AS (
+       |  SELECT k.* FROM kept k JOIN surv USING (doc_id)
+       |  WHERE (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100)
+       |      < (('0x' || substr(md5(source), 1, 4))::BIGINT % 80) + 10
+       |), packed AS (
+       |  SELECT source, pack_no, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+       |  FROM (
+       |    SELECT doc_id, source, n_tokens,
+       |           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                       ROWS UNBOUNDED PRECEDING) - 1) / $budget) AS BIGINT) AS pack_no
+       |    FROM (SELECT doc_id, source,
+       |                 len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+       |          FROM sampled)
+       |  )
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source, count(*) AS n_packs,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM packed GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> ((s, d) => curationPipeline(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))),
@@ -259,6 +319,7 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_curation_pipeline" -> curationPipelineOracle(),
     "q_decontaminate" -> decontaminateOracle(),
     "q_repetition" -> repetitionOracle(),
     "q_sample_mix" -> sampleMixOracle,
