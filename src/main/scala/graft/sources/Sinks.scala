@@ -187,7 +187,104 @@ object Sinks {
       |FROM merged
       |GROUP BY 1""".stripMargin
 
+  /** CDC between two table states: full-outer join old vs new on the
+    * key, classify each row insert / delete / update / unchanged —
+    * the read-side audit of what a MERGE did (new state = the same
+    * merged table `mergeUpsert` builds). At scale this is one shuffled
+    * equi-join on the table key; with both sides bucketed by key it is
+    * exchange-free.
+    */
+  def cdcDiff(spark: SparkSession, orders: DataFrame): DataFrame = {
+    val target = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val updates = orders.filter(col("o_custkey") < 100)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+    val inserts = orders.sparkSession.range(1).select(
+      lit(999999999L).as("o_orderkey"), lit(1L).as("o_custkey"),
+      lit("O").as("o_orderstatus"), lit(1234.56).as("o_totalprice"))
+    val source = updates.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .unionByName(inserts)
+    val merged = orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .join(source.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(source)
+      .select(col("o_orderkey"), col("o_totalprice").as("new_price"))
+    target.join(merged, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("o_totalprice").isNull, "insert")
+          .when(col("new_price").isNull, "delete")
+          .when(col("new_price") =!= col("o_totalprice"), "update")
+          .otherwise("unchanged"))
+      .groupBy(col("change_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(coalesce(col("new_price"), lit(0.0)) -
+          coalesce(col("o_totalprice"), lit(0.0))), 2).as("price_delta"))
+  }
+
+  val cdcDiffOracle: String =
+    """WITH source AS (
+      |  SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS o_totalprice
+      |  FROM orders WHERE o_custkey < 100
+      |  UNION ALL
+      |  SELECT 999999999, 1234.56
+      |), merged AS (
+      |  SELECT o.o_orderkey, o.o_totalprice
+      |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      |  UNION ALL
+      |  SELECT * FROM source
+      |)
+      |SELECT change_type, count(*) AS n,
+      |       round(sum(coalesce(new_price, 0) - coalesce(o_totalprice, 0)), 2) AS price_delta
+      |FROM (
+      |  SELECT t.o_totalprice, m.new_price,
+      |         CASE WHEN t.o_totalprice IS NULL THEN 'insert'
+      |              WHEN m.new_price IS NULL THEN 'delete'
+      |              WHEN m.new_price != t.o_totalprice THEN 'update'
+      |              ELSE 'unchanged' END AS change_type
+      |  FROM (SELECT o_orderkey, o_totalprice FROM orders) t
+      |  FULL OUTER JOIN (SELECT o_orderkey, o_totalprice AS new_price FROM merged) m
+      |    USING (o_orderkey)
+      |)
+      |GROUP BY 1""".stripMargin
+
+  /** ANALYZE-style table profile in ONE aggregation pass: row count,
+    * per-column null counts, exact distinct counts, numeric min/max/avg
+    * — the statistics that drive pruning, join sizing, and data-quality
+    * monitoring. Wide one-row output keeps every stat in its natural
+    * type (no cross-engine string formatting).
+    */
+  def tableProfile(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col("l_quantity"))).as("qty_nulls"),
+      countDistinct(col("l_quantity")).as("qty_ndv"),
+      min(col("l_quantity")).as("qty_min"),
+      max(col("l_quantity")).as("qty_max"),
+      round(avg(col("l_quantity")), 6).as("qty_avg"),
+      countDistinct(col("l_returnflag")).as("flag_ndv"),
+      min(col("l_extendedprice")).as("price_min"),
+      max(col("l_extendedprice")).as("price_max"),
+      round(avg(col("l_extendedprice")), 6).as("price_avg"),
+      min(col("l_shipdate")).as("ship_min"),
+      max(col("l_shipdate")).as("ship_max"))
+
+  val tableProfileOracle: String =
+    """SELECT count(*) AS n_rows,
+      |       count(*) - count(l_quantity) AS qty_nulls,
+      |       count(DISTINCT l_quantity) AS qty_ndv,
+      |       min(l_quantity) AS qty_min,
+      |       max(l_quantity) AS qty_max,
+      |       round(avg(l_quantity), 6) AS qty_avg,
+      |       count(DISTINCT l_returnflag) AS flag_ndv,
+      |       min(l_extendedprice) AS price_min,
+      |       max(l_extendedprice) AS price_max,
+      |       round(avg(l_extendedprice), 6) AS price_avg,
+      |       min(l_shipdate) AS ship_min,
+      |       max(l_shipdate) AS ship_max
+      |FROM lineitem""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_diff" -> ((s, d) => cdcDiff(s, Tables.orders(s, d))),
+    "q_table_profile" -> ((s, d) => tableProfile(Tables.lineitem(s, d))),
     "q_merge_upsert" -> ((s, d) => mergeUpsert(s, Tables.orders(s, d))),
     "q_csv_roundtrip" -> ((s, d) => csvRoundtrip(s, Tables.orders(s, d))),
     "q_orc_roundtrip" -> ((s, d) => orcRoundtrip(s, Tables.lineitem(s, d))),
@@ -198,6 +295,8 @@ object Sinks {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cdc_diff" -> cdcDiffOracle,
+    "q_table_profile" -> tableProfileOracle,
     "q_merge_upsert" -> mergeUpsertOracle,
     "q_csv_roundtrip" -> csvRoundtripOracle,
     "q_orc_roundtrip" -> orcRoundtripOracle,
