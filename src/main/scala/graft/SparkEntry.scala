@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
     "q_gold_rollup" -> ((s, dir) => gold.GoldRollup.overEvents(Tables.events(s, dir))),
+    "q_incremental_rollup" -> ((s, dir) => gold.GoldRollup.incrementalRollup(Tables.events(s, dir))),
     "q_flagship" -> ((s, dir) => Flagship.silverToSignal(Tables.events(s, dir)))
   ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries ++
     analytics.Indicators.queries ++ relational.StarQueries.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_gold_rollup" -> gold.GoldRollup.overEventsOracle,
+    "q_incremental_rollup" -> gold.GoldRollup.incrementalRollupOracle,
     "q_flagship" -> Flagship.silverToSignalOracle
   ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles ++
     analytics.Indicators.oracles ++ relational.StarQueries.oracles ++

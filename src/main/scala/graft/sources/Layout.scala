@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -119,6 +119,63 @@ object Layout {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Z-order (Morton) clustering — multi-dimensional data skipping, the
+    * layout move behind Delta/Iceberg `OPTIMIZE ZORDER BY`. A single
+    * sort key can prune scans on ONE column; interleaving the bits of
+    * two columns into a Morton code gives a 1-D key whose contiguous
+    * ranges are compact 2-D tiles, so files written in z-key ranges
+    * carry TIGHT min/max stats on BOTH dimensions and a 2-D box
+    * predicate skips most files.
+    *
+    * Here: orders z-ordered on (o_custkey, days(o_orderdate)), 12 bits
+    * each → 24-bit z-value; `file_id = z >> 17` models fixed-width
+    * z-range files (at scale: `repartitionByRange(zv)` +
+    * `sortWithinPartitions(zv)` + write, and the parquet footer min/max
+    * do the skipping natively — a map-only derivation, no global sort).
+    * Output is the per-file stats table a scan planner would consult,
+    * with `hit` = whether the file survives the box predicate
+    * custkey∈[100,199] × date∈[1996-01-01,1996-12-31]; the spec asserts
+    * most files DON'T (the locality win), the oracle asserts the stats
+    * are exact.
+    */
+  private val zbits = 12
+
+  private def zval(x: Column, y: Column): Column =
+    (0 until zbits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  def zorderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("bigint").as("y"))
+      .withColumn("file_id", shiftright(zval(col("x"), col("y")), 17))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .withColumn("hit",
+        when(col("x_max") >= 100 && col("x_min") <= 199 &&
+          col("y_max") >= 365 && col("y_min") <= 729, lit(1)).otherwise(lit(0)))
+
+  val zorderStatsOracle: String = {
+    val terms = (0 until zbits).map(i =>
+      s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})").mkString(" + ")
+    s"""WITH z AS (
+       |  SELECT o_custkey AS x,
+       |         (o_orderdate::DATE - DATE '1995-01-01')::BIGINT AS y
+       |  FROM orders
+       |)
+       |SELECT file_id, count(*) AS n,
+       |       min(x) AS x_min, max(x) AS x_max,
+       |       min(y) AS y_min, max(y) AS y_max,
+       |       CASE WHEN max(x) >= 100 AND min(x) <= 199
+       |             AND max(y) >= 365 AND min(y) <= 729 THEN 1 ELSE 0 END AS hit
+       |FROM (SELECT *, ($terms) >> 17 AS file_id FROM z)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Materialize the layouts (idempotent). Called by the bench warmup:
     * building the physical layout is ETL cost, not query cost.
     */
@@ -131,12 +188,14 @@ object Layout {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_prune" -> partitionPruned _,
     "q_bucketed_join" -> bucketedJoin _,
-    "q_compaction" -> compactionQuery _
+    "q_compaction" -> compactionQuery _,
+    "q_zorder_layout" -> zorderStats _
   )
 
   def oracles: Map[String, String] = Map(
     "q_partition_prune" -> partitionPrunedOracle,
     "q_bucketed_join" -> bucketedJoinOracle,
-    "q_compaction" -> compactionOracle
+    "q_compaction" -> compactionOracle,
+    "q_zorder_layout" -> zorderStatsOracle
   )
 }

@@ -84,4 +84,22 @@ class LayoutSinksSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(salted == plain)
   }
+
+  test("z-order files are skipped by the 2-D box predicate") {
+    import org.apache.spark.sql.functions._
+    val stats = Layout.zorderStats(spark, dir).collect()
+    val files = stats.length
+    val hits = stats.map(_.getAs[Int]("hit")).sum
+    assert(files >= 4, s"expected a multi-file layout, got $files")
+    // the locality win: a box covering ~1% of the (custkey × date) area
+    // must not touch more than half the z-range files even at the
+    // sparsest SF (at sf0.01 it's 2/30), and the rows behind the
+    // surviving files must be a minority of the corpus
+    assert(2 * hits <= files, s"z-order should skip files: $hits/$files hit")
+    val total = stats.map(_.getAs[Long]("n")).sum
+    val scanned = stats.filter(_.getAs[Int]("hit") == 1).map(_.getAs[Long]("n")).sum
+    assert(scanned * 2 < total, s"scanned $scanned of $total rows")
+    // every row is accounted for exactly once across files
+    assert(total == Tables.orders(spark, dir).count())
+  }
 }

@@ -76,4 +76,27 @@ class SilverGoldSpec extends SparkSpec {
     assert(signals(4) == "SELL") // constant series: sma == price -> not >
     assert(signals(5) == "BUY")  // sma(10,10,10,10,1)=8.2 > 1
   }
+
+  test("incremental rollup: merged partials equal the full recompute") {
+    import org.apache.spark.sql.functions._
+    // rows straddling the cutoff: the (a, 2024-01-19 23:00) group would
+    // be WRONG if the merge double-counted or dropped a partial
+    val df = events(
+      (1L, Timestamp.valueOf("2024-01-19 23:10:00"), 1L, "a", 10.0),
+      (2L, Timestamp.valueOf("2024-01-20 00:10:00"), 1L, "a", 30.0),
+      (3L, Timestamp.valueOf("2024-01-20 00:40:00"), 1L, "a", 20.0),
+      (4L, Timestamp.valueOf("2024-01-21 09:00:00"), 2L, "b", 5.0))
+    val inc = GoldRollup.incrementalRollup(df)
+      .orderBy("event_type", "hour_window").collect()
+    val full = df.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_window"))
+      .agg(count(lit(1)).as("transaction_count"),
+        round(sum(col("value")) / count(lit(1)), 6).as("avg_value"),
+        round(min(col("value")), 6).as("min_value"),
+        round(max(col("value")), 6).as("max_value"))
+      .orderBy("event_type", "hour_window").collect()
+    assert(inc.toSeq == full.toSeq)
+    // the straddle-adjacent delta group merged both rows into one state
+    assert(inc.exists(r => r.getString(0) == "a" && r.getLong(2) == 2L
+      && r.getDouble(3) == 25.0))
+  }
 }
