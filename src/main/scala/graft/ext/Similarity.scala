@@ -205,24 +205,24 @@ object Similarity {
       .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
   }
 
-  /** Adds a ranked `cells` array to every vector row: the codebook is
-    * packed into ONE broadcast row, so cell routing is a narrow per-row
-    * reduction — the corpus is NEVER shuffled for assignment (a
-    * row_number window over vec_id would shuffle 100 TB to make a
-    * per-row decision). Ranking sorts struct(-ccos, cell) ascending =
-    * cosine desc, cell asc — identical tie-break to the oracle's
-    * ORDER BY.
+  /** Adds a ranked `cells` array (cell ids, best first) to every vector
+    * row: the codebook is packed into ONE broadcast row, so cell
+    * routing is a narrow per-row reduction — the corpus is NEVER
+    * shuffled for assignment (a row_number window over vec_id would
+    * shuffle 100 TB to make a per-row decision). Scoring + ranking run
+    * in the native `graft_rankcells` expression (rounded-cosine desc,
+    * cell-asc tie-break — identical to the oracle's ORDER BY); the
+    * previous `sort_array(transform(...))` formulation paid an
+    * interpreted lambda dispatch per codebook entry per row.
     */
   private def withRankedCells(v: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = v.sparkSession
     val codebook = centroids
-      .agg(collect_list(struct(col("cell"), col("ce"), col("cnrm"))).as("cb"))
-    val ranked = sort_array(transform(col("cb"), c =>
-      struct(
-        (round(VectorOps.dot(spark, col("e"), c.getField("ce")) /
-          (col("nrm") * c.getField("cnrm")), 6) * -1).as("neg_ccos"),
-        c.getField("cell").as("cell"))))
-    v.crossJoin(broadcast(codebook)).withColumn("cells", ranked)
+      .agg(collect_list(struct(col("cell").cast("bigint").as("cell"),
+        col("ce"), col("cnrm"))).as("cb"))
+    v.crossJoin(broadcast(codebook))
+      .withColumn("cells", graft.functions.RankCellsOps.rankCells(spark, col("e"), col("cb")))
+      .drop("cb")
   }
 
   /** Lloyd-iterated codebook: seed with label means, then `iters`
@@ -240,7 +240,7 @@ object Similarity {
     val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
     for (_ <- 0 until iters) {
       val assigned = withRankedCells(v, cent)
-        .withColumn("cell", col("cells").getItem(0).getField("cell"))
+        .withColumn("cell", col("cells").getItem(0))
         .select(col("cell"), col("e"))
       cent = assigned.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
         .select(col("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
@@ -256,13 +256,13 @@ object Similarity {
     val withCells = withRankedCells(v, centroids)
     // inverted lists: nearest cell per vector
     val assigned = withCells
-      .withColumn("cell", col("cells").getItem(0).getField("cell"))
+      .withColumn("cell", col("cells").getItem(0))
       .select(col("vec_id"), col("e"), col("nrm"), col("cell"))
     // probe lists: nprobe nearest cells per query (queries are a pruned
     // scan — the vec_id predicate pushes to parquet)
     val q = withCells.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"),
-        explode(transform(slice(col("cells"), 1, nprobe), c => c.getField("cell"))).as("cell"))
+        explode(slice(col("cells"), 1, nprobe)).as("cell"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(q), "cell")
@@ -274,7 +274,9 @@ object Similarity {
   }
 
   def ivfTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val v = vecFrame(vectors)
+    // (vec_id, e, nrm) feeds the codebook agg AND the probe join — cache
+    // it so the parquet scan + norm derivation run once, not per consumer
+    val v = vecFrame(vectors).cache()
     probeTopK(v, labelCentroids(v), nQueries, k, nprobe)
   }
 
@@ -284,7 +286,9 @@ object Similarity {
     */
   def kmeansTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10,
       nprobe: Int = 2, iters: Int = 2): DataFrame = {
-    val v = vecFrame(vectors)
+    // every Lloyd iteration re-reads the corpus frame: cache it once
+    // (O(N·dim) doubles — the same thing a production k-means persists)
+    val v = vecFrame(vectors).cache()
     probeTopK(v, kmeansCentroids(v, iters).cache(), nQueries, k, nprobe)
   }
 

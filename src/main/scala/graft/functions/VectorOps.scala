@@ -99,6 +99,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash8"),
       (children: Seq[Expression]) => MinHashSigs(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_rankcells"),
+      new ExpressionInfo(classOf[RankCells].getName, "graft_rankcells"),
+      (children: Seq[Expression]) => RankCells(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) =>

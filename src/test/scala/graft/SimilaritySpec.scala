@@ -139,4 +139,44 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getDouble(2) == 1.0)        // avg_cos
     assert(out(0).getDouble(3) == 1.0)        // min_cos
   }
+
+  test("native graft_rankcells equals the interpreted sort_array(transform(...)) ranking") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{RankCellsOps, VectorOps}
+    // real corpus vectors against a codebook derived from them — every
+    // (row, cell) cosine exercises the round/tie-break parity
+    val v = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", VectorOps.norm(spark, col("e")))
+    val sums = (1 to 64).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
+    val cent = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+      .select(col("label").cast("bigint").as("cell"),
+        array((1 to 64).map(i => col(s"c_$i")): _*).as("ce"))
+      .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
+    val cb = cent.agg(collect_list(struct(col("cell"), col("ce"), col("cnrm"))).as("cb"))
+    val both = v.crossJoin(broadcast(cb))
+      .withColumn("native", RankCellsOps.rankCells(spark, col("e"), col("cb")))
+      .withColumn("hof", transform(sort_array(transform(col("cb"), c =>
+        struct(
+          (round(VectorOps.dot(spark, col("e"), c.getField("ce")) /
+            (col("nrm") * c.getField("cnrm")), 6) * -1).as("neg_ccos"),
+          c.getField("cell").as("cell")))), s => s.getField("cell")))
+      .select(col("vec_id"), col("native"), col("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"vec ${r.getLong(0)} ranking diverged")
+    }
+  }
+
+  test("graft_rankcells tie-break: equal rounded cosines order by cell id") {
+    // two identical centroids -> identical cosine to every vector; the
+    // lower cell id must rank first (the oracle's ORDER BY ... , cell)
+    val e = Seq.tabulate(4)(i => (i + 1).toDouble)
+    val out = graft.functions.RankCells.computeSeq(e,
+      Seq((7L, e, math.sqrt(e.map(x => x * x).sum)),
+        (3L, e, math.sqrt(e.map(x => x * x).sum)),
+        (5L, e.map(-_), math.sqrt(e.map(x => x * x).sum))))
+    assert(out == Seq(3L, 7L, 5L))
+  }
 }
