@@ -250,6 +250,86 @@ object Curation {
        |)
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------------ splitting
+
+  /** Deterministic train/val/test split assignment: md5(doc_id) mod 100
+    * gates each doc into train (<90) / val (<95) / test (else). The
+    * hash gate — not `rand()`, not row position — makes the split
+    * reproducible across runs, engines, and cluster orders, and a doc
+    * NEVER migrates between splits when the corpus grows (the property
+    * that keeps eval sets uncontaminated across dataset versions).
+    * Map-only + one small agg; per-source token budgets fall out for
+    * free.
+    */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
+    docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), " +")).as("n_tokens"))
+      .withColumn("split",
+        when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+  }
+
+  val splitAssignOracle: String =
+    """SELECT source, split, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT source,
+      |         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 90 THEN 'train'
+      |              WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 95 THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+      |  FROM documents
+      |)
+      |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- sharding
+
+  /** Global-shuffle shard manifest: every training run shuffles the
+    * corpus and cuts it into loader shards. Shard = md5 of the doc id
+    * (decorrelates source/ingest order), position = rank of the hash
+    * WITHIN the shard — so the "global shuffle" is N independent
+    * per-shard sorts that parallelize across the cluster; nothing ever
+    * needs a single-partition global orderBy. The output is the
+    * per-shard manifest summary with an ORDER-sensitive checksum
+    * (sum of pos·doc_id), so the oracle verifies the exact shuffle
+    * order, not just membership.
+    */
+  val numShards = 8
+
+  def shardManifest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("hkey", md5(concat(col("doc_id").cast("string"), lit(":shuffle"))))
+      .withColumn("shard", pmod(conv(substring(col("hkey"), 1, 4), 16, 10).cast("long"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("hkey")).as("first_doc"),
+        max_by(col("doc_id"), col("hkey")).as("last_doc"),
+        sum(col("pos") * col("doc_id")).cast("bigint").as("order_checksum"))
+  }
+
+  val shardManifestOracle: String =
+    s"""SELECT shard, count(*) AS n_docs,
+       |       arg_min(doc_id, hkey) AS first_doc,
+       |       arg_max(doc_id, hkey) AS last_doc,
+       |       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+       |FROM (
+       |  SELECT doc_id, hkey,
+       |         ('0x' || substr(hkey, 1, 4))::BIGINT % $numShards AS shard,
+       |         row_number() OVER (
+       |           PARTITION BY ('0x' || substr(hkey, 1, 4))::BIGINT % $numShards
+       |           ORDER BY hkey, doc_id) AS pos
+       |  FROM (SELECT doc_id, md5(doc_id::VARCHAR || ':shuffle') AS hkey FROM documents)
+       |)
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- end-to-end pipeline
 
   /** The whole curation flow as ONE declarative plan — quality filter →
@@ -315,7 +395,9 @@ object Curation {
     "q_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))),
     "q_seq_pack" -> ((s, d) => sequencePack(Tables.documents(s, d))),
-    "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d)))
+    "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
+    "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
+    "q_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -324,6 +406,8 @@ object Curation {
     "q_repetition" -> repetitionOracle(),
     "q_sample_mix" -> sampleMixOracle,
     "q_seq_pack" -> sequencePackOracle(),
-    "q_pii_scrub" -> piiScrubOracle
+    "q_pii_scrub" -> piiScrubOracle,
+    "q_split_assign" -> splitAssignOracle,
+    "q_shard_manifest" -> shardManifestOracle
   )
 }

@@ -74,4 +74,30 @@ class CurationSpec extends SparkSpec {
     val again = Curation.sampleMix(d).collect()
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("splitAssign: docs never migrate between splits when the corpus grows") {
+    import org.apache.spark.sql.functions._
+    def perDoc(d: DataFrame) = d
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(100L)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = docs((1L to 50L).map(i => (i, s"doc $i text", "web")): _*)
+    val grown = docs((1L to 200L).map(i => (i, s"doc $i text", "web")): _*)
+    val hSmall = perDoc(small)
+    val hGrown = perDoc(grown)
+    hSmall.foreach { case (id, h) => assert(hGrown(id) == h, s"doc $id migrated") }
+    // the reported counts partition the corpus exactly
+    val out = Curation.splitAssign(small).collect()
+    assert(out.map(_.getLong(2)).sum == 50L)
+    assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("shardManifest: order checksum is deterministic and shards partition the corpus") {
+    val d = docs((1L to 100L).map(i => (i, s"text $i", "web")): _*)
+    val rows = Curation.shardManifest(d).collect()
+    val b = Curation.shardManifest(d.repartition(7)).collect().map(_.toSeq).toSet
+    // cluster order / partitioning must not change the shuffle order
+    assert(rows.map(_.toSeq).toSet == b)
+    assert(rows.map(_.getLong(1)).sum == 100L)
+  }
 }
