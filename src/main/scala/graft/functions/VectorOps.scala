@@ -86,6 +86,7 @@ object GraftExtensions {
     * bloom-pruned joins (see relational.RuntimeFilters).
     */
   val register: SparkSessionExtensions => Unit = { ext =>
+    ext.injectOptimizerRule(_ => graft.plans.PushTimeFilter)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
