@@ -58,4 +58,29 @@ class PropertiesSpec extends SparkSpec {
       assert(sigs(0).toSeq.drop(1) == sigs(1).toSeq.drop(1))
     }
   }
+
+  test("rankcells: every codebook cell appears exactly once, best-first (random vectors)") {
+    import graft.functions.RankCells
+    val vecGen = Gen.listOfN(16, Gen.choose(-1.0, 1.0))
+    for (i <- 0 until 8) {
+      val e = samples(vecGen, 1).head
+      val cb = (0 until 6).map { c =>
+        val ce = samples(vecGen, 1)(0).zipWithIndex.map { case (v, j) => v + 0.1 * c * j }
+        (c.toLong, ce: Seq[Double], math.sqrt(ce.map(x => x * x).sum))
+      }
+      val ranked = RankCells.computeSeq(e, cb)
+      // permutation property: all cells, no dup, no loss
+      assert(ranked.sorted == (0L until 6L).toList, s"iter $i: $ranked")
+      // best-first: recompute the rounded cosines and check monotone
+      val nrm = math.sqrt(e.map(x => x * x).sum)
+      def cos(c: Long): Double = {
+        val (_, ce, cnrm) = cb(c.toInt)
+        val dp = e.zip(ce).map { case (a, b) => a * b }.sum
+        java.math.BigDecimal.valueOf(dp / (nrm * cnrm))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+      val cosines = ranked.map(cos)
+      assert(cosines == cosines.sortBy(-_), s"iter $i not descending: $cosines")
+    }
+  }
 }
