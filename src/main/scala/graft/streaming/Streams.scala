@@ -92,6 +92,7 @@ object Streams {
   def prepare(spark: SparkSession, dir: String): Unit = {
     stageSingle(dir)
     rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
+    stageDuped(spark, dir)
   }
 
   // --------------------------------------------------------------- kafka
@@ -404,6 +405,66 @@ object Streams {
     events.withWatermark("ts", "1 minute")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** At-least-once input fixture: the events table plus a re-delivery
+    * of every 7th event (byte-identical copies) — what a Kafka source
+    * hands you after a producer retry / consumer rebalance.
+    */
+  private val dupedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageDuped(spark: SparkSession, dir: String): String =
+    dupedDirs.getOrElseUpdate(dir, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val d = Files.createTempDirectory("graft_stream_dup").toString
+      val raw = spark.read.option("pathGlobFilter", "*.parquet").parquet(s"$dir/events.parquet")
+      raw.union(raw.filter(pmod(col("event_id"), lit(7)) === 0))
+        .write.mode("overwrite").parquet(d)
+      d
+    })
+
+  /** End-to-end oracle-checked streaming dedup: replay the duplicated
+    * input through `dedupStream` into an append sink; the per-type
+    * summary of the sink must equal the ORIGINAL table's — at-least-once
+    * in, exactly-once out, with state bounded by the watermark (the
+    * shape that holds on an unbounded 100 TB/day stream; batch-global
+    * `dropDuplicates` state would not).
+    */
+  def runStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageDuped(spark, dir)
+    val out = Files.createTempDirectory("graft_sdd_out").toString
+    val ckpt = Files.createTempDirectory("graft_sdd_ckpt").toString
+    val schema = spark.read.parquet(staged).schema
+    val deduped = dedupStream(
+      spark.readStream.schema(schema).parquet(staged)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    withStatePartitions(spark) {
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Oracle = the original (never-duplicated) table: row counts AND
+    * distinct-id counts match only if every re-delivery was dropped
+    * exactly once.
+    */
+  val runStreamDedupOracle: String =
+    """SELECT event_type, count(*) AS n_rows,
+      |       count(DISTINCT event_id) AS n_ids,
+      |       round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   /** Per-user session accumulator for `sessionizeStateful`. */
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
@@ -461,7 +522,8 @@ object Streams {
     "q_stream_silver" -> runSilverAvailableNow _,
     "q_stream_append" -> runSilverAppendChecked _,
     "q_stream_inference" -> runSilverInference _,
-    "q_stream_join" -> runClickPurchaseJoin _
+    "q_stream_join" -> runClickPurchaseJoin _,
+    "q_stream_dedup" -> runStreamDedup _
   )
 
   /** Same oracle as the batch tumbling silver agg — THE point: the
@@ -471,6 +533,7 @@ object Streams {
     "q_stream_silver" -> SilverAgg.tumblingOracle,
     "q_stream_append" -> runSilverAppendCheckedOracle,
     "q_stream_inference" -> runSilverInferenceOracle,
-    "q_stream_join" -> runClickPurchaseJoinOracle
+    "q_stream_join" -> runClickPurchaseJoinOracle,
+    "q_stream_dedup" -> runStreamDedupOracle
   )
 }
