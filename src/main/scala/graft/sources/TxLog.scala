@@ -59,22 +59,25 @@ object TxLog {
   private def readManifest(table: Path, v: Long): Seq[String] =
     Files.readAllLines(manifestPath(table, v)).asScala.toSeq.filter(_.nonEmpty)
 
-  /** Append `df` as one atomic commit; returns the new version. */
-  def commitAppend(df: DataFrame, dir: String): Long = {
-    val table = Paths.get(dir)
-    Files.createDirectories(logDir(table))
+  private def writeBatch(df: DataFrame, table: Path): Seq[String] = {
     val batch = "data-" + java.util.UUID.randomUUID().toString
     df.write.parquet(table.resolve(batch).toString)
-    val added = Files.list(table.resolve(batch)).iterator().asScala
+    Files.list(table.resolve(batch)).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .map(n => s"$batch/$n")
       .toSeq.sorted
+  }
+
+  private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean): Long = {
+    val table = Paths.get(dir)
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(dir)
       val next = cur.getOrElse(0L) + 1
-      val all = cur.map(readManifest(table, _)).getOrElse(Seq.empty) ++ added
+      val all =
+        (if (carryPrevious) cur.map(readManifest(table, _)).getOrElse(Seq.empty)
+         else Seq.empty) ++ added
       val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
       Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
       try {
@@ -87,6 +90,71 @@ object TxLog {
       }
     }
     committed
+  }
+
+  /** Append `df` as one atomic commit; returns the new version. */
+  def commitAppend(df: DataFrame, dir: String): Long = {
+    val table = Paths.get(dir)
+    Files.createDirectories(logDir(table))
+    commitFiles(dir, writeBatch(df, table), carryPrevious = true)
+  }
+
+  /** Replace the table contents with `df` in one atomic commit —
+    * readers see the old version until the manifest lands, then the new
+    * one, never a mix.
+    */
+  def commitOverwrite(df: DataFrame, dir: String): Long = {
+    val table = Paths.get(dir)
+    Files.createDirectories(logDir(table))
+    commitFiles(dir, writeBatch(df, table), carryPrevious = false)
+  }
+
+  /** VACUUM: expire all but the last `retainVersions` manifests and
+    * physically delete every data file no retained manifest references
+    * — overwritten-away files AND orphans from dead writers. Returns
+    * (files deleted, files retained). Time travel keeps working within
+    * the retention window and (correctly) fails beyond it — the same
+    * contract as Delta's VACUUM/logRetention. At scale this runs from
+    * the manifest listing (O(files) driver work or a parallelized
+    * listing join), never a data scan.
+    */
+  def vacuum(dir: String, retainVersions: Int = 1): (Long, Long) = {
+    val table = Paths.get(dir)
+    val cur = currentVersion(dir).getOrElse(sys.error(s"no committed version in $dir"))
+    val oldest = math.max(1L, cur - retainVersions + 1)
+    val keep = (oldest to cur).flatMap(readManifest(table, _)).toSet
+    // expire manifests below the retention floor
+    Files.list(logDir(table)).iterator().asScala.toSeq.foreach { m =>
+      val n = m.getFileName.toString
+      if (n.startsWith("v") && n.endsWith(".manifest") &&
+        n.stripPrefix("v").stripSuffix(".manifest").toLong < oldest)
+        Files.delete(m)
+    }
+    var deleted = 0L
+    Files.list(table).iterator().asScala.toSeq
+      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("data-"))
+      .foreach { d =>
+        val batch = d.getFileName.toString
+        val files = Files.list(d).iterator().asScala.toSeq
+        val (kept, junk) = files.partition { f =>
+          val n = f.getFileName.toString
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+            keep(s"$batch/$n")
+        }
+        if (kept.isEmpty) {
+          // whole batch unreferenced: remove it, sidecars included
+          junk.foreach { f =>
+            if (f.getFileName.toString.endsWith(".parquet")) deleted += 1
+            Files.delete(f)
+          }
+          Files.delete(d)
+        } else {
+          junk.filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+            Files.delete(f); deleted += 1
+          }
+        }
+      }
+    (deleted, keep.size.toLong)
   }
 
   /** Snapshot-isolated read of a committed version (default: latest). */
@@ -129,11 +197,40 @@ object TxLog {
       |FROM events WHERE event_id % 3 < 2
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked VACUUM query: append v1, OVERWRITE to v2, leave an
+    * orphan write, vacuum to the latest version only — then a RAW
+    * recursive glob of the table directory must see exactly v2's rows.
+    * The dirty scan is the proof: before vacuum it reads v1 + v2 +
+    * orphan; only physical deletion of the expired/orphaned files can
+    * make it equal the retained snapshot.
+    */
+  def vacuumQuery(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_txlog_vac").toString
+    val ev = Tables.events(spark, dir)
+    commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
+    commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
+    ev.filter(pmod(col("event_id"), lit(3)) === 2)
+      .write.parquet(Paths.get(table).resolve("data-orphan").toString)
+    vacuum(table, retainVersions = 1)
+    spark.read
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
+      .parquet(table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val vacuumQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 3 = 1
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_txlog_snapshot" -> snapshotQuery _
+    "q_txlog_snapshot" -> snapshotQuery _,
+    "q_txlog_vacuum" -> vacuumQuery _
   )
 
   def oracles: Map[String, String] = Map(
-    "q_txlog_snapshot" -> snapshotQueryOracle
+    "q_txlog_snapshot" -> snapshotQueryOracle,
+    "q_txlog_vacuum" -> vacuumQueryOracle
   )
 }

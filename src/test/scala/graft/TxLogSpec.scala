@@ -56,4 +56,30 @@ class TxLogSpec extends SparkSpec {
     assert(v == 3L, s"commit must retry past the stolen version, got v$v")
     assert(TxLog.snapshotAt(s, t, 3).count() == events.count())
   }
+
+  test("vacuum deletes expired and orphaned files, keeps the retained snapshot intact") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val a = events.filter(col("event_id") < 100)
+    val b = events.filter(col("event_id") >= 100 && col("event_id") < 200)
+    TxLog.commitAppend(a, t)                                  // v1
+    TxLog.commitOverwrite(b, t)                               // v2 replaces v1
+    events.filter(col("event_id") >= 200).limit(50)
+      .write.parquet(java.nio.file.Paths.get(t).resolve("data-orphan").toString)
+    val before = TxLog.snapshot(s, t).count()
+    val (deleted, retained) = TxLog.vacuum(t, retainVersions = 1)
+    assert(deleted > 0, "expected expired v1 + orphan files to be deleted")
+    assert(retained > 0)
+    // the retained snapshot is untouched
+    assert(TxLog.snapshot(s, t).count() == before)
+    assert(before == b.count())
+    // time travel beyond retention now fails (manifest expired)
+    intercept[Exception] { TxLog.snapshotAt(s, t, 1).count() }
+    // nothing outside the retained manifest remains on disk
+    val diskRows = s.read
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
+      .parquet(t).count()
+    assert(diskRows == before)
+  }
 }
