@@ -39,6 +39,12 @@ object TxLog {
 
   private def logDir(table: Path): Path = table.resolve("_txlog")
 
+  /** `Files.list` with the stream closed (it holds a directory fd). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def manifestPath(table: Path, v: Long): Path =
     logDir(table).resolve(f"v$v%08d.manifest")
 
@@ -47,7 +53,7 @@ object TxLog {
     val ld = logDir(Paths.get(dir))
     if (!Files.isDirectory(ld)) None
     else {
-      val vs = Files.list(ld).iterator().asScala
+      val vs = listDir(ld).iterator
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
         .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
@@ -62,7 +68,7 @@ object TxLog {
   private def writeBatch(df: DataFrame, table: Path): Seq[String] = {
     val batch = "data-" + java.util.UUID.randomUUID().toString
     df.write.parquet(table.resolve(batch).toString)
-    Files.list(table.resolve(batch)).iterator().asScala
+    listDir(table.resolve(batch)).iterator
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
       .map(n => s"$batch/$n")
@@ -124,18 +130,18 @@ object TxLog {
     val oldest = math.max(1L, cur - retainVersions + 1)
     val keep = (oldest to cur).flatMap(readManifest(table, _)).toSet
     // expire manifests below the retention floor
-    Files.list(logDir(table)).iterator().asScala.toSeq.foreach { m =>
+    listDir(logDir(table)).foreach { m =>
       val n = m.getFileName.toString
       if (n.startsWith("v") && n.endsWith(".manifest") &&
         n.stripPrefix("v").stripSuffix(".manifest").toLong < oldest)
         Files.delete(m)
     }
     var deleted = 0L
-    Files.list(table).iterator().asScala.toSeq
+    listDir(table)
       .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("data-"))
       .foreach { d =>
         val batch = d.getFileName.toString
-        val files = Files.list(d).iterator().asScala.toSeq
+        val files = listDir(d)
         val (kept, junk) = files.partition { f =>
           val n = f.getFileName.toString
           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
