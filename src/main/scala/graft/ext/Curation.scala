@@ -24,17 +24,16 @@ object Curation {
   private val toksSql =
     "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
 
-  /** Word n-grams as one packed array per doc (Generate-barrier idiom:
-    * the token split runs once per document, the grams are a narrow
-    * per-row transform).
+  /** Word n-grams as one packed array per doc. Tokenize + gram-build
+    * run in the native `graft_ngrams` expression — one JVM pass per
+    * document instead of an interpreted lambda dispatch (plus a fresh
+    * concat) per gram (the same HOF→native move as `graft_simhash64`).
     */
-  private def gramArrays(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), col("source"), explode(array(toks(col("text")))).as("arr"))
-      .select(col("doc_id"), col("source"),
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(col("arr")) - n, lit(0))),
-          i => concat_ws(" ", (0 until n).map(k => get(col("arr"), i + k)): _*)
-        )).as("grams"))
+  private def gramArrays(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"), col("source"),
+      array_distinct(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), n)).as("grams"))
+  }
 
   private def gramsSql(n: Int): String =
     s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - ${n - 1}, 1) + 1),
@@ -100,15 +99,16 @@ object Curation {
 
   /** Within-document repetition (Gopher-style): the fraction of
     * duplicate word 2-grams. Heavily templated/looping text scores
-    * high and is dropped before training. Map-only: one Generate pass,
-    * per-row arithmetic, no shuffle.
+    * high and is dropped before training. Map-only, no shuffle; the
+    * grams come from the native `graft_ngrams` pass, materialized once
+    * behind a Generate barrier (both `size(grams)` and
+    * `size(array_distinct(grams))` consume it — without the barrier
+    * CollapseProject would run the tokenizer + gram build twice).
     */
-  def repetition(docs: DataFrame, maxDupRatio: Double = 0.2): DataFrame =
-    docs.select(col("doc_id"), explode(array(toks(col("text")))).as("arr"))
-      .select(col("doc_id"),
-        transform(
-          sequence(lit(0), greatest(size(col("arr")) - 2, lit(0))),
-          i => concat_ws(" ", get(col("arr"), i), get(col("arr"), i + 1))).as("grams"))
+  def repetition(docs: DataFrame, maxDupRatio: Double = 0.2): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"),
+      explode(array(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), 2))).as("grams"))
       .select(
         col("doc_id"),
         size(col("grams")).as("n_grams"),
@@ -116,6 +116,7 @@ object Curation {
       .withColumn("dup_ratio",
         round((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"), 6))
       .withColumn("keep", col("dup_ratio") <= maxDupRatio)
+  }
 
   def repetitionOracle(maxDupRatio: Double = 0.2): String =
     s"""SELECT doc_id, n_grams, n_distinct,

@@ -100,6 +100,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash8"),
       (children: Seq[Expression]) => MinHashSigs(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => NGrams(children(0), children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => sys.error(s"graft_ngrams n must be an int literal, got $other")
+      })))
+    ext.injectFunction((
       new FunctionIdentifier("graft_rankcells"),
       new ExpressionInfo(classOf[RankCells].getName, "graft_rankcells"),
       (children: Seq[Expression]) => RankCells(children(0), children(1))))
