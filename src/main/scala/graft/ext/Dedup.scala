@@ -52,13 +52,11 @@ object Dedup {
     * shuffle to regroup them. Safe because a document is bounded-size:
     * the array never exceeds the doc's own token count.
     */
-  private def shingleArrays(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array(toks(col("text")))).as("arr"))
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(0), greatest(size(col("arr")) - 3, lit(0))),
-          i => concat_ws(" ", get(col("arr"), i), get(col("arr"), i + 1), get(col("arr"), i + 2))
-        )).as("sh"))
+  private def shingleArrays(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(col("doc_id"),
+      array_distinct(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), 3)).as("sh"))
+  }
 
   private val shinglesSql =
     s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - 2, 1) + 1),

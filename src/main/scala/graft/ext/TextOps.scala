@@ -144,22 +144,18 @@ object TextOps {
     * agree byte-for-byte).
     */
   def fingerprint(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val toks = tokens(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "))
     // Shuffle-free: token array materialized once per doc behind a
-    // Generate barrier (CollapseProject can't inline through it, so the
-    // regex split runs once, not once per lambda element), then BOTH
-    // fingerprints come out of one narrow projection — min over the
-    // 5-gram hashes is per-doc arithmetic, no window/groupBy/join.
+    // Generate barrier (both fingerprints consume it), then the 5-gram
+    // build + min-md5 winnow run in native expressions — one JVM pass
+    // per document instead of an interpreted md5 lambda per shingle.
     docs.select(col("doc_id"), explode(array(toks)).as("arr"))
       .select(
         col("doc_id"),
         md5(concat_ws(" ", col("arr"))).as("exact_fp"),
-        array_min(transform(
-          sequence(lit(0), greatest(size(col("arr")) - 5, lit(0))),
-          i => md5(concat_ws(" ",
-            get(col("arr"), i), get(col("arr"), i + 1), get(col("arr"), i + 2),
-            get(col("arr"), i + 3), get(col("arr"), i + 4)))
-        )).as("content_fp"))
+        graft.functions.MinMd5Ops.minMd5(spark,
+          graft.functions.NGramsOps.ngrams(spark, col("arr"), 5)).as("content_fp"))
   }
 
   val fingerprintOracle: String =

@@ -86,3 +86,85 @@ object NGramsOps {
       call_function("graft_ngrams", tokens, lit(n))
     else ngramsUdf(n)(tokens)
 }
+
+/** Native minimum-md5 over an `array<string>`: the winnowing min-sketch
+  * reduction (`list_min(list_transform(arr, md5))` in the oracle) as
+  * one JVM pass — replaces an interpreted md5 lambda per element per
+  * document. Returns null for an empty array.
+  */
+case class MinMd5(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minmd5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minmd5 expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    MinMd5.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.MinMd5.compute($c);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinMd5 {
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Called from generated code — one md5 + compare per element. */
+  def compute(arr: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val n = arr.numElements()
+    var min: String = null
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Hex(arr.getUTF8String(i).toString)
+        if (min == null || h.compareTo(min) < 0) min = h
+      }
+      i += 1
+    }
+    if (min == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(min)
+  }
+
+  def computeSeq(xs: Seq[String]): Option[String] =
+    xs.iterator.filter(_ != null).map(md5Hex).minOption
+}
+
+object MinMd5Ops {
+
+  private val minMd5Udf = udf((xs: Seq[String]) => MinMd5.computeSeq(xs))
+
+  def minMd5(spark: SparkSession, arr: Column): Column =
+    if (spark.catalog.functionExists("graft_minmd5"))
+      call_function("graft_minmd5", arr)
+    else minMd5Udf(arr)
+}

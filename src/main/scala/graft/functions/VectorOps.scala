@@ -107,6 +107,10 @@ object GraftExtensions {
         case other => sys.error(s"graft_ngrams n must be an int literal, got $other")
       })))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minmd5"),
+      new ExpressionInfo(classOf[MinMd5].getName, "graft_minmd5"),
+      (children: Seq[Expression]) => MinMd5(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_rankcells"),
       new ExpressionInfo(classOf[RankCells].getName, "graft_rankcells"),
       (children: Seq[Expression]) => RankCells(children(0), children(1))))
