@@ -118,6 +118,86 @@ object Multimodal {
        |         i -> ord(substr(text, i, 1))), 'sum') AS BIGINT) AS frame_sum
        |FROM documents""".stripMargin
 
+  /** Row type of the resize output. */
+  case class Resized(doc_id: Long, out_bytes: Int, out_checksum: String)
+
+  /** RESIZE STUB — deterministic fake for the thumbnailer: keeps every
+    * k-th payload byte (k sized so ~`targetBytes` survive), reporting
+    * the resized blob's size + checksum. Same typed `mapPartitions`
+    * codec seam as `decodeStub`; a real build swaps the body for an
+    * actual scaler.
+    */
+  def resizeStub(withBlob: DataFrame, targetBytes: Int = 64): DataFrame = {
+    val spark = withBlob.sparkSession
+    import spark.implicits._
+    withBlob.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val k = math.max(1, bytes.length / targetBytes)
+          val resized = (0 until bytes.length by k).map(bytes(_)).toArray
+          md.reset()
+          val hex = md.digest(resized).map("%02x".format(_)).mkString
+          Resized(id, resized.length, hex)
+        }
+      }
+      .toDF()
+  }
+
+  def resizeQuery(docs: DataFrame): DataFrame = resizeStub(withPayload(docs))
+
+  /** Oracle re-derives the stride sampling from the text (ASCII ⇒
+    * byte == codepoint, so the substring concat is the resized bytes).
+    */
+  def resizeOracle(targetBytes: Int = 64): String =
+    s"""SELECT doc_id,
+       |       len(range(1, length(text) + 1, greatest(1, length(text) // $targetBytes)))::INT AS out_bytes,
+       |       md5(array_to_string(list_transform(
+       |         range(1, length(text) + 1, greatest(1, length(text) // $targetBytes)),
+       |         i -> substr(text, i, 1)), '')) AS out_checksum
+       |FROM documents""".stripMargin
+
+  /** Row type of the feature-extraction output. */
+  case class Featured(doc_id: Long, features: Array[Double])
+
+  /** FEATURE-EXTRACT STUB — deterministic fake for the embedding model:
+    * an 8-bin byte histogram (fraction of payload bytes per 32-value
+    * bin, 6 dp) as the per-blob feature vector. The plumbing — typed
+    * mapPartitions batch, fixed-width `array<double>` output column
+    * feeding the ANN/centroid operators — is exactly what a real
+    * encoder produces.
+    */
+  def featureStub(withBlob: DataFrame): DataFrame = {
+    val spark = withBlob.sparkSession
+    import spark.implicits._
+    withBlob.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val counts = new Array[Long](8)
+          bytes.foreach(b => counts((b & 0xff) >> 5) += 1)
+          val n = math.max(bytes.length, 1).toDouble
+          Featured(id, counts.map(c => BigDecimal(c / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+      .toDF()
+  }
+
+  def featureQuery(docs: DataFrame): DataFrame = featureStub(withPayload(docs))
+
+  val featureOracle: String = {
+    val bins = (0 until 8).map(b =>
+      s"round(len(list_filter(codes, c -> c // 32 = $b))::DOUBLE / greatest(len(codes), 1), 6)")
+      .mkString(",\n       |         ")
+    s"""SELECT doc_id,
+       |       [$bins] AS features
+       |FROM (
+       |  SELECT doc_id,
+       |         list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS codes
+       |  FROM documents
+       |)""".stripMargin
+  }
+
   /** The REAL blob-ingestion front door: Spark's `binaryFile` source
     * reads raw files as (path, modificationTime, length, content) rows
     * — how image/audio corpora actually enter a lakehouse before any
@@ -157,13 +237,17 @@ object Multimodal {
     "q_mm_binaryfile" -> binaryFileQuery _,
     "q_mm_meta" -> ((s, d) => metaQuery(Tables.documents(s, d))),
     "q_mm_decode" -> ((s, d) => decodeQuery(Tables.documents(s, d))),
-    "q_mm_frames" -> ((s, d) => frameSample(Tables.documents(s, d)))
+    "q_mm_frames" -> ((s, d) => frameSample(Tables.documents(s, d))),
+    "q_mm_resize" -> ((s, d) => resizeQuery(Tables.documents(s, d))),
+    "q_mm_features" -> ((s, d) => featureQuery(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
     "q_mm_binaryfile" -> binaryFileOracle,
     "q_mm_meta" -> metaOracle,
     "q_mm_decode" -> decodeOracle,
-    "q_mm_frames" -> frameSampleOracle()
+    "q_mm_frames" -> frameSampleOracle(),
+    "q_mm_resize" -> resizeOracle(),
+    "q_mm_features" -> featureOracle
   )
 }

@@ -38,4 +38,26 @@ class MultimodalSpec extends SparkSpec {
     val expected = Seq(1, 17, 33, 49).map(p => text.charAt(p - 1).toInt).sum
     assert(out.getLong(2) == expected.toLong)
   }
+
+  test("resize stub: stride sampling hits the target size, checksum matches the kept bytes") {
+    val text = "abcdefgh" * 32 // 256 bytes -> k = 4, keep positions 0,4,8,...
+    val out = Multimodal.resizeQuery(docs((1L, text))).head()
+    assert(out.getInt(1) == 64)
+    val kept = (0 until 256 by 4).map(text.charAt).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(kept.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getString(2) == hex)
+    // payload smaller than the target passes through whole
+    val small = Multimodal.resizeQuery(docs((2L, "tiny"))).head()
+    assert(small.getInt(1) == 4)
+  }
+
+  test("feature stub: histogram fractions sum to 1 and land in the right bins") {
+    val text = "aaAA!!  " // bins: 'a'=97>>5=3, 'A'=65>>5=2, '!'=33>>5=1, ' '=32>>5=1
+    val out = Multimodal.featureQuery(docs((1L, text))).head()
+    val f = out.getSeq[Double](1)
+    assert(f.length == 8)
+    assert(math.abs(f.sum - 1.0) < 1e-4)
+    assert(f(3) == 0.25 && f(2) == 0.25 && f(1) == 0.5)
+  }
 }
