@@ -198,6 +198,38 @@ object Multimodal {
        |)""".stripMargin
   }
 
+  /** Multimodal → ANN composition: the extracted feature vectors feed
+    * the SAME brute-force cosine top-k operator the embedding corpus
+    * uses — blob → decode seam → feature vector → similarity search as
+    * one declarative plan, the retrieval path a multimodal curation
+    * pipeline runs (dedup by visual similarity, nearest-neighbor
+    * labeling). No operator was modified to accept the derived
+    * vectors; that is the composability claim.
+    */
+  def featureKnn(docs: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(
+      featureQuery(docs).select(
+        col("doc_id").as("vec_id"), col("features").as("embedding")),
+      nQueries, k)
+
+  def featureKnnOracle(nQueries: Int = 3, k: Int = 5): String = {
+    val cos = "round(list_cosine_similarity(q.features::DOUBLE[], v.features::DOUBLE[]), 6)"
+    s"""WITH f AS (
+       |  ${featureOracle.replace("\n", "\n       |  ")}
+       |)
+       |SELECT query_id, vec_id, cos, rank
+       |FROM (
+       |  SELECT q.doc_id AS query_id, v.doc_id AS vec_id,
+       |         $cos AS cos,
+       |         row_number() OVER (PARTITION BY q.doc_id
+       |                            ORDER BY $cos DESC, v.doc_id) AS rank
+       |  FROM f v
+       |  CROSS JOIN (SELECT * FROM f WHERE doc_id < $nQueries) q
+       |  WHERE v.doc_id != q.doc_id
+       |)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** The REAL blob-ingestion front door: Spark's `binaryFile` source
     * reads raw files as (path, modificationTime, length, content) rows
     * — how image/audio corpora actually enter a lakehouse before any
@@ -239,7 +271,8 @@ object Multimodal {
     "q_mm_decode" -> ((s, d) => decodeQuery(Tables.documents(s, d))),
     "q_mm_frames" -> ((s, d) => frameSample(Tables.documents(s, d))),
     "q_mm_resize" -> ((s, d) => resizeQuery(Tables.documents(s, d))),
-    "q_mm_features" -> ((s, d) => featureQuery(Tables.documents(s, d)))
+    "q_mm_features" -> ((s, d) => featureQuery(Tables.documents(s, d))),
+    "q_mm_knn" -> ((s, d) => featureKnn(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -248,6 +281,7 @@ object Multimodal {
     "q_mm_decode" -> decodeOracle,
     "q_mm_frames" -> frameSampleOracle(),
     "q_mm_resize" -> resizeOracle(),
-    "q_mm_features" -> featureOracle
+    "q_mm_features" -> featureOracle,
+    "q_mm_knn" -> featureKnnOracle()
   )
 }
