@@ -465,6 +465,88 @@ object Streams {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- transformWithState (v2 API)
+
+  /** Accumulator state for `RunningTypeStats`. */
+  case class RunningAgg(n: Long, total: Double)
+
+  /** Output row of the transformWithState demo operator. */
+  case class TypeStats(event_type: String, n: Long, total_value: Double)
+
+  /** Spark 4's second-generation arbitrary-state operator
+    * (`transformWithState` + `StatefulProcessor`): a per-key running
+    * accumulator with explicit `ValueState`. Compared to
+    * `flatMapGroupsWithState` this is the API the engine is moving to —
+    * typed state handles (value/list/map), TTL, timers, and it REQUIRES
+    * the RocksDB state store (the 100 TB state backend), which the
+    * runner below configures. State is O(keys); each batch touches only
+    * the keys it contains.
+    */
+  class RunningTypeStats extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Double), TypeStats] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var state: ValueState[RunningAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningAgg]("agg",
+        org.apache.spark.sql.Encoders.product[RunningAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+        timerValues: TimerValues): Iterator[TypeStats] = {
+      var acc = if (state.exists()) state.get() else RunningAgg(0L, 0.0)
+      rows.foreach { case (_, v) => acc = RunningAgg(acc.n + 1, acc.total + v) }
+      state.update(acc)
+      Iterator(TypeStats(key, acc.n, acc.total))
+    }
+  }
+
+  /** End-to-end oracle-checked transformWithState run: the running
+    * accumulator over the full replay must equal the batch aggregate.
+    * Configures the RocksDB state store for the query (transformWithState
+    * rejects the default HDFS-backed provider).
+    */
+  def runRunningStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    val out = Files.createTempDirectory("graft_tws_out").toString
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+    val sp = spark
+    import sp.implicits._
+    val src = eventsStream(spark, dir)
+      .select(col("event_type"), col("value")).as[(String, Double)]
+    val res = src.groupByKey(_._1)
+      .transformWithState(new RunningTypeStats, TimeMode.None(), OM.Update())
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStatePartitions(spark) {
+      val q = res.toDF().writeStream
+        .outputMode(OM.Update())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        // single staged file => single batch: the one emission per key IS
+        // the final running total (multi-batch append semantics are
+        // covered by q_stream_append/q_stream_dedup)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None => spark.conf.unset(providerKey)
+    }
+    spark.read.parquet(out).select(
+      col("event_type"), col("n"),
+      round(col("total_value"), 2).as("total_value"))
+  }
+
+  val runRunningStatsOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   /** Per-user session accumulator for `sessionizeStateful`. */
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
 
@@ -523,7 +605,8 @@ object Streams {
     "q_stream_append" -> runSilverAppendChecked _,
     "q_stream_inference" -> runSilverInference _,
     "q_stream_join" -> runClickPurchaseJoin _,
-    "q_stream_dedup" -> runStreamDedup _
+    "q_stream_dedup" -> runStreamDedup _,
+    "q_stream_tws" -> runRunningStats _
   )
 
   /** Same oracle as the batch tumbling silver agg — THE point: the
@@ -534,6 +617,7 @@ object Streams {
     "q_stream_append" -> runSilverAppendCheckedOracle,
     "q_stream_inference" -> runSilverInferenceOracle,
     "q_stream_join" -> runClickPurchaseJoinOracle,
-    "q_stream_dedup" -> runStreamDedupOracle
+    "q_stream_dedup" -> runStreamDedupOracle,
+    "q_stream_tws" -> runRunningStatsOracle
   )
 }

@@ -195,6 +195,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState: ValueState accumulates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Double)]
+    val res = mem.toDS().groupByKey(_._1)
+      .transformWithState(new Streams.RunningTypeStats,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val q = res.toDF().writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("tws_running").start()
+    try {
+      mem.addData(("a", 10.0), ("a", 20.0), ("b", 5.0))
+      q.processAllAvailable()
+      mem.addData(("a", 5.0))
+      q.processAllAvailable()
+      // batch 2 emission for "a" must carry batch-1 state forward
+      val a = s.table("tws_running").filter(col("event_type") === "a")
+        .orderBy(col("n")).collect()
+      assert(a.map(_.getLong(1)).toSeq == Seq(2L, 3L))
+      assert(a.last.getDouble(2) == 35.0)
+      // "b" was absent from batch 2: exactly its batch-1 emission
+      val b = s.table("tws_running").filter(col("event_type") === "b").collect()
+      assert(b.length == 1 && b.head.getLong(1) == 1L)
+    } finally {
+      q.stop()
+      prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    }
+  }
+
   test("kafka wire-schema rows parse through the shared trade pipeline") {
     val s = spark
     import s.implicits._
