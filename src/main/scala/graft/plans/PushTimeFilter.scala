@@ -56,11 +56,17 @@ object PushTimeFilter extends Rule[LogicalPlan] with PredicateHelper {
       Some(GreaterThan(a, Literal(c * 1000L)))
     case GreaterThanOrEqual(NanosToTs(a), Literal(c: Long, TimestampType)) if c > 0 && c <= MaxSafeMicros =>
       Some(GreaterThanOrEqual(a, Literal(c * 1000L)))
-    // literal-on-left orientations normalize to the cases above
-    case LessThan(l: Literal, r) => implied(GreaterThan(r, l))
-    case LessThanOrEqual(l: Literal, r) => implied(GreaterThanOrEqual(r, l))
-    case GreaterThan(l: Literal, r) => implied(LessThan(r, l))
-    case GreaterThanOrEqual(l: Literal, r) => implied(LessThanOrEqual(r, l))
+    // literal-on-left orientations normalize to the cases above; the
+    // non-literal guard on the right side keeps a (not yet folded)
+    // literal-vs-literal comparison from recursing forever
+    case LessThan(l: Literal, r) if !r.isInstanceOf[Literal] =>
+      implied(GreaterThan(r, l))
+    case LessThanOrEqual(l: Literal, r) if !r.isInstanceOf[Literal] =>
+      implied(GreaterThanOrEqual(r, l))
+    case GreaterThan(l: Literal, r) if !r.isInstanceOf[Literal] =>
+      implied(LessThan(r, l))
+    case GreaterThanOrEqual(l: Literal, r) if !r.isInstanceOf[Literal] =>
+      implied(LessThanOrEqual(r, l))
     case _ => None
   }
 
