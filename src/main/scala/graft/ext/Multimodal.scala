@@ -208,8 +208,10 @@ object Multimodal {
     */
   def featureKnn(docs: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame =
     Similarity.bruteForceTopK(
+      // cached: the top-k operator consumes the frame on BOTH join sides
+      // and the mapPartitions feature extraction must run once, not twice
       featureQuery(docs).select(
-        col("doc_id").as("vec_id"), col("features").as("embedding")),
+        col("doc_id").as("vec_id"), col("features").as("embedding")).cache(),
       nQueries, k)
 
   def featureKnnOracle(nQueries: Int = 3, k: Int = 5): String = {

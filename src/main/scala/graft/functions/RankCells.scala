@@ -58,10 +58,14 @@ case class RankCells(left: Expression, right: Expression) extends BinaryExpressi
 object RankCells {
 
   /** Spark `round(x, 6)` twin: HALF_UP over the double's decimal
-    * (shortest-string) representation.
+    * (shortest-string) representation; NaN/±Infinity pass through like
+    * Spark's round (BigDecimal.valueOf would throw on them — a
+    * zero-norm vector or centroid must degrade to last-ranked, not
+    * kill the job).
     */
   private def round6(x: Double): Double =
-    JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
   /** Called from generated code — scores and ranks the codebook in one
     * pass over compact primitive arrays.

@@ -134,9 +134,9 @@ object Layout {
     * do the skipping natively — a map-only derivation, no global sort).
     * Output is the per-file stats table a scan planner would consult,
     * with `hit` = whether the file survives the box predicate
-    * custkey∈[100,199] × date∈[1996-01-01,1996-12-31]; the spec asserts
-    * most files DON'T (the locality win), the oracle asserts the stats
-    * are exact.
+    * custkey∈[100,199] × days-since-1995∈[365,729] (1996-01-01 through
+    * 1996-12-30); the spec asserts most files DON'T (the locality win),
+    * the oracle asserts the stats are exact.
     */
   private val zbits = 12
 

@@ -123,12 +123,25 @@ object TxLog {
     * contract as Delta's VACUUM/logRetention. At scale this runs from
     * the manifest listing (O(files) driver work or a parallelized
     * listing join), never a data scan.
+    *
+    * `minAgeMs` is the Delta-style modification-time threshold: files
+    * younger than it are NEVER deleted, because an unreferenced young
+    * batch is indistinguishable from an in-flight optimistic committer
+    * that has written its data but not yet moved its manifest — deleting
+    * it would let the commit land pointing at vanished files. Tests and
+    * the oracle query pass 0 (single-writer); production keeps a
+    * generous default.
     */
-  def vacuum(dir: String, retainVersions: Int = 1): (Long, Long) = {
+  def vacuum(dir: String, retainVersions: Int = 1,
+      minAgeMs: Long = 10 * 60 * 1000L): (Long, Long) = {
     val table = Paths.get(dir)
     val cur = currentVersion(dir).getOrElse(sys.error(s"no committed version in $dir"))
     val oldest = math.max(1L, cur - retainVersions + 1)
-    val keep = (oldest to cur).flatMap(readManifest(table, _)).toSet
+    // a prior, tighter vacuum may already have expired manifests inside
+    // this window — keep is the union of those that still exist
+    val keep = (oldest to cur)
+      .filter(v => Files.exists(manifestPath(table, v)))
+      .flatMap(readManifest(table, _)).toSet
     // expire manifests below the retention floor
     listDir(logDir(table)).foreach { m =>
       val n = m.getFileName.toString
@@ -136,6 +149,8 @@ object TxLog {
         n.stripPrefix("v").stripSuffix(".manifest").toLong < oldest)
         Files.delete(m)
     }
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: Path): Boolean = Files.getLastModifiedTime(p).toMillis <= cutoff
     var deleted = 0L
     listDir(table)
       .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("data-"))
@@ -147,15 +162,17 @@ object TxLog {
           n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
             keep(s"$batch/$n")
         }
-        if (kept.isEmpty) {
-          // whole batch unreferenced: remove it, sidecars included
-          junk.foreach { f =>
+        val (removable, young) = junk.partition(oldEnough)
+        if (kept.isEmpty && young.isEmpty) {
+          // whole batch unreferenced and past the age threshold: remove
+          // it, sidecars included
+          removable.foreach { f =>
             if (f.getFileName.toString.endsWith(".parquet")) deleted += 1
             Files.delete(f)
           }
           Files.delete(d)
         } else {
-          junk.filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+          removable.filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
             Files.delete(f); deleted += 1
           }
         }
@@ -217,7 +234,7 @@ object TxLog {
     commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
     ev.filter(pmod(col("event_id"), lit(3)) === 2)
       .write.parquet(Paths.get(table).resolve("data-orphan").toString)
-    vacuum(table, retainVersions = 1)
+    vacuum(table, retainVersions = 1, minAgeMs = 0L) // single-writer: no in-flight committers
     spark.read
       .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
       .parquet(table)

@@ -68,7 +68,11 @@ class TxLogSpec extends SparkSpec {
     events.filter(col("event_id") >= 200).limit(50)
       .write.parquet(java.nio.file.Paths.get(t).resolve("data-orphan").toString)
     val before = TxLog.snapshot(s, t).count()
-    val (deleted, retained) = TxLog.vacuum(t, retainVersions = 1)
+    // the default min-age threshold protects the just-written files
+    // (they are indistinguishable from an in-flight committer's batch)
+    val (d0, _) = TxLog.vacuum(t, retainVersions = 1)
+    assert(d0 == 0L, s"young files must survive the age threshold, deleted $d0")
+    val (deleted, retained) = TxLog.vacuum(t, retainVersions = 1, minAgeMs = 0L)
     assert(deleted > 0, "expected expired v1 + orphan files to be deleted")
     assert(retained > 0)
     // the retained snapshot is untouched
@@ -81,5 +85,10 @@ class TxLogSpec extends SparkSpec {
       .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
       .parquet(t).count()
     assert(diskRows == before)
+    // a LARGER window than survives on disk must not crash on the
+    // already-expired v1 manifest, and must keep the live snapshot
+    val (d2, _) = TxLog.vacuum(t, retainVersions = 5, minAgeMs = 0L)
+    assert(d2 == 0L)
+    assert(TxLog.snapshot(s, t).count() == before)
   }
 }
