@@ -247,13 +247,49 @@ object TxLog {
       |FROM events WHERE event_id % 3 = 1
       |GROUP BY 1""".stripMargin
 
+  /** Change data feed between two committed versions: with append-only
+    * commits the change set is EXACTLY the files later manifests added,
+    * so a change query READS ONLY the added files — O(changed data),
+    * never a row-level diff of two snapshots. This is the Delta
+    * CDF/`table_changes` efficiency claim expressed on the manifest
+    * log; overwrite commits would add removed-file tracking to the
+    * manifest format, not change the read shape.
+    */
+  def changesBetween(spark: SparkSession, dir: String, fromV: Long, toV: Long): DataFrame = {
+    val table = Paths.get(dir)
+    val before = readManifest(table, fromV).toSet
+    val added = readManifest(table, toV).filterNot(before)
+      .map(rel => table.resolve(rel).toString)
+    spark.read.parquet(added: _*)
+  }
+
+  /** Oracle-checked CDF query: two appended versions; the v1→v2 change
+    * feed must aggregate to exactly the second batch's rows.
+    */
+  def changesQuery(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft_txlog_cdf").toString
+    val ev = Tables.events(spark, dir)
+    val v1 = commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
+    val v2 = commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
+    changesBetween(spark, table, v1, v2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val changesQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 3 = 1
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog_snapshot" -> snapshotQuery _,
-    "q_txlog_vacuum" -> vacuumQuery _
+    "q_txlog_vacuum" -> vacuumQuery _,
+    "q_txlog_changes" -> changesQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_txlog_snapshot" -> snapshotQueryOracle,
-    "q_txlog_vacuum" -> vacuumQueryOracle
+    "q_txlog_vacuum" -> vacuumQueryOracle,
+    "q_txlog_changes" -> changesQueryOracle
   )
 }
