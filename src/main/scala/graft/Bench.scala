@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // same UTC pin as Verify/Smoke/Explain: on a non-UTC host the
+      // date_trunc/to_date buckets (and thus the measured work) would
+      // silently diverge from the oracle-checked semantics
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,6 +27,7 @@ object Bench {
       Tables.events(spark, sfDir).count()
       sources.Layout.prepare(spark, sfDir) // layout build = ETL, not query time
       streaming.Streams.prepare(spark, sfDir) // stream-landing staging, same
+      sources.TxLog.prepare(spark, sfDir) // manifest-log fixture tables, same
       val warmDir = "/root/testdata/sf0.001"
       if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
         sources.Layout.prepare(spark, warmDir)

@@ -162,21 +162,34 @@ object Indicators {
     *
     * This is the answer to "one hot series longer than a partition":
     * shuffle key becomes (series, bucket) — parallelism scales with
-    * time — while the rows-frame semantics stay exact. Precondition:
-    * every bucket holds ≥ n−1 rows per series (frame ≪ bucket density;
-    * week buckets at the corpus density give 40+ rows per bucket).
-    * Output is oracle-checked against the sequential single-window SQL.
+    * time — while the rows-frame semantics stay exact. Empty buckets
+    * are handled (carry targets the next EXISTING bucket per series);
+    * the remaining precondition is that a NON-empty bucket holds
+    * ≥ n−1 rows per series (frame ≪ bucket density; week buckets at
+    * the corpus density give 40+ rows per bucket). Output is
+    * oracle-checked against the sequential single-window SQL.
     */
   def smaPartitioned(events: DataFrame, n: Int = 5): DataFrame = {
     val base = events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .withColumn("bucket", date_trunc("week", col("ts")))
     val wDesc = Window.partitionBy(col("event_type"), col("bucket"))
       .orderBy(col("ts").desc, col("event_id").desc)
+    // each bucket's carry lands in the series' NEXT EXISTING bucket —
+    // not bucket+7d, which would drop the lookback across an empty
+    // calendar week and null out the next bucket's first frames. The
+    // bucket list is O(series × weeks): a tiny lead() window + a
+    // broadcast-sized join back.
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val nextBucket = base.select(col("event_type"), col("bucket")).distinct()
+      .withColumn("next_bucket", lead(col("bucket"), 1).over(wNext))
     val carry = base
       .withColumn("rn", row_number().over(wDesc))
       .filter(col("rn") < n)
       .drop("rn")
-      .withColumn("bucket", col("bucket") + expr("INTERVAL 7 DAYS"))
+      .join(broadcast(nextBucket), Seq("event_type", "bucket"))
+      .filter(col("next_bucket").isNotNull)
+      .withColumn("bucket", col("next_bucket"))
+      .drop("next_bucket")
       .withColumn("is_carry", lit(true))
     val stitched = base.withColumn("is_carry", lit(false)).unionByName(carry)
     val frame = Window.partitionBy(col("event_type"), col("bucket"))

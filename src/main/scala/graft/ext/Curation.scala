@@ -17,12 +17,12 @@ import graft.Tables
   */
 object Curation {
 
-  /** Normalized word tokens (same normalization as Dedup). */
-  private def toks(c: Column): Column =
-    split(trim(regexp_replace(lower(c), "[^a-z0-9 ]", " ")), " +")
+  /** Normalized word tokens (same normalization as Dedup — one source
+    * of truth, see TextNorm).
+    */
+  private def toks(c: Column): Column = TextNorm.toks(c)
 
-  private val toksSql =
-    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+  private val toksSql = TextNorm.toksSql
 
   /** Word n-grams as one packed array per doc. Tokenize + gram-build
     * run in the native `graft_ngrams` expression — one JVM pass per

@@ -30,12 +30,10 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Normalized word tokens shared by all dedup ops. */
-  private def toks(c: Column): Column =
-    split(trim(regexp_replace(lower(c), "[^a-z0-9 ]", " ")), " +")
+  /** Normalized word tokens shared by all dedup ops (see TextNorm). */
+  private def toks(c: Column): Column = TextNorm.toks(c)
 
-  private val toksSql =
-    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+  private val toksSql = TextNorm.toksSql
 
   /** (doc_id, sh): distinct word 3-gram shingles as ONE ARRAY per doc.
     *
@@ -98,7 +96,10 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  val numHashes = 8  // k minhash functions
+  // k minhash functions — aliased from the native expression that
+  // actually PRODUCES the signature array, so the unpack width, the
+  // banding math, and the oracle SQL can never drift from it
+  val numHashes: Int = graft.functions.MinHashSigs.numHashes
   val bandRows = 2   // r rows per band → b = k/r = 4 bands
 
   /** Hot-bucket cap: max docs admitted per (band, bucket) into candidate

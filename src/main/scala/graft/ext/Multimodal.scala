@@ -208,11 +208,21 @@ object Multimodal {
     */
   def featureKnn(docs: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame =
     Similarity.bruteForceTopK(
-      // cached: the top-k operator consumes the frame on BOTH join sides
-      // and the mapPartitions feature extraction must run once, not twice
       featureQuery(docs).select(
-        col("doc_id").as("vec_id"), col("features").as("embedding")).cache(),
+        col("doc_id").as("vec_id"), col("features").as("embedding")),
       nQueries, k)
+
+  /** Feature frame cached ONCE per corpus dir: the top-k operator
+    * consumes it on BOTH join sides, and a per-invocation cache() of a
+    * mapPartitions plan never dedupes in the CacheManager (closures
+    * compare by reference) — repeated calls would stack live cache
+    * entries. Same memo pattern as Similarity.sharedVecFrame.
+    */
+  private val featMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def sharedFeatureFrame(s: SparkSession, d: String): DataFrame =
+    featMemo.getOrElseUpdate(d, featureQuery(Tables.documents(s, d))
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding")).cache())
 
   def featureKnnOracle(nQueries: Int = 3, k: Int = 5): String = {
     val cos = "round(list_cosine_similarity(q.features::DOUBLE[], v.features::DOUBLE[]), 6)"
@@ -274,7 +284,7 @@ object Multimodal {
     "q_mm_frames" -> ((s, d) => frameSample(Tables.documents(s, d))),
     "q_mm_resize" -> ((s, d) => resizeQuery(Tables.documents(s, d))),
     "q_mm_features" -> ((s, d) => featureQuery(Tables.documents(s, d))),
-    "q_mm_knn" -> ((s, d) => featureKnn(Tables.documents(s, d)))
+    "q_mm_knn" -> ((s, d) => Similarity.bruteForceTopK(sharedFeatureFrame(s, d), 3, 5))
   )
 
   def oracles: Map[String, String] = Map(

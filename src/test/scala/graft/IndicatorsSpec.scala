@@ -71,4 +71,26 @@ class IndicatorsSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSeq
     assert(out == Seq(2L, 3L))
   }
+
+  test("smaPartitioned carries the lookback across an EMPTY week bucket") {
+    val s = spark
+    import s.implicits._
+    // weeks of 2024-01-01 and 2024-01-15, nothing in between: the
+    // second bucket's first frames must still see the first bucket's
+    // trailing rows, exactly like the sequential window
+    val rows = (0 until 6).map(i =>
+      (i.toLong, Timestamp.valueOf(s"2024-01-01 0$i:00:00"), "x", i * 10.0)) ++
+      (0 until 3).map(i =>
+        (10L + i, Timestamp.valueOf(s"2024-01-15 0$i:00:00"), "x", 100.0 + i))
+    val df = rows.toDF("event_id", "ts", "event_type", "value")
+    val part = Indicators.smaPartitioned(df).orderBy("ts", "event_id")
+      .select("event_id", "sma").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val seq = Indicators.sma(df).orderBy("ts", "event_id")
+      .select("event_id", "sma").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(part == seq, s"partitioned SMA diverged: $part vs $seq")
+    // the gap-jumping carry actually produced values, not nulls
+    assert(part(10L).nonEmpty && part(12L).nonEmpty)
+  }
 }

@@ -91,4 +91,17 @@ class TxLogSpec extends SparkSpec {
     assert(d2 == 0L)
     assert(TxLog.snapshot(s, t).count() == before)
   }
+
+  test("change feed between identical versions is empty, not a crash") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t)
+    val empty = TxLog.changesBetween(s, t, 1L, 1L)
+    assert(empty.count() == 0L)
+    assert(empty.columns.contains("event_type")) // schema preserved
+    TxLog.commitAppend(events.filter(col("event_id") >= 100), t)
+    assert(TxLog.changesBetween(s, t, 1L, 2L).count() ==
+      events.filter(col("event_id") >= 100).count())
+  }
 }
