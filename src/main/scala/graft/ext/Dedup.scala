@@ -53,12 +53,17 @@ object Dedup {
   private def shingleArrays(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     docs.select(col("doc_id"),
-      array_distinct(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), 3)).as("sh"))
+      array_distinct(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), shingleWidth)).as("sh"))
   }
 
+  // shingle width aliased from the native signature expression: the
+  // verification shingles MUST match the width the signatures hashed,
+  // or Jaccard verify silently diverges from the LSH candidates
+  private val shingleWidth: Int = graft.functions.MinHashSigs.shingleWidth
+
   private val shinglesSql =
-    s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - 2, 1) + 1),
-       |                  i -> array_to_string(($toksSql)[i:i+2], ' ')))""".stripMargin
+    s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - ${shingleWidth - 1}, 1) + 1),
+       |                  i -> array_to_string(($toksSql)[i:i+${shingleWidth - 1}], ' ')))""".stripMargin
 
   // ---------------------------------------------------------------- exact
 
