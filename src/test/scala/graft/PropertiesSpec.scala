@@ -59,6 +59,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ngrams: native pass equals the reference derivation on random token arrays") {
+    import graft.functions.NGrams
+    val tokGen = Gen.listOfN(10, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+    for ((toks0, i) <- samples(tokGen, 8).zipWithIndex) {
+      // vary length down to BELOW the gram width to hit the short-array path
+      val toks = toks0.take(1 + (i * 3) % 10)
+      for (n <- Seq(2, 3, 5)) {
+        val out = NGrams.computeSeq(toks, n)
+        // reference semantics: positions 0..max(len-n, 0), space-joined,
+        // out-of-range positions skipped
+        val expected = (0 to math.max(toks.length - n, 0)).map(p =>
+          toks.slice(p, p + n).mkString(" "))
+        assert(out == expected, s"toks=$toks n=$n")
+      }
+    }
+  }
+
+  test("minmd5: native pass equals the minimum of per-element md5 hexes") {
+    import graft.functions.MinMd5
+    val gen = Gen.listOfN(12, Gen.alphaNumStr.map(_.take(6)))
+    for (xs <- samples(gen, 8)) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String) = {
+        md.reset()
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      assert(MinMd5.computeSeq(xs) == (if (xs.isEmpty) None else Some(xs.map(hex).min)))
+    }
+    assert(MinMd5.computeSeq(Nil).isEmpty)
+  }
+
   test("rankcells: every codebook cell appears exactly once, best-first (random vectors)") {
     import graft.functions.RankCells
     val vecGen = Gen.listOfN(16, Gen.choose(-1.0, 1.0))
