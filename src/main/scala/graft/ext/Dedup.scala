@@ -319,7 +319,7 @@ object Dedup {
     // sum: overflow-proof for arbitrary id ranges (ANSI mode makes a
     // long-sum overflow an error, not a wrap).
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("l").cast("decimal(38,0)"))).head
+      val r = df.agg(sum(col("l").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prevSum = labelSum(labels)
