@@ -262,17 +262,22 @@ object Curation {
     * Map-only + one small agg; per-source token budgets fall out for
     * free.
     */
-  def splitAssign(docs: DataFrame): DataFrame = {
+  /** The per-doc split gate itself — exposed so tests pin the PRODUCTION
+    * assignment (stability under corpus growth), not a reimplementation.
+    */
+  def splitLabel: Column = {
     val h = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(100L))
+    when(h < 90, "train").when(h < 95, "val").otherwise("test")
+  }
+
+  def splitAssign(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
       size(split(trim(col("text")), " +")).as("n_tokens"))
-      .withColumn("split",
-        when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+      .withColumn("split", splitLabel)
       .groupBy(col("source"), col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("n_tokens"))
-  }
 
   val splitAssignOracle: String =
     """SELECT source, split, count(*) AS n_docs,

@@ -133,7 +133,7 @@ object GraftExtensions {
   */
 object VectorOps {
 
-  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+  private[graft] val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
     val n = math.min(a.length, b.length)
     var s = 0.0
     var i = 0

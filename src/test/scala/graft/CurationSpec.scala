@@ -77,19 +77,26 @@ class CurationSpec extends SparkSpec {
 
   test("splitAssign: docs never migrate between splits when the corpus grows") {
     import org.apache.spark.sql.functions._
+    // the PRODUCTION gate (Curation.splitLabel — the same column
+    // splitAssign groups by), evaluated per doc on both corpus sizes
     def perDoc(d: DataFrame) = d
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"), lit(100L)).as("h"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("doc_id"), Curation.splitLabel.as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val small = docs((1L to 50L).map(i => (i, s"doc $i text", "web")): _*)
     val grown = docs((1L to 200L).map(i => (i, s"doc $i text", "web")): _*)
-    val hSmall = perDoc(small)
-    val hGrown = perDoc(grown)
-    hSmall.foreach { case (id, h) => assert(hGrown(id) == h, s"doc $id migrated") }
-    // the reported counts partition the corpus exactly
+    val sSmall = perDoc(small)
+    val sGrown = perDoc(grown)
+    sSmall.foreach { case (id, sp) => assert(sGrown(id) == sp, s"doc $id migrated") }
+    // all three splits are actually populated at 200 docs, and the
+    // aggregate report partitions the corpus exactly
+    assert(sGrown.values.toSet == Set("train", "val", "test"))
     val out = Curation.splitAssign(small).collect()
     assert(out.map(_.getLong(2)).sum == 50L)
     assert(out.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    // the report's per-split doc counts equal the per-doc gate's counts
+    val fromGate = sSmall.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromReport = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(fromReport == fromGate)
   }
 
   test("shardManifest: order checksum is deterministic and shards partition the corpus") {

@@ -38,7 +38,7 @@ class IndicatorsSpec extends SparkSpec {
   test("RSI-14 is 100 for monotonic gains, 0 for monotonic losses") {
     val up = Indicators.rsi(series((1 to 20).map(_.toDouble): _*))
       .orderBy("event_id").select("rsi").collect().map(r => Option(r.get(0)))
-    assert(up.take(13).forall(_.isEmpty)) // gated until 14 deltas... first 13 rows
+    assert(up.take(14).forall(_.isEmpty)) // gated until 14 deltas: rows 0..13 null, row 14 first defined
     assert(up.last.contains(100.0))
     val down = Indicators.rsi(series((1 to 20).reverse.map(_.toDouble): _*))
       .orderBy("event_id").select("rsi").collect().map(r => Option(r.get(0)))

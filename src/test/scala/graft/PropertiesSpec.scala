@@ -59,8 +59,11 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("ngrams: native pass equals the reference derivation on random token arrays") {
+  test("ngrams: native expression and Seq twin equal the reference derivation") {
+    import org.apache.spark.sql.functions._
     import graft.functions.NGrams
+    val s = spark
+    import s.implicits._
     val tokGen = Gen.listOfN(10, Gen.oneOf("a", "bb", "ccc", "dd", "e"))
     for ((toks0, i) <- samples(tokGen, 8).zipWithIndex) {
       // vary length down to BELOW the gram width to hit the short-array path
@@ -72,20 +75,33 @@ class PropertiesSpec extends SparkSpec {
         val expected = (0 to math.max(toks.length - n, 0)).map(p =>
           toks.slice(p, p + n).mkString(" "))
         assert(out == expected, s"toks=$toks n=$n")
+        // the NATIVE ArrayData pass (what codegen calls), not just the twin
+        val native = Seq(Tuple1(toks)).toDF("t")
+          .select(call_function("graft_ngrams", col("t"), lit(n)).as("g"))
+          .head().getSeq[String](0)
+        assert(native == expected, s"native diverged: toks=$toks n=$n")
       }
     }
   }
 
-  test("minmd5: native pass equals the minimum of per-element md5 hexes") {
+  test("minmd5: native expression and Seq twin equal the minimum per-element md5") {
+    import org.apache.spark.sql.functions._
     import graft.functions.MinMd5
+    val s = spark
+    import s.implicits._
     val gen = Gen.listOfN(12, Gen.alphaNumStr.map(_.take(6)))
     for (xs <- samples(gen, 8)) {
       val md = java.security.MessageDigest.getInstance("MD5")
-      def hex(s: String) = {
+      def hex(v: String) = {
         md.reset()
-        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
       }
-      assert(MinMd5.computeSeq(xs) == (if (xs.isEmpty) None else Some(xs.map(hex).min)))
+      val expected = if (xs.isEmpty) None else Some(xs.map(hex).min)
+      assert(MinMd5.computeSeq(xs) == expected)
+      val row = Seq(Tuple1(xs)).toDF("t")
+        .select(call_function("graft_minmd5", col("t"))).head()
+      val native = if (row.isNullAt(0)) None else Some(row.getString(0))
+      assert(native == expected, s"native diverged: $xs")
     }
     assert(MinMd5.computeSeq(Nil).isEmpty)
   }
@@ -93,10 +109,13 @@ class PropertiesSpec extends SparkSpec {
   test("rankcells: every codebook cell appears exactly once, best-first (random vectors)") {
     import graft.functions.RankCells
     val vecGen = Gen.listOfN(16, Gen.choose(-1.0, 1.0))
-    for (i <- 0 until 8) {
-      val e = samples(vecGen, 1).head
-      val cb = (0 until 6).map { c =>
-        val ce = samples(vecGen, 1)(0).zipWithIndex.map { case (v, j) => v + 0.1 * c * j }
+    // 8 genuinely distinct trials: a fresh query vector AND a fresh
+    // 6-entry codebook per iteration (samples seeds Seed(42+i) per draw)
+    val es = samples(vecGen, 8)
+    val codebooks = samples(Gen.listOfN(6, vecGen), 8)
+    for (i <- es.indices) {
+      val e = es(i)
+      val cb = codebooks(i).zipWithIndex.map { case (ce, c) =>
         (c.toLong, ce: Seq[Double], math.sqrt(ce.map(x => x * x).sum))
       }
       val ranked = RankCells.computeSeq(e, cb)

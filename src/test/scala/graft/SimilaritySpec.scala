@@ -27,9 +27,16 @@ class SimilaritySpec extends SparkSpec {
   test("dot falls back to UDF and agrees with the native expression") {
     val s = spark
     import s.implicits._
-    val df = Seq((Seq(0.5, -1.5), Seq(2.0, 4.0))).toDF("a", "b")
-    val native = df.select(VectorOps.dot(s, col("a"), col("b"))).head().getDouble(0)
-    assert(native == 0.5 * 2.0 + -1.5 * 4.0)
+    val df = Seq((Seq(0.5, -1.5), Seq(2.0, 4.0)),
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b") // unequal lengths too
+    val native = df.select(VectorOps.dot(s, col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    // the actual UDF fallback path (what a vanilla session without the
+    // extensions runs), not a second evaluation of the native expression
+    val viaUdf = df.select(VectorOps.dotUdf(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(native == viaUdf)
+    assert(native == Seq(0.5 * 2.0 + -1.5 * 4.0, 1.0 * 4.0 + 2.0 * 5.0))
   }
 
   test("brute-force top-k ranks an identical vector first with cosine 1") {

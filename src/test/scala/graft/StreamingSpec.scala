@@ -139,7 +139,6 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
-    case object _marker // (keeps case-class defs above; no-op)
     val clicks = MemoryStream[(Long, Timestamp, Long)]
     val purchases = MemoryStream[(Long, Timestamp, Double)]
     val joined = Streams.clickPurchaseJoin(
