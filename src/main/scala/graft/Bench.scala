@@ -71,7 +71,10 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"queries_omitted":0,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson)
-    catch { case _: Throwable => }
+    catch { case e: Throwable =>
+      // a silent failure here leaves a STALE artifact misreporting the run
+      System.err.println(s"WARNING: failed to write BENCH.json: $e")
+    }
     spark.stop()
   }
 }

@@ -196,8 +196,10 @@ object Dedup {
     * Jaccard ≥ threshold. Returns confirmed pairs (a < b). Bucket
     * membership is capped at `cap` docs (lowest doc_ids survive) so a
     * boilerplate bucket contributes at most C(cap, 2) candidate pairs
-    * instead of exploding quadratically — inert at test SF (no bucket
-    * near the default cap), load-bearing at corpus scale.
+    * instead of exploding quadratically. The oracle applies the
+    * IDENTICAL row_number-per-bucket cap, so capped Spark results stay
+    * hash-exact against it even when a corpus actually trips the cap
+    * (inert at test SF, load-bearing at corpus scale).
     */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
       cap: Int = hotBucketCap): DataFrame = {
@@ -264,9 +266,16 @@ object Dedup {
        |bands AS (
        |  $bandSelects
        |),
+       |capped AS (
+       |  SELECT bucket, doc_id FROM (
+       |    SELECT bucket, doc_id,
+       |           row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS bpos
+       |    FROM bands)
+       |  WHERE bpos <= $hotBucketCap
+       |),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |  FROM capped x JOIN capped y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
        |),
        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents)
        |SELECT doc_a, doc_b,
@@ -291,11 +300,12 @@ object Dedup {
     * min-agg over EDGE-sized data (candidate pairs, a vanishing
     * fraction of the corpus — the corpus-sized work already happened in
     * `nearDupPairs`), with `localCheckpoint` truncating lineage so the
-    * plan doesn't grow with iterations. Converges in O(component
-    * diameter) rounds; dup clusters are shallow (diameter ≲ a few), the
-    * 20-round cap is generous. The fixpoint (min reachable doc_id per
-    * vertex) is unique, so the result is deterministic and the DuckDB
-    * oracle reproduces it with a recursive CTE.
+    * plan doesn't grow with iterations. The fixpoint (min reachable
+    * doc_id per vertex) is unique, so the result is deterministic and the DuckDB
+    * oracle reproduces it with a recursive CTE. Converges in
+    * O(component diameter) rounds; dup clusters are shallow
+    * (diameter ≲ a few), and a component deeper than the 64-round cap
+    * throws rather than returning silently-partial labels.
     */
   def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     dupClustersFromPairs(nearDupPairs(docs, threshold))
@@ -325,7 +335,8 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIters = 64
+    while (!converged && iter < maxIters) {
       val nbrMin = edges.join(labels.select(col("v").as("d"), col("l").as("nl")), "d")
         .groupBy(col("s")).agg(min(col("nl")).as("nbr_min"))
         .withColumnRenamed("s", "v")
@@ -337,6 +348,13 @@ object Dedup {
       prevSum = curSum
       iter += 1
     }
+    // un-converged labels are SILENTLY wrong (they desync from the
+    // transitive-closure oracle with no signal) — fail loudly instead
+    // of returning partial components
+    if (!converged) throw new IllegalStateException(
+      s"dupClustersFromPairs: min-label propagation not at fixpoint after $maxIters " +
+        "iterations (a component's diameter exceeds the cap); refusing to return " +
+        "partial cluster labels")
     labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
   }
 

@@ -185,6 +185,19 @@ object Multimodal {
 
   def featureQuery(docs: DataFrame): DataFrame = featureStub(withPayload(docs))
 
+  /** Gate-facing scalar encoding of the feature vectors: one
+    * (doc_id, bin, value) row per histogram bin. The raw
+    * `array<double>` column is the right shape for the ANN operators
+    * downstream, but an external row-hash comparator can't canonicalize
+    * a nested array cell — so the verified surface is the exploded
+    * long form (the verification analog of writing features to a
+    * feature store as (entity, feature, value) rows).
+    */
+  def featureBins(docs: DataFrame): DataFrame =
+    featureQuery(docs)
+      .select(col("doc_id"), posexplode(col("features")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("bin"), col("col").as("value"))
+
   val featureOracle: String = {
     val bins = (0 until 8).map(b =>
       s"round(len(list_filter(codes, c -> c // 32 = $b))::DOUBLE / greatest(len(codes), 1), 6)")
@@ -197,6 +210,16 @@ object Multimodal {
        |  FROM documents
        |)""".stripMargin
   }
+
+  /** Oracle twin of `featureBins`: index the 8-element list with a
+    * lateral 0..7 range (DuckDB lists are 1-indexed).
+    */
+  val featureBinsOracle: String =
+    s"""WITH f AS (
+       |  ${featureOracle.replace("\n", "\n       |  ")}
+       |)
+       |SELECT doc_id, t.bin AS bin, features[t.bin + 1] AS value
+       |FROM f CROSS JOIN range(8) AS t(bin)""".stripMargin
 
   /** Multimodal → ANN composition: the extracted feature vectors feed
     * the SAME brute-force cosine top-k operator the embedding corpus
@@ -283,7 +306,7 @@ object Multimodal {
     "q_mm_decode" -> ((s, d) => decodeQuery(Tables.documents(s, d))),
     "q_mm_frames" -> ((s, d) => frameSample(Tables.documents(s, d))),
     "q_mm_resize" -> ((s, d) => resizeQuery(Tables.documents(s, d))),
-    "q_mm_features" -> ((s, d) => featureQuery(Tables.documents(s, d))),
+    "q_mm_features" -> ((s, d) => featureBins(Tables.documents(s, d))),
     "q_mm_knn" -> ((s, d) => Similarity.bruteForceTopK(sharedFeatureFrame(s, d), 3, 5))
   )
 
@@ -293,7 +316,7 @@ object Multimodal {
     "q_mm_decode" -> decodeOracle,
     "q_mm_frames" -> frameSampleOracle(),
     "q_mm_resize" -> resizeOracle(),
-    "q_mm_features" -> featureOracle,
+    "q_mm_features" -> featureBinsOracle,
     "q_mm_knn" -> featureKnnOracle()
   )
 }

@@ -27,7 +27,10 @@ import org.apache.spark.sql.types._
   * dot(e, ce) / (||e|| · cnrm) with left-to-right summation, rounded
   * HALF_UP to 6 dp exactly like Spark's `round`, ranked with a cell-id
   * tie-break; −0.0 normalizes to 0.0 so the sort matches SQL's
-  * −0.0 == 0.0 total order.
+  * −0.0 == 0.0 total order. A NaN cosine (zero-norm vector or
+  * centroid) ranks FIRST — both Spark SQL and DuckDB treat NaN as
+  * greater than every value in an ORDER BY cos DESC, so the native
+  * comparator must too.
   */
 case class RankCells(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -60,8 +63,8 @@ object RankCells {
   /** Spark `round(x, 6)` twin: HALF_UP over the double's decimal
     * (shortest-string) representation; NaN/±Infinity pass through like
     * Spark's round (BigDecimal.valueOf would throw on them — a
-    * zero-norm vector or centroid must degrade to last-ranked, not
-    * kill the job).
+    * zero-norm vector or centroid must degrade gracefully, not kill
+    * the job).
     */
   private def round6(x: Double): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
@@ -88,7 +91,13 @@ object RankCells {
       var t = 0
       while (t < d) { dp += e.getDouble(t) * ce.getDouble(t); t += 1 }
       val v = -round6(dp / (nrm * row.getDouble(2)))
-      neg(j) = if (v == 0.0) 0.0 else v // −0.0 → 0.0: match SQL ordering
+      // NaN → −∞ so a NaN cosine sorts FIRST in this ascending-neg
+      // order, matching SQL's NaN-greatest DESC; −0.0 → 0.0: match
+      // SQL's −0.0 == 0.0 total order
+      neg(j) =
+        if (java.lang.Double.isNaN(v)) Double.NegativeInfinity
+        else if (v == 0.0) 0.0
+        else v
       cells(j) = row.getLong(0)
       j += 1
     }
@@ -116,7 +125,9 @@ object RankCells {
       var t = 0
       while (t < d) { dp += e(t) * ce(t); t += 1 }
       val v = -round6(dp / (nrm * cnrm))
-      (if (v == 0.0) 0.0 else v, cell)
+      (if (java.lang.Double.isNaN(v)) Double.NegativeInfinity
+       else if (v == 0.0) 0.0
+       else v, cell)
     }.sortBy(identity).map(_._2)
   }
 }
