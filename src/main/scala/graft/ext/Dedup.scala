@@ -301,11 +301,17 @@ object Dedup {
     * fraction of the corpus — the corpus-sized work already happened in
     * `nearDupPairs`), with `localCheckpoint` truncating lineage so the
     * plan doesn't grow with iterations. The fixpoint (min reachable
-    * doc_id per vertex) is unique, so the result is deterministic and the DuckDB
-    * oracle reproduces it with a recursive CTE. Converges in
-    * O(component diameter) rounds; dup clusters are shallow
-    * (diameter ≲ a few), and a component deeper than the 64-round cap
-    * throws rather than returning silently-partial labels.
+    * doc_id per vertex) is unique, so the result is deterministic and
+    * the DuckDB oracle reproduces it with a recursive CTE. Each round
+    * pairs the min-propagation with a pointer-jumping compression
+    * (l(v) := l(l(v))), giving O(log n) rounds instead of O(component
+    * diameter) — the guarantee that matters for deep boilerplate
+    * chains at corpus scale; a round cap of 64 therefore covers any
+    * physically possible component and tripping it throws rather than
+    * returning silently-partial labels. At the combined fixpoint,
+    * labels are constant along every edge (propagation fixed at both
+    * endpoints forces l(u) = l(v)), and the constant can only be the
+    * component min.
     */
   def dupClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     dupClustersFromPairs(nearDupPairs(docs, threshold))
@@ -337,11 +343,23 @@ object Dedup {
     var iter = 0
     val maxIters = 64
     while (!converged && iter < maxIters) {
+      // propagate: l(v) := min(l(v), min over neighbors' labels)
       val nbrMin = edges.join(labels.select(col("v").as("d"), col("l").as("nl")), "d")
         .groupBy(col("s")).agg(min(col("nl")).as("nbr_min"))
         .withColumnRenamed("s", "v")
-      labels = labels.join(nbrMin, Seq("v"), "left")
+      val stepped = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("l"), coalesce(col("nbr_min"), col("l"))).as("l"))
+        .localCheckpoint() // materialized: the compress step reads it TWICE
+      // compress (pointer jumping): l(v) := l(l(v)). Every label is
+      // itself a vertex id (labels start at v and only ever move to
+      // another existing label), so the inner self-join is total. This
+      // doubles the distance a label travels per round — O(log n)
+      // rounds instead of O(component diameter), so a deep boilerplate
+      // CHAIN (diameter ~n at corpus scale) converges instead of
+      // crawling one hop per round.
+      val ptr = stepped.select(col("v").as("pv"), col("l").as("pl"))
+      labels = stepped.join(ptr, stepped("l") === ptr("pv"))
+        .select(stepped("v").as("v"), col("pl").as("l"))
         .localCheckpoint()
       val curSum = labelSum(labels)
       converged = curSum.compareTo(prevSum) == 0
@@ -350,11 +368,12 @@ object Dedup {
     }
     // un-converged labels are SILENTLY wrong (they desync from the
     // transitive-closure oracle with no signal) — fail loudly instead
-    // of returning partial components
+    // of returning partial components. With pointer jumping the cap
+    // bounds components of size ~2^64: reaching it means a bug, not a
+    // big corpus.
     if (!converged) throw new IllegalStateException(
       s"dupClustersFromPairs: min-label propagation not at fixpoint after $maxIters " +
-        "iterations (a component's diameter exceeds the cap); refusing to return " +
-        "partial cluster labels")
+        "iterations; refusing to return partial cluster labels")
     labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
   }
 

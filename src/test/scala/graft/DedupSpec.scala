@@ -85,6 +85,19 @@ class DedupSpec extends SparkSpec {
     assert(out(7L) == 7L && out(8L) == 7L)
   }
 
+  test("dupClustersFromPairs: a 70-deep chain converges (pointer jumping, not one hop/round)") {
+    // a path graph of diameter 69 — pure min-propagation would need 69
+    // rounds and trip the 64-round cap; the pointer-jumping compression
+    // must converge it in O(log n) rounds with every label at the min
+    val s = spark
+    import s.implicits._
+    val pairs = (0L until 69L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClustersFromPairs(pairs).collect()
+    assert(out.length == 70)
+    assert(out.forall(_.getLong(1) == 0L),
+      s"every vertex of the chain must label to the component min 0")
+  }
+
   test("simhash groups identical docs under one signature") {
     val t = "spark catalyst tungsten codegen shuffle partition"
     val d = docs((1L, t), (2L, t), (3L, t))

@@ -186,4 +186,13 @@ class SimilaritySpec extends SparkSpec {
         (5L, e.map(-_), math.sqrt(e.map(x => x * x).sum))))
     assert(out == Seq(3L, 7L, 5L))
   }
+
+  test("graft_rankcells: NaN cosine (zero-norm centroid) ranks first, matching SQL NaN-greatest DESC") {
+    val e = Seq(1.0, 0.0)
+    val out = graft.functions.RankCells.computeSeq(e, Seq(
+      (1L, Seq(1.0, 0.0), 1.0),  // cos = 1
+      (5L, Seq(0.0, 1.0), 1.0),  // cos = 0
+      (2L, Seq(0.0, 0.0), 0.0))) // 0/0 = NaN — DuckDB and Spark SQL rank it first
+    assert(out == Seq(2L, 1L, 5L))
+  }
 }
