@@ -158,6 +158,29 @@ object Dedup {
        |FROM (SELECT doc_id, $shinglesSql AS sh FROM documents)""".stripMargin
   }
 
+  /** Public (band, bucket, doc_id) derivation straight from a documents
+    * frame — stateless (native signature expression + one explode), so
+    * it plans identically over a batch OR a streaming source; the
+    * streaming near-dup operator (graft.streaming.Streams) keys its
+    * state on these rows.
+    */
+  def bandedDocs(docs: DataFrame): DataFrame = bandBuckets(minhashSignatures(docs))
+
+  /** Oracle twin of `bandedDocs` as a reusable CTE body: interpolate as
+    * `WITH $bandsCteSql, ...` to get `sigs` and `bands(band, bucket,
+    * doc_id)` in scope, guaranteed to track the Spark banding math.
+    */
+  def bandsCteSql: String = {
+    val bandSelects = (0 until numHashes / bandRows).map { j =>
+      val parts = (0 until bandRows).map(r => s"sig_${j * bandRows + r}").mkString(" || ")
+      s"SELECT $j AS band, md5($parts) AS bucket, doc_id FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""sigs AS (${minhashSignaturesOracle}),
+       |bands AS (
+       |  $bandSelects
+       |)""".stripMargin
+  }
+
   /** LSH bands: band_j = md5(sig_{j·r} || … || sig_{j·r+r−1}); docs
     * sharing any band key are near-dup candidates. Output: per-band
     * bucket statistics (buckets, max size, candidate pairs), plus the

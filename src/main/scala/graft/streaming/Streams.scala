@@ -465,6 +465,110 @@ object Streams {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------- streaming near-dup
+
+  /** Staged doc_id-ranged documents for the near-dup stream: `nFiles`
+    * range files with ascending modification times, replayed one file
+    * per micro-batch in doc_id order. Arrival order is SEMANTIC for
+    * on-arrival dedup — "first seen wins" — and the ordered replay
+    * makes first == min(doc_id), which is what a batch SQL oracle can
+    * express.
+    */
+  private val docRangedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageRangedDocs(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
+    val d = Files.createTempDirectory("graft_stream_docs")
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .repartitionByRange(nFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(d.toString)
+    val parts = new java.io.File(d.toString).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - 600000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 10000L) }
+    d.toString
+  }
+
+  /** Streaming NEAR-duplicate flagging — the LLM-dedup stack composed
+    * with arbitrary streaming state: every arriving document derives
+    * its LSH band buckets (the SAME native MinHash banding the batch
+    * dedup pipeline uses, stateless so it plans identically over the
+    * stream), and per-(band, bucket) state remembers the first doc_id
+    * seen; a document whose bucket was already claimed by an earlier
+    * doc is flagged on arrival — duplicate filtering BEFORE the write
+    * to the lake, not as a nightly batch after it.
+    *
+    * Scale shape: one shuffle per micro-batch on (band, bucket) — the
+    * same key the batch LSH join uses — and O(distinct buckets) state.
+    * On an unbounded corpus the state store is RocksDB and the state
+    * needs a TTL (dedup against a recent horizon, the standard
+    * trade-off); the bounded replay here keeps NoTimeout so the oracle
+    * equality is exact.
+    *
+    * Within a batch each group is sorted by doc_id before the state
+    * fold, so emission is deterministic regardless of task scheduling;
+    * across batches the doc_id-ranged staging guarantees lower ids
+    * arrive first. Result: per doc, how many of its bands hit an
+    * earlier doc's bucket, and the boolean flag.
+    */
+  def runStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val staged = docRangedDirs.getOrElseUpdate(dir, stageRangedDocs(spark, dir))
+    val out = Files.createTempDirectory("graft_snd_out").toString
+    val ckpt = Files.createTempDirectory("graft_snd_ckpt").toString
+    val sp = spark
+    import sp.implicits._
+    val schema = spark.read.parquet(staged).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val bands = graft.ext.Dedup.bandedDocs(docs)
+      .select(col("band").cast("int").as("band"), col("bucket"), col("doc_id"))
+      .as[(Int, String, Long)]
+    val flagged = bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Int, Int)](
+        OM.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[Long]) =>
+          val ds = rows.map(_._3).toArray.sorted // deterministic in-batch order
+          var seen = state.getOption
+          val outRows = ds.map { d =>
+            val hit = seen.exists(_ < d)
+            seen = Some(seen.fold(d)(math.min(_, d)))
+            (d, band, if (hit) 1 else 0)
+          }
+          seen.foreach(state.update)
+          outRows.iterator
+      }
+      .toDF("doc_id", "band", "hit")
+    withStatePartitions(spark) {
+      val q = flagged.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("hit")).cast("bigint").as("n_hit_bands"))
+      .withColumn("is_neardup", col("n_hit_bands") > 0)
+  }
+
+  /** Oracle: a band row "hits" iff an earlier (smaller-id) doc shares
+    * its (band, bucket) — expressible in batch SQL precisely because
+    * the ordered replay makes stream arrival order = doc_id order.
+    */
+  def runStreamNearDupOracle: String =
+    s"""WITH ${graft.ext.Dedup.bandsCteSql.replace("\n", "\n      |")},
+      |m AS (
+      |  SELECT band, bucket, min(doc_id) AS first_doc FROM bands GROUP BY 1, 2
+      |)
+      |SELECT b.doc_id,
+      |       CAST(sum(CASE WHEN m.first_doc < b.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_bands,
+      |       sum(CASE WHEN m.first_doc < b.doc_id THEN 1 ELSE 0 END) > 0 AS is_neardup
+      |FROM bands b JOIN m ON b.band = m.band AND b.bucket = m.bucket
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------- transformWithState (v2 API)
 
   /** Accumulator state for `RunningTypeStats`. */
@@ -606,6 +710,7 @@ object Streams {
     "q_stream_inference" -> runSilverInference _,
     "q_stream_join" -> runClickPurchaseJoin _,
     "q_stream_dedup" -> runStreamDedup _,
+    "q_stream_neardup" -> runStreamNearDup _,
     "q_stream_tws" -> runRunningStats _
   )
 
@@ -618,6 +723,7 @@ object Streams {
     "q_stream_inference" -> runSilverInferenceOracle,
     "q_stream_join" -> runClickPurchaseJoinOracle,
     "q_stream_dedup" -> runStreamDedupOracle,
+    "q_stream_neardup" -> runStreamNearDupOracle,
     "q_stream_tws" -> runRunningStatsOracle
   )
 }

@@ -300,4 +300,26 @@ class StreamingSpec extends SparkSpec {
     // still open then are withheld (append semantics, T3/T7)
     assert(n < total)
   }
+
+  test("streaming near-dup flags exactly the docs the batch LSH banding would") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: a doc is a near-dup iff some band bucket is first
+    // claimed by a smaller doc_id
+    val bands = graft.ext.Dedup.bandedDocs(Tables.documents(s, dir))
+    val expected = bands
+      .join(bands.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("first_doc")), Seq("band", "bucket"))
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val streamed = Streams.runStreamNearDup(s, dir)
+    val flagged = streamed.filter(col("is_neardup"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed.count() == Tables.documents(s, dir).count(),
+      "every doc must be scored")
+    assert(flagged.nonEmpty, "the test corpus contains near-dups; none flagged")
+    assert(flagged == expected, "stream-state flagging diverged from batch banding")
+  }
 }
