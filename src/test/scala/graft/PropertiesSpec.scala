@@ -106,6 +106,36 @@ class PropertiesSpec extends SparkSpec {
     assert(MinMd5.computeSeq(Nil).isEmpty)
   }
 
+  test("dup clusters equal a local union-find on random pair graphs") {
+    // ground truth: classic union-find over the same edges — the
+    // distributed pointer-jumping propagation must label every vertex
+    // with its component's min id, whatever the graph shape (chains,
+    // stars, cycles, self-loops, parallel edges)
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    val edgeGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+    for (edges <- samples(edgeGen, 6)) {
+      val s = spark
+      import s.implicits._
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.dupClustersFromPairs(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("rankcells: every codebook cell appears exactly once, best-first (random vectors)") {
     import graft.functions.RankCells
     val vecGen = Gen.listOfN(16, Gen.choose(-1.0, 1.0))
