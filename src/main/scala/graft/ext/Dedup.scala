@@ -166,6 +166,25 @@ object Dedup {
     */
   def bandedDocs(docs: DataFrame): DataFrame = bandBuckets(minhashSignatures(docs))
 
+  /** `bandedDocs` variant carrying extra columns (e.g. the event-time
+    * column a horizon-bounded streaming state needs) through the
+    * banding — same native signature pass and single explode.
+    */
+  def bandedDocsWith(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    val sig = docs.select(keep :+
+      graft.functions.SimHashOps.minhash8(
+        docs.sparkSession, toks(col("text"))).as("sigs"): _*)
+    val bandStructs = (0 until numHashes / bandRows).map { j =>
+      val parts = (0 until bandRows).map(r =>
+        element_at(col("sigs"), j * bandRows + r + 1))
+      struct(lit(j).as("band"), md5(concat(parts: _*)).as("bucket"))
+    }
+    sig.select(keep :+ explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id")) ++ carry.map(col): _*)
+  }
+
   /** Oracle twin of `bandedDocs` as a reusable CTE body: interpolate as
     * `WITH $bandsCteSql, ...` to get `sigs` and `bands(band, bucket,
     * doc_id)` in scope, guaranteed to track the Spark banding math.

@@ -554,6 +554,58 @@ object Streams {
       .withColumn("is_neardup", col("n_hit_bands") > 0)
   }
 
+  /** The PRODUCTION form of the near-dup state: dedup against a recent
+    * event-time HORIZON instead of all history. Per-(band, bucket)
+    * state holds only the last-seen event time; a doc hits iff some
+    * band's bucket was last seen within `horizonMin` of its own event
+    * time (gap-based, like sessionization), and the state EXPIRES via
+    * event-time timeout once the watermark passes last_seen + horizon —
+    * so state is O(buckets active in the horizon), not O(every bucket
+    * ever), which is what makes the operator runnable on an unbounded
+    * 100 TB/day stream. The hit decision reads the STORED timestamp
+    * (last_seen >= ts − horizon), so timeout granularity — state GC
+    * happens at batch boundaries — never changes the output; eviction
+    * is purely the memory bound.
+    *
+    * Input: a streaming (doc_id, text, ts) frame. Output: one
+    * (doc_id, band, hit) row per band, appended as buckets are probed.
+    */
+  def nearDupWithinHorizon(docs: DataFrame, horizonMin: Int = 90): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val horizonMs = horizonMin * 60000L
+    val bands = graft.ext.Dedup.bandedDocsWith(
+        docs.withWatermark("ts", "1 minute"), Seq("ts"))
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id"), col("ts"))
+      .as[(Int, String, Long, java.sql.Timestamp)]
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Int, Int)](
+        OM.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ds = rows.toArray.sortBy(r => (r._4.getTime, r._3))
+            var last = state.getOption
+            val outRows = ds.map { r =>
+              val t = r._4.getTime
+              val hit = last.exists(_ >= t - horizonMs)
+              last = Some(last.fold(t)(math.max(_, t)))
+              (r._3, band, if (hit) 1 else 0)
+            }
+            last.foreach { l =>
+              state.update(l)
+              // the timeout ts must be past the current watermark
+              state.setTimeoutTimestamp(
+                math.max(l + horizonMs, state.getCurrentWatermarkMs + 1))
+            }
+            outRows.iterator
+          }
+      }
+      .toDF("doc_id", "band", "hit")
+  }
+
   /** Oracle: a band row "hits" iff an earlier (smaller-id) doc shares
     * its (band, bucket) — expressible in batch SQL precisely because
     * the ordered replay makes stream arrival order = doc_id order.

@@ -301,6 +301,39 @@ class StreamingSpec extends SparkSpec {
     assert(n < total)
   }
 
+  test("horizon near-dup: in-horizon re-sighting flagged, beyond-horizon arrival starts fresh") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.nearDupWithinHorizon(
+        mem.toDF().toDF("doc_id", "text", "ts"), horizonMin = 90)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup_horizon").start()
+    try {
+      mem.addData(
+        (1L, text, Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, text, Timestamp.valueOf("2024-01-01 00:10:00"))) // 10m after doc 1
+      q.processAllAvailable()
+      // 10h later: far outside the 90m horizon of the last sighting —
+      // the bucket state has expired and the re-arrival is NOT a dup
+      mem.addData((4L, text, Timestamp.valueOf("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // but 30m after doc 4 the horizon applies again
+      mem.addData((5L, text, Timestamp.valueOf("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val flags = s.table("neardup_horizon")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("hit")).as("hits"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(flags(1L) == 0L, "first sighting is never a dup")
+      assert(flags(2L) > 0L, "re-sighting 10m later must hit")
+      assert(flags(4L) == 0L, "re-sighting 10h later is outside the horizon")
+      assert(flags(5L) > 0L, "30m after doc 4 is inside the horizon again")
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags exactly the docs the batch LSH banding would") {
     import org.apache.spark.sql.functions._
     val s = spark
