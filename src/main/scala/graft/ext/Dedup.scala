@@ -329,6 +329,52 @@ object Dedup {
        |            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= $threshold""".stripMargin
   }
 
+  // ----------------------------------------------------- substring level
+
+  /** Cross-document repeated-k-gram accounting — the SUBSTRING-level
+    * dedup primitive (how much of this doc's text appears elsewhere in
+    * the corpus): per doc, the distinct token 5-gram count, how many of
+    * those 5-grams occur in at least one OTHER doc, and the repeated
+    * fraction a substring-dedup filter thresholds on. Doc-level
+    * near-dup misses boilerplate spans embedded in otherwise-unique
+    * documents; this is the metric that catches them.
+    *
+    * Scale: one Generate of per-doc DISTINCT k-grams — O(tokens) rows,
+    * the inherent footprint of substring dedup — then ONE shuffle on
+    * the gram key for a window count (not a groupBy + join back, which
+    * would evaluate the Generate twice or force a corpus-k-gram-sized
+    * cache) and a doc-keyed rollup. Nothing quadratic, nothing
+    * materialized corpus-wide.
+    */
+  def repeatedKgrams(docs: DataFrame, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(
+        graft.functions.NGramsOps.ngrams(spark, toks(col("text")), k))).as("g"))
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    grams.withColumn("n_docs", count(lit(1)).over(wGram))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kgrams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        round(col("n_repeated").cast("double") / col("n_kgrams"), 6))
+  }
+
+  def repeatedKgramsOracle(k: Int = 5): String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(t) - ${k - 1}, 1) + 1),
+       |    i -> array_to_string(t[i:i+${k - 1}], ' ')))) AS g
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+       |),
+       |counts AS (SELECT g, count(*) AS n_docs FROM grams GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_kgrams,
+       |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       |       round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS repeated_frac
+       |FROM grams JOIN counts USING (g)
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------- clusters
 
   /** Duplicate-CLUSTER formation: connected components over the verified
@@ -568,7 +614,8 @@ object Dedup {
     "q_dedup_near_pairs" -> ((s, d) => cachedPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => dupClustersFromPairs(cachedPairs(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
-    "q_simhash_neardup" -> ((s, d) => simhashNearDup(Tables.documents(s, d)))
+    "q_simhash_neardup" -> ((s, d) => simhashNearDup(Tables.documents(s, d))),
+    "q_substring_dedup" -> ((s, d) => repeatedKgrams(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -579,6 +626,7 @@ object Dedup {
     "q_dedup_near_pairs" -> nearDupPairsOracle(),
     "q_dedup_clusters" -> dupClustersOracle(),
     "q_dedup_simhash" -> simhashOracle,
-    "q_simhash_neardup" -> simhashNearDupOracle()
+    "q_simhash_neardup" -> simhashNearDupOracle(),
+    "q_substring_dedup" -> repeatedKgramsOracle()
   )
 }

@@ -85,6 +85,18 @@ class DedupSpec extends SparkSpec {
     assert(out(7L) == 7L && out(8L) == 7L)
   }
 
+  test("repeatedKgrams: shared 5-gram spans counted, unique docs score 0") {
+    val d = docs(
+      (1L, "a b c d e f g h"),  // 4 distinct 5-grams, 2 shared with doc 2
+      (2L, "x a b c d e f y"),  // 4 distinct 5-grams, the same 2 shared
+      (3L, "q r s t u v w z"))  // nothing shared
+    val out = Dedup.repeatedKgrams(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((4L, 2L, 0.5)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+  }
+
   test("dupClustersFromPairs: a 70-deep chain converges (pointer jumping, not one hop/round)") {
     // a path graph of diameter 69 — pure min-propagation would need 69
     // rounds and trip the 64-round cap; the pointer-jumping compression
