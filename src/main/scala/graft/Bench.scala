@@ -66,14 +66,18 @@ object Bench {
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_omitted":$omitted,"sf":"$sfDir"}""")
     // Machine-readable copy: the full (untruncated) metric JSON, written to a
     // file so the harness doesn't have to parse it out of an sbt stdout tail.
-    val fullQs = bySlowest.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"queries_omitted":0,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson)
-    catch { case e: Throwable =>
-      // a silent failure here leaves a STALE artifact misreporting the run
-      System.err.println(s"WARNING: failed to write BENCH.json: $e")
+    // ONLY full runs write it — a subset run (local hotspot iteration) must
+    // not clobber the whole-suite artifact with a 1-query total.
+    if (args.isEmpty) {
+      val fullQs = bySlowest.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val fullJson =
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"queries_omitted":0,"sf":"$sfDir"}"""
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson)
+      catch { case e: Throwable =>
+        // a silent failure here leaves a STALE artifact misreporting the run
+        System.err.println(s"WARNING: failed to write BENCH.json: $e")
+      }
     }
     spark.stop()
   }

@@ -130,23 +130,29 @@ object Dedup {
     * dispatch per shingle per hash) — the same interpreted-HOF hotspot
     * the SimHash expression eliminated.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+  def minhashSignatures(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    docs.select(keep :+
       graft.functions.SimHashOps.minhash8(
-        docs.sparkSession, toks(col("text"))).as("sigs"))
-      .select(col("doc_id") +:
+        docs.sparkSession, toks(col("text"))).as("sigs"): _*)
+      .select(keep ++
         (0 until numHashes).map(i => element_at(col("sigs"), i + 1).as(s"sig_$i")): _*)
+  }
 
-  /** (band, bucket, doc_id) rows from a signature frame — one explode,
-    * not one plan copy per band.
+  /** (band, bucket, doc_id[, carry…]) rows from a signature frame — one
+    * explode, not one plan copy per band. The SINGLE Scala home of the
+    * banding math (bucket = md5 of the band's sig columns); the SQL
+    * twin is `bandsCteSql`.
     */
-  private def bandBuckets(sig: DataFrame): DataFrame = {
+  private def bandBuckets(sig: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until numHashes / bandRows).map { j =>
       val parts = (0 until bandRows).map(r => col(s"sig_${j * bandRows + r}"))
       struct(lit(j).as("band"), md5(concat(parts: _*)).as("bucket"))
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"), col("doc_id"))
+    sig.select((col("doc_id") +: carry.map(col)) :+
+        explode(array(bandStructs: _*)).as("bb"): _*)
+      .select(Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id")) ++ carry.map(col): _*)
   }
 
   val minhashSignaturesOracle: String = {
@@ -164,26 +170,15 @@ object Dedup {
     * streaming near-dup operator (graft.streaming.Streams) keys its
     * state on these rows.
     */
-  def bandedDocs(docs: DataFrame): DataFrame = bandBuckets(minhashSignatures(docs))
+  def bandedDocs(docs: DataFrame): DataFrame = bandedDocsWith(docs, Nil)
 
   /** `bandedDocs` variant carrying extra columns (e.g. the event-time
     * column a horizon-bounded streaming state needs) through the
-    * banding — same native signature pass and single explode.
+    * banding — same native signature pass and single explode, delegated
+    * to the one `bandBuckets` implementation.
     */
-  def bandedDocsWith(docs: DataFrame, carry: Seq[String]): DataFrame = {
-    val keep = col("doc_id") +: carry.map(col)
-    val sig = docs.select(keep :+
-      graft.functions.SimHashOps.minhash8(
-        docs.sparkSession, toks(col("text"))).as("sigs"): _*)
-    val bandStructs = (0 until numHashes / bandRows).map { j =>
-      val parts = (0 until bandRows).map(r =>
-        element_at(col("sigs"), j * bandRows + r + 1))
-      struct(lit(j).as("band"), md5(concat(parts: _*)).as("bucket"))
-    }
-    sig.select(keep :+ explode(array(bandStructs: _*)).as("bb"): _*)
-      .select(Seq(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
-        col("doc_id")) ++ carry.map(col): _*)
-  }
+  def bandedDocsWith(docs: DataFrame, carry: Seq[String]): DataFrame =
+    bandBuckets(minhashSignatures(docs, carry), carry)
 
   /** Oracle twin of `bandedDocs` as a reusable CTE body: interpolate as
     * `WITH $bandsCteSql, ...` to get `sigs` and `bands(band, bucket,
@@ -218,14 +213,7 @@ object Dedup {
         sum(when(col("sz") > hotBucketCap, 1).otherwise(0)).cast("bigint").as("n_hot_buckets"))
 
   val lshBucketStatsOracle: String = {
-    val bandSelects = (0 until numHashes / bandRows).map { j =>
-      val parts = (0 until bandRows).map(r => s"sig_${j * bandRows + r}").mkString(" || ")
-      s"SELECT $j AS band, md5($parts) AS bucket, doc_id FROM sigs"
-    }.mkString("\n       |  UNION ALL ")
-    s"""WITH sigs AS (${minhashSignaturesOracle.replace("\n", "\n       |")}),
-       |bands AS (
-       |  $bandSelects
-       |)
+    s"""WITH $bandsCteSql
        |SELECT band, count(*) AS n_buckets, max(sz) AS max_bucket,
        |       CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS n_candidate_pairs,
        |       $hotBucketCap AS cap,
@@ -300,14 +288,7 @@ object Dedup {
   }
 
   def nearDupPairsOracle(threshold: Double = 0.5): String = {
-    val bandSelects = (0 until numHashes / bandRows).map { j =>
-      val parts = (0 until bandRows).map(r => s"sig_${j * bandRows + r}").mkString(" || ")
-      s"SELECT DISTINCT md5($parts) AS bucket, doc_id FROM sigs"
-    }.mkString("\n       |  UNION ALL ")
-    s"""WITH sigs AS (${minhashSignaturesOracle.replace("\n", "\n       |")}),
-       |bands AS (
-       |  $bandSelects
-       |),
+    s"""WITH $bandsCteSql,
        |capped AS (
        |  SELECT bucket, doc_id FROM (
        |    SELECT bucket, doc_id,

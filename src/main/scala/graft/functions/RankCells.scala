@@ -70,6 +70,18 @@ object RankCells {
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
+  /** Ascending sort key for a NEGATED cosine `v = -cos`, reproducing
+    * SQL's `ORDER BY cos DESC` total order: NaN above +Infinity above
+    * every finite value (both Spark SQL and DuckDB), so here NaN → −∞,
+    * cos = +∞ (v = −∞) → just above it, and −0.0 normalizes to 0.0 to
+    * match SQL's −0.0 == 0.0.
+    */
+  private[functions] def sortKey(v: Double): Double =
+    if (java.lang.Double.isNaN(v)) Double.NegativeInfinity
+    else if (v == Double.NegativeInfinity) -Double.MaxValue
+    else if (v == 0.0) 0.0
+    else v
+
   /** Called from generated code — scores and ranks the codebook in one
     * pass over compact primitive arrays.
     */
@@ -91,13 +103,7 @@ object RankCells {
       var t = 0
       while (t < d) { dp += e.getDouble(t) * ce.getDouble(t); t += 1 }
       val v = -round6(dp / (nrm * row.getDouble(2)))
-      // NaN → −∞ so a NaN cosine sorts FIRST in this ascending-neg
-      // order, matching SQL's NaN-greatest DESC; −0.0 → 0.0: match
-      // SQL's −0.0 == 0.0 total order
-      neg(j) =
-        if (java.lang.Double.isNaN(v)) Double.NegativeInfinity
-        else if (v == 0.0) 0.0
-        else v
+      neg(j) = RankCells.sortKey(v)
       cells(j) = row.getLong(0)
       j += 1
     }
@@ -125,9 +131,7 @@ object RankCells {
       var t = 0
       while (t < d) { dp += e(t) * ce(t); t += 1 }
       val v = -round6(dp / (nrm * cnrm))
-      (if (java.lang.Double.isNaN(v)) Double.NegativeInfinity
-       else if (v == 0.0) 0.0
-       else v, cell)
+      (sortKey(v), cell)
     }.sortBy(identity).map(_._2)
   }
 }

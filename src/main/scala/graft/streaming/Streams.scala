@@ -93,6 +93,7 @@ object Streams {
     stageSingle(dir)
     rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
     stageDuped(spark, dir)
+    docRangedDirs.getOrElseUpdate(dir, stageRangedDocs(spark, dir))
   }
 
   // --------------------------------------------------------------- kafka
@@ -175,10 +176,17 @@ object Streams {
     */
   private val rangedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def stageRanged(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
-    val d = Files.createTempDirectory("graft_stream_ranged")
-    Tables.events(spark, dir)
-      .repartitionByRange(nFiles, col("ts"))
+  /** Shared range-staged replay recipe: write `df` as `nFiles`
+    * range-partitioned parquet files on `rangeCol` with ascending
+    * modification times (part-file names sort in range order, so the
+    * mtime stagger follows the range order). BOTH ranged replays —
+    * events by ts, documents by doc_id — depend on this exact ordering
+    * contract; keep it in one place.
+    */
+  private def stageRangedReplay(df: DataFrame, rangeCol: String, prefix: String,
+      nFiles: Int): String = {
+    val d = Files.createTempDirectory(prefix)
+    df.repartitionByRange(nFiles, col(rangeCol))
       .write.mode("overwrite").parquet(d.toString)
     val parts = new java.io.File(d.toString).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -186,6 +194,9 @@ object Streams {
     parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 10000L) }
     d.toString
   }
+
+  private def stageRanged(spark: SparkSession, dir: String, nFiles: Int = 4): String =
+    stageRangedReplay(Tables.events(spark, dir), "ts", "graft_stream_ranged", nFiles)
 
   /** T3/T7/T9 end-to-end, oracle-checked: the watermarked APPEND run —
     * the shape that survives 100 TB/day (bounded state, each window
@@ -476,17 +487,9 @@ object Streams {
     */
   private val docRangedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def stageRangedDocs(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
-    val d = Files.createTempDirectory("graft_stream_docs")
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .repartitionByRange(nFiles, col("doc_id"))
-      .write.mode("overwrite").parquet(d.toString)
-    val parts = new java.io.File(d.toString).listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - 600000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 10000L) }
-    d.toString
-  }
+  private def stageRangedDocs(spark: SparkSession, dir: String, nFiles: Int = 4): String =
+    stageRangedReplay(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "graft_stream_docs", nFiles)
 
   /** Streaming NEAR-duplicate flagging — the LLM-dedup stack composed
     * with arbitrary streaming state: every arriving document derives

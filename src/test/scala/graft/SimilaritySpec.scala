@@ -195,4 +195,15 @@ class SimilaritySpec extends SparkSpec {
       (2L, Seq(0.0, 0.0), 0.0))) // 0/0 = NaN — DuckDB and Spark SQL rank it first
     assert(out == Seq(2L, 1L, 5L))
   }
+
+  test("graft_rankcells: NaN ranks strictly above an Infinity cosine (underflowed norm product)") {
+    // norm product underflows to 0 with a nonzero dot => cos = +Inf;
+    // SQL DESC orders NaN > Infinity > finite — the sort key must too
+    val e = Seq(1e-150, 0.0) // nrm = 1e-150 (square is subnormal, not 0)
+    val out = graft.functions.RankCells.computeSeq(e, Seq(
+      (1L, Seq(1.0, 0.0), 1.0),       // cos = 1.0 (finite)
+      (2L, Seq(1e-120, 0.0), 1e-180), // dp=1e-270, nrm*cnrm=1e-330→0 => +Inf
+      (3L, Seq(0.0, 1.0), 1e-180)))   // dp=0, product→0 => NaN
+    assert(out == Seq(3L, 2L, 1L))
+  }
 }
