@@ -136,6 +136,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("repeated k-grams equal local set arithmetic on random corpora") {
+    // local truth: distinct 5-grams per doc via the expression's Seq
+    // twin, repeated = present in >= 2 docs' gram sets — the Spark
+    // explode + window + rollup must reproduce the set arithmetic
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee")
+    val docGen = Gen.listOfN(8, Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    for (docsWords <- samples(docGen, 6)) {
+      val s = spark
+      import s.implicits._
+      val rows = docsWords.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), "src")
+      }
+      val gramSets = rows.map { case (id, text, _) =>
+        id -> graft.functions.NGrams.computeSeq(text.split(" ").toSeq, 5).toSet
+      }.toMap
+      val want = gramSets.map { case (id, gs) =>
+        val rep = gs.count(g => gramSets.exists { case (o, os) => o != id && os.contains(g) })
+        id -> ((gs.size.toLong, rep.toLong))
+      }
+      val got = Dedup.repeatedKgrams(rows.toDF("doc_id", "text", "source")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want, s"docs=$docsWords")
+    }
+  }
+
   test("rankcells: every codebook cell appears exactly once, best-first (random vectors)") {
     import graft.functions.RankCells
     val vecGen = Gen.listOfN(16, Gen.choose(-1.0, 1.0))
