@@ -287,14 +287,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  def nearDupPairsOracle(threshold: Double = 0.5): String = {
+  def nearDupPairsOracle(threshold: Double = 0.5, cap: Int = hotBucketCap): String = {
     s"""WITH $bandsCteSql,
        |capped AS (
        |  SELECT bucket, doc_id FROM (
        |    SELECT bucket, doc_id,
        |           row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS bpos
        |    FROM bands)
-       |  WHERE bpos <= $hotBucketCap
+       |  WHERE bpos <= $cap
        |),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
