@@ -320,24 +320,33 @@ object Dedup {
     * near-dup misses boilerplate spans embedded in otherwise-unique
     * documents; this is the metric that catches them.
     *
-    * Scale: one Generate of per-doc DISTINCT k-grams — O(tokens) rows,
-    * the inherent footprint of substring dedup — then ONE shuffle on
-    * the gram key for a window count (not a groupBy + join back, which
-    * would evaluate the Generate twice or force a corpus-k-gram-sized
-    * cache) and a doc-keyed rollup. Nothing quadratic, nothing
-    * materialized corpus-wide.
+    * Scale: repeated = total − unique. The per-doc total is the SIZE of
+    * the distinct-gram array (map-only, no shuffle); a gram is unique
+    * iff its corpus count is 1, in which case min(doc_id) IS its owner
+    * — so one gram-keyed agg (count + min, partial aggregation
+    * collapses even a boilerplate mega-gram map-side) and one tiny
+    * rollup of the singleton grams give per-doc unique counts, joined
+    * back on the UNIQUE doc key. Every aggregate is map-side-combined
+    * and the only join is doc-keyed — no window over the gram key
+    * (that would put every row of a hot gram into a single task, the
+    * one shape that cannot absorb boilerplate skew) and no gram-keyed
+    * join probe. Nothing quadratic, nothing materialized corpus-wide.
     */
   def repeatedKgrams(docs: DataFrame, k: Int = 5): DataFrame = {
     val spark = docs.sparkSession
-    val grams = docs.select(col("doc_id"),
-      explode(array_distinct(
-        graft.functions.NGramsOps.ngrams(spark, toks(col("text")), k))).as("g"))
-    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    grams.withColumn("n_docs", count(lit(1)).over(wGram))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_kgrams"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+    val base = docs.select(col("doc_id"),
+      array_distinct(
+        graft.functions.NGramsOps.ngrams(spark, toks(col("text")), k)).as("garr"))
+    val perDoc = base.select(col("doc_id"), size(col("garr")).cast("bigint").as("n_kgrams"))
+    val uniques = base.select(col("doc_id"), explode(col("garr")).as("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("owner"))
+      .filter(col("n_docs") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniques, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_kgrams"),
+        (col("n_kgrams") - coalesce(col("n_unique"), lit(0L))).as("n_repeated"))
       .withColumn("repeated_frac",
         round(col("n_repeated").cast("double") / col("n_kgrams"), 6))
   }
