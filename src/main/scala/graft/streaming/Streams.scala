@@ -510,8 +510,12 @@ object Streams {
     * Within a batch each group is sorted by doc_id before the state
     * fold, so emission is deterministic regardless of task scheduling;
     * across batches the doc_id-ranged staging guarantees lower ids
-    * arrive first. Result: per doc, how many of its bands hit an
-    * earlier doc's bucket, and the boolean flag.
+    * arrive first. The per-group sort buffer is bounded by the
+    * micro-batch admission knobs (maxFilesPerTrigger /
+    * maxBytesPerTrigger), so a boilerplate-hot bucket costs one
+    * in-memory sort of at most a batch's rows, never corpus-sized.
+    * Result: per doc, how many of its bands hit an earlier doc's
+    * bucket, and the boolean flag.
     */
   def runStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
