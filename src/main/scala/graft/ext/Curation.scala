@@ -336,6 +336,88 @@ object Curation {
        |)
        |GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------- context chunking
+
+  /** Context-window chunk geometry: fixed-size character windows every
+    * `chunkStride` chars (50-char overlap keeps sentences that straddle
+    * a boundary intact in at least one chunk — the standard RAG/
+    * pretraining chunking shape).
+    */
+  val chunkSize = 200
+  val chunkStride = 150
+
+  /** Split every document into overlapping fixed-size chunks with
+    * explicit offsets. Output: one row per chunk with its 1-based start,
+    * actual length, and content digest (the digest stands in for the
+    * chunk text so the result stays scalar-hashable and small).
+    *
+    * Scale shape: map-only — one `explode(sequence(...))` per doc (a
+    * Generate, no exchange anywhere), chunk count bounded by the doc's
+    * own length. At 100 TB this parallelizes per input split with zero
+    * shuffle; downstream tokenization reads (doc_id, chunk_ix) already
+    * co-partitioned with the scan.
+    */
+  def chunkDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          floor((greatest(length(col("text")), lit(1)) - 1) / chunkStride).cast("long")))
+          .as("chunk_ix"))
+      .withColumn("chunk_start", lit(1L) + col("chunk_ix") * chunkStride)
+      .withColumn("chunk", expr(s"substring(text, int(chunk_start), $chunkSize)"))
+      .select(col("doc_id"), col("chunk_ix"), col("chunk_start"),
+        length(col("chunk")).cast("bigint").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+
+  val chunkDocsOracle: String =
+    s"""SELECT doc_id, i AS chunk_ix, 1 + i * $chunkStride AS chunk_start,
+       |       CAST(length(substr(text, CAST(1 + i * $chunkStride AS INT), $chunkSize)) AS BIGINT) AS chunk_len,
+       |       md5(substr(text, CAST(1 + i * $chunkStride AS INT), $chunkSize)) AS chunk_md5
+       |FROM documents,
+       |     UNNEST(range(0, CAST(floor((greatest(length(text), 1) - 1) / $chunkStride) AS BIGINT) + 1)) AS t(i)""".stripMargin
+
+  // --------------------------------------------------- per-domain cap
+
+  /** Max docs kept per source domain, and the salt fan-out of the
+    * two-phase cap below. Web-corpus curation caps per-domain document
+    * counts so mega-domains can't dominate the training mix.
+    */
+  val domainCapN = 64
+  val domainCapSalts = 8
+
+  /** Per-domain cap: keep the `domainCapN` lowest doc_ids of each
+    * source. Output: the kept rows with their in-domain rank.
+    *
+    * Scale shape — the naive single `row_number() OVER (PARTITION BY
+    * source)` puts EVERY row of a mega-domain in one task (the classic
+    * hot-key window failure). Two phases fix it: phase 1 ranks within
+    * (source, salt) — a deterministic doc_id salt spreads a hot domain
+    * over `domainCapSalts` tasks — and keeps at most `domainCapN` per
+    * salt, a provable superset of the global top-N (any of the N
+    * globally-smallest doc_ids is among the N smallest of its own salt
+    * group). Phase 2 ranks the ≤ salts·N survivors per source — bounded
+    * rows per key regardless of corpus size. Same total order as the
+    * naive window, so the oracle is the plain single-window SQL.
+    */
+  def domainCap(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(domainCapSalts.toLong)))
+      .orderBy(col("doc_id"))
+    val global = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn_local", row_number().over(local))
+      .filter(col("rn_local") <= domainCapN)
+      .withColumn("rn", row_number().over(global).cast("bigint"))
+      .filter(col("rn") <= domainCapN)
+      .select(col("doc_id"), col("source"), col("rn"))
+  }
+
+  val domainCapOracle: String =
+    s"""SELECT doc_id, source, rn FROM (
+       |  SELECT doc_id, source,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $domainCapN""".stripMargin
+
   // ------------------------------------------------- end-to-end pipeline
 
   /** The whole curation flow as ONE declarative plan — quality filter →
@@ -403,7 +485,9 @@ object Curation {
     "q_seq_pack" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
-    "q_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d)))
+    "q_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
+    "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
+    "q_domain_cap" -> ((s, d) => domainCap(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -414,6 +498,8 @@ object Curation {
     "q_seq_pack" -> sequencePackOracle(),
     "q_pii_scrub" -> piiScrubOracle,
     "q_split_assign" -> splitAssignOracle,
-    "q_shard_manifest" -> shardManifestOracle
+    "q_shard_manifest" -> shardManifestOracle,
+    "q_chunk_docs" -> chunkDocsOracle,
+    "q_domain_cap" -> domainCapOracle
   )
 }

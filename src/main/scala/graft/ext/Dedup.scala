@@ -469,6 +469,46 @@ object Dedup {
        |)
        |SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
 
+  /** Near-dup SURVIVOR accounting — the end product of the dedup
+    * pipeline: within each duplicate cluster exactly one doc (the
+    * cluster's min doc_id, which is its label) survives; docs in no
+    * cluster survive trivially. Output: per-source kept/dropped counts.
+    *
+    * Scale shape: the cluster-label frame is pair-graph-sized (only
+    * docs that appeared in a verified near-dup pair carry a label — a
+    * vanishing fraction of the corpus), so the left join back to the
+    * corpus is a standard equi-join the planner can broadcast when the
+    * graph is small and shuffle when it isn't; the corpus side is one
+    * narrow projection (doc_id, source). No new corpus-sized shuffle
+    * beyond the join itself.
+    */
+  def clusterSurvivors(docs: DataFrame, pairSet: DataFrame): DataFrame = {
+    val clusters = dupClustersFromPairs(pairSet)
+    docs.select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("cluster_id")).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_dropped"),
+        (count(lit(1)) - sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
+          .otherwise(0L))).cast("bigint").as("n_kept"))
+  }
+
+  def clusterSurvivorsOracle(threshold: Double = 0.5): String =
+    s"""WITH clusters AS (
+       |  ${dupClustersOracle(threshold).replace("\n", "\n       |  ")}
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |       count(cluster_id) AS n_clustered,
+       |       CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id != doc_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(count(*) - sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id != doc_id
+       |                                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM documents LEFT JOIN clusters USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   // -------------------------------------------------------------- simhash
 
   val simhashBits = 64
@@ -603,6 +643,7 @@ object Dedup {
     "q_dedup_lsh_stats" -> ((s, d) => lshBucketStats(Tables.documents(s, d))),
     "q_dedup_near_pairs" -> ((s, d) => cachedPairs(s, d)),
     "q_dedup_clusters" -> ((s, d) => dupClustersFromPairs(cachedPairs(s, d))),
+    "q_cluster_survivors" -> ((s, d) => clusterSurvivors(Tables.documents(s, d), cachedPairs(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => simhashNearDup(Tables.documents(s, d))),
     "q_substring_dedup" -> ((s, d) => repeatedKgrams(Tables.documents(s, d)))
@@ -615,6 +656,7 @@ object Dedup {
     "q_dedup_lsh_stats" -> lshBucketStatsOracle,
     "q_dedup_near_pairs" -> nearDupPairsOracle(),
     "q_dedup_clusters" -> dupClustersOracle(),
+    "q_cluster_survivors" -> clusterSurvivorsOracle(),
     "q_dedup_simhash" -> simhashOracle,
     "q_simhash_neardup" -> simhashNearDupOracle(),
     "q_substring_dedup" -> repeatedKgramsOracle()

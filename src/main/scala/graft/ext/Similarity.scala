@@ -530,6 +530,40 @@ object Similarity {
       |) e
       |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------- int8 quantization
+
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * bandwidth path of an ANN index at scale (4× smaller vectors, SIMD
+    * int8 dot products downstream). Per vector: scale = max|x|/127, code
+    * q_i = round(x_i/scale) ∈ [-127, 127]. Output per vector: the scale
+    * and the reconstruction error NORMALIZED by scale² (`nmse`, ≈1/12
+    * for uniform rounding error — unit-free, so coarse rounding absorbs
+    * float summation-order drift between engines without erasing the
+    * signal; raw MSE at ~1e-6 would round to nothing).
+    *
+    * Scale shape: map-only — two narrow per-row folds over the vector,
+    * no exchange anywhere; at 100 TB this is one pass over the corpus
+    * parallel per input split. The guard `greatest(…, 1e-12)` keeps a
+    * zero vector from dividing by zero (its codes are all zero).
+    */
+  def quantize(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("qscale",
+        greatest(aggregate(col("e"), lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12)) / 127)
+      .withColumn("sse", aggregate(col("e"), lit(0.0),
+        (acc, x) => acc + pow(x - round(x / col("qscale")) * col("qscale"), 2)))
+      .select(col("vec_id"), round(col("qscale"), 8).as("qscale"),
+        round(col("sse") / (size(col("e")) * pow(col("qscale"), 2)), 4).as("nmse"))
+
+  val quantizeOracle: String =
+    """SELECT vec_id, round(mx / 127, 8) AS qscale,
+      |       round(list_sum(list_transform(e, x ->
+      |                pow(x - round(x / (mx / 127)) * (mx / 127), 2)))
+      |             / (len(e) * pow(mx / 127, 2)), 4) AS nmse
+      |FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |             greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS mx
+      |      FROM embeddings)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "q_knn_bucketed" -> ((s, d) => bucketedTopK(Tables.embeddings(s, d))),
@@ -543,7 +577,8 @@ object Similarity {
       probeTopK(v, kmeansCentroids(v, iters = 2).cache(), nQueries = 5, k = 10, nprobe = 2)
     }),
     "q_embed_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
-    "q_embed_centroid" -> ((s, d) => centroidSimilarity(Tables.embeddings(s, d)))
+    "q_embed_centroid" -> ((s, d) => centroidSimilarity(Tables.embeddings(s, d))),
+    "q_embed_quantize" -> ((s, d) => quantize(Tables.embeddings(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -553,6 +588,7 @@ object Similarity {
     "q_knn_ivf" -> ivfTopKOracle(),
     "q_knn_kmeans" -> kmeansTopKOracle(),
     "q_embed_neardup" -> nearDupPairsOracle(),
-    "q_embed_centroid" -> centroidSimilarityOracle
+    "q_embed_centroid" -> centroidSimilarityOracle,
+    "q_embed_quantize" -> quantizeOracle
   )
 }

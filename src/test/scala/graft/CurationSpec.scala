@@ -107,4 +107,40 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSet == b)
     assert(rows.map(_.getLong(1)).sum == 100L)
   }
+
+  test("chunkDocs: chunks tile the document with the configured overlap") {
+    val text380 = "x" * 380
+    val d = docs((1L, text380, "web"), (2L, "short", "web"), (3L, "", "web"))
+    val byDoc = Curation.chunkDocs(d).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq).toMap
+    // 380 chars, size 200 / stride 150 -> starts 1,151,301; last reaches char 380
+    assert(byDoc(1L) == Seq((1L, 200L), (151L, 200L), (301L, 80L)))
+    assert(byDoc(1L).map { case (s, l) => s + l - 1 }.max == 380L, "last chunk must reach the end")
+    // consecutive chunks overlap by size - stride = 50 chars
+    assert(byDoc(1L).sliding(2).forall {
+      case Seq((s1, l1), (s2, _)) => s2 == s1 + 150 && s1 + l1 > s2
+      case _ => true
+    })
+    assert(byDoc(2L) == Seq((1L, 5L)), "short doc = one chunk of its own length")
+    assert(byDoc(3L) == Seq((1L, 0L)), "empty doc still yields one (empty) chunk row")
+  }
+
+  test("domainCap: two-phase salted cap equals the naive single window on a hot domain") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // hot domain with 600 docs vs the 64-doc cap; cold domain under it
+    val d = docs(((1L to 600L).map(i => (i, s"t$i", "hot")) ++
+      (601L to 610L).map(i => (i, s"t$i", "cold"))): _*)
+    val twoPhase = Curation.domainCap(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val naive = d.withColumn("rn",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("bigint"))
+      .filter(col("rn") <= Curation.domainCapN)
+      .select(col("doc_id"), col("source"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(twoPhase == naive)
+    assert(twoPhase.count(_._2 == "hot") == Curation.domainCapN)
+    assert(twoPhase.count(_._2 == "cold") == 10)
+  }
 }

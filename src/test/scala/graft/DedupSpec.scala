@@ -168,4 +168,19 @@ class DedupSpec extends SparkSpec {
     // identical docs 1,2 share every band bucket => every band has >= 1 candidate pair
     assert(stats.forall(_.getLong(3) >= 1L))
   }
+
+  test("clusterSurvivors keeps one doc per cluster and accounts per source") {
+    val s = spark
+    import s.implicits._
+    // web: chain 1-2-3 (one cluster, survivor 1) + singleton 4;
+    // books: pair 5-6 (survivor 5)
+    val d = Seq((1L, "web"), (2L, "web"), (3L, "web"), (4L, "web"),
+      (5L, "books"), (6L, "books")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterSurvivors(d, pairs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("web") == ((4L, 3L, 2L, 2L)),
+      s"web: 4 docs, 3 clustered, 2 dropped (2,3), 2 kept (1,4) — got ${out("web")}")
+    assert(out("books") == ((2L, 2L, 1L, 1L)))
+  }
 }

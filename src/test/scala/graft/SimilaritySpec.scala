@@ -206,4 +206,24 @@ class SimilaritySpec extends SparkSpec {
       (3L, Seq(0.0, 1.0), 1e-180)))   // dp=0, product→0 => NaN
     assert(out == Seq(3L, 2L, 1L))
   }
+
+  test("quantize: exact codes reconstruct exactly; rounding error stays within half a step") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f)), // ±1 are exact multiples of 1/127; 0.5 is not
+      (2L, Seq(0.0f, 0.0f, 0.0f))   // zero vector: guard keeps scale positive, codes all 0
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.quantize(d).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (sc1, nmse1) = out(1L)
+    assert(math.abs(sc1 - 1.0 / 127) < 1e-8)
+    // only the 0.5 component carries error: nmse = err^2/(3*scale^2) = 0.0833
+    assert(math.abs(nmse1 - 0.0833) < 1e-9, s"got nmse $nmse1")
+    val (sc2, nmse2) = out(2L)
+    // the 1e-12 guard scale rounds to 0 in the 8dp report; the error is 0
+    assert(sc2 == 0.0 && nmse2 == 0.0, "zero vector must quantize losslessly")
+    // per-element error <= scale/2 implies nmse <= 1/4 always
+    assert(out.values.forall(_._2 <= 0.25))
+  }
 }
