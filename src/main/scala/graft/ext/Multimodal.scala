@@ -278,7 +278,7 @@ object Multimodal {
   def binaryFileQuery(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Files
     val staged = blobDirs.getOrElseUpdate(dir, {
-      val d = Files.createTempDirectory("graft_blobs")
+      val d = graft.Scratch.dir("graft_blobs")
       Tables.documents(spark, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text")).collect() // staging ETL: 50 tiny files
         .foreach { r =>

@@ -26,7 +26,7 @@ object Layout {
     */
   private def partitionedEventsPath(spark: SparkSession, dir: String): String =
     prepared.getOrElseUpdate(s"part:$dir", {
-      val out = Files.createTempDirectory("graft_part_events").toString
+      val out = graft.Scratch.dir("graft_part_events").toString
       Tables.events(spark, dir)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
@@ -58,7 +58,7 @@ object Layout {
     val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
     val (to, tl) = (s"orders_b_$suffix", s"lineitem_b_$suffix")
     prepared.getOrElseUpdate(s"bucket:$dir", {
-      val base = Files.createTempDirectory("graft_bucketed").toString
+      val base = graft.Scratch.dir("graft_bucketed").toString
       Tables.orders(spark, dir).write.mode("overwrite")
         .option("path", s"$base/$to")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
@@ -98,8 +98,8 @@ object Layout {
     */
   def compactedPath(spark: SparkSession, dir: String): String =
     prepared.getOrElseUpdate(s"compact:$dir", {
-      val frag = Files.createTempDirectory("graft_frag").toString
-      val out = Files.createTempDirectory("graft_compact").toString
+      val frag = graft.Scratch.dir("graft_frag").toString
+      val out = graft.Scratch.dir("graft_compact").toString
       Tables.events(spark, dir).repartition(64).write.mode("overwrite").parquet(frag)
       spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(out)
       out

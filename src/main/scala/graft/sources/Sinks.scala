@@ -22,7 +22,7 @@ object Sinks {
 
   /** S14: CSV export + re-read (header, explicit schema on the way in). */
   def csvRoundtrip(spark: SparkSession, orders: DataFrame): DataFrame = {
-    val out = Files.createTempDirectory("graft_csv").toString + "/orders_summary"
+    val out = graft.Scratch.dir("graft_csv").toString + "/orders_summary"
     val summary = orders.groupBy(col("o_orderstatus"))
       .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
     summary.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
@@ -40,7 +40,7 @@ object Sinks {
     * ORC carries its own schema, so no explicit re-read schema needed).
     */
   def orcRoundtrip(spark: SparkSession, lineitem: DataFrame): DataFrame = {
-    val out = Files.createTempDirectory("graft_orc").toString + "/ship_summary"
+    val out = graft.Scratch.dir("graft_orc").toString + "/ship_summary"
     val summary = lineitem.groupBy(col("l_returnflag"))
       .agg(round(sum(col("l_extendedprice")), 2).as("total"), count(lit(1)).as("n"))
     summary.write.mode("overwrite").orc(out)
@@ -56,7 +56,7 @@ object Sinks {
     * twin of the Kafka-value `to_json` serialization in Bronze).
     */
   def jsonLinesRoundtrip(spark: SparkSession, customer: DataFrame): DataFrame = {
-    val out = Files.createTempDirectory("graft_jsonl").toString + "/segment_summary"
+    val out = graft.Scratch.dir("graft_jsonl").toString + "/segment_summary"
     val summary = customer.groupBy(col("c_mktsegment"))
       .agg(round(avg(col("c_acctbal")), 6).as("avg_bal"), count(lit(1)).as("n"))
     summary.write.mode("overwrite").json(out)
@@ -72,7 +72,7 @@ object Sinks {
     */
   def sqlViewRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
-    val out = Files.createTempDirectory("graft_ctas").toString + "/flag_rollup"
+    val out = graft.Scratch.dir("graft_ctas").toString + "/flag_rollup"
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
@@ -98,7 +98,7 @@ object Sinks {
     * resolution is why new columns cost nothing retroactively.
     */
   def schemaEvolution(spark: SparkSession, events: DataFrame): DataFrame = {
-    val out = Files.createTempDirectory("graft_evolve").toString + "/events_evolved"
+    val out = graft.Scratch.dir("graft_evolve").toString + "/events_evolved"
     events.filter(pmod(col("event_id"), lit(2)) === 0)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").parquet(out)

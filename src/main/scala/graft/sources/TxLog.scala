@@ -213,7 +213,7 @@ object TxLog {
   /** Two committed batches + one orphaned (uncommitted) write. */
   private def snapshotTable(spark: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"snap:$dir", {
-      val table = Files.createTempDirectory("graft_txlog").toString
+      val table = graft.Scratch.dir("graft_txlog").toString
       val ev = Tables.events(spark, dir)
       commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
       commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
@@ -226,7 +226,7 @@ object TxLog {
   /** Append v1, OVERWRITE to v2, orphan write, vacuum to latest. */
   private def vacuumedTable(spark: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"vac:$dir", {
-      val table = Files.createTempDirectory("graft_txlog_vac").toString
+      val table = graft.Scratch.dir("graft_txlog_vac").toString
       val ev = Tables.events(spark, dir)
       commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
       commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
@@ -239,7 +239,7 @@ object TxLog {
   /** Two appended versions for the change feed. */
   private def changesTable(spark: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"cdf:$dir", {
-      val table = Files.createTempDirectory("graft_txlog_cdf").toString
+      val table = graft.Scratch.dir("graft_txlog_cdf").toString
       val ev = Tables.events(spark, dir)
       commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
       commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)

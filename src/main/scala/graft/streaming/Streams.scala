@@ -67,7 +67,7 @@ object Streams {
 
   private def stageSingle(dir: String): String =
     stagedDirs.getOrElseUpdate(dir, {
-      val d = Files.createTempDirectory("graft_stream_in")
+      val d = graft.Scratch.dir("graft_stream_in")
       Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
         d.resolve("events.parquet"))
       d.toString
@@ -137,8 +137,8 @@ object Streams {
     * checks against the batch tumbling SQL, proving stream/batch parity.
     */
   def runSilverAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_stream_out").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val out = graft.Scratch.dir("graft_stream_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_ckpt").toString
     val bars = eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
       .agg(
@@ -185,7 +185,7 @@ object Streams {
     */
   private def stageRangedReplay(df: DataFrame, rangeCol: String, prefix: String,
       nFiles: Int): String = {
-    val d = Files.createTempDirectory(prefix)
+    val d = graft.Scratch.dir(prefix)
     df.repartitionByRange(nFiles, col(rangeCol))
       .write.mode("overwrite").parquet(d.toString)
     val parts = new java.io.File(d.toString).listFiles()
@@ -210,8 +210,8 @@ object Streams {
     */
   def runSilverAppendChecked(spark: SparkSession, dir: String): DataFrame = {
     val staged = rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
-    val out = Files.createTempDirectory("graft_stream_app_out").toString
-    val ckpt = Files.createTempDirectory("graft_stream_app_ckpt").toString
+    val out = graft.Scratch.dir("graft_stream_app_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_app_ckpt").toString
     val schema = spark.read.parquet(staged).schema
     val bars = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
@@ -288,8 +288,8 @@ object Streams {
   def runSilverInference(spark: SparkSession, dir: String): DataFrame = {
     import graft.ml.PriceModel
     val model = PriceModel.model(spark, dir)
-    val out = Files.createTempDirectory("graft_stream_ml_out").toString
-    val ckpt = Files.createTempDirectory("graft_stream_ml_ckpt").toString
+    val out = graft.Scratch.dir("graft_stream_ml_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_ml_ckpt").toString
     val bars = eventsStream(spark, dir)
       .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
       .agg(
@@ -376,8 +376,8 @@ object Streams {
     * result equals the batch interval join — the DuckDB oracle).
     */
   def runClickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_ssj_out").toString
-    val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
+    val out = graft.Scratch.dir("graft_ssj_out").toString
+    val ckpt = graft.Scratch.dir("graft_ssj_ckpt").toString
     val ev = eventsStream(spark, dir)
     val joined = clickPurchaseJoin(
       ev.filter(col("event_type") === "click"),
@@ -425,7 +425,7 @@ object Streams {
   private def stageDuped(spark: SparkSession, dir: String): String =
     dupedDirs.getOrElseUpdate(dir, {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val d = Files.createTempDirectory("graft_stream_dup").toString
+      val d = graft.Scratch.dir("graft_stream_dup").toString
       val raw = spark.read.option("pathGlobFilter", "*.parquet").parquet(s"$dir/events.parquet")
       raw.union(raw.filter(pmod(col("event_id"), lit(7)) === 0))
         .write.mode("overwrite").parquet(d)
@@ -441,8 +441,8 @@ object Streams {
     */
   def runStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val staged = stageDuped(spark, dir)
-    val out = Files.createTempDirectory("graft_sdd_out").toString
-    val ckpt = Files.createTempDirectory("graft_sdd_ckpt").toString
+    val out = graft.Scratch.dir("graft_sdd_out").toString
+    val ckpt = graft.Scratch.dir("graft_sdd_ckpt").toString
     val schema = spark.read.parquet(staged).schema
     val deduped = dedupStream(
       spark.readStream.schema(schema).parquet(staged)
@@ -520,8 +520,8 @@ object Streams {
   def runStreamNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     val staged = docRangedDirs.getOrElseUpdate(dir, stageRangedDocs(spark, dir))
-    val out = Files.createTempDirectory("graft_snd_out").toString
-    val ckpt = Files.createTempDirectory("graft_snd_ckpt").toString
+    val out = graft.Scratch.dir("graft_snd_out").toString
+    val ckpt = graft.Scratch.dir("graft_snd_ckpt").toString
     val sp = spark
     import sp.implicits._
     val schema = spark.read.parquet(staged).schema
@@ -671,8 +671,8 @@ object Streams {
     */
   def runRunningStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
-    val out = Files.createTempDirectory("graft_tws_out").toString
-    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+    val out = graft.Scratch.dir("graft_tws_out").toString
+    val ckpt = graft.Scratch.dir("graft_tws_ckpt").toString
     val sp = spark
     import sp.implicits._
     val src = eventsStream(spark, dir)
