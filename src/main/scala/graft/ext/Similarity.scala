@@ -530,6 +530,53 @@ object Similarity {
       |) e
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- recall report
+
+  /** Recall@k accounting for the approximate indexes against the exact
+    * brute-force truth — the acceptance metric any ANN deployment
+    * tracks before switching the approximate path on. One row per
+    * (method, query): how many of the true top-k the index returned.
+    *
+    * Scale shape: the truth and approximate result sets are
+    * (nQueries·k)-sized — vanishing next to the corpus — so the joins
+    * here are trivially broadcastable; the real cost is the underlying
+    * searches themselves, which keep their own documented shapes. The
+    * tie-break (cos DESC, vec_id) makes both sides deterministic, so
+    * recall is exact and engine-independent.
+    */
+  def annRecall(vectors: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val truth = bruteForceTopK(vectors, nQueries, k).select(col("query_id"), col("vec_id"))
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      truth.join(approx.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+        .select(lit(name).as("method"), col("query_id"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+    recallOf("bucketed", bucketedTopK(vectors, nQueries, k))
+      .unionAll(recallOf("multiprobe", multiProbeTopK(vectors, nQueries, k)))
+  }
+
+  def annRecallOracle(nQueries: Int = 5, k: Int = 10): String = {
+    def arm(name: String, cte: String) =
+      s"""SELECT '$name' AS method, t.query_id,
+         |       CAST(count(*) AS BIGINT) AS n_true,
+         |       CAST(count($cte.vec_id) AS BIGINT) AS n_hit,
+         |       round(count($cte.vec_id)::DOUBLE / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN $cte USING (query_id, vec_id)
+         |GROUP BY 2""".stripMargin
+    s"""WITH truth AS (
+       |  ${bruteForceTopKOracle(nQueries, k).replace("\n", "\n       |  ")}
+       |), b AS (
+       |  ${bucketedTopKOracle(nQueries, k).replace("\n", "\n       |  ")}
+       |), m AS (
+       |  ${multiProbeTopKOracle(nQueries, k).replace("\n", "\n       |  ")}
+       |)
+       |${arm("bucketed", "b")}
+       |UNION ALL
+       |${arm("multiprobe", "m")}""".stripMargin
+  }
+
   // --------------------------------------------------- int8 quantization
 
   /** Symmetric int8 quantization of the embedding column — the storage/
@@ -578,7 +625,8 @@ object Similarity {
     }),
     "q_embed_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_embed_centroid" -> ((s, d) => centroidSimilarity(Tables.embeddings(s, d))),
-    "q_embed_quantize" -> ((s, d) => quantize(Tables.embeddings(s, d)))
+    "q_embed_quantize" -> ((s, d) => quantize(Tables.embeddings(s, d))),
+    "q_ann_recall" -> ((s, d) => annRecall(Tables.embeddings(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -589,6 +637,7 @@ object Similarity {
     "q_knn_kmeans" -> kmeansTopKOracle(),
     "q_embed_neardup" -> nearDupPairsOracle(),
     "q_embed_centroid" -> centroidSimilarityOracle,
-    "q_embed_quantize" -> quantizeOracle
+    "q_embed_quantize" -> quantizeOracle,
+    "q_ann_recall" -> annRecallOracle()
   )
 }

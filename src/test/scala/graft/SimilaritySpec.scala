@@ -226,4 +226,20 @@ class SimilaritySpec extends SparkSpec {
     // per-element error <= scale/2 implies nmse <= 1/4 always
     assert(out.values.forall(_._2 <= 0.25))
   }
+
+  test("annRecall: perfect recall when every vector shares one bucket; exact truth-set sizes") {
+    val s = spark
+    import s.implicits._
+    // all-positive components => identical sign bucket for bucketed (3-bit)
+    // and multiprobe (8-bit): both searches see the whole corpus
+    val d = (0L until 12L).map { i =>
+      (i, Seq.tabulate(8)(j => 1.0f + 0.1f * ((i + j) % 5)))
+    }.toDF("vec_id", "embedding")
+    val rows = graft.ext.Similarity.annRecall(d, nQueries = 3, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 6, "2 methods x 3 queries")
+    assert(rows.forall(_._3 == 5L), "truth set is exactly k when the corpus allows")
+    assert(rows.forall(r => r._4 == 5L && r._5 == 1.0),
+      s"single shared bucket must give perfect recall, got ${rows.mkString(", ")}")
+  }
 }
