@@ -377,35 +377,28 @@ object Curation {
 
   // --------------------------------------------------- per-domain cap
 
-  /** Max docs kept per source domain, and the salt fan-out of the
-    * two-phase cap below. Web-corpus curation caps per-domain document
-    * counts so mega-domains can't dominate the training mix.
+  /** Max docs kept per source domain. Web-corpus curation caps
+    * per-domain document counts so mega-domains can't dominate the
+    * training mix.
     */
   val domainCapN = 64
-  val domainCapSalts = 8
 
   /** Per-domain cap: keep the `domainCapN` lowest doc_ids of each
     * source. Output: the kept rows with their in-domain rank.
     *
-    * Scale shape — the naive single `row_number() OVER (PARTITION BY
-    * source)` puts EVERY row of a mega-domain in one task (the classic
-    * hot-key window failure). Two phases fix it: phase 1 ranks within
-    * (source, salt) — a deterministic doc_id salt spreads a hot domain
-    * over `domainCapSalts` tasks — and keeps at most `domainCapN` per
-    * salt, a provable superset of the global top-N (any of the N
-    * globally-smallest doc_ids is among the N smallest of its own salt
-    * group). Phase 2 ranks the ≤ salts·N survivors per source — bounded
-    * rows per key regardless of corpus size. Same total order as the
-    * naive window, so the oracle is the plain single-window SQL.
+    * Scale shape — a rank window with a `rn <= N` filter is the one
+    * hot-key window Spark makes skew-safe BY ITSELF: the
+    * WindowGroupLimit rule pushes a per-partition top-N below the
+    * exchange (plan-verified: `WindowGroupLimit → Exchange →
+    * WindowGroupLimit → Window`), so each map task forwards at most N
+    * rows per source and a mega-domain's reduce task sees ≤ N·maps
+    * rows, never the domain itself. A manual two-phase salted cap was
+    * measured redundant against this (same bound, one extra shuffle).
     */
   def domainCap(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val local = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(domainCapSalts.toLong)))
-      .orderBy(col("doc_id"))
     val global = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     docs.select(col("doc_id"), col("source"))
-      .withColumn("rn_local", row_number().over(local))
-      .filter(col("rn_local") <= domainCapN)
       .withColumn("rn", row_number().over(global).cast("bigint"))
       .filter(col("rn") <= domainCapN)
       .select(col("doc_id"), col("source"), col("rn"))

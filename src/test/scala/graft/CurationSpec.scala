@@ -126,21 +126,23 @@ class CurationSpec extends SparkSpec {
     assert(byDoc(3L) == Seq((1L, 0L)), "empty doc still yields one (empty) chunk row")
   }
 
-  test("domainCap: two-phase salted cap equals the naive single window on a hot domain") {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
+  test("domainCap caps a hot domain at N lowest ids and its plan pushes the limit below the shuffle") {
     // hot domain with 600 docs vs the 64-doc cap; cold domain under it
     val d = docs(((1L to 600L).map(i => (i, s"t$i", "hot")) ++
       (601L to 610L).map(i => (i, s"t$i", "cold"))): _*)
-    val twoPhase = Curation.domainCap(d).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val naive = d.withColumn("rn",
-        row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("bigint"))
-      .filter(col("rn") <= Curation.domainCapN)
-      .select(col("doc_id"), col("source"), col("rn")).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(twoPhase == naive)
-    assert(twoPhase.count(_._2 == "hot") == Curation.domainCapN)
-    assert(twoPhase.count(_._2 == "cold") == 10)
+    val out = Curation.domainCap(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.count(_._2 == "hot") == Curation.domainCapN)
+    assert(out.filter(_._2 == "hot").map(_._1).toSet == (1L to Curation.domainCapN).toSet,
+      "survivors must be the N lowest doc_ids")
+    assert(out.count(_._2 == "cold") == 10, "under-cap domains keep everything")
+    // the skew-safety claim: a per-partition top-N (WindowGroupLimit)
+    // must run below the exchange so no task ever windows a whole domain
+    val plan = Curation.domainCap(d).queryExecution.executedPlan.toString
+    val limitIdx = plan.indexOf("WindowGroupLimit")
+    assert(limitIdx >= 0, "rank-limit pushdown missing from the plan")
+    assert(plan.indexOf("Exchange") >= 0 &&
+      plan.lastIndexOf("WindowGroupLimit") > plan.indexOf("Exchange"),
+      "expected a WindowGroupLimit on the map side of the exchange")
   }
 }
