@@ -188,4 +188,63 @@ class PropertiesSpec extends SparkSpec {
       assert(cosines == cosines.sortBy(-_), s"iter $i not descending: $cosines")
     }
   }
+
+  test("chunkDocs reconstructs every document exactly (random lengths)") {
+    import graft.ext.Curation
+    val s = spark
+    import s.implicits._
+    val lenGen = Gen.oneOf(Gen.choose(0, 10), Gen.choose(140, 160),
+      Gen.choose(190, 210), Gen.choose(290, 310), Gen.choose(600, 700))
+    val lens = samples(lenGen, 12)
+    val rnd = new scala.util.Random(7)
+    val d = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, rnd.alphanumeric.take(n).mkString, "web")
+    }
+    val df = d.map { case (id, t, src) => (id, t, src) }.toDF("doc_id", "text", "source")
+    val byDoc = Curation.chunkDocs(df).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1))).toMap
+    for ((id, text, _) <- d) {
+      val chunks = byDoc(id)
+      val stride = Curation.chunkStride
+      // chunk count law, geometry law, and full coverage with the
+      // configured overlap: the stride-prefixes of all chunks but the
+      // last, plus the last chunk, concatenate back to the document
+      assert(chunks.length == 1 + math.max(text.length - 1, 0) / stride, s"doc $id count")
+      assert(chunks.zipWithIndex.forall { case (r, i) => r.getLong(2) == 1L + i * stride })
+      val rebuilt = chunks.init.map(r => text.substring((r.getLong(2) - 1).toInt,
+          (r.getLong(2) - 1).toInt + stride)).mkString +
+        text.substring((chunks.last.getLong(2) - 1).toInt)
+      assert(rebuilt == text, s"doc $id (len ${text.length}) does not reconstruct")
+      // digests actually describe the chunk bytes
+      chunks.foreach { r =>
+        val start = (r.getLong(2) - 1).toInt
+        val chunk = text.substring(start, math.min(start + Curation.chunkSize, text.length))
+        assert(r.getLong(3) == chunk.length)
+      }
+    }
+  }
+
+  test("quantize matches a local int8 reference on random vectors") {
+    import graft.ext.Similarity
+    val s = spark
+    import s.implicits._
+    val vecGen = Gen.listOfN(16, Gen.choose(-4.0, 4.0))
+    val vecs = samples(vecGen, 10).zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+    val out = Similarity.quantize(vecs.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((id, v) <- vecs) {
+      val e = v.map(_.toDouble)
+      val scale = math.max(e.map(math.abs).max, 1e-12) / 127
+      val sse = e.map { x =>
+        val q = java.math.BigDecimal.valueOf(x / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        math.pow(x - q * scale, 2)
+      }.sum
+      val nmse = sse / (e.length * scale * scale)
+      val (gotScale, gotNmse) = out(id)
+      assert(math.abs(gotScale - scale) < 5e-9, s"vec $id scale")
+      assert(math.abs(gotNmse - nmse) < 1e-4, s"vec $id nmse: $gotNmse vs $nmse")
+      assert(gotNmse >= 0 && gotNmse <= 0.25 + 1e-9, s"vec $id nmse bound")
+    }
+  }
 }
