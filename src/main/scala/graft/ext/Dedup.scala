@@ -489,7 +489,7 @@ object Dedup {
     * (the production shape — clustering runs once, both the report and
     * the survivor selection read it).
     */
-  def clusterSurvivorsFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
+  def clusterSurvivorsFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"))
       .join(clusters, Seq("doc_id"), "left")
       .groupBy(col("source"))
@@ -497,23 +497,22 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         count(col("cluster_id")).as("n_clustered"),
         sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
-          .otherwise(0L)).cast("bigint").as("n_dropped"),
-        (count(lit(1)) - sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L)
-          .otherwise(0L))).cast("bigint").as("n_kept"))
-  }
+          .otherwise(0L)).cast("bigint").as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
 
   def clusterSurvivorsOracle(threshold: Double = 0.5): String =
     s"""WITH clusters AS (
        |  ${dupClustersOracle(threshold).replace("\n", "\n       |  ")}
        |)
-       |SELECT source, count(*) AS n_docs,
-       |       count(cluster_id) AS n_clustered,
-       |       CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id != doc_id
-       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-       |       CAST(count(*) - sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id != doc_id
-       |                                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-       |FROM documents LEFT JOIN clusters USING (doc_id)
-       |GROUP BY 1""".stripMargin
+       |SELECT source, n_docs, n_clustered, n_dropped, n_docs - n_dropped AS n_kept
+       |FROM (
+       |  SELECT source, count(*) AS n_docs,
+       |         count(cluster_id) AS n_clustered,
+       |         CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id != doc_id
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |  FROM documents LEFT JOIN clusters USING (doc_id)
+       |  GROUP BY 1
+       |)""".stripMargin
 
   // -------------------------------------------------------------- simhash
 

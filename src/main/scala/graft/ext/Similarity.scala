@@ -545,7 +545,9 @@ object Similarity {
     * recall is exact and engine-independent.
     */
   def annRecall(vectors: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val truth = bruteForceTopK(vectors, nQueries, k).select(col("query_id"), col("vec_id"))
+    // cached: both union arms read the truth set — without the cache the
+    // exact brute-force search (the expensive side) would run twice
+    val truth = bruteForceTopK(vectors, nQueries, k).select(col("query_id"), col("vec_id")).cache()
     def recallOf(name: String, approx: DataFrame): DataFrame =
       truth.join(approx.select(col("query_id"), col("vec_id")).withColumn("hit", lit(1)),
           Seq("query_id", "vec_id"), "left")
