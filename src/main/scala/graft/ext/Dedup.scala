@@ -404,8 +404,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .localCheckpoint()
-    var labels = edges.select(col("s").as("v")).distinct()
-      .withColumn("l", col("v"))
+    // init one propagation step ahead: l(v) = min(v, min neighbor) is a
+    // single groupBy over the edge list (the vertex-distinct was a
+    // shuffle anyway) — for star/pair components, the common shape of a
+    // near-dup graph, this IS the fixpoint, so the loop's first round
+    // only confirms instead of computing
+    var labels = edges.groupBy(col("s")).agg(min(col("d")).as("mn"))
+      .select(col("s").as("v"), least(col("s"), col("mn")).as("l"))
       .localCheckpoint()
     // convergence probe: propagation only ever LOWERS labels, so the
     // fixpoint is reached exactly when sum(l) stops decreasing — one
