@@ -357,13 +357,20 @@ object Curation {
     * shuffle; downstream tokenization reads (doc_id, chunk_ix) already
     * co-partitioned with the scan.
     */
-  def chunkDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"),
+  /** Shared chunking core: one (doc_id[, carry…], chunk_ix,
+    * chunk_start, chunk) row per window — `chunkDocs` digests it,
+    * `chunkPipeline` packs it.
+    */
+  private def chunkRows(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select((col("doc_id") +: carry.map(col)) :+ col("text") :+
         explode(sequence(lit(0L),
           floor((greatest(length(col("text")), lit(1)) - 1) / chunkStride).cast("long")))
-          .as("chunk_ix"))
+          .as("chunk_ix"): _*)
       .withColumn("chunk_start", lit(1L) + col("chunk_ix") * chunkStride)
       .withColumn("chunk", expr(s"substring(text, int(chunk_start), $chunkSize)"))
+
+  def chunkDocs(docs: DataFrame): DataFrame =
+    chunkRows(docs)
       .select(col("doc_id"), col("chunk_ix"), col("chunk_start"),
         length(col("chunk")).cast("bigint").as("chunk_len"),
         md5(col("chunk")).as("chunk_md5"))
@@ -374,6 +381,66 @@ object Curation {
        |       md5(substr(text, CAST(1 + i * $chunkStride AS INT), $chunkSize)) AS chunk_md5
        |FROM documents,
        |     UNNEST(range(0, CAST(floor((greatest(length(text), 1) - 1) / $chunkStride) AS BIGINT) + 1)) AS t(i)""".stripMargin
+
+  /** The tokenization-facing end of the pipeline at CHUNK granularity:
+    * quality filter → exact-dedup survivors → context-window chunking →
+    * chunk-level sequence packing, composed as ONE Catalyst plan (the
+    * doc-granularity twin is `curationPipeline`). Output: per-source
+    * chunk/pack/token accounting.
+    *
+    * Scale shape: everything up to packing is map-only over the kept
+    * docs (the chunk Generate adds no exchange); packing reuses the
+    * per-source prefix-sum window `sequencePack` documents — shard-
+    * parallel, no global sort. The chunk budget (128) is smaller than
+    * the doc budget because chunks are the unit a tokenizer actually
+    * consumes.
+    */
+  def chunkPipeline(docs: DataFrame, budget: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = docs.join(
+      TextOps.quality(docs).filter(col("keep")).select(col("doc_id")), "doc_id")
+    val surv = kept.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
+      .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_ix"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunkRows(kept.join(surv, "doc_id"), Seq("source"))
+      .select(col("doc_id"), col("source"), col("chunk_ix"),
+        size(split(trim(col("chunk")), " +")).as("n_tokens"))
+      .withColumn("pack_no", floor((sum(col("n_tokens")).over(w) - 1) / budget).cast("bigint"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("pack_no")).as("n_packs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"))
+  }
+
+  def chunkPipelineOracle(budget: Int = 128): String =
+    s"""WITH quality AS (
+       |  ${TextOps.qualityOracle.replace("\n", "\n       |  ")}
+       |), kept AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN (SELECT doc_id FROM quality WHERE keep) q USING (doc_id)
+       |), surv AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS key FROM kept)
+       |  GROUP BY key
+       |), chunks AS (
+       |  SELECT doc_id, source, i AS chunk_ix,
+       |         len(regexp_split_to_array(trim(
+       |           substr(text, CAST(1 + i * $chunkStride AS INT), $chunkSize)), ' +')) AS n_tokens
+       |  FROM (SELECT k.* FROM kept k JOIN surv USING (doc_id)),
+       |       UNNEST(range(0, CAST(floor((greatest(length(text), 1) - 1) / $chunkStride) AS BIGINT) + 1)) AS t(i)
+       |), packed AS (
+       |  SELECT source, n_tokens,
+       |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_ix
+       |                     ROWS UNBOUNDED PRECEDING) - 1) / $budget) AS BIGINT) AS pack_no
+       |  FROM chunks
+       |)
+       |SELECT source, count(*) AS n_chunks,
+       |       count(DISTINCT pack_no) AS n_packs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM packed GROUP BY 1""".stripMargin
 
   // --------------------------------------------------- per-domain cap
 
@@ -480,6 +547,7 @@ object Curation {
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
+    "q_chunk_pipeline" -> ((s, d) => chunkPipeline(Tables.documents(s, d))),
     "q_domain_cap" -> ((s, d) => domainCap(Tables.documents(s, d)))
   )
 
@@ -493,6 +561,7 @@ object Curation {
     "q_split_assign" -> splitAssignOracle,
     "q_shard_manifest" -> shardManifestOracle,
     "q_chunk_docs" -> chunkDocsOracle,
+    "q_chunk_pipeline" -> chunkPipelineOracle(),
     "q_domain_cap" -> domainCapOracle
   )
 }

@@ -126,6 +126,26 @@ class CurationSpec extends SparkSpec {
     assert(byDoc(3L) == Seq((1L, 0L)), "empty doc still yields one (empty) chunk row")
   }
 
+  test("chunkPipeline drops junk and duplicate docs before chunking; packs tile the token stream") {
+    val good = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod " * 8).trim
+    val d = docs(
+      (1L, good, "web"),
+      (2L, good, "web"),               // exact dup of 1 -> no chunks
+      (3L, "!!!! ???? ....", "web"),   // junk -> quality-dropped
+      (4L, good + " extra tail words here", "books"))
+    val out = Curation.chunkPipeline(d, budget = 128).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // web: only doc 1 survives; books: only doc 4
+    val expectedChunksWeb = 1 + (good.length - 1) / Curation.chunkStride
+    assert(out("web")._1 == expectedChunksWeb.toLong,
+      s"web chunks: expected $expectedChunksWeb from the one surviving doc, got ${out("web")}")
+    // chunk <= 200 chars => <= 100 whitespace tokens < budget, so pack
+    // numbers can never skip: n_packs == ceil(n_tokens / budget) exactly
+    out.foreach { case (src, (_, nPacks, nTokens)) =>
+      assert(nPacks == (nTokens + 127) / 128, s"$src: packs $nPacks vs tokens $nTokens")
+    }
+  }
+
   test("domainCap caps a hot domain at N lowest ids and its plan pushes the limit below the shuffle") {
     // hot domain with 600 docs vs the 64-doc cap; cold domain under it
     val d = docs(((1L to 600L).map(i => (i, s"t$i", "hot")) ++
