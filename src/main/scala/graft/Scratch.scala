@@ -13,10 +13,13 @@ import java.util.Comparator
   * falls back to `java.io.tmpdir` when tmpfs is absent, too small, or
   * not writable.
   *
-  * All scratch lives under ONE per-process directory (unique name, so
-  * concurrent users/processes never collide on ownership) that a
-  * shutdown hook removes recursively — tmpfs is RAM, and leaking
-  * staged tables across runs would ratchet memory instead of disk.
+  * Lifecycle: ALL scratch (tmpfs or fallback) lives under one
+  * per-process base directory — named with this JVM's pid — that a
+  * shutdown hook removes recursively. Crashed JVMs can't run hooks, so
+  * init also sweeps sibling `graft_scratch_<pid>_*` dirs whose pid is
+  * dead (`/proc/<pid>` gone): tmpfs is RAM, and orphans from killed
+  * runs would ratchet resident memory until the space check flipped
+  * everyone to disk.
   */
 object Scratch {
   /** Minimum usable tmpfs space before we trust it: covers staged
@@ -25,25 +28,45 @@ object Scratch {
     */
   private val minShmBytes = 8L << 30
 
-  private val base: Option[Path] = {
-    val shm = Paths.get("/dev/shm")
+  private def deleteTree(d: Path): Unit =
+    Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+
+  /** Reclaim scratch left by JVMs that died without running their
+    * shutdown hook. Only dirs following our own naming scheme with a
+    * provably-dead pid are touched; skipped silently off-Linux.
+    */
+  private def sweepOrphans(parent: Path): Unit =
     try {
-      if (Files.isDirectory(shm) && Files.isWritable(shm)
-          && shm.toFile.getUsableSpace >= minShmBytes) {
-        val d = Files.createTempDirectory(shm, "graft_scratch_")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try
-            Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-              .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
-          catch { case _: Exception => () }))
-        Some(d)
-      } else None
-    } catch { case _: Exception => None }
+      val proc = Paths.get("/proc")
+      if (!Files.isDirectory(proc)) return
+      val ls = Files.list(parent)
+      try ls.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("graft_scratch_")) {
+          val pid = n.stripPrefix("graft_scratch_").takeWhile(_.isDigit)
+          if (pid.nonEmpty && !Files.exists(proc.resolve(pid)))
+            try deleteTree(p) catch { case _: Exception => () }
+        }
+      } finally ls.close()
+    } catch { case _: Exception => () }
+
+  private val base: Path = {
+    val shm = Paths.get("/dev/shm")
+    val parent =
+      try {
+        if (Files.isDirectory(shm) && Files.isWritable(shm)
+            && shm.toFile.getUsableSpace >= minShmBytes) shm
+        else Paths.get(sys.props("java.io.tmpdir"))
+      } catch { case _: Exception => Paths.get(sys.props("java.io.tmpdir")) }
+    sweepOrphans(parent)
+    val d = Files.createTempDirectory(parent,
+      s"graft_scratch_${ProcessHandle.current().pid()}_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteTree(d) catch { case _: Exception => () }))
+    d
   }
 
   /** A fresh throwaway directory, on tmpfs when possible. */
-  def dir(prefix: String): Path = base match {
-    case Some(b) => Files.createTempDirectory(b, prefix)
-    case None    => Files.createTempDirectory(prefix)
-  }
+  def dir(prefix: String): Path = Files.createTempDirectory(base, prefix)
 }
