@@ -146,6 +146,12 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs plan is map-only: no exchange anywhere") {
+    val d = docs((1L, "some text to chunk", "web"))
+    val plan = Curation.chunkDocs(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("domainCap caps a hot domain at N lowest ids and its plan pushes the limit below the shuffle") {
     // hot domain with 600 docs vs the 64-doc cap; cold domain under it
     val d = docs(((1L to 600L).map(i => (i, s"t$i", "hot")) ++

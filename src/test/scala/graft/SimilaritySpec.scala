@@ -227,6 +227,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall(_._2 <= 0.25))
   }
 
+  test("quantize plan is map-only and annRecall joins stay hashed (no nested-loop fallback)") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 10L).map(i => (i, Seq.tabulate(8)(j => 1.0f + 0.1f * ((i + j) % 3))))
+      .toDF("vec_id", "embedding")
+    val qPlan = graft.ext.Similarity.quantize(d).queryExecution.executedPlan.toString
+    assert(!qPlan.contains("Exchange"), s"quantize must not shuffle:\n$qPlan")
+    val rPlan = graft.ext.Similarity.annRecall(d, 3, 5).queryExecution.executedPlan.toString
+    assert(!rPlan.contains("CartesianProduct"), "recall joins must stay equi-joins")
+  }
+
   test("annRecall: perfect recall when every vector shares one bucket; exact truth-set sizes") {
     val s = spark
     import s.implicits._
