@@ -28,3 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// keep the bench metric line the LAST stdout line: the harness tail-parses
+// it, and sbt's [success] trailer was what kept breaking that parse
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
