@@ -33,3 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // it, and sbt's [success] trailer was what kept breaking that parse
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput) // raw pass-through: no [info] prefix on the metric line
