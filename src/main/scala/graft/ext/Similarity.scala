@@ -590,19 +590,20 @@ object Similarity {
     * float summation-order drift between engines without erasing the
     * signal; raw MSE at ~1e-6 would round to nothing).
     *
-    * Scale shape: map-only — two narrow per-row folds over the vector,
-    * no exchange anywhere; at 100 TB this is one pass over the corpus
-    * parallel per input split. The guard `greatest(…, 1e-12)` keeps a
-    * zero vector from dividing by zero (its codes are all zero).
+    * Scale shape: map-only, no exchange anywhere, and the per-vector
+    * max/error folds run in the native codegen'd `graft_quantstats`
+    * expression — one JVM pass per row instead of two interpreted
+    * higher-order lambdas. The 1e-12 guard keeps a zero vector from
+    * dividing by zero (its codes are all zero).
     */
-  def quantize(vectors: DataFrame): DataFrame =
+  def quantize(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
     vectors.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("qscale",
-        greatest(aggregate(col("e"), lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12)) / 127)
-      .withColumn("sse", aggregate(col("e"), lit(0.0),
-        (acc, x) => acc + pow(x - round(x / col("qscale")) * col("qscale"), 2)))
-      .select(col("vec_id"), round(col("qscale"), 8).as("qscale"),
-        round(col("sse") / (size(col("e")) * pow(col("qscale"), 2)), 4).as("nmse"))
+      .withColumn("qs", graft.functions.QuantStats.quantStats(spark, col("e")))
+      .select(col("vec_id"),
+        round(element_at(col("qs"), 1), 8).as("qscale"),
+        round(element_at(col("qs"), 2), 4).as("nmse"))
+  }
 
   val quantizeOracle: String =
     """SELECT vec_id, round(mx / 127, 8) AS qscale,

@@ -111,6 +111,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinMd5].getName, "graft_minmd5"),
       (children: Seq[Expression]) => MinMd5(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_quantstats"),
+      new ExpressionInfo(classOf[QuantStats].getName, "graft_quantstats"),
+      (children: Seq[Expression]) => QuantStats(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_rankcells"),
       new ExpressionInfo(classOf[RankCells].getName, "graft_rankcells"),
       (children: Seq[Expression]) => RankCells(children(0), children(1))))
