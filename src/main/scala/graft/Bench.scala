@@ -41,9 +41,16 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       else SparkEntry.queries
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // record it: a failure's (short) elapsed time in the totals
+          // with no marker would misreport the run as healthy-and-fast
+          failed += name
+          System.err.println(s"WARNING: bench query $name failed: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The harness that captures this output keeps only a ~2000-char tail of
@@ -63,7 +70,8 @@ object Bench {
     val omitted = results.size - entries.size
     val qs = entries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_omitted":$omitted,"sf":"$sfDir"}""")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
     // Machine-readable copy: the full (untruncated) metric JSON, written to a
     // file so the harness doesn't have to parse it out of an sbt stdout tail.
     // ONLY full runs write it — a subset run (local hotspot iteration) must
@@ -72,7 +80,7 @@ object Bench {
       val fullQs = bySlowest.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val fullJson =
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"queries_omitted":0,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"queries_omitted":0,"failed":$failedJson,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson)
       catch { case e: Throwable =>
         // a silent failure here leaves a STALE artifact misreporting the run
