@@ -202,6 +202,140 @@ object Indicators {
       .select(col("event_id"), col("ts"), col("event_type"), col("value"), col("sma"))
   }
 
+  /** Bollinger bands (n, k): SMA-n ± k·sample-stddev over the trailing
+    * rows frame, with the same min_periods gating as `sma`, plus %B
+    * (where the price sits inside the band; null on a zero-width band).
+    * Same scale shape as every indicator here: one shuffle on the
+    * series key, bounded rows frame, no unbounded state.
+    */
+  def bollinger(events: DataFrame, n: Int = 20, k: Double = 2.0): DataFrame = {
+    val frame = series.rowsBetween(-(n - 1), 0)
+    val gated = count(col("value")).over(frame) >= n
+    val mid = avg(col("value")).over(frame)
+    val sd = stddev_samp(col("value")).over(frame)
+    val upper = mid + lit(k) * sd
+    val lower = mid - lit(k) * sd
+    events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("bb_mid", when(gated, round(mid, 6)))
+      .withColumn("bb_upper", when(gated, round(upper, 6)))
+      .withColumn("bb_lower", when(gated, round(lower, 6)))
+      .withColumn("pct_b",
+        when(gated && upper =!= lower,
+          round((col("value") - lower) / (upper - lower), 6)))
+  }
+
+  def bollingerOracle(n: Int = 20, k: Double = 2.0): String =
+    s"""SELECT event_id, ts, event_type, value,
+       |       CASE WHEN gated THEN round(mid, 6) END AS bb_mid,
+       |       CASE WHEN gated THEN round(mid + $k*sd, 6) END AS bb_upper,
+       |       CASE WHEN gated THEN round(mid - $k*sd, 6) END AS bb_lower,
+       |       CASE WHEN gated AND (mid + $k*sd) <> (mid - $k*sd)
+       |            THEN round((value - (mid - $k*sd)) / ((mid + $k*sd) - (mid - $k*sd)), 6)
+       |       END AS pct_b
+       |FROM (
+       |  SELECT event_id, ts, event_type, value,
+       |         avg(value) OVER f AS mid,
+       |         stddev_samp(value) OVER f AS sd,
+       |         count(value) OVER f >= $n AS gated
+       |  FROM events
+       |  WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+       |               ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |)""".stripMargin
+
+  /** Left fold acc ← α·v + (1−α)·acc over a frame-ordered value list,
+    * seeded with the list's first element — pandas `ewm(adjust=False)`
+    * semantics over a BOUNDED lookback. Spark's `aggregate` and
+    * DuckDB's `list_reduce` run the identical operation sequence, so
+    * the two engines agree bit-for-bit, not just to rounding.
+    */
+  private def emaFold(l: Column, alpha: Double): Column =
+    when(size(l) === 1, element_at(l, 1).cast("double"))
+      .otherwise(aggregate(
+        slice(l, lit(2), size(l) - 1),
+        element_at(l, 1).cast("double"),
+        (acc, v) => lit(alpha) * v + lit(1.0 - alpha) * acc))
+
+  /** SQL twin of `emaFold` (DuckDB). `CAST` keeps the fold in IEEE
+    * doubles — bare `2.0/21.0` would be DECIMAL arithmetic in DuckDB.
+    */
+  private def emaFoldSql(listExpr: String, num: Int, den: Int): String =
+    s"list_reduce(list_transform($listExpr, x -> CAST(x AS DOUBLE)), " +
+      s"(acc, v) -> (CAST($num AS DOUBLE)/$den)*v + (1 - CAST($num AS DOUBLE)/$den)*acc)"
+
+  /** EMA-n with α = 2/(n+1) over a trailing 3n-row lookback. The
+    * truncation is the scale decision: a true EMA folds the ENTIRE
+    * series history into every row (inherently sequential per series);
+    * bounding the lookback at 3n rows (residual tail weight
+    * (1−α)^{3n} ≈ 0.3%) turns it into a fixed-size rows frame — one
+    * shuffle on the series key, constant state per row, and the
+    * partitioned-bucket scale-out of `smaPartitioned` applies
+    * unchanged. The oracle computes the same bounded definition.
+    */
+  def ema(events: DataFrame, n: Int = 20): DataFrame = {
+    val look = 3 * n
+    val frame = series.rowsBetween(-(look - 1), 0)
+    val alpha = 2.0 / (n + 1)
+    // null prices are dropped from the series BEFORE framing, on both
+    // engines — otherwise Spark's null-skipping collect_list and
+    // DuckDB's null-keeping list() would frame different row sets
+    events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .withColumn("ema", round(emaFold(collect_list(col("value")).over(frame), alpha), 6))
+  }
+
+  def emaOracle(n: Int = 20): String = {
+    val look = 3 * n
+    s"""SELECT event_id, ts, event_type, value,
+       |       round(${emaFoldSql("list(value) OVER f", 2, n + 1)}, 6) AS ema
+       |FROM events
+       |WHERE value IS NOT NULL
+       |WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+       |             ROWS BETWEEN ${look - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+  }
+
+  /** MACD(12, 26, 9): fast EMA − slow EMA, a 9-period EMA signal line
+    * over the (unrounded) MACD series, and the histogram. Two window
+    * passes over the same series partitioning — Catalyst reuses the
+    * exchange, so the plan stays one shuffle + two sorted window
+    * stages. Lookbacks bounded as in `ema`.
+    */
+  def macd(events: DataFrame): DataFrame = {
+    val fastF = series.rowsBetween(-(3 * 12 - 1), 0)
+    val slowF = series.rowsBetween(-(3 * 26 - 1), 0)
+    val sigF = series.rowsBetween(-(3 * 9 - 1), 0)
+    val macdRaw = emaFold(collect_list(col("value")).over(fastF), 2.0 / 13) -
+      emaFold(collect_list(col("value")).over(slowF), 2.0 / 27)
+    val base = events
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .filter(col("value").isNotNull) // same null contract as `ema`
+      .withColumn("macd_raw", macdRaw)
+    val sigRaw = emaFold(collect_list(col("macd_raw")).over(sigF), 2.0 / 10)
+    base
+      .withColumn("macd", round(col("macd_raw"), 6))
+      .withColumn("signal_line", round(sigRaw, 6))
+      .withColumn("histogram", round(col("macd_raw") - sigRaw, 6))
+      .drop("macd_raw")
+  }
+
+  val macdOracle: String =
+    s"""SELECT event_id, ts, event_type, value,
+       |       round(macd_raw, 6) AS macd,
+       |       round(${emaFoldSql("list(macd_raw) OVER s", 2, 10)}, 6) AS signal_line,
+       |       round(macd_raw - ${emaFoldSql("list(macd_raw) OVER s", 2, 10)}, 6) AS histogram
+       |FROM (
+       |  SELECT event_id, ts, event_type, value,
+       |         ${emaFoldSql("list(value) OVER fast", 2, 13)}
+       |           - ${emaFoldSql("list(value) OVER slow", 2, 27)} AS macd_raw
+       |  FROM events
+       |  WHERE value IS NOT NULL
+       |  WINDOW fast AS (PARTITION BY event_type ORDER BY ts, event_id
+       |                  ROWS BETWEEN ${3 * 12 - 1} PRECEDING AND CURRENT ROW),
+       |         slow AS (PARTITION BY event_type ORDER BY ts, event_id
+       |                  ROWS BETWEEN ${3 * 26 - 1} PRECEDING AND CURRENT ROW)
+       |)
+       |WINDOW s AS (PARTITION BY event_type ORDER BY ts, event_id
+       |             ROWS BETWEEN ${3 * 9 - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** RANGE-frame window (value-based, vs the ROWS frames above): the
     * trailing 10-minute average — every peer row within the time range
     * joins the frame regardless of row count, the frame a time-series
@@ -226,6 +360,9 @@ object Indicators {
       |             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
+    "q_ema" -> ((s, dir) => ema(Tables.events(s, dir))),
+    "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
     "q_range_frame" -> ((s, dir) => rangeFrameAvg(graft.Tables.events(s, dir))),
     "q_sma_partitioned" -> ((s, dir) => smaPartitioned(Tables.events(s, dir))),
     "q_lag_diff" -> ((s, dir) => lagDiff(Tables.events(s, dir))),
@@ -236,6 +373,9 @@ object Indicators {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bollinger" -> bollingerOracle(),
+    "q_ema" -> emaOracle(),
+    "q_macd" -> macdOracle,
     "q_range_frame" -> rangeFrameAvgOracle,
     // the partitioned computation must equal the sequential definition
     "q_sma_partitioned" -> smaOracle(),

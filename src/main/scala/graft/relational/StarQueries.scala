@@ -354,6 +354,52 @@ object StarQueries {
       |FROM orders
       |GROUP BY 1""".stripMargin
 
+  /** Column profiling — the per-column stats report (null count,
+    * distinct count, range, mean) a lakehouse data-quality gate runs
+    * over every landed table. ONE scan: every per-column aggregate
+    * computes in a single `agg` (the distinct counts share one Expand
+    * + shuffle), and the wide one-row result is exploded into the
+    * long (col_name, stats) report shape — no per-column re-scan, no
+    * driver-side loop over columns.
+    */
+  def profileStats(lineitem: DataFrame,
+      cols: Seq[String] = profileCols): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"),
+        avg(col(c)).as(s"${c}_avg"))
+    }
+    lineitem.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"),
+          (col("n_rows") - col(s"${c}_nn")).cast("bigint").as("n_null"),
+          col(s"${c}_nd").cast("bigint").as("n_distinct"),
+          col(s"${c}_min").as("min_v"),
+          col(s"${c}_max").as("max_v"),
+          round(col(s"${c}_avg"), 6).as("avg_v"))
+      }: _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("n_rows"),
+        col("s.n_null").as("n_null"), col("s.n_distinct").as("n_distinct"),
+        col("s.min_v").as("min_v"), col("s.max_v").as("max_v"),
+        col("s.avg_v").as("avg_v"))
+  }
+
+  private val profileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val profileStatsOracle: String = profileCols.map { c =>
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       |       count(*) - count($c) AS n_null,
+       |       count(DISTINCT $c) AS n_distinct,
+       |       CAST(min($c) AS DOUBLE) AS min_v,
+       |       CAST(max($c) AS DOUBLE) AS max_v,
+       |       round(avg($c), 6) AS avg_v
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   /** PIVOT: order counts per (mktsegment × orderstatus) — wide-format
     * rollup. Spark's `pivot` compiles to the same grouped conditional
     * aggregation the oracle spells out (one shuffle; the pivot column
@@ -458,6 +504,7 @@ object StarQueries {
     "q_salted_agg" -> ((s, d) => saltedAgg(Tables.events(s, d))),
     "q_salted_join" -> ((s, d) => saltedJoin(Tables.events(s, d))),
     "q_percentiles" -> ((s, d) => pricePercentiles(Tables.orders(s, d))),
+    "q_profile_stats" -> ((s, d) => profileStats(Tables.lineitem(s, d))),
     "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => pivotStatus(Tables.customer(s, d), Tables.orders(s, d))),
     "q_collect_list" -> ((s, d) => collectTopCustomers(Tables.orders(s, d))),
@@ -483,6 +530,7 @@ object StarQueries {
     "q_salted_agg" -> saltedAggOracle,
     "q_salted_join" -> saltedJoinOracle,
     "q_percentiles" -> pricePercentilesOracle,
+    "q_profile_stats" -> profileStatsOracle,
     "q_approx_distinct" -> approxDistinctOracle,
     "q_pivot" -> pivotStatusOracle,
     "q_collect_list" -> collectTopCustomersOracle,

@@ -72,6 +72,59 @@ class IndicatorsSpec extends SparkSpec {
     assert(out == Seq(2L, 3L))
   }
 
+  // Spark `round` is HALF_UP, not rint's half-even
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ema matches a local adjust=False fold over the bounded lookback") {
+    val vals = Seq(10.0, 12.0, 9.5, 11.0, 14.0, 13.5, 12.2, 15.0)
+    val n = 3 // lookback 9 rows > series length: full-history fold
+    val alpha = 2.0 / (n + 1)
+    val expected = vals.indices.map { i =>
+      val w = vals.take(i + 1)
+      round6(w.tail.foldLeft(w.head)((acc, v) => alpha * v + (1 - alpha) * acc))
+    }
+    val out = Indicators.ema(series(vals: _*), n).orderBy("event_id")
+      .select("ema").collect().map(_.getDouble(0)).toSeq
+    assert(out == expected, s"$out vs $expected")
+  }
+
+  test("ema lookback truncation: only the trailing 3n rows enter the fold") {
+    val n = 2 // lookback 6
+    val vals = (1 to 10).map(_.toDouble)
+    val alpha = 2.0 / (n + 1)
+    val last = {
+      val w = vals.takeRight(3 * n)
+      round6(w.tail.foldLeft(w.head)((acc, v) => alpha * v + (1 - alpha) * acc))
+    }
+    val out = Indicators.ema(series(vals: _*), n).orderBy("event_id")
+      .select("ema").collect().map(_.getDouble(0))
+    assert(out.last == last)
+  }
+
+  test("bollinger: gated until n rows, bands bracket the mid, %B in band") {
+    val vals = Seq(10.0, 11.0, 9.0, 10.5, 10.0, 9.5)
+    val out = Indicators.bollinger(series(vals: _*), n = 5)
+      .orderBy("event_id")
+      .select("bb_mid", "bb_upper", "bb_lower", "pct_b").collect()
+    assert((0 until 4).forall(i => out(i).isNullAt(0)))
+    (4 until 6).foreach { i =>
+      val (mid, up, lo) = (out(i).getDouble(0), out(i).getDouble(1), out(i).getDouble(2))
+      assert(lo < mid && mid < up)
+      val b = out(i).getDouble(3)
+      assert(b >= 0.0 && b <= 1.0) // these values sit inside the band
+    }
+  }
+
+  test("macd: flat series gives zero macd/signal/histogram once settled") {
+    val out = Indicators.macd(series(Seq.fill(30)(42.0): _*))
+      .orderBy("event_id")
+      .select("macd", "signal_line", "histogram").collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    }
+  }
+
   test("smaPartitioned carries the lookback across an EMPTY week bucket") {
     val s = spark
     import s.implicits._

@@ -63,6 +63,22 @@ class RelationalSpec extends SparkSpec {
     assert(grand.getDouble(2) == 10.0 && grand.getLong(3) == 3L)
   }
 
+  test("profileStats reports nulls/distincts/range per column in one pass") {
+    val s = spark
+    import s.implicits._
+    val li = Seq(
+      (Some(1.0), 10.0), (Some(2.0), 10.0), (None, 30.0), (Some(2.0), 40.0))
+      .toDF("l_quantity", "l_extendedprice")
+    val out = StarQueries.profileStats(li, Seq("l_quantity", "l_extendedprice"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val q = out("l_quantity")
+    assert(q.getLong(1) == 4 && q.getLong(2) == 1 && q.getLong(3) == 2)
+    assert(q.getDouble(4) == 1.0 && q.getDouble(5) == 2.0)
+    assert(q.getDouble(6) == 1.666667) // avg skips nulls; rounded to 6dp
+    val e = out("l_extendedprice")
+    assert(e.getLong(2) == 0 && e.getLong(3) == 3 && e.getDouble(6) == 22.5)
+  }
+
   test("window rank keeps top-3 per customer") {
     val s = spark
     import s.implicits._
