@@ -87,6 +87,7 @@ object GraftExtensions {
     */
   val register: SparkSessionExtensions => Unit = { ext =>
     ext.injectOptimizerRule(_ => graft.plans.PushTimeFilter)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -68,6 +68,37 @@ object TemporalJoins {
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
       |) p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  /** The SAME as-of query through the native whole-operator path:
+    * `plans.AsOfJoin` (custom LogicalPlan + SparkStrategy + sort-merge
+    * SparkPlan, preference order (c)) instead of the union+window
+    * composition above. Both are oracle-checked against DuckDB's
+    * native ASOF LEFT JOIN; the native exec shuffles/sorts each side
+    * alone and carries O(1) state per partition where the composed
+    * form windows over the union.
+    */
+  def asofNative(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("purchase_value"))
+    graft.plans.AsOfJoinOp
+      .asof(clicks, purchases, "user_id", "p_user", "ts", "purchase_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
+  val asofNativeOracle: String =
+    """SELECT c.event_id, c.user_id, c.ts, c.value,
+      |       p.ts AS purchase_ts, p.purchase_value
+      |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, max(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |) p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
   /** Range join: each event labeled with its enclosing session interval
     * (sessions from SilverAgg; intervals never overlap per user, so
     * exactly one match). Implemented as interval-to-hour-bucket explode
@@ -115,11 +146,13 @@ object TemporalJoins {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> ((s, d) => asofClickPurchase(Tables.events(s, d))),
+    "q_asof_native" -> ((s, d) => asofNative(Tables.events(s, d))),
     "q_range_join" -> ((s, d) => eventSessionRange(Tables.events(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> asofClickPurchaseOracle,
+    "q_asof_native" -> asofNativeOracle,
     "q_range_join" -> eventSessionRangeOracle
   )
 }

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** The one `private[sql]` seam a whole-operator extension needs:
+  * turning a hand-built `LogicalPlan` back into a public `DataFrame`.
+  * Placing this object under `org.apache.spark.sql` is the standard
+  * pattern every Spark extension library uses for exactly this hop
+  * (`Dataset.ofRows` is package-private by design; the planner
+  * strategy and the logical node themselves use only public
+  * extension APIs).
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

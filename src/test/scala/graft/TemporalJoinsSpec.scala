@@ -48,6 +48,60 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(0).getDouble(5) == 9.0)
   }
 
+  test("native as-of exec: same edge semantics as the composed form") {
+    val df = events(
+      (1L, ts(5), 1L, "click", 0.1),
+      (2L, ts(10), 1L, "purchase", 100),
+      (3L, ts(11), 1L, "click", 0.2),
+      (4L, ts(20), 1L, "purchase", 200),
+      (5L, ts(20), 1L, "click", 0.3),
+      (6L, ts(30), 1L, "click", 0.4),
+      (7L, ts(31), 2L, "click", 0.5))
+    val out = TemporalJoins.asofNative(df).orderBy("event_id").collect()
+    def pv(i: Int) = Option(out(i).get(5)).map(_.asInstanceOf[Double])
+    assert(pv(0).isEmpty)
+    assert(pv(1).contains(100.0) && out(1).getTimestamp(4) == ts(10))
+    assert(pv(2).contains(200.0))
+    assert(pv(3).contains(200.0) && out(3).getTimestamp(4) == ts(20))
+    assert(pv(4).isEmpty)
+  }
+
+  test("native as-of exec: parity with the composed form on a random mix") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, ts(rnd.nextInt(59)), rnd.nextInt(8).toLong,
+        if (rnd.nextBoolean()) "click" else "purchase", rnd.nextInt(1000) / 10.0)
+    }
+    val df = events(rows: _*)
+    val native = TemporalJoins.asofNative(df)
+      .collect().map(_.toSeq).toSet
+    val composed = TemporalJoins.asofClickPurchase(df)
+      .withColumnRenamed("purchase_value", "pv").collect().map(_.toSeq).toSet
+    // same column arity/order by construction; compare as row sets
+    assert(native == composed)
+  }
+
+  test("native as-of exec: null join keys never match") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((Some(1L), ts(10), 1L), (Option.empty[Long], ts(10), 2L))
+      .toDF("k", "ts", "event_id")
+    val right = Seq((Some(1L), ts(5), 50.0), (Option.empty[Long], ts(5), 99.0))
+      .toDF("rk", "rts", "payload")
+    val out = graft.plans.AsOfJoinOp.asof(left, right, "k", "rk", "ts", "rts")
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(5) == 50.0)   // non-null key matches
+    assert(out(1).isNullAt(5))            // null key: no match, null-extended
+  }
+
+  test("native as-of exec: plans as AsOfJoin with one exchange+sort per side") {
+    val df = events((1L, ts(1), 1L, "click", 1.0), (2L, ts(0), 1L, "purchase", 2.0))
+    val plan = TemporalJoins.asofNative(df).queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 3, plan)
+    // 2 join-side exchanges + 1 from the right-side pre-aggregation
+  }
+
   test("range join: every event lands in exactly one session interval") {
     val df = events(
       (1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 1.0),
