@@ -614,7 +614,92 @@ object Similarity {
       |             greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS mx
       |      FROM embeddings)""".stripMargin
 
+  // ------------------------------------------------ product quantization
+
+  /** Product quantization — the index-compression workhorse of
+    * billion-vector ANN (FAISS-style IVF-PQ): split each vector into
+    * `m` subvectors, learn a small per-subspace codebook, store each
+    * vector as `m` small codes. Codebooks here are the per-label
+    * subvector means — the same deterministic-seed trick the IVF
+    * codebook uses, so the DuckDB oracle rebuilds them exactly; code
+    * selection ranks the ROUNDED (6dp) squared L2 distance with a
+    * code-id tie-break (the cross-engine determinism rule used by
+    * every ranking in this file).
+    *
+    * Output per vector: the packed code string (`m` codes — with
+    * K=10 codes/subspace and m=8 that is 64 doubles → 8 digits) and
+    * the total quantization error.
+    *
+    * Scale shape: one O(K·dim) aggregation builds the codebooks
+    * (K·m·sub cells), packed into ONE broadcast row; assignment is a
+    * map-only pass — the corpus is never shuffled, exactly like
+    * `withRankedCells`. The per-row cost is m·K·sub multiply-adds in
+    * unrolled (non-HOF-nested) expressions; `graft_rankcells` shows
+    * the native-expression upgrade path if a profiled corpus needs it.
+    */
+  def pqQuantize(vectors: DataFrame, m: Int = 8): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val v = vectors.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("e"))
+    // all m per-label subspace codebooks in ONE aggregation pass
+    val sums = for { s <- 0 until m; i <- 1 to sub }
+      yield avg(element_at(col("e"), s * sub + i)).as(s"c_${s}_$i")
+    val cents = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+    val cbCols = (0 until m).map { s =>
+      collect_list(struct(col("label").cast("int").as("code"),
+        array((1 to sub).map(i => col(s"c_${s}_$i")): _*).as("c"))).as(s"cb_$s")
+    }
+    val codebook = cents.agg(cbCols.head, cbCols.tail: _*)
+    // per subspace: min (rounded dist, code) struct — lexicographic
+    // struct ordering = rank by rounded dist, tie-break smaller code
+    def pick(s: Int): Column = array_min(transform(col(s"cb_$s"), c => {
+      val d = (1 to sub)
+        .map { i =>
+          val diff = element_at(col("e"), s * sub + i) - element_at(c.getField("c"), i)
+          diff * diff
+        }
+        .reduce(_ + _)
+      struct(round(d, 6).as("d"), c.getField("code").as("code"))
+    }))
+    val picked = v.crossJoin(broadcast(codebook))
+      .select(Seq(col("vec_id")) ++ (0 until m).map(s => pick(s).as(s"p_$s")): _*)
+    picked.select(col("vec_id"),
+      concat_ws(",", (0 until m).map(s => col(s"p_$s.code").cast("string")): _*).as("codes"),
+      round((0 until m).map(s => col(s"p_$s.d")).reduce(_ + _), 6).as("recon_err"))
+  }
+
+  def pqQuantizeOracle(m: Int = 8): String = {
+    val sub = dim / m
+    def centsSql = (for { s <- 0 until m; i <- 1 to sub }
+      yield s"avg(e[${s * sub + i}]) AS c_${s}_$i").mkString(",\n|         ")
+    def pickSql(s: Int) = {
+      val d = (1 to sub)
+        .map(i => s"(v.e[${s * sub + i}] - c.c_${s}_$i) * (v.e[${s * sub + i}] - c.c_${s}_$i)")
+        .mkString(" + ")
+      s"""p$s AS (
+         |  SELECT vec_id, c.label AS code, round($d, 6) AS d
+         |  FROM v CROSS JOIN cents c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY round($d, 6), c.label) = 1
+         |)"""
+    }
+    val joins = (1 until m).map(s => s"JOIN p$s USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(s => s"CAST(p$s.code AS VARCHAR)").mkString(" || ',' || ")
+    val errs = (0 until m).map(s => s"p$s.d").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (
+       |  SELECT label,
+       |         $centsSql
+       |  FROM v GROUP BY label
+       |),
+       |${(0 until m).map(pickSql).mkString(",\n|")}
+       |SELECT vec_id, $codes AS codes, round($errs, 6) AS recon_err
+       |FROM p0 $joins""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_quantize" -> ((s, d) => pqQuantize(Tables.embeddings(s, d))),
     "q_knn_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "q_knn_bucketed" -> ((s, d) => bucketedTopK(Tables.embeddings(s, d))),
     "q_knn_multiprobe" -> ((s, d) => multiProbeTopK(Tables.embeddings(s, d))),
@@ -633,6 +718,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pq_quantize" -> pqQuantizeOracle(),
     "q_knn_brute" -> bruteForceTopKOracle(),
     "q_knn_bucketed" -> bucketedTopKOracle(),
     "q_knn_multiprobe" -> multiProbeTopKOracle(),

@@ -238,6 +238,53 @@ class SimilaritySpec extends SparkSpec {
     assert(!rPlan.contains("CartesianProduct"), "recall joins must stay equi-joins")
   }
 
+  test("pqQuantize: label-constant corpus codes every subspace to its own label") {
+    // every vector of a label is identical => per-label subvector means
+    // equal the vectors => distance 0 to the own-label code in EVERY
+    // subspace, so codes = label repeated m times and recon_err = 0
+    val rows = (0 until 4).flatMap { lbl =>
+      (0 until 3).map(i =>
+        ((lbl * 3 + i).toLong, Seq.fill(64)((lbl + 1) * 1.0f), lbl))
+    }
+    val out = Similarity.pqQuantize(vecs(rows: _*), m = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out.length == 12)
+    out.foreach { case (id, codes, err) =>
+      val lbl = (id / 3).toInt
+      assert(codes == Seq.fill(8)(lbl).mkString(","), s"vec $id: $codes")
+      assert(err == 0.0)
+    }
+  }
+
+  test("pqQuantize: code argmin matches a local reference on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1), i % 5))
+    val vectors = rows.map { case (_, e, _) => e.map(_.toDouble) }
+    val labels = rows.map(_._3)
+    // local per-label subspace means + rounded-dist argmin, same rules
+    val m = 8; val sub = 8
+    def cent(lbl: Int, s: Int): Seq[Double] = {
+      val members = vectors.zip(labels).filter(_._2 == lbl).map(_._1)
+      (0 until sub).map(i => members.map(_(s * sub + i)).sum / members.size)
+    }
+    val cents = (0 until 5).map(l => l -> (0 until m).map(s => cent(l, s))).toMap
+    def localCodes(v: Seq[Double]): Seq[Int] = (0 until m).map { s =>
+      (0 until 5).map { l =>
+        val d = (0 until sub).map { i =>
+          val diff = v(s * sub + i) - cents(l)(s)(i); diff * diff
+        }.sum
+        (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, l)
+      }.min._2
+    }
+    val out = Similarity.pqQuantize(vecs(rows: _*), m = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, e, _) =>
+      val expected = localCodes(e.map(_.toDouble)).mkString(",")
+      assert(out(id) == expected, s"vec $id: ${out(id)} vs $expected")
+    }
+  }
+
   test("annRecall: perfect recall when every vector shares one bucket; exact truth-set sizes") {
     val s = spark
     import s.implicits._
