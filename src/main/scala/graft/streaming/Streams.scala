@@ -164,6 +164,55 @@ object Streams {
     spark.read.parquet(out)
   }
 
+  /** Stream-STATIC enrichment join — the third join class after
+    * stream-stream (`runClickPurchaseJoin`) and batch-batch: a
+    * streaming fact joined per micro-batch against a static dimension.
+    * No state store is involved at all (the static side is re-planned
+    * into each micro-batch as an ordinary broadcast hash join), which
+    * is exactly why this is the default enrichment shape at 100 TB/day
+    * — dimension churn costs nothing, state stays bounded to the
+    * windowed agg downstream.
+    *
+    * Oracle: the identical batch join+rollup (`VALUES` dim in SQL).
+    */
+  def runStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("graft_stream_enr_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_enr_ckpt").toString
+    val sp = spark
+    import sp.implicits._
+    val dim = Seq(("click", 1.0), ("view", 0.1), ("purchase", 10.0),
+      ("signup", 5.0), ("error", 0.0)).toDF("event_type", "weight")
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(dim), Seq("event_type")) // stream-static join
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(round(sum(col("value") * col("weight")), 6).as("weighted_value"),
+        count(lit(1)).as("n_rows"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("weighted_value"), col("n_rows"))
+    withStatePartitions(spark) {
+      val q = enriched.writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
+  val runStreamEnrichOracle: String =
+    """SELECT date_trunc('minute', ts) AS window_start, event_type,
+      |       round(sum(value * weight), 6) AS weighted_value,
+      |       count(*) AS n_rows
+      |FROM events
+      |JOIN (VALUES ('click', 1.0), ('view', 0.1), ('purchase', 10.0),
+      |             ('signup', 5.0), ('error', 0.0)) AS dim(event_type, weight)
+      |USING (event_type)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Staged TIME-RANGED multi-file input for the append-mode run: the
     * events table written as `nFiles` range-partitioned parquet files
     * with increasing modification times, so `maxFilesPerTrigger=1`
@@ -770,6 +819,7 @@ object Streams {
     "q_stream_join" -> runClickPurchaseJoin _,
     "q_stream_dedup" -> runStreamDedup _,
     "q_stream_neardup" -> runStreamNearDup _,
+    "q_stream_enrich" -> runStreamEnrich _,
     "q_stream_tws" -> runRunningStats _
   )
 
@@ -783,6 +833,7 @@ object Streams {
     "q_stream_join" -> runClickPurchaseJoinOracle,
     "q_stream_dedup" -> runStreamDedupOracle,
     "q_stream_neardup" -> runStreamNearDupOracle,
+    "q_stream_enrich" -> runStreamEnrichOracle,
     "q_stream_tws" -> runRunningStatsOracle
   )
 }

@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dimension joins every micro-batch, no state store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq(("a", 2.0), ("b", 10.0)).toDF("event_type", "weight")
+    val q = mem.toDF().join(broadcast(dim), Seq("event_type"))
+      .select(col("event_type"), col("value") * col("weight") as "wv")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_mem").start()
+    try {
+      mem.addData(Ev(ts(0), "a", 1.0), Ev(ts(1), "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(2), "a", 3.0), Ev(ts(3), "c", 9.0)) // 'c': no dim row
+      q.processAllAvailable()
+      val out = s.table("enrich_mem").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      // inner join drops the unmatched type; both batches joined the dim
+      assert(out == Seq(("a", 2.0), ("a", 6.0), ("b", 10.0)))
+      // no stateful operator anywhere in the executed micro-batch plan
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        "stream-static join must not create state")
+    } finally q.stop()
+  }
+
   test("stream/batch parity: AvailableNow streaming run equals batch tumbling agg") {
     val s = spark
     val dir = "/root/testdata/sf0.001"
