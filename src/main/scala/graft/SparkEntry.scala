@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, Q] = Map[String, Q](
     "q_gold_rollup" -> ((s, dir) => gold.GoldRollup.overEvents(Tables.events(s, dir))),
     "q_incremental_rollup" -> ((s, dir) => gold.GoldRollup.incrementalRollup(Tables.events(s, dir))),
+    "q_ohlc_bars" -> ((s, dir) => gold.GoldRollup.ohlcBars(Tables.events(s, dir))),
     "q_flagship" -> ((s, dir) => Flagship.silverToSignal(Tables.events(s, dir)))
   ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries ++
     analytics.Indicators.queries ++ relational.StarQueries.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_gold_rollup" -> gold.GoldRollup.overEventsOracle,
     "q_incremental_rollup" -> gold.GoldRollup.incrementalRollupOracle,
+    "q_ohlc_bars" -> gold.GoldRollup.ohlcBarsOracle,
     "q_flagship" -> Flagship.silverToSignalOracle
   ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles ++
     analytics.Indicators.oracles ++ relational.StarQueries.oracles ++

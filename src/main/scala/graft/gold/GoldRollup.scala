@@ -46,6 +46,50 @@ object GoldRollup {
       |GROUP BY 1, 2
       |ORDER BY 2 DESC, 1""".stripMargin
 
+  /** OHLC candlestick bars — THE finance aggregation the reference's
+    * dashboard charts imply: per (minute, series), the first / highest /
+    * lowest / last trade price. Open and close are ORDER-DEPENDENT
+    * aggregates over an unordered group; a sort-based formulation
+    * (window + pick first/last) shuffles every row to sort whole
+    * groups, so instead each is computed as a lexicographic min/max
+    * over a (ts, event_id, value) struct — plain commutative aggregates
+    * that combine map-side like any min/max, with the unique event_id
+    * making the pick deterministic under ties. One hash aggregate, one
+    * exchange, no window.
+    */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val pick = struct(col("ts").as("t"), col("event_id").as("i"),
+      col("value").as("v"))
+    events
+      .groupBy(date_trunc("minute", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(
+        min(pick).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(pick).getField("v").as("close"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  /** Oracle spells the same bars with ordered window picks — the
+    * formulation the struct min/max trick replaces.
+    */
+  val ohlcBarsOracle: String =
+    """SELECT DISTINCT
+      |       date_trunc('minute', ts) AS window_start, event_type,
+      |       first_value(value) OVER w AS open,
+      |       max(value) OVER f AS high,
+      |       min(value) OVER f AS low,
+      |       last_value(value) OVER (PARTITION BY date_trunc('minute', ts), event_type
+      |                               ORDER BY ts, event_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                        AND UNBOUNDED FOLLOWING) AS close,
+      |       count(*) OVER f AS n_trades
+      |FROM events
+      |WINDOW w AS (PARTITION BY date_trunc('minute', ts), event_type
+      |             ORDER BY ts, event_id),
+      |       f AS (PARTITION BY date_trunc('minute', ts), event_type)""".stripMargin
+
   /** Incremental view maintenance: the gold rollup maintained from
     * MERGEABLE partial states instead of a full recompute.
     *

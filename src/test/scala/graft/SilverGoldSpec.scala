@@ -99,4 +99,19 @@ class SilverGoldSpec extends SparkSpec {
     assert(inc.exists(r => r.getString(0) == "a" && r.getLong(2) == 2L
       && r.getDouble(3) == 25.0))
   }
+
+  test("ohlc bars: open=first, close=last by (ts, event_id), high/low exact") {
+    val df = events(
+      (2L, ts(0, 0, 10), 1L, "a", 20.0), // same ts as event 1: id breaks tie
+      (1L, ts(0, 0, 10), 1L, "a", 10.0), // open (smaller event_id)
+      (3L, ts(0, 0, 40), 1L, "a", 5.0),  // low + close
+      (4L, ts(0, 0, 20), 1L, "b", 7.0))  // other series
+    val out = GoldRollup.ohlcBars(df).orderBy("event_type").collect()
+    val a = out(0)
+    assert(a.getString(1) == "a")
+    assert(a.getDouble(2) == 10.0, "open ties break by event_id")
+    assert(a.getDouble(3) == 20.0 && a.getDouble(4) == 5.0)
+    assert(a.getDouble(5) == 5.0 && a.getLong(6) == 3L)
+    assert(out(1).getDouble(2) == 7.0 && out(1).getDouble(5) == 7.0)
+  }
 }
