@@ -288,6 +288,95 @@ object Streams {
     spark.read.parquet(out)
   }
 
+  /** Streaming heavy hitters with BOUNDED state — the SpaceSaving
+    * sketch, salt-parallelized: keys hash into `buckets` groups, each
+    * group's state is a counter map capped at `capacity` entries, and
+    * a full bucket evicts its (count, key)-minimum counter to adopt a
+    * new key at count+1 (the SpaceSaving over-estimate). State is
+    * O(buckets × capacity) FOREVER — independent of stream length and
+    * key cardinality, which is the property that distinguishes this
+    * from Spark's native streaming agg (state = O(distinct keys), an
+    * OOM on an unbounded key domain).
+    *
+    * Guarantees (classic SpaceSaving): counts exact while a bucket's
+    * distinct keys ≤ capacity — the test-SF regime, which is what
+    * makes the exact-count oracle hash-match — and over-estimates
+    * bounded by bucketN/capacity past it, with the true heavy hitters
+    * always retained. Eviction picks the (count, key) minimum, so the
+    * sketch is deterministic; emitted counts are monotone per key,
+    * so the final count is the MAX over a key's appended emissions.
+    */
+  /** One SpaceSaving counter update: increment a tracked key, insert
+    * while below capacity, else evict the (count, key) minimum and
+    * adopt the newcomer at its count + 1.
+    */
+  private[graft] def spaceSavingStep(m: Map[Long, Long], u: Long,
+      capacity: Int): Map[Long, Long] =
+    m.get(u) match {
+      case Some(c) => m.updated(u, c + 1)
+      case None if m.size < capacity => m.updated(u, 1L)
+      case None =>
+        val (ek, ec) = m.minBy { case (key, c) => (c, key) }
+        (m - ek).updated(u, ec + 1)
+    }
+
+  def runStreamTopK(spark: SparkSession, dir: String,
+      buckets: Int = 4, capacity: Int = 512, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val staged = rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
+    val out = graft.Scratch.dir("graft_stream_topk_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_topk_ckpt").toString
+    val sp = spark
+    import sp.implicits._
+    val schema = spark.read.parquet(staged).schema
+    val users = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .select(col("user_id"),
+        pmod(hash(col("user_id")), lit(buckets)).as("bucket"))
+      .as[(Long, Int)]
+    val emitted = users.groupByKey(_._2)
+      .flatMapGroupsWithState[Map[Long, Long], (Long, Long)](
+        OM.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          val touched = scala.collection.mutable.TreeSet.empty[Long]
+          rows.foreach { case (u, _) =>
+            m = spaceSavingStep(m, u, capacity)
+            touched += u
+          }
+          state.update(m)
+          // keys evicted mid-batch emit nothing this batch (their last
+          // counts were appended in earlier batches; max-merge keeps them)
+          touched.iterator.filter(m.contains).map(u => (u, m(u)))
+      }
+      .toDF("user_id", "cnt")
+    withStatePartitions(spark) {
+      val q = emitted.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(max(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Oracle: exact per-key counts (the sketch is exact in the ≤capacity
+    * regime), same (count desc, key asc) top-k boundary rule.
+    */
+  def runStreamTopKOracle(k: Int = 10): String =
+    s"""SELECT user_id, count(*) AS cnt
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY cnt DESC, user_id
+       |LIMIT $k""".stripMargin
+
   /** Oracle: batch tumbling bars restricted to windows closed by the
     * final watermark (max event time − 1 minute, at Spark's millisecond
     * watermark precision).
@@ -820,6 +909,7 @@ object Streams {
     "q_stream_dedup" -> runStreamDedup _,
     "q_stream_neardup" -> runStreamNearDup _,
     "q_stream_enrich" -> runStreamEnrich _,
+    "q_stream_topk" -> ((s, d) => runStreamTopK(s, d)),
     "q_stream_tws" -> runRunningStats _
   )
 
@@ -834,6 +924,7 @@ object Streams {
     "q_stream_dedup" -> runStreamDedupOracle,
     "q_stream_neardup" -> runStreamNearDupOracle,
     "q_stream_enrich" -> runStreamEnrichOracle,
+    "q_stream_topk" -> runStreamTopKOracle(),
     "q_stream_tws" -> runRunningStatsOracle
   )
 }

@@ -98,6 +98,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spaceSaving: exact below capacity, bounded state + retained heavies past it") {
+    // exact regime: distinct keys <= capacity
+    val exact = Seq(1L, 1L, 2L, 3L, 1L).foldLeft(Map.empty[Long, Long])(
+      (m, u) => Streams.spaceSavingStep(m, u, capacity = 4))
+    assert(exact == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    // eviction regime: capacity 2, newcomer adopts evicted-min + 1
+    val s1 = Seq(1L, 1L, 2L).foldLeft(Map.empty[Long, Long])(
+      (m, u) => Streams.spaceSavingStep(m, u, 2))
+    val s2 = Streams.spaceSavingStep(s1, 3L, 2) // evicts (1, 2L), adopts 3 at 2
+    assert(s2 == Map(1L -> 2L, 3L -> 2L))
+    // skewed stream: state stays <= capacity; the heavy key survives with
+    // count >= truth (SpaceSaving over-estimates, never under)
+    val rnd = new scala.util.Random(3)
+    val stream = Seq.fill(3000)(if (rnd.nextInt(10) < 6) 7L else rnd.nextInt(200).toLong + 100L)
+    val sk = stream.foldLeft(Map.empty[Long, Long])(
+      (m, u) => Streams.spaceSavingStep(m, u, 32))
+    assert(sk.size <= 32)
+    val truth = stream.count(_ == 7L).toLong
+    assert(sk.contains(7L) && sk(7L) >= truth,
+      s"heavy key must be retained with count >= $truth, got ${sk.get(7L)}")
+  }
+
   test("stream/batch parity: AvailableNow streaming run equals batch tumbling agg") {
     val s = spark
     val dir = "/root/testdata/sf0.001"
