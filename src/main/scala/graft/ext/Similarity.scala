@@ -637,33 +637,49 @@ object Similarity {
     * unrolled (non-HOF-nested) expressions; `graft_rankcells` shows
     * the native-expression upgrade path if a profiled corpus needs it.
     */
+  /** One-row PQ codebook frame: for each subspace `s`, `cb_s` is the
+    * code-ORDERED array of (code, sub-centroid) structs — positional
+    * lookup by code works because codes are the 0-based contiguous
+    * labels. All m codebooks build in ONE aggregation pass.
+    */
+  private def pqCodebookFrame(v: DataFrame, m: Int): DataFrame = {
+    val sub = dim / m
+    val sums = for { s <- 0 until m; i <- 1 to sub }
+      yield avg(element_at(col("e"), s * sub + i)).as(s"c_${s}_$i")
+    val cents = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+    val cbCols = (0 until m).map { s =>
+      sort_array(collect_list(struct(col("label").cast("int").as("code"),
+        array((1 to sub).map(i => col(s"c_${s}_$i")): _*).as("c")))).as(s"cb_$s")
+    }
+    cents.agg(cbCols.head, cbCols.tail: _*)
+  }
+
+  /** Squared L2 distance of `e`'s subspace `s` to a sub-centroid,
+    * unrolled (no nested HOF) so both engines add terms identically.
+    */
+  private def pqSubDist(e: Column, cent: Column, s: Int, sub: Int): Column =
+    (1 to sub).map { i =>
+      val diff = element_at(e, s * sub + i) - element_at(cent, i)
+      diff * diff
+    }.reduce(_ + _)
+
+  /** Min (rounded dist, code) struct for subspace `s` — lexicographic
+    * struct ordering = rank by rounded distance, tie-break smaller code.
+    */
+  private def pqPick(e: Column, s: Int, sub: Int): Column =
+    array_min(transform(col(s"cb_$s"), c =>
+      struct(round(pqSubDist(e, c.getField("c"), s, sub), 6).as("d"),
+        c.getField("code").as("code"))))
+
   def pqQuantize(vectors: DataFrame, m: Int = 8): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
     val v = vectors.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("e"))
-    // all m per-label subspace codebooks in ONE aggregation pass
-    val sums = for { s <- 0 until m; i <- 1 to sub }
-      yield avg(element_at(col("e"), s * sub + i)).as(s"c_${s}_$i")
-    val cents = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
-    val cbCols = (0 until m).map { s =>
-      collect_list(struct(col("label").cast("int").as("code"),
-        array((1 to sub).map(i => col(s"c_${s}_$i")): _*).as("c"))).as(s"cb_$s")
-    }
-    val codebook = cents.agg(cbCols.head, cbCols.tail: _*)
-    // per subspace: min (rounded dist, code) struct — lexicographic
-    // struct ordering = rank by rounded dist, tie-break smaller code
-    def pick(s: Int): Column = array_min(transform(col(s"cb_$s"), c => {
-      val d = (1 to sub)
-        .map { i =>
-          val diff = element_at(col("e"), s * sub + i) - element_at(c.getField("c"), i)
-          diff * diff
-        }
-        .reduce(_ + _)
-      struct(round(d, 6).as("d"), c.getField("code").as("code"))
-    }))
+    val codebook = pqCodebookFrame(v, m)
     val picked = v.crossJoin(broadcast(codebook))
-      .select(Seq(col("vec_id")) ++ (0 until m).map(s => pick(s).as(s"p_$s")): _*)
+      .select(Seq(col("vec_id")) ++
+        (0 until m).map(s => pqPick(col("e"), s, sub).as(s"p_$s")): _*)
     picked.select(col("vec_id"),
       concat_ws(",", (0 until m).map(s => col(s"p_$s.code").cast("string")): _*).as("codes"),
       round((0 until m).map(s => col(s"p_$s.d")).reduce(_ + _), 6).as("recon_err"))
@@ -698,8 +714,128 @@ object Similarity {
        |FROM p0 $joins""".stripMargin
   }
 
+  /** IVF-PQ — the composed billion-vector search pipeline (FAISS's
+    * workhorse index): the IVF coarse codebook routes queries to
+    * `nprobe` cells and prunes the corpus to inverted lists, and
+    * within probed cells candidates are scored by ASYMMETRIC DISTANCE
+    * (ADC): the query's exact subvectors against each candidate's PQ
+    * sub-centroids — so candidate vectors are never touched, only
+    * their m-byte codes. Ranking uses the rounded ADC with a vec_id
+    * tie-break (the standard determinism rule here).
+    *
+    * Scale shape: both codebooks are tiny broadcast rows; corpus
+    * passes are map-only (cell routing + code assignment); the probe
+    * join touches nprobe/cells of the CODES — 8 ints per candidate
+    * instead of 64 doubles, the 32× read reduction that is PQ's whole
+    * point. The full-precision corpus is needed only to BUILD the
+    * index, never to serve a query.
+    */
+  def ivfPqTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nprobe: Int = 2, m: Int = 8): DataFrame =
+    ivfPqFromFrame(vecFrame(vectors), nQueries, k, nprobe, m)
+
+  private def ivfPqFromFrame(v: DataFrame, nQueries: Int, k: Int,
+      nprobe: Int, m: Int): DataFrame = {
+    val sub = dim / m
+    val withCells = withRankedCells(v, labelCentroids(v))
+    // one row; cached so its corpus aggregation runs once, not once per
+    // consumer (the code-assignment pass AND the ADC scoring join)
+    val pqCb = pqCodebookFrame(v, m).cache()
+    // inverted lists carry only (vec_id, cell, codes): the PQ-compressed
+    // index — one map-only pass over the corpus
+    val cand = withCells
+      .withColumn("cell", col("cells").getItem(0))
+      .crossJoin(broadcast(pqCb))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map(s => pqPick(col("e"), s, sub).getField("code")): _*).as("codes"))
+    val q = withCells.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        explode(slice(col("cells"), 1, nprobe)).as("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
+    val adc = (0 until m).map { s =>
+      // positional lookup: cb_s is code-ordered, codes are 0-based
+      val cent = element_at(col(s"cb_$s"),
+        element_at(col("codes"), s + 1) + 1).getField("c")
+      pqSubDist(col("qe"), cent, s, sub)
+    }.reduce(_ + _)
+    cand.join(broadcast(q), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .crossJoin(broadcast(pqCb))
+      .withColumn("adc", round(adc, 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("adc"), col("rank"))
+  }
+
+  def ivfPqTopKOracle(nQueries: Int = 5, k: Int = 10,
+      nprobe: Int = 2, m: Int = 8): String = {
+    val sub = dim / m
+    val centsSql = (for { s <- 0 until m; i <- 1 to sub }
+      yield s"avg(e[${s * sub + i}]) AS c_${s}_$i").mkString(",\n|         ")
+    def pickSql(s: Int) = {
+      val d = (1 to sub)
+        .map(i => s"(v.e[${s * sub + i}] - c.c_${s}_$i) * (v.e[${s * sub + i}] - c.c_${s}_$i)")
+        .mkString(" + ")
+      s"""p$s AS (
+         |  SELECT vec_id, c.label AS code FROM v CROSS JOIN cents c
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY round($d, 6), c.label) = 1
+         |)"""
+    }
+    val codeJoins = (0 until m)
+      .map(s => s"JOIN p$s ON p$s.vec_id = a.vec_id").mkString(" ")
+    val centJoins = (0 until m)
+      .map(s => s"JOIN cents x$s ON x$s.label = p$s.code").mkString(" ")
+    val adc = (for { s <- 0 until m; i <- 1 to sub } yield
+      s"(q.e[${s * sub + i}] - x$s.c_${s}_$i) * (q.e[${s * sub + i}] - x$s.c_${s}_$i)")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       |c AS (
+       |  SELECT label AS cell, list(m ORDER BY i) AS ce
+       |  FROM (
+       |    SELECT label, i, avg(x) AS m
+       |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS x,
+       |                 unnest(range(1, 1 + len(embedding))) AS i
+       |          FROM embeddings)
+       |    GROUP BY 1, 2
+       |  ) GROUP BY label
+       |), ranked AS (
+       |  SELECT e.vec_id, c.cell,
+       |         row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+       |                    c.cell) AS crank
+       |  FROM embeddings e CROSS JOIN c
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cell
+       |  FROM ranked WHERE vec_id < $nQueries AND crank <= $nprobe
+       |), cents AS (
+       |  SELECT label,
+       |         $centsSql
+       |  FROM v GROUP BY label
+       |),
+       |${(0 until m).map(pickSql).mkString(",\n|")}
+       |SELECT query_id, vec_id, adc, rank
+       |FROM (
+       |  SELECT p.query_id, a.vec_id, round($adc, 6) AS adc,
+       |         row_number() OVER (PARTITION BY p.query_id
+       |                            ORDER BY round($adc, 6), a.vec_id) AS rank
+       |  FROM assigned a
+       |  JOIN probes p ON a.cell = p.cell AND a.vec_id != p.query_id
+       |  JOIN v q ON q.vec_id = p.query_id
+       |  $codeJoins
+       |  $centJoins
+       |)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_quantize" -> ((s, d) => pqQuantize(Tables.embeddings(s, d))),
+    "q_knn_ivfpq" -> ((s, d) =>
+      ivfPqFromFrame(sharedVecFrame(s, d), nQueries = 5, k = 10, nprobe = 2, m = 8)),
     "q_knn_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "q_knn_bucketed" -> ((s, d) => bucketedTopK(Tables.embeddings(s, d))),
     "q_knn_multiprobe" -> ((s, d) => multiProbeTopK(Tables.embeddings(s, d))),
@@ -719,6 +855,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q_pq_quantize" -> pqQuantizeOracle(),
+    "q_knn_ivfpq" -> ivfPqTopKOracle(),
     "q_knn_brute" -> bruteForceTopKOracle(),
     "q_knn_bucketed" -> bucketedTopKOracle(),
     "q_knn_multiprobe" -> multiProbeTopKOracle(),

@@ -285,6 +285,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: label-constant corpus ranks own-cell (ADC 0) candidates first") {
+    // vectors of a label identical => PQ sub-centroids equal the vectors
+    // => ADC 0 to every same-label candidate, > 0 across labels; the
+    // query's top cell is its own label's cell
+    val rows = (0 until 4).flatMap { lbl =>
+      (0 until 5).map { i =>
+        val e = (0 until 64).map(d => if (d % 4 == lbl) 1.0f else 0.1f * lbl)
+        ((lbl * 5 + i).toLong, e, lbl)
+      }
+    }
+    val out = Similarity.ivfPqTopK(vecs(rows: _*), nQueries = 1, k = 4, nprobe = 1)
+      .orderBy("rank").collect()
+    assert(out.length == 4)
+    // query 0 has label 0: its 4 same-label peers (ids 1-4) at ADC 0
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.forall(_.getDouble(2) == 0.0), "same-label ADC must be 0")
+  }
+
   test("annRecall: perfect recall when every vector shares one bucket; exact truth-set sizes") {
     val s = spark
     import s.implicits._
