@@ -336,6 +336,67 @@ object Indicators {
        |WINDOW s AS (PARTITION BY event_type ORDER BY ts, event_id
        |             ROWS BETWEEN ${3 * 9 - 1} PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Rolling cross-series correlation: click vs view mean price per
+    * minute, Pearson correlation over a trailing n-minute frame — the
+    * co-movement signal a pairs-trading strategy watches. Computed
+    * from EXPLICIT co-moment window sums (n·Σxy − ΣxΣy over the
+    * explicit denominator) rather than an engine `corr` aggregate, so
+    * both engines execute the same arithmetic and the 4dp rounding is
+    * all the tolerance needed. Gated like every rolling metric
+    * (null until n points, and on a zero denominator).
+    *
+    * Scale note: the aligned series is one row per MINUTE (the
+    * upstream agg collapses the corpus), so the unpartitioned window
+    * runs over a frame-compressed stream; for a decades-long series
+    * apply the `smaPartitioned` bucket-and-carry scale-out unchanged.
+    */
+  def rollingCorr(events: DataFrame, n: Int = 30): DataFrame = {
+    val byMin = events.filter(col("event_type").isin("click", "view"))
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(avg(when(col("event_type") === "click", col("value"))).as("x"),
+        avg(when(col("event_type") === "view", col("value"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val w = Window.orderBy(col("minute")).rowsBetween(-(n - 1), 0)
+    val cnt = count(lit(1)).over(w).cast("double")
+    val sx = sum(col("x")).over(w)
+    val sy = sum(col("y")).over(w)
+    val sxx = sum(col("x") * col("x")).over(w)
+    val syy = sum(col("y") * col("y")).over(w)
+    val sxy = sum(col("x") * col("y")).over(w)
+    val den = sqrt(cnt * sxx - sx * sx) * sqrt(cnt * syy - sy * sy)
+    byMin
+      .withColumn("n_obs", count(lit(1)).over(w))
+      .withColumn("corr_xy",
+        when(col("n_obs") >= n && den > 0,
+          round((cnt * sxy - sx * sy) / den, 4)))
+      .select(col("minute"), round(col("x"), 6).as("x"),
+        round(col("y"), 6).as("y"), col("n_obs"), col("corr_xy"))
+  }
+
+  def rollingCorrOracle(n: Int = 30): String =
+    s"""SELECT minute, round(x, 6) AS x, round(y, 6) AS y, n_obs,
+       |       CASE WHEN n_obs >= $n AND den > 0
+       |            THEN round((cnt * sxy - sx * sy) / den, 4) END AS corr_xy
+       |FROM (
+       |  SELECT minute, x, y,
+       |         count(*) OVER w AS n_obs,
+       |         CAST(count(*) OVER w AS DOUBLE) AS cnt,
+       |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+       |         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+       |         sum(x * y) OVER w AS sxy,
+       |         sqrt(CAST(count(*) OVER w AS DOUBLE) * sum(x * x) OVER w - sum(x) OVER w * sum(x) OVER w)
+       |           * sqrt(CAST(count(*) OVER w AS DOUBLE) * sum(y * y) OVER w - sum(y) OVER w * sum(y) OVER w) AS den
+       |  FROM (
+       |    SELECT date_trunc('minute', ts) AS minute,
+       |           avg(CASE WHEN event_type = 'click' THEN value END) AS x,
+       |           avg(CASE WHEN event_type = 'view' THEN value END) AS y
+       |    FROM events WHERE event_type IN ('click', 'view')
+       |    GROUP BY 1
+       |  )
+       |  WHERE x IS NOT NULL AND y IS NOT NULL
+       |  WINDOW w AS (ORDER BY minute ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+       |)""".stripMargin
+
   /** RANGE-frame window (value-based, vs the ROWS frames above): the
     * trailing 10-minute average — every peer row within the time range
     * joins the frame regardless of row count, the frame a time-series
@@ -363,6 +424,7 @@ object Indicators {
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_ema" -> ((s, dir) => ema(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
+    "q_rolling_corr" -> ((s, dir) => rollingCorr(Tables.events(s, dir))),
     "q_range_frame" -> ((s, dir) => rangeFrameAvg(graft.Tables.events(s, dir))),
     "q_sma_partitioned" -> ((s, dir) => smaPartitioned(Tables.events(s, dir))),
     "q_lag_diff" -> ((s, dir) => lagDiff(Tables.events(s, dir))),
@@ -376,6 +438,7 @@ object Indicators {
     "q_bollinger" -> bollingerOracle(),
     "q_ema" -> emaOracle(),
     "q_macd" -> macdOracle,
+    "q_rolling_corr" -> rollingCorrOracle(),
     "q_range_frame" -> rangeFrameAvgOracle,
     // the partitioned computation must equal the sequential definition
     "q_sma_partitioned" -> smaOracle(),

@@ -232,7 +232,50 @@ object TextOps {
        |)
        |WHERE rank <= $k""".stripMargin
 
+  /** Corpus vocabulary report — the Zipf-shape numbers a tokenizer
+    * training run reads first: vocabulary size, token mass, hapax
+    * fraction (1-count terms ≈ noise/typo share), and how much of the
+    * corpus the top-N terms cover. One explode + one term-keyed
+    * aggregation; the top-N mass uses orderBy+limit (distributed
+    * TakeOrdered over per-partition heaps), NOT a global rank window —
+    * a 10⁸-term vocabulary never lands in one partition.
+    */
+  def vocabReport(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val freqs = docs
+      .select(explode(TextNorm.toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val top = freqs.orderBy(col("f").desc, col("term")).limit(topN)
+      .agg(sum(col("f")).as("top_f"))
+    freqs
+      .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("n_tokens"),
+        count(when(col("f") === 1, 1)).as("n_hapax"))
+      .crossJoin(top)
+      .select(col("n_terms"), col("n_tokens"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_terms"), 6).as("hapax_frac"),
+        round(col("top_f").cast("double") / col("n_tokens"), 6).as(s"top${topN}_cover"))
+  }
+
+  def vocabReportOracle(topN: Int = 100): String =
+    s"""WITH f AS (
+       |  SELECT term, count(*) AS f
+       |  FROM (SELECT unnest(${TextNorm.toksSql}) AS term FROM documents)
+       |  WHERE term != '' GROUP BY 1
+       |), top AS (
+       |  SELECT CAST(sum(f) AS BIGINT) AS top_f
+       |  FROM (SELECT f FROM f ORDER BY f DESC, term LIMIT $topN)
+       |), t AS (
+       |  SELECT count(*) AS n_terms, CAST(sum(f) AS BIGINT) AS n_tokens,
+       |         count(*) FILTER (f = 1) AS n_hapax
+       |  FROM f
+       |)
+       |SELECT n_terms, n_tokens, n_hapax,
+       |       round(CAST(n_hapax AS DOUBLE) / n_terms, 6) AS hapax_frac,
+       |       round(CAST(top_f AS DOUBLE) / n_tokens, 6) AS top${topN}_cover
+       |FROM t, top""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab" -> ((s, d) => vocabReport(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
@@ -241,6 +284,7 @@ object TextOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_vocab" -> vocabReportOracle(),
     "q_text_tfidf" -> tfidfTopTermsOracle(),
     "q_text_tokens" -> tokenCountsOracle,
     "q_text_quality" -> qualityOracle,

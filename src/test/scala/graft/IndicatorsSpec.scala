@@ -125,6 +125,27 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("rollingCorr: +1 on comoving series, -1 on opposing, gated below n") {
+    val sp = spark
+    import sp.implicits._
+    // one click and one view per minute; x climbs 1, 2, 3...
+    def mk(yOf: Int => Double) = (0 until 8).flatMap { i =>
+      Seq((i * 2L, ts(i), "click", (i + 1).toDouble),
+        (i * 2 + 1L, ts(i), "view", yOf(i)))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val up = Indicators.rollingCorr(mk(i => 10.0 + 2 * i), n = 5)
+      .orderBy("minute").collect()
+    assert(up.take(4).forall(_.isNullAt(4)), "gated until 5 minutes")
+    assert(up.drop(4).forall(_.getDouble(4) == 1.0))
+    val down = Indicators.rollingCorr(mk(i => 10.0 - 2 * i), n = 5)
+      .orderBy("minute").collect()
+    assert(down.drop(4).forall(_.getDouble(4) == -1.0))
+    // zero variance on y => zero denominator => null, not NaN
+    val flat = Indicators.rollingCorr(mk(_ => 10.0), n = 5)
+      .orderBy("minute").collect()
+    assert(flat.forall(_.isNullAt(4)))
+  }
+
   test("smaPartitioned carries the lookback across an EMPTY week bucket") {
     val s = spark
     import s.implicits._

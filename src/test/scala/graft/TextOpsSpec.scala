@@ -41,6 +41,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out("xx") == "unknown")
   }
 
+  test("vocab report: terms, tokens, hapax fraction, top-N coverage") {
+    val out = TextOps.vocabReport(docs(
+      (1L, "the cat sat", "en"),
+      (2L, "the dog sat", "en"),
+      (3L, "the end", "en")), topN = 2).head()
+    // terms: the(3) sat(2) cat(1) dog(1) end(1) -> 5 terms, 8 tokens, 3 hapax
+    assert(out.getLong(0) == 5 && out.getLong(1) == 8 && out.getLong(2) == 3)
+    assert(out.getDouble(3) == 0.6)
+    // top-2 by (freq desc, term asc) = the(3) + sat(2) = 5/8
+    assert(out.getDouble(4) == 0.625)
+  }
+
   test("fingerprint: same normalized content => same fingerprints") {
     val out = TextOps.fingerprint(docs(
       (1L, "Alpha Beta: Gamma, Delta Epsilon Zeta!", "en"),
