@@ -99,6 +99,47 @@ object TemporalJoins {
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
       |) p ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  /** Conversion funnel: per user, how many clicks convert to a purchase
+    * within `horizonMin` minutes. The click→first-following-purchase
+    * step is a FORWARD as-of join, obtained from the native backward
+    * `AsOfJoin` operator by negating the time axis (latest −p_ts ≤
+    * −c_ts ⟺ earliest p_ts ≥ c_ts) — one operator, both directions.
+    * Same sort-merge scale shape as `q_asof_native`; the oracle spells
+    * the forward pick as a min-over-inequality-join.
+    */
+  def funnel(events: DataFrame, horizonMin: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("neg_ts", -unix_micros(col("ts")))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts")).distinct()
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withColumn("p_neg_ts", -unix_micros(col("p_ts")))
+    graft.plans.AsOfJoinOp
+      .asof(clicks, purchases, "user_id", "p_user", "neg_ts", "p_neg_ts")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        count(when(col("p_ts") <=
+          col("ts") + expr(s"INTERVAL $horizonMin MINUTES"), 1)).as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_clicks"), 6))
+  }
+
+  def funnelOracle(horizonMin: Int = 30): String =
+    s"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       |p AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'),
+       |firstp AS (
+       |  SELECT c.event_id, c.user_id, c.ts, min(p.ts) AS p_ts
+       |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT user_id, count(*) AS n_clicks,
+       |       count(CASE WHEN p_ts <= ts + INTERVAL $horizonMin MINUTE THEN 1 END) AS n_converted,
+       |       round(CAST(count(CASE WHEN p_ts <= ts + INTERVAL $horizonMin MINUTE THEN 1 END) AS DOUBLE)
+       |             / count(*), 6) AS conv_rate
+       |FROM firstp GROUP BY 1""".stripMargin
+
   /** Range join: each event labeled with its enclosing session interval
     * (sessions from SilverAgg; intervals never overlap per user, so
     * exactly one match). Implemented as interval-to-hour-bucket explode
@@ -147,12 +188,14 @@ object TemporalJoins {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> ((s, d) => asofClickPurchase(Tables.events(s, d))),
     "q_asof_native" -> ((s, d) => asofNative(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_range_join" -> ((s, d) => eventSessionRange(Tables.events(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> asofClickPurchaseOracle,
     "q_asof_native" -> asofNativeOracle,
+    "q_funnel" -> funnelOracle(),
     "q_range_join" -> eventSessionRangeOracle
   )
 }

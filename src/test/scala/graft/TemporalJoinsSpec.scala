@@ -102,6 +102,20 @@ class TemporalJoinsSpec extends SparkSpec {
     // 2 join-side exchanges + 1 from the right-side pre-aggregation
   }
 
+  test("funnel: converts iff the FIRST following purchase is inside the horizon") {
+    val df = events(
+      (1L, ts(0), 1L, "click", 0.0),     // first purchase at +10m -> converted
+      (2L, ts(10), 1L, "purchase", 1.0),
+      (3L, ts(15), 1L, "click", 0.0),    // next purchase at +45m > 30m -> not
+      (4L, ts(58), 1L, "purchase", 1.0), // wait: 58-15=43m
+      (5L, ts(5), 2L, "click", 0.0))     // no purchases at all -> not
+    val out = TemporalJoins.funnel(df, horizonMin = 30)
+      .orderBy("user_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1)
+    assert(out(0).getDouble(3) == 0.5)
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 0 && out(1).getDouble(3) == 0.0)
+  }
+
   test("range join: every event lands in exactly one session interval") {
     val df = events(
       (1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 1.0),
