@@ -363,7 +363,12 @@ object Indicators {
     val sxx = sum(col("x") * col("x")).over(w)
     val syy = sum(col("y") * col("y")).over(w)
     val sxy = sum(col("x") * col("y")).over(w)
-    val den = sqrt(cnt * sxx - sx * sx) * sqrt(cnt * syy - sy * sy)
+    // clamp: float cancellation can push a near-zero variance term a
+    // few ulps NEGATIVE — Spark's sqrt would yield NaN and DuckDB
+    // ERRORS outright, so both engines clamp at 0 (the gate then
+    // nulls the row via den > 0)
+    val den = sqrt(greatest(cnt * sxx - sx * sx, lit(0.0))) *
+      sqrt(greatest(cnt * syy - sy * sy, lit(0.0)))
     byMin
       .withColumn("n_obs", count(lit(1)).over(w))
       .withColumn("corr_xy",
@@ -384,8 +389,8 @@ object Indicators {
        |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
        |         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
        |         sum(x * y) OVER w AS sxy,
-       |         sqrt(CAST(count(*) OVER w AS DOUBLE) * sum(x * x) OVER w - sum(x) OVER w * sum(x) OVER w)
-       |           * sqrt(CAST(count(*) OVER w AS DOUBLE) * sum(y * y) OVER w - sum(y) OVER w * sum(y) OVER w) AS den
+       |         sqrt(greatest(CAST(count(*) OVER w AS DOUBLE) * sum(x * x) OVER w - sum(x) OVER w * sum(x) OVER w, 0))
+       |           * sqrt(greatest(CAST(count(*) OVER w AS DOUBLE) * sum(y * y) OVER w - sum(y) OVER w * sum(y) OVER w, 0)) AS den
        |  FROM (
        |    SELECT date_trunc('minute', ts) AS minute,
        |           avg(CASE WHEN event_type = 'click' THEN value END) AS x,
