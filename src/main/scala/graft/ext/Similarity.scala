@@ -287,6 +287,10 @@ object Similarity {
     */
   private val vecMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** PQ codebooks memoized per (corpus frame, m) — see `ivfPqFromFrame`. */
+  private val pqCbMemo =
+    scala.collection.concurrent.TrieMap.empty[(DataFrame, Int), DataFrame]
+
   private def sharedVecFrame(s: SparkSession, d: String): DataFrame =
     vecMemo.getOrElseUpdate(d, vecFrame(Tables.embeddings(s, d)).cache())
 
@@ -738,9 +742,10 @@ object Similarity {
       nprobe: Int, m: Int): DataFrame = {
     val sub = dim / m
     val withCells = withRankedCells(v, labelCentroids(v))
-    // one row; cached so its corpus aggregation runs once, not once per
-    // consumer (the code-assignment pass AND the ADC scoring join)
-    val pqCb = pqCodebookFrame(v, m).cache()
+    // one row; memoized per (corpus frame, m) so the codebook
+    // aggregation runs once across consumers AND across invocations —
+    // a bare .cache() here would stack a fresh cached frame per call
+    val pqCb = pqCbMemo.getOrElseUpdate((v, m), pqCodebookFrame(v, m).cache())
     // inverted lists carry only (vec_id, cell, codes): the PQ-compressed
     // index — one map-only pass over the corpus
     val cand = withCells
@@ -754,9 +759,12 @@ object Similarity {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
     val adc = (0 until m).map { s =>
-      // positional lookup: cb_s is code-ordered, codes are 0-based
-      val cent = element_at(col(s"cb_$s"),
-        element_at(col("codes"), s + 1) + 1).getField("c")
+      // lookup BY CODE VALUE (map semantics), not array position — a
+      // label with no vectors would shift every later position and
+      // silently score against the wrong centroid (the oracle joins
+      // by value, so only the Spark side would be wrong)
+      val cent = element_at(
+        map_from_entries(col(s"cb_$s")), element_at(col("codes"), s + 1))
       pqSubDist(col("qe"), cent, s, sub)
     }.reduce(_ + _)
     cand.join(broadcast(q), "cell")

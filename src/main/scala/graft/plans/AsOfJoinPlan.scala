@@ -134,15 +134,22 @@ case class AsOfJoinExec(
       var lastRKey: InternalRow = null
       lIter.map { l =>
         val lk = lKeyProj(l)
-        if (!lk.anyNull) {
-          val lt = lTimeProj(l).getLong(0)
+        val ltRow = lTimeProj(l)
+        // SQL comparison semantics: a NULL key or NULL time on either
+        // side never matches (null-time rights are consumed but never
+        // become candidates; they sort first in their key group, so
+        // discarding them preserves the merge invariant)
+        if (!lk.anyNull && !ltRow.isNullAt(0)) {
+          val lt = ltRow.getLong(0)
           var advance = true
           while (advance && rBuf.hasNext) {
             val rk = rKeyProj(rBuf.head)
-            val c = if (rk.anyNull) -1 else keyOrd.compare(rk, lk)
+            val rtRow = rTimeProj(rBuf.head)
+            val c = if (rk.anyNull || rtRow.isNullAt(0)) -1
+              else keyOrd.compare(rk, lk)
             if (c < 0) {
               rBuf.next() // behind the current key: can never match again
-            } else if (c == 0 && rTimeProj(rBuf.head).getLong(0) <= lt) {
+            } else if (c == 0 && rtRow.getLong(0) <= lt) {
               lastRKey = rk.copy()
               lastR = rBuf.next().copy()
             } else {
@@ -150,7 +157,7 @@ case class AsOfJoinExec(
             }
           }
         }
-        val matched = !lk.anyNull && lastRKey != null &&
+        val matched = !lk.anyNull && !ltRow.isNullAt(0) && lastRKey != null &&
           keyOrd.compare(lKeyProj(l), lastRKey) == 0
         resultProj(joined(l, if (matched) lastR else nullRight))
       }
@@ -173,10 +180,15 @@ object AsOfJoinOp {
     val spark = left.sparkSession
     // registration is normally GraftExtensions.injectPlannerStrategy;
     // self-heal through the public experimental hook so the operator
-    // also plans on a vanilla session (idempotent by reference)
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // also plans on a vanilla session. The check goes through the
+    // PLANNER's strategy list (covers both registration paths — an
+    // extensions-configured session must not get a duplicate), under a
+    // lock because extraStrategies assignment is read-modify-write.
+    AsOfJoinOp.regLock.synchronized {
+      if (!org.apache.spark.sql.graft.Bridge.hasStrategy(spark, AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lPlan = left.queryExecution.analyzed
     // fresh exprIds on the right: both inputs often derive from the
     // same table, and duplicate attribute ids across the two sides
@@ -187,9 +199,23 @@ object AsOfJoinOp {
     def pick(out: Seq[Attribute], name: String): Attribute =
       out.find(_.name == name).getOrElse(
         sys.error(s"asof: no column '$name' in ${out.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (pick(lPlan.output, leftKey), pick(rPlan.output, rightKey))
+    val (lt, rt) = (pick(lPlan.output, leftTime), pick(rPlan.output, rightTime))
+    // fail fast on types the merge would silently misread: the key
+    // ordering is built from the LEFT types and applied to both sides,
+    // and time values are read as raw longs
+    require(lk.dataType == rk.dataType,
+      s"asof: key types differ (${lk.dataType.simpleString} vs ${rk.dataType.simpleString})")
+    val longBacked: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType,
+      org.apache.spark.sql.types.LongType)
+    require(lt.dataType == rt.dataType && longBacked.contains(lt.dataType),
+      s"asof: time columns must both be timestamp or bigint " +
+        s"(got ${lt.dataType.simpleString}, ${rt.dataType.simpleString})")
     org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      AsOfJoin(lPlan, rPlan,
-        Seq(pick(lPlan.output, leftKey)), Seq(pick(rPlan.output, rightKey)),
-        pick(lPlan.output, leftTime), pick(rPlan.output, rightTime)))
+      AsOfJoin(lPlan, rPlan, Seq(lk), Seq(rk), lt, rt))
   }
+
+  private[plans] val regLock = new Object
 }

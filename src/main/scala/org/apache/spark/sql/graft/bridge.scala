@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Whether the session's planner already carries `strategy` — covers
+    * BOTH registration paths (extension-injected strategies and
+    * `experimental.extraStrategies`), so callers can self-heal without
+    * double-registering on an extensions-configured session.
+    */
+  def hasStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Boolean =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.planner.strategies.contains(strategy)
 }

@@ -303,6 +303,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) == 0.0), "same-label ADC must be 0")
   }
 
+  test("ivfPqTopK: codebook lookup is by code VALUE — a label gap cannot shift it") {
+    // labels 0, 1, 3 — label 2 absent, so positional indexing would
+    // score code 3 against label 3's POSITION (index 2 ≠ code 3 slot)
+    val rows = Seq(0, 1, 3).flatMap { lbl =>
+      (0 until 5).map { i =>
+        val e = (0 until 64).map(d => if (d % 4 == lbl % 4) 1.0f else 0.2f * lbl)
+        ((lbl * 5 + i).toLong, e, lbl)
+      }
+    }
+    val out = Similarity.ivfPqTopK(vecs(rows: _*), nQueries = 1, k = 4, nprobe = 1)
+      .orderBy("rank").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out.forall(_.getDouble(2) == 0.0),
+      s"same-label ADC must be 0 even with a label gap: ${out.mkString(", ")}")
+  }
+
   test("annRecall: perfect recall when every vector shares one bucket; exact truth-set sizes") {
     val s = spark
     import s.implicits._

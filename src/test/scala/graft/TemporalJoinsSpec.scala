@@ -94,6 +94,36 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(1).isNullAt(5))            // null key: no match, null-extended
   }
 
+  test("native as-of exec: NULL times never match (either side)") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, Some(ts(10)), 1L), (1L, Option.empty[Timestamp], 2L))
+      .toDF("k", "ts", "event_id")
+    val right = Seq((1L, Some(ts(5)), 50.0), (1L, Option.empty[Timestamp], 99.0))
+      .toDF("rk", "rts", "payload")
+    val out = graft.plans.AsOfJoinOp.asof(left, right, "k", "rk", "ts", "rts")
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(5) == 50.0, "null-time right row must not be the candidate")
+    assert(out(1).isNullAt(5), "null-time left row matches nothing")
+  }
+
+  test("native as-of exec: mismatched key/time types fail fast") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1, ts(1), 1L)).toDF("k", "ts", "event_id") // int key
+    val right = Seq((1L, ts(0), 5.0)).toDF("rk", "rts", "payload") // long key
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinOp.asof(left, right, "k", "rk", "ts", "rts")
+    }
+    assert(e.getMessage.contains("key types differ"))
+    val badTime = Seq((1L, 1.5, 1L)).toDF("k", "ts", "event_id") // double time
+    val right2 = Seq((1L, 0.5, 5.0)).toDF("rk", "rts", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinOp.asof(badTime, right2, "k", "rk", "ts", "rts")
+    }
+    assert(e2.getMessage.contains("time columns"))
+  }
+
   test("native as-of exec: plans as AsOfJoin with one exchange+sort per side") {
     val df = events((1L, ts(1), 1L, "click", 1.0), (2L, ts(0), 1L, "purchase", 2.0))
     val plan = TemporalJoins.asofNative(df).queryExecution.executedPlan.toString
