@@ -288,6 +288,48 @@ object Streams {
     spark.read.parquet(out)
   }
 
+  /** Streaming OHLC candlestick bars — the payoff of formulating
+    * open/close as lexicographic struct min/max (`GoldRollup.ohlcBars`):
+    * order-dependent "first/last price" picks are illegal in a
+    * streaming aggregation (rows arrive in arbitrary batch order, and
+    * window/sort operators don't exist there), but a commutative
+    * min/max over a (ts, event_id, value) struct aggregates
+    * incrementally across micro-batches like any other agg — the state
+    * store merges partial bars no matter how trades split across
+    * batches. Oracle = the batch bars, proving the stream/batch parity.
+    */
+  def runStreamOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val staged = rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
+    val out = graft.Scratch.dir("graft_stream_ohlc_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_ohlc_ckpt").toString
+    val schema = spark.read.parquet(staged).schema
+    val pick = struct(col("ts").as("t"), col("event_id").as("i"),
+      col("value").as("v"))
+    val bars = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(
+        min(pick).getField("v").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(pick).getField("v").as("close"),
+        count(lit(1)).as("n_trades"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n_trades"))
+    withStatePartitions(spark) {
+      val q = bars.writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
   /** Streaming heavy hitters with BOUNDED state — the SpaceSaving
     * sketch, salt-parallelized: keys hash into `buckets` groups, each
     * group's state is a counter map capped at `capacity` entries, and
@@ -910,6 +952,7 @@ object Streams {
     "q_stream_neardup" -> runStreamNearDup _,
     "q_stream_enrich" -> runStreamEnrich _,
     "q_stream_topk" -> ((s, d) => runStreamTopK(s, d)),
+    "q_stream_ohlc" -> runStreamOhlc _,
     "q_stream_tws" -> runRunningStats _
   )
 
@@ -925,6 +968,7 @@ object Streams {
     "q_stream_neardup" -> runStreamNearDupOracle,
     "q_stream_enrich" -> runStreamEnrichOracle,
     "q_stream_topk" -> runStreamTopKOracle(),
+    "q_stream_ohlc" -> graft.gold.GoldRollup.ohlcBarsOracle,
     "q_stream_tws" -> runRunningStatsOracle
   )
 }

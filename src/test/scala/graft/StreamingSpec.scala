@@ -98,6 +98,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC: a bar split across micro-batches merges open/high/low/close") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[E]
+    val pick = struct(col("ts").as("t"), col("event_id").as("i"), col("value").as("v"))
+    val bars = mem.toDF()
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(min(pick).getField("v").as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), max(pick).getField("v").as("close"),
+        count(lit(1)).as("n"))
+    val q = bars.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ohlc_mem").start()
+    try {
+      // batch 1: the LATER trade of the window arrives FIRST
+      mem.addData(E(2L, ts(0, 30), 20.0))
+      q.processAllAvailable()
+      // batch 2: the opening trade and the low arrive later
+      mem.addData(E(1L, ts(0, 10), 10.0), E(3L, ts(0, 50), 5.0))
+      q.processAllAvailable()
+      val r = s.table("ohlc_mem").collect().head
+      assert(r.getDouble(1) == 10.0, "open = earliest (ts, event_id), across batches")
+      assert(r.getDouble(2) == 20.0 && r.getDouble(3) == 5.0)
+      assert(r.getDouble(4) == 5.0, "close = latest (ts, event_id), across batches")
+      assert(r.getLong(5) == 3L)
+    } finally q.stop()
+  }
+
   test("spaceSaving: exact below capacity, bounded state + retained heavies past it") {
     // exact regime: distinct keys <= capacity
     val exact = Seq(1L, 1L, 2L, 3L, 1L).foldLeft(Map.empty[Long, Long])(
