@@ -36,11 +36,11 @@ object Indicators {
   /** W1: value − previous value per series (pandas `.diff()`). */
   def lagDiff(events: DataFrame): DataFrame =
     events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(series), 6))
+      .withColumn("delta", round(col("value") - lag(col("value"), 1).over(series), 6) + lit(0.0))
 
   val lagDiffOracle: String =
     """SELECT event_id, ts, event_type, value,
-      |       round(value - lag(value, 1) OVER w, 6) AS delta
+      |       round(value - lag(value, 1) OVER w, 6) + 0.0 AS delta
       |FROM events
       |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""".stripMargin
 
@@ -116,7 +116,7 @@ object Indicators {
       avg(col("value")).over(frame))
     events.select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .withColumn("predicted", round(smaCol, 6))
-      .withColumn("diff", round(col("value") - smaCol, 6))
+      .withColumn("diff", round(col("value") - smaCol, 6) + lit(0.0))
       .withColumn("signal",
         when(col("predicted").isNull, lit("HOLD"))
           .when(col("predicted") > col("value"), lit("BUY"))
@@ -126,7 +126,7 @@ object Indicators {
   val signalOracle: String =
     """SELECT event_id, ts, event_type, value,
       |       round(predicted_raw, 6) AS predicted,
-      |       round(value - predicted_raw, 6) AS diff,
+      |       round(value - predicted_raw, 6) + 0.0 AS diff,
       |       CASE WHEN predicted_raw IS NULL THEN 'HOLD'
       |            WHEN predicted_raw > value THEN 'BUY'
       |            ELSE 'SELL' END AS signal
@@ -221,7 +221,7 @@ object Indicators {
       .withColumn("bb_lower", when(gated, round(lower, 6)))
       .withColumn("pct_b",
         when(gated && upper =!= lower,
-          round((col("value") - lower) / (upper - lower), 6)))
+          round((col("value") - lower) / (upper - lower), 6) + lit(0.0)))
   }
 
   def bollingerOracle(n: Int = 20, k: Double = 2.0): String =
@@ -230,7 +230,7 @@ object Indicators {
        |       CASE WHEN gated THEN round(mid + $k*sd, 6) END AS bb_upper,
        |       CASE WHEN gated THEN round(mid - $k*sd, 6) END AS bb_lower,
        |       CASE WHEN gated AND (mid + $k*sd) <> (mid - $k*sd)
-       |            THEN round((value - (mid - $k*sd)) / ((mid + $k*sd) - (mid - $k*sd)), 6)
+       |            THEN round((value - (mid - $k*sd)) / ((mid + $k*sd) - (mid - $k*sd)), 6) + 0.0
        |       END AS pct_b
        |FROM (
        |  SELECT event_id, ts, event_type, value,
@@ -311,17 +311,17 @@ object Indicators {
       .withColumn("macd_raw", macdRaw)
     val sigRaw = emaFold(collect_list(col("macd_raw")).over(sigF), 2.0 / 10)
     base
-      .withColumn("macd", round(col("macd_raw"), 6))
-      .withColumn("signal_line", round(sigRaw, 6))
-      .withColumn("histogram", round(col("macd_raw") - sigRaw, 6))
+      .withColumn("macd", round(col("macd_raw"), 6) + lit(0.0))
+      .withColumn("signal_line", round(sigRaw, 6) + lit(0.0))
+      .withColumn("histogram", round(col("macd_raw") - sigRaw, 6) + lit(0.0))
       .drop("macd_raw")
   }
 
   val macdOracle: String =
     s"""SELECT event_id, ts, event_type, value,
-       |       round(macd_raw, 6) AS macd,
-       |       round(${emaFoldSql("list(macd_raw) OVER s", 2, 10)}, 6) AS signal_line,
-       |       round(macd_raw - ${emaFoldSql("list(macd_raw) OVER s", 2, 10)}, 6) AS histogram
+       |       round(macd_raw, 6) + 0.0 AS macd,
+       |       round(${emaFoldSql("list(macd_raw) OVER s", 2, 10)}, 6) + 0.0 AS signal_line,
+       |       round(macd_raw - ${emaFoldSql("list(macd_raw) OVER s", 2, 10)}, 6) + 0.0 AS histogram
        |FROM (
        |  SELECT event_id, ts, event_type, value,
        |         ${emaFoldSql("list(value) OVER fast", 2, 13)}
@@ -373,7 +373,10 @@ object Indicators {
       .withColumn("n_obs", count(lit(1)).over(w))
       .withColumn("corr_xy",
         when(col("n_obs") >= n && den > 0,
-          round((cnt * sxy - sx * sy) / den, 4)))
+          // + 0.0 folds IEEE negative zero into positive zero — the
+          // engines disagree on the sign of a correlation that rounds
+          // to zero, and the hash gate distinguishes -0.0 from 0.0
+          round((cnt * sxy - sx * sy) / den, 4) + lit(0.0)))
       .select(col("minute"), round(col("x"), 6).as("x"),
         round(col("y"), 6).as("y"), col("n_obs"), col("corr_xy"))
   }
@@ -381,7 +384,7 @@ object Indicators {
   def rollingCorrOracle(n: Int = 30): String =
     s"""SELECT minute, round(x, 6) AS x, round(y, 6) AS y, n_obs,
        |       CASE WHEN n_obs >= $n AND den > 0
-       |            THEN round((cnt * sxy - sx * sy) / den, 4) END AS corr_xy
+       |            THEN round((cnt * sxy - sx * sy) / den, 4) + 0.0 END AS corr_xy
        |FROM (
        |  SELECT minute, x, y,
        |         count(*) OVER w AS n_obs,
