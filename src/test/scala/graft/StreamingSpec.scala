@@ -126,6 +126,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("spaceSaving sketch state runs on the RocksDB store across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    val mem = MemoryStream[UE]
+    val counts = mem.toDF().select(col("user_id"), lit(0).as("b"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[Long, Long], (Long, Long)](
+        OM.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (u, _) => m = Streams.spaceSavingStep(m, u, 4) }
+          state.update(m)
+          m.iterator
+      }.toDF("user_id", "cnt")
+    val q = counts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("topk_rocks").start()
+    try {
+      mem.addData(UE(1L, ts(0), 1.0), UE(1L, ts(1), 1.0))
+      q.processAllAvailable()
+      mem.addData(UE(1L, ts(2), 1.0), UE(2L, ts(3), 1.0))
+      q.processAllAvailable()
+      // Map state round-trips the RocksDB store: counts accumulate
+      val last = s.table("topk_rocks").groupBy("user_id")
+        .agg(max("cnt").as("cnt")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == Map(1L -> 3L, 2L -> 1L), s"got $last")
+    } finally {
+      q.stop()
+      prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    }
+  }
+
   test("spaceSaving: exact below capacity, bounded state + retained heavies past it") {
     // exact regime: distinct keys <= capacity
     val exact = Seq(1L, 1L, 2L, 3L, 1L).foldLeft(Map.empty[Long, Long])(
