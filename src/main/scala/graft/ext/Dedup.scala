@@ -399,11 +399,53 @@ object Dedup {
     * by both the verification report and the clustering step (the
     * per-corpus memo below is the single-node analog of that reuse).
     */
-  def dupClustersFromPairs(pairSet: DataFrame): DataFrame = {
+  def dupClustersFromPairs(pairSet: DataFrame,
+      driverMaxEdges: Long = Dedup.defaultDriverMaxEdges): DataFrame = {
+    val spark = pairSet.sparkSession
     val pairs = pairSet.select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .localCheckpoint()
+    // ADAPTIVE path choice, the same judgement Spark itself applies to
+    // broadcast-vs-shuffle joins: the verified pair graph is usually
+    // orders of magnitude smaller than the corpus (KBs–MBs), and the
+    // iterative loop below pays several job schedules + plan passes
+    // PER ROUND — ~3.5 s for a thousand-vertex graph that a
+    // path-compressed union-find solves in microseconds. Below the
+    // size guard, solve it where it fits; past it, run the
+    // distributed O(log n) loop, which remains the scale path and
+    // keeps its own tests (forced via driverMaxEdges = 0).
+    val nEdges = edges.count()
+    if (nEdges / 2 <= driverMaxEdges) {
+      val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union roots onto the SMALLER id: every union preserves
+        // "root = min of its component so far", so the fixpoint root
+        // is the component min — identical to the distributed loop
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keysIterator.toArray.sorted.map(v => (v, find(v))).toSeq
+      val sp = spark
+      import sp.implicits._
+      return spark.createDataset(spark.sparkContext.parallelize(rows,
+          math.max(1, math.min(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+            (rows.size / 500000) + 1))))
+        .toDF("doc_id", "cluster_id")
+    }
+    {
     // init one propagation step ahead: l(v) = min(v, min neighbor) is a
     // single groupBy over the edge list (the vertex-distinct was a
     // shuffle anyway) — for star/pair components, the common shape of a
@@ -458,7 +500,13 @@ object Dedup {
       s"dupClustersFromPairs: min-label propagation not at fixpoint after $maxIters " +
         "iterations; refusing to return partial cluster labels")
     labels.select(col("v").as("doc_id"), col("l").as("cluster_id"))
+    }
   }
+
+  /** Driver fast-path guard: ~1M verified pairs (the union-find map is
+    * boxed, so this stays comfortably inside a default driver heap).
+    */
+  val defaultDriverMaxEdges: Long = 1L << 20
 
   def dupClustersOracle(threshold: Double = 0.5): String =
     s"""WITH RECURSIVE pairs AS (

@@ -618,6 +618,89 @@ object Similarity {
       |             greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS mx
       |      FROM embeddings)""".stripMargin
 
+  // ------------------------------------------------------- semantic dedup
+
+  /** SEMANTIC dedup clusters: connected components over the verified
+    * embedding near-dup pair graph — `Dedup.dupClustersFromPairs`
+    * (min-label propagation + pointer jumping, O(log n) rounds)
+    * applied unchanged to `nearDupPairs`' output. The text and
+    * embedding dedup stacks share one clustering engine; only the
+    * pair-generation front end differs (shingle LSH vs metric-blocked
+    * cosine).
+    */
+  def embedClusters(vectors: DataFrame, threshold: Double = 0.4): DataFrame =
+    graft.ext.Dedup.dupClustersFromPairs(
+      nearDupPairs(vectors, threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
+  def embedClustersOracle(threshold: Double = 0.4): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${nearDupPairsOracle(threshold).replace("\n", "\n       |  ")}
+       |), edges AS (
+       |  SELECT vec_a AS s, vec_b AS d FROM pairs
+       |  UNION
+       |  SELECT vec_b, vec_a FROM pairs
+       |), reach(v, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v
+       |)
+       |SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v""".stripMargin
+
+  /** Semantic-dedup survivor accounting per label: one vector (the
+    * cluster-min) survives each cluster. Same shape as the text
+    * `clusterSurvivors` — the label frame is pair-graph-sized, so the
+    * corpus join broadcasts when small and shuffles when not.
+    */
+  def embedSurvivors(vectors: DataFrame, clusters: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("label"))
+      .join(clusters, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count(col("cluster_id")).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("vec_id"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+
+  def embedSurvivorsOracle(threshold: Double = 0.4): String =
+    s"""WITH clusters AS (
+       |  ${embedClustersOracle(threshold).replace("\n", "\n       |  ")}
+       |)
+       |SELECT label, count(*) AS n_vecs,
+       |       count(cluster_id) AS n_clustered,
+       |       CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id != vec_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       count(*) - CAST(sum(CASE WHEN cluster_id IS NOT NULL AND cluster_id != vec_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM embeddings LEFT JOIN clusters USING (vec_id)
+       |GROUP BY 1""".stripMargin
+
+  /** Pair set and clusters memoized per corpus dir — the production
+    * shape (pairs computed once, written, read by the near-dup report,
+    * the clustering, and the survivor accounting); the single-node
+    * analog is one localCheckpoint'd frame shared by all three
+    * queries, with first-touch bench attribution like the text-side
+    * near-dup memo.
+    */
+  private val embedPairMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def embedPairsFor(s: SparkSession, d: String): DataFrame =
+    embedPairMemo.getOrElseUpdate(d,
+      nearDupPairs(Tables.embeddings(s, d)).localCheckpoint())
+
+  private val embedClusterMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def embedClustersFor(s: SparkSession, d: String): DataFrame =
+    embedClusterMemo.getOrElseUpdate(d,
+      graft.ext.Dedup.dupClustersFromPairs(
+        embedPairsFor(s, d)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id")))
+
   // ------------------------------------------------ product quantization
 
   /** Product quantization — the index-compression workhorse of
@@ -855,7 +938,10 @@ object Similarity {
       val v = sharedVecFrame(s, d)
       probeTopK(v, kmeansCentroids(v, iters = 2).cache(), nQueries = 5, k = 10, nprobe = 2)
     }),
-    "q_embed_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
+    "q_embed_neardup" -> embedPairsFor _,
+    "q_embed_clusters" -> embedClustersFor _,
+    "q_embed_survivors" -> ((s, d) =>
+      embedSurvivors(Tables.embeddings(s, d), embedClustersFor(s, d))),
     "q_embed_centroid" -> ((s, d) => centroidSimilarity(Tables.embeddings(s, d))),
     "q_embed_quantize" -> ((s, d) => quantize(Tables.embeddings(s, d))),
     "q_ann_recall" -> ((s, d) => annRecall(Tables.embeddings(s, d)))
@@ -870,6 +956,8 @@ object Similarity {
     "q_knn_ivf" -> ivfTopKOracle(),
     "q_knn_kmeans" -> kmeansTopKOracle(),
     "q_embed_neardup" -> nearDupPairsOracle(),
+    "q_embed_clusters" -> embedClustersOracle(),
+    "q_embed_survivors" -> embedSurvivorsOracle(),
     "q_embed_centroid" -> centroidSimilarityOracle,
     "q_embed_quantize" -> quantizeOracle,
     "q_ann_recall" -> annRecallOracle()

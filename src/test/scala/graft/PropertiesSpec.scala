@@ -129,10 +129,16 @@ class PropertiesSpec extends SparkSpec {
       val s = spark
       import s.implicits._
       val pairs = edges.toDF("doc_a", "doc_b")
-      val got = Dedup.dupClustersFromPairs(pairs).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(edges)
-      assert(got == want, s"edges=$edges")
+      // BOTH execution paths must agree with the truth: the driver
+      // union-find fast path (default guard) and the distributed
+      // pointer-jumping loop (forced with a zero guard)
+      val fast = Dedup.dupClustersFromPairs(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == want, s"fast path, edges=$edges")
+      val dist = Dedup.dupClustersFromPairs(pairs, driverMaxEdges = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == want, s"distributed path, edges=$edges")
     }
   }
 

@@ -320,6 +320,24 @@ class SimilaritySpec extends SparkSpec {
       s"same-label ADC must be 0 even with a label gap: ${out.mkString(", ")}")
   }
 
+  test("embedClusters/survivors: identical vectors cluster; cluster-min survives") {
+    // two identical triples (cos 1.0 within), one lone vector
+    def v(seed: Int) = (0 until 64).map(d => ((d * 31 + seed) % 17) / 17.0f - 0.4f)
+    val rows = Seq(
+      (0L, v(1), 0), (1L, v(1), 0), (2L, v(1), 0),
+      (5L, v(2), 1), (6L, v(2), 1),
+      (9L, v(3), 2))
+    val clusters = Similarity.embedClusters(vecs(rows: _*), threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+    val surv = Similarity.embedSurvivors(vecs(rows: _*),
+      Similarity.embedClusters(vecs(rows: _*), threshold = 0.99))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(surv(0) == ((3L, 2L, 1L)), s"label 0: $surv") // 3 vecs, 2 dropped, 1 kept
+    assert(surv(1) == ((2L, 1L, 1L)))
+    assert(surv(2) == ((1L, 0L, 1L))) // unclustered survives trivially
+  }
+
   test("annRecall: perfect recall when every vector shares one bucket; exact truth-set sizes") {
     val s = spark
     import s.implicits._
