@@ -310,6 +310,127 @@ object Dedup {
        |            len(list_distinct(list_concat(a.sh, b.sh))), 6) >= $threshold""".stripMargin
   }
 
+  // ---------------------------------------------------- incremental dedup
+
+  /** INCREMENTAL cross-corpus dedup — the production crawl loop: a new
+    * batch of documents is admitted against an already-indexed corpus
+    * (is this new doc a near-dup of anything we already hold?), which
+    * is a different operator from within-corpus dedup: candidate pairs
+    * are generated ONLY across the index↔batch boundary (no index
+    * self-pairs — the index was deduped when it was ingested; no
+    * batch self-pairs — that is a separate within-batch pass), and the
+    * output is an admission decision per new doc, not a pair list.
+    *
+    * Shape: one native signature pass over each side, the same banded
+    * LSH bucket join as `nearDupPairs` restricted to cross-side pairs,
+    * true-Jaccard verification on candidate docs only, then the best
+    * match per new doc (highest verified Jaccard, lowest index doc_id
+    * on ties — both engines rank the identical rounded value). A new
+    * doc with no verified match above `threshold` is admitted.
+    *
+    * Scale: in production the index side's (bucket, doc_id) band table
+    * is precomputed and PERSISTED (write-once at ingest — exactly the
+    * frame this operator derives); a day's crawl batch is orders of
+    * magnitude smaller than the accumulated index, so the bucket join
+    * is a shuffle of band keys where the batch side is tiny and the
+    * index side is partition-pruned by the bucket hash. The hot-bucket
+    * cap bounds boilerplate buckets on both sides (identically in the
+    * oracle, so capped results stay hash-exact).
+    */
+  def incrementalDedup(index: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5, cap: Int = hotBucketCap): DataFrame = {
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    // one banded frame per side, capped within the SAME window shape as
+    // nearDupPairs (the cap ranks by doc_id over the union of sides —
+    // computed on the concatenation so both engines see one ranking)
+    val bands = bandBuckets(minhashSignatures(index), Seq())
+      .withColumn("side", lit("idx"))
+      .union(bandBuckets(minhashSignatures(batch), Seq()).withColumn("side", lit("new")))
+      .withColumn("bpos", row_number().over(wBucket))
+      .filter(col("bpos") <= cap)
+      .select(col("bucket"), col("doc_id"), col("side"))
+      .cache()
+    val cand = bands.filter(col("side") === "idx").as("x")
+      .join(bands.filter(col("side") === "new").as("y"), col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("idx_id"), col("y.doc_id").as("new_id"))
+      .distinct().cache()
+    // shingle arrays only for docs in some cross-side candidate pair
+    val shIdx = shingleArrays(
+      index.join(cand.select(col("idx_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+    val shNew = shingleArrays(
+      batch.join(cand.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+    val scored = cand
+      .join(shIdx.select(col("doc_id").as("idx_id"), col("sh").as("sh_a")), "idx_id")
+      .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_b")), "new_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id")).orderBy(col("jaccard").desc, col("idx_id"))
+    val best = scored
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("idx_id"), col("jaccard"))
+    batch.select(col("doc_id"))
+      .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("idx_id"), lit(-1L)).as("match_id"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        when(col("idx_id").isNull, 1L).otherwise(0L).as("admitted"))
+  }
+
+  /** Deterministic index/batch split of the `documents` table for the
+    * oracle-checked query: doc_id % 5 == 4 is "today's crawl batch"
+    * (20%), the rest is the indexed corpus.
+    */
+  def incrementalDedupOracle(threshold: Double = 0.5, cap: Int = hotBucketCap): String =
+    s"""WITH $bandsCteSql,
+       |sided AS (
+       |  SELECT bucket, doc_id,
+       |         CASE WHEN doc_id % 5 = 4 THEN 'new' ELSE 'idx' END AS side
+       |  FROM bands
+       |),
+       |capped AS (
+       |  SELECT bucket, doc_id, side FROM (
+       |    SELECT bucket, doc_id, side,
+       |           row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS bpos
+       |    FROM sided)
+       |  WHERE bpos <= $cap
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS idx_id, y.doc_id AS new_id
+       |  FROM capped x JOIN capped y ON x.bucket = y.bucket
+       |  WHERE x.side = 'idx' AND y.side = 'new'
+       |),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |scored AS (
+       |  SELECT new_id, idx_id,
+       |         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |               len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |  FROM cand JOIN sh a ON cand.idx_id = a.doc_id
+       |            JOIN sh b ON cand.new_id = b.doc_id
+       |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |              len(list_distinct(list_concat(a.sh, b.sh))), 6) >= $threshold
+       |),
+       |best AS (
+       |  SELECT new_id, idx_id, jaccard FROM (
+       |    SELECT new_id, idx_id, jaccard,
+       |           row_number() OVER (PARTITION BY new_id
+       |                              ORDER BY jaccard DESC, idx_id) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(b.idx_id, -1) AS match_id,
+       |       coalesce(b.jaccard, 0.0) AS jaccard,
+       |       CAST(CASE WHEN b.idx_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS admitted
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.new_id
+       |WHERE d.doc_id % 5 = 4""".stripMargin
+
   // ----------------------------------------------------- substring level
 
   /** Cross-document repeated-k-gram accounting — the SUBSTRING-level
@@ -715,7 +836,13 @@ object Dedup {
       clusterSurvivorsFromClusters(Tables.documents(s, d), cachedClusters(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_simhash_neardup" -> ((s, d) => simhashNearDup(Tables.documents(s, d))),
-    "q_substring_dedup" -> ((s, d) => repeatedKgrams(Tables.documents(s, d)))
+    "q_substring_dedup" -> ((s, d) => repeatedKgrams(Tables.documents(s, d))),
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 4),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 4))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -728,6 +855,7 @@ object Dedup {
     "q_cluster_survivors" -> clusterSurvivorsOracle(),
     "q_dedup_simhash" -> simhashOracle,
     "q_simhash_neardup" -> simhashNearDupOracle(),
-    "q_substring_dedup" -> repeatedKgramsOracle()
+    "q_substring_dedup" -> repeatedKgramsOracle(),
+    "q_dedup_incremental" -> incrementalDedupOracle()
   )
 }

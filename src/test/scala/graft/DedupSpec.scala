@@ -183,4 +183,28 @@ class DedupSpec extends SparkSpec {
       s"web: 4 docs, 3 clustered, 2 dropped (2,3), 2 kept (1,4) — got ${out("web")}")
     assert(out("books") == ((2L, 2L, 1L, 1L)))
   }
+
+  test("incrementalDedup admits novel docs, rejects near-dups of the index only") {
+    val boiler = "the quick brown fox jumps over the lazy dog again and again until dawn"
+    val idx = docs(
+      (1L, boiler),
+      (2L, "completely different indexed content about spark aggregation plans"),
+      (3L, boiler + " with a small tail"))
+    val batch = docs(
+      (10L, boiler),                                      // dup of 1 (and 3)
+      (11L, "a genuinely novel document about rocksdb state stores"),
+      (12L, "completely different indexed content about spark aggregation plans"))
+    val out = Dedup.incrementalDedup(idx, batch).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out(10L)._1 == 1L && out(10L)._2 == 1.0 && out(10L)._3 == 0L,
+      s"10 must match index doc 1 at jaccard 1.0 and be rejected: ${out(10L)}")
+    assert(out(11L) == ((-1L, 0.0, 1L)), s"novel doc admitted: ${out(11L)}")
+    assert(out(12L)._1 == 2L && out(12L)._3 == 0L)
+    // batch-internal dups are NOT this operator's concern: a batch doc
+    // never matches another batch doc here
+    val batch2 = docs((20L, "x y z unique"), (21L, "x y z unique"))
+    val out2 = Dedup.incrementalDedup(idx, batch2).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out2 == Map(20L -> 1L, 21L -> 1L), s"both admitted: $out2")
+  }
 }
