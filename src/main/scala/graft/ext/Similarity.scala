@@ -618,6 +618,75 @@ object Similarity {
       |             greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS mx
       |      FROM embeddings)""".stripMargin
 
+  // --------------------------------------------------- incremental index
+
+  /** INCREMENTAL IVF index maintenance — the serving-index freshness
+    * loop: a new vector batch is appended to an existing index by
+    * assigning each new vector to its nearest EXISTING centroid (the
+    * codebook is NOT rebuilt — production rebuilds are rare, expensive,
+    * offline events; appends happen continuously). The report is the
+    * signal an index operator watches per cell: list growth (n_index →
+    * n_index + n_new) and assignment quality (mean cosine of the new
+    * vectors to their centroid vs the index's own mean) — a cell whose
+    * new_mean_cos sags below idx_mean_cos is drifting away from its
+    * centroid, the trigger for the next offline rebuild.
+    *
+    * Scale: the codebook is one broadcast row (same as every IVF
+    * operator here); BOTH assignment passes are map-only (native
+    * `graft_rankcells`, no corpus shuffle), and the only exchange is
+    * the O(cells)-sized final aggregate. Cost scales with index+batch
+    * scan, state with cells.
+    */
+  def ivfAppend(index: DataFrame, batch: DataFrame): DataFrame = {
+    val spark = index.sparkSession
+    val cent = labelCentroids(vecFrame(index))
+    val tagged = vecFrame(index).withColumn("side", lit("idx"))
+      .union(vecFrame(batch).withColumn("side", lit("new")))
+    withRankedCells(tagged, cent)
+      .withColumn("cell", col("cells").getItem(0))
+      .select(col("side"), col("cell"), col("e"), col("nrm"))
+      .join(broadcast(cent.select(col("cell").cast("bigint").as("cell"),
+        col("ce").as("qe"), col("cnrm").as("qnrm"))), "cell")
+      .withColumn("cos", cosPair(spark))
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("side") === "idx", 1L).otherwise(0L)).as("n_index"),
+        sum(when(col("side") === "new", 1L).otherwise(0L)).as("n_new"),
+        round(coalesce(avg(when(col("side") === "idx", col("cos"))), lit(0.0)), 6)
+          .as("idx_mean_cos"),
+        round(coalesce(avg(when(col("side") === "new", col("cos"))), lit(0.0)), 6)
+          .as("new_mean_cos"))
+  }
+
+  /** Oracle twin: index = vec_id % 5 != 4, batch = the remaining 20%. */
+  def ivfAppendOracle: String =
+    s"""WITH idx AS (SELECT * FROM embeddings WHERE vec_id % 5 != 4),
+       |c AS (
+       |  SELECT label AS cell, list(m ORDER BY i) AS ce
+       |  FROM (
+       |    SELECT label, i, avg(v) AS m
+       |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+       |                 unnest(range(1, 1 + len(embedding))) AS i
+       |          FROM idx)
+       |    GROUP BY 1, 2
+       |  ) GROUP BY label
+       |), ranked AS (
+       |  SELECT e.vec_id, e.vec_id % 5 = 4 AS is_new, c.cell,
+       |         round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) AS cos,
+       |         row_number() OVER (
+       |           PARTITION BY e.vec_id
+       |           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
+       |                    c.cell) AS crank
+       |  FROM embeddings e CROSS JOIN c
+       |)
+       |SELECT CAST(cell AS BIGINT) AS cell,
+       |       CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_index,
+       |       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |       round(coalesce(avg(CASE WHEN NOT is_new THEN cos END), 0.0), 6) AS idx_mean_cos,
+       |       round(coalesce(avg(CASE WHEN is_new THEN cos END), 0.0), 6) AS new_mean_cos
+       |FROM ranked WHERE crank = 1
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- semantic dedup
 
   /** SEMANTIC dedup clusters: connected components over the verified
@@ -938,6 +1007,12 @@ object Similarity {
       val v = sharedVecFrame(s, d)
       probeTopK(v, kmeansCentroids(v, iters = 2).cache(), nQueries = 5, k = 10, nprobe = 2)
     }),
+    "q_ivf_append" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+      ivfAppend(
+        v.filter(pmod(col("vec_id"), lit(5)) =!= 4),
+        v.filter(pmod(col("vec_id"), lit(5)) === 4))
+    }),
     "q_embed_neardup" -> embedPairsFor _,
     "q_embed_clusters" -> embedClustersFor _,
     "q_embed_survivors" -> ((s, d) =>
@@ -955,6 +1030,7 @@ object Similarity {
     "q_knn_multiprobe" -> multiProbeTopKOracle(),
     "q_knn_ivf" -> ivfTopKOracle(),
     "q_knn_kmeans" -> kmeansTopKOracle(),
+    "q_ivf_append" -> ivfAppendOracle,
     "q_embed_neardup" -> nearDupPairsOracle(),
     "q_embed_clusters" -> embedClustersOracle(),
     "q_embed_survivors" -> embedSurvivorsOracle(),

@@ -320,6 +320,36 @@ class SimilaritySpec extends SparkSpec {
       s"same-label ADC must be 0 even with a label gap: ${out.mkString(", ")}")
   }
 
+  test("ivfAppend: new vectors route to existing centroids; drift shows in mean cos") {
+    // two well-separated cells: label 0 along +e1, label 1 along +e2
+    def axis(d: Int, wobble: Float) = (0 until 64).map {
+      case `d` => 1.0f
+      case i if i == (d + 7) % 64 => wobble
+      case _ => 0.0f
+    }
+    val idx = vecs(
+      (0L, axis(0, 0.1f), 0), (1L, axis(0, -0.1f), 0),
+      (2L, axis(8, 0.1f), 1), (3L, axis(8, -0.1f), 1))
+    // batch: one ON-centroid vector for cell 0, one DRIFTED vector that
+    // still routes to cell 1 but at a visibly lower cosine
+    val drifted = (0 until 64).map {
+      case 8 => 1.0f
+      case 20 => 0.9f
+      case _ => 0.0f
+    }
+    val batch = vecs((10L, axis(0, 0.0f), 0), (11L, drifted, 1))
+    val out = Similarity.ivfAppend(idx, batch).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._1 == 2L && out(0L)._2 == 1L, s"cell 0 sizes: ${out(0L)}")
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1L)
+    // the on-centroid append scores at least as well as the index mean;
+    // the drifted append scores strictly worse than its index mean
+    assert(out(0L)._4 >= out(0L)._3, s"cell 0 append not on-centroid: ${out(0L)}")
+    assert(out(1L)._4 < out(1L)._3, s"cell 1 drift not visible: ${out(1L)}")
+  }
+
   test("embedClusters/survivors: identical vectors cluster; cluster-min survives") {
     // two identical triples (cos 1.0 within), one lone vector
     def v(seed: Int) = (0 until 64).map(d => ((d * 31 + seed) % 17) / 17.0f - 0.4f)
