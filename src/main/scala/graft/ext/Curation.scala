@@ -537,7 +537,97 @@ object Curation {
        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM packed GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ admission ledger
+
+  /** The curation CAPSTONE: a per-document admission ledger — every
+    * training-candidate doc (benchmark docs excluded) with the single
+    * reason it was dropped, or 'kept'. Precedence mirrors a production
+    * pipeline's filter order (cheapest-first, each stage only sees
+    * survivors — but the LEDGER records every doc against every
+    * signal so the audit is complete):
+    *   quality > contaminated > exact_dup > near_dup > kept.
+    *
+    * This is the artifact a dataset release ships ("why is doc X not
+    * in the training set?") and the input to per-source loss
+    * accounting. Signals are computed corpus-wide and composed by
+    * doc-keyed joins: quality is one scan; contamination broadcasts
+    * the eval-set grams; the exact-dup survivor is a min-over-key
+    * window (one key shuffle); near-dup labels come from the SAME
+    * memoized cluster frame the dedup queries built (pair-graph-sized,
+    * so its join broadcasts). Nothing here re-runs the LSH pipeline.
+    */
+  def admissionLedger(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val n = 5
+    val q = TextOps.quality(docs).select(col("doc_id"), col("keep"))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(concat_ws(" ", toks(col("text")))))
+    val keyed = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("key_min", min(col("doc_id")).over(wKey))
+      .select(col("doc_id"), col("source"), col("key_min"))
+    val grams = gramArrays(docs, n)
+    val bench = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val contaminated = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(bench), "gram")
+      .select(col("doc_id")).distinct()
+    keyed.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+      .join(q, "doc_id")
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("contam", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(!col("keep"), "quality")
+          .when(col("contam").isNotNull, "contaminated")
+          .when(col("doc_id") =!= col("key_min"), "exact_dup")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), "near_dup")
+          .otherwise("kept").as("reason"))
+  }
+
+  def admissionLedgerOracle(threshold: Double = 0.5): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${Dedup.nearDupPairsOracle(threshold).replace("\n", "\n       |  ")}
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(v, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.v
+       |), clusters AS (
+       |  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+       |), q AS (
+       |  ${TextOps.qualityOracle.replace("\n", "\n       |  ")}
+       |), keyed AS (
+       |  SELECT doc_id, source,
+       |         min(doc_id) OVER (
+       |           PARTITION BY md5(array_to_string($toksSql, ' '))) AS key_min
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, ${gramsSql(5).replace("\n", "\n       |")} AS grams
+       |  FROM documents
+       |), bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $benchmarkMod = 0
+       |), contam AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+       |        WHERE doc_id % $benchmarkMod != 0) t
+       |  JOIN bench USING (gram)
+       |)
+       |SELECT k.doc_id, k.source,
+       |       CASE WHEN NOT q.keep THEN 'quality'
+       |            WHEN c2.doc_id IS NOT NULL THEN 'contaminated'
+       |            WHEN k.doc_id != k.key_min THEN 'exact_dup'
+       |            WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id != k.doc_id THEN 'near_dup'
+       |            ELSE 'kept' END AS reason
+       |FROM keyed k JOIN q USING (doc_id)
+       |LEFT JOIN clusters cl ON k.doc_id = cl.doc_id
+       |LEFT JOIN contam c2 ON k.doc_id = c2.doc_id
+       |WHERE k.doc_id % $benchmarkMod != 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_admission_ledger" -> ((s, d) =>
+      admissionLedger(Tables.documents(s, d), Dedup.clustersFor(s, d))),
     "q_curation_pipeline" -> ((s, d) => curationPipeline(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
@@ -552,6 +642,7 @@ object Curation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_admission_ledger" -> admissionLedgerOracle(),
     "q_curation_pipeline" -> curationPipelineOracle(),
     "q_decontaminate" -> decontaminateOracle(),
     "q_repetition" -> repetitionOracle(),

@@ -825,6 +825,11 @@ object Dedup {
   private def cachedClusters(s: SparkSession, d: String): DataFrame =
     clustersCache.getOrElseUpdate(d, dupClustersFromPairs(cachedPairs(s, d)))
 
+  /** Public handle on the per-corpus cluster memo — the admission
+    * ledger (Curation) reads the same labels the dedup queries built.
+    */
+  def clustersFor(s: SparkSession, d: String): DataFrame = cachedClusters(s, d)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exactDedup(Tables.documents(s, d))),
     "q_dedup_survivors" -> ((s, d) => exactSurvivors(Tables.documents(s, d))),

@@ -28,6 +28,31 @@ class CurationSpec extends SparkSpec {
     assert(out("books") == ((1L, 0L)))
   }
 
+  test("admissionLedger: one precedence-ordered reason per doc, benchmark excluded") {
+    val s = spark
+    import s.implicits._
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docs(
+      (0L, "alpha beta gamma delta epsilon zeta", "web"),       // benchmark (0 % 53)
+      (1L, "prefix words alpha beta gamma delta epsilon tail more filler words here", "web"),
+      (2L, "short text", "web"),                                // quality reject
+      (3L, base, "web"),                                        // kept (exact survivor)
+      (4L, base, "web"),                                        // exact dup of 3
+      (5L, "a fully unique sentence with plenty of ordinary clean words inside", "books"),
+      (6L, "alpha beta gamma delta epsilon", "web"))            // fails quality AND contaminated
+    val clusters = Seq((5L, 3L)).toDF("doc_id", "cluster_id")   // 5 labeled near-dup of 3
+    val out = Curation.admissionLedger(d, clusters).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!out.contains(0L), "benchmark doc must not appear in the ledger")
+    assert(out == Map(
+      1L -> "contaminated",
+      2L -> "quality",
+      3L -> "kept",
+      4L -> "exact_dup",
+      5L -> "near_dup",
+      6L -> "quality"), s"ledger: $out") // quality outranks contamination for 6
+  }
+
   test("repetition: looping text scores high and is dropped; varied text keeps") {
     val d = docs(
       (1L, "spam ham spam ham spam ham spam ham spam ham", "web"),
