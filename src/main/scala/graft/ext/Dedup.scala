@@ -338,15 +338,31 @@ object Dedup {
     * oracle, so capped results stay hash-exact).
     */
   def incrementalDedup(index: DataFrame, batch: DataFrame,
-      threshold: Double = 0.5, cap: Int = hotBucketCap): DataFrame = {
+      threshold: Double = 0.5, cap: Int = hotBucketCap): DataFrame =
+    incrementalDedupFromBands(indexBandTable(index), index, batch, threshold, cap)
+
+  /** The index side's (bucket, doc_id) band table — the WRITE-ONCE
+    * frame a production admission service persists at ingest and reads
+    * on every batch (and every micro-batch: the streaming admission
+    * runner computes this once and reuses it across triggers).
+    */
+  def indexBandTable(index: DataFrame): DataFrame =
+    bandBuckets(minhashSignatures(index)).select(col("bucket"), col("doc_id"))
+
+  /** `incrementalDedup` against an already-materialized index band
+    * table — the signature pass over the index never re-runs.
+    */
+  def incrementalDedupFromBands(idxBands: DataFrame, index: DataFrame,
+      batch: DataFrame, threshold: Double = 0.5, cap: Int = hotBucketCap): DataFrame = {
     val wBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("doc_id"))
-    // one banded frame per side, capped within the SAME window shape as
+    // banded sides, capped within the SAME window shape as
     // nearDupPairs (the cap ranks by doc_id over the union of sides —
     // computed on the concatenation so both engines see one ranking)
-    val bands = bandBuckets(minhashSignatures(index), Seq())
+    val bands = idxBands.select(col("bucket"), col("doc_id"))
       .withColumn("side", lit("idx"))
-      .union(bandBuckets(minhashSignatures(batch), Seq()).withColumn("side", lit("new")))
+      .union(bandBuckets(minhashSignatures(batch))
+        .select(col("bucket"), col("doc_id")).withColumn("side", lit("new")))
       .withColumn("bpos", row_number().over(wBucket))
       .filter(col("bpos") <= cap)
       .select(col("bucket"), col("doc_id"), col("side"))

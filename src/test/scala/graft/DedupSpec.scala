@@ -207,4 +207,27 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(out2 == Map(20L -> 1L, 21L -> 1L), s"both admitted: $out2")
   }
+
+  test("incremental admission is micro-batch invariant: slice-wise union equals global") {
+    import org.apache.spark.sql.functions.col
+    val boiler = "the quick brown fox jumps over the lazy dog again and again until dawn"
+    val idx = docs(
+      (1L, boiler),
+      (2L, "completely different indexed content about spark aggregation plans"))
+    val batch = docs(
+      (10L, boiler),
+      (11L, "a genuinely novel document about rocksdb state stores"),
+      (12L, "completely different indexed content about spark aggregation plans"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val whole = key(Dedup.incrementalDedup(idx, batch))
+    // the streaming admission shape: one persisted index band table,
+    // batch processed in arbitrary slices
+    val bands = Dedup.indexBandTable(idx).cache()
+    val sliced = Seq(Seq(10L), Seq(11L, 12L)).map { ids =>
+      key(Dedup.incrementalDedupFromBands(bands, idx,
+        batch.filter(col("doc_id").isin(ids: _*))))
+    }.reduce(_ ++ _)
+    assert(sliced == whole, s"sliced=$sliced whole=$whole")
+  }
 }
