@@ -142,6 +142,46 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("incremental admission: rejections are truly near-dups; identical docs never admitted") {
+    // soundness, not completeness: LSH banding may miss a borderline
+    // true pair (that is its contract), but every REJECTION must be
+    // backed by a real verified Jaccard >= threshold against a real
+    // index doc with the exactly-right rounded value — and an
+    // identical doc (same shingle set -> same signatures -> same
+    // bands) can never slip through
+    val vocab = Seq("aa", "bb", "cc", "dd")
+    val w = graft.functions.MinHashSigs.shingleWidth
+    val docGen = Gen.listOfN(8, Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    for (ws <- samples(docGen, 5)) {
+      val s = spark
+      import s.implicits._
+      val texts = ws.map(_.mkString(" "))
+      val idxRows = texts.take(4).zipWithIndex.map { case (t, i) => (i.toLong, t, "src") }
+      val newRows = texts.drop(4).zipWithIndex.map { case (t, i) => (10L + i, t, "src") }
+      def sh(t: String) = graft.functions.NGrams.computeSeq(t.split(" ").toSeq, w).toSet
+      def jac(a: Set[String], b: Set[String]) =
+        a.intersect(b).size.toDouble / a.union(b).size
+      val idxSh = idxRows.map { case (id, t, _) => id -> sh(t) }.toMap
+      val newSh = newRows.map { case (id, t, _) => id -> sh(t) }.toMap
+      val out = Dedup.incrementalDedup(idxRows.toDF("doc_id", "text", "source"),
+        newRows.toDF("doc_id", "text", "source")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(out.map(_._1).sorted.toSeq == newRows.map(_._1).sorted.toSeq,
+        "ledger covers exactly the batch docs")
+      out.foreach { case (d, m, j, adm) =>
+        if (adm == 0L) {
+          assert(idxSh.contains(m), s"doc $d matched non-index id $m")
+          val tj = jac(newSh(d), idxSh(m))
+          val tj6 = BigDecimal(tj).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(tj >= 0.5 && math.abs(tj6 - j) < 1e-9,
+            s"doc $d match $m: reported $j, local $tj")
+        } else assert(m == -1L && j == 0.0, s"admitted doc $d carries a match")
+        if (idxSh.values.exists(_ == newSh(d)))
+          assert(adm == 0L, s"identical doc $d admitted; texts=$texts")
+      }
+    }
+  }
+
   test("repeated k-grams equal local set arithmetic on random corpora") {
     // local truth: distinct 5-grams per doc via the expression's Seq
     // twin, repeated = present in >= 2 docs' gram sets — the Spark
