@@ -376,6 +376,15 @@ object Dedup {
       index.join(cand.select(col("idx_id").as("doc_id")), Seq("doc_id"), "left_semi"))
     val shNew = shingleArrays(
       batch.join(cand.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+    admitAgainst(cand, shIdx, shNew, batch, threshold)
+  }
+
+  /** Shared admission tail: verify candidate pairs by true Jaccard,
+    * pick each new doc's best match (rounded-Jaccard rank, index-id
+    * tie-break), left-join back so every batch doc gets a decision.
+    */
+  private def admitAgainst(cand: DataFrame, shIdx: DataFrame, shNew: DataFrame,
+      batch: DataFrame, threshold: Double): DataFrame = {
     val scored = cand
       .join(shIdx.select(col("doc_id").as("idx_id"), col("sh").as("sh_a")), "idx_id")
       .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_b")), "new_id")
@@ -397,6 +406,43 @@ object Dedup {
         coalesce(col("idx_id"), lit(-1L)).as("match_id"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
         when(col("idx_id").isNull, 1L).otherwise(0L).as("admitted"))
+  }
+
+  /** The index side's shingle-array table (doc_id, sh) — the second
+    * write-once index artifact (verification needs the indexed docs'
+    * shingles; a production service stores them next to the band
+    * table instead of re-deriving them from raw text per batch).
+    */
+  def indexShingleTable(index: DataFrame): DataFrame = shingleArrays(index)
+
+  /** Admission against FULLY-PREPARED index artifacts — the steady-state
+    * loop a streaming admission service runs per micro-batch: the index
+    * band table arrives pre-capped per bucket and the index shingle
+    * table pre-materialized, so per-batch work is only the batch's own
+    * signature pass, the bucket join, and candidate verification — a
+    * deliberately SHALLOW plan (no union-wide cap window, no semi-join
+    * back into the index corpus, no per-call caches to leak across
+    * triggers). Capping per side instead of over the union diverges
+    * from the batch operator only when a bucket actually trips the cap
+    * (never at test SF — the oracle comparison stays hash-exact; at
+    * corpus scale order-dependence under the cap is inherent to
+    * incremental admission).
+    */
+  def incrementalDedupPrepared(idxBands: DataFrame, idxShingles: DataFrame,
+      batch: DataFrame, threshold: Double = 0.5, cap: Int = hotBucketCap): DataFrame = {
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val bBands = bandBuckets(minhashSignatures(batch))
+      .select(col("bucket"), col("doc_id"))
+      .withColumn("bpos", row_number().over(wBucket))
+      .filter(col("bpos") <= cap)
+      .select(col("bucket"), col("doc_id"))
+    val cand = idxBands.as("x").join(bBands.as("y"), col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("idx_id"), col("y.doc_id").as("new_id"))
+      .distinct()
+    // the batch is micro-batch-sized: shingling it whole is cheaper
+    // than a semi-join restriction (and keeps the per-trigger DAG flat)
+    admitAgainst(cand, idxShingles, shingleArrays(batch), batch, threshold)
   }
 
   /** Deterministic index/batch split of the `documents` table for the

@@ -835,8 +835,17 @@ object Streams {
     val ckpt = graft.Scratch.dir("graft_adm_ckpt").toString
     val index = graft.Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(5)) =!= 4)
-    // one-time index artifacts, shared by every micro-batch
-    val idxBands = graft.ext.Dedup.indexBandTable(index).cache()
+    // one-time index artifacts, shared by every micro-batch: the band
+    // table PRE-CAPPED per bucket and the shingle table materialized —
+    // what a production admission service persists at ingest
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val idxBands = graft.ext.Dedup.indexBandTable(index)
+      .withColumn("bpos", row_number().over(wB))
+      .filter(col("bpos") <= graft.ext.Dedup.hotBucketCap)
+      .select(col("bucket"), col("doc_id"))
+      .cache()
+    val idxShingles = graft.ext.Dedup.indexShingleTable(index).cache()
     val schema = spark.read.parquet(staged).schema
     val newDocs = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
@@ -847,13 +856,14 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          graft.ext.Dedup.incrementalDedupFromBands(idxBands, index, batch)
+          graft.ext.Dedup.incrementalDedupPrepared(idxBands, idxShingles, batch)
             .write.mode("append").parquet(out)
         }
       }
       .start()
     q.awaitTermination()
     idxBands.unpersist()
+    idxShingles.unpersist()
     spark.read.parquet(out)
   }
 

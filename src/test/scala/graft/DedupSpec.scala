@@ -221,13 +221,20 @@ class DedupSpec extends SparkSpec {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     val whole = key(Dedup.incrementalDedup(idx, batch))
-    // the streaming admission shape: one persisted index band table,
-    // batch processed in arbitrary slices
+    // the streaming admission shape: persisted index artifacts, batch
+    // processed in arbitrary slices — via BOTH the band-table path and
+    // the fully-prepared (pre-shingled) path the stream runner uses
     val bands = Dedup.indexBandTable(idx).cache()
+    val shingles = Dedup.indexShingleTable(idx).cache()
     val sliced = Seq(Seq(10L), Seq(11L, 12L)).map { ids =>
       key(Dedup.incrementalDedupFromBands(bands, idx,
         batch.filter(col("doc_id").isin(ids: _*))))
     }.reduce(_ ++ _)
     assert(sliced == whole, s"sliced=$sliced whole=$whole")
+    val prepared = Seq(Seq(10L), Seq(11L, 12L)).map { ids =>
+      key(Dedup.incrementalDedupPrepared(bands, shingles,
+        batch.filter(col("doc_id").isin(ids: _*))))
+    }.reduce(_ ++ _)
+    assert(prepared == whole, s"prepared=$prepared whole=$whole")
   }
 }
