@@ -57,17 +57,42 @@ object Curation {
     * gram arrays + a broadcast semi-join — no corpus shuffle at all
     * until the final per-source count agg.
     */
-  def decontaminate(docs: DataFrame, n: Int = 5): DataFrame = {
+  /** Training docs sharing any word n-gram with the benchmark set —
+    * THE contamination rule, in one place: `decontaminate` reports its
+    * rates, the admission ledger consumes the hit list. One Generate
+    * pass over packed gram arrays; the eval side's distinct grams
+    * BROADCAST (eval sets are tiny), so no corpus shuffle.
+    */
+  private def contaminatedDocIds(docs: DataFrame, n: Int): DataFrame = {
     val grams = gramArrays(docs, n)
     val bench = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) === 0)
       .select(explode(col("grams")).as("gram")).distinct()
-    val train = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
-    val contaminated = train
-      .select(col("doc_id"), col("source"), explode(col("grams")).as("gram"))
+    grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
       .join(broadcast(bench), "gram")
-      .select(col("doc_id"), col("source")).distinct()
-    train.select(col("doc_id"), col("source"))
-      .join(contaminated.select(col("doc_id"), lit(1).as("hit")), Seq("doc_id"), "left")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Oracle twin of `contaminatedDocIds` as reusable CTEs: brings
+    * `g(doc_id, source, grams)` and `contam(doc_id)` into scope.
+    */
+  private def contamCteSql(n: Int): String =
+    s"""g AS (
+       |  SELECT doc_id, source, ${gramsSql(n).replace("\n", "\n       |")} AS grams
+       |  FROM documents
+       |), bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $benchmarkMod = 0
+       |), contam AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+       |        WHERE doc_id % $benchmarkMod != 0) t
+       |  JOIN bench USING (gram)
+       |)""".stripMargin
+
+  def decontaminate(docs: DataFrame, n: Int = 5): DataFrame = {
+    docs.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(contaminatedDocIds(docs, n).withColumn("hit", lit(1)), Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -77,21 +102,11 @@ object Curation {
   }
 
   def decontaminateOracle(n: Int = 5): String =
-    s"""WITH g AS (
-       |  SELECT doc_id, source, ${gramsSql(n).replace("\n", "\n       |")} AS grams
-       |  FROM documents
-       |), bench AS (
-       |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $benchmarkMod = 0
-       |), hits AS (
-       |  SELECT DISTINCT t.doc_id
-       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
-       |        WHERE doc_id % $benchmarkMod != 0) t
-       |  JOIN bench USING (gram)
-       |)
+    s"""WITH ${contamCteSql(n).replace("\n", "\n       |")}
        |SELECT source, count(*) AS n_docs,
-       |       CAST(count(hits.doc_id) AS BIGINT) AS n_contaminated,
-       |       round(count(hits.doc_id)::DOUBLE / count(*), 6) AS contamination_rate
-       |FROM g LEFT JOIN hits USING (doc_id)
+       |       CAST(count(contam.doc_id) AS BIGINT) AS n_contaminated,
+       |       round(count(contam.doc_id)::DOUBLE / count(*), 6) AS contamination_rate
+       |FROM g LEFT JOIN contam USING (doc_id)
        |WHERE g.doc_id % $benchmarkMod != 0
        |GROUP BY 1""".stripMargin
 
@@ -542,44 +557,55 @@ object Curation {
   /** The curation CAPSTONE: a per-document admission ledger — every
     * training-candidate doc (benchmark docs excluded) with the single
     * reason it was dropped, or 'kept'. Precedence mirrors a production
-    * pipeline's filter order (cheapest-first, each stage only sees
-    * survivors — but the LEDGER records every doc against every
-    * signal so the audit is complete):
+    * pipeline's filter order, and — critically — survivor election is
+    * SEQUENTIAL, exactly as if each stage only saw the previous
+    * stage's survivors: the exact-dup survivor is the smallest doc of
+    * its key group that passed quality + decontamination, and the
+    * near-dup survivor is the smallest CLUSTER member still alive
+    * after the exact stage. A cluster whose minimum doc was
+    * quality-rejected therefore still keeps its best surviving member
+    * (independent per-signal flags would silently drop the whole
+    * cluster — the under-admission bug class this ordering exists to
+    * prevent):
     *   quality > contaminated > exact_dup > near_dup > kept.
     *
     * This is the artifact a dataset release ships ("why is doc X not
     * in the training set?") and the input to per-source loss
-    * accounting. Signals are computed corpus-wide and composed by
-    * doc-keyed joins: quality is one scan; contamination broadcasts
-    * the eval-set grams; the exact-dup survivor is a min-over-key
-    * window (one key shuffle); near-dup labels come from the SAME
-    * memoized cluster frame the dedup queries built (pair-graph-sized,
-    * so its join broadcasts). Nothing here re-runs the LSH pipeline.
+    * accounting. Shapes: quality is one scan; contamination broadcasts
+    * the eval-set grams (shared `contaminatedDocIds` rule); the
+    * exact-dup survivor is a min-over-key window (one key shuffle);
+    * near-dup survivors come from a groupBy over the MEMOIZED cluster
+    * labels (pair-graph-sized — never a window over the unclustered
+    * majority, which would funnel the whole corpus into one
+    * partition). Nothing here re-runs the LSH pipeline.
     */
   def admissionLedger(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val n = 5
     val q = TextOps.quality(docs).select(col("doc_id"), col("keep"))
-    val wKey = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(concat_ws(" ", toks(col("text")))))
-    val keyed = docs.select(col("doc_id"), col("source"), col("text"))
-      .withColumn("key_min", min(col("doc_id")).over(wKey))
-      .select(col("doc_id"), col("source"), col("key_min"))
-    val grams = gramArrays(docs, n)
-    val bench = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) === 0)
-      .select(explode(col("grams")).as("gram")).distinct()
-    val contaminated = grams.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(bench), "gram")
-      .select(col("doc_id")).distinct()
-    keyed.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+    val base = docs.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", toks(col("text")))).as("key"))
       .join(q, "doc_id")
+      .join(contaminatedDocIds(docs, n).withColumn("contam_hit", lit(1)),
+        Seq("doc_id"), "left")
       .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
-      .join(contaminated.withColumn("contam", lit(1)), Seq("doc_id"), "left")
+      .withColumn("contam", col("contam_hit").isNotNull)
+      .withColumn("early_drop", !col("keep") || col("contam"))
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+    val mid = base
+      .withColumn("key_surv",
+        min(when(!col("early_drop"), col("doc_id"))).over(wKey))
+      .withColumn("exact_drop",
+        !col("early_drop") && col("doc_id") =!= col("key_surv"))
+    val clSurv = mid
+      .filter(col("cluster_id").isNotNull && !col("early_drop") && !col("exact_drop"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("cl_surv"))
+    mid.join(clSurv, Seq("cluster_id"), "left")
       .select(col("doc_id"), col("source"),
         when(!col("keep"), "quality")
-          .when(col("contam").isNotNull, "contaminated")
-          .when(col("doc_id") =!= col("key_min"), "exact_dup")
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), "near_dup")
+          .when(col("contam"), "contaminated")
+          .when(col("exact_drop"), "exact_dup")
+          .when(col("cluster_id").isNotNull && col("doc_id") =!= col("cl_surv"), "near_dup")
           .otherwise("kept").as("reason"))
   }
 
@@ -598,32 +624,35 @@ object Curation {
        |  SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
        |), q AS (
        |  ${TextOps.qualityOracle.replace("\n", "\n       |  ")}
-       |), keyed AS (
-       |  SELECT doc_id, source,
-       |         min(doc_id) OVER (
-       |           PARTITION BY md5(array_to_string($toksSql, ' '))) AS key_min
-       |  FROM documents
-       |), g AS (
-       |  SELECT doc_id, ${gramsSql(5).replace("\n", "\n       |")} AS grams
-       |  FROM documents
-       |), bench AS (
-       |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $benchmarkMod = 0
-       |), contam AS (
-       |  SELECT DISTINCT t.doc_id
-       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
-       |        WHERE doc_id % $benchmarkMod != 0) t
-       |  JOIN bench USING (gram)
+       |), ${contamCteSql(5).replace("\n", "\n       |")},
+       |base AS (
+       |  SELECT d.doc_id, d.source,
+       |         md5(array_to_string($toksSql, ' ')) AS key,
+       |         q.keep,
+       |         (c2.doc_id IS NOT NULL) AS contam,
+       |         (NOT q.keep OR c2.doc_id IS NOT NULL) AS early_drop,
+       |         cl.cluster_id
+       |  FROM documents d JOIN q USING (doc_id)
+       |  LEFT JOIN clusters cl ON d.doc_id = cl.doc_id
+       |  LEFT JOIN contam c2 ON d.doc_id = c2.doc_id
+       |  WHERE d.doc_id % $benchmarkMod != 0
+       |), mid AS (
+       |  SELECT *,
+       |         (NOT early_drop AND doc_id != min(CASE WHEN NOT early_drop THEN doc_id END)
+       |            OVER (PARTITION BY key)) AS exact_drop
+       |  FROM base
+       |), cl_surv AS (
+       |  SELECT cluster_id, min(doc_id) AS cl_surv FROM mid
+       |  WHERE cluster_id IS NOT NULL AND NOT early_drop AND NOT exact_drop
+       |  GROUP BY 1
        |)
-       |SELECT k.doc_id, k.source,
-       |       CASE WHEN NOT q.keep THEN 'quality'
-       |            WHEN c2.doc_id IS NOT NULL THEN 'contaminated'
-       |            WHEN k.doc_id != k.key_min THEN 'exact_dup'
-       |            WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id != k.doc_id THEN 'near_dup'
+       |SELECT m.doc_id, m.source,
+       |       CASE WHEN NOT m.keep THEN 'quality'
+       |            WHEN m.contam THEN 'contaminated'
+       |            WHEN m.exact_drop THEN 'exact_dup'
+       |            WHEN m.cluster_id IS NOT NULL AND m.doc_id != s.cl_surv THEN 'near_dup'
        |            ELSE 'kept' END AS reason
-       |FROM keyed k JOIN q USING (doc_id)
-       |LEFT JOIN clusters cl ON k.doc_id = cl.doc_id
-       |LEFT JOIN contam c2 ON k.doc_id = c2.doc_id
-       |WHERE k.doc_id % $benchmarkMod != 0""".stripMargin
+       |FROM mid m LEFT JOIN cl_surv s USING (cluster_id)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_admission_ledger" -> ((s, d) =>

@@ -366,11 +366,14 @@ object Dedup {
       .withColumn("bpos", row_number().over(wBucket))
       .filter(col("bpos") <= cap)
       .select(col("bucket"), col("doc_id"), col("side"))
-      .cache()
+      .localCheckpoint() // both join sides read this; unlike cache(),
+                         // the ContextCleaner reclaims it once the
+                         // returned frame is unreachable (no per-call
+                         // storage-memory leak across invocations)
     val cand = bands.filter(col("side") === "idx").as("x")
       .join(bands.filter(col("side") === "new").as("y"), col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("idx_id"), col("y.doc_id").as("new_id"))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     // shingle arrays only for docs in some cross-side candidate pair
     val shIdx = shingleArrays(
       index.join(cand.select(col("idx_id").as("doc_id")), Seq("doc_id"), "left_semi"))
@@ -585,7 +588,10 @@ object Dedup {
   def dupClustersFromPairs(pairSet: DataFrame,
       driverMaxEdges: Long = Dedup.defaultDriverMaxEdges): DataFrame = {
     val spark = pairSet.sparkSession
-    val pairs = pairSet.select(col("doc_a"), col("doc_b"))
+    // normalize ids up front so BOTH paths emit the same (bigint,
+    // bigint) schema regardless of which the size guard picks
+    val pairs = pairSet.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"))
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
       .localCheckpoint()
@@ -597,11 +603,15 @@ object Dedup {
     // path-compressed union-find solves in microseconds. Below the
     // size guard, solve it where it fits; past it, run the
     // distributed O(log n) loop, which remains the scale path and
-    // keeps its own tests (forced via driverMaxEdges = 0).
+    // keeps its own tests (forced via driverMaxEdges = 0; the strict
+    // `<` keeps the empty graph on the distributed path when forced).
     val nEdges = edges.count()
-    if (nEdges / 2 <= driverMaxEdges) {
-      val es = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-        .collect()
+    if (nEdges / 2 < driverMaxEdges) {
+      // read from the CHECKPOINT (edges is materialized for the count
+      // above) — collecting the raw pair plan would re-run the whole
+      // upstream pair-generation pipeline a second time; <= keeps
+      // self-loops (they register a vertex even without a neighbor)
+      val es = edges.filter(col("s") <= col("d")).collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -698,9 +698,15 @@ object Similarity {
     * cosine).
     */
   def embedClusters(vectors: DataFrame, threshold: Double = 0.4): DataFrame =
+    clustersFromVecPairs(nearDupPairs(vectors, threshold))
+
+  /** The single pairs→clusters adapter (column renames + the shared
+    * clustering engine) — used by both the public operator and the
+    * memoized query path.
+    */
+  private def clustersFromVecPairs(pairs: DataFrame): DataFrame =
     graft.ext.Dedup.dupClustersFromPairs(
-      nearDupPairs(vectors, threshold)
-        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
 
   def embedClustersOracle(threshold: Double = 0.4): String =
@@ -764,11 +770,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def embedClustersFor(s: SparkSession, d: String): DataFrame =
-    embedClusterMemo.getOrElseUpdate(d,
-      graft.ext.Dedup.dupClustersFromPairs(
-        embedPairsFor(s, d)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-        .select(col("doc_id").as("vec_id"), col("cluster_id")))
+    embedClusterMemo.getOrElseUpdate(d, clustersFromVecPairs(embedPairsFor(s, d)))
 
   // ------------------------------------------------ product quantization
 

@@ -28,7 +28,7 @@ class CurationSpec extends SparkSpec {
     assert(out("books") == ((1L, 0L)))
   }
 
-  test("admissionLedger: one precedence-ordered reason per doc, benchmark excluded") {
+  test("admissionLedger: sequential survivors, one precedence-ordered reason per doc") {
     val s = spark
     import s.implicits._
     val base = "one two three four five six seven eight nine ten eleven twelve"
@@ -39,8 +39,13 @@ class CurationSpec extends SparkSpec {
       (3L, base, "web"),                                        // kept (exact survivor)
       (4L, base, "web"),                                        // exact dup of 3
       (5L, "a fully unique sentence with plenty of ordinary clean words inside", "books"),
-      (6L, "alpha beta gamma delta epsilon", "web"))            // fails quality AND contaminated
-    val clusters = Seq((5L, 3L)).toDF("doc_id", "cluster_id")   // 5 labeled near-dup of 3
+      (6L, "alpha beta gamma delta epsilon", "web"),            // fails quality AND contaminated
+      (7L, "tiny words", "web"),                                // quality reject, cluster-min of {7,8}
+      (8L, "a perfectly ordinary clean document that deserves to stay in the set", "web"))
+    val clusters = Seq(
+      (3L, 3L), (5L, 3L),   // 5 near-dups 3; 3 survives
+      (7L, 7L), (8L, 7L))   // cluster-min 7 is quality-dropped -> 8 is RESCUED
+      .toDF("doc_id", "cluster_id")
     val out = Curation.admissionLedger(d, clusters).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(!out.contains(0L), "benchmark doc must not appear in the ledger")
@@ -50,7 +55,10 @@ class CurationSpec extends SparkSpec {
       3L -> "kept",
       4L -> "exact_dup",
       5L -> "near_dup",
-      6L -> "quality"), s"ledger: $out") // quality outranks contamination for 6
+      6L -> "quality",      // quality outranks contamination
+      7L -> "quality",
+      8L -> "kept"),        // sequential survivor: the whole cluster is NOT lost
+      s"ledger: $out")
   }
 
   test("repetition: looping text scores high and is dropped; varied text keeps") {
