@@ -270,6 +270,84 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("admission ledger equals a sequential reference model (random corpora)") {
+    import graft.ext.Curation
+    // Every flag is guaranteed by CONSTRUCTION: clean docs are 10
+    // unique alnum words (pass quality, share no benchmark 5-gram),
+    // short docs fail the n_tokens >= 10 gate, contaminated docs embed
+    // the benchmark's leading 5-gram inside unique filler, and dups
+    // copy an earlier doc's text verbatim. A plain-Scala replay of the
+    // sequential election (quality -> contamination -> exact survivor
+    // -> near-dup survivor) is then exact truth for the DataFrame
+    // plan, including the rescue case where a cluster's minimum doc
+    // was dropped upstream.
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val nDocs = 24 // ids 1..24 < 53, so only doc 0 is benchmark
+    val corpusGen = for {
+      kinds <- Gen.listOfN(nDocs, Gen.frequency(
+        (5, Gen.const("clean")), (2, Gen.const("short")),
+        (2, Gen.const("contam")), (3, Gen.const("dup"))))
+      dupRefs <- Gen.listOfN(nDocs, Gen.choose(0, nDocs - 1))
+      clLabels <- Gen.listOfN(nDocs, Gen.option(Gen.choose(0, 4)))
+    } yield (kinds, dupRefs, clLabels)
+    for ((kinds, dupRefs, clLabels) <- samples(corpusGen, 5)) {
+      val s = spark
+      import s.implicits._
+      def freshText(i: Int): String = kinds(i) match {
+        case "short"  => s"s${i}a s${i}b"
+        case "contam" => "alpha beta gamma delta epsilon " +
+          (0 until 5).map(j => s"c$i$j").mkString(" ")
+        case _        => (0 until 10).map(j => s"w$i$j").mkString(" ")
+      }
+      val texts = Array.ofDim[String](nDocs)
+      for (i <- 0 until nDocs)
+        texts(i) =
+          if (kinds(i) == "dup" && dupRefs(i) < i) texts(dupRefs(i))
+          else freshText(i)
+      val docRows = (0 until nDocs).map(i =>
+        ((i + 1).toLong, texts(i), if (i % 2 == 0) "web" else "books"))
+      val clRows = clLabels.zipWithIndex.collect {
+        case (Some(l), i) => ((i + 1).toLong, 1000L + l)
+      }
+      // reference model: flags derived from the TEXTS (so a dup of a
+      // short or contaminated doc inherits its fate automatically)
+      def grams(t: String) =
+        t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+      val benchGrams = grams(benchText)
+      val quality = docRows.map { case (id, t, _) =>
+        id -> (t.split(" ").length >= 10) }.toMap
+      val contam = docRows.map { case (id, t, _) =>
+        id -> grams(t).exists(benchGrams) }.toMap
+      val early = docRows.map { case (id, _, _) =>
+        id -> (!quality(id) || contam(id)) }.toMap
+      val keySurv = docRows.groupBy(_._2).map { case (t, ms) =>
+        t -> ms.map(_._1).filterNot(early).sorted.headOption }
+      val exactDrop = docRows.map { case (id, t, _) =>
+        id -> (!early(id) && keySurv(t).get != id) }.toMap
+      val clusterOf = clRows.toMap
+      val clSurv = clRows.groupBy(_._2).map { case (c, ms) =>
+        c -> ms.map(_._1).filter(id => !early(id) && !exactDrop(id))
+          .sorted.headOption }
+      val want = docRows.map { case (id, _, src) =>
+        val reason =
+          if (!quality(id)) "quality"
+          else if (contam(id)) "contaminated"
+          else if (exactDrop(id)) "exact_dup"
+          else clusterOf.get(id) match {
+            case Some(c) if clSurv(c).get != id => "near_dup"
+            case _                              => "kept"
+          }
+        id -> ((src, reason))
+      }.toMap
+      val all = (0L, benchText, "web") +: docRows
+      val got = Curation.admissionLedger(
+        all.toDF("doc_id", "text", "source"),
+        clRows.toDF("doc_id", "cluster_id")).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      assert(got == want, s"kinds=$kinds clusters=$clRows")
+    }
+  }
+
   test("quantize matches a local int8 reference on random vectors") {
     import graft.ext.Similarity
     val s = spark
