@@ -348,6 +348,42 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sequencePack equals local per-source prefix-sum packing (random lengths)") {
+    import graft.ext.Curation
+    // The directed test covers the evenly-divisible case; here random
+    // token counts — including docs LARGER than the budget, which make
+    // pack numbers legitimately skip (cum jumps more than one budget) —
+    // must match a local replay of the prefix-sum law exactly.
+    val budget = 16
+    val corpusGen = for {
+      n    <- Gen.choose(6, 20)
+      lens <- Gen.listOfN(n, Gen.oneOf(Gen.choose(1, 6), Gen.choose(14, 40)))
+      srcs <- Gen.listOfN(n, Gen.oneOf("web", "books"))
+    } yield lens.zip(srcs)
+    for (rows <- samples(corpusGen, 6)) {
+      val s = spark
+      import s.implicits._
+      val docs = rows.zipWithIndex.map { case ((len, src), i) =>
+        ((i + 1).toLong, (1 to len).map(j => s"t$j").mkString(" "), src)
+      }
+      val want = docs.groupBy(_._3).flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, t, _) =>
+          cum += t.split(" +").length.toLong
+          (src, (cum - 1) / budget, id, t.split(" +").length.toLong)
+        }
+      }.groupBy(t => (t._1, t._2)).map { case (key, ms) =>
+        key -> ((ms.size.toLong, ms.map(_._4).sum,
+          ms.map(_._3).min, ms.map(_._3).max))
+      }
+      val got = Curation.sequencePack(
+        docs.toDF("doc_id", "text", "source"), budget).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
   test("quantize matches a local int8 reference on random vectors") {
     import graft.ext.Similarity
     val s = spark
