@@ -384,6 +384,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("shardManifest equals a local md5-shuffle replay (random id sets)") {
+    import graft.ext.Curation
+    // The order-sensitive checksum verifies the exact shuffle order,
+    // so the local truth must replay the full derivation: hkey =
+    // md5(id + ":shuffle"), shard = first 4 hex digits mod numShards,
+    // pos = rank within the shard ordered by (hkey, id).
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val idsGen = Gen.choose(10, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 5000000L)).map(_.distinct))
+    for (ids <- samples(idsGen, 6)) {
+      val s = spark
+      import s.implicits._
+      val local = ids.map { id =>
+        val hkey = md5hex(s"$id:shuffle")
+        (id, hkey, java.lang.Long.parseLong(hkey.substring(0, 4), 16) %
+          Curation.numShards)
+      }
+      val want = local.groupBy(_._3).map { case (shard, ms) =>
+        val ordered = ms.sortBy(m => (m._2, m._1))
+        shard -> ((ordered.size.toLong, ordered.head._1, ordered.last._1,
+          ordered.zipWithIndex.map { case (m, i) => (i + 1L) * m._1 }.sum))
+      }
+      val got = Curation.shardManifest(ids.toDF("doc_id")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == want, s"ids=$ids")
+    }
+  }
+
   test("quantize matches a local int8 reference on random vectors") {
     import graft.ext.Similarity
     val s = spark
