@@ -415,6 +415,47 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("md5-gated sampling and split assignment equal a local hash replay") {
+    import graft.ext.Curation
+    // Random ids and random SOURCE NAMES vary the per-source keep-rate
+    // (10-89%) and push doc hashes across the 90/95 split thresholds —
+    // edges a fixed corpus's handful of sources barely exercises. The
+    // local truth replays the gate: first 4 md5 hex digits, mod, compare.
+    def h4(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString, 16)
+    val corpusGen = for {
+      n    <- Gen.choose(20, 60)
+      ids  <- Gen.listOfN(n, Gen.choose(0L, 5000000L)).map(_.distinct)
+      srcs <- Gen.listOfN(n, Gen.alphaLowerStr.map(s => "s" + s.take(6)))
+    } yield ids.zip(srcs)
+    for (rows <- samples(corpusGen, 6)) {
+      val s = spark
+      import s.implicits._
+      val docs = rows.map { case (id, src) => (id, "w1 w2 w3", src) }
+      val df = docs.toDF("doc_id", "text", "source")
+      val wantMix = rows.groupBy(_._2).map { case (src, ms) =>
+        val rate = h4(src) % 80 + 10
+        val kept = ms.count { case (id, _) => h4(id.toString) % 100 < rate }
+        src -> ((ms.size.toLong, kept.toLong, rate,
+          BigDecimal(kept.toDouble / ms.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      val gotMix = Curation.sampleMix(df).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(gotMix == wantMix, s"rows=$rows")
+      val wantSplit = rows.groupBy { case (id, src) =>
+        val h = h4(id.toString) % 100
+        (src, if (h < 90) "train" else if (h < 95) "val" else "test")
+      }.map { case (key, ms) => key -> ((ms.size.toLong, 3L * ms.size)) }
+      val gotSplit = Curation.splitAssign(df).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(gotSplit == wantSplit, s"rows=$rows")
+    }
+  }
+
   test("quantize matches a local int8 reference on random vectors") {
     import graft.ext.Similarity
     val s = spark
