@@ -274,13 +274,93 @@ object TextOps {
        |       round(CAST(top_f AS DOUBLE) / n_tokens, 6) AS top${topN}_cover
        |FROM t, top""".stripMargin
 
+  /** BPE merge-pair frequencies — the inner statistic of byte-pair
+    * tokenizer training: corpus-wide counts of adjacent normalized-token
+    * pairs, top-K merge candidates ranked (count desc, pair asc). The
+    * token array materializes once behind a Generate barrier, the native
+    * bigram expression (`graft_ngrams`, n=2) emits the len−1 pairs per
+    * document in one JVM pass, and the only shuffle is the pair-keyed
+    * count (map-side combinable). Top-K runs as TakeOrdered over
+    * per-partition heaps — a 10⁸-pair vocabulary never lands in one
+    * partition; the rank window runs over the K survivors only. Docs
+    * with fewer than two tokens contribute no pairs (filtered
+    * identically on both engines, so no clamped pseudo-pairs).
+    */
+  def bpePairs(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val arrd = docs
+      .select(explode(array(TextNorm.toks(col("text")))).as("arr"))
+      .filter(size(col("arr")) >= 2)
+    val freqs = arrd
+      .select(explode(graft.functions.NGramsOps.ngrams(spark, col("arr"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("f"))
+    freqs.orderBy(col("f").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("f").desc, col("pair"))))
+  }
+
+  def bpePairsOracle(k: Int = 50): String =
+    s"""WITH toks AS (
+       |  SELECT ${TextNorm.toksSql} AS arr FROM documents
+       |), pairs AS (
+       |  SELECT unnest(list_transform(range(1, len(arr)),
+       |                i -> array_to_string(arr[i:i+1], ' '))) AS pair
+       |  FROM toks WHERE len(arr) >= 2
+       |), f AS (
+       |  SELECT pair, count(*) AS f FROM pairs GROUP BY 1
+       |)
+       |SELECT pair, f, rank FROM (
+       |  SELECT pair, f, row_number() OVER (ORDER BY f DESC, pair) AS rank FROM f
+       |) WHERE rank <= $k""".stripMargin
+
+  /** Token-length histogram in power-of-two buckets, per source — the
+    * length-distribution profile a packing/curriculum stage reads before
+    * choosing sequence budgets. The bucket index is the integer
+    * bit-length of the token count (base-2 digits minus one) — exact
+    * integer arithmetic on both engines, immune to the floor(log2) FP
+    * edge at exact powers of two. Map-only corpus scan + one tiny
+    * (source, bucket) aggregate; the per-source share windows over the
+    * aggregated histogram, never the corpus.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = size(TextNorm.toks(col("text")))
+    docs
+      .select(col("source"),
+        (length(conv(n.cast("string"), 10, 2)) - 1).as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lo_tokens", pow(lit(2.0), col("bucket")).cast("bigint"))
+      .withColumn("hi_tokens", pow(lit(2.0), col("bucket") + 1).cast("bigint") - 1)
+      .withColumn("share", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))), 6))
+      .select(col("source"), col("bucket"), col("lo_tokens"), col("hi_tokens"),
+        col("n_docs"), col("share"))
+  }
+
+  val lengthHistogramOracle: String =
+    s"""WITH n AS (
+       |  SELECT source, len(${TextNorm.toksSql}) AS n_tokens FROM documents
+       |), h AS (
+       |  SELECT source, length(bin(n_tokens)) - 1 AS bucket, count(*) AS n_docs
+       |  FROM n GROUP BY 1, 2
+       |)
+       |SELECT source, bucket,
+       |       CAST(power(2, bucket) AS BIGINT) AS lo_tokens,
+       |       CAST(power(2, bucket + 1) AS BIGINT) - 1 AS hi_tokens,
+       |       n_docs,
+       |       round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY source), 6) AS share
+       |FROM h""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> ((s, d) => vocabReport(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
-    "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d)))
+    "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+    "q_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
+    "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -289,6 +369,8 @@ object TextOps {
     "q_text_tokens" -> tokenCountsOracle,
     "q_text_quality" -> qualityOracle,
     "q_text_langid" -> langIdOracle,
-    "q_text_fingerprint" -> fingerprintOracle
+    "q_text_fingerprint" -> fingerprintOracle,
+    "q_bpe_pairs" -> bpePairsOracle(),
+    "q_length_hist" -> lengthHistogramOracle
   )
 }

@@ -63,4 +63,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getString(2) == out(1).getString(2)) // content_fp
     assert(out(0).getString(1) != out(2).getString(1))
   }
+
+  test("bpe pairs: adjacent-pair counts, rank order, short docs excluded") {
+    val out = TextOps.bpePairs(docs(
+      (1L, "a b a b c", "en"),     // pairs: a b, b a, a b, b c
+      (2L, "a b", "en"),           // pairs: a b
+      (3L, "solo", "en")), k = 3)  // no pairs (1 token)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // a b ×3, then (b a, b c) ×1 tie broken by pair asc
+    assert(out.toSeq == Seq(("a b", 3L, 1), ("b a", 1L, 2), ("b c", 1L, 3)))
+  }
+
+  test("length histogram: power-of-two buckets with exact edges") {
+    val out = TextOps.lengthHistogram(docs(
+      (1L, "one", "en"),                          // 1 token  -> bucket 0
+      (2L, "a b c d e f g h", "en"),              // 8 tokens -> bucket 3
+      (3L, "a b c d e f g h i j k l m n o", "en") // 15 tokens -> bucket 3
+    )).orderBy("bucket").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq((0, 1L, 1L, 1L, 0.333333), (3, 8L, 15L, 2L, 0.666667)))
+  }
 }
