@@ -792,8 +792,10 @@ object Similarity {
     * (K·m·sub cells), packed into ONE broadcast row; assignment is a
     * map-only pass — the corpus is never shuffled, exactly like
     * `withRankedCells`. The per-row cost is m·K·sub multiply-adds in
-    * unrolled (non-HOF-nested) expressions; `graft_rankcells` shows
-    * the native-expression upgrade path if a profiled corpus needs it.
+    * ONE native `graft_pqassign` call (the `graft_rankcells`
+    * HOF→native upgrade path, exercised: the composed transform-argmin
+    * form paid an interpreted lambda dispatch per codebook entry and a
+    * planning/codegen cost proportional to the unrolled tree).
     */
   /** One-row PQ codebook frame: for each subspace `s`, `cb_s` is the
     * code-ORDERED array of (code, sub-centroid) structs — positional
@@ -812,35 +814,28 @@ object Similarity {
     cents.agg(cbCols.head, cbCols.tail: _*)
   }
 
-  /** Squared L2 distance of `e`'s subspace `s` to a sub-centroid,
-    * unrolled (no nested HOF) so both engines add terms identically.
+  /** The m subspace codebook columns packed as ONE array argument for
+    * the native kernels (`graft_pqassign` / `graft_pqadc`).
     */
-  private def pqSubDist(e: Column, cent: Column, s: Int, sub: Int): Column =
-    (1 to sub).map { i =>
-      val diff = element_at(e, s * sub + i) - element_at(cent, i)
-      diff * diff
-    }.reduce(_ + _)
-
-  /** Min (rounded dist, code) struct for subspace `s` — lexicographic
-    * struct ordering = rank by rounded distance, tie-break smaller code.
-    */
-  private def pqPick(e: Column, s: Int, sub: Int): Column =
-    array_min(transform(col(s"cb_$s"), c =>
-      struct(round(pqSubDist(e, c.getField("c"), s, sub), 6).as("d"),
-        c.getField("code").as("code"))))
+  private def pqCbsArr(m: Int): Column =
+    array((0 until m).map(s => col(s"cb_$s")): _*)
 
   def pqQuantize(vectors: DataFrame, m: Int = 8): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
-    val sub = dim / m
+    val spark = vectors.sparkSession
     val v = vectors.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("e"))
     val codebook = pqCodebookFrame(v, m)
-    val picked = v.crossJoin(broadcast(codebook))
-      .select(Seq(col("vec_id")) ++
-        (0 until m).map(s => pqPick(col("e"), s, sub).as(s"p_$s")): _*)
-    picked.select(col("vec_id"),
-      concat_ws(",", (0 until m).map(s => col(s"p_$s.code").cast("string")): _*).as("codes"),
-      round((0 until m).map(s => col(s"p_$s.d")).reduce(_ + _), 6).as("recon_err"))
+    // assignment = one native call per row (argmin over every subspace
+    // codebook in a single JVM pass — graft_pqassign replaces the m
+    // interpreted transform-HOF argmins); the codes and err consumers
+    // share the call through whole-stage codegen's subexpression
+    // elimination, so no Generate barrier is needed
+    val pa = graft.functions.PqOps.pqAssign(spark, col("e"), pqCbsArr(m))
+    v.crossJoin(broadcast(codebook))
+      .select(col("vec_id"),
+        concat_ws(",", pa.getField("codes").cast("array<string>")).as("codes"),
+        pa.getField("err").as("recon_err"))
   }
 
   def pqQuantizeOracle(m: Int = 8): String = {
@@ -894,37 +889,36 @@ object Similarity {
 
   private def ivfPqFromFrame(v: DataFrame, nQueries: Int, k: Int,
       nprobe: Int, m: Int): DataFrame = {
-    val sub = dim / m
+    val spark = v.sparkSession
     val withCells = withRankedCells(v, labelCentroids(v))
     // one row; memoized per (corpus frame, m) so the codebook
     // aggregation runs once across consumers AND across invocations —
     // a bare .cache() here would stack a fresh cached frame per call
     val pqCb = pqCbMemo.getOrElseUpdate((v, m), pqCodebookFrame(v, m).cache())
     // inverted lists carry only (vec_id, cell, codes): the PQ-compressed
-    // index — one map-only pass over the corpus
+    // index — one map-only pass over the corpus, one native argmin call
+    // per row (graft_pqassign)
     val cand = withCells
       .withColumn("cell", col("cells").getItem(0))
       .crossJoin(broadcast(pqCb))
       .select(col("vec_id"), col("cell"),
-        array((0 until m).map(s => pqPick(col("e"), s, sub).getField("code")): _*).as("codes"))
+        graft.functions.PqOps.pqAssign(spark, col("e"), pqCbsArr(m))
+          .getField("codes").as("codes"))
     val q = withCells.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("e").as("qe"),
         explode(slice(col("cells"), 1, nprobe)).as("cell"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc"), col("vec_id"))
-    val adc = (0 until m).map { s =>
-      // lookup BY CODE VALUE (map semantics), not array position — a
-      // label with no vectors would shift every later position and
-      // silently score against the wrong centroid (the oracle joins
-      // by value, so only the Spark side would be wrong)
-      val cent = element_at(
-        map_from_entries(col(s"cb_$s")), element_at(col("codes"), s + 1))
-      pqSubDist(col("qe"), cent, s, sub)
-    }.reduce(_ + _)
+    // graft_pqadc looks sub-centroids up BY CODE VALUE (map semantics,
+    // null on a miss), not array position — a label with no vectors
+    // would shift every later position and silently score against the
+    // wrong centroid (the oracle joins by value, so only the Spark side
+    // would be wrong)
     cand.join(broadcast(q), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .crossJoin(broadcast(pqCb))
-      .withColumn("adc", round(adc, 6))
+      .withColumn("adc", round(
+        graft.functions.PqOps.pqAdc(spark, col("qe"), col("codes"), pqCbsArr(m)), 6))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("adc"), col("rank"))

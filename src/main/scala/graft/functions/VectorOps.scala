@@ -120,6 +120,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[RankCells].getName, "graft_rankcells"),
       (children: Seq[Expression]) => RankCells(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pqassign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "graft_pqassign"),
+      (children: Seq[Expression]) => PqAssign(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pqadc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pqadc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) =>

@@ -383,4 +383,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r._4 == 5L && r._5 == 1.0),
       s"single shared bucket must give perfect recall, got ${rows.mkString(", ")}")
   }
+
+  test("PqKernel: argmin tie-breaks on the smaller code; ADC misses yield None") {
+    import graft.functions.PqKernel
+    // two codes at the SAME rounded distance from e's single subspace —
+    // the smaller code must win (the oracle's ORDER BY round(d,6), label)
+    val cb = Seq(Seq(7 -> Seq(1.0, 2.0), 3 -> Seq(1.0, 2.0)))
+    val (codes, err) = PqKernel.assignSeq(Seq(1.5, 2.5), cb)
+    assert(codes == Seq(3) && err == 0.5)
+    // ADC by code VALUE: present code scores, absent code is None (the
+    // element_at(map_from_entries(...), code) null contract)
+    assert(PqKernel.adcSeq(Seq(1.0, 2.0), Seq(7), cb).contains(0.0))
+    assert(PqKernel.adcSeq(Seq(1.0, 2.0), Seq(5), cb).isEmpty)
+  }
 }
