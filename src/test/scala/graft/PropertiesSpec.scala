@@ -479,4 +479,42 @@ class PropertiesSpec extends SparkSpec {
       assert(gotNmse >= 0 && gotNmse <= 0.25 + 1e-9, s"vec $id nmse bound")
     }
   }
+
+  test("pq kernels: native path and Seq twin equal a naive reference (random codebooks)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PqKernel
+    val s = spark
+    import s.implicits._
+    val m = 2; val sub = 4
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecGen = Gen.listOfN(m * sub, Gen.choose(-2.0, 2.0))
+    val codeIds = Seq(0, 2, 5) // non-contiguous: lookup must be by VALUE
+    for ((e, i) <- samples(vecGen, 8).zipWithIndex) {
+      val cbs: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { cbS =>
+        codeIds.map(c => c -> samples(vecGen, 8)((i + c + cbS) % 8).take(sub))
+      }
+      def dist(cbS: Int, cent: Seq[Double]): Double =
+        (0 until sub).map { j => val d = e(cbS * sub + j) - cent(j); d * d }.sum
+      val wantCodes = (0 until m).map(cbS =>
+        cbs(cbS).map { case (c, cent) => (r6(dist(cbS, cent)), c) }.min._2)
+      val wantErr = r6((0 until m).map(cbS =>
+        cbs(cbS).map { case (c, cent) => (r6(dist(cbS, cent)), c) }.min._1).sum)
+      val (gotCodes, gotErr) = PqKernel.assignSeq(e, cbs)
+      assert(gotCodes == wantCodes && gotErr == wantErr, s"twin diverged: e=$e")
+      // ADC reference for the assigned codes, plus a guaranteed miss
+      val wantAdc = (0 until m).map(cbS =>
+        dist(cbS, cbs(cbS).find(_._1 == wantCodes(cbS)).get._2)).sum
+      assert(PqKernel.adcSeq(e, wantCodes, cbs).contains(wantAdc))
+      assert(PqKernel.adcSeq(e, Seq.fill(m)(99), cbs).isEmpty)
+      // the NATIVE ArrayData pass (what codegen calls), not just the twin
+      val row = Seq((e, cbs)).toDF("e", "cb")
+        .select(call_function("graft_pqassign", col("e"), col("cb")).as("pa"),
+          call_function("graft_pqadc", col("e"), typedLit(wantCodes), col("cb")).as("adc"))
+        .head()
+      val pa = row.getStruct(0)
+      assert(pa.getSeq[Int](0) == wantCodes && pa.getDouble(1) == wantErr,
+        s"native assign diverged: e=$e")
+      assert(row.getDouble(1) == wantAdc, s"native adc diverged: e=$e")
+    }
+  }
 }
