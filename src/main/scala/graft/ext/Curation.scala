@@ -225,6 +225,51 @@ object Curation {
        |)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Pack segment table — the dataloader-facing artifact of sequence
+    * packing: for every packed context window, the ordered (segment,
+    * doc, token-span) rows a trainer reads for document-boundary
+    * attention masks and per-doc loss masking. Pack assignment is the
+    * same per-source prefix sum as `sequencePack`; the within-pack
+    * offsets are a second window over (source, pack_no) — a
+    * SUBSET-keyed window (hash partitioning on `source` already
+    * co-locates every pack), so the second stage plans a sort, never
+    * another exchange.
+    */
+  def packSegments(docs: DataFrame, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeg = Window.partitionBy(col("source"), col("pack_no")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), " +")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .withColumn("pack_no", floor((col("cum_tokens") - 1) / budget).cast("bigint"))
+      .withColumn("seg_no", row_number().over(wSeg))
+      .withColumn("end_tok", sum(col("n_tokens")).over(
+        wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("pack_no"), col("seg_no"), col("doc_id"),
+        col("n_tokens"),
+        (col("end_tok") - col("n_tokens")).as("start_tok"), col("end_tok"))
+  }
+
+  def packSegmentsOracle(budget: Int = 512): String =
+    s"""WITH a AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                     ROWS UNBOUNDED PRECEDING) - 1) / $budget) AS BIGINT) AS pack_no
+       |  FROM (SELECT doc_id, source,
+       |               len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+       |        FROM documents)
+       |)
+       |SELECT source, pack_no,
+       |       row_number() OVER (PARTITION BY source, pack_no ORDER BY doc_id) AS seg_no,
+       |       doc_id, n_tokens,
+       |       CAST(sum(n_tokens) OVER (PARTITION BY source, pack_no ORDER BY doc_id
+       |            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok,
+       |       CAST(sum(n_tokens) OVER (PARTITION BY source, pack_no ORDER BY doc_id
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+       |FROM a""".stripMargin
+
   // ------------------------------------------------------------ scrubbing
 
   /** PII-pattern scrub: redact email-shaped and long-digit-run tokens,
@@ -662,6 +707,7 @@ object Curation {
     "q_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))),
     "q_seq_pack" -> ((s, d) => sequencePack(Tables.documents(s, d))),
+    "q_pack_segments" -> ((s, d) => packSegments(Tables.documents(s, d))),
     "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
@@ -677,6 +723,7 @@ object Curation {
     "q_repetition" -> repetitionOracle(),
     "q_sample_mix" -> sampleMixOracle,
     "q_seq_pack" -> sequencePackOracle(),
+    "q_pack_segments" -> packSegmentsOracle(),
     "q_pii_scrub" -> piiScrubOracle,
     "q_split_assign" -> splitAssignOracle,
     "q_shard_manifest" -> shardManifestOracle,

@@ -81,6 +81,39 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == ((1L, 5L, 5L)))
   }
 
+  test("packSegments: spans tile each pack contiguously and agree with sequencePack") {
+    // mixed lengths: 4+4 fills budget 8, then 6+2, then 4
+    val texts = Seq("a a a a", "b b b b", "c c c c c c", "d d", "e e e e")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t, "web") }: _*)
+    val segs = Curation.packSegments(d, budget = 8).orderBy("pack_no", "seg_no")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(5), r.getLong(6)))
+    // within every pack: seg 1 starts at 0, spans are contiguous
+    segs.groupBy(_._1).foreach { case (pack, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._4 == 0L, s"pack $pack first span must start at 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, _, e1), (_, _, _, s2, _)) =>
+          assert(e1 == s2, s"pack $pack spans must be contiguous")
+        case _ =>
+      }
+    }
+    // doc→pack assignment identical to sequencePack's aggregate view
+    val packs = Curation.sequencePack(d, budget = 8).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    segs.groupBy(_._1).foreach { case (pack, ss) =>
+      val ids = ss.map(_._3).sorted
+      assert(packs(pack) == ((ids.length.toLong, ids.head, ids.last)),
+        s"pack $pack members diverge from sequencePack")
+    }
+  }
+
+  test("packSegments plans ONE exchange: the pack window reuses the source partitioning") {
+    val d = docs((1L to 6L).map(i => (i, "x x x", "web")): _*)
+    val plan = Curation.packSegments(d, budget = 6).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (source), got $exchanges:\n$plan")
+  }
+
   test("piiScrub counts and redacts email and digit-run patterns") {
     val d = docs(
       (1L, "contact me at alice.smith@example.com or 123456789012 thanks", "web"),
