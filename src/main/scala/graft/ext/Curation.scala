@@ -110,6 +110,81 @@ object Curation {
        |WHERE g.doc_id % $benchmarkMod != 0
        |GROUP BY 1""".stripMargin
 
+  /** Cross-source overlap matrix: distinct shared word n-grams and the
+    * gram-set Jaccard for every source pair — the "which corpus leaks
+    * into which" diagnostic read before choosing mixing weights
+    * (near-identical sources double-count their mass).
+    *
+    * Scale shape: ONE corpus-scale pass, all-primitive — each gram's
+    * source SET is a 64-bit mask built by `bit_or(1L << idx)` (a
+    * codegen'd primitive hash aggregate with map-side combine; a
+    * collect_set formulation would carry object agg buffers through
+    * the exchange and grow with source count), then a mask HISTOGRAM
+    * (≤ observed source combos), and the pair expansion runs over that
+    * config-scale histogram via broadcast bit-test joins — a gram
+    * shared by millions of docs is one histogram row, so there is no
+    * hot-gram self-join to blow up (the oracle keeps the N² self-join
+    * SQL as truth). The source dictionary is built in-plan (tiny
+    * distinct + row_number) and the 62-source mask width is guarded by
+    * an in-plan raise_error — no driver materialization anywhere. The
+    * histogram localCheckpoints for its two consumers (pairs +
+    * diagonal totals). At sf0.1 the ~2 s is fixed small-query cost
+    * (the dict window + two tiny extra stages schedule ~0.5 s alone),
+    * not data volume — the corpus term is the single gram pass.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = docs.select(col("source")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("source"))) - 1)
+      .withColumn("idx", when(col("idx") > 61, raise_error(concat(
+        lit("sourceOverlap: mask width supports at most 62 sources, saw idx "),
+        col("idx").cast("string")))).otherwise(col("idx")))
+    val maskHist = gramArrays(docs, n)
+      .join(broadcast(dict), "source")
+      .select(col("idx"), explode(col("grams")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    def bitSet(mask: Column, idx: Column): Column =
+      mask.bitwiseAND(call_function("shiftleft", lit(1L), idx)) =!= 0
+    val da = dict.select(col("source").as("source_a"), col("idx"))
+    val db = dict.select(col("source").as("source_b"), col("idx").as("idx_b"))
+    val m = maskHist
+      .join(broadcast(da), bitSet(col("mask"), col("idx")))
+      .join(broadcast(db),
+        bitSet(col("mask"), col("idx_b")) && col("idx") <= col("idx_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("c")).cast("bigint").as("c"))
+    val diag = m.filter(col("source_a") === col("source_b"))
+    m.filter(col("source_a") < col("source_b"))
+      .withColumnRenamed("c", "shared_grams")
+      .join(broadcast(diag.select(col("source_a"), col("c").as("n_a"))), "source_a")
+      .join(broadcast(diag.select(col("source_a").as("source_b"), col("c").as("n_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("n_a"), col("n_b"),
+        round(col("shared_grams").cast("double") /
+          (col("n_a") + col("n_b") - col("shared_grams")), 6).as("jaccard"))
+  }
+
+  def sourceOverlapOracle(n: Int = 5): String =
+    s"""WITH sg AS (
+       |  SELECT DISTINCT source, gram FROM (
+       |    SELECT source, unnest(${gramsSql(n).replace("\n", "\n       |")}) AS gram
+       |    FROM documents)
+       |), per AS (
+       |  SELECT source, count(*) AS n FROM sg GROUP BY 1
+       |), pr AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_grams
+       |  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source_a, source_b, shared_grams, pa.n AS n_a, pb.n AS n_b,
+       |       round(shared_grams::DOUBLE / (pa.n + pb.n - shared_grams), 6) AS jaccard
+       |FROM pr JOIN per pa ON pa.source = pr.source_a
+       |        JOIN per pb ON pb.source = pr.source_b""".stripMargin
+
   // ---------------------------------------------------------- repetition
 
   /** Within-document repetition (Gopher-style): the fraction of
@@ -708,6 +783,7 @@ object Curation {
     "q_sample_mix" -> ((s, d) => sampleMix(Tables.documents(s, d))),
     "q_seq_pack" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "q_pack_segments" -> ((s, d) => packSegments(Tables.documents(s, d))),
+    "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
@@ -724,6 +800,7 @@ object Curation {
     "q_sample_mix" -> sampleMixOracle,
     "q_seq_pack" -> sequencePackOracle(),
     "q_pack_segments" -> packSegmentsOracle(),
+    "q_source_overlap" -> sourceOverlapOracle(),
     "q_pii_scrub" -> piiScrubOracle,
     "q_split_assign" -> splitAssignOracle,
     "q_shard_manifest" -> shardManifestOracle,

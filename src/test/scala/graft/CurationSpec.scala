@@ -114,6 +114,20 @@ class CurationSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange (source), got $exchanges:\n$plan")
   }
 
+  test("sourceOverlap: shared grams and Jaccard match hand-counted sets; disjoint pairs absent") {
+    // 2-gram sets (n=2): web={a b, b c}, blog={a b, b d}, forum={x y}
+    val d = docs(
+      (1L, "a b c", "web"),
+      (2L, "a b d", "blog"),
+      (3L, "x y", "forum"))
+    val out = Curation.sourceOverlap(d, n = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only (blog, web) share: "a b"; Jaccard = 1 / (2 + 2 - 1)
+    assert(out.keySet == Set(("blog", "web")))
+    assert(out(("blog", "web")) == ((1L, 2L, 2L, 0.333333)))
+  }
+
   test("piiScrub counts and redacts email and digit-run patterns") {
     val d = docs(
       (1L, "contact me at alice.smith@example.com or 123456789012 thanks", "web"),
