@@ -486,6 +486,41 @@ object Similarity {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= $threshold""".stripMargin
 
+  /** Near-dup THRESHOLD SWEEP — the knob-tuning report run before
+    * fixing the dedup cutoff: per 0.05-cosine bin, the verified pair
+    * count and the cumulative pairs at-or-above the bin (= exactly how
+    * many pairs each candidate threshold would merge). Operates on the
+    * already-verified pair frame (the memoized/persisted artifact the
+    * cluster and survivor queries read), so the sweep costs one tiny
+    * aggregation — no corpus pass, no re-verification per candidate
+    * threshold. Binning divides the 6dp-rounded cosine by the literal
+    * step in IEEE doubles, so both engines land boundary values in the
+    * same bin by construction; the window runs over ~a dozen bin rows.
+    */
+  def nearDupThresholdSweep(pairs: DataFrame, step: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("bin", floor(col("cos") / step).cast("bigint"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+      .withColumn("bin_lo", round(col("bin") * step, 2))
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(w).cast("bigint"))
+      .select(col("bin_lo"), col("n_pairs"), col("cum_pairs"))
+  }
+
+  def nearDupThresholdSweepOracle(threshold: Double = 0.4, step: Double = 0.05): String =
+    s"""WITH p AS (
+       |  ${nearDupPairsOracle(threshold).replace("\n", "\n       |  ")}
+       |), b AS (
+       |  SELECT CAST(floor(cos / $step) AS BIGINT) AS bin, count(*) AS n_pairs
+       |  FROM p GROUP BY 1
+       |)
+       |SELECT round(bin * $step, 2) AS bin_lo, n_pairs,
+       |       CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pairs
+       |FROM b""".stripMargin
+
   /** Per-label centroid similarity: groupwise mean vector, then cosine
     * of each vector to its label centroid (avg pooling — the reduction
     * a training pipeline uses for cluster quality).
@@ -1010,6 +1045,7 @@ object Similarity {
         v.filter(pmod(col("vec_id"), lit(5)) === 4))
     }),
     "q_embed_neardup" -> embedPairsFor _,
+    "q_neardup_thresholds" -> ((s, d) => nearDupThresholdSweep(embedPairsFor(s, d))),
     "q_embed_clusters" -> embedClustersFor _,
     "q_embed_survivors" -> ((s, d) =>
       embedSurvivors(Tables.embeddings(s, d), embedClustersFor(s, d))),
@@ -1028,6 +1064,7 @@ object Similarity {
     "q_knn_kmeans" -> kmeansTopKOracle(),
     "q_ivf_append" -> ivfAppendOracle,
     "q_embed_neardup" -> nearDupPairsOracle(),
+    "q_neardup_thresholds" -> nearDupThresholdSweepOracle(),
     "q_embed_clusters" -> embedClustersOracle(),
     "q_embed_survivors" -> embedSurvivorsOracle(),
     "q_embed_centroid" -> centroidSimilarityOracle,

@@ -384,6 +384,17 @@ class SimilaritySpec extends SparkSpec {
       s"single shared bucket must give perfect recall, got ${rows.mkString(", ")}")
   }
 
+  test("nearDupThresholdSweep: bins partition the pairs, cumulative counts are monotone") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L, 0.92), (1L, 3L, 0.87), (2L, 3L, 0.87), (4L, 5L, 0.41))
+      .toDF("vec_a", "vec_b", "cos")
+    val out = graft.ext.Similarity.nearDupThresholdSweep(pairs)
+      .orderBy(col("bin_lo").desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0.9, 1L, 1L), (0.85, 2L, 3L), (0.4, 1L, 4L)))
+  }
+
   test("PqKernel: argmin tie-breaks on the smaller code; ADC misses yield None") {
     import graft.functions.PqKernel
     // two codes at the SAME rounded distance from e's single subspace —
