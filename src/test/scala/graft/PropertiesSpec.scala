@@ -480,6 +480,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap equals brute-force gram-set arithmetic on random corpora") {
+    import graft.ext.Curation
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("a", "bb", "c", "dd", "e", "ff", "g", "hh")
+    val srcs = Seq("web", "blog", "forum", "wiki")
+    val docGen = Gen.zip(Gen.oneOf(srcs), Gen.choose(2, 7)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    for (round <- 0 until 4) {
+      val docs = samples(Gen.listOfN(10, docGen), 4)(round).zipWithIndex
+        .map { case ((src, ws), i) => (i.toLong, ws.mkString(" "), src) }
+      val out = Curation.sourceOverlap(docs.toDF("doc_id", "text", "source"), n = 2)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // reference: per-source distinct 2-gram sets (clamped grams for 1-token docs)
+      val sets = docs.groupBy(_._3).view.mapValues(_.flatMap { case (_, text, _) =>
+        val t = text.split(" +").toSeq
+        (0 to math.max(t.length - 2, 0)).map(i => t.slice(i, i + 2).mkString(" "))
+      }.toSet).toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        shared = (sets(a) & sets(b)).size if shared > 0
+      } yield (a, b) -> ((shared.toLong, sets(a).size.toLong, sets(b).size.toLong))).toMap
+      assert(out == expected, s"round $round: $out vs $expected")
+    }
+  }
+
   test("pq kernels: native path and Seq twin equal a naive reference (random codebooks)") {
     import org.apache.spark.sql.functions._
     import graft.functions.PqKernel
