@@ -260,6 +260,50 @@ object Curation {
       |)
       |GROUP BY 1""".stripMargin
 
+  /** Temperature-scaled mixing weights — the sampling-rate rule
+    * (T5/multilingual style) that up-weights small sources: weight_s ∝
+    * tokens_s^τ, normalized over sources; effective epochs = how many
+    * times a source repeats when the mixture draws `total` tokens. The
+    * report a mixing config is generated from.
+    *
+    * Scale shape: one map-only token-count scan + a sources-sized
+    * aggregate; the normalization denominator joins back as a
+    * broadcast one-row frame. pow/ratio round once at 6dp (the
+    * round-once policy absorbs libm last-ulp drift between engines).
+    */
+  def mixWeights(docs: DataFrame, tau: Double = 0.7): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(split(trim(col("text")), " +")).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("n_tokens"))
+      .withColumn("w_raw", pow(col("n_tokens").cast("double"), lit(tau)))
+      // sources-sized; checkpointed so its two consumers (totals + the
+      // final report) don't each replay the corpus scan
+      .localCheckpoint()
+    val totals = perSource.agg(
+      sum(col("w_raw")).as("w_sum"), sum(col("n_tokens")).cast("double").as("tok_sum"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("w_sum"), 6).as("weight"),
+        round(col("w_raw") / col("w_sum") * col("tok_sum") / col("n_tokens"), 6)
+          .as("eff_epochs"))
+  }
+
+  def mixWeightsOracle(tau: Double = 0.7): String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1
+       |), t AS (
+       |  SELECT sum(pow(n_tokens::DOUBLE, $tau)) AS w_sum,
+       |         CAST(sum(n_tokens) AS DOUBLE) AS tok_sum
+       |  FROM per
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |       round(pow(n_tokens::DOUBLE, $tau) / w_sum, 6) AS weight,
+       |       round(pow(n_tokens::DOUBLE, $tau) / w_sum * tok_sum / n_tokens, 6) AS eff_epochs
+       |FROM per, t""".stripMargin
+
   // ------------------------------------------------------------- packing
 
   /** Sequence packing: assign docs to fixed-budget context windows
@@ -784,6 +828,7 @@ object Curation {
     "q_seq_pack" -> ((s, d) => sequencePack(Tables.documents(s, d))),
     "q_pack_segments" -> ((s, d) => packSegments(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
+    "q_mix_weights" -> ((s, d) => mixWeights(Tables.documents(s, d))),
     "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "q_split_assign" -> ((s, d) => splitAssign(Tables.documents(s, d))),
     "q_shard_manifest" -> ((s, d) => shardManifest(Tables.documents(s, d))),
@@ -801,6 +846,7 @@ object Curation {
     "q_seq_pack" -> sequencePackOracle(),
     "q_pack_segments" -> packSegmentsOracle(),
     "q_source_overlap" -> sourceOverlapOracle(),
+    "q_mix_weights" -> mixWeightsOracle(),
     "q_pii_scrub" -> piiScrubOracle,
     "q_split_assign" -> splitAssignOracle,
     "q_shard_manifest" -> shardManifestOracle,

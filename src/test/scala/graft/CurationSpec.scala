@@ -128,6 +128,22 @@ class CurationSpec extends SparkSpec {
     assert(out(("blog", "web")) == ((1L, 2L, 2L, 0.333333)))
   }
 
+  test("mixWeights: temperature flattens the mixture; weights sum to 1") {
+    // web has 8x forum's tokens; at tau=1 weights would be 8:1, at
+    // tau=0.7 the ratio must flatten to 8^0.7 ≈ 4.29
+    val d = docs(
+      (1L, Seq.fill(16)("w").mkString(" "), "web"),
+      (2L, "f f", "forum"))
+    val out = Curation.mixWeights(d, tau = 0.7).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nw, ww, _) = out("web"); val (nf, wf, ef) = out("forum")
+    assert(nw == 16L && nf == 2L)
+    assert(math.abs(ww + wf - 1.0) < 1e-6)
+    assert(math.abs(ww / wf - math.pow(8, 0.7)) < 1e-4)
+    // forum repeats more often than once per epoch of the mixture
+    assert(ef > 1.0)
+  }
+
   test("piiScrub counts and redacts email and digit-run patterns") {
     val d = docs(
       (1L, "contact me at alice.smith@example.com or 123456789012 thanks", "web"),
