@@ -273,7 +273,7 @@ object Curation {
     */
   def mixWeights(docs: DataFrame, tau: Double = 0.7): DataFrame = {
     val perSource = docs
-      .select(col("source"), size(split(trim(col("text")), " +")).as("n"))
+      .select(col("source"), TextNorm.rawCount(col("text")).as("n"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("bigint").as("n_tokens"))
       .withColumn("w_raw", pow(col("n_tokens").cast("double"), lit(tau)))
@@ -292,7 +292,7 @@ object Curation {
   def mixWeightsOracle(tau: Double = 0.7): String =
     s"""WITH per AS (
        |  SELECT source, count(*) AS n_docs,
-       |         CAST(sum(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_tokens
+       |         CAST(sum(${TextNorm.rawCountSql}) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY 1
        |), t AS (
        |  SELECT sum(pow(n_tokens::DOUBLE, $tau)) AS w_sum,
@@ -319,7 +319,7 @@ object Curation {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id"), col("source"),
-      size(split(trim(col("text")), " +")).as("n_tokens"))
+      TextNorm.rawCount(col("text")).as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("pack_no", floor((col("cum_tokens") - 1) / budget).cast("bigint"))
       .groupBy(col("source"), col("pack_no"))
@@ -339,7 +339,7 @@ object Curation {
        |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |                     ROWS UNBOUNDED PRECEDING) - 1) / $budget) AS BIGINT) AS pack_no
        |  FROM (SELECT doc_id, source,
-       |               len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+       |               ${TextNorm.rawCountSql} AS n_tokens
        |        FROM documents)
        |)
        |GROUP BY 1, 2""".stripMargin
@@ -360,7 +360,7 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSeg = Window.partitionBy(col("source"), col("pack_no")).orderBy(col("doc_id"))
     docs.select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), " +")).as("n_tokens"))
+        TextNorm.rawCount(col("text")).as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
       .withColumn("pack_no", floor((col("cum_tokens") - 1) / budget).cast("bigint"))
       .withColumn("seg_no", row_number().over(wSeg))
@@ -377,7 +377,7 @@ object Curation {
        |         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |                     ROWS UNBOUNDED PRECEDING) - 1) / $budget) AS BIGINT) AS pack_no
        |  FROM (SELECT doc_id, source,
-       |               len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+       |               ${TextNorm.rawCountSql} AS n_tokens
        |        FROM documents)
        |)
        |SELECT source, pack_no,
@@ -451,7 +451,7 @@ object Curation {
 
   def splitAssign(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
-      size(split(trim(col("text")), " +")).as("n_tokens"))
+      TextNorm.rawCount(col("text")).as("n_tokens"))
       .withColumn("split", splitLabel)
       .groupBy(col("source"), col("split"))
       .agg(
@@ -459,14 +459,14 @@ object Curation {
         sum(col("n_tokens")).cast("bigint").as("n_tokens"))
 
   val splitAssignOracle: String =
-    """SELECT source, split, count(*) AS n_docs,
+    s"""SELECT source, split, count(*) AS n_docs,
       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
       |FROM (
       |  SELECT source,
       |         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 90 THEN 'train'
       |              WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 95 THEN 'val'
       |              ELSE 'test' END AS split,
-      |         len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+      |         ${TextNorm.rawCountSql} AS n_tokens
       |  FROM documents
       |)
       |GROUP BY 1, 2""".stripMargin
@@ -706,7 +706,7 @@ object Curation {
        |           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |                       ROWS UNBOUNDED PRECEDING) - 1) / $budget) AS BIGINT) AS pack_no
        |    FROM (SELECT doc_id, source,
-       |                 len(regexp_split_to_array(trim(text), ' +')) AS n_tokens
+       |                 ${TextNorm.rawCountSql} AS n_tokens
        |          FROM sampled)
        |  )
        |  GROUP BY 1, 2

@@ -21,4 +21,16 @@ private[ext] object TextNorm {
   /** The identical derivation in DuckDB SQL (over a `text` column). */
   val toksSql: String =
     "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +')"
+
+  /** RAW whitespace token count — the packing/mixing currency (budget
+    * math counts what the text actually holds, no normalization).
+    * Single source of truth for every consumer (sequencePack,
+    * packSegments, mixWeights, lengthHistogram) and their oracles: a
+    * tweak applied to one copy but not another would silently
+    * desynchronize the packing stack while each oracle still passed.
+    */
+  def rawCount(c: Column): Column = size(split(trim(c), " +"))
+
+  /** The identical count in DuckDB SQL (over a `text` column). */
+  val rawCountSql: String = "len(regexp_split_to_array(trim(text), ' +'))"
 }

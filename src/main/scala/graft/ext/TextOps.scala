@@ -315,16 +315,19 @@ object TextOps {
 
   /** Token-length histogram in power-of-two buckets, per source — the
     * length-distribution profile a packing/curriculum stage reads before
-    * choosing sequence budgets. The bucket index is the integer
-    * bit-length of the token count (base-2 digits minus one) — exact
-    * integer arithmetic on both engines, immune to the floor(log2) FP
-    * edge at exact powers of two. Map-only corpus scan + one tiny
-    * (source, bucket) aggregate; the per-source share windows over the
-    * aggregated histogram, never the corpus.
+    * choosing sequence budgets. Counts RAW whitespace tokens
+    * (`TextNorm.rawCount`) — the same currency `sequencePack` /
+    * `packSegments` / `mixWeights` budget in, so a budget chosen from
+    * this histogram sizes those packs exactly. The bucket index is the
+    * integer bit-length of the token count (base-2 digits minus one) —
+    * exact integer arithmetic on both engines, immune to the
+    * floor(log2) FP edge at exact powers of two. Map-only corpus scan +
+    * one tiny (source, bucket) aggregate; the per-source share windows
+    * over the aggregated histogram, never the corpus.
     */
   def lengthHistogram(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = size(TextNorm.toks(col("text")))
+    val n = TextNorm.rawCount(col("text"))
     docs
       .select(col("source"),
         (length(conv(n.cast("string"), 10, 2)) - 1).as("bucket"))
@@ -340,7 +343,7 @@ object TextOps {
 
   val lengthHistogramOracle: String =
     s"""WITH n AS (
-       |  SELECT source, len(${TextNorm.toksSql}) AS n_tokens FROM documents
+       |  SELECT source, ${TextNorm.rawCountSql} AS n_tokens FROM documents
        |), h AS (
        |  SELECT source, length(bin(n_tokens)) - 1 AS bucket, count(*) AS n_docs
        |  FROM n GROUP BY 1, 2

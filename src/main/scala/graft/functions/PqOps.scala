@@ -203,10 +203,16 @@ case class PqAdc(first: Expression, second: Expression, third: Expression)
       c.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b, c) => s"""
-       |java.lang.Double adcRes = graft.functions.PqKernel.adc($a, $b, $c);
-       |if (adcRes == null) { ${ev.isNull} = true; } else { ${ev.value} = adcRes.doubleValue(); }
-     """.stripMargin)
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      // freshName: nullSafeExec emits this UNWRAPPED for non-nullable
+      // children, so a fixed name would collide when one projection
+      // holds two graft_pqadc calls
+      val res = ctx.freshName("adcRes")
+      s"""
+         |java.lang.Double $res = graft.functions.PqKernel.adc($a, $b, $c);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

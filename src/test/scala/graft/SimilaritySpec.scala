@@ -395,6 +395,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0.9, 1L, 1L), (0.85, 2L, 3L), (0.4, 1L, 4L)))
   }
 
+  test("two graft_pqadc calls codegen in one projection without name collision") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // non-nullable children → nullSafeExec emits the result code
+    // UNWRAPPED; a fixed local name would redeclare and break Janino
+    val cbs = Seq(Seq(0 -> Seq(1.0, 2.0)), Seq(0 -> Seq(3.0, 4.0)))
+    val row = Seq(Tuple1(Seq(1.0, 2.0, 3.0, 4.0))).toDF("e")
+      .select(
+        call_function("graft_pqadc", col("e"), typedLit(Seq(0, 0)), typedLit(cbs)).as("x"),
+        call_function("graft_pqadc", col("e"), typedLit(Seq(0, 9)), typedLit(cbs)).as("y"))
+      .head()
+    assert(row.getDouble(0) == 0.0 && row.isNullAt(1))
+  }
+
   test("PqKernel: argmin tie-breaks on the smaller code; ADC misses yield None") {
     import graft.functions.PqKernel
     // two codes at the SAME rounded distance from e's single subspace —
