@@ -428,7 +428,59 @@ object Indicators {
       |WINDOW w AS (PARTITION BY event_type ORDER BY ts
       |             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Resample each series to a regular 1-minute grid with forward
+    * fill — the gap-filling step every indicator pipeline runs before
+    * rolling math on irregular ticks (pandas `resample('1min').last()
+    * .ffill()`). Per minute the CLOSE is the lexicographic struct max
+    * (the OHLC idiom — one hash aggregate, no per-minute window); the
+    * grid is generated per series from its own [min, max] minute
+    * bounds (calendar-bounded — a year is ~526k rows per series, never
+    * corpus-scale), and the fill is one `last(value, ignoreNulls)`
+    * running window per series — the same single-shuffle sorted-pass
+    * shape as every indicator here. `filled` marks synthesized rows.
+    */
+  def resampleFfill(events: DataFrame): DataFrame = {
+    val perMin = events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .groupBy(col("event_type"), col("minute"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .getField("value").as("close"))
+      // minutes × series — calendar-bounded; checkpointed so the grid
+      // bounds and the join don't each replay the corpus aggregate
+      .localCheckpoint()
+    val grid = perMin.groupBy(col("event_type"))
+      .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("minute"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perMin, Seq("event_type", "minute"), "left")
+      .withColumn("filled", col("close").isNull)
+      .withColumn("value", last(col("close"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("minute"), col("value"), col("filled"))
+  }
+
+  val resampleFfillOracle: String =
+    """WITH pm AS (
+      |  SELECT DISTINCT event_type, date_trunc('minute', ts) AS minute,
+      |         last_value(value) OVER (PARTITION BY event_type, date_trunc('minute', ts)
+      |                                 ORDER BY ts, event_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                          AND UNBOUNDED FOLLOWING) AS close
+      |  FROM events
+      |), grid AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+      |  FROM (SELECT event_type, min(minute) AS lo, max(minute) AS hi FROM pm GROUP BY 1)
+      |)
+      |SELECT g.event_type, g.minute,
+      |       last_value(pm.close IGNORE NULLS) OVER (
+      |         PARTITION BY g.event_type ORDER BY g.minute
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |       pm.close IS NULL AS filled
+      |FROM grid g LEFT JOIN pm ON pm.event_type = g.event_type AND pm.minute = g.minute""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample_ffill" -> ((s, dir) => resampleFfill(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_ema" -> ((s, dir) => ema(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
@@ -443,6 +495,7 @@ object Indicators {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_resample_ffill" -> resampleFfillOracle,
     "q_bollinger" -> bollingerOracle(),
     "q_ema" -> emaOracle(),
     "q_macd" -> macdOracle,

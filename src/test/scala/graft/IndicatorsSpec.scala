@@ -167,4 +167,23 @@ class IndicatorsSpec extends SparkSpec {
     // the gap-jumping carry actually produced values, not nulls
     assert(part(10L).nonEmpty && part(12L).nonEmpty)
   }
+
+  test("resampleFfill: gaps synthesize forward-filled minutes; close is the last tick") {
+    val s = spark
+    import s.implicits._
+    // minute 0 has two ticks (close = the later, 12.0); minutes 1-2 are
+    // a GAP; minute 3 trades again
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:10"), "x", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:50"), "x", 12.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:03:00"), "x", 20.0))
+    val out = Indicators.resampleFfill(rows.toDF("event_id", "ts", "event_type", "value"))
+      .orderBy("minute").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", 12.0, false),
+      ("2024-01-01 00:01:00.0", 12.0, true),
+      ("2024-01-01 00:02:00.0", 12.0, true),
+      ("2024-01-01 00:03:00.0", 20.0, false)))
+  }
 }
