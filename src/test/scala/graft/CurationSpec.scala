@@ -128,6 +128,16 @@ class CurationSpec extends SparkSpec {
     assert(out(("blog", "web")) == ((1L, 2L, 2L, 0.333333)))
   }
 
+  test("sourceOverlap raises in-plan when the 62-source mask width is exceeded") {
+    val d = docs((1L to 70L).map(i => (i, "shared gram text here", s"src_$i")): _*)
+    val e = intercept[Exception] {
+      Curation.sourceOverlap(d, n = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("at most 62 sources")), s"got: ${msgs(e)}")
+  }
+
   test("mixWeights: temperature flattens the mixture; weights sum to 1") {
     // web has 8x forum's tokens; at tau=1 weights would be 8:1, at
     // tau=0.7 the ratio must flatten to 8^0.7 ≈ 4.29

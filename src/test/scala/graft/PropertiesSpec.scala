@@ -480,6 +480,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bpePairs equals brute-force adjacent-pair counting on random corpora") {
+    import graft.ext.TextOps
+    val s = spark
+    import s.implicits._
+    val vocab = Seq("a", "bb", "c", "dd", "e")
+    val docGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    for (round <- 0 until 3) {
+      val docs = samples(Gen.listOfN(12, docGen), 3)(round).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" "), "en", "src", 0L) }
+      val out = TextOps.bpePairs(
+        docs.toDF("doc_id", "text", "lang", "source", "n_chars"), k = 100)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      // reference: count adjacent pairs over docs with >= 2 tokens
+      val expected = docs.flatMap { case (_, text, _, _, _) =>
+        val t = text.split(" +").toSeq
+        if (t.length < 2) Nil else t.sliding(2).map(_.mkString(" ")).toSeq
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(out.map(p => p._1 -> p._2).toMap == expected, s"round $round")
+      // ranks are 1..n in (count desc, pair asc) order
+      val sorted = out.sortBy(p => (-p._2, p._1))
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length).toSeq, s"round $round ranks")
+    }
+  }
+
   test("sourceOverlap equals brute-force gram-set arithmetic on random corpora") {
     import graft.ext.Curation
     val s = spark
