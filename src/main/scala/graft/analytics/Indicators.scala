@@ -479,8 +479,92 @@ object Indicators {
       |       pm.close IS NULL AS filled
       |FROM grid g LEFT JOIN pm ON pm.event_type = g.event_type AND pm.minute = g.minute""".stripMargin
 
+  /** Linear-interpolation resample (pandas `resample('1min').last()
+    * .interpolate()`): gap minutes take the time-weighted blend of the
+    * PREVIOUS and NEXT known closes; leading/trailing gaps (no anchor
+    * on one side) forward-/backward-fill to the single known side.
+    * Same grid and per-minute close as `resampleFfill`; the anchors
+    * are one running `last(ignoreNulls)` and one `first(ignoreNulls)`
+    * window (both bounded sorted passes per series, same shuffle).
+    * Values are emitted UNROUNDED — see the determinism note below.
+    */
+  def resampleInterp(events: DataFrame): DataFrame = {
+    val perMin = events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .groupBy(col("event_type"), col("minute"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .getField("value").as("close"))
+      .localCheckpoint()
+    val grid = perMin.groupBy(col("event_type"))
+      .agg(min(col("minute")).as("lo"), max(col("minute")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("minute"))
+    val anchor = when(col("close").isNotNull, struct(col("minute").as("m"), col("close").as("v")))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("minute"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Determinism: time deltas stay INTEGER seconds until the single
+    // frac division, so both engines feed identical operands through
+    // identical IEEE ops and the interpolated doubles are BIT-IDENTICAL
+    // — which is also why the value is NOT rounded: interpolation on a
+    // regular grid systematically produces terminating decimals (e.g.
+    // x.xxx8125 from a 32-minute gap), and on exactly those values
+    // Spark's round (HALF_UP over the shortest DECIMAL representation)
+    // and DuckDB's round (over the BINARY double) disagree by one ulp
+    // of the last digit. Rounding here would CREATE divergence where
+    // bit-identity already holds (observed at sf0.001).
+    val sec = (c: Column) => unix_timestamp(c)
+    val frac = (sec(col("minute")) - sec(col("p.m"))).cast("double") /
+      (sec(col("nx.m")) - sec(col("p.m"))).cast("double")
+    grid.join(perMin, Seq("event_type", "minute"), "left")
+      .withColumn("p", last(anchor, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(anchor, ignoreNulls = true).over(wNext))
+      .withColumn("value",
+        when(col("p").isNull, col("nx.v"))
+          .when(col("nx").isNull, col("p.v"))
+          .when(col("nx.m") === col("p.m"), col("p.v"))
+          .otherwise(col("p.v") + (col("nx.v") - col("p.v")) * frac))
+      .select(col("event_type"), col("minute"), col("value"),
+        col("close").isNull.as("filled"))
+  }
+
+  val resampleInterpOracle: String =
+    """WITH pm AS (
+      |  SELECT DISTINCT event_type, date_trunc('minute', ts) AS minute,
+      |         last_value(value) OVER (PARTITION BY event_type, date_trunc('minute', ts)
+      |                                 ORDER BY ts, event_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING
+      |                                          AND UNBOUNDED FOLLOWING) AS close
+      |  FROM events
+      |), grid AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+      |  FROM (SELECT event_type, min(minute) AS lo, max(minute) AS hi FROM pm GROUP BY 1)
+      |), j AS (
+      |  SELECT g.event_type, g.minute, pm.close,
+      |         last_value(CASE WHEN pm.close IS NOT NULL
+      |                         THEN struct_pack(m := g.minute, v := pm.close) END IGNORE NULLS)
+      |           OVER (PARTITION BY g.event_type ORDER BY g.minute
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+      |         first_value(CASE WHEN pm.close IS NOT NULL
+      |                          THEN struct_pack(m := g.minute, v := pm.close) END IGNORE NULLS)
+      |           OVER (PARTITION BY g.event_type ORDER BY g.minute
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      |  FROM grid g LEFT JOIN pm ON pm.event_type = g.event_type AND pm.minute = g.minute
+      |)
+      |SELECT event_type, minute,
+      |       CASE WHEN p IS NULL THEN nx.v
+      |            WHEN nx IS NULL THEN p.v
+      |            WHEN nx.m = p.m THEN p.v
+      |            ELSE p.v + (nx.v - p.v) *
+      |                 ((epoch(minute) - epoch(p.m)) /
+      |                  (epoch(nx.m) - epoch(p.m))) END AS value,
+      |       close IS NULL AS filled
+      |FROM j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_resample_ffill" -> ((s, dir) => resampleFfill(Tables.events(s, dir))),
+    "q_resample_interp" -> ((s, dir) => resampleInterp(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_ema" -> ((s, dir) => ema(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
@@ -496,6 +580,7 @@ object Indicators {
 
   def oracles: Map[String, String] = Map(
     "q_resample_ffill" -> resampleFfillOracle,
+    "q_resample_interp" -> resampleInterpOracle,
     "q_bollinger" -> bollingerOracle(),
     "q_ema" -> emaOracle(),
     "q_macd" -> macdOracle,

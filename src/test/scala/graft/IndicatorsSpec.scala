@@ -168,6 +168,18 @@ class IndicatorsSpec extends SparkSpec {
     assert(part(10L).nonEmpty && part(12L).nonEmpty)
   }
 
+  test("resampleInterp: gap minutes blend linearly between the neighboring closes") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:30"), "x", 12.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:03:00"), "x", 18.0))
+    val out = Indicators.resampleInterp(rows.toDF("event_id", "ts", "event_type", "value"))
+      .orderBy("minute").collect()
+      .map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((12.0, false), (14.0, true), (16.0, true), (18.0, false)))
+  }
+
   test("resampleFfill: gaps synthesize forward-filled minutes; close is the last tick") {
     val s = spark
     import s.implicits._
