@@ -562,7 +562,54 @@ object Indicators {
       |       close IS NULL AS filled
       |FROM j""".stripMargin
 
+  /** Weekly cohort retention — the canonical product-analytics query
+    * over an event stream: users grouped by first-seen week, retention
+    * = fraction of each cohort active at week offsets 0..n. Week
+    * offsets are exact integer arithmetic on Monday-truncated epochs
+    * (both engines truncate weeks to Monday), so no FP boundary can
+    * flip a bucket.
+    *
+    * Scale shape: the first-seen frame is the USER DIMENSION — one
+    * user-keyed aggregate a production pipeline persists; here it
+    * localCheckpoints for its two consumers (cohort sizes + the event
+    * join). The event join shuffles on user_id once, the distinct
+    * active-user count is a (cohort, offset)-keyed agg, and cohort
+    * sizes broadcast back (cohorts are calendar-bounded).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      .localCheckpoint()
+    val sizes = firstSeen.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    events.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort"),
+        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800)
+          .cast("bigint").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .join(broadcast(sizes), "cohort")
+      .select(col("cohort"), col("week_offset"), col("active_users"), col("cohort_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6).as("retention"))
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH fs AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events GROUP BY 1
+      |), sz AS (SELECT cohort, count(*) AS cohort_users FROM fs GROUP BY 1),
+      |act AS (
+      |  SELECT fs.cohort,
+      |         CAST((epoch(date_trunc('week', e.ts)) - epoch(fs.cohort)) / 604800 AS BIGINT)
+      |           AS week_offset,
+      |         count(DISTINCT e.user_id) AS active_users
+      |  FROM events e JOIN fs USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT act.cohort, week_offset, active_users, cohort_users,
+      |       round(active_users::DOUBLE / cohort_users, 6) AS retention
+      |FROM act JOIN sz USING (cohort)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> ((s, dir) => cohortRetention(Tables.events(s, dir))),
     "q_resample_ffill" -> ((s, dir) => resampleFfill(Tables.events(s, dir))),
     "q_resample_interp" -> ((s, dir) => resampleInterp(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
@@ -579,6 +626,7 @@ object Indicators {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cohort_retention" -> cohortRetentionOracle,
     "q_resample_ffill" -> resampleFfillOracle,
     "q_resample_interp" -> resampleInterpOracle,
     "q_bollinger" -> bollingerOracle(),

@@ -168,6 +168,23 @@ class IndicatorsSpec extends SparkSpec {
     assert(part(10L).nonEmpty && part(12L).nonEmpty)
   }
 
+  test("cohortRetention: offsets count distinct actives against the first-seen cohort") {
+    val s = spark
+    import s.implicits._
+    // users 1,2 first seen week of Jan 1 (Mon); user 1 returns next week
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-02 10:00:00"), 1L),
+      (2L, Timestamp.valueOf("2024-01-03 10:00:00"), 2L),
+      (3L, Timestamp.valueOf("2024-01-02 11:00:00"), 1L), // same week again
+      (4L, Timestamp.valueOf("2024-01-09 10:00:00"), 1L)) // next week
+      .map { case (id, t, u) => (id, t, u, "click", 1.0) }
+    val out = Indicators.cohortRetention(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("week_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5)))
+  }
+
   test("resampleInterp: gap minutes blend linearly between the neighboring closes") {
     val s = spark
     import s.implicits._
