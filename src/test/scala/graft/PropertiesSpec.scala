@@ -480,6 +480,65 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("resampleInterp equals a local replay on random gappy tick series") {
+    import java.sql.Timestamp
+    import graft.analytics.Indicators
+    val s = spark
+    import s.implicits._
+    // random subsets of a 12-minute grid with random values: every
+    // minute present in [min, max] must come back, interior gaps
+    // linearly blended, anchors exact
+    val tickGen = Gen.zip(Gen.choose(0, 11), Gen.choose(1.0, 99.0))
+    for (round <- 0 until 4) {
+      val ticks = samples(Gen.listOfN(6, tickGen), 4)(round)
+        .groupBy(_._1).view.mapValues(_.head._2).toSeq.sortBy(_._1)
+      val rows = ticks.zipWithIndex.map { case ((m, v), i) =>
+        (i.toLong, Timestamp.valueOf(f"2024-01-01 00:$m%02d:30"), "x", v)
+      }
+      val out = Indicators.resampleInterp(rows.toDF("event_id", "ts", "event_type", "value"))
+        .collect().map(r => r.getTimestamp(1).getMinutes -> r.getDouble(2)).toMap
+      val lo = ticks.head._1; val hi = ticks.last._1
+      assert(out.keySet == (lo to hi).toSet, s"round $round grid")
+      for (m <- lo to hi) {
+        val prev = ticks.filter(_._1 <= m).last
+        val next = ticks.find(_._1 >= m).get
+        val want =
+          if (prev._1 == next._1) prev._2
+          else prev._2 + (next._2 - prev._2) *
+            ((m - prev._1).toDouble * 60 / ((next._1 - prev._1).toDouble * 60))
+        assert(out(m) == want, s"round $round minute $m: ${out(m)} vs $want")
+      }
+    }
+  }
+
+  test("cohortRetention equals a brute-force replay on random event streams") {
+    import java.sql.Timestamp
+    import graft.analytics.Indicators
+    val s = spark
+    import s.implicits._
+    // users × random active days across 4 weeks starting Mon 2024-01-01
+    val evGen = Gen.zip(Gen.choose(0L, 7L), Gen.choose(0, 27))
+    for (round <- 0 until 3) {
+      val evs = samples(Gen.listOfN(25, evGen), 3)(round).distinct
+      val rows = evs.zipWithIndex.map { case ((u, day), i) =>
+        (i.toLong, Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), u, "click", 1.0)
+      }
+      val out = Indicators.cohortRetention(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      // reference: week index = day / 7 (days 0-27 from the Monday anchor)
+      val firstWeek = evs.groupBy(_._1).view.mapValues(_.map(_._2 / 7).min).toMap
+      val cohortSize = firstWeek.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val expected = evs.map { case (u, d) => (firstWeek(u), d / 7 - firstWeek(u), u) }
+        .distinct.groupBy(t => (t._1, t._2)).map { case ((cw, off), us) =>
+          (Timestamp.valueOf(f"2024-01-${cw * 7 + 1}%02d 00:00:00"), off.toLong) ->
+            ((us.size.toLong, cohortSize(cw)))
+        }
+      assert(out == expected, s"round $round: $out vs $expected")
+    }
+  }
+
   test("bpePairs equals brute-force adjacent-pair counting on random corpora") {
     import graft.ext.TextOps
     val s = spark
