@@ -168,6 +168,22 @@ class IndicatorsSpec extends SparkSpec {
     assert(part(10L).nonEmpty && part(12L).nonEmpty)
   }
 
+  test("resample and cohort plans stay join-safe: no cartesian, no nested-loop") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i % 10}%02d:00"), (i % 3).toLong, "x", i * 1.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    for ((name, plan) <- Seq(
+      "resampleFfill" -> Indicators.resampleFfill(df.drop("user_id")),
+      "resampleInterp" -> Indicators.resampleInterp(df.drop("user_id")),
+      "cohortRetention" -> Indicators.cohortRetention(df))) {
+      val p = plan.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plan degenerated:\n$p")
+    }
+  }
+
   test("cohortRetention: offsets count distinct actives against the first-seen cohort") {
     val s = spark
     import s.implicits._
