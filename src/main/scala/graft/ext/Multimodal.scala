@@ -1,26 +1,39 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.awt.geom.AffineTransform
+import java.awt.image.{AffineTransformOp, BufferedImage}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Multimodal-column plumbing: image/audio/video payloads ride as
-  * opaque `binary` columns with a typed metadata struct; decode /
-  * feature-extract / frame-sample are per-partition byte transforms.
+/** Multimodal-column support: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode / resize /
+  * feature-extract run as typed `mapPartitions` codec seams over those
+  * bytes.
   *
-  * The real decode step (libjpeg/ffmpeg et al.) is NOT available in
-  * this environment — `decodeStub` below is a clearly-marked
-  * DETERMINISTIC FAKE that interprets the payload bytes as a row-major
-  * 64-px-wide "image". Everything around it — schema, binary column
-  * handling, partition-parallel `mapPartitions` shape, batch row
-  * geometry — is the real plumbing a production decode would use.
+  * The image path is REAL: a deterministic synthetic RGB corpus is
+  * staged as genuine PNG files (encoded with `javax.imageio`), read
+  * back through Spark's `binaryFile` source, decoded pixel-by-pixel
+  * with `ImageIO.read`, thumbnailed with a nearest-neighbor
+  * `AffineTransformOp`, and feature-extracted as per-channel
+  * histograms. The pixel generator is SQL-expressible, so the DuckDB
+  * oracle re-derives every decoded pixel independently — if the codec
+  * path corrupted a single byte, the hash gate would catch it.
+  * (Reference analog: the binary Kafka `value` boundary,
+  * consumer_lake.py:44, and the blob layer a lakehouse would put
+  * beside it.)
   *
   * Scale notes (100 TB of blobs): payloads never hit the driver; the
   * decode runs inside `mapPartitions` (one iterator pass, no
   * materialization of the whole partition); metadata-only queries
   * project just the struct (column pruning keeps blob IO out of the
-  * scan entirely when metadata is a separate column in parquet).
+  * scan entirely when metadata is a separate column in parquet). The
+  * staging write happens on executors via `foreachPartition` — on a
+  * real cluster the destination would be shared object storage rather
+  * than a local scratch dir, with the same per-partition write shape.
   */
 object Multimodal {
 
@@ -55,50 +68,6 @@ object Multimodal {
       |       md5(text) AS checksum
       |FROM documents""".stripMargin
 
-  /** Row type of the decode output (typed seam: the Product encoder
-    * keeps the `mapPartitions` INSIDE the Dataset API — Catalyst sees a
-    * SerializeFromObject with a known schema instead of an opaque RDD
-    * re-assertion, so downstream pruning/pushdown still applies).
-    */
-  case class Decoded(doc_id: Long, width: Int, height: Int, mean_byte: Double)
-
-  /** DECODE STUB — deterministic fake for the image decoder: treats the
-    * payload as a row-major image of width min(64, n) and reports its
-    * dimensions + mean pixel. A real build swaps the body for an actual
-    * codec; the typed `Dataset.mapPartitions` contract (Iterator →
-    * Iterator, one pass, no per-partition materialization) is the
-    * production shape.
-    */
-  def decodeStub(withBlob: DataFrame): DataFrame = {
-    val spark = withBlob.sparkSession
-    import spark.implicits._
-    withBlob.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val w = math.min(64, bytes.length)
-          val h = if (w == 0) 0 else (bytes.length + w - 1) / w
-          val mean = if (bytes.isEmpty) 0.0
-          else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
-          Decoded(id, w, h, BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
-      }
-      .toDF()
-  }
-
-  def decodeQuery(docs: DataFrame): DataFrame = decodeStub(withPayload(docs))
-
-  /** Oracle re-derives the fake decode from the text itself (ASCII ⇒
-    * byte == codepoint).
-    */
-  val decodeOracle: String =
-    """SELECT doc_id,
-      |       least(64, length(text))::INT AS width,
-      |       ((length(text) + least(64, length(text)) - 1)
-      |         // least(64, length(text)))::INT AS height,
-      |       round(list_aggregate(list_transform(range(1, length(text) + 1),
-      |               i -> ord(substr(text, i, 1))), 'avg'), 6) AS mean_byte
-      |FROM documents""".stripMargin
-
   /** Frame sampling: every `stride`-th byte (video keyframe analog).
     * Pure column ops — no UDF: sequence + transform over the payload.
     */
@@ -118,122 +87,236 @@ object Multimodal {
        |         i -> ord(substr(text, i, 1))), 'sum') AS BIGINT) AS frame_sum
        |FROM documents""".stripMargin
 
-  /** Row type of the resize output. */
-  case class Resized(doc_id: Long, out_bytes: Int, out_checksum: String)
+  // ------------------------------------------------------------------
+  // Real image corpus: deterministic PNGs, genuine codec path
+  // ------------------------------------------------------------------
 
-  /** RESIZE STUB — deterministic fake for the thumbnailer: keeps every
-    * k-th payload byte (k sized so ~`targetBytes` survive), reporting
-    * the resized blob's size + checksum. Same typed `mapPartitions`
-    * codec seam as `decodeStub`; a real build swaps the body for an
-    * actual scaler.
+  /** Images staged per corpus (bounded fixture, mirrored by the oracle's
+    * `doc_id < imageCount` predicate).
     */
-  def resizeStub(withBlob: DataFrame, targetBytes: Int = 64): DataFrame = {
-    val spark = withBlob.sparkSession
-    import spark.implicits._
-    withBlob.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          val k = math.max(1, bytes.length / targetBytes)
-          val resized = (0 until bytes.length by k).map(bytes(_)).toArray
-          md.reset()
-          val hex = md.digest(resized).map("%02x".format(_)).mkString
-          Resized(id, resized.length, hex)
-        }
+  val imageCount = 500
+
+  /** Even dimensions so the 0.5× nearest-neighbor resize mapping
+    * (src = 2·dst + 1, measured from `AffineTransformOp`) never leaves
+    * the source raster. W ∈ {4,6,8}, H ∈ {4,6}.
+    */
+  private[graft] def imgW(id: Long): Int = 4 + 2 * (id % 3).toInt
+  private[graft] def imgH(id: Long): Int = 4 + 2 * (id % 2).toInt
+
+  /** Pixel generator: channel value of flat index i (row-major,
+    * i = (y·W + x)·3 + c with c ∈ {0=R,1=G,2=B}). SQL-expressible so the
+    * oracle can re-derive the decoded raster.
+    */
+  private[graft] def px(id: Long, i: Int): Int = ((id * 31 + i.toLong * 7) % 256).toInt
+
+  /** SQL twin of `px` for a flat-index expression `i`. */
+  private def pxSql(i: String): String = s"(doc_id*31 + ($i)*7) % 256"
+  private val wSql = "(4 + 2*(doc_id % 3))"
+  private val hSql = "(4 + 2*(doc_id % 2))"
+
+  /** Encode one synthetic image as a REAL PNG via `javax.imageio`. */
+  private[graft] def makePng(id: Long): Array[Byte] = {
+    val (w, h) = (imgW(id), imgH(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        img.setRGB(x, y, px(id, p) << 16 | px(id, p + 1) << 8 | px(id, p + 2))
+        x += 1
       }
-      .toDF()
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  def resizeQuery(docs: DataFrame): DataFrame = resizeStub(withPayload(docs))
-
-  /** Oracle re-derives the stride sampling from the text (ASCII ⇒
-    * byte == codepoint, so the substring concat is the resized bytes).
+  /** Stage the PNG corpus once per table dir (executor-side writes; the
+    * local scratch dir stands in for shared object storage).
     */
-  def resizeOracle(targetBytes: Int = 64): String =
+  private val imageDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedImages(spark: SparkSession, dir: String): String =
+    imageDirs.getOrElseUpdate(dir, {
+      val d = graft.Scratch.dir("graft_images").toString
+      Tables.documents(spark, dir).filter(col("doc_id") < imageCount)
+        .select("doc_id")
+        .foreachPartition { (it: Iterator[Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"$id%05d.png"), makePng(id))
+          }
+        }
+      d
+    })
+
+  /** (doc_id, png bytes) through the binaryFile front door. */
+  private def imageBytes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(stagedImages(spark, dir))
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "(\\d+)", 1)
+          .cast("bigint").as("doc_id"),
+        col("content"))
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  case class DecodedImg(doc_id: Long, width: Int, height: Int, sum_px: Long, mean_px: Double)
+
+  /** REAL decode: `ImageIO.read` each PNG inside a typed
+    * `mapPartitions` (Iterator → Iterator, one pass), report dimensions
+    * plus exact channel-sum and mean — driven entirely by decoded
+    * raster bytes, not metadata.
+    */
+  def decodeFrom(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImg(id, w, h, sum, round6(sum.toDouble / (w * h * 3)))
+      }
+    }.toDF()
+  }
+
+  def decodeQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeFrom(imageBytes(spark, dir))
+
+  /** Oracle re-derives every pixel from the generator formula. */
+  val decodeOracle: String =
+    s"""SELECT doc_id, width, height, sum_px,
+       |       round(sum_px / (width * height * 3.0), 6) AS mean_px
+       |FROM (
+       |  SELECT doc_id,
+       |         $wSql::INT AS width,
+       |         $hSql::INT AS height,
+       |         CAST(list_aggregate(list_transform(range(0, $wSql*$hSql*3),
+       |           i -> ${pxSql("i")}), 'sum') AS BIGINT) AS sum_px
+       |  FROM documents WHERE doc_id < $imageCount
+       |)""".stripMargin
+
+  case class ResizedImg(doc_id: Long, out_w: Int, out_h: Int, sum_px: Long)
+
+  /** REAL thumbnail: 0.5× nearest-neighbor `AffineTransformOp` over the
+    * decoded raster. The op samples src = 2·dst + 1 (dst center mapped
+    * through the inverse transform), which the oracle mirrors exactly.
+    */
+  def resizeFrom(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.as[(Long, Array[Byte])].mapPartitions { it =>
+      val op = new AffineTransformOp(
+        AffineTransform.getScaleInstance(0.5, 0.5), AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        val out = op.filter(img, null)
+        val (w, h) = (out.getWidth, out.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = out.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ResizedImg(id, w, h, sum)
+      }
+    }.toDF()
+  }
+
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeFrom(imageBytes(spark, dir))
+
+  /** dst flat index j → src flat index under the 2× downscale:
+    * p = j÷3, x = p mod outW, y = p ÷ outW, src = ((2y+1)·W + 2x+1)·3 + c.
+    */
+  val resizeOracle: String = {
+    val srcIdx =
+      s"(((2*((j//3) // ($wSql//2)) + 1)*$wSql + 2*((j//3) % ($wSql//2)) + 1)*3 + (j % 3))"
     s"""SELECT doc_id,
-       |       len(range(1, length(text) + 1, greatest(1, length(text) // $targetBytes)))::INT AS out_bytes,
-       |       md5(array_to_string(list_transform(
-       |         range(1, length(text) + 1, greatest(1, length(text) // $targetBytes)),
-       |         i -> substr(text, i, 1)), '')) AS out_checksum
-       |FROM documents""".stripMargin
-
-  /** Row type of the feature-extraction output. */
-  case class Featured(doc_id: Long, features: Array[Double])
-
-  /** FEATURE-EXTRACT STUB — deterministic fake for the embedding model:
-    * an 8-bin byte histogram (fraction of payload bytes per 32-value
-    * bin, 6 dp) as the per-blob feature vector. The plumbing — typed
-    * mapPartitions batch, fixed-width `array<double>` output column
-    * feeding the ANN/centroid operators — is exactly what a real
-    * encoder produces.
-    */
-  def featureStub(withBlob: DataFrame): DataFrame = {
-    val spark = withBlob.sparkSession
-    import spark.implicits._
-    withBlob.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val counts = new Array[Long](8)
-          bytes.foreach(b => counts((b & 0xff) >> 5) += 1)
-          val n = math.max(bytes.length, 1).toDouble
-          Featured(id, counts.map(c => BigDecimal(c / n)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        }
-      }
-      .toDF()
+       |       ($wSql // 2)::INT AS out_w,
+       |       ($hSql // 2)::INT AS out_h,
+       |       CAST(list_aggregate(list_transform(range(0, ($wSql//2)*($hSql//2)*3),
+       |         j -> ${pxSql(srcIdx)}), 'sum') AS BIGINT) AS sum_px
+       |FROM documents WHERE doc_id < $imageCount""".stripMargin
   }
 
-  def featureQuery(docs: DataFrame): DataFrame = featureStub(withPayload(docs))
+  case class ImgFeatures(doc_id: Long, features: Array[Double])
+
+  /** REAL feature extraction: per-channel 4-bin intensity histogram
+    * (12-dim vector, fraction of pixels per bin, 6 dp) computed from
+    * the decoded raster — the fixed-width `array<double>` column that
+    * feeds the ANN/centroid operators downstream.
+    */
+  def featuresFrom(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val counts = new Array[Long](12)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            counts(((rgb >> 16) & 0xff) >> 6) += 1
+            counts(4 + (((rgb >> 8) & 0xff) >> 6)) += 1
+            counts(8 + ((rgb & 0xff) >> 6)) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        ImgFeatures(id, counts.map(c => round6(c / n)))
+      }
+    }.toDF()
+  }
+
+  def featureQuery(spark: SparkSession, dir: String): DataFrame =
+    featuresFrom(imageBytes(spark, dir))
 
   /** Gate-facing scalar encoding of the feature vectors: one
-    * (doc_id, bin, value) row per histogram bin. The raw
-    * `array<double>` column is the right shape for the ANN operators
-    * downstream, but an external row-hash comparator can't canonicalize
-    * a nested array cell — so the verified surface is the exploded
-    * long form (the verification analog of writing features to a
-    * feature store as (entity, feature, value) rows).
+    * (doc_id, bin, value) row per histogram bin (bin = channel·4 +
+    * intensity÷64). The raw `array<double>` column is the right shape
+    * for the ANN operators downstream, but an external row-hash
+    * comparator can't canonicalize a nested array cell — so the
+    * verified surface is the exploded long form.
     */
-  def featureBins(docs: DataFrame): DataFrame =
-    featureQuery(docs)
+  def featureBins(spark: SparkSession, dir: String): DataFrame =
+    featureQuery(spark, dir)
       .select(col("doc_id"), posexplode(col("features")))
       .select(col("doc_id"), col("pos").cast("bigint").as("bin"), col("col").as("value"))
 
-  val featureOracle: String = {
-    val bins = (0 until 8).map(b =>
-      s"round(len(list_filter(codes, c -> c // 32 = $b))::DOUBLE / greatest(len(codes), 1), 6)")
-      .mkString(",\n       |         ")
-    s"""SELECT doc_id,
-       |       [$bins] AS features
-       |FROM (
-       |  SELECT doc_id,
-       |         list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1))) AS codes
-       |  FROM documents
-       |)""".stripMargin
-  }
-
-  /** Oracle twin of `featureBins`: index the 8-element list with a
-    * lateral 0..7 range (DuckDB lists are 1-indexed).
-    */
+  /** Per-(doc, bin) histogram fraction straight from the generator. */
   val featureBinsOracle: String =
-    s"""WITH f AS (
-       |  ${featureOracle.replace("\n", "\n       |  ")}
-       |)
-       |SELECT doc_id, t.bin AS bin, features[t.bin + 1] AS value
-       |FROM f CROSS JOIN range(8) AS t(bin)""".stripMargin
-
-  /** Multimodal → ANN composition: the extracted feature vectors feed
-    * the SAME brute-force cosine top-k operator the embedding corpus
-    * uses — blob → decode seam → feature vector → similarity search as
-    * one declarative plan, the retrieval path a multimodal curation
-    * pipeline runs (dedup by visual similarity, nearest-neighbor
-    * labeling). No operator was modified to accept the derived
-    * vectors; that is the composability claim.
-    */
-  def featureKnn(docs: DataFrame, nQueries: Int = 3, k: Int = 5): DataFrame =
-    Similarity.bruteForceTopK(
-      featureQuery(docs).select(
-        col("doc_id").as("vec_id"), col("features").as("embedding")),
-      nQueries, k)
+    s"""SELECT doc_id, b.bin AS bin,
+       |       round(len(list_filter(range(0, $wSql*$hSql*3),
+       |           i -> i % 3 = bin // 4 AND (${pxSql("i")}) // 64 = bin % 4))::DOUBLE
+       |         / ($wSql*$hSql), 6) AS value
+       |FROM documents CROSS JOIN range(12) AS b(bin)
+       |WHERE doc_id < $imageCount""".stripMargin
 
   /** Feature frame cached ONCE per corpus dir: the top-k operator
     * consumes it on BOTH join sides, and a per-invocation cache() of a
@@ -244,13 +327,27 @@ object Multimodal {
   private val featMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   private def sharedFeatureFrame(s: SparkSession, d: String): DataFrame =
-    featMemo.getOrElseUpdate(d, featureQuery(Tables.documents(s, d))
+    featMemo.getOrElseUpdate(d, featureQuery(s, d)
       .select(col("doc_id").as("vec_id"), col("features").as("embedding")).cache())
+
+  /** Multimodal → ANN composition: the REAL decoded feature vectors
+    * feed the SAME brute-force cosine top-k operator the embedding
+    * corpus uses — blob → decode → feature vector → similarity search
+    * as one declarative plan, the retrieval path a multimodal curation
+    * pipeline runs (dedup by visual similarity, nearest-neighbor
+    * labeling). No operator was modified to accept the derived vectors;
+    * that is the composability claim.
+    */
+  def featureKnn(spark: SparkSession, dir: String, nQueries: Int = 3, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(sharedFeatureFrame(spark, dir), nQueries, k)
 
   def featureKnnOracle(nQueries: Int = 3, k: Int = 5): String = {
     val cos = "round(list_cosine_similarity(q.features::DOUBLE[], v.features::DOUBLE[]), 6)"
     s"""WITH f AS (
-       |  ${featureOracle.replace("\n", "\n       |  ")}
+       |  SELECT doc_id, list(value ORDER BY bin) AS features
+       |  FROM (
+       |    ${featureBinsOracle.replace("\n", "\n       |    ")}
+       |  ) GROUP BY doc_id
        |)
        |SELECT query_id, vec_id, cos, rank
        |FROM (
@@ -265,13 +362,13 @@ object Multimodal {
        |WHERE rank <= $k""".stripMargin
   }
 
-  /** The REAL blob-ingestion front door: Spark's `binaryFile` source
-    * reads raw files as (path, modificationTime, length, content) rows
-    * — how image/audio corpora actually enter a lakehouse before any
-    * decode. Files are staged once per corpus from the document text
-    * (ETL setup, like the streaming landing dirs); the query reads them
-    * back through the format and verifies length + checksum per blob
-    * against the source-of-truth table.
+  /** The blob-ingestion front door over arbitrary (non-image) payloads:
+    * Spark's `binaryFile` source reads raw files as (path,
+    * modificationTime, length, content) rows. Files are staged once per
+    * corpus from the document text (ETL setup, like the streaming
+    * landing dirs); the query reads them back through the format and
+    * verifies length + checksum per blob against the source-of-truth
+    * table.
     */
   private val blobDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -303,11 +400,11 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_binaryfile" -> binaryFileQuery _,
     "q_mm_meta" -> ((s, d) => metaQuery(Tables.documents(s, d))),
-    "q_mm_decode" -> ((s, d) => decodeQuery(Tables.documents(s, d))),
+    "q_mm_decode" -> decodeQuery _,
     "q_mm_frames" -> ((s, d) => frameSample(Tables.documents(s, d))),
-    "q_mm_resize" -> ((s, d) => resizeQuery(Tables.documents(s, d))),
-    "q_mm_features" -> ((s, d) => featureBins(Tables.documents(s, d))),
-    "q_mm_knn" -> ((s, d) => Similarity.bruteForceTopK(sharedFeatureFrame(s, d), 3, 5))
+    "q_mm_resize" -> resizeQuery _,
+    "q_mm_features" -> featureBins _,
+    "q_mm_knn" -> ((s, d) => featureKnn(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -315,7 +412,7 @@ object Multimodal {
     "q_mm_meta" -> metaOracle,
     "q_mm_decode" -> decodeOracle,
     "q_mm_frames" -> frameSampleOracle(),
-    "q_mm_resize" -> resizeOracle(),
+    "q_mm_resize" -> resizeOracle,
     "q_mm_features" -> featureBinsOracle,
     "q_mm_knn" -> featureKnnOracle()
   )

@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 
 import graft.ext.Multimodal
 
-/** Binary-column plumbing: payload packing, metadata, decode stub,
-  * frame sampling.
+/** Binary-column plumbing + the REAL image codec path: PNG encode /
+  * ImageIO decode / AffineTransformOp resize / histogram features.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -16,19 +16,23 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private def images(ids: Long*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.map(id => (id, Multimodal.makePng(id))).toDF("doc_id", "content")
+  }
+
+  /** Formula channel sum of the full image for doc `id`. */
+  private def fullSum(id: Long): Long = {
+    val n = Multimodal.imgW(id) * Multimodal.imgH(id) * 3
+    (0 until n).map(i => Multimodal.px(id, i).toLong).sum
+  }
+
   test("payload metadata: byte length and checksum") {
     val out = Multimodal.metaQuery(docs((1L, "abcd"))).head()
     assert(out.getString(1) == "application/octet-stream")
     assert(out.getInt(2) == 4)
     assert(out.getString(3) == "e2fc714c4727ee9395f324cd2e7f331f") // md5("abcd")
-  }
-
-  test("decode stub: dimensions and mean byte of a known payload") {
-    val text = "a" * 130 // 130 bytes -> width 64, height ceil(130/64)=3
-    val out = Multimodal.decodeQuery(docs((1L, text))).head()
-    assert(out.getInt(1) == 64)
-    assert(out.getInt(2) == 3)
-    assert(out.getDouble(3) == 97.0) // 'a'
   }
 
   test("frame sampling: every 16th byte") {
@@ -39,25 +43,77 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getLong(2) == expected.toLong)
   }
 
-  test("resize stub: stride sampling hits the target size, checksum matches the kept bytes") {
-    val text = "abcdefgh" * 32 // 256 bytes -> k = 4, keep positions 0,4,8,...
-    val out = Multimodal.resizeQuery(docs((1L, text))).head()
-    assert(out.getInt(1) == 64)
-    val kept = (0 until 256 by 4).map(text.charAt).mkString
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(kept.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(out.getString(2) == hex)
-    // payload smaller than the target passes through whole
-    val small = Multimodal.resizeQuery(docs((2L, "tiny"))).head()
-    assert(small.getInt(1) == 4)
+  test("a known image decodes to known pixels through the codec path") {
+    // Hand-built 2x2: red, green, blue, white — byte-exact through PNG.
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.decodeFrom(
+      Seq((9L, bos.toByteArray)).toDF("doc_id", "content")).head()
+    assert(out.getInt(1) == 2 && out.getInt(2) == 2)
+    assert(out.getLong(3) == 255L * 6) // 3 primaries + white = 6 saturated channels
   }
 
-  test("feature stub: histogram fractions sum to 1 and land in the right bins") {
-    val text = "aaAA!!  " // bins: 'a'=97>>5=3, 'A'=65>>5=2, '!'=33>>5=1, ' '=32>>5=1
-    val out = Multimodal.featureQuery(docs((1L, text))).head()
-    val f = out.getSeq[Double](1)
-    assert(f.length == 8)
-    assert(math.abs(f.sum - 1.0) < 1e-4)
-    assert(f(3) == 0.25 && f(2) == 0.25 && f(1) == 0.5)
+  test("png generator roundtrips: decoded raster equals the pixel formula") {
+    for (id <- 0L to 5L) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.makePng(id)))
+      assert(img.getWidth == Multimodal.imgW(id) && img.getHeight == Multimodal.imgH(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = (y * img.getWidth + x) * 3
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == Multimodal.px(id, p))
+        assert(((rgb >> 8) & 0xff) == Multimodal.px(id, p + 1))
+        assert((rgb & 0xff) == Multimodal.px(id, p + 2))
+      }
+    }
+  }
+
+  test("decode reports exact dimensions and channel sums") {
+    val rows = Multimodal.decodeFrom(images(0L to 9L: _*))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L to 9L) {
+      val r = rows(id)
+      assert(r.getInt(1) == Multimodal.imgW(id))
+      assert(r.getInt(2) == Multimodal.imgH(id))
+      assert(r.getLong(3) == fullSum(id))
+    }
+  }
+
+  test("resize: nearest-neighbor 0.5x samples src = 2*dst + 1") {
+    val rows = Multimodal.resizeFrom(images(0L to 9L: _*))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L to 9L) {
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      val (ow, oh) = (w / 2, h / 2)
+      val expected = (for {
+        y <- 0 until oh; x <- 0 until ow; c <- 0 until 3
+      } yield Multimodal.px(id, ((2 * y + 1) * w + 2 * x + 1) * 3 + c).toLong).sum
+      val r = rows(id)
+      assert(r.getInt(1) == ow && r.getInt(2) == oh)
+      assert(r.getLong(3) == expected, s"doc $id")
+    }
+  }
+
+  test("features: per-channel histogram fractions match the raster") {
+    val rows = Multimodal.featuresFrom(images(0L to 9L: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (id <- 0L to 9L) {
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      val f = rows(id)
+      assert(f.length == 12)
+      // each channel's 4 bins sum to ~1
+      for (c <- 0 until 3)
+        assert(math.abs(f.slice(c * 4, c * 4 + 4).sum - 1.0) < 1e-4, s"doc $id ch $c")
+      val counts = new Array[Long](12)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        counts(c * 4 + (Multimodal.px(id, ((y * w) + x) * 3 + c) >> 6)) += 1
+      for (b <- 0 until 12)
+        assert(math.abs(f(b) - counts(b).toDouble / (w * h)) < 1e-5, s"doc $id bin $b")
+    }
   }
 }
