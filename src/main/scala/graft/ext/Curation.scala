@@ -116,51 +116,62 @@ object Curation {
     * (near-identical sources double-count their mass).
     *
     * Scale shape: ONE corpus-scale pass, all-primitive — each gram's
-    * source SET is a 64-bit mask built by `bit_or(1L << idx)` (a
-    * codegen'd primitive hash aggregate with map-side combine; a
-    * collect_set formulation would carry object agg buffers through
-    * the exchange and grow with source count), then a mask HISTOGRAM
-    * (≤ observed source combos), and the pair expansion runs over that
+    * source SET is a fixed-width ARRAY of 64-bit mask words
+    * (`bit_or(1L << (idx % 64))` into word `idx ÷ 64`; codegen'd
+    * primitive hash aggregates with map-side combine — a collect_set
+    * formulation would carry object agg buffers through the exchange
+    * and grow with source count), then a mask HISTOGRAM (≤ observed
+    * source combos), and the pair expansion runs over that
     * config-scale histogram via broadcast bit-test joins — a gram
     * shared by millions of docs is one histogram row, so there is no
     * hot-gram self-join to blow up (the oracle keeps the N² self-join
-    * SQL as truth). The source dictionary is built in-plan (tiny
-    * distinct + row_number) and the 62-source mask width is guarded by
-    * an in-plan raise_error — no driver materialization anywhere. The
-    * histogram localCheckpoints for its two consumers (pairs +
-    * diagonal totals). At sf0.1 the ~2 s is fixed small-query cost
-    * (the dict window + two tiny extra stages schedule ~0.5 s alone),
-    * not data volume — the corpus term is the single gram pass.
+    * SQL as truth). The source dictionary is config-scale (one row
+    * per corpus source — a few KB even at hundreds of sources, with
+    * NO cap: the word array widens as ceil(nSources/64)); it is
+    * collected once so the mask width is known while building the
+    * plan, and source→idx is then a literal-map projection instead of
+    * a broadcast join against the corpus pass. The histogram
+    * localCheckpoints for its two consumers (pairs + per-source
+    * totals). At sf0.1 the cost is fixed small-query scheduling plus
+    * the Generate-heavy gram pass — the corpus term is that single
+    * pass.
     */
   def sourceOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dict = docs.select(col("source")).distinct()
-      .withColumn("idx", row_number().over(Window.orderBy(col("source"))) - 1)
-      .withColumn("idx", when(col("idx") > 61, raise_error(concat(
-        lit("sourceOverlap: mask width supports at most 62 sources, saw idx "),
-        col("idx").cast("string")))).otherwise(col("idx")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val nWords = math.max(1, (sources.length + 63) / 64)
+    val idxMap = typedLit(sources.zipWithIndex.toMap)
+    val wordCols = (0 until nWords).map(w => expr(
+      s"bit_or(IF(idx DIV 64 = $w, shiftleft(CAST(1 AS BIGINT), idx % 64), CAST(0 AS BIGINT)))")
+      .as(s"m$w"))
     val maskHist = gramArrays(docs, n)
-      .join(broadcast(dict), "source")
-      .select(col("idx"), explode(col("grams")).as("gram"))
+      .select(element_at(idxMap, col("source")).as("idx"),
+        explode(col("grams")).as("gram"))
       .groupBy(col("gram"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), idx))").as("mask"))
-      .groupBy(col("mask")).agg(count(lit(1)).as("c"))
+      .agg(wordCols.head, wordCols.tail: _*)
+      .select(array((0 until nWords).map(w => col(s"m$w")): _*).as("masks"))
+      .groupBy(col("masks")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    def bitSet(mask: Column, idx: Column): Column =
-      mask.bitwiseAND(call_function("shiftleft", lit(1L), idx)) =!= 0
+    def bitSet(masks: Column, idx: Column): Column =
+      element_at(masks, floor(idx / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L), idx % 64)) =!= 0
+    val dict = sources.zipWithIndex.toSeq.toDF("source", "idx")
     val da = dict.select(col("source").as("source_a"), col("idx"))
     val db = dict.select(col("source").as("source_b"), col("idx").as("idx_b"))
-    val m = maskHist
-      .join(broadcast(da), bitSet(col("mask"), col("idx")))
+    val pairs = maskHist
+      .join(broadcast(da), bitSet(col("masks"), col("idx")))
       .join(broadcast(db),
-        bitSet(col("mask"), col("idx_b")) && col("idx") <= col("idx_b"))
+        bitSet(col("masks"), col("idx_b")) && col("idx") < col("idx_b"))
       .groupBy(col("source_a"), col("source_b"))
-      .agg(sum(col("c")).cast("bigint").as("c"))
-    val diag = m.filter(col("source_a") === col("source_b"))
-    m.filter(col("source_a") < col("source_b"))
-      .withColumnRenamed("c", "shared_grams")
-      .join(broadcast(diag.select(col("source_a"), col("c").as("n_a"))), "source_a")
-      .join(broadcast(diag.select(col("source_a").as("source_b"), col("c").as("n_b"))),
+      .agg(sum(col("c")).cast("bigint").as("shared_grams"))
+    val totals = maskHist
+      .join(broadcast(da), bitSet(col("masks"), col("idx")))
+      .groupBy(col("source_a")).agg(sum(col("c")).cast("bigint").as("n_a"))
+    pairs
+      .join(broadcast(totals), "source_a")
+      .join(broadcast(totals.select(col("source_a").as("source_b"), col("n_a").as("n_b"))),
         "source_b")
       .select(col("source_a"), col("source_b"), col("shared_grams"),
         col("n_a"), col("n_b"),

@@ -128,14 +128,18 @@ class CurationSpec extends SparkSpec {
     assert(out(("blog", "web")) == ((1L, 2L, 2L, 0.333333)))
   }
 
-  test("sourceOverlap raises in-plan when the 62-source mask width is exceeded") {
-    val d = docs((1L to 70L).map(i => (i, "shared gram text here", s"src_$i")): _*)
-    val e = intercept[Exception] {
-      Curation.sourceOverlap(d, n = 2).collect()
+  test("sourceOverlap spans more than 64 sources via multi-word masks") {
+    // 70 sources straddle the 64-bit word boundary; each pair shares the
+    // four common 2-grams and keeps two private ones: Jaccard = 4/8.
+    val d = docs((0L until 70L).map(i =>
+      (i, s"common shared tokens here plus unique$i filler$i", f"src$i%02d")): _*)
+    val out = Curation.sourceOverlap(d, n = 2).collect()
+    assert(out.length == 70 * 69 / 2)
+    out.foreach { r =>
+      assert(r.getLong(2) == 4L, s"${r.getString(0)}~${r.getString(1)} shared")
+      assert(r.getLong(3) == 6L && r.getLong(4) == 6L)
+      assert(r.getDouble(5) == 0.5)
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("at most 62 sources")), s"got: ${msgs(e)}")
   }
 
   test("mixWeights: temperature flattens the mixture; weights sum to 1") {
