@@ -565,9 +565,11 @@ object Indicators {
   /** Weekly cohort retention — the canonical product-analytics query
     * over an event stream: users grouped by first-seen week, retention
     * = fraction of each cohort active at week offsets 0..n. Week
-    * offsets are exact integer arithmetic on Monday-truncated epochs
-    * (both engines truncate weeks to Monday), so no FP boundary can
-    * flip a bucket.
+    * offsets are calendar-day arithmetic on Monday-truncated weeks
+    * (`datediff ÷ 7` — both engines truncate weeks to Monday), so the
+    * bucket is exact in ANY session timezone: a DST transition shifts
+    * the epoch delta by ±3600 s, but never the day count between two
+    * week starts.
     *
     * Scale shape: the first-seen frame is the USER DIMENSION — one
     * user-keyed aggregate a production pipeline persists; here it
@@ -584,8 +586,7 @@ object Indicators {
     events.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
       .join(firstSeen, "user_id")
       .groupBy(col("cohort"),
-        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800)
-          .cast("bigint").as("week_offset"))
+        floor(datediff(col("wk"), col("cohort")) / 7).cast("bigint").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("active_users"))
       .join(broadcast(sizes), "cohort")
       .select(col("cohort"), col("week_offset"), col("active_users"), col("cohort_users"),
@@ -598,7 +599,7 @@ object Indicators {
       |), sz AS (SELECT cohort, count(*) AS cohort_users FROM fs GROUP BY 1),
       |act AS (
       |  SELECT fs.cohort,
-      |         CAST((epoch(date_trunc('week', e.ts)) - epoch(fs.cohort)) / 604800 AS BIGINT)
+      |         CAST(date_diff('day', fs.cohort, date_trunc('week', e.ts)) // 7 AS BIGINT)
       |           AS week_offset,
       |         count(DISTINCT e.user_id) AS active_users
       |  FROM events e JOIN fs USING (user_id)

@@ -287,9 +287,9 @@ object Similarity {
     */
   private val vecMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** PQ codebooks memoized per (corpus frame, m) — see `ivfPqFromFrame`. */
+  /** PQ codebooks memoized per (corpus dir, m) — see `ivfPqFromFrame`. */
   private val pqCbMemo =
-    scala.collection.concurrent.TrieMap.empty[(DataFrame, Int), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
 
   private def sharedVecFrame(s: SparkSession, d: String): DataFrame =
     vecMemo.getOrElseUpdate(d, vecFrame(Tables.embeddings(s, d)).cache())
@@ -920,16 +920,24 @@ object Similarity {
     */
   def ivfPqTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10,
       nprobe: Int = 2, m: Int = 8): DataFrame =
-    ivfPqFromFrame(vecFrame(vectors), nQueries, k, nprobe, m)
+    ivfPqFromFrame(vecFrame(vectors), nQueries, k, nprobe, m, memoKey = None)
 
   private def ivfPqFromFrame(v: DataFrame, nQueries: Int, k: Int,
-      nprobe: Int, m: Int): DataFrame = {
+      nprobe: Int, m: Int, memoKey: Option[String]): DataFrame = {
     val spark = v.sparkSession
     val withCells = withRankedCells(v, labelCentroids(v))
-    // one row; memoized per (corpus frame, m) so the codebook
-    // aggregation runs once across consumers AND across invocations —
-    // a bare .cache() here would stack a fresh cached frame per call
-    val pqCb = pqCbMemo.getOrElseUpdate((v, m), pqCodebookFrame(v, m).cache())
+    // One row, consumed by two plan branches. The memo is keyed by the
+    // STABLE corpus identifier (the table dir) — never by DataFrame
+    // object identity, which a fresh public-API vecFrame would always
+    // miss, stacking an un-unpersisted cache entry per call. On the
+    // non-memoized path the codebook is localCheckpoint'd instead:
+    // materialized once for both consumers, and its blocks are released
+    // by the ContextCleaner when the frame goes out of scope (a
+    // CacheManager entry would live until an explicit unpersist).
+    val pqCb = memoKey match {
+      case Some(d) => pqCbMemo.getOrElseUpdate((d, m), pqCodebookFrame(v, m).cache())
+      case None    => pqCodebookFrame(v, m).localCheckpoint()
+    }
     // inverted lists carry only (vec_id, cell, codes): the PQ-compressed
     // index — one map-only pass over the corpus, one native argmin call
     // per row (graft_pqassign)
@@ -1026,7 +1034,8 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_quantize" -> ((s, d) => pqQuantize(Tables.embeddings(s, d))),
     "q_knn_ivfpq" -> ((s, d) =>
-      ivfPqFromFrame(sharedVecFrame(s, d), nQueries = 5, k = 10, nprobe = 2, m = 8)),
+      ivfPqFromFrame(sharedVecFrame(s, d), nQueries = 5, k = 10, nprobe = 2, m = 8,
+        memoKey = Some(d))),
     "q_knn_brute" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
     "q_knn_bucketed" -> ((s, d) => bucketedTopK(Tables.embeddings(s, d))),
     "q_knn_multiprobe" -> ((s, d) => multiProbeTopK(Tables.embeddings(s, d))),

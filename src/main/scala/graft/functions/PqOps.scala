@@ -47,6 +47,13 @@ object PqKernel {
 
   /** All m subspace assignments in one pass: codes[s] = argmin code by
     * (rounded dist, code), err = round6(Σ_s round6(min dist_s)).
+    *
+    * NaN rule (shared with `assignSeq` so the native expression and the
+    * UDF fallback can never diverge): a NaN distance never wins the
+    * argmin (strict comparisons are false for NaN); if EVERY distance
+    * in a subspace is NaN the sentinel code Int.MaxValue is emitted and
+    * err is +Infinity — a loud, greppable marker rather than an
+    * arbitrary codebook entry.
     */
   def assign(e: ArrayData, cbs: ArrayData): InternalRow = {
     val m = cbs.numElements()
@@ -105,17 +112,25 @@ object PqKernel {
 
   // ---- JVM-collection twins for the UDF fallback path ----
 
+  /** Mirrors `assign`'s argmin loop exactly — including the NaN rule
+    * (skip NaN distances; all-NaN subspace → Int.MaxValue, +Infinity) —
+    * a `.min` over (dist, code) tuples would instead pick a
+    * NaN-distance code via total ordering when every distance is NaN.
+    */
   def assignSeq(e: Seq[Double], cbs: Seq[Seq[(Int, Seq[Double])]]): (Seq[Int], Double) = {
     val m = cbs.length
     val sub = e.length / m
     var errSum = 0.0
     val codes = (0 until m).map { s =>
-      val (bestD, bestCode) = cbs(s).map { case (code, cent) =>
+      var bestD = Double.PositiveInfinity
+      var bestCode = Int.MaxValue
+      cbs(s).foreach { case (code, cent) =>
         var dp = 0.0
         var i = 0
         while (i < sub) { val diff = e(s * sub + i) - cent(i); dp += diff * diff; i += 1 }
-        (round6(dp), code)
-      }.min
+        val d = round6(dp)
+        if (d < bestD || (d == bestD && code < bestCode)) { bestD = d; bestCode = code }
+      }
       errSum += bestD
       bestCode
     }

@@ -197,8 +197,14 @@ object AsOfJoinOp {
     val rAliases = right.queryExecution.analyzed.output.map(a => Alias(a, a.name)())
     val rPlan = Project(rAliases, right.queryExecution.analyzed)
     def pick(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name == name).getOrElse(
-        sys.error(s"asof: no column '$name' in ${out.map(_.name).mkString(", ")}"))
+      out.filter(_.name == name) match {
+        case Seq(one) => one
+        case Seq() =>
+          sys.error(s"asof: no column '$name' in ${out.map(_.name).mkString(", ")}")
+        case many => // never resolve an ambiguous reference silently
+          sys.error(s"asof: column '$name' is ambiguous (${many.length} matches) " +
+            s"in ${out.map(_.name).mkString(", ")}")
+      }
     val (lk, rk) = (pick(lPlan.output, leftKey), pick(rPlan.output, rightKey))
     val (lt, rt) = (pick(lPlan.output, leftTime), pick(rPlan.output, rightTime))
     // fail fast on types the merge would silently misread: the key

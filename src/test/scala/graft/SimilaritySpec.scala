@@ -422,4 +422,31 @@ class SimilaritySpec extends SparkSpec {
     assert(PqKernel.adcSeq(Seq(1.0, 2.0), Seq(7), cb).contains(0.0))
     assert(PqKernel.adcSeq(Seq(1.0, 2.0), Seq(5), cb).isEmpty)
   }
+
+  test("PqKernel: NaN rule is shared by native and fallback — skip NaN, all-NaN sentinel") {
+    import graft.functions.PqKernel
+    val sp = spark
+    import sp.implicits._
+    // subspace 0: code 4 has a NaN distance (NaN centroid), code 9 finite
+    // — NaN must never win the argmin on either path
+    val mixed = Seq(Seq(4 -> Seq(Double.NaN, 0.0), 9 -> Seq(1.0, 2.0)))
+    val e = Seq(1.0, 2.0)
+    val (codesSeq, errSeq) = PqKernel.assignSeq(e, mixed)
+    assert(codesSeq == Seq(9) && errSeq == 0.0)
+    val nativeMixed = Seq((e, mixed)).toDF("e", "cb")
+      .select(org.apache.spark.sql.functions.call_function("graft_pqassign",
+        org.apache.spark.sql.functions.col("e"),
+        org.apache.spark.sql.functions.col("cb")).as("pa")).head().getStruct(0)
+    assert(nativeMixed.getSeq[Int](0) == codesSeq && nativeMixed.getDouble(1) == errSeq)
+    // all distances NaN: both paths emit the Int.MaxValue sentinel +
+    // infinite err, never an arbitrary codebook entry
+    val allNaN = Seq(Seq(4 -> Seq(Double.NaN, 0.0), 9 -> Seq(Double.NaN, 1.0)))
+    val (codesNaN, errNaN) = PqKernel.assignSeq(e, allNaN)
+    assert(codesNaN == Seq(Int.MaxValue) && errNaN.isPosInfinity)
+    val nativeNaN = Seq((e, allNaN)).toDF("e", "cb")
+      .select(org.apache.spark.sql.functions.call_function("graft_pqassign",
+        org.apache.spark.sql.functions.col("e"),
+        org.apache.spark.sql.functions.col("cb")).as("pa")).head().getStruct(0)
+    assert(nativeNaN.getSeq[Int](0) == codesNaN && nativeNaN.getDouble(1).isPosInfinity)
+  }
 }

@@ -124,6 +124,19 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(e2.getMessage.contains("time columns"))
   }
 
+  test("native as-of exec: duplicate column names on one side fail fast, not first-match") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, ts(1), 1L)).toDF("k", "ts", "event_id")
+    val dupLeft = left.select(col("k"), col("ts"), col("event_id"), col("event_id").as("k"))
+    val right = Seq((1L, ts(0), 5.0)).toDF("rk", "rts", "payload")
+    val e = intercept[RuntimeException] {
+      graft.plans.AsOfJoinOp.asof(dupLeft, right, "k", "rk", "ts", "rts")
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("native as-of exec: plans as AsOfJoin with one exchange+sort per side") {
     val df = events((1L, ts(1), 1L, "click", 1.0), (2L, ts(0), 1L, "purchase", 2.0))
     val plan = TemporalJoins.asofNative(df).queryExecution.executedPlan.toString
