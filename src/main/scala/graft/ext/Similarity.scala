@@ -596,6 +596,10 @@ object Similarity {
           round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
     recallOf("bucketed", bucketedTopK(vectors, nQueries, k))
       .unionAll(recallOf("multiprobe", multiProbeTopK(vectors, nQueries, k)))
+      // the compressed ADC path: the acceptance gate a user reads before
+      // trusting the PQ index — ranked by approximate distance, measured
+      // here against exact-cosine truth
+      .unionAll(recallOf("ivfpq", ivfPqTopK(vectors, nQueries, k)))
   }
 
   def annRecallOracle(nQueries: Int = 5, k: Int = 10): String = {
@@ -612,10 +616,14 @@ object Similarity {
        |  ${bucketedTopKOracle(nQueries, k).replace("\n", "\n       |  ")}
        |), m AS (
        |  ${multiProbeTopKOracle(nQueries, k).replace("\n", "\n       |  ")}
+       |), pq AS (
+       |  ${ivfPqTopKOracle(nQueries, k).replace("\n", "\n       |  ")}
        |)
        |${arm("bucketed", "b")}
        |UNION ALL
-       |${arm("multiprobe", "m")}""".stripMargin
+       |${arm("multiprobe", "m")}
+       |UNION ALL
+       |${arm("ivfpq", "pq")}""".stripMargin
   }
 
   // --------------------------------------------------- int8 quantization

@@ -230,8 +230,9 @@ class SimilaritySpec extends SparkSpec {
   test("quantize plan is map-only and annRecall joins stay hashed (no nested-loop fallback)") {
     val s = spark
     import s.implicits._
-    val d = (0L until 10L).map(i => (i, Seq.tabulate(8)(j => 1.0f + 0.1f * ((i + j) % 3))))
-      .toDF("vec_id", "embedding")
+    val d = (0L until 10L).map(i =>
+      (i, Seq.tabulate(64)(j => 1.0f + 0.1f * ((i + j) % 3)), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
     val qPlan = graft.ext.Similarity.quantize(d).queryExecution.executedPlan.toString
     assert(!qPlan.contains("Exchange"), s"quantize must not shuffle:\n$qPlan")
     val rPlan = graft.ext.Similarity.annRecall(d, 3, 5).queryExecution.executedPlan.toString
@@ -374,14 +375,20 @@ class SimilaritySpec extends SparkSpec {
     // all-positive components => identical sign bucket for bucketed (3-bit)
     // and multiprobe (8-bit): both searches see the whole corpus
     val d = (0L until 12L).map { i =>
-      (i, Seq.tabulate(8)(j => 1.0f + 0.1f * ((i + j) % 5)))
-    }.toDF("vec_id", "embedding")
+      (i, Seq.tabulate(64)(j => 1.0f + 0.1f * ((i + j) % 5)), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
     val rows = graft.ext.Similarity.annRecall(d, nQueries = 3, k = 5).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    assert(rows.length == 6, "2 methods x 3 queries")
+    assert(rows.length == 9, "3 methods x 3 queries")
     assert(rows.forall(_._3 == 5L), "truth set is exactly k when the corpus allows")
-    assert(rows.forall(r => r._4 == 5L && r._5 == 1.0),
-      s"single shared bucket must give perfect recall, got ${rows.mkString(", ")}")
+    val exact = rows.filter(r => r._1 == "bucketed" || r._1 == "multiprobe")
+    assert(exact.forall(r => r._4 == 5L && r._5 == 1.0),
+      s"single shared bucket must give perfect recall, got ${exact.mkString(", ")}")
+    // the compressed ADC path is approximate by construction: it must be
+    // REPORTED (that's the acceptance gate), not necessarily perfect
+    val pq = rows.filter(_._1 == "ivfpq")
+    assert(pq.length == 3 && pq.forall(r => r._5 >= 0.0 && r._5 <= 1.0),
+      s"ivfpq rows missing/out of range: ${pq.mkString(", ")}")
   }
 
   test("nearDupThresholdSweep: bins partition the pairs, cumulative counts are monotone") {
