@@ -345,10 +345,18 @@ object Indicators {
     * all the tolerance needed. Gated like every rolling metric
     * (null until n points, and on a zero denominator).
     *
-    * Scale note: the aligned series is one row per MINUTE (the
-    * upstream agg collapses the corpus), so the unpartitioned window
-    * runs over a frame-compressed stream; for a decades-long series
-    * apply the `smaPartitioned` bucket-and-carry scale-out unchanged.
+    * Scale shape: the aligned series is one row per MINUTE (the
+    * upstream agg collapses the corpus), and the co-moment windows run
+    * bucket-and-carry like `smaPartitioned`: the series splits into
+    * week buckets and every frame computes locally inside its (bucket)
+    * partition — NO single-task corpus-scale window anywhere in the
+    * plan (spec-asserted). Unlike `smaPartitioned` the carry here has
+    * NO bucket-density precondition: each bucket's lookback is the
+    * GLOBAL last n−1 rows across all preceding buckets, assembled from
+    * the per-bucket tail candidates (≤ n−1 rows per non-empty bucket —
+    * config-scale, so the stitching join and its ranking window are
+    * broadcast-tiny even for a sparse series whose weeks hold fewer
+    * than n minutes).
     */
   def rollingCorr(events: DataFrame, n: Int = 30): DataFrame = {
     val byMin = events.filter(col("event_type").isin("click", "view"))
@@ -356,7 +364,30 @@ object Indicators {
       .agg(avg(when(col("event_type") === "click", col("value"))).as("x"),
         avg(when(col("event_type") === "view", col("value"))).as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
-    val w = Window.orderBy(col("minute")).rowsBetween(-(n - 1), 0)
+    val base = byMin.withColumn("bucket", date_trunc("week", col("minute")))
+    // tail candidates: the last ≤ n−1 rows of EVERY bucket (any row
+    // deeper than n−1 in its own bucket can never be part of a later
+    // bucket's lookback)
+    val wDesc = Window.partitionBy(col("bucket")).orderBy(col("minute").desc)
+    val candidates = base
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") < n)
+      .drop("rn")
+    // each target bucket stitches the global last n−1 rows drawn from
+    // all PRECEDING buckets' candidates: candidates × buckets is
+    // O(weeks² · n) — config-scale — so the broadcast join and the
+    // per-target ranking window never touch corpus-scale data
+    val buckets = base.select(col("bucket").as("target")).distinct()
+    val wCarry = Window.partitionBy(col("target")).orderBy(col("minute").desc)
+    val carry = candidates
+      .join(broadcast(buckets), col("bucket") < col("target"))
+      .withColumn("rn", row_number().over(wCarry))
+      .filter(col("rn") < n)
+      .select(col("minute"), col("x"), col("y"), col("target").as("bucket"))
+      .withColumn("is_carry", lit(true))
+    val stitched = base.withColumn("is_carry", lit(false)).unionByName(carry)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("minute")).rowsBetween(-(n - 1), 0)
     val cnt = count(lit(1)).over(w).cast("double")
     val sx = sum(col("x")).over(w)
     val sy = sum(col("y")).over(w)
@@ -369,7 +400,7 @@ object Indicators {
     // nulls the row via den > 0)
     val den = sqrt(greatest(cnt * sxx - sx * sx, lit(0.0))) *
       sqrt(greatest(cnt * syy - sy * sy, lit(0.0)))
-    byMin
+    stitched
       .withColumn("n_obs", count(lit(1)).over(w))
       .withColumn("corr_xy",
         when(col("n_obs") >= n && den > 0,
@@ -377,6 +408,7 @@ object Indicators {
           // engines disagree on the sign of a correlation that rounds
           // to zero, and the hash gate distinguishes -0.0 from 0.0
           round((cnt * sxy - sx * sy) / den, 4) + lit(0.0)))
+      .filter(!col("is_carry"))
       .select(col("minute"), round(col("x"), 6).as("x"),
         round(col("y"), 6).as("y"), col("n_obs"), col("corr_xy"))
   }

@@ -146,6 +146,61 @@ class IndicatorsSpec extends SparkSpec {
     assert(flat.forall(_.isNullAt(4)))
   }
 
+  test("rollingCorr: bucket-and-carry output equals the sequential definition across weeks") {
+    val sp = spark
+    import sp.implicits._
+    // rowsPerBucket=15: frames straddle one boundary; rowsPerBucket=2:
+    // SPARSE series, the n=5 lookback must span several week buckets
+    for (rowsPerBucket <- Seq(15, 2)) {
+      val mins = 0 until 40
+      def minuteTs(i: Int) =
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+          .plusDays((i / rowsPerBucket) * 7L).plusMinutes(i % rowsPerBucket))
+      val xs = mins.map(i => 1.0 + 0.37 * i + (i % 7))
+      val ys = mins.map(i => 5.0 - 0.21 * i + ((i * 3) % 5))
+      val df = mins.flatMap { i =>
+        Seq((i * 2L, minuteTs(i), "click", xs(i)), (i * 2 + 1L, minuteTs(i), "view", ys(i)))
+      }.toDF("event_id", "ts", "event_type", "value")
+      val n = 5
+      val out = Indicators.rollingCorr(df, n).orderBy("minute").collect()
+      assert(out.length == mins.length)
+      for (i <- mins) {
+        val r = out(i)
+        assert(r.getLong(3) == math.min(i + 1, n), s"n_obs at $i (rpb=$rowsPerBucket)")
+        if (i + 1 < n) assert(r.isNullAt(4), s"gated at $i (rpb=$rowsPerBucket)")
+        else {
+          val fx = xs.slice(i - n + 1, i + 1)
+          val fy = ys.slice(i - n + 1, i + 1)
+          val c = n.toDouble
+          val (sx, sy) = (fx.sum, fy.sum)
+          val sxy = fx.zip(fy).map { case (a, b) => a * b }.sum
+          val den = math.sqrt(math.max(c * fx.map(v => v * v).sum - sx * sx, 0.0)) *
+            math.sqrt(math.max(c * fy.map(v => v * v).sum - sy * sy, 0.0))
+          val want = BigDecimal((c * sxy - sx * sy) / den)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(r.getDouble(4) - want) < 1e-9, s"corr at $i (rpb=$rowsPerBucket)")
+        }
+      }
+    }
+  }
+
+  test("rollingCorr plans NO unpartitioned corpus-scale window") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 10).flatMap { i =>
+      Seq((i * 2L, ts(i), "click", i.toDouble), (i * 2 + 1L, ts(i), "view", i * 2.0))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val plan = Indicators.rollingCorr(df).queryExecution.executedPlan.toString
+    // no window may order the corpus-scale minute stream without a
+    // partition key: an unpartitioned ORDER BY minute window would show
+    // as windowspecdefinition(minute#..., ...) with no leading partition
+    // column (the carry ranking partitions by target, the co-moment
+    // frames by bucket; both are fine)
+    assert(plan.contains("windowspecdefinition("), s"expected windows in:\n$plan")
+    assert(!plan.contains("windowspecdefinition(minute"),
+      s"unpartitioned corpus-scale window found:\n$plan")
+  }
+
   test("smaPartitioned carries the lookback across an EMPTY week bucket") {
     val s = spark
     import s.implicits._
