@@ -28,6 +28,7 @@ object Bench {
       sources.Layout.prepare(spark, sfDir) // layout build = ETL, not query time
       streaming.Streams.prepare(spark, sfDir) // stream-landing staging, same
       sources.TxLog.prepare(spark, sfDir) // manifest-log fixture tables, same
+      sources.DeltaLog.prepare(spark, sfDir) // delta-mirror fixture table, same
       val warmDir = "/root/testdata/sf0.001"
       if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
         sources.Layout.prepare(spark, warmDir)
@@ -37,21 +38,34 @@ object Bench {
         spark.catalog.clearCache() // drop warmup-corpus cache entries
       }
     } catch { case _: Throwable => }
-    // Optional args = subset of query names (local iteration on hotspots).
+    // Optional args = subset of query names (local iteration on hotspots),
+    // plus --reps=N: run each query N times and report the per-query MEDIAN,
+    // so regression calls don't hinge on single-shot box variance (same-HEAD
+    // totals have historically ranged ±30%).
+    val reps = args.collectFirst { case s if s.startsWith("--reps=") => s.drop(7).toInt }
+      .getOrElse(1).max(1)
+    val names = args.filterNot(_.startsWith("--"))
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      if (names.nonEmpty) SparkEntry.queries.filter { case (n, _) => names.contains(n) }
       else SparkEntry.queries
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // record it: a failure's (short) elapsed time in the totals
-          // with no marker would misreport the run as healthy-and-fast
-          failed += name
-          System.err.println(s"WARNING: bench query $name failed: $e")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // record it: a failure's (short) elapsed time in the totals
+            // with no marker would misreport the run as healthy-and-fast
+            if (!failed.contains(name)) failed += name
+            System.err.println(s"WARNING: bench query $name failed: $e")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> median(times)
     }
     // The harness that captures this output keeps only a ~2000-char tail of
     // stdout, and sbt appends a "[success] ..." line after us. Keep the whole
@@ -71,16 +85,16 @@ object Bench {
     val qs = entries.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_omitted":$omitted,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"queries_omitted":$omitted,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     // Machine-readable copy: the full (untruncated) metric JSON, written to a
     // file so the harness doesn't have to parse it out of an sbt stdout tail.
     // ONLY full runs write it — a subset run (local hotspot iteration) must
     // not clobber the whole-suite artifact with a 1-query total.
-    if (args.isEmpty) {
+    if (names.isEmpty) {
       val fullQs = bySlowest.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
       val fullJson =
-        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"queries_omitted":0,"failed":$failedJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"n_queries":${results.size},"queries_omitted":0,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson)
       catch { case e: Throwable =>
         // a silent failure here leaves a STALE artifact misreporting the run
@@ -88,5 +102,8 @@ object Bench {
       }
     }
     spark.stop()
+    // Nonzero exit when any query failed: a harness gate keyed on rc (the
+    // round-5 wrapper reported rc=0 over a half-broken run) must see red.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

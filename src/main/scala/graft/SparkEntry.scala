@@ -30,7 +30,8 @@ object SparkEntry {
     ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
     ext.Curation.queries ++
     ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
-    sources.Sinks.queries ++ sources.Layout.queries ++ sources.TxLog.queries
+    sources.Sinks.queries ++ sources.Layout.queries ++ sources.TxLog.queries ++
+    sources.DeltaLog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
     ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
     ext.Curation.oracles ++
     ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
-    sources.Sinks.oracles ++ sources.Layout.oracles ++ sources.TxLog.oracles
+    sources.Sinks.oracles ++ sources.Layout.oracles ++ sources.TxLog.oracles ++
+    sources.DeltaLog.oracles
 }

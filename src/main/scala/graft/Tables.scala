@@ -24,16 +24,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read it as epoch-nanos long and floor-convert to a regular
-    * microsecond timestamp. `div` (integer division) keeps full precision
-    * — a double division would lose bits above 2^53.
+  /** `events.ts` has shipped as two different physical types across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects by default
+    * — read as epoch-nanos long via `nanosAsLong` and floor-convert; `div`
+    * integer division keeps full precision where a double division would
+    * lose bits above 2^53) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (which Spark loads as TIMESTAMP_NTZ). Branch on
+    * the loaded dtype so both generations normalize to the same
+    * session-zoned TimestampType the rest of the engine (windows,
+    * watermarks, date_trunc buckets) is built against. All entry points pin
+    * the session timezone to UTC, so the NTZ→TZ cast is value-preserving.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(load(spark, dir, "events"))
   }
+
+  /** Dtype-branch normalizer shared by the batch loader and the streaming
+    * stagers (`Streams.eventsStream`, `Streams.runStreamDedup`): any events
+    * frame — whatever physical ts generation it was read from — comes out
+    * with a session-zoned TimestampType `ts`.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -19,11 +19,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -42,6 +44,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws must stay VISIBLE in the round's artifacts: a
+    // missing parquet dir silently drops the query from the driver's
+    // comparison (round-5 lesson — 52 failures looked like a smaller,
+    // all-green suite). errors.json names each failure with its message so
+    // the correctness artifact (or a human) can surface them as err rows.
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
+    // rc stays 0 even on partial failure: the driver's DuckDB compare over
+    // the dumped parquet is the authoritative gate, and an abort here could
+    // skip it entirely. Set SPARK_GRAFT_STRICT=1 for a CI gate keyed on rc.
+    if (errors.nonEmpty && sys.env.get("SPARK_GRAFT_STRICT").contains("1")) sys.exit(1)
   }
 }

@@ -534,8 +534,16 @@ object Indicators {
     val anchor = when(col("close").isNotNull, struct(col("minute").as("m"), col("close").as("v")))
     val wPrev = Window.partitionBy(col("event_type")).orderBy(col("minute"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("event_type")).orderBy(col("minute"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next known anchor" = last(ignoreNulls) over a cumulative frame in
+    // DESCENDING minute order — semantically identical to
+    // first(ignoreNulls) over (currentRow, unboundedFollowing) ascending,
+    // but O(n) per partition: Spark's UnboundedFollowing frame re-scans
+    // current→end for every row (quadratic — at a 30-day fixture span the
+    // 43k-minute grid made that ~2e9 aggregate updates per series), while
+    // a cumulative frame is one running pass. Costs one extra sort of the
+    // (tiny, minutes×series) grid, not of the corpus.
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("minute").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Determinism: time deltas stay INTEGER seconds until the single
     // frac division, so both engines feed identical operands through
     // identical IEEE ops and the interpolated doubles are BIT-IDENTICAL
@@ -551,7 +559,7 @@ object Indicators {
       (sec(col("nx.m")) - sec(col("p.m"))).cast("double")
     grid.join(perMin, Seq("event_type", "minute"), "left")
       .withColumn("p", last(anchor, ignoreNulls = true).over(wPrev))
-      .withColumn("nx", first(anchor, ignoreNulls = true).over(wNext))
+      .withColumn("nx", last(anchor, ignoreNulls = true).over(wNext))
       .withColumn("value",
         when(col("p").isNull, col("nx.v"))
           .when(col("nx").isNull, col("p.v"))

@@ -75,15 +75,17 @@ object TxLog {
       .toSeq.sorted
   }
 
-  private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean): Long = {
+  private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean,
+      schemaJson: String): Long = {
     val table = Paths.get(dir)
     var committed = -1L
+    var removed: Seq[String] = Seq.empty
     while (committed < 0) {
       val cur = currentVersion(dir)
       val next = cur.getOrElse(0L) + 1
-      val all =
-        (if (carryPrevious) cur.map(readManifest(table, _)).getOrElse(Seq.empty)
-         else Seq.empty) ++ added
+      val previous = cur.map(readManifest(table, _)).getOrElse(Seq.empty)
+      val all = (if (carryPrevious) previous else Seq.empty) ++ added
+      removed = if (carryPrevious) Seq.empty else previous
       val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
       Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
       try {
@@ -98,6 +100,11 @@ object TxLog {
         case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
       }
     }
+    // Interop mirror (DeltaLog): the _txlog manifest above is the commit
+    // point; the Delta commit file is written after it, so a foreign Delta
+    // reader may briefly trail ours by one version but never sees an
+    // uncommitted state. Same put-if-absent primitive inside.
+    DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson)
     committed
   }
 
@@ -105,7 +112,7 @@ object TxLog {
   def commitAppend(df: DataFrame, dir: String): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
-    commitFiles(dir, writeBatch(df, table), carryPrevious = true)
+    commitFiles(dir, writeBatch(df, table), carryPrevious = true, df.schema.json)
   }
 
   /** Replace the table contents with `df` in one atomic commit —
@@ -115,7 +122,7 @@ object TxLog {
   def commitOverwrite(df: DataFrame, dir: String): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
-    commitFiles(dir, writeBatch(df, table), carryPrevious = false)
+    commitFiles(dir, writeBatch(df, table), carryPrevious = false, df.schema.json)
   }
 
   /** VACUUM: expire all but the last `retainVersions` manifests and

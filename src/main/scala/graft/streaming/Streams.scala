@@ -80,8 +80,8 @@ object Streams {
     // log); stage the single-file fixture into one (once per corpus dir).
     val staged = stageSingle(dir)
     val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema).parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(staged))
   }
 
   /** Pre-stages the streaming input directories for a corpus — the
@@ -116,6 +116,23 @@ object Streams {
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .option("startingOffsets", startingOffsets)
+        .load())
+
+  /** S1: live socket ingress — the in-engine analog of the reference's
+    * WebSocket feed (`producer.py:35-41`: Binance trade JSON arriving on a
+    * long-lived TCP connection). Spark's socket source delivers one string
+    * row per line; the SAME `Bronze.parseTrades` used by the Kafka and
+    * file paths parses the payload, so the live-ingress plan differs from
+    * the replay plan only in its source node. (The socket source is
+    * single-connection and checkpointless — a dev/live-tap front door, not
+    * the durable one; production ingress stays `kafkaEvents`. That is the
+    * reference's own split: its WebSocket client feeds Kafka.)
+    */
+  def socketTrades(spark: SparkSession, host: String, port: Int): DataFrame =
+    graft.ingest.Bronze.parseTrades(
+      spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
         .load())
 
   /** S3: Kafka sink — the producer's `to_json(struct(*))` value
@@ -624,9 +641,8 @@ object Streams {
     val out = graft.Scratch.dir("graft_sdd_out").toString
     val ckpt = graft.Scratch.dir("graft_sdd_ckpt").toString
     val schema = spark.read.parquet(staged).schema
-    val deduped = dedupStream(
-      spark.readStream.schema(schema).parquet(staged)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val deduped = dedupStream(graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(staged)))
     withStatePartitions(spark) {
       val q = deduped.writeStream
         .outputMode(OutputMode.Append())

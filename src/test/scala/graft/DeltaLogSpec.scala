@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.sources.{DeltaLog, TxLog}
+
+/** Delta protocol interop: every TxLog commit must be mirrored as a
+  * spec-conformant `_delta_log` commit file, and the engine must be able to
+  * read back a table through that log alone — including one an "external"
+  * Delta writer authored (no `_txlog` present at all).
+  */
+class DeltaLogSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_delta_spec").toString
+
+  private def events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  private def actions(table: String, v: Long): Seq[com.fasterxml.jackson.databind.JsonNode] =
+    Files.readAllLines(Paths.get(table, "_delta_log", f"$v%020d.json"))
+      .asScala.toSeq.filter(_.trim.nonEmpty).map(mapper.readTree)
+
+  test("commit 0 carries protocol + metaData actions per the Delta spec") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+
+    val a0 = actions(t, 0L)
+    val protocol = a0.flatMap(n => Option(n.get("protocol")))
+    assert(protocol.size == 1)
+    assert(protocol.head.get("minReaderVersion").asInt() == 1)
+    assert(protocol.head.get("minWriterVersion").asInt() == 2)
+
+    val meta = a0.flatMap(n => Option(n.get("metaData")))
+    assert(meta.size == 1)
+    val m = meta.head
+    assert(m.get("format").get("provider").asText() == "parquet")
+    assert(m.get("partitionColumns").isArray && m.get("partitionColumns").size() == 0)
+    assert(m.get("id").asText().nonEmpty)
+    // schemaString must round-trip through Spark's own schema JSON codec
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq == events.schema.fieldNames.toSeq)
+  }
+
+  test("add actions carry path/size/modificationTime/dataChange for real files") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    val adds = actions(t, 0L).flatMap(n => Option(n.get("add")))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val p = Paths.get(t).resolve(a.get("path").asText())
+      assert(Files.exists(p), s"add.path must point at a real data file: $p")
+      assert(a.get("size").asLong() == Files.size(p))
+      assert(a.get("modificationTime").asLong() > 0)
+      assert(a.get("dataChange").asBoolean())
+      assert(a.get("partitionValues").isObject)
+    }
+  }
+
+  test("overwrite mirrors remove actions for every previously-live file") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitOverwrite(events.filter(col("event_id") >= 300), t)
+    val v0adds = actions(t, 0L).flatMap(n => Option(n.get("add")))
+      .map(_.get("path").asText()).toSet
+    val v1removes = actions(t, 1L).flatMap(n => Option(n.get("remove")))
+      .map(_.get("path").asText()).toSet
+    assert(v1removes == v0adds,
+      "the overwrite must remove exactly commit 0's add set")
+    v1removes.foreach { p =>
+      val r = actions(t, 1L).flatMap(n => Option(n.get("remove")))
+        .find(_.get("path").asText() == p).get
+      assert(r.get("dataChange").asBoolean())
+      assert(r.get("deletionTimestamp").asLong() > 0)
+    }
+  }
+
+  test("log replay over our own mirror equals the TxLog snapshot") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitOverwrite(events.filter(col("event_id").between(300, 600)), t)
+    TxLog.commitAppend(events.filter(col("event_id") > 600), t)
+    assert(DeltaLog.versions(t) == Seq(0L, 1L, 2L))
+    val viaDelta = DeltaLog.snapshot(s, t)
+    val viaTxLog = TxLog.snapshot(s, t)
+    assert(viaDelta.count() == viaTxLog.count())
+    assert(viaDelta.agg(sum(col("value"))).head.getDouble(0) ==
+      viaTxLog.agg(sum(col("value"))).head.getDouble(0))
+    // time travel through the delta log
+    assert(DeltaLog.snapshotAt(s, t, 0L).count() ==
+      events.filter(col("event_id") < 300).count())
+  }
+
+  test("reads an externally-authored _delta_log (no _txlog present)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    // a foreign writer: parquet files + hand-authored JSON commits only
+    val keep = events.filter(col("event_id") < 200)
+    val drop = events.filter(col("event_id") >= 800)
+    keep.write.parquet(s"$t/part-keep")
+    drop.write.parquet(s"$t/part-drop")
+    def dataFiles(sub: String): Seq[String] =
+      Files.list(Paths.get(t, sub)).iterator.asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(n => s"$sub/$n").toSeq.sorted
+    val ld = Files.createDirectories(Paths.get(t, "_delta_log"))
+    // metaData via Jackson so schemaString's embedded quotes escape correctly
+    val metaLine = {
+      val n = mapper.createObjectNode()
+      val m = n.putObject("metaData")
+      m.put("id", "x")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", keep.schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 3L)
+      mapper.writeValueAsString(n)
+    }
+    def addLine(p: String) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":${Files.size(Paths.get(t, p))},"modificationTime":1,"dataChange":true}}"""
+    def removeLine(p: String) =
+      s"""{"remove":{"path":"$p","deletionTimestamp":2,"dataChange":true}}"""
+    Files.writeString(ld.resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine) ++
+        (dataFiles("part-keep") ++ dataFiles("part-drop")).map(addLine))
+        .mkString("\n"))
+    Files.writeString(ld.resolve(f"${1L}%020d.json"),
+      dataFiles("part-drop").map(removeLine).mkString("\n"))
+    assert(!Files.exists(Paths.get(t, "_txlog")))
+    assert(DeltaLog.snapshot(s, t).count() == keep.count())
+    assert(DeltaLog.snapshotAt(s, t, 0L).count() == keep.count() + drop.count())
+  }
+}

@@ -469,4 +469,52 @@ class StreamingSpec extends SparkSpec {
     assert(flagged.nonEmpty, "the test corpus contains near-dups; none flagged")
     assert(flagged == expected, "stream-state flagging diverged from batch banding")
   }
+
+  test("S1: live socket ingress parses trade JSON through Bronze.parseTrades") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // In-test stand-in for the reference's WebSocket feeder
+    // (`producer.py:35-41`): a TCP server pushing one trade JSON per line
+    // on a long-lived connection.
+    val payload = (1 to 20).map(i =>
+      f"""{"symbol":"BTCUSDT","price":${100.0 + i}%.1f,"quantity":$i%d.5,"timestamp":"2024-01-01 00:00:${i % 60}%02d"}""")
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val feeder = new Thread(() => {
+      try {
+        val sock = server.accept()
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        payload.foreach(out.println)
+        out.flush()
+        // keep the connection open: the socket source treats EOF as
+        // end-of-stream, and the query is stopped by the test body
+        Thread.sleep(30000)
+        sock.close()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val q = graft.streaming.Streams
+      .socketTrades(s, "127.0.0.1", server.getLocalPort)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("socket_trades").start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (s.table("socket_trades").count() < payload.size &&
+        System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val rows = s.table("socket_trades")
+      assert(rows.count() == payload.size, "every pushed line must arrive")
+      assert(rows.schema("price").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      assert(rows.schema("timestamp").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        "wire string must be cast to a real timestamp")
+      assert(rows.agg(countDistinct(col("symbol"))).head.getLong(0) == 1)
+      assert(rows.agg(sum(col("price"))).head.getDouble(0) ==
+        (1 to 20).map(100.0 + _).sum)
+    } finally { q.stop(); server.close() }
+  }
 }
