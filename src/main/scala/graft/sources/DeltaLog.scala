@@ -30,15 +30,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the parquet reader, so the engine can query tables some other Delta
   *    writer produced.
   *
-  * Scale notes: log replay cost is bounded by commit count; real Delta
-  * bounds it further with parquet checkpoints every N commits +
-  * `_last_checkpoint` — a log-maintenance optimization over the same action
-  * stream, deliberately out of scope here (readers of OUR tables get the
-  * full JSON history; [[snapshot]] of external tables reads checkpointless
-  * logs, the common young-table case, and fails loudly otherwise).
-  * Partitioned external tables (non-empty `partitionColumns`) are rejected
-  * loudly rather than read wrong: their partition values live in the log,
-  * not the files.
+  * Scale notes: log replay cost is bounded by commit count, and bounded
+  * further by parquet CHECKPOINTS ([[checkpoint]] / [[maybeCheckpoint]],
+  * every 10 commits like Delta's default cadence): the newest checkpoint
+  * holds the complete live state, so replay reads one parquet file plus
+  * the JSON commits after it, and the JSON prefix may be aged out —
+  * Delta's log-compaction contract, honored on both the write and read
+  * sides. Partitioned external tables (non-empty `partitionColumns`) are
+  * rejected loudly rather than read wrong: their partition values live in
+  * the log, not the files.
   */
 object DeltaLog {
 
@@ -131,6 +131,93 @@ object DeltaLog {
 
   // -------------------------------------------------------------- read
 
+  /** Delta-spec parquet checkpoint: one row per action (nullable structs
+    * for protocol / metaData / add, like delta's own checkpoint files),
+    * holding the COMPLETE live state at `version`, plus the
+    * `_last_checkpoint` pointer `{"version":V,"size":N}`. Stock Delta
+    * readers start from the newest checkpoint and replay only later JSON
+    * commits, so after this runs the JSON prefix may be aged out of the
+    * log without breaking them — Delta's log-compaction contract.
+    *
+    * The file is written through Spark's parquet writer (one task —
+    * checkpoints are O(live files), the same driver-scale metadata as the
+    * TxLog manifest) and renamed into the log atomically.
+    */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.types._
+    val table = Paths.get(dir)
+    val v = (versions(dir) ++ lastCheckpointVersion(table))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+    val (files, meta) = replaySpark(spark, table, v)
+    val m = meta.getOrElse(sys.error(s"$dir: no metaData action in log"))
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    import org.apache.spark.sql.Row
+    val protocolRow = Row(Row(1, 2), null, null)
+    val metaRow = Row(null, Row(
+      m.get("id").asText(),
+      Row("parquet", Map.empty[String, String]),
+      m.get("schemaString").asText(),
+      Seq.empty[String],
+      Map.empty[String, String],
+      if (m.has("createdTime")) m.get("createdTime").asLong() else 0L), null)
+    val addRows = files.map { rel =>
+      val p = table.resolve(rel)
+      Row(null, null, Row(rel, Map.empty[String, String], Files.size(p),
+        Files.getLastModifiedTime(p).toMillis, false))
+    }
+    val rows = protocolRow +: metaRow +: addRows
+    val tmpDir = graft.Scratch.dir("graft_delta_ckpt")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val part = {
+      val s = Files.list(tmpDir)
+      try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("checkpoint write produced no parquet part"))
+      finally s.close()
+    }
+    val target = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val lc = mapper.createObjectNode()
+    lc.put("version", v)
+    lc.put("size", rows.size.toLong)
+    Files.writeString(logDir(table).resolve("_last_checkpoint"),
+      mapper.writeValueAsString(lc))
+    v
+  }
+
+  /** Checkpoint every `interval` Delta versions (Delta's default cadence
+    * is 10) — called by the TxLog committers after the mirror lands. */
+  def maybeCheckpoint(spark: SparkSession, dir: String, txVersion: Long,
+      interval: Long = 10L): Unit = {
+    val deltaV = txVersion - 1
+    if (deltaV > 0 && deltaV % interval == 0) { checkpoint(spark, dir); () }
+  }
+
+  private def lastCheckpointVersion(table: Path): Option[Long] = {
+    val lc = logDir(table).resolve("_last_checkpoint")
+    if (!Files.exists(lc)) None
+    else Some(mapper.readTree(Files.readString(lc)).get("version").asLong())
+  }
+
   /** Committed Delta versions present in `dir`'s log, ascending. */
   def versions(dir: String): Seq[Long] = {
     val ld = logDir(Paths.get(dir))
@@ -145,17 +232,43 @@ object DeltaLog {
 
   /** The live (path → metadata) state after replaying the log up to and
     * including `version`: the Delta snapshot-construction algorithm —
-    * later `remove` cancels earlier `add`, re-`add` cancels `remove`,
-    * last `metaData` wins.
+    * base state from the newest checkpoint at or before `upTo` (when one
+    * exists), then the later JSON commits in order; later `remove`
+    * cancels earlier `add`, re-`add` cancels `remove`, last `metaData`
+    * wins. Reading a version OLDER than every checkpoint falls back to
+    * pure JSON replay and fails loudly if the log prefix was aged out.
     */
-  private def replay(table: Path, upTo: Long): (Seq[String], Option[ObjectNode]) = {
-    val ld = logDir(table)
-    if (Files.exists(ld.resolve("_last_checkpoint")))
-      sys.error(s"$table: checkpointed Delta logs are not supported " +
-        "(commit 0 may already be compacted away); read the full-JSON log form")
+  private def replaySpark(spark: SparkSession, table: Path,
+      upTo: Long): (Seq[String], Option[ObjectNode]) = {
+    import org.apache.spark.sql.functions.col
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     var meta: Option[ObjectNode] = None
-    versions(table.toString).filter(_ <= upTo).foreach { v =>
+    val startAfter = lastCheckpointVersion(table).filter(_ <= upTo) match {
+      case Some(cpV) =>
+        val df = spark.read.parquet(
+          logDir(table).resolve(f"$cpV%020d.checkpoint.parquet").toString)
+        df.filter(col("add").isNotNull).select(col("add.path"))
+          .collect().foreach(r =>
+            live += java.net.URLDecoder.decode(r.getString(0), "UTF-8"))
+        df.filter(col("metaData").isNotNull)
+          .select(col("metaData.id"), col("metaData.schemaString"),
+            col("metaData.partitionColumns"))
+          .collect().headOption.foreach { r =>
+            val node = mapper.createObjectNode()
+            node.put("id", r.getString(0))
+            node.put("schemaString", r.getString(1))
+            val pcs = node.putArray("partitionColumns")
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty).foreach(pcs.add)
+            meta = Some(node)
+          }
+        cpV
+      case None =>
+        if (!versions(table.toString).headOption.contains(0L))
+          sys.error(s"$table: log prefix aged out and no checkpoint at or " +
+            s"before version $upTo — cannot reconstruct that snapshot")
+        -1L
+    }
+    versions(table.toString).filter(v => v > startAfter && v <= upTo).foreach { v =>
       Files.readAllLines(commitPath(table, v)).asScala
         .filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
@@ -178,7 +291,7 @@ object DeltaLog {
     */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val table = Paths.get(dir)
-    val (files, meta) = replay(table, version)
+    val (files, meta) = replaySpark(spark, table, version)
     meta.foreach { m =>
       val pc = m.get("partitionColumns")
       if (pc != null && pc.size() > 0)
@@ -197,9 +310,11 @@ object DeltaLog {
   }
 
   def snapshot(spark: SparkSession, dir: String): DataFrame = {
-    val vs = versions(dir)
-    if (vs.isEmpty) sys.error(s"no Delta commits in $dir")
-    snapshotAt(spark, dir, vs.last)
+    // the newest version may live only in the checkpoint if the JSON
+    // commits were aged out after compaction
+    val latest = (versions(dir) ++ lastCheckpointVersion(Paths.get(dir)))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+    snapshotAt(spark, dir, latest)
   }
 
   // ------------------------------------------------------ fixture/query

@@ -112,7 +112,9 @@ object TxLog {
   def commitAppend(df: DataFrame, dir: String): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
-    commitFiles(dir, writeBatch(df, table), carryPrevious = true, df.schema.json)
+    val v = commitFiles(dir, writeBatch(df, table), carryPrevious = true, df.schema.json)
+    DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
+    v
   }
 
   /** Replace the table contents with `df` in one atomic commit —
@@ -122,7 +124,9 @@ object TxLog {
   def commitOverwrite(df: DataFrame, dir: String): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
-    commitFiles(dir, writeBatch(df, table), carryPrevious = false, df.schema.json)
+    val v = commitFiles(dir, writeBatch(df, table), carryPrevious = false, df.schema.json)
+    DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
+    v
   }
 
   /** VACUUM: expire all but the last `retainVersions` manifests and

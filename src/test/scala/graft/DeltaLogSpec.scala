@@ -144,4 +144,49 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(s, t).count() == keep.count())
     assert(DeltaLog.snapshotAt(s, t, 0L).count() == keep.count() + drop.count())
   }
+
+  test("checkpoint compacts the log: snapshot survives aging out the JSON prefix") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitOverwrite(events.filter(col("event_id").between(300, 600)), t)
+    TxLog.commitAppend(events.filter(col("event_id") > 600), t)
+    val expected = TxLog.snapshot(s, t).count()
+    val cpV = DeltaLog.checkpoint(s, t)
+    assert(cpV == 2L, "checkpoint lands at the latest Delta version")
+    val ld = Paths.get(t, "_delta_log")
+    assert(Files.exists(ld.resolve(f"$cpV%020d.checkpoint.parquet")))
+    val lc = mapper.readTree(Files.readString(ld.resolve("_last_checkpoint")))
+    assert(lc.get("version").asLong() == cpV)
+    assert(lc.get("size").asLong() > 2, "protocol + metaData + adds")
+    // checkpoint file itself must carry the Delta checkpoint shape
+    val cp = s.read.parquet(ld.resolve(f"$cpV%020d.checkpoint.parquet").toString)
+    assert(cp.columns.toSet == Set("protocol", "metaData", "add"))
+    assert(cp.filter(col("protocol").isNotNull).count() == 1)
+    assert(cp.filter(col("metaData").isNotNull).count() == 1)
+    assert(cp.filter(col("add").isNotNull).count() > 0)
+    // Delta's compaction contract: the JSON prefix may now disappear
+    (0L to cpV).foreach(v => Files.delete(ld.resolve(f"$v%020d.json")))
+    assert(DeltaLog.snapshot(s, t).count() == expected,
+      "replay from the checkpoint alone must reconstruct the live state")
+    // and commits AFTER the checkpoint still apply on top of it
+    TxLog.commitAppend(events.filter(col("event_id") === 0), t)
+    assert(DeltaLog.snapshot(s, t).count() ==
+      expected + events.filter(col("event_id") === 0).count())
+  }
+
+  test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val one = events.filter(col("event_id") === 1)
+    (1 to 11).foreach(_ => TxLog.commitAppend(one, t))
+    val ld = Paths.get(t, "_delta_log")
+    assert(Files.exists(ld.resolve(f"${10L}%020d.checkpoint.parquet")),
+      "the 11th commit (Delta version 10) must trigger the checkpoint")
+    assert(mapper.readTree(Files.readString(ld.resolve("_last_checkpoint")))
+      .get("version").asLong() == 10L)
+    assert(DeltaLog.snapshot(s, t).count() == 11 * one.count())
+  }
 }
