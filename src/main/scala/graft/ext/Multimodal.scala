@@ -14,14 +14,17 @@ import graft.Tables
   * feature-extract run as typed `mapPartitions` codec seams over those
   * bytes.
   *
-  * The image path is REAL: a deterministic synthetic RGB corpus is
-  * staged as genuine PNG files (encoded with `javax.imageio`), read
-  * back through Spark's `binaryFile` source, decoded pixel-by-pixel
+  * The image AND audio paths are REAL: a deterministic synthetic RGB
+  * corpus is staged as genuine PNG files (encoded with `javax.imageio`),
+  * read back through Spark's `binaryFile` source, decoded pixel-by-pixel
   * with `ImageIO.read`, thumbnailed with a nearest-neighbor
   * `AffineTransformOp`, and feature-extracted as per-channel
-  * histograms. The pixel generator is SQL-expressible, so the DuckDB
-  * oracle re-derives every decoded pixel independently — if the codec
-  * path corrupted a single byte, the hash gate would catch it.
+  * histograms; a deterministic 16-bit PCM corpus is staged as genuine
+  * WAV files (encoded with `javax.sound.sampled`), parsed back with
+  * `AudioSystem`, and reduced to sample-exact signal stats. Both
+  * generators are SQL-expressible, so the DuckDB oracle re-derives every
+  * decoded pixel/sample independently — if either codec path corrupted a
+  * single byte, the hash gate would catch it.
   * (Reference analog: the binary Kafka `value` boundary,
   * consumer_lake.py:44, and the blob layer a lakehouse would put
   * beside it.)
@@ -362,6 +365,144 @@ object Multimodal {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Real audio corpus: deterministic 16-bit PCM WAVs, genuine codec
+  // ------------------------------------------------------------------
+
+  /** Audio fixtures staged per corpus (mirrored by the oracle's
+    * `doc_id < wavCount` predicate). Same design as the PNG corpus: the
+    * sample generator is SQL-expressible and 16-bit PCM is LOSSLESS, so
+    * after the bytes ride through a real `javax.sound.sampled` WAV
+    * encode → `binaryFile` → WAV decode, the oracle re-derives every
+    * decoded sample analytically — one corrupted byte anywhere in the
+    * codec path flips the hash gate.
+    */
+  val wavCount = 200
+  private val wavRate = 8000
+
+  /** 0.1–0.3 s per clip: frame count varies by doc so duration math is
+    * exercised, but stays a multiple of 400 so `duration_ms` is exact. */
+  private[graft] def wavFrames(id: Long): Int = 800 + (id % 5).toInt * 400
+
+  /** Signed 16-bit sample at frame i. */
+  private[graft] def wavSample(id: Long, i: Int): Int =
+    (((id * 37 + i.toLong * 11) % 65536) - 32768).toInt
+
+  private val framesSql = "(800 + (doc_id % 5) * 400)"
+  private def sampleSql(i: String): String =
+    s"((doc_id*37 + ($i)*11) % 65536 - 32768)"
+
+  /** Encode one synthetic clip as a REAL WAV via `javax.sound.sampled`
+    * (PCM_SIGNED, 8 kHz, 16-bit, mono, little-endian per the WAV spec).
+    */
+  private[graft] def makeWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = wavFrames(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(id, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      wavRate.toFloat, 16, 1, 2, wavRate.toFloat, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val wavDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedWavs(spark: SparkSession, dir: String): String =
+    wavDirs.getOrElseUpdate(dir, {
+      val d = graft.Scratch.dir("graft_audio").toString
+      Tables.documents(spark, dir).filter(col("doc_id") < wavCount)
+        .select("doc_id")
+        .foreachPartition { (it: Iterator[Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"$id%05d.wav"), makeWav(id))
+          }
+        }
+      d
+    })
+
+  private def wavBytes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(stagedWavs(spark, dir))
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "(\\d+)", 1)
+          .cast("bigint").as("doc_id"),
+        col("content"))
+
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, duration_ms: Long, sum_amp: Long, sum_sq: Long,
+      zero_cross: Long, rms: Double)
+
+  /** REAL decode: `AudioSystem.getAudioInputStream` parses the WAV
+    * container inside a typed `mapPartitions`; sample stats (sum, energy,
+    * zero crossings, RMS) come from the decoded PCM frames, not metadata.
+    * Sums stay exact integers; only the final RMS divides, mirrored
+    * digit-for-digit by the oracle.
+    */
+  def decodeAudioFrom(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"fixture clips are 16-bit mono, got $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sum = 0L; var sq = 0L; var zc = 0L
+        var prevNonNeg = true
+        var i = 0
+        while (i < n) {
+          val s = if (fmt.isBigEndian) (pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff)
+                  else (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+          sum += s; sq += s.toLong * s
+          val nonNeg = s >= 0
+          if (i > 0 && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg
+          i += 1
+        }
+        DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels, n.toLong,
+          n.toLong * 1000 / fmt.getSampleRate.toInt, sum, sq, zc,
+          round6(math.sqrt(sq.toDouble / n)))
+      }
+    }.toDF()
+  }
+
+  def audioQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeAudioFrom(wavBytes(spark, dir))
+
+  /** Oracle re-derives every PCM sample from the generator formula. */
+  val audioOracle: String =
+    s"""SELECT doc_id, sample_rate, channels, n_frames,
+       |       n_frames * 1000 // sample_rate AS duration_ms,
+       |       sum_amp, sum_sq, zero_cross,
+       |       round(sqrt(sum_sq / n_frames), 6) AS rms
+       |FROM (
+       |  SELECT doc_id, $wavRate AS sample_rate, 1 AS channels,
+       |         CAST($framesSql AS BIGINT) AS n_frames,
+       |         CAST(list_aggregate(list_transform(range(0, $framesSql),
+       |           i -> ${sampleSql("i")}), 'sum') AS BIGINT) AS sum_amp,
+       |         CAST(list_aggregate(list_transform(range(0, $framesSql),
+       |           i -> ${sampleSql("i")} * ${sampleSql("i")}), 'sum') AS BIGINT) AS sum_sq,
+       |         CAST(len(list_filter(range(1, $framesSql),
+       |           i -> (${sampleSql("i")} >= 0) != (${sampleSql("i - 1")} >= 0))) AS BIGINT)
+       |           AS zero_cross
+       |  FROM documents WHERE doc_id < $wavCount
+       |)""".stripMargin
+
   /** The blob-ingestion front door over arbitrary (non-image) payloads:
     * Spark's `binaryFile` source reads raw files as (path,
     * modificationTime, length, content) rows. Files are staged once per
@@ -404,7 +545,8 @@ object Multimodal {
     "q_mm_frames" -> ((s, d) => frameSample(Tables.documents(s, d))),
     "q_mm_resize" -> resizeQuery _,
     "q_mm_features" -> featureBins _,
-    "q_mm_knn" -> ((s, d) => featureKnn(s, d))
+    "q_mm_knn" -> ((s, d) => featureKnn(s, d)),
+    "q_mm_audio" -> audioQuery _
   )
 
   def oracles: Map[String, String] = Map(
@@ -414,6 +556,7 @@ object Multimodal {
     "q_mm_frames" -> frameSampleOracle(),
     "q_mm_resize" -> resizeOracle,
     "q_mm_features" -> featureBinsOracle,
-    "q_mm_knn" -> featureKnnOracle()
+    "q_mm_knn" -> featureKnnOracle(),
+    "q_mm_audio" -> audioOracle
   )
 }

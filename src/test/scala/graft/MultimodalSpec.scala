@@ -116,4 +116,46 @@ class MultimodalSpec extends SparkSpec {
         assert(math.abs(f(b) - counts(b).toDouble / (w * h)) < 1e-5, s"doc $id bin $b")
     }
   }
+
+  test("wav generator roundtrips: decoded PCM equals the sample formula") {
+    for (id <- 0L to 5L) {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.makeWav(id)))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate == 8000f && fmt.getSampleSizeInBits == 16 &&
+        fmt.getChannels == 1)
+      val pcm = ais.readAllBytes()
+      assert(pcm.length / 2 == Multimodal.wavFrames(id))
+      for (i <- 0 until (pcm.length / 2)) {
+        val s = if (fmt.isBigEndian) (pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff)
+                else (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+        assert(s == Multimodal.wavSample(id, i), s"clip $id frame $i")
+      }
+    }
+  }
+
+  test("a known clip decodes to known signal stats through the codec path") {
+    val s = spark
+    import s.implicits._
+    // hand-built 4-frame clip: +1000, -1000, +1000, 0 → 2 zero crossings
+    // by the (s >= 0) sign convention, exact sum/energy
+    val samples = Seq(1000, -1000, 1000, 0)
+    val pcm = samples.flatMap(v =>
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val out = Multimodal.decodeAudioFrom(
+      Seq((3L, bos.toByteArray)).toDF("doc_id", "content")).head()
+    assert(out.getAs[Long]("n_frames") == 4L)
+    assert(out.getAs[Long]("sum_amp") == 1000L)
+    assert(out.getAs[Long]("sum_sq") == 3L * 1000 * 1000)
+    assert(out.getAs[Long]("zero_cross") == 2L)
+    assert(out.getAs[Long]("duration_ms") == 0L) // 4 frames @ 8 kHz: 0.5 ms floors to 0
+    assert(math.abs(out.getAs[Double]("rms") - math.sqrt(3e6 / 4)) < 1e-6)
+  }
 }
