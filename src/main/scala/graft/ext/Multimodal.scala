@@ -503,6 +503,147 @@ object Multimodal {
        |  FROM documents WHERE doc_id < $wavCount
        |)""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Real video corpus: animated GIFs, genuine multi-frame codec
+  // ------------------------------------------------------------------
+
+  /** Video analog with a REAL pure-JVM container codec: animated GIF —
+    * a multi-frame format `javax.imageio` both writes (sequence writer)
+    * and reads (per-frame `ImageReader.read`). Frames are
+    * palette-indexed (`TYPE_BYTE_INDEXED` over an explicit 8-color
+    * `IndexColorModel`), which GIF stores LOSSLESSLY, so the decoded
+    * rasters are byte-exact against the SQL-expressible generator —
+    * same oracle design as the PNG and WAV corpora. Clips vary in frame
+    * count so the frame-iteration logic is actually exercised.
+    */
+  val gifCount = 100
+  private val gifW = 8
+  private val gifH = 6
+
+  private[graft] def gifFrames(id: Long): Int = 3 + (id % 3).toInt
+
+  /** Palette index of flat pixel i in frame f: one of the 8 RGB corner
+    * colors (R/G/B each 0 or 255 from the index bits). */
+  private[graft] def gifPalIdx(id: Long, f: Int, i: Int): Int =
+    ((id * 13 + f.toLong * 5 + i.toLong * 3) % 8).toInt
+
+  private val gifFramesSql = "(3 + doc_id % 3)"
+  /** SQL: channel sum contributed by palette index p = 255·popcount(p). */
+  private def gifSumSql(f: String): String =
+    s"""CAST(list_aggregate(list_transform(range(0, ${gifW * gifH}),
+       |           i -> 255*bit_count((doc_id*13 + ($f)*5 + i*3) % 8)), 'sum') AS BIGINT)""".stripMargin
+
+  /** Encode one synthetic clip as a REAL animated GIF. */
+  private[graft] def makeGif(id: Long): Array[Byte] = {
+    import java.awt.image.IndexColorModel
+    // the 8 RGB corner colors; index bits map straight to channels
+    val r = Array.tabulate(8)(p => (((p >> 0) & 1) * 255).toByte)
+    val g = Array.tabulate(8)(p => (((p >> 1) & 1) * 255).toByte)
+    val b = Array.tabulate(8)(p => (((p >> 2) & 1) * 255).toByte)
+    val icm = new IndexColorModel(3, 8, r, g, b)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < gifFrames(id)) {
+      val img = new BufferedImage(gifW, gifH, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < gifH) {
+        var x = 0
+        while (x < gifW) {
+          raster.setSample(x, y, 0, gifPalIdx(id, f, y * gifW + x))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  private val gifDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedGifs(spark: SparkSession, dir: String): String =
+    gifDirs.getOrElseUpdate(dir, {
+      val d = graft.Scratch.dir("graft_video").toString
+      Tables.documents(spark, dir).filter(col("doc_id") < gifCount)
+        .select("doc_id")
+        .foreachPartition { (it: Iterator[Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(d, f"$id%05d.gif"), makeGif(id))
+          }
+        }
+      d
+    })
+
+  private def gifBytes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif")
+      .load(stagedGifs(spark, dir))
+      .select(
+        regexp_extract(element_at(split(col("path"), "/"), -1), "(\\d+)", 1)
+          .cast("bigint").as("doc_id"),
+        col("content"))
+
+  case class VideoFrame(doc_id: Long, frame: Int, n_frames: Int,
+      width: Int, height: Int, sum_px: Long)
+
+  /** REAL multi-frame decode: the GIF `ImageReader` counts and decodes
+    * every frame inside the typed `mapPartitions` seam (one row out per
+    * frame — the explode-shaped output a video feature extractor
+    * produces); per-frame channel sums come from the decoded rasters.
+    */
+  def decodeVideoFrom(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        val rows = (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrame(id, f, n, w, h, sum)
+        }
+        reader.dispose()
+        rows
+      }
+    }.toDF()
+  }
+
+  def videoQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeVideoFrom(gifBytes(spark, dir))
+
+  /** Oracle re-derives every frame's raster from the palette formula. */
+  val videoOracle: String =
+    s"""SELECT doc_id, f.frame::INT AS frame, $gifFramesSql::INT AS n_frames,
+       |       $gifW AS width, $gifH AS height,
+       |       ${gifSumSql("f.frame")} AS sum_px
+       |FROM documents CROSS JOIN range(5) AS f(frame)
+       |WHERE doc_id < $gifCount AND f.frame < $gifFramesSql""".stripMargin
+
   /** The blob-ingestion front door over arbitrary (non-image) payloads:
     * Spark's `binaryFile` source reads raw files as (path,
     * modificationTime, length, content) rows. Files are staged once per
@@ -546,7 +687,8 @@ object Multimodal {
     "q_mm_resize" -> resizeQuery _,
     "q_mm_features" -> featureBins _,
     "q_mm_knn" -> ((s, d) => featureKnn(s, d)),
-    "q_mm_audio" -> audioQuery _
+    "q_mm_audio" -> audioQuery _,
+    "q_mm_video" -> videoQuery _
   )
 
   def oracles: Map[String, String] = Map(
@@ -557,6 +699,7 @@ object Multimodal {
     "q_mm_resize" -> resizeOracle,
     "q_mm_features" -> featureBinsOracle,
     "q_mm_knn" -> featureKnnOracle(),
-    "q_mm_audio" -> audioOracle
+    "q_mm_audio" -> audioOracle,
+    "q_mm_video" -> videoOracle
   )
 }

@@ -158,4 +158,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("duration_ms") == 0L) // 4 frames @ 8 kHz: 0.5 ms floors to 0
     assert(math.abs(out.getAs[Double]("rms") - math.sqrt(3e6 / 4)) < 1e-6)
   }
+
+  test("gif generator roundtrips: every decoded frame equals the palette formula") {
+    for (id <- 0L to 5L) {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.makeGif(id))))
+      assert(reader.getNumImages(true) == Multimodal.gifFrames(id))
+      for (f <- 0 until Multimodal.gifFrames(id)) {
+        val img = reader.read(f)
+        assert(img.getWidth == 8 && img.getHeight == 6)
+        for (y <- 0 until 6; x <- 0 until 8) {
+          val p = Multimodal.gifPalIdx(id, f, y * 8 + x)
+          val expected = ((p & 1) * 255) << 16 | (((p >> 1) & 1) * 255) << 8 |
+            ((p >> 2) & 1) * 255
+          assert((img.getRGB(x, y) & 0xffffff) == expected,
+            s"clip $id frame $f pixel ($x,$y)")
+        }
+      }
+      reader.dispose()
+    }
+  }
+
+  test("multi-frame decode emits one exact row per frame") {
+    val s = spark
+    import s.implicits._
+    val rows = Multimodal.decodeVideoFrom(
+      Seq((4L, Multimodal.makeGif(4L))).toDF("doc_id", "content")).collect()
+    assert(rows.length == Multimodal.gifFrames(4L))
+    rows.foreach { r =>
+      val f = r.getAs[Int]("frame")
+      val expected = (0 until 48).map { i =>
+        val p = Multimodal.gifPalIdx(4L, f, i)
+        255L * Integer.bitCount(p)
+      }.sum
+      assert(r.getAs[Long]("sum_px") == expected, s"frame $f")
+      assert(r.getAs[Int]("n_frames") == Multimodal.gifFrames(4L))
+    }
+  }
 }
