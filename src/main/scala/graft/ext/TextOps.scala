@@ -355,6 +355,67 @@ object TextOps {
        |       round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY source), 6) AS share
        |FROM h""".stripMargin
 
+  /** Bigram language-model quality score — the CCNet/KenLM-style
+    * perplexity proxy every pretraining pipeline runs to rank documents
+    * by fluency before mixing: train an add-1-smoothed bigram model on
+    * the corpus itself, then score each document by its mean bigram log
+    * probability (higher = more typical text; templated or shuffled-word
+    * junk scores low).
+    *
+    * Scale shape: bigram generation is MAP-ONLY (array transform over
+    * the token array — no window, no per-doc shuffle); the model is two
+    * hash aggregates (bigram counts, then head counts derived from them
+    * — one pass over the corpus each); scoring is an equi-join of the
+    * corpus bigram stream against the model (shuffle join on the bigram
+    * key — the model may itself be corpus-scale, so it is NOT collected
+    * or broadcast) plus one broadcast scalar (vocabulary size). All
+    * probability inputs stay exact integers until the single ln()
+    * division; the per-doc mean is rounded 6dp on both engines.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), TextNorm.toks(col("text")).as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS a, arr[i+1] AS b))")).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val biCounts = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val headCounts = biCounts.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val vocab = docs.select(explode(TextNorm.toks(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bi.join(biCounts, Seq("a", "b"))
+      .join(headCounts, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(avg(log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v")))), 6)
+          .as("lm_score"))
+  }
+
+  val lmScoreOracle: String = {
+    val arr = TextNorm.toksSql
+    s"""WITH bi AS (
+       |  SELECT doc_id, bg['a'] AS a, bg['b'] AS b FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(1, len(arr)),
+       |             i -> struct_pack(a := arr[i], b := arr[i+1]))) AS bg
+       |    FROM (SELECT doc_id, $arr AS arr FROM documents)
+       |    WHERE len(arr) >= 2)
+       |), bc AS (
+       |  SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+       |), hc AS (
+       |  SELECT a, sum(c_ab) AS c_a FROM bc GROUP BY 1
+       |), v AS (
+       |  SELECT count(DISTINCT w) AS v
+       |  FROM (SELECT unnest($arr) AS w FROM documents)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       round(avg(ln((c_ab + 1)::DOUBLE / (c_a + v))), 6) AS lm_score
+       |FROM bi JOIN bc USING (a, b) JOIN hc USING (a) CROSS JOIN v
+       |GROUP BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> ((s, d) => vocabReport(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
@@ -363,7 +424,8 @@ object TextOps {
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
-    "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d)))
+    "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
+    "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -374,6 +436,7 @@ object TextOps {
     "q_text_langid" -> langIdOracle,
     "q_text_fingerprint" -> fingerprintOracle,
     "q_bpe_pairs" -> bpePairsOracle(),
-    "q_length_hist" -> lengthHistogramOracle
+    "q_length_hist" -> lengthHistogramOracle,
+    "q_text_lmscore" -> lmScoreOracle
   )
 }

@@ -74,6 +74,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a b", 3L, 1), ("b a", 1L, 2), ("b c", 1L, 3)))
   }
 
+  test("lm score: add-1 bigram model matches hand math; repeated text outranks shuffled") {
+    // corpus: "a b a b" (doc 1) and "b a" (doc 2)
+    // bigrams: (a,b)x2, (b,a)x2 → C(a,b)=2 C(b,a)=2, heads C(a)=2 C(b)=2, V=2
+    // P(b|a) = (2+1)/(2+2) = 0.75 for every observed bigram
+    val out = TextOps.lmScore(docs((1L, "a b a b", "en"), (2L, "b a", "en")))
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_bigrams") == 3L)
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    val expected = BigDecimal(math.log(0.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Double]("lm_score") == expected)
+    assert(out(1).getAs[Double]("lm_score") == expected)
+    // fluency ranking: a doc of common bigrams scores above one whose
+    // bigrams are rare in the corpus
+    val ranked = TextOps.lmScore(docs(
+      (1L, "the cat sat", "en"), (2L, "the cat sat", "en"),
+      (3L, "the cat sat", "en"), (4L, "sat the cat", "en")))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
+    assert(ranked(1L) > ranked(4L), "common word order must outscore rare order")
+  }
+
   test("length histogram: power-of-two buckets with exact edges") {
     val out = TextOps.lengthHistogram(docs(
       (1L, "one", "en"),                          // 1 token  -> bucket 0
