@@ -379,7 +379,11 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(arr)-2), i -> struct(arr[i] AS a, arr[i+1] AS b))")).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    // model-scale frame consumed TWICE (scoring join + head-count
+    // derivation) — checkpoint so the corpus-scale gram pass runs once,
+    // not once per consumer (same pattern as sourceOverlap's histogram)
     val biCounts = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
     val headCounts = biCounts.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
     val vocab = docs.select(explode(TextNorm.toks(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
