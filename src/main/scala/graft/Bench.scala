@@ -42,7 +42,8 @@ object Bench {
     // plus --reps=N: run each query N times and report the per-query MEDIAN,
     // so regression calls don't hinge on single-shot box variance (same-HEAD
     // totals have historically ranged ±30%).
-    val reps = args.collectFirst { case s if s.startsWith("--reps=") => s.drop(7).toInt }
+    val reps = args.collectFirst { case s if s.startsWith("--reps=") => s.drop(7) }
+      .flatMap(_.toIntOption) // a typo must not crash AFTER the multi-minute warmup
       .getOrElse(1).max(1)
     val names = args.filterNot(_.startsWith("--"))
     val selected =

@@ -49,8 +49,13 @@ object Verify {
     // comparison (round-5 lesson — 52 failures looked like a smaller,
     // all-green suite). errors.json names each failure with its message so
     // the correctness artifact (or a human) can surface them as err rows.
-    Files.writeString(Paths.get(s"$outDir/errors.json"),
-      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // ONLY full runs write it — a subset re-run scoped to one fixed query
+    // would otherwise clobber the full-run failure record with {} while
+    // the other failures' dumps are still missing (the same stale-artifact
+    // trap BENCH.json guards against).
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/errors.json"),
+        errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -136,35 +136,45 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Stage the PNG corpus once per table dir (executor-side writes; the
-    * local scratch dir stands in for shared object storage).
+  /** Shared stage-and-read scaffold for every generated media corpus
+    * (PNG / WAV / GIF): stage `count` files once per table dir
+    * (executor-side `foreachPartition` writes; the local scratch dir
+    * stands in for shared object storage), then read them back as
+    * (doc_id, content) through the binaryFile front door. One copy so a
+    * fix to the id-extraction regex or the staging write applies to
+    * every modality at once.
     */
-  private val imageDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-
-  private def stagedImages(spark: SparkSession, dir: String): String =
-    imageDirs.getOrElseUpdate(dir, {
-      val d = graft.Scratch.dir("graft_images").toString
-      Tables.documents(spark, dir).filter(col("doc_id") < imageCount)
+  private def stageAndRead(spark: SparkSession, dir: String,
+      memo: scala.collection.concurrent.TrieMap[String, String],
+      prefix: String, ext: String, count: Int,
+      gen: Long => Array[Byte]): DataFrame = {
+    val staged = memo.getOrElseUpdate(dir, {
+      val d = graft.Scratch.dir(prefix).toString
+      Tables.documents(spark, dir).filter(col("doc_id") < count)
         .select("doc_id")
         .foreachPartition { (it: Iterator[Row]) =>
           it.foreach { r =>
             val id = r.getLong(0)
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(d, f"$id%05d.png"), makePng(id))
+              java.nio.file.Paths.get(d, f"$id%05d." + ext), gen(id))
           }
         }
       d
     })
-
-  /** (doc_id, png bytes) through the binaryFile front door. */
-  private def imageBytes(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png")
-      .load(stagedImages(spark, dir))
+      .option("pathGlobFilter", s"*.$ext")
+      .load(staged)
       .select(
         regexp_extract(element_at(split(col("path"), "/"), -1), "(\\d+)", 1)
           .cast("bigint").as("doc_id"),
         col("content"))
+  }
+
+  private val imageDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** (doc_id, png bytes) through the binaryFile front door. */
+  private def imageBytes(spark: SparkSession, dir: String): DataFrame =
+    stageAndRead(spark, dir, imageDirs, "graft_images", "png", imageCount, makePng)
 
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -416,29 +426,8 @@ object Multimodal {
 
   private val wavDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def stagedWavs(spark: SparkSession, dir: String): String =
-    wavDirs.getOrElseUpdate(dir, {
-      val d = graft.Scratch.dir("graft_audio").toString
-      Tables.documents(spark, dir).filter(col("doc_id") < wavCount)
-        .select("doc_id")
-        .foreachPartition { (it: Iterator[Row]) =>
-          it.foreach { r =>
-            val id = r.getLong(0)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(d, f"$id%05d.wav"), makeWav(id))
-          }
-        }
-      d
-    })
-
   private def wavBytes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.wav")
-      .load(stagedWavs(spark, dir))
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "(\\d+)", 1)
-          .cast("bigint").as("doc_id"),
-        col("content"))
+    stageAndRead(spark, dir, wavDirs, "graft_audio", "wav", wavCount, makeWav)
 
   case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
       n_frames: Long, duration_ms: Long, sum_amp: Long, sum_sq: Long,
@@ -570,29 +559,8 @@ object Multimodal {
 
   private val gifDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def stagedGifs(spark: SparkSession, dir: String): String =
-    gifDirs.getOrElseUpdate(dir, {
-      val d = graft.Scratch.dir("graft_video").toString
-      Tables.documents(spark, dir).filter(col("doc_id") < gifCount)
-        .select("doc_id")
-        .foreachPartition { (it: Iterator[Row]) =>
-          it.foreach { r =>
-            val id = r.getLong(0)
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(d, f"$id%05d.gif"), makeGif(id))
-          }
-        }
-      d
-    })
-
   private def gifBytes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.gif")
-      .load(stagedGifs(spark, dir))
-      .select(
-        regexp_extract(element_at(split(col("path"), "/"), -1), "(\\d+)", 1)
-          .cast("bigint").as("doc_id"),
-        col("content"))
+    stageAndRead(spark, dir, gifDirs, "graft_video", "gif", gifCount, makeGif)
 
   case class VideoFrame(doc_id: Long, frame: Int, n_frames: Int,
       width: Int, height: Int, sum_px: Long)

@@ -70,6 +70,38 @@ object DeltaLog {
     * losing a race (or re-mirroring an already-mirrored version) is a
     * silent no-op, so the mirror never clobbers a committed Delta version.
     */
+  /** True when Delta version `txVersion - 1` already has a commit file. */
+  def isMirrored(table: Path, txVersion: Long): Boolean =
+    Files.exists(commitPath(table, txVersion - 1))
+
+  /** Percent-encoding per the Delta path rules: encode only the
+    * characters that would be mis-read back ('%' itself, space, '+') —
+    * NOT java.net.URLEncoder, whose form encoding maps space to '+' and
+    * escapes '/' (Delta paths keep literal slashes and '+').
+    */
+  private def encodePath(p: String): String =
+    p.flatMap {
+      case '%' => "%25"
+      case ' ' => "%20"
+      case '+' => "%2B"
+      case c => c.toString
+    }
+
+  /** Inverse of the Delta path percent-encoding: decode %XX escapes and
+    * nothing else — java.net.URLDecoder would corrupt a literal '+' in a
+    * file name (legal in Delta paths) into a space.
+    */
+  private def decodePath(p: String): String = {
+    val sb = new StringBuilder(p.length)
+    var i = 0
+    while (i < p.length) {
+      if (p.charAt(i) == '%' && i + 2 < p.length)
+        { sb.append(Integer.parseInt(p.substring(i + 1, i + 3), 16).toChar); i += 3 }
+      else { sb.append(p.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   def mirrorCommit(table: Path, txVersion: Long, added: Seq[String],
       removed: Seq[String], schemaJson: String): Unit = {
     val deltaV = txVersion - 1
@@ -106,7 +138,7 @@ object DeltaLog {
     removed.foreach { rel =>
       val n = mapper.createObjectNode()
       val r = n.putObject("remove")
-      r.put("path", rel)
+      r.put("path", encodePath(rel))
       r.put("deletionTimestamp", now)
       r.put("dataChange", true)
       lines += mapper.writeValueAsString(n)
@@ -114,7 +146,7 @@ object DeltaLog {
     added.foreach { rel =>
       val n = mapper.createObjectNode()
       val a = n.putObject("add")
-      a.put("path", rel)
+      a.put("path", encodePath(rel))
       a.putObject("partitionValues")
       a.put("size", Files.size(table.resolve(rel)))
       a.put("modificationTime",
@@ -150,6 +182,14 @@ object DeltaLog {
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
     val (files, meta) = replaySpark(spark, table, v)
     val m = meta.getOrElse(sys.error(s"$dir: no metaData action in log"))
+    // Same guard as snapshotAt: a checkpoint that wrote partitionColumns=[]
+    // for a partitioned external table would ERASE the loud rejection on
+    // every later read (meta would rebuild partition-free from the
+    // checkpoint) and silently drop the partition-column values.
+    val pc = m.get("partitionColumns")
+    if (pc != null && pc.size() > 0)
+      sys.error(s"$dir: partitioned Delta tables are not supported " +
+        "(partition values live in the log, not the data files)")
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -180,7 +220,7 @@ object DeltaLog {
       if (m.has("createdTime")) m.get("createdTime").asLong() else 0L), null)
     val addRows = files.map { rel =>
       val p = table.resolve(rel)
-      Row(null, null, Row(rel, Map.empty[String, String], Files.size(p),
+      Row(null, null, Row(encodePath(rel), Map.empty[String, String], Files.size(p),
         Files.getLastModifiedTime(p).toMillis, false))
     }
     val rows = protocolRow +: metaRow +: addRows
@@ -195,12 +235,26 @@ object DeltaLog {
       finally s.close()
     }
     val target = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
-    Files.move(part, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Scratch may be tmpfs while the table is on disk: a direct cross-fs
+    // Files.move degrades to copy+delete, and a concurrent reader could
+    // open a truncated checkpoint. Stage into the log dir (same fs as the
+    // target) first, then rename atomically — re-checkpointing the same
+    // version writes identical content, so REPLACE is safe.
+    val stagedTmp = Files.createTempFile(logDir(table), ".ckpt-", ".tmp")
+    Files.copy(part, stagedTmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.move(stagedTmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.deleteIfExists(part)
     val lc = mapper.createObjectNode()
     lc.put("version", v)
     lc.put("size", rows.size.toLong)
-    Files.writeString(logDir(table).resolve("_last_checkpoint"),
-      mapper.writeValueAsString(lc))
+    // pointer flips atomically too: a reader must never see a truncated
+    // _last_checkpoint
+    val lcTmp = Files.createTempFile(logDir(table), ".lc-", ".tmp")
+    Files.writeString(lcTmp, mapper.writeValueAsString(lc))
+    Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
   }
 
@@ -248,8 +302,7 @@ object DeltaLog {
         val df = spark.read.parquet(
           logDir(table).resolve(f"$cpV%020d.checkpoint.parquet").toString)
         df.filter(col("add").isNotNull).select(col("add.path"))
-          .collect().foreach(r =>
-            live += java.net.URLDecoder.decode(r.getString(0), "UTF-8"))
+          .collect().foreach(r => live += decodePath(r.getString(0)))
         df.filter(col("metaData").isNotNull)
           .select(col("metaData.id"), col("metaData.schemaString"),
             col("metaData.partitionColumns"))
@@ -268,16 +321,23 @@ object DeltaLog {
             s"before version $upTo — cannot reconstruct that snapshot")
         -1L
     }
-    versions(table.toString).filter(v => v > startAfter && v <= upTo).foreach { v =>
+    val tail = versions(table.toString).filter(v => v > startAfter && v <= upTo)
+    // Contiguity is a correctness requirement, not a nicety: replaying
+    // {0, 2} would silently drop commit 1's add/remove actions and return
+    // a table state that never existed. Real Delta readers make the same
+    // demand of the log.
+    val expected = (startAfter + 1) to upTo
+    if (tail != expected)
+      sys.error(s"$table: _delta_log has gaps — need versions " +
+        s"${expected.mkString(",")} after checkpoint $startAfter, found ${tail.mkString(",")}")
+    tail.foreach { v =>
       Files.readAllLines(commitPath(table, v)).asScala
         .filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
           if (node.has("add"))
-            live += java.net.URLDecoder.decode(
-              node.get("add").get("path").asText(), "UTF-8")
+            live += decodePath(node.get("add").get("path").asText())
           if (node.has("remove"))
-            live -= java.net.URLDecoder.decode(
-              node.get("remove").get("path").asText(), "UTF-8")
+            live -= decodePath(node.get("remove").get("path").asText())
           if (node.has("metaData"))
             meta = Some(node.get("metaData").asInstanceOf[ObjectNode])
         }

@@ -104,6 +104,23 @@ object TxLog {
     // point; the Delta commit file is written after it, so a foreign Delta
     // reader may briefly trail ours by one version but never sees an
     // uncommitted state. Same put-if-absent primitive inside.
+    //
+    // BACKFILL first: a committer that died between manifest link and
+    // mirror leaves a Delta version permanently missing, and DeltaLog's
+    // replay (correctly) refuses gapped logs. Any missing predecessor is
+    // reconstructed from the manifests themselves — version v's Delta
+    // delta IS manifest(v) minus manifest(v-1). If an old manifest was
+    // vacuumed away the backfill is impossible; the loud replay guard
+    // then remains the stop.
+    (1L until committed).foreach { v =>
+      if (!DeltaLog.isMirrored(table, v))
+        try {
+          val prev = if (v == 1) Seq.empty[String] else readManifest(table, v - 1)
+          val cur = readManifest(table, v)
+          DeltaLog.mirrorCommit(table, v,
+            cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson)
+        } catch { case _: java.io.IOException => () }
+    }
     DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson)
     committed
   }

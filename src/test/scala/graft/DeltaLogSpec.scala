@@ -176,6 +176,61 @@ class DeltaLogSpec extends SparkSpec {
       expected + events.filter(col("event_id") === 0).count())
   }
 
+  test("a gapped log is refused; the next TxLog commit backfills the gap from manifests") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 200), t)
+    TxLog.commitAppend(events.filter(col("event_id").between(200, 400)), t)
+    TxLog.commitAppend(events.filter(col("event_id") > 400), t)
+    val expected = TxLog.snapshot(s, t).count()
+    // simulate a committer killed between manifest link and mirror:
+    // Delta version 1 vanishes while 0 and 2 remain
+    val ld = Paths.get(t, "_delta_log")
+    Files.delete(ld.resolve(f"${1L}%020d.json"))
+    val err = intercept[RuntimeException](DeltaLog.snapshot(s, t))
+    assert(err.getMessage.contains("gaps"),
+      "replaying a gapped log must fail loudly, not return a partial state")
+    // the next commit backfills version 1 from the manifests before
+    // mirroring its own
+    TxLog.commitAppend(events.filter(col("event_id") === 0), t)
+    assert(DeltaLog.versions(t) == Seq(0L, 1L, 2L, 3L))
+    assert(DeltaLog.snapshot(s, t).count() ==
+      expected + events.filter(col("event_id") === 0).count())
+  }
+
+  test("paths with '+' and '%' survive the log encoding round-trip") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    // a foreign writer whose data file names contain characters that a
+    // form-decoder (URLDecoder) would corrupt
+    val keep = events.filter(col("event_id") < 100)
+    keep.write.parquet(s"$t/batch")
+    val odd = Files.list(Paths.get(t, "batch")).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val oddName = "part+1%x.parquet"
+    Files.move(odd, Paths.get(t, "batch", oddName))
+    val ld = Files.createDirectories(Paths.get(t, "_delta_log"))
+    val metaLine = {
+      val n = mapper.createObjectNode()
+      val m = n.putObject("metaData")
+      m.put("id", "x")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", keep.schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 3L)
+      mapper.writeValueAsString(n)
+    }
+    // per the Delta spec: percent-encode '%', keep literal '+'
+    val encoded = "batch/part+1%25x.parquet"
+    Files.writeString(ld.resolve(f"${0L}%020d.json"),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine,
+        s"""{"add":{"path":"$encoded","partitionValues":{},"size":${Files.size(Paths.get(t, "batch", oddName))},"modificationTime":1,"dataChange":true}}""")
+        .mkString("\n"))
+    assert(DeltaLog.snapshot(s, t).count() == keep.count(),
+      "a '+' in the file name must stay literal and '%25' must decode to '%'")
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
