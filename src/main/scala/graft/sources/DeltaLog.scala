@@ -89,18 +89,29 @@ object DeltaLog {
 
   /** Inverse of the Delta path percent-encoding: decode %XX escapes and
     * nothing else — java.net.URLDecoder would corrupt a literal '+' in a
-    * file name (legal in Delta paths) into a space.
+    * file name (legal in Delta paths) into a space. Lenient on malformed
+    * escapes (a bare '%' not followed by two hex digits stays literal):
+    * spec-violating logs exist in the wild, and a wrong-but-plausible
+    * path resolves to a loud file-not-found while a decoder crash would
+    * mask which path was at fault.
     */
   private def decodePath(p: String): String = {
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     val sb = new StringBuilder(p.length)
     var i = 0
     while (i < p.length) {
-      if (p.charAt(i) == '%' && i + 2 < p.length)
+      if (p.charAt(i) == '%' && i + 2 < p.length &&
+          hex(p.charAt(i + 1)) && hex(p.charAt(i + 2)))
         { sb.append(Integer.parseInt(p.substring(i + 1, i + 3), 16).toChar); i += 3 }
       else { sb.append(p.charAt(i)); i += 1 }
     }
     sb.toString
   }
+
+  /** Spec hooks: the codec pair, exposed for property tests. */
+  private[graft] def pathCodecRoundtrip(p: String): String = decodePath(encodePath(p))
+  private[graft] def pathDecode(p: String): String = decodePath(p)
 
   def mirrorCommit(table: Path, txVersion: Long, added: Seq[String],
       removed: Seq[String], schemaJson: String): Unit = {

@@ -627,4 +627,25 @@ class PropertiesSpec extends SparkSpec {
       assert(row.getDouble(1) == wantAdc, s"native adc diverged: e=$e")
     }
   }
+
+  test("Delta path codec: encode/decode round-trips any path; decode never throws") {
+    val pathChar = Gen.frequency(
+      (8, Gen.alphaNumChar),
+      (1, Gen.oneOf('%', '+', ' ', '/', '.', '-', '_')))
+    val gen = Gen.listOf(pathChar).map(_.mkString)
+    for (p <- samples(gen, 200)) {
+      assert(graft.sources.DeltaLog.pathCodecRoundtrip(p) == p,
+        s"round-trip broke for ${p.map(c => f"$c%c(${c.toInt}%02x)").mkString}")
+    }
+    // leniency: arbitrary junk (including malformed % escapes) must decode
+    // to SOMETHING rather than crash — a wrong path fails loudly at the
+    // file system, a decoder crash hides which path was at fault
+    val junk = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    for (p <- samples(junk, 200)) {
+      graft.sources.DeltaLog.pathDecode(p) // raw junk, malformed escapes included
+      graft.sources.DeltaLog.pathDecode("%" + p)
+      graft.sources.DeltaLog.pathDecode(p + "%")
+      graft.sources.DeltaLog.pathDecode(p + "%z9")
+    }
+  }
 }
