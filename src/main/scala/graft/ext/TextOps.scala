@@ -385,7 +385,12 @@ object TextOps {
     val biCounts = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
       .localCheckpoint()
     val headCounts = biCounts.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
-    val vocab = docs.select(explode(TextNorm.toks(col("text"))).as("w"))
+    // smoothing vocabulary = the MODEL's vocabulary (distinct bigram
+    // heads ∪ tails), derived from the checkpointed model frame — a
+    // corpus-wide distinct-token count would cost a third full pass for
+    // the same principled denominator
+    val vocab = biCounts.select(col("a").as("w"))
+      .union(biCounts.select(col("b").as("w")))
       .agg(countDistinct(col("w")).as("v"))
     bi.join(biCounts, Seq("a", "b"))
       .join(headCounts, Seq("a"))
@@ -412,7 +417,7 @@ object TextOps {
        |  SELECT a, sum(c_ab) AS c_a FROM bc GROUP BY 1
        |), v AS (
        |  SELECT count(DISTINCT w) AS v
-       |  FROM (SELECT unnest($arr) AS w FROM documents)
+       |  FROM (SELECT a AS w FROM bc UNION ALL SELECT b AS w FROM bc)
        |)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |       round(avg(ln((c_ab + 1)::DOUBLE / (c_a + v))), 6) AS lm_score
