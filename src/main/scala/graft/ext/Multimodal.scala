@@ -492,6 +492,78 @@ object Multimodal {
        |  FROM documents WHERE doc_id < $wavCount
        |)""".stripMargin
 
+  case class AudioFeatures(doc_id: Long, features: Array[Double])
+
+  /** REAL audio feature extraction: 8-bin amplitude histogram (fraction
+    * of PCM frames per magnitude band, 6 dp) from the decoded samples —
+    * the audio twin of the image channel histogram, and the fixed-width
+    * `array<double>` column the ANN operators consume.
+    */
+  def audioFeaturesFrom(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val counts = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val s = if (fmt.isBigEndian) (pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff)
+                  else (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+          counts((s + 32768) >> 13) += 1 // unsigned offset: 0..65535 → bins 0..7, no abs() edge at -32768
+          i += 1
+        }
+        AudioFeatures(id, counts.map(c => round6(c.toDouble / n)))
+      }
+    }.toDF()
+  }
+
+  /** Same memo rationale as `sharedFeatureFrame`: the top-k operator
+    * consumes the frame on both join sides. */
+  private val audioFeatMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def sharedAudioFeatureFrame(s: SparkSession, d: String): DataFrame =
+    audioFeatMemo.getOrElseUpdate(d, audioFeaturesFrom(wavBytes(s, d))
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding")).cache())
+
+  /** Audio → ANN composition: the decoded amplitude histograms feed the
+    * SAME unmodified brute-force cosine top-k the embedding corpus and
+    * the image features use — the multimodal retrieval claim holding
+    * across a second modality, not just images.
+    */
+  def audioKnn(spark: SparkSession, dir: String, nQueries: Int = 3, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(sharedAudioFeatureFrame(spark, dir), nQueries, k)
+
+  def audioKnnOracle(nQueries: Int = 3, k: Int = 5): String = {
+    val cos = "round(list_cosine_similarity(q.features::DOUBLE[], v.features::DOUBLE[]), 6)"
+    s"""WITH f AS (
+       |  SELECT doc_id, list(value ORDER BY bin) AS features
+       |  FROM (
+       |    SELECT doc_id, b.bin AS bin,
+       |           round(len(list_filter(range(0, $framesSql),
+       |               i -> (${sampleSql("i")} + 32768) // 8192 = b.bin))::DOUBLE
+       |             / $framesSql, 6) AS value
+       |    FROM documents CROSS JOIN range(8) AS b(bin)
+       |    WHERE doc_id < $wavCount
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT query_id, vec_id, cos, rank
+       |FROM (
+       |  SELECT q.doc_id AS query_id, v.doc_id AS vec_id,
+       |         $cos AS cos,
+       |         row_number() OVER (PARTITION BY q.doc_id
+       |                            ORDER BY $cos DESC, v.doc_id) AS rank
+       |  FROM f v
+       |  CROSS JOIN (SELECT * FROM f WHERE doc_id < $nQueries) q
+       |  WHERE v.doc_id != q.doc_id
+       |)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // Real video corpus: animated GIFs, genuine multi-frame codec
   // ------------------------------------------------------------------
@@ -656,6 +728,7 @@ object Multimodal {
     "q_mm_features" -> featureBins _,
     "q_mm_knn" -> ((s, d) => featureKnn(s, d)),
     "q_mm_audio" -> audioQuery _,
+    "q_mm_audio_knn" -> ((s, d) => audioKnn(s, d)),
     "q_mm_video" -> videoQuery _
   )
 
@@ -668,6 +741,7 @@ object Multimodal {
     "q_mm_features" -> featureBinsOracle,
     "q_mm_knn" -> featureKnnOracle(),
     "q_mm_audio" -> audioOracle,
+    "q_mm_audio_knn" -> audioKnnOracle(),
     "q_mm_video" -> videoOracle
   )
 }

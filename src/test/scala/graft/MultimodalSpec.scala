@@ -159,6 +159,25 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("rms") - math.sqrt(3e6 / 4)) < 1e-6)
   }
 
+  test("audio features: amplitude histogram fractions match the sample formula") {
+    val s = spark
+    import s.implicits._
+    val clips = (0L to 5L).map(id => (id, Multimodal.makeWav(id)))
+      .toDF("doc_id", "content")
+    val rows = Multimodal.audioFeaturesFrom(clips)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (id <- 0L to 5L) {
+      val f = rows(id)
+      assert(f.length == 8)
+      assert(math.abs(f.sum - 1.0) < 1e-4, s"clip $id bins must sum to ~1")
+      val n = Multimodal.wavFrames(id)
+      val counts = new Array[Long](8)
+      (0 until n).foreach(i => counts((Multimodal.wavSample(id, i) + 32768) >> 13) += 1)
+      for (b <- 0 until 8)
+        assert(math.abs(f(b) - counts(b).toDouble / n) < 1e-5, s"clip $id bin $b")
+    }
+  }
+
   test("gif generator roundtrips: every decoded frame equals the palette formula") {
     for (id <- 0L to 5L) {
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
