@@ -231,6 +231,28 @@ class DeltaLogSpec extends SparkSpec {
       "a '+' in the file name must stay literal and '%25' must decode to '%'")
   }
 
+  test("concurrent committers leave a contiguous, complete Delta mirror") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    // 6 racing committers, each appending a disjoint slice: optimistic
+    // retries interleave with mirror writes and backfills
+    val slices = (0 until 6).map(i =>
+      events.filter(pmod(col("event_id"), lit(6)) === i))
+    val threads = slices.map { df =>
+      new Thread(() => { TxLog.commitAppend(df, t); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(TxLog.currentVersion(t).contains(6L))
+    assert(DeltaLog.versions(t) == (0L to 5L),
+      "every racer's commit must be mirrored with no gaps")
+    assert(DeltaLog.snapshot(s, t).count() == events.count(),
+      "the delta-log replay must see every committed slice")
+    assert(DeltaLog.snapshot(s, t).agg(sum(col("value"))).head.getDouble(0) ==
+      TxLog.snapshot(s, t).agg(sum(col("value"))).head.getDouble(0))
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
