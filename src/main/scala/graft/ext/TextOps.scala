@@ -425,6 +425,83 @@ object TextOps {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Full BPE merge-training loop (the iterative heart of byte-pair
+    * tokenizer training, beyond `bpePairs`' single pair count): `merges`
+    * rounds of [count adjacent pairs corpus-wide → select the most
+    * frequent (deterministic count-desc, then lexicographic, tie-break)
+    * → merge every non-overlapping occurrence greedily left-to-right].
+    * Returns the merge table (rank, selected pair, its pre-merge count)
+    * — the artifact a tokenizer ships.
+    *
+    * Representation: each document rides as a `;tok;`-wrapped string
+    * (tokens never contain ';'), so the greedy merge IS a literal
+    * `replace(s, ';a;;b;', ';a b;')` — both engines' `replace` scans
+    * left-to-right, never re-matching inside a replacement, which is
+    * exactly BPE's non-overlapping greedy semantics, byte-identical
+    * across Spark and DuckDB. (A fold-based formulation was rejected:
+    * DuckDB 1.0.0 segfaults on corpus-scale `list_reduce`.)
+    *
+    * Scale shape: each round is one corpus-wide pair aggregate (hash
+    * agg with map-side combine) + a 1-row collect of the winning pair
+    * (a scalar, like the OLS coefficients) + a map-only `replace` pass,
+    * localCheckpointed so round r+1 scans the merged corpus once
+    * instead of replaying r replace chains. O(merges) passes over the
+    * corpus is the canonical distributed BPE cost; real trainers batch
+    * multiple disjoint merges per pass to trade rounds for conflicts.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = docs.select(
+      concat(lit(";"), array_join(TextNorm.toks(col("text")), ";;"), lit(";")).as("s"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    for (r <- 1 to merges) {
+      val top = cur
+        .select(split(expr("trim(BOTH ';' FROM s)"), ";;").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("bg"))
+        .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      out += ((r, s"$a $b", c))
+      // tokens are [a-z0-9 ]+ — safe to inline as SQL string literals
+      cur = cur.withColumn("s", expr(s"replace(s, ';$a;;$b;', ';$a $b;')"))
+        .localCheckpoint()
+    }
+    out.toSeq.toDF("merge_rank", "pair", "n")
+      .select(col("merge_rank").cast("int").as("merge_rank"), col("pair"), col("n"))
+  }
+
+  def bpeTrainOracle(merges: Int = 3): String = {
+    val arr = TextNorm.toksSql
+    def pairCte(t: String) =
+      s"""SELECT bg['a'] AS a, bg['b'] AS b, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> struct_pack(a := tk[i], b := tk[i+1]))) AS bg
+         |    FROM (SELECT string_split(trim(s, ';'), ';;') AS tk FROM $t)
+         |  ) GROUP BY 1, 2""".stripMargin
+    def mergeExpr(m: String) =
+      s"replace(s, ';' || $m.a || ';;' || $m.b || ';', ';' || $m.a || ' ' || $m.b || ';')"
+    val rounds = (1 to merges).map { r =>
+      val prev = if (r == 1) "t0" else s"t${r - 1}"
+      s"""p$r AS (${pairCte(prev)}),
+         |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |t$r AS (SELECT ${mergeExpr(s"m$r")} AS s FROM $prev CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to merges).map(r =>
+      s"SELECT $r AS merge_rank, a || ' ' || b AS pair, CAST(c AS BIGINT) AS n FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH t0 AS (
+       |  SELECT ';' || array_to_string($arr, ';;') || ';' AS s FROM documents
+       |),
+       |$rounds
+       |$unions""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> ((s, d) => vocabReport(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
@@ -434,7 +511,8 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
-    "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d)))
+    "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d))),
+    "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -446,6 +524,7 @@ object TextOps {
     "q_text_fingerprint" -> fingerprintOracle,
     "q_bpe_pairs" -> bpePairsOracle(),
     "q_length_hist" -> lengthHistogramOracle,
-    "q_text_lmscore" -> lmScoreOracle
+    "q_text_lmscore" -> lmScoreOracle,
+    "q_bpe_train" -> bpeTrainOracle()
   )
 }

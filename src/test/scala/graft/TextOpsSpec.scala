@@ -96,6 +96,18 @@ class TextOpsSpec extends SparkSpec {
     assert(ranked(1L) > ranked(4L), "common word order must outscore rare order")
   }
 
+  test("bpe train: greedy merges with deterministic tie-breaks, hand-traced") {
+    // "a a a b a b": pairs (a,a)x2 (a,b)x2 (b,a)x1 → tie at 2 broken
+    // lexicographically → merge (a,a) greedily: [aa, a, b, a, b].
+    // Round 2: (a,b)x2 wins → [aa, ab, ab]. Round 3: (aa,ab) vs (ab,ab)
+    // tie at 1 → lexicographic → (aa, ab).
+    val out = TextOps.bpeTrain(docs((1L, "a a a b a b", "en")), merges = 3)
+      .orderBy("merge_rank").collect()
+    assert(out(0).getString(1) == "a a" && out(0).getLong(2) == 2L)
+    assert(out(1).getString(1) == "a b" && out(1).getLong(2) == 2L)
+    assert(out(2).getString(1) == "a a a b" && out(2).getLong(2) == 1L)
+  }
+
   test("length histogram: power-of-two buckets with exact edges") {
     val out = TextOps.lengthHistogram(docs(
       (1L, "one", "en"),                          // 1 token  -> bucket 0
