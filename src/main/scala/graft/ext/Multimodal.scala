@@ -584,15 +584,21 @@ object Multimodal {
   private[graft] def gifFrames(id: Long): Int = 3 + (id % 3).toInt
 
   /** Palette index of flat pixel i in frame f: one of the 8 RGB corner
-    * colors (R/G/B each 0 or 255 from the index bits). */
+    * colors (R/G/B each 0 or 255 from the index bits). `i*i` (squares
+    * mod 8 hit only {0,1,4}) keeps the per-clip color histogram
+    * NON-uniform — with a uniform generator every clip's pooled
+    * histogram would be identical and the downstream kNN degenerate. */
   private[graft] def gifPalIdx(id: Long, f: Int, i: Int): Int =
-    ((id * 13 + f.toLong * 5 + i.toLong * 3) % 8).toInt
+    ((id * 13 + f.toLong * 5 + i.toLong * i.toLong) % 8).toInt
 
   private val gifFramesSql = "(3 + doc_id % 3)"
+  /** SQL twin of `gifPalIdx` for frame expr `f`, pixel expr `i`. */
+  private def gifPalSql(f: String, i: String): String =
+    s"(doc_id*13 + ($f)*5 + ($i)*($i)) % 8"
   /** SQL: channel sum contributed by palette index p = 255·popcount(p). */
   private def gifSumSql(f: String): String =
     s"""CAST(list_aggregate(list_transform(range(0, ${gifW * gifH}),
-       |           i -> 255*bit_count((doc_id*13 + ($f)*5 + i*3) % 8)), 'sum') AS BIGINT)""".stripMargin
+       |           i -> 255*bit_count(${gifPalSql(f, "i")})), 'sum') AS BIGINT)""".stripMargin
 
   /** Encode one synthetic clip as a REAL animated GIF. */
   private[graft] def makeGif(id: Long): Array[Byte] = {
@@ -684,6 +690,89 @@ object Multimodal {
        |FROM documents CROSS JOIN range(5) AS f(frame)
        |WHERE doc_id < $gifCount AND f.frame < $gifFramesSql""".stripMargin
 
+  case class VideoFeatures(doc_id: Long, features: Array[Double])
+
+  /** REAL video feature extraction: the clip-level 8-bin palette
+    * histogram — fraction of pixels per palette color across ALL decoded
+    * frames (the pooled-over-time descriptor a video retrieval pipeline
+    * stores per clip). Recovers each pixel's palette index from the
+    * decoded RGB channel bits, so the vector is raster-driven, not
+    * metadata.
+    */
+  def videoFeaturesFrom(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bytes)))
+        val n = reader.getNumImages(true)
+        val counts = new Array[Long](8)
+        var total = 0L
+        (0 until n).foreach { f =>
+          val img = reader.read(f)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val p = (((rgb >> 16) & 1)) | (((rgb >> 8) & 1) << 1) | ((rgb & 1) << 2)
+              counts(p) += 1
+              total += 1
+              x += 1
+            }
+            y += 1
+          }
+        }
+        reader.dispose()
+        VideoFeatures(id, counts.map(c => round6(c.toDouble / total)))
+      }
+    }.toDF()
+  }
+
+  private val videoFeatMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def sharedVideoFeatureFrame(s: SparkSession, d: String): DataFrame =
+    videoFeatMemo.getOrElseUpdate(d, videoFeaturesFrom(gifBytes(s, d))
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding")).cache())
+
+  /** Video → ANN composition: clip descriptors through the SAME
+    * unmodified cosine top-k — all three modalities (image, audio,
+    * video) now hand their decoded features to one retrieval operator.
+    */
+  def videoKnn(spark: SparkSession, dir: String, nQueries: Int = 3, k: Int = 5): DataFrame =
+    Similarity.bruteForceTopK(sharedVideoFeatureFrame(spark, dir), nQueries, k)
+
+  def videoKnnOracle(nQueries: Int = 3, k: Int = 5): String = {
+    val cos = "round(list_cosine_similarity(q.features::DOUBLE[], v.features::DOUBLE[]), 6)"
+    s"""WITH f AS (
+       |  SELECT doc_id, list(value ORDER BY bin) AS features
+       |  FROM (
+       |    SELECT doc_id, b.bin AS bin,
+       |           round(len(list_filter(
+       |               flatten(list_transform(range(0, $gifFramesSql),
+       |                 f -> list_transform(range(0, ${gifW * gifH}),
+       |                   i -> ${gifPalSql("f", "i")}))),
+       |               p -> p = b.bin))::DOUBLE
+       |             / ($gifFramesSql * ${gifW * gifH}), 6) AS value
+       |    FROM documents CROSS JOIN range(8) AS b(bin)
+       |    WHERE doc_id < $gifCount
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT query_id, vec_id, cos, rank
+       |FROM (
+       |  SELECT q.doc_id AS query_id, v.doc_id AS vec_id,
+       |         $cos AS cos,
+       |         row_number() OVER (PARTITION BY q.doc_id
+       |                            ORDER BY $cos DESC, v.doc_id) AS rank
+       |  FROM f v
+       |  CROSS JOIN (SELECT * FROM f WHERE doc_id < $nQueries) q
+       |  WHERE v.doc_id != q.doc_id
+       |)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** The blob-ingestion front door over arbitrary (non-image) payloads:
     * Spark's `binaryFile` source reads raw files as (path,
     * modificationTime, length, content) rows. Files are staged once per
@@ -729,7 +818,8 @@ object Multimodal {
     "q_mm_knn" -> ((s, d) => featureKnn(s, d)),
     "q_mm_audio" -> audioQuery _,
     "q_mm_audio_knn" -> ((s, d) => audioKnn(s, d)),
-    "q_mm_video" -> videoQuery _
+    "q_mm_video" -> videoQuery _,
+    "q_mm_video_knn" -> ((s, d) => videoKnn(s, d))
   )
 
   def oracles: Map[String, String] = Map(
@@ -742,6 +832,7 @@ object Multimodal {
     "q_mm_knn" -> featureKnnOracle(),
     "q_mm_audio" -> audioOracle,
     "q_mm_audio_knn" -> audioKnnOracle(),
-    "q_mm_video" -> videoOracle
+    "q_mm_video" -> videoOracle,
+    "q_mm_video_knn" -> videoKnnOracle()
   )
 }
