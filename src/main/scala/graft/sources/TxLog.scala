@@ -75,6 +75,22 @@ object TxLog {
       .toSeq.sorted
   }
 
+  /** Highest TxLog version known mirrored to Delta with no gaps below
+    * it, per table — steady-state commits then verify O(new versions)
+    * instead of O(V) filesystem stats from version 1 on every commit
+    * (O(V^2) over a table's life). A fresh process re-derives the floor
+    * by one forward scan; a failed backfill mirror keeps the floor put,
+    * so the next commit retries exactly the still-missing versions.
+    * Updates are max-merged: racing committers can only advance it.
+    */
+  private val mirrorFloor = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Spec hook: forget the in-process floor, modeling a fresh process
+    * that must re-derive mirror state from disk (the crashed-committer
+    * simulations delete mirror files this process already verified).
+    */
+  private[graft] def resetMirrorCache(): Unit = mirrorFloor.clear()
+
   private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean,
       schemaJson: String): Long = {
     val table = Paths.get(dir)
@@ -112,7 +128,10 @@ object TxLog {
     // delta IS manifest(v) minus manifest(v-1). If an old manifest was
     // vacuumed away the backfill is impossible; the loud replay guard
     // then remains the stop.
-    (1L until committed).foreach { v =>
+    var floor = mirrorFloor.getOrElse(dir, 0L)
+    var contiguous = true
+    var v = floor + 1
+    while (v < committed) {
       if (!DeltaLog.isMirrored(table, v))
         try {
           val prev = if (v == 1) Seq.empty[String] else readManifest(table, v - 1)
@@ -120,8 +139,20 @@ object TxLog {
           DeltaLog.mirrorCommit(table, v,
             cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson)
         } catch { case _: java.io.IOException => () }
+      if (contiguous && DeltaLog.isMirrored(table, v)) floor = v
+      else contiguous = false
+      v += 1
     }
-    DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson)
+    // Best-effort like the backfill above: the _txlog manifest IS the
+    // durable commit point, so a mirror-side IOException must not fail a
+    // write that already committed — the next commit's backfill repairs
+    // the missing Delta version (and replay refuses gapped logs loudly in
+    // the meantime).
+    try {
+      DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson)
+      if (contiguous && floor == committed - 1) floor = committed
+    } catch { case _: java.io.IOException => () }
+    mirrorFloor.updateWith(dir)(old => Some(math.max(old.getOrElse(0L), floor)))
     committed
   }
 

@@ -162,10 +162,15 @@ class DeltaLogSpec extends SparkSpec {
     assert(lc.get("size").asLong() > 2, "protocol + metaData + adds")
     // checkpoint file itself must carry the Delta checkpoint shape
     val cp = s.read.parquet(ld.resolve(f"$cpV%020d.checkpoint.parquet").toString)
-    assert(cp.columns.toSet == Set("protocol", "metaData", "add"))
+    assert(cp.columns.toSet == Set("protocol", "metaData", "add", "remove"))
     assert(cp.filter(col("protocol").isNotNull).count() == 1)
     assert(cp.filter(col("metaData").isNotNull).count() == 1)
     assert(cp.filter(col("add").isNotNull).count() > 0)
+    // the overwrite's tombstones are young, so the checkpoint must carry
+    // them (foreign VACUUM coordination reads checkpoint removes)
+    assert(cp.filter(col("remove").isNotNull).count() ==
+      actions(t, 1L).flatMap(n => Option(n.get("remove"))).size,
+      "unexpired remove tombstones must survive into the checkpoint")
     // Delta's compaction contract: the JSON prefix may now disappear
     (0L to cpV).foreach(v => Files.delete(ld.resolve(f"$v%020d.json")))
     assert(DeltaLog.snapshot(s, t).count() == expected,
@@ -188,6 +193,9 @@ class DeltaLogSpec extends SparkSpec {
     // Delta version 1 vanishes while 0 and 2 remain
     val ld = Paths.get(t, "_delta_log")
     Files.delete(ld.resolve(f"${1L}%020d.json"))
+    // the dead committer was a DIFFERENT process: this one must re-derive
+    // mirror state from disk, not trust its in-process floor cache
+    TxLog.resetMirrorCache()
     val err = intercept[RuntimeException](DeltaLog.snapshot(s, t))
     assert(err.getMessage.contains("gaps"),
       "replaying a gapped log must fail loudly, not return a partial state")
@@ -251,6 +259,148 @@ class DeltaLogSpec extends SparkSpec {
       "the delta-log replay must see every committed slice")
     assert(DeltaLog.snapshot(s, t).agg(sum(col("value"))).head.getDouble(0) ==
       TxLog.snapshot(s, t).agg(sum(col("value"))).head.getDouble(0))
+  }
+
+  test("forced guard=0 routes through the distributed reconstruction and matches the driver fold") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitOverwrite(events.filter(col("event_id").between(300, 600)), t)
+    TxLog.commitAppend(events.filter(col("event_id") > 600), t)
+    val viaDriver = DeltaLog.snapshot(s, t)
+    assert(DeltaLog.lastReplayPath == "driver",
+      "a tiny log must replay on the driver by default")
+    val (cnt, total) = (viaDriver.count(),
+      viaDriver.agg(sum(col("value"))).head.getDouble(0))
+    val saved = DeltaLog.driverMaxLogBytes
+    try {
+      DeltaLog.driverMaxLogBytes = 0L
+      val viaDF = DeltaLog.snapshot(s, t)
+      assert(DeltaLog.lastReplayPath == "distributed",
+        "guard=0 must force the DataFrame reconstruction")
+      assert(viaDF.count() == cnt)
+      assert(viaDF.agg(sum(col("value"))).head.getDouble(0) == total)
+      // time travel takes the same route and must honor the overwrite
+      assert(DeltaLog.snapshotAt(s, t, 0L).count() ==
+        events.filter(col("event_id") < 300).count())
+      assert(DeltaLog.lastReplayPath == "distributed")
+      // and replay-from-checkpoint composes with the distributed path
+      DeltaLog.checkpoint(s, t)
+      assert(DeltaLog.snapshot(s, t).count() == cnt)
+    } finally DeltaLog.driverMaxLogBytes = saved
+  }
+
+  test("_last_checkpoint never regresses to an older version") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitAppend(events.filter(col("event_id") >= 300), t)
+    DeltaLog.checkpoint(s, t)
+    val ld = Paths.get(t, "_delta_log")
+    def pointer(): Long =
+      mapper.readTree(Files.readString(ld.resolve("_last_checkpoint")))
+        .get("version").asLong()
+    assert(pointer() == 1L)
+    // a racing committer that crossed an older checkpoint boundary last
+    // must NOT roll the pointer back past a newer checkpoint
+    DeltaLog.writeLastCheckpoint(Paths.get(t), 0L, 3L)
+    assert(pointer() == 1L, "older pointer write must be skipped")
+    DeltaLog.writeLastCheckpoint(Paths.get(t), 5L, 3L)
+    assert(pointer() == 5L, "newer pointer write must land")
+  }
+
+  test("URI-reserved characters in data-file names are escaped on write and round-trip") {
+    // stock readers parse add.path as a URI: '#' starts a fragment, '?' a
+    // query — unescaped they mis-parse. The write side must escape the
+    // full reserved set, not just '%'/' '/'+'.
+    val nasty = Seq("a b#c?d.parquet", "x+y%z.parquet", "semi;colon&amp[br]=.parquet",
+      "unié中.parquet", "data/part-00000-x.parquet")
+    nasty.foreach { p =>
+      assert(DeltaLog.pathCodecRoundtrip(p) == p, s"round-trip must be identity: $p")
+      val enc = DeltaLog.pathEncode(p)
+      "#?;&=[]+ ".foreach(c =>
+        assert(!enc.contains(c.toString), s"'$c' must be escaped in $enc"))
+      // '%' appears only as the escape char: always followed by two hex digits
+      enc.zipWithIndex.filter(_._1 == '%').foreach { case (_, i) =>
+        assert(i + 2 < enc.length &&
+          enc.substring(i + 1, i + 3).forall("0123456789ABCDEF".contains(_)),
+          s"bare '%' in $enc")
+      }
+    }
+    // '/' separates path segments and must stay literal
+    assert(DeltaLog.pathEncode("data/part-1.parquet") == "data/part-1.parquet")
+  }
+
+  test("a schema change mirrors a fresh metaData action; same-schema commits don't") {
+    val t = freshTable()
+    val schemaA = """{"type":"struct","fields":[{"name":"a","type":"long","nullable":true,"metadata":{}}]}"""
+    val schemaB = """{"type":"struct","fields":[{"name":"a","type":"long","nullable":true,"metadata":{}},{"name":"b","type":"string","nullable":true,"metadata":{}}]}"""
+    // drive the mirror directly (TxLog tables are fixed-schema in the
+    // fixtures; the mirror contract is per-commit schemaString)
+    val dir = Paths.get(t)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("f1.parquet"), "x")
+    Files.writeString(dir.resolve("f2.parquet"), "y")
+    Files.writeString(dir.resolve("f3.parquet"), "z")
+    DeltaLog.mirrorCommit(dir, 1L, Seq("f1.parquet"), Seq.empty, schemaA)
+    DeltaLog.mirrorCommit(dir, 2L, Seq("f2.parquet"), Seq.empty, schemaA)
+    DeltaLog.mirrorCommit(dir, 3L, Seq("f3.parquet"), Seq.empty, schemaB)
+    assert(actions(t, 0L).exists(_.has("metaData")))
+    assert(!actions(t, 1L).exists(_.has("metaData")),
+      "an unchanged schema must not re-emit metaData")
+    val evolved = actions(t, 2L).filter(_.has("metaData"))
+    assert(evolved.size == 1,
+      "a changed schema must land a fresh metaData action (readers use " +
+        "metaData.schemaString, not file inference)")
+    assert(evolved.head.get("metaData").get("schemaString").asText() == schemaB)
+    // id stays stable across the evolution
+    assert(evolved.head.get("metaData").get("id").asText() ==
+      actions(t, 0L).find(_.has("metaData")).get.get("metaData").get("id").asText())
+  }
+
+  test("checkpoint-of-checkpoint round-trips metaData createdTime and configuration") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val keep = events.filter(col("event_id") < 200)
+    keep.write.parquet(s"$t/batch")
+    def dataFiles: Seq[String] =
+      Files.list(Paths.get(t, "batch")).iterator.asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(n => s"batch/$n").toSeq.sorted
+    val ld = Files.createDirectories(Paths.get(t, "_delta_log"))
+    val metaLine = {
+      val n = mapper.createObjectNode()
+      val m = n.putObject("metaData")
+      m.put("id", "ext-42")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", keep.schema.json)
+      m.putArray("partitionColumns")
+      m.putObject("configuration").put("delta.appendOnly", "false")
+      m.put("createdTime", 31337L)
+      mapper.writeValueAsString(n)
+    }
+    Files.writeString(ld.resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine) ++
+        dataFiles.map(p =>
+          s"""{"add":{"path":"$p","partitionValues":{},"size":${Files.size(Paths.get(t, p))},"modificationTime":1,"dataChange":true}}"""))
+        .mkString("\n"))
+    DeltaLog.checkpoint(s, t)
+    // age out the JSON prefix, then checkpoint AGAIN — the second
+    // checkpoint can only read metaData from the first one
+    Files.delete(ld.resolve(f"${0L}%020d.json"))
+    DeltaLog.checkpoint(s, t)
+    val cp = s.read.parquet(ld.resolve(f"${0L}%020d.checkpoint.parquet").toString)
+      .filter(col("metaData").isNotNull).select("metaData.*").head
+    assert(cp.getAs[String]("id") == "ext-42")
+    assert(cp.getAs[Long]("createdTime") == 31337L,
+      "createdTime must survive checkpoint-of-checkpoint")
+    assert(cp.getAs[Map[String, String]]("configuration") ==
+      Map("delta.appendOnly" -> "false"),
+      "configuration must survive checkpoint-of-checkpoint")
+    assert(DeltaLog.snapshot(s, t).count() == keep.count())
   }
 
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
