@@ -225,21 +225,40 @@ object Similarity {
       .drop("cb")
   }
 
+  /** Deterministic hash-gated training sample (same md5 arithmetic as
+    * `Curation.sampleMix`, so DuckDB reproduces the exact member set):
+    * md5(vec_id) mod 100 < pct. At 100 TB the codebook build must not
+    * cost O(iters × corpus) — real IVF trainers (FAISS et al.) learn
+    * centroids on a few-percent sample and run the FULL corpus only
+    * through the final one-pass assignment; this is that split
+    * (reference analog: `train_model.py:28-46`'s batch-train /
+    * stream-infer separation). pct=100 short-circuits to the identity
+    * so full-corpus training stays available.
+    */
+  private[graft] def trainSample(v: DataFrame, pct: Int): DataFrame =
+    if (pct >= 100) v
+    else v.filter(pmod(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(100L)) < pct)
+
   /** Lloyd-iterated codebook: seed with label means, then `iters`
     * rounds of (assign to nearest centroid → recompute cell means).
     * Deterministic end to end (no random init, rounded-cosine ranking
-    * with a cell tie-break), so the DuckDB oracle reproduces the exact
-    * codebook by unrolling the same iterations. Each round is one
-    * map-only assignment pass + one O(cells) aggregation — the standard
-    * distributed k-means shape; cells that lose all members drop out of
-    * the codebook on both engines identically.
+    * with a cell tie-break, hash-gated sampling), so the DuckDB oracle
+    * reproduces the exact codebook by unrolling the same iterations over
+    * the same sample. Each round is one map-only assignment pass + one
+    * O(cells) aggregation over the TRAINING SAMPLE only — the standard
+    * distributed k-means shape, with iteration cost decoupled from
+    * corpus size; cells that lose all members drop out of the codebook
+    * on both engines identically.
     */
-  private def kmeansCentroids(v: DataFrame, iters: Int): DataFrame = {
+  private def kmeansCentroids(v: DataFrame, iters: Int,
+      samplePct: Int = 100): DataFrame = {
     val spark = v.sparkSession
-    var cent = labelCentroids(v)
+    val t = trainSample(v, samplePct)
+    var cent = labelCentroids(t)
     val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
     for (_ <- 0 until iters) {
-      val assigned = withRankedCells(v, cent)
+      val assigned = withRankedCells(t, cent)
         .withColumn("cell", col("cells").getItem(0))
         .select(col("cell"), col("e"))
       cent = assigned.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
@@ -299,12 +318,22 @@ object Similarity {
     * changes only the derivation, not the search plan.
     */
   def kmeansTopK(vectors: DataFrame, nQueries: Int = 5, k: Int = 10,
-      nprobe: Int = 2, iters: Int = 2): DataFrame = {
-    // every Lloyd iteration re-reads the corpus frame: cache it once
-    // (O(N·dim) doubles — the same thing a production k-means persists)
+      nprobe: Int = 2, iters: Int = 2, samplePct: Int = 100): DataFrame = {
+    // every Lloyd iteration re-reads the training frame: cache the corpus
+    // once (O(N·dim) doubles — the same thing a production k-means persists)
     val v = vecFrame(vectors).cache()
-    probeTopK(v, kmeansCentroids(v, iters).cache(), nQueries, k, nprobe)
+    probeTopK(v, kmeansCentroids(v, iters, samplePct).cache(), nQueries, k, nprobe)
   }
+
+  /** Spec hook: train the codebook on an explicit `train` frame (no
+    * sampling) while probing `corpus` — lets tests prove that hash-gated
+    * sampled training is EQUIVALENT to training on the pre-filtered
+    * frame, i.e. the training scan reads only the sample.
+    */
+  private[graft] def probeTopKForSpec(corpus: DataFrame, train: DataFrame,
+      iters: Int, nQueries: Int, k: Int, nprobe: Int): DataFrame =
+    probeTopK(vecFrame(corpus), kmeansCentroids(vecFrame(train), iters),
+      nQueries, k, nprobe)
 
   def ivfTopKOracle(nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): String =
     s"""WITH c AS (
@@ -343,11 +372,14 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
 
   /** Oracle for the k-means IVF: the Lloyd iterations are UNROLLED as
-    * chained CTEs (assign → recompute means), so DuckDB derives the
+    * chained CTEs (assign → recompute means) over the SAME md5-gated
+    * training sample as the Spark side, so DuckDB derives the
     * byte-identical codebook before the same probe/rerank as the plain
-    * IVF oracle.
+    * IVF oracle — the final assignment/probe CTEs read the full corpus,
+    * mirroring the sample-train / full-assign split.
     */
-  def kmeansTopKOracle(nQueries: Int = 5, k: Int = 10, nprobe: Int = 2, iters: Int = 2): String = {
+  def kmeansTopKOracle(nQueries: Int = 5, k: Int = 10, nprobe: Int = 2,
+      iters: Int = 2, samplePct: Int = 100): String = {
     def means(name: String, src: String, keyCol: String) =
       s"""$name AS (
          |  SELECT $keyCol AS cell, list(m ORDER BY i) AS ce
@@ -366,13 +398,18 @@ object Similarity {
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6) DESC,
          |                      c.cell) AS rk
-         |    FROM embeddings e CROSS JOIN $cent c
+         |    FROM train e CROSS JOIN $cent c
          |  ) WHERE rk = 1
+         |)"""
+    val trainCte =
+      s"""train AS (
+         |  SELECT * FROM embeddings
+         |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT % 100 < $samplePct
          |)"""
     val iterCtes = (1 to iters).flatMap { n =>
       Seq(assign(s"a$n", s"c${n - 1}"), means(s"c$n", s"a$n", "cell"))
     }
-    val ctes = (means("c0", "embeddings", "label") +: iterCtes).mkString(",\n")
+    val ctes = (Seq(trainCte, means("c0", "train", "label")) ++ iterCtes).mkString(",\n")
     s"""WITH $ctes,
        |ranked AS (
        |  SELECT e.vec_id, e.embedding, c.cell,
@@ -1053,7 +1090,10 @@ object Similarity {
     }),
     "q_knn_kmeans" -> ((s, d) => {
       val v = sharedVecFrame(s, d)
-      probeTopK(v, kmeansCentroids(v, iters = 2).cache(), nQueries = 5, k = 10, nprobe = 2)
+      // codebook trained on the 60% md5 sample; full corpus only for the
+      // final one-pass assignment inside probeTopK
+      probeTopK(v, kmeansCentroids(v, iters = 2, samplePct = 60).cache(),
+        nQueries = 5, k = 10, nprobe = 2)
     }),
     "q_ivf_append" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
@@ -1078,7 +1118,7 @@ object Similarity {
     "q_knn_bucketed" -> bucketedTopKOracle(),
     "q_knn_multiprobe" -> multiProbeTopKOracle(),
     "q_knn_ivf" -> ivfTopKOracle(),
-    "q_knn_kmeans" -> kmeansTopKOracle(),
+    "q_knn_kmeans" -> kmeansTopKOracle(samplePct = 60),
     "q_ivf_append" -> ivfAppendOracle,
     "q_embed_neardup" -> nearDupPairsOracle(),
     "q_neardup_thresholds" -> nearDupThresholdSweepOracle(),

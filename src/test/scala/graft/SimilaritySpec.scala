@@ -137,6 +137,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sampled k-means trains on exactly the md5-gated subset; assignment stays full-corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val full = Tables.embeddings(spark, dir)
+    val n = full.count()
+    // the gate is a proper subset, deterministic, and md5-reproducible
+    val sample = Similarity.trainSample(
+      full.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e")), 60)
+    val sn = sample.count()
+    assert(sn > 0 && sn < n, s"60% gate must be a proper subset: $sn of $n")
+    assert(Similarity.trainSample(sample, 60).count() == sn, "gate is idempotent")
+    // training reads ONLY the sample: the sampled codebook over the full
+    // frame must equal the full-corpus codebook over the pre-filtered
+    // frame — any leak of unsampled rows into seed or Lloyd rounds breaks
+    // this equality
+    val sampledTrain = Similarity.kmeansTopK(full, samplePct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val prefiltered = {
+      val keep = sample.select("vec_id").collect().map(_.getLong(0)).toSet
+      val kept = full.filter(col("vec_id").isInCollection(keep))
+      Similarity.probeTopKForSpec(
+        full, kept, iters = 2, nQueries = 5, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    }
+    assert(sampledTrain == prefiltered,
+      "sampled training must be equivalent to training on the pre-filtered frame")
+    // and the result set still ranks full-corpus candidates (vectors
+    // OUTSIDE the training sample appear among the hits)
+    val sampleIds = sample.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(Similarity.kmeansTopK(full, samplePct = 60)
+      .select("vec_id").collect().map(_.getLong(0)).exists(id => !sampleIds(id)),
+      "assignment/probe must cover the full corpus, not just the sample")
+  }
+
   test("centroid similarity: all-identical label has cosine 1 to its centroid") {
     val v = Seq.fill(64)(0.5f)
     val d = vecs((0L, v, 1), (1L, v, 1), (2L, v, 1))
