@@ -449,21 +449,27 @@ object TextOps {
     * corpus is the canonical distributed BPE cost; real trainers batch
     * multiple disjoint merges per pass to trade rounds for conflicts.
     */
+  /** The `;tok;`-wrapped corpus representation both trainers merge in. */
+  private def wrappedCorpus(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit(";"), array_join(TextNorm.toks(col("text")), ";;"), lit(";")).as("s"))
+
+  /** One corpus-wide adjacent-pair count (hash agg, map-side combine). */
+  private def pairCountsOf(cur: DataFrame): DataFrame =
+    cur.select(split(expr("trim(BOTH ';' FROM s)"), ";;").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("bg"))
+      .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
   def bpeTrain(docs: DataFrame, merges: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var cur = docs.select(
-      concat(lit(";"), array_join(TextNorm.toks(col("text")), ";;"), lit(";")).as("s"))
-      .localCheckpoint()
+    var cur = wrappedCorpus(docs).localCheckpoint()
     val out = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
     for (r <- 1 to merges) {
-      val top = cur
-        .select(split(expr("trim(BOTH ';' FROM s)"), ";;").as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS a, tk[i+1] AS b))")).as("bg"))
-        .groupBy(col("bg.a").as("a"), col("bg.b").as("b"))
-        .agg(count(lit(1)).as("c"))
+      val top = pairCountsOf(cur)
         .orderBy(col("c").desc, col("a"), col("b"))
         .limit(1).collect()(0)
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
@@ -471,6 +477,62 @@ object TextOps {
       // tokens are [a-z0-9 ]+ — safe to inline as SQL string literals
       cur = cur.withColumn("s", expr(s"replace(s, ';$a;;$b;', ';$a $b;')"))
         .localCheckpoint()
+    }
+    out.toSeq.toDF("merge_rank", "pair", "n")
+      .select(col("merge_rank").cast("int").as("merge_rank"), col("pair"), col("n"))
+  }
+
+  /** Batched BPE training: per round, ONE pair count selects up to
+    * `batchK` TOKEN-DISJOINT merges (greedy in count-desc / lexicographic
+    * rank order, skipping any pair sharing a token with an
+    * already-picked one), all applied in a single map-only replace pass.
+    * Token-disjoint replaces commute — merging (a,b) can neither create
+    * nor destroy an occurrence of (c,d) when {a,b} ∩ {c,d} = ∅ — so the
+    * batch is well-defined; this is the trade real trainers make
+    * (O(merges/batchK) corpus passes instead of O(merges), at the cost
+    * of ranking later batch members on pre-batch counts — see
+    * TextOpsSpec for a corpus where that ordering visibly diverges from
+    * the sequential trainer, and one where it provably cannot).
+    *
+    * Selection scans a top-`candidateWindow` slice of the ranked pair
+    * table (collecting the full table would be the driver-side
+    * anti-pattern); a window that ends before `batchK` disjoint pairs
+    * are found while MORE pairs exist below it fails loudly rather than
+    * silently diverging from the oracle's global scan — unreachable in
+    * practice (it needs 1000 consecutive token-sharing pairs).
+    */
+  def bpeTrainBatched(docs: DataFrame, merges: Int = 4, batchK: Int = 2,
+      candidateWindow: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = wrappedCorpus(docs).localCheckpoint()
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    var rank = 0
+    while (rank < merges) {
+      val want = math.min(batchK, merges - rank)
+      val window = pairCountsOf(cur)
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(candidateWindow).collect()
+      val used = scala.collection.mutable.Set.empty[String]
+      val picked = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+      val it = window.iterator
+      while (picked.size < want && it.hasNext) {
+        val r = it.next()
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (!used(a) && !used(b)) {
+          picked += ((a, b, r.getLong(2))); used += a; used += b
+        }
+      }
+      if (picked.isEmpty)
+        sys.error("bpeTrainBatched: corpus has no adjacent pairs left to merge")
+      if (picked.size < want && window.length == candidateWindow)
+        sys.error(s"bpeTrainBatched: candidate window ($candidateWindow) " +
+          s"exhausted before $want disjoint pairs were found")
+      picked.foreach { case (a, b, c) => rank += 1; out += ((rank, s"$a $b", c)) }
+      val merged = picked.foldLeft("s") { case (e, (a, b, _)) =>
+        s"replace($e, ';$a;;$b;', ';$a $b;')"
+      }
+      cur = cur.withColumn("s", expr(merged)).localCheckpoint()
     }
     out.toSeq.toDF("merge_rank", "pair", "n")
       .select(col("merge_rank").cast("int").as("merge_rank"), col("pair"), col("n"))
@@ -502,6 +564,60 @@ object TextOps {
        |$unions""".stripMargin
   }
 
+  /** Unrolled oracle for the batched trainer: per round, one pair-count
+    * CTE; selection j of the round is the ranked top-1 over that SAME
+    * count restricted to pairs token-disjoint from the round's earlier
+    * selections (exactly the greedy), and the round's replaces chain
+    * inside one projection. DuckDB's global disjointness scan equals the
+    * Spark candidate window unless 1000 consecutive pairs conflict.
+    */
+  def bpeTrainBatchedOracle(merges: Int = 4, batchK: Int = 2): String = {
+    val arr = TextNorm.toksSql
+    def pairCte(t: String) =
+      s"""SELECT bg['a'] AS a, bg['b'] AS b, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> struct_pack(a := tk[i], b := tk[i+1]))) AS bg
+         |    FROM (SELECT string_split(trim(s, ';'), ';;') AS tk FROM $t)
+         |  ) GROUP BY 1, 2""".stripMargin
+    val rounds = scala.collection.mutable.Buffer.empty[String]
+    val sels = scala.collection.mutable.Buffer.empty[Int] // global selection ids
+    var done = 0
+    var r = 0
+    while (done < merges) {
+      r += 1
+      val k = math.min(batchK, merges - done)
+      val prev = s"t${r - 1}"
+      rounds += s"p$r AS (${pairCte(prev)})"
+      val roundSel = (1 to k).map(_ + done)
+      roundSel.zipWithIndex.foreach { case (j, i) =>
+        val earlier = roundSel.take(i)
+        val filter =
+          if (earlier.isEmpty) ""
+          else {
+            val toks = earlier.map(e => s"SELECT a AS t FROM m$e UNION ALL SELECT b AS t FROM m$e")
+              .mkString(" UNION ALL ")
+            s"WHERE a NOT IN ($toks) AND b NOT IN ($toks) "
+          }
+        rounds += s"m$j AS (SELECT a, b, c FROM p$r ${filter}ORDER BY c DESC, a, b LIMIT 1)"
+      }
+      val mergedS = roundSel.foldLeft("s") { (e, j) =>
+        s"replace($e, ';' || m$j.a || ';;' || m$j.b || ';', ';' || m$j.a || ' ' || m$j.b || ';')"
+      }
+      val joins = roundSel.map(j => s"CROSS JOIN m$j").mkString(" ")
+      rounds += s"t$r AS (SELECT $mergedS AS s FROM $prev $joins)"
+      sels ++= roundSel
+      done += k
+    }
+    val unions = sels.map(j =>
+      s"SELECT $j AS merge_rank, a || ' ' || b AS pair, CAST(c AS BIGINT) AS n FROM m$j")
+      .mkString("\nUNION ALL ")
+    s"""WITH t0 AS (
+       |  SELECT ';' || array_to_string($arr, ';;') || ';' AS s FROM documents
+       |),
+       |${rounds.mkString(",\n")}
+       |$unions""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> ((s, d) => vocabReport(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
@@ -512,7 +628,8 @@ object TextOps {
     "q_bpe_pairs" -> ((s, d) => bpePairs(Tables.documents(s, d))),
     "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d))),
-    "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d)))
+    "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
+    "q_bpe_train_batched" -> ((s, d) => bpeTrainBatched(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -525,6 +642,7 @@ object TextOps {
     "q_bpe_pairs" -> bpePairsOracle(),
     "q_length_hist" -> lengthHistogramOracle,
     "q_text_lmscore" -> lmScoreOracle,
-    "q_bpe_train" -> bpeTrainOracle()
+    "q_bpe_train" -> bpeTrainOracle(),
+    "q_bpe_train_batched" -> bpeTrainBatchedOracle()
   )
 }

@@ -108,6 +108,54 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2).getString(1) == "a a a b" && out(2).getLong(2) == 1L)
   }
 
+  test("batched bpe equals sequential when the top pairs are token-disjoint") {
+    // disjoint top pairs with separated counts: 3× "aa bb", 2× "cc dd",
+    // 1× "ee ff" — merging one pair cannot touch another's count, and a
+    // merged doc collapses to one token (no new pairs), so batched
+    // (1 round × 2 merges) must equal sequential (2 rounds × 1 merge)
+    val corpus = docs(
+      (1L, "aa bb", "en"), (2L, "aa bb", "en"), (3L, "aa bb", "en"),
+      (4L, "cc dd", "en"), (5L, "cc dd", "en"),
+      (6L, "ee ff", "en"))
+    val seq = TextOps.bpeTrain(corpus, merges = 2)
+      .orderBy("merge_rank").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bat = TextOps.bpeTrainBatched(corpus, merges = 2, batchK = 2)
+      .orderBy("merge_rank").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(seq.toSeq == Seq((1, "aa bb", 3L), (2, "cc dd", 2L)))
+    assert(bat.toSeq == seq.toSeq,
+      "disjoint top pairs: one batched round ≡ two sequential rounds")
+  }
+
+  test("batched bpe greedily skips a token-sharing pair within a round") {
+    // (aa,bb)x3 tops; (bb,cc)x2 shares bb with it, so the batch must
+    // skip it and take (dd,ee)x1 — while the SEQUENTIAL trainer, whose
+    // round-2 counts see (bb,cc) intact after the first merge, picks
+    // (bb,cc): the documented ranking divergence of batching
+    val corpus = docs(
+      (1L, "aa bb", "en"), (2L, "aa bb", "en"), (3L, "aa bb", "en"),
+      (4L, "bb cc", "en"), (5L, "bb cc", "en"),
+      (6L, "dd ee", "en"))
+    val bat = TextOps.bpeTrainBatched(corpus, merges = 2, batchK = 2)
+      .orderBy("merge_rank").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(bat.toSeq == Seq(("aa bb", 3L), ("dd ee", 1L)))
+    val seq = TextOps.bpeTrain(corpus, merges = 2)
+      .orderBy("merge_rank").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(seq.toSeq == Seq(("aa bb", 3L), ("bb cc", 2L)))
+  }
+
+  test("batched bpe spills a partial batch into the next round") {
+    // merges=3, batchK=2: round 1 takes 2 disjoint pairs, round 2 takes
+    // the single remaining merge — counts for round 2 come AFTER the
+    // first batch applied
+    val corpus = docs(
+      (1L, "aa bb", "en"), (2L, "aa bb", "en"), (3L, "aa bb", "en"),
+      (4L, "cc dd", "en"), (5L, "cc dd", "en"),
+      (6L, "ee ff", "en"))
+    val bat = TextOps.bpeTrainBatched(corpus, merges = 3, batchK = 2)
+      .orderBy("merge_rank").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(bat.toSeq == Seq((1, "aa bb", 3L), (2, "cc dd", 2L), (3, "ee ff", 1L)))
+  }
+
   test("length histogram: power-of-two buckets with exact edges") {
     val out = TextOps.lengthHistogram(docs(
       (1L, "one", "en"),                          // 1 token  -> bucket 0
