@@ -36,6 +36,7 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => }
         }
         spark.catalog.clearCache() // drop warmup-corpus cache entries
+        Caches.clearAll() // and the memo REFERENCES, so sfDir re-memoizes fresh
       }
     } catch { case _: Throwable => }
     // Optional args = subset of query names (local iteration on hotspots),
@@ -102,6 +103,7 @@ object Bench {
         System.err.println(s"WARNING: failed to write BENCH.json: $e")
       }
     }
+    Caches.clearAll() // teardown: release per-corpus memo storage
     spark.stop()
     // Nonzero exit when any query failed: a harness gate keyed on rc (the
     // round-5 wrapper reported rc=0 over a half-broken run) must see red.

@@ -58,6 +58,7 @@ object Verify {
         errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    Caches.clearAll() // teardown: release per-corpus memo storage
     spark.stop()
     // rc stays 0 even on partial failure: the driver's DuckDB compare over
     // the dumped parquet is the authoritative gate, and an abort here could

@@ -897,6 +897,13 @@ object Dedup {
   private def cachedClusters(s: SparkSession, d: String): DataFrame =
     clustersCache.getOrElseUpdate(d, dupClustersFromPairs(cachedPairs(s, d)))
 
+  /** Evict the per-corpus pair/cluster memos (see [[graft.Caches]]). */
+  private[graft] def clearCaches(): Unit = {
+    pairsCache.values.foreach(_.unpersist(blocking = false))
+    pairsCache.clear()
+    clustersCache.clear()
+  }
+
   /** Public handle on the per-corpus cluster memo — the admission
     * ledger (Curation) reads the same labels the dedup queries built.
     */

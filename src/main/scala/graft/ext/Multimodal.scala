@@ -343,6 +343,15 @@ object Multimodal {
     featMemo.getOrElseUpdate(d, featureQuery(s, d)
       .select(col("doc_id").as("vec_id"), col("features").as("embedding")).cache())
 
+  /** Evict the per-corpus feature-frame memo (see [[graft.Caches]]).
+    * Staged blob/image/audio dirs stay: they live in Scratch (reclaimed
+    * at process exit) and hold no executor storage.
+    */
+  private[graft] def clearCaches(): Unit = {
+    featMemo.values.foreach(_.unpersist(blocking = false))
+    featMemo.clear()
+  }
+
   /** Multimodal → ANN composition: the REAL decoded feature vectors
     * feed the SAME brute-force cosine top-k operator the embedding
     * corpus uses — blob → decode → feature vector → similarity search

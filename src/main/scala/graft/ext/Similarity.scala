@@ -310,8 +310,19 @@ object Similarity {
   private val pqCbMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
 
-  private def sharedVecFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def sharedVecFrame(s: SparkSession, d: String): DataFrame =
     vecMemo.getOrElseUpdate(d, vecFrame(Tables.embeddings(s, d)).cache())
+
+  /** Evict every per-corpus memo (see [[graft.Caches]]): unpersist the
+    * cache()-backed frames, drop all references so localCheckpoint
+    * blocks are ContextCleaner-collectable. Memos rebuild on next touch.
+    */
+  private[graft] def clearCaches(): Unit = {
+    vecMemo.values.foreach(_.unpersist(blocking = false))
+    pqCbMemo.values.foreach(_.unpersist(blocking = false))
+    vecMemo.clear(); pqCbMemo.clear()
+    embedPairMemo.clear(); embedClusterMemo.clear()
+  }
 
   /** IVF with a genuinely LEARNED codebook: Lloyd-iterated k-means
     * centroids instead of the label means — proving the codebook swap

@@ -65,6 +65,11 @@ object PriceModel {
     * run manually; `process_silver.py:27-41` loads into a global).
     */
   private val cache = scala.collection.concurrent.TrieMap.empty[String, LinearRegressionModel]
+
+  /** Evict the per-path model memo (see [[graft.Caches]]): driver-heap
+    * objects only; the next consumer re-loads from the persisted path.
+    */
+  private[graft] def clearCache(): Unit = cache.clear()
   def saveAndLoad(model: => LinearRegressionModel, path: String): LinearRegressionModel =
     cache.getOrElseUpdate(path, {
       model.write.overwrite().save(path)
