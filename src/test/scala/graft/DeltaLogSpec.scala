@@ -403,6 +403,64 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(s, t).count() == keep.count())
   }
 
+  // ----------------------------------------------- golden fixture (v1)
+  // A FROZEN tree authored by an earlier build of this writer
+  // (fixtures/golden_delta/README.md). Replaying it pins reader
+  // back-compat; asserting its structure pins writer conformance. When a
+  // stock Delta reader jar lands, the same tree is the round-trip input.
+
+  private val golden = "fixtures/golden_delta/v1"
+
+  test("golden fixture: replay yields the exact frozen snapshot (both replay paths)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = Seq((4L, "delta", 40.75), (5L, "epsilon", 50.5), (6L, "zeta", 60.125))
+    assert(rows(DeltaLog.snapshot(s, golden)) == expected)
+    // time travel to v0 = the overwritten first append
+    assert(rows(DeltaLog.snapshotAt(s, golden, 0L)) ==
+      Seq((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0)))
+    val saved = DeltaLog.driverMaxLogBytes
+    try {
+      DeltaLog.driverMaxLogBytes = 0L
+      assert(rows(DeltaLog.snapshot(s, golden)) == expected,
+        "distributed reconstruction must replay the frozen tree identically")
+    } finally DeltaLog.driverMaxLogBytes = saved
+  }
+
+  test("golden fixture: action-level protocol conformance of the frozen log") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val a0 = actions(golden, 0L)
+    val protocol = a0.flatMap(n => Option(n.get("protocol")))
+    assert(protocol.size == 1 && protocol.head.get("minReaderVersion").asInt() == 1 &&
+      protocol.head.get("minWriterVersion").asInt() == 2)
+    val meta = a0.flatMap(n => Option(n.get("metaData")))
+    assert(meta.size == 1)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(meta.head.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    // the overwrite removed EXACTLY commit 0's add set
+    val v0adds = a0.flatMap(n => Option(n.get("add"))).map(_.get("path").asText()).toSet
+    val v1removes = actions(golden, 1L).flatMap(n => Option(n.get("remove")))
+      .map(_.get("path").asText()).toSet
+    assert(v1removes == v0adds)
+    // checkpoint: full action shape, tombstones carried, pointer at 2
+    val cp = s.read.parquet(s"$golden/_delta_log/00000000000000000002.checkpoint.parquet")
+    assert(cp.columns.toSet == Set("protocol", "metaData", "add", "remove"))
+    assert(cp.filter(col("add").isNotNull).count() == 2)
+    assert(cp.filter(col("remove").isNotNull).count() == v1removes.size)
+    assert(mapper.readTree(Files.readString(
+      Paths.get(golden, "_delta_log", "_last_checkpoint"))).get("version").asLong() == 2L)
+    // every live add resolves to a real data file of the recorded size
+    cp.filter(col("add").isNotNull).select("add.path", "add.size").collect().foreach { r =>
+      val p = Paths.get(golden, DeltaLog.pathDecode(r.getString(0)))
+      assert(Files.exists(p) && Files.size(p) == r.getLong(1))
+    }
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
