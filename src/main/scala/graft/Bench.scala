@@ -37,6 +37,7 @@ object Bench {
         }
         spark.catalog.clearCache() // drop warmup-corpus cache entries
         Caches.clearAll() // and the memo REFERENCES, so sfDir re-memoizes fresh
+        streaming.Streams.prepare(spark, sfDir) // re-stage evicted ingest artifacts
       }
     } catch { case _: Throwable => }
     // Optional args = subset of query names (local iteration on hotspots),

@@ -19,6 +19,7 @@ object Caches {
     ext.Similarity.clearCaches()
     ext.Multimodal.clearCaches()
     ext.Dedup.clearCaches()
+    streaming.Streams.clearCaches()
     ml.PriceModel.clearCache()
   }
 }
