@@ -653,6 +653,52 @@ object DeltaLog {
     snapshotAt(spark, dir, latest)
   }
 
+  /** A commit's wall-clock time: `commitInfo.timestamp` when the action
+    * is present (this engine's mirror always writes it), else the commit
+    * file's modification time — the exact fallback order stock Delta's
+    * timestamp resolution uses.
+    */
+  private def commitTimestamp(p: Path): Long =
+    Files.readAllLines(p).asScala.iterator
+      .filter(_.contains("\"commitInfo\""))
+      .map(mapper.readTree)
+      .flatMap(n => Option(n.get("commitInfo")))
+      .flatMap(ci => Option(ci.get("timestamp")).map(_.asLong()))
+      .nextOption()
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+
+  /** Resolve a wall-clock timestamp to the newest version committed at
+    * or before it — stock Delta's `timestampAsOf` contract. Commit times
+    * from racing committers need not be monotone, so each commit's
+    * EFFECTIVE time is max(its recorded time, predecessor + 1 ms) — the
+    * same normalization Delta's own resolver applies — making
+    * resolution total and order-consistent. O(commit files) metadata
+    * reads, like replay itself. Fails loudly for a timestamp before the
+    * earliest AVAILABLE commit (including when the JSON prefix carrying
+    * the needed timestamps was aged out — timestamps don't survive into
+    * checkpoints, in this engine or stock Delta).
+    */
+  def versionAsOf(dir: String, timestampMs: Long): Long = {
+    val table = Paths.get(dir)
+    val vs = versions(dir)
+    if (vs.isEmpty) sys.error(s"no Delta commit files in $dir — " +
+      "timestamp time travel needs the JSON commits")
+    var eff = Long.MinValue
+    var ans = -1L
+    vs.foreach { v =>
+      eff = math.max(commitTimestamp(commitPath(table, v)), eff + 1)
+      if (eff <= timestampMs) ans = v
+    }
+    if (ans < 0)
+      sys.error(s"$dir: timestamp $timestampMs predates the earliest " +
+        s"available commit (version ${vs.head})")
+    ans
+  }
+
+  /** Snapshot-isolated read as of a wall-clock timestamp. */
+  def snapshotAsOf(spark: SparkSession, dir: String, timestampMs: Long): DataFrame =
+    snapshotAt(spark, dir, versionAsOf(dir, timestampMs))
+
   // ------------------------------------------------------ fixture/query
 
   // Delta-mirrored fixture table: two appends + one overwrite, read back

@@ -403,6 +403,50 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(s, t).count() == keep.count())
   }
 
+  test("timestampAsOf resolves commit times like stock Delta, with monotonicity repair") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val keep = events.filter(col("event_id") < 100)
+    keep.write.parquet(s"$t/batch")
+    def dataFiles: Seq[String] =
+      Files.list(Paths.get(t, "batch")).iterator.asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(n => s"batch/$n").toSeq.sorted
+    val ld = Files.createDirectories(Paths.get(t, "_delta_log"))
+    val metaLine = {
+      val n = mapper.createObjectNode()
+      val m = n.putObject("metaData")
+      m.put("id", "x")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", keep.schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 1L)
+      mapper.writeValueAsString(n)
+    }
+    def commit(v: Long, ts: Long, adds: Seq[String], head: Seq[String] = Seq.empty): Unit =
+      Files.writeString(ld.resolve(f"$v%020d.json"),
+        (head ++ Seq(s"""{"commitInfo":{"timestamp":$ts,"operation":"WRITE","operationParameters":{"mode":"Append"}}}""") ++
+          adds.map(p => s"""{"add":{"path":"$p","partitionValues":{},"size":${Files.size(Paths.get(t, p))},"modificationTime":1,"dataChange":true}}"""))
+          .mkString("\n"))
+    val fs = dataFiles
+    // commit times 1000, then a SKEWED 500 (racing committer's clock),
+    // then 3000 — effective times must repair to 1000, 1001, 3000
+    commit(0L, 1000L, fs.take(1),
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine))
+    commit(1L, 500L, fs.drop(1).take(1))
+    commit(2L, 3000L, fs.drop(2))
+    assert(DeltaLog.versionAsOf(t, 1000L) == 0L, "exact boundary resolves inclusively")
+    assert(DeltaLog.versionAsOf(t, 1001L) == 1L, "skewed commit repairs to predecessor+1ms")
+    assert(DeltaLog.versionAsOf(t, 2999L) == 1L)
+    assert(DeltaLog.versionAsOf(t, 999999L) == 2L)
+    val err = intercept[RuntimeException](DeltaLog.versionAsOf(t, 999L))
+    assert(err.getMessage.contains("predates"),
+      "a timestamp before the first commit must fail loudly")
+    // and the resolved snapshot is the real version-0 state
+    assert(DeltaLog.snapshotAsOf(s, t, 1000L).count() ==
+      s.read.parquet(s"$t/${fs.head}").count())
+  }
+
   // ----------------------------------------------- golden fixture (v1)
   // A FROZEN tree authored by an earlier build of this writer
   // (fixtures/golden_delta/README.md). Replaying it pins reader
