@@ -631,7 +631,11 @@ class PropertiesSpec extends SparkSpec {
   test("Delta path codec: encode/decode round-trips any path; decode never throws") {
     val pathChar = Gen.frequency(
       (8, Gen.alphaNumChar),
-      (1, Gen.oneOf('%', '+', ' ', '/', '.', '-', '_')))
+      // the full URI-reserved set the writer must escape, plus unreserved
+      // marks and multi-byte UTF-8 (escaped per byte and reassembled)
+      (2, Gen.oneOf('%', '+', ' ', '/', '.', '-', '_', '#', '?', ';', '&',
+        '=', '[', ']', ':', '@', ',', '$', '!', '~', '*', '\'', '(', ')')),
+      (1, Gen.oneOf('é', '中', 'ß', '→', 'ж')))
     val gen = Gen.listOf(pathChar).map(_.mkString)
     for (p <- samples(gen, 200)) {
       assert(graft.sources.DeltaLog.pathCodecRoundtrip(p) == p,
