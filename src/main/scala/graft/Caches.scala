@@ -20,6 +20,7 @@ object Caches {
     ext.Multimodal.clearCaches()
     ext.Dedup.clearCaches()
     streaming.Streams.clearCaches()
+    ext.TextOps.clearCaches()
     ml.PriceModel.clearCache()
   }
 }

@@ -505,8 +505,21 @@ object TextOps {
       candidateWindow: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrainBatchedPairs(docs, merges, batchK, candidateWindow)
+      .map { case (r, a, b, c) => (r, s"$a $b", c) }
+      .toDF("merge_rank", "pair", "n")
+      .select(col("merge_rank").cast("int").as("merge_rank"), col("pair"), col("n"))
+  }
+
+  /** The batched trainer's merge table with the (a, b) components kept
+    * STRUCTURED — `pair` strings are ambiguous to re-split once merged
+    * tokens themselves contain spaces, and [[bpeEncode]] needs the exact
+    * components to rebuild the replace chain.
+    */
+  private[graft] def bpeTrainBatchedPairs(docs: DataFrame, merges: Int,
+      batchK: Int, candidateWindow: Int = 1000): Seq[(Int, String, String, Long)] = {
     var cur = wrappedCorpus(docs).localCheckpoint()
-    val out = scala.collection.mutable.Buffer.empty[(Int, String, Long)]
+    val out = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
     var rank = 0
     while (rank < merges) {
       val want = math.min(batchK, merges - rank)
@@ -528,14 +541,13 @@ object TextOps {
       if (picked.size < want && window.length == candidateWindow)
         sys.error(s"bpeTrainBatched: candidate window ($candidateWindow) " +
           s"exhausted before $want disjoint pairs were found")
-      picked.foreach { case (a, b, c) => rank += 1; out += ((rank, s"$a $b", c)) }
+      picked.foreach { case (a, b, c) => rank += 1; out += ((rank, a, b, c)) }
       val merged = picked.foldLeft("s") { case (e, (a, b, _)) =>
         s"replace($e, ';$a;;$b;', ';$a $b;')"
       }
       cur = cur.withColumn("s", expr(merged)).localCheckpoint()
     }
-    out.toSeq.toDF("merge_rank", "pair", "n")
-      .select(col("merge_rank").cast("int").as("merge_rank"), col("pair"), col("n"))
+    out.toSeq
   }
 
   def bpeTrainOracle(merges: Int = 3): String = {
@@ -564,6 +576,76 @@ object TextOps {
        |$unions""".stripMargin
   }
 
+  /** Trained merge tables memoized per (corpus dir, merges, batchK) —
+    * the merge table IS the artifact a tokenizer ships; training it once
+    * per corpus and reusing it across encode invocations is exactly the
+    * production split (train offline, apply everywhere). Driver-heap
+    * strings only; evicted by [[clearCaches]].
+    */
+  private val mergeMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), Seq[(Int, String, String, Long)]]
+
+  private[graft] def clearCaches(): Unit = mergeMemo.clear()
+
+  /** Tokenizer APPLICATION — the other half of BPE training: encode
+    * every document with a trained merge table (replace chain in rank
+    * order; sequential application equals the training-time batch
+    * application because batch members are token-disjoint) and report
+    * its encoded token count next to the base tokenization count. This
+    * is the real "tokens per document under tokenizer X" statistic a
+    * data pipeline bills by — the regex `tokenCounts` is the cheap
+    * proxy. Map-only over the corpus: the merge table is a handful of
+    * driver strings baked into the projection (what a broadcast merge
+    * table compiles to at this size); empty docs count 0.
+    */
+  def bpeEncode(docs: DataFrame, merges: Int = 4, batchK: Int = 2,
+      memoKey: Option[String] = None): DataFrame = {
+    val learned = memoKey match {
+      case Some(d) => mergeMemo.getOrElseUpdate((d, merges, batchK),
+        bpeTrainBatchedPairs(docs, merges, batchK))
+      case None => bpeTrainBatchedPairs(docs, merges, batchK)
+    }
+    val chain = learned.sortBy(_._1).foldLeft("s") { case (e, (_, a, b, _)) =>
+      s"replace($e, ';$a;;$b;', ';$a $b;')"
+    }
+    // punctuation-only docs normalize to ONE empty token under the shared
+    // tokenizer (TextNorm.toks convention) — n_tokens_bpe = n_tokens_base
+    // = 1 for them on both engines, no special case needed
+    docs.select(col("doc_id"), TextNorm.toks(col("text")).as("tk"))
+      .withColumn("s", concat(lit(";"), array_join(col("tk"), ";;"), lit(";")))
+      .select(
+        col("doc_id"),
+        size(split(expr(s"trim(BOTH ';' FROM ${chain})"), ";;")).cast("bigint")
+          .as("n_tokens_bpe"),
+        size(col("tk")).cast("bigint").as("n_tokens_base"))
+  }
+
+  def bpeEncodeOracle(merges: Int = 4, batchK: Int = 2): String = {
+    val arr = TextNorm.toksSql
+    // merge selection: the SAME unrolled CTE chain as the batched-train
+    // oracle; the encode chain then re-applies m1..mN to a doc-id-keyed
+    // copy of the corpus, round by round
+    val (trainCtes, roundSels) = bpeBatchedTrainCtes(merges, batchK)
+    val encodeCtes = roundSels.zipWithIndex.map { case (sel, i) =>
+      val merged = sel.foldLeft("s") { (e, j) =>
+        s"replace($e, ';' || m$j.a || ';;' || m$j.b || ';', ';' || m$j.a || ' ' || m$j.b || ';')"
+      }
+      val joins = sel.map(j => s"CROSS JOIN m$j").mkString(" ")
+      s"e${i + 1} AS (SELECT doc_id, $merged AS s FROM e$i $joins)"
+    }.mkString(",\n")
+    val last = s"e${roundSels.size}"
+    s"""WITH ${trainCtes.mkString(",\n")},
+       |e0 AS (
+       |  SELECT doc_id, $arr AS tk,
+       |         ';' || array_to_string($arr, ';;') || ';' AS s FROM documents
+       |),
+       |$encodeCtes
+       |SELECT e.doc_id,
+       |       len(string_split(trim(e.s, ';'), ';;'))::BIGINT AS n_tokens_bpe,
+       |       len(e0.tk)::BIGINT AS n_tokens_base
+       |FROM $last e JOIN e0 USING (doc_id)""".stripMargin
+  }
+
   /** Unrolled oracle for the batched trainer: per round, one pair-count
     * CTE; selection j of the round is the ranked top-1 over that SAME
     * count restricted to pairs token-disjoint from the round's earlier
@@ -571,7 +653,12 @@ object TextOps {
     * inside one projection. DuckDB's global disjointness scan equals the
     * Spark candidate window unless 1000 consecutive pairs conflict.
     */
-  def bpeTrainBatchedOracle(merges: Int = 4, batchK: Int = 2): String = {
+  /** The batched-trainer CTE prelude shared by the train and encode
+    * oracles: `t0` (wrapped corpus) through `t{R}` plus per-selection
+    * `m{j}` CTEs. Returns (CTE list incl. the leading t0, per-round
+    * global selection ids).
+    */
+  private def bpeBatchedTrainCtes(merges: Int, batchK: Int): (Seq[String], Seq[Seq[Int]]) = {
     val arr = TextNorm.toksSql
     def pairCte(t: String) =
       s"""SELECT bg['a'] AS a, bg['b'] AS b, count(*) AS c FROM (
@@ -579,15 +666,18 @@ object TextOps {
          |      i -> struct_pack(a := tk[i], b := tk[i+1]))) AS bg
          |    FROM (SELECT string_split(trim(s, ';'), ';;') AS tk FROM $t)
          |  ) GROUP BY 1, 2""".stripMargin
-    val rounds = scala.collection.mutable.Buffer.empty[String]
-    val sels = scala.collection.mutable.Buffer.empty[Int] // global selection ids
+    val ctes = scala.collection.mutable.Buffer(
+      s"""t0 AS (
+         |  SELECT ';' || array_to_string($arr, ';;') || ';' AS s FROM documents
+         |)""".stripMargin)
+    val roundSels = scala.collection.mutable.Buffer.empty[Seq[Int]]
     var done = 0
     var r = 0
     while (done < merges) {
       r += 1
       val k = math.min(batchK, merges - done)
       val prev = s"t${r - 1}"
-      rounds += s"p$r AS (${pairCte(prev)})"
+      ctes += s"p$r AS (${pairCte(prev)})"
       val roundSel = (1 to k).map(_ + done)
       roundSel.zipWithIndex.foreach { case (j, i) =>
         val earlier = roundSel.take(i)
@@ -598,23 +688,25 @@ object TextOps {
               .mkString(" UNION ALL ")
             s"WHERE a NOT IN ($toks) AND b NOT IN ($toks) "
           }
-        rounds += s"m$j AS (SELECT a, b, c FROM p$r ${filter}ORDER BY c DESC, a, b LIMIT 1)"
+        ctes += s"m$j AS (SELECT a, b, c FROM p$r ${filter}ORDER BY c DESC, a, b LIMIT 1)"
       }
       val mergedS = roundSel.foldLeft("s") { (e, j) =>
         s"replace($e, ';' || m$j.a || ';;' || m$j.b || ';', ';' || m$j.a || ' ' || m$j.b || ';')"
       }
       val joins = roundSel.map(j => s"CROSS JOIN m$j").mkString(" ")
-      rounds += s"t$r AS (SELECT $mergedS AS s FROM $prev $joins)"
-      sels ++= roundSel
+      ctes += s"t$r AS (SELECT $mergedS AS s FROM $prev $joins)"
+      roundSels += roundSel
       done += k
     }
-    val unions = sels.map(j =>
+    (ctes.toSeq, roundSels.toSeq)
+  }
+
+  def bpeTrainBatchedOracle(merges: Int = 4, batchK: Int = 2): String = {
+    val (ctes, roundSels) = bpeBatchedTrainCtes(merges, batchK)
+    val unions = roundSels.flatten.map(j =>
       s"SELECT $j AS merge_rank, a || ' ' || b AS pair, CAST(c AS BIGINT) AS n FROM m$j")
       .mkString("\nUNION ALL ")
-    s"""WITH t0 AS (
-       |  SELECT ';' || array_to_string($arr, ';;') || ';' AS s FROM documents
-       |),
-       |${rounds.mkString(",\n")}
+    s"""WITH ${ctes.mkString(",\n")}
        |$unions""".stripMargin
   }
 
@@ -629,7 +721,8 @@ object TextOps {
     "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d))),
     "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
-    "q_bpe_train_batched" -> ((s, d) => bpeTrainBatched(Tables.documents(s, d)))
+    "q_bpe_train_batched" -> ((s, d) => bpeTrainBatched(Tables.documents(s, d))),
+    "q_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d), memoKey = Some(d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -643,6 +736,7 @@ object TextOps {
     "q_length_hist" -> lengthHistogramOracle,
     "q_text_lmscore" -> lmScoreOracle,
     "q_bpe_train" -> bpeTrainOracle(),
-    "q_bpe_train_batched" -> bpeTrainBatchedOracle()
+    "q_bpe_train_batched" -> bpeTrainBatchedOracle(),
+    "q_bpe_encode" -> bpeEncodeOracle()
   )
 }

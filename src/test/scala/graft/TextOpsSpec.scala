@@ -156,6 +156,32 @@ class TextOpsSpec extends SparkSpec {
     assert(bat.toSeq == Seq((1, "aa bb", 3L), (2, "cc dd", 2L), (3, "ee ff", 1L)))
   }
 
+  test("bpe encode: trained merges collapse pairs; chained merges and empty docs hand-traced") {
+    // merges learned on this corpus (merges=2, batchK=2): (aa,bb) x4 then
+    // (cc,dd) x3 — disjoint, one batch. Encoding re-applies them:
+    //   "aa bb"        -> [aa bb]            1 token  (base 2)
+    //   "cc dd"        -> [cc dd]            1 token  (base 2)
+    //   "ee ff"        -> untouched          2 tokens (base 2)
+    //   "aa bb cc dd"  -> [aa bb, cc dd]     2 tokens (base 4)
+    //   "!!!"          -> ONE empty token under the shared tokenizer
+    //                     (TextNorm.toks convention) -> 1 (base 1)
+    val corpus = docs(
+      (1L, "aa bb", "en"), (2L, "aa bb", "en"), (3L, "aa bb", "en"),
+      (4L, "cc dd", "en"), (5L, "cc dd", "en"),
+      (6L, "ee ff", "en"),
+      (7L, "aa bb cc dd", "en"),
+      (8L, "!!!", "en"))
+    val out = TextOps.bpeEncode(corpus, merges = 2, batchK = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
+      (4L, 1L, 2L), (5L, 1L, 2L),
+      (6L, 2L, 2L),
+      (7L, 2L, 4L),
+      (8L, 1L, 1L)))
+  }
+
   test("length histogram: power-of-two buckets with exact edges") {
     val out = TextOps.lengthHistogram(docs(
       (1L, "one", "en"),                          // 1 token  -> bucket 0
