@@ -505,12 +505,15 @@ object DeltaLog {
     */
   private val tombstoneRetentionMs = 7L * 24 * 3600 * 1000L
 
-  /** `_last_checkpoint` pointer write that never REGRESSES: two racing
-    * committers can both cross a %10 boundary, and last-writer-wins
-    * ATOMIC_MOVE would let the older checkpoint overwrite the newer
-    * pointer — safe only while the JSON prefix is retained, silently
-    * wrong after compaction. Skipping the replace when an existing
-    * pointer is newer makes the race harmless.
+  /** `_last_checkpoint` pointer write that refuses REGRESSIONS: two
+    * racing committers can both cross a %10 boundary, and unconditional
+    * last-writer-wins ATOMIC_MOVE would let the older checkpoint
+    * overwrite the newer pointer — safe only while the JSON prefix is
+    * retained, silently wrong after compaction. The version check
+    * shrinks the hazard to the read-check→move window (checkpoints 10+
+    * commits apart racing inside it — vanishingly rare, and the stale
+    * pointer still names a valid checkpoint whose later JSON commits
+    * exist until a compaction that itself re-checkpoints).
     */
   private[graft] def writeLastCheckpoint(table: Path, v: Long, size: Long): Unit = {
     if (lastCheckpointVersion(table).exists(_ > v)) return
