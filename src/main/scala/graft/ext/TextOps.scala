@@ -496,10 +496,11 @@ object TextOps {
     *
     * Selection scans a top-`candidateWindow` slice of the ranked pair
     * table (collecting the full table would be the driver-side
-    * anti-pattern); a window that ends before `batchK` disjoint pairs
-    * are found while MORE pairs exist below it fails loudly rather than
-    * silently diverging from the oracle's global scan — unreachable in
-    * practice (it needs 1000 consecutive token-sharing pairs).
+    * anti-pattern); a round that cannot seat its full batch — window
+    * exhausted OR the corpus genuinely out of disjoint pairs — fails
+    * loudly rather than silently diverging from the oracle, which
+    * models exactly `batchK` selections per round. Unreachable for
+    * natural corpora.
     */
   def bpeTrainBatched(docs: DataFrame, merges: Int = 4, batchK: Int = 2,
       candidateWindow: Int = 1000): DataFrame = {
@@ -536,11 +537,17 @@ object TextOps {
           picked += ((a, b, r.getLong(2))); used += a; used += b
         }
       }
-      if (picked.isEmpty)
-        sys.error("bpeTrainBatched: corpus has no adjacent pairs left to merge")
-      if (picked.size < want && window.length == candidateWindow)
-        sys.error(s"bpeTrainBatched: candidate window ($candidateWindow) " +
-          s"exhausted before $want disjoint pairs were found")
+      // A round that cannot seat its FULL batch fails loudly, whether the
+      // window was exhausted or the corpus genuinely lacks disjoint pairs:
+      // the unrolled oracle models exactly `want` selections per round (an
+      // empty m_j CTE would collapse its CROSS JOIN chain to zero rows), so
+      // proceeding with a partial batch would silently diverge from it.
+      // Unreachable for natural corpora — it needs every remaining pair to
+      // share a token with the round's earlier picks.
+      if (picked.size < want)
+        sys.error(s"bpeTrainBatched: only ${picked.size} of $want disjoint " +
+          s"pairs available this round (window=${window.length}) — corpus " +
+          "cannot seat the batch; lower batchK or merges")
       picked.foreach { case (a, b, c) => rank += 1; out += ((rank, a, b, c)) }
       val merged = picked.foldLeft("s") { case (e, (a, b, _)) =>
         s"replace($e, ';$a;;$b;', ';$a $b;')"
@@ -646,13 +653,6 @@ object TextOps {
        |FROM $last e JOIN e0 USING (doc_id)""".stripMargin
   }
 
-  /** Unrolled oracle for the batched trainer: per round, one pair-count
-    * CTE; selection j of the round is the ranked top-1 over that SAME
-    * count restricted to pairs token-disjoint from the round's earlier
-    * selections (exactly the greedy), and the round's replaces chain
-    * inside one projection. DuckDB's global disjointness scan equals the
-    * Spark candidate window unless 1000 consecutive pairs conflict.
-    */
   /** The batched-trainer CTE prelude shared by the train and encode
     * oracles: `t0` (wrapped corpus) through `t{R}` plus per-selection
     * `m{j}` CTEs. Returns (CTE list incl. the leading t0, per-round
@@ -701,6 +701,15 @@ object TextOps {
     (ctes.toSeq, roundSels.toSeq)
   }
 
+  /** Unrolled oracle for the batched trainer: per round, one pair-count
+    * CTE; selection j of the round is the ranked top-1 over that SAME
+    * count restricted to pairs token-disjoint from the round's earlier
+    * selections (exactly the greedy), and the round's replaces chain
+    * inside one projection. The oracle models exactly `batchK`
+    * selections per round — the Spark side errors loudly on any round
+    * that cannot seat its full batch, so the two can never silently
+    * diverge.
+    */
   def bpeTrainBatchedOracle(merges: Int = 4, batchK: Int = 2): String = {
     val (ctes, roundSels) = bpeBatchedTrainCtes(merges, batchK)
     val unions = roundSels.flatten.map(j =>

@@ -116,7 +116,16 @@ object DeltaLog {
       if (p.charAt(i) == '%' && i + 2 < p.length &&
           hex(p.charAt(i + 1)) && hex(p.charAt(i + 2)))
         { out.write(Integer.parseInt(p.substring(i + 1, i + 3), 16)); i += 3 }
-      else { out.write(p.charAt(i).toString.getBytes("UTF-8")); i += 1 }
+      else {
+        // copy the whole unescaped run as a SUBSTRING: encoding chars one
+        // at a time would shear supplementary-plane characters (a lone
+        // surrogate UTF-8-encodes to '?'), and a spec-violating foreign
+        // log may carry raw non-BMP chars in add.path. Runs break only at
+        // '%', which is never half of a surrogate pair.
+        val j = { var k = i + 1; while (k < p.length && p.charAt(k) != '%') k += 1; k }
+        out.write(p.substring(i, j).getBytes("UTF-8"))
+        i = j
+      }
     }
     new String(out.toByteArray, "UTF-8")
   }
@@ -199,6 +208,11 @@ object DeltaLog {
     if (Files.exists(commitPath(table, deltaV))) return
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the metaData this commit considers current — cached ONLY once the
+    // createLink lands: a committer that loses the version race must not
+    // cache a schemaString that never reached the log (its next commit
+    // would then wrongly suppress the metaData re-emission)
+    var effectiveMeta: Option[ObjectNode] = None
     if (deltaV == 0L) {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
@@ -207,7 +221,7 @@ object DeltaLog {
       lines += mapper.writeValueAsString(protocol)
       val node = metaDataNode(table, schemaJson, stableTableId(table), now)
       lines += mapper.writeValueAsString(node)
-      mirroredMeta.put(table.toString, node.get("metaData").asInstanceOf[ObjectNode])
+      effectiveMeta = Some(node.get("metaData").asInstanceOf[ObjectNode])
     } else {
       val prev = mirroredMeta.get(table.toString)
         .orElse(lastMirroredMeta(table, deltaV - 1))
@@ -220,8 +234,8 @@ object DeltaLog {
           prev.filter(_.has("createdTime")).map(_.get("createdTime").asLong())
             .getOrElse(now))
         lines += mapper.writeValueAsString(node)
-        mirroredMeta.put(table.toString, node.get("metaData").asInstanceOf[ObjectNode])
-      } else prev.foreach(mirroredMeta.put(table.toString, _))
+        effectiveMeta = Some(node.get("metaData").asInstanceOf[ObjectNode])
+      } else effectiveMeta = prev
     }
     val commitInfo = mapper.createObjectNode()
     val ci = commitInfo.putObject("commitInfo")
@@ -251,8 +265,15 @@ object DeltaLog {
     }
     val tmp = Files.createTempFile(logDir(table), ".delta-", ".tmp")
     Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    try Files.createLink(commitPath(table, deltaV), tmp)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    try {
+      Files.createLink(commitPath(table, deltaV), tmp)
+      effectiveMeta.foreach(mirroredMeta.put(table.toString, _))
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // lost the race: whatever the winner wrote is the truth now —
+        // drop the cache so the next commit re-derives it from disk
+        mirroredMeta.remove(table.toString); ()
+    }
     finally Files.deleteIfExists(tmp)
   }
 
@@ -370,10 +391,28 @@ object DeltaLog {
       // checkpoints written before tombstone support lack the remove column
       if (!df.columns.contains("remove"))
         df = df.withColumn("remove", lit(null).cast(removeType))
+      // Re-shape each action struct BY FIELD NAME, never a whole-struct
+      // cast: struct casts map positionally and require equal arity, so a
+      // FOREIGN checkpoint's extra fields (add.stats/tags, metaData.name/
+      // description in stock delta-spark checkpoints) would break — or
+      // worse, silently misassign — exactly the large external tables the
+      // distributed path exists for. The null-guard keeps absent actions
+      // NULL (struct() of nulls is not null).
+      def shape(c: String, t: StructType): org.apache.spark.sql.Column = {
+        val present = df.schema(c).dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        when(col(c).isNotNull,
+          struct(t.fields.toSeq.map { f =>
+            val v = if (present(f.name)) col(s"$c.${f.name}").cast(f.dataType)
+                    else lit(null).cast(f.dataType) // optional field a foreign writer omitted
+            v.as(f.name)
+          }: _*))
+          .otherwise(lit(null).cast(t)).as(c)
+      }
       parts += df.select(
-        col("metaData").cast(metaType).as("metaData"),
-        col("add").cast(addType).as("add"),
-        col("remove").cast(removeType).as("remove"),
+        shape("metaData", metaType),
+        shape("add", addType),
+        shape("remove", removeType),
         lit(pl.cpV).as("ver"))
     }
     if (pl.tail.nonEmpty)

@@ -641,6 +641,14 @@ class PropertiesSpec extends SparkSpec {
       assert(graft.sources.DeltaLog.pathCodecRoundtrip(p) == p,
         s"round-trip broke for ${p.map(c => f"$c%c(${c.toInt}%02x)").mkString}")
     }
+    // supplementary-plane chars (surrogate PAIRS — unreachable through the
+    // Char generator): both the escaped round-trip and a RAW unescaped
+    // pair in a spec-violating foreign log must survive decode intact
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(graft.sources.DeltaLog.pathCodecRoundtrip(s"data-$clef.parquet") ==
+      s"data-$clef.parquet")
+    assert(graft.sources.DeltaLog.pathDecode(s"data-$clef%20x.parquet") ==
+      s"data-$clef x.parquet")
     // leniency: arbitrary junk (including malformed % escapes) must decode
     // to SOMETHING rather than crash — a wrong path fails loudly at the
     // file system, a decoder crash hides which path was at fault
