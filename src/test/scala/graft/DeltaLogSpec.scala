@@ -403,6 +403,82 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(s, t).count() == keep.count())
   }
 
+  test("a foreign checkpoint with extra action fields (stats/tags/name) replays on both paths") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val keep = events.filter(col("event_id") < 150)
+    keep.write.parquet(s"$t/batch")
+    val files = Files.list(Paths.get(t, "batch")).iterator.asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"batch/$n").toSeq.sorted
+    val ld = Files.createDirectories(Paths.get(t, "_delta_log"))
+    // a delta-spark-style checkpoint: add carries stats/tags, metaData
+    // carries name/description — arities a positional struct cast would
+    // choke on (fields here are a SUPERSET of ours, by name)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("tags", MapType(StringType, StringType))))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("description", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", metaT),
+      StructField("add", addT)))
+    val rows: Seq[Row] =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row("ext-id", "tbl", "desc", Row("parquet", Map.empty[String, String]),
+        keep.schema.json, Seq.empty[String], Map.empty[String, String], 7L), null) +:
+      files.map(p => Row(null, null,
+        Row(p, Map.empty[String, String], Files.size(Paths.get(t, p)),
+          1L, false, """{"numRecords":1}""", Map("tag" -> "v"))))
+    val tmp = Files.createTempDirectory("cp_ext")
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), cpSchema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, ld.resolve(f"${0L}%020d.checkpoint.parquet"))
+    Files.writeString(ld.resolve("_last_checkpoint"), s"""{"version":0,"size":${rows.size}}""")
+    // one JSON commit after the checkpoint removes a file
+    Files.writeString(ld.resolve(f"${1L}%020d.json"),
+      s"""{"commitInfo":{"timestamp":9,"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}
+         |{"remove":{"path":"${files.head}","deletionTimestamp":9,"dataChange":true}}""".stripMargin)
+    val expected = keep.count() -
+      s.read.parquet(s"$t/${files.head}").count()
+    assert(DeltaLog.snapshot(s, t).count() == expected, "driver path")
+    val saved = DeltaLog.driverMaxLogBytes
+    try {
+      DeltaLog.driverMaxLogBytes = 0L
+      assert(DeltaLog.snapshot(s, t).count() == expected,
+        "distributed path must shape foreign action structs by field name")
+      assert(DeltaLog.lastReplayPath == "distributed")
+      // and a checkpoint-of-foreign-checkpoint keeps the metaData core
+      DeltaLog.checkpoint(s, t)
+      val cp2 = s.read.parquet(ld.resolve(f"${1L}%020d.checkpoint.parquet").toString)
+        .filter(col("metaData").isNotNull).select("metaData.*").head
+      assert(cp2.getAs[String]("id") == "ext-id")
+      assert(cp2.getAs[Long]("createdTime") == 7L)
+    } finally DeltaLog.driverMaxLogBytes = saved
+  }
+
   test("timestampAsOf resolves commit times like stock Delta, with monotonicity repair") {
     val s = spark
     import org.apache.spark.sql.functions._
