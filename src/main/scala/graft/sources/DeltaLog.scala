@@ -180,6 +180,127 @@ object DeltaLog {
     java.util.UUID.nameUUIDFromBytes(
       table.toAbsolutePath.toString.getBytes("UTF-8")).toString
 
+  // ------------------------------------------------------------- stats
+
+  private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Per-file Delta stats JSON, harvested from the parquet FOOTER — a
+    * metadata read (no data pages touched), the same cost class as the
+    * `Files.size` the add action already pays. Emits the protocol's
+    * stats shape: `numRecords` always; `minValues`/`maxValues`/
+    * `nullCount` per top-level primitive column where every row group
+    * recorded trustworthy statistics. Columns any row group lacks stats
+    * for are OMITTED (per-column stats are optional in the spec;
+    * data-skipping treats absence as "may match"). Type rules:
+    *
+    *  - int32/int64 → JSON numbers; DATE → ISO `yyyy-MM-dd`;
+    *    TIMESTAMP millis/micros → ISO-8601 instants (Delta's own
+    *    rendering, e.g. `2021-04-08T07:23:57.000123Z`); NANOS and
+    *    decimals are skipped (no canonical JSON stats form here).
+    *  - float/double → JSON numbers; a NaN bound poisons ordering, so
+    *    the column is skipped (Delta writers do the same).
+    *  - strings → UTF-8; `min` may be cut to a 32-char PREFIX (a prefix
+    *    is still a valid lower bound) but `max` is only emitted when the
+    *    full value is ≤ 64 chars — a truncated upper bound would be
+    *    SMALLER than the real max and wrongly prune matching files.
+    *    Row-group min/max are compared as unsigned bytes, parquet's own
+    *    binary sort order, not UTF-16 `compareTo`.
+    *
+    * Any footer surprise (not a parquet file, exotic encodings) returns
+    * None: stats are an optimization and must never fail a commit.
+    */
+  private[graft] def fileStats(file: Path): Option[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), hadoopConf))
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala.toSeq
+      val schema = footer.getFileMetaData.getSchema
+      val node = mapper.createObjectNode()
+      node.put("numRecords", blocks.map(_.getRowCount).sum)
+      val minV = mapper.createObjectNode()
+      val maxV = mapper.createObjectNode()
+      val nullC = mapper.createObjectNode()
+      schema.getFields.asScala.filter(_.isPrimitive).foreach { f =>
+        val name = f.getName
+        val prim = f.asPrimitiveType()
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(c => c.getPath.size == 1 && c.getPath.toDotString == name))
+        val stats = chunks.map(c => Option(c.getStatistics))
+        if (stats.nonEmpty && stats.forall(_.exists(_.isNumNullsSet)))
+          nullC.put(name, stats.flatten.map(_.getNumNulls).sum)
+        // min/max only when every row group has usable stats; all-null
+        // groups (hasNonNullValue=false) contribute nothing but don't
+        // invalidate the column
+        val usable = stats.forall(_.isDefined) &&
+          stats.flatten.forall(s => s.isNumNullsSet || s.hasNonNullValue)
+        val withVals = stats.flatten.filter(_.hasNonNullValue)
+        if (usable && withVals.nonEmpty) {
+          val logical = Option(prim.getLogicalTypeAnnotation)
+          prim.getPrimitiveTypeName match {
+            case INT32 | INT64 =>
+              val mins = withVals.map(_.genericGetMin.asInstanceOf[Number].longValue)
+              val maxs = withVals.map(_.genericGetMax.asInstanceOf[Number].longValue)
+              logical match {
+                case Some(t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                  val toIso: Long => Option[String] = v => (t.getUnit.toString match {
+                    case "MILLIS" => Some(v * 1000L)
+                    case "MICROS" => Some(v)
+                    case _ => None // NANOS: no canonical JSON stats form
+                  }).map(us => java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+                    java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)))
+                  for (lo <- toIso(mins.min); hi <- toIso(maxs.max)) {
+                    minV.put(name, lo); maxV.put(name, hi)
+                  }
+                case Some(_: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                  minV.put(name, java.time.LocalDate.ofEpochDay(mins.min).toString)
+                  maxV.put(name, java.time.LocalDate.ofEpochDay(maxs.max).toString)
+                case Some(_: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => ()
+                case _ => minV.put(name, mins.min); maxV.put(name, maxs.max); ()
+              }
+            case FLOAT | DOUBLE =>
+              val mins = withVals.map(_.genericGetMin.asInstanceOf[Number].doubleValue)
+              val maxs = withVals.map(_.genericGetMax.asInstanceOf[Number].doubleValue)
+              if (!mins.exists(_.isNaN) && !maxs.exists(_.isNaN)) {
+                minV.put(name, mins.min); maxV.put(name, maxs.max); ()
+              }
+            case BOOLEAN =>
+              val vals = withVals.map(_.genericGetMin.asInstanceOf[Boolean]) ++
+                withVals.map(_.genericGetMax.asInstanceOf[Boolean])
+              minV.put(name, vals.forall(identity)); maxV.put(name, vals.exists(identity)); ()
+            case BINARY if logical.exists(
+                _.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]) =>
+              val byteOrd: Ordering[org.apache.parquet.io.api.Binary] =
+                Ordering.fromLessThan { (a, b) =>
+                  val (x, y) = (a.getBytes, b.getBytes)
+                  val n = math.min(x.length, y.length)
+                  var i = 0
+                  var r = 0
+                  while (i < n && r == 0) { r = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+                  (if (r != 0) r else x.length - y.length) < 0
+                }
+              val lo = withVals.map(s =>
+                s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]).min(byteOrd)
+              val hi = withVals.map(s =>
+                s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]).max(byteOrd)
+              val (loS, hiS) = (lo.toStringUsingUTF8, hi.toStringUsingUTF8)
+              minV.put(name, if (loS.length <= 64) loS else loS.take(32))
+              if (hiS.length <= 64) { maxV.put(name, hiS); () }
+            case _ => () // INT96, FIXED_LEN_BYTE_ARRAY, raw BINARY: skip
+          }
+        }
+      }
+      node.set[ObjectNode]("minValues", minV)
+      node.set[ObjectNode]("maxValues", maxV)
+      node.set[ObjectNode]("nullCount", nullC)
+      Some(mapper.writeValueAsString(node))
+    } finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Mirror one TxLog commit as a Delta commit file. `txVersion` is the
     * 1-based TxLog manifest version; Delta versions are 0-based, so the
     * mirrored commit lands at `txVersion - 1`. Commit 0 carries the
@@ -261,6 +382,9 @@ object DeltaLog {
       a.put("modificationTime",
         Files.getLastModifiedTime(table.resolve(rel)).toMillis)
       a.put("dataChange", true)
+      // footer-harvested per-file stats: what stock Delta writers emit,
+      // what [[skipScan]] (and any foreign data-skipping reader) prunes on
+      fileStats(table.resolve(rel)).foreach(a.put("stats", _))
       lines += mapper.writeValueAsString(n)
     }
     val tmp = Files.createTempFile(logDir(table), ".delta-", ".tmp")
@@ -349,12 +473,16 @@ object DeltaLog {
 
   // Action schema shared by the JSON commit reader and the checkpoint
   // parquet — the subset of Delta's action envelope this engine consumes.
+  // `stats` is Delta's per-file statistics JSON
+  // (`{"numRecords":N,"minValues":{...},"maxValues":{...},"nullCount":{...}}`)
+  // — carried verbatim as a string, exactly how the protocol stores it.
   private val addType = StructType(Seq(
     StructField("path", StringType),
     StructField("partitionValues", MapType(StringType, StringType)),
     StructField("size", LongType),
     StructField("modificationTime", LongType),
-    StructField("dataChange", BooleanType)))
+    StructField("dataChange", BooleanType),
+    StructField("stats", StringType)))
   private val removeType = StructType(Seq(
     StructField("path", StringType),
     StructField("deletionTimestamp", LongType),
@@ -439,8 +567,10 @@ object DeltaLog {
         coalesce(col("add.path"), col("remove.path")).as("path"),
         col("ver"),
         col("add").isNotNull.as("isAdd"),
+        col("add.partitionValues").as("partitionValues"),
         col("add.size").as("size"),
         col("add.modificationTime").as("modificationTime"),
+        col("add.stats").as("stats"),
         col("remove.deletionTimestamp").as("deletionTimestamp"))
       .filter(col("path").isNotNull)
     val last = flat
@@ -448,7 +578,7 @@ object DeltaLog {
         Window.partitionBy(col("path")).orderBy(col("ver").desc)))
       .filter(col("rn") === 1)
     val live = last.filter(col("isAdd"))
-      .select("path", "size", "modificationTime")
+      .select("path", "partitionValues", "size", "modificationTime", "stats")
     val tombstones = last.filter(!col("isAdd"))
       .select("path", "deletionTimestamp")
     val meta = acts.filter(col("metaData").isNotNull)
@@ -471,6 +601,12 @@ object DeltaLog {
     (live, tombstones, meta)
   }
 
+  /** One live data file as replay reconstructs it: decoded relative
+    * path, the log-carried partition values, and the raw stats JSON
+    * (None when the writer emitted none). */
+  private[graft] case class LiveFile(path: String,
+      partitionValues: Map[String, String], stats: Option[String])
+
   /** Driver-side fold over the same replay plan — the cheap path for
     * metadata-scale logs (every fixture; most real tables). Later
     * `remove` cancels earlier `add`, re-`add` cancels `remove`, last
@@ -478,13 +614,26 @@ object DeltaLog {
     * equal by DeltaLogSpec under a forced guard.
     */
   private def replayDriver(spark: SparkSession, table: Path,
-      pl: ReplayPlan): (Seq[String], Option[ObjectNode]) = {
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      pl: ReplayPlan): (Seq[LiveFile], Option[ObjectNode]) = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, LiveFile]
     var meta: Option[ObjectNode] = None
     pl.cpPath(table).foreach { cp =>
       val df = spark.read.parquet(cp.toString)
-      df.filter(col("add").isNotNull).select(col("add.path"))
-        .collect().foreach(r => live += decodePath(r.getString(0)))
+      val addFields = df.schema("add").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      def optField(name: String, t: DataType) =
+        if (addFields(name)) col(s"add.$name").cast(t)
+        else lit(null).cast(t)
+      df.filter(col("add").isNotNull)
+        .select(col("add.path"),
+          optField("partitionValues", MapType(StringType, StringType)),
+          optField("stats", StringType))
+        .collect().foreach { r =>
+          val p = decodePath(r.getString(0))
+          val pv = Option(r.getMap[String, String](1))
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          live += p -> LiveFile(p, pv, Option(r.getString(2)))
+        }
       df.filter(col("metaData").isNotNull)
         .select(col("metaData.id"), col("metaData.schemaString"),
           col("metaData.partitionColumns"), col("metaData.configuration"),
@@ -508,22 +657,30 @@ object DeltaLog {
       Files.readAllLines(commitPath(table, v)).asScala
         .filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
-          if (node.has("add"))
-            live += decodePath(node.get("add").get("path").asText())
+          if (node.has("add")) {
+            val a = node.get("add")
+            val p = decodePath(a.get("path").asText())
+            val pv = Option(a.get("partitionValues")).map(_.fields().asScala
+              .map(e => e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+              .getOrElse(Map.empty[String, String])
+            val st = Option(a.get("stats")).filterNot(_.isNull).map(_.asText())
+            live += p -> LiveFile(p, pv, st)
+          }
           if (node.has("remove"))
             live -= decodePath(node.get("remove").get("path").asText())
           if (node.has("metaData"))
             meta = Some(node.get("metaData").asInstanceOf[ObjectNode])
         }
     }
-    (live.toSeq, meta)
+    (live.values.toSeq, meta)
   }
 
   /** The live file set + newest metaData at `upTo`, routed by log size:
     * driver fold below the guard, distributed reconstruction above it.
     */
   private def replay(spark: SparkSession, table: Path,
-      upTo: Long): (Seq[String], Option[ObjectNode]) = {
+      upTo: Long): (Seq[LiveFile], Option[ObjectNode]) = {
     val pl = replayPlan(table, upTo)
     if (replayBytes(table, pl) <= driverMaxLogBytes) {
       lastReplayPath = "driver"
@@ -532,9 +689,14 @@ object DeltaLog {
       lastReplayPath = "distributed"
       val (live, _, meta) = liveState(spark, table, pl)
       // O(live files): the scan seed any parquet reader needs on the
-      // driver — the per-action replay state above stayed distributed
-      (live.select("path").collect().toSeq.map(r => decodePath(r.getString(0))),
-        meta)
+      // driver — the per-action replay state above stayed distributed.
+      // stats stay out of the snapshot handoff (only [[skipScan]] needs
+      // them, and it prunes on the DataFrame before collecting).
+      (live.select("path", "partitionValues").collect().toSeq.map { r =>
+        LiveFile(decodePath(r.getString(0)),
+          Option(r.getMap[String, String](1))
+            .map(_.toMap).getOrElse(Map.empty[String, String]), None)
+      }, meta)
     }
   }
 
@@ -614,10 +776,14 @@ object DeltaLog {
         StructField("remove", removeType))))
     val addRows = live.select(struct(
       col("path"),
-      typedLit(Map.empty[String, String]).as("partitionValues"),
+      coalesce(col("partitionValues"),
+        typedLit(Map.empty[String, String])).as("partitionValues"),
       col("size"),
       col("modificationTime"),
-      lit(false).as("dataChange")).as("add"))
+      lit(false).as("dataChange"),
+      // stats survive compaction: a foreign reader starting from this
+      // checkpoint keeps its data-skipping ability
+      col("stats")).as("add"))
     val keepCutoff = System.currentTimeMillis() - tombstoneRetentionMs
     val removeRows = tombstones
       .filter(col("deletionTimestamp").isNull ||
@@ -684,7 +850,7 @@ object DeltaLog {
         .getOrElse(sys.error(s"$dir: empty Delta table with no metaData"))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else
-      spark.read.parquet(files.map(rel => table.resolve(rel).toString): _*)
+      spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*)
   }
 
   def snapshot(spark: SparkSession, dir: String): DataFrame = {
@@ -741,6 +907,115 @@ object DeltaLog {
   def snapshotAsOf(spark: SparkSession, dir: String, timestampMs: Long): DataFrame =
     snapshotAt(spark, dir, versionAsOf(dir, timestampMs))
 
+  // ----------------------------------------------------- data skipping
+
+  /** (files in the snapshot, files the last [[skipScan]] actually read)
+    * — observability for specs and plan audits. */
+  @volatile private[graft] var lastSkipScan: (Long, Long) = (0L, 0L)
+
+  /** File-pruning keep-condition over a live-files frame carrying a
+    * `stats` column: a file SURVIVES unless its stats PROVE no row can
+    * match — `min > hi` or `max < lo` for some predicate. Absent stats,
+    * a malformed stats string (from_json → null in PERMISSIVE mode), or
+    * a column the writer skipped all fall through to `keep` via the
+    * coalesce defaults: skipping is an optimization, never a filter.
+    */
+  private def keepCond(statsCol: org.apache.spark.sql.Column,
+      tableSchema: StructType,
+      preds: Seq[(String, Any, Any)]): org.apache.spark.sql.Column = {
+    val fields = preds.map { case (c, _, _) =>
+      tableSchema.find(_.name == c).getOrElse(
+        sys.error(s"skipScan: no column '$c' in the table schema"))
+    }
+    val statsSchema = StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", StructType(fields.map(f => StructField(f.name, f.dataType)))),
+      StructField("maxValues", StructType(fields.map(f => StructField(f.name, f.dataType)))),
+      StructField("nullCount", StructType(fields.map(f => StructField(f.name, LongType))))))
+    val s = from_json(statsCol, statsSchema)
+    preds.zip(fields).map { case ((c, lo, hi), f) =>
+      val loOk = Option(lo).map(v =>
+        coalesce(s.getField("maxValues").getField(c) >= lit(v).cast(f.dataType), lit(true)))
+        .getOrElse(lit(true))
+      val hiOk = Option(hi).map(v =>
+        coalesce(s.getField("minValues").getField(c) <= lit(v).cast(f.dataType), lit(true)))
+        .getOrElse(lit(true))
+      loOk && hiOk
+    }.reduce(_ && _)
+  }
+
+  /** Stats-driven data skipping: read the snapshot, but PRUNE files whose
+    * log-carried `add.stats` prove they hold no row matching the given
+    * inclusive range predicates `(column, lower, upper)` (null bound =
+    * unbounded). This is the Delta data-skipping contract: at 100 TB the
+    * win is not evaluating the filter faster, it's never opening the
+    * files at all — O(matching files) I/O instead of O(table).
+    *
+    * Routing mirrors [[replay]]: below the guard the (config-scale)
+    * driver entries are localized to a one-partition frame; above it the
+    * prune is a FILTER on the distributed reconstruction, so only the
+    * surviving paths — not per-file stats — ever reach the driver. Both
+    * paths share [[keepCond]], so they cannot diverge. The predicates
+    * are re-applied to the scanned rows, so the result is EXACTLY the
+    * filtered snapshot whether or not any file could be pruned.
+    */
+  def skipScan(spark: SparkSession, dir: String,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    val table = Paths.get(dir)
+    val latest = (versions(dir) ++ lastCheckpointVersion(table))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+    if (preds.isEmpty) return snapshotAt(spark, dir, latest)
+    val pl = replayPlan(table, latest)
+    def schemaOf(meta: Option[ObjectNode]): StructType = {
+      meta.foreach { m =>
+        val pc = m.get("partitionColumns")
+        if (pc != null && pc.size() > 0)
+          sys.error(s"$dir: partitioned Delta tables are not supported " +
+            "(partition values live in the log, not the data files)")
+      }
+      meta.map(m => DataType.fromJson(m.get("schemaString").asText())
+          .asInstanceOf[StructType])
+        .getOrElse(sys.error(s"$dir: no metaData action in log — " +
+          "skipScan needs the schema to type the stats"))
+    }
+    val (total, surviving, schema) =
+      if (replayBytes(table, pl) <= driverMaxLogBytes) {
+        lastReplayPath = "driver"
+        val (candidates, meta) = replayDriver(spark, table, pl)
+        val schema = schemaOf(meta)
+        // localize the (metadata-scale) entries and prune with the SAME
+        // keep-condition the distributed path uses — no second codepath
+        val entries = spark.createDataFrame(
+          candidates.map(f => Row(f.path, f.stats.orNull)).asJava,
+          StructType(Seq(StructField("path", StringType), StructField("stats", StringType))))
+        (candidates.size.toLong,
+          entries.filter(keepCond(col("stats"), schema, preds))
+            .select("path").collect().map(_.getString(0)).toSeq,
+          schema)
+      } else {
+        lastReplayPath = "distributed"
+        val (live, _, meta) = liveState(spark, table, pl)
+        val schema = schemaOf(meta)
+        // stats parse + prune verdict run in executors; the driver
+        // receives (path, keep) — never the stats payloads
+        val flags = live.select(col("path"),
+          keepCond(col("stats"), schema, preds).as("keep")).collect()
+        (flags.length.toLong,
+          flags.filter(_.getBoolean(1)).map(r => decodePath(r.getString(0))).toSeq,
+          schema)
+      }
+    lastSkipScan = (total, surviving.size.toLong)
+    val base =
+      if (surviving.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else
+        spark.read.parquet(surviving.map(rel => table.resolve(rel).toString): _*)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      val withLo = Option(lo).map(v => df.filter(col(c) >= lit(v))).getOrElse(df)
+      Option(hi).map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
+    }
+  }
+
   // ------------------------------------------------------ fixture/query
 
   // Delta-mirrored fixture table: two appends + one overwrite, read back
@@ -758,7 +1033,24 @@ object DeltaLog {
       table
     })
 
-  def prepare(spark: SparkSession, dir: String): Unit = { deltaTable(spark, dir); () }
+  // Skip-scan fixture: three appends with DISJOINT event_id ranges, the
+  // layout a time/id-clustered ingest produces — so the range predicate
+  // below genuinely proves files pruned, not just a filter applied.
+  private def deltaRangedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"ranged:$dir", {
+      val table = graft.Scratch.dir("graft_delta_skip").toString
+      val ev = graft.Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(col("event_id") < 400), table)
+      TxLog.commitAppend(ev.filter(col("event_id").between(400, 799)), table)
+      TxLog.commitAppend(ev.filter(col("event_id") >= 800), table)
+      table
+    })
+
+  def prepare(spark: SparkSession, dir: String): Unit = {
+    deltaTable(spark, dir)
+    deltaRangedTable(spark, dir)
+    ()
+  }
 
   /** Oracle-checked query: replaying `_delta_log` (append, overwrite,
     * append) must yield exactly the last two thirds of the corpus — the
@@ -774,11 +1066,28 @@ object DeltaLog {
       |FROM events WHERE event_id % 3 >= 1
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked data-skipping query: the range predicate covers only
+    * the middle commit's event_id band, so the scan must prune the other
+    * commits' files from the log stats alone — and still aggregate to
+    * exactly the oracle's filtered answer.
+    */
+  def skippingQuery(spark: SparkSession, dir: String): DataFrame =
+    skipScan(spark, deltaRangedTable(spark, dir), Seq(("event_id", 450L, 700L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val skippingQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id BETWEEN 450 AND 700
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_delta_snapshot" -> snapshotQuery _
+    "q_delta_snapshot" -> snapshotQuery _,
+    "q_delta_skipping" -> skippingQuery _
   )
 
   def oracles: Map[String, String] = Map(
-    "q_delta_snapshot" -> snapshotQueryOracle
+    "q_delta_snapshot" -> snapshotQueryOracle,
+    "q_delta_skipping" -> skippingQueryOracle
   )
 }

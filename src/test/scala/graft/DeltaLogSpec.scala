@@ -581,6 +581,149 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ data skipping
+
+  test("mirrored add actions carry footer-harvested stats in the Delta stats shape") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    val adds = actions(t, 0L).flatMap(n => Option(n.get("add")))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      assert(a.has("stats"), "every self-written parquet add must carry stats")
+      val st = mapper.readTree(a.get("stats").asText())
+      val file = Paths.get(t).resolve(a.get("path").asText()).toString
+      val rows = s.read.parquet(file)
+      assert(st.get("numRecords").asLong() == rows.count())
+      val (lo, hi) = {
+        val r = rows.agg(min(col("event_id")), max(col("event_id"))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      assert(st.get("minValues").get("event_id").asLong() == lo)
+      assert(st.get("maxValues").get("event_id").asLong() == hi)
+      assert(st.get("nullCount").get("event_id").asLong() == 0L)
+      // doubles harvested too
+      assert(st.get("minValues").has("value") && st.get("maxValues").has("value"))
+      // string column present with full (short) values
+      assert(st.get("minValues").has("event_type"))
+    }
+  }
+
+  test("fileStats string rule: min may be a prefix, max omitted when truncation would be unsafe") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val sp = s
+    import sp.implicits._
+    val long1 = "z" * 100
+    val long2 = "a" * 100 + "tail"
+    Seq((1L, long2), (2L, long1)).toDF("id", "txt")
+      .coalesce(1).write.parquet(s"$t/batch")
+    val part = Files.list(Paths.get(t, "batch")).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val st = mapper.readTree(DeltaLog.fileStats(part).get)
+    assert(st.get("numRecords").asLong() == 2L)
+    val mn = st.get("minValues").get("txt")
+    assert(mn != null && long2.startsWith(mn.asText()),
+      "a truncated min must be a PREFIX of the real min (still a lower bound)")
+    assert(!st.get("maxValues").has("txt"),
+      "a >64-char max must be omitted — a truncated upper bound could wrongly prune")
+    assert(st.get("minValues").get("id").asLong() == 1L)
+    assert(st.get("maxValues").get("id").asLong() == 2L)
+  }
+
+  test("skipScan prunes range-disjoint files on both replay paths and stays exact") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitAppend(events.filter(col("event_id").between(300, 599)), t)
+    TxLog.commitAppend(events.filter(col("event_id") >= 600), t)
+    val expected = DeltaLog.snapshot(s, t)
+      .filter(col("event_id").between(350, 500)).count()
+    assert(expected > 0)
+    def check(): Unit = {
+      val pruned = DeltaLog.skipScan(s, t, Seq(("event_id", 350L, 500L)))
+      assert(pruned.count() == expected, "skipping must not change the result")
+      val (total, read) = DeltaLog.lastSkipScan
+      assert(read < total,
+        s"the range covers only the middle commit: files must actually prune ($read/$total)")
+      assert(read > 0)
+    }
+    check()
+    assert(DeltaLog.lastReplayPath == "driver")
+    val saved = DeltaLog.driverMaxLogBytes
+    try {
+      DeltaLog.driverMaxLogBytes = 0L
+      check()
+      assert(DeltaLog.lastReplayPath == "distributed")
+    } finally DeltaLog.driverMaxLogBytes = saved
+    // a predicate no file can satisfy reads ZERO files yet keeps the schema
+    val none = DeltaLog.skipScan(s, t, Seq(("event_id", 10000000L, null)))
+    assert(none.count() == 0)
+    assert(DeltaLog.lastSkipScan._2 == 0L, "impossible range must open no file")
+    assert(none.columns.contains("event_type"), "empty result keeps the metaData schema")
+    // half-open predicates work: lower bound only
+    assert(DeltaLog.skipScan(s, t, Seq(("event_id", 600L, null))).count() ==
+      events.filter(col("event_id") >= 600).count())
+  }
+
+  test("files with absent or malformed stats are never pruned") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val inRange = events.filter(col("event_id") < 100)
+    val outOfRange = events.filter(col("event_id") >= 900)
+    inRange.coalesce(1).write.parquet(s"$t/in")
+    outOfRange.coalesce(1).write.parquet(s"$t/out")
+    def one(sub: String): String =
+      Files.list(Paths.get(t, sub)).iterator.asScala
+        .map(_.getFileName.toString).find(_.endsWith(".parquet"))
+        .map(n => s"$sub/$n").get
+    val (fIn, fOut) = (one("in"), one("out"))
+    val ld = Files.createDirectories(Paths.get(t, "_delta_log"))
+    val metaLine = {
+      val n = mapper.createObjectNode()
+      val m = n.putObject("metaData")
+      m.put("id", "x")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", inRange.schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 3L)
+      mapper.writeValueAsString(n)
+    }
+    // fIn: NO stats (a writer that emitted none); fOut: malformed stats
+    Files.writeString(ld.resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine) ++ Seq(
+        s"""{"add":{"path":"$fIn","partitionValues":{},"size":${Files.size(Paths.get(t, fIn))},"modificationTime":1,"dataChange":true}}""",
+        s"""{"add":{"path":"$fOut","partitionValues":{},"size":${Files.size(Paths.get(t, fOut))},"modificationTime":1,"dataChange":true,"stats":"not json at all"}}"""))
+        .mkString("\n"))
+    val res = DeltaLog.skipScan(s, t, Seq(("event_id", 0L, 50L)))
+    assert(DeltaLog.lastSkipScan == ((2L, 2L)),
+      "no stats and bad stats must both mean 'may match' — never prune")
+    assert(res.count() == events.filter(col("event_id").between(0, 50)).count(),
+      "the residual predicate still filters rows exactly")
+  }
+
+  test("stats survive checkpoint compaction: skipScan prunes from the checkpoint alone") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitAppend(events.filter(col("event_id").between(300, 599)), t)
+    TxLog.commitAppend(events.filter(col("event_id") >= 600), t)
+    val expected = DeltaLog.snapshot(s, t)
+      .filter(col("event_id").between(350, 500)).count()
+    val cpV = DeltaLog.checkpoint(s, t)
+    val ld = Paths.get(t, "_delta_log")
+    (0L to cpV).foreach(v => Files.delete(ld.resolve(f"$v%020d.json")))
+    val pruned = DeltaLog.skipScan(s, t, Seq(("event_id", 350L, 500L)))
+    assert(pruned.count() == expected)
+    val (total, read) = DeltaLog.lastSkipScan
+    assert(read < total,
+      "add.stats must survive into the checkpoint rows and keep pruning after compaction")
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
