@@ -748,16 +748,11 @@ object DeltaLog {
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
     val (live, tombstones, metaOpt) = liveState(spark, table, replayPlan(table, v))
     val m = metaOpt.getOrElse(sys.error(s"$dir: no metaData action in log"))
-    // Same guard as snapshotAt: a checkpoint that wrote partitionColumns=[]
-    // for a partitioned external table would ERASE the loud rejection on
-    // every later read (meta would rebuild partition-free from the
-    // checkpoint) and silently drop the partition-column values.
-    val pc = m.get("partitionColumns")
-    if (pc != null && pc.size() > 0)
-      sys.error(s"$dir: partitioned Delta tables are not supported " +
-        "(partition values live in the log, not the data files)")
     val cfgMap = Option(m.get("configuration")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+    // partitionColumns survive compaction — readers reattach partition
+    // values from the checkpoint's add.partitionValues
+    val pcSeq = partitionColsOf(Some(m))
     val header = spark.createDataFrame(
       java.util.List.of(
         Row(Row(1, 2), null, null, null),
@@ -765,7 +760,7 @@ object DeltaLog {
           m.get("id").asText(),
           Row("parquet", Map.empty[String, String]),
           m.get("schemaString").asText(),
-          Seq.empty[String],
+          pcSeq,
           cfgMap,
           if (m.has("createdTime")) m.get("createdTime").asLong() else 0L),
           null, null)),
@@ -829,28 +824,92 @@ object DeltaLog {
     if (deltaV > 0 && deltaV % interval == 0) { checkpoint(spark, dir); () }
   }
 
+  private def partitionColsOf(meta: Option[ObjectNode]): Seq[String] =
+    meta.flatMap(m => Option(m.get("partitionColumns")))
+      .map(_.asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+
+  private def tableSchemaOf(dir: String, meta: Option[ObjectNode]): StructType =
+    meta.map(m => DataType.fromJson(m.get("schemaString").asText())
+        .asInstanceOf[StructType])
+      .getOrElse(sys.error(s"$dir: no metaData action in log"))
+
+  /** True when `f`'s path embeds every partition column as a Hive-style
+    * `col=value` directory segment AGREEING with the log's
+    * partitionValues — the layout stock delta-spark writes. Escaping is
+    * Hive's own path escaping (what Spark's partition discovery
+    * un-escapes), null = `__HIVE_DEFAULT_PARTITION__`.
+    */
+  private def hiveStyle(f: LiveFile, pcs: Seq[String]): Boolean = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val segs = f.path.split("/").toSet
+    pcs.forall { c =>
+      val v = f.partitionValues.getOrElse(c, null)
+      segs.contains(escapePathName(c) + "=" +
+        (if (v == null) "__HIVE_DEFAULT_PARTITION__" else escapePathName(v)))
+    }
+  }
+
+  /** Scan a replayed live-file set, reattaching PARTITION COLUMNS for
+    * partitioned tables — their values live in the log's
+    * `add.partitionValues`, not the data files (the Delta spec's
+    * reader requirement). Two shapes:
+    *
+    *  - Hive-style layout (what delta-spark writes, verified per file
+    *    against the log values): one `basePath` read — Spark's own
+    *    partition discovery supplies the columns, typed by the
+    *    metaData schema passed as the read schema, and partition
+    *    predicates prune DIRECTORIES in the scan (PartitionFilters in
+    *    the plan), the native 100 TB path.
+    *  - Anything else: group files by partition tuple and union
+    *    per-group scans with the values as typed literals. Correct for
+    *    arbitrary foreign layouts, but O(distinct partitions) in plan
+    *    size — documented as the compatibility path, not the scale one.
+    */
+  private def readFiles(spark: SparkSession, table: Path,
+      files: Seq[LiveFile], meta: Option[ObjectNode]): DataFrame = {
+    val pcs = partitionColsOf(meta)
+    if (files.isEmpty) {
+      // valid empty table: schema comes from metaData, not file inference
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        tableSchemaOf(table.toString, meta))
+    } else if (pcs.isEmpty) {
+      spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*)
+    } else {
+      val schema = tableSchemaOf(table.toString, meta)
+      val ordered = schema.fieldNames.toSeq.map(col)
+      if (files.forall(hiveStyle(_, pcs)))
+        spark.read.schema(schema)
+          .option("basePath", table.toString)
+          .parquet(files.map(f => table.resolve(f.path).toString): _*)
+          .select(ordered: _*)
+      else {
+        val pcFields = pcs.map(c => schema.find(_.name == c).getOrElse(
+          sys.error(s"$table: partition column '$c' missing from schemaString")))
+        val dataSchema = StructType(schema.filterNot(f => pcs.contains(f.name)))
+        files.groupBy(f => pcs.map(c => f.partitionValues.getOrElse(c, null)))
+          .toSeq.map { case (vals, fs) =>
+            val base = spark.read.schema(dataSchema)
+              .parquet(fs.map(f => table.resolve(f.path).toString): _*)
+            pcFields.zip(vals).foldLeft(base) { case (df, (fld, v)) =>
+              df.withColumn(fld.name,
+                (if (v == null) lit(null) else lit(v)).cast(fld.dataType))
+            }
+          }
+          .reduce(_.unionByName(_))
+          .select(ordered: _*)
+      }
+    }
+  }
+
   /** Snapshot-isolated read of a Delta table at `version` (default:
-    * latest), via pure log replay — works on any unpartitioned Delta
-    * table regardless of which engine wrote it.
+    * latest), via pure log replay — works on any Delta table regardless
+    * of which engine wrote it, including partitioned ones (partition
+    * columns are reattached from the log's partitionValues).
     */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val table = Paths.get(dir)
     val (files, meta) = replay(spark, table, version)
-    meta.foreach { m =>
-      val pc = m.get("partitionColumns")
-      if (pc != null && pc.size() > 0)
-        sys.error(s"$dir: partitioned Delta tables are not supported " +
-          "(partition values live in the log, not the data files)")
-    }
-    if (files.isEmpty) {
-      // valid empty table: schema comes from metaData, not file inference
-      val schema = meta.map(m => DataType
-        .fromJson(m.get("schemaString").asText())
-        .asInstanceOf[StructType])
-        .getOrElse(sys.error(s"$dir: empty Delta table with no metaData"))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    } else
-      spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*)
+    readFiles(spark, table, files, meta)
   }
 
   def snapshot(spark: SparkSession, dir: String): DataFrame = {
@@ -944,6 +1003,29 @@ object DeltaLog {
     }.reduce(_ && _)
   }
 
+  /** Partition-value pruning: for predicates on PARTITION columns the
+    * per-file value is a constant carried in `add.partitionValues`, so a
+    * file prunes when that value falls outside the range — no stats
+    * needed. Missing/null values keep the file (the residual filter
+    * still applies); non-partition predicates are ignored here (that's
+    * [[keepCond]]'s job).
+    */
+  private def partCond(pvCol: org.apache.spark.sql.Column, pcs: Seq[String],
+      tableSchema: StructType,
+      preds: Seq[(String, Any, Any)]): org.apache.spark.sql.Column = {
+    val conds = preds.filter(p => pcs.contains(p._1)).map { case (c, lo, hi) =>
+      val f = tableSchema.find(_.name == c).getOrElse(
+        sys.error(s"skipScan: no column '$c' in the table schema"))
+      val v = element_at(pvCol, c).cast(f.dataType)
+      val loOk = Option(lo).map(x =>
+        coalesce(v >= lit(x).cast(f.dataType), lit(true))).getOrElse(lit(true))
+      val hiOk = Option(hi).map(x =>
+        coalesce(v <= lit(x).cast(f.dataType), lit(true))).getOrElse(lit(true))
+      loOk && hiOk
+    }
+    if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+  }
+
   /** Stats-driven data skipping: read the snapshot, but PRUNE files whose
     * log-carried `add.stats` prove they hold no row matching the given
     * inclusive range predicates `(column, lower, upper)` (null bound =
@@ -966,50 +1048,44 @@ object DeltaLog {
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
     if (preds.isEmpty) return snapshotAt(spark, dir, latest)
     val pl = replayPlan(table, latest)
-    def schemaOf(meta: Option[ObjectNode]): StructType = {
-      meta.foreach { m =>
-        val pc = m.get("partitionColumns")
-        if (pc != null && pc.size() > 0)
-          sys.error(s"$dir: partitioned Delta tables are not supported " +
-            "(partition values live in the log, not the data files)")
-      }
-      meta.map(m => DataType.fromJson(m.get("schemaString").asText())
-          .asInstanceOf[StructType])
-        .getOrElse(sys.error(s"$dir: no metaData action in log — " +
-          "skipScan needs the schema to type the stats"))
-    }
-    val (total, surviving, schema) =
+    val pvType = MapType(StringType, StringType)
+    val (total, surviving, meta) =
       if (replayBytes(table, pl) <= driverMaxLogBytes) {
         lastReplayPath = "driver"
         val (candidates, meta) = replayDriver(spark, table, pl)
-        val schema = schemaOf(meta)
+        val schema = tableSchemaOf(dir, meta)
+        val pcs = partitionColsOf(meta)
         // localize the (metadata-scale) entries and prune with the SAME
-        // keep-condition the distributed path uses — no second codepath
+        // keep-conditions the distributed path uses — no second codepath
         val entries = spark.createDataFrame(
-          candidates.map(f => Row(f.path, f.stats.orNull)).asJava,
-          StructType(Seq(StructField("path", StringType), StructField("stats", StringType))))
-        (candidates.size.toLong,
-          entries.filter(keepCond(col("stats"), schema, preds))
-            .select("path").collect().map(_.getString(0)).toSeq,
-          schema)
+          candidates.map(f => Row(f.path, f.partitionValues, f.stats.orNull)).asJava,
+          StructType(Seq(StructField("path", StringType),
+            StructField("partitionValues", pvType),
+            StructField("stats", StringType))))
+        val kept = entries
+          .filter(keepCond(col("stats"), schema, preds) &&
+            partCond(col("partitionValues"), pcs, schema, preds))
+          .select("path").collect().map(_.getString(0)).toSet
+        (candidates.size.toLong, candidates.filter(f => kept(f.path)), meta)
       } else {
         lastReplayPath = "distributed"
         val (live, _, meta) = liveState(spark, table, pl)
-        val schema = schemaOf(meta)
-        // stats parse + prune verdict run in executors; the driver
-        // receives (path, keep) — never the stats payloads
-        val flags = live.select(col("path"),
-          keepCond(col("stats"), schema, preds).as("keep")).collect()
+        val schema = tableSchemaOf(dir, meta)
+        val pcs = partitionColsOf(meta)
+        // stats parse + prune verdicts run in executors; the driver
+        // receives (path, partitionValues, keep) — never the stats payloads
+        val flags = live.select(col("path"), col("partitionValues"),
+          (keepCond(col("stats"), schema, preds) &&
+            partCond(col("partitionValues"), pcs, schema, preds)).as("keep")).collect()
         (flags.length.toLong,
-          flags.filter(_.getBoolean(1)).map(r => decodePath(r.getString(0))).toSeq,
-          schema)
+          flags.filter(_.getBoolean(2)).map(r =>
+            LiveFile(decodePath(r.getString(0)),
+              Option(r.getMap[String, String](1))
+                .map(_.toMap).getOrElse(Map.empty[String, String]), None)).toSeq,
+          meta)
       }
     lastSkipScan = (total, surviving.size.toLong)
-    val base =
-      if (surviving.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else
-        spark.read.parquet(surviving.map(rel => table.resolve(rel).toString): _*)
+    val base = readFiles(spark, table, surviving, meta)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       val withLo = Option(lo).map(v => df.filter(col(c) >= lit(v))).getOrElse(df)
       Option(hi).map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
@@ -1046,9 +1122,59 @@ object DeltaLog {
       table
     })
 
+  /** Foreign-style PARTITIONED table: events bucketed by
+    * `pmod(user_id, 3)`, written hive-style the way stock delta-spark
+    * lays tables out, with a hand-authored `_delta_log` — metaData
+    * carrying `partitionColumns`, each add carrying its `partitionValues`
+    * and footer stats. No `_txlog` at all: this is the
+    * foreign-partitioned-table read path end to end.
+    */
+  private def deltaPartitionedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"part:$dir", {
+      val table = graft.Scratch.dir("graft_delta_part").toString
+      val ev = graft.Tables.events(spark, dir)
+        .withColumn("bucket", pmod(col("user_id"), lit(3)))
+      ev.write.mode("overwrite").partitionBy("bucket").parquet(table)
+      val root = Paths.get(table)
+      val files = listDir(root)
+        .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("bucket="))
+        .sortBy(_.getFileName.toString)
+        .flatMap { d =>
+          listDir(d).filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+            .map(f => (d.getFileName.toString.stripPrefix("bucket="),
+              s"${d.getFileName}/${f.getFileName}"))
+        }
+      val ld = Files.createDirectories(logDir(root))
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 2)
+      lines += mapper.writeValueAsString(protocol)
+      val metaData = metaDataNode(root, ev.schema.json, stableTableId(root), 1L)
+      metaData.get("metaData").asInstanceOf[ObjectNode]
+        .putArray("partitionColumns").add("bucket")
+      lines += mapper.writeValueAsString(metaData)
+      files.foreach { case (bucket, rel) =>
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", encodePath(rel))
+        a.putObject("partitionValues").put("bucket", bucket)
+        a.put("size", Files.size(root.resolve(rel)))
+        a.put("modificationTime", Files.getLastModifiedTime(root.resolve(rel)).toMillis)
+        a.put("dataChange", true)
+        fileStats(root.resolve(rel)).foreach(a.put("stats", _))
+        lines += mapper.writeValueAsString(n)
+      }
+      Files.write(commitPath(root, 0L), (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      table
+    })
+
   def prepare(spark: SparkSession, dir: String): Unit = {
     deltaTable(spark, dir)
     deltaRangedTable(spark, dir)
+    deltaPartitionedTable(spark, dir)
     ()
   }
 
@@ -1081,13 +1207,32 @@ object DeltaLog {
       |FROM events WHERE event_id BETWEEN 450 AND 700
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked partitioned read: partition pruning (bucket = 1,
+    * from `add.partitionValues`) composed with stats skipping
+    * (event_id ≤ 800, from `add.stats`) over a foreign hive-layout
+    * table — the reattached partition column must aggregate exactly
+    * like the oracle's derived expression.
+    */
+  def partitionedQuery(spark: SparkSession, dir: String): DataFrame =
+    skipScan(spark, deltaPartitionedTable(spark, dir),
+      Seq(("bucket", 1L, 1L), ("event_id", null, 800L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val partitionedQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE user_id % 3 = 1 AND event_id <= 800
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_delta_snapshot" -> snapshotQuery _,
-    "q_delta_skipping" -> skippingQuery _
+    "q_delta_skipping" -> skippingQuery _,
+    "q_delta_partitioned" -> partitionedQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_delta_snapshot" -> snapshotQueryOracle,
-    "q_delta_skipping" -> skippingQueryOracle
+    "q_delta_skipping" -> skippingQueryOracle,
+    "q_delta_partitioned" -> partitionedQueryOracle
   )
 }

@@ -724,6 +724,147 @@ class DeltaLogSpec extends SparkSpec {
       "add.stats must survive into the checkpoint rows and keep pruning after compaction")
   }
 
+  // --------------------------------------------------- partitioned reads
+
+  /** Hand-author a foreign partitioned table: `bucket = pmod(user_id, 3)`
+    * hive layout when `hive=true`, flat opaque subdirs otherwise — the
+    * log is authoritative for partition values in both.
+    */
+  private def authorPartitioned(t: String, hive: Boolean): Unit = {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events.withColumn("bucket", pmod(col("user_id"), lit(3)))
+    val root = Paths.get(t)
+    val files: Seq[(String, String)] =
+      if (hive) {
+        ev.write.mode("overwrite").partitionBy("bucket").parquet(t)
+        Files.list(root).iterator.asScala.toSeq
+          .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("bucket="))
+          .flatMap { d =>
+            Files.list(d).iterator.asScala.toSeq
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => (d.getFileName.toString.stripPrefix("bucket="),
+                s"${d.getFileName}/${f.getFileName}"))
+          }
+      } else {
+        (0 to 2).flatMap { b =>
+          ev.filter(col("bucket") === b).drop("bucket")
+            .write.mode("overwrite").parquet(s"$t/blob$b")
+          Files.list(Paths.get(t, s"blob$b")).iterator.asScala.toSeq
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(f => (b.toString, s"blob$b/${f.getFileName}"))
+        }
+      }
+    val ld = Files.createDirectories(root.resolve("_delta_log"))
+    val metaLine = {
+      val n = mapper.createObjectNode()
+      val m = n.putObject("metaData")
+      m.put("id", "part-x")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", ev.schema.json)
+      m.putArray("partitionColumns").add("bucket")
+      m.putObject("configuration"); m.put("createdTime", 3L)
+      mapper.writeValueAsString(n)
+    }
+    val addLines = files.map { case (b, rel) =>
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", rel)
+      a.putObject("partitionValues").put("bucket", b)
+      a.put("size", Files.size(root.resolve(rel)))
+      a.put("modificationTime", 1L)
+      a.put("dataChange", true)
+      DeltaLog.fileStats(root.resolve(rel)).foreach(a.put("stats", _))
+      mapper.writeValueAsString(n)
+    }
+    Files.writeString(ld.resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine) ++ addLines)
+        .mkString("\n"))
+  }
+
+  test("reads a foreign partitioned table: hive layout via basePath, typed from metaData") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    authorPartitioned(t, hive = true)
+    val snap = DeltaLog.snapshot(s, t)
+    val ev = events.withColumn("bucket", pmod(col("user_id"), lit(3)))
+    assert(snap.schema("bucket").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "partition column must be typed from schemaString, not inferred")
+    assert(snap.columns.toSeq == ev.columns.toSeq,
+      "column order must follow the metaData schema")
+    assert(snap.count() == ev.count())
+    assert(snap.filter(col("bucket") === 1).count() ==
+      ev.filter(col("bucket") === 1).count())
+    // partition predicates must prune at the SCAN (hive path → Spark's
+    // own partition discovery → PartitionFilters), not post-filter
+    val plan = snap.filter(col("bucket") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"partition filter must reach the scan:\n$plan")
+  }
+
+  test("reads a foreign partitioned table laid out WITHOUT hive dirs (log-only values)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    authorPartitioned(t, hive = false)
+    val snap = DeltaLog.snapshot(s, t)
+    val ev = events.withColumn("bucket", pmod(col("user_id"), lit(3)))
+    assert(snap.schema("bucket").dataType == org.apache.spark.sql.types.LongType)
+    assert(snap.count() == ev.count())
+    // values come from the log, not the paths
+    assert(snap.groupBy(col("bucket")).count().orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      ev.groupBy(col("bucket")).count().orderBy("bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("skipScan prunes whole partitions from partitionValues, composing with stats") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    authorPartitioned(t, hive = true)
+    val ev = events.withColumn("bucket", pmod(col("user_id"), lit(3)))
+    val expected = ev.filter(col("bucket") === 1).count()
+    val res = DeltaLog.skipScan(s, t, Seq(("bucket", 1L, 1L)))
+    assert(res.count() == expected)
+    val (total, read) = DeltaLog.lastSkipScan
+    assert(read < total, s"bucket=1 must prune the other buckets' files ($read/$total)")
+    // composed with a stats predicate that rules everything out
+    DeltaLog.skipScan(s, t, Seq(("bucket", 1L, 1L), ("event_id", 10000000L, null)))
+    assert(DeltaLog.lastSkipScan._2 == 0L,
+      "partition pruning and stats pruning must compose")
+    // distributed path agrees
+    val saved = DeltaLog.driverMaxLogBytes
+    try {
+      DeltaLog.driverMaxLogBytes = 0L
+      assert(DeltaLog.skipScan(s, t, Seq(("bucket", 1L, 1L))).count() == expected)
+      assert(DeltaLog.lastReplayPath == "distributed")
+      assert(DeltaLog.lastSkipScan._2 < DeltaLog.lastSkipScan._1)
+    } finally DeltaLog.driverMaxLogBytes = saved
+  }
+
+  test("checkpoint of a partitioned table preserves partitionColumns and partitionValues") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    authorPartitioned(t, hive = true)
+    val ev = events.withColumn("bucket", pmod(col("user_id"), lit(3)))
+    DeltaLog.checkpoint(s, t)
+    val ld = Paths.get(t, "_delta_log")
+    Files.delete(ld.resolve(f"${0L}%020d.json"))
+    // replay from the checkpoint alone: partition columns intact
+    val snap = DeltaLog.snapshot(s, t)
+    assert(snap.count() == ev.count())
+    assert(snap.filter(col("bucket") === 2).count() ==
+      ev.filter(col("bucket") === 2).count())
+    // and partition pruning still works from checkpoint-carried values
+    DeltaLog.skipScan(s, t, Seq(("bucket", 0L, 0L)))
+    assert(DeltaLog.lastSkipScan._2 < DeltaLog.lastSkipScan._1)
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
