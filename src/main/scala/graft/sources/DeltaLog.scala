@@ -1092,6 +1092,88 @@ object DeltaLog {
     }
   }
 
+  // ------------------------------------------------- changes & vacuum
+
+  /** File-level change feed between two committed versions, for ANY
+    * Delta table (foreign or mirrored): the files versions
+    * `fromV+1..toV` ADDED that are still live at `toV`. For append-only
+    * history this is exactly the new data, read as O(changed files) —
+    * never a row-diff of two snapshots. (Full row-level CDF with
+    * update/delete images is Delta's `_change_data` feature, which needs
+    * writer cooperation; the file-level feed is what incremental
+    * consumers of append streams — silver refresh, IVM merges — use.)
+    * Requires the JSON commits for the window (like `versionAsOf`,
+    * this reads history, which checkpoints don't keep).
+    */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changesBetween: fromV $fromV > toV $toV")
+    val table = Paths.get(dir)
+    val have = versions(dir).toSet
+    val need = (fromV + 1) to toV
+    val missing = need.filterNot(have)
+    if (missing.nonEmpty)
+      sys.error(s"$dir: commit files for versions ${missing.mkString(",")} " +
+        "are missing (aged out?) — the change feed needs the JSON history")
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    need.foreach { v =>
+      Files.readAllLines(commitPath(table, v)).asScala
+        .filter(_.trim.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("add"))
+            added += decodePath(node.get("add").get("path").asText())
+          if (node.has("remove"))
+            added -= decodePath(node.get("remove").get("path").asText())
+        }
+    }
+    if (added.nonEmpty)
+      spark.read.parquet(added.toSeq.map(rel => table.resolve(rel).toString): _*)
+    else snapshotAt(spark, dir, toV).limit(0)
+  }
+
+  /** Delta-protocol VACUUM: physically delete data files that are
+    * neither live in the CURRENT snapshot nor protected — tombstoned
+    * younger than `retentionMs` (stock Delta's
+    * `deletedFileRetentionDuration` contract: readers of recent
+    * versions may still hold those paths) or modified younger than
+    * `retentionMs` (an in-flight writer's staged files look identical
+    * to orphans). Returns (deleted, retained-live). Time travel to
+    * overwritten-away versions stops working past the retention window,
+    * exactly like stock VACUUM. Works on any unpartitioned-or-
+    * partitioned table this engine can replay; only files under the
+    * table root are candidates (Delta forbids external absolute-path
+    * adds for self-written tables).
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      retentionMs: Long = tombstoneRetentionMs): (Long, Long) = {
+    val table = Paths.get(dir)
+    val latest = (versions(dir) ++ lastCheckpointVersion(table))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+    val (files, _) = replay(spark, table, latest)
+    val keep = files.map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    var deleted = 0L
+    def walk(p: Path): Unit = listDir(p).foreach { f =>
+      val name = f.getFileName.toString
+      if (Files.isDirectory(f)) {
+        if (name != "_delta_log" && name != "_txlog") {
+          walk(f)
+          // prune directories a sweep emptied (hive partition dirs of
+          // fully-overwritten partitions)
+          if (listDir(f).isEmpty) Files.delete(f)
+        }
+      } else if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = table.relativize(f).toString
+        if (!keep(rel) && Files.getLastModifiedTime(f).toMillis <= cutoff) {
+          Files.delete(f)
+          deleted += 1
+        }
+      }
+    }
+    walk(table)
+    (deleted, keep.size.toLong)
+  }
+
   // ------------------------------------------------------ fixture/query
 
   // Delta-mirrored fixture table: two appends + one overwrite, read back
@@ -1171,10 +1253,23 @@ object DeltaLog {
       table
     })
 
+  // Vacuum fixture: append, overwrite, then Delta-protocol vacuum — the
+  // overwritten-away files are physically deleted from tombstones alone.
+  private def deltaVacuumedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"vac:$dir", {
+      val table = graft.Scratch.dir("graft_delta_vac").toString
+      val ev = graft.Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
+      TxLog.commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
+      vacuum(spark, table, retentionMs = 0L) // single-writer fixture: no in-flight committers
+      table
+    })
+
   def prepare(spark: SparkSession, dir: String): Unit = {
     deltaTable(spark, dir)
     deltaRangedTable(spark, dir)
     deltaPartitionedTable(spark, dir)
+    deltaVacuumedTable(spark, dir)
     ()
   }
 
@@ -1224,15 +1319,50 @@ object DeltaLog {
       |FROM events WHERE user_id % 3 = 1 AND event_id <= 800
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked Delta change feed: on the append/overwrite/append
+    * fixture, the v1→v2 feed is exactly the third slice's files — the
+    * overwrite's survivors must NOT reappear as changes.
+    */
+  def changesQuery(spark: SparkSession, dir: String): DataFrame =
+    changesBetween(spark, deltaTable(spark, dir), 1L, 2L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val changesQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 3 = 2
+      |GROUP BY 1""".stripMargin
+
+  /** Oracle-checked Delta VACUUM: after append → overwrite → vacuum, a
+    * RAW recursive glob of the table (the reference dashboard's unsafe
+    * read, `dashboard.py:29-31`) must equal the retained snapshot —
+    * only physical deletion of the tombstoned files can make that true.
+    */
+  def vacuumQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
+      .parquet(deltaVacuumedTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val vacuumQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 3 = 1
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_delta_snapshot" -> snapshotQuery _,
     "q_delta_skipping" -> skippingQuery _,
-    "q_delta_partitioned" -> partitionedQuery _
+    "q_delta_partitioned" -> partitionedQuery _,
+    "q_delta_changes" -> changesQuery _,
+    "q_delta_vacuum" -> vacuumQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_delta_snapshot" -> snapshotQueryOracle,
     "q_delta_skipping" -> skippingQueryOracle,
-    "q_delta_partitioned" -> partitionedQueryOracle
+    "q_delta_partitioned" -> partitionedQueryOracle,
+    "q_delta_changes" -> changesQueryOracle,
+    "q_delta_vacuum" -> vacuumQueryOracle
   )
 }

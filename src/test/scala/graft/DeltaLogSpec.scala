@@ -865,6 +865,135 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.lastSkipScan._2 < DeltaLog.lastSkipScan._1)
   }
 
+  test("property: skipScan equals the filtered snapshot for arbitrary ranges") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitAppend(events.filter(col("event_id").between(300, 599)), t)
+    TxLog.commitAppend(events.filter(col("event_id") >= 600), t)
+    val snap = DeltaLog.snapshot(s, t)
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), round(sum(col("value")), 6)).head
+      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }
+    val rnd = new scala.util.Random(42)
+    // long ranges on event_id (the range-disjoint layout), double ranges
+    // on value (uncorrelated with layout → rarely prunes, still exact),
+    // string ranges on event_type, and a composed predicate
+    (1 to 8).foreach { _ =>
+      val a = rnd.nextInt(1100).toLong - 50
+      val b = a + rnd.nextInt(500)
+      assert(sig(DeltaLog.skipScan(s, t, Seq(("event_id", a, b)))) ==
+        sig(snap.filter(col("event_id").between(a, b))), s"event_id [$a,$b]")
+    }
+    (1 to 4).foreach { _ =>
+      val a = rnd.nextDouble() * 100 - 50
+      val b = a + rnd.nextDouble() * 100
+      assert(sig(DeltaLog.skipScan(s, t, Seq(("value", a, b)))) ==
+        sig(snap.filter(col("value").between(a, b))), s"value [$a,$b]")
+    }
+    Seq(("a", "m"), ("p", "z"), ("click", "click")).foreach { case (a, b) =>
+      assert(sig(DeltaLog.skipScan(s, t, Seq(("event_type", a, b)))) ==
+        sig(snap.filter(col("event_type").between(a, b))), s"event_type [$a,$b]")
+    }
+    assert(sig(DeltaLog.skipScan(s, t,
+        Seq(("event_id", 100L, 900L), ("value", null, 50.0), ("event_type", "a", "q")))) ==
+      sig(snap.filter(col("event_id").between(100, 900) &&
+        col("value") <= 50.0 && col("event_type").between("a", "q"))),
+      "composed predicates")
+  }
+
+  // ----------------------------------------------- golden fixture (v2)
+  // Same recipe as v1 but authored by the stats-carrying writer
+  // (graft.tools.GoldenFixtureGen): pins the add.stats format and
+  // stats-driven pruning against a frozen tree.
+
+  private val golden2 = "fixtures/golden_delta/v2"
+
+  test("golden fixture v2: replay + stats pinned against the frozen stats-era tree") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = Seq((4L, "delta", 40.75), (5L, "epsilon", 50.5), (6L, "zeta", 60.125))
+    assert(rows(DeltaLog.snapshot(s, golden2)) == expected)
+    assert(rows(DeltaLog.snapshotAt(s, golden2, 0L)) ==
+      Seq((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0)))
+    // every frozen add action carries conformant stats
+    (0L to 2L).foreach { v =>
+      actions(golden2, v).flatMap(n => Option(n.get("add"))).foreach { a =>
+        assert(a.has("stats"), s"v$v add must carry stats")
+        val st = mapper.readTree(a.get("stats").asText())
+        assert(st.get("numRecords").asLong() > 0)
+        assert(st.get("minValues").has("id") && st.get("maxValues").has("id"))
+      }
+    }
+    // stats-driven pruning on the frozen tree: id=6 lives in one of the
+    // two live files (overwrite file holds {4,5}, append file holds {6})
+    assert(rows(DeltaLog.skipScan(s, golden2, Seq(("id", 6L, 6L)))) ==
+      Seq((6L, "zeta", 60.125)))
+    assert(DeltaLog.lastSkipScan == ((2L, 1L)),
+      "the frozen stats must prune exactly one of the two live files")
+    // and the frozen checkpoint carries the stats column
+    val cp = s.read.parquet(s"$golden2/_delta_log/00000000000000000002.checkpoint.parquet")
+    assert(cp.filter(col("add").isNotNull)
+      .filter(col("add.stats").isNull).count() == 0,
+      "checkpoint add rows must retain stats")
+  }
+
+  test("changesBetween reads only the window's surviving adds") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val a = events.filter(pmod(col("event_id"), lit(3)) === 0)
+    val b = events.filter(pmod(col("event_id"), lit(3)) === 1)
+    val c = events.filter(pmod(col("event_id"), lit(3)) === 2)
+    TxLog.commitAppend(a, t)   // delta v0
+    TxLog.commitAppend(b, t)   // delta v1
+    TxLog.commitOverwrite(c, t) // delta v2: removes a+b's files
+    assert(DeltaLog.changesBetween(s, t, 0L, 1L).count() == b.count(),
+      "v0→v1 feed is exactly the second append")
+    // b was added at v1 but removed by v2's overwrite: a v0→v2 consumer
+    // must see only the surviving adds (c), never b's retracted files
+    assert(DeltaLog.changesBetween(s, t, 0L, 2L).count() == c.count(),
+      "adds retracted within the window must not appear")
+    val empty = DeltaLog.changesBetween(s, t, 2L, 2L)
+    assert(empty.count() == 0 && empty.columns.contains("event_type"),
+      "an empty window is a valid empty feed with the table schema")
+  }
+
+  test("Delta vacuum physically deletes tombstoned and orphaned files, keeping the snapshot") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val a = events.filter(pmod(col("event_id"), lit(3)) === 0)
+    val b = events.filter(pmod(col("event_id"), lit(3)) === 1)
+    TxLog.commitAppend(a, t)
+    TxLog.commitOverwrite(b, t)
+    // a writer that died before committing: on disk, never logged
+    events.filter(pmod(col("event_id"), lit(3)) === 2)
+      .write.parquet(Paths.get(t).resolve("data-orphan").toString)
+    def dirty(): Long = s.read
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
+      .parquet(t).count()
+    assert(dirty() > b.count(), "pre-vacuum the dirty glob sees dead files")
+    val (deleted, retained) = DeltaLog.vacuum(s, t, retentionMs = 0L)
+    assert(deleted > 0 && retained > 0)
+    assert(dirty() == b.count(),
+      "post-vacuum the raw glob equals the retained snapshot exactly")
+    assert(DeltaLog.snapshot(s, t).count() == b.count())
+    // time travel past the retention window now fails on the missing files
+    intercept[Throwable] { DeltaLog.snapshotAt(s, t, 0L).count() }
+    // vacuum with the default 7-day retention deletes nothing young
+    val t2 = freshTable()
+    TxLog.commitAppend(a, t2)
+    TxLog.commitOverwrite(b, t2)
+    val (deleted2, _) = DeltaLog.vacuum(s, t2)
+    assert(deleted2 == 0L,
+      "young tombstones are protected by the retention window")
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
