@@ -162,7 +162,8 @@ object DeltaLog {
   }
 
   private def metaDataNode(table: Path, schemaJson: String,
-      id: String, createdTime: Long): ObjectNode = {
+      id: String, createdTime: Long,
+      partitionCols: Seq[String] = Seq.empty): ObjectNode = {
     val metaData = mapper.createObjectNode()
     val m = metaData.putObject("metaData")
     m.put("id", id)
@@ -170,10 +171,28 @@ object DeltaLog {
     fmt.put("provider", "parquet")
     fmt.putObject("options")
     m.put("schemaString", schemaJson)
-    m.putArray("partitionColumns")
+    val pcs = m.putArray("partitionColumns")
+    partitionCols.foreach(pcs.add)
     m.putObject("configuration")
     m.put("createdTime", createdTime)
     metaData
+  }
+
+  /** Hive-style `col=value` segments of a TxLog-written relative path,
+    * in directory order — how the mirror recovers a partitioned batch's
+    * partition values (TxLog writes via Spark's `partitionBy`, so the
+    * layout IS hive-style; `__HIVE_DEFAULT_PARTITION__` is the null
+    * value, and names/values un-escape with Hive's own path escaping).
+    */
+  private def partSegments(rel: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    rel.split("/").dropRight(1).toSeq.filter(_.contains("="))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        val v = seg.drop(i + 1)
+        (unescapePathName(seg.take(i)),
+          if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapePathName(v))
+      }
   }
 
   private def stableTableId(table: Path): String =
@@ -334,13 +353,17 @@ object DeltaLog {
     // cache a schemaString that never reached the log (its next commit
     // would then wrongly suppress the metaData re-emission)
     var effectiveMeta: Option[ObjectNode] = None
+    // partitioning is derivable from the hive-style batch layout itself
+    // (TxLog writes partitionBy → col=value dirs); a table's partitioning
+    // is fixed at its first commit, matching Delta's own rule
+    val pcols = added.headOption.map(partSegments(_).map(_._1)).getOrElse(Seq.empty)
     if (deltaV == 0L) {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
       p.put("minReaderVersion", 1)
       p.put("minWriterVersion", 2)
       lines += mapper.writeValueAsString(protocol)
-      val node = metaDataNode(table, schemaJson, stableTableId(table), now)
+      val node = metaDataNode(table, schemaJson, stableTableId(table), now, pcols)
       lines += mapper.writeValueAsString(node)
       effectiveMeta = Some(node.get("metaData").asInstanceOf[ObjectNode])
     } else {
@@ -348,12 +371,15 @@ object DeltaLog {
         .orElse(lastMirroredMeta(table, deltaV - 1))
       if (!prev.exists(_.get("schemaString").asText() == schemaJson)) {
         // schema changed (or the aged-out prefix hides it — re-emitting is
-        // idempotent under last-metaData-wins): keep id/createdTime stable
-        // from the previous metaData when known
+        // idempotent under last-metaData-wins): keep id/createdTime/
+        // partitionColumns stable from the previous metaData when known
+        val prevPcols = prev.flatMap(m => Option(m.get("partitionColumns")))
+          .map(_.asScala.map(_.asText()).toSeq)
         val node = metaDataNode(table, schemaJson,
           prev.map(_.get("id").asText()).getOrElse(stableTableId(table)),
           prev.filter(_.has("createdTime")).map(_.get("createdTime").asLong())
-            .getOrElse(now))
+            .getOrElse(now),
+          prevPcols.getOrElse(pcols))
         lines += mapper.writeValueAsString(node)
         effectiveMeta = Some(node.get("metaData").asInstanceOf[ObjectNode])
       } else effectiveMeta = prev
@@ -377,7 +403,10 @@ object DeltaLog {
       val n = mapper.createObjectNode()
       val a = n.putObject("add")
       a.put("path", encodePath(rel))
-      a.putObject("partitionValues")
+      val pv = a.putObject("partitionValues")
+      partSegments(rel).foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v); ()
+      }
       a.put("size", Files.size(table.resolve(rel)))
       a.put("modificationTime",
         Files.getLastModifiedTime(table.resolve(rel)).toMillis)
@@ -833,19 +862,23 @@ object DeltaLog {
         .asInstanceOf[StructType])
       .getOrElse(sys.error(s"$dir: no metaData action in log"))
 
-  /** True when `f`'s path embeds every partition column as a Hive-style
-    * `col=value` directory segment AGREEING with the log's
-    * partitionValues — the layout stock delta-spark writes. Escaping is
-    * Hive's own path escaping (what Spark's partition discovery
-    * un-escapes), null = `__HIVE_DEFAULT_PARTITION__`.
+  /** True when `f`'s path starts with the Hive-style `col=value`
+    * directory chain — one segment per partition column, IN ORDER,
+    * DIRECTLY under the table root, AGREEING with the log's
+    * partitionValues. That's the layout stock delta-spark writes, and
+    * exactly what Spark's partition discovery accepts (partition dirs
+    * anywhere deeper — e.g. nested inside TxLog batch dirs — would trip
+    * CONFLICTING_DIRECTORY_STRUCTURES, so those route to the grouped
+    * fallback). Escaping is Hive's own path escaping, null =
+    * `__HIVE_DEFAULT_PARTITION__`.
     */
   private def hiveStyle(f: LiveFile, pcs: Seq[String]): Boolean = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-    val segs = f.path.split("/").toSet
-    pcs.forall { c =>
+    val segs = f.path.split("/")
+    segs.length > pcs.length && pcs.zipWithIndex.forall { case (c, i) =>
       val v = f.partitionValues.getOrElse(c, null)
-      segs.contains(escapePathName(c) + "=" +
-        (if (v == null) "__HIVE_DEFAULT_PARTITION__" else escapePathName(v)))
+      segs(i) == escapePathName(c) + "=" +
+        (if (v == null) "__HIVE_DEFAULT_PARTITION__" else escapePathName(v))
     }
   }
 
@@ -1265,11 +1298,26 @@ object DeltaLog {
       table
     })
 
+  // Write-side partitioned fixture: TxLog commits WITH partitionBy — the
+  // mirror derives partitionValues from the hive segments, closing the
+  // loop: partitioned transactional write → Delta log → pruned read.
+  private def txPartitionedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"txpart:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_part").toString
+      val ev = graft.Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        table, partitionBy = Seq("event_type"))
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        table, partitionBy = Seq("event_type"))
+      table
+    })
+
   def prepare(spark: SparkSession, dir: String): Unit = {
     deltaTable(spark, dir)
     deltaRangedTable(spark, dir)
     deltaPartitionedTable(spark, dir)
     deltaVacuumedTable(spark, dir)
+    txPartitionedTable(spark, dir)
     ()
   }
 
@@ -1350,12 +1398,29 @@ object DeltaLog {
       |FROM events WHERE event_id % 3 = 1
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked partitioned WRITE: two TxLog commits with
+    * `partitionBy("event_type")`, read back through the Delta mirror
+    * with a partition-range predicate — the mirror's path-derived
+    * partitionValues must prune and the reattached column must
+    * aggregate exactly.
+    */
+  def txPartitionedQuery(spark: SparkSession, dir: String): DataFrame =
+    skipScan(spark, txPartitionedTable(spark, dir), Seq(("event_type", "a", "m")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val txPartitionedQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_type BETWEEN 'a' AND 'm'
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_delta_snapshot" -> snapshotQuery _,
     "q_delta_skipping" -> skippingQuery _,
     "q_delta_partitioned" -> partitionedQuery _,
     "q_delta_changes" -> changesQuery _,
-    "q_delta_vacuum" -> vacuumQuery _
+    "q_delta_vacuum" -> vacuumQuery _,
+    "q_txlog_partitioned" -> txPartitionedQuery _
   )
 
   def oracles: Map[String, String] = Map(
@@ -1363,6 +1428,7 @@ object DeltaLog {
     "q_delta_skipping" -> skippingQueryOracle,
     "q_delta_partitioned" -> partitionedQueryOracle,
     "q_delta_changes" -> changesQueryOracle,
-    "q_delta_vacuum" -> vacuumQueryOracle
+    "q_delta_vacuum" -> vacuumQueryOracle,
+    "q_txlog_partitioned" -> txPartitionedQueryOracle
   )
 }

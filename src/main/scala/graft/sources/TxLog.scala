@@ -65,14 +65,24 @@ object TxLog {
   private def readManifest(table: Path, v: Long): Seq[String] =
     Files.readAllLines(manifestPath(table, v)).asScala.toSeq.filter(_.nonEmpty)
 
-  private def writeBatch(df: DataFrame, table: Path): Seq[String] = {
+  /** Data-parquet files under `p`, recursively, as table-relative paths
+    * — partitioned batches nest `col=value` directories. */
+  private def dataFilesUnder(p: Path, prefix: String): Seq[String] =
+    listDir(p).flatMap { f =>
+      val n = f.getFileName.toString
+      if (Files.isDirectory(f)) dataFilesUnder(f, s"$prefix$n/")
+      else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        Seq(s"$prefix$n")
+      else Seq.empty
+    }
+
+  private def writeBatch(df: DataFrame, table: Path,
+      partitionBy: Seq[String]): Seq[String] = {
     val batch = "data-" + java.util.UUID.randomUUID().toString
-    df.write.parquet(table.resolve(batch).toString)
-    listDir(table.resolve(batch)).iterator
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-      .map(n => s"$batch/$n")
-      .toSeq.sorted
+    val w = df.write
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(table.resolve(batch).toString)
+    dataFilesUnder(table.resolve(batch), s"$batch/").sorted
   }
 
   /** Highest TxLog version known mirrored to Delta with no gaps below
@@ -156,11 +166,19 @@ object TxLog {
     committed
   }
 
-  /** Append `df` as one atomic commit; returns the new version. */
-  def commitAppend(df: DataFrame, dir: String): Long = {
+  /** Append `df` as one atomic commit; returns the new version.
+    * `partitionBy` writes the batch hive-style (`col=value` dirs) — the
+    * 100 TB ingest layout: snapshot reads prune partitions, and the
+    * Delta mirror derives per-file `partitionValues` from the same
+    * path segments, so foreign readers prune too. A table's
+    * partitioning is fixed at its first commit (like Delta's).
+    */
+  def commitAppend(df: DataFrame, dir: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
-    val v = commitFiles(dir, writeBatch(df, table), carryPrevious = true, df.schema.json)
+    val v = commitFiles(dir, writeBatch(df, table, partitionBy),
+      carryPrevious = true, df.schema.json)
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
   }
@@ -169,10 +187,12 @@ object TxLog {
     * readers see the old version until the manifest lands, then the new
     * one, never a mix.
     */
-  def commitOverwrite(df: DataFrame, dir: String): Long = {
+  def commitOverwrite(df: DataFrame, dir: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
-    val v = commitFiles(dir, writeBatch(df, table), carryPrevious = false, df.schema.json)
+    val v = commitFiles(dir, writeBatch(df, table, partitionBy),
+      carryPrevious = false, df.schema.json)
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
   }
@@ -219,38 +239,66 @@ object TxLog {
       .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("data-"))
       .foreach { d =>
         val batch = d.getFileName.toString
-        val files = listDir(d)
-        val (kept, junk) = files.partition { f =>
-          val n = f.getFileName.toString
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-            keep(s"$batch/$n")
-        }
+        // recursive: partitioned batches nest col=value directories
+        def allFiles(p: Path): Seq[Path] = listDir(p).flatMap(f =>
+          if (Files.isDirectory(f)) allFiles(f) else Seq(f))
+        val (keptRels, junkRels) =
+          dataFilesUnder(d, s"$batch/").partition(keep)
         // per-batch age gate: any young file marks the whole directory
         // as a possible in-flight write — touch nothing in it
-        if (files.forall(oldEnough)) {
-          if (kept.isEmpty) {
-            // whole batch unreferenced and aged out: remove it,
+        if (allFiles(d).forall(oldEnough)) {
+          if (keptRels.isEmpty) {
+            // whole batch unreferenced and aged out: remove the tree,
             // sidecars included
-            junk.foreach { f =>
-              if (f.getFileName.toString.endsWith(".parquet")) deleted += 1
-              Files.delete(f)
+            def rm(p: Path): Unit = {
+              listDir(p).foreach(f =>
+                if (Files.isDirectory(f)) rm(f) else Files.delete(f))
+              Files.delete(p)
             }
-            Files.delete(d)
+            deleted += junkRels.size
+            rm(d)
           } else {
-            junk.filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-              Files.delete(f); deleted += 1
+            junkRels.foreach { rel => Files.delete(table.resolve(rel)); deleted += 1 }
+            // prune partition dirs the sweep emptied
+            def pruneEmpty(p: Path): Unit = {
+              listDir(p).filter(Files.isDirectory(_)).foreach(pruneEmpty)
+              if (p != d && listDir(p).isEmpty) Files.delete(p)
             }
+            pruneEmpty(d)
           }
         }
       }
     (deleted, keep.size.toLong)
   }
 
-  /** Snapshot-isolated read of a committed version (default: latest). */
+  /** Snapshot-isolated read of a committed version (default: latest).
+    * Files are read PER BATCH with the batch directory as `basePath`:
+    * Spark's partition discovery then turns a partitioned batch's
+    * `col=value` segments into typed partition columns (pruned by
+    * partition predicates), and demands nothing of the other batches —
+    * partition dirs must sit directly under basePath, which holds
+    * within a batch but not across them. Flat batches read identically
+    * to before (basePath is inert without partition dirs); the union is
+    * O(batches) in plan size, the same count the manifest already
+    * enumerates. Partition-column types are INFERRED here (manifests
+    * don't record a schema); the Delta mirror read
+    * (`DeltaLog.snapshot`) types them from metaData.schemaString when
+    * exactness matters.
+    */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val table = Paths.get(dir)
-    val files = readManifest(table, version).map(rel => table.resolve(rel).toString)
-    spark.read.parquet(files: _*)
+    val rels = readManifest(table, version)
+    // flat tables (no hive segment anywhere) keep the single flat scan —
+    // identical plan AND identical float-sum association to always
+    if (!rels.exists(_.split("/").exists(_.contains("="))))
+      spark.read.parquet(rels.map(rel => table.resolve(rel).toString): _*)
+    else rels.groupBy(_.split("/").head)
+      .toSeq.sortBy(_._1)
+      .map { case (batch, fs) =>
+        spark.read.option("basePath", table.resolve(batch).toString)
+          .parquet(fs.map(rel => table.resolve(rel).toString): _*)
+      }
+      .reduce(_.unionByName(_))
   }
 
   def snapshot(spark: SparkSession, dir: String): DataFrame =

@@ -942,6 +942,52 @@ class DeltaLogSpec extends SparkSpec {
       "checkpoint add rows must retain stats")
   }
 
+  test("partitioned TxLog writes mirror partitionValues and read back pruned") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      t, partitionBy = Seq("event_type"))
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      t, partitionBy = Seq("event_type"))
+    // mirror: metaData declares the partitioning, every add carries its
+    // path-derived value
+    val meta = actions(t, 0L).flatMap(n => Option(n.get("metaData"))).head
+    assert(meta.get("partitionColumns").size() == 1 &&
+      meta.get("partitionColumns").get(0).asText() == "event_type")
+    actions(t, 0L).flatMap(n => Option(n.get("add"))).foreach { a =>
+      val fromPath = DeltaLog.pathDecode(a.get("path").asText())
+        .split("/").find(_.startsWith("event_type=")).get
+        .stripPrefix("event_type=")
+      assert(a.get("partitionValues").get("event_type").asText() == fromPath)
+      // partitioned data files must NOT carry the partition column
+      assert(!a.get("stats").asText().contains("\"event_type\""))
+    }
+    // TxLog read recovers the column via partition discovery
+    val viaTx = TxLog.snapshot(s, t)
+    assert(viaTx.columns.contains("event_type"))
+    assert(viaTx.count() == ev.count())
+    // Delta read: schemaString ordering + typing, full equality
+    val viaDelta = DeltaLog.snapshot(s, t)
+    assert(viaDelta.columns.toSeq == ev.columns.toSeq)
+    assert(viaDelta.count() == ev.count())
+    assert(viaDelta.groupBy(col("event_type")).count().orderBy("event_type")
+      .collect().toSeq ==
+      ev.groupBy(col("event_type")).count().orderBy("event_type")
+        .collect().toSeq)
+    // partition pruning on the mirror
+    val one = DeltaLog.skipScan(s, t, Seq(("event_type", "click", "click")))
+    assert(one.count() == ev.filter(col("event_type") === "click").count())
+    assert(DeltaLog.lastSkipScan._2 < DeltaLog.lastSkipScan._1,
+      "a single-partition predicate must prune the other partitions' files")
+    // and a partitioned OVERWRITE tombstones every replaced file
+    TxLog.commitOverwrite(ev.filter(col("event_type") === "view"),
+      t, partitionBy = Seq("event_type"))
+    assert(DeltaLog.snapshot(s, t).count() ==
+      ev.filter(col("event_type") === "view").count())
+  }
+
   test("changesBetween reads only the window's surviving adds") {
     val s = spark
     import org.apache.spark.sql.functions._

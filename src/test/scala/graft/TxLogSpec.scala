@@ -92,6 +92,37 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(s, t).count() == before)
   }
 
+  test("vacuum sweeps partitioned batches recursively and prunes emptied partition dirs") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500),
+      t, partitionBy = Seq("event_type"))
+    TxLog.commitOverwrite(events.filter(col("event_id") >= 500)
+        .filter(col("event_type") === "view"),
+      t, partitionBy = Seq("event_type"))
+    val expected = events.filter(col("event_id") >= 500)
+      .filter(col("event_type") === "view").count()
+    val (deleted, _) = TxLog.vacuum(t, retainVersions = 1, minAgeMs = 0L)
+    assert(deleted > 0, "the overwritten partitioned batch must be swept")
+    // the raw recursive glob now equals the retained snapshot — proof the
+    // nested col=value files were really deleted
+    val dirty = s.read
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.parquet")
+      .parquet(t)
+    assert(dirty.count() == expected)
+    // the emptied batch directory tree is gone entirely
+    val stray = Files.list(java.nio.file.Paths.get(t)).iterator()
+    val batchDirs = new scala.collection.mutable.ArrayBuffer[String]
+    while (stray.hasNext) {
+      val p = stray.next()
+      if (p.getFileName.toString.startsWith("data-")) batchDirs += p.toString
+    }
+    assert(batchDirs.size == 1, s"swept batch dirs must be removed: $batchDirs")
+    // snapshot (with partition discovery) still reads clean
+    assert(TxLog.snapshot(s, t).count() == expected)
+  }
+
   test("change feed between identical versions is empty, not a crash") {
     val s = spark
     import org.apache.spark.sql.functions._
