@@ -252,11 +252,16 @@ object DeltaLog {
         val stats = chunks.map(c => Option(c.getStatistics))
         if (stats.nonEmpty && stats.forall(_.exists(_.isNumNullsSet)))
           nullC.put(name, stats.flatten.map(_.getNumNulls).sum)
-        // min/max only when every row group has usable stats; all-null
-        // groups (hasNonNullValue=false) contribute nothing but don't
-        // invalidate the column
-        val usable = stats.forall(_.isDefined) &&
-          stats.flatten.forall(s => s.isNumNullsSet || s.hasNonNullValue)
+        // min/max only when every row group has usable stats. A group
+        // with hasNonNullValue=false is trustworthy ONLY when it is
+        // PROVABLY all-null (numNulls == valueCount): parquet-mr also
+        // omits min/max — while still recording null_count — when the
+        // values exceed its stats size cap, and emitting bounds from the
+        // other groups alone would be too narrow and wrongly prune.
+        val usable = chunks.zip(stats).forall { case (c, so) =>
+          so.exists(s => s.hasNonNullValue ||
+            (s.isNumNullsSet && s.getNumNulls == c.getValueCount))
+        }
         val withVals = stats.flatten.filter(_.hasNonNullValue)
         if (usable && withVals.nonEmpty) {
           val logical = Option(prim.getLogicalTypeAnnotation)
@@ -373,8 +378,7 @@ object DeltaLog {
         // schema changed (or the aged-out prefix hides it — re-emitting is
         // idempotent under last-metaData-wins): keep id/createdTime/
         // partitionColumns stable from the previous metaData when known
-        val prevPcols = prev.flatMap(m => Option(m.get("partitionColumns")))
-          .map(_.asScala.map(_.asText()).toSeq)
+        val prevPcols = prev.map(m => partitionColsOf(Some(m)))
         val node = metaDataNode(table, schemaJson,
           prev.map(_.get("id").asText()).getOrElse(stableTableId(table)),
           prev.filter(_.has("createdTime")).map(_.get("createdTime").asLong())
@@ -1015,7 +1019,10 @@ object DeltaLog {
   private def keepCond(statsCol: org.apache.spark.sql.Column,
       tableSchema: StructType,
       preds: Seq[(String, Any, Any)]): org.apache.spark.sql.Column = {
-    val fields = preds.map { case (c, _, _) =>
+    // distinct by name: two predicates on one column (a legal way to
+    // express two bounds) must not yield duplicate struct fields, which
+    // would make getField ambiguous
+    val fields = preds.map(_._1).distinct.map { c =>
       tableSchema.find(_.name == c).getOrElse(
         sys.error(s"skipScan: no column '$c' in the table schema"))
     }
@@ -1025,12 +1032,13 @@ object DeltaLog {
       StructField("maxValues", StructType(fields.map(f => StructField(f.name, f.dataType)))),
       StructField("nullCount", StructType(fields.map(f => StructField(f.name, LongType))))))
     val s = from_json(statsCol, statsSchema)
-    preds.zip(fields).map { case ((c, lo, hi), f) =>
+    preds.map { case (c, lo, hi) =>
+      val dt = fields.find(_.name == c).get.dataType
       val loOk = Option(lo).map(v =>
-        coalesce(s.getField("maxValues").getField(c) >= lit(v).cast(f.dataType), lit(true)))
+        coalesce(s.getField("maxValues").getField(c) >= lit(v).cast(dt), lit(true)))
         .getOrElse(lit(true))
       val hiOk = Option(hi).map(v =>
-        coalesce(s.getField("minValues").getField(c) <= lit(v).cast(f.dataType), lit(true)))
+        coalesce(s.getField("minValues").getField(c) <= lit(v).cast(dt), lit(true)))
         .getOrElse(lit(true))
       loOk && hiOk
     }.reduce(_ && _)
@@ -1148,20 +1156,30 @@ object DeltaLog {
     if (missing.nonEmpty)
       sys.error(s"$dir: commit files for versions ${missing.mkString(",")} " +
         "are missing (aged out?) — the change feed needs the JSON history")
-    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, LiveFile]
     need.foreach { v =>
       Files.readAllLines(commitPath(table, v)).asScala
         .filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
-          if (node.has("add"))
-            added += decodePath(node.get("add").get("path").asText())
+          if (node.has("add")) {
+            val a = node.get("add")
+            val p = decodePath(a.get("path").asText())
+            val pv = Option(a.get("partitionValues")).map(_.fields().asScala
+              .map(e => e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+              .getOrElse(Map.empty[String, String])
+            added += p -> LiveFile(p, pv, None)
+          }
           if (node.has("remove"))
             added -= decodePath(node.get("remove").get("path").asText())
         }
     }
-    if (added.nonEmpty)
-      spark.read.parquet(added.toSeq.map(rel => table.resolve(rel).toString): _*)
-    else snapshotAt(spark, dir, toV).limit(0)
+    // read through readFiles so partitioned tables get their partition
+    // columns reattached (added data files don't contain them), and the
+    // empty-window feed carries the same metaData schema as a non-empty
+    // one instead of a limit(0) of the snapshot
+    val (_, meta) = replay(spark, table, toV)
+    readFiles(spark, table, added.values.toSeq, meta)
   }
 
   /** Delta-protocol VACUUM: physically delete data files that are
@@ -1182,9 +1200,20 @@ object DeltaLog {
     val table = Paths.get(dir)
     val latest = (versions(dir) ++ lastCheckpointVersion(table))
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
-    val (files, _) = replay(spark, table, latest)
-    val keep = files.map(_.path).toSet
+    val pl = replayPlan(table, latest)
+    val (live, tombstones, _) = liveState(spark, table, pl)
+    val keep = live.select("path").collect()
+      .map(r => decodePath(r.getString(0))).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
+    // the retention contract protects RECENTLY-TOMBSTONED files even when
+    // the files themselves are old: a reader of the pre-overwrite snapshot
+    // may still hold their paths for deletedFileRetentionDuration. A null
+    // deletionTimestamp (spec-optional) is protected too — age unknown.
+    val protectedTombstones = tombstones
+      .filter(col("deletionTimestamp").isNull ||
+        col("deletionTimestamp") >= cutoff)
+      .select("path").collect()
+      .map(r => decodePath(r.getString(0))).toSet
     var deleted = 0L
     def walk(p: Path): Unit = listDir(p).foreach { f =>
       val name = f.getFileName.toString
@@ -1197,8 +1226,13 @@ object DeltaLog {
         }
       } else if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
         val rel = table.relativize(f).toString
-        if (!keep(rel) && Files.getLastModifiedTime(f).toMillis <= cutoff) {
+        if (!keep(rel) && !protectedTombstones(rel) &&
+            Files.getLastModifiedTime(f).toMillis <= cutoff) {
           Files.delete(f)
+          // a parquet's .crc sidecar must go with it, or the sweep can
+          // never empty a partition directory (Spark's local-FS writer
+          // leaves one per part file)
+          Files.deleteIfExists(f.resolveSibling("." + name + ".crc"))
           deleted += 1
         }
       }

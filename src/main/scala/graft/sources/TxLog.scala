@@ -101,6 +101,13 @@ object TxLog {
     */
   private[graft] def resetMirrorCache(): Unit = mirrorFloor.clear()
 
+  /** Partition-column names a manifest-relative path encodes (hive
+    * `col=value` segments, escaped form — equality is all that's
+    * needed). */
+  private def pathPartCols(rel: String): Seq[String] =
+    rel.split("/").dropRight(1).toSeq.filter(_.contains("="))
+      .map(seg => seg.take(seg.indexOf('=')))
+
   private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean,
       schemaJson: String): Long = {
     val table = Paths.get(dir)
@@ -110,6 +117,19 @@ object TxLog {
       val cur = currentVersion(dir)
       val next = cur.getOrElse(0L) + 1
       val previous = cur.map(readManifest(table, _)).getOrElse(Seq.empty)
+      // a table's partitioning is FIXED at its first commit (Delta's own
+      // rule): a mismatched later commit would silently corrupt reads —
+      // the mirror's metaData would disagree with the files' layout and
+      // the grouped fallback would null out or drop the column. Enforced
+      // loudly against the PREVIOUS manifest's layout (overwrites
+      // included — repartitioning a table is a new table).
+      for (p <- previous.headOption; a <- added.headOption) {
+        val (pc, ac) = (pathPartCols(p), pathPartCols(a))
+        if (pc != ac)
+          sys.error(s"$dir: partitioning is fixed at the first commit — " +
+            s"table is partitioned by [${pc.mkString(",")}] but this commit " +
+            s"writes [${ac.mkString(",")}]")
+      }
       val all = (if (carryPrevious) previous else Seq.empty) ++ added
       removed = if (carryPrevious) Seq.empty else previous
       val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
@@ -258,7 +278,15 @@ object TxLog {
             deleted += junkRels.size
             rm(d)
           } else {
-            junkRels.foreach { rel => Files.delete(table.resolve(rel)); deleted += 1 }
+            junkRels.foreach { rel =>
+              val f = table.resolve(rel)
+              Files.delete(f)
+              // the .crc sidecar goes with its parquet, or the dir-prune
+              // below can never fire for swept partition directories
+              Files.deleteIfExists(
+                f.resolveSibling("." + f.getFileName.toString + ".crc"))
+              deleted += 1
+            }
             // prune partition dirs the sweep emptied
             def pruneEmpty(p: Path): Unit = {
               listDir(p).filter(Files.isDirectory(_)).foreach(pruneEmpty)
@@ -285,11 +313,13 @@ object TxLog {
     * (`DeltaLog.snapshot`) types them from metaData.schemaString when
     * exactness matters.
     */
-  def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val table = Paths.get(dir)
-    val rels = readManifest(table, version)
-    // flat tables (no hive segment anywhere) keep the single flat scan —
-    // identical plan AND identical float-sum association to always
+  /** Read a set of manifest-relative files, recovering partition
+    * columns. Flat layouts (no hive segment anywhere) keep the single
+    * flat scan — identical plan AND identical float-sum association to
+    * always; partitioned layouts read per batch so each batch dir
+    * anchors its own partition discovery.
+    */
+  private def readRels(spark: SparkSession, table: Path, rels: Seq[String]): DataFrame =
     if (!rels.exists(_.split("/").exists(_.contains("="))))
       spark.read.parquet(rels.map(rel => table.resolve(rel).toString): _*)
     else rels.groupBy(_.split("/").head)
@@ -299,7 +329,9 @@ object TxLog {
           .parquet(fs.map(rel => table.resolve(rel).toString): _*)
       }
       .reduce(_.unionByName(_))
-  }
+
+  def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readRels(spark, Paths.get(dir), readManifest(Paths.get(dir), version))
 
   def snapshot(spark: SparkSession, dir: String): DataFrame =
     snapshotAt(spark, dir, currentVersion(dir).getOrElse(
@@ -405,10 +437,11 @@ object TxLog {
     val table = Paths.get(dir)
     val before = readManifest(table, fromV).toSet
     val added = readManifest(table, toV).filterNot(before)
-      .map(rel => table.resolve(rel).toString)
     // an empty delta (identical manifests) is a valid empty feed, not a
-    // schema-inference error: derive the schema from the target snapshot
-    if (added.nonEmpty) spark.read.parquet(added: _*)
+    // schema-inference error: derive the schema from the target snapshot.
+    // readRels keeps partition columns for partitioned batches — the
+    // change feed must carry the same schema as the snapshot.
+    if (added.nonEmpty) readRels(spark, table, added)
     else snapshotAt(spark, dir, toV).limit(0)
   }
 

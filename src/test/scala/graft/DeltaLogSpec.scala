@@ -1040,6 +1040,64 @@ class DeltaLogSpec extends SparkSpec {
       "young tombstones are protected by the retention window")
   }
 
+  test("vacuum honors the retention window via tombstone time, not file age") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val a = events.filter(pmod(col("event_id"), lit(3)) === 0)
+    val b = events.filter(pmod(col("event_id"), lit(3)) === 1)
+    TxLog.commitAppend(a, t)
+    // age the FILES far past retention — only the tombstone is young
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    Files.walk(Paths.get(t)).iterator.asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .foreach(Files.setLastModifiedTime(_, old))
+    TxLog.commitOverwrite(b, t) // tombstones a's old files NOW
+    val (deleted, _) = DeltaLog.vacuum(s, t) // default 7-day retention
+    assert(deleted == 0L,
+      "files tombstoned minutes ago must survive default-retention vacuum " +
+        "even when the files themselves are 30 days old — readers of the " +
+        "pre-overwrite snapshot may still hold their paths")
+    assert(DeltaLog.snapshotAt(s, t, 0L).count() == a.count(),
+      "time travel within the retention window must still work")
+    val (deleted2, _) = DeltaLog.vacuum(s, t, retentionMs = 0L)
+    assert(deleted2 > 0L, "an expired retention window sweeps them")
+  }
+
+  test("changesBetween reattaches partition columns on partitioned tables") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      t, partitionBy = Seq("event_type"))
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      t, partitionBy = Seq("event_type"))
+    val feed = DeltaLog.changesBetween(s, t, 0L, 1L)
+    assert(feed.columns.toSeq == ev.columns.toSeq,
+      "the feed must carry the metaData schema incl. the partition column")
+    val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    assert(feed.count() == odd.count())
+    assert(feed.groupBy(col("event_type")).count().orderBy("event_type").collect().toSeq ==
+      odd.groupBy(col("event_type")).count().orderBy("event_type").collect().toSeq,
+      "partition values in the feed come from the log")
+    // an empty window carries the SAME schema, not a different shape
+    assert(DeltaLog.changesBetween(s, t, 1L, 1L).columns.toSeq == ev.columns.toSeq)
+  }
+
+  test("skipScan accepts two predicates on the same column") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500), t)
+    TxLog.commitAppend(events.filter(col("event_id") >= 500), t)
+    val res = DeltaLog.skipScan(s, t,
+      Seq(("event_id", 100L, null), ("event_id", null, 300L)))
+    assert(res.count() == events.filter(col("event_id").between(100, 300)).count(),
+      "duplicate-column predicates must compose, not crash on a duplicate struct field")
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._

@@ -123,6 +123,41 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(s, t).count() == expected)
   }
 
+  test("a table's partitioning is fixed at the first commit") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100),
+      t, partitionBy = Seq("event_type"))
+    val e1 = intercept[RuntimeException] {
+      TxLog.commitAppend(events.filter(col("event_id") >= 900), t)
+    }
+    assert(e1.getMessage.contains("partitioning is fixed"),
+      "a flat commit into a partitioned table must fail loudly")
+    val t2 = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t2)
+    val e2 = intercept[RuntimeException] {
+      TxLog.commitOverwrite(events.filter(col("event_id") >= 900),
+        t2, partitionBy = Seq("event_type"))
+    }
+    assert(e2.getMessage.contains("partitioning is fixed"),
+      "repartitioning via overwrite is a new table, not a commit")
+  }
+
+  test("change feed keeps partition columns for partitioned tables") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500),
+      t, partitionBy = Seq("event_type"))
+    TxLog.commitAppend(events.filter(col("event_id") >= 500),
+      t, partitionBy = Seq("event_type"))
+    val feed = TxLog.changesBetween(s, t, 1L, 2L)
+    assert(feed.columns.contains("event_type"),
+      "added hive-layout files must read back with their partition column")
+    assert(feed.count() == events.filter(col("event_id") >= 500).count())
+  }
+
   test("change feed between identical versions is empty, not a crash") {
     val s = spark
     import org.apache.spark.sql.functions._
