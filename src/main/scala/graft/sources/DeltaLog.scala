@@ -462,9 +462,40 @@ object DeltaLog {
     * existed. Real Delta readers make the same demand of the log.
     */
   private case class ReplayPlan(cpV: Long, tail: Seq[Long]) {
-    def cpPath(table: Path): Option[Path] =
-      if (cpV < 0) None
-      else Some(logDir(table).resolve(f"$cpV%020d.checkpoint.parquet"))
+    /** The checkpoint's parquet file(s): the classic single file, or the
+      * MULTI-PART set `V.checkpoint.I-of-N.parquet` stock Delta writes
+      * for large tables (actions split arbitrarily across parts; a
+      * reader loads them all). An incomplete part set fails loudly —
+      * silently replaying a partial checkpoint would fabricate a table
+      * state that never existed.
+      */
+    def cpPaths(table: Path): Seq[Path] =
+      if (cpV < 0) Seq.empty
+      else {
+        val single = logDir(table).resolve(f"$cpV%020d.checkpoint.parquet")
+        if (Files.exists(single)) Seq(single)
+        else {
+          val prefix = f"$cpV%020d.checkpoint."
+          val parts = listDir(logDir(table)).filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(prefix) && n.endsWith(".parquet")
+          }.sortBy(_.getFileName.toString)
+          if (parts.isEmpty)
+            sys.error(s"$table: _last_checkpoint names version $cpV but no " +
+              "checkpoint file exists")
+          // names carry part-of-total: validate the set is complete
+          val totals = parts.map(_.getFileName.toString
+            .stripPrefix(prefix).stripSuffix(".parquet").split("\\."))
+          if (totals.exists(_.length != 2))
+            sys.error(s"$table: malformed multi-part checkpoint names for version $cpV")
+          val n = totals.head(1).toLong
+          val nums = totals.map(_(0).toLong).sorted
+          if (totals.exists(_(1).toLong != n) || nums != (1L to n))
+            sys.error(s"$table: incomplete multi-part checkpoint for version " +
+              s"$cpV — have parts ${nums.mkString(",")} of $n")
+          parts
+        }
+      }
   }
 
   private def replayPlan(table: Path, upTo: Long): ReplayPlan = {
@@ -489,7 +520,7 @@ object DeltaLog {
     * (one stat per log file), never touches data.
     */
   private def replayBytes(table: Path, pl: ReplayPlan): Long =
-    pl.cpPath(table).filter(Files.exists(_)).map(Files.size).getOrElse(0L) +
+    pl.cpPaths(table).filter(Files.exists(_)).map(Files.size).sum +
       pl.tail.map(v => Files.size(commitPath(table, v))).sum
 
   /** Replay logs at most this large on the driver; larger ones go through
@@ -547,8 +578,11 @@ object DeltaLog {
     */
   private def actionsDF(spark: SparkSession, table: Path, pl: ReplayPlan): DataFrame = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    pl.cpPath(table).foreach { cp =>
-      var df = spark.read.parquet(cp.toString)
+    val cps = pl.cpPaths(table)
+    if (cps.nonEmpty) {
+      // single classic file or all parts of a multi-part checkpoint —
+      // one scan either way (parts share a schema)
+      var df = spark.read.parquet(cps.map(_.toString): _*)
       // checkpoints written before tombstone support lack the remove column
       if (!df.columns.contains("remove"))
         df = df.withColumn("remove", lit(null).cast(removeType))
@@ -650,8 +684,9 @@ object DeltaLog {
       pl: ReplayPlan): (Seq[LiveFile], Option[ObjectNode]) = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LiveFile]
     var meta: Option[ObjectNode] = None
-    pl.cpPath(table).foreach { cp =>
-      val df = spark.read.parquet(cp.toString)
+    val cps = pl.cpPaths(table)
+    if (cps.nonEmpty) {
+      val df = spark.read.parquet(cps.map(_.toString): _*)
       val addFields = df.schema("add").dataType
         .asInstanceOf[StructType].fieldNames.toSet
       def optField(name: String, t: DataType) =
@@ -749,11 +784,13 @@ object DeltaLog {
     * pointer still names a valid checkpoint whose later JSON commits
     * exist until a compaction that itself re-checkpoints).
     */
-  private[graft] def writeLastCheckpoint(table: Path, v: Long, size: Long): Unit = {
+  private[graft] def writeLastCheckpoint(table: Path, v: Long, size: Long,
+      parts: Option[Int] = None): Unit = {
     if (lastCheckpointVersion(table).exists(_ > v)) return
     val lc = mapper.createObjectNode()
     lc.put("version", v)
     lc.put("size", size)
+    parts.foreach(lc.put("parts", _))
     val lcTmp = Files.createTempFile(logDir(table), ".lc-", ".tmp")
     Files.writeString(lcTmp, mapper.writeValueAsString(lc))
     Files.move(lcTmp, logDir(table).resolve("_last_checkpoint"),
@@ -771,11 +808,15 @@ object DeltaLog {
     * the log without breaking them — Delta's log-compaction contract.
     *
     * Built on the DISTRIBUTED reconstruction unconditionally: the row
-    * build and last-wins dedup run in executors, and only the single
-    * coalesced output task funnels through one writer — so checkpointing
-    * a 10M-file table never folds per-action state in driver memory.
+    * build and last-wins dedup run in executors. Above
+    * [[partActionTarget]] actions (or when `parts` forces it) the write
+    * is MULTI-PART (`V.checkpoint.I-of-N.parquet` + a `parts` field in
+    * `_last_checkpoint`, the stock Delta large-table format), so even
+    * the output write stays parallel; small checkpoints keep the classic
+    * single file.
     */
-  def checkpoint(spark: SparkSession, dir: String): Long = {
+  def checkpoint(spark: SparkSession, dir: String,
+      parts: Option[Int] = None): Long = {
     val table = Paths.get(dir)
     val v = (versions(dir) ++ lastCheckpointVersion(table))
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
@@ -823,31 +864,62 @@ object DeltaLog {
     val body = addRows.unionByName(removeRows, allowMissingColumns = true)
     val rows = header.unionByName(body, allowMissingColumns = true)
       .select("protocol", "metaData", "add", "remove")
+    val nActions = rows.count()
+    // MULTI-PART when the action count warrants it (or a spec forces it):
+    // a 10M-file table's checkpoint must not funnel through one writer
+    // task — stock Delta splits exactly this way (V.checkpoint.I.N
+    // .parquet, actions distributed arbitrarily across parts).
+    val wantParts = parts.getOrElse(
+      math.max(1L, (nActions + partActionTarget - 1) / partActionTarget).toInt)
     val tmpDir = graft.Scratch.dir("graft_delta_ckpt")
-    rows.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = {
-      val s = Files.list(tmpDir)
-      try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error("checkpoint write produced no parquet part"))
-      finally s.close()
-    }
-    val nActions = spark.read.parquet(part.toString).count()
-    val target = logDir(table).resolve(f"$v%020d.checkpoint.parquet")
+    (if (wantParts > 1) rows.repartition(wantParts) else rows.coalesce(1))
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    // empty partitions write no file: the ACTUAL file count is N
+    val written = listDir(tmpDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+    if (written.isEmpty) sys.error("checkpoint write produced no parquet part")
+    val n = written.size
     // Scratch may be tmpfs while the table is on disk: a direct cross-fs
     // Files.move degrades to copy+delete, and a concurrent reader could
     // open a truncated checkpoint. Stage into the log dir (same fs as the
     // target) first, then rename atomically — re-checkpointing the same
-    // version writes identical content, so REPLACE is safe.
-    val stagedTmp = Files.createTempFile(logDir(table), ".ckpt-", ".tmp")
-    Files.copy(part, stagedTmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.move(stagedTmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.deleteIfExists(part)
+    // version writes identical logical content, so REPLACE is safe.
+    def land(src: Path, target: Path): Unit = {
+      val stagedTmp = Files.createTempFile(logDir(table), ".ckpt-", ".tmp")
+      Files.copy(src, stagedTmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.move(stagedTmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.deleteIfExists(src)
+    }
+    if (n == 1)
+      land(written.head, logDir(table).resolve(f"$v%020d.checkpoint.parquet"))
+    else
+      written.zipWithIndex.foreach { case (src, i) =>
+        land(src, logDir(table).resolve(
+          f"$v%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"))
+      }
+    // stale part files from a prior re-checkpoint of the SAME version
+    // with a different part count would corrupt the glob-discovered set;
+    // sweep them once the new set is fully landed
+    val keepNames = (if (n == 1) Seq(f"$v%020d.checkpoint.parquet")
+      else (1 to n).map(i => f"$v%020d.checkpoint.$i%010d.$n%010d.parquet")).toSet
+    listDir(logDir(table)).foreach { p =>
+      val nm = p.getFileName.toString
+      if (nm.startsWith(f"$v%020d.checkpoint.") && nm.endsWith(".parquet") &&
+          !keepNames(nm))
+        Files.deleteIfExists(p)
+    }
     // pointer flips atomically too (and never regresses): a reader must
     // never see a truncated or older-than-known _last_checkpoint
-    writeLastCheckpoint(table, v, nActions)
+    writeLastCheckpoint(table, v, nActions, if (n > 1) Some(n) else None)
     v
   }
+
+  /** Actions per checkpoint part before the write splits multi-part.
+    * @volatile: lowered by specs to force the multi-part path on
+    * fixture-scale logs. */
+  @volatile private[graft] var partActionTarget: Long = 1000000L
 
   /** Checkpoint every `interval` Delta versions (Delta's default cadence
     * is 10) — called by the TxLog committers after the mirror lands. */

@@ -1098,6 +1098,77 @@ class DeltaLogSpec extends SparkSpec {
       "duplicate-column predicates must compose, not crash on a duplicate struct field")
   }
 
+  test("multi-part checkpoint: protocol names, parts pointer, replay on both paths") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), t)
+    TxLog.commitOverwrite(events.filter(col("event_id").between(300, 599)), t)
+    TxLog.commitAppend(events.filter(col("event_id") >= 600), t)
+    val expected = TxLog.snapshot(s, t).count()
+    val cpV = DeltaLog.checkpoint(s, t, parts = Some(3))
+    val ld = Paths.get(t, "_delta_log")
+    assert(!Files.exists(ld.resolve(f"$cpV%020d.checkpoint.parquet")),
+      "a multi-part write must not leave a classic single file")
+    val partFiles = Files.list(ld).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet")).toSeq.sorted
+    assert(partFiles.size >= 2, s"expected multiple parts, got $partFiles")
+    partFiles.zipWithIndex.foreach { case (n, i) =>
+      assert(n == f"$cpV%020d.checkpoint.${i + 1}%010d.${partFiles.size}%010d.parquet",
+        s"part name must follow the Delta multi-part convention: $n")
+    }
+    val lc = mapper.readTree(Files.readString(ld.resolve("_last_checkpoint")))
+    assert(lc.get("version").asLong() == cpV)
+    assert(lc.get("parts").asInt() == partFiles.size,
+      "_last_checkpoint must record the part count")
+    // compaction contract holds across parts
+    (0L to cpV).foreach(v => Files.delete(ld.resolve(f"$v%020d.json")))
+    assert(DeltaLog.snapshot(s, t).count() == expected)
+    val saved = DeltaLog.driverMaxLogBytes
+    try {
+      DeltaLog.driverMaxLogBytes = 0L
+      assert(DeltaLog.snapshot(s, t).count() == expected,
+        "the distributed reconstruction must union all parts")
+      assert(DeltaLog.lastReplayPath == "distributed")
+    } finally DeltaLog.driverMaxLogBytes = saved
+    // stats survive the split: skipping still prunes from checkpoint parts
+    DeltaLog.skipScan(s, t, Seq(("event_id", 700L, 800L)))
+    assert(DeltaLog.lastSkipScan._2 < DeltaLog.lastSkipScan._1)
+    // commits after the multi-part checkpoint still apply on top
+    TxLog.commitAppend(events.filter(col("event_id") === 0), t)
+    assert(DeltaLog.snapshot(s, t).count() ==
+      expected + events.filter(col("event_id") === 0).count())
+    // an INCOMPLETE part set is refused, not silently partial
+    Files.delete(ld.resolve(partFiles.head))
+    val err = intercept[RuntimeException](DeltaLog.snapshot(s, t))
+    assert(err.getMessage.contains("incomplete multi-part checkpoint"),
+      s"partial checkpoint must fail loudly, got: ${err.getMessage}")
+  }
+
+  test("a re-checkpoint with a different part count sweeps the stale set") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500), t)
+    TxLog.commitAppend(events.filter(col("event_id") >= 500), t)
+    val cpV = DeltaLog.checkpoint(s, t, parts = Some(3))
+    DeltaLog.checkpoint(s, t, parts = Some(2))
+    val ld = Paths.get(t, "_delta_log")
+    val names = Files.list(ld).iterator.asScala.map(_.getFileName.toString)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet")).toSeq
+    assert(names.forall(_.endsWith(f".${2}%010d.parquet")),
+      s"stale 3-part files must be swept after the 2-part set lands: $names")
+    assert(DeltaLog.snapshot(s, t).count() == events.count())
+    // and back to a classic single file sweeps the parts
+    DeltaLog.checkpoint(s, t, parts = Some(1))
+    assert(Files.exists(ld.resolve(f"$cpV%020d.checkpoint.parquet")))
+    val after = Files.list(ld).iterator.asScala.map(_.getFileName.toString)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet")).toSeq
+    assert(after == Seq(f"$cpV%020d.checkpoint.parquet"), s"got $after")
+    assert(DeltaLog.snapshot(s, t).count() == events.count())
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
