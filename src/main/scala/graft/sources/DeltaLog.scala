@@ -1154,50 +1154,67 @@ object DeltaLog {
     * are re-applied to the scanned rows, so the result is EXACTLY the
     * filtered snapshot whether or not any file could be pruned.
     */
-  def skipScan(spark: SparkSession, dir: String,
-      preds: Seq[(String, Any, Any)]): DataFrame = {
+  /** Replay the LATEST snapshot and flag every live file with the shared
+    * keep-condition for `preds`: `(file, keep)` pairs (decoded paths)
+    * plus the metaData. `keep = false` means the stats/partition values
+    * PROVE no row of that file can match. Routing mirrors [[replay]]:
+    * below the guard the (config-scale) driver entries are localized to
+    * a frame and pruned with the SAME conditions as the distributed
+    * path; above it the verdicts run in executors and only (path,
+    * partitionValues, keep) reach the driver — never the stats payloads.
+    * Shared by [[skipScan]] and the TxLog row-level rewrites (candidate
+    * selection for DELETE/UPDATE/MERGE).
+    */
+  private[sources] def pruneFlags(spark: SparkSession, dir: String,
+      preds: Seq[(String, Any, Any)]): (Seq[(LiveFile, Boolean)], Option[ObjectNode]) = {
     val table = Paths.get(dir)
     val latest = (versions(dir) ++ lastCheckpointVersion(table))
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
-    if (preds.isEmpty) return snapshotAt(spark, dir, latest)
     val pl = replayPlan(table, latest)
     val pvType = MapType(StringType, StringType)
-    val (total, surviving, meta) =
-      if (replayBytes(table, pl) <= driverMaxLogBytes) {
-        lastReplayPath = "driver"
-        val (candidates, meta) = replayDriver(spark, table, pl)
-        val schema = tableSchemaOf(dir, meta)
-        val pcs = partitionColsOf(meta)
-        // localize the (metadata-scale) entries and prune with the SAME
-        // keep-conditions the distributed path uses — no second codepath
-        val entries = spark.createDataFrame(
-          candidates.map(f => Row(f.path, f.partitionValues, f.stats.orNull)).asJava,
-          StructType(Seq(StructField("path", StringType),
-            StructField("partitionValues", pvType),
-            StructField("stats", StringType))))
-        val kept = entries
-          .filter(keepCond(col("stats"), schema, preds) &&
-            partCond(col("partitionValues"), pcs, schema, preds))
-          .select("path").collect().map(_.getString(0)).toSet
-        (candidates.size.toLong, candidates.filter(f => kept(f.path)), meta)
-      } else {
-        lastReplayPath = "distributed"
-        val (live, _, meta) = liveState(spark, table, pl)
-        val schema = tableSchemaOf(dir, meta)
-        val pcs = partitionColsOf(meta)
-        // stats parse + prune verdicts run in executors; the driver
-        // receives (path, partitionValues, keep) — never the stats payloads
-        val flags = live.select(col("path"), col("partitionValues"),
-          (keepCond(col("stats"), schema, preds) &&
-            partCond(col("partitionValues"), pcs, schema, preds)).as("keep")).collect()
-        (flags.length.toLong,
-          flags.filter(_.getBoolean(2)).map(r =>
-            LiveFile(decodePath(r.getString(0)),
-              Option(r.getMap[String, String](1))
-                .map(_.toMap).getOrElse(Map.empty[String, String]), None)).toSeq,
-          meta)
-      }
-    lastSkipScan = (total, surviving.size.toLong)
+    if (replayBytes(table, pl) <= driverMaxLogBytes) {
+      lastReplayPath = "driver"
+      val (candidates, meta) = replayDriver(spark, table, pl)
+      val schema = tableSchemaOf(dir, meta)
+      val pcs = partitionColsOf(meta)
+      val entries = spark.createDataFrame(
+        candidates.map(f => Row(f.path, f.partitionValues, f.stats.orNull)).asJava,
+        StructType(Seq(StructField("path", StringType),
+          StructField("partitionValues", pvType),
+          StructField("stats", StringType))))
+      val kept = entries
+        .filter(keepCond(col("stats"), schema, preds) &&
+          partCond(col("partitionValues"), pcs, schema, preds))
+        .select("path").collect().map(_.getString(0)).toSet
+      (candidates.map(f => (f, kept(f.path))), meta)
+    } else {
+      lastReplayPath = "distributed"
+      val (live, _, meta) = liveState(spark, table, pl)
+      val schema = tableSchemaOf(dir, meta)
+      val pcs = partitionColsOf(meta)
+      val flags = live.select(col("path"), col("partitionValues"),
+        (keepCond(col("stats"), schema, preds) &&
+          partCond(col("partitionValues"), pcs, schema, preds)).as("keep")).collect()
+      (flags.toSeq.map(r =>
+        (LiveFile(decodePath(r.getString(0)),
+          Option(r.getMap[String, String](1))
+            .map(_.toMap).getOrElse(Map.empty[String, String]), None),
+          r.getBoolean(2))),
+        meta)
+    }
+  }
+
+  def skipScan(spark: SparkSession, dir: String,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    val table = Paths.get(dir)
+    if (preds.isEmpty) {
+      val latest = (versions(dir) ++ lastCheckpointVersion(table))
+        .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+      return snapshotAt(spark, dir, latest)
+    }
+    val (flags, meta) = pruneFlags(spark, dir, preds)
+    val surviving = flags.collect { case (f, true) => f }
+    lastSkipScan = (flags.size.toLong, surviving.size.toLong)
     val base = readFiles(spark, table, surviving, meta)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       val withLo = Option(lo).map(v => df.filter(col(c) >= lit(v))).getOrElse(df)

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -146,18 +146,30 @@ object TxLog {
         case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
       }
     }
-    // Interop mirror (DeltaLog): the _txlog manifest above is the commit
-    // point; the Delta commit file is written after it, so a foreign Delta
-    // reader may briefly trail ours by one version but never sees an
-    // uncommitted state. Same put-if-absent primitive inside.
-    //
-    // BACKFILL first: a committer that died between manifest link and
-    // mirror leaves a Delta version permanently missing, and DeltaLog's
-    // replay (correctly) refuses gapped logs. Any missing predecessor is
-    // reconstructed from the manifests themselves — version v's Delta
-    // delta IS manifest(v) minus manifest(v-1). If an old manifest was
-    // vacuumed away the backfill is impossible; the loud replay guard
-    // then remains the stop.
+    mirrorWithBackfill(dir, table, committed, added, removed, schemaJson)
+    committed
+  }
+
+  /** Interop mirror (DeltaLog): the _txlog manifest is the commit point;
+    * the Delta commit file is written after it, so a foreign Delta
+    * reader may briefly trail ours by one version but never sees an
+    * uncommitted state. Same put-if-absent primitive inside.
+    *
+    * BACKFILL first: a committer that died between manifest link and
+    * mirror leaves a Delta version permanently missing, and DeltaLog's
+    * replay (correctly) refuses gapped logs. Any missing predecessor is
+    * reconstructed from the manifests themselves — version v's Delta
+    * delta IS manifest(v) minus manifest(v-1). If an old manifest was
+    * vacuumed away the backfill is impossible; the loud replay guard
+    * then remains the stop.
+    *
+    * Best-effort throughout: the _txlog manifest IS the durable commit
+    * point, so a mirror-side IOException must not fail a write that
+    * already committed — the next commit's backfill repairs the missing
+    * Delta version (and replay refuses gapped logs loudly meanwhile).
+    */
+  private def mirrorWithBackfill(dir: String, table: Path, committed: Long,
+      added: Seq[String], removed: Seq[String], schemaJson: String): Unit = {
     var floor = mirrorFloor.getOrElse(dir, 0L)
     var contiguous = true
     var v = floor + 1
@@ -173,17 +185,11 @@ object TxLog {
       else contiguous = false
       v += 1
     }
-    // Best-effort like the backfill above: the _txlog manifest IS the
-    // durable commit point, so a mirror-side IOException must not fail a
-    // write that already committed — the next commit's backfill repairs
-    // the missing Delta version (and replay refuses gapped logs loudly in
-    // the meantime).
     try {
       DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson)
       if (contiguous && floor == committed - 1) floor = committed
     } catch { case _: java.io.IOException => () }
     mirrorFloor.updateWith(dir)(old => Some(math.max(old.getOrElse(0L), floor)))
-    committed
   }
 
   /** Append `df` as one atomic commit; returns the new version.
@@ -215,6 +221,156 @@ object TxLog {
       carryPrevious = false, df.schema.json)
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
+  }
+
+  // ------------------------------------------------ row-level rewrites
+
+  /** Outcome of a row-level rewrite ([[deleteWhere]] / [[updateWhere]] /
+    * [[mergeInto]]): the committed version (unchanged current version
+    * when no file needed rewriting), the number of data files rewritten,
+    * and the number of live files the mirror's stats PROVED untouched —
+    * the copy-on-write I/O bound: O(affected files), never O(table).
+    */
+  final case class RewriteResult(version: Long, filesRewritten: Long,
+      filesSkipped: Long)
+
+  /** Conflict-checked commit for a rewrite that READ version `base`:
+    * links exactly `base + 1`, and a racing committer that took that
+    * version first is a serialization failure — unlike appends (which
+    * retry at the next version, commuting with anything), a rewrite's
+    * removed-file set was chosen against `base`'s manifest, so blindly
+    * re-linking above a foreign commit could resurrect files the racer
+    * removed or drop ones it added. Delta's ConcurrentModificationException
+    * contract: the caller re-runs against the new snapshot.
+    */
+  private[graft] def commitRewrite(dir: String, base: Long, removedSet: Set[String],
+      added: Seq[String], schemaJson: String): Long = {
+    val table = Paths.get(dir)
+    val next = base + 1
+    val prev = readManifest(table, base)
+    val all = prev.filterNot(removedSet) ++ added
+    val removed = prev.filter(removedSet)
+    val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
+    Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(manifestPath(table, next), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        sys.error(s"$dir: concurrent commit at version $next — this rewrite " +
+          s"read version $base and cannot serialize past a racing writer; " +
+          "re-run the operation against the new snapshot")
+    }
+    mirrorWithBackfill(dir, table, next, added, removed, schemaJson)
+    next
+  }
+
+  /** Copy-on-write core shared by DELETE/UPDATE/MERGE: pick the
+    * candidate files (live files the Delta mirror's per-file stats
+    * CANNOT prove unaffected by the `prune` ranges), read only those,
+    * apply `replace`, and commit (previous − candidates) + replacement
+    * in one serializable version. Soundness under mirror lag: only
+    * files the replay explicitly proves no-match are skipped — a
+    * manifest file the mirror does not know yet stays a candidate, and
+    * a missing/unreadable mirror disables pruning entirely (correct,
+    * just un-pruned).
+    */
+  private def rewriteWhere(spark: SparkSession, dir: String,
+      prune: Seq[(String, Any, Any)],
+      replace: DataFrame => DataFrame): RewriteResult = {
+    val table = Paths.get(dir)
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    val prev = readManifest(table, base)
+    val skipped: Set[String] =
+      if (prune.isEmpty) Set.empty
+      else scala.util.Try(DeltaLog.pruneFlags(spark, dir, prune)) match {
+        case scala.util.Success((flags, _)) =>
+          flags.collect { case (f, false) => f.path }.toSet
+        case scala.util.Failure(_) => Set.empty
+      }
+    val candidates = prev.filterNot(skipped)
+    if (candidates.isEmpty)
+      return RewriteResult(base, 0L, prev.size.toLong)
+    val partCols = pathPartCols(candidates.head)
+    val replacement = replace(readRels(spark, table, candidates))
+    val added = writeBatch(replacement, table, partCols)
+    val v = commitRewrite(dir, base, candidates.toSet, added,
+      replacement.schema.json)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    RewriteResult(v, candidates.size.toLong, skipped.size.toLong)
+  }
+
+  /** Row-level DELETE (copy-on-write): removes rows where `pred` is
+    * TRUE (null-predicate rows survive, the SQL DELETE rule) in one
+    * serializable commit. `prune` is an optional conjunctive set of
+    * inclusive range bounds `(column, lo, hi)` (null bound = unbounded)
+    * that must OVER-APPROXIMATE `pred` — every matching row falls inside
+    * the ranges. The mirror's per-file stats then prove untouched files
+    * skip the rewrite entirely: O(affected files) I/O, the reason a
+    * 100 TB DELETE doesn't rewrite the table. Like Delta, the hint is
+    * trusted: an unsound hint deletes only the matching rows inside it.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, pred: Column,
+      prune: Seq[(String, Any, Any)] = Seq.empty): RewriteResult =
+    rewriteWhere(spark, dir, prune, _.filter(coalesce(!pred, lit(true))))
+
+  /** Row-level UPDATE (copy-on-write): for rows where `pred` is TRUE,
+    * replaces each column in `set` with its expression (evaluated
+    * against the OLD row, standard UPDATE semantics — assignments never
+    * see each other) cast back to the column's declared type, so the
+    * table schema cannot drift. Same pruning contract as
+    * [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, dir: String, pred: Column,
+      set: Map[String, Column],
+      prune: Seq[(String, Any, Any)] = Seq.empty): RewriteResult =
+    rewriteWhere(spark, dir, prune, { df =>
+      val bad = set.keySet -- df.columns.toSet
+      require(bad.isEmpty,
+        s"updateWhere: unknown column(s) ${bad.mkString(", ")}")
+      df.select(df.schema.fields.toSeq.map { f =>
+        set.get(f.name)
+          .map(e => when(coalesce(pred, lit(false)), e.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }: _*)
+    })
+
+  /** Transactional MERGE (whole-row upsert): source rows REPLACE target
+    * rows sharing `keys`; unmatched source rows are INSERTED — one
+    * serializable commit. Candidate files come from the mirror's stats
+    * against the source's own key envelope (min..max per key column,
+    * one config-scale agg): a file whose key range cannot intersect the
+    * source's is never read or rewritten, and a source that matches no
+    * live file degenerates to a pure append. The rewrite itself is
+    * target-⋈-source anti-join (drop the matched) + union (bring every
+    * source row) — AQE broadcasts the typical small CDC batch.
+    * Precondition (as in Delta MERGE): at most one source row per key.
+    */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String]): RewriteResult = {
+    require(keys.nonEmpty, "mergeInto: at least one key column")
+    if (source.isEmpty)
+      return RewriteResult(currentVersion(dir).getOrElse(
+        sys.error(s"no committed version in $dir")), 0L, 0L)
+    val bounds = source.select(keys.flatMap(k =>
+      Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
+      .collect().head
+    val prune = keys.zipWithIndex.map { case (k, i) =>
+      (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
+    val res = rewriteWhere(spark, dir, prune, tgt =>
+      tgt.join(source.select(keys.map(col): _*).dropDuplicates(keys),
+          keys, "left_anti")
+        .unionByName(source))
+    if (res.filesRewritten == 0L) {
+      // no live file can hold any source key: every source row inserts
+      val table = Paths.get(dir)
+      val partCols = readManifest(table, res.version).headOption
+        .map(pathPartCols).getOrElse(Seq.empty)
+      RewriteResult(commitAppend(source, dir, partCols), 0L, res.filesSkipped)
+    } else res
   }
 
   /** VACUUM: expire all but the last `retainVersions` manifests and
@@ -385,11 +541,59 @@ object TxLog {
       table
     })
 
+  /** Events laid out range-partitioned on event_id (8 files with
+    * disjoint id ranges — the layout stats skipping prunes on), then a
+    * row-level DELETE of the `event_id <= 300` band: only the low-range
+    * file(s) get rewritten, the rest skip via mirror stats.
+    */
+  private def deleteTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"del:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_del").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartitionByRange(8, col("event_id")), table)
+      deleteWhere(spark, table, col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      table
+    })
+
+  /** Same layout, row-level UPDATE doubling `value` in the id band. */
+  private def updateTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"upd:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_upd").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartitionByRange(8, col("event_id")), table)
+      updateWhere(spark, table, col("event_id") <= 300,
+        Map("value" -> (col("value") * 2)),
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      table
+    })
+
+  /** Base = events above id 200; merge source = the id<=200 rows (pure
+    * inserts) plus the 201..300 band with doubled value (updates) — the
+    * CDC-batch shape. The source key envelope [0,300] prunes every
+    * higher-range base file.
+    */
+  private def mergeTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"mrg:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_mrg").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") > 200)
+        .repartitionByRange(8, col("event_id")), table)
+      val source = ev.filter(col("event_id") <= 200)
+        .unionByName(ev.filter(col("event_id").between(201, 300))
+          .withColumn("value", col("value") * 2))
+      mergeInto(spark, table, source, Seq("event_id"))
+      table
+    })
+
   /** Materialize the fixture tables (idempotent) — bench-warmup hook. */
   def prepare(spark: SparkSession, dir: String): Unit = {
     snapshotTable(spark, dir)
     vacuumedTable(spark, dir)
     changesTable(spark, dir)
+    deleteTable(spark, dir)
+    updateTable(spark, dir)
+    mergeTable(spark, dir)
   }
 
   /** Oracle-checked query: the snapshot must aggregate exactly the
@@ -458,15 +662,67 @@ object TxLog {
       |FROM events WHERE event_id % 3 = 1
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked row-level DELETE: after removing the id<=300 band
+    * copy-on-write, the snapshot must aggregate to exactly the
+    * surviving rows — and the untouched high-range files were never
+    * rewritten (asserted file-level in TxLogSpec).
+    */
+  def deleteQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, deleteTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val deleteQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id > 300
+      |GROUP BY 1""".stripMargin
+
+  /** Oracle-checked row-level UPDATE: doubled values inside the band,
+    * untouched outside, no rows gained or lost.
+    */
+  def updateQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, updateTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val updateQueryOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE WHEN event_id <= 300 THEN value * 2 ELSE value END), 2)
+      |    AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  /** Oracle-checked MERGE: inserts restore the id<=200 rows, updates
+    * double the 201..300 band, everything above is untouched — the
+    * merged table must equal the full corpus with the band doubled.
+    */
+  def mergeQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, mergeTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val mergeQueryOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE WHEN event_id BETWEEN 201 AND 300 THEN value * 2
+      |            ELSE value END), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog_snapshot" -> snapshotQuery _,
     "q_txlog_vacuum" -> vacuumQuery _,
-    "q_txlog_changes" -> changesQuery _
+    "q_txlog_changes" -> changesQuery _,
+    "q_txlog_delete" -> deleteQuery _,
+    "q_txlog_update" -> updateQuery _,
+    "q_txlog_merge" -> mergeQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_txlog_snapshot" -> snapshotQueryOracle,
     "q_txlog_vacuum" -> vacuumQueryOracle,
-    "q_txlog_changes" -> changesQueryOracle
+    "q_txlog_changes" -> changesQueryOracle,
+    "q_txlog_delete" -> deleteQueryOracle,
+    "q_txlog_update" -> updateQueryOracle,
+    "q_txlog_merge" -> mergeQueryOracle
   )
 }

@@ -170,4 +170,156 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.changesBetween(s, t, 1L, 2L).count() ==
       events.filter(col("event_id") >= 100).count())
   }
+
+  // ------------------------------------------------ row-level rewrites
+
+  test("deleteWhere rewrites only stat-overlapping files; mirror agrees") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.repartitionByRange(8, col("event_id")), t)
+    val res = TxLog.deleteWhere(s, t, col("event_id") <= 300,
+      Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+    assert(res.version == 2L)
+    assert(res.filesRewritten + res.filesSkipped == 8,
+      s"8 range files staged, got $res")
+    assert(res.filesSkipped > 0,
+      s"high-range files must skip the rewrite via mirror stats, got $res")
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.count() == events.filter(col("event_id") > 300).count())
+    assert(snap.filter(col("event_id") <= 300).count() == 0L)
+    // the Delta mirror replays remove+add to the identical state
+    val delta = graft.sources.DeltaLog.snapshot(s, t)
+    assert(delta.count() == snap.count())
+    assert(math.abs(delta.agg(sum(col("value"))).head.getDouble(0) -
+      snap.agg(sum(col("value"))).head.getDouble(0)) < 1e-6)
+  }
+
+  test("deleteWhere keeps null-predicate rows (SQL DELETE rule)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "x"), t)
+    TxLog.deleteWhere(s, t, col("x") > 2.0)
+    val left = TxLog.snapshot(s, t).select("id").as[Long].collect().sorted
+    assert(left.toSeq == Seq(2L, 3L),
+      "x>2 deletes id=1 only; the null-x row must survive")
+  }
+
+  test("deleteWhere with a no-overlap prune hint is a commit-free no-op") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.repartitionByRange(4, col("event_id")), t)
+    val res = TxLog.deleteWhere(s, t, col("event_id") > 5000000L,
+      Seq(("event_id", java.lang.Long.valueOf(5000001L), null)))
+    assert(res.version == 1L && res.filesRewritten == 0L,
+      s"nothing overlaps: no rewrite, no new version — got $res")
+    assert(TxLog.snapshot(s, t).count() == events.count())
+  }
+
+  test("updateWhere doubles the band, preserves schema and rows elsewhere") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.repartitionByRange(8, col("event_id")), t)
+    val before = TxLog.snapshot(s, t).schema
+    val res = TxLog.updateWhere(s, t, col("event_id") <= 300,
+      Map("value" -> (col("value") * 2)),
+      Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+    assert(res.filesSkipped > 0, s"expected stat-pruned files, got $res")
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.schema == before, "UPDATE must not drift the schema")
+    assert(snap.count() == events.count())
+    val bandBefore = events.filter(col("event_id") <= 300)
+      .agg(sum(col("value"))).head.getDouble(0)
+    val bandAfter = snap.filter(col("event_id") <= 300)
+      .agg(sum(col("value"))).head.getDouble(0)
+    assert(math.abs(bandAfter - bandBefore * 2) < 1e-6)
+    val outBefore = events.filter(col("event_id") > 300)
+      .agg(sum(col("value"))).head.getDouble(0)
+    val outAfter = snap.filter(col("event_id") > 300)
+      .agg(sum(col("value"))).head.getDouble(0)
+    assert(math.abs(outAfter - outBefore) < 1e-6, "rows outside the band unchanged")
+  }
+
+  test("updateWhere casts assignments back to the declared column type") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 50), t)
+    TxLog.updateWhere(s, t, col("event_id") < 10, Map("value" -> lit(7)))
+    val f = TxLog.snapshot(s, t).schema("value")
+    assert(f.dataType == org.apache.spark.sql.types.DoubleType,
+      "an int literal assignment must cast to the column's double type")
+  }
+
+  test("mergeInto upserts: matched rows replaced, unmatched inserted, files pruned") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") > 200)
+      .repartitionByRange(8, col("event_id")), t)
+    val source = events.filter(col("event_id") <= 200)
+      .unionByName(events.filter(col("event_id").between(201, 300))
+        .withColumn("value", col("value") * 2))
+    val res = TxLog.mergeInto(s, t, source, Seq("event_id"))
+    assert(res.filesSkipped > 0,
+      s"base files above the source key envelope must skip, got $res")
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.count() == events.count(), "inserts + kept + updated = corpus")
+    val band = snap.filter(col("event_id").between(201, 300))
+      .agg(sum(col("value"))).head.getDouble(0)
+    val bandOrig = events.filter(col("event_id").between(201, 300))
+      .agg(sum(col("value"))).head.getDouble(0)
+    assert(math.abs(band - bandOrig * 2) < 1e-6, "matched rows take the source values")
+    assert(snap.filter(col("event_id") <= 200).count() == 201L, "inserted rows")
+    // mirror parity after remove+add
+    assert(graft.sources.DeltaLog.snapshot(s, t).count() == snap.count())
+  }
+
+  test("mergeInto with keys beyond every file degenerates to a pure append") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500)
+      .repartitionByRange(4, col("event_id")), t)
+    val inserts = events.filter(col("event_id") < 100)
+      .withColumn("event_id", col("event_id") + 1000000L)
+    val res = TxLog.mergeInto(s, t, inserts, Seq("event_id"))
+    assert(res.filesRewritten == 0L, s"no base file overlaps: $res")
+    assert(TxLog.snapshot(s, t).count() == 600L)
+  }
+
+  test("partition-pruned delete on a partitioned table") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events, t, partitionBy = Seq("event_type"))
+    val res = TxLog.deleteWhere(s, t, col("event_type") === "click",
+      Seq(("event_type", "click", "click")))
+    assert(res.filesSkipped > 0,
+      s"non-click partitions prune on partitionValues alone, got $res")
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.filter(col("event_type") === "click").count() == 0L)
+    assert(snap.count() == events.filter(col("event_type") =!= "click").count())
+    assert(snap.columns.contains("event_type"), "partition layout preserved")
+  }
+
+  test("a rewrite that read a stale base version fails loudly (serializable)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t)
+    // a racing committer takes v2 between our snapshot read and commit
+    TxLog.commitAppend(events.filter(col("event_id").between(100, 199)), t)
+    val e = intercept[RuntimeException] {
+      TxLog.commitRewrite(t, base = 1L, removedSet = Set.empty,
+        added = Seq.empty, schemaJson = events.schema.json)
+    }
+    assert(e.getMessage.contains("concurrent commit"),
+      s"rewrites must not serialize past a racing writer: ${e.getMessage}")
+  }
 }
