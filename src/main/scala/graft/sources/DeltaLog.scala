@@ -347,7 +347,8 @@ object DeltaLog {
     * silent no-op, so the mirror never clobbers a committed Delta version.
     */
   def mirrorCommit(table: Path, txVersion: Long, added: Seq[String],
-      removed: Seq[String], schemaJson: String): Unit = {
+      removed: Seq[String], schemaJson: String,
+      dataChange: Boolean = true, operation: String = "WRITE"): Unit = {
     val deltaV = txVersion - 1
     Files.createDirectories(logDir(table))
     if (Files.exists(commitPath(table, deltaV))) return
@@ -391,7 +392,7 @@ object DeltaLog {
     val commitInfo = mapper.createObjectNode()
     val ci = commitInfo.putObject("commitInfo")
     ci.put("timestamp", now)
-    ci.put("operation", "WRITE")
+    ci.put("operation", operation)
     ci.putObject("operationParameters")
       .put("mode", if (removed.nonEmpty) "Overwrite" else "Append")
     lines += mapper.writeValueAsString(commitInfo)
@@ -400,7 +401,7 @@ object DeltaLog {
       val r = n.putObject("remove")
       r.put("path", encodePath(rel))
       r.put("deletionTimestamp", now)
-      r.put("dataChange", true)
+      r.put("dataChange", dataChange)
       lines += mapper.writeValueAsString(n)
     }
     added.foreach { rel =>
@@ -414,7 +415,7 @@ object DeltaLog {
       a.put("size", Files.size(table.resolve(rel)))
       a.put("modificationTime",
         Files.getLastModifiedTime(table.resolve(rel)).toMillis)
-      a.put("dataChange", true)
+      a.put("dataChange", dataChange)
       // footer-harvested per-file stats: what stock Delta writers emit,
       // what [[skipScan]] (and any foreign data-skipping reader) prunes on
       fileStats(table.resolve(rel)).foreach(a.put("stats", _))
@@ -1246,11 +1247,18 @@ object DeltaLog {
       sys.error(s"$dir: commit files for versions ${missing.mkString(",")} " +
         "are missing (aged out?) — the change feed needs the JSON history")
     val added = scala.collection.mutable.LinkedHashMap.empty[String, LiveFile]
+    // dataChange=false actions (OPTIMIZE/compaction) are INVISIBLE to the
+    // feed — stock Delta's contract: a compaction's adds carry no new rows
+    // (skipping them prevents re-emitting the whole compacted set), and
+    // its removes must NOT retract earlier real adds (the rows are still
+    // the window's change; the original files stay readable until vacuum).
+    def isDataChange(action: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      !action.has("dataChange") || action.get("dataChange").asBoolean(true)
     need.foreach { v =>
       Files.readAllLines(commitPath(table, v)).asScala
         .filter(_.trim.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
-          if (node.has("add")) {
+          if (node.has("add") && isDataChange(node.get("add"))) {
             val a = node.get("add")
             val p = decodePath(a.get("path").asText())
             val pv = Option(a.get("partitionValues")).map(_.fields().asScala
@@ -1259,7 +1267,7 @@ object DeltaLog {
               .getOrElse(Map.empty[String, String])
             added += p -> LiveFile(p, pv, None)
           }
-          if (node.has("remove"))
+          if (node.has("remove") && isDataChange(node.get("remove")))
             added -= decodePath(node.get("remove").get("path").asText())
         }
     }

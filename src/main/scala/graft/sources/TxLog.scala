@@ -169,7 +169,8 @@ object TxLog {
     * Delta version (and replay refuses gapped logs loudly meanwhile).
     */
   private def mirrorWithBackfill(dir: String, table: Path, committed: Long,
-      added: Seq[String], removed: Seq[String], schemaJson: String): Unit = {
+      added: Seq[String], removed: Seq[String], schemaJson: String,
+      dataChange: Boolean = true, operation: String = "WRITE"): Unit = {
     var floor = mirrorFloor.getOrElse(dir, 0L)
     var contiguous = true
     var v = floor + 1
@@ -186,10 +187,15 @@ object TxLog {
       v += 1
     }
     try {
-      DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson)
+      DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson,
+        dataChange, operation)
       if (contiguous && floor == committed - 1) floor = committed
     } catch { case _: java.io.IOException => () }
     mirrorFloor.updateWith(dir)(old => Some(math.max(old.getOrElse(0L), floor)))
+    // NOTE: a BACKFILLED version (crashed committer) always mirrors with
+    // dataChange=true — the manifest can't tell a compaction from a write,
+    // and the conservative direction for feeds is to surface rows, never
+    // to lose them.
   }
 
   /** Append `df` as one atomic commit; returns the new version.
@@ -244,7 +250,8 @@ object TxLog {
     * contract: the caller re-runs against the new snapshot.
     */
   private[graft] def commitRewrite(dir: String, base: Long, removedSet: Set[String],
-      added: Seq[String], schemaJson: String): Long = {
+      added: Seq[String], schemaJson: String,
+      dataChange: Boolean = true, operation: String = "WRITE"): Long = {
     val table = Paths.get(dir)
     val next = base + 1
     val prev = readManifest(table, base)
@@ -262,7 +269,8 @@ object TxLog {
           s"read version $base and cannot serialize past a racing writer; " +
           "re-run the operation against the new snapshot")
     }
-    mirrorWithBackfill(dir, table, next, added, removed, schemaJson)
+    mirrorWithBackfill(dir, table, next, added, removed, schemaJson,
+      dataChange, operation)
     next
   }
 
@@ -371,6 +379,81 @@ object TxLog {
         .map(pathPartCols).getOrElse(Seq.empty)
       RewriteResult(commitAppend(source, dir, partCols), 0L, res.filesSkipped)
     } else res
+  }
+
+  /** RESTORE to an earlier committed version (Delta's RESTORE): one
+    * METADATA-ONLY commit whose manifest equals `version`'s — files
+    * removed since then come back, files added since then drop out; no
+    * data is copied or rewritten, so restoring a 100 TB table is an
+    * O(files) log operation. Fails loudly when VACUUM already deleted a
+    * needed file (the stock contract: restore works within retention).
+    * History is preserved — the restore is a NEW version, so it can
+    * itself be undone by another restore.
+    */
+  def restoreTo(spark: SparkSession, dir: String, version: Long): Long = {
+    val table = Paths.get(dir)
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    require(version >= 1L && version <= base,
+      s"restoreTo: version $version outside committed range 1..$base")
+    if (version == base) return base
+    if (!Files.exists(manifestPath(table, version)))
+      sys.error(s"$dir: cannot restore to v$version — its manifest is " +
+        "expired (vacuumed past the retention window)")
+    val target = readManifest(table, version)
+    val prevSet = readManifest(table, base).toSet
+    val missing = target.filterNot(rel => Files.exists(table.resolve(rel)))
+    if (missing.nonEmpty)
+      sys.error(s"$dir: cannot restore to v$version — ${missing.size} data " +
+        s"file(s) already vacuumed (e.g. ${missing.head})")
+    val removedSet = prevSet -- target.toSet
+    val added = target.filterNot(prevSet)
+    // the restored version's schema travels with the commit, so the
+    // mirror's metaData rolls back (or forward) with the data
+    val schemaJson = snapshotAt(spark, dir, version).schema.json
+    val v = commitRewrite(dir, base, removedSet, added, schemaJson,
+      operation = "RESTORE")
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    v
+  }
+
+  /** OPTIMIZE (bin-packing compaction): rewrite live data files smaller
+    * than `smallBytes` into ~`targetBytes` outputs in one serializable
+    * commit — the answer to streaming ingest's small-file problem
+    * (micro-batch appends at a 5 s trigger write thousands of tiny
+    * files a day; scans pay per-file open cost). The commit mirrors
+    * with `dataChange=false`, so Delta-mirror change feeds skip it
+    * (stock OPTIMIZE's contract: a compaction carries no new rows) —
+    * the manifest-level [[changesBetween]] cannot make that
+    * distinction (manifests don't record dataChange), so incremental
+    * consumers spanning an optimize should read the mirror feed
+    * (`DeltaLog.changesBetween`). Partitioned tables re-pack per
+    * partition; the hive layout is preserved. Skipped = files already
+    * at/above `smallBytes`.
+    */
+  def optimize(spark: SparkSession, dir: String,
+      smallBytes: Long = 64L << 20,
+      targetBytes: Long = 128L << 20): RewriteResult = {
+    val table = Paths.get(dir)
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    val prev = readManifest(table, base)
+    val (small, big) = prev.partition(rel =>
+      Files.size(table.resolve(rel)) < smallBytes)
+    if (small.size < 2) // nothing to pack (0/1 small file = no win)
+      return RewriteResult(base, 0L, prev.size.toLong)
+    val partCols = pathPartCols(small.head)
+    val bytes = small.map(rel => Files.size(table.resolve(rel))).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val df = readRels(spark, table, small)
+    val packed =
+      if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
+      else df.repartition(nOut)
+    val added = writeBatch(packed, table, partCols)
+    val v = commitRewrite(dir, base, small.toSet, added, packed.schema.json,
+      dataChange = false, operation = "OPTIMIZE")
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    RewriteResult(v, small.size.toLong, big.size.toLong)
   }
 
   /** VACUUM: expire all but the last `retainVersions` manifests and
@@ -586,6 +669,30 @@ object TxLog {
       table
     })
 
+  /** Full corpus committed, a band deleted, then RESTORE to v1: the
+    * rollback must bring every deleted row back without copying data. */
+  private def restoreTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"rst:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_rst").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartitionByRange(8, col("event_id")), table)
+      deleteWhere(spark, table, col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      restoreTo(spark, table, 1L)
+      table
+    })
+
+  /** Five small streaming-shaped appends, then OPTIMIZE packs them. */
+  private def optimizeTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"opt:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_opt").toString
+      val ev = Tables.events(spark, dir)
+      (0 until 5).foreach(i =>
+        commitAppend(ev.filter(pmod(col("event_id"), lit(5)) === i), table))
+      optimize(spark, table)
+      table
+    })
+
   /** Materialize the fixture tables (idempotent) — bench-warmup hook. */
   def prepare(spark: SparkSession, dir: String): Unit = {
     snapshotTable(spark, dir)
@@ -594,6 +701,8 @@ object TxLog {
     deleteTable(spark, dir)
     updateTable(spark, dir)
     mergeTable(spark, dir)
+    restoreTable(spark, dir)
+    optimizeTable(spark, dir)
   }
 
   /** Oracle-checked query: the snapshot must aggregate exactly the
@@ -708,13 +817,47 @@ object TxLog {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked RESTORE: after delete + restore-to-v1, the snapshot
+    * must equal the FULL corpus again — only a real rollback of the
+    * removed files can produce that.
+    */
+  def restoreQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, restoreTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val restoreQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  /** Oracle-checked OPTIMIZE: compaction must be row-invisible — the
+    * packed table aggregates exactly like the raw corpus (file-count
+    * shrinkage and feed invisibility are spec-asserted).
+    */
+  def optimizeQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, optimizeTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        round(sum(col("value")), 2).as("total_value"))
+
+  val optimizeQueryOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+      |  round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog_snapshot" -> snapshotQuery _,
     "q_txlog_vacuum" -> vacuumQuery _,
     "q_txlog_changes" -> changesQuery _,
     "q_txlog_delete" -> deleteQuery _,
     "q_txlog_update" -> updateQuery _,
-    "q_txlog_merge" -> mergeQuery _
+    "q_txlog_merge" -> mergeQuery _,
+    "q_txlog_restore" -> restoreQuery _,
+    "q_txlog_optimize" -> optimizeQuery _
   )
 
   def oracles: Map[String, String] = Map(
@@ -723,6 +866,8 @@ object TxLog {
     "q_txlog_changes" -> changesQueryOracle,
     "q_txlog_delete" -> deleteQueryOracle,
     "q_txlog_update" -> updateQueryOracle,
-    "q_txlog_merge" -> mergeQueryOracle
+    "q_txlog_merge" -> mergeQueryOracle,
+    "q_txlog_restore" -> restoreQueryOracle,
+    "q_txlog_optimize" -> optimizeQueryOracle
   )
 }

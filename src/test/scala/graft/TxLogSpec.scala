@@ -308,6 +308,76 @@ class TxLogSpec extends SparkSpec {
     assert(snap.columns.contains("event_type"), "partition layout preserved")
   }
 
+  test("restoreTo rolls a delete back without copying data; mirror follows") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.repartitionByRange(8, col("event_id")), t)
+    TxLog.deleteWhere(s, t, col("event_id") <= 300,
+      Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+    assert(TxLog.snapshot(s, t).count() < events.count())
+    val dataFilesBefore = Files.walk(java.nio.file.Paths.get(t)).iterator()
+    var nBefore = 0
+    while (dataFilesBefore.hasNext) {
+      if (dataFilesBefore.next().toString.endsWith(".parquet")) nBefore += 1
+    }
+    val v = TxLog.restoreTo(s, t, 1L)
+    assert(v == 3L, "restore is a NEW version, history preserved")
+    assert(TxLog.snapshot(s, t).count() == events.count(),
+      "every deleted row must come back")
+    // metadata-only: restore wrote no new data files
+    val dataFilesAfter = Files.walk(java.nio.file.Paths.get(t)).iterator()
+    var nAfter = 0
+    while (dataFilesAfter.hasNext) {
+      if (dataFilesAfter.next().toString.endsWith(".parquet")) nAfter += 1
+    }
+    assert(nAfter == nBefore, s"restore must not copy data ($nBefore -> $nAfter)")
+    // the mirror replays to the restored state too
+    assert(graft.sources.DeltaLog.snapshot(s, t).count() == events.count())
+    // and the rollback can itself be rolled back
+    assert(TxLog.restoreTo(s, t, 2L) == 4L)
+    assert(TxLog.snapshot(s, t).count() ==
+      events.filter(col("event_id") > 300).count())
+  }
+
+  test("restoreTo past a vacuumed version fails loudly") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t)
+    TxLog.commitOverwrite(events.filter(col("event_id") >= 900), t)
+    TxLog.vacuum(t, retainVersions = 1, minAgeMs = 0L)
+    val e = intercept[RuntimeException] { TxLog.restoreTo(s, t, 1L) }
+    assert(e.getMessage.contains("expired"),
+      s"restore beyond retention must not half-succeed: ${e.getMessage}")
+  }
+
+  test("optimize packs small files, keeps rows identical, hides from the mirror feed") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    (0 until 5).foreach(i =>
+      TxLog.commitAppend(events.filter(pmod(col("event_id"), lit(5)) === i), t))
+    val before = TxLog.snapshot(s, t)
+    val filesBefore = before.inputFiles.length
+    val res = TxLog.optimize(s, t)
+    assert(res.version == 6L && res.filesRewritten == filesBefore,
+      s"all small files pack: $res")
+    val after = TxLog.snapshot(s, t)
+    assert(after.inputFiles.length < filesBefore,
+      s"compaction must shrink the file count (${after.inputFiles.length} vs $filesBefore)")
+    assert(after.count() == events.count(), "compaction is row-invisible")
+    // Delta-mirror change feed: the OPTIMIZE commit (delta v5) is empty...
+    assert(graft.sources.DeltaLog.changesBetween(s, t, 4L, 5L).count() == 0L,
+      "dataChange=false commits must not surface in the feed")
+    // ...and a window spanning appends + optimize still yields each
+    // appended row exactly once (compaction removes don't retract them)
+    val spanning = graft.sources.DeltaLog.changesBetween(s, t, 0L, 5L)
+    assert(spanning.count() ==
+      events.filter(pmod(col("event_id"), lit(5)) >= 1).count(),
+      "appends 2..5 surface once despite the in-window compaction")
+  }
+
   test("a rewrite that read a stale base version fails loudly (serializable)") {
     val s = spark
     import org.apache.spark.sql.functions._
