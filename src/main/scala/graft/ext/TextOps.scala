@@ -719,6 +719,102 @@ object TextOps {
        |$unions""".stripMargin
   }
 
+  /** The fixed retrieval benchmark queries (query_id → terms) — small,
+    * config-scale, broadcast by construction. */
+  val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("spark", "join"),
+    "q2" -> Seq("window", "stream"),
+    "q3" -> Seq("hash", "merge", "sort"))
+
+  /** BM25 ranked retrieval (Lucene-flavored idf): top-k documents per
+    * query over the corpus — the sparse half of hybrid retrieval, next
+    * to the dense ANN operators in Similarity. Distributed shape: one
+    * tokenize pass builds the (doc, term, tf) posting frame and doc
+    * lengths; the query-term table is BROADCAST and equi-joined into
+    * the postings, so only documents containing a query term ever flow
+    * (never a corpus × queries cross product); document frequencies
+    * aggregate over the same pruned postings; corpus stats (N, avgdl)
+    * are one broadcast scalar row. Per-(query, doc) contributions sum
+    * in a partial-aggregating groupBy; ranks come from a per-query
+    * window over the rounded score with a doc_id tie-break
+    * (cross-engine determinism). At 100 TB the posting build is the
+    * linear corpus pass, everything after is O(matching postings).
+    *
+    * score(q,d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) ·
+    *              tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, Seq[String])] = bm25Queries,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val qterms = broadcast(
+      queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term"))
+    // prune FIRST: only postings of query terms survive the broadcast join
+    val postings = tf.join(qterms, Seq("term"))
+    val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = postings
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  def bm25TopKOracle(queries: Seq[(String, Seq[String])] = bm25Queries,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): String = {
+    val qvals = queries.flatMap { case (q, ts) =>
+      ts.map(t => s"('$q','$t')") }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+       |), q(query_id, term) AS (VALUES $qvals),
+       |dfq AS (
+       |  SELECT term, count(*) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM q) GROUP BY 1
+       |), contrib AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |         tf.tf * ${k1 + 1.0} /
+       |         (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / s.avgdl)) AS c
+       |  FROM tf
+       |  JOIN q ON tf.term = q.term
+       |  JOIN dfq ON tf.term = dfq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats s
+       |)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id) AS rank
+       |  FROM (SELECT query_id, doc_id, round(sum(c), 6) AS score
+       |        FROM contrib GROUP BY 1, 2)
+       |)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_vocab" -> ((s, d) => vocabReport(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopTerms(Tables.documents(s, d))),
@@ -731,7 +827,8 @@ object TextOps {
     "q_text_lmscore" -> ((s, d) => lmScore(Tables.documents(s, d))),
     "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
     "q_bpe_train_batched" -> ((s, d) => bpeTrainBatched(Tables.documents(s, d))),
-    "q_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d), memoKey = Some(d)))
+    "q_bpe_encode" -> ((s, d) => bpeEncode(Tables.documents(s, d), memoKey = Some(d))),
+    "q_bm25_topk" -> ((s, d) => bm25TopK(Tables.documents(s, d)))
   )
 
   def oracles: Map[String, String] = Map(
@@ -746,6 +843,7 @@ object TextOps {
     "q_text_lmscore" -> lmScoreOracle,
     "q_bpe_train" -> bpeTrainOracle(),
     "q_bpe_train_batched" -> bpeTrainBatchedOracle(),
-    "q_bpe_encode" -> bpeEncodeOracle()
+    "q_bpe_encode" -> bpeEncodeOracle(),
+    "q_bm25_topk" -> bm25TopKOracle()
   )
 }

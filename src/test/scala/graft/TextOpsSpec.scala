@@ -182,6 +182,31 @@ class TextOpsSpec extends SparkSpec {
       (8L, 1L, 1L)))
   }
 
+  test("bm25: term-matching docs rank by saturating tf, misses never appear") {
+    val corpus = docs(
+      (1L, "spark join spark join spark", "en"),   // both terms, high tf
+      (2L, "spark window window window", "en"),    // one term
+      (3L, "filter sort merge hash", "en"),        // no query term
+      (4L, "spark join window filter", "en"))      // both terms, tf=1 each
+    val out = TextOps.bm25TopK(corpus,
+      queries = Seq("q" -> Seq("spark", "join")), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val ids = out.map(_._2).toSet
+    assert(!ids.contains(3L), "a doc with no query term must not score")
+    assert(ids == Set(1L, 2L, 4L))
+    // ranks are contiguous from 1 and scores non-increasing
+    val byRank = out.sortBy(_._4)
+    assert(byRank.map(_._4).toSeq == (1 to out.length).toSeq)
+    assert(byRank.sliding(2).forall(p => p.head._3 >= p.last._3))
+    // the double-term doc with the highest tf wins
+    assert(byRank.head._2 == 1L)
+    // matching both terms beats matching one, despite lower single-term tf
+    val rank4 = out.find(_._2 == 4L).get._4
+    val rank2 = out.find(_._2 == 2L).get._4
+    assert(rank4 < rank2,
+      "two matched terms (idf-summed) outrank one term's repeated tf")
+  }
+
   test("length histogram: power-of-two buckets with exact edges") {
     val out = TextOps.lengthHistogram(docs(
       (1L, "one", "en"),                          // 1 token  -> bucket 0
