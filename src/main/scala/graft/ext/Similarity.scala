@@ -1098,7 +1098,96 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF): for each query
+    * DOCUMENT (doc_id < nQueries; the embeddings table shares its id
+    * space), fuse the dense cosine top-kEach ([[bruteForceTopK]]) with
+    * the sparse BM25 top-kEach whose query terms are the query doc's
+    * distinct tokens (more-like-this), via score = Σ_lists
+    * 1/(rrfK + rank) — the standard fusion for lists with incomparable
+    * scores. Each ranker keeps its own scale shape (broadcast query
+    * rows / broadcast query terms; nothing widens); the fusion itself
+    * is a union + one groupBy over ≤ 2·kEach·nQueries rows. At 100 TB
+    * the dense half would swap in the IVF/PQ searcher — the fusion is
+    * ranker-agnostic by construction (it reads only (query, doc, rank)).
+    */
+  def hybridRrf(docs: DataFrame, vectors: DataFrame, nQueries: Int = 3,
+      kEach: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(TextOps.tokens(lower(col("text"))))).as("term"))
+    val sparse = TextOps.bm25Rank(docs, qterms, k = kEach, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val dense = bruteForceTopK(vectors, nQueries, kEach)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    sparse.unionByName(dense)
+      .withColumn("c", lit(1.0) / (lit(rrfK) + col("rank")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")), 6).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rank"))
+  }
+
+  def hybridRrfOracle(nQueries: Int = 3, kEach: Int = 20, k: Int = 10,
+      rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), ' +')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+       |), qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id < $nQueries
+       |), dfq AS (
+       |  SELECT term, count(*) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+       |), contrib AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |         tf.tf * ${k1 + 1.0} /
+       |         (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / s.avgdl)) AS c
+       |  FROM tf
+       |  JOIN qt ON tf.term = qt.term
+       |  JOIN dfq ON tf.term = dfq.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats s
+       |), sparse AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY score DESC, doc_id) AS rank
+       |    FROM (SELECT query_id, doc_id, round(sum(c), 6) AS score
+       |          FROM contrib WHERE doc_id != query_id GROUP BY 1, 2))
+       |  WHERE rank <= $kEach
+       |), dense AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY $cosSql DESC, v.vec_id) AS rank
+       |    FROM embeddings v
+       |    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $nQueries) q
+       |    WHERE v.vec_id != q.vec_id)
+       |  WHERE rank <= $kEach
+       |)
+       |SELECT query_id, doc_id, rrf, rank FROM (
+       |  SELECT query_id, doc_id, rrf,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM (SELECT query_id, doc_id,
+       |               round(sum(CAST(1.0 AS DOUBLE) / ($rrfK + rank)), 6) AS rrf
+       |        FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense)
+       |        GROUP BY 1, 2))
+       |WHERE rank <= $k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_rrf" -> ((s, d) =>
+      hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_pq_quantize" -> ((s, d) => pqQuantize(Tables.embeddings(s, d))),
     "q_knn_ivfpq" -> ((s, d) =>
       ivfPqFromFrame(sharedVecFrame(s, d), nQueries = 5, k = 10, nprobe = 2, m = 8,
@@ -1135,6 +1224,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_hybrid_rrf" -> hybridRrfOracle(),
     "q_pq_quantize" -> pqQuantizeOracle(),
     "q_knn_ivfpq" -> ivfPqTopKOracle(),
     "q_knn_brute" -> bruteForceTopKOracle(),

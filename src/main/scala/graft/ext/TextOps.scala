@@ -745,17 +745,29 @@ object TextOps {
     */
   def bm25TopK(docs: DataFrame, queries: Seq[(String, Seq[String])] = bm25Queries,
       k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
+    bm25Rank(docs,
+      queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term"),
+      k, k1, b)
+  }
+
+  /** BM25 core over an arbitrary `(query_id, term)` frame — query_id of
+    * any type (string benchmark ids, or doc ids for more-like-this /
+    * hybrid retrieval). `excludeSelf` drops the query document itself
+    * before ranking (query_id and doc_id must then be comparable).
+    */
+  def bm25Rank(docs: DataFrame, qterms0: DataFrame,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val qterms = broadcast(
-      queries.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term"))
+    val qterms = broadcast(qterms0)
     // prune FIRST: only postings of query terms survive the broadcast join
     val postings = tf.join(qterms, Seq("term"))
     val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
@@ -770,8 +782,9 @@ object TextOps {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    contrib.groupBy(col("query_id"), col("doc_id"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("c")), 6).as("score"))
+    (if (excludeSelf) scored.filter(col("doc_id") =!= col("query_id")) else scored)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))

@@ -490,4 +490,29 @@ class SimilaritySpec extends SparkSpec {
         org.apache.spark.sql.functions.col("cb")).as("pa")).head().getStruct(0)
     assert(nativeNaN.getSeq[Int](0) == codesNaN && nativeNaN.getDouble(1).isPosInfinity)
   }
+
+  test("hybrid RRF: a doc in both ranked lists outranks every single-list doc") {
+    val s = spark
+    val docs = Tables.documents(s, "/root/testdata/sf0.001")
+    val vectors = Tables.embeddings(s, "/root/testdata/sf0.001")
+    val kEach = 20
+    val fused = Similarity.hybridRrf(docs, vectors, nQueries = 3,
+      kEach = kEach, k = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(fused.nonEmpty)
+    // with kEach=20 and rrfK=60, min two-list score 2/(60+20) = 0.025
+    // strictly beats max one-list score 1/(60+1) — so membership count is
+    // a total tier: every both-lists doc precedes every single-list doc
+    val twoListFloor = 2.0 / (60 + kEach)
+    val oneListCeil = 1.0 / 61
+    assert(twoListFloor > oneListCeil)
+    fused.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rows.length).toSeq, "contiguous ranks")
+      assert(byRank.sliding(2).forall(p => p.head._3 >= p.last._3), "rrf desc")
+      val tiers = byRank.map(r => if (r._3 >= twoListFloor) 2 else 1)
+      assert(!tiers.sliding(2).exists(p => p.head == 1 && p.last == 2),
+        "a single-list doc must never precede a both-lists doc")
+    }
+  }
 }
