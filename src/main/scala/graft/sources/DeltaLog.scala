@@ -161,6 +161,18 @@ object DeltaLog {
     None
   }
 
+  /** The table schema in force at Delta version `deltaV`, from the
+    * newest mirrored metaData action at or below it — what a TxLog
+    * snapshot read uses to type a schema-evolved table (files written
+    * before a column existed read it back as nulls, Delta's own rule).
+    * None when the JSON prefix is aged out or the mirror is absent —
+    * callers fall back to file-footer inference.
+    */
+  private[sources] def mirroredSchemaAt(table: Path, deltaV: Long): Option[StructType] =
+    scala.util.Try(lastMirroredMeta(table, deltaV).map(m =>
+      DataType.fromJson(m.get("schemaString").asText()).asInstanceOf[StructType]))
+      .toOption.flatten
+
   private def metaDataNode(table: Path, schemaJson: String,
       id: String, createdTime: Long,
       partitionCols: Seq[String] = Seq.empty): ObjectNode = {

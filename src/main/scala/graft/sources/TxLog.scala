@@ -558,19 +558,32 @@ object TxLog {
     * always; partitioned layouts read per batch so each batch dir
     * anchors its own partition discovery.
     */
-  private def readRels(spark: SparkSession, table: Path, rels: Seq[String]): DataFrame =
+  private def readRels(spark: SparkSession, table: Path, rels: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    def rd = schema.map(spark.read.schema).getOrElse(spark.read)
     if (!rels.exists(_.split("/").exists(_.contains("="))))
-      spark.read.parquet(rels.map(rel => table.resolve(rel).toString): _*)
+      rd.parquet(rels.map(rel => table.resolve(rel).toString): _*)
     else rels.groupBy(_.split("/").head)
       .toSeq.sortBy(_._1)
       .map { case (batch, fs) =>
-        spark.read.option("basePath", table.resolve(batch).toString)
+        rd.option("basePath", table.resolve(batch).toString)
           .parquet(fs.map(rel => table.resolve(rel).toString): _*)
       }
       .reduce(_.unionByName(_))
+  }
 
-  def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame =
-    readRels(spark, Paths.get(dir), readManifest(Paths.get(dir), version))
+  /** Snapshots are TYPED by the Delta mirror's metaData schema in force
+    * at that version (tx version v maps to Delta version v−1), so a
+    * schema-EVOLVED table reads correctly: files committed before a
+    * column existed yield nulls for it instead of the whole snapshot
+    * silently taking one random footer's schema. Falls back to footer
+    * inference when the mirror (or its JSON prefix) is gone.
+    */
+  def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val table = Paths.get(dir)
+    readRels(spark, table, readManifest(table, version),
+      DeltaLog.mirroredSchemaAt(table, version - 1))
+  }
 
   def snapshot(spark: SparkSession, dir: String): DataFrame =
     snapshotAt(spark, dir, currentVersion(dir).getOrElse(
@@ -693,6 +706,20 @@ object TxLog {
       table
     })
 
+  /** Schema evolution: a second commit adds a `bonus` column — the
+    * mirror emits a new metaData action, and snapshots type the table
+    * by it (old files read bonus as null).
+    */
+  private def evolutionTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"evo:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_evo").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0), table)
+      commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .withColumn("bonus", col("value") * 2), table)
+      table
+    })
+
   /** Materialize the fixture tables (idempotent) — bench-warmup hook. */
   def prepare(spark: SparkSession, dir: String): Unit = {
     snapshotTable(spark, dir)
@@ -703,6 +730,7 @@ object TxLog {
     mergeTable(spark, dir)
     restoreTable(spark, dir)
     optimizeTable(spark, dir)
+    evolutionTable(spark, dir)
   }
 
   /** Oracle-checked query: the snapshot must aggregate exactly the
@@ -849,6 +877,24 @@ object TxLog {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked schema evolution: the snapshot must carry the
+    * evolved schema, with pre-evolution rows reading the new column as
+    * null — only metaData-typed reads (not footer inference, which
+    * would pick one era's schema for everything) aggregate this right.
+    */
+  def evolutionQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, evolutionTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("bonus"), lit(0.0))), 2).as("total_bonus"))
+
+  val evolutionQueryOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE WHEN event_id % 2 = 1 THEN value * 2 ELSE 0 END), 2)
+      |    AS total_bonus
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog_snapshot" -> snapshotQuery _,
     "q_txlog_vacuum" -> vacuumQuery _,
@@ -857,7 +903,8 @@ object TxLog {
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
     "q_txlog_restore" -> restoreQuery _,
-    "q_txlog_optimize" -> optimizeQuery _
+    "q_txlog_optimize" -> optimizeQuery _,
+    "q_txlog_evolution" -> evolutionQuery _
   )
 
   def oracles: Map[String, String] = Map(
@@ -868,6 +915,7 @@ object TxLog {
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,
-    "q_txlog_optimize" -> optimizeQueryOracle
+    "q_txlog_optimize" -> optimizeQueryOracle,
+    "q_txlog_evolution" -> evolutionQueryOracle
   )
 }

@@ -378,6 +378,27 @@ class TxLogSpec extends SparkSpec {
       "appends 2..5 surface once despite the in-window compaction")
   }
 
+  test("schema evolution: snapshots are typed by the era's metaData schema") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500), t)
+    TxLog.commitAppend(events.filter(col("event_id") >= 500)
+      .withColumn("bonus", col("value") * 2), t)
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.columns.contains("bonus"),
+      "the evolved column must be visible regardless of footer order")
+    assert(snap.count() == events.count())
+    assert(snap.filter(col("bonus").isNull).count() == 500L,
+      "pre-evolution rows read the new column as null")
+    assert(snap.filter(col("bonus").isNotNull).count() == 500L)
+    // time travel returns the OLD schema for the old version (Delta rule)
+    val v1 = TxLog.snapshotAt(s, t, 1L)
+    assert(!v1.columns.contains("bonus"),
+      "v1 predates the column — its snapshot must not carry it")
+    assert(v1.count() == 500L)
+  }
+
   test("a rewrite that read a stale base version fails loudly (serializable)") {
     val s = spark
     import org.apache.spark.sql.functions._
