@@ -553,13 +553,23 @@ object DeltaLog {
   // `stats` is Delta's per-file statistics JSON
   // (`{"numRecords":N,"minValues":{...},"maxValues":{...},"nullCount":{...}}`)
   // — carried verbatim as a string, exactly how the protocol stores it.
+  // `deletionVector` is the Delta DV descriptor (storageType u/i/p +
+  // Z85 path-or-inline + offsets) — carried through replay so DV-bearing
+  // foreign tables read correctly (rows the bitmap names are hidden)
+  private val dvType = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
   private val addType = StructType(Seq(
     StructField("path", StringType),
     StructField("partitionValues", MapType(StringType, StringType)),
     StructField("size", LongType),
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
-    StructField("stats", StringType)))
+    StructField("stats", StringType),
+    StructField("deletionVector", dvType)))
   private val removeType = StructType(Seq(
     StructField("path", StringType),
     StructField("deletionTimestamp", LongType),
@@ -651,6 +661,7 @@ object DeltaLog {
         col("add.size").as("size"),
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
+        to_json(col("add.deletionVector")).as("dv"),
         col("remove.deletionTimestamp").as("deletionTimestamp"))
       .filter(col("path").isNotNull)
     val last = flat
@@ -658,7 +669,7 @@ object DeltaLog {
         Window.partitionBy(col("path")).orderBy(col("ver").desc)))
       .filter(col("rn") === 1)
     val live = last.filter(col("isAdd"))
-      .select("path", "partitionValues", "size", "modificationTime", "stats")
+      .select("path", "partitionValues", "size", "modificationTime", "stats", "dv")
     val tombstones = last.filter(!col("isAdd"))
       .select("path", "deletionTimestamp")
     val meta = acts.filter(col("metaData").isNotNull)
@@ -682,10 +693,12 @@ object DeltaLog {
   }
 
   /** One live data file as replay reconstructs it: decoded relative
-    * path, the log-carried partition values, and the raw stats JSON
-    * (None when the writer emitted none). */
+    * path, the log-carried partition values, the raw stats JSON (None
+    * when the writer emitted none), and the deletion-vector descriptor
+    * JSON when the newest add carries one. */
   private[graft] case class LiveFile(path: String,
-      partitionValues: Map[String, String], stats: Option[String])
+      partitionValues: Map[String, String], stats: Option[String],
+      dv: Option[String] = None)
 
   /** Driver-side fold over the same replay plan — the cheap path for
     * metadata-scale logs (every fixture; most real tables). Later
@@ -705,15 +718,19 @@ object DeltaLog {
       def optField(name: String, t: DataType) =
         if (addFields(name)) col(s"add.$name").cast(t)
         else lit(null).cast(t)
+      val dvCol =
+        if (addFields("deletionVector")) to_json(col("add.deletionVector"))
+        else lit(null).cast(StringType)
       df.filter(col("add").isNotNull)
         .select(col("add.path"),
           optField("partitionValues", MapType(StringType, StringType)),
-          optField("stats", StringType))
+          optField("stats", StringType),
+          dvCol)
         .collect().foreach { r =>
           val p = decodePath(r.getString(0))
           val pv = Option(r.getMap[String, String](1))
             .map(_.toMap).getOrElse(Map.empty[String, String])
-          live += p -> LiveFile(p, pv, Option(r.getString(2)))
+          live += p -> LiveFile(p, pv, Option(r.getString(2)), Option(r.getString(3)))
         }
       df.filter(col("metaData").isNotNull)
         .select(col("metaData.id"), col("metaData.schemaString"),
@@ -746,7 +763,9 @@ object DeltaLog {
                 (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
               .getOrElse(Map.empty[String, String])
             val st = Option(a.get("stats")).filterNot(_.isNull).map(_.asText())
-            live += p -> LiveFile(p, pv, st)
+            val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+              .map(mapper.writeValueAsString)
+            live += p -> LiveFile(p, pv, st, dv)
           }
           if (node.has("remove"))
             live -= decodePath(node.get("remove").get("path").asText())
@@ -773,10 +792,11 @@ object DeltaLog {
       // driver — the per-action replay state above stayed distributed.
       // stats stay out of the snapshot handoff (only [[skipScan]] needs
       // them, and it prunes on the DataFrame before collecting).
-      (live.select("path", "partitionValues").collect().toSeq.map { r =>
+      (live.select("path", "partitionValues", "dv").collect().toSeq.map { r =>
         LiveFile(decodePath(r.getString(0)),
           Option(r.getMap[String, String](1))
-            .map(_.toMap).getOrElse(Map.empty[String, String]), None)
+            .map(_.toMap).getOrElse(Map.empty[String, String]), None,
+          Option(r.getString(2)))
       }, meta)
     }
   }
@@ -865,7 +885,10 @@ object DeltaLog {
       lit(false).as("dataChange"),
       // stats survive compaction: a foreign reader starting from this
       // checkpoint keeps its data-skipping ability
-      col("stats")).as("add"))
+      col("stats"),
+      // deletion vectors survive too — a DV-bearing add replayed from
+      // the checkpoint must keep hiding its rows
+      from_json(col("dv"), dvType).as("deletionVector")).as("add"))
     val keepCutoff = System.currentTimeMillis() - tombstoneRetentionMs
     val removeRows = tombstones
       .filter(col("deletionTimestamp").isNull ||
@@ -987,38 +1010,68 @@ object DeltaLog {
     *    arbitrary foreign layouts, but O(distinct partitions) in plan
     *    size — documented as the compatibility path, not the scale one.
     */
+  /** Files WITHOUT a deletion vector read through the plain scans;
+    * DV-bearing files read in their own scan carrying the parquet
+    * `_metadata` file-path + row-index columns, filtered by the
+    * broadcast bitmaps (rows the DV names are hidden — the Delta
+    * reader requirement for DV tables), then union. The DV filter is
+    * per-row bitmap membership, exactly stock Delta's application
+    * shape; everything else in the plan is unchanged.
+    */
   private def readFiles(spark: SparkSession, table: Path,
       files: Seq[LiveFile], meta: Option[ObjectNode]): DataFrame = {
+    val (dvFiles, plain) = files.partition(_.dv.isDefined)
+    val base = readFilesRaw(spark, table, plain, meta, withMeta = false)
+    if (dvFiles.isEmpty) base
+    else {
+      val keep = DeletionVectors.keepUdf(spark, table,
+        dvFiles.map(f => f.path -> f.dv.get).toMap)
+      val dvDf = readFilesRaw(spark, table, dvFiles, meta, withMeta = true)
+        .filter(keep(col("__dv_file"), col("__dv_row")))
+        .drop("__dv_file", "__dv_row")
+      if (plain.isEmpty) dvDf else base.unionByName(dvDf)
+    }
+  }
+
+  private def readFilesRaw(spark: SparkSession, table: Path,
+      files: Seq[LiveFile], meta: Option[ObjectNode],
+      withMeta: Boolean): DataFrame = {
     val pcs = partitionColsOf(meta)
+    def metaCols(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df.withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_row", col("_metadata.row_index"))
     if (files.isEmpty) {
       // valid empty table: schema comes from metaData, not file inference
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         tableSchemaOf(table.toString, meta))
     } else if (pcs.isEmpty) {
-      spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*)
+      metaCols(spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*))
     } else {
       val schema = tableSchemaOf(table.toString, meta)
       val ordered = schema.fieldNames.toSeq.map(col)
+      val sel = if (withMeta) ordered ++ Seq(col("__dv_file"), col("__dv_row"))
+        else ordered
       if (files.forall(hiveStyle(_, pcs)))
-        spark.read.schema(schema)
+        metaCols(spark.read.schema(schema)
           .option("basePath", table.toString)
-          .parquet(files.map(f => table.resolve(f.path).toString): _*)
-          .select(ordered: _*)
+          .parquet(files.map(f => table.resolve(f.path).toString): _*))
+          .select(sel: _*)
       else {
         val pcFields = pcs.map(c => schema.find(_.name == c).getOrElse(
           sys.error(s"$table: partition column '$c' missing from schemaString")))
         val dataSchema = StructType(schema.filterNot(f => pcs.contains(f.name)))
         files.groupBy(f => pcs.map(c => f.partitionValues.getOrElse(c, null)))
           .toSeq.map { case (vals, fs) =>
-            val base = spark.read.schema(dataSchema)
-              .parquet(fs.map(f => table.resolve(f.path).toString): _*)
+            val base = metaCols(spark.read.schema(dataSchema)
+              .parquet(fs.map(f => table.resolve(f.path).toString): _*))
             pcFields.zip(vals).foldLeft(base) { case (df, (fld, v)) =>
               df.withColumn(fld.name,
                 (if (v == null) lit(null) else lit(v)).cast(fld.dataType))
             }
           }
           .reduce(_.unionByName(_))
-          .select(ordered: _*)
+          .select(sel: _*)
       }
     }
   }
@@ -1205,14 +1258,15 @@ object DeltaLog {
       val (live, _, meta) = liveState(spark, table, pl)
       val schema = tableSchemaOf(dir, meta)
       val pcs = partitionColsOf(meta)
-      val flags = live.select(col("path"), col("partitionValues"),
+      val flags = live.select(col("path"), col("partitionValues"), col("dv"),
         (keepCond(col("stats"), schema, preds) &&
           partCond(col("partitionValues"), pcs, schema, preds)).as("keep")).collect()
       (flags.toSeq.map(r =>
         (LiveFile(decodePath(r.getString(0)),
           Option(r.getMap[String, String](1))
-            .map(_.toMap).getOrElse(Map.empty[String, String]), None),
-          r.getBoolean(2))),
+            .map(_.toMap).getOrElse(Map.empty[String, String]), None,
+          Option(r.getString(2))),
+          r.getBoolean(3))),
         meta)
     }
   }
@@ -1461,6 +1515,7 @@ object DeltaLog {
     deltaPartitionedTable(spark, dir)
     deltaVacuumedTable(spark, dir)
     txPartitionedTable(spark, dir)
+    deltaDvTable(spark, dir)
     ()
   }
 
@@ -1557,12 +1612,119 @@ object DeltaLog {
       |FROM events WHERE event_type BETWEEN 'a' AND 'm'
       |GROUP BY 1""".stripMargin
 
+  /** Foreign-style table with DELETION VECTORS: three data files, each
+    * with a DV hiding its `event_id % 7 == 0` rows — one inline ("i"),
+    * one UUID-file ("u"), one absolute-path ("p"), covering every
+    * storageType the protocol defines in a single table, with the
+    * spec's reader/writer feature gates in the protocol action. No
+    * `_txlog`: this is the stock-delta-written-table read path.
+    */
+  private[graft] def deltaDvTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"dv:$dir", {
+      val table = graft.Scratch.dir("graft_delta_dv").toString
+      val root = Paths.get(table)
+      val ev = graft.Tables.events(spark, dir)
+      val rels = (0 until 3).map { i =>
+        val tmp = graft.Scratch.dir(s"graft_dv_band$i")
+        ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet")).head
+        val rel = f"part-$i%05d.parquet"
+        Files.move(part, root.resolve(rel))
+        rel
+      }
+      // per-file ordinal row indexes of the to-delete rows (fixture-scale)
+      val deletedIdx: Seq[Seq[Long]] = rels.map { rel =>
+        spark.read.parquet(root.resolve(rel).toString)
+          .select(col("_metadata.row_index"), col("event_id"))
+          .filter(pmod(col("event_id"), lit(7)) === 0)
+          .collect().map(_.getLong(0)).toSeq.sorted
+      }
+      val bitmaps = deletedIdx.map(DeletionVectors.serialize)
+      // "i": inline Z85 payload
+      val descI = {
+        val n = mapper.createObjectNode()
+        n.put("storageType", "i")
+        n.put("pathOrInlineDv", DeletionVectors.z85Encode(bitmaps(0)))
+        n.put("sizeInBytes", bitmaps(0).length)
+        n.put("cardinality", deletedIdx(0).size.toLong)
+      }
+      // "u": UUID-derived file under the table root
+      val descU = {
+        val uuid = java.util.UUID.nameUUIDFromBytes(
+          "graft-dv-fixture".getBytes("UTF-8"))
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(uuid.getMostSignificantBits)
+        bb.putLong(uuid.getLeastSignificantBits)
+        val off = DeletionVectors.writeDvFile(
+          root.resolve(s"deletion_vector_$uuid.bin"), Seq(bitmaps(1))).head
+        val n = mapper.createObjectNode()
+        n.put("storageType", "u")
+        n.put("pathOrInlineDv", DeletionVectors.z85Encode(bb.array()))
+        n.put("offset", off)
+        n.put("sizeInBytes", bitmaps(1).length)
+        n.put("cardinality", deletedIdx(1).size.toLong)
+      }
+      // "p": absolute path
+      val descP = {
+        val target = root.resolve("dv_absolute.bin")
+        val off = DeletionVectors.writeDvFile(target, Seq(bitmaps(2))).head
+        val n = mapper.createObjectNode()
+        n.put("storageType", "p")
+        n.put("pathOrInlineDv", target.toAbsolutePath.toString)
+        n.put("offset", off)
+        n.put("sizeInBytes", bitmaps(2).length)
+        n.put("cardinality", deletedIdx(2).size.toLong)
+      }
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 3)
+      p.put("minWriterVersion", 7)
+      p.putArray("readerFeatures").add("deletionVectors")
+      p.putArray("writerFeatures").add("deletionVectors")
+      lines += mapper.writeValueAsString(protocol)
+      lines += mapper.writeValueAsString(
+        metaDataNode(root, ev.schema.json, stableTableId(root), 1L))
+      rels.zip(Seq(descI, descU, descP)).foreach { case (rel, desc) =>
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", encodePath(rel))
+        a.putObject("partitionValues")
+        a.put("size", Files.size(root.resolve(rel)))
+        a.put("modificationTime", Files.getLastModifiedTime(root.resolve(rel)).toMillis)
+        a.put("dataChange", true)
+        fileStats(root.resolve(rel)).foreach(a.put("stats", _))
+        a.set[ObjectNode]("deletionVector", desc)
+        lines += mapper.writeValueAsString(n)
+      }
+      Files.createDirectories(logDir(root))
+      Files.write(commitPath(root, 0L), (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      table
+    })
+
+  /** Oracle-checked deletion-vector read: the snapshot must aggregate
+    * to exactly the NOT-deleted rows — only correct Z85 + roaring
+    * decode + per-row bitmap application across all three storage
+    * types produces that.
+    */
+  def dvQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, deltaDvTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val dvQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 7 <> 0
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_delta_snapshot" -> snapshotQuery _,
     "q_delta_skipping" -> skippingQuery _,
     "q_delta_partitioned" -> partitionedQuery _,
     "q_delta_changes" -> changesQuery _,
     "q_delta_vacuum" -> vacuumQuery _,
+    "q_delta_dv" -> dvQuery _,
     "q_txlog_partitioned" -> txPartitionedQuery _
   )
 
@@ -1572,6 +1734,7 @@ object DeltaLog {
     "q_delta_partitioned" -> partitionedQueryOracle,
     "q_delta_changes" -> changesQueryOracle,
     "q_delta_vacuum" -> vacuumQueryOracle,
+    "q_delta_dv" -> dvQueryOracle,
     "q_txlog_partitioned" -> txPartitionedQueryOracle
   )
 }
