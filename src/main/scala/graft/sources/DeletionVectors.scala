@@ -140,6 +140,26 @@ object DeletionVectors {
         case BitmapC(ws) => ws.map(java.lang.Long.bitCount(_).toLong).sum
         case RunC(rs) => rs.map { case (_, len) => len.toLong + 1 }.sum
       }.sum).sum
+    /** All set values in ascending order — the DV-merge path (a second
+      * delete on an already-DV'd file unions old and new). Bounded by
+      * the file's row count, enumerated in the executor. */
+    def values: Iterator[Long] =
+      bitmaps.iterator.zipWithIndex.flatMap { case (b, idx) =>
+        val high = idx.toLong << 32
+        b.keys.iterator.zip(b.containers.iterator).flatMap { case (key, c) =>
+          val base = high | (key.toLong << 16)
+          c match {
+            case ArrayC(vs) => vs.iterator.map(v => base | v.toLong)
+            case BitmapC(ws) => ws.iterator.zipWithIndex.flatMap { case (w, wi) =>
+              (0 until 64).iterator.filter(bit => (w & (1L << bit)) != 0)
+                .map(bit => base | (wi.toLong * 64 + bit))
+            }
+            case RunC(rs) => rs.iterator.flatMap { case (start, len) =>
+              (start to start + len).iterator.map(v => base | v.toLong)
+            }
+          }
+        }
+      }
   }
 
   /** Parse the portable RoaringBitmapArray serialization. */
@@ -317,7 +337,7 @@ object DeletionVectors {
 
   // ------------------------------------------------- Spark application
 
-  private def parseDescriptor(json: String): Descriptor = {
+  private[sources] def parseDescriptor(json: String): Descriptor = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     Descriptor(
       n.get("storageType").asText(),

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -664,9 +664,14 @@ object DeltaLog {
         to_json(col("add.deletionVector")).as("dv"),
         col("remove.deletionTimestamp").as("deletionTimestamp"))
       .filter(col("path").isNotNull)
+    // Within ONE version a path may carry BOTH a remove and an add —
+    // that's how stock Delta commits a DV update (remove the old add,
+    // re-add the same file with the new deletionVector). Reconciliation:
+    // the add is the newest state, so it wins the intra-version tie.
     val last = flat
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("path")).orderBy(col("ver").desc)))
+        Window.partitionBy(col("path"))
+          .orderBy(col("ver").desc, col("isAdd").desc)))
       .filter(col("rn") === 1)
     val live = last.filter(col("isAdd"))
       .select("path", "partitionValues", "size", "modificationTime", "stats", "dv")
@@ -752,26 +757,32 @@ object DeltaLog {
         }
     }
     pl.tail.foreach { v =>
-      Files.readAllLines(commitPath(table, v)).asScala
-        .filter(_.trim.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          if (node.has("add")) {
-            val a = node.get("add")
-            val p = decodePath(a.get("path").asText())
-            val pv = Option(a.get("partitionValues")).map(_.fields().asScala
-              .map(e => e.getKey ->
-                (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-              .getOrElse(Map.empty[String, String])
-            val st = Option(a.get("stats")).filterNot(_.isNull).map(_.asText())
-            val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
-              .map(mapper.writeValueAsString)
-            live += p -> LiveFile(p, pv, st, dv)
-          }
-          if (node.has("remove"))
-            live -= decodePath(node.get("remove").get("path").asText())
-          if (node.has("metaData"))
-            meta = Some(node.get("metaData").asInstanceOf[ObjectNode])
+      // removes apply BEFORE adds within one commit: a DV update emits
+      // remove+add of the same path in the same version, and the add is
+      // the file's newest state (same reconciliation as [[liveState]]'s
+      // intra-version tiebreak) — line order in the file must not matter
+      val nodes = Files.readAllLines(commitPath(table, v)).asScala
+        .filter(_.trim.nonEmpty).map(mapper.readTree)
+      nodes.foreach { node =>
+        if (node.has("remove"))
+          live -= decodePath(node.get("remove").get("path").asText())
+        if (node.has("metaData"))
+          meta = Some(node.get("metaData").asInstanceOf[ObjectNode])
+      }
+      nodes.foreach { node =>
+        if (node.has("add")) {
+          val a = node.get("add")
+          val p = decodePath(a.get("path").asText())
+          val pv = Option(a.get("partitionValues")).map(_.fields().asScala
+            .map(e => e.getKey ->
+              (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+            .getOrElse(Map.empty[String, String])
+          val st = Option(a.get("stats")).filterNot(_.isNull).map(_.asText())
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+            .map(mapper.writeValueAsString)
+          live += p -> LiveFile(p, pv, st, dv)
         }
+      }
     }
     (live.values.toSeq, meta)
   }
@@ -1289,6 +1300,146 @@ object DeltaLog {
     }
   }
 
+  // ------------------------------------------- deletion-vector writes
+
+  /** Outcome of a [[deleteVectors]] commit. */
+  final case class DvDeleteResult(version: Long, filesAffected: Long,
+      filesSkipped: Long, rowsDeleted: Long)
+
+  /** Row-level DELETE committed as DELETION VECTORS — the stock-Delta
+    * representation: instead of rewriting files (TxLog's copy-on-write
+    * [[TxLog.deleteWhere]]), each affected file is re-added with a
+    * roaring bitmap of its now-hidden ordinal row indexes. The commit
+    * cost is O(deleted rows) of bitmap METADATA plus one log entry —
+    * the reason a 100 TB DELETE of a few rows is instant. Mechanics:
+    *
+    *  - candidate files prune on log stats exactly like [[skipScan]]
+    *    (a file proved predicate-free is never scanned);
+    *  - matched ordinal indexes are gathered per file and the bitmap
+    *    SERIALIZED IN EXECUTORS (one task per file group, bounded by a
+    *    file's row count) — only (path, bitmap bytes) reach the driver;
+    *  - a file already carrying a DV gets the UNION of old and new
+    *    (delete-on-delete), its descriptor's cardinality updated;
+    *  - all bitmaps land in ONE `deletion_vector_<uuid>.bin` ("u"
+    *    storage, stock naming) and the commit re-adds each affected
+    *    file (remove + add of the same path, the spec's DV-update
+    *    shape) keeping its partitionValues and stats;
+    *  - the version is claimed put-if-absent; losing the race is a
+    *    loud serialization failure like the TxLog rewrites.
+    *
+    * Works on Delta-log-only tables (foreign-style). NOT for TxLog-
+    * mirrored tables: the manifest knows nothing of DVs, so the two
+    * logs would diverge — mirrored tables delete via
+    * [[TxLog.deleteWhere]]. The table's protocol should already
+    * advertise the deletionVectors feature (reader 3 / writer 7).
+    */
+  def deleteVectors(spark: SparkSession, dir: String, pred: Column,
+      prune: Seq[(String, Any, Any)] = Seq.empty): DvDeleteResult = {
+    val table = Paths.get(dir)
+    require(!Files.isDirectory(table.resolve("_txlog")),
+      s"$dir is TxLog-mirrored — use TxLog.deleteWhere (the manifest " +
+        "cannot represent deletion vectors)")
+    val latest = (versions(dir) ++ lastCheckpointVersion(table))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+    val (flags, meta) =
+      if (prune.isEmpty) {
+        val (files, m) = replay(spark, table, latest)
+        (files.map(f => (f, true)), m)
+      } else pruneFlags(spark, dir, prune)
+    val candidates = flags.collect { case (f, true) => f }
+    val skipped = (flags.size - candidates.size).toLong
+    if (candidates.isEmpty) return DvDeleteResult(latest, 0L, skipped, 0L)
+    val oldDv: Map[String, Array[Byte]] = candidates.flatMap(f =>
+      f.dv.map(d => table.resolve(f.path).toAbsolutePath.toString ->
+        DeletionVectors.readBytes(table, DeletionVectors.parseDescriptor(d))))
+      .toMap
+    val bcOld = spark.sparkContext.broadcast(oldDv)
+    val mkDv = udf { (file: String, idxs: Seq[Long]) =>
+      val abs = new java.net.URI(file).getPath
+      val old = bcOld.value.get(abs)
+        .map(b => DeletionVectors.parse(b).values.toSeq).getOrElse(Seq.empty)
+      DeletionVectors.serialize((old ++ idxs).distinct)
+    }
+    val collected = readFilesRaw(spark, table, candidates, meta, withMeta = true)
+      .filter(pred)
+      .groupBy(col("__dv_file")).agg(collect_list(col("__dv_row")).as("idxs"))
+      .select(col("__dv_file"),
+        mkDv(col("__dv_file"), col("idxs")).as("dv"))
+      .collect()
+    if (collected.isEmpty) return DvDeleteResult(latest, 0L, skipped, 0L)
+    val byAbs = candidates.map(f =>
+      table.resolve(f.path).toAbsolutePath.toString -> f).toMap
+    val affected: Seq[(LiveFile, Array[Byte])] = collected.toSeq.map { r =>
+      val abs = new java.net.URI(r.getString(0)).getPath
+      (byAbs(abs), r.getAs[Array[Byte]](1))
+    }
+    // one DV file for the whole commit, stock "u" naming
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      affected.flatMap(_._2).toArray)
+    val offsets = DeletionVectors.writeDvFile(
+      table.resolve(s"deletion_vector_$uuid.bin"), affected.map(_._2))
+    val uuidBytes = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(uuid.getMostSignificantBits)
+      bb.putLong(uuid.getLeastSignificantBits)
+      bb.array()
+    }
+    val rowsDeleted = affected.map { case (f, bytes) =>
+      DeletionVectors.parse(bytes).cardinality -
+        f.dv.map(_ => DeletionVectors.parse(
+          oldDv(table.resolve(f.path).toAbsolutePath.toString)).cardinality)
+          .getOrElse(0L)
+    }.sum
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val commitInfo = mapper.createObjectNode()
+    val ci = commitInfo.putObject("commitInfo")
+    ci.put("timestamp", now)
+    ci.put("operation", "DELETE")
+    lines += mapper.writeValueAsString(commitInfo)
+    affected.zip(offsets).foreach { case ((f, bytes), off) =>
+      val rm = mapper.createObjectNode()
+      val r = rm.putObject("remove")
+      r.put("path", encodePath(f.path))
+      r.put("deletionTimestamp", now)
+      r.put("dataChange", true)
+      lines += mapper.writeValueAsString(rm)
+      val ad = mapper.createObjectNode()
+      val a = ad.putObject("add")
+      a.put("path", encodePath(f.path))
+      val pv = a.putObject("partitionValues")
+      f.partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v); ()
+      }
+      a.put("size", Files.size(table.resolve(f.path)))
+      a.put("modificationTime",
+        Files.getLastModifiedTime(table.resolve(f.path)).toMillis)
+      a.put("dataChange", true)
+      // stats kept from the old add: row counts overcount deleted rows,
+      // which only ever KEEPS files in a skip-scan — still sound
+      f.stats.foreach(a.put("stats", _))
+      val dvn = a.putObject("deletionVector")
+      dvn.put("storageType", "u")
+      dvn.put("pathOrInlineDv", DeletionVectors.z85Encode(uuidBytes))
+      dvn.put("offset", off)
+      dvn.put("sizeInBytes", bytes.length)
+      dvn.put("cardinality", DeletionVectors.parse(bytes).cardinality)
+      lines += mapper.writeValueAsString(ad)
+    }
+    val next = latest + 1
+    val tmp = Files.createTempFile(logDir(table), ".delta-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(commitPath(table, next), tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        sys.error(s"$dir: concurrent commit at Delta version $next — " +
+          "this DV delete read version " + latest + "; re-run against " +
+          "the new snapshot")
+    } finally Files.deleteIfExists(tmp)
+    DvDeleteResult(next, affected.size.toLong, skipped, rowsDeleted)
+  }
+
   // ------------------------------------------------- changes & vacuum
 
   /** File-level change feed between two committed versions, for ANY
@@ -1321,21 +1472,29 @@ object DeltaLog {
     def isDataChange(action: com.fasterxml.jackson.databind.JsonNode): Boolean =
       !action.has("dataChange") || action.get("dataChange").asBoolean(true)
     need.foreach { v =>
-      Files.readAllLines(commitPath(table, v)).asScala
-        .filter(_.trim.nonEmpty).foreach { line =>
-          val node = mapper.readTree(line)
-          if (node.has("add") && isDataChange(node.get("add"))) {
-            val a = node.get("add")
-            val p = decodePath(a.get("path").asText())
-            val pv = Option(a.get("partitionValues")).map(_.fields().asScala
-              .map(e => e.getKey ->
-                (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-              .getOrElse(Map.empty[String, String])
-            added += p -> LiveFile(p, pv, None)
-          }
-          if (node.has("remove") && isDataChange(node.get("remove")))
-            added -= decodePath(node.get("remove").get("path").asText())
+      // removes before adds within a version: a DV-update commit carries
+      // remove+add of the same path, and the re-add (with its new DV) is
+      // the state the feed should surface — file line order is not load-
+      // bearing, same reconciliation as snapshot replay
+      val nodes = Files.readAllLines(commitPath(table, v)).asScala
+        .filter(_.trim.nonEmpty).map(mapper.readTree)
+      nodes.foreach { node =>
+        if (node.has("remove") && isDataChange(node.get("remove")))
+          added -= decodePath(node.get("remove").get("path").asText())
+      }
+      nodes.foreach { node =>
+        if (node.has("add") && isDataChange(node.get("add"))) {
+          val a = node.get("add")
+          val p = decodePath(a.get("path").asText())
+          val pv = Option(a.get("partitionValues")).map(_.fields().asScala
+            .map(e => e.getKey ->
+              (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+            .getOrElse(Map.empty[String, String])
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+            .map(mapper.writeValueAsString)
+          added += p -> LiveFile(p, pv, None, dv)
         }
+      }
     }
     // read through readFiles so partitioned tables get their partition
     // columns reattached (added data files don't contain them), and the
@@ -1516,6 +1675,7 @@ object DeltaLog {
     deltaVacuumedTable(spark, dir)
     txPartitionedTable(spark, dir)
     deltaDvTable(spark, dir)
+    deltaDvWriteTable(spark, dir)
     ()
   }
 
@@ -1703,6 +1863,76 @@ object DeltaLog {
       table
     })
 
+  /** Foreign-style plain table (no DVs yet) with DISJOINT event_id
+    * bands per file — the [[deleteVectors]] fixture: two successive DV
+    * deletes hit only the low band (stats-pruned), the second merging
+    * into the first's bitmap.
+    */
+  private[graft] def deltaDvWriteTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"dvw:$dir", {
+      val table = graft.Scratch.dir("graft_delta_dvw").toString
+      val root = Paths.get(table)
+      val ev = graft.Tables.events(spark, dir)
+      val bands = Seq(
+        ev.filter(col("event_id") < 400),
+        ev.filter(col("event_id").between(400, 799)),
+        ev.filter(col("event_id") >= 800))
+      val rels = bands.zipWithIndex.map { case (b, i) =>
+        val tmp = graft.Scratch.dir(s"graft_dvw_band$i")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet")).head
+        val rel = f"part-$i%05d.parquet"
+        Files.move(part, root.resolve(rel))
+        rel
+      }
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 3)
+      p.put("minWriterVersion", 7)
+      p.putArray("readerFeatures").add("deletionVectors")
+      p.putArray("writerFeatures").add("deletionVectors")
+      lines += mapper.writeValueAsString(protocol)
+      lines += mapper.writeValueAsString(
+        metaDataNode(root, ev.schema.json, stableTableId(root), 1L))
+      rels.foreach { rel =>
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", encodePath(rel))
+        a.putObject("partitionValues")
+        a.put("size", Files.size(root.resolve(rel)))
+        a.put("modificationTime", Files.getLastModifiedTime(root.resolve(rel)).toMillis)
+        a.put("dataChange", true)
+        fileStats(root.resolve(rel)).foreach(a.put("stats", _))
+        lines += mapper.writeValueAsString(n)
+      }
+      Files.createDirectories(logDir(root))
+      Files.write(commitPath(root, 0L), (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      // two DV deletes in the low band: %7 first, then %5 (merges)
+      deleteVectors(spark, table,
+        pmod(col("event_id"), lit(7)) === 0 && col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      deleteVectors(spark, table,
+        pmod(col("event_id"), lit(5)) === 0 && col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      table
+    })
+
+  /** Oracle-checked DV WRITE: after two bitmap deletes (the second
+    * merged into the first file's DV) the snapshot must equal the
+    * corpus minus both deleted bands — no data file was rewritten.
+    */
+  def dvWriteQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, deltaDvWriteTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val dvWriteQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE NOT ((event_id % 7 = 0 OR event_id % 5 = 0) AND event_id <= 300)
+      |GROUP BY 1""".stripMargin
+
   /** Oracle-checked deletion-vector read: the snapshot must aggregate
     * to exactly the NOT-deleted rows — only correct Z85 + roaring
     * decode + per-row bitmap application across all three storage
@@ -1725,6 +1955,7 @@ object DeltaLog {
     "q_delta_changes" -> changesQuery _,
     "q_delta_vacuum" -> vacuumQuery _,
     "q_delta_dv" -> dvQuery _,
+    "q_delta_dv_delete" -> dvWriteQuery _,
     "q_txlog_partitioned" -> txPartitionedQuery _
   )
 
@@ -1735,6 +1966,7 @@ object DeltaLog {
     "q_delta_changes" -> changesQueryOracle,
     "q_delta_vacuum" -> vacuumQueryOracle,
     "q_delta_dv" -> dvQueryOracle,
+    "q_delta_dv_delete" -> dvWriteQueryOracle,
     "q_txlog_partitioned" -> txPartitionedQueryOracle
   )
 }

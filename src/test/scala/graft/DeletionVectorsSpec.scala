@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.{DeletionVectors => DV, DeltaLog}
@@ -12,6 +14,14 @@ import graft.sources.{DeletionVectors => DV, DeltaLog}
 class DeletionVectorsSpec extends SparkSpec {
 
   private def events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    Files.createDirectories(to)
+    Files.list(from).forEach { f =>
+      val dst = to.resolve(f.getFileName.toString)
+      if (Files.isDirectory(f)) copyTree(f, dst) else { Files.copy(f, dst); () }
+    }
+  }
 
   test("z85 matches the ZeroMQ reference vector and round-trips padding") {
     // RFC 32 test case: 86 4F D2 6F B5 59 F7 5B <-> "HelloWorld"
@@ -122,19 +132,70 @@ class DeletionVectorsSpec extends SparkSpec {
       expected.filter(col("event_id") <= 500).count())
   }
 
+  test("deleteVectors commits bitmap deletes without rewriting any data file") {
+    val s = spark
+    val t = DeltaLog.deltaDvWriteTable(s, "/root/testdata/sf0.001")
+    val root = Paths.get(t)
+    // the staged fixture already ran two DV deletes in the low band
+    val snap = DeltaLog.snapshot(s, t)
+    val expected = events.filter(
+      !((pmod(col("event_id"), lit(7)) === 0 || pmod(col("event_id"), lit(5)) === 0)
+        && col("event_id") <= 300))
+    assert(snap.count() == expected.count())
+    // the three original data files are untouched — the deletes were
+    // metadata-only (bitmaps + log entries)
+    val parts = Files.list(root).iterator()
+    var parquet = 0
+    var dvFiles = 0
+    while (parts.hasNext) {
+      val n = parts.next().getFileName.toString
+      if (n.endsWith(".parquet")) parquet += 1
+      if (n.startsWith("deletion_vector_")) dvFiles += 1
+    }
+    assert(parquet == 3, "no data file was rewritten or added")
+    assert(dvFiles == 2, "each DV delete wrote one bitmap file")
+    // a fresh DV delete on a higher band (on a COPY — the staged fixture
+    // backs the oracle query): stats prune the other two files
+    val t2 = Files.createTempDirectory("graft_dvw_copy")
+    copyTree(root, t2)
+    val res = DeltaLog.deleteVectors(s, t2.toString,
+      pmod(col("event_id"), lit(11)) === 0 && col("event_id").between(400, 799),
+      Seq(("event_id", java.lang.Long.valueOf(400L), java.lang.Long.valueOf(799L))))
+    assert(res.filesAffected == 1L && res.filesSkipped == 2L, s"got $res")
+    assert(res.rowsDeleted ==
+      events.filter(pmod(col("event_id"), lit(11)) === 0 &&
+        col("event_id").between(400, 799)).count())
+    assert(DeltaLog.snapshot(s, t2.toString).count() ==
+      expected.filter(!(pmod(col("event_id"), lit(11)) === 0 &&
+        col("event_id").between(400, 799))).count())
+  }
+
+  test("deleteVectors merges into an existing DV (delete-on-delete union)") {
+    val s = spark
+    val t = DeltaLog.deltaDvWriteTable(s, "/root/testdata/sf0.001")
+    // the fixture's second delete (%5) landed on the file already carrying
+    // the %7 DV: its newest descriptor's cardinality must be the union
+    val live = DeltaLog.snapshot(s, t) // force staging
+    assert(live.columns.nonEmpty)
+    val lines = Files.readAllLines(
+      Paths.get(t).resolve("_delta_log").resolve(f"${2L}%020d.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val addLine = lines.asScala.find(l => l.contains("\"add\"")).get
+    val card = mapper.readTree(addLine).get("add")
+      .get("deletionVector").get("cardinality").asLong()
+    val union = events.filter(
+      (pmod(col("event_id"), lit(7)) === 0 || pmod(col("event_id"), lit(5)) === 0)
+        && col("event_id") <= 300).count()
+    assert(card == union,
+      s"merged DV cardinality $card must equal the union $union")
+  }
+
   test("checkpoints carry deletion vectors: replay from checkpoint alone") {
     val s = spark
     val src = Paths.get(DeltaLog.deltaDvTable(s, "/root/testdata/sf0.001"))
     // copy the fixture so aging out the JSON prefix doesn't mutate it
     val t = Files.createTempDirectory("graft_dv_ckpt")
-    def cp(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-      Files.createDirectories(to)
-      Files.list(from).forEach { f =>
-        val dst = to.resolve(f.getFileName.toString)
-        if (Files.isDirectory(f)) cp(f, dst) else { Files.copy(f, dst); () }
-      }
-    }
-    cp(src, t)
+    copyTree(src, t)
     DeltaLog.checkpoint(s, t.toString)
     // age out the JSON commit: the checkpoint is now the only log state
     Files.delete(t.resolve("_delta_log").resolve(f"${0L}%020d.json"))
