@@ -573,7 +573,10 @@ object DeltaLog {
   private val removeType = StructType(Seq(
     StructField("path", StringType),
     StructField("deletionTimestamp", LongType),
-    StructField("dataChange", BooleanType)))
+    StructField("dataChange", BooleanType),
+    // stock removes carry the superseded deletionVector so VACUUM can
+    // protect its file through the tombstone retention era
+    StructField("deletionVector", dvType)))
   private val metaType = StructType(Seq(
     StructField("id", StringType),
     StructField("format", StructType(Seq(
@@ -662,7 +665,8 @@ object DeltaLog {
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
         to_json(col("add.deletionVector")).as("dv"),
-        col("remove.deletionTimestamp").as("deletionTimestamp"))
+        col("remove.deletionTimestamp").as("deletionTimestamp"),
+        to_json(col("remove.deletionVector")).as("rdv"))
       .filter(col("path").isNotNull)
     // Within ONE version a path may carry BOTH a remove and an add —
     // that's how stock Delta commits a DV update (remove the old add,
@@ -676,7 +680,7 @@ object DeltaLog {
     val live = last.filter(col("isAdd"))
       .select("path", "partitionValues", "size", "modificationTime", "stats", "dv")
     val tombstones = last.filter(!col("isAdd"))
-      .select("path", "deletionTimestamp")
+      .select("path", "deletionTimestamp", "rdv")
     val meta = acts.filter(col("metaData").isNotNull)
       .orderBy(col("ver").desc)
       .select("metaData.id", "metaData.schemaString",
@@ -907,7 +911,8 @@ object DeltaLog {
       .select(struct(
         col("path"),
         col("deletionTimestamp"),
-        lit(false).as("dataChange")).as("remove"))
+        lit(false).as("dataChange"),
+        from_json(col("rdv"), dvType).as("deletionVector")).as("remove"))
     val body = addRows.unionByName(removeRows, allowMissingColumns = true)
     val rows = header.unionByName(body, allowMissingColumns = true)
       .select("protocol", "metaData", "add", "remove")
@@ -1403,6 +1408,10 @@ object DeltaLog {
       r.put("path", encodePath(f.path))
       r.put("deletionTimestamp", now)
       r.put("dataChange", true)
+      // the superseded DV rides the remove so VACUUM protects its file
+      // through the retention era (old-version readers may need it)
+      f.dv.foreach(d => r.set[ObjectNode]("deletionVector",
+        mapper.readTree(d).asInstanceOf[ObjectNode]))
       lines += mapper.writeValueAsString(rm)
       val ad = mapper.createObjectNode()
       val a = ad.putObject("add")
@@ -1438,6 +1447,84 @@ object DeltaLog {
           "the new snapshot")
     } finally Files.deleteIfExists(tmp)
     DvDeleteResult(next, affected.size.toLong, skipped, rowsDeleted)
+  }
+
+  /** Outcome of [[purgeVectors]]. */
+  final case class DvPurgeResult(version: Long, filesRewritten: Long)
+
+  /** REORG PURGE: materialize every DV-carrying live file into clean
+    * files (visible rows only) and drop the vectors — the DV-lifecycle
+    * closer. Delete fast as bitmaps ([[deleteVectors]]); purge once the
+    * deleted fraction makes scans pay for masked rows; then [[vacuum]]
+    * sweeps both the superseded data files and the orphaned bitmap
+    * files. Commits remove(old, carrying its DV for retention
+    * protection) + add(clean) with `dataChange=false` — no visible row
+    * changed, so change feeds skip it, stock REORG's contract.
+    * Unpartitioned tables (partitioned purge adds per-partition writes,
+    * not new semantics).
+    */
+  def purgeVectors(spark: SparkSession, dir: String): DvPurgeResult = {
+    val table = Paths.get(dir)
+    require(!Files.isDirectory(table.resolve("_txlog")),
+      s"$dir is TxLog-mirrored — mirrored tables have no DVs to purge")
+    val latest = (versions(dir) ++ lastCheckpointVersion(table))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+    val (files, meta) = replay(spark, table, latest)
+    require(partitionColsOf(meta).isEmpty,
+      s"$dir: purgeVectors supports unpartitioned tables")
+    val dvFiles = files.filter(_.dv.isDefined)
+    if (dvFiles.isEmpty) return DvPurgeResult(latest, 0L)
+    val clean = readFiles(spark, table, dvFiles, meta) // DVs applied here
+    val tmp = graft.Scratch.dir("graft_dv_purge")
+    clean.write.mode("overwrite").parquet(tmp.toString)
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"purge:$dir:$latest".getBytes("UTF-8"))
+    val added = listDir(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString).zipWithIndex.map { case (p, i) =>
+        val rel = f"part-purge-$uuid-$i%05d.parquet"
+        Files.move(p, table.resolve(rel))
+        rel
+      }
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val commitInfo = mapper.createObjectNode()
+    val ci = commitInfo.putObject("commitInfo")
+    ci.put("timestamp", now)
+    ci.put("operation", "REORG")
+    lines += mapper.writeValueAsString(commitInfo)
+    dvFiles.foreach { f =>
+      val rm = mapper.createObjectNode()
+      val r = rm.putObject("remove")
+      r.put("path", encodePath(f.path))
+      r.put("deletionTimestamp", now)
+      r.put("dataChange", false)
+      f.dv.foreach(d => r.set[ObjectNode]("deletionVector",
+        mapper.readTree(d).asInstanceOf[ObjectNode]))
+      lines += mapper.writeValueAsString(rm)
+    }
+    added.foreach { rel =>
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", encodePath(rel))
+      a.putObject("partitionValues")
+      a.put("size", Files.size(table.resolve(rel)))
+      a.put("modificationTime",
+        Files.getLastModifiedTime(table.resolve(rel)).toMillis)
+      a.put("dataChange", false)
+      fileStats(table.resolve(rel)).foreach(a.put("stats", _))
+      lines += mapper.writeValueAsString(n)
+    }
+    val next = latest + 1
+    val tmpf = Files.createTempFile(logDir(table), ".delta-", ".tmp")
+    Files.write(tmpf, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(commitPath(table, next), tmpf)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        sys.error(s"$dir: concurrent commit at Delta version $next — " +
+          s"this purge read version $latest; re-run against the new snapshot")
+    } finally Files.deleteIfExists(tmpf)
+    DvPurgeResult(next, dvFiles.size.toLong)
   }
 
   // ------------------------------------------------- changes & vacuum
@@ -1524,9 +1611,29 @@ object DeltaLog {
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
     val pl = replayPlan(table, latest)
     val (live, tombstones, _) = liveState(spark, table, pl)
-    val keep = live.select("path").collect()
-      .map(r => decodePath(r.getString(0))).toSet
+    val collected = live.select("path", "dv").collect()
+    val keep = collected.map(r => decodePath(r.getString(0))).toSet
     val cutoff = System.currentTimeMillis() - retentionMs
+    def dvPath(descJson: String): Option[Path] = {
+      val desc = DeletionVectors.parseDescriptor(descJson)
+      desc.storageType match {
+        case "u" => Some(DeletionVectors.uPath(table, desc.pathOrInlineDv))
+        case "p" => Some(java.nio.file.Paths.get(desc.pathOrInlineDv))
+        case _ => None // inline: nothing on disk
+      }
+    }
+    // deletion-vector files referenced by a LIVE add — or by a remove
+    // still inside the tombstone retention era (stock removes carry the
+    // superseded DV for exactly this) — are protected; everything else
+    // named deletion_vector_*.bin under the root is an orphan once past
+    // retention. Stock VACUUM sweeps these too.
+    val protectedDvJson = tombstones
+      .filter(col("deletionTimestamp").isNull ||
+        col("deletionTimestamp") >= cutoff)
+      .select("rdv").collect().flatMap(r => Option(r.getString(0)))
+    val keepDv: Set[Path] =
+      (collected.flatMap(r => Option(r.getString(1))) ++ protectedDvJson)
+        .flatMap(dvPath(_)).map(_.toAbsolutePath).toSet
     // the retention contract protects RECENTLY-TOMBSTONED files even when
     // the files themselves are old: a reader of the pre-overwrite snapshot
     // may still hold their paths for deletedFileRetentionDuration. A null
@@ -1555,6 +1662,12 @@ object DeltaLog {
           // never empty a partition directory (Spark's local-FS writer
           // leaves one per part file)
           Files.deleteIfExists(f.resolveSibling("." + name + ".crc"))
+          deleted += 1
+        }
+      } else if (name.startsWith("deletion_vector_") && name.endsWith(".bin")) {
+        if (!keepDv(f.toAbsolutePath) &&
+            Files.getLastModifiedTime(f).toMillis <= cutoff) {
+          Files.delete(f)
           deleted += 1
         }
       }

@@ -190,6 +190,54 @@ class DeletionVectorsSpec extends SparkSpec {
       s"merged DV cardinality $card must equal the union $union")
   }
 
+  test("purgeVectors materializes clean files; vacuum then sweeps old data + orphaned DVs") {
+    val s = spark
+    val src = Paths.get(DeltaLog.deltaDvWriteTable(s, "/root/testdata/sf0.001"))
+    val t = Files.createTempDirectory("graft_dv_purge_spec")
+    copyTree(src, t)
+    val before = DeltaLog.snapshot(s, t.toString)
+    val beforeCount = before.count()
+    val beforeSum = before.agg(sum(col("value"))).head.getDouble(0)
+    val res = DeltaLog.purgeVectors(s, t.toString)
+    assert(res.filesRewritten == 1L, s"only the DV'd low band rewrites: $res")
+    val after = DeltaLog.snapshot(s, t.toString)
+    assert(after.count() == beforeCount, "purge is row-invisible")
+    assert(math.abs(after.agg(sum(col("value"))).head.getDouble(0) - beforeSum) < 1e-6)
+    assert(after.inputFiles.exists(_.contains("part-purge-")),
+      "the clean file replaces the DV'd one")
+    // dataChange=false: the purge commit is invisible to the change feed
+    assert(DeltaLog.changesBetween(s, t.toString, res.version - 1, res.version)
+      .count() == 0L)
+    // vacuum now sweeps the superseded data file AND both orphaned DV bins
+    DeltaLog.vacuum(s, t.toString, retentionMs = 0L)
+    val leftover = Files.list(t).iterator()
+    var bins = 0
+    while (leftover.hasNext) {
+      if (leftover.next().getFileName.toString.startsWith("deletion_vector_")) bins += 1
+    }
+    assert(bins == 0, "no live add references a DV: all bitmap files sweep")
+    assert(DeltaLog.snapshot(s, t.toString).count() == beforeCount)
+  }
+
+  test("vacuum protects live-referenced DV files, sweeps superseded ones") {
+    val s = spark
+    val src = Paths.get(DeltaLog.deltaDvWriteTable(s, "/root/testdata/sf0.001"))
+    val t = Files.createTempDirectory("graft_dv_vac_spec")
+    copyTree(src, t)
+    val expected = DeltaLog.snapshot(s, t.toString).count()
+    // two DV commits exist: the first bitmap was superseded by the merge;
+    // at zero retention the superseded one sweeps, the live one must stay
+    DeltaLog.vacuum(s, t.toString, retentionMs = 0L)
+    val left = Files.list(t).iterator()
+    var bins = 0
+    while (left.hasNext) {
+      if (left.next().getFileName.toString.startsWith("deletion_vector_")) bins += 1
+    }
+    assert(bins == 1, s"live DV kept, superseded swept — $bins remain")
+    assert(DeltaLog.snapshot(s, t.toString).count() == expected,
+      "the snapshot still reads through the surviving DV")
+  }
+
   test("checkpoints carry deletion vectors: replay from checkpoint alone") {
     val s = spark
     val src = Paths.get(DeltaLog.deltaDvTable(s, "/root/testdata/sf0.001"))
