@@ -761,21 +761,29 @@ object TextOps {
       k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col("doc_id"),
-      explode(tokens(lower(col("text")))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term"))
+    // TWO corpus scans total, by construction (DataFrame branches don't
+    // share work, so every derived frame must hang off ONE posting
+    // branch): (1) a light stats scan — n_docs and total tokens, no
+    // explode, since avgdl ≡ total_tokens / n_docs; (2) the posting
+    // build — explode → (doc, term, tf), with dl as a doc-partitioned
+    // window ON THE SAME BRANCH, then the broadcast query-term prune,
+    // then df as a term-partitioned window over the PRUNED postings
+    // (all postings of a query term survive the prune, so the count is
+    // the true document frequency).
+    val stats = docs.select(count(lit(1)).as("n_docs"),
+      sum(size(tokens(lower(col("text"))))).as("total_tokens"))
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val qterms = broadcast(qterms0)
-    // prune FIRST: only postings of query terms survive the broadcast join
-    val postings = tf.join(qterms, Seq("term"))
-    val dfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val contrib = postings
-      .join(broadcast(dfq), Seq("term"))
-      .join(dl, Seq("doc_id"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    val pruned = tf.join(broadcast(qterms0.select("term").distinct()), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val contrib = pruned
+      .join(broadcast(qterms0), Seq("term"))
       .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
       .withColumn("c",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           col("tf") * lit(k1 + 1.0) /
