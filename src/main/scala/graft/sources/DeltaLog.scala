@@ -528,6 +528,71 @@ object DeltaLog {
     ReplayPlan(startAfter, tail)
   }
 
+  /** Reader features this engine implements end-to-end. `timestampNtz`
+    * is a pure schema type (passes straight through the parquet
+    * reader) and `vacuumProtocolCheck` imposes no read-side behavior;
+    * `deletionVectors` and `columnMapping` have real implementations.
+    * Anything else — v2Checkpoint sidecars, coordinatedCommits, type
+    * widening — changes what the log's bytes MEAN, so an unknown
+    * required feature fails loudly instead of misreading the table
+    * (the spec's own mandate for readerFeatures).
+    */
+  private val supportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck")
+
+  /** Enforce the newest `protocol` action a replay at `pl` covers.
+    * Config-scale: the JSON tail is scanned newest-first (those files
+    * are re-read by replay anyway); only a compacted log with no JSON
+    * protocol action falls back to one checkpoint read. A log with no
+    * protocol action at all passes — refusing to read a spec-violating
+    * but plain table helps no one.
+    */
+  private def protocolGuard(spark: SparkSession, table: Path,
+      pl: ReplayPlan): Unit = {
+    def fromJson(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
+      Files.readAllLines(commitPath(table, v)).asScala.iterator
+        .filter(_.contains("\"protocol\"")).map(mapper.readTree)
+        .flatMap(n => Option(n.get("protocol"))).nextOption()
+    val p = pl.tail.reverseIterator.flatMap(fromJson(_)).nextOption().orElse {
+      val cps = pl.cpPaths(table)
+      if (cps.isEmpty) None
+      else {
+        val df = spark.read.parquet(cps.map(_.toString): _*)
+        if (!df.columns.contains("protocol")) None
+        else {
+          val hasRF = df.schema("protocol").dataType.asInstanceOf[StructType]
+            .fieldNames.contains("readerFeatures")
+          df.filter(col("protocol").isNotNull)
+            .select(col("protocol.minReaderVersion").cast(IntegerType).as("mrv"),
+              (if (hasRF) col("protocol.readerFeatures")
+               else lit(null).cast(ArrayType(StringType))).as("rf"))
+            .limit(1).collect().headOption.map { r =>
+              val node = mapper.createObjectNode()
+              node.put("minReaderVersion", r.getInt(0))
+              Option(r.getSeq[String](1)).foreach { fs =>
+                val a = node.putArray("readerFeatures"); fs.foreach(a.add(_)) }
+              node: com.fasterxml.jackson.databind.JsonNode
+            }
+        }
+      }
+    }
+    p.foreach { pr =>
+      val mrv = Option(pr.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+      val feats = Option(pr.get("readerFeatures"))
+        .map(_.asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+      if (mrv > 3)
+        sys.error(s"$table: minReaderVersion $mrv is newer than any " +
+          "protocol version this engine knows")
+      else if (mrv == 3) {
+        val unsupported = feats -- supportedReaderFeatures
+        if (unsupported.nonEmpty)
+          sys.error(s"$table: log requires reader features " +
+            s"[${unsupported.toSeq.sorted.mkString(", ")}] this engine " +
+            "does not implement — refusing to misread the table")
+      }
+    }
+  }
+
   /** Bytes of log a replay must read — the routing signal between the
     * driver fold and the distributed reconstruction. Metadata-scale
     * (one stat per log file), never touches data.
@@ -797,6 +862,7 @@ object DeltaLog {
   private def replay(spark: SparkSession, table: Path,
       upTo: Long): (Seq[LiveFile], Option[ObjectNode]) = {
     val pl = replayPlan(table, upTo)
+    protocolGuard(spark, table, pl)
     if (replayBytes(table, pl) <= driverMaxLogBytes) {
       lastReplayPath = "driver"
       replayDriver(spark, table, pl)
@@ -990,6 +1056,110 @@ object DeltaLog {
         .asInstanceOf[StructType])
       .getOrElse(sys.error(s"$dir: no metaData action in log"))
 
+  // ------------------------------------------------- column mapping
+
+  /** `delta.columnMapping.mode` in force for the table: "none" (the
+    * default), "name" (parquet columns resolved by per-field PHYSICAL
+    * names), or "id" (resolved by parquet field ids). Stock delta-spark
+    * switches tables to "name" on a column-mapping upgrade (renames/
+    * drops without rewriting data); Iceberg-converted tables use "id".
+    * Under either mode the data files know nothing of the logical
+    * names — a reader that ignores the mode returns `col-<uuid>`
+    * columns, which is why the protocol gates it behind reader
+    * version 2 / the `columnMapping` reader feature.
+    */
+  private def mappingMode(meta: Option[ObjectNode]): String =
+    meta.flatMap(m => Option(m.get("configuration")))
+      .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+      .filterNot(_.isNull).map(_.asText()).getOrElse("none")
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val MapIdKey = "delta.columnMapping.id"
+
+  /** A field's physical (on-disk) name from its schemaString metadata.
+    * Loud when absent: the protocol requires every field to carry it
+    * once mapping is enabled, and guessing the logical name would read
+    * the wrong column silently — the exact bug mapping support exists
+    * to prevent.
+    */
+  private def physNameOf(f: StructField, table: Path): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else sys.error(s"$table: column mapping is enabled but field " +
+      s"'${f.name}' carries no $PhysNameKey in schemaString")
+
+  private def fieldIdOf(f: StructField, table: Path): Long =
+    if (f.metadata.contains(MapIdKey)) f.metadata.getLong(MapIdKey)
+    else sys.error(s"$table: column mapping mode 'id' but field " +
+      s"'${f.name}' carries no $MapIdKey in schemaString")
+
+  /** Logical schema rewritten to physical names, recursively — mapping
+    * applies to NESTED struct fields too (each carries its own
+    * metadata), while array/map shapes pass through unchanged.
+    */
+  private def physicalType(dt: DataType, table: Path): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physNameOf(f, table), physicalType(f.dataType, table), f.nullable)))
+    case ArrayType(et, n) => ArrayType(physicalType(et, table), n)
+    case MapType(k, v, n) => MapType(physicalType(k, table), physicalType(v, table), n)
+    case other => other
+  }
+
+  private def containsStruct(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case ArrayType(et, _) => containsStruct(et)
+    case MapType(k, v, _) => containsStruct(k) || containsStruct(v)
+    case _ => false
+  }
+
+  /** Column read under physical names, re-labeled to the logical shape:
+    * structs rebuild field-by-field (null-guarded — `struct()` of nulls
+    * is not null), arrays/maps relabel element-wise via higher-order
+    * functions, scalars pass through. Runs in executors as ordinary
+    * expressions — the rename is a projection, not a rewrite.
+    */
+  private def toLogical(c: Column, dt: DataType, table: Path): Column = dt match {
+    case st: StructType =>
+      when(c.isNotNull, struct(st.fields.toSeq.map { f =>
+        toLogical(c.getField(physNameOf(f, table)), f.dataType, table).as(f.name)
+      }: _*))
+    case ArrayType(et, _) if containsStruct(et) =>
+      transform(c, x => toLogical(x, et, table))
+    case MapType(_, vt, _) if containsStruct(vt) =>
+      transform_values(c, (_, x) => toLogical(x, vt, table))
+    case _ => c
+  }
+
+  private def quoted(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  /** Logical→stats/partitionValues key mapping for a table: identity
+    * for plain tables, the field's physicalName when mapping is on
+    * (both modes key file stats and partition values by physical name).
+    */
+  private def physMapping(schema: StructType, table: Path,
+      meta: Option[ObjectNode]): String => String =
+    if (mappingMode(meta) == "none") identity
+    else c => physNameOf(schema.find(_.name == c).getOrElse(
+      sys.error(s"$table: no column '$c' in the table schema")), table)
+
+  /** Read schema for mode "id": the LOGICAL names with Spark's
+    * `parquet.field.id` metadata injected from the Delta mapping ids,
+    * recursively — Spark's parquet reader then resolves columns by the
+    * field ids id-mode writers stamped into the files and returns the
+    * logical names directly (`spark.sql.parquet.fieldId.read.enabled`).
+    */
+  private def withFieldIds(st: StructType, table: Path): StructType =
+    StructType(st.fields.map { f =>
+      def rec(dt: DataType): DataType = dt match {
+        case s: StructType => withFieldIds(s, table)
+        case ArrayType(et, n) => ArrayType(rec(et), n)
+        case MapType(k, v, n) => MapType(rec(k), rec(v), n)
+        case o => o
+      }
+      StructField(f.name, rec(f.dataType), f.nullable,
+        new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", fieldIdOf(f, table)).build())
+    })
+
   /** True when `f`'s path starts with the Hive-style `col=value`
     * directory chain — one segment per partition column, IN ORDER,
     * DIRECTLY under the table root, AGREEING with the log's
@@ -1057,10 +1227,64 @@ object DeltaLog {
       if (!withMeta) df
       else df.withColumn("__dv_file", col("_metadata.file_path"))
         .withColumn("__dv_row", col("_metadata.row_index"))
+    val mode = mappingMode(meta)
     if (files.isEmpty) {
       // valid empty table: schema comes from metaData, not file inference
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         tableSchemaOf(table.toString, meta))
+    } else if (mode != "none") {
+      // COLUMN-MAPPED table: the parquet files carry physical
+      // (`col-<uuid>`) names, not the logical ones — resolve per the
+      // mode and hand back the logical shape. "name": read under the
+      // physical schema and re-label (a projection — executors never
+      // copy data). "id": read under the logical schema with
+      // `parquet.field.id` injected from the mapping ids; Spark's
+      // parquet reader resolves by the ids id-mode writers stamped
+      // into the footers and returns logical names directly.
+      if (mode != "name" && mode != "id")
+        sys.error(s"$table: unsupported delta.columnMapping.mode '$mode'")
+      val schema = tableSchemaOf(table.toString, meta)
+      val dataFields = schema.filterNot(f => pcs.contains(f.name)).toSeq
+      val dataSchema = StructType(dataFields)
+      def readGroup(fs: Seq[LiveFile]): DataFrame = {
+        val paths = fs.map(f => table.resolve(f.path).toString)
+        val base = metaCols(
+          if (mode == "id") {
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            spark.read.schema(withFieldIds(dataSchema, table)).parquet(paths: _*)
+          } else spark.read
+            .schema(physicalType(dataSchema, table).asInstanceOf[StructType])
+            .parquet(paths: _*))
+        val extras = if (withMeta) Seq(col("__dv_file"), col("__dv_row")) else Seq.empty
+        if (mode == "id")
+          base.select(dataFields.map(f => base.col(quoted(f.name))) ++ extras: _*)
+        else base.select(dataFields.map { f =>
+          toLogical(base.col(quoted(physNameOf(f, table))), f.dataType, table).as(f.name)
+        } ++ extras: _*)
+      }
+      if (pcs.isEmpty) readGroup(files)
+      else {
+        // `add.partitionValues` is keyed by PHYSICAL names under
+        // mapping, and the directory layout uses physical names too —
+        // so Spark's hive-style discovery can't reattach the logical
+        // columns. Mapped partitioned tables take the grouped fallback
+        // (values as typed literals): correct for arbitrary layouts,
+        // O(distinct partitions) in plan size — the compatibility
+        // path, same trade as unmapped non-hive layouts below.
+        val pcFields = pcs.map(c => schema.find(_.name == c).getOrElse(
+          sys.error(s"$table: partition column '$c' missing from schemaString")))
+        val physPc = pcFields.map(f => physNameOf(f, table))
+        val ordered = schema.fieldNames.toSeq.map(n => col(quoted(n)))
+        val sel = if (withMeta) ordered ++ Seq(col("__dv_file"), col("__dv_row"))
+          else ordered
+        files.groupBy(f => physPc.map(p => f.partitionValues.getOrElse(p, null)))
+          .toSeq.map { case (vals, fs) =>
+            pcFields.zip(vals).foldLeft(readGroup(fs)) { case (df, (fld, v)) =>
+              df.withColumn(fld.name,
+                (if (v == null) lit(null) else lit(v)).cast(fld.dataType))
+            }
+          }.reduce(_.unionByName(_)).select(sel: _*)
+      }
     } else if (pcs.isEmpty) {
       metaCols(spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*))
     } else {
@@ -1172,27 +1396,31 @@ object DeltaLog {
     */
   private def keepCond(statsCol: org.apache.spark.sql.Column,
       tableSchema: StructType,
-      preds: Seq[(String, Any, Any)]): org.apache.spark.sql.Column = {
+      preds: Seq[(String, Any, Any)],
+      phys: String => String = identity): org.apache.spark.sql.Column = {
     // distinct by name: two predicates on one column (a legal way to
     // express two bounds) must not yield duplicate struct fields, which
-    // would make getField ambiguous
+    // would make getField ambiguous. `phys` maps a logical predicate
+    // column to the name the stats JSON keys it by — identity for plain
+    // tables, the physicalName for column-mapped ones (stock writers
+    // key minValues/maxValues by PHYSICAL name under mapping).
     val fields = preds.map(_._1).distinct.map { c =>
       tableSchema.find(_.name == c).getOrElse(
         sys.error(s"skipScan: no column '$c' in the table schema"))
     }
     val statsSchema = StructType(Seq(
       StructField("numRecords", LongType),
-      StructField("minValues", StructType(fields.map(f => StructField(f.name, f.dataType)))),
-      StructField("maxValues", StructType(fields.map(f => StructField(f.name, f.dataType)))),
-      StructField("nullCount", StructType(fields.map(f => StructField(f.name, LongType))))))
+      StructField("minValues", StructType(fields.map(f => StructField(phys(f.name), f.dataType)))),
+      StructField("maxValues", StructType(fields.map(f => StructField(phys(f.name), f.dataType)))),
+      StructField("nullCount", StructType(fields.map(f => StructField(phys(f.name), LongType))))))
     val s = from_json(statsCol, statsSchema)
     preds.map { case (c, lo, hi) =>
       val dt = fields.find(_.name == c).get.dataType
       val loOk = Option(lo).map(v =>
-        coalesce(s.getField("maxValues").getField(c) >= lit(v).cast(dt), lit(true)))
+        coalesce(s.getField("maxValues").getField(phys(c)) >= lit(v).cast(dt), lit(true)))
         .getOrElse(lit(true))
       val hiOk = Option(hi).map(v =>
-        coalesce(s.getField("minValues").getField(c) <= lit(v).cast(dt), lit(true)))
+        coalesce(s.getField("minValues").getField(phys(c)) <= lit(v).cast(dt), lit(true)))
         .getOrElse(lit(true))
       loOk && hiOk
     }.reduce(_ && _)
@@ -1207,11 +1435,13 @@ object DeltaLog {
     */
   private def partCond(pvCol: org.apache.spark.sql.Column, pcs: Seq[String],
       tableSchema: StructType,
-      preds: Seq[(String, Any, Any)]): org.apache.spark.sql.Column = {
+      preds: Seq[(String, Any, Any)],
+      phys: String => String = identity): org.apache.spark.sql.Column = {
     val conds = preds.filter(p => pcs.contains(p._1)).map { case (c, lo, hi) =>
       val f = tableSchema.find(_.name == c).getOrElse(
         sys.error(s"skipScan: no column '$c' in the table schema"))
-      val v = element_at(pvCol, c).cast(f.dataType)
+      // partitionValues are keyed by physical name under column mapping
+      val v = element_at(pvCol, phys(c)).cast(f.dataType)
       val loOk = Option(lo).map(x =>
         coalesce(v >= lit(x).cast(f.dataType), lit(true))).getOrElse(lit(true))
       val hiOk = Option(hi).map(x =>
@@ -1253,20 +1483,22 @@ object DeltaLog {
     val latest = (versions(dir) ++ lastCheckpointVersion(table))
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
     val pl = replayPlan(table, latest)
+    protocolGuard(spark, table, pl)
     val pvType = MapType(StringType, StringType)
     if (replayBytes(table, pl) <= driverMaxLogBytes) {
       lastReplayPath = "driver"
       val (candidates, meta) = replayDriver(spark, table, pl)
       val schema = tableSchemaOf(dir, meta)
       val pcs = partitionColsOf(meta)
+      val phys = physMapping(schema, table, meta)
       val entries = spark.createDataFrame(
         candidates.map(f => Row(f.path, f.partitionValues, f.stats.orNull)).asJava,
         StructType(Seq(StructField("path", StringType),
           StructField("partitionValues", pvType),
           StructField("stats", StringType))))
       val kept = entries
-        .filter(keepCond(col("stats"), schema, preds) &&
-          partCond(col("partitionValues"), pcs, schema, preds))
+        .filter(keepCond(col("stats"), schema, preds, phys) &&
+          partCond(col("partitionValues"), pcs, schema, preds, phys))
         .select("path").collect().map(_.getString(0)).toSet
       (candidates.map(f => (f, kept(f.path))), meta)
     } else {
@@ -1274,9 +1506,10 @@ object DeltaLog {
       val (live, _, meta) = liveState(spark, table, pl)
       val schema = tableSchemaOf(dir, meta)
       val pcs = partitionColsOf(meta)
+      val phys = physMapping(schema, table, meta)
       val flags = live.select(col("path"), col("partitionValues"), col("dv"),
-        (keepCond(col("stats"), schema, preds) &&
-          partCond(col("partitionValues"), pcs, schema, preds)).as("keep")).collect()
+        (keepCond(col("stats"), schema, preds, phys) &&
+          partCond(col("partitionValues"), pcs, schema, preds, phys)).as("keep")).collect()
       (flags.toSeq.map(r =>
         (LiveFile(decodePath(r.getString(0)),
           Option(r.getMap[String, String](1))
@@ -1781,12 +2014,87 @@ object DeltaLog {
       table
     })
 
+  /** Deterministic physical name for a logical column in the mapping
+    * fixtures — shaped like delta-spark's `col-<uuid>` so nothing can
+    * accidentally resolve by logical name. */
+  private[graft] def physFixtureName(logical: String): String =
+    "col-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(logical.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** Logical events schema with the column-mapping metadata attached
+    * (ids 1..n + the fixture physical names) — what an upgraded
+    * delta-spark table's schemaString looks like. */
+  private def mappedSchema(logical: StructType): StructType =
+    StructType(logical.fields.zipWithIndex.map { case (f, i) =>
+      StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().putLong(MapIdKey, i + 1L)
+          .putString(PhysNameKey, physFixtureName(f.name)).build())
+    })
+
+  /** Foreign-style COLUMN-MAPPED table (mode "name", what delta-spark
+    * writes after a column-mapping upgrade): parquet files carry
+    * `col-<hash>` physical names, the hive layout partitions on the
+    * PHYSICAL bucket column, `add.partitionValues` and the per-file
+    * stats are keyed by physical name, and only schemaString knows the
+    * logical names. Protocol gate: minReaderVersion 2 /
+    * minWriterVersion 5 — the legacy column-mapping versions.
+    */
+  private def deltaColMapTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"cmap:$dir", {
+      val table = graft.Scratch.dir("graft_delta_cmap").toString
+      val root = Paths.get(table)
+      val ev = graft.Tables.events(spark, dir)
+        .withColumn("bucket", pmod(col("user_id"), lit(3)))
+      val physBucket = physFixtureName("bucket")
+      ev.select(ev.schema.fieldNames.toSeq.map(n =>
+          col(n).as(physFixtureName(n))): _*)
+        .write.mode("overwrite").partitionBy(physBucket).parquet(table)
+      val files = listDir(root)
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith(s"$physBucket="))
+        .sortBy(_.getFileName.toString)
+        .flatMap { d =>
+          listDir(d).filter(_.getFileName.toString.endsWith(".parquet"))
+            .sortBy(_.getFileName.toString)
+            .map(f => (d.getFileName.toString.stripPrefix(s"$physBucket="),
+              s"${d.getFileName}/${f.getFileName}"))
+        }
+      Files.createDirectories(logDir(root))
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 2)
+      p.put("minWriterVersion", 5)
+      lines += mapper.writeValueAsString(protocol)
+      val metaData = metaDataNode(root, mappedSchema(ev.schema).json,
+        stableTableId(root), 1L, partitionCols = Seq("bucket"))
+      metaData.get("metaData").asInstanceOf[ObjectNode]
+        .putObject("configuration")
+        .put("delta.columnMapping.mode", "name")
+        .put("delta.columnMapping.maxColumnId", ev.schema.size.toString)
+      lines += mapper.writeValueAsString(metaData)
+      files.foreach { case (bucket, rel) =>
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", encodePath(rel))
+        a.putObject("partitionValues").put(physBucket, bucket)
+        a.put("size", Files.size(root.resolve(rel)))
+        a.put("modificationTime", Files.getLastModifiedTime(root.resolve(rel)).toMillis)
+        a.put("dataChange", true)
+        fileStats(root.resolve(rel)).foreach(a.put("stats", _))
+        lines += mapper.writeValueAsString(n)
+      }
+      Files.write(commitPath(root, 0L), (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      table
+    })
+
   def prepare(spark: SparkSession, dir: String): Unit = {
     deltaTable(spark, dir)
     deltaRangedTable(spark, dir)
     deltaPartitionedTable(spark, dir)
     deltaVacuumedTable(spark, dir)
     txPartitionedTable(spark, dir)
+    deltaColMapTable(spark, dir)
     deltaDvTable(spark, dir)
     deltaDvWriteTable(spark, dir)
     ()
@@ -2061,7 +2369,26 @@ object DeltaLog {
       |FROM events WHERE event_id % 7 <> 0
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked COLUMN-MAPPED read: partition pruning (bucket = 1,
+    * via physical-keyed `partitionValues`) composed with stats skipping
+    * (event_id ≤ 800, via physical-keyed `stats`) over a mode="name"
+    * table whose files know only `col-<hash>` columns — grouping by the
+    * LOGICAL `event_type` can only work if the whole mapping chain
+    * (schema relabel + stats translation + partition translation) does.
+    */
+  def colMapQuery(spark: SparkSession, dir: String): DataFrame =
+    skipScan(spark, deltaColMapTable(spark, dir),
+      Seq(("bucket", 1L, 1L), ("event_id", null, 800L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val colMapQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE user_id % 3 = 1 AND event_id <= 800
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_colmap" -> colMapQuery _,
     "q_delta_snapshot" -> snapshotQuery _,
     "q_delta_skipping" -> skippingQuery _,
     "q_delta_partitioned" -> partitionedQuery _,
@@ -2073,6 +2400,7 @@ object DeltaLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_delta_colmap" -> colMapQueryOracle,
     "q_delta_snapshot" -> snapshotQueryOracle,
     "q_delta_skipping" -> skippingQueryOracle,
     "q_delta_partitioned" -> partitionedQueryOracle,

@@ -1169,6 +1169,186 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(s, t).count() == events.count())
   }
 
+  // ------------------------------------------------- column mapping
+
+  private def cmPhys(n: String): String = DeltaLog.physFixtureName(n)
+
+  /** Author a foreign COLUMN-MAPPED table: `bands` event slices written
+    * as separate files under PHYSICAL `col-<hash>` names (id mode also
+    * stamps parquet field ids), per-file stats included, logical names
+    * present only in schemaString's mapping metadata. No `_txlog`.
+    */
+  private def authorMapped(cmMode: String, bands: Int = 1,
+      dropPhysName: Boolean = false): String = {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val root = Paths.get(t)
+    val df = events.filter(col("event_id") < 900)
+    val physSel = df.schema.fieldNames.toSeq.map(n => col(n).as(cmPhys(n)))
+    val rels = (0 until bands).map { i =>
+      val slice = df.filter(col("event_id") >= i * 300 && col("event_id") < (i + 1) * 300)
+        .select(physSel: _*)
+      val part =
+        if (cmMode == "id") {
+          // id-mode writers stamp parquet field ids into the footers;
+          // physical names stay in the files too, but ids must win
+          val withIds = StructType(slice.schema.fields.zipWithIndex.map { case (f, j) =>
+            StructField(f.name, f.dataType, f.nullable,
+              new MetadataBuilder().putLong("parquet.field.id", j + 1L).build())
+          })
+          s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+          s.createDataFrame(slice.collectAsList(), withIds)
+        } else slice
+      val tmp = Files.createTempDirectory("graft_cmap_band")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = Files.list(tmp).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val rel = f"band-$i%02d.parquet"
+      Files.move(f, root.resolve(rel))
+      rel
+    }
+    val mapped = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val mb = new MetadataBuilder().putLong("delta.columnMapping.id", i + 1L)
+      if (!dropPhysName) mb.putString("delta.columnMapping.physicalName", cmPhys(f.name))
+      StructField(f.name, f.dataType, f.nullable, mb.build())
+    })
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", "cmap-fixture")
+    m.putObject("format").put("provider", "parquet")
+    m.put("schemaString", mapped.json)
+    m.putArray("partitionColumns")
+    m.putObject("configuration").put("delta.columnMapping.mode", cmMode)
+    m.put("createdTime", 1L)
+    lines += mapper.writeValueAsString(meta)
+    rels.foreach { rel =>
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", rel)
+      a.putObject("partitionValues")
+      a.put("size", Files.size(root.resolve(rel)))
+      a.put("modificationTime", 1L)
+      a.put("dataChange", true)
+      DeltaLog.fileStats(root.resolve(rel)).foreach(a.put("stats", _))
+      lines += mapper.writeValueAsString(n)
+    }
+    val ld = Files.createDirectories(root.resolve("_delta_log"))
+    Files.write(ld.resolve(f"${0L}%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    t
+  }
+
+  test("column mapping mode=name: snapshot returns logical names and exact rows") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = authorMapped("name")
+    val snap = DeltaLog.snapshot(s, t)
+    assert(snap.schema.fieldNames.toSeq == events.schema.fieldNames.toSeq)
+    val want = events.filter(col("event_id") < 300)
+    assert(snap.count() == want.count())
+    assert(snap.exceptAll(want).isEmpty && want.exceptAll(snap).isEmpty)
+  }
+
+  test("column mapping mode=id: parquet field ids resolve to logical names") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = authorMapped("id")
+    val snap = DeltaLog.snapshot(s, t)
+    assert(snap.schema.fieldNames.toSeq == events.schema.fieldNames.toSeq)
+    val want = events.filter(col("event_id") < 300)
+    assert(snap.exceptAll(want).isEmpty && want.exceptAll(snap).isEmpty)
+  }
+
+  test("column mapping: skipScan prunes on physical-keyed stats and still answers exactly") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = authorMapped("name", bands = 3)
+    val got = DeltaLog.skipScan(s, t, Seq(("event_id", 310L, 590L)))
+    assert(DeltaLog.lastSkipScan == (3L, 1L),
+      s"stats keyed by physical names must prune 2 of 3 band files: ${DeltaLog.lastSkipScan}")
+    val want = events.filter(col("event_id").between(310, 590))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("column mapping relabels NESTED struct fields") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val root = Paths.get(t)
+    // physical file: col-k bigint, col-p struct<col-a bigint, col-b string>
+    val physDf = s.range(5).select(col("id").as("col-k"),
+      struct((col("id") * 2).as("col-a"),
+        concat(lit("v"), col("id")).as("col-b")).as("col-p"))
+    val tmp = Files.createTempDirectory("graft_cmap_nested")
+    physDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    Files.move(part, root.resolve("nested.parquet"))
+    def md(phys: String, id: Long) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("k", LongType, nullable = false, md("col-k", 1)),
+      StructField("payload", StructType(Seq(
+        StructField("a", LongType, nullable = false, md("col-a", 3)),
+        StructField("b", StringType, nullable = true, md("col-b", 4)))),
+        nullable = true, md("col-p", 2))))
+    val ld = Files.createDirectories(root.resolve("_delta_log"))
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", "nested-fixture")
+    m.putObject("format").put("provider", "parquet")
+    m.put("schemaString", logical.json)
+    m.putArray("partitionColumns")
+    m.putObject("configuration").put("delta.columnMapping.mode", "name")
+    m.put("createdTime", 1L)
+    Files.write(ld.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" + "\n" +
+        mapper.writeValueAsString(meta) + "\n" +
+        s"""{"add":{"path":"nested.parquet","partitionValues":{},"size":${Files.size(root.resolve("nested.parquet"))},"modificationTime":1,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    val snap = DeltaLog.snapshot(s, t)
+    assert(snap.schema.fieldNames.toSeq == Seq("k", "payload"))
+    assert(snap.schema("payload").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("a", "b"))
+    val rows = snap.select(col("k"), col("payload.a"), col("payload.b"))
+      .orderBy(col("k")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ==
+      (0L until 5L).map(i => (i, i * 2, s"v$i")))
+  }
+
+  test("column mapping: a field missing physicalName fails loudly, never guesses") {
+    val s = spark
+    val t = authorMapped("name", dropPhysName = true)
+    val e = intercept[RuntimeException](DeltaLog.snapshot(s, t).collect())
+    assert(e.getMessage.contains("physicalName"), e.getMessage)
+  }
+
+  test("protocol guard: an unknown required reader feature refuses the read") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t)
+    // upgrade the log in place: version 1 carries a protocol action
+    // demanding a feature this engine does not implement
+    val ld = Paths.get(t, "_delta_log")
+    Files.write(ld.resolve(f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e = intercept[RuntimeException](DeltaLog.snapshot(s, t).collect())
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    // while the SUPPORTED feature set passes the same gate
+    Files.write(ld.resolve(f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","columnMapping"],"writerFeatures":["deletionVectors"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    assert(DeltaLog.snapshot(s, t).count() == events.filter(col("event_id") < 100).count())
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
