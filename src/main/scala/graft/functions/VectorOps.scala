@@ -128,6 +128,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[PqAdc].getName, "graft_pqadc"),
       (children: Seq[Expression]) => PqAdc(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_set_agg"),
+      new ExpressionInfo(classOf[SetSketchAgg].getName, "graft_set_agg"),
+      (children: Seq[Expression]) => SetSketchAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_set_merge"),
+      new ExpressionInfo(classOf[SetSketchMergeAgg].getName, "graft_set_merge"),
+      (children: Seq[Expression]) => SetSketchMergeAgg(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_set_card"),
+      new ExpressionInfo(classOf[SetSketchCard].getName, "graft_set_card"),
+      (children: Seq[Expression]) => SetSketchCard(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) =>
