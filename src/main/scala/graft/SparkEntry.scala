@@ -26,9 +26,9 @@ object SparkEntry {
   ) ++ ingest.Bronze.queries ++ silver.SilverAgg.queries ++
     analytics.Indicators.queries ++ relational.StarQueries.queries ++
     relational.TypedQueries.queries ++ relational.TemporalJoins.queries ++
-    relational.RuntimeFilters.queries ++
+    relational.RuntimeFilters.queries ++ relational.MergeableSketches.queries ++
     ml.PriceModel.queries ++ ext.TextOps.queries ++ ext.Dedup.queries ++
-    ext.Curation.queries ++
+    ext.Curation.queries ++ ext.QualityProbe.queries ++
     ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
     sources.Sinks.queries ++ sources.Layout.queries ++ sources.TxLog.queries ++
     sources.DeltaLog.queries
@@ -43,9 +43,9 @@ object SparkEntry {
   ) ++ ingest.Bronze.oracles ++ silver.SilverAgg.oracles ++
     analytics.Indicators.oracles ++ relational.StarQueries.oracles ++
     relational.TypedQueries.oracles ++ relational.TemporalJoins.oracles ++
-    relational.RuntimeFilters.oracles ++
+    relational.RuntimeFilters.oracles ++ relational.MergeableSketches.oracles ++
     ml.PriceModel.oracles ++ ext.TextOps.oracles ++ ext.Dedup.oracles ++
-    ext.Curation.oracles ++
+    ext.Curation.oracles ++ ext.QualityProbe.oracles ++
     ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
     sources.Sinks.oracles ++ sources.Layout.oracles ++ sources.TxLog.oracles ++
     sources.DeltaLog.oracles
