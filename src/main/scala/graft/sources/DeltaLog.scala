@@ -1909,6 +1909,94 @@ object DeltaLog {
     (deleted, keep.size.toLong)
   }
 
+  /** Metadata-only column RENAME — the operation column mapping exists
+    * for. A table still on mode "none" is UPGRADED in the same commit:
+    * every field gains a mapping id and a physicalName equal to its
+    * CURRENT on-disk name, so existing data files resolve unchanged and
+    * ZERO bytes of data are rewritten — the reason a 100 TB rename is
+    * instant. The renamed field changes only its logical name; stats
+    * and partitionValues stay keyed by the (unchanged) physical names,
+    * so skip-scans on the new name keep pruning. Time travel keeps
+    * history honest: metaData replays versioned, so a snapshot at a
+    * pre-rename version still shows the old logical schema.
+    *
+    * Delta-only tables (foreign-style): a TxLog mirror's manifest knows
+    * nothing of logical renames, so the two logs would diverge —
+    * mirrored tables refuse loudly. Top-level columns (nested renames
+    * add path-addressing, not new semantics). The version is claimed
+    * put-if-absent like every other writer here.
+    */
+  def renameColumn(spark: SparkSession, dir: String,
+      oldName: String, newName: String): Long = {
+    val table = Paths.get(dir)
+    require(!Files.isDirectory(table.resolve("_txlog")),
+      s"$dir is TxLog-mirrored — the manifest cannot represent logical renames")
+    require(!oldName.contains(".") && !newName.contains("."),
+      "renameColumn addresses top-level columns")
+    val latest = (versions(dir) ++ lastCheckpointVersion(table))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+    val (_, metaOpt) = replay(spark, table, latest)
+    val m = metaOpt.getOrElse(sys.error(s"$dir: no metaData action in log"))
+    val schema = DataType.fromJson(m.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"$dir: no column '$oldName' to rename")
+    require(!schema.fieldNames.contains(newName),
+      s"$dir: column '$newName' already exists")
+    val alreadyMapped = mappingMode(metaOpt) != "none"
+    // keep any existing mapping metadata (ids/physical names are
+    // immutable once assigned); a first upgrade pins physical = current
+    val mapped = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      val mb = new MetadataBuilder().withMetadata(f.metadata)
+      if (!f.metadata.contains(MapIdKey)) mb.putLong(MapIdKey, i + 1L)
+      if (!f.metadata.contains(PhysNameKey)) mb.putString(PhysNameKey, f.name)
+      StructField(if (f.name == oldName) newName else f.name,
+        f.dataType, f.nullable, mb.build())
+    })
+    val maxId = mapped.fields.map(_.metadata.getLong(MapIdKey)).max
+    val pcs = partitionColsOf(metaOpt).map(c => if (c == oldName) newName else c)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!alreadyMapped) {
+      // the upgrade commit carries the protocol bump (legacy
+      // column-mapping gate); an already-mapped table is already gated
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 2)
+      p.put("minWriterVersion", 5)
+      lines += mapper.writeValueAsString(protocol)
+    }
+    val metaData = metaDataNode(table, mapped.json,
+      m.get("id").asText(),
+      if (m.has("createdTime")) m.get("createdTime").asLong() else 0L,
+      partitionCols = pcs)
+    val cfg = metaData.get("metaData").asInstanceOf[ObjectNode]
+      .putObject("configuration")
+    Option(m.get("configuration")).foreach(_.fields().asScala
+      .foreach(e => { cfg.put(e.getKey, e.getValue.asText()); () }))
+    cfg.put("delta.columnMapping.mode", "name")
+    cfg.put("delta.columnMapping.maxColumnId", maxId.toString)
+    lines += mapper.writeValueAsString(metaData)
+    val ci = mapper.createObjectNode()
+    val c = ci.putObject("commitInfo")
+    c.put("timestamp", System.currentTimeMillis())
+    c.put("operation", "RENAME COLUMN")
+    val op = c.putObject("operationParameters")
+    op.put("oldName", oldName)
+    op.put("newName", newName)
+    lines += mapper.writeValueAsString(ci)
+    val next = latest + 1
+    val tmp = Files.createTempFile(logDir(table), ".delta-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(commitPath(table, next), tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        sys.error(s"$dir: concurrent commit at Delta version $next — " +
+          s"this rename read version $latest; re-run against the new snapshot")
+    } finally Files.deleteIfExists(tmp)
+    next
+  }
+
   // ------------------------------------------------------ fixture/query
 
   // Delta-mirrored fixture table: two appends + one overwrite, read back
@@ -2088,6 +2176,58 @@ object DeltaLog {
       table
     })
 
+  /** Foreign-style table evolved by metadata-only RENAME: three
+    * range-disjoint band files authored under a plain v0 log, then two
+    * renames — `value→price` performs the column-mapping upgrade,
+    * `event_id→event_no` exercises the already-mapped path. No data
+    * file is touched after the initial write (spec-asserted), yet
+    * reads resolve the new logical names AND skip-scans on them still
+    * prune via the physical-keyed stats.
+    */
+  private[graft] def deltaRenamedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"rename:$dir", {
+      val table = graft.Scratch.dir("graft_delta_rename").toString
+      val root = Paths.get(table)
+      val ev = graft.Tables.events(spark, dir)
+      val bands: Seq[org.apache.spark.sql.Column] = Seq(
+        col("event_id") < 400,
+        col("event_id").between(400, 799),
+        col("event_id") >= 800)
+      val rels = bands.zipWithIndex.map { case (pred, i) =>
+        val tmp = graft.Scratch.dir(s"graft_rename_band$i")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = listDir(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet")).head
+        val rel = f"band-$i%02d.parquet"
+        Files.move(part, root.resolve(rel))
+        rel
+      }
+      Files.createDirectories(logDir(root))
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 2)
+      lines += mapper.writeValueAsString(protocol)
+      lines += mapper.writeValueAsString(
+        metaDataNode(root, ev.schema.json, stableTableId(root), 1L))
+      rels.foreach { rel =>
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", encodePath(rel))
+        a.putObject("partitionValues")
+        a.put("size", Files.size(root.resolve(rel)))
+        a.put("modificationTime", Files.getLastModifiedTime(root.resolve(rel)).toMillis)
+        a.put("dataChange", true)
+        fileStats(root.resolve(rel)).foreach(a.put("stats", _))
+        lines += mapper.writeValueAsString(n)
+      }
+      Files.write(commitPath(root, 0L), (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      renameColumn(spark, table, "value", "price")
+      renameColumn(spark, table, "event_id", "event_no")
+      table
+    })
+
   def prepare(spark: SparkSession, dir: String): Unit = {
     deltaTable(spark, dir)
     deltaRangedTable(spark, dir)
@@ -2095,6 +2235,7 @@ object DeltaLog {
     deltaVacuumedTable(spark, dir)
     txPartitionedTable(spark, dir)
     deltaColMapTable(spark, dir)
+    deltaRenamedTable(spark, dir)
     deltaDvTable(spark, dir)
     deltaDvWriteTable(spark, dir)
     ()
@@ -2387,7 +2528,25 @@ object DeltaLog {
       |FROM events WHERE user_id % 3 = 1 AND event_id <= 800
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked metadata-only RENAME: after two renames (one
+    * upgrading to mapping, one on the already-mapped table), a
+    * skip-scan ON THE NEW LOGICAL NAME must still prune band files via
+    * the physical-keyed stats, and the aggregate must read through the
+    * renamed columns exactly.
+    */
+  def renameQuery(spark: SparkSession, dir: String): DataFrame =
+    skipScan(spark, deltaRenamedTable(spark, dir),
+      Seq(("event_no", 450L, 700L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total_price"))
+
+  val renameQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_price
+      |FROM events WHERE event_id BETWEEN 450 AND 700
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_rename" -> renameQuery _,
     "q_delta_colmap" -> colMapQuery _,
     "q_delta_snapshot" -> snapshotQuery _,
     "q_delta_skipping" -> skippingQuery _,
@@ -2400,6 +2559,7 @@ object DeltaLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_delta_rename" -> renameQueryOracle,
     "q_delta_colmap" -> colMapQueryOracle,
     "q_delta_snapshot" -> snapshotQueryOracle,
     "q_delta_skipping" -> skippingQueryOracle,

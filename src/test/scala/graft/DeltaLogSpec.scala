@@ -1349,6 +1349,85 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(s, t).count() == events.filter(col("event_id") < 100).count())
   }
 
+  test("renameColumn is metadata-only: one commit, zero data files touched") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = authorMapped("name") // reuse the mapped author: already-upgraded path
+    val root = Paths.get(t)
+    val dataFiles = Files.list(root).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val mtimes = dataFiles.map(f => f -> Files.getLastModifiedTime(f)).toMap
+    val sizes = dataFiles.map(f => f -> Files.size(f)).toMap
+    val v = DeltaLog.renameColumn(s, t, "value", "price")
+    assert(v == 1L)
+    dataFiles.foreach { f =>
+      assert(Files.getLastModifiedTime(f) == mtimes(f) && Files.size(f) == sizes(f),
+        s"rename must not rewrite $f")
+    }
+    val snap = DeltaLog.snapshot(s, t)
+    assert(snap.columns.contains("price") && !snap.columns.contains("value"))
+    val want = events.filter(col("event_id") < 300)
+      .withColumnRenamed("value", "price")
+    assert(snap.exceptAll(want).isEmpty && want.exceptAll(snap).isEmpty)
+  }
+
+  test("rename upgrades an UNMAPPED table and time travel keeps the old name") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // plain foreign table via the TxLog-free path: use the renamed
+    // fixture's pre-rename shape by authoring a fresh minimal table
+    val t = freshTable()
+    val root = Paths.get(t)
+    val df = events.filter(col("event_id") < 200)
+    val tmp = Files.createTempDirectory("graft_rn_plain")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    Files.move(part, root.resolve("data.parquet"))
+    val ld = Files.createDirectories(root.resolve("_delta_log"))
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", "rn-fixture")
+    m.putObject("format").put("provider", "parquet")
+    m.put("schemaString", df.schema.json)
+    m.putArray("partitionColumns")
+    m.putObject("configuration")
+    m.put("createdTime", 1L)
+    Files.write(ld.resolve(f"${0L}%020d.json"),
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        mapper.writeValueAsString(meta) + "\n" +
+        s"""{"add":{"path":"data.parquet","partitionValues":{},"size":${Files.size(root.resolve("data.parquet"))},"modificationTime":1,"dataChange":true}}""" + "\n")
+        .getBytes("UTF-8"))
+    DeltaLog.renameColumn(s, t, "user_id", "uid")
+    // the upgrade commit carries the protocol bump
+    val a1 = actions(t, 1L)
+    assert(a1.exists(n => Option(n.get("protocol"))
+      .exists(_.get("minReaderVersion").asInt() == 2)))
+    assert(DeltaLog.snapshot(s, t).columns.contains("uid"))
+    // pre-rename version still shows the old logical world
+    val old = DeltaLog.snapshotAt(s, t, 0L)
+    assert(old.columns.contains("user_id") && !old.columns.contains("uid"))
+    assert(old.agg(sum(col("user_id"))).head.getLong(0) ==
+      DeltaLog.snapshot(s, t).agg(sum(col("uid"))).head.getLong(0))
+    // mirrored tables refuse
+    val mt = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 50), mt)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.renameColumn(s, mt, "value", "price"))
+    assert(e.getMessage.contains("TxLog-mirrored"))
+    // bad names refuse
+    intercept[IllegalArgumentException](DeltaLog.renameColumn(s, t, "missing", "x"))
+    intercept[IllegalArgumentException](DeltaLog.renameColumn(s, t, "uid", "ts"))
+  }
+
+  test("skip-scan prunes on the RENAMED logical name through physical-keyed stats") {
+    val s = spark
+    val t = DeltaLog.deltaRenamedTable(s, "/root/testdata/sf0.001")
+    DeltaLog.skipScan(s, t, Seq(("event_no", 450L, 700L))).collect()
+    assert(DeltaLog.lastSkipScan == (3L, 1L),
+      s"stats keyed by the pre-rename physical names must still prune: ${DeltaLog.lastSkipScan}")
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
