@@ -1286,7 +1286,14 @@ object DeltaLog {
           }.reduce(_.unionByName(_)).select(sel: _*)
       }
     } else if (pcs.isEmpty) {
-      metaCols(spark.read.parquet(files.map(f => table.resolve(f.path).toString): _*))
+      // typed by the metaData schema when the log carries one — the
+      // Delta reader requirement, and what makes metadata-only schema
+      // evolution read correctly: pre-ADD files null-fill the new
+      // column, data of DROPped columns projects away. Absent metaData
+      // (defensive: every real log has one) falls back to inference.
+      val rd = meta.map(_ => spark.read.schema(tableSchemaOf(table.toString, meta)))
+        .getOrElse(spark.read)
+      metaCols(rd.parquet(files.map(f => table.resolve(f.path).toString): _*))
     } else {
       val schema = tableSchemaOf(table.toString, meta)
       val ordered = schema.fieldNames.toSeq.map(col)
@@ -1927,36 +1934,104 @@ object DeltaLog {
     * put-if-absent like every other writer here.
     */
   def renameColumn(spark: SparkSession, dir: String,
-      oldName: String, newName: String): Long = {
+      oldName: String, newName: String): Long =
+    commitSchemaChange(spark, dir, "RENAME COLUMN",
+      Seq("oldName" -> oldName, "newName" -> newName),
+      upgradeMapping = true) { (schema, pcs) =>
+      require(schema.fieldNames.contains(oldName),
+        s"$dir: no column '$oldName' to rename")
+      require(!schema.fieldNames.contains(newName),
+        s"$dir: column '$newName' already exists")
+      require(!oldName.contains(".") && !newName.contains("."),
+        "renameColumn addresses top-level columns")
+      (StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)),
+        pcs.map(c => if (c == oldName) newName else c))
+    }
+
+  /** Metadata-only ADD COLUMN: one metaData commit appending a NULLABLE
+    * field — pre-evolution files simply null-fill it (snapshot reads
+    * are typed by the metaData schema, the Delta reader requirement).
+    * On an already-mapped table the new field gets the next mapping id
+    * and a fresh `col-<uuid>` physical name (stock delta-spark's
+    * assignment); an unmapped table STAYS unmapped — addition alone
+    * doesn't need the mapping indirection.
+    */
+  def addColumn(spark: SparkSession, dir: String,
+      name: String, dataType: DataType): Long =
+    commitSchemaChange(spark, dir, "ADD COLUMN",
+      Seq("column" -> name, "type" -> dataType.simpleString),
+      upgradeMapping = false) { (schema, pcs) =>
+      require(!schema.fieldNames.contains(name),
+        s"$dir: column '$name' already exists")
+      require(!name.contains("."), "addColumn addresses top-level columns")
+      val field =
+        if (schema.fields.exists(_.metadata.contains(MapIdKey))) {
+          val nextId = schema.fields
+            .map(f => if (f.metadata.contains(MapIdKey)) f.metadata.getLong(MapIdKey) else 0L)
+            .max + 1L
+          StructField(name, dataType, nullable = true,
+            new MetadataBuilder().putLong(MapIdKey, nextId)
+              .putString(PhysNameKey, s"col-${java.util.UUID.randomUUID()}")
+              .build())
+        } else StructField(name, dataType, nullable = true)
+      (StructType(schema.fields :+ field), pcs)
+    }
+
+  /** Metadata-only DROP COLUMN: requires column mapping (stock Delta's
+    * rule — without the indirection a re-added column of the same name
+    * would resurrect the old bytes), so an unmapped table upgrades in
+    * the same commit. The data stays in the files; reads project it
+    * away, and a later re-add under a FRESH physical name can never
+    * see it. Partition columns refuse (their values live in the log
+    * layout).
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long =
+    commitSchemaChange(spark, dir, "DROP COLUMN", Seq("column" -> name),
+      upgradeMapping = true) { (schema, pcs) =>
+      require(schema.fieldNames.contains(name), s"$dir: no column '$name' to drop")
+      require(!pcs.contains(name), s"$dir: cannot drop partition column '$name'")
+      require(schema.size > 1, s"$dir: cannot drop the only column")
+      (StructType(schema.fields.filterNot(_.name == name)), pcs)
+    }
+
+  /** Shared scaffold of the metadata-only schema evolutions: resolve
+    * the newest metaData, optionally perform the column-mapping
+    * upgrade (pin ids + physicalName = current on-disk names — the
+    * reason existing files keep resolving), apply `evolve` to
+    * (logical schema, partitionColumns), and claim `latest + 1` with
+    * one protocol?+metaData+commitInfo commit. Zero data bytes move
+    * in any of them — the reason ALTER TABLE on a 100 TB table is
+    * instant. Delta-only tables: a TxLog mirror's manifest cannot
+    * represent logical schema changes, so mirrored tables refuse.
+    */
+  private def commitSchemaChange(spark: SparkSession, dir: String,
+      operation: String, params: Seq[(String, String)],
+      upgradeMapping: Boolean)(
+      evolve: (StructType, Seq[String]) => (StructType, Seq[String])): Long = {
     val table = Paths.get(dir)
     require(!Files.isDirectory(table.resolve("_txlog")),
-      s"$dir is TxLog-mirrored — the manifest cannot represent logical renames")
-    require(!oldName.contains(".") && !newName.contains("."),
-      "renameColumn addresses top-level columns")
+      s"$dir is TxLog-mirrored — the manifest cannot represent logical schema evolution")
     val latest = (versions(dir) ++ lastCheckpointVersion(table))
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
     val (_, metaOpt) = replay(spark, table, latest)
     val m = metaOpt.getOrElse(sys.error(s"$dir: no metaData action in log"))
-    val schema = DataType.fromJson(m.get("schemaString").asText())
+    val schema0 = DataType.fromJson(m.get("schemaString").asText())
       .asInstanceOf[StructType]
-    require(schema.fieldNames.contains(oldName),
-      s"$dir: no column '$oldName' to rename")
-    require(!schema.fieldNames.contains(newName),
-      s"$dir: column '$newName' already exists")
     val alreadyMapped = mappingMode(metaOpt) != "none"
-    // keep any existing mapping metadata (ids/physical names are
-    // immutable once assigned); a first upgrade pins physical = current
-    val mapped = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-      val mb = new MetadataBuilder().withMetadata(f.metadata)
-      if (!f.metadata.contains(MapIdKey)) mb.putLong(MapIdKey, i + 1L)
-      if (!f.metadata.contains(PhysNameKey)) mb.putString(PhysNameKey, f.name)
-      StructField(if (f.name == oldName) newName else f.name,
-        f.dataType, f.nullable, mb.build())
-    })
-    val maxId = mapped.fields.map(_.metadata.getLong(MapIdKey)).max
-    val pcs = partitionColsOf(metaOpt).map(c => if (c == oldName) newName else c)
+    val doUpgrade = upgradeMapping && !alreadyMapped
+    val base =
+      if (!doUpgrade) schema0
+      else StructType(schema0.fields.zipWithIndex.map { case (f, i) =>
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        if (!f.metadata.contains(MapIdKey)) mb.putLong(MapIdKey, i + 1L)
+        if (!f.metadata.contains(PhysNameKey)) mb.putString(PhysNameKey, f.name)
+        f.copy(metadata = mb.build())
+      })
+    val (evolved, pcs) = evolve(base, partitionColsOf(metaOpt))
+    val nowMapped = evolved.fields.exists(_.metadata.contains(MapIdKey))
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (!alreadyMapped) {
+    if (doUpgrade) {
       // the upgrade commit carries the protocol bump (legacy
       // column-mapping gate); an already-mapped table is already gated
       val protocol = mapper.createObjectNode()
@@ -1965,7 +2040,7 @@ object DeltaLog {
       p.put("minWriterVersion", 5)
       lines += mapper.writeValueAsString(protocol)
     }
-    val metaData = metaDataNode(table, mapped.json,
+    val metaData = metaDataNode(table, evolved.json,
       m.get("id").asText(),
       if (m.has("createdTime")) m.get("createdTime").asLong() else 0L,
       partitionCols = pcs)
@@ -1973,16 +2048,19 @@ object DeltaLog {
       .putObject("configuration")
     Option(m.get("configuration")).foreach(_.fields().asScala
       .foreach(e => { cfg.put(e.getKey, e.getValue.asText()); () }))
-    cfg.put("delta.columnMapping.mode", "name")
-    cfg.put("delta.columnMapping.maxColumnId", maxId.toString)
+    if (nowMapped) {
+      cfg.put("delta.columnMapping.mode", "name")
+      cfg.put("delta.columnMapping.maxColumnId", evolved.fields
+        .map(f => if (f.metadata.contains(MapIdKey)) f.metadata.getLong(MapIdKey) else 0L)
+        .max.toString)
+    }
     lines += mapper.writeValueAsString(metaData)
     val ci = mapper.createObjectNode()
     val c = ci.putObject("commitInfo")
     c.put("timestamp", System.currentTimeMillis())
-    c.put("operation", "RENAME COLUMN")
+    c.put("operation", operation)
     val op = c.putObject("operationParameters")
-    op.put("oldName", oldName)
-    op.put("newName", newName)
+    params.foreach { case (k, v) => op.put(k, v); () }
     lines += mapper.writeValueAsString(ci)
     val next = latest + 1
     val tmp = Files.createTempFile(logDir(table), ".delta-", ".tmp")
@@ -1992,7 +2070,7 @@ object DeltaLog {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         sys.error(s"$dir: concurrent commit at Delta version $next — " +
-          s"this rename read version $latest; re-run against the new snapshot")
+          s"this $operation read version $latest; re-run against the new snapshot")
     } finally Files.deleteIfExists(tmp)
     next
   }
@@ -2228,6 +2306,57 @@ object DeltaLog {
       table
     })
 
+  /** Foreign-style table evolved by the full ALTER surface: a
+    * pre-evolution band under the original schema, `addColumn(tier)`
+    * (table still unmapped — added columns alone need no mapping), a
+    * post-ADD append whose file carries the new column, then
+    * `dropColumn(props)` which performs the mapping upgrade. The final
+    * snapshot must null-fill `tier` for the old band, read it for the
+    * new one, and project `props` away from BOTH files' bytes.
+    */
+  private[graft] def deltaEvolvedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"evolve:$dir", {
+      val table = graft.Scratch.dir("graft_delta_evolve").toString
+      val root = Paths.get(table)
+      val ev = graft.Tables.events(spark, dir)
+      def land(df: DataFrame, rel: String): Unit = {
+        val tmp = graft.Scratch.dir(s"graft_evolve_$rel")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = listDir(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet")).head
+        Files.move(part, root.resolve(rel))
+      }
+      def addLine(rel: String): String = {
+        val n = mapper.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", encodePath(rel))
+        a.putObject("partitionValues")
+        a.put("size", Files.size(root.resolve(rel)))
+        a.put("modificationTime", Files.getLastModifiedTime(root.resolve(rel)).toMillis)
+        a.put("dataChange", true)
+        fileStats(root.resolve(rel)).foreach(a.put("stats", _))
+        mapper.writeValueAsString(n)
+      }
+      // v0: pre-evolution band, original schema
+      land(ev.filter(col("event_id") < 500), "band-00.parquet")
+      Files.createDirectories(logDir(root))
+      Files.write(commitPath(root, 0L), (Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        mapper.writeValueAsString(
+          metaDataNode(root, ev.schema.json, stableTableId(root), 1L)),
+        addLine("band-00.parquet")).mkString("\n") + "\n").getBytes("UTF-8"))
+      // v1: ADD COLUMN tier (nullable; table stays unmapped)
+      addColumn(spark, table, "tier", StringType)
+      // v2: append a band that CARRIES the new column
+      land(ev.filter(col("event_id") >= 500).withColumn("tier",
+        when(col("value") > 50, "hi").otherwise("lo")), "band-01.parquet")
+      Files.write(commitPath(root, 2L),
+        (addLine("band-01.parquet") + "\n").getBytes("UTF-8"))
+      // v3: DROP COLUMN props (upgrades to column mapping)
+      dropColumn(spark, table, "props")
+      table
+    })
+
   def prepare(spark: SparkSession, dir: String): Unit = {
     deltaTable(spark, dir)
     deltaRangedTable(spark, dir)
@@ -2236,6 +2365,7 @@ object DeltaLog {
     txPartitionedTable(spark, dir)
     deltaColMapTable(spark, dir)
     deltaRenamedTable(spark, dir)
+    deltaEvolvedTable(spark, dir)
     deltaDvTable(spark, dir)
     deltaDvWriteTable(spark, dir)
     ()
@@ -2545,7 +2675,27 @@ object DeltaLog {
       |FROM events WHERE event_id BETWEEN 450 AND 700
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked ALTER surface: after ADD COLUMN + a post-ADD append
+    * + DROP COLUMN, grouping by the added column must see nulls for the
+    * pre-evolution band and real values for the new one — only
+    * metaData-schema-typed reads across both file generations produce
+    * that.
+    */
+  def evolutionQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, deltaEvolvedTable(spark, dir))
+      .groupBy(coalesce(col("tier"), lit("old")).as("tier"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val evolutionQueryOracle: String =
+    """SELECT CASE WHEN event_id >= 500
+      |            THEN CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END
+      |            ELSE 'old' END AS tier,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_evolution" -> evolutionQuery _,
     "q_delta_rename" -> renameQuery _,
     "q_delta_colmap" -> colMapQuery _,
     "q_delta_snapshot" -> snapshotQuery _,
@@ -2559,6 +2709,7 @@ object DeltaLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_delta_evolution" -> evolutionQueryOracle,
     "q_delta_rename" -> renameQueryOracle,
     "q_delta_colmap" -> colMapQueryOracle,
     "q_delta_snapshot" -> snapshotQueryOracle,

@@ -1428,6 +1428,44 @@ class DeltaLogSpec extends SparkSpec {
       s"stats keyed by the pre-rename physical names must still prune: ${DeltaLog.lastSkipScan}")
   }
 
+  test("addColumn null-fills pre-evolution files; dropColumn hides bytes still on disk") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val t = DeltaLog.deltaEvolvedTable(s, "/root/testdata/sf0.001")
+    val snap = DeltaLog.snapshot(s, t)
+    // dropped column gone from the snapshot, still physically in the files
+    assert(!snap.columns.contains("props"))
+    val raw = s.read.parquet(Paths.get(t, "band-00.parquet").toString)
+    assert(raw.columns.contains("props"),
+      "DROP COLUMN must be metadata-only — the bytes stay until a rewrite")
+    // added column: null for the old band, populated for the new one
+    val byBand = snap.groupBy((col("event_id") < 500).as("old"))
+      .agg(count(lit(1)).as("n"), count(col("tier")).as("tiered"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byBand(true)._2 == 0L, "pre-ADD band must null-fill tier")
+    assert(byBand(false)._1 == byBand(false)._2, "post-ADD band must carry tier")
+    // time travel: version 0 predates the evolution entirely
+    val v0 = DeltaLog.snapshotAt(s, t, 0L)
+    assert(v0.columns.contains("props") && !v0.columns.contains("tier"))
+    // a re-added column under mapping gets a FRESH physical name — the
+    // dropped bytes can never resurrect. Mutate a COPY: the staged
+    // fixture is shared with q_delta_evolution.
+    val copy = Paths.get(freshTable())
+    Files.walk(Paths.get(t)).iterator.asScala.foreach { p =>
+      val dst = copy.resolve(Paths.get(t).relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else Files.copy(p, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    DeltaLog.addColumn(s, copy.toString, "props", StringType)
+    val readded = DeltaLog.snapshot(s, copy.toString)
+    assert(readded.filter(col("props").isNotNull).count() == 0L,
+      "re-added 'props' must be all-null, not the old bytes")
+    // guards
+    intercept[IllegalArgumentException](DeltaLog.addColumn(s, copy.toString, "tier", StringType))
+    intercept[IllegalArgumentException](DeltaLog.dropColumn(s, copy.toString, "missing"))
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
