@@ -371,6 +371,54 @@ object Streams {
     spark.read.parquet(out)
   }
 
+  /** Streaming EXACT distinct users per (window, series) via the
+    * mergeable set sketch (`functions/SetSketch.scala`) — the aggregate
+    * streaming normally can't have: `count(distinct)` is unsupported in
+    * a streaming aggregation (its state can't merge), and
+    * `approx_count_distinct` drifts. The sketch's
+    * TypedImperativeAggregate buffer IS the re-aggregatable form, so
+    * the state store merges partial sketches across micro-batches like
+    * any min/max — a user seen in batch 1 and re-seen in batch 7 counts
+    * once — and the emitted cardinality is EXACT: the oracle is the
+    * batch `count(DISTINCT)` over the same rows, hash-matched. State is
+    * O(true distincts per group), the honest cost of exactness — cap
+    * the group key domain (windowed, as here) or drop to HLL where that
+    * bound can't hold.
+    */
+  def runStreamDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val staged = rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
+    val out = graft.Scratch.dir("graft_stream_dist_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_dist_ckpt").toString
+    val schema = stagedSchema(spark, staged)
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(call_function("graft_set_agg", col("user_id")).as("sketch"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        call_function("graft_set_card", col("sketch")).as("distinct_users"),
+        col("n_events"))
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+  }
+
+  val runStreamDistinctOracle: String =
+    """SELECT date_trunc('minute', ts) AS window_start, event_type,
+      |       count(DISTINCT user_id) AS distinct_users,
+      |       count(*) AS n_events
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   /** Streaming heavy hitters with BOUNDED state — the SpaceSaving
     * sketch, salt-parallelized: keys hash into `buckets` groups, each
     * group's state is a counter map capped at `capacity` entries, and
@@ -1068,6 +1116,7 @@ object Streams {
     "q_stream_enrich" -> runStreamEnrich _,
     "q_stream_topk" -> ((s, d) => runStreamTopK(s, d)),
     "q_stream_ohlc" -> runStreamOhlc _,
+    "q_stream_distinct" -> runStreamDistinct _,
     "q_stream_admission" -> runStreamAdmission _,
     "q_stream_tws" -> runRunningStats _
   )
@@ -1085,6 +1134,7 @@ object Streams {
     "q_stream_enrich" -> runStreamEnrichOracle,
     "q_stream_topk" -> runStreamTopKOracle(),
     "q_stream_ohlc" -> graft.gold.GoldRollup.ohlcBarsOracle,
+    "q_stream_distinct" -> runStreamDistinctOracle,
     "q_stream_admission" -> graft.ext.Dedup.incrementalDedupOracle(),
     "q_stream_tws" -> runRunningStatsOracle
   )

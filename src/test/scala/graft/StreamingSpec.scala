@@ -517,4 +517,33 @@ class StreamingSpec extends SparkSpec {
         (1 to 20).map(100.0 + _).sum)
     } finally { q.stop(); server.close() }
   }
+
+  test("streaming exact distinct: the sketch state merges across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[UE]
+    val agg = mem.toDF()
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(call_function("graft_set_card",
+        call_function("graft_set_agg", col("user_id"))).as("d"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("d"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sketch_distinct").start()
+    try {
+      // batch 1: users 1, 2 in minute 0
+      mem.addData(UE(1L, ts(0, 10), 1.0), UE(2L, ts(0, 20), 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 RE-SEEN (must not double count) + user 3; and
+      // minute 1 opens with user 1
+      mem.addData(UE(1L, ts(0, 30), 1.0), UE(3L, ts(0, 40), 1.0), UE(1L, ts(1, 5), 1.0))
+      q.processAllAvailable()
+      val rows = s.table("sketch_distinct").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("2024-01-01 00:00:00.0") == (3L, 4L),
+        s"minute 0 must count users {1,2,3} once each across batches: $rows")
+      assert(rows("2024-01-01 00:01:00.0") == (1L, 1L))
+    } finally q.stop()
+  }
 }
