@@ -360,7 +360,8 @@ object DeltaLog {
     */
   def mirrorCommit(table: Path, txVersion: Long, added: Seq[String],
       removed: Seq[String], schemaJson: String,
-      dataChange: Boolean = true, operation: String = "WRITE"): Unit = {
+      dataChange: Boolean = true, operation: String = "WRITE",
+      txn: Option[(String, Long)] = None): Unit = {
     val deltaV = txVersion - 1
     Files.createDirectories(logDir(table))
     if (Files.exists(commitPath(table, deltaV))) return
@@ -408,6 +409,16 @@ object DeltaLog {
     ci.putObject("operationParameters")
       .put("mode", if (removed.nonEmpty) "Overwrite" else "Append")
     lines += mapper.writeValueAsString(commitInfo)
+    // SetTransaction: the idempotence token a foreign streaming writer
+    // (or this engine's commitAppendOnce) coordinates retries on
+    txn.foreach { case (app, tv) =>
+      val n = mapper.createObjectNode()
+      val t = n.putObject("txn")
+      t.put("appId", app)
+      t.put("version", tv)
+      t.put("lastUpdated", now)
+      lines += mapper.writeValueAsString(n)
+    }
     removed.foreach { rel =>
       val n = mapper.createObjectNode()
       val r = n.putObject("remove")
@@ -654,11 +665,17 @@ object DeltaLog {
   private val protocolType = StructType(Seq(
     StructField("minReaderVersion", IntegerType),
     StructField("minWriterVersion", IntegerType)))
+  // SetTransaction: the streaming-writer idempotence token
+  private val txnType = StructType(Seq(
+    StructField("appId", StringType),
+    StructField("version", LongType),
+    StructField("lastUpdated", LongType)))
   private val actionSchema = StructType(Seq(
     StructField("protocol", protocolType),
     StructField("metaData", metaType),
     StructField("add", addType),
-    StructField("remove", removeType)))
+    StructField("remove", removeType),
+    StructField("txn", txnType)))
 
   /** All actions a replay at `upTo` covers, as ONE DataFrame
     * (add/remove/metaData structs + the `ver` they landed at): the
@@ -674,9 +691,11 @@ object DeltaLog {
       // single classic file or all parts of a multi-part checkpoint —
       // one scan either way (parts share a schema)
       var df = spark.read.parquet(cps.map(_.toString): _*)
-      // checkpoints written before tombstone support lack the remove column
+      // checkpoints written before tombstone/txn support lack those columns
       if (!df.columns.contains("remove"))
         df = df.withColumn("remove", lit(null).cast(removeType))
+      if (!df.columns.contains("txn"))
+        df = df.withColumn("txn", lit(null).cast(txnType))
       // Re-shape each action struct BY FIELD NAME, never a whole-struct
       // cast: struct casts map positionally and require equal arity, so a
       // FOREIGN checkpoint's extra fields (add.stats/tags, metaData.name/
@@ -699,12 +718,13 @@ object DeltaLog {
         shape("metaData", metaType),
         shape("add", addType),
         shape("remove", removeType),
+        shape("txn", txnType),
         lit(pl.cpV).as("ver"))
     }
     if (pl.tail.nonEmpty)
       parts += spark.read.schema(actionSchema)
         .json(pl.tail.map(v => commitPath(table, v).toString): _*)
-        .select(col("metaData"), col("add"), col("remove"),
+        .select(col("metaData"), col("add"), col("remove"), col("txn"),
           regexp_extract(input_file_name(), "(\\d{20})\\.json", 1)
             .cast(LongType).as("ver"))
     parts.reduce(_.unionByName(_))
@@ -943,7 +963,7 @@ object DeltaLog {
     val pcSeq = partitionColsOf(Some(m))
     val header = spark.createDataFrame(
       java.util.List.of(
-        Row(Row(1, 2), null, null, null),
+        Row(Row(1, 2), null, null, null, null),
         Row(null, Row(
           m.get("id").asText(),
           Row("parquet", Map.empty[String, String]),
@@ -951,12 +971,13 @@ object DeltaLog {
           pcSeq,
           cfgMap,
           if (m.has("createdTime")) m.get("createdTime").asLong() else 0L),
-          null, null)),
+          null, null, null)),
       StructType(Seq(
         StructField("protocol", protocolType),
         StructField("metaData", metaType),
         StructField("add", addType),
-        StructField("remove", removeType))))
+        StructField("remove", removeType),
+        StructField("txn", txnType))))
     val addRows = live.select(struct(
       col("path"),
       coalesce(col("partitionValues"),
@@ -979,9 +1000,20 @@ object DeltaLog {
         col("deletionTimestamp"),
         lit(false).as("dataChange"),
         from_json(col("rdv"), dvType).as("deletionVector")).as("remove"))
+    // the latest SetTransaction per appId survives compaction — the
+    // protocol requirement that keeps exactly-once writers safe after
+    // the JSON prefix ages out
+    val txnRows = actionsDF(spark, table, replayPlan(table, v))
+      .filter(col("txn").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("txn.appId"))
+          .orderBy(col("ver").desc, col("txn.version").desc)))
+      .filter(col("rn") === 1)
+      .select(col("txn"))
     val body = addRows.unionByName(removeRows, allowMissingColumns = true)
+      .unionByName(txnRows, allowMissingColumns = true)
     val rows = header.unionByName(body, allowMissingColumns = true)
-      .select("protocol", "metaData", "add", "remove")
+      .select("protocol", "metaData", "add", "remove", "txn")
     val nActions = rows.count()
     // MULTI-PART when the action count warrants it (or a spec forces it):
     // a 10M-file table's checkpoint must not funnel through one writer
@@ -1319,6 +1351,37 @@ object DeltaLog {
           }
           .reduce(_.unionByName(_))
           .select(sel: _*)
+      }
+    }
+  }
+
+  /** Latest SetTransaction version for `appId` at the newest snapshot —
+    * the exactly-once coordination read. JSON tail scans newest-first
+    * (config-scale; first hit is the max — app versions commit in
+    * increasing order, stock Delta's own assumption); a compacted log
+    * falls back to the checkpoint's txn rows, which [[checkpoint]]
+    * preserves per the protocol.
+    */
+  def txnVersion(spark: SparkSession, dir: String, appId: String): Option[Long] = {
+    val table = Paths.get(dir)
+    val latest = (versions(dir) ++ lastCheckpointVersion(table))
+      .maxOption.getOrElse(return None)
+    val pl = replayPlan(table, latest)
+    def fromJson(v: Long): Option[Long] =
+      Files.readAllLines(commitPath(table, v)).asScala.iterator
+        .filter(_.contains("\"txn\"")).map(mapper.readTree)
+        .flatMap(n => Option(n.get("txn")))
+        .filter(t => t.get("appId").asText() == appId)
+        .map(_.get("version").asLong()).nextOption()
+    pl.tail.reverseIterator.flatMap(fromJson(_)).nextOption().orElse {
+      val cps = pl.cpPaths(table)
+      if (cps.isEmpty) None
+      else {
+        val df = spark.read.parquet(cps.map(_.toString): _*)
+        if (!df.columns.contains("txn")) None
+        else df.filter(col("txn").isNotNull && col("txn.appId") === appId)
+          .agg(max(col("txn.version"))).collect().headOption
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
       }
     }
   }

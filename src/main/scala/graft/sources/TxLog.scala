@@ -62,8 +62,64 @@ object TxLog {
     }
   }
 
+  /** Data-file lines only: `#`-prefixed lines are commit METADATA (the
+    * `#txn` idempotence token) and invisible to every path consumer —
+    * snapshots, backfill diffs, vacuum, CDF. Pre-metadata manifests
+    * have no `#` lines, so old tables parse unchanged. */
   private def readManifest(table: Path, v: Long): Seq[String] =
-    Files.readAllLines(manifestPath(table, v)).asScala.toSeq.filter(_.nonEmpty)
+    Files.readAllLines(manifestPath(table, v)).asScala.toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** The `#txn <appId> <version>` token of one manifest, if the commit
+    * carried one. Rides the manifest — the COMMIT POINT — so the token
+    * and the data land in the same atomic link: no window where a
+    * crash separates them.
+    */
+  private[graft] def manifestTxn(table: Path, v: Long): Option[(String, Long)] =
+    Files.readAllLines(manifestPath(table, v)).asScala.iterator
+      .filter(_.startsWith("#txn ")).map { l =>
+        val p = l.split(" ", 3)
+        (p(1), p(2).toLong)
+      }.nextOption()
+
+  /** Highest committed idempotence-token version for `appId` — the
+    * exactly-once check. Manifests scan newest-first and stop at the
+    * first hit (an app's versions are committed in increasing order,
+    * Delta's own SetTransaction assumption, so the first hit IS the
+    * max); a steady-state streaming writer finds its token within a
+    * manifest or two. If the manifest prefix was aged out past the
+    * app's last token, the DELTA mirror answers instead — its
+    * checkpoints carry the latest txn per appId (the protocol
+    * requirement that exists precisely for this).
+    */
+  def lastTxnVersion(spark: org.apache.spark.sql.SparkSession, dir: String,
+      appId: String): Option[Long] = {
+    val table = Paths.get(dir)
+    currentVersion(dir).flatMap(cur => scanTxn(table, cur, appId)) match {
+      case hit @ Some(_) => hit
+      case None =>
+        // distinguish "scanned to commit 1, genuinely no token" from
+        // "prefix (or the whole manifest set) aged out" — anything
+        // short of a complete scan consults the mirror, whose
+        // checkpoints preserve tokens past compaction
+        if (Files.exists(manifestPath(table, 1L))) None
+        else DeltaLog.txnVersion(spark, dir, appId)
+    }
+  }
+
+  /** Manifest-only token scan, newest-first, `upTo` down to the oldest
+    * retained manifest. */
+  private def scanTxn(table: Path, upTo: Long, appId: String): Option[Long] = {
+    var v = upTo
+    while (v >= 1 && Files.exists(manifestPath(table, v))) {
+      manifestTxn(table, v) match {
+        case Some((a, tv)) if a == appId => return Some(tv)
+        case _ => ()
+      }
+      v -= 1
+    }
+    None
+  }
 
   /** Data-parquet files under `p`, recursively, as table-relative paths
     * — partitioned batches nest `col=value` directories. */
@@ -109,12 +165,17 @@ object TxLog {
       .map(seg => seg.take(seg.indexOf('=')))
 
   private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean,
-      schemaJson: String): Long = {
+      schemaJson: String, txn: Option[(String, Long)] = None): Long = {
     val table = Paths.get(dir)
     var committed = -1L
     var removed: Seq[String] = Seq.empty
     while (committed < 0) {
       val cur = currentVersion(dir)
+      // idempotence: re-checked on EVERY claim attempt — losing the
+      // version race to a concurrent retry of the SAME (appId, version)
+      // must surface as a skip, not a duplicate commit
+      for ((app, tv) <- txn; last <- cur.flatMap(c => scanTxn(table, c, app)))
+        if (last >= tv) return -1L
       val next = cur.getOrElse(0L) + 1
       val previous = cur.map(readManifest(table, _)).getOrElse(Seq.empty)
       // a table's partitioning is FIXED at its first commit (Delta's own
@@ -133,7 +194,8 @@ object TxLog {
       val all = (if (carryPrevious) previous else Seq.empty) ++ added
       removed = if (carryPrevious) Seq.empty else previous
       val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-      Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
+      val header = txn.map { case (app, tv) => s"#txn $app $tv\n" }.getOrElse("")
+      Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
       try {
         // createLink is the true put-if-absent: link(2) fails with
         // EEXIST when the version is taken. (An ATOMIC_MOVE rename
@@ -146,7 +208,8 @@ object TxLog {
         case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
       }
     }
-    mirrorWithBackfill(dir, table, committed, added, removed, schemaJson)
+    mirrorWithBackfill(dir, table, committed, added, removed, schemaJson,
+      txn = txn)
     committed
   }
 
@@ -170,7 +233,8 @@ object TxLog {
     */
   private def mirrorWithBackfill(dir: String, table: Path, committed: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
-      dataChange: Boolean = true, operation: String = "WRITE"): Unit = {
+      dataChange: Boolean = true, operation: String = "WRITE",
+      txn: Option[(String, Long)] = None): Unit = {
     var floor = mirrorFloor.getOrElse(dir, 0L)
     var contiguous = true
     var v = floor + 1
@@ -179,8 +243,11 @@ object TxLog {
         try {
           val prev = if (v == 1) Seq.empty[String] else readManifest(table, v - 1)
           val cur = readManifest(table, v)
+          // a backfilled commit's token comes from ITS manifest, so the
+          // mirror's txn history stays version-accurate
           DeltaLog.mirrorCommit(table, v,
-            cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson)
+            cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson,
+            txn = manifestTxn(table, v))
         } catch { case _: java.io.IOException => () }
       if (contiguous && DeltaLog.isMirrored(table, v)) floor = v
       else contiguous = false
@@ -188,7 +255,7 @@ object TxLog {
     }
     try {
       DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson,
-        dataChange, operation)
+        dataChange, operation, txn)
       if (contiguous && floor == committed - 1) floor = committed
     } catch { case _: java.io.IOException => () }
     mirrorFloor.updateWith(dir)(old => Some(math.max(old.getOrElse(0L), floor)))
@@ -213,6 +280,48 @@ object TxLog {
       carryPrevious = true, df.schema.json)
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
+  }
+
+  /** EXACTLY-ONCE append: commit `df` carrying the idempotence token
+    * (`appId`, `txnVersion`) — Delta's SetTransaction contract, the
+    * primitive that makes streaming-sink retries safe. A commit whose
+    * token version is ≤ the app's last committed token SKIPS (returns
+    * None) instead of duplicating: a foreachBatch writer that crashed
+    * after committing but before the checkpoint advanced will replay
+    * the same (appId, batchId) and land exactly once. The token rides
+    * the MANIFEST (the commit point) so data and token are atomic, and
+    * mirrors to the Delta log as a `txn` action — foreign engines see
+    * the same exactly-once history, and checkpoints preserve it past
+    * log compaction. App versions must be committed in increasing
+    * order (the streaming-batch-id pattern; same assumption stock
+    * Delta makes).
+    */
+  def commitAppendOnce(df: DataFrame, dir: String, appId: String,
+      txnVersion: Long, partitionBy: Seq[String] = Seq.empty): Option[Long] = {
+    val table = Paths.get(dir)
+    Files.createDirectories(logDir(table))
+    // cheap pre-check (manifest scan + mirror fallback for aged-out
+    // prefixes) BEFORE staging any data; the claim loop re-checks under
+    // race
+    if (lastTxnVersion(df.sparkSession, dir, appId).exists(_ >= txnVersion))
+      return None
+    val added = writeBatch(df, table, partitionBy)
+    val v = commitFiles(dir, added,
+      carryPrevious = true, df.schema.json, txn = Some((appId, txnVersion)))
+    if (v < 0) {
+      // lost the race to a concurrent identical retry: reclaim the
+      // staged batch eagerly (vacuum would sweep it as an orphan later)
+      added.headOption.map(_.takeWhile(_ != '/')).foreach { batch =>
+        val d = table.resolve(batch)
+        if (Files.isDirectory(d)) {
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+      }
+      return None
+    }
+    DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
+    Some(v)
   }
 
   /** Replace the table contents with `df` in one atomic commit —

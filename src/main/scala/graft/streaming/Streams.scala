@@ -419,6 +419,55 @@ object Streams {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** EXACTLY-ONCE streaming ingest into the transactional table — the
+    * lakehouse sink contract: each micro-batch commits through
+    * `TxLog.commitAppendOnce` with (appId, batchId) as the
+    * SetTransaction token, so a foreachBatch retry after a crash
+    * between commit and checkpoint-advance lands ZERO duplicate rows
+    * (stock Delta's `txn` mechanism, mirrored to `_delta_log` so
+    * foreign engines see the same history). The harness PROVES the
+    * dedup, not just runs it: after the stream drains, the LAST batch
+    * is deliberately re-committed with its original batch id — the
+    * crash-replay case — and the aggregate still hash-matches the
+    * batch oracle, which double-counted rows would break.
+    */
+  def runStreamExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val staged = rangedDirs.getOrElseUpdate(dir, stageRanged(spark, dir))
+    val tbl = graft.Scratch.dir("graft_stream_eo_tbl").toString
+    val ckpt = graft.Scratch.dir("graft_stream_eo_ckpt").toString
+    val schema = stagedSchema(spark, staged)
+    val appId = "graft-eo-ingest"
+    @volatile var lastBatch = -1L
+    withStatePartitions(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.TxLog.commitAppendOnce(batch, tbl, appId, batchId)
+          lastBatch = batchId
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // crash-replay simulation: the checkpoint "lost" the last commit,
+    // so the writer re-runs the SAME (appId, batchId) — must skip
+    val replayed = graft.sources.TxLog.commitAppendOnce(
+      spark.read.schema(schema).parquet(staged), tbl, appId, lastBatch)
+    require(replayed.isEmpty,
+      s"replaying batch $lastBatch must be skipped, got $replayed")
+    graft.sources.TxLog.snapshot(spark, tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val runStreamExactlyOnceOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   /** Streaming heavy hitters with BOUNDED state — the SpaceSaving
     * sketch, salt-parallelized: keys hash into `buckets` groups, each
     * group's state is a counter map capped at `capacity` entries, and
@@ -1117,6 +1166,7 @@ object Streams {
     "q_stream_topk" -> ((s, d) => runStreamTopK(s, d)),
     "q_stream_ohlc" -> runStreamOhlc _,
     "q_stream_distinct" -> runStreamDistinct _,
+    "q_stream_exactly_once" -> runStreamExactlyOnce _,
     "q_stream_admission" -> runStreamAdmission _,
     "q_stream_tws" -> runRunningStats _
   )
@@ -1135,6 +1185,7 @@ object Streams {
     "q_stream_topk" -> runStreamTopKOracle(),
     "q_stream_ohlc" -> graft.gold.GoldRollup.ohlcBarsOracle,
     "q_stream_distinct" -> runStreamDistinctOracle,
+    "q_stream_exactly_once" -> runStreamExactlyOnceOracle,
     "q_stream_admission" -> graft.ext.Dedup.incrementalDedupOracle(),
     "q_stream_tws" -> runRunningStatsOracle
   )

@@ -162,7 +162,7 @@ class DeltaLogSpec extends SparkSpec {
     assert(lc.get("size").asLong() > 2, "protocol + metaData + adds")
     // checkpoint file itself must carry the Delta checkpoint shape
     val cp = s.read.parquet(ld.resolve(f"$cpV%020d.checkpoint.parquet").toString)
-    assert(cp.columns.toSet == Set("protocol", "metaData", "add", "remove"))
+    assert(cp.columns.toSet == Set("protocol", "metaData", "add", "remove", "txn"))
     assert(cp.filter(col("protocol").isNotNull).count() == 1)
     assert(cp.filter(col("metaData").isNotNull).count() == 1)
     assert(cp.filter(col("add").isNotNull).count() > 0)
@@ -569,6 +569,7 @@ class DeltaLogSpec extends SparkSpec {
     assert(v1removes == v0adds)
     // checkpoint: full action shape, tombstones carried, pointer at 2
     val cp = s.read.parquet(s"$golden/_delta_log/00000000000000000002.checkpoint.parquet")
+    // frozen pre-txn-era tree: 4 action columns (replay null-fills txn)
     assert(cp.columns.toSet == Set("protocol", "metaData", "add", "remove"))
     assert(cp.filter(col("add").isNotNull).count() == 2)
     assert(cp.filter(col("remove").isNotNull).count() == v1removes.size)

@@ -413,4 +413,59 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent commit"),
       s"rewrites must not serialize past a racing writer: ${e.getMessage}")
   }
+
+  test("commitAppendOnce: a replayed (appId, batchId) lands exactly once") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val app = "eo-app"
+    val b0 = events.filter(col("event_id") < 300)
+    val b1 = events.filter(col("event_id").between(300, 599))
+    assert(TxLog.commitAppendOnce(b0, t, app, 0L).contains(1L))
+    assert(TxLog.commitAppendOnce(b1, t, app, 1L).contains(2L))
+    // crash-replay: same token, DIFFERENT content — must skip entirely
+    val dupe = TxLog.commitAppendOnce(events, t, app, 1L)
+    assert(dupe.isEmpty, s"duplicate token must skip, got $dupe")
+    assert(TxLog.currentVersion(t).contains(2L))
+    assert(TxLog.snapshot(s, t).count() == b0.count() + b1.count())
+    // the skipped retry's staged batch is reclaimed eagerly
+    assert(TxLog.dirtyScan(s, t).count() == b0.count() + b1.count(),
+      "skipped retry must not leave orphaned data files")
+    // older token also skips; the NEXT id commits
+    assert(TxLog.commitAppendOnce(b0, t, app, 0L).isEmpty)
+    assert(TxLog.commitAppendOnce(events.filter(col("event_id") >= 600), t, app, 2L).contains(3L))
+    assert(TxLog.lastTxnVersion(s, t, app).contains(2L))
+    // a DIFFERENT app is independent
+    assert(TxLog.commitAppendOnce(b0, t, "other-app", 0L).contains(4L))
+  }
+
+  test("the token mirrors as a Delta txn action and survives checkpoints") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLog
+    val t = freshTable()
+    val app = "eo-ckpt"
+    TxLog.commitAppendOnce(events.filter(col("event_id") < 200), t, app, 7L)
+    // the mirror's commit JSON carries the txn action
+    val lines = Files.readAllLines(
+      java.nio.file.Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+    assert(lines.toString.contains("\"txn\"") && lines.toString.contains("eo-ckpt"))
+    assert(DeltaLog.txnVersion(s, t, app).contains(7L))
+    assert(DeltaLog.txnVersion(s, t, "unknown").isEmpty)
+    // more commits, then compact and AGE OUT the json prefix: the
+    // checkpoint's txn rows must still answer
+    TxLog.commitAppendOnce(events.filter(col("event_id").between(200, 399)), t, app, 8L)
+    TxLog.commitAppend(events.filter(col("event_id") >= 400), t)
+    DeltaLog.checkpoint(s, t)
+    (0L to 2L).foreach { v =>
+      Files.deleteIfExists(java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json"))
+    }
+    assert(DeltaLog.txnVersion(s, t, app).contains(8L),
+      "the latest txn per appId must survive log compaction")
+    // and the TxLog-side check consults the mirror once manifests age out
+    (1L to 3L).foreach { v =>
+      Files.deleteIfExists(java.nio.file.Paths.get(t, "_txlog", f"v$v%08d.manifest"))
+    }
+    assert(TxLog.lastTxnVersion(s, t, app).contains(8L))
+  }
 }
