@@ -361,7 +361,8 @@ object DeltaLog {
   def mirrorCommit(table: Path, txVersion: Long, added: Seq[String],
       removed: Seq[String], schemaJson: String,
       dataChange: Boolean = true, operation: String = "WRITE",
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      props: Map[String, String] = Map.empty): Unit = {
     val deltaV = txVersion - 1
     Files.createDirectories(logDir(table))
     if (Files.exists(commitPath(table, deltaV))) return
@@ -376,28 +377,44 @@ object DeltaLog {
     // (TxLog writes partitionBy → col=value dirs); a table's partitioning
     // is fixed at its first commit, matching Delta's own rule
     val pcols = added.headOption.map(partSegments(_).map(_._1)).getOrElse(Seq.empty)
+    def withConfig(node: ObjectNode, prevCfg: Map[String, String]): ObjectNode = {
+      // configuration survives re-emission: previous properties carry
+      // forward, this commit's `props` merge over them (last wins)
+      val cfg = node.get("metaData").asInstanceOf[ObjectNode]
+        .putObject("configuration")
+      (prevCfg ++ props).foreach { case (k, v) => cfg.put(k, v); () }
+      node
+    }
+    def cfgOf(m: Option[ObjectNode]): Map[String, String] =
+      m.flatMap(n => Option(n.get("configuration"))).map(_.fields().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String])
     if (deltaV == 0L) {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
       p.put("minReaderVersion", 1)
       p.put("minWriterVersion", 2)
       lines += mapper.writeValueAsString(protocol)
-      val node = metaDataNode(table, schemaJson, stableTableId(table), now, pcols)
+      val node = withConfig(
+        metaDataNode(table, schemaJson, stableTableId(table), now, pcols),
+        Map.empty)
       lines += mapper.writeValueAsString(node)
       effectiveMeta = Some(node.get("metaData").asInstanceOf[ObjectNode])
     } else {
       val prev = mirroredMeta.get(table.toString)
         .orElse(lastMirroredMeta(table, deltaV - 1))
-      if (!prev.exists(_.get("schemaString").asText() == schemaJson)) {
-        // schema changed (or the aged-out prefix hides it — re-emitting is
-        // idempotent under last-metaData-wins): keep id/createdTime/
-        // partitionColumns stable from the previous metaData when known
+      if (!prev.exists(_.get("schemaString").asText() == schemaJson) ||
+          props.nonEmpty) {
+        // schema changed, or a property set forces re-emission (or the
+        // aged-out prefix hides the schema — re-emitting is idempotent
+        // under last-metaData-wins): keep id/createdTime/partitionColumns
+        // AND configuration stable from the previous metaData when known
         val prevPcols = prev.map(m => partitionColsOf(Some(m)))
-        val node = metaDataNode(table, schemaJson,
+        val node = withConfig(metaDataNode(table, schemaJson,
           prev.map(_.get("id").asText()).getOrElse(stableTableId(table)),
           prev.filter(_.has("createdTime")).map(_.get("createdTime").asLong())
             .getOrElse(now),
-          prevPcols.getOrElse(pcols))
+          prevPcols.getOrElse(pcols)), cfgOf(prev))
         lines += mapper.writeValueAsString(node)
         effectiveMeta = Some(node.get("metaData").asInstanceOf[ObjectNode])
       } else effectiveMeta = prev
@@ -456,6 +473,30 @@ object DeltaLog {
         mirroredMeta.remove(table.toString); ()
     }
     finally Files.deleteIfExists(tmp)
+  }
+
+  /** Newest mirrored schemaString (cache → backward JSON scan) — what
+    * [[TxLog.setTableProperties]] re-emits alongside new properties. */
+  private[sources] def currentSchemaString(table: Path): Option[String] = {
+    val newest = versions(table.toString).maxOption
+    mirroredMeta.get(table.toString)
+      .orElse(newest.flatMap(v => lastMirroredMeta(table, v)))
+      .map(_.get("schemaString").asText())
+  }
+
+  /** The table properties in force: the newest metaData's
+    * configuration. Config-scale (cache hit or one backward JSON scan);
+    * an aged-out prefix with no retained metaData reads as empty — the
+    * enforcement call sites treat that as "no constraints", the only
+    * safe default for a WRITER-side guard.
+    */
+  def tableConfig(table: Path): Map[String, String] = {
+    val newest = versions(table.toString).maxOption
+    mirroredMeta.get(table.toString)
+      .orElse(newest.flatMap(v => lastMirroredMeta(table, v)))
+      .flatMap(n => Option(n.get("configuration")))
+      .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
   }
 
   // -------------------------------------------------------------- read
@@ -1647,6 +1688,9 @@ object DeltaLog {
     require(!Files.isDirectory(table.resolve("_txlog")),
       s"$dir is TxLog-mirrored — use TxLog.deleteWhere (the manifest " +
         "cannot represent deletion vectors)")
+    if (tableConfig(table).get("delta.appendOnly").contains("true"))
+      sys.error(s"$dir: delta.appendOnly=true — a DV delete removes " +
+        "committed rows and is refused")
     val latest = (versions(dir) ++ lastCheckpointVersion(table))
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
     val (flags, meta) =
@@ -2058,6 +2102,18 @@ object DeltaLog {
       (StructType(schema.fields.filterNot(_.name == name)), pcs)
     }
 
+  /** Metadata-only SET TBLPROPERTIES on a Delta-only table — one
+    * metaData commit with the merged configuration (mirrored tables set
+    * properties through [[TxLog.setTableProperties]], which keeps the
+    * manifest↔Delta version mapping 1:1). Installs the writer-protocol
+    * guards: `delta.constraints.<name>` CHECK expressions and
+    * `delta.appendOnly`.
+    */
+  def setTableProperties(spark: SparkSession, dir: String,
+      props: Map[String, String]): Long =
+    commitSchemaChange(spark, dir, "SET TBLPROPERTIES", props.toSeq.sorted,
+      upgradeMapping = false, props = props.toSeq)((s, p) => (s, p))
+
   /** Shared scaffold of the metadata-only schema evolutions: resolve
     * the newest metaData, optionally perform the column-mapping
     * upgrade (pin ids + physicalName = current on-disk names — the
@@ -2070,7 +2126,7 @@ object DeltaLog {
     */
   private def commitSchemaChange(spark: SparkSession, dir: String,
       operation: String, params: Seq[(String, String)],
-      upgradeMapping: Boolean)(
+      upgradeMapping: Boolean, props: Seq[(String, String)] = Seq.empty)(
       evolve: (StructType, Seq[String]) => (StructType, Seq[String])): Long = {
     val table = Paths.get(dir)
     require(!Files.isDirectory(table.resolve("_txlog")),
@@ -2111,6 +2167,7 @@ object DeltaLog {
       .putObject("configuration")
     Option(m.get("configuration")).foreach(_.fields().asScala
       .foreach(e => { cfg.put(e.getKey, e.getValue.asText()); () }))
+    props.foreach { case (k, v) => cfg.put(k, v); () }
     if (nowMapped) {
       cfg.put("delta.columnMapping.mode", "name")
       cfg.put("delta.columnMapping.maxColumnId", evolved.fields

@@ -165,7 +165,8 @@ object TxLog {
       .map(seg => seg.take(seg.indexOf('=')))
 
   private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean,
-      schemaJson: String, txn: Option[(String, Long)] = None): Long = {
+      schemaJson: String, txn: Option[(String, Long)] = None,
+      props: Map[String, String] = Map.empty): Long = {
     val table = Paths.get(dir)
     var committed = -1L
     var removed: Seq[String] = Seq.empty
@@ -209,7 +210,7 @@ object TxLog {
       }
     }
     mirrorWithBackfill(dir, table, committed, added, removed, schemaJson,
-      txn = txn)
+      txn = txn, props = props)
     committed
   }
 
@@ -234,7 +235,8 @@ object TxLog {
   private def mirrorWithBackfill(dir: String, table: Path, committed: Long,
       added: Seq[String], removed: Seq[String], schemaJson: String,
       dataChange: Boolean = true, operation: String = "WRITE",
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      props: Map[String, String] = Map.empty): Unit = {
     var floor = mirrorFloor.getOrElse(dir, 0L)
     var contiguous = true
     var v = floor + 1
@@ -255,7 +257,7 @@ object TxLog {
     }
     try {
       DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson,
-        dataChange, operation, txn)
+        dataChange, operation, txn, props)
       if (contiguous && floor == committed - 1) floor = committed
     } catch { case _: java.io.IOException => () }
     mirrorFloor.updateWith(dir)(old => Some(math.max(old.getOrElse(0L), floor)))
@@ -263,6 +265,59 @@ object TxLog {
     // dataChange=true — the manifest can't tell a compaction from a write,
     // and the conservative direction for feeds is to surface rows, never
     // to lose them.
+  }
+
+  /** Writer-protocol guards, read from the mirrored table properties:
+    * `delta.constraints.<name>` CHECK expressions refuse an append
+    * carrying ANY violating row — false OR null violates, Delta's
+    * invariant rule (SQL's null-passes CHECK would let a null sneak
+    * past a bound) — and ALL constraints check in ONE aggregation pass
+    * over the batch, before any file is staged. Enforcement is at the
+    * WRITER, like Delta's: a reader never pays for it, and a foreign
+    * writer that ignores the properties is out of spec, not blocked.
+    */
+  private def enforceConstraints(df: DataFrame, dir: String): Unit = {
+    val cs = DeltaLog.tableConfig(Paths.get(dir)).toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (k.stripPrefix("delta.constraints."), v)
+    }.sortBy(_._1)
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val sums = cs.map { case (n, e) =>
+      sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)).as(n)
+    }
+    val row = df.agg(sums.head, sums.tail: _*).collect().head
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0)
+        sys.error(s"$dir: CHECK constraint '$n' ($e) is violated by " +
+          s"$bad row(s) — commit refused")
+    }
+  }
+
+  /** `delta.appendOnly=true` refuses anything that removes or rewrites
+    * committed rows. */
+  private def enforceAppendOnly(dir: String, op: String): Unit =
+    if (DeltaLog.tableConfig(Paths.get(dir)).get("delta.appendOnly").contains("true"))
+      sys.error(s"$dir: delta.appendOnly=true — $op would remove committed " +
+        "rows and is refused")
+
+  /** Metadata-only SET TBLPROPERTIES on a TxLog table: an empty append
+    * commit (same file set, next version) whose mirror metaData carries
+    * the merged configuration — so the version mapping between the
+    * manifest and the Delta log stays 1:1, and foreign readers see the
+    * properties. Used to install CHECK constraints and appendOnly.
+    */
+  def setTableProperties(spark: org.apache.spark.sql.SparkSession, dir: String,
+      props: Map[String, String]): Long = {
+    val table = Paths.get(dir)
+    require(Files.isDirectory(logDir(table)), s"$dir: not a TxLog table")
+    val schemaJson = DeltaLog.currentSchemaString(table).getOrElse(
+      sys.error(s"$dir: no mirrored metaData — commit data before setting properties"))
+    val v = commitFiles(dir, Seq.empty, carryPrevious = true, schemaJson,
+      props = props)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    v
   }
 
   /** Append `df` as one atomic commit; returns the new version.
@@ -276,6 +331,7 @@ object TxLog {
       partitionBy: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
+    enforceConstraints(df, dir)
     val v = commitFiles(dir, writeBatch(df, table, partitionBy),
       carryPrevious = true, df.schema.json)
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
@@ -305,6 +361,7 @@ object TxLog {
     // race
     if (lastTxnVersion(df.sparkSession, dir, appId).exists(_ >= txnVersion))
       return None
+    enforceConstraints(df, dir)
     val added = writeBatch(df, table, partitionBy)
     val v = commitFiles(dir, added,
       carryPrevious = true, df.schema.json, txn = Some((appId, txnVersion)))
@@ -332,6 +389,8 @@ object TxLog {
       partitionBy: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
+    enforceAppendOnly(dir, "OVERWRITE")
+    enforceConstraints(df, dir)
     val v = commitFiles(dir, writeBatch(df, table, partitionBy),
       carryPrevious = false, df.schema.json)
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
@@ -362,6 +421,10 @@ object TxLog {
       added: Seq[String], schemaJson: String,
       dataChange: Boolean = true, operation: String = "WRITE"): Long = {
     val table = Paths.get(dir)
+    // delta.appendOnly blocks any rewrite that CHANGES visible rows
+    // (DELETE/UPDATE/MERGE/RESTORE); OPTIMIZE passes — dataChange=false
+    // moves bytes, not rows, stock Delta's own rule
+    if (dataChange && removedSet.nonEmpty) enforceAppendOnly(dir, operation)
     val next = base + 1
     val prev = readManifest(table, base)
     val all = prev.filterNot(removedSet) ++ added
@@ -723,6 +786,33 @@ object TxLog {
       table
     })
 
+  /** Governed ingest: append → install CHECK constraint + appendOnly →
+    * a violating append and an overwrite both REFUSE (asserted here —
+    * the fixture itself proves enforcement) → a conforming append
+    * lands. The final table holds exactly the conforming batches.
+    */
+  private def constrainedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"constr:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_constr").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") < 400), table)
+      setTableProperties(spark, table, Map(
+        "delta.constraints.idBound" -> "event_id < 800",
+        "delta.appendOnly" -> "true"))
+      val violating = scala.util.Try(
+        commitAppend(ev.filter(col("event_id") >= 800), table))
+      require(violating.isFailure &&
+        violating.failed.get.getMessage.contains("idBound"),
+        s"violating append must refuse: $violating")
+      val over = scala.util.Try(
+        commitOverwrite(ev.filter(col("event_id") < 100), table))
+      require(over.isFailure &&
+        over.failed.get.getMessage.contains("appendOnly"),
+        s"overwrite must refuse under appendOnly: $over")
+      commitAppend(ev.filter(col("event_id").between(400, 799)), table)
+      table
+    })
+
   /** Append v1, OVERWRITE to v2, orphan write, vacuum to latest. */
   private def vacuumedTable(spark: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"vac:$dir", {
@@ -1004,7 +1094,24 @@ object TxLog {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked governed ingest: after the fixture's refused
+    * violating append and refused overwrite, the snapshot must hold
+    * EXACTLY the conforming batches — a constraint that silently let
+    * rows through, or an overwrite that silently succeeded, flips the
+    * hash.
+    */
+  def constraintsQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, constrainedTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val constraintsQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id < 800
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog_constraints" -> constraintsQuery _,
     "q_txlog_snapshot" -> snapshotQuery _,
     "q_txlog_vacuum" -> vacuumQuery _,
     "q_txlog_changes" -> changesQuery _,
@@ -1017,6 +1124,7 @@ object TxLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_txlog_constraints" -> constraintsQueryOracle,
     "q_txlog_snapshot" -> snapshotQueryOracle,
     "q_txlog_vacuum" -> vacuumQueryOracle,
     "q_txlog_changes" -> changesQueryOracle,

@@ -1467,6 +1467,23 @@ class DeltaLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](DeltaLog.dropColumn(s, copy.toString, "missing"))
   }
 
+  test("Delta-only SET TBLPROPERTIES gates DV deletes under appendOnly") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = authorMapped("name")
+    DeltaLog.setTableProperties(s, t, Map("delta.appendOnly" -> "true"))
+    assert(DeltaLog.tableConfig(Paths.get(t))
+      .get("delta.appendOnly").contains("true"))
+    val e = intercept[RuntimeException](
+      DeltaLog.deleteVectors(s, t, col("event_id") < 10))
+    assert(e.getMessage.contains("appendOnly"), e.getMessage)
+    // reads are untouched, and the property commit kept the mapping cfg
+    assert(DeltaLog.snapshot(s, t).count() ==
+      events.filter(col("event_id") < 300).count())
+    assert(DeltaLog.tableConfig(Paths.get(t))
+      .get("delta.columnMapping.mode").contains("name"))
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._

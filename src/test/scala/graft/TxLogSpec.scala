@@ -468,4 +468,65 @@ class TxLogSpec extends SparkSpec {
     }
     assert(TxLog.lastTxnVersion(s, t, app).contains(8L))
   }
+
+  test("CHECK constraints: null violates, all constraints check in one pass, message names the culprit") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.constraints.vPositive" -> "v > 0",
+      "delta.constraints.idBound" -> "id < 1000"))
+    // a NULL check result is a violation (Delta's invariant rule, not
+    // SQL's null-passes CHECK)
+    val nullV = Seq((3L, Option.empty[Double])).toDF("id", "v")
+    val e1 = intercept[RuntimeException](TxLog.commitAppend(nullV, t))
+    assert(e1.getMessage.contains("vPositive"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      TxLog.commitAppend(Seq((5000L, 1.0)).toDF("id", "v"), t))
+    assert(e2.getMessage.contains("idBound"), e2.getMessage)
+    // conforming rows land; the refused ones never did
+    TxLog.commitAppend(Seq((4L, 1.5)).toDF("id", "v"), t)
+    assert(TxLog.snapshot(s, t).count() == 3)
+  }
+
+  test("appendOnly: row-removing ops refuse, appends and OPTIMIZE pass") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 200), t)
+    TxLog.commitAppend(events.filter(col("event_id").between(200, 399)), t)
+    TxLog.setTableProperties(s, t, Map("delta.appendOnly" -> "true"))
+    intercept[RuntimeException](
+      TxLog.deleteWhere(s, t, col("event_id") < 100))
+    intercept[RuntimeException](
+      TxLog.updateWhere(s, t, col("event_id") < 100, Map("value" -> lit(0.0))))
+    intercept[RuntimeException](
+      TxLog.commitOverwrite(events.filter(col("event_id") < 10), t))
+    // appends still land, and OPTIMIZE (dataChange=false) is bytes-only
+    TxLog.commitAppend(events.filter(col("event_id").between(400, 499)), t)
+    TxLog.optimize(s, t)
+    assert(TxLog.snapshot(s, t).count() ==
+      events.filter(col("event_id") < 500).count())
+  }
+
+  test("properties survive mirror metaData re-emission on schema change") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.DeltaLog
+    val t = freshTable()
+    TxLog.commitAppend(Seq((1L, 10.0)).toDF("id", "v"), t)
+    TxLog.setTableProperties(s, t, Map("delta.constraints.vPositive" -> "v > 0"))
+    // schema evolves (new column) → the mirror re-emits metaData; the
+    // configuration must carry forward, not reset to {}
+    TxLog.commitAppend(Seq((2L, 20.0, "x")).toDF("id", "v", "tag"), t)
+    val cfg = DeltaLog.tableConfig(java.nio.file.Paths.get(t))
+    assert(cfg.get("delta.constraints.vPositive").contains("v > 0"),
+      s"config lost on metaData re-emission: $cfg")
+    // and the constraint still enforces after the evolution
+    val e = intercept[RuntimeException](
+      TxLog.commitAppend(Seq((3L, -1.0, "y")).toDF("id", "v", "tag"), t))
+    assert(e.getMessage.contains("vPositive"))
+  }
 }
