@@ -468,6 +468,48 @@ object Streams {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Streaming FROM the transactional table (`format("graft-txlog")`,
+    * [[TxLogStreamProvider]]): offsets are commit versions, so run 1
+    * (AvailableNow) consumes the table's history as its first batch,
+    * and run 2 — SAME checkpoint, started after one more commit —
+    * consumes ONLY the new commit's files (the changes-between read,
+    * O(new data)). The sink appends raw rows, so double-consumption of
+    * the history or a missed delta both flip the oracle hash. This is
+    * the medallion hand-off: silver streams from bronze's COMMITS, not
+    * from raw file arrival.
+    */
+  def runStreamTableSource(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val tbl = graft.Scratch.dir("graft_stream_src_tbl").toString
+    val out = graft.Scratch.dir("graft_stream_src_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_src_ckpt").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 400), tbl)
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(400, 699)), tbl)
+    def drain(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog").option("path", tbl)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .start()
+      q.awaitTermination()
+    }
+    drain() // run 1: history (versions 1-2) in one batch
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") >= 700), tbl)
+    drain() // run 2: resumes at version 2, reads ONLY commit 3's files
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val runStreamTableSourceOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   /** Streaming heavy hitters with BOUNDED state — the SpaceSaving
     * sketch, salt-parallelized: keys hash into `buckets` groups, each
     * group's state is a counter map capped at `capacity` entries, and
@@ -1167,6 +1209,7 @@ object Streams {
     "q_stream_ohlc" -> runStreamOhlc _,
     "q_stream_distinct" -> runStreamDistinct _,
     "q_stream_exactly_once" -> runStreamExactlyOnce _,
+    "q_stream_table_source" -> runStreamTableSource _,
     "q_stream_admission" -> runStreamAdmission _,
     "q_stream_tws" -> runRunningStats _
   )
@@ -1186,6 +1229,7 @@ object Streams {
     "q_stream_ohlc" -> graft.gold.GoldRollup.ohlcBarsOracle,
     "q_stream_distinct" -> runStreamDistinctOracle,
     "q_stream_exactly_once" -> runStreamExactlyOnceOracle,
+    "q_stream_table_source" -> runStreamTableSourceOracle,
     "q_stream_admission" -> graft.ext.Dedup.incrementalDedupOracle(),
     "q_stream_tws" -> runRunningStatsOracle
   )

@@ -546,4 +546,51 @@ class StreamingSpec extends SparkSpec {
       assert(rows("2024-01-01 00:01:00.0") == (1L, 1L))
     } finally q.stop()
   }
+
+  test("graft-txlog source: commits become micro-batches, incrementally") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = java.nio.file.Files.createTempDirectory("graft_src_spec").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 100), tbl)
+    val q = s.readStream.format("graft-txlog").option("path", tbl).load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("txlog_src").start()
+    try {
+      q.processAllAvailable()
+      val n1 = s.table("txlog_src").count()
+      assert(n1 == ev.filter(col("event_id") < 100).count(),
+        s"first batch must be the table history, got $n1")
+      // a NEW commit becomes the next micro-batch — only its rows
+      graft.sources.TxLog.commitAppend(
+        ev.filter(col("event_id").between(100, 199)), tbl)
+      q.processAllAvailable()
+      val n2 = s.table("txlog_src").count()
+      assert(n2 == ev.filter(col("event_id") < 200).count(),
+        s"delta batch must add exactly the new commit's rows, got $n2")
+      // no new commits -> no new batches
+      q.processAllAvailable()
+      assert(s.table("txlog_src").count() == n2)
+    } finally q.stop()
+  }
+
+  test("graft-txlog source: startingVersion skips the backfill") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = java.nio.file.Files.createTempDirectory("graft_src_spec2").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 100), tbl)
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(100, 149)), tbl)
+    val q = s.readStream.format("graft-txlog")
+      .option("path", tbl).option("startingVersion", "1").load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("txlog_src_sv").start()
+    try {
+      q.processAllAvailable()
+      // version 1 is the starting point: only version 2's rows surface
+      assert(s.table("txlog_src_sv").count() ==
+        ev.filter(col("event_id").between(100, 149)).count())
+    } finally q.stop()
+  }
 }
