@@ -477,7 +477,7 @@ object DeltaLog {
 
   /** Newest mirrored schemaString (cache → backward JSON scan) — what
     * [[TxLog.setTableProperties]] re-emits alongside new properties. */
-  private[sources] def currentSchemaString(table: Path): Option[String] = {
+  private[graft] def currentSchemaString(table: Path): Option[String] = {
     val newest = versions(table.toString).maxOption
     mirroredMeta.get(table.toString)
       .orElse(newest.flatMap(v => lastMirroredMeta(table, v)))

@@ -320,6 +320,106 @@ object TxLog {
     v
   }
 
+  /** GENERATED COLUMNS (`delta.generationExpression` field metadata —
+    * the Delta writer feature): a batch that OMITS a generated column
+    * gets it computed from the expression — the generated-date-
+    * partition pattern (`event_date GENERATED ALWAYS AS (date(ts))`,
+    * partitioned on it, pruned by every date query); a batch that
+    * PROVIDES one is validated — any row where the provided value
+    * differs from the computed one refuses the commit (stock Delta's
+    * consistency rule; a silently divergent generated column would
+    * break the pruning contract it exists for). One projection + at
+    * most one validation aggregate over the batch.
+    */
+  private def materializeGenerated(df: DataFrame, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    val schemaJson = DeltaLog.currentSchemaString(Paths.get(dir))
+      .getOrElse(return df)
+    val gen = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq
+      .filter(_.metadata.contains("delta.generationExpression"))
+      .map(f => (f.name, f.metadata.getString("delta.generationExpression"),
+        f.dataType))
+    if (gen.isEmpty) return df
+    val (provided, absent) = gen.partition(g => df.columns.contains(g._1))
+    if (provided.nonEmpty) {
+      val sums = provided.map { case (n, e, dt) =>
+        sum(when(df.col(n) <=> expr(e).cast(dt), 0L).otherwise(1L)).as(n)
+      }
+      val row = df.agg(sums.head, sums.tail: _*).collect().head
+      provided.zipWithIndex.foreach { case ((n, e, _), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (bad > 0)
+          sys.error(s"$dir: generated column '$n' must equal ($e) — " +
+            s"$bad provided row(s) differ; commit refused")
+      }
+    }
+    absent.foldLeft(df) { case (d, (n, e, dt)) =>
+      d.withColumn(n, expr(e).cast(dt))
+    }
+  }
+
+  /** The schemaJson a commit should mirror: when the batch's fields
+    * (names + types, order included) match the mirrored schema, keep
+    * the MIRROR's json — it carries field metadata (generation
+    * expressions, mapping ids) that `df.schema` can't know, and
+    * re-emitting a metadata-stripped twin would drop them. A genuine
+    * field change still re-emits the batch's schema (evolution).
+    */
+  private def effectiveSchemaJson(df: DataFrame, dir: String): String =
+    DeltaLog.currentSchemaString(Paths.get(dir)).filter { prev =>
+      val p = org.apache.spark.sql.types.DataType.fromJson(prev)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      p.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    }.getOrElse(df.schema.json)
+
+  /** Install a generated column on a TxLog table: one empty commit
+    * whose mirrored schemaString appends the field with its
+    * `delta.generationExpression` metadata. Subsequent appends compute
+    * (or validate) it — typically followed by `partitionBy` on the
+    * generated column for layout pruning.
+    */
+  def addGeneratedColumn(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, dataType: org.apache.spark.sql.types.DataType,
+      genExpr: String): Long = {
+    import org.apache.spark.sql.types._
+    val table = Paths.get(dir)
+    val prev = DeltaLog.currentSchemaString(table).getOrElse(
+      sys.error(s"$dir: no mirrored metaData — commit data first"))
+    val schema = DataType.fromJson(prev).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name), s"$dir: column '$name' already exists")
+    val evolved = StructType(schema.fields :+ StructField(name, dataType,
+      nullable = true, new MetadataBuilder()
+        .putString("delta.generationExpression", genExpr).build()))
+    val v = commitFiles(dir, Seq.empty, carryPrevious = true, evolved.json)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    v
+  }
+
+  /** Mark an EXISTING column as generated (the bootstrap for
+    * generated-partition tables, whose first commit must already be
+    * partitioned — partitioning is fixed at the first commit — and so
+    * provides the column's values explicitly). Later appends omit it.
+    */
+  def setGenerationExpression(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, genExpr: String): Long = {
+    import org.apache.spark.sql.types._
+    val table = Paths.get(dir)
+    val prev = DeltaLog.currentSchemaString(table).getOrElse(
+      sys.error(s"$dir: no mirrored metaData — commit data first"))
+    val schema = DataType.fromJson(prev).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name), s"$dir: no column '$name'")
+    val evolved = StructType(schema.fields.map { f =>
+      if (f.name != name) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putString("delta.generationExpression", genExpr).build())
+    })
+    val v = commitFiles(dir, Seq.empty, carryPrevious = true, evolved.json)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    v
+  }
+
   /** Append `df` as one atomic commit; returns the new version.
     * `partitionBy` writes the batch hive-style (`col=value` dirs) — the
     * 100 TB ingest layout: snapshot reads prune partitions, and the
@@ -331,9 +431,10 @@ object TxLog {
       partitionBy: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
-    enforceConstraints(df, dir)
-    val v = commitFiles(dir, writeBatch(df, table, partitionBy),
-      carryPrevious = true, df.schema.json)
+    val full = materializeGenerated(df, dir)
+    enforceConstraints(full, dir)
+    val v = commitFiles(dir, writeBatch(full, table, partitionBy),
+      carryPrevious = true, effectiveSchemaJson(full, dir))
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
   }
@@ -361,10 +462,12 @@ object TxLog {
     // race
     if (lastTxnVersion(df.sparkSession, dir, appId).exists(_ >= txnVersion))
       return None
-    enforceConstraints(df, dir)
-    val added = writeBatch(df, table, partitionBy)
+    val full = materializeGenerated(df, dir)
+    enforceConstraints(full, dir)
+    val added = writeBatch(full, table, partitionBy)
     val v = commitFiles(dir, added,
-      carryPrevious = true, df.schema.json, txn = Some((appId, txnVersion)))
+      carryPrevious = true, effectiveSchemaJson(full, dir),
+      txn = Some((appId, txnVersion)))
     if (v < 0) {
       // lost the race to a concurrent identical retry: reclaim the
       // staged batch eagerly (vacuum would sweep it as an orphan later)
@@ -390,9 +493,10 @@ object TxLog {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
     enforceAppendOnly(dir, "OVERWRITE")
-    enforceConstraints(df, dir)
-    val v = commitFiles(dir, writeBatch(df, table, partitionBy),
-      carryPrevious = false, df.schema.json)
+    val full = materializeGenerated(df, dir)
+    enforceConstraints(full, dir)
+    val v = commitFiles(dir, writeBatch(full, table, partitionBy),
+      carryPrevious = false, effectiveSchemaJson(full, dir))
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
   }
@@ -813,6 +917,36 @@ object TxLog {
       table
     })
 
+  /** Generated-date-partition ingest: first commit provides
+    * `event_date` explicitly (partitioning is fixed at commit 1), the
+    * generation expression installs, and every later batch OMITS the
+    * column — computed at write, landed hive-partitioned. A
+    * deliberately WRONG provided value must refuse (asserted here).
+    */
+  private def generatedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"gen:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_gen").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") < 300)
+        .withColumn("event_date", col("ts").cast("date")),
+        table, partitionBy = Seq("event_date"))
+      setGenerationExpression(spark, table, "event_date", "CAST(ts AS DATE)")
+      // later batches omit the column entirely — it generates
+      commitAppend(ev.filter(col("event_id").between(300, 649)),
+        table, partitionBy = Seq("event_date"))
+      // a batch that LIES about the generated value refuses
+      val lying = scala.util.Try(commitAppend(
+        ev.filter(col("event_id") >= 650)
+          .withColumn("event_date", lit("1970-01-01").cast("date")),
+        table, partitionBy = Seq("event_date")))
+      require(lying.isFailure &&
+        lying.failed.get.getMessage.contains("generated column"),
+        s"divergent generated values must refuse: $lying")
+      commitAppend(ev.filter(col("event_id") >= 650),
+        table, partitionBy = Seq("event_date"))
+      table
+    })
+
   /** Append v1, OVERWRITE to v2, orphan write, vacuum to latest. */
   private def vacuumedTable(spark: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"vac:$dir", {
@@ -1110,7 +1244,25 @@ object TxLog {
       |FROM events WHERE event_id < 800
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked generated-partition read: a date-range filter over
+    * the generated column — computed at write for every batch that
+    * omitted it — must aggregate exactly like deriving the date from
+    * `ts` directly; the refused lying batch must have left no rows.
+    */
+  def generatedQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, generatedTable(spark, dir))
+      .filter(col("event_date").between("2024-01-05", "2024-01-10"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val generatedQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' AND '2024-01-10'
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_generated_partition" -> generatedQuery _,
     "q_txlog_constraints" -> constraintsQuery _,
     "q_txlog_snapshot" -> snapshotQuery _,
     "q_txlog_vacuum" -> vacuumQuery _,
@@ -1124,6 +1276,7 @@ object TxLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_generated_partition" -> generatedQueryOracle,
     "q_txlog_constraints" -> constraintsQueryOracle,
     "q_txlog_snapshot" -> snapshotQueryOracle,
     "q_txlog_vacuum" -> vacuumQueryOracle,

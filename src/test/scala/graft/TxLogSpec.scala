@@ -529,4 +529,48 @@ class TxLogSpec extends SparkSpec {
       TxLog.commitAppend(Seq((3L, -1.0, "y")).toDF("id", "v", "tag"), t))
     assert(e.getMessage.contains("vPositive"))
   }
+
+  test("generated columns: computed when omitted, validated when provided, metadata survives") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLog
+    val t = freshTable()
+    TxLog.commitAppend(Seq((1L, 10.0)).toDF("id", "v"), t)
+    TxLog.addGeneratedColumn(s, t, "v2", org.apache.spark.sql.types.DoubleType, "v * 2")
+    // omitted -> computed
+    TxLog.commitAppend(Seq((2L, 20.0)).toDF("id", "v"), t)
+    // provided and CORRECT -> accepted
+    TxLog.commitAppend(Seq((3L, 30.0, 60.0)).toDF("id", "v", "v2"), t)
+    // provided and WRONG -> refused
+    val e = intercept[RuntimeException](
+      TxLog.commitAppend(Seq((4L, 40.0, 0.0)).toDF("id", "v", "v2"), t))
+    assert(e.getMessage.contains("generated column"), e.getMessage)
+    val snap = TxLog.snapshot(s, t).orderBy("id").collect()
+    // the pre-install row null-fills; computed rows carry v*2
+    assert(snap.map(r => (r.getLong(0), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq ==
+      Seq((1L, -1.0), (2L, 40.0), (3L, 60.0)))
+    // the generation metadata survived the later appends
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(DeltaLog.currentSchemaString(java.nio.file.Paths.get(t)).get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema("v2").metadata.getString("delta.generationExpression") == "v * 2")
+  }
+
+  test("generated date partitions prune in the scan plan") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 200)
+      .withColumn("event_date", col("ts").cast("date")),
+      t, partitionBy = Seq("event_date"))
+    TxLog.setGenerationExpression(s, t, "event_date", "CAST(ts AS DATE)")
+    TxLog.commitAppend(events.filter(col("event_id") >= 200),
+      t, partitionBy = Seq("event_date"))
+    val plan = TxLog.snapshot(s, t)
+      .filter(col("event_date") === "2024-01-10")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      plan.take(1500))
+  }
 }
