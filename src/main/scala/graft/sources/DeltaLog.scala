@@ -1204,6 +1204,15 @@ object DeltaLog {
 
   private def quoted(n: String): String = "`" + n.replace("`", "``") + "`"
 
+  /** Resolve an `add.path`: RELATIVE to the table root normally;
+    * ABSOLUTE paths pass through — the protocol allows absolute URIs,
+    * and shallow clones use them to reference the source's files in
+    * place (zero bytes copied). */
+  private def resolveDataPath(table: Path, p: String): Path =
+    if (p.startsWith("/")) Paths.get(p)
+    else if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))
+    else table.resolve(p)
+
   /** Logical→stats/partitionValues key mapping for a table: identity
     * for plain tables, the field's physicalName when mapping is on
     * (both modes key file stats and partition values by physical name).
@@ -1320,7 +1329,7 @@ object DeltaLog {
       val dataFields = schema.filterNot(f => pcs.contains(f.name)).toSeq
       val dataSchema = StructType(dataFields)
       def readGroup(fs: Seq[LiveFile]): DataFrame = {
-        val paths = fs.map(f => table.resolve(f.path).toString)
+        val paths = fs.map(f => resolveDataPath(table, f.path).toString)
         val base = metaCols(
           if (mode == "id") {
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -1366,7 +1375,7 @@ object DeltaLog {
       // (defensive: every real log has one) falls back to inference.
       val rd = meta.map(_ => spark.read.schema(tableSchemaOf(table.toString, meta)))
         .getOrElse(spark.read)
-      metaCols(rd.parquet(files.map(f => table.resolve(f.path).toString): _*))
+      metaCols(rd.parquet(files.map(f => resolveDataPath(table, f.path).toString): _*))
     } else {
       val schema = tableSchemaOf(table.toString, meta)
       val ordered = schema.fieldNames.toSeq.map(col)
@@ -1375,7 +1384,7 @@ object DeltaLog {
       if (files.forall(hiveStyle(_, pcs)))
         metaCols(spark.read.schema(schema)
           .option("basePath", table.toString)
-          .parquet(files.map(f => table.resolve(f.path).toString): _*))
+          .parquet(files.map(f => resolveDataPath(table, f.path).toString): _*))
           .select(sel: _*)
       else {
         val pcFields = pcs.map(c => schema.find(_.name == c).getOrElse(
@@ -1384,7 +1393,7 @@ object DeltaLog {
         files.groupBy(f => pcs.map(c => f.partitionValues.getOrElse(c, null)))
           .toSeq.map { case (vals, fs) =>
             val base = metaCols(spark.read.schema(dataSchema)
-              .parquet(fs.map(f => table.resolve(f.path).toString): _*))
+              .parquet(fs.map(f => resolveDataPath(table, f.path).toString): _*))
             pcFields.zip(vals).foldLeft(base) { case (df, (fld, v)) =>
               df.withColumn(fld.name,
                 (if (v == null) lit(null) else lit(v)).cast(fld.dataType))
@@ -1702,7 +1711,7 @@ object DeltaLog {
     val skipped = (flags.size - candidates.size).toLong
     if (candidates.isEmpty) return DvDeleteResult(latest, 0L, skipped, 0L)
     val oldDv: Map[String, Array[Byte]] = candidates.flatMap(f =>
-      f.dv.map(d => table.resolve(f.path).toAbsolutePath.toString ->
+      f.dv.map(d => resolveDataPath(table, f.path).toAbsolutePath.toString ->
         DeletionVectors.readBytes(table, DeletionVectors.parseDescriptor(d))))
       .toMap
     val bcOld = spark.sparkContext.broadcast(oldDv)
@@ -2102,6 +2111,108 @@ object DeltaLog {
       (StructType(schema.fields.filterNot(_.name == name)), pcs)
     }
 
+  /** SHALLOW CLONE: a new table whose log REFERENCES the source's data
+    * files by absolute path — zero data bytes copied, the reason a dev/
+    * test snapshot of a 100 TB table materializes in milliseconds.
+    * Optionally at a historical `version` (time-travel clone). The
+    * clone's commit 0 copies the source's protocol gate, its metaData
+    * (schema / partitionColumns / configuration — mapping metadata and
+    * constraints survive) under a NEW table id, and one add per live
+    * file with the log-carried size/mtime/stats (skip-scans keep
+    * pruning on the clone). Deletion vectors survive too: "u"
+    * descriptors — relative to the SOURCE root — rewrite to absolute
+    * "p" form, so the clone hides exactly the same rows.
+    *
+    * The clone is independent from its first commit on: appends land
+    * under the clone root, deletes tombstone the referenced files
+    * without touching the source, and VACUUM walks only the clone's
+    * own directory — it can never delete source data. (Collection is
+    * O(live files) on the driver — the same handoff any snapshot read
+    * makes, and what stock CLONE does.)
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): Long = {
+    val srcT = Paths.get(src)
+    val dstT = Paths.get(dst)
+    require(!Files.isDirectory(logDir(dstT)), s"$dst: already a Delta table")
+    val v = version.getOrElse((versions(src) ++ lastCheckpointVersion(srcT))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $src")))
+    val pl = replayPlan(srcT, v)
+    protocolGuard(spark, srcT, pl)
+    val (live, _, metaOpt) = liveState(spark, srcT, pl)
+    val m = metaOpt.getOrElse(sys.error(s"$src: no metaData action in log"))
+    val rows = live.select(col("path"), col("partitionValues"), col("size"),
+      col("modificationTime"), col("stats"), col("dv")).collect()
+    Files.createDirectories(logDir(dstT))
+    val now = System.currentTimeMillis()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    // protocol: the source's newest gate verbatim (clone reads need the
+    // same features); base 1/2 when the source predates protocol actions
+    val srcProtocol = pl.tail.reverseIterator.flatMap { pv =>
+      Files.readAllLines(commitPath(srcT, pv)).asScala.iterator
+        .filter(_.contains("\"protocol\"")).map(mapper.readTree)
+        .filter(_.has("protocol")).map(mapper.writeValueAsString(_))
+        .nextOption()
+    }.nextOption()
+    lines += srcProtocol.getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val metaData = metaDataNode(dstT, m.get("schemaString").asText(),
+      java.util.UUID.randomUUID().toString, now,
+      partitionCols = partitionColsOf(Some(m)))
+    val cfg = metaData.get("metaData").asInstanceOf[ObjectNode]
+      .putObject("configuration")
+    Option(m.get("configuration")).foreach(_.fields().asScala
+      .foreach(e => { cfg.put(e.getKey, e.getValue.asText()); () }))
+    lines += mapper.writeValueAsString(metaData)
+    val ci = mapper.createObjectNode()
+    val c = ci.putObject("commitInfo")
+    c.put("timestamp", now)
+    c.put("operation", "CLONE")
+    c.putObject("operationParameters").put("source", src).put("sourceVersion", v)
+    lines += mapper.writeValueAsString(ci)
+    rows.foreach { r =>
+      val abs = resolveDataPath(srcT, decodePath(r.getString(0))).toAbsolutePath
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", encodePath(abs.toString))
+      val pv = a.putObject("partitionValues")
+      Option(r.getMap[String, String](1)).foreach(_.foreach { case (k, vv) =>
+        if (vv == null) pv.putNull(k) else pv.put(k, vv); ()
+      })
+      a.put("size", if (r.isNullAt(2)) Files.size(abs) else r.getLong(2))
+      a.put("modificationTime", if (r.isNullAt(3))
+        Files.getLastModifiedTime(abs).toMillis else r.getLong(3))
+      a.put("dataChange", true)
+      Option(r.getString(4)).foreach(a.put("stats", _))
+      Option(r.getString(5)).foreach { dvJson =>
+        val d = DeletionVectors.parseDescriptor(dvJson)
+        val node = a.putObject("deletionVector")
+        if (d.storageType == "u") {
+          // u-style paths resolve against the TABLE root — which is now
+          // the clone's; pin the bitmap file absolutely instead
+          node.put("storageType", "p")
+          node.put("pathOrInlineDv",
+            DeletionVectors.uPath(srcT, d.pathOrInlineDv).toAbsolutePath.toString)
+        } else {
+          node.put("storageType", d.storageType)
+          node.put("pathOrInlineDv", d.pathOrInlineDv)
+        }
+        d.offset.foreach(node.put("offset", _))
+        node.put("sizeInBytes", d.sizeInBytes)
+        node.put("cardinality", d.cardinality)
+      }
+      lines += mapper.writeValueAsString(n)
+    }
+    val tmp = Files.createTempFile(logDir(dstT), ".delta-", ".tmp")
+    Files.write(tmp, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    try Files.createLink(commitPath(dstT, 0L), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        sys.error(s"$dst: concurrent clone created version 0")
+    } finally Files.deleteIfExists(tmp)
+    0L
+  }
+
   /** Metadata-only SET TBLPROPERTIES on a Delta-only table — one
     * metaData commit with the merged configuration (mirrored tables set
     * properties through [[TxLog.setTableProperties]], which keeps the
@@ -2486,6 +2597,7 @@ object DeltaLog {
     deltaColMapTable(spark, dir)
     deltaRenamedTable(spark, dir)
     deltaEvolvedTable(spark, dir)
+    clonedTable(spark, dir)
     deltaDvTable(spark, dir)
     deltaDvWriteTable(spark, dir)
     ()
@@ -2814,7 +2926,34 @@ object DeltaLog {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Zero-copy clone of the range-disjoint fixture, then a pruned read
+    * THROUGH the clone. */
+  private def clonedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"clone:$dir", {
+      val dst = graft.Scratch.dir("graft_delta_clone").toString
+      // Scratch.dir creates the (empty) directory; shallowClone only
+      // refuses an existing _delta_log
+      shallowClone(spark, deltaRangedTable(spark, dir), dst)
+      dst
+    })
+
+  /** Oracle-checked SHALLOW CLONE: the skip-scan runs against the
+    * CLONE — absolute-path adds, carried stats — and must prune and
+    * aggregate exactly like the source would. Zero data files exist
+    * under the clone root (spec-asserted).
+    */
+  def cloneQuery(spark: SparkSession, dir: String): DataFrame =
+    skipScan(spark, clonedTable(spark, dir), Seq(("event_id", 450L, 700L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val cloneQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id BETWEEN 450 AND 700
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_clone" -> cloneQuery _,
     "q_delta_evolution" -> evolutionQuery _,
     "q_delta_rename" -> renameQuery _,
     "q_delta_colmap" -> colMapQuery _,
@@ -2829,6 +2968,7 @@ object DeltaLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_delta_clone" -> cloneQueryOracle,
     "q_delta_evolution" -> evolutionQueryOracle,
     "q_delta_rename" -> renameQueryOracle,
     "q_delta_colmap" -> colMapQueryOracle,

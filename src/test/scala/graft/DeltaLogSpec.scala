@@ -1484,6 +1484,62 @@ class DeltaLogSpec extends SparkSpec {
       .get("delta.columnMapping.mode").contains("name"))
   }
 
+  test("shallow clone: zero data files, time travel, and independence from the source") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val src = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 300), src)
+    TxLog.commitAppend(events.filter(col("event_id").between(300, 599)), src)
+    val dst = freshTable()
+    Files.delete(Paths.get(dst)); // shallowClone creates the tree
+    DeltaLog.shallowClone(s, src, dst)
+    // the clone is a LOG, not data: no parquet under the clone root
+    val dataFiles = Files.walk(Paths.get(dst)).iterator.asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(dataFiles == 0, s"shallow clone must copy zero data files, found $dataFiles")
+    assert(DeltaLog.snapshot(s, dst).count() ==
+      events.filter(col("event_id") < 600).count())
+    // time-travel clone: the source at version 0 (first commit only)
+    val dstV0 = freshTable()
+    Files.delete(Paths.get(dstV0))
+    DeltaLog.shallowClone(s, src, dstV0, version = Some(0L))
+    assert(DeltaLog.snapshot(s, dstV0).count() ==
+      events.filter(col("event_id") < 300).count())
+    // independence: a DV delete on the clone hides rows there ONLY, and
+    // vacuum on the clone cannot reach the source's files
+    val srcCount = DeltaLog.snapshot(s, src).count()
+    val r = DeltaLog.deleteVectors(s, dst, col("event_id") < 100)
+    assert(r.rowsDeleted > 0)
+    assert(DeltaLog.snapshot(s, dst).count() == srcCount - r.rowsDeleted)
+    assert(DeltaLog.snapshot(s, src).count() == srcCount,
+      "a clone-side delete must not touch the source")
+    DeltaLog.vacuum(s, dst, retentionMs = 0L)
+    assert(DeltaLog.snapshot(s, src).count() == srcCount,
+      "clone vacuum must never delete source data")
+  }
+
+  test("shallow clone carries stats and deletion vectors (u-descriptors pinned absolute)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val src = DeltaLog.deltaRenamedTable(s, "/root/testdata/sf0.001")
+    val dst = freshTable()
+    Files.delete(Paths.get(dst))
+    DeltaLog.shallowClone(s, src, dst)
+    // carried stats: the clone's skip-scan prunes exactly like the source
+    DeltaLog.skipScan(s, dst, Seq(("event_no", 450L, 700L))).collect()
+    assert(DeltaLog.lastSkipScan == (3L, 1L), s"${DeltaLog.lastSkipScan}")
+    // DV-bearing source (all three storageTypes): the clone must hide
+    // exactly the same rows — u-descriptors rewrite to absolute "p"
+    val dvSrc = DeltaLog.deltaDvTable(s, "/root/testdata/sf0.001")
+    val dvDst = freshTable()
+    Files.delete(Paths.get(dvDst))
+    DeltaLog.shallowClone(s, dvSrc, dvDst)
+    val srcRows = DeltaLog.snapshot(s, dvSrc)
+    val dstRows = DeltaLog.snapshot(s, dvDst)
+    assert(srcRows.count() == dstRows.count())
+    assert(dstRows.exceptAll(srcRows).isEmpty && srcRows.exceptAll(dstRows).isEmpty)
+  }
+
   test("auto-checkpoint fires at the Delta default cadence (every 10 versions)") {
     val s = spark
     import org.apache.spark.sql.functions._
