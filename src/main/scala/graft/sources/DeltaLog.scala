@@ -475,6 +475,39 @@ object DeltaLog {
     finally Files.deleteIfExists(tmp)
   }
 
+  /** Spec hook: forget the in-process metaData cache, modeling a fresh
+    * process that must re-derive table state from disk. */
+  private[graft] def resetMetaCache(): Unit = mirroredMeta.clear()
+
+  /** Warm the per-table metaData cache from the CHECKPOINT when the
+    * JSON prefix is compacted away and no commit in the tail carries a
+    * metaData action — without this, a fresh process on a compacted
+    * table would see an empty configuration and silently skip
+    * constraint/appendOnly enforcement and generated-column
+    * computation, and [[TxLog]]'s effectiveSchemaJson would strip the
+    * field metadata from the next mirrored schema. Called by every
+    * TxLog write entry point (they have the session); a no-op when the
+    * cache or JSON scan already answers.
+    */
+  private[graft] def warmMetaCache(spark: SparkSession, table: Path): Unit = {
+    if (mirroredMeta.contains(table.toString)) return
+    val newest = versions(table.toString).maxOption
+    if (newest.flatMap(v => lastMirroredMeta(table, v)).isDefined) return
+    val cpV = lastCheckpointVersion(table).getOrElse(return)
+    val pl = ReplayPlan(cpV, Seq.empty)
+    val cps = pl.cpPaths(table)
+    if (cps.isEmpty) return
+    val df = spark.read.parquet(cps.map(_.toString): _*)
+    if (!df.columns.contains("metaData")) return
+    df.filter(col("metaData").isNotNull)
+      .select(to_json(col("metaData")).as("m"))
+      .limit(1).collect().headOption.foreach { r =>
+        mirroredMeta.put(table.toString,
+          mapper.readTree(r.getString(0)).asInstanceOf[ObjectNode])
+        ()
+      }
+  }
+
   /** Newest mirrored schemaString (cache → backward JSON scan) — what
     * [[TxLog.setTableProperties]] re-emits alongside new properties. */
   private[graft] def currentSchemaString(table: Path): Option[String] = {
@@ -599,36 +632,54 @@ object DeltaLog {
     * protocol action at all passes — refusing to read a spec-violating
     * but plain table helps no one.
     */
-  private def protocolGuard(spark: SparkSession, table: Path,
-      pl: ReplayPlan): Unit = {
+  /** The newest `protocol` action a replay at `pl` covers: JSON tail
+    * newest-first, falling back to the checkpoint's protocol row once
+    * the prefix is compacted away (minReaderVersion + readerFeatures —
+    * the fields replay decisions hang on). Shared by the guard and
+    * [[shallowClone]], which must copy the source's gate, not
+    * fabricate a weaker one.
+    */
+  private def newestProtocolNode(spark: SparkSession, table: Path,
+      pl: ReplayPlan): Option[com.fasterxml.jackson.databind.JsonNode] = {
     def fromJson(v: Long): Option[com.fasterxml.jackson.databind.JsonNode] =
       Files.readAllLines(commitPath(table, v)).asScala.iterator
         .filter(_.contains("\"protocol\"")).map(mapper.readTree)
         .flatMap(n => Option(n.get("protocol"))).nextOption()
-    val p = pl.tail.reverseIterator.flatMap(fromJson(_)).nextOption().orElse {
+    pl.tail.reverseIterator.flatMap(fromJson(_)).nextOption().orElse {
       val cps = pl.cpPaths(table)
       if (cps.isEmpty) None
       else {
         val df = spark.read.parquet(cps.map(_.toString): _*)
         if (!df.columns.contains("protocol")) None
         else {
-          val hasRF = df.schema("protocol").dataType.asInstanceOf[StructType]
-            .fieldNames.contains("readerFeatures")
+          val pf = df.schema("protocol").dataType.asInstanceOf[StructType]
+            .fieldNames.toSet
+          def opt(name: String, t: DataType) =
+            if (pf(name)) col(s"protocol.$name").cast(t)
+            else lit(null).cast(t)
           df.filter(col("protocol").isNotNull)
             .select(col("protocol.minReaderVersion").cast(IntegerType).as("mrv"),
-              (if (hasRF) col("protocol.readerFeatures")
-               else lit(null).cast(ArrayType(StringType))).as("rf"))
+              opt("minWriterVersion", IntegerType).as("mwv"),
+              opt("readerFeatures", ArrayType(StringType)).as("rf"),
+              opt("writerFeatures", ArrayType(StringType)).as("wf"))
             .limit(1).collect().headOption.map { r =>
               val node = mapper.createObjectNode()
               node.put("minReaderVersion", r.getInt(0))
-              Option(r.getSeq[String](1)).foreach { fs =>
+              if (!r.isNullAt(1)) node.put("minWriterVersion", r.getInt(1))
+              Option(r.getSeq[String](2)).foreach { fs =>
                 val a = node.putArray("readerFeatures"); fs.foreach(a.add(_)) }
+              Option(r.getSeq[String](3)).foreach { fs =>
+                val a = node.putArray("writerFeatures"); fs.foreach(a.add(_)) }
               node: com.fasterxml.jackson.databind.JsonNode
             }
         }
       }
     }
-    p.foreach { pr =>
+  }
+
+  private def protocolGuard(spark: SparkSession, table: Path,
+      pl: ReplayPlan): Unit = {
+    newestProtocolNode(spark, table, pl).foreach { pr =>
       val mrv = Option(pr.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
       val feats = Option(pr.get("readerFeatures"))
         .map(_.asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
@@ -705,7 +756,11 @@ object DeltaLog {
     StructField("createdTime", LongType)))
   private val protocolType = StructType(Seq(
     StructField("minReaderVersion", IntegerType),
-    StructField("minWriterVersion", IntegerType)))
+    StructField("minWriterVersion", IntegerType),
+    // feature gates survive into checkpoints: a compacted DV or
+    // column-mapped table must keep advertising what readers need
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
   // SetTransaction: the streaming-writer idempotence token
   private val txnType = StructType(Seq(
     StructField("appId", StringType),
@@ -780,8 +835,10 @@ object DeltaLog {
     * collect is config-scale: one row.
     */
   private[graft] def liveState(spark: SparkSession, table: Path,
-      pl: ReplayPlan): (DataFrame, DataFrame, Option[ObjectNode]) = {
-    val acts = actionsDF(spark, table, pl)
+      pl: ReplayPlan): (DataFrame, DataFrame, Option[ObjectNode]) =
+    liveStateFrom(actionsDF(spark, table, pl))
+
+  private def liveStateFrom(acts: DataFrame): (DataFrame, DataFrame, Option[ObjectNode]) = {
     val flat = acts.select(
         coalesce(col("add.path"), col("remove.path")).as("path"),
         col("ver"),
@@ -995,16 +1052,32 @@ object DeltaLog {
     val table = Paths.get(dir)
     val v = (versions(dir) ++ lastCheckpointVersion(table))
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
-    val (live, tombstones, metaOpt) = liveState(spark, table, replayPlan(table, v))
+    // ONE log scan serves live-file state, the txn rows, and the
+    // protocol row below (cached: the replay inputs are metadata-scale)
+    val pl = replayPlan(table, v)
+    val acts = actionsDF(spark, table, pl).cache()
+    val (live, tombstones, metaOpt) = liveStateFrom(acts)
     val m = metaOpt.getOrElse(sys.error(s"$dir: no metaData action in log"))
     val cfgMap = Option(m.get("configuration")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
     // partitionColumns survive compaction — readers reattach partition
     // values from the checkpoint's add.partitionValues
     val pcSeq = partitionColsOf(Some(m))
+    // the table's ACTUAL newest gate — a checkpoint that fabricated 1/2
+    // would let post-compaction readers ignore DV descriptors or
+    // column-mapping metadata the table requires
+    val protoRow = newestProtocolNode(spark, table, pl)
+      .map { p =>
+        Row(Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+          Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+          Option(p.get("readerFeatures"))
+            .map(_.asScala.map(_.asText()).toSeq).orNull,
+          Option(p.get("writerFeatures"))
+            .map(_.asScala.map(_.asText()).toSeq).orNull)
+      }.getOrElse(Row(1, 2, null, null))
     val header = spark.createDataFrame(
       java.util.List.of(
-        Row(Row(1, 2), null, null, null, null),
+        Row(protoRow, null, null, null, null),
         Row(null, Row(
           m.get("id").asText(),
           Row("parquet", Map.empty[String, String]),
@@ -1044,7 +1117,7 @@ object DeltaLog {
     // the latest SetTransaction per appId survives compaction — the
     // protocol requirement that keeps exactly-once writers safe after
     // the JSON prefix ages out
-    val txnRows = actionsDF(spark, table, replayPlan(table, v))
+    val txnRows = acts
       .filter(col("txn").isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("txn.appId"))
@@ -1104,6 +1177,7 @@ object DeltaLog {
     // pointer flips atomically too (and never regresses): a reader must
     // never see a truncated or older-than-known _last_checkpoint
     writeLastCheckpoint(table, v, nActions, if (n > 1) Some(n) else None)
+    acts.unpersist()
     v
   }
 
@@ -1332,6 +1406,11 @@ object DeltaLog {
         val paths = fs.map(f => resolveDataPath(table, f.path).toString)
         val base = metaCols(
           if (mode == "id") {
+            // session-level switch (no per-read option exists): benign
+            // for schemas without parquet.field.id metadata — the flag
+            // only changes resolution when ids are present on BOTH the
+            // read schema and the files, which is exactly the id-mode
+            // contract. Left enabled once set.
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
             spark.read.schema(withFieldIds(dataSchema, table)).parquet(paths: _*)
           } else spark.read
@@ -2146,16 +2225,27 @@ object DeltaLog {
     Files.createDirectories(logDir(dstT))
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    // protocol: the source's newest gate verbatim (clone reads need the
-    // same features); base 1/2 when the source predates protocol actions
-    val srcProtocol = pl.tail.reverseIterator.flatMap { pv =>
-      Files.readAllLines(commitPath(srcT, pv)).asScala.iterator
-        .filter(_.contains("\"protocol\"")).map(mapper.readTree)
-        .filter(_.has("protocol")).map(mapper.writeValueAsString(_))
-        .nextOption()
-    }.nextOption()
-    lines += srcProtocol.getOrElse(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    // protocol: the source's newest gate verbatim — tail OR checkpoint
+    // (a compacted DV-bearing source must not clone with a fabricated
+    // 1/2 gate that would let readers ignore the descriptors); base 1/2
+    // only when the source genuinely predates protocol actions
+    lines += newestProtocolNode(spark, srcT, pl).map { p =>
+      val env = mapper.createObjectNode()
+      val node = env.putObject("protocol")
+      node.put("minReaderVersion",
+        Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1))
+      node.put("minWriterVersion",
+        Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2))
+      Option(p.get("readerFeatures")).foreach { fs =>
+        val a = node.putArray("readerFeatures")
+        fs.asScala.foreach(f => { a.add(f.asText()); () })
+      }
+      Option(p.get("writerFeatures")).foreach { fs =>
+        val a = node.putArray("writerFeatures")
+        fs.asScala.foreach(f => { a.add(f.asText()); () })
+      }
+      mapper.writeValueAsString(env)
+    }.getOrElse("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
     val metaData = metaDataNode(dstT, m.get("schemaString").asText(),
       java.util.UUID.randomUUID().toString, now,
       partitionCols = partitionColsOf(Some(m)))
@@ -2280,7 +2370,13 @@ object DeltaLog {
       .foreach(e => { cfg.put(e.getKey, e.getValue.asText()); () }))
     props.foreach { case (k, v) => cfg.put(k, v); () }
     if (nowMapped) {
-      cfg.put("delta.columnMapping.mode", "name")
+      // an id-mode table STAYS id-mode (its files are resolved by field
+      // ids, not physicalName — flipping the mode would misread them);
+      // only an unmapped table upgrading here gets "name"
+      val prevMode = Option(m.get("configuration"))
+        .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+        .map(_.asText()).filterNot(_ == "none")
+      cfg.put("delta.columnMapping.mode", prevMode.getOrElse("name"))
       cfg.put("delta.columnMapping.maxColumnId", evolved.fields
         .map(f => if (f.metadata.contains(MapIdKey)) f.metadata.getLong(MapIdKey) else 0L)
         .max.toString)

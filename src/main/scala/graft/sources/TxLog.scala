@@ -267,34 +267,6 @@ object TxLog {
     // to lose them.
   }
 
-  /** Writer-protocol guards, read from the mirrored table properties:
-    * `delta.constraints.<name>` CHECK expressions refuse an append
-    * carrying ANY violating row — false OR null violates, Delta's
-    * invariant rule (SQL's null-passes CHECK would let a null sneak
-    * past a bound) — and ALL constraints check in ONE aggregation pass
-    * over the batch, before any file is staged. Enforcement is at the
-    * WRITER, like Delta's: a reader never pays for it, and a foreign
-    * writer that ignores the properties is out of spec, not blocked.
-    */
-  private def enforceConstraints(df: DataFrame, dir: String): Unit = {
-    val cs = DeltaLog.tableConfig(Paths.get(dir)).toSeq.collect {
-      case (k, v) if k.startsWith("delta.constraints.") =>
-        (k.stripPrefix("delta.constraints."), v)
-    }.sortBy(_._1)
-    if (cs.isEmpty) return
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
-    val sums = cs.map { case (n, e) =>
-      sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)).as(n)
-    }
-    val row = df.agg(sums.head, sums.tail: _*).collect().head
-    cs.zipWithIndex.foreach { case ((n, e), i) =>
-      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
-      if (bad > 0)
-        sys.error(s"$dir: CHECK constraint '$n' ($e) is violated by " +
-          s"$bad row(s) — commit refused")
-    }
-  }
-
   /** `delta.appendOnly=true` refuses anything that removes or rewrites
     * committed rows. */
   private def enforceAppendOnly(dir: String, op: String): Unit =
@@ -312,10 +284,18 @@ object TxLog {
       props: Map[String, String]): Long = {
     val table = Paths.get(dir)
     require(Files.isDirectory(logDir(table)), s"$dir: not a TxLog table")
+    DeltaLog.warmMetaCache(spark, table)
     val schemaJson = DeltaLog.currentSchemaString(table).getOrElse(
       sys.error(s"$dir: no mirrored metaData — commit data before setting properties"))
     val v = commitFiles(dir, Seq.empty, carryPrevious = true, schemaJson,
       props = props)
+    // installing GOVERNANCE must be durable in the mirror enforcement
+    // reads from — a swallowed mirror IO failure here would silently
+    // disable the very constraints being installed. (The #props
+    // manifest line lets the next commit's backfill repair it too.)
+    if (!DeltaLog.isMirrored(table, v))
+      sys.error(s"$dir: property commit $v landed but its Delta mirror " +
+        "write failed — retry setTableProperties")
     DeltaLog.maybeCheckpoint(spark, dir, v)
     v
   }
@@ -331,7 +311,34 @@ object TxLog {
     * break the pruning contract it exists for). One projection + at
     * most one validation aggregate over the batch.
     */
-  private def materializeGenerated(df: DataFrame, dir: String): DataFrame = {
+  private def generatedColumnNames(dir: String): Seq[String] =
+    DeltaLog.currentSchemaString(Paths.get(dir)).toSeq.flatMap { js =>
+      org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq
+        .filter(_.metadata.contains("delta.generationExpression")).map(_.name)
+    }
+
+  /** Complete + validate a batch in ONE pass over it:
+    *
+    *  - GENERATED COLUMNS (`delta.generationExpression` field metadata,
+    *    the Delta writer feature): an OMITTED generated column is
+    *    computed from its expression — the generated-date-partition
+    *    pattern; a PROVIDED one is validated (any row whose value
+    *    differs from the computed one refuses the commit — stock
+    *    Delta's consistency rule, since a silently divergent generated
+    *    column breaks the pruning contract it exists for).
+    *  - CHECK CONSTRAINTS (`delta.constraints.<name>` properties):
+    *    any violating row refuses — false OR null violates, Delta's
+    *    invariant rule (SQL's null-passes CHECK would let a null sneak
+    *    past a bound). Constraints see the COMPLETED batch, so they may
+    *    reference generated columns.
+    *
+    * All checks share a single aggregation over the batch (map-side
+    * combined), before any file stages; the parquet write is then the
+    * only other pass — at 100 TB the incoming batch is scanned twice
+    * total, the table never.
+    */
+  private def validateAndComplete(df: DataFrame, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit, sum, when}
     val schemaJson = DeltaLog.currentSchemaString(Paths.get(dir))
       .getOrElse(return df)
@@ -340,23 +347,35 @@ object TxLog {
       .filter(_.metadata.contains("delta.generationExpression"))
       .map(f => (f.name, f.metadata.getString("delta.generationExpression"),
         f.dataType))
-    if (gen.isEmpty) return df
+    val cs = DeltaLog.tableConfig(Paths.get(dir)).toSeq.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (k.stripPrefix("delta.constraints."), v)
+    }.sortBy(_._1)
     val (provided, absent) = gen.partition(g => df.columns.contains(g._1))
-    if (provided.nonEmpty) {
-      val sums = provided.map { case (n, e, dt) =>
-        sum(when(df.col(n) <=> expr(e).cast(dt), 0L).otherwise(1L)).as(n)
-      }
-      val row = df.agg(sums.head, sums.tail: _*).collect().head
-      provided.zipWithIndex.foreach { case ((n, e, _), i) =>
-        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
-        if (bad > 0)
-          sys.error(s"$dir: generated column '$n' must equal ($e) — " +
-            s"$bad provided row(s) differ; commit refused")
-      }
-    }
-    absent.foldLeft(df) { case (d, (n, e, dt)) =>
+    val completed = absent.foldLeft(df) { case (d, (n, e, dt)) =>
       d.withColumn(n, expr(e).cast(dt))
     }
+    val genChecks = provided.map { case (n, e, dt) =>
+      (s"generated column '$n' must equal ($e)",
+        sum(when(completed.col(n) <=> expr(e).cast(dt), 0L).otherwise(1L)))
+    }
+    val csChecks = cs.map { case (n, e) =>
+      (s"CHECK constraint '$n' ($e) is violated",
+        sum(when(coalesce(expr(e), lit(false)), 0L).otherwise(1L)))
+    }
+    val checks = genChecks ++ csChecks
+    if (checks.nonEmpty) {
+      val row = completed
+        .agg(checks.head._2.as("c0"),
+          checks.tail.zipWithIndex.map { case ((_, c), i) => c.as(s"c${i + 1}") }: _*)
+        .collect().head
+      checks.zipWithIndex.foreach { case ((msg, _), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (bad > 0)
+          sys.error(s"$dir: $msg by $bad row(s) — commit refused")
+      }
+    }
+    completed
   }
 
   /** The schemaJson a commit should mirror: when the batch's fields
@@ -385,6 +404,7 @@ object TxLog {
       genExpr: String): Long = {
     import org.apache.spark.sql.types._
     val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
     val prev = DeltaLog.currentSchemaString(table).getOrElse(
       sys.error(s"$dir: no mirrored metaData — commit data first"))
     val schema = DataType.fromJson(prev).asInstanceOf[StructType]
@@ -406,6 +426,7 @@ object TxLog {
       dir: String, name: String, genExpr: String): Long = {
     import org.apache.spark.sql.types._
     val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
     val prev = DeltaLog.currentSchemaString(table).getOrElse(
       sys.error(s"$dir: no mirrored metaData — commit data first"))
     val schema = DataType.fromJson(prev).asInstanceOf[StructType]
@@ -431,8 +452,8 @@ object TxLog {
       partitionBy: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
-    val full = materializeGenerated(df, dir)
-    enforceConstraints(full, dir)
+    DeltaLog.warmMetaCache(df.sparkSession, table)
+    val full = validateAndComplete(df, dir)
     val v = commitFiles(dir, writeBatch(full, table, partitionBy),
       carryPrevious = true, effectiveSchemaJson(full, dir))
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
@@ -460,10 +481,10 @@ object TxLog {
     // cheap pre-check (manifest scan + mirror fallback for aged-out
     // prefixes) BEFORE staging any data; the claim loop re-checks under
     // race
+    DeltaLog.warmMetaCache(df.sparkSession, table)
     if (lastTxnVersion(df.sparkSession, dir, appId).exists(_ >= txnVersion))
       return None
-    val full = materializeGenerated(df, dir)
-    enforceConstraints(full, dir)
+    val full = validateAndComplete(df, dir)
     val added = writeBatch(full, table, partitionBy)
     val v = commitFiles(dir, added,
       carryPrevious = true, effectiveSchemaJson(full, dir),
@@ -492,9 +513,9 @@ object TxLog {
       partitionBy: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
+    DeltaLog.warmMetaCache(df.sparkSession, table)
     enforceAppendOnly(dir, "OVERWRITE")
-    val full = materializeGenerated(df, dir)
-    enforceConstraints(full, dir)
+    val full = validateAndComplete(df, dir)
     val v = commitFiles(dir, writeBatch(full, table, partitionBy),
       carryPrevious = false, effectiveSchemaJson(full, dir))
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
@@ -578,10 +599,18 @@ object TxLog {
     if (candidates.isEmpty)
       return RewriteResult(base, 0L, prev.size.toLong)
     val partCols = pathPartCols(candidates.head)
-    val replacement = replace(readRels(spark, table, candidates))
+    DeltaLog.warmMetaCache(spark, table)
+    val replaced = replace(readRels(spark, table, candidates))
+    // rewritten rows are WRITES: generated columns RECOMPUTE from their
+    // expressions (an update touching the base column must move the
+    // derived one with it — and can never smuggle a divergent value),
+    // and CHECK constraints apply exactly as for an append; the
+    // mirrored schema keeps its field metadata via effectiveSchemaJson
+    val replacement = validateAndComplete(
+      generatedColumnNames(dir).foldLeft(replaced)(_.drop(_)), dir)
     val added = writeBatch(replacement, table, partCols)
     val v = commitRewrite(dir, base, candidates.toSet, added,
-      replacement.schema.json)
+      effectiveSchemaJson(replacement, dir))
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, candidates.size.toLong, skipped.size.toLong)
   }
@@ -726,7 +755,8 @@ object TxLog {
       if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
       else df.repartition(nOut)
     val added = writeBatch(packed, table, partCols)
-    val v = commitRewrite(dir, base, small.toSet, added, packed.schema.json,
+    val v = commitRewrite(dir, base, small.toSet, added,
+      effectiveSchemaJson(packed, dir),
       dataChange = false, operation = "OPTIMIZE")
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, small.size.toLong, big.size.toLong)
@@ -1098,6 +1128,22 @@ object TxLog {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events WHERE event_id % 3 = 1
       |GROUP BY 1""".stripMargin
+
+  /** One commit's (added, removed) relative-path sets — the streaming
+    * source's commit classifier (append / bytes-only rewrite / data
+    * change). Metadata-scale: two manifest reads. */
+  private[graft] def commitDelta(dir: String, v: Long): (Seq[String], Seq[String]) = {
+    val table = Paths.get(dir)
+    val prev = if (v <= 1) Seq.empty[String] else readManifest(table, v - 1)
+    val cur = readManifest(table, v)
+    (cur.filterNot(prev.toSet), prev.filterNot(cur.toSet))
+  }
+
+  /** Read specific committed files of `dir` with partition columns
+    * reattached — the streaming source's per-batch read. */
+  private[graft] def readFilesOf(spark: SparkSession, dir: String,
+      rels: Seq[String]): DataFrame =
+    readRels(spark, Paths.get(dir), rels)
 
   /** Change data feed between two committed versions: with append-only
     * commits the change set is EXACTLY the files later manifests added,

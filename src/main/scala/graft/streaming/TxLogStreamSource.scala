@@ -17,16 +17,26 @@ import graft.sources.TxLog
   *
   * Wire-up: `spark.readStream.format("graft-txlog").option("path", dir)`
   * (registered via META-INF DataSourceRegister; the fully-qualified
-  * provider class works too). Options: `startingVersion` to begin past
-  * the backfill (default 0 = full history, stock Delta's default).
+  * provider class works too). Options:
+  *  - `startingVersion` — INCLUSIVE first version to stream (stock
+  *    Delta's semantics); default 0 = the full history.
+  *  - `skipChangeCommits` — non-append commits (DELETE/UPDATE/MERGE
+  *    rewrites) are SKIPPED instead of failing the stream.
+  *
+  * Non-append safety (stock Delta's rule): a copy-on-write rewrite
+  * re-adds surviving rows the stream already delivered, so treating it
+  * as an append would double-count downstream. Each version therefore
+  * CLASSIFIES: pure appends flow; bytes-only rewrites (OPTIMIZE/REORG —
+  * every mirrored action carries `dataChange=false`) skip silently
+  * (their rows were delivered by earlier commits); data-changing
+  * rewrites FAIL the stream unless `skipChangeCommits` opts in.
   *
   * Mechanics: [[TxLogSource.getOffset]] lists the current committed
   * version (one directory listing — the manifest IS the changelog);
-  * [[TxLogSource.getBatch]] delegates to [[TxLog.changesBetween]]
-  * (added-files read) so the batch carries the snapshot schema,
-  * including reattached partition columns. Exactly-once end to end:
-  * compose the sink side with [[TxLog.commitAppendOnce]] keyed by the
-  * batch id, and a crash replays into a skip.
+  * [[TxLogSource.getBatch]] reads the classified versions' added files
+  * with partition columns reattached. Exactly-once end to end: compose
+  * the sink side with [[TxLog.commitAppendOnce]] keyed by the batch id,
+  * and a crash replays into a skip.
   *
   * The one internal seam: a DSv1 `Source` must hand back a STREAMING
   * DataFrame, and the only constructor (`internalCreateDataFrame(rdd,
@@ -53,13 +63,18 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new TxLogSource(sqlContext, dirOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      parameters.get("skipChangeCommits").exists(_.toBoolean))
 }
 
-class TxLogSource(sqlContext: SQLContext, dir: String, startingVersion: Long)
-    extends Source {
+class TxLogSource(sqlContext: SQLContext, dir: String,
+    startingVersion: Long, skipChangeCommits: Boolean) extends Source {
 
   private val spark = sqlContext.sparkSession
+
+  /** `startingVersion` is INCLUSIVE (stock Delta): the stream's base
+    * offset is the version before it. */
+  private val baseV = math.max(0L, startingVersion - 1L)
 
   override val schema: StructType = TxLog.snapshot(spark, dir).schema
 
@@ -69,17 +84,57 @@ class TxLogSource(sqlContext: SQLContext, dir: String, startingVersion: Long)
     case other => sys.error(s"graft-txlog: unexpected offset $other")
   }
 
-  /** Newest committed version with data past the start — one directory
+  /** Newest committed version with data past the base — one directory
     * listing; None = no new commits, the engine skips the trigger. */
   override def getOffset: Option[Offset] =
-    TxLog.currentVersion(dir).filter(_ > startingVersion).map(LongOffset(_))
+    TxLog.currentVersion(dir).filter(_ > baseV).map(LongOffset(_))
+
+  /** Added files of one version, classified per the non-append rule. */
+  private def addedOf(v: Long): Seq[String] = {
+    val (added, removed) = TxLog.commitDelta(dir, v)
+    if (removed.isEmpty) added
+    else if (bytesOnly(v)) Seq.empty // OPTIMIZE/REORG: rows already delivered
+    else if (skipChangeCommits) Seq.empty
+    else sys.error(s"graft-txlog: version $v of $dir removed files — a " +
+      "DELETE/UPDATE/MERGE rewrite cannot stream as an append (its " +
+      "surviving rows were already delivered). Set " +
+      ".option(\"skipChangeCommits\",\"true\") to skip such commits.")
+  }
+
+  /** True when the version's MIRROR commit marks every action
+    * dataChange=false (bytes moved, no row changed). A missing mirror
+    * stays conservative: classified as a data change. */
+  private def bytesOnly(v: Long): Boolean = {
+    val p = java.nio.file.Paths.get(dir, "_delta_log", f"${v - 1}%020d.json")
+    if (!java.nio.file.Files.exists(p)) return false
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val acts = java.nio.file.Files.readAllLines(p)
+      .asInstanceOf[java.util.List[String]]
+    var sawAction = false
+    val it = acts.iterator()
+    while (it.hasNext) {
+      val n = mapper.readTree(it.next())
+      Seq("add", "remove").foreach { k =>
+        Option(n.get(k)).foreach { a =>
+          sawAction = true
+          if (Option(a.get("dataChange")).forall(_.asBoolean(true)))
+            return false
+        }
+      }
+    }
+    sawAction
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromV = start.map(ver).getOrElse(startingVersion)
+    val fromV = start.map(ver).getOrElse(baseV)
     val toV = ver(end)
     val batch =
       if (fromV <= 0) TxLog.snapshotAt(spark, dir, toV) // first batch = history
-      else TxLog.changesBetween(spark, dir, fromV, toV)
+      else {
+        val rels = ((fromV + 1) to toV).flatMap(addedOf)
+        if (rels.isEmpty) TxLog.snapshotAt(spark, dir, toV).limit(0)
+        else TxLog.readFilesOf(spark, dir, rels)
+      }
     asStreaming(batch)
   }
 
@@ -94,5 +149,6 @@ class TxLogSource(sqlContext: SQLContext, dir: String, startingVersion: Long)
 
   override def stop(): Unit = ()
 
-  override def toString: String = s"TxLogSource[$dir, from=$startingVersion]"
+  override def toString: String =
+    s"TxLogSource[$dir, startingVersion=$startingVersion]"
 }

@@ -583,14 +583,55 @@ class StreamingSpec extends SparkSpec {
     graft.sources.TxLog.commitAppend(
       ev.filter(col("event_id").between(100, 149)), tbl)
     val q = s.readStream.format("graft-txlog")
-      .option("path", tbl).option("startingVersion", "1").load()
+      .option("path", tbl).option("startingVersion", "2").load()
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("txlog_src_sv").start()
     try {
       q.processAllAvailable()
-      // version 1 is the starting point: only version 2's rows surface
+      // startingVersion is INCLUSIVE (stock Delta semantics): version
+      // 2's rows surface, version 1's backfill does not
       assert(s.table("txlog_src_sv").count() ==
         ev.filter(col("event_id").between(100, 149)).count())
     } finally q.stop()
+  }
+
+  test("graft-txlog source refuses data-changing rewrites unless opted out") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = java.nio.file.Files.createTempDirectory("graft_src_spec3").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 100), tbl)
+    val q = s.readStream.format("graft-txlog").option("path", tbl).load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("txlog_src_cc").start()
+    try {
+      q.processAllAvailable()
+      val n1 = s.table("txlog_src_cc").count()
+      // a copy-on-write DELETE re-adds survivors: streaming it as an
+      // append would double-count — the source must FAIL the stream
+      graft.sources.TxLog.deleteWhere(s, tbl, col("event_id") < 10)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("skipChangeCommits") ||
+        Option(e.getCause).exists(_.getMessage.contains("skipChangeCommits")),
+        e.getMessage)
+    } finally q.stop()
+    // with the opt-in, the change commit SKIPS and appends keep flowing;
+    // OPTIMIZE (bytes-only) also skips silently
+    val q2 = s.readStream.format("graft-txlog").option("path", tbl)
+      .option("skipChangeCommits", "true").load()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("txlog_src_cc2").start()
+    try {
+      q2.processAllAvailable()
+      val base = s.table("txlog_src_cc2").count() // fresh stream: post-delete snapshot
+      graft.sources.TxLog.optimize(s, tbl)
+      graft.sources.TxLog.commitAppend(ev.filter(col("event_id").between(100, 119)), tbl)
+      q2.processAllAvailable()
+      assert(s.table("txlog_src_cc2").count() == base +
+        ev.filter(col("event_id").between(100, 119)).count(),
+        "OPTIMIZE must skip silently; the append must flow")
+    } finally q2.stop()
   }
 }

@@ -573,4 +573,54 @@ class TxLogSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
       plan.take(1500))
   }
+
+  test("governance survives log compaction and a fresh process (checkpoint metaData fallback)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLog
+    val t = freshTable()
+    TxLog.commitAppend(Seq((1L, 10.0)).toDF("id", "v"), t)
+    TxLog.setTableProperties(s, t, Map("delta.constraints.vPositive" -> "v > 0"))
+    TxLog.addGeneratedColumn(s, t, "v2", org.apache.spark.sql.types.DoubleType, "v * 2")
+    // push past the checkpoint cadence, then age out the ENTIRE json log
+    (1 to 9).foreach(i => TxLog.commitAppend(Seq((i + 10L, 1.0)).toDF("id", "v"), t))
+    DeltaLog.checkpoint(s, t)
+    val ld = java.nio.file.Paths.get(t, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    Files.list(ld).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach(p => { Files.delete(p); () })
+    // fresh process: no in-memory metaData — enforcement must re-derive
+    // it from the CHECKPOINT, not silently become an ungoverned table
+    DeltaLog.resetMetaCache()
+    val e = intercept[RuntimeException](
+      TxLog.commitAppend(Seq((100L, -5.0)).toDF("id", "v"), t))
+    assert(e.getMessage.contains("vPositive"), e.getMessage)
+    DeltaLog.resetMetaCache()
+    TxLog.commitAppend(Seq((101L, 7.0)).toDF("id", "v"), t)
+    val last = TxLog.snapshot(s, t).orderBy(col("id").desc).limit(1).collect().head
+    assert(last.getDouble(2) == 14.0,
+      s"generated column must still compute after compaction: $last")
+  }
+
+  test("UPDATE cannot smuggle constraint violations; generated columns recompute on rewrite") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), t)
+    TxLog.setTableProperties(s, t, Map("delta.constraints.vPositive" -> "v > 0"))
+    TxLog.addGeneratedColumn(s, t, "v2", org.apache.spark.sql.types.DoubleType, "v * 2")
+    TxLog.commitAppend(Seq((3L, 30.0)).toDF("id", "v"), t)
+    // a rewrite is a WRITE: the installed CHECK applies to updated rows
+    val e = intercept[RuntimeException](
+      TxLog.updateWhere(s, t, col("id") === 1, Map("v" -> lit(-5.0))))
+    assert(e.getMessage.contains("vPositive"), e.getMessage)
+    // updating the BASE column moves the generated one with it
+    TxLog.updateWhere(s, t, col("id") === 3, Map("v" -> lit(50.0)))
+    val r3 = TxLog.snapshot(s, t).filter(col("id") === 3).collect().head
+    assert(r3.getDouble(1) == 50.0 && r3.getDouble(2) == 100.0,
+      s"generated column must recompute on UPDATE: $r3")
+  }
 }
