@@ -138,9 +138,9 @@ object Layout {
     * 1996-12-30); the spec asserts most files DON'T (the locality win),
     * the oracle asserts the stats are exact.
     */
-  private val zbits = 12
+  private[sources] val zbits = 12
 
-  private def zval(x: Column, y: Column): Column =
+  private[sources] def zval(x: Column, y: Column): Column =
     (0 until zbits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i)

@@ -762,6 +762,43 @@ object TxLog {
     RewriteResult(v, small.size.toLong, big.size.toLong)
   }
 
+  /** OPTIMIZE ZORDER: rewrite the table's live files CLUSTERED on the
+    * Morton interleave of two integral dimensions — the multi-dim
+    * data-skipping layout (`OPTIMIZE ... ZORDER BY (x, y)`). Files are
+    * split by `repartitionByRange` over the z-value and sorted within,
+    * so every output file covers a compact z-range ⇒ tight min/max on
+    * BOTH dimensions in its footer stats ⇒ the mirror's add.stats let
+    * [[DeltaLog.skipScan]] prune 2-D box predicates — neither dimension
+    * alone could deliver that. Commits `dataChange=false` like packing
+    * OPTIMIZE: bytes move, no row changes, feeds and streams skip it.
+    * At 100 TB the rewrite is one shuffle of the table — the standard
+    * price of re-clustering, paid once per maintenance cycle.
+    * Unpartitioned tables (a partitioned variant z-orders within each
+    * partition — more plumbing, same semantics).
+    */
+  def optimizeZorder(spark: SparkSession, dir: String,
+      xCol: String, yCol: String, nFiles: Int = 16): RewriteResult = {
+    val table = Paths.get(dir)
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    val prev = readManifest(table, base)
+    require(prev.nonEmpty, s"$dir: nothing to cluster")
+    require(!prev.exists(_.contains("=")),
+      s"$dir: partitioned tables z-order within partitions — not supported here")
+    val df = readRels(spark, table, prev)
+    val zv = Layout.zval(col(xCol).cast("bigint"), col(yCol).cast("bigint"))
+    val clustered = df.withColumn("__zv", zv)
+      .repartitionByRange(nFiles, col("__zv"))
+      .sortWithinPartitions(col("__zv"))
+      .drop("__zv")
+    val added = writeBatch(clustered, table, Seq.empty)
+    val v = commitRewrite(dir, base, prev.toSet, added,
+      effectiveSchemaJson(clustered, dir),
+      dataChange = false, operation = "OPTIMIZE ZORDER")
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    RewriteResult(v, prev.size.toLong, 0L)
+  }
+
   /** VACUUM: expire all but the last `retainVersions` manifests and
     * physically delete every data file no retained manifest references
     * — overwritten-away files AND orphans from dead writers. Returns
@@ -974,6 +1011,18 @@ object TxLog {
         s"divergent generated values must refuse: $lying")
       commitAppend(ev.filter(col("event_id") >= 650),
         table, partitionBy = Seq("event_date"))
+      table
+    })
+
+  /** Events committed in a z-hostile layout (hash-partitioned — every
+    * file spans both full dimension ranges), then OPTIMIZE ZORDER on
+    * (event_id, user_id). */
+  private def zorderedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"zorder:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_zorder").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartition(8, col("event_type")), table)
+      optimizeZorder(spark, table, "event_id", "user_id")
       table
     })
 
@@ -1307,7 +1356,25 @@ object TxLog {
       |WHERE CAST(ts AS DATE) BETWEEN '2024-01-05' AND '2024-01-10'
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked OPTIMIZE ZORDER: a 2-D box predicate over the
+    * re-clustered table — the skip-scan must prune on the mirror's
+    * per-file stats of BOTH dimensions and still aggregate exactly
+    * (file-level prune counts are spec-asserted).
+    */
+  def zorderQuery(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.skipScan(spark, zorderedTable(spark, dir),
+      Seq(("event_id", 100L, 5000L), ("user_id", 0L, 10L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val zorderQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE event_id BETWEEN 100 AND 5000 AND user_id BETWEEN 0 AND 10
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog_zorder" -> zorderQuery _,
     "q_generated_partition" -> generatedQuery _,
     "q_txlog_constraints" -> constraintsQuery _,
     "q_txlog_snapshot" -> snapshotQuery _,
@@ -1322,6 +1389,7 @@ object TxLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_txlog_zorder" -> zorderQueryOracle,
     "q_generated_partition" -> generatedQueryOracle,
     "q_txlog_constraints" -> constraintsQueryOracle,
     "q_txlog_snapshot" -> snapshotQueryOracle,

