@@ -510,6 +510,69 @@ object Streams {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** The MEDALLION LOOP end to end, table to table: bronze is a
+    * committed TxLog table; silver STREAMS FROM IT (`graft-txlog`
+    * source — commits become micro-batches), applies the enrichment
+    * transform, and lands each batch EXACTLY-ONCE via
+    * `commitAppendOnce` keyed by the batch id. The harness then
+    * commits MORE bronze data and resumes on the same checkpoint —
+    * the steady-state ingest cycle — and deliberately re-commits the
+    * last batch token (crash replay). The silver aggregate
+    * hash-matches the batch oracle only if every piece held: offset
+    * tracking, delta-only batches, token dedup, and the transform
+    * itself.
+    */
+  def runStreamPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val bronze = graft.Scratch.dir("graft_pipe_bronze").toString
+    val silver = graft.Scratch.dir("graft_pipe_silver").toString
+    val ckpt = graft.Scratch.dir("graft_pipe_ckpt").toString
+    val appId = "graft-pipe-silver"
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 500), bronze)
+    @volatile var lastBatch = -1L
+    def cycle(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog").option("path", bronze)
+        .load()
+        // the silver transform: typed enrichment, stateless per batch
+        .withColumn("day", col("ts").cast("date"))
+        .withColumn("value_band",
+          when(col("value") >= 50, "hi").otherwise("lo"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.TxLog.commitAppendOnce(batch, silver, appId, batchId)
+          lastBatch = batchId
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    cycle() // run 1: bronze history
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") >= 500), bronze)
+    cycle() // run 2: only the new bronze commit
+    // crash replay of the final token: must skip, not duplicate
+    val replay = graft.sources.TxLog.commitAppendOnce(
+      graft.sources.TxLog.snapshot(spark, bronze)
+        .withColumn("day", col("ts").cast("date"))
+        .withColumn("value_band",
+          when(col("value") >= 50, "hi").otherwise("lo")),
+      silver, appId, lastBatch)
+    require(replay.isEmpty, s"pipeline replay must skip, got $replay")
+    graft.sources.TxLog.snapshot(spark, silver)
+      .groupBy(col("day"), col("value_band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("day"), col("value_band"))
+  }
+
+  val runStreamPipelineOracle: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |       CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS value_band,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Streaming heavy hitters with BOUNDED state — the SpaceSaving
     * sketch, salt-parallelized: keys hash into `buckets` groups, each
     * group's state is a counter map capped at `capacity` entries, and
@@ -1210,6 +1273,7 @@ object Streams {
     "q_stream_distinct" -> runStreamDistinct _,
     "q_stream_exactly_once" -> runStreamExactlyOnce _,
     "q_stream_table_source" -> runStreamTableSource _,
+    "q_stream_pipeline" -> runStreamPipeline _,
     "q_stream_admission" -> runStreamAdmission _,
     "q_stream_tws" -> runRunningStats _
   )
@@ -1230,6 +1294,7 @@ object Streams {
     "q_stream_distinct" -> runStreamDistinctOracle,
     "q_stream_exactly_once" -> runStreamExactlyOnceOracle,
     "q_stream_table_source" -> runStreamTableSourceOracle,
+    "q_stream_pipeline" -> runStreamPipelineOracle,
     "q_stream_admission" -> graft.ext.Dedup.incrementalDedupOracle(),
     "q_stream_tws" -> runRunningStatsOracle
   )
