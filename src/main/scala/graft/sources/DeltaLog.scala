@@ -479,6 +479,33 @@ object DeltaLog {
     * process that must re-derive table state from disk. */
   private[graft] def resetMetaCache(): Unit = mirroredMeta.clear()
 
+  /** Commit classifier for the streaming source: Some(true) when every
+    * add/remove action of TxLog version `txVersion`'s mirror commit
+    * carries dataChange=false (OPTIMIZE/REORG — bytes moved, no row
+    * changed), Some(false) when any action changes data, None when the
+    * mirror commit is absent (not yet landed, or compacted away) —
+    * callers decide how conservative to be. Keeps the TxLog→Delta
+    * version offset and the commit-file naming in ONE module.
+    */
+  private[graft] def isBytesOnlyCommit(table: Path, txVersion: Long): Option[Boolean] = {
+    val p = commitPath(table, txVersion - 1)
+    if (!Files.exists(p)) return None
+    var sawAction = false
+    Files.readAllLines(p).asScala.foreach { line =>
+      if (line.contains("\"add\"") || line.contains("\"remove\"")) {
+        val n = mapper.readTree(line)
+        Seq("add", "remove").foreach { k =>
+          Option(n.get(k)).foreach { a =>
+            sawAction = true
+            if (Option(a.get("dataChange")).forall(_.asBoolean(true)))
+              return Some(false)
+          }
+        }
+      }
+    }
+    Some(sawAction)
+  }
+
   /** Warm the per-table metaData cache from the CHECKPOINT when the
     * JSON prefix is compacted away and no commit in the tail carries a
     * metaData action — without this, a fresh process on a compacted
@@ -1056,6 +1083,7 @@ object DeltaLog {
     // protocol row below (cached: the replay inputs are metadata-scale)
     val pl = replayPlan(table, v)
     val acts = actionsDF(spark, table, pl).cache()
+    try {
     val (live, tombstones, metaOpt) = liveStateFrom(acts)
     val m = metaOpt.getOrElse(sys.error(s"$dir: no metaData action in log"))
     val cfgMap = Option(m.get("configuration")).map(_.fields().asScala
@@ -1177,8 +1205,8 @@ object DeltaLog {
     // pointer flips atomically too (and never regresses): a reader must
     // never see a truncated or older-than-known _last_checkpoint
     writeLastCheckpoint(table, v, nActions, if (n > 1) Some(n) else None)
-    acts.unpersist()
     v
+    } finally { acts.unpersist(); () } // also on failure: no leaked cache
   }
 
   /** Actions per checkpoint part before the write splits multi-part.

@@ -375,8 +375,22 @@ object TxLog {
           sys.error(s"$dir: $msg by $bad row(s) — commit refused")
       }
     }
-    completed
+    alignToMirror(completed, dir)
   }
+
+  /** Reorder `df`'s columns to the mirrored schema's field order when
+    * the name sets match — generated columns re-appended by completion
+    * land at the END, and [[effectiveSchemaJson]]'s order-sensitive
+    * match would otherwise re-emit a metadata-stripped schema after
+    * every rewrite of a mid-schema generated column. */
+  private def alignToMirror(df: DataFrame, dir: String): DataFrame =
+    DeltaLog.currentSchemaString(Paths.get(dir)).map { js =>
+      val names = org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      if (names.toSet == df.columns.toSet && names != df.columns.toSeq)
+        df.select(names.map(col): _*)
+      else df
+    }.getOrElse(df)
 
   /** The schemaJson a commit should mirror: when the batch's fields
     * (names + types, order included) match the mirrored schema, keep
@@ -740,6 +754,7 @@ object TxLog {
       smallBytes: Long = 64L << 20,
       targetBytes: Long = 128L << 20): RewriteResult = {
     val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
     val base = currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir"))
     val prev = readManifest(table, base)
@@ -779,6 +794,7 @@ object TxLog {
   def optimizeZorder(spark: SparkSession, dir: String,
       xCol: String, yCol: String, nFiles: Int = 16): RewriteResult = {
     val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
     val base = currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir"))
     val prev = readManifest(table, base)
@@ -1189,10 +1205,16 @@ object TxLog {
   }
 
   /** Read specific committed files of `dir` with partition columns
-    * reattached — the streaming source's per-batch read. */
+    * reattached, TYPED by the mirrored metaData schema in force at
+    * `asOfVersion` (footer inference over a schema-evolved file mix
+    * could otherwise bind a stream batch to the wrong shape) — the
+    * streaming source's per-batch read. */
   private[graft] def readFilesOf(spark: SparkSession, dir: String,
-      rels: Seq[String]): DataFrame =
-    readRels(spark, Paths.get(dir), rels)
+      rels: Seq[String], asOfVersion: Long): DataFrame = {
+    val table = Paths.get(dir)
+    readRels(spark, table, rels,
+      DeltaLog.mirroredSchemaAt(table, asOfVersion - 1))
+  }
 
   /** Change data feed between two committed versions: with append-only
     * commits the change set is EXACTLY the files later manifests added,

@@ -89,40 +89,31 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   override def getOffset: Option[Offset] =
     TxLog.currentVersion(dir).filter(_ > baseV).map(LongOffset(_))
 
-  /** Added files of one version, classified per the non-append rule. */
+  /** Added files of one version, classified per the non-append rule.
+    * The classifier lives in [[graft.sources.DeltaLog.isBytesOnlyCommit]]
+    * (the commit-file convention stays in one module); a commit whose
+    * mirror has not landed yet gets a short bounded wait — the mirror
+    * is written moments after the manifest link — before classifying
+    * conservatively as a data change (a compacted-away mirror for a
+    * bytes-only commit also lands here: skipChangeCommits recovers).
+    */
   private def addedOf(v: Long): Seq[String] = {
     val (added, removed) = TxLog.commitDelta(dir, v)
-    if (removed.isEmpty) added
-    else if (bytesOnly(v)) Seq.empty // OPTIMIZE/REORG: rows already delivered
+    if (removed.isEmpty) return added
+    val table = java.nio.file.Paths.get(dir)
+    var kind = graft.sources.DeltaLog.isBytesOnlyCommit(table, v)
+    var waited = 0
+    while (kind.isEmpty && waited < 40) { // ≤ 2 s for the mirror to land
+      Thread.sleep(50)
+      waited += 1
+      kind = graft.sources.DeltaLog.isBytesOnlyCommit(table, v)
+    }
+    if (kind.contains(true)) Seq.empty // OPTIMIZE/REORG: rows already delivered
     else if (skipChangeCommits) Seq.empty
     else sys.error(s"graft-txlog: version $v of $dir removed files — a " +
       "DELETE/UPDATE/MERGE rewrite cannot stream as an append (its " +
       "surviving rows were already delivered). Set " +
       ".option(\"skipChangeCommits\",\"true\") to skip such commits.")
-  }
-
-  /** True when the version's MIRROR commit marks every action
-    * dataChange=false (bytes moved, no row changed). A missing mirror
-    * stays conservative: classified as a data change. */
-  private def bytesOnly(v: Long): Boolean = {
-    val p = java.nio.file.Paths.get(dir, "_delta_log", f"${v - 1}%020d.json")
-    if (!java.nio.file.Files.exists(p)) return false
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val acts = java.nio.file.Files.readAllLines(p)
-      .asInstanceOf[java.util.List[String]]
-    var sawAction = false
-    val it = acts.iterator()
-    while (it.hasNext) {
-      val n = mapper.readTree(it.next())
-      Seq("add", "remove").foreach { k =>
-        Option(n.get(k)).foreach { a =>
-          sawAction = true
-          if (Option(a.get("dataChange")).forall(_.asBoolean(true)))
-            return false
-        }
-      }
-    }
-    sawAction
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -133,7 +124,7 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
       else {
         val rels = ((fromV + 1) to toV).flatMap(addedOf)
         if (rels.isEmpty) TxLog.snapshotAt(spark, dir, toV).limit(0)
-        else TxLog.readFilesOf(spark, dir, rels)
+        else TxLog.readFilesOf(spark, dir, rels, asOfVersion = toV)
       }
     asStreaming(batch)
   }
