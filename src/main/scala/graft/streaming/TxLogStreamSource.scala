@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -22,6 +23,15 @@ import graft.sources.TxLog
   *    Delta's semantics); default 0 = the full history.
   *  - `skipChangeCommits` — non-append commits (DELETE/UPDATE/MERGE
   *    rewrites) are SKIPPED instead of failing the stream.
+  *  - `maxVersionsPerTrigger` — ADMISSION CONTROL (the
+  *    maxFilesPerTrigger analog): each micro-batch advances at most N
+  *    commit versions, so a month-long backfill replays as bounded
+  *    batches instead of one giant read. Under Trigger.AvailableNow
+  *    the source implements the native protocol
+  *    (SupportsTriggerAvailableNow): the end offset pins at prepare
+  *    time and the engine drains to it in rate-limited batches —
+  *    late-arriving commits wait for the next run, exact AvailableNow
+  *    semantics with no fallback warning.
   *
   * Non-append safety (stock Delta's rule): a copy-on-write rewrite
   * re-adds surviving rows the stream already delivered, so treating it
@@ -64,11 +74,14 @@ class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): Source =
     new TxLogSource(sqlContext, dirOf(parameters),
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      parameters.get("skipChangeCommits").exists(_.toBoolean))
+      parameters.get("skipChangeCommits").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
 }
 
 class TxLogSource(sqlContext: SQLContext, dir: String,
-    startingVersion: Long, skipChangeCommits: Boolean) extends Source {
+    startingVersion: Long, skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
@@ -85,9 +98,39 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   }
 
   /** Newest committed version with data past the base — one directory
-    * listing; None = no new commits, the engine skips the trigger. */
+    * listing; None = no new commits, the engine skips the trigger.
+    * (Kept for engines that bypass admission control; the
+    * SupportsAdmissionControl path below is what MicroBatchExecution
+    * actually drives.) */
   override def getOffset: Option[Offset] =
     TxLog.currentVersion(dir).filter(_ > baseV).map(LongOffset(_))
+
+  /** AvailableNow pin: versions committed AFTER prepare wait for the
+    * next run — the trigger's exact contract. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TxLog.currentVersion(dir).getOrElse(baseV))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission control: advance at most `maxVersionsPerTrigger`
+    * commits per batch, clamped to the AvailableNow pin when one is
+    * set. Null = no new data (the engine's idle signal). */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val startV = Option(startOffset).map {
+      case l: LongOffset => l.offset
+      case so: SerializedOffset => LongOffset(so).offset
+      case o => LongOffset(SerializedOffset(o.json())).offset
+    }.getOrElse(baseV)
+    val cur = TxLog.currentVersion(dir).getOrElse(return null)
+    val capped = availableNowCap.fold(cur)(math.min(cur, _))
+    val base = math.max(startV, baseV)
+    val target = maxVersionsPerTrigger.fold(capped)(n => math.min(capped, base + n))
+    if (target <= base) null else LongOffset(target)
+  }
 
   /** Added files of one version, classified per the non-append rule.
     * The classifier lives in [[graft.sources.DeltaLog.isBytesOnlyCommit]]

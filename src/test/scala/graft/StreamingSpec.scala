@@ -634,4 +634,31 @@ class StreamingSpec extends SparkSpec {
         "OPTIMIZE must skip silently; the append must flow")
     } finally q2.stop()
   }
+
+  test("graft-txlog source: maxVersionsPerTrigger bounds each batch; AvailableNow drains natively") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = java.nio.file.Files.createTempDirectory("graft_src_spec4").toString
+    (0 until 3).foreach { i =>
+      graft.sources.TxLog.commitAppend(
+        ev.filter(col("event_id").between(i * 100, i * 100 + 99)), tbl)
+    }
+    val q = s.readStream.format("graft-txlog").option("path", tbl)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("txlog_src_rate").start()
+    try {
+      q.awaitTermination()
+      // every committed row lands...
+      assert(s.table("txlog_src_rate").count() ==
+        ev.filter(col("event_id") < 300).count())
+      // ...across one batch PER VERSION (the rate limit held), via the
+      // native AvailableNow protocol (no single-batch fallback)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"expected 3 rate-limited batches, got ${batches.length}")
+    } finally q.stop()
+  }
 }
