@@ -52,8 +52,10 @@ import org.apache.spark.sql.types._
   * the JSON prefix may be aged out. Checkpoints are themselves written
   * through the distributed reconstruction (one output task; the row build
   * is executor-side). Partitioned external tables (non-empty
-  * `partitionColumns`) are rejected loudly rather than read wrong: their
-  * partition values live in the log, not the files.
+  * `partitionColumns`) are read with their log-recorded partition values
+  * reattached per file and partition predicates pruned against them
+  * BEFORE any stats pruning composes on top (see [[snapshot]] /
+  * [[skipScan]]; plan evidence in PLANS.md §q_delta_partitioned).
   */
 object DeltaLog {
 
@@ -1804,6 +1806,11 @@ object DeltaLog {
     require(!Files.isDirectory(table.resolve("_txlog")),
       s"$dir is TxLog-mirrored — use TxLog.deleteWhere (the manifest " +
         "cannot represent deletion vectors)")
+    // warm from the checkpoint first: on a compacted-prefix table a cold
+    // cache would read an EMPTY configuration here and let a DV delete
+    // through on an appendOnly table — the silent-ungoverned case
+    // warmMetaCache exists to prevent
+    warmMetaCache(spark, table)
     if (tableConfig(table).get("delta.appendOnly").contains("true"))
       sys.error(s"$dir: delta.appendOnly=true — a DV delete removes " +
         "committed rows and is refused")

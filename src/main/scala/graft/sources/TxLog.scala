@@ -82,6 +82,36 @@ object TxLog {
         (p(1), p(2).toLong)
       }.nextOption()
 
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** The `#op <operation> <0|1 dataChange>` header of one manifest: the
+    * commit's own classification, recorded AT COMMIT TIME in the commit
+    * point itself — so the streaming source and the mirror backfill
+    * never need the (later-written, compactable) Delta mirror to tell a
+    * bytes-only OPTIMIZE from a data-changing rewrite. Absent on
+    * manifests from pre-`#op` writers; consumers then fall back to the
+    * mirror and classify conservatively. */
+  private[graft] def manifestOp(table: Path, v: Long): Option[(String, Boolean)] =
+    Files.readAllLines(manifestPath(table, v)).asScala.iterator
+      .filter(_.startsWith("#op ")).map { l =>
+        val p = l.split(" ", 3)
+        (dec(p(1)), p(2).trim == "1")
+      }.nextOption()
+
+  /** The `#props k=v ...` header (URL-encoded pairs) of one manifest:
+    * table properties a property commit installed, durable in the
+    * COMMIT POINT — a committer that dies between manifest link and
+    * mirror write no longer loses installed governance; the next
+    * commit's backfill re-mirrors the properties from here. */
+  private[graft] def manifestProps(table: Path, v: Long): Map[String, String] =
+    Files.readAllLines(manifestPath(table, v)).asScala.iterator
+      .filter(_.startsWith("#props ")).flatMap(_.split(" ").iterator.drop(1))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        (dec(kv.take(i)), dec(kv.drop(i + 1)))
+      }.toMap
+
   /** Highest committed idempotence-token version for `appId` — the
     * exactly-once check. Manifests scan newest-first and stop at the
     * first hit (an app's versions are committed in increasing order,
@@ -195,7 +225,11 @@ object TxLog {
       val all = (if (carryPrevious) previous else Seq.empty) ++ added
       removed = if (carryPrevious) Seq.empty else previous
       val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-      val header = txn.map { case (app, tv) => s"#txn $app $tv\n" }.getOrElse("")
+      val header = txn.map { case (app, tv) => s"#txn $app $tv\n" }.getOrElse("") +
+        (if (props.isEmpty) ""
+         else "#props " + props.toSeq.sortBy(_._1)
+           .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(" ") + "\n") +
+        "#op WRITE 1\n" // appends/overwrites always change data
       Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
       try {
         // createLink is the true put-if-absent: link(2) fails with
@@ -245,11 +279,15 @@ object TxLog {
         try {
           val prev = if (v == 1) Seq.empty[String] else readManifest(table, v - 1)
           val cur = readManifest(table, v)
-          // a backfilled commit's token comes from ITS manifest, so the
-          // mirror's txn history stays version-accurate
+          // a backfilled commit's token, classification, and properties
+          // come from ITS manifest headers, so the mirror's txn history,
+          // dataChange flags, and installed governance stay
+          // version-accurate across a committer crash
+          val (bop, bdc) = manifestOp(table, v).getOrElse(("WRITE", true))
           DeltaLog.mirrorCommit(table, v,
             cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson,
-            txn = manifestTxn(table, v))
+            dataChange = bdc, operation = bop,
+            txn = manifestTxn(table, v), props = manifestProps(table, v))
         } catch { case _: java.io.IOException => () }
       if (contiguous && DeltaLog.isMirrored(table, v)) floor = v
       else contiguous = false
@@ -261,10 +299,11 @@ object TxLog {
       if (contiguous && floor == committed - 1) floor = committed
     } catch { case _: java.io.IOException => () }
     mirrorFloor.updateWith(dir)(old => Some(math.max(old.getOrElse(0L), floor)))
-    // NOTE: a BACKFILLED version (crashed committer) always mirrors with
-    // dataChange=true — the manifest can't tell a compaction from a write,
-    // and the conservative direction for feeds is to surface rows, never
-    // to lose them.
+    // NOTE: a BACKFILLED version from a pre-`#op` writer mirrors with
+    // dataChange=true — without the header the manifest can't tell a
+    // compaction from a write, and the conservative direction for feeds
+    // is to surface rows, never to lose them. `#op` manifests backfill
+    // with their recorded classification.
   }
 
   /** `delta.appendOnly=true` refuses anything that removes or rewrites
@@ -406,17 +445,47 @@ object TxLog {
   /** The schemaJson a commit should mirror: when the batch's fields
     * (names + types, order included) match the mirrored schema, keep
     * the MIRROR's json — it carries field metadata (generation
-    * expressions, mapping ids) that `df.schema` can't know, and
-    * re-emitting a metadata-stripped twin would drop them. A genuine
-    * field change still re-emits the batch's schema (evolution).
+    * expressions, defaults, mapping ids) that `df.schema` can't know,
+    * and re-emitting a metadata-stripped twin would drop them. A
+    * genuine field change (schema EVOLUTION) merges field-by-field:
+    * every surviving field keeps the mirror's metadata (and stays
+    * nullable if it was), new fields enter as the batch typed them —
+    * so a widening append can never silently strip generation
+    * expressions or defaults from existing columns. Evolution that
+    * would DROP a governed column (one carrying a generation
+    * expression or a default) refuses loudly: silently un-governing a
+    * column is never what an append meant — clear the metadata first
+    * if the drop is intended.
     */
-  private def effectiveSchemaJson(df: DataFrame, dir: String): String =
-    DeltaLog.currentSchemaString(Paths.get(dir)).filter { prev =>
-      val p = org.apache.spark.sql.types.DataType.fromJson(prev)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      p.fields.map(f => (f.name, f.dataType)).toSeq ==
-        df.schema.fields.map(f => (f.name, f.dataType)).toSeq
-    }.getOrElse(df.schema.json)
+  private def effectiveSchemaJson(df: DataFrame, dir: String): String = {
+    import org.apache.spark.sql.types.StructType
+    DeltaLog.currentSchemaString(Paths.get(dir)) match {
+      case None => df.schema.json
+      case Some(prev) =>
+        val p = org.apache.spark.sql.types.DataType.fromJson(prev)
+          .asInstanceOf[StructType]
+        if (p.fields.map(f => (f.name, f.dataType)).toSeq ==
+            df.schema.fields.map(f => (f.name, f.dataType)).toSeq) prev
+        else {
+          val prevByName = p.fields.map(f => f.name -> f).toMap
+          val dropGoverned = p.fields.filter(f =>
+            (f.metadata.contains("delta.generationExpression") ||
+              f.metadata.contains("CURRENT_DEFAULT")) &&
+              !df.schema.fieldNames.contains(f.name))
+          if (dropGoverned.nonEmpty)
+            sys.error(s"$dir: schema evolution would drop governed " +
+              s"column(s) ${dropGoverned.map(_.name).mkString(", ")} " +
+              "(generated/defaulted) — refused")
+          StructType(df.schema.fields.map { f =>
+            prevByName.get(f.name) match {
+              case Some(pf) => f.copy(metadata = pf.metadata,
+                nullable = f.nullable || pf.nullable)
+              case None => f
+            }
+          }).json
+        }
+    }
+  }
 
   /** Install a generated column on a TxLog table: one empty commit
     * whose mirrored schemaString appends the field with its
@@ -528,6 +597,12 @@ object TxLog {
     */
   def commitAppendOnce(df: DataFrame, dir: String, appId: String,
       txnVersion: Long, partitionBy: Seq[String] = Seq.empty): Option[Long] = {
+    // the appId is embedded in the space-separated `#txn` header line:
+    // whitespace would poison manifestTxn's parse on every later scan,
+    // a newline would inject a bogus data-file line into the manifest
+    require(appId.nonEmpty && !appId.exists(_.isWhitespace),
+      s"commitAppendOnce: appId must be non-empty without whitespace " +
+        s"(got ${appId.map(c => if (c.isWhitespace) '␣' else c)})")
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
     // cheap pre-check (manifest scan + mirror fallback for aged-out
@@ -607,7 +682,8 @@ object TxLog {
     val all = prev.filterNot(removedSet) ++ added
     val removed = prev.filter(removedSet)
     val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-    Files.write(tmp, all.mkString("\n").getBytes("UTF-8"))
+    val header = s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
+    Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
     try {
       Files.createLink(manifestPath(table, next), tmp)
       Files.deleteIfExists(tmp)

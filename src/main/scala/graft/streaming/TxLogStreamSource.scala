@@ -133,25 +133,21 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   }
 
   /** Added files of one version, classified per the non-append rule.
-    * The classifier lives in [[graft.sources.DeltaLog.isBytesOnlyCommit]]
-    * (the commit-file convention stays in one module); a commit whose
-    * mirror has not landed yet gets a short bounded wait — the mirror
-    * is written moments after the manifest link — before classifying
-    * conservatively as a data change (a compacted-away mirror for a
-    * bytes-only commit also lands here: skipChangeCommits recovers).
+    * The manifest's own `#op` header (written atomically WITH the
+    * commit) answers instantly — no wait, no dependence on the
+    * later-written, compactable Delta mirror; manifests from pre-`#op`
+    * writers fall back to one mirror read
+    * ([[graft.sources.DeltaLog.isBytesOnlyCommit]]) and classify
+    * conservatively as a data change when both are silent
+    * (skipChangeCommits recovers).
     */
   private def addedOf(v: Long): Seq[String] = {
     val (added, removed) = TxLog.commitDelta(dir, v)
     if (removed.isEmpty) return added
     val table = java.nio.file.Paths.get(dir)
-    var kind = graft.sources.DeltaLog.isBytesOnlyCommit(table, v)
-    var waited = 0
-    while (kind.isEmpty && waited < 40) { // ≤ 2 s for the mirror to land
-      Thread.sleep(50)
-      waited += 1
-      kind = graft.sources.DeltaLog.isBytesOnlyCommit(table, v)
-    }
-    if (kind.contains(true)) Seq.empty // OPTIMIZE/REORG: rows already delivered
+    val bytesOnly = TxLog.manifestOp(table, v).map(!_._2)
+      .orElse(graft.sources.DeltaLog.isBytesOnlyCommit(table, v))
+    if (bytesOnly.contains(true)) Seq.empty // OPTIMIZE/REORG: rows already delivered
     else if (skipChangeCommits) Seq.empty
     else sys.error(s"graft-txlog: version $v of $dir removed files — a " +
       "DELETE/UPDATE/MERGE rewrite cannot stream as an append (its " +
