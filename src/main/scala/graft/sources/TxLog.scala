@@ -1324,6 +1324,18 @@ object TxLog {
       |FROM events WHERE event_id % 3 = 1
       |GROUP BY 1""".stripMargin
 
+  /** Live manifest-relative data files of one committed version — the
+    * streaming source's first-batch (history) file list. */
+  private[graft] def liveRelsAt(dir: String, v: Long): Seq[String] =
+    readManifest(Paths.get(dir), v)
+
+  /** The table's partition-column names (from the current manifest's
+    * hive path segments; fixed at the first commit). */
+  private[graft] def partitionColumnsOf(dir: String): Seq[String] =
+    currentVersion(dir)
+      .flatMap(v => readManifest(Paths.get(dir), v).headOption)
+      .map(pathPartCols).getOrElse(Seq.empty)
+
   /** One commit's (added, removed) relative-path sets — the streaming
     * source's commit classifier (append / bytes-only rewrite / data
     * change). Metadata-scale: two manifest reads. */

@@ -510,11 +510,13 @@ object Streams {
       |FROM events
       |GROUP BY 1""".stripMargin
 
-  /** The MEDALLION LOOP end to end, table to table: bronze is a
-    * committed TxLog table; silver STREAMS FROM IT (`graft-txlog`
-    * source — commits become micro-batches), applies the enrichment
-    * transform, and lands each batch EXACTLY-ONCE via
-    * `commitAppendOnce` keyed by the batch id. The harness then
+  /** The MEDALLION LOOP end to end, table to table — SYMMETRIC on the
+    * native connector: bronze is a committed TxLog table; silver
+    * STREAMS FROM IT (`format("graft-txlog")` source — commits become
+    * micro-batches), applies the enrichment transform, and lands each
+    * batch through the NATIVE SINK (`writeStream.format("graft-txlog")`,
+    * [[TxLogSink]]) — exactly-once via the (txnAppId, batchId)
+    * SetTransaction token the sink stamps internally. The harness then
     * commits MORE bronze data and resumes on the same checkpoint —
     * the steady-state ingest cycle — and deliberately re-commits the
     * last batch token (crash replay). The silver aggregate
@@ -540,13 +542,13 @@ object Streams {
         .writeStream
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.sources.TxLog.commitAppendOnce(batch, silver, appId, batchId)
-          lastBatch = batchId
-          ()
-        }
+        .format("graft-txlog")
+        .option("path", silver)
+        .option("txnAppId", appId)
         .start()
       q.awaitTermination()
+      lastBatch = math.max(lastBatch,
+        q.recentProgress.map(_.batchId).foldLeft(lastBatch)(math.max))
     }
     cycle() // run 1: bronze history
     graft.sources.TxLog.commitAppend(ev.filter(col("event_id") >= 500), bronze)

@@ -1,109 +1,361 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.parquet.hadoop.ParquetInputFormat
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.sources.TxLog
 
-/** Structured Streaming SOURCE over a TxLog table — "the lakehouse
-  * table is also a replayable message bus", Delta's own streaming-source
-  * model (`spark.readStream.format("delta")`): OFFSETS ARE COMMIT
+/** `format("graft-txlog")`: the TxLog table as a first-class Spark
+  * DATA SOURCE V2 — "the lakehouse table is also a replayable message
+  * bus", Delta's own streaming-source model. OFFSETS ARE COMMIT
   * VERSIONS, and each micro-batch reads exactly the files the commits
   * in `(start, end]` appended — O(new data) per trigger, never a
   * snapshot diff, and replayable from any retained version.
   *
-  * Wire-up: `spark.readStream.format("graft-txlog").option("path", dir)`
-  * (registered via META-INF DataSourceRegister; the fully-qualified
-  * provider class works too). Options:
-  *  - `startingVersion` — INCLUSIVE first version to stream (stock
-  *    Delta's semantics); default 0 = the full history.
-  *  - `skipChangeCommits` — non-append commits (DELETE/UPDATE/MERGE
-  *    rewrites) are SKIPPED instead of failing the stream.
-  *  - `maxVersionsPerTrigger` — ADMISSION CONTROL (the
-  *    maxFilesPerTrigger analog): each micro-batch advances at most N
-  *    commit versions, so a month-long backfill replays as bounded
-  *    batches instead of one giant read. Under Trigger.AvailableNow
-  *    the source implements the native protocol
-  *    (SupportsTriggerAvailableNow): the end offset pins at prepare
-  *    time and the engine drains to it in rate-limited batches —
-  *    late-arriving commits wait for the next run, exact AvailableNow
-  *    semantics with no fallback warning.
+  * Surfaces, all on the one registered short name:
+  *  - `spark.readStream.format("graft-txlog").option("path", dir)` —
+  *    MICRO_BATCH_READ via a [[TxLogMicroBatchStream]] with NATIVE
+  *    admission control ([[SupportsAdmissionControl]], a
+  *    [[MaxVersions]] `ReadLimit`) and the native AvailableNow
+  *    protocol ([[SupportsTriggerAvailableNow]]).
+  *  - `spark.read.format("graft-txlog")` — BATCH_READ of the current
+  *    snapshot through the same file-planning machinery.
+  *  - `df.writeStream.format("graft-txlog")` — the EXACTLY-ONCE sink
+  *    ([[TxLogSink]]): each micro-batch lands via
+  *    [[TxLog.commitAppendOnce]] keyed by (txnAppId, batchId), so a
+  *    crash between commit and checkpoint replays into a skip.
+  *
+  * Read options: `startingVersion` (INCLUSIVE first version, stock
+  * Delta semantics; default 0 = full history), `skipChangeCommits`
+  * (skip non-append commits instead of failing), `maxVersionsPerTrigger`
+  * (admission control: ≤ N commit versions per micro-batch),
+  * `readChangeFeed` (emit `_change_type`/`_commit_version` CDF columns;
+  * see [[TxLogScan]]).
+  *
+  * Write options: `path`, `txnAppId` (the idempotence-token app id;
+  * defaults to a digest of the checkpoint location, so the SAME
+  * checkpointed query keeps the same token stream across restarts).
+  *
+  * Execution model: `planInputPartitions` resolves manifest paths to
+  * [[PartitionedFile]]s (partition values parsed from the hive path
+  * segments, typed by the table schema) bin-packed into
+  * [[FilePartition]]s by Spark's own size-based packer, and
+  * `createReaderFactory` hands back Spark's OWN vectorized
+  * [[ParquetPartitionReaderFactory]] — the identical executor read
+  * path a native parquet scan uses (whole-stage columnar batches,
+  * schema-evolution null fill), constructed compile-checked, with no
+  * reflection anywhere. Replaces the earlier DSv1 `Source` whose only
+  * way to return a streaming DataFrame was a reflective
+  * `internalCreateDataFrame` call.
   *
   * Non-append safety (stock Delta's rule): a copy-on-write rewrite
   * re-adds surviving rows the stream already delivered, so treating it
   * as an append would double-count downstream. Each version therefore
-  * CLASSIFIES: pure appends flow; bytes-only rewrites (OPTIMIZE/REORG —
-  * every mirrored action carries `dataChange=false`) skip silently
-  * (their rows were delivered by earlier commits); data-changing
-  * rewrites FAIL the stream unless `skipChangeCommits` opts in.
-  *
-  * Mechanics: [[TxLogSource.getOffset]] lists the current committed
-  * version (one directory listing — the manifest IS the changelog);
-  * [[TxLogSource.getBatch]] reads the classified versions' added files
-  * with partition columns reattached. Exactly-once end to end: compose
-  * the sink side with [[TxLog.commitAppendOnce]] keyed by the batch id,
-  * and a crash replays into a skip.
-  *
-  * The one internal seam: a DSv1 `Source` must hand back a STREAMING
-  * DataFrame, and the only constructor (`internalCreateDataFrame(rdd,
-  * schema, isStreaming = true)`) is `private[sql]` — JVM-public, scoped
-  * only by Scala. Invoked reflectively, the same bridge every external
-  * DSv1 connector uses; the alternative (a full DSv2 MicroBatchStream)
-  * would re-implement parquet reading instead of reusing the planner.
+  * CLASSIFIES via the manifest's own `#op` header (written atomically
+  * with the commit): bytes-only rewrites (OPTIMIZE/REORG) skip
+  * silently; data-changing rewrites FAIL the stream unless
+  * `skipChangeCommits` opts in; pre-`#op` manifests fall back to one
+  * Delta-mirror read.
   */
-class TxLogStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TxLogStreamProvider extends TableProvider with DataSourceRegister
+    with StreamSinkProvider {
 
   override def shortName(): String = "graft-txlog"
 
-  private def dirOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      sys.error("graft-txlog source needs .option(\"path\", <table dir>)"))
+  private def dirOf(options: JMap[String, String]): String =
+    Option(options.get("path")).getOrElse(
+      sys.error("graft-txlog needs .option(\"path\", <table dir>)"))
 
-  override def sourceSchema(sqlContext: SQLContext,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    ("graft-txlog", schema.getOrElse(
-      TxLog.snapshot(sqlContext.sparkSession, dirOf(parameters)).schema))
+  /** Empty schema for a table with no commits yet: the WRITE path
+    * probes `getTable` for capability detection before the sink ever
+    * creates the table, so inference must not fail there; a READ of an
+    * empty table still fails loudly at planning. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = dirOf(options)
+    if (TxLog.currentVersion(dir).isEmpty) new StructType()
+    else TxLogScan.readSchema(
+      SparkSession.getActiveSession.getOrElse(
+        sys.error("graft-txlog: no active SparkSession")),
+      dir, cdf = options.getBoolean("readChangeFeed", false))
+  }
 
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new TxLogSource(sqlContext, dirOf(parameters),
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-      parameters.get("skipChangeCommits").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TxLogTable(dirOf(properties), schema,
+      properties.asScala.toMap)
+
+  /** DSv1 STREAMING SINK (the `writeStream.format("graft-txlog")`
+    * path): `createSink` receives `partitionBy` natively and the
+    * commit machinery — validation, generated/default-column
+    * completion, partitioned batch layout, Delta mirroring, token
+    * idempotence — is exactly [[TxLog.commitAppendOnce]]. A DSv2
+    * `StreamingWrite` would re-implement executor-side parquet commit
+    * coordination the table format already owns.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val dir = parameters.getOrElse("path",
+      sys.error("graft-txlog sink needs .option(\"path\", <table dir>)"))
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft-txlog sink supports Append (commit per batch) and Complete " +
+        s"(overwrite per batch), not $outputMode")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation").map(c =>
+        "graft-txlog-sink-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)))
+      .getOrElse("graft-txlog-sink-" + java.util.UUID.randomUUID().toString)
+    new TxLogSink(dir, appId, partitionColumns,
+      complete = outputMode == OutputMode.Complete())
+  }
 }
 
-class TxLogSource(sqlContext: SQLContext, dir: String,
-    startingVersion: Long, skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Option[Long] = None)
-    extends Source with SupportsTriggerAvailableNow {
+/** Exactly-once streaming sink: Append mode commits each micro-batch
+  * through [[TxLog.commitAppendOnce]] with (appId, batchId) as the
+  * SetTransaction token — a batch replayed after a crash between
+  * commit and checkpoint-advance skips instead of duplicating, and the
+  * token rides the manifest (the commit point) so data and token are
+  * atomic. Complete mode overwrites the table per batch (idempotent by
+  * construction). The incoming DataFrame's logical plan has the
+  * streaming sources already replaced by this batch's data, so the
+  * commit path's re-executions (validation aggregate + staged write)
+  * are plain batch runs — the same re-execution contract
+  * FileStreamSink relies on.
+  */
+class TxLogSink(dir: String, appId: String, partitionBy: Seq[String],
+    complete: Boolean) extends Sink {
 
-  private val spark = sqlContext.sparkSession
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // re-wrap as a batch DataFrame over the already-planned batch RDD
+    // (the ForeachBatchSink move) — the commit path re-executes the
+    // plan for its validation aggregate and staged write, which the
+    // streaming-flagged original would refuse
+    val batch = org.apache.spark.sql.graftbridge.SqlBridge.asBatch(data)
+    if (complete) { TxLog.commitOverwrite(batch, dir, partitionBy); () }
+    else { TxLog.commitAppendOnce(batch, dir, appId, batchId, partitionBy); () }
+  }
+
+  override def toString: String =
+    s"TxLogSink[$dir, appId=$appId${if (complete) ", complete" else ""}]"
+}
+
+class TxLogTable(dir: String, schema: StructType,
+    options: Map[String, String]) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-txlog:$dir"
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new TxLogScan(dir, schema,
+        options ++ caseInsensitive.asCaseSensitiveMap().asScala)
+    }
+}
+
+object TxLogScan {
+
+  private[streaming] val CdfFields: Seq[StructField] = Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false))
+
+  /** The scan's output schema: data columns first, partition columns
+    * last (where a parquet partition-discovery read puts them), CDF
+    * pseudo-columns after that when `readChangeFeed` is on. */
+  private[streaming] def readSchema(spark: SparkSession, dir: String,
+      cdf: Boolean): StructType = {
+    val full = TxLog.snapshot(spark, dir).schema
+    val pcols = TxLog.partitionColumnsOf(dir)
+    val data = full.fields.filterNot(f => pcols.contains(f.name))
+    val part = pcols.map(n => full.fields.find(_.name == n).getOrElse(
+      sys.error(s"$dir: partition column $n missing from table schema")))
+    StructType(data ++ part ++ (if (cdf) CdfFields else Seq.empty))
+  }
+
+  /** Hive path-segment unescape (`%xx` sequences). */
+  private[streaming] def unescapePath(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+/** One scan = one (schema, options) binding; `toMicroBatchStream` for
+  * the streaming read, `toBatch` for the snapshot read. File planning
+  * and the reader factory are shared by both. */
+class TxLogScan(dir: String, schema: StructType,
+    options: Map[String, String]) extends Scan {
+
+  private val cdf = options.get("readChangeFeed").exists(_.toBoolean)
+  private val nPartCols = TxLog.partitionColumnsOf(dir).size
+  // (real partition cols ++ CDF pseudo-cols) tail off the read schema
+  private val nAppended = nPartCols + (if (cdf) TxLogScan.CdfFields.size else 0)
+  private val dataSchema = StructType(schema.fields.dropRight(nAppended))
+  private val partSchema = StructType(schema.fields.takeRight(nAppended))
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String =
+    s"graft-txlog $dir${if (cdf) " [changeFeed]" else ""}"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TxLogMicroBatchStream(this, dir,
+      options.get("startingVersion").map(_.toLong).getOrElse(0L),
+      options.get("skipChangeCommits").exists(_.toBoolean),
+      options.get("maxVersionsPerTrigger").map(_.toLong), cdf)
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val cur = TxLog.currentVersion(dir).getOrElse(
+        sys.error(s"no committed version in $dir"))
+      packPartitions(Seq((cur, TxLog.liveRelsAt(dir, cur))))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      TxLogScan.this.createReaderFactory()
+  }
+
+  /** Resolve (version, manifest-relative files) to [[FilePartition]]s:
+    * partition values parsed from the hive segments and typed by the
+    * table schema, CDF pseudo-values appended when reading the change
+    * feed, whole files bin-packed by Spark's own size-based packer
+    * (maxPartitionBytes/openCost aware — the 100 TB-shaped planning a
+    * hand-rolled one-file-one-task split would lose).
+    */
+  private[streaming] def packPartitions(
+      versioned: Seq[(Long, Seq[String])]): Array[InputPartition] = {
+    val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
+    val table = Paths.get(dir)
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val files = versioned.flatMap { case (v, rels) =>
+      rels.map { rel =>
+        val abs = table.resolve(rel)
+        val segs = rel.split("/").dropRight(1).filter(_.contains("=")).map { s =>
+          val i = s.indexOf('=')
+          (TxLogScan.unescapePath(s.take(i)), TxLogScan.unescapePath(s.drop(i + 1)))
+        }.toMap
+        val partVals = partSchema.fields.take(nPartCols).map { f =>
+          val raw = segs.getOrElse(f.name, sys.error(
+            s"$dir: $rel lacks partition segment ${f.name}"))
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else Cast(Literal(UTF8String.fromString(raw), StringType),
+            f.dataType, Some(zone)).eval(null)
+        }.toSeq
+        val cdfVals: Seq[Any] =
+          if (cdf) Seq(UTF8String.fromString("insert"), v) else Seq.empty
+        val size = Files.size(abs)
+        PartitionedFile(InternalRow.fromSeq(partVals ++ cdfVals),
+          SparkPath.fromPathString(abs.toString), 0L, size, Array.empty,
+          Files.getLastModifiedTime(abs).toMillis, size, Map.empty)
+      }
+    }
+    val maxSplit = FilePartition.maxSplitBytes(spark, files.map(_.length).sum)
+    FilePartition.getFilePartitions(spark, files, maxSplit).toArray
+  }
+
+  /** Spark's own vectorized parquet reader factory, configured exactly
+    * as `ParquetScan.createReaderFactory` configures it (requested
+    * schema, session zone, int96/binary semantics) — so the executor
+    * read path, columnar batches included, is byte-for-byte the native
+    * parquet scan's. */
+  private[streaming] def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
+    val sqlConf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
+    hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, dataSchema.json)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
+      sqlConf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(dataSchema, hadoopConf)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlConf.parquetFieldIdReadEnabled)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, dataSchema,
+      partSchema, Array.empty, None, new ParquetOptions(options, sqlConf))
+  }
+}
+
+/** The `maxVersionsPerTrigger` admission-control contract as a native
+  * DSv2 [[ReadLimit]] — the source produces it in `getDefaultReadLimit`
+  * and consumes it in `latestOffset(start, limit)`; the engine passes
+  * it through (and pins it under the AvailableNow protocol). */
+case class MaxVersions(maxVersions: Long) extends ReadLimit
+
+class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
+    startingVersion: Long, skipChangeCommits: Boolean,
+    maxVersionsPerTrigger: Option[Long], cdf: Boolean)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   /** `startingVersion` is INCLUSIVE (stock Delta): the stream's base
     * offset is the version before it. */
   private val baseV = math.max(0L, startingVersion - 1L)
 
-  override val schema: StructType = TxLog.snapshot(spark, dir).schema
-
-  private def ver(o: Offset): Long = o match {
+  private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => LongOffset(s).offset
-    case other => sys.error(s"graft-txlog: unexpected offset $other")
+    case other => other.json().trim.toLong
   }
 
-  /** Newest committed version with data past the base — one directory
-    * listing; None = no new commits, the engine skips the trigger.
-    * (Kept for engines that bypass admission control; the
-    * SupportsAdmissionControl path below is what MicroBatchExecution
-    * actually drives.) */
-  override def getOffset: Option[Offset] =
-    TxLog.currentVersion(dir).filter(_ > baseV).map(LongOffset(_))
+  override def initialOffset(): OffsetV2 = LongOffset(baseV)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(MaxVersions(_)).getOrElse(ReadLimit.allAvailable())
 
   /** AvailableNow pin: versions committed AFTER prepare wait for the
     * next run — the trigger's exact contract. */
@@ -112,23 +364,21 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(TxLog.currentVersion(dir).getOrElse(baseV))
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
-      .getOrElse(ReadLimit.allAvailable())
+  override def reportLatestOffset(): OffsetV2 =
+    TxLog.currentVersion(dir).map(LongOffset(_)).orNull
 
   /** Admission control: advance at most `maxVersionsPerTrigger`
     * commits per batch, clamped to the AvailableNow pin when one is
     * set. Null = no new data (the engine's idle signal). */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val startV = Option(startOffset).map {
-      case l: LongOffset => l.offset
-      case so: SerializedOffset => LongOffset(so).offset
-      case o => LongOffset(SerializedOffset(o.json())).offset
-    }.getOrElse(baseV)
+    val startV = Option(startOffset).map(ver).getOrElse(baseV)
     val cur = TxLog.currentVersion(dir).getOrElse(return null)
     val capped = availableNowCap.fold(cur)(math.min(cur, _))
     val base = math.max(startV, baseV)
-    val target = maxVersionsPerTrigger.fold(capped)(n => math.min(capped, base + n))
+    val target = limit match {
+      case MaxVersions(n) => math.min(capped, base + n)
+      case _ => capped
+    }
     if (target <= base) null else LongOffset(target)
   }
 
@@ -136,15 +386,13 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
     * The manifest's own `#op` header (written atomically WITH the
     * commit) answers instantly — no wait, no dependence on the
     * later-written, compactable Delta mirror; manifests from pre-`#op`
-    * writers fall back to one mirror read
-    * ([[graft.sources.DeltaLog.isBytesOnlyCommit]]) and classify
-    * conservatively as a data change when both are silent
-    * (skipChangeCommits recovers).
-    */
+    * writers fall back to one mirror read and classify conservatively
+    * as a data change when both are silent (skipChangeCommits
+    * recovers). */
   private def addedOf(v: Long): Seq[String] = {
     val (added, removed) = TxLog.commitDelta(dir, v)
     if (removed.isEmpty) return added
-    val table = java.nio.file.Paths.get(dir)
+    val table = Paths.get(dir)
     val bytesOnly = TxLog.manifestOp(table, v).map(!_._2)
       .orElse(graft.sources.DeltaLog.isBytesOnlyCommit(table, v))
     if (bytesOnly.contains(true)) Seq.empty // OPTIMIZE/REORG: rows already delivered
@@ -155,30 +403,27 @@ class TxLogSource(sqlContext: SQLContext, dir: String,
       ".option(\"skipChangeCommits\",\"true\") to skip such commits.")
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromV = start.map(ver).getOrElse(baseV)
+  /** The versions in `(start, end]` as file lists. A fresh stream from
+    * the table's origin reads the END version's manifest as ONE
+    * history batch (live files only — rewritten-away files are not
+    * replayed); the CDF read always replays per version, so
+    * `_commit_version` stays accurate. */
+  override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
+    val fromV = ver(start)
     val toV = ver(end)
-    val batch =
-      if (fromV <= 0) TxLog.snapshotAt(spark, dir, toV) // first batch = history
-      else {
-        val rels = ((fromV + 1) to toV).flatMap(addedOf)
-        if (rels.isEmpty) TxLog.snapshotAt(spark, dir, toV).limit(0)
-        else TxLog.readFilesOf(spark, dir, rels, asOfVersion = toV)
-      }
-    asStreaming(batch)
+    val versioned =
+      if (fromV <= 0 && !cdf) Seq((toV, TxLog.liveRelsAt(dir, toV)))
+      else ((fromV + 1) to toV).map(v => (v, addedOf(v)))
+    scan.packPartitions(versioned.filter(_._2.nonEmpty))
   }
 
-  private def asStreaming(df: DataFrame): DataFrame = {
-    val ss = df.sparkSession
-    val m = ss.getClass.getMethod("internalCreateDataFrame",
-      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
-      java.lang.Boolean.TYPE)
-    m.invoke(ss, df.queryExecution.toRdd, df.schema, java.lang.Boolean.TRUE)
-      .asInstanceOf[DataFrame]
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def commit(end: OffsetV2): Unit = ()
 
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"TxLogSource[$dir, startingVersion=$startingVersion]"
+    s"TxLogMicroBatchStream[$dir, startingVersion=$startingVersion]"
 }

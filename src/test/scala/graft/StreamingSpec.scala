@@ -661,4 +661,69 @@ class StreamingSpec extends SparkSpec {
         s"expected 3 rate-limited batches, got ${batches.length}")
     } finally q.stop()
   }
+
+  test("graft-txlog native sink: crash replay commits exactly once; partitionBy lands hive layout") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val bronze = Files.createTempDirectory("graft_sink_bronze").toString
+    val silver = Files.createTempDirectory("graft_sink_silver").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 200), bronze)
+    def run(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", bronze).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .partitionBy("event_type")
+        .format("graft-txlog").option("path", silver)
+        .option("txnAppId", "sink-spec").start()
+      q.awaitTermination()
+    }
+    run()
+    val n1 = graft.sources.TxLog.snapshot(s, silver).count()
+    assert(n1 == ev.filter(col("event_id") < 200).count())
+    // partitionBy flowed through createSink into the hive batch layout
+    assert(graft.sources.TxLog.snapshot(s, silver).inputFiles
+      .forall(_.contains("event_type=")), "sink must honor partitionBy")
+    // crash between the sink's commit and the engine's checkpoint
+    // commit: wipe the commit log so the engine REPLAYS the batch —
+    // the (txnAppId, batchId) token must skip it, not duplicate
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val cs = java.nio.file.Files.list(commits)
+    try cs.forEach(f => { java.nio.file.Files.delete(f); () }) finally cs.close()
+    run()
+    assert(graft.sources.TxLog.snapshot(s, silver).count() == n1,
+      "replayed batch must skip, not double-commit")
+    // and new bronze data still flows after the replay
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(200, 299)), bronze)
+    run()
+    assert(graft.sources.TxLog.snapshot(s, silver).count() ==
+      ev.filter(col("event_id") < 300).count())
+  }
+
+  test("graft-txlog batch read (DSv2 BATCH_READ) equals the snapshot, partition columns typed") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_batch_read").toString
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id") < 150).withColumn("day", col("ts").cast("date")),
+      tbl, partitionBy = Seq("day"))
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(150, 249))
+        .withColumn("day", col("ts").cast("date")),
+      tbl, partitionBy = Seq("day"))
+    val df = s.read.format("graft-txlog").option("path", tbl).load()
+    assert(df.schema("day").dataType ==
+      org.apache.spark.sql.types.DateType, df.schema.treeString)
+    val got = df.groupBy("day").agg(count(lit(1)).as("n"),
+      round(sum("value"), 2).as("tv")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val want = graft.sources.TxLog.snapshot(s, tbl)
+      .groupBy("day").agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("tv")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.sameElements(want), s"dsv2=${got.toSeq} snapshot=${want.toSeq}")
+  }
 }
