@@ -510,6 +510,54 @@ object Streams {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Streaming CHANGE DATA FEED read (`.option("readChangeFeed",
+    * "true")` on the `graft-txlog` source — stock Delta's CDF-stream
+    * contract): every micro-batch emits the commits' change rows
+    * tagged `_change_type` / `_commit_version`. Appends surface as
+    * `insert` rows carrying their EXACT commit version — the CDF read
+    * always replays PER VERSION, never the first-batch snapshot
+    * shortcut, so versions stay accurate; a bytes-only OPTIMIZE emits
+    * nothing (no row changed); and run 2 on the same checkpoint picks
+    * up only the commits after the pin. The reference's silver layer
+    * is exactly such a change consumer (`process_silver.py:43-45`);
+    * this is its lakehouse-native form. The oracle derives each row's
+    * commit version from the fixture's residue split — any snapshot
+    * shortcut, double replay, or surfaced compaction flips the hash.
+    */
+  def runStreamCdf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val tbl = graft.Scratch.dir("graft_stream_cdf_tbl").toString
+    val out = graft.Scratch.dir("graft_stream_cdf_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_cdf_ckpt").toString
+    graft.sources.TxLog.commitAppend(
+      ev.filter(pmod(col("event_id"), lit(3)) === 0), tbl)
+    graft.sources.TxLog.commitAppend(
+      ev.filter(pmod(col("event_id"), lit(3)) === 1), tbl)
+    def drain(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog").option("path", tbl)
+        .option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    drain() // run 1: versions 1-2, replayed per version
+    graft.sources.TxLog.optimize(spark, tbl) // v3: bytes-only, no change rows
+    graft.sources.TxLog.commitAppend(
+      ev.filter(pmod(col("event_id"), lit(3)) === 2), tbl) // v4
+    drain() // run 2: only v4's inserts
+    spark.read.parquet(out)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val runStreamCdfOracle: String =
+    """SELECT CAST(CASE event_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+      |            AS BIGINT) AS _commit_version,
+      |       'insert' AS _change_type,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   /** The MEDALLION LOOP end to end, table to table — SYMMETRIC on the
     * native connector: bronze is a committed TxLog table; silver
     * STREAMS FROM IT (`format("graft-txlog")` source — commits become
@@ -1275,6 +1323,7 @@ object Streams {
     "q_stream_distinct" -> runStreamDistinct _,
     "q_stream_exactly_once" -> runStreamExactlyOnce _,
     "q_stream_table_source" -> runStreamTableSource _,
+    "q_stream_cdf" -> runStreamCdf _,
     "q_stream_pipeline" -> runStreamPipeline _,
     "q_stream_admission" -> runStreamAdmission _,
     "q_stream_tws" -> runRunningStats _
@@ -1296,6 +1345,7 @@ object Streams {
     "q_stream_distinct" -> runStreamDistinctOracle,
     "q_stream_exactly_once" -> runStreamExactlyOnceOracle,
     "q_stream_table_source" -> runStreamTableSourceOracle,
+    "q_stream_cdf" -> runStreamCdfOracle,
     "q_stream_pipeline" -> runStreamPipelineOracle,
     "q_stream_admission" -> graft.ext.Dedup.incrementalDedupOracle(),
     "q_stream_tws" -> runRunningStatsOracle
