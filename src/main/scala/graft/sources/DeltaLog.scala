@@ -524,9 +524,7 @@ object DeltaLog {
     if (newest.flatMap(v => lastMirroredMeta(table, v)).isDefined) return
     val cpV = lastCheckpointVersion(table).getOrElse(return)
     val pl = ReplayPlan(cpV, Seq.empty)
-    val cps = pl.cpPaths(table)
-    if (cps.isEmpty) return
-    val df = spark.read.parquet(cps.map(_.toString): _*)
+    val df = checkpointDF(spark, table, pl).getOrElse(return)
     if (!df.columns.contains("metaData")) return
     df.filter(col("metaData").isNotNull)
       .select(to_json(col("metaData")).as("m"))
@@ -603,26 +601,79 @@ object DeltaLog {
         if (Files.exists(single)) Seq(single)
         else {
           val prefix = f"$cpV%020d.checkpoint."
-          val parts = listDir(logDir(table)).filter { p =>
+          val all = listDir(logDir(table)).filter { p =>
             val n = p.getFileName.toString
             n.startsWith(prefix) && n.endsWith(".parquet")
           }.sortBy(_.getFileName.toString)
-          if (parts.isEmpty)
+          if (all.isEmpty)
             sys.error(s"$table: _last_checkpoint names version $cpV but no " +
               "checkpoint file exists")
-          // names carry part-of-total: validate the set is complete
-          val totals = parts.map(_.getFileName.toString
-            .stripPrefix(prefix).stripSuffix(".parquet").split("\\."))
-          if (totals.exists(_.length != 2))
-            sys.error(s"$table: malformed multi-part checkpoint names for version $cpV")
-          val n = totals.head(1).toLong
-          val nums = totals.map(_(0).toLong).sorted
-          if (totals.exists(_(1).toLong != n) || nums != (1L to n))
-            sys.error(s"$table: incomplete multi-part checkpoint for version " +
-              s"$cpV — have parts ${nums.mkString(",")} of $n")
-          parts
+          // a V2 CHECKPOINT (`V.checkpoint.<uniqueId>.parquet`, the
+          // v2Checkpoints reader feature) is complete on its own — any
+          // one suffices; [[checkpointDF]] expands its sidecar actions
+          val (v2, parts) = all.partition(p => p.getFileName.toString
+            .stripPrefix(prefix).stripSuffix(".parquet").split("\\.").length == 1)
+          if (v2.nonEmpty) Seq(v2.last)
+          else {
+            // names carry part-of-total: validate the set is complete
+            val totals = parts.map(_.getFileName.toString
+              .stripPrefix(prefix).stripSuffix(".parquet").split("\\."))
+            if (totals.exists(_.length != 2))
+              sys.error(s"$table: malformed multi-part checkpoint names for version $cpV")
+            val n = totals.head(1).toLong
+            val nums = totals.map(_(0).toLong).sorted
+            if (totals.exists(_(1).toLong != n) || nums != (1L to n))
+              sys.error(s"$table: incomplete multi-part checkpoint for version " +
+                s"$cpV — have parts ${nums.mkString(",")} of $n")
+            parts
+          }
         }
       }
+  }
+
+  /** Is this a v2-checkpoint file name (`V.checkpoint.<uniqueId>
+    * .parquet`)? Classic is `V.checkpoint.parquet`, multi-part
+    * `V.checkpoint.I.N.parquet` (all-digit middle tokens). */
+  private def isV2CheckpointName(p: Path): Boolean = {
+    val t = p.getFileName.toString.split("\\.")
+    t.length == 4 && t(1) == "checkpoint" && t(3) == "parquet" &&
+      !t(2).forall(_.isDigit)
+  }
+
+  /** The checkpoint's action rows as ONE DataFrame: a classic single
+    * file, a complete multi-part set, or a V2 CHECKPOINT — the
+    * `v2Checkpoints` reader feature: the top-level file carries the
+    * non-file actions (protocol/metaData/txn, plus `checkpointMetadata`
+    * and `sidecar` rows), and the add/remove actions live in SIDECAR
+    * parquet files under `_delta_log/_sidecars/` that the `sidecar`
+    * actions name. Read = top-level ∪ sidecars by field name (missing
+    * columns null on either side). None = the plan replays pure JSON.
+    * All four checkpoint consumers (meta warm, protocol gate, driver
+    * fold, distributed reconstruction) route through here, so the
+    * replay semantics are identical across checkpoint formats.
+    */
+  private def checkpointDF(spark: SparkSession, table: Path,
+      pl: ReplayPlan): Option[DataFrame] = {
+    val cps = pl.cpPaths(table)
+    if (cps.isEmpty) return None
+    val top = spark.read.parquet(cps.map(_.toString): _*)
+    if (!isV2CheckpointName(cps.head) || !top.columns.contains("sidecar"))
+      return Some(top)
+    val sidecars = top.filter(col("sidecar").isNotNull)
+      .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+    val resolved = sidecars.map { p =>
+      if (p.contains("://") || p.startsWith("/")) p
+      else logDir(table).resolve("_sidecars").resolve(p).toString
+    }
+    val missing = resolved.filterNot(p =>
+      p.contains("://") || Files.exists(Paths.get(p)))
+    if (missing.nonEmpty)
+      sys.error(s"$table: v2 checkpoint ${cps.head.getFileName} names " +
+        s"${missing.size} missing sidecar file(s) (e.g. ${missing.head}) — " +
+        "refusing to replay a partial checkpoint")
+    if (resolved.isEmpty) Some(top)
+    else Some(top.drop("sidecar").unionByName(
+      spark.read.parquet(resolved: _*), allowMissingColumns = true))
   }
 
   private def replayPlan(table: Path, upTo: Long): ReplayPlan = {
@@ -645,14 +696,16 @@ object DeltaLog {
   /** Reader features this engine implements end-to-end. `timestampNtz`
     * is a pure schema type (passes straight through the parquet
     * reader) and `vacuumProtocolCheck` imposes no read-side behavior;
-    * `deletionVectors` and `columnMapping` have real implementations.
-    * Anything else — v2Checkpoint sidecars, coordinatedCommits, type
-    * widening — changes what the log's bytes MEAN, so an unknown
-    * required feature fails loudly instead of misreading the table
-    * (the spec's own mandate for readerFeatures).
+    * `deletionVectors`, `columnMapping`, and `v2Checkpoints` (sidecar
+    * expansion in [[checkpointDF]]) have real implementations.
+    * Anything else — coordinatedCommits, type widening — changes what
+    * the log's bytes MEAN, so an unknown required feature fails loudly
+    * instead of misreading the table (the spec's own mandate for
+    * readerFeatures).
     */
   private val supportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck")
+    Set("deletionVectors", "columnMapping", "timestampNtz",
+      "vacuumProtocolCheck", "v2Checkpoints")
 
   /** Enforce the newest `protocol` action a replay at `pl` covers.
     * Config-scale: the JSON tail is scanned newest-first (those files
@@ -675,12 +728,10 @@ object DeltaLog {
         .filter(_.contains("\"protocol\"")).map(mapper.readTree)
         .flatMap(n => Option(n.get("protocol"))).nextOption()
     pl.tail.reverseIterator.flatMap(fromJson(_)).nextOption().orElse {
-      val cps = pl.cpPaths(table)
-      if (cps.isEmpty) None
-      else {
-        val df = spark.read.parquet(cps.map(_.toString): _*)
-        if (!df.columns.contains("protocol")) None
-        else {
+      checkpointDF(spark, table, pl) match {
+        case None => None
+        case Some(df) if !df.columns.contains("protocol") => None
+        case Some(df) => {
           val pf = df.schema("protocol").dataType.asInstanceOf[StructType]
             .fieldNames.toSet
           def opt(name: String, t: DataType) =
@@ -811,11 +862,10 @@ object DeltaLog {
     */
   private def actionsDF(spark: SparkSession, table: Path, pl: ReplayPlan): DataFrame = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val cps = pl.cpPaths(table)
-    if (cps.nonEmpty) {
-      // single classic file or all parts of a multi-part checkpoint —
-      // one scan either way (parts share a schema)
-      var df = spark.read.parquet(cps.map(_.toString): _*)
+    checkpointDF(spark, table, pl).foreach { cpDf =>
+      // classic single file, all parts of a multi-part checkpoint, or a
+      // v2 top-level ∪ sidecars — one frame either way
+      var df = cpDf
       // checkpoints written before tombstone/txn support lack those columns
       if (!df.columns.contains("remove"))
         df = df.withColumn("remove", lit(null).cast(removeType))
@@ -931,9 +981,7 @@ object DeltaLog {
       pl: ReplayPlan): (Seq[LiveFile], Option[ObjectNode]) = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, LiveFile]
     var meta: Option[ObjectNode] = None
-    val cps = pl.cpPaths(table)
-    if (cps.nonEmpty) {
-      val df = spark.read.parquet(cps.map(_.toString): _*)
+    checkpointDF(spark, table, pl).foreach { df =>
       val addFields = df.schema("add").dataType
         .asInstanceOf[StructType].fieldNames.toSet
       def optField(name: String, t: DataType) =

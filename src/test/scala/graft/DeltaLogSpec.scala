@@ -1553,4 +1553,99 @@ class DeltaLogSpec extends SparkSpec {
       .get("version").asLong() == 10L)
     assert(DeltaLog.snapshot(s, t).count() == 11 * one.count())
   }
+
+  // ------------------------------------------- v2 checkpoints (read)
+  // The `v2Checkpoints` reader feature: a checkpoint named
+  // `V.checkpoint.<uniqueId>.parquet` whose top-level file carries the
+  // non-file actions plus `sidecar` rows naming parquet files under
+  // `_delta_log/_sidecars/` that hold the add/remove actions. The
+  // builder below converts the frozen golden v1 tree's CLASSIC
+  // checkpoint into that layout, so the v2 read is pinned against the
+  // same golden state both replay paths already verify.
+
+  /** Copy the golden v1 tree and rewrite its classic checkpoint as a
+    * v2 checkpoint: adds in one sidecar, removes in another, a
+    * minReaderVersion-3 protocol advertising v2Checkpoints, and a
+    * checkpointMetadata row. Returns the table dir. */
+  private def goldenAsV2Checkpoint(): java.nio.file.Path = {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val src = Paths.get("fixtures/golden_delta/v1")
+    val dst = Files.createTempDirectory("golden_v2cp")
+    Files.walk(src).iterator.asScala.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val log = dst.resolve("_delta_log")
+    val classic = log.resolve("00000000000000000002.checkpoint.parquet")
+    val cp = s.read.parquet(classic.toString)
+    val sidecarDir = Files.createDirectories(log.resolve("_sidecars"))
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+        target: java.nio.file.Path): Unit = {
+      val stage = Files.createTempDirectory("v2cp_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val sc1 = "adds-0001.parquet"
+    val sc2 = "removes-0002.parquet"
+    writeOne(cp.filter(col("add").isNotNull).select("add"),
+      sidecarDir.resolve(sc1))
+    writeOne(cp.filter(col("remove").isNotNull).select("remove"),
+      sidecarDir.resolve(sc2))
+    val nonFile = cp.filter(col("add").isNull && col("remove").isNull &&
+      col("protocol").isNull)
+    val proto = s.sql(
+      """SELECT named_struct('minReaderVersion', 3, 'minWriterVersion', 7,
+        |  'readerFeatures', array('v2Checkpoints'),
+        |  'writerFeatures', array('v2Checkpoints')) AS protocol""".stripMargin)
+    val sidecars = s.sql(
+      s"""SELECT explode(array(
+         |  named_struct('path', '$sc1', 'sizeInBytes', CAST(${Files.size(sidecarDir.resolve(sc1))} AS BIGINT)),
+         |  named_struct('path', '$sc2', 'sizeInBytes', CAST(${Files.size(sidecarDir.resolve(sc2))} AS BIGINT)))) AS sidecar""".stripMargin)
+    val cpMeta = s.sql(
+      "SELECT named_struct('version', CAST(2 AS BIGINT)) AS checkpointMetadata")
+    val top = nonFile.drop("add").drop("remove")
+      .unionByName(proto, allowMissingColumns = true)
+      .unionByName(sidecars, allowMissingColumns = true)
+      .unionByName(cpMeta, allowMissingColumns = true)
+    writeOne(top, log.resolve(
+      "00000000000000000002.checkpoint.4f1e2d3c-0000-4000-8000-1234567890ab.parquet"))
+    Files.delete(classic)
+    dst
+  }
+
+  test("v2 checkpoint: golden tree converted to sidecar layout replays identically (both paths)") {
+    val s = spark
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = Seq((4L, "delta", 40.75), (5L, "epsilon", 50.5), (6L, "zeta", 60.125))
+    val t = goldenAsV2Checkpoint().toString
+    assert(rows(DeltaLog.snapshot(s, t)) == expected,
+      "v2-checkpoint replay must equal the classic-checkpoint snapshot")
+    val saved = DeltaLog.driverMaxLogBytes
+    try {
+      DeltaLog.driverMaxLogBytes = 0L
+      assert(rows(DeltaLog.snapshot(s, t)) == expected,
+        "distributed reconstruction must expand sidecars identically")
+    } finally DeltaLog.driverMaxLogBytes = saved
+    // the JSON prefix is not needed: age it out, the v2 checkpoint alone answers
+    (0L to 2L).foreach(v =>
+      Files.deleteIfExists(Paths.get(t, "_delta_log", f"$v%020d.json")))
+    DeltaLog.resetMetaCache()
+    assert(rows(DeltaLog.snapshot(s, t)) == expected,
+      "v2 checkpoint must answer alone once the JSON prefix ages out")
+  }
+
+  test("v2 checkpoint: a missing sidecar fails loudly, never a partial replay") {
+    val s = spark
+    val t = goldenAsV2Checkpoint()
+    Files.delete(t.resolve("_delta_log").resolve("_sidecars").resolve("adds-0001.parquet"))
+    DeltaLog.resetMetaCache()
+    val e = intercept[RuntimeException](DeltaLog.snapshot(s, t.toString).collect())
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+  }
 }
