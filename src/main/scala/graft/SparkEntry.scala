@@ -31,6 +31,7 @@ object SparkEntry {
     ext.Curation.queries ++ ext.QualityProbe.queries ++
     ext.Similarity.queries ++ ext.Multimodal.queries ++ streaming.Streams.queries ++
     sources.Sinks.queries ++ sources.Layout.queries ++ sources.TxLog.queries ++
+    sources.IcebergLog.queries ++
     sources.DeltaLog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
     ext.Curation.oracles ++ ext.QualityProbe.oracles ++
     ext.Similarity.oracles ++ ext.Multimodal.oracles ++ streaming.Streams.oracles ++
     sources.Sinks.oracles ++ sources.Layout.oracles ++ sources.TxLog.oracles ++
+    sources.IcebergLog.oracles ++
     sources.DeltaLog.oracles
 }

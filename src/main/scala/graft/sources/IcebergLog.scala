@@ -1,0 +1,421 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Reader for the OTHER open table format a lakehouse engine meets in
+  * the wild: Apache Iceberg (format spec v2 — iceberg.apache.org/spec),
+  * the same external-interop role [[DeltaLog]] plays for Delta tables.
+  * No Iceberg jars exist in this environment, so the log is parsed
+  * from its primitives: the metadata JSON via jackson, the
+  * manifest-list and manifest files via avro's GENERIC reader
+  * (avro-core ships with Spark) — each avro file is self-describing,
+  * and every field is accessed BY NAME from the embedded writer
+  * schema, so files written by real Iceberg (whose records carry many
+  * more fields than the subset consumed here) parse unchanged.
+  *
+  * Resolution chain, exactly the spec's:
+  *  1. `metadata/version-hint.text` (or newest `v*.metadata.json`) →
+  *     the current metadata file;
+  *  2. `current-snapshot-id` → the snapshot entry → its
+  *     `manifest-list` avro;
+  *  3. manifest-list rows (`manifest_path`, `content`) → the DATA
+  *     manifests (content 0); a DELETE manifest (content 1 — v2
+  *     row-level deletes) fails loudly: applying position/equality
+  *     deletes is not implemented, and ignoring them would resurrect
+  *     deleted rows;
+  *  4. manifest entries (`status`, `data_file`) → live data files:
+  *     ADDED(1)/EXISTING(0) survive, DELETED(2) drop out.
+  *
+  * The scan is TYPED by the metadata's current schema (Iceberg field
+  * types mapped to Spark's), so schema-evolved tables read correctly —
+  * pre-evolution files null-fill new columns, exactly as the Delta
+  * mirror read does. Time travel = resolving any retained
+  * `snapshot-id` instead of the current one.
+  *
+  * Scale: metadata JSON + manifest-list + manifests are METADATA-SCALE
+  * driver reads (the same O(manifests) any Iceberg planner pays);
+  * the data read is one parquet scan over the live files — pruning
+  * and projection belong to Catalyst. At millions of files the
+  * manifest fan-out would move executor-side like the Delta
+  * distributed replay; file counts here stay metadata-scale.
+  */
+object IcebergLog {
+
+  private val mapper = new ObjectMapper()
+
+  // ------------------------------------------------------------- read
+
+  private def metadataDir(table: Path): Path = table.resolve("metadata")
+
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** The current metadata JSON: version-hint if present (the file
+    * Iceberg's HadoopCatalog maintains), else the highest-numbered
+    * `v<N>.metadata.json`. */
+  private[graft] def currentMetadataPath(table: Path): Path = {
+    val hint = metadataDir(table).resolve("version-hint.text")
+    if (Files.exists(hint)) {
+      val v = Files.readString(hint).trim
+      metadataDir(table).resolve(s"v$v.metadata.json")
+    } else {
+      listDir(metadataDir(table)).filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.endsWith(".metadata.json") &&
+          n.stripPrefix("v").stripSuffix(".metadata.json").forall(_.isDigit)
+      }.sortBy(_.getFileName.toString
+        .stripPrefix("v").stripSuffix(".metadata.json").toLong)
+        .lastOption.getOrElse(
+          sys.error(s"$table: no v*.metadata.json under metadata/"))
+    }
+  }
+
+  private def readMetadata(table: Path): JsonNode =
+    mapper.readTree(Files.readString(currentMetadataPath(table)))
+
+  /** Resolve a spec path (absolute URI, absolute path, or — in
+    * golden-fixture trees — table-relative) to a filesystem path. */
+  private def resolve(table: Path, p: String): Path = {
+    if (p.startsWith("file:")) Paths.get(new java.net.URI(p))
+    else if (p.startsWith("/")) Paths.get(p)
+    else table.resolve(p)
+  }
+
+  /** All records of one avro file via the generic reader (the file's
+    * own embedded writer schema). */
+  private def avroRecords(p: Path): Seq[GenericRecord] = {
+    val rd = new DataFileReader[GenericRecord](p.toFile,
+      new GenericDatumReader[GenericRecord]())
+    try rd.iterator().asScala.toSeq finally rd.close()
+  }
+
+  private def str(r: GenericRecord, f: String): String =
+    Option(r.get(f)).map(_.toString).getOrElse(
+      sys.error(s"avro record lacks required field '$f'"))
+
+  private def int(r: GenericRecord, f: String, dflt: Int = 0): Int =
+    Option(r.get(f)).map(_.asInstanceOf[Number].intValue).getOrElse(dflt)
+
+  /** Live data-file paths of one snapshot: manifest-list → data
+    * manifests → non-DELETED entries. */
+  private def liveFilesOf(table: Path, manifestList: String): Seq[Path] = {
+    val manifests = avroRecords(resolve(table, manifestList)).map { m =>
+      (str(m, "manifest_path"), int(m, "content"))
+    }
+    val deleteManifests = manifests.filter(_._2 == 1)
+    if (deleteManifests.nonEmpty)
+      sys.error(s"$table: snapshot carries ${deleteManifests.size} DELETE " +
+        "manifest(s) (v2 row-level deletes) — applying them is not " +
+        "implemented, and ignoring them would resurrect deleted rows")
+    manifests.map(_._1).flatMap { mp =>
+      avroRecords(resolve(table, mp)).flatMap { e =>
+        val status = int(e, "status")
+        if (status == 2) None // DELETED
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          if (int(df, "content") != 0)
+            sys.error(s"$table: manifest entry carries a delete file " +
+              "(content != 0) — not supported")
+          val fmt = str(df, "file_format")
+          if (!fmt.equalsIgnoreCase("parquet"))
+            sys.error(s"$table: data file format $fmt — only parquet is read")
+          Some(resolve(table, str(df, "file_path")))
+        }
+      }
+    }
+  }
+
+  /** Iceberg type string → Spark type (the spec's primitive types;
+    * nested types fall back to scan inference by returning None). */
+  private def sparkType(t: JsonNode): Option[DataType] =
+    if (!t.isTextual) None
+    else t.asText() match {
+      case "boolean" => Some(BooleanType)
+      case "int" => Some(IntegerType)
+      case "long" => Some(LongType)
+      case "float" => Some(FloatType)
+      case "double" => Some(DoubleType)
+      case "date" => Some(DateType)
+      case "timestamptz" => Some(TimestampType)
+      case "timestamp" => Some(TimestampNTZType)
+      case "string" | "uuid" => Some(StringType)
+      case "binary" => Some(BinaryType)
+      case d if d.startsWith("decimal(") =>
+        val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")").split(",")
+        Some(DecimalType(p.trim.toInt, s.trim.toInt))
+      case _ => None
+    }
+
+  /** The current schema of a metadata JSON as a Spark StructType; None
+    * when any field's type has no mapping (the read then falls back to
+    * parquet inference). */
+  private def currentSchema(meta: JsonNode): Option[StructType] = {
+    val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val schema = Option(meta.get("schemas"))
+      .flatMap(_.asScala.find(s => int2(s, "schema-id") == sid))
+      .orElse(Option(meta.get("schema"))) // v1 single-schema form
+      .getOrElse(return None)
+    val fields = schema.get("fields").asScala.toSeq.map { f =>
+      sparkType(f.get("type")).map(dt =>
+        StructField(f.get("name").asText(), dt,
+          nullable = !Option(f.get("required")).exists(_.asBoolean(false))))
+    }
+    if (fields.exists(_.isEmpty)) None
+    else Some(StructType(fields.flatten))
+  }
+
+  private def int2(n: JsonNode, f: String): Int =
+    Option(n.get(f)).map(_.asInt()).getOrElse(0)
+
+  private def snapshotNode(meta: JsonNode, id: Long): JsonNode =
+    Option(meta.get("snapshots")).flatMap(_.asScala.find(
+      _.get("snapshot-id").asLong() == id)).getOrElse(
+      sys.error(s"snapshot $id not found in table metadata"))
+
+  /** Snapshot-isolated read of the table's CURRENT snapshot. */
+  def snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val table = Paths.get(dir)
+    val meta = readMetadata(table)
+    val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(
+        sys.error(s"$dir: table has no current snapshot"))
+    snapshotAt(spark, dir, cur)
+  }
+
+  /** Time travel to any retained snapshot id. */
+  def snapshotAt(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
+    val table = Paths.get(dir)
+    val meta = readMetadata(table)
+    val snap = snapshotNode(meta, snapshotId)
+    val files = liveFilesOf(table, snap.get("manifest-list").asText())
+    val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
+    if (files.isEmpty)
+      sys.error(s"$dir: snapshot $snapshotId lists no data files")
+    rd.parquet(files.map(_.toString): _*)
+  }
+
+  /** The table's snapshot history (id, timestamp, manifest-list) —
+    * metadata-scale. */
+  def history(dir: String): Seq[(Long, Long, String)] = {
+    val meta = readMetadata(Paths.get(dir))
+    Option(meta.get("snapshots")).map(_.asScala.toSeq.map(s =>
+      (s.get("snapshot-id").asLong(),
+        Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+        s.get("manifest-list").asText()))).getOrElse(Seq.empty)
+  }
+
+  // ------------------------------------- golden-fixture tree (writer)
+  // The engine only READS Iceberg; the builder below hand-authors a
+  // spec-conformant v2 tree (avro manifests included) purely to pin
+  // the reader — the same role the golden Delta fixture plays. Paths
+  // are table-relative so the tree is position-independent.
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  private val manifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private def writeAvro(p: Path, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, p.toFile)
+    try records.foreach(w.append) finally w.close()
+  }
+
+  /** One manifest avro of (status, relPath) entries; returns its
+    * table-relative path. */
+  private def writeManifest(table: Path, name: String,
+      entries: Seq[(Int, String)]): String = {
+    val recs = entries.map { case (status, rel) =>
+      val f = table.resolve(rel)
+      val dataFile = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      dataFile.put("content", 0)
+      dataFile.put("file_path", rel)
+      dataFile.put("file_format", "PARQUET")
+      dataFile.put("record_count", 0L)
+      dataFile.put("file_size_in_bytes",
+        if (Files.exists(f)) Files.size(f) else 0L)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", status)
+      e.put("data_file", dataFile)
+      e: GenericRecord
+    }
+    val rel = s"metadata/$name"
+    writeAvro(table.resolve(rel), manifestEntrySchema, recs)
+    rel
+  }
+
+  private def writeManifestList(table: Path, name: String,
+      manifests: Seq[String], snapshotId: Long): String = {
+    val recs = manifests.map { rel =>
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", rel)
+      r.put("manifest_length", Files.size(table.resolve(rel)))
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("added_snapshot_id", snapshotId)
+      r: GenericRecord
+    }
+    val rel = s"metadata/$name"
+    writeAvro(table.resolve(rel), manifestListSchema, recs)
+    rel
+  }
+
+  private def icebergFieldType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case BooleanType => "boolean"
+    case StringType => "string"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => sys.error(s"no iceberg mapping for $other")
+  }
+
+  private def metadataJson(table: Path, schema: StructType,
+      snapshots: Seq[(Long, String)], currentId: Long): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", 2)
+    root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      table.toString.getBytes("UTF-8")).toString)
+    root.put("location", table.toString)
+    root.put("last-sequence-number", snapshots.size)
+    root.put("current-snapshot-id", currentId)
+    root.put("current-schema-id", 0)
+    val schemas = root.putArray("schemas")
+    val sc = schemas.addObject()
+    sc.put("type", "struct")
+    sc.put("schema-id", 0)
+    val fields = sc.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", icebergFieldType(f.dataType))
+    }
+    val specs = root.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0)
+    spec.putArray("fields")
+    root.put("default-spec-id", 0)
+    val snaps = root.putArray("snapshots")
+    snapshots.foreach { case (id, ml) =>
+      val sn = snaps.addObject()
+      sn.put("snapshot-id", id)
+      sn.put("timestamp-ms", 1700000000000L + id)
+      sn.put("manifest-list", ml)
+      sn.put("schema-id", 0)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  /** Write one parquet data file from `df`; returns its table-relative
+    * path. */
+  private def writeDataFile(df: DataFrame, table: Path, name: String): String = {
+    val stage = Files.createTempDirectory(table, ".stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = listDir(stage).find(
+      _.getFileName.toString.endsWith(".parquet")).get
+    val rel = s"data/$name"
+    Files.createDirectories(table.resolve("data"))
+    Files.move(part, table.resolve(rel))
+    listDir(stage).foreach(Files.deleteIfExists(_))
+    Files.delete(stage)
+    rel
+  }
+
+  /** The golden fixture tree: THREE event batches by id residue.
+    *  - snapshot 1: batch0 ADDED (manifest m1);
+    *  - snapshot 2: m1 re-listed (batch0 EXISTING + batch1 ADDED) plus
+    *    m2 where batch2 was ADDED then a REWRITTEN m2' marks it
+    *    DELETED — the live set is exactly batches {0, 1}, and only a
+    *    reader that walks list → manifests → entry status correctly
+    *    computes it.
+    * version-hint.text points at v2; v1 stays for time travel.
+    */
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def goldenTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"iceberg:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg")
+      Files.createDirectories(metadataDir(table))
+      val ev = Tables.events(spark, dir)
+      val b0 = writeDataFile(ev.filter(pmod(col("event_id"), lit(3)) === 0), table, "b0.parquet")
+      val b1 = writeDataFile(ev.filter(pmod(col("event_id"), lit(3)) === 1), table, "b1.parquet")
+      val b2 = writeDataFile(ev.filter(pmod(col("event_id"), lit(3)) === 2), table, "b2.parquet")
+      val schema = ev.schema
+      // snapshot 1: batch0 added
+      val m1v1 = writeManifest(table, "m1-s1.avro", Seq((1, b0)))
+      val ml1 = writeManifestList(table, "snap-1-list.avro", Seq(m1v1), 1L)
+      Files.writeString(metadataDir(table).resolve("v1.metadata.json"),
+        metadataJson(table, schema, Seq((1L, ml1)), 1L))
+      // snapshot 2: batch0 existing + batch1 added; batch2 added then
+      // deleted in the rewritten second manifest
+      val m1v2 = writeManifest(table, "m1-s2.avro", Seq((0, b0), (1, b1)))
+      val m2v2 = writeManifest(table, "m2-s2.avro", Seq((2, b2)))
+      val ml2 = writeManifestList(table, "snap-2-list.avro", Seq(m1v2, m2v2), 2L)
+      Files.writeString(metadataDir(table).resolve("v2.metadata.json"),
+        metadataJson(table, schema, Seq((1L, ml1), (2L, ml2)), 2L))
+      Files.writeString(metadataDir(table).resolve("version-hint.text"), "2")
+      table.toString
+    })
+
+  /** Oracle-checked read of the golden Iceberg tree: the current
+    * snapshot must aggregate EXACTLY batches {0,1} — resurrecting the
+    * DELETED batch2, missing the EXISTING re-listing, or reading the
+    * stale v1 metadata all flip the hash.
+    */
+  def snapshotQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, goldenTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val snapshotQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 3 < 2
+      |GROUP BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_iceberg_snapshot" -> snapshotQuery _
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_iceberg_snapshot" -> snapshotQueryOracle
+  )
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.IcebergLog
+
+/** Iceberg v2 read path (sources/IcebergLog): golden-tree resolution
+  * chain (version-hint → metadata JSON → manifest-list avro → manifest
+  * avro → live files), snapshot status semantics, time travel, and the
+  * loud refusals (delete manifests, missing snapshot).
+  */
+class IcebergSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("current snapshot resolves live files through list -> manifests -> status") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.goldenTable(s, sf)
+    val got = IcebergLog.snapshot(s, t)
+    // live set = batch0 (EXISTING) + batch1 (ADDED); batch2 was DELETED
+    assert(got.count() == ev.filter(pmod(col("event_id"), lit(3)) < 2).count())
+    assert(got.agg(sum("event_id")).collect()(0).getLong(0) ==
+      ev.filter(pmod(col("event_id"), lit(3)) < 2)
+        .agg(sum("event_id")).collect()(0).getLong(0))
+    // the scan is typed by the metadata schema
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("time travel to snapshot 1 reads only the first batch") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.goldenTable(s, sf)
+    assert(IcebergLog.snapshotAt(s, t, 1L).count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) === 0).count())
+    val hist = IcebergLog.history(t)
+    assert(hist.map(_._1) == Seq(1L, 2L))
+    intercept[RuntimeException](IcebergLog.snapshotAt(s, t, 99L))
+  }
+
+  test("a delete manifest (v2 row-level deletes) refuses loudly") {
+    val s = spark
+    val t = Paths.get(IcebergLog.goldenTable(s, sf))
+    // clone the tree, flip one manifest-list entry's content to 1
+    val dst = Files.createTempDirectory("iceberg_del")
+    Files.walk(t).iterator().forEachRemaining { p =>
+      val d = dst.resolve(t.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // rewrite the snapshot-2 manifest list with m2 marked as a DELETE manifest
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val ml = dst.resolve("metadata/snap-2-list.avro")
+    val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      ml.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val recs = try {
+      val it = rd.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.avro.generic.GenericRecord]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } finally rd.close()
+    val out = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    Files.delete(ml)
+    out.create(schema, ml.toFile)
+    try recs.foreach { r =>
+      val n = new org.apache.avro.generic.GenericData.Record(schema)
+      n.put("manifest_path", r.get("manifest_path").toString)
+      n.put("manifest_length", r.get("manifest_length"))
+      n.put("partition_spec_id", 0)
+      n.put("content",
+        if (r.get("manifest_path").toString.contains("m2")) 1 else 0)
+      n.put("added_snapshot_id", r.get("added_snapshot_id"))
+      out.append(n)
+    } finally out.close()
+    val e = intercept[RuntimeException](IcebergLog.snapshot(spark, dst.toString))
+    assert(e.getMessage.contains("DELETE manifest"), e.getMessage)
+  }
+
+  test("a foreign avro manifest with EXTRA fields parses by field name") {
+    val s = spark
+    // real Iceberg manifests carry many more fields than the subset the
+    // reader consumes — write one with extras and read through it
+    val t = Paths.get(IcebergLog.goldenTable(s, sf))
+    val dst = Files.createTempDirectory("iceberg_foreign")
+    Files.walk(t).iterator().forEachRemaining { p =>
+      val d = dst.resolve(t.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val entry = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"column_sizes","type":["null",{"type":"map","values":"long"}],"default":null}]}}]}""".stripMargin)
+    val m1 = dst.resolve("metadata/m1-s2.avro")
+    Files.delete(m1)
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](entry))
+    w.create(entry, m1.toFile)
+    try Seq("data/b0.parquet", "data/b1.parquet").foreach { rel =>
+      val df = new org.apache.avro.generic.GenericData.Record(
+        entry.getField("data_file").schema())
+      df.put("content", 0)
+      df.put("file_path", rel)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new org.apache.avro.generic.GenericData.Record(
+        entry.getField("data_file").schema().getField("partition").schema()))
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", Files.size(dst.resolve(rel)))
+      val e = new org.apache.avro.generic.GenericData.Record(entry)
+      e.put("status", 1)
+      e.put("data_file", df)
+      w.append(e)
+    } finally w.close()
+    val ev = Tables.events(s, sf)
+    assert(IcebergLog.snapshot(s, dst.toString).count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) < 2).count(),
+      "extra avro fields must not disturb by-name parsing")
+  }
+}
