@@ -80,8 +80,26 @@ object Streams {
   private def stageSingle(dir: String): String =
     stagedDirs.getOrElseUpdate(dir, {
       val d = graft.Scratch.dir("graft_stream_in")
-      Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("events.parquet"))
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      if (Files.isDirectory(src)) {
+        // a multi-file corpus (scaled SFs write part sets): every part
+        // becomes one arriving file in the landing dir — a naive
+        // Files.copy of the directory would stage it EMPTY and the
+        // replay would see no schema at all
+        val s = Files.list(src)
+        try {
+          val it = s.iterator()
+          var i = 0
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+              Files.copy(p, d.resolve(f"events-$i%05d.parquet"))
+              i += 1
+            }
+          }
+        } finally s.close()
+      } else Files.copy(src, d.resolve("events.parquet"))
       d.toString
     })
 
