@@ -134,4 +134,16 @@ class IcebergSpec extends SparkSpec {
       ev.filter(pmod(col("event_id"), lit(3)) < 2).count(),
       "extra avro fields must not disturb by-name parsing")
   }
+
+  test("frozen golden tree (fixtures/golden_iceberg) replays the exact frozen state") {
+    // position-independent (relative manifest paths), committed once —
+    // pins reader back-compat the way fixtures/golden_delta does for Delta
+    val s = spark
+    val t = "fixtures/golden_iceberg"
+    val snap = IcebergLog.snapshot(s, t)
+    assert(snap.count() == 667L)
+    assert(snap.agg(round(sum("value"), 2)).collect()(0).get(0) == 34257.82)
+    assert(IcebergLog.snapshotAt(s, t, 1L).count() == 334L)
+    assert(IcebergLog.history(t).map(_._1) == Seq(1L, 2L))
+  }
 }

@@ -675,4 +675,90 @@ class TxLogSpec extends SparkSpec {
         .stripPrefix("file:")).columns.contains("tag") ||
       v1files.count() == 1) // at least one generation lacks it physically
   }
+
+  test("schema evolution preserves field metadata (generation exprs, defaults)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(Seq((1L, 10.0)).toDF("id", "v"), t)
+    TxLog.setGenerationExpression(s, t, "v", "CAST(id AS DOUBLE) * 10")
+    TxLog.addColumnWithDefault(s, t, "fee",
+      org.apache.spark.sql.types.DoubleType, "2.5")
+    // a WIDENING append (new `tag` column; v and fee completed by the
+    // writer) must not strip the governance metadata from surviving
+    // columns when the evolved schema re-emits
+    TxLog.commitAppend(Seq((2L, "x")).toDF("id", "tag"), t)
+    val js = org.apache.spark.sql.types.DataType.fromJson(
+      graft.sources.DeltaLog.currentSchemaString(
+        java.nio.file.Paths.get(t)).get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(js.fieldNames.contains("tag"), js.treeString)
+    assert(js("v").metadata.contains("delta.generationExpression"),
+      "widening append stripped the generation expression: " + js("v").metadata)
+    assert(js("fee").metadata.contains("CURRENT_DEFAULT"),
+      "widening append stripped the column default: " + js("fee").metadata)
+    // and both still APPLY for a later omitting batch
+    TxLog.commitAppend(Seq((5L, "y")).toDF("id", "tag"), t)
+    val row = TxLog.snapshot(s, t).filter(col("id") === 5)
+      .select("v", "fee").collect()(0)
+    assert(row.getDouble(0) == 50.0 && row.getDouble(1) == 2.5,
+      s"governance must still apply post-evolution, got $row")
+  }
+
+  test("#props header makes installed governance survive a crashed mirror write") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 200), t)
+    val v = TxLog.setTableProperties(s, t, Map(
+      "delta.constraints.idBound" -> "event_id < 800"))
+    // simulate the committer dying right after the manifest link: the
+    // property commit's Delta mirror JSON vanishes before anyone read it
+    Files.delete(java.nio.file.Paths.get(t, "_delta_log", f"${v - 1}%020d.json"))
+    graft.sources.DeltaLog.resetMetaCache()
+    TxLog.resetMirrorCache()
+    // the NEXT commit backfills the missing mirror version FROM THE
+    // MANIFEST HEADERS — constraints included — so enforcement still sees it
+    TxLog.commitAppend(events.filter(col("event_id").between(200, 399)), t)
+    val cfg = graft.sources.DeltaLog.tableConfig(java.nio.file.Paths.get(t))
+    assert(cfg.get("delta.constraints.idBound").contains("event_id < 800"),
+      s"backfill must restore properties from the #props header, got $cfg")
+    val bad = scala.util.Try(
+      TxLog.commitAppend(events.filter(col("event_id") >= 800), t))
+    assert(bad.isFailure && bad.failed.get.getMessage.contains("idBound"),
+      s"restored constraint must enforce: $bad")
+  }
+
+  test("#op header classifies backfilled rewrites without the mirror") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    (0 until 3).foreach(i => TxLog.commitAppend(
+      events.filter(pmod(col("event_id"), lit(3)) === i), t))
+    val r = TxLog.optimize(s, t)
+    // kill the OPTIMIZE version's mirror (crashed committer) and caches
+    Files.delete(java.nio.file.Paths.get(t, "_delta_log", f"${r.version - 1}%020d.json"))
+    graft.sources.DeltaLog.resetMetaCache()
+    TxLog.resetMirrorCache()
+    // next commit backfills; the re-mirrored version must carry
+    // dataChange=false FROM THE #op HEADER, so the change feed and the
+    // streaming source keep skipping the compaction
+    TxLog.commitAppend(events.limit(0), t)
+    assert(graft.sources.DeltaLog.isBytesOnlyCommit(
+      java.nio.file.Paths.get(t), r.version).contains(true),
+      "backfilled OPTIMIZE must re-mirror as dataChange=false via #op")
+  }
+
+  test("commitAppendOnce refuses appIds that would corrupt the manifest header") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    intercept[IllegalArgumentException](
+      TxLog.commitAppendOnce(events.limit(1), t, "app id", 1L))
+    intercept[IllegalArgumentException](
+      TxLog.commitAppendOnce(events.limit(1), t, "app\nid", 1L))
+    intercept[IllegalArgumentException](
+      TxLog.commitAppendOnce(events.limit(1), t, "", 1L))
+  }
 }
