@@ -1754,7 +1754,7 @@ object DeltaLog {
     * Shared by [[skipScan]] and the TxLog row-level rewrites (candidate
     * selection for DELETE/UPDATE/MERGE).
     */
-  private[sources] def pruneFlags(spark: SparkSession, dir: String,
+  private[graft] def pruneFlags(spark: SparkSession, dir: String,
       preds: Seq[(String, Any, Any)]): (Seq[(LiveFile, Boolean)], Option[ObjectNode]) = {
     val table = Paths.get(dir)
     val latest = (versions(dir) ++ lastCheckpointVersion(table))

@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
@@ -20,7 +20,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionRea
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter => SFilter, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -175,10 +175,43 @@ class TxLogTable(dir: String, schema: StructType,
       TableCapability.BATCH_READ)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new TxLogScan(dir, schema,
-        options ++ caseInsensitive.asCaseSensitiveMap().asScala)
-    }
+    new TxLogScanBuilder(dir, schema,
+      options ++ caseInsensitive.asCaseSensitiveMap().asScala)
+}
+
+/** Pushdown surface of the connector: COLUMN PRUNING (the scan reads
+  * only the projected columns — `ReadSchema` shrinks exactly as a
+  * native parquet scan's would) and FILTER PUSHDOWN (data-column
+  * predicates reach the parquet reader for row-group/page pruning,
+  * and their range envelope prunes WHOLE FILES against the Delta
+  * mirror's per-file stats and partition values before any IO — the
+  * [[graft.sources.DeltaLog.skipScan]] machinery behind a DSv2 scan).
+  * Every filter is also kept as a residual: file/row-group skipping is
+  * best-effort over-approximation, Spark's post-scan Filter stays the
+  * exact gate.
+  */
+class TxLogScanBuilder(dir: String, fullSchema: StructType,
+    options: Map[String, String]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[SFilter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[SFilter]): Array[SFilter] = {
+    // push only filters over data/partition columns that exist; keep
+    // ALL as residuals (pruning is an over-approximation, never exact)
+    val names = fullSchema.fieldNames.toSet
+    pushed = filters.filter(_.references.forall(names))
+    filters
+  }
+
+  override def pushedFilters(): Array[SFilter] = pushed
+
+  override def build(): Scan =
+    new TxLogScan(dir, fullSchema, options, required, pushed)
 }
 
 object TxLogScan {
@@ -200,6 +233,32 @@ object TxLogScan {
     StructType(data ++ part ++ (if (cdf) CdfFields else Seq.empty))
   }
 
+  /** Conjunctive range envelope of pushed filters as (col, lo, hi)
+    * triples (inclusive bounds, null = unbounded) — the
+    * over-approximation file-stats pruning needs. Conjuncts only; any
+    * unsupported shape simply contributes nothing (pruning stays
+    * sound, residual filters stay exact). */
+  private[streaming] def rangeTriples(fs: Array[SFilter]): Seq[(String, Any, Any)] = {
+    import org.apache.spark.sql.{sources => sf}
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, (Any, Any)]
+    def merge(c: String, lo: Any, hi: Any): Unit = {
+      val (l0, h0) = m.getOrElse(c, (null, null))
+      m(c) = (if (lo != null) lo else l0, if (hi != null) hi else h0)
+    }
+    def walk(f: SFilter): Unit = f match {
+      case sf.EqualTo(c, v) => merge(c, v, v)
+      case sf.GreaterThan(c, v) => merge(c, v, null)
+      case sf.GreaterThanOrEqual(c, v) => merge(c, v, null)
+      case sf.LessThan(c, v) => merge(c, null, v)
+      case sf.LessThanOrEqual(c, v) => merge(c, null, v)
+      case sf.And(a, b) => walk(a); walk(b)
+      case _ => ()
+    }
+    fs.foreach(walk)
+    m.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+      .filter(t => t._2 != null || t._3 != null)
+  }
+
   /** Hive path-segment unescape (`%xx` sequences). */
   private[streaming] def unescapePath(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -215,23 +274,40 @@ object TxLogScan {
   }
 }
 
-/** One scan = one (schema, options) binding; `toMicroBatchStream` for
-  * the streaming read, `toBatch` for the snapshot read. File planning
-  * and the reader factory are shared by both. */
-class TxLogScan(dir: String, schema: StructType,
-    options: Map[String, String]) extends Scan {
+/** One scan = one (projection, filters, options) binding;
+  * `toMicroBatchStream` for the streaming read, `toBatch` for the
+  * snapshot read. File planning and the reader factory are shared by
+  * both; the pruned projection and the pushed filters apply to both
+  * (the streaming scan builds through the same pushdown rules). */
+class TxLogScan(dir: String, fullSchema: StructType,
+    options: Map[String, String], required: StructType,
+    pushed: Array[SFilter]) extends Scan {
 
   private val cdf = options.get("readChangeFeed").exists(_.toBoolean)
-  private val nPartCols = TxLog.partitionColumnsOf(dir).size
-  // (real partition cols ++ CDF pseudo-cols) tail off the read schema
-  private val nAppended = nPartCols + (if (cdf) TxLogScan.CdfFields.size else 0)
-  private val dataSchema = StructType(schema.fields.dropRight(nAppended))
-  private val partSchema = StructType(schema.fields.takeRight(nAppended))
+  // appended (non-file) columns: real partition cols + CDF pseudo-cols
+  private val partCols = TxLog.partitionColumnsOf(dir)
+  private val appendedNames: Set[String] =
+    (partCols ++ (if (cdf) TxLogScan.CdfFields.map(_.name) else Seq.empty)).toSet
+  // full FILE schema (the parquet resolution baseline) vs the PRUNED
+  // projection split into its file and appended halves
+  private val dataSchema = StructType(
+    fullSchema.fields.filterNot(f => appendedNames(f.name)))
+  private val readDataSchema = StructType(
+    required.fields.filterNot(f => appendedNames(f.name)))
+  private val readPartSchema = StructType(
+    required.fields.filter(f => appendedNames(f.name)))
+  // filters over file columns go to the parquet reader (row-group/page
+  // pruning); partition-column filters prune at file granularity only
+  private val dataFilters: Array[SFilter] =
+    pushed.filter(_.references.forall(dataSchema.fieldNames.contains))
 
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType =
+    StructType(readDataSchema.fields ++ readPartSchema.fields)
 
-  override def description(): String =
-    s"graft-txlog $dir${if (cdf) " [changeFeed]" else ""}"
+  override def description(): String = {
+    val pf = if (pushed.isEmpty) "" else pushed.mkString(", PushedFilters: [", ", ", "]")
+    s"graft-txlog $dir${if (cdf) " [changeFeed]" else ""}$pf"
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TxLogMicroBatchStream(this, dir,
@@ -240,10 +316,25 @@ class TxLogScan(dir: String, schema: StructType,
       options.get("maxVersionsPerTrigger").map(_.toLong), cdf)
 
   override def toBatch: Batch = new Batch {
+    /** Live files, minus the ones the pushed filters' range envelope
+      * PROVES no-match against the Delta mirror's per-file stats and
+      * partition values — whole-file skipping before any IO, the same
+      * soundness contract as [[graft.sources.TxLog.deleteWhere]]'s
+      * pruning: only explicitly-disproven files skip; an absent or
+      * unreadable mirror disables pruning (correct, just unpruned). */
     override def planInputPartitions(): Array[InputPartition] = {
       val cur = TxLog.currentVersion(dir).getOrElse(
         sys.error(s"no committed version in $dir"))
-      packPartitions(Seq((cur, TxLog.liveRelsAt(dir, cur))))
+      val rels = TxLog.liveRelsAt(dir, cur)
+      val preds = TxLogScan.rangeTriples(pushed)
+      val skipped: Set[String] =
+        if (preds.isEmpty) Set.empty
+        else scala.util.Try(
+          graft.sources.DeltaLog.pruneFlags(
+            SparkSession.getActiveSession.get, dir, preds)
+            ._1.collect { case (f, false) => f.path }.toSet)
+          .getOrElse(Set.empty)
+      packPartitions(Seq((cur, rels.filterNot(skipped))))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       TxLogScan.this.createReaderFactory()
@@ -268,17 +359,20 @@ class TxLogScan(dir: String, schema: StructType,
           val i = s.indexOf('=')
           (TxLogScan.unescapePath(s.take(i)), TxLogScan.unescapePath(s.drop(i + 1)))
         }.toMap
-        val partVals = partSchema.fields.take(nPartCols).map { f =>
-          val raw = segs.getOrElse(f.name, sys.error(
-            s"$dir: $rel lacks partition segment ${f.name}"))
-          if (raw == "__HIVE_DEFAULT_PARTITION__") null
-          else Cast(Literal(UTF8String.fromString(raw), StringType),
-            f.dataType, Some(zone)).eval(null)
+        val appendedVals = readPartSchema.fields.map { f =>
+          f.name match {
+            case "_change_type" if cdf => UTF8String.fromString("insert")
+            case "_commit_version" if cdf => v
+            case name =>
+              val raw = segs.getOrElse(name, sys.error(
+                s"$dir: $rel lacks partition segment $name"))
+              if (raw == "__HIVE_DEFAULT_PARTITION__") null
+              else Cast(Literal(UTF8String.fromString(raw), StringType),
+                f.dataType, Some(zone)).eval(null)
+          }
         }.toSeq
-        val cdfVals: Seq[Any] =
-          if (cdf) Seq(UTF8String.fromString("insert"), v) else Seq.empty
         val size = Files.size(abs)
-        PartitionedFile(InternalRow.fromSeq(partVals ++ cdfVals),
+        PartitionedFile(InternalRow.fromSeq(appendedVals),
           SparkPath.fromPathString(abs.toString), 0L, size, Array.empty,
           Files.getLastModifiedTime(abs).toMillis, size, Map.empty)
       }
@@ -298,7 +392,7 @@ class TxLogScan(dir: String, schema: StructType,
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
     hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
-    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchema.json)
     hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, dataSchema.json)
     hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
       sqlConf.sessionLocalTimeZone)
@@ -306,7 +400,7 @@ class TxLogScan(dir: String, schema: StructType,
       sqlConf.nestedSchemaPruningEnabled)
     hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
       sqlConf.caseSensitiveAnalysis)
-    ParquetWriteSupport.setSchema(dataSchema, hadoopConf)
+    ParquetWriteSupport.setSchema(readDataSchema, hadoopConf)
     hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
       sqlConf.isParquetBinaryAsString)
     hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
@@ -318,8 +412,8 @@ class TxLogScan(dir: String, schema: StructType,
     hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
       sqlConf.parquetInferTimestampNTZEnabled)
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, dataSchema,
-      partSchema, Array.empty, None, new ParquetOptions(options, sqlConf))
+    ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, readDataSchema,
+      readPartSchema, dataFilters, None, new ParquetOptions(options, sqlConf))
   }
 }
 

@@ -726,4 +726,61 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(got.sameElements(want), s"dsv2=${got.toSeq} snapshot=${want.toSeq}")
   }
+
+  test("DSv2 batch read: column pruning reaches the scan; stats skip whole files") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_pushdown").toString
+    // 8 disjoint event_id ranges -> 8 files with tight mirror stats
+    graft.sources.TxLog.commitAppend(
+      ev.repartitionByRange(8, col("event_id")), tbl)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in plan"))
+    // projection pruning: only the projected column reaches the scan
+    val proj = s.read.format("graft-txlog").option("path", tbl).load()
+      .select("event_type")
+    assert(scanOf(proj).scan.readSchema().fieldNames.toSeq == Seq("event_type"),
+      scanOf(proj).scan.readSchema().treeString)
+    // filter pushdown: the range envelope prunes files via mirror stats
+    val filtered = s.read.format("graft-txlog").option("path", tbl).load()
+      .filter(col("event_id") <= 100)
+    def nf(b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec) =
+      b.inputPartitions.map {
+        case p: org.apache.spark.sql.execution.datasources.FilePartition => p.files.length
+        case _ => 0
+      }.sum
+    val nFiles = nf(scanOf(filtered))
+    val allFiles = nf(scanOf(s.read.format("graft-txlog").option("path", tbl).load()))
+    assert(allFiles == 8, s"expected 8 range files, scanned $allFiles")
+    assert(nFiles < allFiles,
+      s"stats pruning must skip disjoint-range files: $nFiles of $allFiles")
+    // and the result stays exact (residual filter is the gate)
+    assert(filtered.count() == ev.filter(col("event_id") <= 100).count())
+  }
+
+  test("DSv2 batch read: partition-column filters prune files by partition value") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_pushdown_part").toString
+    graft.sources.TxLog.commitAppend(
+      ev.withColumn("day", col("ts").cast("date")), tbl,
+      partitionBy = Seq("day"))
+    val df = s.read.format("graft-txlog").option("path", tbl).load()
+    val one = df.filter(col("day") === "2024-01-03")
+    def files(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get.inputPartitions.map {
+        case p: org.apache.spark.sql.execution.datasources.FilePartition => p.files.length
+        case _ => 0
+      }.sum
+    assert(files(one) < files(df),
+      s"partition filter must prune: ${files(one)} of ${files(df)}")
+    assert(one.count() ==
+      ev.filter(col("ts").cast("date") === "2024-01-03").count())
+  }
 }
