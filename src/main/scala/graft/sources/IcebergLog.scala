@@ -111,9 +111,37 @@ object IcebergLog {
   private def int(r: GenericRecord, f: String, dflt: Int = 0): Int =
     Option(r.get(f)).map(_.asInstanceOf[Number].intValue).getOrElse(dflt)
 
-  /** Live data-file paths of one snapshot: manifest-list → data
-    * manifests → non-DELETED entries. */
-  private def liveFilesOf(table: Path, manifestList: String): Seq[Path] = {
+  /** One live data file as the manifests describe it: resolved path
+    * plus the per-file COLUMN BOUNDS (field id → spec
+    * single-value-serialized bytes) the skip-scan prunes on. */
+  private[graft] final case class IceFile(path: Path,
+      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]])
+
+  /** Iceberg stores bounds as a logical map encoded the avro way: an
+    * ARRAY of {key, value} records. Read by field name, tolerant of
+    * absence (older writers) — no bounds just means no pruning. */
+  private def boundsOf(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
+    // avro's generic get THROWS on a field absent from the writer
+    // schema (older manifests) — absent bounds just mean no pruning
+    Option(df.getSchema.getField(field)).flatMap(_ => Option(df.get(field))) match {
+      case None => Map.empty
+      case Some(arr: java.util.Collection[_]) =>
+        arr.asScala.map { e =>
+          val r = e.asInstanceOf[GenericRecord]
+          val bytes = r.get("value") match {
+            case bb: java.nio.ByteBuffer =>
+              val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+            case b: Array[Byte] => b
+            case other => sys.error(s"unexpected bound value $other")
+          }
+          (r.get("key").asInstanceOf[Number].intValue, bytes)
+        }.toMap
+      case Some(other) => sys.error(s"unexpected $field shape: $other")
+    }
+
+  /** Live data files of one snapshot: manifest-list → data manifests →
+    * non-DELETED entries, bounds included. */
+  private def liveFilesOf(table: Path, manifestList: String): Seq[IceFile] = {
     val manifests = avroRecords(resolve(table, manifestList)).map { m =>
       (str(m, "manifest_path"), int(m, "content"))
     }
@@ -134,9 +162,90 @@ object IcebergLog {
           val fmt = str(df, "file_format")
           if (!fmt.equalsIgnoreCase("parquet"))
             sys.error(s"$table: data file format $fmt — only parquet is read")
-          Some(resolve(table, str(df, "file_path")))
+          Some(IceFile(resolve(table, str(df, "file_path")),
+            boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds")))
         }
       }
+    }
+  }
+
+  // ------------------------------------ bound decode + file skipping
+
+  /** Iceberg's binary single-value serialization (spec appendix D):
+    * little-endian fixed width for numerics, UTF-8 for strings. */
+  private[graft] def decodeBound(bytes: Array[Byte], dt: DataType): Any = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType => bb.getInt
+      case LongType | TimestampType | TimestampNTZType => bb.getLong
+      case FloatType => bb.getFloat
+      case DoubleType => bb.getDouble
+      case BooleanType => bytes.nonEmpty && bytes(0) != 0
+      case StringType => new String(bytes, "UTF-8")
+      case other => sys.error(s"no bound decoding for $other")
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue)
+    case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue)
+    case (x: Float, y: Number) => java.lang.Double.compare(x.toDouble, y.doubleValue)
+    case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue)
+    case (x: String, y) => x.compareTo(y.toString)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
+
+  /** Snapshot read that SKIPS files the manifest bounds prove outside
+    * the conjunctive inclusive ranges `preds` = (column, lo, hi; null =
+    * unbounded) — Iceberg's own planning path (min/max per field id in
+    * the manifests, no footer reads). Sound direction: a file missing
+    * bounds for a predicate column is always read. Returns the pruned
+    * frame WITH the residual range filters applied (pruning is an
+    * over-approximation, the filter is the gate). Skip counts surface
+    * via [[lastSkipScan]] for specs.
+    */
+  @volatile private[graft] var lastSkipScan: (Long, Long) = (0L, 0L)
+
+  def skipScan(spark: SparkSession, dir: String,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    val table = Paths.get(dir)
+    val meta = readMetadata(table)
+    val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(sys.error(s"$dir: no current snapshot"))
+    val files = liveFilesOf(table,
+      snapshotNode(meta, cur).get("manifest-list").asText())
+    val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val schemaNode = Option(meta.get("schemas"))
+      .flatMap(_.asScala.find(s => int2(s, "schema-id") == sid))
+      .getOrElse(sys.error(s"$dir: no schema $sid"))
+    val fieldIds: Map[String, (Int, DataType)] =
+      schemaNode.get("fields").asScala.flatMap { f =>
+        sparkType(f.get("type")).map(dt =>
+          f.get("name").asText() -> (f.get("id").asInt(), dt))
+      }.toMap
+    val surviving = files.filter { f =>
+      preds.forall { case (c, lo, hi) =>
+        fieldIds.get(c) match {
+          case None => true // unknown column: never prune on it
+          case Some((id, dt)) =>
+            val lb = f.lowerBounds.get(id).map(decodeBound(_, dt))
+            val ub = f.upperBounds.get(id).map(decodeBound(_, dt))
+            // intersect? the file survives unless provably disjoint
+            val aboveHi = hi != null && lb.exists(l => cmp(l, hi) > 0)
+            val belowLo = lo != null && ub.exists(u => cmp(u, lo) < 0)
+            !(aboveHi || belowLo)
+        }
+      }
+    }
+    lastSkipScan = (files.size.toLong, surviving.size.toLong)
+    val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
+    require(surviving.nonEmpty, s"$dir: every file pruned — add an " +
+      "empty-relation path if this becomes a real case")
+    val base = rd.parquet(surviving.map(_.path.toString): _*)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      val withLo = Option(lo).map(v => df.filter(col(c) >= lit(v))).getOrElse(df)
+      Option(hi).map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
     }
   }
 
@@ -206,7 +315,7 @@ object IcebergLog {
     val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
     if (files.isEmpty)
       sys.error(s"$dir: snapshot $snapshotId lists no data files")
-    rd.parquet(files.map(_.toString): _*)
+    rd.parquet(files.map(_.path.toString): _*)
   }
 
   /** The table's snapshot history (id, timestamp, manifest-list) —
@@ -242,7 +351,28 @@ object IcebergLog {
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"k126_v127","fields":[
+      |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+      |    "default":null},
+      |  {"name":"upper_bounds","type":["null",{"type":"array",
+      |    "items":"k126_v127"}],"default":null}]}}]}""".stripMargin)
+
+  /** Iceberg's binary single-value serialization, write side (fixture
+    * authoring only — the engine never writes real Iceberg tables). */
+  private[graft] def encodeBound(v: Any): Array[Byte] = {
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    v match {
+      case i: Int => le(4).putInt(i).array()
+      case l: Long => le(8).putLong(l).array()
+      case f: Float => le(4).putFloat(f).array()
+      case d: Double => le(8).putDouble(d).array()
+      case s: String => s.getBytes("UTF-8")
+      case other => sys.error(s"no bound encoding for $other")
+    }
+  }
 
   private def writeAvro(p: Path, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
@@ -252,20 +382,34 @@ object IcebergLog {
     try records.foreach(w.append) finally w.close()
   }
 
-  /** One manifest avro of (status, relPath) entries; returns its
-    * table-relative path. */
+  /** One manifest avro of (status, relPath) entries (optionally with
+    * per-file field bounds); returns its table-relative path. */
   private def writeManifest(table: Path, name: String,
-      entries: Seq[(Int, String)]): String = {
+      entries: Seq[(Int, String)],
+      bounds: Map[String, Map[Int, (Any, Any)]] = Map.empty): String = {
+    val dfSchema = manifestEntrySchema.getField("data_file").schema()
+    val kvSchema = dfSchema.getField("lower_bounds").schema()
+      .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+    def kvArray(m: Map[Int, Any]): java.util.List[GenericRecord] =
+      m.toSeq.sortBy(_._1).map { case (id, v) =>
+        val r = new GenericData.Record(kvSchema.getElementType)
+        r.put("key", id)
+        r.put("value", java.nio.ByteBuffer.wrap(encodeBound(v)))
+        r: GenericRecord
+      }.asJava
     val recs = entries.map { case (status, rel) =>
       val f = table.resolve(rel)
-      val dataFile = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+      val dataFile = new GenericData.Record(dfSchema)
       dataFile.put("content", 0)
       dataFile.put("file_path", rel)
       dataFile.put("file_format", "PARQUET")
       dataFile.put("record_count", 0L)
       dataFile.put("file_size_in_bytes",
         if (Files.exists(f)) Files.size(f) else 0L)
+      bounds.get(rel).foreach { b =>
+        dataFile.put("lower_bounds", kvArray(b.map { case (k, (lo, _)) => k -> lo }))
+        dataFile.put("upper_bounds", kvArray(b.map { case (k, (_, hi)) => k -> hi }))
+      }
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("status", status)
       e.put("data_file", dataFile)
@@ -396,6 +540,53 @@ object IcebergLog {
       table.toString
     })
 
+  /** Events banded into 8 disjoint `event_id` ranges, one data file
+    * per band, with the manifests carrying the spec-serialized
+    * per-file lower/upper bounds for `event_id` (field id 1) — the
+    * layout Iceberg's manifest-stats planning prunes on.
+    */
+  private[graft] def rangedTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-ranged:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_ranged")
+      Files.createDirectories(metadataDir(table))
+      val ev = Tables.events(spark, dir)
+      val maxId = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val band = maxId / 8 + 1
+      val entries = (0 until 8).map { b =>
+        val part = ev.filter(col("event_id") >= b * band &&
+          col("event_id") < (b + 1) * band)
+        val rel = writeDataFile(part, table, f"band$b%02d.parquet")
+        val mm = part.agg(min(col("event_id")), max(col("event_id"))).collect()(0)
+        (rel, (mm.getLong(0), mm.getLong(1)))
+      }
+      // event_id is field id 1 in metadataJson's schema numbering
+      val m = writeManifest(table, "m-ranged.avro",
+        entries.map { case (rel, _) => (1, rel) },
+        entries.map { case (rel, (lo, hi)) =>
+          rel -> Map(1 -> ((lo: Any, hi: Any))) }.toMap)
+      val ml = writeManifestList(table, "snap-1-list.avro", Seq(m), 1L)
+      Files.writeString(metadataDir(table).resolve("v1.metadata.json"),
+        metadataJson(table, ev.schema, Seq((1L, ml)), 1L))
+      Files.writeString(metadataDir(table).resolve("version-hint.text"), "1")
+      table.toString
+    })
+
+  /** Oracle-checked manifest-stats skipping: a tight `event_id` range
+    * over the banded table must aggregate exactly — while reading only
+    * the bands whose bounds intersect the range (prune counts are
+    * spec-asserted via [[lastSkipScan]]).
+    */
+  def skippingQuery(spark: SparkSession, dir: String): DataFrame =
+    skipScan(spark, rangedTable(spark, dir),
+      Seq(("event_id", 100L, 5000L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val skippingQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id BETWEEN 100 AND 5000
+      |GROUP BY 1""".stripMargin
+
   /** Oracle-checked read of the golden Iceberg tree: the current
     * snapshot must aggregate EXACTLY batches {0,1} — resurrecting the
     * DELETED batch2, missing the EXISTING re-listing, or reading the
@@ -412,10 +603,12 @@ object IcebergLog {
       |GROUP BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_iceberg_snapshot" -> snapshotQuery _
+    "q_iceberg_snapshot" -> snapshotQuery _,
+    "q_iceberg_skipping" -> skippingQuery _
   )
 
   def oracles: Map[String, String] = Map(
-    "q_iceberg_snapshot" -> snapshotQueryOracle
+    "q_iceberg_snapshot" -> snapshotQueryOracle,
+    "q_iceberg_skipping" -> skippingQueryOracle
   )
 }

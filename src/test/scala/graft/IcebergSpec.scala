@@ -146,4 +146,20 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergLog.snapshotAt(s, t, 1L).count() == 334L)
     assert(IcebergLog.history(t).map(_._1) == Seq(1L, 2L))
   }
+
+  test("manifest-bounds skipping prunes disjoint bands and stays exact") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.rangedTable(s, sf)
+    val got = IcebergLog.skipScan(s, t, Seq(("event_id", 100L, 240L)))
+    val (total, kept) = IcebergLog.lastSkipScan
+    assert(total == 8L, s"expected 8 banded files, saw $total")
+    assert(kept < total, s"bounds must prune disjoint bands: kept $kept of $total")
+    assert(got.count() == ev.filter(col("event_id").between(100, 240)).count())
+    // a column with NO recorded bounds never prunes (sound direction)
+    val all = IcebergLog.skipScan(s, t, Seq(("user_id", 0L, null)))
+    assert(IcebergLog.lastSkipScan._2 == 8L,
+      "a column without bounds must never prune")
+    assert(all.count() == ev.filter(col("user_id") >= 0).count())
+  }
 }
