@@ -31,11 +31,11 @@ import graft.Tables
   *     the current metadata file;
   *  2. `current-snapshot-id` → the snapshot entry → its
   *     `manifest-list` avro;
-  *  3. manifest-list rows (`manifest_path`, `content`) → the DATA
-  *     manifests (content 0); a DELETE manifest (content 1 — v2
-  *     row-level deletes) fails loudly: applying position/equality
-  *     deletes is not implemented, and ignoring them would resurrect
-  *     deleted rows;
+  *  3. manifest-list rows (`manifest_path`, `content`) → DATA
+  *     manifests (content 0) and DELETE manifests (content 1):
+  *     POSITION deletes apply at read via a `_metadata` anti-join
+  *     ([[applyPosDeletes]]); EQUALITY deletes refuse loudly —
+  *     unimplemented, and ignoring them would resurrect deleted rows;
   *  4. manifest entries (`status`, `data_file`) → live data files:
   *     ADDED(1)/EXISTING(0) survive, DELETED(2) drop out.
   *
@@ -139,34 +139,78 @@ object IcebergLog {
       case Some(other) => sys.error(s"unexpected $field shape: $other")
     }
 
-  /** Live data files of one snapshot: manifest-list → data manifests →
-    * non-DELETED entries, bounds included. */
-  private def liveFilesOf(table: Path, manifestList: String): Seq[IceFile] = {
+  private[graft] final case class SnapshotFiles(data: Seq[IceFile],
+      posDeletes: Seq[Path])
+
+  /** Live files of one snapshot: manifest-list → manifests →
+    * non-DELETED entries, bounds included. DATA manifests (content 0)
+    * yield data files; DELETE manifests (content 1) yield POSITION
+    * delete files (applied at read, [[applyPosDeletes]]); EQUALITY
+    * deletes (data_file.content 2) refuse loudly — applying them needs
+    * the equality-field join this reader doesn't implement, and
+    * ignoring them would resurrect deleted rows. */
+  private def liveFilesOf(table: Path, manifestList: String): SnapshotFiles = {
     val manifests = avroRecords(resolve(table, manifestList)).map { m =>
       (str(m, "manifest_path"), int(m, "content"))
     }
-    val deleteManifests = manifests.filter(_._2 == 1)
-    if (deleteManifests.nonEmpty)
-      sys.error(s"$table: snapshot carries ${deleteManifests.size} DELETE " +
-        "manifest(s) (v2 row-level deletes) — applying them is not " +
-        "implemented, and ignoring them would resurrect deleted rows")
-    manifests.map(_._1).flatMap { mp =>
-      avroRecords(resolve(table, mp)).flatMap { e =>
+    val data = scala.collection.mutable.ArrayBuffer.empty[IceFile]
+    val dels = scala.collection.mutable.ArrayBuffer.empty[Path]
+    manifests.foreach { case (mp, mContent) =>
+      avroRecords(resolve(table, mp)).foreach { e =>
         val status = int(e, "status")
-        if (status == 2) None // DELETED
-        else {
+        if (status != 2) { // not DELETED
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          if (int(df, "content") != 0)
-            sys.error(s"$table: manifest entry carries a delete file " +
-              "(content != 0) — not supported")
           val fmt = str(df, "file_format")
           if (!fmt.equalsIgnoreCase("parquet"))
-            sys.error(s"$table: data file format $fmt — only parquet is read")
-          Some(IceFile(resolve(table, str(df, "file_path")),
-            boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds")))
+            sys.error(s"$table: file format $fmt — only parquet is read")
+          int(df, "content") match {
+            case 0 =>
+              if (mContent != 0)
+                sys.error(s"$table: data file routed through a DELETE " +
+                  "manifest — malformed tree, refusing to guess")
+              data += IceFile(resolve(table, str(df, "file_path")),
+                boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
+            case 1 =>
+              if (mContent != 1)
+                sys.error(s"$table: position-delete file in a DATA manifest")
+              dels += resolve(table, str(df, "file_path"))
+            case 2 =>
+              sys.error(s"$table: snapshot carries EQUALITY delete files — " +
+                "not implemented, and ignoring them would resurrect " +
+                "deleted rows")
+            case other =>
+              sys.error(s"$table: unknown data_file.content $other")
+          }
         }
       }
     }
+    SnapshotFiles(data.toSeq, dels.toSeq)
+  }
+
+  /** Apply POSITION DELETES (the spec's delete-file schema: `file_path`
+    * of the target data file + `pos`, the 0-based row ordinal) the
+    * Spark-native way: the data scan exposes each row's provenance via
+    * the `_metadata.file_path`/`_metadata.row_index` columns, and one
+    * LEFT ANTI join against the (typically tiny, AQE-broadcast) delete
+    * set hides exactly the named rows — no per-file bitmaps, no
+    * driver-side row lists, and the join scales with the delete set,
+    * not the table. Paths normalize on both sides (delete files store
+    * full URIs; `_metadata` yields the same form but scheme spelling
+    * can differ).
+    */
+  private def applyPosDeletes(spark: SparkSession, df: DataFrame,
+      posDeletes: Seq[Path]): DataFrame = {
+    if (posDeletes.isEmpty) return df
+    val norm = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^file:/+", "/")
+    val dels = spark.read.parquet(posDeletes.map(_.toString): _*)
+      .select(norm(col("file_path")).as("__del_file"), col("pos").as("__del_pos"))
+    val cols = df.columns.toSeq
+    df.withColumn("__file", norm(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dels, col("__file") === col("__del_file") &&
+        col("__pos") === col("__del_pos"), "left_anti")
+      .select(cols.map(col): _*)
   }
 
   // ------------------------------------ bound decode + file skipping
@@ -213,8 +257,9 @@ object IcebergLog {
     val meta = readMetadata(table)
     val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
       .filter(_ != -1L).getOrElse(sys.error(s"$dir: no current snapshot"))
-    val files = liveFilesOf(table,
+    val snapFiles = liveFilesOf(table,
       snapshotNode(meta, cur).get("manifest-list").asText())
+    val files = snapFiles.data
     val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
     val schemaNode = Option(meta.get("schemas"))
       .flatMap(_.asScala.find(s => int2(s, "schema-id") == sid))
@@ -242,7 +287,8 @@ object IcebergLog {
     val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
     require(surviving.nonEmpty, s"$dir: every file pruned — add an " +
       "empty-relation path if this becomes a real case")
-    val base = rd.parquet(surviving.map(_.path.toString): _*)
+    val base = applyPosDeletes(spark,
+      rd.parquet(surviving.map(_.path.toString): _*), snapFiles.posDeletes)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       val withLo = Option(lo).map(v => df.filter(col(c) >= lit(v))).getOrElse(df)
       Option(hi).map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
@@ -311,11 +357,12 @@ object IcebergLog {
     val table = Paths.get(dir)
     val meta = readMetadata(table)
     val snap = snapshotNode(meta, snapshotId)
-    val files = liveFilesOf(table, snap.get("manifest-list").asText())
+    val sf = liveFilesOf(table, snap.get("manifest-list").asText())
     val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
-    if (files.isEmpty)
+    if (sf.data.isEmpty)
       sys.error(s"$dir: snapshot $snapshotId lists no data files")
-    rd.parquet(files.map(_.path.toString): _*)
+    applyPosDeletes(spark,
+      rd.parquet(sf.data.map(_.path.toString): _*), sf.posDeletes)
   }
 
   /** The table's snapshot history (id, timestamp, manifest-list) —
@@ -386,7 +433,8 @@ object IcebergLog {
     * per-file field bounds); returns its table-relative path. */
   private def writeManifest(table: Path, name: String,
       entries: Seq[(Int, String)],
-      bounds: Map[String, Map[Int, (Any, Any)]] = Map.empty): String = {
+      bounds: Map[String, Map[Int, (Any, Any)]] = Map.empty,
+      fileContent: Int = 0): String = {
     val dfSchema = manifestEntrySchema.getField("data_file").schema()
     val kvSchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
@@ -400,7 +448,7 @@ object IcebergLog {
     val recs = entries.map { case (status, rel) =>
       val f = table.resolve(rel)
       val dataFile = new GenericData.Record(dfSchema)
-      dataFile.put("content", 0)
+      dataFile.put("content", fileContent)
       dataFile.put("file_path", rel)
       dataFile.put("file_format", "PARQUET")
       dataFile.put("record_count", 0L)
@@ -420,14 +468,16 @@ object IcebergLog {
     rel
   }
 
+  /** Manifest-list entries as (table-relative path, content) — content
+    * 0 = data manifest, 1 = delete manifest. */
   private def writeManifestList(table: Path, name: String,
-      manifests: Seq[String], snapshotId: Long): String = {
-    val recs = manifests.map { rel =>
+      manifests: Seq[(String, Int)], snapshotId: Long): String = {
+    val recs = manifests.map { case (rel, content) =>
       val r = new GenericData.Record(manifestListSchema)
       r.put("manifest_path", rel)
       r.put("manifest_length", Files.size(table.resolve(rel)))
       r.put("partition_spec_id", 0)
-      r.put("content", 0)
+      r.put("content", content)
       r.put("added_snapshot_id", snapshotId)
       r: GenericRecord
     }
@@ -526,14 +576,14 @@ object IcebergLog {
       val schema = ev.schema
       // snapshot 1: batch0 added
       val m1v1 = writeManifest(table, "m1-s1.avro", Seq((1, b0)))
-      val ml1 = writeManifestList(table, "snap-1-list.avro", Seq(m1v1), 1L)
+      val ml1 = writeManifestList(table, "snap-1-list.avro", Seq((m1v1, 0)), 1L)
       Files.writeString(metadataDir(table).resolve("v1.metadata.json"),
         metadataJson(table, schema, Seq((1L, ml1)), 1L))
       // snapshot 2: batch0 existing + batch1 added; batch2 added then
       // deleted in the rewritten second manifest
       val m1v2 = writeManifest(table, "m1-s2.avro", Seq((0, b0), (1, b1)))
       val m2v2 = writeManifest(table, "m2-s2.avro", Seq((2, b2)))
-      val ml2 = writeManifestList(table, "snap-2-list.avro", Seq(m1v2, m2v2), 2L)
+      val ml2 = writeManifestList(table, "snap-2-list.avro", Seq((m1v2, 0), (m2v2, 0)), 2L)
       Files.writeString(metadataDir(table).resolve("v2.metadata.json"),
         metadataJson(table, schema, Seq((1L, ml1), (2L, ml2)), 2L))
       Files.writeString(metadataDir(table).resolve("version-hint.text"), "2")
@@ -564,12 +614,61 @@ object IcebergLog {
         entries.map { case (rel, _) => (1, rel) },
         entries.map { case (rel, (lo, hi)) =>
           rel -> Map(1 -> ((lo: Any, hi: Any))) }.toMap)
-      val ml = writeManifestList(table, "snap-1-list.avro", Seq(m), 1L)
+      val ml = writeManifestList(table, "snap-1-list.avro", Seq((m, 0)), 1L)
       Files.writeString(metadataDir(table).resolve("v1.metadata.json"),
         metadataJson(table, ev.schema, Seq((1L, ml)), 1L))
       Files.writeString(metadataDir(table).resolve("version-hint.text"), "1")
       table.toString
     })
+
+  /** One snapshot of two data files plus a POSITION-DELETE file (the
+    * v2 row-level delete form): every row of the even batch whose
+    * event_id is a multiple of 10 is named by (file_path, pos) in a
+    * spec-shaped delete parquet, routed through a content-1 DELETE
+    * manifest.
+    */
+  private[graft] def posDeleteTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-posdel:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_posdel")
+      Files.createDirectories(metadataDir(table))
+      val ev = Tables.events(spark, dir)
+      val b0 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        table, "b0.parquet")
+      val b1 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        table, "b1.parquet")
+      // the doomed rows' positions IN THE WRITTEN FILE, from the same
+      // metadata columns the reader will join on
+      val doomed = spark.read.parquet(table.resolve(b0).toString)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("event_id"))
+        .filter(pmod(col("event_id"), lit(10)) === 0)
+        .select("file_path", "pos")
+      val delRel = writeDataFile(doomed, table, "del0.parquet")
+      val mData = writeManifest(table, "m-data.avro", Seq((1, b0), (1, b1)))
+      val mDel = writeManifest(table, "m-del.avro", Seq((1, delRel)),
+        fileContent = 1)
+      val ml = writeManifestList(table, "snap-pd-list.avro",
+        Seq((mData, 0), (mDel, 1)), 1L)
+      Files.writeString(metadataDir(table).resolve("v1.metadata.json"),
+        metadataJson(table, ev.schema, Seq((1L, ml)), 1L))
+      Files.writeString(metadataDir(table).resolve("version-hint.text"), "1")
+      table.toString
+    })
+
+  /** Oracle-checked position-delete application: the snapshot must
+    * aggregate the corpus MINUS exactly the (file, pos)-named rows —
+    * resurrecting any deleted row, or hiding a row a delete never
+    * named, flips the hash.
+    */
+  def posDeleteQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, posDeleteTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val posDeleteQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 10 <> 0
+      |GROUP BY 1""".stripMargin
 
   /** Oracle-checked manifest-stats skipping: a tight `event_id` range
     * over the banded table must aggregate exactly — while reading only
@@ -604,11 +703,13 @@ object IcebergLog {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_iceberg_snapshot" -> snapshotQuery _,
-    "q_iceberg_skipping" -> skippingQuery _
+    "q_iceberg_skipping" -> skippingQuery _,
+    "q_iceberg_posdelete" -> posDeleteQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_iceberg_snapshot" -> snapshotQueryOracle,
-    "q_iceberg_skipping" -> skippingQueryOracle
+    "q_iceberg_skipping" -> skippingQueryOracle,
+    "q_iceberg_posdelete" -> posDeleteQueryOracle
   )
 }

@@ -78,12 +78,15 @@ class IcebergSpec extends SparkSpec {
       n.put("manifest_length", r.get("manifest_length"))
       n.put("partition_spec_id", 0)
       n.put("content",
-        if (r.get("manifest_path").toString.contains("m2")) 1 else 0)
+        if (r.get("manifest_path").toString.contains("m1")) 1 else 0)
       n.put("added_snapshot_id", r.get("added_snapshot_id"))
       out.append(n)
     } finally out.close()
+    // m1's LIVE entries are plain data files (content 0) routed through
+    // a content-1 manifest — a malformed tree the reader must refuse
+    // rather than guess at
     val e = intercept[RuntimeException](IcebergLog.snapshot(spark, dst.toString))
-    assert(e.getMessage.contains("DELETE manifest"), e.getMessage)
+    assert(e.getMessage.contains("DELETE"), e.getMessage)
   }
 
   test("a foreign avro manifest with EXTRA fields parses by field name") {
@@ -161,5 +164,43 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergLog.lastSkipScan._2 == 8L,
       "a column without bounds must never prune")
     assert(all.count() == ev.filter(col("user_id") >= 0).count())
+  }
+
+  test("position deletes hide exactly the (file, pos)-named rows") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.posDeleteTable(s, sf)
+    val got = IcebergLog.snapshot(s, t)
+    assert(got.count() == ev.filter(col("event_id") % 10 =!= 0).count())
+    assert(got.agg(sum("event_id")).collect()(0).getLong(0) ==
+      ev.filter(col("event_id") % 10 =!= 0)
+        .agg(sum("event_id")).collect()(0).getLong(0))
+    // equality deletes still refuse: flip the delete file's content to 2
+    val tbl = Paths.get(t)
+    val dst = Files.createTempDirectory("iceberg_eq")
+    Files.walk(tbl).iterator().forEachRemaining { p =>
+      val d = dst.resolve(tbl.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val m = dst.resolve("metadata/m-del.avro")
+    val recs = {
+      val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        m.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try { val b = scala.collection.mutable.ArrayBuffer.empty[org.apache.avro.generic.GenericRecord]
+        val it = rd.iterator(); while (it.hasNext) b += it.next(); b.toSeq } finally rd.close()
+    }
+    val schema = recs.head.getSchema
+    Files.delete(m)
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, m.toFile)
+    try recs.foreach { r =>
+      r.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .put("content", 2)
+      w.append(r)
+    } finally w.close()
+    val e = intercept[RuntimeException](IcebergLog.snapshot(s, dst.toString))
+    assert(e.getMessage.contains("EQUALITY"), e.getMessage)
   }
 }
