@@ -32,10 +32,10 @@ import graft.Tables
   *  2. `current-snapshot-id` → the snapshot entry → its
   *     `manifest-list` avro;
   *  3. manifest-list rows (`manifest_path`, `content`) → DATA
-  *     manifests (content 0) and DELETE manifests (content 1):
-  *     POSITION deletes apply at read via a `_metadata` anti-join
-  *     ([[applyPosDeletes]]); EQUALITY deletes refuse loudly —
-  *     unimplemented, and ignoring them would resurrect deleted rows;
+  *     manifests (content 0) and DELETE manifests (content 1): both
+  *     POSITION and EQUALITY deletes apply at read via `_metadata`
+  *     anti-joins under the spec's sequence-number rules
+  *     ([[applyDeletes]]); malformed trees refuse loudly;
   *  4. manifest entries (`status`, `data_file`) → live data files:
   *     ADDED(1)/EXISTING(0) survive, DELETED(2) drop out.
   *
@@ -115,7 +115,8 @@ object IcebergLog {
     * plus the per-file COLUMN BOUNDS (field id → spec
     * single-value-serialized bytes) the skip-scan prunes on. */
   private[graft] final case class IceFile(path: Path,
-      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]])
+      lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
+      seq: Long = 0L)
 
   /** Iceberg stores bounds as a logical map encoded the avro way: an
     * ARRAY of {key, value} records. Read by field name, tolerant of
@@ -140,25 +141,39 @@ object IcebergLog {
     }
 
   private[graft] final case class SnapshotFiles(data: Seq[IceFile],
-      posDeletes: Seq[Path])
+      posDeletes: Seq[(Path, Long)], eqDeletes: Seq[(Path, Long, Seq[Int])])
+
+  /** Nullable-long entry field tolerant of absence (older writers). */
+  private def longOpt(r: GenericRecord, f: String, dflt: Long = 0L): Long =
+    Option(r.getSchema.getField(f)).flatMap(_ => Option(r.get(f)))
+      .map(_.asInstanceOf[Number].longValue).getOrElse(dflt)
+
+  private def intSeqOpt(r: GenericRecord, f: String): Seq[Int] =
+    Option(r.getSchema.getField(f)).flatMap(_ => Option(r.get(f))) match {
+      case Some(c: java.util.Collection[_]) =>
+        c.asScala.toSeq.map(_.asInstanceOf[Number].intValue)
+      case _ => Seq.empty
+    }
 
   /** Live files of one snapshot: manifest-list → manifests →
-    * non-DELETED entries, bounds included. DATA manifests (content 0)
-    * yield data files; DELETE manifests (content 1) yield POSITION
-    * delete files (applied at read, [[applyPosDeletes]]); EQUALITY
-    * deletes (data_file.content 2) refuse loudly — applying them needs
-    * the equality-field join this reader doesn't implement, and
-    * ignoring them would resurrect deleted rows. */
+    * non-DELETED entries, bounds and DATA SEQUENCE NUMBERS included.
+    * DATA manifests (content 0) yield data files; DELETE manifests
+    * (content 1) yield POSITION delete files (data_file.content 1) and
+    * EQUALITY delete files (content 2, with their `equality_ids`) —
+    * both applied at read by [[applyDeletes]] under the spec's
+    * sequence-number rules. */
   private def liveFilesOf(table: Path, manifestList: String): SnapshotFiles = {
     val manifests = avroRecords(resolve(table, manifestList)).map { m =>
       (str(m, "manifest_path"), int(m, "content"))
     }
     val data = scala.collection.mutable.ArrayBuffer.empty[IceFile]
-    val dels = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
+    val eqs = scala.collection.mutable.ArrayBuffer.empty[(Path, Long, Seq[Int])]
     manifests.foreach { case (mp, mContent) =>
       avroRecords(resolve(table, mp)).foreach { e =>
         val status = int(e, "status")
         if (status != 2) { // not DELETED
+          val seq = longOpt(e, "sequence_number")
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fmt = str(df, "file_format")
           if (!fmt.equalsIgnoreCase("parquet"))
@@ -169,48 +184,92 @@ object IcebergLog {
                 sys.error(s"$table: data file routed through a DELETE " +
                   "manifest — malformed tree, refusing to guess")
               data += IceFile(resolve(table, str(df, "file_path")),
-                boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
+                boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"), seq)
             case 1 =>
               if (mContent != 1)
                 sys.error(s"$table: position-delete file in a DATA manifest")
-              dels += resolve(table, str(df, "file_path"))
+              pos += ((resolve(table, str(df, "file_path")), seq))
             case 2 =>
-              sys.error(s"$table: snapshot carries EQUALITY delete files — " +
-                "not implemented, and ignoring them would resurrect " +
-                "deleted rows")
+              if (mContent != 1)
+                sys.error(s"$table: equality-delete file in a DATA manifest")
+              val ids = intSeqOpt(df, "equality_ids")
+              if (ids.isEmpty)
+                sys.error(s"$table: equality delete file without " +
+                  "equality_ids — cannot apply, refusing to guess")
+              eqs += ((resolve(table, str(df, "file_path")), seq, ids))
             case other =>
               sys.error(s"$table: unknown data_file.content $other")
           }
         }
       }
     }
-    SnapshotFiles(data.toSeq, dels.toSeq)
+    SnapshotFiles(data.toSeq, pos.toSeq, eqs.toSeq)
   }
 
-  /** Apply POSITION DELETES (the spec's delete-file schema: `file_path`
-    * of the target data file + `pos`, the 0-based row ordinal) the
-    * Spark-native way: the data scan exposes each row's provenance via
-    * the `_metadata.file_path`/`_metadata.row_index` columns, and one
-    * LEFT ANTI join against the (typically tiny, AQE-broadcast) delete
-    * set hides exactly the named rows — no per-file bitmaps, no
-    * driver-side row lists, and the join scales with the delete set,
-    * not the table. Paths normalize on both sides (delete files store
-    * full URIs; `_metadata` yields the same form but scheme spelling
-    * can differ).
+  /** Apply the snapshot's DELETE FILES the Spark-native way. Each data
+    * row carries its provenance (`_metadata.file_path`/`row_index`) and
+    * its file's DATA SEQUENCE NUMBER (a broadcast (file → seq) join —
+    * config-scale); then:
+    *
+    *  - POSITION deletes (`file_path` + `pos`) anti-join on the exact
+    *    (file, ordinal) pair, applied when the data sequence number is
+    *    ≤ the delete's (the spec's rule: a delete cannot name rows of
+    *    a LATER rewrite of the same path);
+    *  - EQUALITY deletes anti-join null-safely on the columns their
+    *    `equality_ids` name, applied when the data sequence number is
+    *    STRICTLY below the delete's (rows written after the delete are
+    *    not deleted — the CDC upsert semantics the file form exists
+    *    for), one anti-join per distinct id-set.
+    *
+    * All joins scale with the delete sets (AQE broadcasts the typical
+    * small ones), never the table; no bitmaps, no driver row lists.
     */
-  private def applyPosDeletes(spark: SparkSession, df: DataFrame,
-      posDeletes: Seq[Path]): DataFrame = {
-    if (posDeletes.isEmpty) return df
+  private def applyDeletes(spark: SparkSession, df: DataFrame,
+      files: Seq[IceFile], sf: SnapshotFiles,
+      fieldName: Map[Int, String]): DataFrame = {
+    if (sf.posDeletes.isEmpty && sf.eqDeletes.isEmpty) return df
     val norm = (c: org.apache.spark.sql.Column) =>
       regexp_replace(c, "^file:/+", "/")
-    val dels = spark.read.parquet(posDeletes.map(_.toString): _*)
-      .select(norm(col("file_path")).as("__del_file"), col("pos").as("__del_pos"))
     val cols = df.columns.toSeq
-    df.withColumn("__file", norm(col("_metadata.file_path")))
+    import spark.implicits._
+    val seqDf = files.map(f => (f.path.toString, f.seq)).toDF("__sf", "__seq")
+    var out = df.withColumn("__file", norm(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
-      .join(dels, col("__file") === col("__del_file") &&
-        col("__pos") === col("__del_pos"), "left_anti")
-      .select(cols.map(col): _*)
+      .join(broadcast(seqDf), col("__file") === col("__sf"), "left")
+      .drop("__sf")
+    if (sf.posDeletes.nonEmpty) {
+      val dels = sf.posDeletes.map { case (p, dseq) =>
+        spark.read.parquet(p.toString)
+          .select(norm(col("file_path")).as("__del_file"),
+            col("pos").as("__del_pos"), lit(dseq).as("__del_seq"))
+      }.reduce(_.unionByName(_))
+      out = out.join(dels, col("__file") === col("__del_file") &&
+        col("__pos") === col("__del_pos") &&
+        col("__seq") <= col("__del_seq"), "left_anti")
+    }
+    sf.eqDeletes.groupBy(_._3).foreach { case (ids, group) =>
+      val names = ids.map(id => fieldName.getOrElse(id, sys.error(
+        s"equality_ids name unknown field id $id")))
+      val dels = group.map { case (p, dseq, _) =>
+        spark.read.parquet(p.toString)
+          .select(names.map(n => col(n).as(s"__del_$n")) :+
+            lit(dseq).as("__del_seq"): _*)
+      }.reduce(_.unionByName(_))
+      val cond = names.map(n => col(n) <=> col(s"__del_$n")).reduce(_ && _) &&
+        col("__seq") < col("__del_seq")
+      out = out.join(dels, cond, "left_anti")
+    }
+    out.select(cols.map(col): _*)
+  }
+
+  /** Field-id → column-name map of the metadata's current schema. */
+  private def fieldNamesById(meta: JsonNode): Map[Int, String] = {
+    val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    Option(meta.get("schemas"))
+      .flatMap(_.asScala.find(s => int2(s, "schema-id") == sid))
+      .map(_.get("fields").asScala.map(f =>
+        f.get("id").asInt() -> f.get("name").asText()).toMap)
+      .getOrElse(Map.empty)
   }
 
   // ------------------------------------ bound decode + file skipping
@@ -287,8 +346,9 @@ object IcebergLog {
     val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
     require(surviving.nonEmpty, s"$dir: every file pruned — add an " +
       "empty-relation path if this becomes a real case")
-    val base = applyPosDeletes(spark,
-      rd.parquet(surviving.map(_.path.toString): _*), snapFiles.posDeletes)
+    val base = applyDeletes(spark,
+      rd.parquet(surviving.map(_.path.toString): _*),
+      surviving, snapFiles, fieldNamesById(meta))
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       val withLo = Option(lo).map(v => df.filter(col(c) >= lit(v))).getOrElse(df)
       Option(hi).map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
@@ -361,8 +421,8 @@ object IcebergLog {
     val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
     if (sf.data.isEmpty)
       sys.error(s"$dir: snapshot $snapshotId lists no data files")
-    applyPosDeletes(spark,
-      rd.parquet(sf.data.map(_.path.toString): _*), sf.posDeletes)
+    applyDeletes(spark, rd.parquet(sf.data.map(_.path.toString): _*),
+      sf.data, sf, fieldNamesById(meta))
   }
 
   /** The table's snapshot history (id, timestamp, manifest-list) —
@@ -393,8 +453,11 @@ object IcebergLog {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |  {"name":"content","type":"int"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |    "default":null},
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
@@ -434,7 +497,9 @@ object IcebergLog {
   private def writeManifest(table: Path, name: String,
       entries: Seq[(Int, String)],
       bounds: Map[String, Map[Int, (Any, Any)]] = Map.empty,
-      fileContent: Int = 0): String = {
+      fileContent: Int = 0,
+      seqs: Map[String, Long] = Map.empty,
+      equalityIds: Seq[Int] = Seq.empty): String = {
     val dfSchema = manifestEntrySchema.getField("data_file").schema()
     val kvSchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
@@ -458,8 +523,11 @@ object IcebergLog {
         dataFile.put("lower_bounds", kvArray(b.map { case (k, (lo, _)) => k -> lo }))
         dataFile.put("upper_bounds", kvArray(b.map { case (k, (_, hi)) => k -> hi }))
       }
+      if (equalityIds.nonEmpty)
+        dataFile.put("equality_ids", equalityIds.map(Int.box).asJava)
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("status", status)
+      seqs.get(rel).foreach(v => e.put("sequence_number", Long.box(v)))
       e.put("data_file", dataFile)
       e: GenericRecord
     }
@@ -655,6 +723,54 @@ object IcebergLog {
       table.toString
     })
 
+  /** EQUALITY-delete fixture with real sequence-number semantics:
+    * b0 lands at sequence 1, an equality delete on `event_type` (field
+    * id 4) at sequence 2, b1 at sequence 3 — so the delete hides the
+    * named type's rows from b0 ONLY (strictly-older rule); b1's rows
+    * of the same type survive, the CDC upsert shape the file form
+    * exists for.
+    */
+  private[graft] def eqDeleteTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-eqdel:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_eqdel")
+      Files.createDirectories(metadataDir(table))
+      val ev = Tables.events(spark, dir)
+      val b0 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        table, "b0.parquet")
+      val b1 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        table, "b1.parquet")
+      val delRel = writeDataFile(
+        ev.select("event_type").filter(col("event_type") === "error").limit(1),
+        table, "eqdel0.parquet")
+      val mData = writeManifest(table, "m-data.avro", Seq((1, b0), (1, b1)),
+        seqs = Map(b0 -> 1L, b1 -> 3L))
+      // event_type is field id 4 in metadataJson's 1-based numbering
+      val mDel = writeManifest(table, "m-eqdel.avro", Seq((1, delRel)),
+        fileContent = 2, seqs = Map(delRel -> 2L), equalityIds = Seq(4))
+      val ml = writeManifestList(table, "snap-eq-list.avro",
+        Seq((mData, 0), (mDel, 1)), 1L)
+      Files.writeString(metadataDir(table).resolve("v1.metadata.json"),
+        metadataJson(table, ev.schema, Seq((1L, ml)), 1L))
+      Files.writeString(metadataDir(table).resolve("version-hint.text"), "1")
+      table.toString
+    })
+
+  /** Oracle-checked equality-delete application: 'error' rows vanish
+    * from the sequence-1 batch but SURVIVE in the sequence-3 batch —
+    * only a reader honoring both the equality join and the
+    * strictly-older sequence rule matches the oracle's residue split.
+    */
+  def eqDeleteQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, eqDeleteTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val eqDeleteQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE NOT (event_id % 2 = 0 AND event_type = 'error')
+      |GROUP BY 1""".stripMargin
+
   /** Oracle-checked position-delete application: the snapshot must
     * aggregate the corpus MINUS exactly the (file, pos)-named rows —
     * resurrecting any deleted row, or hiding a row a delete never
@@ -704,12 +820,14 @@ object IcebergLog {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_iceberg_snapshot" -> snapshotQuery _,
     "q_iceberg_skipping" -> skippingQuery _,
-    "q_iceberg_posdelete" -> posDeleteQuery _
+    "q_iceberg_posdelete" -> posDeleteQuery _,
+    "q_iceberg_eqdelete" -> eqDeleteQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_iceberg_snapshot" -> snapshotQueryOracle,
     "q_iceberg_skipping" -> skippingQueryOracle,
-    "q_iceberg_posdelete" -> posDeleteQueryOracle
+    "q_iceberg_posdelete" -> posDeleteQueryOracle,
+    "q_iceberg_eqdelete" -> eqDeleteQueryOracle
   )
 }

@@ -201,6 +201,22 @@ class IcebergSpec extends SparkSpec {
       w.append(r)
     } finally w.close()
     val e = intercept[RuntimeException](IcebergLog.snapshot(s, dst.toString))
-    assert(e.getMessage.contains("EQUALITY"), e.getMessage)
+    assert(e.getMessage.contains("equality_ids"), e.getMessage)
+  }
+
+  test("equality deletes honor the strictly-older sequence rule") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.eqDeleteTable(s, sf)
+    val got = IcebergLog.snapshot(s, t)
+    val want = ev.filter(!(col("event_id") % 2 === 0 &&
+      col("event_type") === "error"))
+    assert(got.count() == want.count())
+    // the sequence-3 batch KEEPS its 'error' rows (written after the delete)
+    assert(got.filter(col("event_type") === "error").count() ==
+      ev.filter(col("event_id") % 2 === 1 &&
+        col("event_type") === "error").count())
+    assert(got.filter(col("event_type") === "error").count() > 0,
+      "fixture needs surviving rows to prove the sequence rule")
   }
 }
