@@ -1125,7 +1125,7 @@ object DeltaLog {
     * single file.
     */
   def checkpoint(spark: SparkSession, dir: String,
-      parts: Option[Int] = None): Long = {
+      parts: Option[Int] = None, v2: Boolean = false): Long = {
     val table = Paths.get(dir)
     val v = (versions(dir) ++ lastCheckpointVersion(table))
       .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
@@ -1144,15 +1144,27 @@ object DeltaLog {
     // the table's ACTUAL newest gate — a checkpoint that fabricated 1/2
     // would let post-compaction readers ignore DV descriptors or
     // column-mapping metadata the table requires
-    val protoRow = newestProtocolNode(spark, table, pl)
-      .map { p =>
-        Row(Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
-          Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
-          Option(p.get("readerFeatures"))
-            .map(_.asScala.map(_.asText()).toSeq).orNull,
-          Option(p.get("writerFeatures"))
-            .map(_.asScala.map(_.asText()).toSeq).orNull)
-      }.getOrElse(Row(1, 2, null, null))
+    val protoRow = {
+      val base = newestProtocolNode(spark, table, pl)
+        .map { p =>
+          Row(Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+            Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+            Option(p.get("readerFeatures"))
+              .map(_.asScala.map(_.asText()).toSeq).orNull,
+            Option(p.get("writerFeatures"))
+              .map(_.asScala.map(_.asText()).toSeq).orNull)
+        }.getOrElse(Row(1, 2, null, null))
+      if (!v2) base
+      else {
+        // a v2 checkpoint's own protocol row must advertise the feature
+        // readers need to open it (the spec's gate for exactly this)
+        def add(fs: Any): Seq[String] =
+          (Option(fs).map(_.asInstanceOf[Seq[String]]).getOrElse(Seq.empty) :+
+            "v2Checkpoints").distinct
+        Row(math.max(3, base.getInt(0)), math.max(7, base.getInt(1)),
+          add(base.get(2)), add(base.get(3)))
+      }
+    }
     val header = spark.createDataFrame(
       java.util.List.of(
         Row(protoRow, null, null, null, null),
@@ -1204,6 +1216,13 @@ object DeltaLog {
       .select(col("txn"))
     val body = addRows.unionByName(removeRows, allowMissingColumns = true)
       .unionByName(txnRows, allowMissingColumns = true)
+    if (v2)
+      return writeV2Checkpoint(spark, table, v,
+        header.unionByName(txnRows, allowMissingColumns = true)
+          .select("protocol", "metaData", "txn"),
+        addRows.unionByName(removeRows, allowMissingColumns = true)
+          .select("add", "remove"),
+        parts)
     val rows = header.unionByName(body, allowMissingColumns = true)
       .select("protocol", "metaData", "add", "remove", "txn")
     val nActions = rows.count()
@@ -1257,6 +1276,77 @@ object DeltaLog {
     writeLastCheckpoint(table, v, nActions, if (n > 1) Some(n) else None)
     v
     } finally { acts.unpersist(); () } // also on failure: no leaked cache
+  }
+
+  /** V2-CHECKPOINT writer (the `v2Checkpoints` layout): the file
+    * actions land in SIDECAR parquet files under `_delta_log/_sidecars/`
+    * (split like multi-part), and the top-level
+    * `V.checkpoint.<uniqueId>.parquet` carries only the non-file
+    * actions plus one `sidecar` row per sidecar file and a
+    * `checkpointMetadata` row — the layout stock Delta is converging on
+    * for large tables (the tiny non-file header re-reads without
+    * touching millions of add rows, and sidecars parallelize both
+    * write AND read). [[checkpointDF]] reads it back; round-trip is
+    * spec-pinned against the same golden state as the classic form.
+    */
+  private def writeV2Checkpoint(spark: SparkSession, table: Path, v: Long,
+      nonFile: DataFrame, fileActs: DataFrame, parts: Option[Int]): Long = {
+    import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
+    val nFileActs = fileActs.count()
+    val wantParts = parts.getOrElse(
+      math.max(1L, (nFileActs + partActionTarget - 1) / partActionTarget).toInt)
+    val scDir = Files.createDirectories(logDir(table).resolve("_sidecars"))
+    val tmpDir = graft.Scratch.dir("graft_delta_ckpt_v2")
+    (if (wantParts > 1) fileActs.repartition(wantParts) else fileActs.coalesce(1))
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val written = listDir(tmpDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+    if (written.isEmpty) sys.error("v2 checkpoint wrote no sidecar part")
+    // deterministic uniqueId: re-checkpointing the same version lands
+    // on the same names (REPLACE-safe, no orphan accumulation)
+    val base = java.util.UUID.nameUUIDFromBytes(
+      s"$table#$v".getBytes("UTF-8")).toString
+    val sidecarNames = written.zipWithIndex.map { case (src, i) =>
+      val name = f"$base-$i%05d.parquet"
+      val stagedTmp = Files.createTempFile(scDir, ".sc-", ".tmp")
+      Files.copy(src, stagedTmp, REPLACE_EXISTING)
+      Files.move(stagedTmp, scDir.resolve(name), ATOMIC_MOVE, REPLACE_EXISTING)
+      Files.deleteIfExists(src)
+      name
+    }
+    import spark.implicits._
+    val sidecarDf = sidecarNames.map { n =>
+      val p = scDir.resolve(n)
+      (n, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    }.toDF("path", "sizeInBytes", "modificationTime")
+      .select(struct(col("path"), col("sizeInBytes"),
+        col("modificationTime")).as("sidecar"))
+    val cpMetaDf = Seq(v).toDF("version")
+      .select(struct(col("version")).as("checkpointMetadata"))
+    val top = nonFile
+      .unionByName(sidecarDf, allowMissingColumns = true)
+      .unionByName(cpMetaDf, allowMissingColumns = true)
+    val topTmp = graft.Scratch.dir("graft_delta_ckpt_v2top")
+    top.coalesce(1).write.mode("overwrite").parquet(topTmp.toString)
+    val topPart = listDir(topTmp)
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("v2 checkpoint wrote no top-level file"))
+    val target = logDir(table).resolve(f"$v%020d.checkpoint.$base.parquet")
+    val stagedTop = Files.createTempFile(logDir(table), ".ckpt-", ".tmp")
+    Files.copy(topPart, stagedTop, REPLACE_EXISTING)
+    Files.move(stagedTop, target, ATOMIC_MOVE, REPLACE_EXISTING)
+    Files.deleteIfExists(topPart)
+    // sweep OTHER checkpoint forms of the same version — a leftover
+    // classic file would shadow the v2 one in cpPaths
+    listDir(logDir(table)).foreach { p =>
+      val nm = p.getFileName.toString
+      if (nm.startsWith(f"$v%020d.checkpoint.") && nm.endsWith(".parquet") &&
+          p.getFileName != target.getFileName)
+        Files.deleteIfExists(p)
+    }
+    writeLastCheckpoint(table, v, nFileActs + 2, None)
+    v
   }
 
   /** Actions per checkpoint part before the write splits multi-part.
@@ -3131,7 +3221,41 @@ object DeltaLog {
       |FROM events WHERE event_id BETWEEN 450 AND 700
       |GROUP BY 1""".stripMargin
 
+  // V2-checkpoint round-trip fixture: three residue commits, a V2
+  // (sidecar-layout) checkpoint at the head version, and the ENTIRE
+  // JSON prefix aged out — the snapshot then reconstructs from the v2
+  // top-level + sidecars alone.
+  private def v2CheckpointTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"v2cp:$dir", {
+      val table = graft.Scratch.dir("graft_delta_v2cp").toString
+      val ev = graft.Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
+      TxLog.commitOverwrite(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 2), table)
+      checkpoint(spark, table, v2 = true)
+      (0L to 2L).foreach(v => Files.deleteIfExists(
+        Paths.get(table, "_delta_log", f"$v%020d.json")))
+      resetMetaCache()
+      table
+    })
+
+  /** Oracle-checked V2-checkpoint round-trip: with the JSON prefix
+    * gone, only a correct sidecar-expanded replay (protocol gate
+    * included — the checkpoint's own protocol advertises
+    * `v2Checkpoints`) can reproduce the committed state.
+    */
+  def v2CheckpointQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, v2CheckpointTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val v2CheckpointQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 3 <> 0
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_delta_v2checkpoint" -> v2CheckpointQuery _,
     "q_delta_clone" -> cloneQuery _,
     "q_delta_evolution" -> evolutionQuery _,
     "q_delta_rename" -> renameQuery _,
@@ -3147,6 +3271,7 @@ object DeltaLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_delta_v2checkpoint" -> v2CheckpointQueryOracle,
     "q_delta_clone" -> cloneQueryOracle,
     "q_delta_evolution" -> evolutionQueryOracle,
     "q_delta_rename" -> renameQueryOracle,

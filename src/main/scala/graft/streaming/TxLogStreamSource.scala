@@ -216,6 +216,11 @@ class TxLogScanBuilder(dir: String, fullSchema: StructType,
 
 object TxLogScan {
 
+  /** Observability for specs: (projected read schema, pushed-filter
+    * count) of the most recent reader-factory construction — how the
+    * streaming path proves the engine's pushdown rules reached it. */
+  @volatile private[graft] var lastScan: Option[(StructType, Int)] = None
+
   private[streaming] val CdfFields: Seq[StructField] = Seq(
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_version", LongType, nullable = false))
@@ -277,8 +282,13 @@ object TxLogScan {
 /** One scan = one (projection, filters, options) binding;
   * `toMicroBatchStream` for the streaming read, `toBatch` for the
   * snapshot read. File planning and the reader factory are shared by
-  * both; the pruned projection and the pushed filters apply to both
-  * (the streaming scan builds through the same pushdown rules). */
+  * both. Pruning reality check (measured, not assumed): Spark's
+  * operator-pushdown rules reach BATCH DSv2 scans only — a streaming
+  * query's projection stays a post-scan Project (the engine builds the
+  * streaming scan un-pruned; stock connectors see the same), so the
+  * pruned-projection/pushed-filter machinery below pays off on the
+  * `spark.read` path and is simply inert (full schema, zero filters)
+  * on the stream path. */
 class TxLogScan(dir: String, fullSchema: StructType,
     options: Map[String, String], required: StructType,
     pushed: Array[SFilter]) extends Scan {
@@ -387,6 +397,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * read path, columnar batches included, is byte-for-byte the native
     * parquet scan's. */
   private[streaming] def createReaderFactory(): PartitionReaderFactory = {
+    TxLogScan.lastScan = Some((readSchema(), pushed.length))
     val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)

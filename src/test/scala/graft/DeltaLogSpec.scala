@@ -1648,4 +1648,41 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[RuntimeException](DeltaLog.snapshot(s, t.toString).collect())
     assert(e.getMessage.contains("sidecar"), e.getMessage)
   }
+
+  test("v2 checkpoint WRITE: multi-sidecar round-trip equals the classic form (both replay paths)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    TxLog.commitAppend(ev.filter(col("event_id") < 300), t)
+    TxLog.commitAppend(ev.filter(col("event_id").between(300, 599)), t)
+    val want = DeltaLog.snapshot(s, t).agg(
+      count(lit(1)), round(sum("value"), 2)).collect()(0)
+    // force TWO sidecars, then age out the whole JSON prefix
+    DeltaLog.checkpoint(s, t, parts = Some(2), v2 = true)
+    (0L to 1L).foreach(v => Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json")))
+    DeltaLog.resetMetaCache()
+    val sidecars = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t, "_delta_log", "_sidecars"))
+    val nSc = try sidecars.count() finally sidecars.close()
+    assert(nSc == 2, s"expected 2 sidecar files, found $nSc")
+    def got() = DeltaLog.snapshot(s, t).agg(
+      count(lit(1)), round(sum("value"), 2)).collect()(0)
+    assert(got() == want, "v2 round-trip must reproduce the snapshot")
+    val saved = DeltaLog.driverMaxLogBytes
+    try {
+      DeltaLog.driverMaxLogBytes = 0L
+      assert(got() == want, "distributed replay must expand the sidecars too")
+    } finally DeltaLog.driverMaxLogBytes = saved
+    // the checkpoint's own protocol row advertises the feature
+    val cp = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_delta_log"))
+    val v2cp = try cp.iterator.asScala.find(p =>
+      p.getFileName.toString.contains(".checkpoint.") &&
+      p.getFileName.toString.split("\\.").length == 4).get finally cp.close()
+    val feats = s.read.parquet(v2cp.toString)
+      .filter(col("protocol").isNotNull)
+      .select("protocol.readerFeatures").collect()(0).getSeq[String](0)
+    assert(feats.contains("v2Checkpoints"), feats.toString)
+  }
 }
