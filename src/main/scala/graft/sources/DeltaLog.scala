@@ -481,6 +481,15 @@ object DeltaLog {
     * process that must re-derive table state from disk. */
   private[graft] def resetMetaCache(): Unit = mirroredMeta.clear()
 
+  /** Table-scoped cache reset — what specs simulating a fresh process
+    * for ONE table should call: the global clear() races concurrently
+    * running suites (a clear landing between another table's
+    * warmMetaCache and its commit makes that commit re-emit a
+    * metadata-stripped schema — a real flake this overload removed). */
+  private[graft] def resetMetaCache(table: Path): Unit = {
+    mirroredMeta.remove(table.toString); ()
+  }
+
   /** Commit classifier for the streaming source: Some(true) when every
     * add/remove action of TxLog version `txVersion`'s mirror commit
     * carries dataChange=false (OPTIMIZE/REORG — bytes moved, no row
@@ -3235,7 +3244,7 @@ object DeltaLog {
       checkpoint(spark, table, v2 = true)
       (0L to 2L).foreach(v => Files.deleteIfExists(
         Paths.get(table, "_delta_log", f"$v%020d.json")))
-      resetMetaCache()
+      resetMetaCache(Paths.get(table))
       table
     })
 

@@ -902,8 +902,9 @@ object TxLog {
     * OPTIMIZE: bytes move, no row changes, feeds and streams skip it.
     * At 100 TB the rewrite is one shuffle of the table — the standard
     * price of re-clustering, paid once per maintenance cycle.
-    * Unpartitioned tables (a partitioned variant z-orders within each
-    * partition — more plumbing, same semantics).
+    * Partitioned tables z-order WITHIN partitions (stock OPTIMIZE's
+    * semantics) — the hive layout survives and partition pruning
+    * composes with the 2-D skipping.
     */
   def optimizeZorder(spark: SparkSession, dir: String,
       xCol: String, yCol: String, nFiles: Int = 16): RewriteResult = {
@@ -913,15 +914,20 @@ object TxLog {
       sys.error(s"no committed version in $dir"))
     val prev = readManifest(table, base)
     require(prev.nonEmpty, s"$dir: nothing to cluster")
-    require(!prev.exists(_.contains("=")),
-      s"$dir: partitioned tables z-order within partitions — not supported here")
+    // PARTITIONED tables z-order WITHIN partitions (stock OPTIMIZE's
+    // semantics): the range split runs on (partition cols, z-value),
+    // so each output file covers one partition's compact z-range, and
+    // the partitioned write preserves the hive layout — partition
+    // pruning composes with the 2-D stats skipping
+    val partCols = pathPartCols(prev.head)
     val df = readRels(spark, table, prev)
     val zv = Layout.zval(col(xCol).cast("bigint"), col(yCol).cast("bigint"))
+    val rangeKeys = partCols.map(col) :+ col("__zv")
     val clustered = df.withColumn("__zv", zv)
-      .repartitionByRange(nFiles, col("__zv"))
-      .sortWithinPartitions(col("__zv"))
+      .repartitionByRange(nFiles, rangeKeys: _*)
+      .sortWithinPartitions(rangeKeys: _*)
       .drop("__zv")
-    val added = writeBatch(clustered, table, Seq.empty)
+    val added = writeBatch(clustered, table, partCols)
     val v = commitRewrite(dir, base, prev.toSet, added,
       effectiveSchemaJson(clustered, dir),
       dataChange = false, operation = "OPTIMIZE ZORDER")

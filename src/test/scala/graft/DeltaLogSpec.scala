@@ -1635,7 +1635,7 @@ class DeltaLogSpec extends SparkSpec {
     // the JSON prefix is not needed: age it out, the v2 checkpoint alone answers
     (0L to 2L).foreach(v =>
       Files.deleteIfExists(Paths.get(t, "_delta_log", f"$v%020d.json")))
-    DeltaLog.resetMetaCache()
+    DeltaLog.resetMetaCache(Paths.get(t))
     assert(rows(DeltaLog.snapshot(s, t)) == expected,
       "v2 checkpoint must answer alone once the JSON prefix ages out")
   }
@@ -1644,7 +1644,7 @@ class DeltaLogSpec extends SparkSpec {
     val s = spark
     val t = goldenAsV2Checkpoint()
     Files.delete(t.resolve("_delta_log").resolve("_sidecars").resolve("adds-0001.parquet"))
-    DeltaLog.resetMetaCache()
+    DeltaLog.resetMetaCache(t)
     val e = intercept[RuntimeException](DeltaLog.snapshot(s, t.toString).collect())
     assert(e.getMessage.contains("sidecar"), e.getMessage)
   }
@@ -1662,7 +1662,7 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLog.checkpoint(s, t, parts = Some(2), v2 = true)
     (0L to 1L).foreach(v => Files.deleteIfExists(
       java.nio.file.Paths.get(t, "_delta_log", f"$v%020d.json")))
-    DeltaLog.resetMetaCache()
+    DeltaLog.resetMetaCache(java.nio.file.Paths.get(t))
     val sidecars = java.nio.file.Files.list(
       java.nio.file.Paths.get(t, "_delta_log", "_sidecars"))
     val nSc = try sidecars.count() finally sidecars.close()

@@ -593,11 +593,11 @@ class TxLogSpec extends SparkSpec {
       .foreach(p => { Files.delete(p); () })
     // fresh process: no in-memory metaData — enforcement must re-derive
     // it from the CHECKPOINT, not silently become an ungoverned table
-    DeltaLog.resetMetaCache()
+    DeltaLog.resetMetaCache(java.nio.file.Paths.get(t))
     val e = intercept[RuntimeException](
       TxLog.commitAppend(Seq((100L, -5.0)).toDF("id", "v"), t))
     assert(e.getMessage.contains("vPositive"), e.getMessage)
-    DeltaLog.resetMetaCache()
+    DeltaLog.resetMetaCache(java.nio.file.Paths.get(t))
     TxLog.commitAppend(Seq((101L, 7.0)).toDF("id", "v"), t)
     val last = TxLog.snapshot(s, t).orderBy(col("id").desc).limit(1).collect().head
     assert(last.getDouble(2) == 14.0,
@@ -716,7 +716,7 @@ class TxLogSpec extends SparkSpec {
     // simulate the committer dying right after the manifest link: the
     // property commit's Delta mirror JSON vanishes before anyone read it
     Files.delete(java.nio.file.Paths.get(t, "_delta_log", f"${v - 1}%020d.json"))
-    graft.sources.DeltaLog.resetMetaCache()
+    graft.sources.DeltaLog.resetMetaCache(java.nio.file.Paths.get(t))
     TxLog.resetMirrorCache()
     // the NEXT commit backfills the missing mirror version FROM THE
     // MANIFEST HEADERS — constraints included — so enforcement still sees it
@@ -739,7 +739,7 @@ class TxLogSpec extends SparkSpec {
     val r = TxLog.optimize(s, t)
     // kill the OPTIMIZE version's mirror (crashed committer) and caches
     Files.delete(java.nio.file.Paths.get(t, "_delta_log", f"${r.version - 1}%020d.json"))
-    graft.sources.DeltaLog.resetMetaCache()
+    graft.sources.DeltaLog.resetMetaCache(java.nio.file.Paths.get(t))
     TxLog.resetMirrorCache()
     // next commit backfills; the re-mirrored version must carry
     // dataChange=false FROM THE #op HEADER, so the change feed and the
@@ -760,5 +760,40 @@ class TxLogSpec extends SparkSpec {
       TxLog.commitAppendOnce(events.limit(1), t, "app\nid", 1L))
     intercept[IllegalArgumentException](
       TxLog.commitAppendOnce(events.limit(1), t, "", 1L))
+  }
+
+  test("OPTIMIZE ZORDER on a partitioned table clusters within partitions, layout preserved") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events
+      .withColumn("day", col("ts").cast("date"))
+      .repartition(6, col("event_type")), t, partitionBy = Seq("day"))
+    val before = TxLog.snapshot(s, t)
+      .groupBy("event_type").agg(round(sum("value"), 2).as("tv"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val r = TxLog.optimizeZorder(s, t, "event_id", "user_id")
+    assert(r.filesRewritten > 0)
+    val snap = TxLog.snapshot(s, t)
+    // hive layout preserved: every live file still sits under day=...
+    assert(snap.inputFiles.forall(_.contains("day=")),
+      snap.inputFiles.take(3).mkString(","))
+    // rows invisible to the rewrite
+    val after = snap.groupBy("event_type").agg(round(sum("value"), 2).as("tv"))
+      .collect().map(r2 => (r2.getString(0), r2.getDouble(1))).toMap
+    assert(after == before)
+    // the partition column still prunes, composed with the new layout
+    val oneDay = snap.filter(col("day") === "2024-01-03")
+    val scans = oneDay.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "partition pruning must still reach the scan: " +
+        oneDay.queryExecution.executedPlan.toString.take(400))
+    assert(oneDay.count() ==
+      events.filter(col("ts").cast("date") === "2024-01-03").count())
+    // and the mirror feed skips the bytes-only rewrite
+    assert(graft.sources.DeltaLog.isBytesOnlyCommit(
+      java.nio.file.Paths.get(t), r.version).contains(true))
   }
 }
