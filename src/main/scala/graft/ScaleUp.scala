@@ -63,10 +63,18 @@ object ScaleUp {
     scaled("orders") { (df, k) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(k * okStride))
     }
-    val evStride = stride(Tables.load(spark, src, "events"), "event_id")
+    val evBase = Tables.load(spark, src, "events")
+    val evStride = stride(evBase, "event_id")
+    // shift each copy by the WHOLE corpus span (+1 day), so the time
+    // domain genuinely grows ~10x — a k-days shift over a month-long
+    // corpus would overlap copies almost entirely and measure a density
+    // blow-up instead of the stated 10x-range growth
+    val spanDays = evBase
+      .agg((datediff(max(col("ts")), min(col("ts"))) + 1).as("d"))
+      .collect()(0).getInt(0)
     scaled("events") { (df, k) =>
       df.withColumn("event_id", col("event_id") + lit(k * evStride))
-        .withColumn("ts", col("ts") + expr(s"INTERVAL $k DAYS"))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${k * spanDays} DAYS"))
     }
     val docStride = stride(Tables.load(spark, src, "documents"), "doc_id")
     scaled("documents") { (df, k) =>

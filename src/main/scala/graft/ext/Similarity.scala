@@ -197,9 +197,22 @@ object Similarity {
   /** Per-label mean centroids (cell, ce, cnrm) — the deterministic
     * codebook seed.
     */
+  /** EXACT (order-insensitive) per-dimension mean: decimal-summed,
+    * then ONE double division — run-to-run and cross-engine
+    * deterministic, unlike a double `avg` whose partial-sum order
+    * drifts with parallelism. The drift is ~1e-15 relative, far below
+    * every rounding here, EXCEPT where a rounded-cosine RANK breaks
+    * ties: `q_ivf_append`'s fixture sat exactly on such a boundary and
+    * flipped a cell assignment between oracle runs (~50% selfcheck
+    * flake). Inputs quantize to 12dp first — both engines identically,
+    * far below downstream rounding. Oracles mirror this as
+    * `CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v)`. */
+  private def exactMean(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(27,12)")).cast("double") / count(c)
+
   private def labelCentroids(v: DataFrame): DataFrame = {
     val spark = v.sparkSession
-    val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
+    val sums = (1 to dim).map(i => exactMean(element_at(col("e"), i)).as(s"c_$i"))
     v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
       .select(col("label").as("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
       .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
@@ -256,7 +269,7 @@ object Similarity {
     val spark = v.sparkSession
     val t = trainSample(v, samplePct)
     var cent = labelCentroids(t)
-    val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
+    val sums = (1 to dim).map(i => exactMean(element_at(col("e"), i)).as(s"c_$i"))
     for (_ <- 0 until iters) {
       val assigned = withRankedCells(t, cent)
         .withColumn("cell", col("cells").getItem(0))
@@ -361,7 +374,7 @@ object Similarity {
     s"""WITH c AS (
        |  SELECT label AS cell, list(m ORDER BY i) AS ce
        |  FROM (
-       |    SELECT label, i, avg(v) AS m
+       |    SELECT label, i, CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v) AS m
        |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
        |                 unnest(range(1, 1 + len(embedding))) AS i
        |          FROM embeddings)
@@ -406,7 +419,7 @@ object Similarity {
       s"""$name AS (
          |  SELECT $keyCol AS cell, list(m ORDER BY i) AS ce
          |  FROM (
-         |    SELECT $keyCol, i, avg(v) AS m
+         |    SELECT $keyCol, i, CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v) AS m
          |    FROM (SELECT $keyCol, unnest(embedding::DOUBLE[]) AS v,
          |                 unnest(range(1, 1 + len(embedding))) AS i
          |          FROM $src)
@@ -592,7 +605,7 @@ object Similarity {
       col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", VectorOps.norm(spark, col("e")))
     val dim = 64
-    val sums = (1 to dim).map(i => avg(element_at(col("e"), i)).as(s"c_$i"))
+    val sums = (1 to dim).map(i => exactMean(element_at(col("e"), i)).as(s"c_$i"))
     val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
       .select(col("label"), array((1 to dim).map(i => col(s"c_$i")): _*).as("qe"))
       .withColumn("qnrm", VectorOps.norm(spark, col("qe")))
@@ -611,7 +624,7 @@ object Similarity {
     """WITH c AS (
       |  SELECT label, list(m ORDER BY i) AS centroid
       |  FROM (
-      |    SELECT label, i, avg(v) AS m
+      |    SELECT label, i, CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v) AS m
       |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
       |                 unnest(range(1, 1 + len(embedding))) AS i
       |          FROM embeddings)
@@ -754,10 +767,19 @@ object Similarity {
       .agg(
         sum(when(col("side") === "idx", 1L).otherwise(0L)).as("n_index"),
         sum(when(col("side") === "new", 1L).otherwise(0L)).as("n_new"),
-        round(coalesce(avg(when(col("side") === "idx", col("cos"))), lit(0.0)), 6)
-          .as("idx_mean_cos"),
-        round(coalesce(avg(when(col("side") === "new", col("cos"))), lit(0.0)), 6)
-          .as("new_mean_cos"))
+        // EXACT decimal-summed means: the per-cell mean of (6dp-rounded)
+        // cosines can land exactly on a 6dp half-boundary, where a
+        // double avg's partial-sum order flips the rounded digit
+        // between runs — measured: selfcheck flaked ~30% on exactly one
+        // cell of this fixture. Decimal sums are order-insensitive.
+        round(coalesce(
+          sum(when(col("side") === "idx", col("cos")).cast("decimal(18,12)"))
+            .cast("double") / count(when(col("side") === "idx", col("cos"))),
+          lit(0.0)), 6).as("idx_mean_cos"),
+        round(coalesce(
+          sum(when(col("side") === "new", col("cos")).cast("decimal(18,12)"))
+            .cast("double") / count(when(col("side") === "new", col("cos"))),
+          lit(0.0)), 6).as("new_mean_cos"))
   }
 
   /** Oracle twin: index = vec_id % 5 != 4, batch = the remaining 20%. */
@@ -766,7 +788,7 @@ object Similarity {
        |c AS (
        |  SELECT label AS cell, list(m ORDER BY i) AS ce
        |  FROM (
-       |    SELECT label, i, avg(v) AS m
+       |    SELECT label, i, CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v) AS m
        |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
        |                 unnest(range(1, 1 + len(embedding))) AS i
        |          FROM idx)
@@ -784,8 +806,10 @@ object Similarity {
        |SELECT CAST(cell AS BIGINT) AS cell,
        |       CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_index,
        |       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-       |       round(coalesce(avg(CASE WHEN NOT is_new THEN cos END), 0.0), 6) AS idx_mean_cos,
-       |       round(coalesce(avg(CASE WHEN is_new THEN cos END), 0.0), 6) AS new_mean_cos
+       |       round(coalesce(CAST(sum(CAST(CASE WHEN NOT is_new THEN cos END AS DECIMAL(18,12))) AS DOUBLE)
+       |                        / count(CASE WHEN NOT is_new THEN cos END), 0.0), 6) AS idx_mean_cos,
+       |       round(coalesce(CAST(sum(CAST(CASE WHEN is_new THEN cos END AS DECIMAL(18,12))) AS DOUBLE)
+       |                        / count(CASE WHEN is_new THEN cos END), 0.0), 6) AS new_mean_cos
        |FROM ranked WHERE crank = 1
        |GROUP BY 1""".stripMargin
 
@@ -907,7 +931,7 @@ object Similarity {
   private def pqCodebookFrame(v: DataFrame, m: Int): DataFrame = {
     val sub = dim / m
     val sums = for { s <- 0 until m; i <- 1 to sub }
-      yield avg(element_at(col("e"), s * sub + i)).as(s"c_${s}_$i")
+      yield exactMean(element_at(col("e"), s * sub + i)).as(s"c_${s}_$i")
     val cents = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
     val cbCols = (0 until m).map { s =>
       sort_array(collect_list(struct(col("label").cast("int").as("code"),

@@ -644,9 +644,12 @@ object DeltaLog {
     * .parquet`)? Classic is `V.checkpoint.parquet`, multi-part
     * `V.checkpoint.I.N.parquet` (all-digit middle tokens). */
   private def isV2CheckpointName(p: Path): Boolean = {
+    // classic = 3 dot-tokens, multi-part = 5; a 4-token name IS v2 —
+    // the uniqueId may legally be all digits, so no digit test here
+    // (cpPaths classifies with the same token count, keeping the two
+    // call sites consistent)
     val t = p.getFileName.toString.split("\\.")
-    t.length == 4 && t(1) == "checkpoint" && t(3) == "parquet" &&
-      !t(2).forall(_.isDigit)
+    t.length == 4 && t(1) == "checkpoint" && t(3) == "parquet"
   }
 
   /** The checkpoint's action rows as ONE DataFrame: a classic single
@@ -1354,7 +1357,7 @@ object DeltaLog {
           p.getFileName != target.getFileName)
         Files.deleteIfExists(p)
     }
-    writeLastCheckpoint(table, v, nFileActs + 2, None)
+    writeLastCheckpoint(table, v, nFileActs + nonFile.count(), None)
     v
   }
 

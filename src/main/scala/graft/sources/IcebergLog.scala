@@ -143,10 +143,13 @@ object IcebergLog {
   private[graft] final case class SnapshotFiles(data: Seq[IceFile],
       posDeletes: Seq[(Path, Long)], eqDeletes: Seq[(Path, Long, Seq[Int])])
 
-  /** Nullable-long entry field tolerant of absence (older writers). */
-  private def longOpt(r: GenericRecord, f: String, dflt: Long = 0L): Long =
+  /** Nullable-long field tolerant of absence (older writers). */
+  private def longOptOf(r: GenericRecord, f: String): Option[Long] =
     Option(r.getSchema.getField(f)).flatMap(_ => Option(r.get(f)))
-      .map(_.asInstanceOf[Number].longValue).getOrElse(dflt)
+      .map(_.asInstanceOf[Number].longValue)
+
+  private def longOpt(r: GenericRecord, f: String, dflt: Long = 0L): Long =
+    longOptOf(r, f).getOrElse(dflt)
 
   private def intSeqOpt(r: GenericRecord, f: String): Seq[Int] =
     Option(r.getSchema.getField(f)).flatMap(_ => Option(r.get(f))) match {
@@ -163,17 +166,21 @@ object IcebergLog {
     * both applied at read by [[applyDeletes]] under the spec's
     * sequence-number rules. */
   private def liveFilesOf(table: Path, manifestList: String): SnapshotFiles = {
+    // the manifest's own sequence number rides the manifest-LIST entry;
+    // a null per-entry sequence_number INHERITS it (the spec's
+    // inheritance rule — real writers leave same-snapshot entries null)
     val manifests = avroRecords(resolve(table, manifestList)).map { m =>
-      (str(m, "manifest_path"), int(m, "content"))
+      (str(m, "manifest_path"), int(m, "content"),
+        longOpt(m, "sequence_number"))
     }
     val data = scala.collection.mutable.ArrayBuffer.empty[IceFile]
     val pos = scala.collection.mutable.ArrayBuffer.empty[(Path, Long)]
     val eqs = scala.collection.mutable.ArrayBuffer.empty[(Path, Long, Seq[Int])]
-    manifests.foreach { case (mp, mContent) =>
+    manifests.foreach { case (mp, mContent, mSeq) =>
       avroRecords(resolve(table, mp)).foreach { e =>
         val status = int(e, "status")
         if (status != 2) { // not DELETED
-          val seq = longOpt(e, "sequence_number")
+          val seq = longOptOf(e, "sequence_number").getOrElse(mSeq)
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           val fmt = str(df, "file_format")
           if (!fmt.equalsIgnoreCase("parquet"))
@@ -232,7 +239,13 @@ object IcebergLog {
       regexp_replace(c, "^file:/+", "/")
     val cols = df.columns.toSeq
     import spark.implicits._
-    val seqDf = files.map(f => (f.path.toString, f.seq)).toDF("__sf", "__seq")
+    // key the (file -> seq) map by the URI-ESCAPED form _metadata
+    // yields (a path with spaces is file:///a/my%20table/... there):
+    // joining on the raw filesystem string would silently miss and
+    // leave __seq null — un-applying every delete
+    def uriNorm(p: Path): String =
+      p.toUri.toString.replaceFirst("^file:/+", "/")
+    val seqDf = files.map(f => (uriNorm(f.path), f.seq)).toDF("__sf", "__seq")
     var out = df.withColumn("__file", norm(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .join(broadcast(seqDf), col("__file") === col("__sf"), "left")
@@ -290,13 +303,49 @@ object IcebergLog {
     }
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue)
-    case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue)
-    case (x: Float, y: Number) => java.lang.Double.compare(x.toDouble, y.doubleValue)
-    case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue)
-    case (x: String, y) => x.compareTo(y.toString)
-    case (x, y) => x.toString.compareTo(y.toString)
+  /** Compare a DECODED bound against a PREDICATE value by converting
+    * the predicate into the bound's decoded domain (days for dates,
+    * micros for timestamps, doubles for numerics, lexicographic ONLY
+    * for string columns). None = not comparable in a way we trust —
+    * the caller must NOT prune on it (the sound direction; a
+    * lexicographic fallback here would silently skip files whose rows
+    * match, e.g. "17..." < "2024-..." ). */
+  private def cmpBound(bound: Any, pred: Any, dt: DataType): Option[Int] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue)
+      case _ => None
+    }
+    dt match {
+      case StringType => bound match {
+        case b: String => Some(b.compareTo(pred.toString))
+        case _ => None
+      }
+      case DateType =>
+        val days: Option[Long] = pred match {
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case n: Number => Some(n.longValue)
+          case st: String =>
+            scala.util.Try(java.time.LocalDate.parse(st).toEpochDay).toOption
+          case _ => None
+        }
+        for (b <- num(bound); d <- days)
+          yield java.lang.Double.compare(b, d.toDouble)
+      case TimestampType | TimestampNTZType =>
+        val micros: Option[Long] = pred match {
+          case t: java.sql.Timestamp =>
+            Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000)
+          case i: java.time.Instant =>
+            Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+          case n: Number => Some(n.longValue)
+          case _ => None
+        }
+        for (b <- num(bound); m <- micros)
+          yield java.lang.Double.compare(b, m.toDouble)
+      case _ =>
+        for (b <- num(bound); p2 <- num(pred))
+          yield java.lang.Double.compare(b, p2)
+    }
   }
 
   /** Snapshot read that SKIPS files the manifest bounds prove outside
@@ -335,23 +384,38 @@ object IcebergLog {
           case Some((id, dt)) =>
             val lb = f.lowerBounds.get(id).map(decodeBound(_, dt))
             val ub = f.upperBounds.get(id).map(decodeBound(_, dt))
-            // intersect? the file survives unless provably disjoint
-            val aboveHi = hi != null && lb.exists(l => cmp(l, hi) > 0)
-            val belowLo = lo != null && ub.exists(u => cmp(u, lo) < 0)
+            // intersect? the file survives unless PROVABLY disjoint —
+            // an incomparable (bound, predicate) pair proves nothing
+            val aboveHi = hi != null &&
+              lb.exists(l => cmpBound(l, hi, dt).exists(_ > 0))
+            val belowLo = lo != null &&
+              ub.exists(u => cmpBound(u, lo, dt).exists(_ < 0))
             !(aboveHi || belowLo)
         }
       }
     }
     lastSkipScan = (files.size.toLong, surviving.size.toLong)
-    val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
-    require(surviving.nonEmpty, s"$dir: every file pruned — add an " +
-      "empty-relation path if this becomes a real case")
+    val schemaOpt = currentSchema(meta)
+    if (surviving.isEmpty) {
+      // every file provably disjoint: a legitimate EMPTY result, typed
+      // by the metadata schema (falling back to one file's footer)
+      val schema = schemaOpt.getOrElse(
+        spark.read.parquet(files.head.path.toString).schema)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val rd = schemaOpt.map(spark.read.schema).getOrElse(spark.read)
     val base = applyDeletes(spark,
       rd.parquet(surviving.map(_.path.toString): _*),
       surviving, snapFiles, fieldNamesById(meta))
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
-      val withLo = Option(lo).map(v => df.filter(col(c) >= lit(v))).getOrElse(df)
-      Option(hi).map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
+      // a predicate on a column the table doesn't have never pruned
+      // (above) — its residual must be a no-op too, not an analysis error
+      if (!df.columns.contains(c)) df
+      else {
+        val withLo = Option(lo).map(v => df.filter(col(c) >= lit(v))).getOrElse(df)
+        Option(hi).map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
+      }
     }
   }
 

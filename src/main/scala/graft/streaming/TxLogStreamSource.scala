@@ -331,10 +331,20 @@ class TxLogScan(dir: String, fullSchema: StructType,
       * partition values — whole-file skipping before any IO, the same
       * soundness contract as [[graft.sources.TxLog.deleteWhere]]'s
       * pruning: only explicitly-disproven files skip; an absent or
-      * unreadable mirror disables pruning (correct, just unpruned). */
+      * unreadable mirror disables pruning (correct, just unpruned).
+      * The CDF batch read replays PER VERSION instead (like the
+      * stream), so `_commit_version` is each row's REAL commit — a
+      * snapshot-shaped read would mislabel the whole history with the
+      * current version. */
     override def planInputPartitions(): Array[InputPartition] = {
       val cur = TxLog.currentVersion(dir).getOrElse(
         sys.error(s"no committed version in $dir"))
+      if (cdf) {
+        val skip = options.get("skipChangeCommits").exists(_.toBoolean)
+        return packPartitions(
+          (1L to cur).map(v => (v, classifiedAddsOf(v, skip)))
+            .filter(_._2.nonEmpty))
+      }
       val rels = TxLog.liveRelsAt(dir, cur)
       val preds = TxLogScan.rangeTriples(pushed)
       val skipped: Set[String] =
@@ -348,6 +358,27 @@ class TxLogScan(dir: String, fullSchema: StructType,
     }
     override def createReaderFactory(): PartitionReaderFactory =
       TxLogScan.this.createReaderFactory()
+  }
+
+  /** Added files of one version, classified per the non-append rule —
+    * shared by the micro-batch stream and the CDF batch read. The
+    * manifest's own `#op` header (written atomically WITH the commit)
+    * answers instantly; manifests from pre-`#op` writers fall back to
+    * one Delta-mirror read and classify conservatively as a data
+    * change when both are silent (`skipChangeCommits` recovers). */
+  private[streaming] def classifiedAddsOf(v: Long,
+      skipChangeCommits: Boolean): Seq[String] = {
+    val (added, removed) = TxLog.commitDelta(dir, v)
+    if (removed.isEmpty) return added
+    val table = Paths.get(dir)
+    val bytesOnly = TxLog.manifestOp(table, v).map(!_._2)
+      .orElse(graft.sources.DeltaLog.isBytesOnlyCommit(table, v))
+    if (bytesOnly.contains(true)) Seq.empty // OPTIMIZE/REORG: rows already delivered
+    else if (skipChangeCommits) Seq.empty
+    else sys.error(s"graft-txlog: version $v of $dir removed files — a " +
+      "DELETE/UPDATE/MERGE rewrite cannot stream as an append (its " +
+      "surviving rows were already delivered). Set " +
+      ".option(\"skipChangeCommits\",\"true\") to skip such commits.")
   }
 
   /** Resolve (version, manifest-relative files) to [[FilePartition]]s:
@@ -487,26 +518,8 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     if (target <= base) null else LongOffset(target)
   }
 
-  /** Added files of one version, classified per the non-append rule.
-    * The manifest's own `#op` header (written atomically WITH the
-    * commit) answers instantly — no wait, no dependence on the
-    * later-written, compactable Delta mirror; manifests from pre-`#op`
-    * writers fall back to one mirror read and classify conservatively
-    * as a data change when both are silent (skipChangeCommits
-    * recovers). */
-  private def addedOf(v: Long): Seq[String] = {
-    val (added, removed) = TxLog.commitDelta(dir, v)
-    if (removed.isEmpty) return added
-    val table = Paths.get(dir)
-    val bytesOnly = TxLog.manifestOp(table, v).map(!_._2)
-      .orElse(graft.sources.DeltaLog.isBytesOnlyCommit(table, v))
-    if (bytesOnly.contains(true)) Seq.empty // OPTIMIZE/REORG: rows already delivered
-    else if (skipChangeCommits) Seq.empty
-    else sys.error(s"graft-txlog: version $v of $dir removed files — a " +
-      "DELETE/UPDATE/MERGE rewrite cannot stream as an append (its " +
-      "surviving rows were already delivered). Set " +
-      ".option(\"skipChangeCommits\",\"true\") to skip such commits.")
-  }
+  private def addedOf(v: Long): Seq[String] =
+    scan.classifiedAddsOf(v, skipChangeCommits)
 
   /** The versions in `(start, end]` as file lists. A fresh stream from
     * the table's origin reads the END version's manifest as ONE

@@ -219,4 +219,94 @@ class IcebergSpec extends SparkSpec {
     assert(got.filter(col("event_type") === "error").count() > 0,
       "fixture needs surviving rows to prove the sequence rule")
   }
+
+  test("review fixes: empty prune result, incomparable predicates never prune, unknown-column residual") {
+    val s = spark
+    val t = IcebergLog.rangedTable(s, sf)
+    // a range beyond every band: legitimate EMPTY result, not a crash
+    val none = IcebergLog.skipScan(s, t, Seq(("event_id", 10000000L, 20000000L)))
+    assert(none.count() == 0L)
+    assert(IcebergLog.lastSkipScan._2 == 0L)
+    // an incomparable predicate value (string vs long bounds) must not
+    // prune — lexicographic fallback would silently skip matching files
+    val all = IcebergLog.skipScan(s, t, Seq(("event_id", "100", null)))
+    assert(IcebergLog.lastSkipScan._2 == IcebergLog.lastSkipScan._1,
+      "incomparable bound/pred pairs must never prune")
+    // unknown predicate column: no prune AND no residual analysis error
+    assert(IcebergLog.skipScan(s, t, Seq(("no_such_col", 1L, 2L))).count() ==
+      Tables.events(s, sf).count())
+  }
+
+  test("review fix: null entry sequence numbers inherit the manifest's") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    // clone the eq-delete tree and strip the EXPLICIT per-entry seqs,
+    // moving them to the manifest-list level: the inheritance rule must
+    // reconstruct the same strictly-older semantics
+    val src = Paths.get(IcebergLog.eqDeleteTable(s, sf))
+    val dst = Files.createTempDirectory("iceberg_inherit")
+    Files.walk(src).iterator().forEachRemaining { p =>
+      val d = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    def rewrite(rel: String, strip: GenericRecord => Unit): Unit = {
+      val f = dst.resolve(rel)
+      val rd = new org.apache.avro.file.DataFileReader[GenericRecord](
+        f.toFile, new GenericDatumReader[GenericRecord]())
+      val (schema, recs) = try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+        val it = rd.iterator(); while (it.hasNext) b += it.next()
+        (b.head.getSchema, b.toSeq)
+      } finally rd.close()
+      Files.delete(f)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, f.toFile)
+      try recs.foreach { r => strip(r); w.append(r) } finally w.close()
+    }
+    // entries: null out sequence_number (b0 was 1, b1 was 3 — losing
+    // this distinction WOULD break the test unless inheritance kicks in,
+    // so split the data manifest is needed... instead: keep data seqs,
+    // null only the DELETE manifest's entry seq and carry 2 on its
+    // manifest-list row)
+    rewrite("metadata/m-eqdel.avro", r => r.put("sequence_number", null))
+    val mlSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val ml = dst.resolve("metadata/snap-eq-list.avro")
+    val rd = new org.apache.avro.file.DataFileReader[GenericRecord](
+      ml.toFile, new GenericDatumReader[GenericRecord]())
+    val old = try {
+      val b = scala.collection.mutable.ArrayBuffer.empty[GenericRecord]
+      val it = rd.iterator(); while (it.hasNext) b += it.next()
+      b.toSeq
+    } finally rd.close()
+    Files.delete(ml)
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](mlSchema))
+    w.create(mlSchema, ml.toFile)
+    try old.foreach { r =>
+      val n = new GenericData.Record(mlSchema)
+      n.put("manifest_path", r.get("manifest_path").toString)
+      n.put("manifest_length", r.get("manifest_length"))
+      n.put("partition_spec_id", 0)
+      n.put("content", r.get("content"))
+      n.put("sequence_number",
+        if (r.get("manifest_path").toString.contains("eqdel")) Long.box(2L) else null)
+      n.put("added_snapshot_id", r.get("added_snapshot_id"))
+      w.append(n)
+    } finally w.close()
+    val got = IcebergLog.snapshot(s, dst.toString)
+    val want = ev.filter(!(col("event_id") % 2 === 0 &&
+      col("event_type") === "error"))
+    assert(got.count() == want.count(),
+      "delete-entry seq must inherit from the manifest-list row")
+  }
 }

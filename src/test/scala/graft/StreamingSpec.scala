@@ -783,4 +783,24 @@ class StreamingSpec extends SparkSpec {
     assert(one.count() ==
       ev.filter(col("ts").cast("date") === "2024-01-03").count())
   }
+
+  test("batch CDF read replays per version: _commit_version is each row's real commit") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_batch_cdf").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 100), tbl)
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(100, 199)), tbl)
+    val cdf = s.read.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").load()
+    val byV = cdf.groupBy("_commit_version").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byV.keySet == Set(1L, 2L),
+      s"rows must carry their REAL commit version, got $byV")
+    assert(byV(1L) == ev.filter(col("event_id") < 100).count())
+    assert(byV(2L) == ev.filter(col("event_id").between(100, 199)).count())
+    assert(cdf.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+  }
 }
