@@ -235,17 +235,21 @@ object IcebergLog {
       files: Seq[IceFile], sf: SnapshotFiles,
       fieldName: Map[Int, String]): DataFrame = {
     if (sf.posDeletes.isEmpty && sf.eqDeletes.isEmpty) return df
+    // Canonicalize EVERY path to the raw (unescaped) filesystem form:
+    // `_metadata.file_path` arrives URI-escaped (file:///a/my%20table/…),
+    // while a delete file's `file_path` column holds whatever its writer
+    // stored — escaped URI or raw path. Decoding the URI-escaped forms
+    // (plus pre-protecting literal '+', which url_decode would turn into
+    // a space) makes all three sources join on one spelling; normalizing
+    // only one side silently un-applies every delete on escaped paths.
     val norm = (c: org.apache.spark.sql.Column) =>
-      regexp_replace(c, "^file:/+", "/")
+      when(c.startsWith("file:"),
+        regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
+          "^file:/+", "/"))
+        .otherwise(c)
     val cols = df.columns.toSeq
     import spark.implicits._
-    // key the (file -> seq) map by the URI-ESCAPED form _metadata
-    // yields (a path with spaces is file:///a/my%20table/... there):
-    // joining on the raw filesystem string would silently miss and
-    // leave __seq null — un-applying every delete
-    def uriNorm(p: Path): String =
-      p.toUri.toString.replaceFirst("^file:/+", "/")
-    val seqDf = files.map(f => (uriNorm(f.path), f.seq)).toDF("__sf", "__seq")
+    val seqDf = files.map(f => (f.path.toString, f.seq)).toDF("__sf", "__seq")
     var out = df.withColumn("__file", norm(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
       .join(broadcast(seqDf), col("__file") === col("__sf"), "left")
@@ -289,17 +293,20 @@ object IcebergLog {
 
   /** Iceberg's binary single-value serialization (spec appendix D):
     * little-endian fixed width for numerics, UTF-8 for strings. */
-  private[graft] def decodeBound(bytes: Array[Byte], dt: DataType): Any = {
+  private[graft] def decodeBound(bytes: Array[Byte], dt: DataType): Option[Any] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     dt match {
-      case IntegerType | DateType => bb.getInt
-      case LongType | TimestampType | TimestampNTZType => bb.getLong
-      case FloatType => bb.getFloat
-      case DoubleType => bb.getDouble
-      case BooleanType => bytes.nonEmpty && bytes(0) != 0
-      case StringType => new String(bytes, "UTF-8")
-      case other => sys.error(s"no bound decoding for $other")
+      case IntegerType | DateType => Some(bb.getInt)
+      case LongType | TimestampType | TimestampNTZType => Some(bb.getLong)
+      case FloatType => Some(bb.getFloat)
+      case DoubleType => Some(bb.getDouble)
+      case BooleanType => Some(bytes.nonEmpty && bytes(0) != 0)
+      case StringType => Some(new String(bytes, "UTF-8"))
+      // decimal (unscaled big-endian) / binary bounds: undecoded here —
+      // returning None means "no trusted bound", which never prunes
+      // (the sound direction), instead of crashing the whole query
+      case _ => None
     }
   }
 
@@ -374,7 +381,12 @@ object IcebergLog {
       .getOrElse(sys.error(s"$dir: no schema $sid"))
     val fieldIds: Map[String, (Int, DataType)] =
       schemaNode.get("fields").asScala.flatMap { f =>
-        sparkType(f.get("type")).map(dt =>
+        val t = f.get("type")
+        // uuid maps to StringType for READING, but its bounds are 16
+        // raw bytes — lexicographic comparison against uuid text would
+        // prune unsoundly, so uuid columns never prune
+        if (t.isTextual && t.asText() == "uuid") None
+        else sparkType(t).map(dt =>
           f.get("name").asText() -> (f.get("id").asInt(), dt))
       }.toMap
     val surviving = files.filter { f =>
@@ -382,8 +394,8 @@ object IcebergLog {
         fieldIds.get(c) match {
           case None => true // unknown column: never prune on it
           case Some((id, dt)) =>
-            val lb = f.lowerBounds.get(id).map(decodeBound(_, dt))
-            val ub = f.upperBounds.get(id).map(decodeBound(_, dt))
+            val lb = f.lowerBounds.get(id).flatMap(decodeBound(_, dt))
+            val ub = f.upperBounds.get(id).flatMap(decodeBound(_, dt))
             // intersect? the file survives unless PROVABLY disjoint —
             // an incomparable (bound, predicate) pair proves nothing
             val aboveHi = hi != null &&
@@ -399,8 +411,10 @@ object IcebergLog {
     if (surviving.isEmpty) {
       // every file provably disjoint: a legitimate EMPTY result, typed
       // by the metadata schema (falling back to one file's footer)
-      val schema = schemaOpt.getOrElse(
-        spark.read.parquet(files.head.path.toString).schema)
+      val schema = schemaOpt.getOrElse {
+        if (files.isEmpty) sys.error(s"$dir: snapshot lists no data files")
+        spark.read.parquet(files.head.path.toString).schema
+      }
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -443,8 +457,10 @@ object IcebergLog {
   /** The current schema of a metadata JSON as a Spark StructType; None
     * when any field's type has no mapping (the read then falls back to
     * parquet inference). */
-  private def currentSchema(meta: JsonNode): Option[StructType] = {
-    val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+  private def currentSchema(meta: JsonNode,
+      sidOverride: Option[Int] = None): Option[StructType] = {
+    val sid = sidOverride.getOrElse(
+      Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0))
     val schema = Option(meta.get("schemas"))
       .flatMap(_.asScala.find(s => int2(s, "schema-id") == sid))
       .orElse(Option(meta.get("schema"))) // v1 single-schema form
@@ -466,23 +482,35 @@ object IcebergLog {
       _.get("snapshot-id").asLong() == id)).getOrElse(
       sys.error(s"snapshot $id not found in table metadata"))
 
-  /** Snapshot-isolated read of the table's CURRENT snapshot. */
+  /** Snapshot-isolated read of the table's CURRENT snapshot — typed by
+    * the CURRENT schema (a just-evolved column null-fills), the spec's
+    * read-time behavior. */
   def snapshot(spark: SparkSession, dir: String): DataFrame = {
     val table = Paths.get(dir)
     val meta = readMetadata(table)
     val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
       .filter(_ != -1L).getOrElse(
         sys.error(s"$dir: table has no current snapshot"))
-    snapshotAt(spark, dir, cur)
+    readSnapshot(spark, dir, meta, cur, snapshotSchema = false)
   }
 
-  /** Time travel to any retained snapshot id. */
-  def snapshotAt(spark: SparkSession, dir: String, snapshotId: Long): DataFrame = {
+  /** Time travel to any retained snapshot id — typed by the SNAPSHOT's
+    * own recorded schema-id: the current schema would surface columns
+    * that did not exist at that point of history. */
+  def snapshotAt(spark: SparkSession, dir: String, snapshotId: Long): DataFrame =
+    readSnapshot(spark, dir, readMetadata(Paths.get(dir)), snapshotId,
+      snapshotSchema = true)
+
+  private def readSnapshot(spark: SparkSession, dir: String, meta: JsonNode,
+      snapshotId: Long, snapshotSchema: Boolean): DataFrame = {
     val table = Paths.get(dir)
-    val meta = readMetadata(table)
     val snap = snapshotNode(meta, snapshotId)
     val sf = liveFilesOf(table, snap.get("manifest-list").asText())
-    val rd = currentSchema(meta).map(spark.read.schema).getOrElse(spark.read)
+    val sid =
+      if (snapshotSchema) Option(snap.get("schema-id")).map(_.asInt())
+      else None
+    val rd = currentSchema(meta, sid).map(spark.read.schema)
+      .getOrElse(spark.read)
     if (sf.data.isEmpty)
       sys.error(s"$dir: snapshot $snapshotId lists no data files")
     applyDeletes(spark, rd.parquet(sf.data.map(_.path.toString): _*),
@@ -759,9 +787,10 @@ object IcebergLog {
     * spec-shaped delete parquet, routed through a content-1 DELETE
     * manifest.
     */
-  private[graft] def posDeleteTable(spark: SparkSession, dir: String): String =
-    staged.getOrElseUpdate(s"iceberg-posdel:$dir", {
-      val table = graft.Scratch.dir("graft_iceberg_posdel")
+  private[graft] def posDeleteTable(spark: SparkSession, dir: String,
+      at: Option[Path] = None): String =
+    staged.getOrElseUpdate(s"iceberg-posdel:$dir:${at.getOrElse("")}", {
+      val table = at.getOrElse(graft.Scratch.dir("graft_iceberg_posdel"))
       Files.createDirectories(metadataDir(table))
       val ev = Tables.events(spark, dir)
       val b0 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),

@@ -1342,6 +1342,27 @@ object TxLog {
       .flatMap(v => readManifest(Paths.get(dir), v).headOption)
       .map(pathPartCols).getOrElse(Seq.empty)
 
+  /** (version, added files, removed-anything?) for every version in
+    * `[fromV, toV]`, each manifest read ONCE in one forward pass —
+    * manifests are cumulative, so the naive per-version
+    * [[commitDelta]] would read each O(total files) manifest twice and
+    * turn a 1000-commit CDF planning call into O(V^2 · files) driver
+    * IO. */
+  private[graft] def commitDeltasRange(dir: String, fromV: Long,
+      toV: Long): Seq[(Long, Seq[String], Boolean)] = {
+    val table = Paths.get(dir)
+    var prev: Set[String] =
+      if (fromV <= 1) Set.empty
+      else readManifest(table, fromV - 1).toSet
+    (fromV to toV).map { v =>
+      val cur = readManifest(table, v)
+      val curSet = cur.toSet
+      val out = (v, cur.filterNot(prev), prev.exists(p => !curSet(p)))
+      prev = curSet
+      out
+    }
+  }
+
   /** One commit's (added, removed) relative-path sets — the streaming
     * source's commit classifier (append / bytes-only rewrite / data
     * change). Metadata-scale: two manifest reads. */

@@ -264,19 +264,11 @@ object TxLogScan {
       .filter(t => t._2 != null || t._3 != null)
   }
 
-  /** Hive path-segment unescape (`%xx` sequences). */
-  private[streaming] def unescapePath(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  /** Hive path-segment unescape — Spark's own implementation, shared
+    * with the Delta mirror's segment parsing (a hand-rolled %xx loop
+    * here diverged on malformed escapes and multi-byte UTF-8). */
+  private[streaming] def unescapePath(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 }
 
 /** One scan = one (projection, filters, options) binding;
@@ -293,7 +285,14 @@ class TxLogScan(dir: String, fullSchema: StructType,
     options: Map[String, String], required: StructType,
     pushed: Array[SFilter]) extends Scan {
 
-  private val cdf = options.get("readChangeFeed").exists(_.toBoolean)
+  // the DSv2 contract is CASE-INSENSITIVE options; the merged map keeps
+  // original casing, so every lookup goes through this
+  private val optsCI: Map[String, String] =
+    options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  private def opt(name: String): Option[String] =
+    optsCI.get(name.toLowerCase(java.util.Locale.ROOT))
+
+  private val cdf = opt("readChangeFeed").exists(_.toBoolean)
   // appended (non-file) columns: real partition cols + CDF pseudo-cols
   private val partCols = TxLog.partitionColumnsOf(dir)
   private val appendedNames: Set[String] =
@@ -321,9 +320,9 @@ class TxLogScan(dir: String, fullSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TxLogMicroBatchStream(this, dir,
-      options.get("startingVersion").map(_.toLong).getOrElse(0L),
-      options.get("skipChangeCommits").exists(_.toBoolean),
-      options.get("maxVersionsPerTrigger").map(_.toLong), cdf)
+      opt("startingVersion").map(_.toLong).getOrElse(0L),
+      opt("skipChangeCommits").exists(_.toBoolean),
+      opt("maxVersionsPerTrigger").map(_.toLong), cdf)
 
   override def toBatch: Batch = new Batch {
     /** Live files, minus the ones the pushed filters' range envelope
@@ -340,10 +339,14 @@ class TxLogScan(dir: String, fullSchema: StructType,
       val cur = TxLog.currentVersion(dir).getOrElse(
         sys.error(s"no committed version in $dir"))
       if (cdf) {
-        val skip = options.get("skipChangeCommits").exists(_.toBoolean)
+        val skip = opt("skipChangeCommits").exists(_.toBoolean)
+        // one forward manifest pass (manifests are cumulative — the
+        // per-version delta helper would read each twice: O(V^2) IO)
         return packPartitions(
-          (1L to cur).map(v => (v, classifiedAddsOf(v, skip)))
-            .filter(_._2.nonEmpty))
+          TxLog.commitDeltasRange(dir, 1L, cur).map {
+            case (v, added, removedAny) =>
+              (v, classify(v, added, removedAny, skip))
+          }.filter(_._2.nonEmpty))
       }
       val rels = TxLog.liveRelsAt(dir, cur)
       val preds = TxLogScan.rangeTriples(pushed)
@@ -369,7 +372,12 @@ class TxLogScan(dir: String, fullSchema: StructType,
   private[streaming] def classifiedAddsOf(v: Long,
       skipChangeCommits: Boolean): Seq[String] = {
     val (added, removed) = TxLog.commitDelta(dir, v)
-    if (removed.isEmpty) return added
+    classify(v, added, removed.nonEmpty, skipChangeCommits)
+  }
+
+  private def classify(v: Long, added: Seq[String], removedAny: Boolean,
+      skipChangeCommits: Boolean): Seq[String] = {
+    if (!removedAny) return added
     val table = Paths.get(dir)
     val bytesOnly = TxLog.manifestOp(table, v).map(!_._2)
       .orElse(graft.sources.DeltaLog.isBytesOnlyCommit(table, v))

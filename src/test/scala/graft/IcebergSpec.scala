@@ -309,4 +309,53 @@ class IcebergSpec extends SparkSpec {
     assert(got.count() == want.count(),
       "delete-entry seq must inherit from the manifest-list row")
   }
+
+  test("review-2 fixes: escaped paths, undecodable bounds, snapshot schema-id") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    // 1. a table path needing URI escaping: position deletes must still
+    // apply (the _metadata side is file:///...%20..., the seq map and
+    // delete-file side must canonicalize to the same spelling)
+    val spaced = Files.createTempDirectory("iceberg pd space")
+    val t = IcebergLog.posDeleteTable(s, sf, at = Some(spaced))
+    assert(t.contains(" "), t)
+    assert(IcebergLog.snapshot(s, t).count() ==
+      ev.filter(col("event_id") % 10 =!= 0).count(),
+      "position deletes must apply on URI-escaped paths")
+    // 2. undecodable bound types decline to prune instead of crashing
+    assert(IcebergLog.decodeBound(Array[Byte](1, 2), 
+      org.apache.spark.sql.types.DecimalType(10, 2)).isEmpty)
+    assert(IcebergLog.decodeBound(Array[Byte](1, 2),
+      org.apache.spark.sql.types.BinaryType).isEmpty)
+    // 3. time travel types by the SNAPSHOT's schema-id: give the
+    // metadata an evolved current schema (id 1, +extra col) while
+    // snapshot 1 keeps schema-id 0
+    val src = Paths.get(IcebergLog.goldenTable(s, sf))
+    val dst = Files.createTempDirectory("iceberg_sid")
+    Files.walk(src).iterator().forEachRemaining { p =>
+      val d = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mp = dst.resolve("metadata/v2.metadata.json")
+    val root = mapper.readTree(Files.readString(mp))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = root.get("schemas")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val evolved = schemas.get(0).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    evolved.put("schema-id", 1)
+    val f = evolved.withArray("fields").addObject()
+    f.put("id", 99); f.put("name", "extra"); f.put("required", false)
+    f.put("type", "long")
+    schemas.add(evolved)
+    root.put("current-schema-id", 1)
+    Files.writeString(mp, mapper.writeValueAsString(root))
+    val cur = IcebergLog.snapshot(s, dst.toString)
+    assert(cur.columns.contains("extra"),
+      "current snapshot must read the evolved schema (null-filled)")
+    val old = IcebergLog.snapshotAt(s, dst.toString, 1L)
+    assert(!old.columns.contains("extra"),
+      "time travel must use the snapshot's own schema-id, not the current")
+  }
 }

@@ -803,4 +803,20 @@ class StreamingSpec extends SparkSpec {
     assert(cdf.select("_change_type").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("insert"))
   }
+
+  test("connector options are case-insensitive (DSv2 contract)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_ci_opts").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 50), tbl)
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(50, 99)), tbl)
+    val cdf = s.read.format("graft-txlog").option("path", tbl)
+      .option("READCHANGEFEED", "true").load()
+    // mis-cased option must still produce REAL per-version CDF values
+    val vs = cdf.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(vs == Set(1L, 2L), s"case-insensitive readChangeFeed: $vs")
+  }
 }

@@ -796,4 +796,20 @@ class TxLogSpec extends SparkSpec {
     assert(graft.sources.DeltaLog.isBytesOnlyCommit(
       java.nio.file.Paths.get(t), r.version).contains(true))
   }
+
+  test("commitDeltasRange equals per-version commitDelta in one manifest pass") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    (0 until 4).foreach(i => TxLog.commitAppend(
+      events.filter(pmod(col("event_id"), lit(4)) === i), t))
+    TxLog.optimize(s, t) // v5 rewrites (adds + removes)
+    val ranged = TxLog.commitDeltasRange(t, 1L, 5L)
+    (1L to 5L).foreach { v =>
+      val (added, removed) = TxLog.commitDelta(t, v)
+      val (rv, radded, rremoved) = ranged((v - 1).toInt)
+      assert(rv == v && radded == added && rremoved == removed.nonEmpty,
+        s"v$v: range=($radded,$rremoved) vs delta=($added,${removed.nonEmpty})")
+    }
+  }
 }
