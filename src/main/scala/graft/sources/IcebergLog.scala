@@ -517,6 +517,19 @@ object IcebergLog {
       sf.data, sf, fieldNamesById(meta))
   }
 
+  /** Resolve a NAMED REF (the v2 `refs` map: branches and tags) to its
+    * snapshot id — `snapshotFor(dir, "audit-tag")` is the named form
+    * of time travel (`VERSION AS OF 'ref'`). Absent refs error with
+    * the known names. */
+  def snapshotFor(spark: SparkSession, dir: String, ref: String): DataFrame = {
+    val meta = readMetadata(Paths.get(dir))
+    val refs = Option(meta.get("refs")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue).toMap).getOrElse(Map.empty)
+    val id = refs.get(ref).map(_.get("snapshot-id").asLong()).getOrElse(
+      sys.error(s"$dir: no ref '$ref' (known: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+    snapshotAt(spark, dir, id)
+  }
+
   /** The table's snapshot history (id, timestamp, manifest-list) —
     * metadata-scale. */
   def history(dir: String): Seq[(Long, Long, String)] = {

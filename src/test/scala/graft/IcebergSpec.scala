@@ -358,4 +358,35 @@ class IcebergSpec extends SparkSpec {
     assert(!old.columns.contains("extra"),
       "time travel must use the snapshot's own schema-id, not the current")
   }
+
+  test("named refs (branches/tags) resolve to their snapshot") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    // doctor a refs map onto the golden tree: a tag pinned at snapshot 1
+    // and a main branch at snapshot 2
+    val src = Paths.get(IcebergLog.goldenTable(s, sf))
+    val dst = Files.createTempDirectory("iceberg_refs")
+    Files.walk(src).iterator().forEachRemaining { p =>
+      val d = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mp = dst.resolve("metadata/v2.metadata.json")
+    val root = mapper.readTree(Files.readString(mp))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val refs = root.putObject("refs")
+    val tag = refs.putObject("audit-v1")
+    tag.put("snapshot-id", 1L); tag.put("type", "tag")
+    val main = refs.putObject("main")
+    main.put("snapshot-id", 2L); main.put("type", "branch")
+    Files.writeString(mp, mapper.writeValueAsString(root))
+    assert(IcebergLog.snapshotFor(s, dst.toString, "audit-v1").count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) === 0).count())
+    assert(IcebergLog.snapshotFor(s, dst.toString, "main").count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) < 2).count())
+    val e = intercept[RuntimeException](
+      IcebergLog.snapshotFor(s, dst.toString, "nope"))
+    assert(e.getMessage.contains("audit-v1"), e.getMessage)
+  }
 }
