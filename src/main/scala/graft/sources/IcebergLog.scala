@@ -530,6 +530,18 @@ object IcebergLog {
     snapshotAt(spark, dir, id)
   }
 
+  /** Timestamp time travel (`TIMESTAMP AS OF`): the newest snapshot
+    * whose commit timestamp is ≤ `tsMillis` — the same contract as
+    * [[DeltaLog.snapshotAsOf]]; a timestamp before the first snapshot
+    * fails loudly. */
+  def snapshotAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val hist = history(dir)
+    val id = hist.filter(_._2 <= tsMillis).sortBy(_._2).lastOption.map(_._1)
+      .getOrElse(sys.error(s"$dir: no snapshot at or before $tsMillis " +
+        s"(earliest: ${hist.map(_._2).minOption.getOrElse(-1L)})"))
+    snapshotAt(spark, dir, id)
+  }
+
   /** The table's snapshot history (id, timestamp, manifest-list) —
     * metadata-scale. */
   def history(dir: String): Seq[(Long, Long, String)] = {

@@ -243,7 +243,7 @@ object TxLogScan {
     * over-approximation file-stats pruning needs. Conjuncts only; any
     * unsupported shape simply contributes nothing (pruning stays
     * sound, residual filters stay exact). */
-  private[streaming] def rangeTriples(fs: Array[SFilter]): Seq[(String, Any, Any)] = {
+  private[graft] def rangeTriples(fs: Array[SFilter]): Seq[(String, Any, Any)] = {
     import org.apache.spark.sql.{sources => sf}
     val m = scala.collection.mutable.LinkedHashMap.empty[String, (Any, Any)]
     def merge(c: String, lo: Any, hi: Any): Unit = {

@@ -389,4 +389,16 @@ class IcebergSpec extends SparkSpec {
       IcebergLog.snapshotFor(s, dst.toString, "nope"))
     assert(e.getMessage.contains("audit-v1"), e.getMessage)
   }
+
+  test("timestamp time travel resolves the newest snapshot at-or-before") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.goldenTable(s, sf)
+    val ts = IcebergLog.history(t).map(_._2).sorted // fixture: 17e11+1, +2
+    assert(IcebergLog.snapshotAsOf(s, t, ts(0)).count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) === 0).count())
+    assert(IcebergLog.snapshotAsOf(s, t, ts(1) + 1000).count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) < 2).count())
+    intercept[RuntimeException](IcebergLog.snapshotAsOf(s, t, ts(0) - 1))
+  }
 }

@@ -660,4 +660,41 @@ class PropertiesSpec extends SparkSpec {
       graft.sources.DeltaLog.pathDecode(p + "%z9")
     }
   }
+
+  test("rangeTriples over-approximates every conjunctive filter (pushdown soundness)") {
+    import org.apache.spark.sql.{sources => sf}
+    // random conjunctions of range/equality filters over one column;
+    // any value satisfying ALL filters must fall inside the triple's
+    // [lo, hi] envelope — the property whole-file skipping relies on
+    val boundGen = Gen.choose(-100L, 100L)
+    val filterGen: Gen[sf.Filter] = Gen.oneOf(
+      boundGen.map(v => sf.EqualTo("c", v)),
+      boundGen.map(v => sf.GreaterThan("c", v)),
+      boundGen.map(v => sf.GreaterThanOrEqual("c", v)),
+      boundGen.map(v => sf.LessThan("c", v)),
+      boundGen.map(v => sf.LessThanOrEqual("c", v)),
+      for (a <- boundGen; b <- boundGen)
+        yield sf.And(sf.GreaterThanOrEqual("c", a), sf.LessThanOrEqual("c", b)))
+    val conjGen = Gen.listOfN(3, filterGen)
+    def sat(f: sf.Filter, v: Long): Boolean = f match {
+      case sf.EqualTo(_, x) => v == x.asInstanceOf[Long]
+      case sf.GreaterThan(_, x) => v > x.asInstanceOf[Long]
+      case sf.GreaterThanOrEqual(_, x) => v >= x.asInstanceOf[Long]
+      case sf.LessThan(_, x) => v < x.asInstanceOf[Long]
+      case sf.LessThanOrEqual(_, x) => v <= x.asInstanceOf[Long]
+      case sf.And(a, b) => sat(a, v) && sat(b, v)
+      case _ => true
+    }
+    for (filters <- samples(conjGen, 40)) {
+      val triples = graft.streaming.TxLogScan.rangeTriples(filters.toArray)
+      val lo = triples.collectFirst { case ("c", l, _) if l != null => l.asInstanceOf[Long] }
+      val hi = triples.collectFirst { case ("c", _, h) if h != null => h.asInstanceOf[Long] }
+      (-110L to 110L).foreach { v =>
+        if (filters.forall(sat(_, v))) {
+          assert(lo.forall(v >= _) && hi.forall(v <= _),
+            s"value $v satisfies $filters but falls outside envelope [$lo, $hi]")
+        }
+      }
+    }
+  }
 }
