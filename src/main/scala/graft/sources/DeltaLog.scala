@@ -1724,7 +1724,13 @@ object DeltaLog {
       .filter(_.contains("\"commitInfo\""))
       .map(mapper.readTree)
       .flatMap(n => Option(n.get("commitInfo")))
-      .flatMap(ci => Option(ci.get("timestamp")).map(_.asLong()))
+      .flatMap(ci =>
+        // IN-COMMIT TIMESTAMPS (the inCommitTimestamp writer feature):
+        // when present it IS the commit's authoritative time — the spec
+        // makes timestamp queries use it precisely because file mtimes
+        // and wall-clock `timestamp` drift under copies and retries
+        Option(ci.get("inCommitTimestamp"))
+          .orElse(Option(ci.get("timestamp"))).map(_.asLong()))
       .nextOption()
       .getOrElse(Files.getLastModifiedTime(p).toMillis)
 

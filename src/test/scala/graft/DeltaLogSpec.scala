@@ -1685,4 +1685,29 @@ class DeltaLogSpec extends SparkSpec {
       .select("protocol.readerFeatures").collect()(0).getSeq[String](0)
     assert(feats.contains("v2Checkpoints"), feats.toString)
   }
+
+  test("in-commit timestamps take precedence for timestamp time travel") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    TxLog.commitAppend(ev.filter(col("event_id") < 100), t)
+    TxLog.commitAppend(ev.filter(col("event_id").between(100, 199)), t)
+    // stamp DIVERGENT inCommitTimestamp values into both commits: far
+    // in the past, so resolution provably reads them (wall-clock
+    // `timestamp` and file mtimes are both ~now)
+    (0L to 1L).foreach { v =>
+      val p = Paths.get(t, "_delta_log", f"$v%020d.json")
+      val lines = Files.readAllLines(p)
+      val ict = 1000000000000L + v * 1000L
+      val extra = s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"inCommitTimestamp":$ict,"operation":"WRITE"}}"""
+      Files.writeString(p, (Seq(extra) ++ lines.asScala).mkString("\n"))
+    }
+    assert(DeltaLog.versionAsOf(t, 1000000000500L) == 0L,
+      "resolution must use inCommitTimestamp, not wall clock or mtime")
+    assert(DeltaLog.versionAsOf(t, 1000000001500L) == 1L)
+    assert(DeltaLog.snapshotAsOf(s, t, 1000000000500L).count() ==
+      ev.filter(col("event_id") < 100).count())
+    intercept[RuntimeException](DeltaLog.versionAsOf(t, 999999999999L))
+  }
 }
