@@ -197,23 +197,48 @@ object Similarity {
   /** Per-label mean centroids (cell, ce, cnrm) — the deterministic
     * codebook seed.
     */
-  /** EXACT (order-insensitive) per-dimension mean: decimal-summed,
-    * then ONE double division — run-to-run and cross-engine
-    * deterministic, unlike a double `avg` whose partial-sum order
-    * drifts with parallelism. The drift is ~1e-15 relative, far below
-    * every rounding here, EXCEPT where a rounded-cosine RANK breaks
-    * ties: `q_ivf_append`'s fixture sat exactly on such a boundary and
-    * flipped a cell assignment between oracle runs (~50% selfcheck
-    * flake). Inputs quantize to 12dp first — both engines identically,
-    * far below downstream rounding. Oracles mirror this as
-    * `CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v)`. */
-  private def exactMean(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(27,12)")).cast("double") / count(c)
+  /** EXACT (order-insensitive) per-dimension mean: each element is
+    * quantized to a 12dp LONG (`round(v*1e12)` — identical IEEE
+    * multiply + half-away-from-zero round in both engines), the longs
+    * are integer-summed (order-insensitive by definition), then ONE
+    * double division — run-to-run and cross-engine deterministic,
+    * unlike a double `avg` whose partial-sum order drifts with
+    * parallelism. The drift matters EXACTLY where a rounded-cosine
+    * RANK breaks ties: `q_ivf_append`'s fixture sat on such a boundary
+    * and flipped a cell assignment between oracle runs (~50% selfcheck
+    * flake). An earlier fix summed `decimal(27,12)` per element, which
+    * costs a BigDecimal conversion + decimal add per row and made the
+    * IVF family 2-3x slower; integer sums stay inside whole-stage
+    * codegen as primitive long adds. Overflow envelope: |v| <= 1 (unit
+    * embeddings) quantizes to <= 1e12 per row, so a long sum is exact
+    * to ~9e6 rows per group — far above any training sample here; past
+    * that, drop to 9dp (1e10 rows) — Spark runs ANSI mode, so an
+    * overflow fails loudly rather than wrapping. Oracles mirror this as
+    * `CAST(sum(CAST(round(v * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 /
+    * count(v)` (DuckDB's BIGINT sum is a HUGEINT — exact).
+    *
+    * The quantization itself runs ONCE per row over the whole vector in
+    * the native `graft_qvec` kernel (Spark's own `round(double)` routes
+    * through BigDecimal per value — 64 allocations per row here; see
+    * the rounding-equivalence argument in `QuantizeVec`'s doc for why
+    * kernel, Spark `round`, and DuckDB `round` agree everywhere), so
+    * the aggregate side is pure primitive long sums inside whole-stage
+    * codegen. */
+  private def withQv(df: DataFrame): DataFrame =
+    df.withColumn("_qv",
+      graft.functions.QuantizeVec.quantVec(df.sparkSession, col("e")))
+
+  /** Mean of dimension `i` over a frame that passed through [[withQv]]:
+    * integer-summed quantized longs, ONE double division at the end.
+    */
+  private def exactMeanAt(i: Int) =
+    sum(element_at(col("_qv"), i)).cast("double") / lit(1.0e12) /
+      count(element_at(col("e"), i))
 
   private def labelCentroids(v: DataFrame): DataFrame = {
     val spark = v.sparkSession
-    val sums = (1 to dim).map(i => exactMean(element_at(col("e"), i)).as(s"c_$i"))
-    v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+    val sums = (1 to dim).map(i => exactMeanAt(i).as(s"c_$i"))
+    withQv(v).groupBy(col("label")).agg(sums.head, sums.tail: _*)
       .select(col("label").as("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
       .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
   }
@@ -269,12 +294,12 @@ object Similarity {
     val spark = v.sparkSession
     val t = trainSample(v, samplePct)
     var cent = labelCentroids(t)
-    val sums = (1 to dim).map(i => exactMean(element_at(col("e"), i)).as(s"c_$i"))
+    val sums = (1 to dim).map(i => exactMeanAt(i).as(s"c_$i"))
     for (_ <- 0 until iters) {
       val assigned = withRankedCells(t, cent)
         .withColumn("cell", col("cells").getItem(0))
         .select(col("cell"), col("e"))
-      cent = assigned.groupBy(col("cell")).agg(sums.head, sums.tail: _*)
+      cent = withQv(assigned).groupBy(col("cell")).agg(sums.head, sums.tail: _*)
         .select(col("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
         .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
     }
@@ -374,7 +399,7 @@ object Similarity {
     s"""WITH c AS (
        |  SELECT label AS cell, list(m ORDER BY i) AS ce
        |  FROM (
-       |    SELECT label, i, CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v) AS m
+       |    SELECT label, i, CAST(sum(CAST(round(v * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / count(v) AS m
        |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
        |                 unnest(range(1, 1 + len(embedding))) AS i
        |          FROM embeddings)
@@ -419,7 +444,7 @@ object Similarity {
       s"""$name AS (
          |  SELECT $keyCol AS cell, list(m ORDER BY i) AS ce
          |  FROM (
-         |    SELECT $keyCol, i, CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v) AS m
+         |    SELECT $keyCol, i, CAST(sum(CAST(round(v * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / count(v) AS m
          |    FROM (SELECT $keyCol, unnest(embedding::DOUBLE[]) AS v,
          |                 unnest(range(1, 1 + len(embedding))) AS i
          |          FROM $src)
@@ -605,8 +630,8 @@ object Similarity {
       col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", VectorOps.norm(spark, col("e")))
     val dim = 64
-    val sums = (1 to dim).map(i => exactMean(element_at(col("e"), i)).as(s"c_$i"))
-    val centroids = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+    val sums = (1 to dim).map(i => exactMeanAt(i).as(s"c_$i"))
+    val centroids = withQv(v).groupBy(col("label")).agg(sums.head, sums.tail: _*)
       .select(col("label"), array((1 to dim).map(i => col(s"c_$i")): _*).as("qe"))
       .withColumn("qnrm", VectorOps.norm(spark, col("qe")))
     // round-once rule: avg over the RAW cosine (avg-of-rounded sits on
@@ -624,7 +649,7 @@ object Similarity {
     """WITH c AS (
       |  SELECT label, list(m ORDER BY i) AS centroid
       |  FROM (
-      |    SELECT label, i, CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v) AS m
+      |    SELECT label, i, CAST(sum(CAST(round(v * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / count(v) AS m
       |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
       |                 unnest(range(1, 1 + len(embedding))) AS i
       |          FROM embeddings)
@@ -788,7 +813,7 @@ object Similarity {
        |c AS (
        |  SELECT label AS cell, list(m ORDER BY i) AS ce
        |  FROM (
-       |    SELECT label, i, CAST(sum(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(v) AS m
+       |    SELECT label, i, CAST(sum(CAST(round(v * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 / count(v) AS m
        |    FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
        |                 unnest(range(1, 1 + len(embedding))) AS i
        |          FROM idx)
@@ -931,8 +956,8 @@ object Similarity {
   private def pqCodebookFrame(v: DataFrame, m: Int): DataFrame = {
     val sub = dim / m
     val sums = for { s <- 0 until m; i <- 1 to sub }
-      yield exactMean(element_at(col("e"), s * sub + i)).as(s"c_${s}_$i")
-    val cents = v.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+      yield exactMeanAt(s * sub + i).as(s"c_${s}_$i")
+    val cents = withQv(v).groupBy(col("label")).agg(sums.head, sums.tail: _*)
     val cbCols = (0 until m).map { s =>
       sort_array(collect_list(struct(col("label").cast("int").as("code"),
         array((1 to sub).map(i => col(s"c_${s}_$i")): _*).as("c")))).as(s"cb_$s")

@@ -116,6 +116,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[QuantStats].getName, "graft_quantstats"),
       (children: Seq[Expression]) => QuantStats(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_qvec"),
+      new ExpressionInfo(classOf[QuantizeVec].getName, "graft_qvec"),
+      (children: Seq[Expression]) => QuantizeVec(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_rankcells"),
       new ExpressionInfo(classOf[RankCells].getName, "graft_rankcells"),
       (children: Seq[Expression]) => RankCells(children(0), children(1))))
