@@ -170,10 +170,56 @@ object DeltaLog {
     * None when the JSON prefix is aged out or the mirror is absent —
     * callers fall back to file-footer inference.
     */
-  private[sources] def mirroredSchemaAt(table: Path, deltaV: Long): Option[StructType] =
-    scala.util.Try(lastMirroredMeta(table, deltaV).map(m =>
-      DataType.fromJson(m.get("schemaString").asText()).asInstanceOf[StructType]))
-      .toOption.flatten
+  private[sources] def mirroredSchemaAt(spark: SparkSession, table: Path,
+      deltaV: Long): Option[StructType] =
+    scala.util.Try {
+      lastMirroredMeta(table, deltaV)
+        // JSON prefix aged out past the last metaData-carrying commit:
+        // the CHECKPOINT at-or-below deltaV holds the authoritative
+        // metaData (commits since it only re-emit one on schema CHANGE,
+        // so its absence from the surviving tail is the COMMON case
+        // after compaction, not an edge). Without this fallback the
+        // snapshot schema fell to footer inference, which binds to one
+        // arbitrary file's footer — on a schema-evolved table that
+        // randomly DROPPED evolved columns (~the share of pre-evolution
+        // files). Equivalent when both exist: the backward scan stops
+        // at the newest JSON metaData ≤ deltaV, and any checkpoint
+        // between it and deltaV carries that same newest metaData.
+        .orElse(checkpointVersions(table).filter(_ <= deltaV).maxOption
+          .flatMap(cpV => checkpointMetaNode(spark, table, cpV)))
+        .map(m => DataType.fromJson(m.get("schemaString").asText())
+          .asInstanceOf[StructType])
+    }.toOption.flatten
+
+  /** Versions with a checkpoint file present in the log dir, ascending —
+    * directory evidence, unlike [[lastCheckpointVersion]]'s
+    * `_last_checkpoint` pointer (which only names the newest).
+    */
+  private def checkpointVersions(table: Path): Seq[Long] = {
+    val ld = logDir(table)
+    if (!Files.isDirectory(ld)) Seq.empty
+    else listDir(ld).iterator
+      .map(_.getFileName.toString)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+      .map(_.takeWhile(_ != '.'))
+      .filter(t => t.length == 20 && t.forall(_.isDigit))
+      .map(_.toLong).toSeq.distinct.sorted
+  }
+
+  /** The single metaData action the checkpoint at `cpV` carries (all
+    * checkpoint formats — classic, multi-part, v2+sidecars — via
+    * [[checkpointDF]]).
+    */
+  private def checkpointMetaNode(spark: SparkSession, table: Path,
+      cpV: Long): Option[ObjectNode] = {
+    val df = checkpointDF(spark, table, ReplayPlan(cpV, Seq.empty))
+      .getOrElse(return None)
+    if (!df.columns.contains("metaData")) return None
+    df.filter(col("metaData").isNotNull)
+      .select(to_json(col("metaData")).as("m"))
+      .limit(1).collect().headOption
+      .map(r => mapper.readTree(r.getString(0)).asInstanceOf[ObjectNode])
+  }
 
   private def metaDataNode(table: Path, schemaJson: String,
       id: String, createdTime: Long,
@@ -532,16 +578,10 @@ object DeltaLog {
     val newest = versions(table.toString).maxOption
     if (newest.flatMap(v => lastMirroredMeta(table, v)).isDefined) return
     val cpV = lastCheckpointVersion(table).getOrElse(return)
-    val pl = ReplayPlan(cpV, Seq.empty)
-    val df = checkpointDF(spark, table, pl).getOrElse(return)
-    if (!df.columns.contains("metaData")) return
-    df.filter(col("metaData").isNotNull)
-      .select(to_json(col("metaData")).as("m"))
-      .limit(1).collect().headOption.foreach { r =>
-        mirroredMeta.put(table.toString,
-          mapper.readTree(r.getString(0)).asInstanceOf[ObjectNode])
-        ()
-      }
+    checkpointMetaNode(spark, table, cpV).foreach { n =>
+      mirroredMeta.put(table.toString, n)
+      ()
+    }
   }
 
   /** Newest mirrored schemaString (cache → backward JSON scan) — what

@@ -1055,13 +1055,15 @@ object TxLog {
     * at that version (tx version v maps to Delta version v−1), so a
     * schema-EVOLVED table reads correctly: files committed before a
     * column existed yield nulls for it instead of the whole snapshot
-    * silently taking one random footer's schema. Falls back to footer
-    * inference when the mirror (or its JSON prefix) is gone.
+    * silently taking one random footer's schema. When the JSON prefix
+    * is compacted away the schema comes from the newest CHECKPOINT at
+    * or below the version; footer inference is the last resort for
+    * tables with no mirror at all.
     */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val table = Paths.get(dir)
     readRels(spark, table, readManifest(table, version),
-      DeltaLog.mirroredSchemaAt(table, version - 1))
+      DeltaLog.mirroredSchemaAt(spark, table, version - 1))
   }
 
   def snapshot(spark: SparkSession, dir: String): DataFrame =
@@ -1382,7 +1384,7 @@ object TxLog {
       rels: Seq[String], asOfVersion: Long): DataFrame = {
     val table = Paths.get(dir)
     readRels(spark, table, rels,
-      DeltaLog.mirroredSchemaAt(table, asOfVersion - 1))
+      DeltaLog.mirroredSchemaAt(spark, table, asOfVersion - 1))
   }
 
   /** Change data feed between two committed versions: with append-only
