@@ -254,6 +254,18 @@ object IcebergLog {
       .withColumn("__pos", col("_metadata.row_index"))
       .join(broadcast(seqDf), col("__file") === col("__sf"), "left")
       .drop("__sf")
+      // FAIL CLOSED on coverage gaps: the file list and seqDf come from
+      // the same snapshot plan, so a row whose normalized path missed
+      // the join is a path-canonicalization bug (symlinked temp dir,
+      // alternate URI scheme) — with __seq null every delete predicate
+      // below evaluates null and deleted rows silently RESURRECT.
+      // Surface it at execution instead (row-level null check, no extra
+      // pass over the data).
+      .withColumn("__seq", when(col("__seq").isNotNull, col("__seq"))
+        .otherwise(raise_error(concat(
+          lit("iceberg read: data file missing from the snapshot's " +
+            "sequence-number map (path canonicalization bug?): "),
+          col("__file")))))
     if (sf.posDeletes.nonEmpty) {
       val dels = sf.posDeletes.map { case (p, dseq) =>
         spark.read.parquet(p.toString)
@@ -535,7 +547,17 @@ object IcebergLog {
     * [[DeltaLog.snapshotAsOf]]; a timestamp before the first snapshot
     * fails loudly. */
   def snapshotAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
-    val hist = history(dir)
+    // Resolve against the metadata's `snapshot-log` — the spec's record
+    // of when each snapshot BECAME CURRENT on the main timeline — not
+    // the raw `snapshots` array, which also holds branch/WAP snapshots
+    // that were never current (resolving those would time-travel onto a
+    // side branch). Fall back to the snapshots array only when the
+    // writer recorded no snapshot-log.
+    val meta = readMetadata(Paths.get(dir))
+    val log = Option(meta.get("snapshot-log")).map(_.asScala.toSeq.map(e =>
+      (e.get("snapshot-id").asLong(), e.get("timestamp-ms").asLong())))
+      .filter(_.nonEmpty)
+    val hist = log.getOrElse(history(dir).map(h => (h._1, h._2)))
     val id = hist.filter(_._2 <= tsMillis).sortBy(_._2).lastOption.map(_._1)
       .getOrElse(sys.error(s"$dir: no snapshot at or before $tsMillis " +
         s"(earliest: ${hist.map(_._2).minOption.getOrElse(-1L)})"))

@@ -94,10 +94,12 @@ object TxLog {
     * mirror and classify conservatively. */
   private[graft] def manifestOp(table: Path, v: Long): Option[(String, Boolean)] =
     Files.readAllLines(manifestPath(table, v)).asScala.iterator
-      .filter(_.startsWith("#op ")).map { l =>
-        val p = l.split(" ", 3)
-        (dec(p(1)), p(2).trim == "1")
-      }.nextOption()
+      .filter(_.startsWith("#op ")).map(_.split(" ", 3))
+      // a truncated/malformed header (fewer than 3 tokens) degrades to
+      // the documented mirror-based conservative classification instead
+      // of throwing ArrayIndexOutOfBounds mid-classification
+      .collect { case p if p.length >= 3 => (dec(p(1)), p(2).trim == "1") }
+      .nextOption()
 
   /** The `#props k=v ...` header (URL-encoded pairs) of one manifest:
     * table properties a property commit installed, durable in the
@@ -107,7 +109,9 @@ object TxLog {
   private[graft] def manifestProps(table: Path, v: Long): Map[String, String] =
     Files.readAllLines(manifestPath(table, v)).asScala.iterator
       .filter(_.startsWith("#props ")).flatMap(_.split(" ").iterator.drop(1))
-      .map { kv =>
+      // same degradation rule as [[manifestOp]]: a token without '='
+      // is a malformed pair — skip it rather than fabricate a key
+      .collect { case kv if kv.indexOf('=') > 0 =>
         val i = kv.indexOf('=')
         (dec(kv.take(i)), dec(kv.drop(i + 1)))
       }.toMap

@@ -57,8 +57,11 @@ import graft.sources.TxLog
   * see [[TxLogScan]]).
   *
   * Write options: `path`, `txnAppId` (the idempotence-token app id;
-  * defaults to a digest of the checkpoint location, so the SAME
-  * checkpointed query keeps the same token stream across restarts).
+  * defaults to a digest of the `checkpointLocation` OPTION, so the
+  * same checkpointed query keeps the same token stream across
+  * restarts; Append mode REFUSES when neither is set — without a
+  * restart-stable identity the replay token would be a fresh UUID per
+  * start, i.e. silent at-least-once).
   *
   * Execution model: `planInputPartitions` resolves manifest paths to
   * [[PartitionedFile]]s (partition values parsed from the hive path
@@ -124,11 +127,24 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
     require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
       s"graft-txlog sink supports Append (commit per batch) and Complete " +
         s"(overwrite per batch), not $outputMode")
+    // The token app id must be STABLE across restarts — a per-start
+    // UUID would let a batch replayed after a crash (commit landed,
+    // checkpoint advance didn't) commit again under a fresh token,
+    // silently duplicating rows. With neither option there is no
+    // stable identity to derive one from (a checkpoint dir set only
+    // via session conf is invisible to createSink), so Append mode
+    // refuses loudly instead of degrading to at-least-once.
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation").map(c =>
         "graft-txlog-sink-" + java.security.MessageDigest.getInstance("MD5")
           .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)))
-      .getOrElse("graft-txlog-sink-" + java.util.UUID.randomUUID().toString)
+      .getOrElse {
+        if (outputMode == OutputMode.Complete()) "graft-txlog-sink-complete"
+        else sys.error("graft-txlog sink in Append mode needs " +
+          ".option(\"txnAppId\", <stable id>) or " +
+          ".option(\"checkpointLocation\", <dir>) — exactly-once replay " +
+          "protection requires a restart-stable transaction identity")
+      }
     new TxLogSink(dir, appId, partitionColumns,
       complete = outputMode == OutputMode.Complete())
   }

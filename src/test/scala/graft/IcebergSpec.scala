@@ -390,6 +390,42 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("audit-v1"), e.getMessage)
   }
 
+  test("timestamp AS OF follows the snapshot-log, ignoring WAP/branch snapshots") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    // doctor the golden tree: snapshot 99 exists in `snapshots` with the
+    // NEWEST timestamp (a write-audit-publish / branch snapshot that was
+    // never current on main) and a `snapshot-log` naming only 1 and 2 —
+    // AS OF at 99's timestamp must resolve to 2, the newest MAIN-timeline
+    // snapshot, not 99
+    val src = Paths.get(IcebergLog.goldenTable(s, sf))
+    val dst = Files.createTempDirectory("iceberg_snaplog")
+    Files.walk(src).iterator().forEachRemaining { p =>
+      val d = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mp = dst.resolve("metadata/v2.metadata.json")
+    val root = mapper.readTree(Files.readString(mp))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = root.withArray("snapshots")
+    val wap = snaps.addObject()
+    wap.put("snapshot-id", 99L)
+    wap.put("timestamp-ms", 1700000000003L)
+    wap.put("manifest-list",
+      snaps.get(0).get("manifest-list").asText()) // valid but never read
+    val slog = root.putArray("snapshot-log")
+    Seq((1L, 1700000000001L), (2L, 1700000000002L)).foreach { case (id, ts) =>
+      val e = slog.addObject(); e.put("snapshot-id", id); e.put("timestamp-ms", ts); ()
+    }
+    Files.writeString(mp, mapper.writeValueAsString(root))
+    assert(IcebergLog.snapshotAsOf(s, dst.toString, 1700000000003L).count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) < 2).count())
+    assert(IcebergLog.snapshotAsOf(s, dst.toString, 1700000000001L).count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) === 0).count())
+  }
+
   test("timestamp time travel resolves the newest snapshot at-or-before") {
     val s = spark
     val ev = Tables.events(s, sf)

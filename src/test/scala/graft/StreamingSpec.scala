@@ -702,6 +702,29 @@ class StreamingSpec extends SparkSpec {
       ev.filter(col("event_id") < 300).count())
   }
 
+  test("graft-txlog Append sink refuses without a restart-stable token identity") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val bronze = Files.createTempDirectory("graft_sink_noid_bronze").toString
+    val silver = Files.createTempDirectory("graft_sink_noid_silver").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 50), bronze)
+    // neither txnAppId nor a checkpointLocation OPTION: a per-start
+    // UUID token would silently re-commit replayed batches after a
+    // crash — the sink must refuse at start, not degrade
+    val e = intercept[Exception] {
+      val q = s.readStream.format("graft-txlog").option("path", bronze).load()
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("graft-txlog").option("path", silver).start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("txnAppId")), msgs(e).mkString(" | "))
+  }
+
   test("graft-txlog batch read (DSv2 BATCH_READ) equals the snapshot, partition columns typed") {
     val s = spark
     import org.apache.spark.sql.functions._

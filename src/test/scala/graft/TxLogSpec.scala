@@ -812,4 +812,23 @@ class TxLogSpec extends SparkSpec {
         s"v$v: range=($radded,$rremoved) vs delta=($added,${removed.nonEmpty})")
     }
   }
+
+  test("malformed #op / #props manifest headers degrade, never throw") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 20), t)
+    // a healthy manifest classifies
+    assert(TxLog.manifestOp(java.nio.file.Paths.get(t), 1L).isDefined)
+    // fabricate version 2 with a TRUNCATED #op line (2 tokens) and a
+    // #props pair without '=': classification must fall back (None) and
+    // the props parse must skip the malformed pair -- the documented
+    // conservative degradation, not ArrayIndexOutOfBoundsException
+    val bad = java.nio.file.Paths.get(t, "_txlog", "v00000002.manifest")
+    java.nio.file.Files.writeString(bad,
+      "#op WRITE\n#props delta.appendOnly=true junk\n")
+    assert(TxLog.manifestOp(java.nio.file.Paths.get(t), 2L).isEmpty)
+    assert(TxLog.manifestProps(java.nio.file.Paths.get(t), 2L) ==
+      Map("delta.appendOnly" -> "true"))
+  }
 }
