@@ -13,6 +13,7 @@ object Bench {
       // date_trunc/to_date buckets (and thus the measured work) would
       // silently diverge from the oracle-checked semantics
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,15 +14,35 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOT Spark's INT96 default: INT96 timestamps carry no usable
+      // column statistics, so every written table would silently lose
+      // ts min/max in the Delta mirror's add.stats AND the Iceberg
+      // mirror's bounds — time-range file skipping would no-op. MICROS
+      // is the modern form every engine (DuckDB oracle included) reads.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", sys.props("java.io.tmpdir") + "/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Result timestamps dump as NTZ: with the session writing MICROS
+    // (isAdjustedToUTC=true), DuckDB/pandas would read the dumps as
+    // TZ-AWARE while every oracle result is naive — a dtype-only
+    // mismatch that flips the hash on identical instants. The NTZ cast
+    // (same wall-clock under the UTC session) reproduces exactly what
+    // the INT96 dumps used to read back as.
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.TimestampType
+      df.select(df.schema.fields.toSeq.map { f =>
+        if (f.dataType == TimestampType) col(f.name).cast("timestamp_ntz").as(f.name)
+        else col(f.name)
+      }: _*)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only.contains(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)

@@ -513,6 +513,14 @@ object IcebergLog {
     readSnapshot(spark, dir, readMetadata(Paths.get(dir)), snapshotId,
       snapshotSchema = true)
 
+  /** Spec hook: a snapshot's live data files as the manifests record
+    * them (data sequence numbers + raw bounds included). */
+  private[graft] def filesOfSnapshot(dir: String, snapshotId: Long): Seq[IceFile] = {
+    val table = Paths.get(dir)
+    val snap = snapshotNode(readMetadata(table), snapshotId)
+    liveFilesOf(table, snap.get("manifest-list").asText()).data
+  }
+
   private def readSnapshot(spark: SparkSession, dir: String, meta: JsonNode,
       snapshotId: Long, snapshotSchema: Boolean): DataFrame = {
     val table = Paths.get(dir)
@@ -709,13 +717,25 @@ object IcebergLog {
   }
 
   private def metadataJson(table: Path, schema: StructType,
-      snapshots: Seq[(Long, String)], currentId: Long): String = {
+      snapshots: Seq[(Long, String)], currentId: Long): String =
+    metadataJsonTs(table, schema,
+      snapshots.map { case (id, ml) => (id, 1700000000000L + id, ml) },
+      currentId)
+
+  /** Like [[metadataJson]] but with explicit per-snapshot timestamps,
+    * plus the `snapshot-log` (the main-timeline history the AS OF
+    * resolver prefers) and per-snapshot `sequence-number` — the mirror
+    * writes real commit times, the fixtures keep their frozen ones.
+    */
+  private def metadataJsonTs(table: Path, schema: StructType,
+      snapshots: Seq[(Long, Long, String)], currentId: Long): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
       table.toString.getBytes("UTF-8")).toString)
     root.put("location", table.toString)
-    root.put("last-sequence-number", snapshots.size)
+    root.put("last-sequence-number",
+      snapshots.map(_._1).maxOption.getOrElse(0L))
     root.put("current-snapshot-id", currentId)
     root.put("current-schema-id", 0)
     val schemas = root.putArray("schemas")
@@ -736,12 +756,19 @@ object IcebergLog {
     spec.putArray("fields")
     root.put("default-spec-id", 0)
     val snaps = root.putArray("snapshots")
-    snapshots.foreach { case (id, ml) =>
+    snapshots.foreach { case (id, ts, ml) =>
       val sn = snaps.addObject()
       sn.put("snapshot-id", id)
-      sn.put("timestamp-ms", 1700000000000L + id)
+      sn.put("sequence-number", id)
+      sn.put("timestamp-ms", ts)
       sn.put("manifest-list", ml)
       sn.put("schema-id", 0)
+    }
+    val slog = root.putArray("snapshot-log")
+    snapshots.foreach { case (id, ts, _) =>
+      val e = slog.addObject()
+      e.put("snapshot-id", id)
+      e.put("timestamp-ms", ts)
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
@@ -957,17 +984,241 @@ object IcebergLog {
       |FROM events WHERE event_id % 3 < 2
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- UniForm-style MIRROR
+  //
+  // Write side: materialize a TxLog table's commit history as an
+  // Apache Iceberg v2 metadata tree in the SAME directory — one copy
+  // of the data, two protocol views (the Delta mirror, DeltaLog
+  // header doc, is the same symmetry in the other direction; stock
+  // Delta calls the pattern UniForm). After [[mirror]] the dir is
+  // readable through [[snapshot]]/[[snapshotAt]]/[[snapshotAsOf]] or
+  // any spec-conformant Iceberg reader.
+
+  /** One live data-file entry as the mirror tracks it across
+    * incremental runs: data sequence number = the TxLog version that
+    * added the file (rewrites preserve it), bounds as the spec's
+    * single-value-serialized bytes keyed by field id.
+    */
+  private final case class MirrorEntry(rel: String, seq: Long,
+      recordCount: Long, sizeBytes: Long,
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
+  /** Iceberg bound bytes from one side of a Delta-stats JSON value,
+    * by Spark type. String minima may be stats-truncated prefixes —
+    * still sound LOWER bounds (truncation only lowers them); absent
+    * values (stats caps, exotic types) yield no bound, which never
+    * prunes. Timestamps: ISO instant → micros; dates → epoch days.
+    */
+  private def encodeStatsBound(j: JsonNode, dt: DataType): Option[Array[Byte]] =
+    try dt match {
+      case LongType => Some(encodeBound(j.asLong()))
+      case IntegerType => Some(encodeBound(j.asInt()))
+      case DoubleType => Some(encodeBound(j.asDouble()))
+      case FloatType => Some(encodeBound(j.asDouble().toFloat))
+      case StringType => Some(encodeBound(j.asText()))
+      case DateType => Some(encodeBound(
+        java.time.LocalDate.parse(j.asText()).toEpochDay.toInt))
+      case TimestampType | TimestampNTZType =>
+        val inst = java.time.Instant.parse(j.asText())
+        Some(encodeBound(inst.getEpochSecond * 1000000L + inst.getNano / 1000L))
+      case BooleanType => Some(Array[Byte](if (j.asBoolean()) 1 else 0))
+      case _ => None
+    } catch { case _: Exception => None } // unparsable stat: no bound
+
+  /** Footer-derived entry for a file ADDED at `seq` — the same footer
+    * walk the Delta mirror's add.stats ride ([[DeltaLog.fileStats]]),
+    * re-encoded as spec bounds. O(1) footer read per ADDED file only.
+    */
+  private def entryFromFooter(table: Path, rel: String, seq: Long,
+      schema: StructType): MirrorEntry = {
+    val f = table.resolve(rel)
+    val size = if (Files.exists(f)) Files.size(f) else 0L
+    DeltaLog.fileStats(f).map { js =>
+      val node = mapper.readTree(js)
+      def side(key: String): Map[Int, Array[Byte]] =
+        Option(node.get(key)).map { mv =>
+          schema.fields.zipWithIndex.flatMap { case (fd, i) =>
+            Option(mv.get(fd.name))
+              .flatMap(encodeStatsBound(_, fd.dataType))
+              .map(b => (i + 1) -> b)
+          }.toMap
+        }.getOrElse(Map.empty)
+      MirrorEntry(rel, seq, node.get("numRecords").asLong(), size,
+        side("minValues"), side("maxValues"))
+    }.getOrElse(MirrorEntry(rel, seq, 0L, size, Map.empty, Map.empty))
+  }
+
+  /** One mirror manifest avro: full entries with explicit per-entry
+    * data sequence numbers, record counts, and raw-byte bounds
+    * (reused verbatim on compaction rewrites — no footer re-reads).
+    */
+  private def writeMirrorManifest(table: Path, name: String,
+      entries: Seq[(Int, MirrorEntry)]): String = {
+    val dfSchema = manifestEntrySchema.getField("data_file").schema()
+    val kvSchema = dfSchema.getField("lower_bounds").schema()
+      .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+    def kvArray(m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] =
+      m.toSeq.sortBy(_._1).map { case (id, b) =>
+        val r = new GenericData.Record(kvSchema.getElementType)
+        r.put("key", id)
+        r.put("value", java.nio.ByteBuffer.wrap(b))
+        r: GenericRecord
+      }.asJava
+    val recs = entries.map { case (status, me) =>
+      val dataFile = new GenericData.Record(dfSchema)
+      dataFile.put("content", 0)
+      dataFile.put("file_path", me.rel)
+      dataFile.put("file_format", "PARQUET")
+      dataFile.put("record_count", me.recordCount)
+      dataFile.put("file_size_in_bytes", me.sizeBytes)
+      if (me.lower.nonEmpty) dataFile.put("lower_bounds", kvArray(me.lower))
+      if (me.upper.nonEmpty) dataFile.put("upper_bounds", kvArray(me.upper))
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", status)
+      e.put("sequence_number", Long.box(me.seq))
+      e.put("data_file", dataFile)
+      e: GenericRecord
+    }
+    val rel = s"metadata/$name"
+    writeAvro(table.resolve(rel), manifestEntrySchema, recs)
+    rel
+  }
+
+  /** Mirror the TxLog table at `dir` as an Iceberg v2 tree, up to its
+    * current version. Incremental and metadata-scale:
+    *
+    *  - resumes from the existing tree's `current-snapshot-id`
+    *    (snapshot ids ARE TxLog versions);
+    *  - an APPEND commit writes ONE manifest holding just its added
+    *    files (footer-read O(added)); prior manifests are re-listed in
+    *    the new manifest-list untouched — Iceberg's own fast-append;
+    *  - a commit WITH removals compacts the live set into ONE manifest
+    *    (Iceberg's manifest-compaction shape on rewrites), REUSING the
+    *    tracked per-entry sequence numbers and raw bounds — rewritten
+    *    files keep the data sequence number of the commit that added
+    *    their rows' current file, no footer re-reads;
+    *  - ONE metadata JSON is written per mirror() call (all snapshots,
+    *    real commit timestamps, snapshot-log), so catch-up over many
+    *    versions costs one tree walk, not one json per version.
+    *
+    * Returns the current snapshot id. Unpartitioned tables only — a
+    * hive layout needs a partition spec + per-entry partition tuples,
+    * refused loudly rather than mirrored wrong.
+    */
+  def mirror(spark: SparkSession, dir: String): Long = {
+    val table = Paths.get(dir)
+    val cur = TxLog.currentVersion(dir).getOrElse(
+      sys.error(s"$dir: no committed TxLog version to mirror"))
+    Files.createDirectories(metadataDir(table))
+    val hint = metadataDir(table).resolve("version-hint.text")
+    val prior = if (Files.exists(hint)) Some(readMetadata(table)) else None
+    val from = prior.map(_.get("current-snapshot-id").asLong()).getOrElse(0L)
+    if (from >= cur) return from
+    var snaps: Seq[(Long, Long, String)] = prior.map { p =>
+      Option(p.get("snapshots")).map(_.asScala.toSeq.map(s =>
+        (s.get("snapshot-id").asLong(),
+          Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+          s.get("manifest-list").asText()))).getOrElse(Seq.empty)
+    }.getOrElse(Seq.empty)
+    // the latest mirrored snapshot's manifests + live entries (resume)
+    var manifests: Seq[String] = snaps.lastOption.map { case (_, _, ml) =>
+      avroRecords(resolve(table, ml)).map(m => str(m, "manifest_path"))
+    }.getOrElse(Seq.empty)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, MirrorEntry]
+    manifests.foreach { mp =>
+      avroRecords(resolve(table, mp)).foreach { e =>
+        if (int(e, "status") != 2) {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val rel = str(df, "file_path")
+          live(rel) = MirrorEntry(rel,
+            longOptOf(e, "sequence_number").getOrElse(0L),
+            longOpt(df, "record_count"), longOpt(df, "file_size_in_bytes"),
+            boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
+        }
+      }
+    }
+    val schema = TxLog.snapshot(spark, dir).schema
+    for (v <- (from + 1) to cur) {
+      val (added, removed) = TxLog.commitDelta(dir, v)
+      if ((added ++ removed).exists(_.contains("=")))
+        sys.error(s"$dir: hive-partitioned layout — the Iceberg mirror " +
+          "supports unpartitioned tables (a partition spec + per-entry " +
+          "partition tuples are not written yet)")
+      val newEntries = added.map(rel => entryFromFooter(table, rel, v, schema))
+      if (removed.isEmpty) {
+        // fast-append: one manifest of just this commit's files
+        if (newEntries.nonEmpty) {
+          manifests :+= writeMirrorManifest(table, s"mirror-m-$v.avro",
+            newEntries.map((1, _)))
+        }
+        newEntries.foreach(e => live(e.rel) = e)
+      } else {
+        // rewrite: compact the live set to one manifest, seqs preserved
+        removed.foreach(live.remove)
+        newEntries.foreach(e => live(e.rel) = e)
+        manifests = Seq(writeMirrorManifest(table, s"mirror-m-$v.avro",
+          live.values.toSeq.map(e => (if (e.seq == v) 1 else 0, e))))
+      }
+      val ts = math.max(
+        snaps.lastOption.map(_._2).getOrElse(0L),
+        Files.getLastModifiedTime(TxLog.manifestPathOf(table, v)).toMillis)
+      val ml = writeManifestList(table, s"mirror-ml-$v.avro",
+        manifests.map((_, 0)), v)
+      snaps :+= ((v, ts, ml))
+    }
+    Files.writeString(metadataDir(table).resolve(s"v$cur.metadata.json"),
+      metadataJsonTs(table, schema, snaps, cur))
+    Files.writeString(hint, cur.toString)
+    cur
+  }
+
+  /** TxLog table MIRRORED to Iceberg: two appended batches, a
+    * copy-on-write DELETE (a removal commit — the mirror's compaction
+    * path), a third batch appended AFTER it (the fast-append path on
+    * top of a compacted manifest), then [[mirror]]. The query reads
+    * the ICEBERG view of the engine-written tree.
+    */
+  private[graft] def mirrorTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-mirror:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_mirror").toString
+      val ev = Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), table)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1), table)
+      TxLog.deleteWhere(spark, table, pmod(col("event_id"), lit(7)) === 3)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 2), table)
+      mirror(spark, table)
+      table
+    })
+
+  /** Oracle-checked read-back of the ENGINE-WRITTEN Iceberg tree: the
+    * mirrored snapshot must aggregate exactly the TxLog state — rows
+    * deleted before the mirror resurrected, the post-delete batch
+    * dropped, or a stale manifest re-listed all flip the hash.
+    */
+  def mirrorQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, mirrorTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val mirrorQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE event_id % 3 = 2 OR event_id % 7 <> 3
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_iceberg_snapshot" -> snapshotQuery _,
     "q_iceberg_skipping" -> skippingQuery _,
     "q_iceberg_posdelete" -> posDeleteQuery _,
-    "q_iceberg_eqdelete" -> eqDeleteQuery _
+    "q_iceberg_eqdelete" -> eqDeleteQuery _,
+    "q_iceberg_mirror" -> mirrorQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_iceberg_snapshot" -> snapshotQueryOracle,
     "q_iceberg_skipping" -> skippingQueryOracle,
     "q_iceberg_posdelete" -> posDeleteQueryOracle,
-    "q_iceberg_eqdelete" -> eqDeleteQueryOracle
+    "q_iceberg_eqdelete" -> eqDeleteQueryOracle,
+    "q_iceberg_mirror" -> mirrorQueryOracle
   )
 }

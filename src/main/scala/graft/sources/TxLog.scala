@@ -48,6 +48,11 @@ object TxLog {
   private def manifestPath(table: Path, v: Long): Path =
     logDir(table).resolve(f"v$v%08d.manifest")
 
+  /** The commit-point file of version `v` — the Iceberg mirror reads
+    * its mtime as the snapshot timestamp. */
+  private[sources] def manifestPathOf(table: Path, v: Long): Path =
+    manifestPath(table, v)
+
   /** Latest committed version, if any commit exists. */
   def currentVersion(dir: String): Option[Long] = {
     val ld = logDir(Paths.get(dir))

@@ -437,4 +437,119 @@ class IcebergSpec extends SparkSpec {
       ev.filter(pmod(col("event_id"), lit(3)) < 2).count())
     intercept[RuntimeException](IcebergLog.snapshotAsOf(s, t, ts(0) - 1))
   }
+
+  test("UniForm mirror: engine-written tree equals the TxLog state, incl. time travel") {
+    val s = spark
+    import graft.sources.TxLog
+    val ev = Tables.events(s, sf)
+    val t = Files.createTempDirectory("iceberg_mirror_spec").toString
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), t)
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1), t)
+    TxLog.deleteWhere(s, t, pmod(col("event_id"), lit(7)) === 3)
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 2), t)
+    assert(IcebergLog.mirror(s, t) == 4L)
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // the Iceberg view must equal the TxLog view, snapshot for snapshot
+    assert(sig(IcebergLog.snapshot(s, t)) == sig(TxLog.snapshot(s, t)))
+    (1L to 4L).foreach { v =>
+      assert(sig(IcebergLog.snapshotAt(s, t, v)) == sig(TxLog.snapshotAt(s, t, v)),
+        s"snapshot $v diverges")
+    }
+    // and AS OF resolves through the written snapshot-log
+    val lastTs = IcebergLog.history(t).map(_._2).max
+    assert(sig(IcebergLog.snapshotAsOf(s, t, lastTs)) == sig(TxLog.snapshot(s, t)))
+  }
+
+  test("UniForm mirror: data sequence numbers and per-file bounds are pinned") {
+    val s = spark
+    import graft.sources.TxLog
+    val ev = Tables.events(s, sf)
+    val t = Files.createTempDirectory("iceberg_mirror_seq").toString
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), t)
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1), t)
+    TxLog.deleteWhere(s, t, pmod(col("event_id"), lit(7)) === 3)
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 2), t)
+    IcebergLog.mirror(s, t)
+    val files = IcebergLog.filesOfSnapshot(t, 4L)
+    assert(files.nonEmpty)
+    // the v4 batch carries seq 4; files rewritten by the delete carry
+    // seq 3 (the rewriting commit); nothing is unsequenced
+    val added4 = TxLog.commitDelta(t, 4L)._1.toSet
+    files.foreach { f =>
+      val isV4 = added4.exists(rel => f.path.toString.endsWith(rel))
+      assert(f.seq == (if (isV4) 4L else 3L),
+        s"${f.path}: seq ${f.seq}, expected ${if (isV4) 4 else 3}")
+    }
+    // field 1 (event_id) bounds: present on every file, and their
+    // union covers exactly the live id range
+    val ids = files.map { f =>
+      val lo = IcebergLog.decodeBound(f.lowerBounds(1),
+        org.apache.spark.sql.types.LongType).get.asInstanceOf[Long]
+      val hi = IcebergLog.decodeBound(f.upperBounds(1),
+        org.apache.spark.sql.types.LongType).get.asInstanceOf[Long]
+      assert(lo <= hi)
+      (lo, hi)
+    }
+    val r = TxLog.snapshot(s, t)
+      .agg(min(col("event_id")), max(col("event_id"))).collect()(0)
+    assert(ids.map(_._1).min == r.getLong(0), "global lower bound")
+    assert(ids.map(_._2).max == r.getLong(1), "global upper bound")
+    // timestamp bounds are written too (micros encoding)
+    val tsField = TxLog.snapshot(s, t).schema.fieldIndex("ts") + 1
+    assert(files.forall(f => f.lowerBounds.contains(tsField)))
+    // and the manifest stats actually prune: a range containing only
+    // the v4 batch's ids must skip nothing it needs and read fewer
+    // files than the full set when ranges are disjoint enough -- here
+    // all batches span the full range, so just assert skipScan agrees
+    // with the plain snapshot on a sub-range
+    val lo = r.getLong(0)
+    val sub = IcebergLog.skipScan(s, t, Seq(("event_id", lo, lo + 100L)))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val expect = TxLog.snapshot(s, t)
+      .filter(col("event_id").between(lo, lo + 100L)).count()
+    assert(sub == expect)
+  }
+
+  test("UniForm mirror: incremental resume reuses prior manifests, idempotent when current") {
+    val s = spark
+    import graft.sources.TxLog
+    import scala.jdk.CollectionConverters._
+    val ev = Tables.events(s, sf)
+    val t = Files.createTempDirectory("iceberg_mirror_inc").toString
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 0), t)
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 1), t)
+    IcebergLog.mirror(s, t)
+    val md = Paths.get(t, "metadata")
+    def listAvro() = { val l = Files.list(md); try l.iterator.asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".avro")).toSet finally l.close() }
+    val before = listAvro()
+    val mtimes = before.map(n => n -> Files.getLastModifiedTime(md.resolve(n))).toMap
+    TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(3)) === 2), t)
+    assert(IcebergLog.mirror(s, t) == 3L)
+    val after = listAvro()
+    // exactly one new manifest + one new manifest-list; priors untouched
+    assert((after -- before) == Set("mirror-m-3.avro", "mirror-ml-3.avro"),
+      (after -- before).toString)
+    before.foreach(n => assert(
+      Files.getLastModifiedTime(md.resolve(n)) == mtimes(n), s"$n rewritten"))
+    assert(IcebergLog.snapshot(s, t).count() == TxLog.snapshot(s, t).count())
+    // already-current: a no-op that reports the same snapshot
+    val afterAll = listAvro()
+    assert(IcebergLog.mirror(s, t) == 3L)
+    assert(listAvro() == afterAll)
+  }
+
+  test("UniForm mirror refuses hive-partitioned layouts loudly") {
+    val s = spark
+    import graft.sources.TxLog
+    val ev = Tables.events(s, sf)
+    val t = Files.createTempDirectory("iceberg_mirror_part").toString
+    TxLog.commitAppend(ev.withColumn("day", col("ts").cast("date")), t,
+      partitionBy = Seq("day"))
+    val e = intercept[RuntimeException](IcebergLog.mirror(s, t))
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
 }
