@@ -410,7 +410,8 @@ object DeltaLog {
       removed: Seq[String], schemaJson: String,
       dataChange: Boolean = true, operation: String = "WRITE",
       txn: Option[(String, Long)] = None,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      dvUpdates: Map[String, (String, Option[String])] = Map.empty): Unit = {
     val deltaV = txVersion - 1
     Files.createDirectories(logDir(table))
     if (Files.exists(commitPath(table, deltaV))) return
@@ -491,6 +492,46 @@ object DeltaLog {
       r.put("deletionTimestamp", now)
       r.put("dataChange", dataChange)
       lines += mapper.writeValueAsString(n)
+    }
+    // MERGE-ON-READ DELETE: each touched file re-commits as the spec's
+    // remove(old DV) + add(same path, NEW deletionVector) pair — the
+    // replay's intra-version add-wins rule reconstructs it. The commit
+    // also upgrades the protocol to reader 3 / writer 7 with the
+    // deletionVectors feature (PROTOCOL.md's gate), so a foreign
+    // reader that cannot hide rows refuses instead of resurrecting.
+    if (dvUpdates.nonEmpty) {
+      val protocol = mapper.createObjectNode()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 3)
+      p.put("minWriterVersion", 7)
+      p.putArray("readerFeatures").add("deletionVectors")
+      p.putArray("writerFeatures").add("deletionVectors")
+      lines.insert(0, mapper.writeValueAsString(protocol))
+      dvUpdates.toSeq.sortBy(_._1).foreach { case (rel, (newDesc, oldDesc)) =>
+        val rn = mapper.createObjectNode()
+        val r = rn.putObject("remove")
+        r.put("path", encodePath(rel))
+        r.put("deletionTimestamp", now)
+        r.put("dataChange", true)
+        oldDesc.foreach(d => r.set[ObjectNode]("deletionVector",
+          mapper.readTree(d).asInstanceOf[ObjectNode]))
+        lines += mapper.writeValueAsString(rn)
+        val an = mapper.createObjectNode()
+        val a = an.putObject("add")
+        a.put("path", encodePath(rel))
+        val pv = a.putObject("partitionValues")
+        partSegments(rel).foreach { case (k, v) =>
+          if (v == null) pv.putNull(k) else pv.put(k, v); ()
+        }
+        a.put("size", Files.size(table.resolve(rel)))
+        a.put("modificationTime",
+          Files.getLastModifiedTime(table.resolve(rel)).toMillis)
+        a.put("dataChange", true)
+        fileStats(table.resolve(rel)).foreach(a.put("stats", _))
+        a.set[ObjectNode]("deletionVector",
+          mapper.readTree(newDesc).asInstanceOf[ObjectNode])
+        lines += mapper.writeValueAsString(an)
+      }
     }
     added.foreach { rel =>
       val n = mapper.createObjectNode()

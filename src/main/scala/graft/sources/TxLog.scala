@@ -75,6 +75,31 @@ object TxLog {
     Files.readAllLines(manifestPath(table, v)).asScala.toSeq
       .filter(l => l.nonEmpty && !l.startsWith("#"))
 
+  /** The `#dv <rel> <descriptor-json>` header lines (URL-encoded) of
+    * one manifest: the DELETION VECTORS in force for this version's
+    * files — merge-on-read row-level deletes, riding the commit point
+    * like every other commit fact. Invisible to path consumers (the
+    * `#` rule); absent on pre-DV manifests. Carried forward by later
+    * commits for files still live; a rewrite that replaces a file
+    * drops its entry (the rewrite materialized the deletes).
+    */
+  private[graft] def manifestDvs(table: Path, v: Long): Map[String, String] =
+    Files.readAllLines(manifestPath(table, v)).asScala.iterator
+      .filter(_.startsWith("#dv ")).map(_.split(" ", 3))
+      .collect { case p if p.length >= 3 => (dec(p(1)), dec(p(2).trim)) }
+      .toMap
+
+  /** Does version `v` carry deletion vectors? The DSv2 scan refuses DV
+    * tables (its vectorized parquet readers cannot hide rows by
+    * ordinal yet) — resurrecting deleted rows silently would be far
+    * worse than the refusal. */
+  private[graft] def hasDvs(dir: String, v: Long): Boolean =
+    manifestDvs(Paths.get(dir), v).nonEmpty
+
+  private def dvLines(dvs: Map[String, String]): String =
+    dvs.toSeq.sortBy(_._1)
+      .map { case (rel, d) => s"#dv ${enc(rel)} ${enc(d)}\n" }.mkString
+
   /** The `#txn <appId> <version>` token of one manifest, if the commit
     * carried one. Rides the manifest — the COMMIT POINT — so the token
     * and the data land in the same atomic link: no window where a
@@ -233,11 +258,17 @@ object TxLog {
       }
       val all = (if (carryPrevious) previous else Seq.empty) ++ added
       removed = if (carryPrevious) Seq.empty else previous
+      // deletion vectors carry forward with the files they hide rows
+      // of; an overwrite drops every file, DVs included
+      val prevDvs =
+        if (carryPrevious) cur.map(manifestDvs(table, _)).getOrElse(Map.empty)
+        else Map.empty[String, String]
       val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
       val header = txn.map { case (app, tv) => s"#txn $app $tv\n" }.getOrElse("") +
         (if (props.isEmpty) ""
          else "#props " + props.toSeq.sortBy(_._1)
            .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(" ") + "\n") +
+        dvLines(prevDvs) +
         "#op WRITE 1\n" // appends/overwrites always change data
       Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
       try {
@@ -293,10 +324,20 @@ object TxLog {
           // dataChange flags, and installed governance stay
           // version-accurate across a committer crash
           val (bop, bdc) = manifestOp(table, v).getOrElse(("WRITE", true))
+          // a backfilled DV delete re-derives its descriptor updates
+          // from the manifests' #dv diff, so the mirror's remove+add
+          // pairs stay version-accurate across a committer crash
+          val dvPrev = if (v == 1) Map.empty[String, String]
+            else manifestDvs(table, v - 1)
+          val dvUp = manifestDvs(table, v).collect {
+            case (rel, d) if !dvPrev.get(rel).contains(d) =>
+              rel -> ((d, dvPrev.get(rel)))
+          }
           DeltaLog.mirrorCommit(table, v,
             cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson,
             dataChange = bdc, operation = bop,
-            txn = manifestTxn(table, v), props = manifestProps(table, v))
+            txn = manifestTxn(table, v), props = manifestProps(table, v),
+            dvUpdates = dvUp)
         } catch { case _: java.io.IOException => () }
       if (contiguous && DeltaLog.isMirrored(table, v)) floor = v
       else contiguous = false
@@ -691,7 +732,11 @@ object TxLog {
     val all = prev.filterNot(removedSet) ++ added
     val removed = prev.filter(removedSet)
     val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-    val header = s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
+    // a rewritten file's DV dies with it: the rewrite read the file
+    // DV-filtered, so the replacement materialized the deletes
+    val keptDvs = manifestDvs(table, base).filterNot(d => removedSet(d._1))
+    val header = dvLines(keptDvs) +
+      s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
     Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
     try {
       Files.createLink(manifestPath(table, next), tmp)
@@ -737,7 +782,8 @@ object TxLog {
       return RewriteResult(base, 0L, prev.size.toLong)
     val partCols = pathPartCols(candidates.head)
     DeltaLog.warmMetaCache(spark, table)
-    val replaced = replace(readRels(spark, table, candidates))
+    val replaced = replace(readRels(spark, table, candidates,
+      dvs = manifestDvs(table, base)))
     // rewritten rows are WRITES: generated columns RECOMPUTE from their
     // expressions (an update touching the base column must move the
     // derived one with it — and can never smuggle a divergent value),
@@ -765,6 +811,175 @@ object TxLog {
   def deleteWhere(spark: SparkSession, dir: String, pred: Column,
       prune: Seq[(String, Any, Any)] = Seq.empty): RewriteResult =
     rewriteWhere(spark, dir, prune, _.filter(coalesce(!pred, lit(true))))
+
+  /** Row-level DELETE, MERGE-ON-READ (Delta deletion vectors): the
+    * matched rows' ordinal indexes are roaring-serialized into DV
+    * files and the commit records `#dv` descriptors — NO data file is
+    * rewritten. At 100 TB this is the difference between an O(deleted
+    * rows) bitmap commit and rewriting a 1 GB file to drop 10 rows;
+    * merge-on-read is how every production lakehouse writes deletes.
+    *
+    * Shape: the matched (file, ordinal) pairs are computed
+    * distributed, hash-partitioned BY FILE, and each non-empty
+    * partition writes ONE DV file packing its files' bitmaps (the
+    * spec's multi-DV file layout) — executors write O(their deleted
+    * rows) bitmap bytes to table storage; only the DESCRIPTORS travel
+    * to the driver. A file that already carries a DV gets the UNION
+    * bitmap (the spec: a new DV replaces the old and must contain
+    * every hidden row). `prune` as in [[deleteWhere]].
+    *
+    * Gated on `delta.enableDeletionVectors=true` (stock Delta's own
+    * writer gate); the mirror commit upgrades the protocol to
+    * reader 3 / writer 7 with the `deletionVectors` feature so
+    * foreign readers that cannot hide the rows refuse the table
+    * instead of resurrecting them.
+    *
+    * Semantics as [[deleteWhere]]: null-predicate rows survive,
+    * dataChange=true, `delta.appendOnly` refuses. The added-files CDF
+    * cannot express a DV delete — [[changesBetween]] refuses across
+    * one. A later OPTIMIZE materializes the deletes (rewrites read
+    * DV-filtered) and drops the DV with the rewritten file.
+    */
+  def deleteWhereDv(spark: SparkSession, dir: String, pred: Column,
+      prune: Seq[(String, Any, Any)] = Seq.empty): RewriteResult = {
+    val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
+    if (!DeltaLog.tableConfig(table).get("delta.enableDeletionVectors")
+        .contains("true"))
+      sys.error(s"$dir: merge-on-read DELETE requires the deletionVectors " +
+        "feature — setTableProperties(delta.enableDeletionVectors=true) " +
+        "first (stock Delta's writer gate)")
+    enforceAppendOnly(dir, "DELETE")
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    val prev = readManifest(table, base)
+    val skipped: Set[String] =
+      if (prune.isEmpty) Set.empty
+      else scala.util.Try(DeltaLog.pruneFlags(spark, dir, prune)) match {
+        case scala.util.Success((flags, _)) =>
+          flags.collect { case (f, false) => f.path }.toSet
+        case scala.util.Failure(_) => Set.empty
+      }
+    val candidates = prev.filterNot(skipped)
+    if (candidates.isEmpty)
+      return RewriteResult(base, 0L, prev.size.toLong)
+    val oldDvs = manifestDvs(table, base)
+    val relByAbs = candidates
+      .map(rel => table.resolve(rel).toAbsolutePath.toString -> rel).toMap
+    val tableStr = table.toAbsolutePath.toString
+    // matched (file, ordinal) pairs — `_metadata` is selected PER SCAN
+    // (a union does not carry it), and the scan is RAW: rows an older
+    // DV already hides may re-match, which the union below absorbs
+    val branches: Seq[DataFrame] =
+      if (!candidates.exists(_.split("/").exists(_.contains("="))))
+        Seq(spark.read.parquet(
+          candidates.map(r => table.resolve(r).toString): _*))
+      else candidates.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+        .map { case (batch, fs) =>
+          spark.read.option("basePath", table.resolve(batch).toString)
+            .parquet(fs.map(r => table.resolve(r).toString): _*)
+        }
+    val hits = branches.map(b => b.filter(pred).select(
+        col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__p")))
+      .reduce(_.unionByName(_))
+    import spark.implicits._
+    val descRows: Seq[(String, String, Int, Int, Long)] = hits
+      .repartition(col("__f")).sortWithinPartitions(col("__f"), col("__p"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val perFile = scala.collection.mutable.LinkedHashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+          it.foreach { case (f, p) =>
+            perFile.getOrElseUpdate(f,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += p
+          }
+          val files = perFile.keys.toSeq
+          val bitmaps = files.map(f => DeletionVectors.serialize(perFile(f).toSeq))
+          val uuid = java.util.UUID.randomUUID()
+          val ub = java.nio.ByteBuffer.allocate(16)
+          ub.putLong(uuid.getMostSignificantBits)
+          ub.putLong(uuid.getLeastSignificantBits)
+          val encU = DeletionVectors.z85Encode(ub.array())
+          val offsets = DeletionVectors.writeDvFile(
+            Paths.get(tableStr).resolve(s"deletion_vector_$uuid.bin"), bitmaps)
+          files.iterator.zip(bitmaps.iterator).zip(offsets.iterator).map {
+            case ((f, bytes), off) =>
+              (f, encU, off, bytes.length, perFile(f).size.toLong)
+          }
+        }
+      }.collect().toSeq
+    if (descRows.isEmpty)
+      return RewriteResult(base, 0L, skipped.size.toLong)
+    def descJson(d: DeletionVectors.Descriptor): String =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset.getOrElse(0)},"sizeInBytes":${d.sizeInBytes},""" +
+        s""""cardinality":${d.cardinality}}"""
+    val updates: Map[String, String] = descRows.map {
+      case (abs, encU, off, size, card) =>
+        val path = new java.net.URI(abs).getPath
+        val rel = relByAbs.getOrElse(path,
+          sys.error(s"$dir: scanned file $path missing from the manifest"))
+        val fresh = DeletionVectors.Descriptor("u", encU, Some(off), size, card)
+        val desc = oldDvs.get(rel) match {
+          case None => fresh
+          case Some(oldJson) =>
+            // union with the superseded bitmap: config-scale driver
+            // work proportional to THIS file's hidden rows
+            val merged = (DeletionVectors.parse(DeletionVectors.readBytes(
+                table, DeletionVectors.parseDescriptor(oldJson))).values ++
+              DeletionVectors.parse(DeletionVectors.readBytes(table, fresh))
+                .values).toSeq.distinct
+            val bytes = DeletionVectors.serialize(merged)
+            val uuid = java.util.UUID.randomUUID()
+            val ub = java.nio.ByteBuffer.allocate(16)
+            ub.putLong(uuid.getMostSignificantBits)
+            ub.putLong(uuid.getLeastSignificantBits)
+            val mOff = DeletionVectors.writeDvFile(
+              table.resolve(s"deletion_vector_$uuid.bin"), Seq(bytes)).head
+            DeletionVectors.Descriptor("u",
+              DeletionVectors.z85Encode(ub.array()), Some(mOff),
+              bytes.length, merged.size.toLong)
+        }
+        rel -> descJson(desc)
+    }.toMap
+    val schemaJson = DeltaLog.currentSchemaString(table).getOrElse(
+      sys.error(s"$dir: no mirrored metaData for a DV commit"))
+    val v = commitDv(dir, base, updates, oldDvs, schemaJson)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    RewriteResult(v, updates.size.toLong, skipped.size.toLong)
+  }
+
+  /** Conflict-checked commit of a DV delete: data-file lines unchanged,
+    * `#dv` headers replaced by the merged map — same serialization rule
+    * as [[commitRewrite]] (the DV set was computed against `base`).
+    */
+  private def commitDv(dir: String, base: Long, updates: Map[String, String],
+      oldDvs: Map[String, String], schemaJson: String): Long = {
+    val table = Paths.get(dir)
+    val next = base + 1
+    val prev = readManifest(table, base)
+    val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
+    val header = dvLines(oldDvs ++ updates) + "#op DELETE 1\n"
+    Files.write(tmp, (header + prev.mkString("\n")).getBytes("UTF-8"))
+    try {
+      Files.createLink(manifestPath(table, next), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        sys.error(s"$dir: concurrent commit at version $next — this DELETE " +
+          s"read version $base and cannot serialize past a racing writer; " +
+          "re-run against the new snapshot")
+    }
+    try DeltaLog.mirrorCommit(table, next, Seq.empty, Seq.empty, schemaJson,
+      dataChange = true, operation = "DELETE",
+      dvUpdates = updates.map { case (rel, d) => rel -> ((d, oldDvs.get(rel))) })
+    catch { case _: java.io.IOException => () }
+    next
+  }
 
   /** Row-level UPDATE (copy-on-write): for rows where `pred` is TRUE,
     * replaces each column in `set` with its expression (evaluated
@@ -888,7 +1103,7 @@ object TxLog {
     val partCols = pathPartCols(small.head)
     val bytes = small.map(rel => Files.size(table.resolve(rel))).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = readRels(spark, table, small)
+    val df = readRels(spark, table, small, dvs = manifestDvs(table, base))
     val packed =
       if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
       else df.repartition(nOut)
@@ -929,7 +1144,7 @@ object TxLog {
     // the partitioned write preserves the hive layout — partition
     // pruning composes with the 2-D stats skipping
     val partCols = pathPartCols(prev.head)
-    val df = readRels(spark, table, prev)
+    val df = readRels(spark, table, prev, dvs = manifestDvs(table, base))
     val zv = Layout.zval(col(xCol).cast("bigint"), col(yCol).cast("bigint"))
     val rangeKeys = partCols.map(col) :+ col("__zv")
     val clustered = df.withColumn("__zv", zv)
@@ -1047,15 +1262,26 @@ object TxLog {
     * anchors its own partition discovery.
     */
   private def readRels(spark: SparkSession, table: Path, rels: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      dvs: Map[String, String] = Map.empty): DataFrame = {
     def rd = schema.map(spark.read.schema).getOrElse(spark.read)
+    // deletion vectors filter EACH scan before any union: the row-index
+    // UDF needs `_metadata`, which a union does not carry through
+    def dvFiltered(df: DataFrame): DataFrame =
+      if (dvs.isEmpty) df
+      else {
+        val cols = df.columns.toSeq
+        val keep = DeletionVectors.keepUdf(spark, table, dvs)
+        df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+          .select(cols.map(col): _*)
+      }
     if (!rels.exists(_.split("/").exists(_.contains("="))))
-      rd.parquet(rels.map(rel => table.resolve(rel).toString): _*)
+      dvFiltered(rd.parquet(rels.map(rel => table.resolve(rel).toString): _*))
     else rels.groupBy(_.split("/").head)
       .toSeq.sortBy(_._1)
       .map { case (batch, fs) =>
-        rd.option("basePath", table.resolve(batch).toString)
-          .parquet(fs.map(rel => table.resolve(rel).toString): _*)
+        dvFiltered(rd.option("basePath", table.resolve(batch).toString)
+          .parquet(fs.map(rel => table.resolve(rel).toString): _*))
       }
       .reduce(_.unionByName(_))
   }
@@ -1072,7 +1298,8 @@ object TxLog {
   def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val table = Paths.get(dir)
     readRels(spark, table, readManifest(table, version),
-      DeltaLog.mirroredSchemaAt(spark, table, version - 1))
+      DeltaLog.mirroredSchemaAt(spark, table, version - 1),
+      dvs = manifestDvs(table, version))
   }
 
   def snapshot(spark: SparkSession, dir: String): DataFrame =
@@ -1393,7 +1620,8 @@ object TxLog {
       rels: Seq[String], asOfVersion: Long): DataFrame = {
     val table = Paths.get(dir)
     readRels(spark, table, rels,
-      DeltaLog.mirroredSchemaAt(spark, table, asOfVersion - 1))
+      DeltaLog.mirroredSchemaAt(spark, table, asOfVersion - 1),
+      dvs = manifestDvs(table, asOfVersion))
   }
 
   /** Change data feed between two committed versions: with append-only
@@ -1408,11 +1636,20 @@ object TxLog {
     val table = Paths.get(dir)
     val before = readManifest(table, fromV).toSet
     val added = readManifest(table, toV).filterNot(before)
+    // a DV delete changes rows WITHOUT adding files — this added-files
+    // feed cannot express it (the change set is the newly-hidden rows
+    // of UNCHANGED files). Refuse loudly rather than emit a feed that
+    // silently misses the delete.
+    if (manifestDvs(table, fromV) != manifestDvs(table, toV))
+      sys.error(s"$dir: deletion vectors changed between versions $fromV " +
+        s"and $toV — the added-files change feed cannot express a " +
+        "merge-on-read delete; read the two snapshots instead")
     // an empty delta (identical manifests) is a valid empty feed, not a
     // schema-inference error: derive the schema from the target snapshot.
     // readRels keeps partition columns for partitioned batches — the
     // change feed must carry the same schema as the snapshot.
-    if (added.nonEmpty) readRels(spark, table, added)
+    if (added.nonEmpty) readRels(spark, table, added,
+      dvs = manifestDvs(table, toV))
     else snapshotAt(spark, dir, toV).limit(0)
   }
 
@@ -1442,6 +1679,39 @@ object TxLog {
   val deleteQueryOracle: String =
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events WHERE event_id > 300
+      |GROUP BY 1""".stripMargin
+
+  /** 8 range-split files; two MERGE-ON-READ deletes — the second band
+    * overlaps the first, so overlap files exercise the DV UNION path —
+    * with prune hints leaving the high-id files DV-free entirely. */
+  private def dvDeleteTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"dvdel:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_dvdel").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartitionByRange(8, col("event_id")), table)
+      setTableProperties(spark, table,
+        Map("delta.enableDeletionVectors" -> "true"))
+      deleteWhereDv(spark, table, col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      deleteWhereDv(spark, table, col("event_id").between(200L, 500L),
+        Seq(("event_id", java.lang.Long.valueOf(200L),
+          java.lang.Long.valueOf(500L))))
+      table
+    })
+
+  /** Oracle-checked merge-on-read DELETE: no data file was rewritten
+    * (both deletes committed pure-metadata DV descriptors), yet the
+    * snapshot must aggregate exactly the surviving band — a
+    * resurrected hidden row, a dropped survivor, or a lost bitmap
+    * union on the overlap files all flip the hash. */
+  def dvDeleteQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, dvDeleteTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val dvDeleteQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id > 500
       |GROUP BY 1""".stripMargin
 
   /** Oracle-checked row-level UPDATE: doubled values inside the band,
@@ -1601,6 +1871,7 @@ object TxLog {
     "q_txlog_vacuum" -> vacuumQuery _,
     "q_txlog_changes" -> changesQuery _,
     "q_txlog_delete" -> deleteQuery _,
+    "q_txlog_delete_dv" -> dvDeleteQuery _,
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
     "q_txlog_restore" -> restoreQuery _,
@@ -1617,6 +1888,7 @@ object TxLog {
     "q_txlog_vacuum" -> vacuumQueryOracle,
     "q_txlog_changes" -> changesQueryOracle,
     "q_txlog_delete" -> deleteQueryOracle,
+    "q_txlog_delete_dv" -> dvDeleteQueryOracle,
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,

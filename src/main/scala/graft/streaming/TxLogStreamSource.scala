@@ -354,6 +354,10 @@ class TxLogScan(dir: String, fullSchema: StructType,
     override def planInputPartitions(): Array[InputPartition] = {
       val cur = TxLog.currentVersion(dir).getOrElse(
         sys.error(s"no committed version in $dir"))
+      if (TxLog.hasDvs(dir, cur))
+        sys.error(s"$dir: table carries deletion vectors — the graft-txlog " +
+          "DSv2 scan cannot hide rows by ordinal yet; read via " +
+          "TxLog.snapshot (which applies them) instead")
       if (cdf) {
         val skip = opt("skipChangeCommits").exists(_.toBoolean)
         // one forward manifest pass (manifests are cumulative — the
@@ -553,6 +557,10 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
   override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
     val fromV = ver(start)
     val toV = ver(end)
+    if (TxLog.hasDvs(dir, toV))
+      sys.error(s"$dir: table carries deletion vectors — the graft-txlog " +
+        "streaming scan cannot hide rows by ordinal yet; read via " +
+        "TxLog.snapshot / readFilesOf (which apply them) instead")
     val versioned =
       if (fromV <= 0 && !cdf) Seq((toV, TxLog.liveRelsAt(dir, toV)))
       else ((fromV + 1) to toV).map(v => (v, addedOf(v)))

@@ -1710,4 +1710,96 @@ class DeltaLogSpec extends SparkSpec {
       ev.filter(col("event_id") < 100).count())
     intercept[RuntimeException](DeltaLog.versionAsOf(t, 999999999999L))
   }
+
+  test("merge-on-read DELETE: DV commit rewrites nothing, hides exactly the matched rows") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_dv_write").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map("delta.enableDeletionVectors" -> "true"))
+    val filesBefore = TxLog.snapshot(s, t).inputFiles.toSet
+    val r = TxLog.deleteWhereDv(s, t, col("event_id") <= 300,
+      Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+    // pure metadata commit: the data file set is EXACTLY the same
+    assert(TxLog.snapshot(s, t).inputFiles.toSet == filesBefore,
+      "a DV delete must not rewrite data files")
+    assert(r.filesRewritten > 0 && r.filesSkipped > 0,
+      s"prune hint must leave high-id files DV-free: $r")
+    assert(TxLog.snapshot(s, t).count() ==
+      ev.filter(col("event_id") > 300).count())
+    // null-predicate rows survive + time travel un-hides (version 2 =
+    // the property commit, pre-delete)
+    assert(TxLog.snapshotAt(s, t, 2L).count() == ev.count())
+    // a second, OVERLAPPING delete unions bitmaps on the shared files
+    TxLog.deleteWhereDv(s, t, col("event_id").between(200L, 500L),
+      Seq(("event_id", java.lang.Long.valueOf(200L), java.lang.Long.valueOf(500L))))
+    assert(TxLog.snapshot(s, t).count() ==
+      ev.filter(col("event_id") > 500).count())
+    assert(TxLog.snapshot(s, t).inputFiles.toSet == filesBefore)
+  }
+
+  test("DV round-trip: the golden-fixture Delta reader hides the mirrored rows") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_dv_mirror").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map("delta.enableDeletionVectors" -> "true"))
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 300)
+    // the EXTERNAL Delta read path (protocol gate + add.deletionVector
+    // application) must agree with the TxLog view
+    assert(DeltaLog.snapshot(s, t).count() ==
+      ev.filter(col("event_id") > 300).count())
+    // and survive a checkpoint + aged-out JSON prefix
+    (1 to 9).foreach(i => TxLog.commitAppend(
+      ev.filter(col("event_id") === i).withColumn("event_id", col("event_id") + 100000L), t))
+    DeltaLog.checkpoint(s, t)
+    val ld = java.nio.file.Paths.get(t, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    Files.list(ld).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach(p => { Files.delete(p); () })
+    DeltaLog.resetMetaCache(java.nio.file.Paths.get(t))
+    assert(DeltaLog.snapshot(s, t).count() ==
+      ev.filter(col("event_id") > 300).count() + 9,
+      "DV descriptors must survive the checkpoint replay")
+  }
+
+  test("DV writes: feature gate, appendOnly, CDF and DSv2 refusals, OPTIMIZE materializes") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_dv_gates").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    // gate: no feature property -> refuse
+    val e1 = intercept[RuntimeException](
+      TxLog.deleteWhereDv(s, t, col("event_id") <= 10))
+    assert(e1.getMessage.contains("enableDeletionVectors"), e1.getMessage)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableDeletionVectors" -> "true", "delta.appendOnly" -> "true"))
+    val e2 = intercept[RuntimeException](
+      TxLog.deleteWhereDv(s, t, col("event_id") <= 10))
+    assert(e2.getMessage.contains("appendOnly"), e2.getMessage)
+    TxLog.setTableProperties(s, t, Map("delta.appendOnly" -> "false"))
+    val vBefore = TxLog.currentVersion(t).get
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 300)
+    val vAfter = TxLog.currentVersion(t).get
+    // CDF across the DV commit refuses (added-files feed cannot express it)
+    val e3 = intercept[RuntimeException](
+      TxLog.changesBetween(s, t, vBefore, vAfter).count())
+    assert(e3.getMessage.contains("deletion vectors"), e3.getMessage)
+    // DSv2 batch scan refuses a DV table
+    val e4 = intercept[Exception](
+      s.read.format("graft-txlog").option("path", t).load().count())
+    assert(e4.getMessage != null && e4.getMessage.contains("deletion vectors"),
+      e4.getMessage)
+    // OPTIMIZE reads DV-filtered and MATERIALIZES the delete: rows
+    // unchanged, DVs gone
+    TxLog.optimize(s, t, smallBytes = Long.MaxValue)
+    assert(TxLog.snapshot(s, t).count() ==
+      ev.filter(col("event_id") > 300).count())
+    assert(!TxLog.hasDvs(t, TxLog.currentVersion(t).get),
+      "optimize must drop the DVs of the files it rewrites")
+  }
 }
