@@ -54,7 +54,28 @@ import graft.sources.TxLog
   * (skip non-append commits instead of failing), `maxVersionsPerTrigger`
   * (admission control: ≤ N commit versions per micro-batch),
   * `readChangeFeed` (emit `_change_type`/`_commit_version` CDF columns;
-  * see [[TxLogScan]]).
+  * see [[TxLogScan]]), and the STREAMING-PRUNING pair `columns` /
+  * `filterExpr` (below).
+  *
+  * Streaming pruning: Spark applies DSv2 operator pushdown to BATCH
+  * scans only — a long-running tail of a wide table would read every
+  * column of every file no matter what the query selects. Two source
+  * options close that gap by moving the pruning decision to the
+  * source, where streaming plans CAN act on it:
+  *  - `columns` (comma-separated names): the table PRESENTS only these
+  *    columns — the scan's `ReadSchema` shrinks exactly as a pushed
+  *    projection would, and the parquet reader never touches the rest.
+  *  - `filterExpr` (a SQL predicate over table columns): a PRUNING
+  *    HINT, not an exact filter — its conjunctive range envelope
+  *    prunes whole files against the Delta mirror's per-file stats and
+  *    partition values at `planInputPartitions` time (the identical
+  *    [[graft.sources.DeltaLog.pruneFlags]] machinery the batch scan
+  *    uses), and the translated filters reach the parquet reader for
+  *    row-group/page pruning. Rows in surviving files that do NOT
+  *    match may still surface (parquet pruning is best-effort
+  *    over-approximation), so keep the query's own `.filter` as the
+  *    exact gate — the option only stops the scan from READING what
+  *    the filter would throw away.
   *
   * Write options: `path`, `txnAppId` (the idempotence-token app id;
   * defaults to a digest of the `checkpointLocation` OPTION, so the
@@ -100,10 +121,13 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = dirOf(options)
     if (TxLog.currentVersion(dir).isEmpty) new StructType()
-    else TxLogScan.readSchema(
-      SparkSession.getActiveSession.getOrElse(
-        sys.error("graft-txlog: no active SparkSession")),
-      dir, cdf = options.getBoolean("readChangeFeed", false))
+    else {
+      val full = TxLogScan.readSchema(
+        SparkSession.getActiveSession.getOrElse(
+          sys.error("graft-txlog: no active SparkSession")),
+        dir, cdf = options.getBoolean("readChangeFeed", false))
+      TxLogScan.applyColumns(full, Option(options.get("columns")))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -237,6 +261,83 @@ object TxLogScan {
     * streaming path proves the engine's pushdown rules reached it. */
   @volatile private[graft] var lastScan: Option[(StructType, Int)] = None
 
+  /** Observability for specs: (candidate files, files kept) of the most
+    * recent `filterExpr` stats prune — proves a streaming read with the
+    * option actually skipped whole files before any IO. */
+  @volatile private[graft] var lastStreamPrune: Option[(Int, Int)] = None
+
+  /** The `columns` option: prune the presented table schema to the
+    * listed names (full-schema field order is kept so the data /
+    * partition / CDF column split downstream stays stable). Unknown
+    * names fail loudly — a typo that silently read everything would be
+    * the worst outcome for the option's whole purpose. */
+  private[streaming] def applyColumns(full: StructType,
+      columns: Option[String]): StructType = columns match {
+    case None => full
+    case Some(spec) =>
+      val want = spec.split(",").map(_.trim).filter(_.nonEmpty)
+      val have = full.fieldNames.toSet
+      val missing = want.filterNot(have)
+      require(missing.isEmpty, s"graft-txlog: columns option names " +
+        s"unknown column(s) ${missing.mkString(", ")}; table has " +
+        full.fieldNames.mkString(", "))
+      val keep = want.toSet
+      StructType(full.fields.filter(f => keep(f.name)))
+  }
+
+  /** The `filterExpr` option: analyze the SQL predicate against the
+    * table's DATA+PARTITION schema (CDF pseudo-columns excluded — they
+    * exist in no file or stats entry) and translate each conjunct to a
+    * DSv2 [[SFilter]]. Untranslatable conjuncts contribute nothing
+    * (pruning stays a sound over-approximation); zero translatable
+    * conjuncts fails loudly — an option that silently prunes nothing
+    * would defeat its purpose. */
+  private[streaming] def parseFilterExpr(spark: SparkSession,
+      schema: StructType, exprStr: String): Array[SFilter] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, CommonExpressionRef, Expression, Literal, RuntimeReplaceable, With}
+    import org.apache.spark.sql.catalyst.plans.logical
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val analyzed = empty.filter(org.apache.spark.sql.functions.expr(exprStr))
+      .queryExecution.analyzed
+    val raw = analyzed.collectFirst { case f: logical.Filter => f.condition }
+      .getOrElse(sys.error(
+        s"graft-txlog: filterExpr is not a predicate: $exprStr"))
+    // normalize to what translateFilter accepts — the rewrites the
+    // optimizer would do but can't here (it would just erase a Filter
+    // over an empty relation): expand RuntimeReplaceable sugar
+    // (`between` analyzes to a Between node, not And(>=, <=)), inline
+    // the With/CommonExpressionRef CSE wrappers those replacements
+    // carry (duplicated evaluation is fine — these only drive pruning),
+    // and fold constant subtrees (analysis leaves `cast(100 as bigint)`
+    // unevaluated around literals). Replacements can nest, so iterate
+    // to a fixpoint.
+    def expand(e: Expression): Expression = {
+      val next = e.transformUp {
+        case r: RuntimeReplaceable => r.replacement
+      }.transformUp {
+        case w: With =>
+          val defs = w.defs.map(d => d.id -> d.child).toMap
+          w.child.transformUp { case ref: CommonExpressionRef => defs(ref.id) }
+      }
+      if (next.fastEquals(e)) e else expand(next)
+    }
+    val cond = expand(raw).transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(null), e.dataType)
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val fs = conjuncts(cond).flatMap(
+      org.apache.spark.sql.graftbridge.SqlBridge.translateFilter)
+    require(fs.nonEmpty, s"graft-txlog: no conjunct of filterExpr " +
+      s"'$exprStr' translates to a source filter — nothing to prune with")
+    fs.toArray
+  }
+
   private[streaming] val CdfFields: Seq[StructField] = Seq(
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_version", LongType, nullable = false))
@@ -321,16 +422,62 @@ class TxLogScan(dir: String, fullSchema: StructType,
     required.fields.filterNot(f => appendedNames(f.name)))
   private val readPartSchema = StructType(
     required.fields.filter(f => appendedNames(f.name)))
+  // the `filterExpr` option, analyzed and translated once per scan —
+  // the streaming path's stand-in for the operator pushdown Spark only
+  // applies to batch scans (lazy: analysis needs the active session)
+  private lazy val optionFilters: Array[SFilter] = opt("filterExpr") match {
+    case None => Array.empty
+    case Some(e) =>
+      val spark = SparkSession.getActiveSession.getOrElse(
+        sys.error("graft-txlog: no active SparkSession"))
+      // analyze against the FULL on-disk schema, not the `columns`-pruned
+      // one: stats-based file skipping never needs the predicate column
+      // to be READ, so filterExpr may prune on columns the projection
+      // drops (row-group pruning then simply skips that conjunct)
+      TxLogScan.parseFilterExpr(spark,
+        TxLogScan.readSchema(spark, dir, cdf = false), e)
+  }
+  private lazy val allFilters: Array[SFilter] = pushed ++ optionFilters
   // filters over file columns go to the parquet reader (row-group/page
   // pruning); partition-column filters prune at file granularity only
-  private val dataFilters: Array[SFilter] =
-    pushed.filter(_.references.forall(dataSchema.fieldNames.contains))
+  private lazy val dataFilters: Array[SFilter] =
+    allFilters.filter(_.references.forall(dataSchema.fieldNames.contains))
+
+  /** Manifest-relative paths of live files the filters' range envelope
+    * PROVES no-match against the Delta mirror's per-file stats and
+    * partition values — the whole-file skip set shared by the batch and
+    * streaming planners. Soundness contract: only explicitly-disproven
+    * files skip; an absent/unreadable mirror (or a file the mirror no
+    * longer lists, e.g. replaying a version whose file was later
+    * rewritten away) disables pruning for it — correct, just unpruned. */
+  private[streaming] def skippedFiles(): Set[String] = {
+    val preds = TxLogScan.rangeTriples(allFilters)
+    if (preds.isEmpty) Set.empty
+    else scala.util.Try(
+      graft.sources.DeltaLog.pruneFlags(
+        SparkSession.getActiveSession.get, dir, preds)
+        ._1.collect { case (f, false) => f.path }.toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Apply [[skippedFiles]] to per-version file lists, recording the
+    * (candidates, kept) tally for spec observability. */
+  private[streaming] def pruneRels(
+      versioned: Seq[(Long, Seq[String])]): Seq[(Long, Seq[String])] = {
+    val skipped = skippedFiles()
+    if (skipped.isEmpty) return versioned
+    val out = versioned.map { case (v, rels) => (v, rels.filterNot(skipped)) }
+    TxLogScan.lastStreamPrune =
+      Some((versioned.map(_._2.size).sum, out.map(_._2.size).sum))
+    out.filter(_._2.nonEmpty)
+  }
 
   override def readSchema(): StructType =
     StructType(readDataSchema.fields ++ readPartSchema.fields)
 
   override def description(): String = {
-    val pf = if (pushed.isEmpty) "" else pushed.mkString(", PushedFilters: [", ", ", "]")
+    val pf = if (allFilters.isEmpty) ""
+      else allFilters.mkString(", PushedFilters: [", ", ", "]")
     s"graft-txlog $dir${if (cdf) " [changeFeed]" else ""}$pf"
   }
 
@@ -362,22 +509,14 @@ class TxLogScan(dir: String, fullSchema: StructType,
         val skip = opt("skipChangeCommits").exists(_.toBoolean)
         // one forward manifest pass (manifests are cumulative — the
         // per-version delta helper would read each twice: O(V^2) IO)
-        return packPartitions(
+        return packPartitions(pruneRels(
           TxLog.commitDeltasRange(dir, 1L, cur).map {
             case (v, added, removedAny) =>
               (v, classify(v, added, removedAny, skip))
-          }.filter(_._2.nonEmpty))
+          }.filter(_._2.nonEmpty)))
       }
       val rels = TxLog.liveRelsAt(dir, cur)
-      val preds = TxLogScan.rangeTriples(pushed)
-      val skipped: Set[String] =
-        if (preds.isEmpty) Set.empty
-        else scala.util.Try(
-          graft.sources.DeltaLog.pruneFlags(
-            SparkSession.getActiveSession.get, dir, preds)
-            ._1.collect { case (f, false) => f.path }.toSet)
-          .getOrElse(Set.empty)
-      packPartitions(Seq((cur, rels.filterNot(skipped))))
+      packPartitions(Seq((cur, rels.filterNot(skippedFiles()))))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       TxLogScan.this.createReaderFactory()
@@ -456,7 +595,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * read path, columnar batches included, is byte-for-byte the native
     * parquet scan's. */
   private[streaming] def createReaderFactory(): PartitionReaderFactory = {
-    TxLogScan.lastScan = Some((readSchema(), pushed.length))
+    TxLogScan.lastScan = Some((readSchema(), allFilters.length))
     val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
     val sqlConf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
@@ -564,7 +703,7 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     val versioned =
       if (fromV <= 0 && !cdf) Seq((toV, TxLog.liveRelsAt(dir, toV)))
       else ((fromV + 1) to toV).map(v => (v, addedOf(v)))
-    scan.packPartitions(versioned.filter(_._2.nonEmpty))
+    scan.packPartitions(scan.pruneRels(versioned.filter(_._2.nonEmpty)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -27,4 +27,13 @@ object SqlBridge {
       data.queryExecution.toRdd, data, isStreaming = false)
     classic.Dataset.ofRows(data.sparkSession, node)
   }
+
+  /** Catalyst predicate → DSv2 [[org.apache.spark.sql.sources.Filter]],
+    * Spark's own translation (`protected[sql]`) — how the graft-txlog
+    * source turns its `filterExpr` option into the same filter objects
+    * the batch pushdown path receives. */
+  def translateFilter(predicate: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = true)
 }

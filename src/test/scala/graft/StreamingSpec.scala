@@ -662,6 +662,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft-txlog source: columns + filterExpr prune the streaming scan") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_src_prune").toString
+    // three commits with disjoint event_id ranges — per-file mirror
+    // stats prove two of the three no-match for the filter below
+    (0 until 3).foreach { i =>
+      graft.sources.TxLog.commitAppend(
+        ev.filter(col("event_id").between(i * 100, i * 100 + 99))
+          .coalesce(1), tbl)
+    }
+    graft.streaming.TxLogScan.lastStreamPrune = None
+    graft.streaming.TxLogScan.lastScan = None
+    val q = s.readStream.format("graft-txlog").option("path", tbl)
+      .option("columns", "event_id,event_type")
+      .option("filterExpr", "event_id between 100 and 199").load()
+      .filter(col("event_id").between(100, 199)) // the exact gate stays in the query
+      .writeStream.outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("txlog_src_prune").start()
+    q.awaitTermination()
+    // correctness first: exactly the middle commit's rows
+    assert(s.table("txlog_src_prune").count() ==
+      ev.filter(col("event_id").between(100, 199)).count())
+    // the presented schema IS the pruned projection...
+    assert(s.table("txlog_src_prune").columns.toSeq ==
+      Seq("event_id", "event_type"))
+    // ...and the scan READ only it (ReadSchema shrank at the source)
+    val (readSchema, nFilters) = graft.streaming.TxLogScan.lastScan.get
+    assert(readSchema.fieldNames.toSeq == Seq("event_id", "event_type"),
+      s"streaming scan must read only the projected columns, read $readSchema")
+    assert(nFilters >= 1, "filterExpr must reach the reader factory")
+    // whole files skipped before any IO: 3 candidate files, 1 kept
+    val (cand, kept) = graft.streaming.TxLogScan.lastStreamPrune.get
+    assert(kept < cand && kept >= 1,
+      s"filterExpr must stats-prune whole files, got $kept/$cand")
+  }
+
   test("graft-txlog native sink: crash replay commits exactly once; partitionBy lands hive layout") {
     val s = spark
     import org.apache.spark.sql.functions._
