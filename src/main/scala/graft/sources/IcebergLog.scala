@@ -582,6 +582,106 @@ object IcebergLog {
         s.get("manifest-list").asText()))).getOrElse(Seq.empty)
   }
 
+  /** Every file one snapshot's manifest-list transitively references —
+    * the list itself, each manifest it names, and each entry's
+    * `file_path` REGARDLESS of entry status: a DELETED entry still
+    * NAMES a file other snapshots may list live, and reachability for
+    * orphan accounting is about naming, not liveness. Canonical
+    * absolute path strings (metadata-scale walk). */
+  private def referencedFiles(table: Path, manifestList: String): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    val mlp = resolve(table, manifestList).normalize()
+    out += mlp.toString
+    avroRecords(mlp).foreach { m =>
+      val mp = resolve(table, str(m, "manifest_path")).normalize()
+      out += mp.toString
+      avroRecords(mp).foreach { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        out += resolve(table, str(df, "file_path")).normalize().toString
+      }
+    }
+    out.toSet
+  }
+
+  /** Snapshot EXPIRATION — the spec's `expireSnapshots` maintenance
+    * action, the Iceberg-side analog of TxLog's VACUUM: drop from
+    * table metadata every snapshot whose commit timestamp is older
+    * than `olderThanMillis`, ALWAYS retaining
+    *  - the current snapshot,
+    *  - the newest `retainLast` MAIN-TIMELINE snapshots (snapshot-log
+    *    order — the raw `snapshots` array may also hold WAP/branch
+    *    snapshots, which only ref protection keeps alive),
+    *  - every snapshot a named ref (branch head or tag) points at.
+    *
+    * METADATA-ONLY: writes the next `v<N>.metadata.json` with the
+    * `snapshots` and `snapshot-log` arrays filtered and everything
+    * else (schemas, refs, partition specs, properties) preserved
+    * verbatim, then bumps `version-hint.text`; NO files are deleted.
+    * Returns the expired snapshot ids plus the ORPHAN ACCOUNTING:
+    * every manifest-list, manifest, and data/delete file reachable
+    * from an expired snapshot but from NO retained one — exactly the
+    * set a separate remove step (the spec's delete-orphan-files
+    * action) may safely unlink. Computing the diff from both
+    * reachability sets (rather than "files the expired snapshot
+    * added") is what keeps shared manifests — e.g. a manifest
+    * re-listed as EXISTING by a later snapshot — out of the orphan
+    * list. */
+  def expireSnapshots(dir: String, olderThanMillis: Long,
+      retainLast: Int = 1): (Seq[Long], Seq[String]) = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val table = Paths.get(dir)
+    val metaPath = currentMetadataPath(table)
+    val root = mapper.readTree(Files.readString(metaPath))
+      .asInstanceOf[ObjectNode]
+    val snaps = Option(root.get("snapshots")).map(_.asScala.toSeq)
+      .getOrElse(Seq.empty)
+    val ids = snaps.map(s => (s.get("snapshot-id").asLong(),
+      Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L)))
+    val timeline = Option(root.get("snapshot-log")).map(_.asScala.toSeq
+      .map(_.get("snapshot-id").asLong())).filter(_.nonEmpty)
+      .getOrElse(ids.sortBy(_._2).map(_._1))
+    val refIds = Option(root.get("refs")).map(_.properties().asScala
+      .map(_.getValue.get("snapshot-id").asLong()).toSet)
+      .getOrElse(Set.empty[Long])
+    val protectedIds: Set[Long] = refIds ++
+      timeline.takeRight(retainLast) ++
+      Option(root.get("current-snapshot-id")).map(_.asLong())
+        .filter(_ != -1L).toSet
+    val expired = ids.collect {
+      case (id, ts) if ts < olderThanMillis && !protectedIds(id) => id }
+    if (expired.isEmpty) return (Seq.empty, Seq.empty)
+    val expiredSet = expired.toSet
+    // orphan accounting BEFORE the rewrite, from both reachability sets
+    val mlOf = snaps.map(s => s.get("snapshot-id").asLong() ->
+      s.get("manifest-list").asText()).toMap
+    def reach(sids: Seq[Long]): Set[String] =
+      sids.flatMap(id => referencedFiles(table, mlOf(id))).toSet
+    val orphans = (reach(expired) --
+      reach(ids.map(_._1).filterNot(expiredSet))).toSeq.sorted
+    // rewrite: filter the two arrays, keep every other field verbatim
+    val newSnaps = mapper.createArrayNode()
+    snaps.filterNot(s => expiredSet(s.get("snapshot-id").asLong()))
+      .foreach(newSnaps.add)
+    root.set[JsonNode]("snapshots", newSnaps)
+    Option(root.get("snapshot-log")).foreach { slog =>
+      val kept = mapper.createArrayNode()
+      slog.asScala.filterNot(e => expiredSet(e.get("snapshot-id").asLong()))
+        .foreach(kept.add)
+      root.set[JsonNode]("snapshot-log", kept)
+    }
+    // next metadata version = max existing v<N> + 1 (the hint's version
+    // may trail a concurrently-written higher file; never overwrite)
+    val nextV = listDir(metadataDir(table)).map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json"))
+      .filter(_.forall(_.isDigit)).map(_.toLong).maxOption.getOrElse(0L) + 1
+    Files.writeString(metadataDir(table).resolve(s"v$nextV.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    Files.writeString(metadataDir(table).resolve("version-hint.text"),
+      nextV.toString)
+    (expired, orphans)
+  }
+
   // ------------------------------------- golden-fixture tree (writer)
   // The engine only READS Iceberg; the builder below hand-authors a
   // spec-conformant v2 tree (avro manifests included) purely to pin
@@ -984,6 +1084,52 @@ object IcebergLog {
       |FROM events WHERE event_id % 3 < 2
       |GROUP BY 1""".stripMargin
 
+  /** A copy of the golden tree with snapshot 1 EXPIRED
+    * ([[expireSnapshots]]) — retains the orphan count so the query can
+    * pin the accounting. The golden tree's snapshot 1 privately owns
+    * its manifest-list and manifest m1-s1 (snapshot 2 re-lists b0
+    * through a NEW manifest), so exactly 2 files orphan. */
+  private[graft] def expireTable(spark: SparkSession, dir: String): (String, Int) =
+    stagedExpire.getOrElseUpdate(s"iceberg-expire:$dir", {
+      val src = Paths.get(goldenTable(spark, dir))
+      val table = graft.Scratch.dir("graft_iceberg_expire")
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val d = table.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(d)
+        else Files.copy(p, d,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // golden commit timestamps are 1700000000000 + id
+      val (expired, orphans) = expireSnapshots(
+        table.toString, olderThanMillis = 1700000000002L, retainLast = 1)
+      require(expired == Seq(1L),
+        s"golden expiry must drop exactly snapshot 1, got $expired")
+      (table.toString, orphans.size)
+    })
+
+  private val stagedExpire =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
+
+  /** Oracle-checked read AFTER snapshot expiration: the rewritten
+    * metadata must still resolve the retained snapshot to exactly
+    * batches {0,1}, and the orphan accounting must name exactly the 2
+    * files (manifest-list + manifest) only the expired snapshot
+    * reached — the shared data file b0 orphaning would read 3 here.
+    */
+  def expireQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (table, orphans) = expireTable(spark, dir)
+    snapshot(spark, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("orphans", lit(orphans.toLong))
+  }
+
+  val expireQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |       CAST(2 AS BIGINT) AS orphans
+      |FROM events WHERE event_id % 3 < 2
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------- UniForm-style MIRROR
   //
   // Write side: materialize a TxLog table's commit history as an
@@ -1211,10 +1357,12 @@ object IcebergLog {
     "q_iceberg_skipping" -> skippingQuery _,
     "q_iceberg_posdelete" -> posDeleteQuery _,
     "q_iceberg_eqdelete" -> eqDeleteQuery _,
-    "q_iceberg_mirror" -> mirrorQuery _
+    "q_iceberg_mirror" -> mirrorQuery _,
+    "q_iceberg_expire" -> expireQuery _
   )
 
   def oracles: Map[String, String] = Map(
+    "q_iceberg_expire" -> expireQueryOracle,
     "q_iceberg_snapshot" -> snapshotQueryOracle,
     "q_iceberg_skipping" -> skippingQueryOracle,
     "q_iceberg_posdelete" -> posDeleteQueryOracle,

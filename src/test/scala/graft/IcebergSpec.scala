@@ -552,4 +552,69 @@ class IcebergSpec extends SparkSpec {
     val e = intercept[RuntimeException](IcebergLog.mirror(s, t))
     assert(e.getMessage.contains("partition"), e.getMessage)
   }
+
+  private def copyGolden(prefix: String): java.nio.file.Path = {
+    val src = Paths.get(IcebergLog.goldenTable(spark, sf))
+    val dst = Files.createTempDirectory(prefix)
+    Files.walk(src).iterator().forEachRemaining { p =>
+      val d = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(d)
+      else Files.copy(p, d, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    dst
+  }
+
+  test("expireSnapshots drops old snapshots, accounts orphans, spares shared files") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val dst = copyGolden("iceberg_expire")
+    // golden timestamps are 1700000000000 + id; expire everything older
+    // than snapshot 2's commit, retaining the last main-timeline snapshot
+    val (expired, orphans) = IcebergLog.expireSnapshots(
+      dst.toString, olderThanMillis = 1700000000002L, retainLast = 1)
+    assert(expired == Seq(1L), s"expected snapshot 1 expired, got $expired")
+    // snapshot 1's PRIVATE files orphan: its manifest-list and its
+    // manifest m1-s1 (snapshot 2 re-lists b0 through a NEW manifest)
+    assert(orphans.exists(_.endsWith("snap-1-list.avro")), orphans.toString)
+    assert(orphans.exists(_.endsWith("m1-s1.avro")), orphans.toString)
+    // the SHARED data file b0 is reachable from snapshot 2 — never orphaned
+    assert(!orphans.exists(_.contains("b0.parquet")), orphans.toString)
+    assert(orphans.size == 2, orphans.toString)
+    // the metadata advanced: hint bumped past v2, history shows only 2,
+    // the current read is untouched, time travel to 1 now refuses
+    assert(Files.readString(dst.resolve("metadata/version-hint.text"))
+      .trim.toLong > 2L)
+    assert(IcebergLog.history(dst.toString).map(_._1) == Seq(2L))
+    assert(IcebergLog.snapshot(s, dst.toString).count() ==
+      ev.filter(pmod(col("event_id"), lit(3)) < 2).count())
+    val e = intercept[RuntimeException](
+      IcebergLog.snapshotAt(s, dst.toString, 1L))
+    assert(e.getMessage.contains("not found"), e.getMessage)
+    // idempotent: a second expiry finds nothing
+    val (again, more) = IcebergLog.expireSnapshots(
+      dst.toString, 1700000000002L, retainLast = 1)
+    assert(again.isEmpty && more.isEmpty)
+  }
+
+  test("expireSnapshots protects ref-pinned and retain-last snapshots") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a tag pinned at snapshot 1 keeps it alive through any horizon
+    val tagged = copyGolden("iceberg_expire_ref")
+    val mp = tagged.resolve("metadata/v2.metadata.json")
+    val root = mapper.readTree(Files.readString(mp))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val tag = root.putObject("refs").putObject("audit-v1")
+    tag.put("snapshot-id", 1L); tag.put("type", "tag")
+    Files.writeString(mp, mapper.writeValueAsString(root))
+    val (expired, orphans) = IcebergLog.expireSnapshots(
+      tagged.toString, olderThanMillis = Long.MaxValue, retainLast = 1)
+    assert(expired.isEmpty && orphans.isEmpty,
+      s"tag-protected snapshot expired: $expired")
+    assert(IcebergLog.history(tagged.toString).map(_._1) == Seq(1L, 2L))
+    // retainLast = 2 spans the whole timeline — nothing expires
+    val plain = copyGolden("iceberg_expire_keep2")
+    val (e2, o2) = IcebergLog.expireSnapshots(
+      plain.toString, olderThanMillis = Long.MaxValue, retainLast = 2)
+    assert(e2.isEmpty && o2.isEmpty)
+  }
 }
