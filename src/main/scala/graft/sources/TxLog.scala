@@ -864,12 +864,36 @@ object TxLog {
     if (candidates.isEmpty)
       return RewriteResult(base, 0L, prev.size.toLong)
     val oldDvs = manifestDvs(table, base)
+    val updates = dvDescriptorUpdates(spark, table, dir, candidates, pred,
+      oldDvs, applyOldDvs = false)
+    if (updates.isEmpty)
+      return RewriteResult(base, 0L, skipped.size.toLong)
+    val schemaJson = DeltaLog.currentSchemaString(table).getOrElse(
+      sys.error(s"$dir: no mirrored metaData for a DV commit"))
+    val v = commitDv(dir, base, updates, oldDvs, schemaJson)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    RewriteResult(v, updates.size.toLong, skipped.size.toLong)
+  }
+
+  /** The DV-marking core shared by merge-on-read DELETE and UPDATE:
+    * scan `candidates` for rows matching `pred`, roaring-serialize the
+    * matched ordinals per file (executor-side, one DV file per
+    * non-empty partition), union with any superseded bitmap, and
+    * return the per-file descriptor-JSON updates. With `applyOldDvs`
+    * the scan first hides rows existing DVs already delete — required
+    * by UPDATE, whose re-written rows must be exactly the VISIBLE
+    * matches (a raw re-match would resurrect deleted rows as
+    * "updates"); DELETE keeps the cheaper raw scan, whose re-matches
+    * the bitmap union absorbs. */
+  private def dvDescriptorUpdates(spark: SparkSession, table: Path,
+      dir: String, candidates: Seq[String], pred: Column,
+      oldDvs: Map[String, String],
+      applyOldDvs: Boolean): Map[String, String] = {
     val relByAbs = candidates
       .map(rel => table.resolve(rel).toAbsolutePath.toString -> rel).toMap
     val tableStr = table.toAbsolutePath.toString
     // matched (file, ordinal) pairs — `_metadata` is selected PER SCAN
-    // (a union does not carry it), and the scan is RAW: rows an older
-    // DV already hides may re-match, which the union below absorbs
+    // (a union does not carry it)
     val branches: Seq[DataFrame] =
       if (!candidates.exists(_.split("/").exists(_.contains("="))))
         Seq(spark.read.parquet(
@@ -879,10 +903,16 @@ object TxLog {
           spark.read.option("basePath", table.resolve(batch).toString)
             .parquet(fs.map(r => table.resolve(r).toString): _*)
         }
-    val hits = branches.map(b => b.filter(pred).select(
-        col("_metadata.file_path").as("__f"),
-        col("_metadata.row_index").as("__p")))
-      .reduce(_.unionByName(_))
+    val keep =
+      if (!applyOldDvs || oldDvs.isEmpty) None
+      else Some(DeletionVectors.keepUdf(spark, table, oldDvs))
+    val hits = branches.map { b =>
+      val matched = b.filter(pred)
+      keep.fold(matched)(k => matched.filter(
+          k(col("_metadata.file_path"), col("_metadata.row_index"))))
+        .select(col("_metadata.file_path").as("__f"),
+          col("_metadata.row_index").as("__p"))
+    }.reduce(_.unionByName(_))
     import spark.implicits._
     val descRows: Seq[(String, String, Int, Int, Long)] = hits
       .repartition(col("__f")).sortWithinPartitions(col("__f"), col("__p"))
@@ -911,8 +941,7 @@ object TxLog {
           }
         }
       }.collect().toSeq
-    if (descRows.isEmpty)
-      return RewriteResult(base, 0L, skipped.size.toLong)
+    if (descRows.isEmpty) return Map.empty
     def descJson(d: DeletionVectors.Descriptor): String =
       s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
         s""""offset":${d.offset.getOrElse(0)},"sizeInBytes":${d.sizeInBytes},""" +
@@ -945,37 +974,36 @@ object TxLog {
         }
         rel -> descJson(desc)
     }.toMap
-    val schemaJson = DeltaLog.currentSchemaString(table).getOrElse(
-      sys.error(s"$dir: no mirrored metaData for a DV commit"))
-    val v = commitDv(dir, base, updates, oldDvs, schemaJson)
-    DeltaLog.maybeCheckpoint(spark, dir, v)
-    RewriteResult(v, updates.size.toLong, skipped.size.toLong)
+    updates
   }
 
-  /** Conflict-checked commit of a DV delete: data-file lines unchanged,
-    * `#dv` headers replaced by the merged map — same serialization rule
-    * as [[commitRewrite]] (the DV set was computed against `base`).
+  /** Conflict-checked commit of a DV delete/update: previous data-file
+    * lines unchanged (plus `added` lines for an UPDATE's re-written
+    * rows), `#dv` headers replaced by the merged map — same
+    * serialization rule as [[commitRewrite]] (the DV set was computed
+    * against `base`).
     */
   private def commitDv(dir: String, base: Long, updates: Map[String, String],
-      oldDvs: Map[String, String], schemaJson: String): Long = {
+      oldDvs: Map[String, String], schemaJson: String,
+      added: Seq[String] = Seq.empty, operation: String = "DELETE"): Long = {
     val table = Paths.get(dir)
     val next = base + 1
     val prev = readManifest(table, base)
     val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-    val header = dvLines(oldDvs ++ updates) + "#op DELETE 1\n"
-    Files.write(tmp, (header + prev.mkString("\n")).getBytes("UTF-8"))
+    val header = dvLines(oldDvs ++ updates) + s"#op $operation 1\n"
+    Files.write(tmp, (header + (prev ++ added).mkString("\n")).getBytes("UTF-8"))
     try {
       Files.createLink(manifestPath(table, next), tmp)
       Files.deleteIfExists(tmp)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
-        sys.error(s"$dir: concurrent commit at version $next — this DELETE " +
+        sys.error(s"$dir: concurrent commit at version $next — this $operation " +
           s"read version $base and cannot serialize past a racing writer; " +
           "re-run against the new snapshot")
     }
-    try DeltaLog.mirrorCommit(table, next, Seq.empty, Seq.empty, schemaJson,
-      dataChange = true, operation = "DELETE",
+    try DeltaLog.mirrorCommit(table, next, added, Seq.empty, schemaJson,
+      dataChange = true, operation = operation,
       dvUpdates = updates.map { case (rel, d) => rel -> ((d, oldDvs.get(rel))) })
     catch { case _: java.io.IOException => () }
     next
@@ -1002,6 +1030,80 @@ object TxLog {
           .getOrElse(col(f.name))
       }: _*)
     })
+
+  /** Row-level UPDATE, MERGE-ON-READ (deletion vectors): the matched
+    * rows' OLD versions are hidden by DV bitmaps on their files and
+    * their NEW versions land in one appended batch — no data file is
+    * rewritten, the same O(changed rows) commit [[deleteWhereDv]]
+    * makes for deletes (stock Delta's UPDATE under
+    * `delta.enableDeletionVectors`; at 100 TB, updating 10 rows of a
+    * 1 GB file must not rewrite the GB). One serializable commit
+    * carries both: `#dv` descriptors + the added file lines, mirrored
+    * as the spec's remove(old DV)/add(same path, new DV) pairs plus
+    * the add of the re-written rows, `#op UPDATE`.
+    *
+    * Exactness: the DV-marking scan applies EXISTING DVs first — the
+    * re-written rows must be exactly the VISIBLE matches, or a
+    * previously-deleted row would resurrect as an "update" (the
+    * raw-scan shortcut the DELETE path can afford, this path cannot).
+    * Assignment semantics as [[updateWhere]]: expressions evaluate
+    * against the OLD row, cast back to the declared type; generated
+    * columns recompute; CHECK constraints apply to the new rows.
+    * Updates may move rows across partitions (the DV hides the old
+    * location, the append lands the new). Same gates as
+    * [[deleteWhereDv]]: `delta.enableDeletionVectors` required,
+    * `delta.appendOnly` refuses, CDF refuses across the commit.
+    */
+  def updateWhereDv(spark: SparkSession, dir: String, pred: Column,
+      set: Map[String, Column],
+      prune: Seq[(String, Any, Any)] = Seq.empty): RewriteResult = {
+    val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
+    if (!DeltaLog.tableConfig(table).get("delta.enableDeletionVectors")
+        .contains("true"))
+      sys.error(s"$dir: merge-on-read UPDATE requires the deletionVectors " +
+        "feature — setTableProperties(delta.enableDeletionVectors=true) " +
+        "first (stock Delta's writer gate)")
+    enforceAppendOnly(dir, "UPDATE")
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    val prev = readManifest(table, base)
+    val skipped: Set[String] =
+      if (prune.isEmpty) Set.empty
+      else scala.util.Try(DeltaLog.pruneFlags(spark, dir, prune)) match {
+        case scala.util.Success((flags, _)) =>
+          flags.collect { case (f, false) => f.path }.toSet
+        case scala.util.Failure(_) => Set.empty
+      }
+    val candidates = prev.filterNot(skipped)
+    if (candidates.isEmpty)
+      return RewriteResult(base, 0L, prev.size.toLong)
+    val oldDvs = manifestDvs(table, base)
+    val updates = dvDescriptorUpdates(spark, table, dir, candidates, pred,
+      oldDvs, applyOldDvs = true)
+    if (updates.isEmpty)
+      return RewriteResult(base, 0L, skipped.size.toLong)
+    // the new row versions: visible matches only (same DV-filtered
+    // view the marking scan used — parquet is immutable, so the two
+    // scans see identical matches), assignments applied old-row-wise
+    val visible = readRels(spark, table, candidates, dvs = oldDvs)
+      .filter(pred)
+    val bad = set.keySet -- visible.columns.toSet
+    require(bad.isEmpty,
+      s"updateWhereDv: unknown column(s) ${bad.mkString(", ")}")
+    val updated = visible.select(visible.schema.fields.toSeq.map { f =>
+      set.get(f.name).map(_.cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name))
+    }: _*)
+    val replacement = validateAndComplete(
+      generatedColumnNames(dir).foldLeft(updated)(_.drop(_)), dir)
+    val added = writeBatch(replacement, table, pathPartCols(candidates.head))
+    val v = commitDv(dir, base, updates, oldDvs,
+      effectiveSchemaJson(replacement, dir), added = added,
+      operation = "UPDATE")
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    RewriteResult(v, updates.size.toLong, skipped.size.toLong)
+  }
 
   /** Transactional MERGE (whole-row upsert): source rows REPLACE target
     * rows sharing `keys`; unmatched source rows are INSERTED — one
@@ -1714,6 +1816,54 @@ object TxLog {
       |FROM events WHERE event_id > 500
       |GROUP BY 1""".stripMargin
 
+  /** 8 range-split files; a MERGE-ON-READ delete, then two
+    * merge-on-read UPDATEs: the first overlaps the delete band (hidden
+    * rows must NOT resurrect as updates), the second overlaps the
+    * FIRST's appended batch (update-over-update: the new rows' file
+    * gets its own DV). Prune hints keep untouched bands DV-free. */
+  private def dvUpdateTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"dvupd:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_dvupd").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartitionByRange(8, col("event_id")), table)
+      setTableProperties(spark, table,
+        Map("delta.enableDeletionVectors" -> "true"))
+      deleteWhereDv(spark, table, col("event_id") <= 200,
+        Seq(("event_id", null, java.lang.Long.valueOf(200L))))
+      updateWhereDv(spark, table,
+        col("event_id").between(101L, 400L),
+        Map("value" -> (col("value") * 3)),
+        Seq(("event_id", java.lang.Long.valueOf(101L),
+          java.lang.Long.valueOf(400L))))
+      updateWhereDv(spark, table,
+        col("event_id").between(301L, 600L),
+        Map("value" -> (col("value") + 1)),
+        Seq(("event_id", java.lang.Long.valueOf(301L),
+          java.lang.Long.valueOf(600L))))
+      table
+    })
+
+  /** Oracle-checked merge-on-read UPDATE: deleted rows stay dead
+    * through the overlapping update band, updated rows carry exactly
+    * the composed assignments (×3 then +1 where the bands stack), and
+    * no row is gained or lost — a resurrected hidden row, a
+    * double-applied assignment, or an update lost on the appended
+    * batch all flip the hash. */
+  def dvUpdateQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, dvUpdateTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val dvUpdateQueryOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE
+      |    WHEN event_id BETWEEN 201 AND 300 THEN value * 3
+      |    WHEN event_id BETWEEN 301 AND 400 THEN value * 3 + 1
+      |    WHEN event_id BETWEEN 401 AND 600 THEN value + 1
+      |    ELSE value END), 2) AS total_value
+      |FROM events WHERE event_id > 200
+      |GROUP BY 1""".stripMargin
+
   /** Oracle-checked row-level UPDATE: doubled values inside the band,
     * untouched outside, no rows gained or lost.
     */
@@ -1872,6 +2022,7 @@ object TxLog {
     "q_txlog_changes" -> changesQuery _,
     "q_txlog_delete" -> deleteQuery _,
     "q_txlog_delete_dv" -> dvDeleteQuery _,
+    "q_txlog_update_dv" -> dvUpdateQuery _,
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
     "q_txlog_restore" -> restoreQuery _,
@@ -1889,6 +2040,7 @@ object TxLog {
     "q_txlog_changes" -> changesQueryOracle,
     "q_txlog_delete" -> deleteQueryOracle,
     "q_txlog_delete_dv" -> dvDeleteQueryOracle,
+    "q_txlog_update_dv" -> dvUpdateQueryOracle,
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,

@@ -1802,4 +1802,71 @@ class DeltaLogSpec extends SparkSpec {
     assert(!TxLog.hasDvs(t, TxLog.currentVersion(t).get),
       "optimize must drop the DVs of the files it rewrites")
   }
+
+  test("merge-on-read UPDATE: DVs hide old rows, one appended batch carries the new") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_dvu_write").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map("delta.enableDeletionVectors" -> "true"))
+    // a prior DV delete: its hidden rows sit INSIDE the update band and
+    // must not resurrect as "updates"
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 200)
+    val filesBefore = TxLog.snapshot(s, t).inputFiles.toSet
+    val r = TxLog.updateWhereDv(s, t,
+      col("event_id").between(101L, 400L),
+      Map("value" -> (col("value") * 3)),
+      Seq(("event_id", java.lang.Long.valueOf(101L),
+        java.lang.Long.valueOf(400L))))
+    assert(r.filesRewritten > 0 && r.filesSkipped > 0, r.toString)
+    val filesAfter = TxLog.snapshot(s, t).inputFiles.toSet
+    // merge-on-read: every pre-update file survives untouched; the only
+    // new files are the single appended batch of re-written rows
+    assert(filesBefore.subsetOf(filesAfter),
+      "a DV update must not rewrite data files")
+    val newBatches = (filesAfter -- filesBefore)
+      .map(f => f.split("/").takeRight(2).head)
+    assert(newBatches.size == 1,
+      s"exactly one appended batch expected, got $newBatches")
+    // row accounting: deleted rows stay dead, updated band re-valued
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.count() == ev.filter(col("event_id") > 200).count())
+    assert(snap.filter(col("event_id").between(101L, 200L)).count() == 0,
+      "rows a DV already deleted must not resurrect as updates")
+    val want = ev.filter(col("event_id").between(201L, 400L))
+      .agg(round(sum(col("value") * 3), 2)).collect()(0).getDouble(0)
+    val got = snap.filter(col("event_id").between(201L, 400L))
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+    // update-over-update: the second band overlaps the first's appended
+    // batch, so the NEW rows' file gets a DV of its own
+    TxLog.updateWhereDv(s, t, col("event_id").between(301L, 600L),
+      Map("value" -> (col("value") + 1)))
+    val snap2 = TxLog.snapshot(s, t)
+    assert(snap2.count() == ev.filter(col("event_id") > 200).count(),
+      "update-over-update must not change row count")
+    val want2 = ev.filter(col("event_id").between(301L, 400L))
+      .agg(round(sum(col("value") * 3 + 1), 2)).collect()(0).getDouble(0)
+    val got2 = snap2.filter(col("event_id").between(301L, 400L))
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    assert(math.abs(got2 - want2) < 1e-6, s"stacked assignments: $got2 vs $want2")
+    // the external Delta reader agrees (remove/add DV pairs + added file)
+    assert(DeltaLog.snapshot(s, t).count() == snap2.count())
+    val ext = DeltaLog.snapshot(s, t)
+      .filter(col("event_id").between(301L, 400L))
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    assert(math.abs(ext - want2) < 1e-6, s"external Delta view: $ext vs $want2")
+    // time travel un-applies: the pre-update version still reads old values
+    val preUpdateV = 3L // 1 append, 2 properties, 3 delete
+    assert(TxLog.snapshotAt(s, t, preUpdateV)
+      .filter(col("event_id").between(201L, 400L))
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) !=
+      got, "time travel must read pre-update values")
+    // gates: appendOnly refuses UPDATE too
+    TxLog.setTableProperties(s, t, Map("delta.appendOnly" -> "true"))
+    val e = intercept[RuntimeException](TxLog.updateWhereDv(s, t,
+      col("event_id") === 999L, Map("value" -> lit(0.0))))
+    assert(e.getMessage.contains("appendOnly"), e.getMessage)
+  }
 }

@@ -62,8 +62,11 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if os.path.isdir(p):  # Spark-written table dir (e.g. the ScaleUp sf1 corpus)
+            p = f"{p}/*.parquet"
+        elif not os.path.exists(p):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     produced = {os.path.basename(d): d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
