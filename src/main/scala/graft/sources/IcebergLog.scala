@@ -116,7 +116,20 @@ object IcebergLog {
     * single-value-serialized bytes) the skip-scan prunes on. */
   private[graft] final case class IceFile(path: Path,
       lowerBounds: Map[Int, Array[Byte]], upperBounds: Map[Int, Array[Byte]],
-      seq: Long = 0L)
+      seq: Long = 0L, partition: Map[String, String] = Map.empty)
+
+  /** The entry's `partition` tuple (identity transforms), stringified
+    * per field — absent on unpartitioned tables and older writers.
+    * Values cast back to the schema's declared types at attach time
+    * ([[applyDeletes]]), so the stringly intermediate never leaks. */
+  private def partitionOf(df: GenericRecord): Map[String, String] =
+    Option(df.getSchema.getField("partition"))
+      .flatMap(_ => Option(df.get("partition"))) match {
+      case Some(pr: GenericRecord) =>
+        pr.getSchema.getFields.asScala.flatMap(f =>
+          Option(pr.get(f.name)).map(v => f.name -> v.toString)).toMap
+      case _ => Map.empty
+    }
 
   /** Iceberg stores bounds as a logical map encoded the avro way: an
     * ARRAY of {key, value} records. Read by field name, tolerant of
@@ -191,7 +204,8 @@ object IcebergLog {
                 sys.error(s"$table: data file routed through a DELETE " +
                   "manifest — malformed tree, refusing to guess")
               data += IceFile(resolve(table, str(df, "file_path")),
-                boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"), seq)
+                boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
+                seq, partitionOf(df))
             case 1 =>
               if (mContent != 1)
                 sys.error(s"$table: position-delete file in a DATA manifest")
@@ -234,7 +248,9 @@ object IcebergLog {
   private def applyDeletes(spark: SparkSession, df: DataFrame,
       files: Seq[IceFile], sf: SnapshotFiles,
       fieldName: Map[Int, String]): DataFrame = {
-    if (sf.posDeletes.isEmpty && sf.eqDeletes.isEmpty) return df
+    val hasDeletes = sf.posDeletes.nonEmpty || sf.eqDeletes.nonEmpty
+    val partitioned = files.exists(_.partition.nonEmpty)
+    if (!hasDeletes && !partitioned) return df
     // Canonicalize EVERY path to the raw (unescaped) filesystem form:
     // `_metadata.file_path` arrives URI-escaped (file:///a/my%20table/…),
     // while a delete file's `file_path` column holds whatever its writer
@@ -249,9 +265,45 @@ object IcebergLog {
         .otherwise(c)
     val cols = df.columns.toSeq
     import spark.implicits._
-    val seqDf = files.map(f => (f.path.toString, f.seq)).toDF("__sf", "__seq")
+    // provenance is captured ONCE, directly on the scan — `_metadata`
+    // does not survive the joins below
     var out = df.withColumn("__file", norm(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))
+    if (partitioned) {
+      // IDENTITY-partition attach: hive-layout data files (the TxLog
+      // mirror's) do not CONTAIN their partition columns — each file's
+      // values live in its manifest entry's `partition` tuple. One
+      // broadcast (file → values) join, then COALESCE per column: a
+      // file that does carry the column (real Iceberg writers store
+      // identity values in-file) keeps its own data, a hive file fills
+      // from the manifest — both spellings of the spec read correctly.
+      val pcols = files.flatMap(_.partition.keys).distinct
+        .filter(cols.contains)
+      val pdf = files.map(f => (f.path.toString +:
+          pcols.map(c => f.partition.get(c).orNull)).toSeq)
+        .map(org.apache.spark.sql.Row.fromSeq)
+      val pschema = StructType(StructField("__pf", StringType, false) +:
+        pcols.map(StructField(_, StringType, true)))
+      val pvdf = spark.createDataFrame(pdf.asJava, pschema).toDF(
+        "__pf" +: pcols.map(c => s"__pv_$c"): _*)
+      out = out.join(broadcast(pvdf), col("__file") === col("__pf"), "left")
+        // fail closed: a file missing from its own snapshot's partition
+        // map is a canonicalization bug — nulling the partition column
+        // silently would be data corruption
+        .withColumn("__pf", when(col("__pf").isNotNull, col("__pf"))
+          .otherwise(raise_error(concat(
+            lit("iceberg read: data file missing from the snapshot's " +
+              "partition-value map: "), col("__file")))))
+      pcols.foreach { c =>
+        val dt = df.schema(c).dataType
+        out = out.withColumn(c,
+          coalesce(col(c), col(s"__pv_$c").cast(dt)))
+      }
+      out = out.drop("__pf" +: pcols.map(c => s"__pv_$c"): _*)
+    }
+    if (!hasDeletes) return out.select(cols.map(col): _*)
+    val seqDf = files.map(f => (f.path.toString, f.seq)).toDF("__sf", "__seq")
+    out = out
       .join(broadcast(seqDf), col("__file") === col("__sf"), "left")
       .drop("__sf")
       // FAIL CLOSED on coverage gaps: the file list and seqDf come from
@@ -716,6 +768,43 @@ object IcebergLog {
       |  {"name":"upper_bounds","type":["null",{"type":"array",
       |    "items":"k126_v127"}],"default":null}]}}]}""".stripMargin)
 
+  /** The mirror's manifest-entry schema for a PARTITIONED table: the
+    * static entry schema plus the spec's `partition` record (field 102,
+    * record `r102`) in `data_file`, its fields typed per the table's
+    * partition columns. Unpartitioned tables keep the shared static
+    * schema, so pre-existing trees and fixtures stay byte-stable. */
+  private def mirrorEntrySchema(partCols: Seq[(String, DataType)]): Schema = {
+    if (partCols.isEmpty) return manifestEntrySchema
+    partCols.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"iceberg mirror: partition column '$n' is not a valid avro name")
+    }
+    val pf = partCols.map { case (n, dt) =>
+      s"""{"name":"$n","type":["null","${partAvroType(dt)}"],"default":null}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"snapshot_id","type":["null","long"],"default":null},
+         |{"name":"sequence_number","type":["null","long"],"default":null},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int"},
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+         |    "default":null},
+         |  {"name":"file_path","type":"string"},
+         |  {"name":"file_format","type":"string"},
+         |  {"name":"partition","type":{"type":"record","name":"r102",
+         |    "fields":[$pf]}},
+         |  {"name":"record_count","type":"long"},
+         |  {"name":"file_size_in_bytes","type":"long"},
+         |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+         |    {"type":"record","name":"k126_v127","fields":[
+         |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+         |    "default":null},
+         |  {"name":"upper_bounds","type":["null",{"type":"array",
+         |    "items":"k126_v127"}],"default":null}]}}]}""".stripMargin)
+  }
+
   /** Iceberg's binary single-value serialization, write side (fixture
     * authoring only — the engine never writes real Iceberg tables). */
   private[graft] def encodeBound(v: Any): Array[Byte] = {
@@ -828,7 +917,8 @@ object IcebergLog {
     * writes real commit times, the fixtures keep their frozen ones.
     */
   private def metadataJsonTs(table: Path, schema: StructType,
-      snapshots: Seq[(Long, Long, String)], currentId: Long): String = {
+      snapshots: Seq[(Long, Long, String)], currentId: Long,
+      partitionCols: Seq[String] = Seq.empty): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
@@ -853,7 +943,17 @@ object IcebergLog {
     val specs = root.putArray("partition-specs")
     val spec = specs.addObject()
     spec.put("spec-id", 0)
-    spec.putArray("fields")
+    val specFields = spec.putArray("fields")
+    partitionCols.zipWithIndex.foreach { case (name, i) =>
+      val sourceId = schema.fieldNames.indexOf(name) + 1
+      require(sourceId > 0,
+        s"$table: partition column '$name' absent from the table schema")
+      val pf = specFields.addObject()
+      pf.put("name", name)
+      pf.put("transform", "identity")
+      pf.put("source-id", sourceId)
+      pf.put("field-id", 1000 + i) // the spec: partition field ids from 1000
+    }
     root.put("default-spec-id", 0)
     val snaps = root.putArray("snapshots")
     snapshots.foreach { case (id, ts, ml) =>
@@ -1147,7 +1247,43 @@ object IcebergLog {
     */
   private final case class MirrorEntry(rel: String, seq: Long,
       recordCount: Long, sizeBytes: Long,
-      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      partition: Seq[(String, String)] = Seq.empty)
+
+  /** Hive `col=value` segments of a manifest-relative path, unescaped
+    * (the TxLog writer's layout). */
+  private def hiveSegments(rel: String): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    rel.split("/").dropRight(1).toSeq.filter(_.contains("="))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        val v = seg.drop(i + 1)
+        (unescapePathName(seg.take(i)),
+          if (v == "__HIVE_DEFAULT_PARTITION__") null else unescapePathName(v))
+      }
+  }
+
+  /** Identity-partition types the mirror writes natively into avro
+    * partition tuples (and bounds); anything else refuses loudly. */
+  private def partAvroType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case DoubleType => "double"
+    case BooleanType => "boolean"
+    case StringType => "string"
+    case other => sys.error(s"iceberg mirror: unsupported partition-column " +
+      s"type $other — identity transforms on long/int/double/boolean/string " +
+      "only (date/timestamp transforms are not written yet)")
+  }
+
+  private def partTypedValue(v: String, dt: DataType): Any =
+    if (v == null) null else dt match {
+      case LongType => java.lang.Long.valueOf(v)
+      case IntegerType => java.lang.Integer.valueOf(v)
+      case DoubleType => java.lang.Double.valueOf(v)
+      case BooleanType => java.lang.Boolean.valueOf(v)
+      case _ => v
+    }
 
   /** Iceberg bound bytes from one side of a Delta-stats JSON value,
     * by Spark type. String minima may be stats-truncated prefixes —
@@ -1190,17 +1326,36 @@ object IcebergLog {
           }.toMap
         }.getOrElse(Map.empty)
       MirrorEntry(rel, seq, node.get("numRecords").asLong(), size,
-        side("minValues"), side("maxValues"))
-    }.getOrElse(MirrorEntry(rel, seq, 0L, size, Map.empty, Map.empty))
+        side("minValues") ++ partBounds(rel, schema),
+        side("maxValues") ++ partBounds(rel, schema), hiveSegments(rel))
+    }.getOrElse(MirrorEntry(rel, seq, 0L, size,
+      partBounds(rel, schema), partBounds(rel, schema), hiveSegments(rel)))
   }
+
+  /** Identity-partition bounds: a hive file's partition value is
+    * constant across its rows, so lower = upper = the value — the
+    * manifest stats [[skipScan]] prunes on then cover partition-column
+    * predicates for free (footer stats can't: the column is not IN the
+    * file). Unencodable values just contribute no bound. */
+  private def partBounds(rel: String,
+      schema: StructType): Map[Int, Array[Byte]] =
+    hiveSegments(rel).flatMap { case (name, v) =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == name && v != null =>
+          scala.util.Try(encodeBound(partTypedValue(v, f.dataType)))
+            .toOption.map((i + 1) -> _)
+      }.flatten
+    }.toMap
 
   /** One mirror manifest avro: full entries with explicit per-entry
     * data sequence numbers, record counts, and raw-byte bounds
     * (reused verbatim on compaction rewrites — no footer re-reads).
     */
   private def writeMirrorManifest(table: Path, name: String,
-      entries: Seq[(Int, MirrorEntry)]): String = {
-    val dfSchema = manifestEntrySchema.getField("data_file").schema()
+      entries: Seq[(Int, MirrorEntry)],
+      partCols: Seq[(String, DataType)] = Seq.empty): String = {
+    val entrySchema = mirrorEntrySchema(partCols)
+    val dfSchema = entrySchema.getField("data_file").schema()
     val kvSchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
     def kvArray(m: Map[Int, Array[Byte]]): java.util.List[GenericRecord] =
@@ -1217,16 +1372,24 @@ object IcebergLog {
       dataFile.put("file_format", "PARQUET")
       dataFile.put("record_count", me.recordCount)
       dataFile.put("file_size_in_bytes", me.sizeBytes)
+      if (partCols.nonEmpty) {
+        val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+        val byName = me.partition.toMap
+        partCols.foreach { case (n, dt) =>
+          pr.put(n, partTypedValue(byName.getOrElse(n, null), dt))
+        }
+        dataFile.put("partition", pr)
+      }
       if (me.lower.nonEmpty) dataFile.put("lower_bounds", kvArray(me.lower))
       if (me.upper.nonEmpty) dataFile.put("upper_bounds", kvArray(me.upper))
-      val e = new GenericData.Record(manifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", status)
       e.put("sequence_number", Long.box(me.seq))
       e.put("data_file", dataFile)
       e: GenericRecord
     }
     val rel = s"metadata/$name"
-    writeAvro(table.resolve(rel), manifestEntrySchema, recs)
+    writeAvro(table.resolve(rel), entrySchema, recs)
     rel
   }
 
@@ -1247,9 +1410,15 @@ object IcebergLog {
     *    real commit timestamps, snapshot-log), so catch-up over many
     *    versions costs one tree walk, not one json per version.
     *
-    * Returns the current snapshot id. Unpartitioned tables only — a
-    * hive layout needs a partition spec + per-entry partition tuples,
-    * refused loudly rather than mirrored wrong.
+    * Returns the current snapshot id. Hive-partitioned layouts mirror
+    * with an IDENTITY partition spec: per-entry `partition` tuples
+    * (typed from the path segments), spec fields at ids 1000+, and
+    * identity bounds (lower = upper = the value) so manifest-stats
+    * skipping prunes partition predicates too; the read side attaches
+    * the tuple values back, since hive data files do not CONTAIN their
+    * partition columns. Unsupported partition-column types (anything
+    * beyond long/int/double/boolean/string) refuse loudly rather than
+    * mirror wrong.
     */
   def mirror(spark: SparkSession, dir: String): Long = {
     val table = Paths.get(dir)
@@ -1279,23 +1448,32 @@ object IcebergLog {
           live(rel) = MirrorEntry(rel,
             longOptOf(e, "sequence_number").getOrElse(0L),
             longOpt(df, "record_count"), longOpt(df, "file_size_in_bytes"),
-            boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
+            boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
+            partitionOf(df).toSeq)
         }
       }
     }
     val schema = TxLog.snapshot(spark, dir).schema
+    // identity partition spec from the hive layout (TxLog fixes the
+    // partitioning at the first commit, so the CURRENT manifest's
+    // layout governs the whole history); types validated up front
+    val partCols: Seq[(String, DataType)] =
+      TxLog.liveRelsAt(dir, cur).headOption.map(hiveSegments(_).map(_._1))
+        .getOrElse(Seq.empty)
+        .map { n =>
+          val f = schema.fields.find(_.name == n).getOrElse(
+            sys.error(s"$dir: partition column '$n' absent from schema"))
+          partAvroType(f.dataType) // refuses unsupported types loudly
+          (n, f.dataType)
+        }
     for (v <- (from + 1) to cur) {
       val (added, removed) = TxLog.commitDelta(dir, v)
-      if ((added ++ removed).exists(_.contains("=")))
-        sys.error(s"$dir: hive-partitioned layout — the Iceberg mirror " +
-          "supports unpartitioned tables (a partition spec + per-entry " +
-          "partition tuples are not written yet)")
       val newEntries = added.map(rel => entryFromFooter(table, rel, v, schema))
       if (removed.isEmpty) {
         // fast-append: one manifest of just this commit's files
         if (newEntries.nonEmpty) {
           manifests :+= writeMirrorManifest(table, s"mirror-m-$v.avro",
-            newEntries.map((1, _)))
+            newEntries.map((1, _)), partCols)
         }
         newEntries.foreach(e => live(e.rel) = e)
       } else {
@@ -1303,7 +1481,7 @@ object IcebergLog {
         removed.foreach(live.remove)
         newEntries.foreach(e => live(e.rel) = e)
         manifests = Seq(writeMirrorManifest(table, s"mirror-m-$v.avro",
-          live.values.toSeq.map(e => (if (e.seq == v) 1 else 0, e))))
+          live.values.toSeq.map(e => (if (e.seq == v) 1 else 0, e)), partCols))
       }
       val ts = math.max(
         snaps.lastOption.map(_._2).getOrElse(0L),
@@ -1313,7 +1491,7 @@ object IcebergLog {
       snaps :+= ((v, ts, ml))
     }
     Files.writeString(metadataDir(table).resolve(s"v$cur.metadata.json"),
-      metadataJsonTs(table, schema, snaps, cur))
+      metadataJsonTs(table, schema, snaps, cur, partCols.map(_._1)))
     Files.writeString(hint, cur.toString)
     cur
   }
@@ -1352,16 +1530,51 @@ object IcebergLog {
       |WHERE event_id % 3 = 2 OR event_id % 7 <> 3
       |GROUP BY 1""".stripMargin
 
+  /** PARTITIONED TxLog table (hive layout by `event_type`) mirrored to
+    * Iceberg: two appends, a copy-on-write DELETE (compaction path),
+    * then [[mirror]] — the tree carries the identity partition spec,
+    * per-entry partition tuples, and identity bounds. */
+  private[graft] def partMirrorTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-pmirror:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_pmirror").toString
+      val ev = Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        table, partitionBy = Seq("event_type"))
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        table, partitionBy = Seq("event_type"))
+      TxLog.deleteWhere(spark, table, pmod(col("event_id"), lit(5)) === 2)
+      mirror(spark, table)
+      table
+    })
+
+  /** Oracle-checked read of the engine-written PARTITIONED Iceberg
+    * tree, grouped BY THE PARTITION COLUMN: hive data files do not
+    * contain `event_type`, so every group key in this result came from
+    * the manifest partition tuples — a missed attach nulls the keys, a
+    * crossed file→tuple mapping scrambles the groups, and either flips
+    * the hash. */
+  def partMirrorQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, partMirrorTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val partMirrorQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 5 <> 2
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_iceberg_snapshot" -> snapshotQuery _,
     "q_iceberg_skipping" -> skippingQuery _,
     "q_iceberg_posdelete" -> posDeleteQuery _,
     "q_iceberg_eqdelete" -> eqDeleteQuery _,
     "q_iceberg_mirror" -> mirrorQuery _,
+    "q_iceberg_part_mirror" -> partMirrorQuery _,
     "q_iceberg_expire" -> expireQuery _
   )
 
   def oracles: Map[String, String] = Map(
+    "q_iceberg_part_mirror" -> partMirrorQueryOracle,
     "q_iceberg_expire" -> expireQueryOracle,
     "q_iceberg_snapshot" -> snapshotQueryOracle,
     "q_iceberg_skipping" -> skippingQueryOracle,

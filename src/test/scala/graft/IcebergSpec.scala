@@ -542,7 +542,7 @@ class IcebergSpec extends SparkSpec {
     assert(listAvro() == afterAll)
   }
 
-  test("UniForm mirror refuses hive-partitioned layouts loudly") {
+  test("UniForm mirror refuses unsupported partition-column types loudly") {
     val s = spark
     import graft.sources.TxLog
     val ev = Tables.events(s, sf)
@@ -551,6 +551,49 @@ class IcebergSpec extends SparkSpec {
       partitionBy = Seq("day"))
     val e = intercept[RuntimeException](IcebergLog.mirror(s, t))
     assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("UniForm mirror writes identity partition specs; read attaches tuple values") {
+    val s = spark
+    import graft.sources.TxLog
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.partMirrorTable(s, sf)
+    // metadata carries the identity spec
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      IcebergLog.currentMetadataPath(Paths.get(t))))
+    val specField = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(specField.get("name").asText() == "event_type")
+    assert(specField.get("transform").asText() == "identity")
+    assert(specField.get("field-id").asInt() == 1000)
+    // the partition column is NOT in the data files — every value below
+    // must come from the manifest partition tuples
+    val snap = IcebergLog.snapshot(s, t)
+    assert(snap.filter(col("event_type").isNull).count() == 0,
+      "partition attach must fill every row's partition column")
+    val want = ev.filter(pmod(col("event_id"), lit(5)) =!= 2)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = snap.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+    // per-file partition tuples are pinned in the manifests
+    val files = IcebergLog.filesOfSnapshot(t,
+      meta.get("current-snapshot-id").asLong())
+    assert(files.nonEmpty && files.forall(_.partition.contains("event_type")),
+      "every live entry must carry its partition tuple")
+    // identity bounds make partition predicates prunable by stats:
+    // a filter on one event_type must scan fewer files than the total
+    val one = files.head.partition("event_type")
+    val pruned = IcebergLog.skipScan(s, t, Seq(("event_type", one, one)))
+    assert(pruned.count() ==
+      ev.filter(pmod(col("event_id"), lit(5)) =!= 2)
+        .filter(col("event_type") === one).count())
+    val (total, scanned) = IcebergLog.lastSkipScan
+    assert(scanned < total, s"partition pruning: $scanned of $total")
+    // time travel works across the compaction (delete) boundary
+    assert(IcebergLog.snapshotAt(s, t, 1L).count() ==
+      ev.filter(pmod(col("event_id"), lit(2)) === 0).count())
   }
 
   private def copyGolden(prefix: String): java.nio.file.Path = {
