@@ -565,6 +565,11 @@ object IcebergLog {
     readSnapshot(spark, dir, readMetadata(Paths.get(dir)), snapshotId,
       snapshotSchema = true)
 
+  /** Spec hook: the content flags of one manifest-list's entries
+    * (0 = data manifest, 1 = delete manifest). */
+  private[graft] def avroProbe(table: Path, ml: String): Seq[Int] =
+    avroRecords(resolve(table, ml)).map(m => int(m, "content"))
+
   /** Spec hook: a snapshot's live data files as the manifests record
     * them (data sequence numbers + raw bounds included). */
   private[graft] def filesOfSnapshot(dir: String, snapshotId: Long): Seq[IceFile] = {
@@ -1353,7 +1358,8 @@ object IcebergLog {
     */
   private def writeMirrorManifest(table: Path, name: String,
       entries: Seq[(Int, MirrorEntry)],
-      partCols: Seq[(String, DataType)] = Seq.empty): String = {
+      partCols: Seq[(String, DataType)] = Seq.empty,
+      fileContent: Int = 0): String = {
     val entrySchema = mirrorEntrySchema(partCols)
     val dfSchema = entrySchema.getField("data_file").schema()
     val kvSchema = dfSchema.getField("lower_bounds").schema()
@@ -1367,7 +1373,7 @@ object IcebergLog {
       }.asJava
     val recs = entries.map { case (status, me) =>
       val dataFile = new GenericData.Record(dfSchema)
-      dataFile.put("content", 0)
+      dataFile.put("content", fileContent)
       dataFile.put("file_path", me.rel)
       dataFile.put("file_format", "PARQUET")
       dataFile.put("record_count", me.recordCount)
@@ -1435,10 +1441,16 @@ object IcebergLog {
           Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
           s.get("manifest-list").asText()))).getOrElse(Seq.empty)
     }.getOrElse(Seq.empty)
-    // the latest mirrored snapshot's manifests + live entries (resume)
-    var manifests: Seq[String] = snaps.lastOption.map { case (_, _, ml) =>
-      avroRecords(resolve(table, ml)).map(m => str(m, "manifest_path"))
+    // the latest mirrored snapshot's manifests + live entries (resume),
+    // split by content: data manifests rebuild the live map, a DELETE
+    // manifest (the DV translation below) carries forward as-is
+    val priorMls: Seq[(String, Int)] = snaps.lastOption.map {
+      case (_, _, ml) => avroRecords(resolve(table, ml)).map(m =>
+        (str(m, "manifest_path"), int(m, "content")))
     }.getOrElse(Seq.empty)
+    var manifests: Seq[String] = priorMls.collect { case (p, 0) => p }
+    var deleteManifest: Option[String] =
+      priorMls.collectFirst { case (p, 1) => p }
     val live = scala.collection.mutable.LinkedHashMap.empty[String, MirrorEntry]
     manifests.foreach { mp =>
       avroRecords(resolve(table, mp)).foreach { e =>
@@ -1453,6 +1465,8 @@ object IcebergLog {
         }
       }
     }
+    var lastDvs: Map[String, String] =
+      if (from <= 0) Map.empty else TxLog.manifestDvs(table, from)
     val schema = TxLog.snapshot(spark, dir).schema
     // identity partition spec from the hive layout (TxLog fixes the
     // partitioning at the first commit, so the CURRENT manifest's
@@ -1483,11 +1497,41 @@ object IcebergLog {
         manifests = Seq(writeMirrorManifest(table, s"mirror-m-$v.avro",
           live.values.toSeq.map(e => (if (e.seq == v) 1 else 0, e)), partCols))
       }
+      // DELETION VECTORS translate to the spec's POSITION-DELETE form:
+      // Iceberg has no DV concept, so a commit whose `#dv` headers
+      // changed writes one delete parquet holding the FULL hidden
+      // (file_path, pos) set at this version (TxLog DV headers are
+      // cumulative unions, so one file replaces the previous), routed
+      // through a content-1 DELETE manifest at sequence v — the
+      // reader's `dataSeq <= deleteSeq` rule then hides exactly the
+      // DV'd rows and spares later appends. Without this, the Iceberg
+      // view of a DV table would RESURRECT every deleted row.
+      val dvNow = TxLog.manifestDvs(table, v)
+      if (dvNow != lastDvs) {
+        deleteManifest =
+          if (dvNow.isEmpty) None // OPTIMIZE materialized the deletes
+          else {
+            val rows = dvNow.toSeq.sortBy(_._1).flatMap { case (rel, json) =>
+              val abs = table.resolve(rel).toString
+              DeletionVectors.parse(DeletionVectors.readBytes(table,
+                DeletionVectors.parseDescriptor(json))).values
+                .map(p => (abs, p)).toSeq
+            }
+            import spark.implicits._
+            val delRel = writeDataFile(
+              rows.toDF("file_path", "pos"), table, s"mirror-del-$v.parquet")
+            val delEntry = MirrorEntry(delRel, v, rows.size.toLong,
+              Files.size(table.resolve(delRel)), Map.empty, Map.empty)
+            Some(writeMirrorManifest(table, s"mirror-md-$v.avro",
+              Seq((1, delEntry)), fileContent = 1))
+          }
+        lastDvs = dvNow
+      }
       val ts = math.max(
         snaps.lastOption.map(_._2).getOrElse(0L),
         Files.getLastModifiedTime(TxLog.manifestPathOf(table, v)).toMillis)
       val ml = writeManifestList(table, s"mirror-ml-$v.avro",
-        manifests.map((_, 0)), v)
+        manifests.map((_, 0)) ++ deleteManifest.map((_, 1)), v)
       snaps :+= ((v, ts, ml))
     }
     Files.writeString(metadataDir(table).resolve(s"v$cur.metadata.json"),
@@ -1563,6 +1607,48 @@ object IcebergLog {
       |FROM events WHERE event_id % 5 <> 2
       |GROUP BY 1""".stripMargin
 
+  /** TxLog table with MERGE-ON-READ history mirrored to Iceberg: a DV
+    * DELETE on the even batch, an append landing AFTER it (its rows
+    * must not be hidden — the sequence rule), then a DV UPDATE banding
+    * across both batches and the update's own appended rows. The
+    * mirror translates the cumulative DV state into one position-delete
+    * file per DV-changing version. */
+  private[graft] def dvMirrorTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-dvmirror:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_dvmirror").toString
+      val ev = Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .repartitionByRange(4, col("event_id")), table)
+      TxLog.setTableProperties(spark, table,
+        Map("delta.enableDeletionVectors" -> "true"))
+      TxLog.deleteWhereDv(spark, table, col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      TxLog.commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1), table)
+      TxLog.updateWhereDv(spark, table,
+        col("event_id").between(400L, 600L),
+        Map("value" -> (col("value") * 2)),
+        Seq(("event_id", java.lang.Long.valueOf(400L),
+          java.lang.Long.valueOf(600L))))
+      mirror(spark, table)
+      table
+    })
+
+  /** Oracle-checked Iceberg read of a DV table: the position-delete
+    * translation must hide exactly the DV'd rows — a resurrected
+    * delete, an update's old version surviving, or a post-delete
+    * append wrongly hidden by the sequence rule all flip the hash. */
+  def dvMirrorQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, dvMirrorTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val dvMirrorQueryOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE WHEN event_id BETWEEN 400 AND 600 THEN value * 2
+      |    ELSE value END), 2) AS total_value
+      |FROM events WHERE NOT (event_id % 2 = 0 AND event_id <= 300)
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_iceberg_snapshot" -> snapshotQuery _,
     "q_iceberg_skipping" -> skippingQuery _,
@@ -1570,11 +1656,13 @@ object IcebergLog {
     "q_iceberg_eqdelete" -> eqDeleteQuery _,
     "q_iceberg_mirror" -> mirrorQuery _,
     "q_iceberg_part_mirror" -> partMirrorQuery _,
+    "q_iceberg_dv_mirror" -> dvMirrorQuery _,
     "q_iceberg_expire" -> expireQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_iceberg_part_mirror" -> partMirrorQueryOracle,
+    "q_iceberg_dv_mirror" -> dvMirrorQueryOracle,
     "q_iceberg_expire" -> expireQueryOracle,
     "q_iceberg_snapshot" -> snapshotQueryOracle,
     "q_iceberg_skipping" -> skippingQueryOracle,

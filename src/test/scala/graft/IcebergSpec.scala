@@ -596,6 +596,50 @@ class IcebergSpec extends SparkSpec {
       ev.filter(pmod(col("event_id"), lit(2)) === 0).count())
   }
 
+  test("UniForm mirror translates deletion vectors into position-delete files") {
+    val s = spark
+    import graft.sources.TxLog
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.dvMirrorTable(s, sf)
+    // the two protocol views of one table agree exactly
+    val ice = IcebergLog.snapshot(s, t)
+    val tx = TxLog.snapshot(s, t)
+    assert(ice.count() == tx.count(), s"${ice.count()} vs ${tx.count()}")
+    assert(ice.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      tx.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    // DV'd rows are hidden, post-delete appends survive the sequence rule
+    assert(ice.filter(col("event_id") <= 300 &&
+      pmod(col("event_id"), lit(2)) === 0).count() == 0,
+      "DV-deleted even rows must stay hidden in the Iceberg view")
+    assert(ice.filter(col("event_id") <= 300 &&
+      pmod(col("event_id"), lit(2)) === 1).count() ==
+      ev.filter(col("event_id") <= 300 &&
+        pmod(col("event_id"), lit(2)) === 1).count(),
+      "odd rows appended AFTER the delete must not be hidden")
+    // updated band carries the new values exactly once
+    val want = ev.filter(col("event_id").between(400L, 600L))
+      .agg(round(sum(col("value") * 2), 2)).collect()(0).getDouble(0)
+    val got = ice.filter(col("event_id").between(400L, 600L))
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+    // the tree really carries content-1 manifests + delete parquet
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Files.readString(IcebergLog.currentMetadataPath(Paths.get(t))))
+    val snapNode = meta.get("snapshots").elements()
+    var lastMl: String = null
+    while (snapNode.hasNext) lastMl =
+      snapNode.next().get("manifest-list").asText()
+    import graft.sources.IcebergLog.{avroProbe}
+    val contents = avroProbe(Paths.get(t), lastMl)
+    assert(contents.contains(1),
+      s"manifest list must route a DELETE manifest, got $contents")
+    // time travel: the pre-update version still hides only the delete
+    assert(IcebergLog.snapshotAt(s, t, 3L)
+      .filter(col("event_id").between(400L, 600L))
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) != got,
+      "time travel must read pre-update values")
+  }
+
   private def copyGolden(prefix: String): java.nio.file.Path = {
     val src = Paths.get(IcebergLog.goldenTable(spark, sf))
     val dst = Files.createTempDirectory(prefix)
