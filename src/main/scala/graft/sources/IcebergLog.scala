@@ -912,18 +912,35 @@ object IcebergLog {
 
   private def metadataJson(table: Path, schema: StructType,
       snapshots: Seq[(Long, String)], currentId: Long): String =
-    metadataJsonTs(table, schema,
+    metadataJsonTs(table, Seq(schema),
       snapshots.map { case (id, ml) => (id, 1700000000000L + id, ml) },
       currentId)
+
+  /** Iceberg's STABLE field ids, first-seen across the schema history:
+    * a column keeps its id through every later schema (the spec's core
+    * evolution rule — bounds and partition sources reference columns
+    * by id, so ids must never re-bind on widening). For a single
+    * schema this degenerates to ordinal+1, the ids every existing tree
+    * and fixture already carries. */
+  private def assignFieldIds(schemas: Seq[StructType]): Map[String, Int] = {
+    val ids = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    schemas.foreach(_.fields.foreach(f =>
+      ids.getOrElseUpdate(f.name, ids.size + 1)))
+    ids.toMap
+  }
 
   /** Like [[metadataJson]] but with explicit per-snapshot timestamps,
     * plus the `snapshot-log` (the main-timeline history the AS OF
     * resolver prefers) and per-snapshot `sequence-number` — the mirror
     * writes real commit times, the fixtures keep their frozen ones.
     */
-  private def metadataJsonTs(table: Path, schema: StructType,
+  private def metadataJsonTs(table: Path, schemaHistory: Seq[StructType],
       snapshots: Seq[(Long, Long, String)], currentId: Long,
-      partitionCols: Seq[String] = Seq.empty): String = {
+      partitionCols: Seq[String] = Seq.empty,
+      snapshotSchemaIds: Map[Long, Int] = Map.empty): String = {
+    require(schemaHistory.nonEmpty, s"$table: no schema to write")
+    val fieldIds = assignFieldIds(schemaHistory)
+    val currentSid = schemaHistory.size - 1
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
@@ -931,28 +948,30 @@ object IcebergLog {
     root.put("location", table.toString)
     root.put("last-sequence-number",
       snapshots.map(_._1).maxOption.getOrElse(0L))
+    root.put("last-column-id", fieldIds.size)
     root.put("current-snapshot-id", currentId)
-    root.put("current-schema-id", 0)
+    root.put("current-schema-id", currentSid)
     val schemas = root.putArray("schemas")
-    val sc = schemas.addObject()
-    sc.put("type", "struct")
-    sc.put("schema-id", 0)
-    val fields = sc.putArray("fields")
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val fn = fields.addObject()
-      fn.put("id", i + 1)
-      fn.put("name", f.name)
-      fn.put("required", !f.nullable)
-      fn.put("type", icebergFieldType(f.dataType))
+    schemaHistory.zipWithIndex.foreach { case (schema, sid) =>
+      val sc = schemas.addObject()
+      sc.put("type", "struct")
+      sc.put("schema-id", sid)
+      val fields = sc.putArray("fields")
+      schema.fields.foreach { f =>
+        val fn = fields.addObject()
+        fn.put("id", fieldIds(f.name)) // STABLE across the history
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.put("type", icebergFieldType(f.dataType))
+      }
     }
     val specs = root.putArray("partition-specs")
     val spec = specs.addObject()
     spec.put("spec-id", 0)
     val specFields = spec.putArray("fields")
     partitionCols.zipWithIndex.foreach { case (name, i) =>
-      val sourceId = schema.fieldNames.indexOf(name) + 1
-      require(sourceId > 0,
-        s"$table: partition column '$name' absent from the table schema")
+      val sourceId = fieldIds.getOrElse(name,
+        sys.error(s"$table: partition column '$name' absent from the table schema"))
       val pf = specFields.addObject()
       pf.put("name", name)
       pf.put("transform", "identity")
@@ -967,7 +986,7 @@ object IcebergLog {
       sn.put("sequence-number", id)
       sn.put("timestamp-ms", ts)
       sn.put("manifest-list", ml)
-      sn.put("schema-id", 0)
+      sn.put("schema-id", snapshotSchemaIds.getOrElse(id, currentSid))
     }
     val slog = root.putArray("snapshot-log")
     snapshots.foreach { case (id, ts, _) =>
@@ -1317,24 +1336,25 @@ object IcebergLog {
     * re-encoded as spec bounds. O(1) footer read per ADDED file only.
     */
   private def entryFromFooter(table: Path, rel: String, seq: Long,
-      schema: StructType): MirrorEntry = {
+      schema: StructType, ids: Map[String, Int]): MirrorEntry = {
     val f = table.resolve(rel)
     val size = if (Files.exists(f)) Files.size(f) else 0L
     DeltaLog.fileStats(f).map { js =>
       val node = mapper.readTree(js)
       def side(key: String): Map[Int, Array[Byte]] =
         Option(node.get(key)).map { mv =>
-          schema.fields.zipWithIndex.flatMap { case (fd, i) =>
+          schema.fields.flatMap { fd =>
             Option(mv.get(fd.name))
               .flatMap(encodeStatsBound(_, fd.dataType))
-              .map(b => (i + 1) -> b)
+              .map(b => ids(fd.name) -> b)
           }.toMap
         }.getOrElse(Map.empty)
       MirrorEntry(rel, seq, node.get("numRecords").asLong(), size,
-        side("minValues") ++ partBounds(rel, schema),
-        side("maxValues") ++ partBounds(rel, schema), hiveSegments(rel))
+        side("minValues") ++ partBounds(rel, schema, ids),
+        side("maxValues") ++ partBounds(rel, schema, ids), hiveSegments(rel))
     }.getOrElse(MirrorEntry(rel, seq, 0L, size,
-      partBounds(rel, schema), partBounds(rel, schema), hiveSegments(rel)))
+      partBounds(rel, schema, ids), partBounds(rel, schema, ids),
+      hiveSegments(rel)))
   }
 
   /** Identity-partition bounds: a hive file's partition value is
@@ -1342,13 +1362,13 @@ object IcebergLog {
     * manifest stats [[skipScan]] prunes on then cover partition-column
     * predicates for free (footer stats can't: the column is not IN the
     * file). Unencodable values just contribute no bound. */
-  private def partBounds(rel: String,
-      schema: StructType): Map[Int, Array[Byte]] =
+  private def partBounds(rel: String, schema: StructType,
+      ids: Map[String, Int]): Map[Int, Array[Byte]] =
     hiveSegments(rel).flatMap { case (name, v) =>
-      schema.fields.zipWithIndex.collectFirst {
-        case (f, i) if f.name == name && v != null =>
+      schema.fields.collectFirst {
+        case f if f.name == name && v != null =>
           scala.util.Try(encodeBound(partTypedValue(v, f.dataType)))
-            .toOption.map((i + 1) -> _)
+            .toOption.map(ids(f.name) -> _)
       }.flatten
     }.toMap
 
@@ -1467,7 +1487,32 @@ object IcebergLog {
     }
     var lastDvs: Map[String, String] =
       if (from <= 0) Map.empty else TxLog.manifestDvs(table, from)
-    val schema = TxLog.snapshot(spark, dir).schema
+    // SCHEMA HISTORY: each snapshot records the schema-id in force at
+    // its commit (the Delta mirror's version-accurate metaData), so
+    // Iceberg time travel types pre-evolution snapshots by their OWN
+    // schema — not the current one, which would surface columns that
+    // did not exist yet. Field ids are first-seen-stable across the
+    // history (assignFieldIds), the spec's evolution invariant. Resume
+    // rebuilds the history from the prior metadata's schemas array.
+    var schemaHistory: Seq[StructType] = prior.map { p =>
+      Option(p.get("schemas")).map(_.asScala.toSeq
+        .sortBy(int2(_, "schema-id")).zipWithIndex.map { case (_, sid) =>
+          currentSchema(p, Some(sid)).getOrElse(sys.error(
+            s"$dir: prior mirror schema $sid does not round-trip"))
+        }).getOrElse(Seq.empty)
+    }.getOrElse(Seq.empty)
+    var snapSchemaIds: Map[Long, Int] = prior.map { p =>
+      Option(p.get("snapshots")).map(_.asScala.toSeq.map(s =>
+        s.get("snapshot-id").asLong() -> int2(s, "schema-id")).toMap)
+        .getOrElse(Map.empty[Long, Int])
+    }.getOrElse(Map.empty)
+    // schemas compare ALL-NULLABLE: the Delta schemaString and the
+    // TxLog snapshot schema can disagree on nullability flavor for the
+    // same physical schema, and a spurious mismatch would mint a
+    // duplicate schema id per mirror run
+    def nrm(s: StructType) = StructType(s.fields.map(_.copy(nullable = true)))
+    schemaHistory = schemaHistory.map(nrm)
+    val schema = nrm(TxLog.snapshot(spark, dir).schema)
     // identity partition spec from the hive layout (TxLog fixes the
     // partitioning at the first commit, so the CURRENT manifest's
     // layout governs the whole history); types validated up front
@@ -1482,7 +1527,16 @@ object IcebergLog {
         }
     for (v <- (from + 1) to cur) {
       val (added, removed) = TxLog.commitDelta(dir, v)
-      val newEntries = added.map(rel => entryFromFooter(table, rel, v, schema))
+      val vSchema = nrm(DeltaLog.mirroredSchemaAt(spark, table, v - 1)
+        .getOrElse(schema))
+      val sid = schemaHistory.indexOf(vSchema) match {
+        case -1 => schemaHistory :+= vSchema; schemaHistory.size - 1
+        case i => i
+      }
+      snapSchemaIds += v -> sid
+      val ids = assignFieldIds(schemaHistory)
+      val newEntries = added.map(rel =>
+        entryFromFooter(table, rel, v, vSchema, ids))
       if (removed.isEmpty) {
         // fast-append: one manifest of just this commit's files
         if (newEntries.nonEmpty) {
@@ -1534,8 +1588,14 @@ object IcebergLog {
         manifests.map((_, 0)) ++ deleteManifest.map((_, 1)), v)
       snaps :+= ((v, ts, ml))
     }
+    // the CURRENT schema must close the history (current-schema-id is
+    // the last entry): append it even if an earlier id matches, so a
+    // revert re-registers rather than mispoints
+    if (schemaHistory.isEmpty || schemaHistory.last != schema)
+      schemaHistory :+= schema
     Files.writeString(metadataDir(table).resolve(s"v$cur.metadata.json"),
-      metadataJsonTs(table, schema, snaps, cur, partCols.map(_._1)))
+      metadataJsonTs(table, schemaHistory, snaps, cur, partCols.map(_._1),
+        snapSchemaIds))
     Files.writeString(hint, cur.toString)
     cur
   }

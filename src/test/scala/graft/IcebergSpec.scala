@@ -640,6 +640,61 @@ class IcebergSpec extends SparkSpec {
       "time travel must read pre-update values")
   }
 
+  test("UniForm mirror records per-snapshot schema ids with stable field ids") {
+    val s = spark
+    import graft.sources.TxLog
+    val ev = Tables.events(s, sf)
+    val t = Files.createTempDirectory("iceberg_mirror_evo").toString
+    TxLog.commitAppend(ev.filter(col("event_id") <= 200), t)
+    // widening append: a new column arrives mid-history
+    TxLog.commitAppend(ev.filter(col("event_id").between(201L, 400L))
+      .withColumn("extra", col("event_id") * 10L), t)
+    TxLog.commitAppend(ev.filter(col("event_id").between(401L, 500L))
+      .withColumn("extra", col("event_id") * 10L), t)
+    IcebergLog.mirror(s, t)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      IcebergLog.currentMetadataPath(Paths.get(t))))
+    // two schemas, snapshot 1 on the narrow one, snapshots 2..3 evolved
+    assert(meta.get("schemas").size() == 2, meta.get("schemas").toString)
+    val bySnap = meta.get("snapshots").elements()
+    val sids = scala.collection.mutable.Map.empty[Long, Int]
+    while (bySnap.hasNext) {
+      val sn = bySnap.next()
+      sids(sn.get("snapshot-id").asLong()) = sn.get("schema-id").asInt()
+    }
+    assert(sids(1L) == 0 && sids(2L) == 1 && sids(3L) == 1, sids.toString)
+    // stable field ids: old columns keep their ids in the evolved
+    // schema; the new column gets the next id
+    val s0 = meta.get("schemas").get(0)
+    val s1 = meta.get("schemas").get(1)
+    def idsOf(n: com.fasterxml.jackson.databind.JsonNode): Map[String, Int] =
+      { val it = n.get("fields").elements()
+        val m = scala.collection.mutable.Map.empty[String, Int]
+        while (it.hasNext) { val f = it.next()
+          m(f.get("name").asText()) = f.get("id").asInt() }
+        m.toMap }
+    val (i0, i1) = (idsOf(s0), idsOf(s1))
+    assert(i0.forall { case (n, id) => i1(n) == id },
+      s"field ids must be stable: $i0 vs $i1")
+    assert(i1("extra") == i0.size + 1, i1.toString)
+    assert(meta.get("last-column-id").asInt() == i1.size)
+    // time travel types by the snapshot's own schema
+    assert(!IcebergLog.snapshotAt(s, t, 1L).columns.contains("extra"))
+    val cur = IcebergLog.snapshot(s, t)
+    assert(cur.columns.contains("extra"))
+    assert(cur.filter(col("event_id") <= 200 && col("extra").isNotNull)
+      .count() == 0, "pre-evolution files must null-fill the new column")
+    // resume keeps the history (no duplicate schema ids)
+    TxLog.commitAppend(ev.filter(col("event_id") === 501L)
+      .withColumn("extra", lit(1L)), t)
+    IcebergLog.mirror(s, t)
+    val meta2 = mapper.readTree(Files.readString(
+      IcebergLog.currentMetadataPath(Paths.get(t))))
+    assert(meta2.get("schemas").size() == 2, meta2.get("schemas").toString)
+    assert(meta2.get("current-schema-id").asInt() == 1)
+  }
+
   private def copyGolden(prefix: String): java.nio.file.Path = {
     val src = Paths.get(IcebergLog.goldenTable(spark, sf))
     val dst = Files.createTempDirectory(prefix)
