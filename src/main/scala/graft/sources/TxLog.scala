@@ -1755,6 +1755,94 @@ object TxLog {
     else snapshotAt(spark, dir, toV).limit(0)
   }
 
+  /** TYPED change feed (the Delta CDF row shape): the table's columns
+    * plus `_change_type` and `_commit_version`, one entry per
+    * data-changing version in (fromV, toV]. Where [[changesBetween]]
+    * is an added-files feed that must refuse DV commits, this feed
+    * SYNTHESIZES row-level changes from the DV DIFF — exactly what
+    * stock Delta's CDF reader does for deletion-vector commits:
+    *
+    *  - `#op DELETE` (DV): the newly-hidden ordinals read back from
+    *    their UNCHANGED files → `delete` rows carrying the deleted
+    *    values;
+    *  - `#op UPDATE` (DV): newly-hidden → `update_preimage`, the
+    *    commit's appended batch → `update_postimage`;
+    *  - appends → `insert`; dataChange=false commits (OPTIMIZE,
+    *    ZORDER) emit nothing.
+    *
+    * Scale: the DV diff is bitmap set-difference per file
+    * (O(hidden rows), driver-side like every DV descriptor walk); the
+    * hidden rows come back through ONE pred-less scan of only the
+    * AFFECTED files, semi-joined on broadcast (file, pos) pairs —
+    * never a re-scan of the table. Copy-on-write rewrites refuse
+    * loudly: without CDC files or DVs, "which rows changed" is not
+    * derivable from a file swap — that refusal is what the
+    * merge-on-read writers exist to remove.
+    */
+  def changeFeed(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val table = Paths.get(dir)
+    val norm = (c: Column) =>
+      when(c.startsWith("file:"),
+        regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
+          "^file:/+", "/")).otherwise(c)
+    def bitmapOf(json: String): Set[Long] =
+      DeletionVectors.parse(DeletionVectors.readBytes(table,
+        DeletionVectors.parseDescriptor(json))).values.toSet
+    import spark.implicits._
+    val feeds: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
+      val (op, dataChange) = manifestOp(table, v).getOrElse(("WRITE", true))
+      if (!dataChange) Seq.empty
+      else {
+        val (added, removed) = commitDelta(dir, v)
+        if (removed.nonEmpty)
+          sys.error(s"$dir: version $v rewrote files (copy-on-write $op) — " +
+            "row-level change synthesis needs merge-on-read (deletion " +
+            "vectors); read the two snapshots instead")
+        val dvPrev = manifestDvs(table, v - 1)
+        val dvNow = manifestDvs(table, v)
+        val hiddenType = if (op == "UPDATE") "update_preimage" else "delete"
+        val addedType = if (op == "UPDATE") "update_postimage" else "insert"
+        val hidden: Option[DataFrame] =
+          if (dvNow == dvPrev) None
+          else {
+            val pairs: Seq[(String, Long)] = dvNow.toSeq.flatMap {
+              case (rel, json) =>
+                val fresh = bitmapOf(json) --
+                  dvPrev.get(rel).map(bitmapOf).getOrElse(Set.empty)
+                val abs = table.resolve(rel).toString
+                fresh.toSeq.sorted.map((abs, _))
+            }
+            if (pairs.isEmpty) None
+            else {
+              val rels = dvNow.keys.toSeq.filter(rel =>
+                dvPrev.get(rel) != dvNow.get(rel)).sorted
+              val raw = readRels(spark, table, rels) // RAW: the rows ARE hidden now
+              val cols = raw.columns.toSeq
+              Some(raw
+                .withColumn("__file", norm(col("_metadata.file_path")))
+                .withColumn("__pos", col("_metadata.row_index"))
+                .join(broadcast(pairs.toDF("__df", "__dp")),
+                  col("__file") === col("__df") && col("__pos") === col("__dp"),
+                  "left_semi")
+                .select(cols.map(col): _*)
+                .withColumn("_change_type", lit(hiddenType)))
+            }
+          }
+        val inserted: Option[DataFrame] =
+          if (added.isEmpty) None
+          else Some(readRels(spark, table, added)
+            .withColumn("_change_type", lit(addedType)))
+        (hidden.toSeq ++ inserted.toSeq)
+          .map(_.withColumn("_commit_version", lit(v)))
+      }
+    }
+    feeds.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(snapshotAt(spark, dir, toV).limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toV)))
+  }
+
   /** Oracle-checked CDF query: two appended versions; the v1→v2 change
     * feed must aggregate to exactly the second batch's rows.
     */
@@ -1842,6 +1930,51 @@ object TxLog {
           java.lang.Long.valueOf(600L))))
       table
     })
+
+  /** History for the TYPED DV change feed: enable DVs, a DV DELETE, a
+    * DV UPDATE on a disjoint band, then a plain append — the feed must
+    * type each as delete / update_preimage+postimage / insert. */
+  private def cdfDvTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"cdfdv:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_cdfdv").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartitionByRange(4, col("event_id")), table)
+      setTableProperties(spark, table,
+        Map("delta.enableDeletionVectors" -> "true"))
+      deleteWhereDv(spark, table, col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      updateWhereDv(spark, table, col("event_id").between(400L, 500L),
+        Map("value" -> (col("value") + 10)),
+        Seq(("event_id", java.lang.Long.valueOf(400L),
+          java.lang.Long.valueOf(500L))))
+      commitAppend(ev.filter(col("event_id").between(900L, 1000L)), table)
+      table
+    })
+
+  /** Oracle-checked TYPED change feed across merge-on-read commits:
+    * the DV delete's rows surface as `delete` WITH their deleted
+    * values (read back from unchanged files at the newly-hidden
+    * ordinals), the DV update as preimage/postimage pairs, the append
+    * as `insert` — a missed bitmap diff, a preimage read through the
+    * wrong version's DVs, or a postimage double-count all flip the
+    * hash. */
+  def cdfDvQuery(spark: SparkSession, dir: String): DataFrame =
+    changeFeed(spark, cdfDvTable(spark, dir), 2L, 5L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val cdfDvQueryOracle: String =
+    """SELECT _change_type, count(*) AS n, round(sum(v), 2) AS total_value
+      |FROM (
+      |  SELECT 'delete' AS _change_type, value AS v FROM events
+      |    WHERE event_id <= 300
+      |  UNION ALL SELECT 'update_preimage', value FROM events
+      |    WHERE event_id BETWEEN 400 AND 500
+      |  UNION ALL SELECT 'update_postimage', value + 10 FROM events
+      |    WHERE event_id BETWEEN 400 AND 500
+      |  UNION ALL SELECT 'insert', value FROM events
+      |    WHERE event_id BETWEEN 900 AND 1000
+      |) GROUP BY 1""".stripMargin
 
   /** Oracle-checked merge-on-read UPDATE: deleted rows stay dead
     * through the overlapping update band, updated rows carry exactly
@@ -2023,6 +2156,7 @@ object TxLog {
     "q_txlog_delete" -> deleteQuery _,
     "q_txlog_delete_dv" -> dvDeleteQuery _,
     "q_txlog_update_dv" -> dvUpdateQuery _,
+    "q_txlog_cdf_dv" -> cdfDvQuery _,
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
     "q_txlog_restore" -> restoreQuery _,
@@ -2041,6 +2175,7 @@ object TxLog {
     "q_txlog_delete" -> deleteQueryOracle,
     "q_txlog_delete_dv" -> dvDeleteQueryOracle,
     "q_txlog_update_dv" -> dvUpdateQueryOracle,
+    "q_txlog_cdf_dv" -> cdfDvQueryOracle,
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,

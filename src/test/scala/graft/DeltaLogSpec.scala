@@ -1869,4 +1869,43 @@ class DeltaLogSpec extends SparkSpec {
       col("event_id") === 999L, Map("value" -> lit(0.0))))
     assert(e.getMessage.contains("appendOnly"), e.getMessage)
   }
+
+  test("typed change feed: DV deletes/updates synthesize rows; rewrites refuse; OPTIMIZE silent") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_cdf_dv").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map("delta.enableDeletionVectors" -> "true"))
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 300)           // v3
+    TxLog.updateWhereDv(s, t, col("event_id").between(400L, 500L),
+      Map("value" -> (col("value") + 10)))                      // v4
+    val feed = TxLog.changeFeed(s, t, 2L, 4L)
+    // delete rows carry the DELETED values, read from unchanged files
+    val del = feed.filter(col("_change_type") === "delete")
+    assert(del.count() == ev.filter(col("event_id") <= 300).count())
+    assert(del.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      ev.filter(col("event_id") <= 300)
+        .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    assert(del.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // update pre/post pair with matching cardinality, shifted values
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    assert(pre.count() == post.count() && pre.count() ==
+      ev.filter(col("event_id").between(400L, 500L)).count())
+    val dPre = pre.agg(sum(col("value"))).collect()(0).getDouble(0)
+    val dPost = post.agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs((dPost - dPre) - 10.0 * pre.count()) < 1e-6)
+    // an OPTIMIZE (dataChange=false) emits nothing...
+    TxLog.optimize(s, t, smallBytes = Long.MaxValue)            // v5
+    val v5 = TxLog.currentVersion(t).get
+    assert(TxLog.changeFeed(s, t, 4L, v5).count() == 0,
+      "compaction must not surface rows in the typed feed")
+    // ...and a copy-on-write rewrite refuses loudly
+    TxLog.deleteWhere(s, t, col("event_id") === 600L)           // v6
+    val e = intercept[RuntimeException](
+      TxLog.changeFeed(s, t, v5, v5 + 1).count())
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+  }
 }
