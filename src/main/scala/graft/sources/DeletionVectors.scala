@@ -289,6 +289,12 @@ object DeletionVectors {
     if (prefix.isEmpty) table.resolve(name) else table.resolve(prefix).resolve(name)
   }
 
+  /** Serialized bitmap bytes straight from a descriptor-JSON string —
+    * the one-call form callers outside this package need (the DSv2
+    * scan ships these to executors). */
+  private[graft] def bytesOf(table: Path, descJson: String): Array[Byte] =
+    readBytes(table, parseDescriptor(descJson))
+
   /** Fetch + integrity-check the serialized bitmap a descriptor names. */
   def readBytes(table: Path, d: Descriptor): Array[Byte] = d.storageType match {
     case "i" => z85Decode(d.pathOrInlineDv, d.sizeInBytes)

@@ -501,10 +501,13 @@ class TxLogScan(dir: String, fullSchema: StructType,
     override def planInputPartitions(): Array[InputPartition] = {
       val cur = TxLog.currentVersion(dir).getOrElse(
         sys.error(s"no committed version in $dir"))
-      if (TxLog.hasDvs(dir, cur))
-        sys.error(s"$dir: table carries deletion vectors — the graft-txlog " +
-          "DSv2 scan cannot hide rows by ordinal yet; read via " +
-          "TxLog.snapshot (which applies them) instead")
+      // snapshot-shaped reads hide DV'd rows natively (DvReaderFactory);
+      // a CDF replay cannot — insert rows later DV'd would silently
+      // vanish from history and the deletes would never be labeled
+      if (cdf && TxLog.hasDvs(dir, cur))
+        sys.error(s"$dir: table carries deletion vectors — the CDF replay " +
+          "cannot label merge-on-read deletes; use TxLog.changeFeed, " +
+          "which synthesizes them from the DV diffs")
       if (cdf) {
         val skip = opt("skipChangeCommits").exists(_.toBoolean)
         // one forward manifest pass (manifests are cumulative — the
@@ -555,6 +558,27 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * (maxPartitionBytes/openCost aware — the 100 TB-shaped planning a
     * hand-rolled one-file-one-task split would lose).
     */
+  /** DELETION VECTORS, read natively: current-version descriptors
+    * keyed by absolute data-file path. DV'd files pack into
+    * SINGLE-FILE partitions read through the parquet ROW path with the
+    * reader's generated row-index column, filtered executor-side
+    * against the broadcast bitmap ([[DvReaderFactory]]); DV-free files
+    * keep the columnar fast path untouched. Semantics are
+    * read-start-consistent: a stream replaying old versions applies
+    * the DVs in force when the scan was built — append-mode streams
+    * cannot retract already-emitted rows, and the typed
+    * `TxLog.changeFeed` is the retraction-aware view. */
+  private lazy val dvByAbs: Map[String, String] = {
+    val table = Paths.get(dir)
+    TxLog.currentVersion(dir)
+      .map(v => TxLog.manifestDvs(table, v).map { case (rel, d) =>
+        // key through the SAME SparkPath conversion the lookup uses, so
+        // escaped path segments can't split the two spellings
+        SparkPath.fromPathString(table.resolve(rel).toString)
+          .toPath.toUri.getPath -> d })
+      .getOrElse(Map.empty)
+  }
+
   private[streaming] def packPartitions(
       versioned: Seq[(Long, Seq[String])]): Array[InputPartition] = {
     val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
@@ -586,7 +610,17 @@ class TxLogScan(dir: String, fullSchema: StructType,
       }
     }
     val maxSplit = FilePartition.maxSplitBytes(spark, files.map(_.length).sum)
-    FilePartition.getFilePartitions(spark, files, maxSplit).toArray
+    if (dvByAbs.isEmpty)
+      return FilePartition.getFilePartitions(spark, files, maxSplit).toArray
+    // DV'd files become single-file partitions (never merged or split)
+    // so the per-partition reader knows its ONE file's bitmap a priori;
+    // everything else packs normally and keeps columnar reads
+    val (dvf, clean) = files.partition(f =>
+      dvByAbs.contains(f.filePath.toPath.toUri.getPath))
+    val packed = FilePartition.getFilePartitions(spark, clean, maxSplit) ++
+      dvf.map(f => FilePartition(0, Array(f)))
+    packed.zipWithIndex.map { case (p, i) =>
+      FilePartition(i, p.files): InputPartition }.toArray
   }
 
   /** Spark's own vectorized parquet reader factory, configured exactly
@@ -596,20 +630,49 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * parquet scan's. */
   private[streaming] def createReaderFactory(): PartitionReaderFactory = {
     TxLogScan.lastScan = Some((readSchema(), allFilters.length))
+    val plain = buildParquetFactory(readDataSchema)
+    if (dvByAbs.isEmpty) return plain
+    val spark = SparkSession.getActiveSession.getOrElse(
+      sys.error("graft-txlog: no active SparkSession"))
+    val table = Paths.get(dir)
+    // ship the (small, compressed) bitmap BYTES, not parsed structures;
+    // each DV partition parses its one bitmap at reader creation
+    val bytes: Map[String, Array[Byte]] = dvByAbs.map { case (abs, d) =>
+      abs -> graft.sources.DeletionVectors.bytesOf(table, d) }
+    val idxField = StructField(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = false)
+    // the row-index generator rides the NON-vectorized record reader
+    // (ParquetRowIndexUtil.addRowIndexToRecordReaderIfNeeded); the
+    // vectorized path wrapped row-wise surfaces 0-column batch rows
+    val dvInner = buildParquetFactory(
+      StructType(readDataSchema.fields :+ idxField), vectorized = false)
+    new DvReaderFactory(plain, dvInner, spark.sparkContext.broadcast(bytes),
+      StructType(readDataSchema.fields ++ (idxField +: readPartSchema.fields)),
+      readDataSchema.length)
+  }
+
+  private def buildParquetFactory(requested: StructType,
+      vectorized: Boolean = true): ParquetPartitionReaderFactory = {
     val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
-    val sqlConf = spark.sessionState.conf
+    val sqlConf =
+      if (vectorized) spark.sessionState.conf
+      else {
+        val c = spark.sessionState.conf.clone()
+        c.setConf(SQLConf.PARQUET_VECTORIZED_READER_ENABLED, false)
+        c
+      }
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
     hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
-    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchema.json)
-    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, dataSchema.json)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, requested.json)
     hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
       sqlConf.sessionLocalTimeZone)
     hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
       sqlConf.nestedSchemaPruningEnabled)
     hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
       sqlConf.caseSensitiveAnalysis)
-    ParquetWriteSupport.setSchema(readDataSchema, hadoopConf)
     hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
       sqlConf.isParquetBinaryAsString)
     hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
@@ -621,9 +684,68 @@ class TxLogScan(dir: String, fullSchema: StructType,
     hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
       sqlConf.parquetInferTimestampNTZEnabled)
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, readDataSchema,
+    ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, requested,
       readPartSchema, dataFilters, None, new ParquetOptions(options, sqlConf))
   }
+}
+
+/** Executor-side deletion-vector application for the DSv2 scan: clean
+  * partitions delegate untouched (columnar fast path included); a DV'd
+  * partition — always a single file by [[TxLogScan.packPartitions]]'s
+  * construction — reads through the parquet ROW path with the
+  * generated row-index column, drops the rows its bitmap hides, and
+  * projects the temporary column back out. The bitmaps travel as their
+  * compressed serialized bytes in one broadcast; each reader parses
+  * exactly its own file's. */
+private[streaming] class DvReaderFactory(
+    clean: PartitionReaderFactory,
+    dv: PartitionReaderFactory,
+    bitmaps: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]],
+    dvOutSchema: StructType,
+    idxOrdinal: Int) extends PartitionReaderFactory {
+
+  private def dvKeyOf(p: InputPartition): Option[String] = p match {
+    case fp: FilePartition if fp.files.length == 1 =>
+      Some(fp.files.head.filePath.toPath.toUri.getPath)
+        .filter(bitmaps.value.contains)
+    case _ => None
+  }
+
+  // Spark's DataSourceRDD refuses MIXED row/columnar partitions in one
+  // scan, so a scan touching any DV'd file reads entirely through the
+  // row path (clean partitions via the untouched plain factory). The
+  // column-prune and file-skip machinery still applies; this is the
+  // same vectorization trade every DV-reading engine makes.
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    dvKeyOf(p) match {
+      case None => clean.createReader(p)
+      case Some(key) =>
+        val inner = dv.createReader(p)
+        val bm = graft.sources.DeletionVectors.parse(bitmaps.value(key))
+        val keep = dvOutSchema.indices.filterNot(_ == idxOrdinal)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(keep.map(i =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, dvOutSchema(i).dataType, true)))
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val r = inner.get()
+              if (!bm.contains(r.getLong(idxOrdinal))) {
+                cur = proj(r)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = inner.close()
+        }
+    }
 }
 
 /** The `maxVersionsPerTrigger` admission-control contract as a native
@@ -696,10 +818,13 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
   override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
     val fromV = ver(start)
     val toV = ver(end)
-    if (TxLog.hasDvs(dir, toV))
-      sys.error(s"$dir: table carries deletion vectors — the graft-txlog " +
-        "streaming scan cannot hide rows by ordinal yet; read via " +
-        "TxLog.snapshot / readFilesOf (which apply them) instead")
+    // non-CDF streams hide DV'd rows natively (read-start DV state, see
+    // TxLogScan.dvByAbs); the CDF form refuses for the same labeling
+    // reason as the batch CDF read
+    if (cdf && TxLog.hasDvs(dir, toV))
+      sys.error(s"$dir: table carries deletion vectors — the streaming " +
+        "CDF replay cannot label merge-on-read deletes; use " +
+        "TxLog.changeFeed, which synthesizes them from the DV diffs")
     val versioned =
       if (fromV <= 0 && !cdf) Seq((toV, TxLog.liveRelsAt(dir, toV)))
       else ((fromV + 1) to toV).map(v => (v, addedOf(v)))

@@ -1789,11 +1789,10 @@ class DeltaLogSpec extends SparkSpec {
     val e3 = intercept[RuntimeException](
       TxLog.changesBetween(s, t, vBefore, vAfter).count())
     assert(e3.getMessage.contains("deletion vectors"), e3.getMessage)
-    // DSv2 batch scan refuses a DV table
-    val e4 = intercept[Exception](
-      s.read.format("graft-txlog").option("path", t).load().count())
-    assert(e4.getMessage != null && e4.getMessage.contains("deletion vectors"),
-      e4.getMessage)
+    // DSv2 batch scan hides the DV'd rows natively (row path + bitmap)
+    assert(s.read.format("graft-txlog").option("path", t).load().count() ==
+      ev.filter(col("event_id") > 300).count(),
+      "the DSv2 scan must apply deletion vectors")
     // OPTIMIZE reads DV-filtered and MATERIALIZES the delete: rows
     // unchanged, DVs gone
     TxLog.optimize(s, t, smallBytes = Long.MaxValue)

@@ -881,4 +881,49 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(vs == Set(1L, 2L), s"case-insensitive readChangeFeed: $vs")
   }
+
+  test("DSv2 reads apply deletion vectors: batch, streaming, mixed columnar") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_dsv2_dv").toString
+    // 4 range files; DVs land on the low-id files only, so the scan
+    // mixes DV'd single-file partitions with clean columnar ones
+    graft.sources.TxLog.commitAppend(
+      ev.repartitionByRange(4, col("event_id")), tbl)
+    graft.sources.TxLog.setTableProperties(s, tbl,
+      Map("delta.enableDeletionVectors" -> "true"))
+    graft.sources.TxLog.deleteWhereDv(s, tbl, col("event_id") <= 300,
+      Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+    val expect = ev.filter(col("event_id") > 300)
+    // batch: counts AND values match the DV-applying snapshot
+    val batch = s.read.format("graft-txlog").option("path", tbl).load()
+    assert(batch.count() == expect.count())
+    assert(batch.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      expect.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    assert(batch.filter(col("event_id") <= 300).count() == 0,
+      "DV'd rows must not surface through the DSv2 batch read")
+    // filters still push and compose with the DV filter
+    assert(batch.filter(col("event_id") > 900).count() ==
+      ev.filter(col("event_id") > 900).count())
+    // streaming: an AvailableNow pass over the DV table emits live rows
+    val outDir = Files.createTempDirectory("graft_dsv2_dv_out").toString
+    val ckpt = Files.createTempDirectory("graft_dsv2_dv_ckpt").toString
+    val q = s.readStream.format("graft-txlog").option("path", tbl).load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = s.read.parquet(outDir)
+    assert(streamed.count() == expect.count(),
+      s"streamed ${streamed.count()} vs live ${expect.count()}")
+    assert(streamed.filter(col("event_id") <= 300).count() == 0,
+      "DV'd rows must not stream")
+    // CDF over a DV table still refuses, pointing at changeFeed
+    val e = intercept[Exception](s.read.format("graft-txlog")
+      .option("path", tbl).option("readChangeFeed", "true").load().count())
+    assert(e.getMessage != null && e.getMessage.contains("changeFeed"),
+      e.getMessage)
+  }
 }
