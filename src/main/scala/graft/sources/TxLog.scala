@@ -1931,6 +1931,18 @@ object TxLog {
       table
     })
 
+  /** Oracle-checked DSv2 read of a DV table: the connector's
+    * row-path bitmap filtering must agree with the snapshot exactly —
+    * same staged table and oracle as [[dvDeleteQuery]], but read
+    * through `spark.read.format("graft-txlog")`, so a resurrected
+    * ordinal, a bitmap misrouted across the single-file partitions, or
+    * a dropped survivor row all flip the hash. */
+  def dsv2DvQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-txlog")
+      .option("path", dvDeleteTable(spark, dir)).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
   /** History for the TYPED DV change feed: enable DVs, a DV DELETE, a
     * DV UPDATE on a disjoint band, then a plain append — the feed must
     * type each as delete / update_preimage+postimage / insert. */
@@ -2157,6 +2169,7 @@ object TxLog {
     "q_txlog_delete_dv" -> dvDeleteQuery _,
     "q_txlog_update_dv" -> dvUpdateQuery _,
     "q_txlog_cdf_dv" -> cdfDvQuery _,
+    "q_txlog_dsv2_dv" -> dsv2DvQuery _,
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
     "q_txlog_restore" -> restoreQuery _,
@@ -2176,6 +2189,7 @@ object TxLog {
     "q_txlog_delete_dv" -> dvDeleteQueryOracle,
     "q_txlog_update_dv" -> dvUpdateQueryOracle,
     "q_txlog_cdf_dv" -> cdfDvQueryOracle,
+    "q_txlog_dsv2_dv" -> dvDeleteQueryOracle,
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,
