@@ -411,7 +411,8 @@ object DeltaLog {
       dataChange: Boolean = true, operation: String = "WRITE",
       txn: Option[(String, Long)] = None,
       props: Map[String, String] = Map.empty,
-      dvUpdates: Map[String, (String, Option[String])] = Map.empty): Unit = {
+      dvUpdates: Map[String, (String, Option[String])] = Map.empty,
+      cdcAdds: Seq[String] = Seq.empty): Unit = {
     val deltaV = txVersion - 1
     Files.createDirectories(logDir(table))
     if (Files.exists(commitPath(table, deltaV))) return
@@ -505,7 +506,9 @@ object DeltaLog {
       p.put("minReaderVersion", 3)
       p.put("minWriterVersion", 7)
       p.putArray("readerFeatures").add("deletionVectors")
-      p.putArray("writerFeatures").add("deletionVectors")
+      val wf = p.putArray("writerFeatures")
+      wf.add("deletionVectors")
+      if (cdcAdds.nonEmpty) wf.add("changeDataFeed")
       lines.insert(0, mapper.writeValueAsString(protocol))
       dvUpdates.toSeq.sortBy(_._1).foreach { case (rel, (newDesc, oldDesc)) =>
         val rn = mapper.createObjectNode()
@@ -548,6 +551,19 @@ object DeltaLog {
       // footer-harvested per-file stats: what stock Delta writers emit,
       // what [[skipScan]] (and any foreign data-skipping reader) prunes on
       fileStats(table.resolve(rel)).foreach(a.put("stats", _))
+      lines += mapper.writeValueAsString(n)
+    }
+    // PROTOCOL.md change-data files: row-level change records of THIS
+    // commit, under _change_data/, carried as `cdc` actions
+    // (dataChange=false — CDF readers consume them INSTEAD of the
+    // add/remove reconciliation for this version)
+    cdcAdds.foreach { rel =>
+      val n = mapper.createObjectNode()
+      val c = n.putObject("cdc")
+      c.put("path", encodePath(rel))
+      c.putObject("partitionValues")
+      c.put("size", Files.size(table.resolve(rel)))
+      c.put("dataChange", false)
       lines += mapper.writeValueAsString(n)
     }
     val tmp = Files.createTempFile(logDir(table), ".delta-", ".tmp")
@@ -1826,6 +1842,55 @@ object DeltaLog {
     * the needed timestamps was aged out — timestamps don't survive into
     * checkpoints, in this engine or stock Delta).
     */
+  /** PROTOCOL.md change-data-feed read — the `table_changes` contract,
+    * straight off the Delta log: for each tx version in (fromV, toV],
+    * consume the commit's `cdc` actions when present (their files carry
+    * `_change_type` in-row); a commit without cdc actions derives
+    * `insert` rows from its dataChange adds; a dataChange REMOVE
+    * without cdc refuses — the log does not record which rows died,
+    * and guessing would feed wrong rows downstream. This is the
+    * foreign-readable twin of [[TxLog.changeFeed]] (which synthesizes
+    * from DV diffs): any CDF-aware Delta reader consuming this log
+    * sees the same records. */
+  def tableChanges(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val table = Paths.get(dir)
+    def readFiles(rels: Seq[String]): DataFrame =
+      if (!rels.exists(_.contains("=")))
+        spark.read.parquet(rels.map(r => table.resolve(r).toString): _*)
+      else rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+        .map { case (b, fs) =>
+          spark.read.option("basePath", table.resolve(b).toString)
+            .parquet(fs.map(r => table.resolve(r).toString): _*)
+        }.reduce(_.unionByName(_))
+    val feeds = ((fromV + 1) to toV).flatMap { v =>
+      val nodes = Files.readAllLines(commitPath(table, v - 1)).asScala
+        .filter(_.trim.nonEmpty).map(mapper.readTree)
+      val cdc = nodes.filter(_.has("cdc"))
+        .map(n => decodePath(n.get("cdc").get("path").asText())).toSeq
+      val dcAdds = nodes.filter(n => n.has("add") &&
+          n.get("add").get("dataChange").asBoolean(false))
+        .map(n => decodePath(n.get("add").get("path").asText())).toSeq
+      val dcRemoves = nodes.exists(n => n.has("remove") &&
+        Option(n.get("remove").get("dataChange")).forall(_.asBoolean(true)))
+      if (cdc.nonEmpty)
+        Some(readFiles(cdc).withColumn("_commit_version", lit(v)))
+      else if (dcRemoves)
+        sys.error(s"$dir: delta version ${v - 1} changed rows without " +
+          "change-data files — set delta.enableChangeDataFeed=true before " +
+          "the DML, or use TxLog.changeFeed (DV-diff synthesis)")
+      else if (dcAdds.nonEmpty)
+        Some(readFiles(dcAdds)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      else None
+    }
+    feeds.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(snapshot(spark, dir).limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toV)))
+  }
+
   def versionAsOf(dir: String, timestampMs: Long): Long = {
     val table = Paths.get(dir)
     val vs = versions(dir)

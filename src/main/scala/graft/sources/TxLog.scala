@@ -100,6 +100,32 @@ object TxLog {
     dvs.toSeq.sortBy(_._1)
       .map { case (rel, d) => s"#dv ${enc(rel)} ${enc(d)}\n" }.mkString
 
+  /** Change-data file rels a commit recorded (`#cdc` header lines) —
+    * the manifest is the commit point, so the cdc files and the data
+    * change land atomically, and backfill re-emits the `cdc` actions
+    * after a committer crash. */
+  private[graft] def manifestCdc(table: Path, v: Long): Seq[String] =
+    Files.readAllLines(manifestPath(table, v)).asScala.iterator
+      .filter(_.startsWith("#cdc "))
+      .map(l => dec(l.stripPrefix("#cdc ").trim)).toSeq
+
+  private def cdcLines(rels: Seq[String]): String =
+    rels.sorted.map(r => s"#cdc ${enc(r)}\n").mkString
+
+  /** Write one commit's row-level change records as PROTOCOL.md
+    * change-data files under `_change_data/` (never listed as table
+    * data; VACUUM's data-batch walk does not touch the directory).
+    * `df` carries the table columns + `_change_type`. */
+  private def writeCdcFiles(df: DataFrame, table: Path): Seq[String] = {
+    val sub = "_change_data/cdc-" + java.util.UUID.randomUUID()
+    df.write.parquet(table.resolve(sub).toString)
+    dataFilesUnder(table.resolve(sub), s"$sub/").sorted
+  }
+
+  private def cdfEnabled(table: Path): Boolean =
+    DeltaLog.tableConfig(table).get("delta.enableChangeDataFeed")
+      .contains("true")
+
   /** The `#txn <appId> <version>` token of one manifest, if the commit
     * carried one. Rides the manifest — the COMMIT POINT — so the token
     * and the data land in the same atomic link: no window where a
@@ -337,7 +363,7 @@ object TxLog {
             cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson,
             dataChange = bdc, operation = bop,
             txn = manifestTxn(table, v), props = manifestProps(table, v),
-            dvUpdates = dvUp)
+            dvUpdates = dvUp, cdcAdds = manifestCdc(table, v))
         } catch { case _: java.io.IOException => () }
       if (contiguous && DeltaLog.isMirrored(table, v)) floor = v
       else contiguous = false
@@ -864,13 +890,23 @@ object TxLog {
     if (candidates.isEmpty)
       return RewriteResult(base, 0L, prev.size.toLong)
     val oldDvs = manifestDvs(table, base)
+    // CDF needs the EXACT visible set for the delete's change records,
+    // so the marking scan applies old DVs when the property is on (the
+    // cheaper raw scan is correct for bitmaps alone — the union absorbs
+    // re-matches — but would record already-dead rows as deleted again)
+    val cdf = cdfEnabled(table)
     val updates = dvDescriptorUpdates(spark, table, dir, candidates, pred,
-      oldDvs, applyOldDvs = false)
+      oldDvs, applyOldDvs = cdf)
     if (updates.isEmpty)
       return RewriteResult(base, 0L, skipped.size.toLong)
+    val cdcRels =
+      if (!cdf) Seq.empty
+      else writeCdcFiles(readRels(spark, table, candidates, dvs = oldDvs)
+        .filter(pred).withColumn("_change_type", lit("delete")), table)
     val schemaJson = DeltaLog.currentSchemaString(table).getOrElse(
       sys.error(s"$dir: no mirrored metaData for a DV commit"))
-    val v = commitDv(dir, base, updates, oldDvs, schemaJson)
+    val v = commitDv(dir, base, updates, oldDvs, schemaJson,
+      cdcRels = cdcRels)
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, updates.size.toLong, skipped.size.toLong)
   }
@@ -985,12 +1021,14 @@ object TxLog {
     */
   private def commitDv(dir: String, base: Long, updates: Map[String, String],
       oldDvs: Map[String, String], schemaJson: String,
-      added: Seq[String] = Seq.empty, operation: String = "DELETE"): Long = {
+      added: Seq[String] = Seq.empty, operation: String = "DELETE",
+      cdcRels: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     val next = base + 1
     val prev = readManifest(table, base)
     val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-    val header = dvLines(oldDvs ++ updates) + s"#op $operation 1\n"
+    val header = dvLines(oldDvs ++ updates) + cdcLines(cdcRels) +
+      s"#op $operation 1\n"
     Files.write(tmp, (header + (prev ++ added).mkString("\n")).getBytes("UTF-8"))
     try {
       Files.createLink(manifestPath(table, next), tmp)
@@ -1004,7 +1042,8 @@ object TxLog {
     }
     try DeltaLog.mirrorCommit(table, next, added, Seq.empty, schemaJson,
       dataChange = true, operation = operation,
-      dvUpdates = updates.map { case (rel, d) => rel -> ((d, oldDvs.get(rel))) })
+      dvUpdates = updates.map { case (rel, d) => rel -> ((d, oldDvs.get(rel))) },
+      cdcAdds = cdcRels)
     catch { case _: java.io.IOException => () }
     next
   }
@@ -1098,9 +1137,18 @@ object TxLog {
     val replacement = validateAndComplete(
       generatedColumnNames(dir).foldLeft(updated)(_.drop(_)), dir)
     val added = writeBatch(replacement, table, pathPartCols(candidates.head))
+    // change-data records: the old rows as preimage, the committed new
+    // rows (generated columns recomputed) as postimage
+    val cdcRels =
+      if (!cdfEnabled(table)) Seq.empty
+      else writeCdcFiles(
+        visible.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(readRels(spark, table, added)
+            .withColumn("_change_type", lit("update_postimage")),
+            allowMissingColumns = true), table)
     val v = commitDv(dir, base, updates, oldDvs,
       effectiveSchemaJson(replacement, dir), added = added,
-      operation = "UPDATE")
+      operation = "UPDATE", cdcRels = cdcRels)
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, updates.size.toLong, skipped.size.toLong)
   }
@@ -1988,6 +2036,38 @@ object TxLog {
       |    WHERE event_id BETWEEN 900 AND 1000
       |) GROUP BY 1""".stripMargin
 
+  /** Like [[cdfDvTable]] but with `delta.enableChangeDataFeed=true`
+    * installed BEFORE the DML, so every merge-on-read commit also
+    * writes PROTOCOL.md change-data files + `cdc` actions. */
+  private def cdcTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"cdc:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_cdc").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartitionByRange(4, col("event_id")), table)
+      setTableProperties(spark, table, Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+      deleteWhereDv(spark, table, col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      updateWhereDv(spark, table, col("event_id").between(400L, 500L),
+        Map("value" -> (col("value") + 10)),
+        Seq(("event_id", java.lang.Long.valueOf(400L),
+          java.lang.Long.valueOf(500L))))
+      commitAppend(ev.filter(col("event_id").between(900L, 1000L)), table)
+      table
+    })
+
+  /** Oracle-checked FOREIGN-READABLE CDF: the same change history as
+    * [[cdfDvQuery]], but read back through [[DeltaLog.tableChanges]] —
+    * the Delta log's own `cdc` actions and change-data parquet, the
+    * path any CDF-aware external reader takes. A cdc file missing from
+    * a commit, a preimage written through the wrong DV state, or an
+    * insert double-fed alongside its cdc records all flip the hash. */
+  def cdcQuery(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.tableChanges(spark, cdcTable(spark, dir), 2L, 5L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
   /** Oracle-checked merge-on-read UPDATE: deleted rows stay dead
     * through the overlapping update band, updated rows carry exactly
     * the composed assignments (×3 then +1 where the bands stack), and
@@ -2170,6 +2250,7 @@ object TxLog {
     "q_txlog_update_dv" -> dvUpdateQuery _,
     "q_txlog_cdf_dv" -> cdfDvQuery _,
     "q_txlog_dsv2_dv" -> dsv2DvQuery _,
+    "q_delta_cdc" -> cdcQuery _,
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
     "q_txlog_restore" -> restoreQuery _,
@@ -2190,6 +2271,7 @@ object TxLog {
     "q_txlog_update_dv" -> dvUpdateQueryOracle,
     "q_txlog_cdf_dv" -> cdfDvQueryOracle,
     "q_txlog_dsv2_dv" -> dvDeleteQueryOracle,
+    "q_delta_cdc" -> cdfDvQueryOracle,
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,

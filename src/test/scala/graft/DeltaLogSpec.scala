@@ -1907,4 +1907,53 @@ class DeltaLogSpec extends SparkSpec {
       TxLog.changeFeed(s, t, v5, v5 + 1).count())
     assert(e.getMessage.contains("copy-on-write"), e.getMessage)
   }
+
+  test("protocol CDC: DML writes change-data files + cdc actions; tableChanges reads them back") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_cdc_files").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 300)           // v3
+    TxLog.updateWhereDv(s, t, col("event_id").between(400L, 500L),
+      Map("value" -> (col("value") + 10)))                      // v4
+    // the Delta commits carry cdc actions naming _change_data files
+    def cdcActionsOf(deltaV: Long): Seq[String] =
+      Files.readAllLines(Paths.get(t, "_delta_log", f"$deltaV%020d.json"))
+        .asScala.filter(_.contains("\"cdc\"")).toSeq
+    assert(cdcActionsOf(2L).nonEmpty, "DELETE commit must carry cdc actions")
+    assert(cdcActionsOf(3L).nonEmpty, "UPDATE commit must carry cdc actions")
+    assert(cdcActionsOf(2L).forall(_.contains("_change_data/")),
+      cdcActionsOf(2L).toString)
+    // the protocol advertises the changeDataFeed writer feature
+    val proto = Files.readAllLines(
+      Paths.get(t, "_delta_log", f"${2L}%020d.json")).asScala
+      .find(_.contains("\"protocol\"")).getOrElse("")
+    assert(proto.contains("changeDataFeed"), proto)
+    // tableChanges (foreign path) agrees with changeFeed (DV synthesis)
+    val ext = DeltaLog.tableChanges(s, t, 2L, 4L)
+    val syn = TxLog.changeFeed(s, t, 2L, 4L)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("_change_type").agg(
+        count(lit(1)).as("n"), round(sum(col("value")), 2).as("tv"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(agg(ext) == agg(syn), s"${agg(ext)} vs ${agg(syn)}")
+    // inserts derive from dataChange adds when a commit has no cdc
+    TxLog.commitAppend(ev.filter(col("event_id") === 700L), t)  // v5
+    val ins = DeltaLog.tableChanges(s, t, 4L, 5L)
+    assert(ins.count() == 1 &&
+      ins.select("_change_type").collect()(0).getString(0) == "insert")
+    // a rows-changed commit WITHOUT cdc files refuses on read
+    val bare = Files.createTempDirectory("graft_cdc_bare").toString
+    TxLog.commitAppend(ev.repartitionByRange(2, col("event_id")), bare)
+    TxLog.setTableProperties(s, bare, Map("delta.enableDeletionVectors" -> "true"))
+    TxLog.deleteWhereDv(s, bare, col("event_id") <= 100)
+    val e = intercept[RuntimeException](
+      DeltaLog.tableChanges(s, bare, 2L, 3L).count())
+    assert(e.getMessage.contains("change-data"), e.getMessage)
+  }
 }
