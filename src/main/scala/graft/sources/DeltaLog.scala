@@ -500,16 +500,22 @@ object DeltaLog {
     // also upgrades the protocol to reader 3 / writer 7 with the
     // deletionVectors feature (PROTOCOL.md's gate), so a foreign
     // reader that cannot hide rows refuses instead of resurrecting.
-    if (dvUpdates.nonEmpty) {
+    if (dvUpdates.nonEmpty || cdcAdds.nonEmpty) {
+      // feature-advertising protocol action: DV commits gate readers
+      // (reader 3) AND writers; CDC-file commits gate writers only
+      // (changeDataFeed is a writer feature — any reader may consume)
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
-      p.put("minReaderVersion", 3)
+      p.put("minReaderVersion", if (dvUpdates.nonEmpty) 3 else 1)
       p.put("minWriterVersion", 7)
-      p.putArray("readerFeatures").add("deletionVectors")
+      if (dvUpdates.nonEmpty)
+        p.putArray("readerFeatures").add("deletionVectors")
       val wf = p.putArray("writerFeatures")
-      wf.add("deletionVectors")
+      if (dvUpdates.nonEmpty) wf.add("deletionVectors")
       if (cdcAdds.nonEmpty) wf.add("changeDataFeed")
       lines.insert(0, mapper.writeValueAsString(protocol))
+    }
+    if (dvUpdates.nonEmpty) {
       dvUpdates.toSeq.sortBy(_._1).foreach { case (rel, (newDesc, oldDesc)) =>
         val rn = mapper.createObjectNode()
         val r = rn.putObject("remove")

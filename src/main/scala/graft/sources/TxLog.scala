@@ -336,7 +336,8 @@ object TxLog {
       added: Seq[String], removed: Seq[String], schemaJson: String,
       dataChange: Boolean = true, operation: String = "WRITE",
       txn: Option[(String, Long)] = None,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      cdcAdds: Seq[String] = Seq.empty): Unit = {
     var floor = mirrorFloor.getOrElse(dir, 0L)
     var contiguous = true
     var v = floor + 1
@@ -371,7 +372,7 @@ object TxLog {
     }
     try {
       DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson,
-        dataChange, operation, txn, props)
+        dataChange, operation, txn, props, cdcAdds = cdcAdds)
       if (contiguous && floor == committed - 1) floor = committed
     } catch { case _: java.io.IOException => () }
     mirrorFloor.updateWith(dir)(old => Some(math.max(old.getOrElse(0L), floor)))
@@ -747,7 +748,8 @@ object TxLog {
     */
   private[graft] def commitRewrite(dir: String, base: Long, removedSet: Set[String],
       added: Seq[String], schemaJson: String,
-      dataChange: Boolean = true, operation: String = "WRITE"): Long = {
+      dataChange: Boolean = true, operation: String = "WRITE",
+      cdcRels: Seq[String] = Seq.empty): Long = {
     val table = Paths.get(dir)
     // delta.appendOnly blocks any rewrite that CHANGES visible rows
     // (DELETE/UPDATE/MERGE/RESTORE); OPTIMIZE passes — dataChange=false
@@ -761,7 +763,7 @@ object TxLog {
     // a rewritten file's DV dies with it: the rewrite read the file
     // DV-filtered, so the replacement materialized the deletes
     val keptDvs = manifestDvs(table, base).filterNot(d => removedSet(d._1))
-    val header = dvLines(keptDvs) +
+    val header = dvLines(keptDvs) + cdcLines(cdcRels) +
       s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
     Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
     try {
@@ -775,7 +777,7 @@ object TxLog {
           "re-run the operation against the new snapshot")
     }
     mirrorWithBackfill(dir, table, next, added, removed, schemaJson,
-      dataChange, operation)
+      dataChange, operation, cdcAdds = cdcRels)
     next
   }
 
@@ -791,7 +793,8 @@ object TxLog {
     */
   private def rewriteWhere(spark: SparkSession, dir: String,
       prune: Seq[(String, Any, Any)],
-      replace: DataFrame => DataFrame): RewriteResult = {
+      replace: DataFrame => DataFrame,
+      changeRows: Option[DataFrame => DataFrame] = None): RewriteResult = {
     val table = Paths.get(dir)
     val base = currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir"))
@@ -808,8 +811,15 @@ object TxLog {
       return RewriteResult(base, 0L, prev.size.toLong)
     val partCols = pathPartCols(candidates.head)
     DeltaLog.warmMetaCache(spark, table)
-    val replaced = replace(readRels(spark, table, candidates,
-      dvs = manifestDvs(table, base)))
+    val src = readRels(spark, table, candidates, dvs = manifestDvs(table, base))
+    val replaced = replace(src)
+    // change-data records for CDF-enabled copy-on-write DML: the
+    // DELETE/UPDATE wrappers know their per-row changes (pred + set);
+    // closure-generic rewrites (MERGE, RESTORE) pass None and their
+    // versions refuse a later tableChanges read rather than guess
+    val cdcRels =
+      if (changeRows.isEmpty || !cdfEnabled(table)) Seq.empty
+      else writeCdcFiles(changeRows.get(src), table)
     // rewritten rows are WRITES: generated columns RECOMPUTE from their
     // expressions (an update touching the base column must move the
     // derived one with it — and can never smuggle a divergent value),
@@ -819,7 +829,7 @@ object TxLog {
       generatedColumnNames(dir).foldLeft(replaced)(_.drop(_)), dir)
     val added = writeBatch(replacement, table, partCols)
     val v = commitRewrite(dir, base, candidates.toSet, added,
-      effectiveSchemaJson(replacement, dir))
+      effectiveSchemaJson(replacement, dir), cdcRels = cdcRels)
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, candidates.size.toLong, skipped.size.toLong)
   }
@@ -836,7 +846,9 @@ object TxLog {
     */
   def deleteWhere(spark: SparkSession, dir: String, pred: Column,
       prune: Seq[(String, Any, Any)] = Seq.empty): RewriteResult =
-    rewriteWhere(spark, dir, prune, _.filter(coalesce(!pred, lit(true))))
+    rewriteWhere(spark, dir, prune, _.filter(coalesce(!pred, lit(true))),
+      changeRows = Some(_.filter(pred)
+        .withColumn("_change_type", lit("delete"))))
 
   /** Row-level DELETE, MERGE-ON-READ (Delta deletion vectors): the
     * matched rows' ordinal indexes are roaring-serialized into DV
@@ -1068,6 +1080,13 @@ object TxLog {
             .otherwise(col(f.name)).as(f.name))
           .getOrElse(col(f.name))
       }: _*)
+    }, changeRows = Some { df =>
+      val hit = df.filter(coalesce(pred, lit(false)))
+      hit.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(hit.select(hit.schema.fields.toSeq.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }: _*).withColumn("_change_type", lit("update_postimage")))
     })
 
   /** Row-level UPDATE, MERGE-ON-READ (deletion vectors): the matched

@@ -1956,4 +1956,41 @@ class DeltaLogSpec extends SparkSpec {
       DeltaLog.tableChanges(s, bare, 2L, 3L).count())
     assert(e.getMessage.contains("change-data"), e.getMessage)
   }
+
+  test("protocol CDC: copy-on-write DELETE/UPDATE write change-data files too") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_cdc_cow").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t,
+      Map("delta.enableChangeDataFeed" -> "true")) // NO deletion vectors
+    TxLog.deleteWhere(s, t, col("event_id") <= 300)            // v3, CoW
+    TxLog.updateWhere(s, t, col("event_id").between(400L, 500L),
+      Map("value" -> (col("value") + 10)))                     // v4, CoW
+    val feed = DeltaLog.tableChanges(s, t, 2L, 4L)
+    val del = feed.filter(col("_change_type") === "delete")
+    assert(del.count() == ev.filter(col("event_id") <= 300).count())
+    assert(del.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      ev.filter(col("event_id") <= 300)
+        .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+    val post = feed.filter(col("_change_type") === "update_postimage")
+    assert(pre.count() == post.count() && pre.count() ==
+      ev.filter(col("event_id").between(400L, 500L)).count())
+    val dPre = pre.agg(sum(col("value"))).collect()(0).getDouble(0)
+    val dPost = post.agg(sum(col("value"))).collect()(0).getDouble(0)
+    assert(math.abs((dPost - dPre) - 10.0 * pre.count()) < 1e-6)
+    // the rewritten-but-unchanged survivor rows do NOT appear in the feed
+    assert(feed.filter(col("event_id") > 500).count() == 0,
+      "CoW CDC must carry only the changed rows, not the rewritten files")
+    // a MERGE (closure-generic rewrite) leaves no cdc -> that version refuses
+    import spark.implicits._
+    val srcDf = ev.filter(col("event_id").between(600L, 610L))
+      .withColumn("value", col("value") * 100)
+    TxLog.mergeInto(s, t, srcDf, Seq("event_id"))               // v5
+    val e = intercept[RuntimeException](
+      DeltaLog.tableChanges(s, t, 4L, 5L).count())
+    assert(e.getMessage.contains("change-data"), e.getMessage)
+  }
 }
