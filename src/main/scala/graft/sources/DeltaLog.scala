@@ -475,6 +475,25 @@ object DeltaLog {
     ci.put("operation", operation)
     ci.putObject("operationParameters")
       .put("mode", if (removed.nonEmpty) "Overwrite" else "Append")
+    // IN-COMMIT TIMESTAMPS, write side (the inCommitTimestamp writer
+    // feature the AS-OF resolver already honors on read): when the
+    // table property is on, the commit's authoritative time rides the
+    // commitInfo action, MONOTONIC past the previous commit's — the
+    // spec's guard against wall clocks that step backwards between
+    // committers. File mtimes stop mattering for time travel.
+    val ictOn = (cfgOf(effectiveMeta) ++ props)
+      .get("delta.enableInCommitTimestamps").contains("true")
+    if (ictOn) {
+      val prevIct: Option[Long] =
+        if (deltaV == 0L) None
+        else scala.util.Try(Files.readAllLines(commitPath(table, deltaV - 1))
+          .asScala.iterator.map(mapper.readTree)
+          .collectFirst { case n if n.has("commitInfo") &&
+              n.get("commitInfo").has("inCommitTimestamp") =>
+            n.get("commitInfo").get("inCommitTimestamp").asLong()
+          }).toOption.flatten
+      ci.put("inCommitTimestamp", math.max(now, prevIct.getOrElse(0L) + 1))
+    }
     lines += mapper.writeValueAsString(commitInfo)
     // SetTransaction: the idempotence token a foreign streaming writer
     // (or this engine's commitAppendOnce) coordinates retries on
@@ -500,10 +519,10 @@ object DeltaLog {
     // also upgrades the protocol to reader 3 / writer 7 with the
     // deletionVectors feature (PROTOCOL.md's gate), so a foreign
     // reader that cannot hide rows refuses instead of resurrecting.
-    if (dvUpdates.nonEmpty || cdcAdds.nonEmpty) {
+    if (dvUpdates.nonEmpty || cdcAdds.nonEmpty || ictOn) {
       // feature-advertising protocol action: DV commits gate readers
-      // (reader 3) AND writers; CDC-file commits gate writers only
-      // (changeDataFeed is a writer feature — any reader may consume)
+      // (reader 3) AND writers; CDC-file and in-commit-timestamp
+      // commits gate writers only (any reader may consume)
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
       p.put("minReaderVersion", if (dvUpdates.nonEmpty) 3 else 1)
@@ -513,7 +532,12 @@ object DeltaLog {
       val wf = p.putArray("writerFeatures")
       if (dvUpdates.nonEmpty) wf.add("deletionVectors")
       if (cdcAdds.nonEmpty) wf.add("changeDataFeed")
-      lines.insert(0, mapper.writeValueAsString(protocol))
+      if (ictOn) wf.add("inCommitTimestamp")
+      val pj = mapper.writeValueAsString(protocol)
+      // version 0 already leads with the base protocol — upgrade it in
+      // place rather than emit two protocol actions in one commit
+      if (lines.nonEmpty && lines.head.contains("\"protocol\"")) lines(0) = pj
+      else lines.insert(0, pj)
     }
     if (dvUpdates.nonEmpty) {
       dvUpdates.toSeq.sortBy(_._1).foreach { case (rel, (newDesc, oldDesc)) =>

@@ -1957,6 +1957,39 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("change-data"), e.getMessage)
   }
 
+  test("in-commit timestamps: enabled commits write monotonic icts + the writer feature") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_ict_write").toString
+    TxLog.commitAppend(ev.filter(col("event_id") < 100), t)        // v1: no ict
+    TxLog.setTableProperties(s, t,
+      Map("delta.enableInCommitTimestamps" -> "true"))             // v2: ict on
+    TxLog.commitAppend(ev.filter(col("event_id").between(100, 199)), t) // v3
+    TxLog.commitAppend(ev.filter(col("event_id").between(200, 299)), t) // v4
+    def ictOf(deltaV: Long): Option[Long] =
+      Files.readAllLines(Paths.get(t, "_delta_log", f"$deltaV%020d.json"))
+        .asScala.map(l => new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(l))
+        .collectFirst { case n if n.has("commitInfo") &&
+            n.get("commitInfo").has("inCommitTimestamp") =>
+          n.get("commitInfo").get("inCommitTimestamp").asLong() }
+    assert(ictOf(0L).isEmpty, "pre-enablement commits carry no ict")
+    val icts = Seq(ictOf(1L), ictOf(2L), ictOf(3L))
+    assert(icts.forall(_.isDefined), s"post-enablement commits need icts: $icts")
+    assert(icts.flatten == icts.flatten.sorted &&
+      icts.flatten.distinct == icts.flatten,
+      s"icts must be strictly monotonic: $icts")
+    // protocol advertises the writer feature on ict commits
+    val proto = Files.readAllLines(
+      Paths.get(t, "_delta_log", f"${2L}%020d.json")).asScala
+      .find(_.contains("\"protocol\"")).getOrElse("")
+    assert(proto.contains("inCommitTimestamp"), proto)
+    // the AS-OF resolver (which prefers icts) round-trips engine writes
+    assert(DeltaLog.versionAsOf(t, icts(1).get) == 2L)
+    assert(DeltaLog.versionAsOf(t, icts(2).get - 1) == 2L)
+  }
+
   test("protocol CDC: copy-on-write DELETE/UPDATE write change-data files too") {
     val s = spark
     import org.apache.spark.sql.functions._
