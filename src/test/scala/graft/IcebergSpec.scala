@@ -640,6 +640,28 @@ class IcebergSpec extends SparkSpec {
       "time travel must read pre-update values")
   }
 
+  test("UniForm mirror composes partitioning with DV translation") {
+    val s = spark
+    import graft.sources.TxLog
+    val ev = Tables.events(s, sf)
+    val t = Files.createTempDirectory("iceberg_part_dv").toString
+    TxLog.commitAppend(ev, t, partitionBy = Seq("event_type"))
+    TxLog.setTableProperties(s, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 300)
+    IcebergLog.mirror(s, t)
+    val ice = IcebergLog.snapshot(s, t)
+    val expect = ev.filter(col("event_id") > 300)
+    assert(ice.count() == expect.count(), s"${ice.count()} vs ${expect.count()}")
+    // partition attach AND position deletes in one read: group keys come
+    // from manifest tuples, hidden rows stay hidden within each group
+    val want = expect.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = ice.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
   test("UniForm mirror records per-snapshot schema ids with stable field ids") {
     val s = spark
     import graft.sources.TxLog
