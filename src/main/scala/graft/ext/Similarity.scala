@@ -228,18 +228,27 @@ object Similarity {
     df.withColumn("_qv",
       graft.functions.QuantizeVec.quantVec(df.sparkSession, col("e")))
 
-  /** Mean of dimension `i` over a frame that passed through [[withQv]]:
-    * integer-summed quantized longs, ONE double division at the end.
+  /** Quantized-long SUM of dimension `i` over a frame that passed
+    * through [[withQv]] — combined with ONE shared `count(*)` per
+    * group instead of a per-dimension `count(element_at(e, i))`:
+    * embeddings are fixed-width and element-null-free, so the per-dim
+    * counts were 64 identical aggregates doubling the aggregation
+    * buffer width for nothing (the oracle's `/ count(v)` equals
+    * `/ count(*)` on the same data — values identical, hash identical).
     */
-  private def exactMeanAt(i: Int) =
-    sum(element_at(col("_qv"), i)).cast("double") / lit(1.0e12) /
-      count(element_at(col("e"), i))
+  private def qsum(i: Int) = sum(element_at(col("_qv"), i))
+  private def qsumAt(i: Int) = qsum(i).as(s"s_$i")
+
+  private def meanCols(n: Column): Column =
+    array((1 to dim).map(i =>
+      col(s"s_$i").cast("double") / lit(1.0e12) / n): _*)
 
   private def labelCentroids(v: DataFrame): DataFrame = {
     val spark = v.sparkSession
-    val sums = (1 to dim).map(i => exactMeanAt(i).as(s"c_$i"))
-    withQv(v).groupBy(col("label")).agg(sums.head, sums.tail: _*)
-      .select(col("label").as("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
+    val sums = (1 to dim).map(qsumAt)
+    withQv(v).groupBy(col("label"))
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .select(col("label").as("cell"), meanCols(col("_n")).as("ce"))
       .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
   }
 
@@ -255,10 +264,19 @@ object Similarity {
     */
   private def withRankedCells(v: DataFrame, centroids: DataFrame): DataFrame = {
     val spark = v.sparkSession
-    val codebook = centroids
+    val agg = centroids
       .agg(collect_list(struct(col("cell").cast("bigint").as("cell"),
         col("ce"), col("cnrm"))).as("cb"))
-    v.crossJoin(broadcast(codebook))
+    // materialize the O(cells) codebook ONCE (a config-scale collect —
+    // hundreds of entries, each a 64-double centroid): the probe plans
+    // consume `withRankedCells` output through MULTIPLE branches
+    // (inverted lists + query probe lists), and a lazily-embedded agg
+    // would re-run the whole centroid aggregation per branch. A
+    // literal one-row frame makes every branch share the same values —
+    // the "persisted codebook artifact" shape a production IVF index
+    // has anyway.
+    val rows = java.util.Arrays.asList(agg.collect(): _*)
+    v.crossJoin(broadcast(spark.createDataFrame(rows, agg.schema)))
       .withColumn("cells", graft.functions.RankCellsOps.rankCells(spark, col("e"), col("cb")))
       .drop("cb")
   }
@@ -294,13 +312,14 @@ object Similarity {
     val spark = v.sparkSession
     val t = trainSample(v, samplePct)
     var cent = labelCentroids(t)
-    val sums = (1 to dim).map(i => exactMeanAt(i).as(s"c_$i"))
+    val sums = (1 to dim).map(qsumAt)
     for (_ <- 0 until iters) {
       val assigned = withRankedCells(t, cent)
         .withColumn("cell", col("cells").getItem(0))
         .select(col("cell"), col("e"))
-      cent = withQv(assigned).groupBy(col("cell")).agg(sums.head, sums.tail: _*)
-        .select(col("cell"), array((1 to dim).map(i => col(s"c_$i")): _*).as("ce"))
+      cent = withQv(assigned).groupBy(col("cell"))
+        .agg(count(lit(1)).as("_n"), sums: _*)
+        .select(col("cell"), meanCols(col("_n")).as("ce"))
         .withColumn("cnrm", VectorOps.norm(spark, col("ce")))
     }
     cent
@@ -629,10 +648,10 @@ object Similarity {
     val v = vectors.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", VectorOps.norm(spark, col("e")))
-    val dim = 64
-    val sums = (1 to dim).map(i => exactMeanAt(i).as(s"c_$i"))
-    val centroids = withQv(v).groupBy(col("label")).agg(sums.head, sums.tail: _*)
-      .select(col("label"), array((1 to dim).map(i => col(s"c_$i")): _*).as("qe"))
+    val sums = (1 to dim).map(qsumAt)
+    val centroids = withQv(v).groupBy(col("label"))
+      .agg(count(lit(1)).as("_n"), sums: _*)
+      .select(col("label"), meanCols(col("_n")).as("qe"))
       .withColumn("qnrm", VectorOps.norm(spark, col("qe")))
     // round-once rule: avg over the RAW cosine (avg-of-rounded sits on
     // half-boundaries where engine ulp drift flips digits); min over the
@@ -956,11 +975,14 @@ object Similarity {
   private def pqCodebookFrame(v: DataFrame, m: Int): DataFrame = {
     val sub = dim / m
     val sums = for { s <- 0 until m; i <- 1 to sub }
-      yield exactMeanAt(s * sub + i).as(s"c_${s}_$i")
-    val cents = withQv(v).groupBy(col("label")).agg(sums.head, sums.tail: _*)
+      yield qsum(s * sub + i).as(s"s_${s}_$i")
+    val cents = withQv(v).groupBy(col("label"))
+      .agg(count(lit(1)).as("_n"), sums: _*)
+    def mean(s: Int, i: Int): Column =
+      col(s"s_${s}_$i").cast("double") / lit(1.0e12) / col("_n")
     val cbCols = (0 until m).map { s =>
       sort_array(collect_list(struct(col("label").cast("int").as("code"),
-        array((1 to sub).map(i => col(s"c_${s}_$i")): _*).as("c")))).as(s"cb_$s")
+        array((1 to sub).map(i => mean(s, i)): _*).as("c")))).as(s"cb_$s")
     }
     cents.agg(cbCols.head, cbCols.tail: _*)
   }
