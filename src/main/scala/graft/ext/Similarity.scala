@@ -226,7 +226,17 @@ object Similarity {
     * codegen. */
   private def withQv(df: DataFrame): DataFrame =
     df.withColumn("_qv",
-      graft.functions.QuantizeVec.quantVec(df.sparkSession, col("e")))
+      graft.functions.QuantizeVec.quantVec(df.sparkSession,
+        // the shared count(*) denominator below is only
+        // result-equivalent to the oracle's count(v) when every row is
+        // non-null and full-width — ENFORCE that in-plan instead of
+        // assuming it: a null or short embedding raises instead of
+        // silently shifting the centroid mean
+        when(col("e").isNotNull && size(col("e")) === lit(dim), col("e"))
+          .otherwise(raise_error(concat(
+            lit(s"centroid derivation requires non-null $dim-wide " +
+              "embeddings; got size="),
+            coalesce(size(col("e")).cast("string"), lit("null")))))))
 
   /** Quantized-long SUM of dimension `i` over a frame that passed
     * through [[withQv]] — combined with ONE shared `count(*)` per

@@ -144,6 +144,49 @@ object DeltaLog {
     */
   private val mirroredMeta = TrieMap.empty[String, ObjectNode]
 
+  /** Newest mirrored `protocol` action per table, cached alongside
+    * [[mirroredMeta]]. Protocol replay is NEWEST-WINS, so a
+    * feature-advertising commit must MERGE with this (max versions,
+    * union of features) — a cdc-only or ICT-only commit that wrote a
+    * fresh reader-1 protocol would otherwise downgrade an earlier
+    * reader-3/deletionVectors gate while DV-carrying add actions are
+    * still live, letting a foreign reader that cannot hide rows
+    * resurrect deleted ones instead of refusing.
+    */
+  private val mirroredProtocol = TrieMap.empty[String, ObjectNode]
+
+  /** Newest protocol action at or below `fromV` (backward JSON scan,
+    * same shape as [[lastMirroredMeta]]). None when the prefix aged out
+    * first — [[warmProtocolCache]] covers that from the checkpoint.
+    */
+  private def lastMirroredProtocol(table: Path, fromV: Long): Option[ObjectNode] = {
+    var v = fromV
+    while (v >= 0) {
+      val p = commitPath(table, v)
+      if (!Files.exists(p)) return None
+      val protos = Files.readAllLines(p).asScala
+        .filter(_.contains("\"protocol\""))
+        .flatMap(l => Option(mapper.readTree(l).get("protocol")))
+      if (protos.nonEmpty) return Some(protos.last.asInstanceOf[ObjectNode])
+      v -= 1
+    }
+    None
+  }
+
+  /** Writer features IMPLIED by a legacy (pre-7) minWriterVersion, per
+    * PROTOCOL.md's version-to-feature table. On writer 7 ONLY listed
+    * writerFeatures apply, so upgrading a legacy protocol to 7 must
+    * carry these explicitly or foreign writers silently stop enforcing
+    * them (appendOnly/invariants at our base writer 2).
+    */
+  private def impliedWriterFeatures(mwv: Int): Set[String] =
+    Seq(2 -> Set("appendOnly", "invariants"),
+      3 -> Set("checkConstraints"),
+      4 -> Set("changeDataFeed", "generatedColumns"),
+      5 -> Set("columnMapping"),
+      6 -> Set("identityColumns"))
+      .filter(_._1 <= mwv).flatMap(_._2).toSet
+
   /** Newest metaData action at or below `fromV`, scanning backward
     * through the JSON commits. Returns None when the prefix was aged out
     * before any metaData was seen — the caller then re-emits one, which
@@ -412,11 +455,17 @@ object DeltaLog {
       txn: Option[(String, Long)] = None,
       props: Map[String, String] = Map.empty,
       dvUpdates: Map[String, (String, Option[String])] = Map.empty,
-      cdcAdds: Seq[String] = Seq.empty): Unit = {
+      cdcAdds: Seq[String] = Seq.empty,
+      commitTime: Option[Long] = None): Unit = {
     val deltaV = txVersion - 1
     Files.createDirectories(logDir(table))
     if (Files.exists(commitPath(table, deltaV))) return
-    val now = System.currentTimeMillis()
+    // BACKFILLED versions pass the TxLog manifest mtime (the real
+    // commit point) so an ICT table's time travel maps historical
+    // versions to commit time, not re-mirror time; the live commit
+    // uses the wall clock. The monotonic clamp below still guards
+    // against clocks (or mtimes) that step backwards.
+    val now = commitTime.getOrElse(System.currentTimeMillis())
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     // the metaData this commit considers current — cached ONLY once the
     // createLink lands: a committer that loses the version race must not
@@ -427,18 +476,52 @@ object DeltaLog {
     // (TxLog writes partitionBy → col=value dirs); a table's partitioning
     // is fixed at its first commit, matching Delta's own rule
     val pcols = added.headOption.map(partSegments(_).map(_._1)).getOrElse(Seq.empty)
+    def cfgOf(m: Option[ObjectNode]): Map[String, String] =
+      m.flatMap(n => Option(n.get("configuration"))).map(_.fields().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String])
+    val prevMeta: Option[ObjectNode] =
+      if (deltaV == 0L) None
+      else mirroredMeta.get(table.toString)
+        .orElse(lastMirroredMeta(table, deltaV - 1))
+    // IN-COMMIT TIMESTAMPS are computed UP-FRONT (not at commitInfo
+    // emission) because the ENABLEMENT commit must also record its own
+    // version and ict as table properties per the spec's
+    // enabling-on-an-existing-table rule — readers use them to know
+    // below which version file mtimes, not icts, order the history.
+    val ictOn = (cfgOf(prevMeta) ++ props)
+      .get("delta.enableInCommitTimestamps").contains("true")
+    val ict: Option[Long] =
+      if (!ictOn) None
+      else {
+        val prevIct: Option[Long] =
+          if (deltaV == 0L) None
+          else scala.util.Try(Files.readAllLines(commitPath(table, deltaV - 1))
+            .asScala.iterator.map(mapper.readTree)
+            .collectFirst { case n if n.has("commitInfo") &&
+                n.get("commitInfo").has("inCommitTimestamp") =>
+              n.get("commitInfo").get("inCommitTimestamp").asLong()
+            }).toOption.flatten
+        // MONOTONIC past the previous commit's ict — the spec's guard
+        // against wall clocks (or backfill mtimes) that step backwards
+        Some(math.max(now, prevIct.getOrElse(0L) + 1))
+      }
+    val ictEnabling = ictOn && deltaV > 0L &&
+      !cfgOf(prevMeta).get("delta.enableInCommitTimestamps").contains("true")
+    val effProps =
+      if (ictEnabling)
+        props +
+          ("delta.inCommitTimestampEnablementVersion" -> deltaV.toString) +
+          ("delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
+      else props
     def withConfig(node: ObjectNode, prevCfg: Map[String, String]): ObjectNode = {
       // configuration survives re-emission: previous properties carry
       // forward, this commit's `props` merge over them (last wins)
       val cfg = node.get("metaData").asInstanceOf[ObjectNode]
         .putObject("configuration")
-      (prevCfg ++ props).foreach { case (k, v) => cfg.put(k, v); () }
+      (prevCfg ++ effProps).foreach { case (k, v) => cfg.put(k, v); () }
       node
     }
-    def cfgOf(m: Option[ObjectNode]): Map[String, String] =
-      m.flatMap(n => Option(n.get("configuration"))).map(_.fields().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty[String, String])
     if (deltaV == 0L) {
       val protocol = mapper.createObjectNode()
       val p = protocol.putObject("protocol")
@@ -451,8 +534,7 @@ object DeltaLog {
       lines += mapper.writeValueAsString(node)
       effectiveMeta = Some(node.get("metaData").asInstanceOf[ObjectNode])
     } else {
-      val prev = mirroredMeta.get(table.toString)
-        .orElse(lastMirroredMeta(table, deltaV - 1))
+      val prev = prevMeta
       if (!prev.exists(_.get("schemaString").asText() == schemaJson) ||
           props.nonEmpty) {
         // schema changed, or a property set forces re-emission (or the
@@ -478,22 +560,8 @@ object DeltaLog {
     // IN-COMMIT TIMESTAMPS, write side (the inCommitTimestamp writer
     // feature the AS-OF resolver already honors on read): when the
     // table property is on, the commit's authoritative time rides the
-    // commitInfo action, MONOTONIC past the previous commit's — the
-    // spec's guard against wall clocks that step backwards between
-    // committers. File mtimes stop mattering for time travel.
-    val ictOn = (cfgOf(effectiveMeta) ++ props)
-      .get("delta.enableInCommitTimestamps").contains("true")
-    if (ictOn) {
-      val prevIct: Option[Long] =
-        if (deltaV == 0L) None
-        else scala.util.Try(Files.readAllLines(commitPath(table, deltaV - 1))
-          .asScala.iterator.map(mapper.readTree)
-          .collectFirst { case n if n.has("commitInfo") &&
-              n.get("commitInfo").has("inCommitTimestamp") =>
-            n.get("commitInfo").get("inCommitTimestamp").asLong()
-          }).toOption.flatten
-      ci.put("inCommitTimestamp", math.max(now, prevIct.getOrElse(0L) + 1))
-    }
+    // commitInfo action. File mtimes stop mattering for time travel.
+    ict.foreach { v => ci.put("inCommitTimestamp", v); () }
     lines += mapper.writeValueAsString(commitInfo)
     // SetTransaction: the idempotence token a foreign streaming writer
     // (or this engine's commitAppendOnce) coordinates retries on
@@ -519,25 +587,73 @@ object DeltaLog {
     // also upgrades the protocol to reader 3 / writer 7 with the
     // deletionVectors feature (PROTOCOL.md's gate), so a foreign
     // reader that cannot hide rows refuses instead of resurrecting.
-    if (dvUpdates.nonEmpty || cdcAdds.nonEmpty || ictOn) {
+    var emittedProtocol: Option[ObjectNode] = None
+    locally {
       // feature-advertising protocol action: DV commits gate readers
-      // (reader 3) AND writers; CDC-file and in-commit-timestamp
-      // commits gate writers only (any reader may consume)
-      val protocol = mapper.createObjectNode()
-      val p = protocol.putObject("protocol")
-      p.put("minReaderVersion", if (dvUpdates.nonEmpty) 3 else 1)
-      p.put("minWriterVersion", 7)
-      if (dvUpdates.nonEmpty)
-        p.putArray("readerFeatures").add("deletionVectors")
-      val wf = p.putArray("writerFeatures")
-      if (dvUpdates.nonEmpty) wf.add("deletionVectors")
-      if (cdcAdds.nonEmpty) wf.add("changeDataFeed")
-      if (ictOn) wf.add("inCommitTimestamp")
-      val pj = mapper.writeValueAsString(protocol)
-      // version 0 already leads with the base protocol — upgrade it in
-      // place rather than emit two protocol actions in one commit
-      if (lines.nonEmpty && lines.head.contains("\"protocol\"")) lines(0) = pj
-      else lines.insert(0, pj)
+      // (reader 3) AND writers; CDC-file, in-commit-timestamp, and
+      // governance-feature commits gate writers only (any reader may
+      // consume). MERGED with the newest previously-committed protocol
+      // (max versions, union of features): protocol replay is
+      // newest-wins, so a cdc-only or ICT-only commit on a table whose
+      // earlier commits carry live deletion vectors must keep
+      // advertising reader 3 / deletionVectors, never downgrade it.
+      val prevP = mirroredProtocol.get(table.toString)
+        .orElse(lastMirroredProtocol(table, deltaV - 1))
+      def feats(k: String): Set[String] = prevP.flatMap(n => Option(n.get(k)))
+        .map(_.asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+      val prevMrv = prevP.map(_.get("minReaderVersion").asInt()).getOrElse(1)
+      val prevMwv = prevP.flatMap(n => Option(n.get("minWriterVersion")))
+        .map(_.asInt()).getOrElse(2)
+      // legacy protocols imply their features; writer 7 / reader 3
+      // enforce ONLY the listed ones, so the upgrade carries the
+      // implied sets explicitly (appendOnly/invariants at base
+      // writer 2; columnMapping at legacy reader 2)
+      val prevWf = feats("writerFeatures") ++
+        (if (prevMwv < 7) impliedWriterFeatures(prevMwv) else Set.empty)
+      val prevRf = feats("readerFeatures") ++
+        (if (prevMrv == 2) Set("columnMapping") else Set.empty)
+      // table-property/schema-driven features in force on THIS table —
+      // the engine enforces CHECK constraints, computes generated /
+      // defaulted / identity columns, so foreign writers must be gated
+      // on them too. A commit that introduces one the previous protocol
+      // does not cover (listed OR legacy-implied) triggers an upgrade.
+      val cfgNow = cfgOf(effectiveMeta) ++ effProps
+      val inUse =
+        (if (cfgNow.keys.exists(_.startsWith("delta.constraints.")))
+           Set("checkConstraints") else Set.empty[String]) ++
+        (if (schemaJson.contains("delta.generationExpression"))
+           Set("generatedColumns") else Set.empty[String]) ++
+        (if (schemaJson.contains("CURRENT_DEFAULT"))
+           Set("allowColumnDefaults") else Set.empty[String]) ++
+        (if (schemaJson.contains("delta.identity."))
+           Set("identityColumns") else Set.empty[String])
+      val needRf = if (dvUpdates.nonEmpty) Set("deletionVectors") else Set.empty[String]
+      val needWf = needRf ++
+        (if (cdcAdds.nonEmpty) Set("changeDataFeed") else Set.empty[String]) ++
+        (if (ictOn) Set("inCommitTimestamp") else Set.empty[String])
+      val uncovered = inUse -- prevWf
+      if (dvUpdates.nonEmpty || cdcAdds.nonEmpty || ictOn || uncovered.nonEmpty) {
+        val rf = prevRf ++ needRf
+        val wf = prevWf ++ needWf ++ inUse
+        val protocol = mapper.createObjectNode()
+        val p = protocol.putObject("protocol")
+        p.put("minReaderVersion", math.max(prevMrv, if (rf.nonEmpty) 3 else 1))
+        p.put("minWriterVersion", math.max(prevMwv, 7))
+        if (rf.nonEmpty) {
+          val ra = p.putArray("readerFeatures")
+          rf.toSeq.sorted.foreach(ra.add(_))
+        }
+        val wa = p.putArray("writerFeatures")
+        wf.toSeq.sorted.foreach(wa.add(_))
+        val pj = mapper.writeValueAsString(protocol)
+        // version 0 already leads with the base protocol — upgrade it in
+        // place rather than emit two protocol actions in one commit
+        if (lines.nonEmpty && lines.head.contains("\"protocol\"")) lines(0) = pj
+        else lines.insert(0, pj)
+        emittedProtocol = Some(p)
+      } else if (deltaV == 0L)
+        emittedProtocol = Some(lines.head).map(l =>
+          mapper.readTree(l).get("protocol").asInstanceOf[ObjectNode])
     }
     if (dvUpdates.nonEmpty) {
       dvUpdates.toSeq.sortBy(_._1).foreach { case (rel, (newDesc, oldDesc)) =>
@@ -601,18 +717,22 @@ object DeltaLog {
     try {
       Files.createLink(commitPath(table, deltaV), tmp)
       effectiveMeta.foreach(mirroredMeta.put(table.toString, _))
+      emittedProtocol.foreach(mirroredProtocol.put(table.toString, _))
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         // lost the race: whatever the winner wrote is the truth now —
-        // drop the cache so the next commit re-derives it from disk
-        mirroredMeta.remove(table.toString); ()
+        // drop the caches so the next commit re-derives them from disk
+        mirroredMeta.remove(table.toString)
+        mirroredProtocol.remove(table.toString); ()
     }
     finally Files.deleteIfExists(tmp)
   }
 
   /** Spec hook: forget the in-process metaData cache, modeling a fresh
     * process that must re-derive table state from disk. */
-  private[graft] def resetMetaCache(): Unit = mirroredMeta.clear()
+  private[graft] def resetMetaCache(): Unit = {
+    mirroredMeta.clear(); mirroredProtocol.clear()
+  }
 
   /** Table-scoped cache reset — what specs simulating a fresh process
     * for ONE table should call: the global clear() races concurrently
@@ -620,7 +740,8 @@ object DeltaLog {
     * warmMetaCache and its commit makes that commit re-emit a
     * metadata-stripped schema — a real flake this overload removed). */
   private[graft] def resetMetaCache(table: Path): Unit = {
-    mirroredMeta.remove(table.toString); ()
+    mirroredMeta.remove(table.toString)
+    mirroredProtocol.remove(table.toString); ()
   }
 
   /** Commit classifier for the streaming source: Some(true) when every
@@ -661,12 +782,31 @@ object DeltaLog {
     * cache or JSON scan already answers.
     */
   private[graft] def warmMetaCache(spark: SparkSession, table: Path): Unit = {
+    warmProtocolCache(spark, table)
     if (mirroredMeta.contains(table.toString)) return
     val newest = versions(table.toString).maxOption
     if (newest.flatMap(v => lastMirroredMeta(table, v)).isDefined) return
     val cpV = lastCheckpointVersion(table).getOrElse(return)
     checkpointMetaNode(spark, table, cpV).foreach { n =>
       mirroredMeta.put(table.toString, n)
+      ()
+    }
+  }
+
+  /** Protocol counterpart of [[warmMetaCache]]: when the JSON prefix
+    * is compacted past the last protocol-carrying commit, the next
+    * feature commit's protocol MERGE would see nothing and fall back
+    * to the base (1,2) — silently downgrading a checkpointed
+    * reader-3/deletionVectors gate. Warm the cache from the checkpoint
+    * so the merge always sees the newest committed protocol.
+    */
+  private def warmProtocolCache(spark: SparkSession, table: Path): Unit = {
+    if (mirroredProtocol.contains(table.toString)) return
+    val newest = versions(table.toString).maxOption
+    if (newest.flatMap(v => lastMirroredProtocol(table, v)).isDefined) return
+    val cpV = lastCheckpointVersion(table).getOrElse(return)
+    checkpointProtocolNode(spark, table, ReplayPlan(cpV, Seq.empty)).foreach { n =>
+      mirroredProtocol.put(table.toString, n)
       ()
     }
   }
@@ -866,35 +1006,41 @@ object DeltaLog {
       Files.readAllLines(commitPath(table, v)).asScala.iterator
         .filter(_.contains("\"protocol\"")).map(mapper.readTree)
         .flatMap(n => Option(n.get("protocol"))).nextOption()
-    pl.tail.reverseIterator.flatMap(fromJson(_)).nextOption().orElse {
-      checkpointDF(spark, table, pl) match {
-        case None => None
-        case Some(df) if !df.columns.contains("protocol") => None
-        case Some(df) => {
-          val pf = df.schema("protocol").dataType.asInstanceOf[StructType]
-            .fieldNames.toSet
-          def opt(name: String, t: DataType) =
-            if (pf(name)) col(s"protocol.$name").cast(t)
-            else lit(null).cast(t)
-          df.filter(col("protocol").isNotNull)
-            .select(col("protocol.minReaderVersion").cast(IntegerType).as("mrv"),
-              opt("minWriterVersion", IntegerType).as("mwv"),
-              opt("readerFeatures", ArrayType(StringType)).as("rf"),
-              opt("writerFeatures", ArrayType(StringType)).as("wf"))
-            .limit(1).collect().headOption.map { r =>
-              val node = mapper.createObjectNode()
-              node.put("minReaderVersion", r.getInt(0))
-              if (!r.isNullAt(1)) node.put("minWriterVersion", r.getInt(1))
-              Option(r.getSeq[String](2)).foreach { fs =>
-                val a = node.putArray("readerFeatures"); fs.foreach(a.add(_)) }
-              Option(r.getSeq[String](3)).foreach { fs =>
-                val a = node.putArray("writerFeatures"); fs.foreach(a.add(_)) }
-              node: com.fasterxml.jackson.databind.JsonNode
-            }
-        }
+    pl.tail.reverseIterator.flatMap(fromJson(_)).nextOption()
+      .orElse(checkpointProtocolNode(spark, table, pl))
+  }
+
+  /** The protocol row the checkpoint covered by `pl` carries, rebuilt
+    * as a JSON node (shared by [[newestProtocolNode]] and
+    * [[warmProtocolCache]]). */
+  private def checkpointProtocolNode(spark: SparkSession, table: Path,
+      pl: ReplayPlan): Option[ObjectNode] =
+    checkpointDF(spark, table, pl) match {
+      case None => None
+      case Some(df) if !df.columns.contains("protocol") => None
+      case Some(df) => {
+        val pf = df.schema("protocol").dataType.asInstanceOf[StructType]
+          .fieldNames.toSet
+        def opt(name: String, t: DataType) =
+          if (pf(name)) col(s"protocol.$name").cast(t)
+          else lit(null).cast(t)
+        df.filter(col("protocol").isNotNull)
+          .select(col("protocol.minReaderVersion").cast(IntegerType).as("mrv"),
+            opt("minWriterVersion", IntegerType).as("mwv"),
+            opt("readerFeatures", ArrayType(StringType)).as("rf"),
+            opt("writerFeatures", ArrayType(StringType)).as("wf"))
+          .limit(1).collect().headOption.map { r =>
+            val node = mapper.createObjectNode()
+            node.put("minReaderVersion", r.getInt(0))
+            if (!r.isNullAt(1)) node.put("minWriterVersion", r.getInt(1))
+            Option(r.getSeq[String](2)).foreach { fs =>
+              val a = node.putArray("readerFeatures"); fs.foreach(a.add(_)) }
+            Option(r.getSeq[String](3)).foreach { fs =>
+              val a = node.putArray("writerFeatures"); fs.foreach(a.add(_)) }
+            node
+          }
       }
     }
-  }
 
   private def protocolGuard(spark: SparkSession, table: Path,
       pl: ReplayPlan): Unit = {

@@ -727,13 +727,27 @@ object IcebergLog {
       root.set[JsonNode]("snapshot-log", kept)
     }
     // next metadata version = max existing v<N> + 1 (the hint's version
-    // may trail a concurrently-written higher file; never overwrite)
-    val nextV = listDir(metadataDir(table)).map(_.getFileName.toString)
+    // may trail a concurrently-written higher file). CREATE_NEW is the
+    // never-overwrite guarantee: a concurrent mirror/expire that takes
+    // the same version between the listing and the write fails the
+    // open instead of being silently truncated; losing the race just
+    // claims the next version.
+    val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    var nextV = listDir(metadataDir(table)).map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
       .map(_.stripPrefix("v").stripSuffix(".metadata.json"))
       .filter(_.forall(_.isDigit)).map(_.toLong).maxOption.getOrElse(0L) + 1
-    Files.writeString(metadataDir(table).resolve(s"v$nextV.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    var placed = false
+    while (!placed) {
+      try {
+        Files.writeString(metadataDir(table).resolve(s"v$nextV.metadata.json"),
+          body, java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        placed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => nextV += 1
+      }
+    }
     Files.writeString(metadataDir(table).resolve("version-hint.text"),
       nextV.toString)
     (expired, orphans)

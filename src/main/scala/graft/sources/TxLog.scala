@@ -364,7 +364,13 @@ object TxLog {
             cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson,
             dataChange = bdc, operation = bop,
             txn = manifestTxn(table, v), props = manifestProps(table, v),
-            dvUpdates = dvUp, cdcAdds = manifestCdc(table, v))
+            dvUpdates = dvUp, cdcAdds = manifestCdc(table, v),
+            // the manifest mtime IS the commit point: backfilled ICTs
+            // (and deletionTimestamps) stamp commit time, not backfill
+            // wall-clock — TIMESTAMP AS OF stays historically accurate
+            commitTime = scala.util.Try(
+              Files.getLastModifiedTime(manifestPath(table, v)).toMillis)
+              .toOption)
         } catch { case _: java.io.IOException => () }
       if (contiguous && DeltaLog.isMirrored(table, v)) floor = v
       else contiguous = false
@@ -639,6 +645,120 @@ object TxLog {
     v
   }
 
+  /** Install an IDENTITY column (the `identityColumns` writer feature):
+    * one metadata commit appending a LongType field carrying
+    * `delta.identity.start` / `delta.identity.step` /
+    * `delta.identity.allowExplicitInsert` metadata (the same keys stock
+    * Delta uses). Subsequent [[commitAppend]]s that OMIT the column get
+    * values generated — unique, monotonic in `step`'s direction, dense
+    * per batch — and the committed schema's
+    * `delta.identity.highWaterMark` advances so values are never
+    * reissued. A batch that PROVIDES the column refuses while
+    * allowExplicitInsert=false (Delta's GENERATED ALWAYS rule).
+    * Pre-evolution rows read the column as null (install-then-backfill
+    * is the caller's choice). Uniqueness holds under the
+    * single-committer-at-a-time write model; racing writers to the
+    * SAME table coordinate via the version claim, but both stage ids
+    * before the claim — identity tables should use one writer, the
+    * same operational rule stock Delta documents for concurrent
+    * identity inserts.
+    */
+  def addIdentityColumn(spark: SparkSession, dir: String, name: String,
+      start: Long = 1L, step: Long = 1L,
+      allowExplicitInsert: Boolean = false): Long = {
+    import org.apache.spark.sql.types._
+    require(step != 0L, s"$dir: identity step must be non-zero")
+    val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
+    val prev = DeltaLog.currentSchemaString(table).getOrElse(
+      sys.error(s"$dir: no mirrored metaData — commit data first"))
+    val schema = DataType.fromJson(prev).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name), s"$dir: column '$name' already exists")
+    require(!schema.fields.exists(_.metadata.contains("delta.identity.start")),
+      s"$dir: at most one identity column per table")
+    val evolved = StructType(schema.fields :+ StructField(name, LongType,
+      nullable = true, new MetadataBuilder()
+        .putLong("delta.identity.start", start)
+        .putLong("delta.identity.step", step)
+        .putBoolean("delta.identity.allowExplicitInsert", allowExplicitInsert)
+        .build()))
+    val v = commitFiles(dir, Seq.empty, carryPrevious = true, evolved.json)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    v
+  }
+
+  /** Generate identity values for a batch that omits the table's
+    * identity column. TWO passes over the incoming batch, ZERO over the
+    * table: per-partition counts (a map-only job collecting one long
+    * per partition), then a map stamping `base + step * globalIndex`
+    * from driver-computed partition offsets — the same shape
+    * `zipWithIndex` uses, but it also yields the batch size for the
+    * high-water-mark advance. No shuffle, no window, no table scan: at
+    * 100 TB the cost is the batch's own size, twice.
+    *
+    * Returns the completed frame plus the (column, newHighWaterMark)
+    * the committed schema must record.
+    */
+  private def assignIdentity(df: DataFrame, dir: String): (DataFrame, Option[(String, Long)]) = {
+    import org.apache.spark.sql.types._
+    val js = DeltaLog.currentSchemaString(Paths.get(dir)).getOrElse(return (df, None))
+    val schema = DataType.fromJson(js).asInstanceOf[StructType]
+    val idF = schema.fields.find(_.metadata.contains("delta.identity.start"))
+      .getOrElse(return (df, None))
+    val start = idF.metadata.getLong("delta.identity.start")
+    val step = idF.metadata.getLong("delta.identity.step")
+    val hwm: Option[Long] =
+      if (idF.metadata.contains("delta.identity.highWaterMark"))
+        Some(idF.metadata.getLong("delta.identity.highWaterMark")) else None
+    if (df.columns.contains(idF.name)) {
+      val allow = idF.metadata.contains("delta.identity.allowExplicitInsert") &&
+        idF.metadata.getBoolean("delta.identity.allowExplicitInsert")
+      if (!allow)
+        sys.error(s"$dir: identity column '${idF.name}' is GENERATED ALWAYS " +
+          "(allowExplicitInsert=false) — omit it from the batch")
+      // explicit values still advance the mark past the batch's furthest
+      // value, so later generated values cannot collide with them
+      val agg = if (step > 0) max(col(idF.name)) else min(col(idF.name))
+      val m = df.agg(agg.cast("long")).collect().head
+      val newHwm = if (m.isNullAt(0)) hwm else {
+        val v = m.getLong(0)
+        Some(hwm.fold(v)(h => if (step > 0) math.max(h, v) else math.min(h, v)))
+      }
+      return (df, newHwm.filterNot(hwm.contains).map(idF.name -> _))
+    }
+    val base = hwm.map(Math.addExact(_, step)).getOrElse(start)
+    val rdd0 = df.rdd
+    val counts = rdd0.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    if (n == 0L) return (df, None)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(idF.name, LongType, nullable = false))
+    val out = df.sparkSession.createDataFrame(
+      rdd0.mapPartitionsWithIndex { case (i, it) =>
+        var k = offsets(i)
+        it.map { r =>
+          val v = base + step * k; k += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+        }
+      }, outSchema)
+    (out, Some(idF.name -> (base + step * (n - 1))))
+  }
+
+  /** The committed schemaJson with `delta.identity.highWaterMark`
+    * advanced on `name` — everything else verbatim. */
+  private def withIdentityHwm(js: String, name: String, hwm: Long): String = {
+    import org.apache.spark.sql.types._
+    val schema = DataType.fromJson(js).asInstanceOf[StructType]
+    StructType(schema.fields.map { f =>
+      if (f.name != name) f
+      else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.identity.highWaterMark", hwm).build())
+    }).json
+  }
+
   /** Append `df` as one atomic commit; returns the new version.
     * `partitionBy` writes the batch hive-style (`col=value` dirs) — the
     * 100 TB ingest layout: snapshot reads prune partitions, and the
@@ -651,9 +771,13 @@ object TxLog {
     val table = Paths.get(dir)
     Files.createDirectories(logDir(table))
     DeltaLog.warmMetaCache(df.sparkSession, table)
-    val full = validateAndComplete(df, dir)
+    val (withIds, newHwm) = assignIdentity(df, dir)
+    val full = validateAndComplete(withIds, dir)
+    val sj = newHwm.foldLeft(effectiveSchemaJson(full, dir)) {
+      case (js, (n, h)) => withIdentityHwm(js, n, h)
+    }
     val v = commitFiles(dir, writeBatch(full, table, partitionBy),
-      carryPrevious = true, effectiveSchemaJson(full, dir))
+      carryPrevious = true, sj)
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
   }

@@ -1985,6 +1985,15 @@ class DeltaLogSpec extends SparkSpec {
       Paths.get(t, "_delta_log", f"${2L}%020d.json")).asScala
       .find(_.contains("\"protocol\"")).getOrElse("")
     assert(proto.contains("inCommitTimestamp"), proto)
+    // enabling ICT on an EXISTING table records the enablement version
+    // + timestamp properties (spec: readers use them to know below
+    // which version mtimes, not icts, order the history)
+    val cfg = DeltaLog.tableConfig(Paths.get(t))
+    assert(cfg.get("delta.inCommitTimestampEnablementVersion").contains("1"),
+      s"enablement version must be the enabling commit's: $cfg")
+    assert(cfg.get("delta.inCommitTimestampEnablementTimestamp")
+      .contains(ictOf(1L).get.toString),
+      s"enablement timestamp must equal the enabling commit's ict: $cfg")
     // the AS-OF resolver (which prefers icts) round-trips engine writes
     assert(DeltaLog.versionAsOf(t, icts(1).get) == 2L)
     assert(DeltaLog.versionAsOf(t, icts(2).get - 1) == 2L)
@@ -2025,5 +2034,190 @@ class DeltaLogSpec extends SparkSpec {
     val e = intercept[RuntimeException](
       DeltaLog.tableChanges(s, t, 4L, 5L).count())
     assert(e.getMessage.contains("change-data"), e.getMessage)
+  }
+
+  test("protocol replay is newest-wins: a later cdc-only commit must not downgrade the DV gate") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_proto_merge").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map("delta.enableDeletionVectors" -> "true"))
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 300)           // v3: DV gate up
+    TxLog.setTableProperties(s, t, Map("delta.enableChangeDataFeed" -> "true"))
+    // v5: copy-on-write delete with CDF — a cdc-carrying commit with NO
+    // dvUpdates, while untouched files still carry live DVs
+    TxLog.deleteWhere(s, t, col("event_id").between(50000L, 50010L))
+    def newestProto(table: String): com.fasterxml.jackson.databind.JsonNode = {
+      val ld = Paths.get(table, "_delta_log")
+      val vs = Files.list(ld).iterator.asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && n.takeWhile(_ != '.').forall(_.isDigit))
+        .map(_.takeWhile(_ != '.').toLong).toSeq.sorted.reverse
+      vs.iterator.flatMap(v => actions(table, v)
+        .flatMap(n => Option(n.get("protocol"))).lastOption).next()
+    }
+    val p = newestProto(t)
+    assert(p.get("minReaderVersion").asInt() == 3,
+      s"cdc-only commit downgraded the reader gate: $p")
+    def feats(k: String) = Option(p.get(k))
+      .map(_.asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+    assert(feats("readerFeatures").contains("deletionVectors"), s"$p")
+    assert(feats("writerFeatures").contains("deletionVectors"), s"$p")
+    assert(feats("writerFeatures").contains("changeDataFeed"), s"$p")
+    // writer 7 enforces ONLY listed features: the legacy base (writer 2)
+    // implied set must be carried explicitly
+    assert(Set("appendOnly", "invariants").subsetOf(feats("writerFeatures")),
+      s"legacy implied writer features lost in the upgrade: $p")
+    // and the table still reads correctly through the external path
+    assert(DeltaLog.snapshot(s, t).count() ==
+      ev.filter(col("event_id") > 300 &&
+        !col("event_id").between(50000L, 50010L)).count())
+  }
+
+  test("protocol merge carries property-driven features and survives a compacted prefix") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_proto_cp").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.constraints.idBound" -> "event_id < 10000000"))
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 100)           // v3: DV + gate
+    // checkpoint, then age out the whole JSON prefix (including every
+    // protocol-carrying commit) — the next feature commit must recover
+    // the gate from the checkpoint, not fall back to base (1,2)
+    DeltaLog.checkpoint(s, t)
+    val ld = Paths.get(t, "_delta_log")
+    Files.list(ld).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach(Files.delete)
+    DeltaLog.resetMetaCache(Paths.get(t))
+    TxLog.resetMirrorCache()
+    TxLog.setTableProperties(s, t, Map("delta.enableChangeDataFeed" -> "true"))
+    TxLog.deleteWhere(s, t, col("event_id").between(200L, 210L)) // cdc commit
+    val tail = Files.list(ld).iterator.asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.takeWhile(_ != '.').forall(_.isDigit))
+      .map(_.takeWhile(_ != '.').toLong).toSeq.sorted.reverse
+    val p = tail.iterator.flatMap(v => actions(t, v)
+      .flatMap(n => Option(n.get("protocol"))).lastOption).next()
+    def feats(k: String) = Option(p.get(k))
+      .map(_.asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+    assert(p.get("minReaderVersion").asInt() == 3, s"$p")
+    assert(feats("readerFeatures").contains("deletionVectors"), s"$p")
+    // in-force CHECK constraint gates foreign writers explicitly on writer 7
+    assert(feats("writerFeatures").contains("checkConstraints"), s"$p")
+    assert(DeltaLog.snapshot(s, t).count() ==
+      ev.filter(col("event_id") > 100 &&
+        !col("event_id").between(200L, 210L)).count())
+  }
+
+  test("protocol invariant fuzz: the DV gate survives any DML interleaving") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val rnd = new scala.util.Random(20260815L)
+    val t = Files.createTempDirectory("graft_proto_fuzz").toString
+    TxLog.commitAppend(ev.filter(col("event_id") < 500).repartition(2), t)
+    TxLog.setTableProperties(s, t, Map("delta.enableDeletionVectors" -> "true"))
+    var nextId = 1000000L
+    var dvGateUp = false
+    def newestProto(): Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val ld = Paths.get(t, "_delta_log")
+      val vs = Files.list(ld).iterator.asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && n.takeWhile(_ != '.').forall(_.isDigit))
+        .map(_.takeWhile(_ != '.').toLong).toSeq.sorted.reverse
+      vs.iterator.flatMap(v => actions(t, v)
+        .flatMap(n => Option(n.get("protocol"))).lastOption).nextOption()
+    }
+    for (i <- 1 to 16) {
+      rnd.nextInt(7) match {
+        case 0 => // append fresh rows
+          TxLog.commitAppend(ev.limit(20)
+            .withColumn("event_id", col("event_id") + nextId), t)
+          nextId += 10000L
+        case 1 => // merge-on-read delete: raises the gate
+          TxLog.deleteWhereDv(s, t,
+            pmod(col("event_id"), lit(97)) === lit(rnd.nextInt(97)))
+          dvGateUp = true
+        case 2 => // copy-on-write delete (cdc-carrying once CDF is on)
+          TxLog.deleteWhere(s, t,
+            pmod(col("event_id"), lit(101)) === lit(rnd.nextInt(101)))
+        case 3 =>
+          TxLog.setTableProperties(s, t,
+            Map("delta.enableChangeDataFeed" -> "true"))
+        case 4 =>
+          TxLog.optimize(s, t); ()
+        case 5 =>
+          DeltaLog.checkpoint(s, t)
+        case 6 => // committer crash: newest mirror vanishes, next commit backfills
+          val ld = Paths.get(t, "_delta_log")
+          Files.list(ld).iterator.asScala.map(_.getFileName.toString)
+            .filter(n => n.endsWith(".json") && n.takeWhile(_ != '.').forall(_.isDigit))
+            .map(_.takeWhile(_ != '.').toLong).maxOption.foreach { v =>
+              Files.delete(ld.resolve(f"$v%020d.json"))
+              DeltaLog.resetMetaCache(Paths.get(t))
+              TxLog.resetMirrorCache()
+            }
+          TxLog.commitAppend(ev.limit(5)
+            .withColumn("event_id", col("event_id") + nextId), t)
+          nextId += 10000L
+      }
+      // THE invariant: protocol upgrades are permanent. Once a DV commit
+      // raised reader 3 / deletionVectors, no later commit — cdc-only,
+      // property-only, OPTIMIZE, backfill — may downgrade it while DV
+      // history is live; and on writer 7 the legacy implied features
+      // must stay listed (they are all a foreign writer enforces).
+      val p = newestProto().getOrElse(fail(s"no protocol after op $i"))
+      def feats(k: String) = Option(p.get(k))
+        .map(_.asScala.map(_.asText()).toSet).getOrElse(Set.empty[String])
+      if (dvGateUp) {
+        assert(p.get("minReaderVersion").asInt() == 3,
+          s"op $i downgraded the reader gate: $p")
+        assert(feats("readerFeatures").contains("deletionVectors") &&
+          feats("writerFeatures").contains("deletionVectors"),
+          s"op $i dropped the deletionVectors feature: $p")
+      }
+      if (Option(p.get("minWriterVersion")).exists(_.asInt() == 7))
+        assert(Set("appendOnly", "invariants").subsetOf(feats("writerFeatures")),
+          s"op $i lost the legacy implied writer features: $p")
+    }
+    // the full table still replays through the external Delta path
+    assert(DeltaLog.snapshot(s, t).count() == TxLog.snapshot(s, t).count())
+  }
+
+  test("backfilled ICT commits stamp the manifest mtime, not re-mirror wall clock") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_ict_backfill").toString
+    TxLog.commitAppend(ev.filter(col("event_id") < 100), t)          // v1
+    TxLog.setTableProperties(s, t,
+      Map("delta.enableInCommitTimestamps" -> "true"))               // v2
+    TxLog.commitAppend(ev.filter(col("event_id").between(100, 199)), t) // v3
+    // the committer "dies" after linking manifest v3: its mirror vanishes
+    Files.delete(Paths.get(t, "_delta_log", f"${2L}%020d.json"))
+    DeltaLog.resetMetaCache(Paths.get(t))
+    TxLog.resetMirrorCache()
+    // pin manifest v3's mtime to a known historical instant AFTER v2's
+    // live ict (so the monotonic clamp is not what we end up measuring)
+    val prevIct = Files.readAllLines(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+      .asScala.map(mapper.readTree)
+      .collectFirst { case n if n.has("commitInfo") &&
+          n.get("commitInfo").has("inCommitTimestamp") =>
+        n.get("commitInfo").get("inCommitTimestamp").asLong() }.get
+    val histT = prevIct + 60000L
+    Files.setLastModifiedTime(Paths.get(t, "_txlog", f"v${3L}%08d.manifest"),
+      java.nio.file.attribute.FileTime.fromMillis(histT))
+    TxLog.commitAppend(ev.filter(col("event_id").between(200, 299)), t) // v4 + backfill v3
+    val backIct = Files.readAllLines(Paths.get(t, "_delta_log", f"${2L}%020d.json"))
+      .asScala.map(mapper.readTree)
+      .collectFirst { case n if n.has("commitInfo") &&
+          n.get("commitInfo").has("inCommitTimestamp") =>
+        n.get("commitInfo").get("inCommitTimestamp").asLong() }
+    assert(backIct.contains(histT),
+      s"backfilled ict must equal the manifest mtime $histT, got $backIct")
+    // AS-OF through the backfilled version resolves historically
+    assert(DeltaLog.versionAsOf(t, histT) == 2L)
   }
 }

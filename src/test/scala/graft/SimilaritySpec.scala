@@ -515,4 +515,28 @@ class SimilaritySpec extends SparkSpec {
         "a single-list doc must never precede a both-lists doc")
     }
   }
+
+  test("centroid derivation enforces non-null full-width embeddings in-plan") {
+    val s = spark
+    import s.implicits._
+    // the shared count(*) denominator is only sound when every row is
+    // non-null and 64-wide — a violating row must raise, not silently
+    // shift the centroid mean
+    val good = (0L until 8L).map(i =>
+      (i, Seq.tabulate(64)(j => ((i + j) % 5).toFloat / 5f), (i % 2).toInt))
+    val withNull = good.toDF("vec_id", "embedding", "label")
+      .union(Seq((99L, null.asInstanceOf[Seq[Float]], 0))
+        .toDF("vec_id", "embedding", "label"))
+    val eNull = intercept[Exception](
+      Similarity.ivfTopK(withNull, nQueries = 1, k = 2).collect())
+    assert(eNull.getMessage.contains("embeddings"), eNull.getMessage)
+    val withShort = good.toDF("vec_id", "embedding", "label")
+      .union(Seq((98L, Seq(1f, 2f), 1)).toDF("vec_id", "embedding", "label"))
+    val eShort = intercept[Exception](
+      Similarity.ivfTopK(withShort, nQueries = 1, k = 2).collect())
+    assert(eShort.getMessage.contains("embeddings"), eShort.getMessage)
+    // the clean frame still works
+    assert(Similarity.ivfTopK(good.toDF("vec_id", "embedding", "label"),
+      nQueries = 1, k = 2).count() > 0)
+  }
 }
