@@ -1815,6 +1815,25 @@ object TxLog {
       table
     })
 
+  /** Identity column installed after a schema-establishing empty
+    * commit, then TWO deterministic appends (each a single sorted
+    * partition, so the generated sequence is exactly row_number in
+    * (batch, event_id) order — what the oracle reproduces with a
+    * window). start=1000/step=5 exercises the non-default arithmetic.
+    */
+  private def identityTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"idn:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_idn").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.limit(0), table)
+      addIdentityColumn(spark, table, "row_sid", start = 1000L, step = 5L)
+      commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .coalesce(1).sortWithinPartitions("event_id"), table)
+      commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .coalesce(1).sortWithinPartitions("event_id"), table)
+      table
+    })
+
   /** Materialize the fixture tables (idempotent) — bench-warmup hook. */
   def prepare(spark: SparkSession, dir: String): Unit = {
     snapshotTable(spark, dir)
@@ -1826,6 +1845,7 @@ object TxLog {
     restoreTable(spark, dir)
     optimizeTable(spark, dir)
     evolutionTable(spark, dir)
+    identityTable(spark, dir)
   }
 
   /** Oracle-checked query: the snapshot must aggregate exactly the
@@ -2380,7 +2400,35 @@ object TxLog {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked IDENTITY: generated values must be exactly the
+    * deterministic sequence the build order implies — unique, dense,
+    * start/step arithmetic, batch-ordered — verified value-for-value
+    * through a product checksum, not just count/min/max.
+    */
+  def identityQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, identityTable(spark, dir))
+      .agg(count(lit(1)).as("n"),
+        count(col("row_sid")).as("n_ids"),
+        countDistinct(col("row_sid")).as("n_distinct"),
+        min(col("row_sid")).as("min_sid"),
+        max(col("row_sid")).as("max_sid"),
+        sum(col("row_sid") * col("event_id")).as("chk"))
+
+  val identityQueryOracle: String =
+    """WITH ordered AS (
+      |  SELECT event_id,
+      |    1000 + 5 * (row_number() OVER
+      |      (ORDER BY (event_id % 2) <> 0, event_id) - 1) AS row_sid
+      |  FROM events
+      |)
+      |SELECT count(*) AS n, count(row_sid) AS n_ids,
+      |  CAST(count(DISTINCT row_sid) AS BIGINT) AS n_distinct,
+      |  min(row_sid) AS min_sid, max(row_sid) AS max_sid,
+      |  CAST(sum(row_sid * event_id) AS BIGINT) AS chk
+      |FROM ordered""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog_identity" -> identityQuery _,
     "q_txlog_defaults" -> defaultsQuery _,
     "q_txlog_zorder" -> zorderQuery _,
     "q_generated_partition" -> generatedQuery _,
@@ -2402,6 +2450,7 @@ object TxLog {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_txlog_identity" -> identityQueryOracle,
     "q_txlog_defaults" -> defaultsQueryOracle,
     "q_txlog_zorder" -> zorderQueryOracle,
     "q_generated_partition" -> generatedQueryOracle,

@@ -831,4 +831,74 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.manifestProps(java.nio.file.Paths.get(t), 2L) ==
       Map("delta.appendOnly" -> "true"))
   }
+
+  test("identity columns: generated-always values, dense continuation across a restart") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.addIdentityColumn(s, t, "sid", start = 10L, step = 3L)
+    TxLog.commitAppend(events.filter(col("event_id") <= 100)
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    val snap1 = TxLog.snapshot(s, t)
+    val n1 = snap1.count()
+    assert(n1 > 0)
+    val r1 = snap1.agg(countDistinct(col("sid")), min(col("sid")),
+      max(col("sid"))).collect()(0)
+    assert(r1.getLong(0) == n1, "every row gets a unique id")
+    assert(r1.getLong(1) == 10L, "sequence starts at start")
+    assert(r1.getLong(2) == 10L + 3L * (n1 - 1), "dense step arithmetic")
+    // explicit insert refused while GENERATED ALWAYS
+    val bad = intercept[RuntimeException](TxLog.commitAppend(
+      events.filter(col("event_id") === 101).withColumn("sid", lit(7L)), t))
+    assert(bad.getMessage.contains("identity"), bad.getMessage)
+    // a fresh process (cold caches) continues from the PERSISTED mark —
+    // the high-water mark lives in the mirrored schema metadata, not in
+    // process state
+    graft.sources.DeltaLog.resetMetaCache(java.nio.file.Paths.get(t))
+    TxLog.resetMirrorCache()
+    TxLog.commitAppend(events.filter(col("event_id").between(101, 150))
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    val snap2 = TxLog.snapshot(s, t)
+    val n2 = snap2.count()
+    val r2 = snap2.agg(countDistinct(col("sid")), max(col("sid"))).collect()(0)
+    assert(r2.getLong(0) == n2, "no id reissued across the restart")
+    assert(r2.getLong(1) == 10L + 3L * (n2 - 1), "continuation stays dense")
+    // the protocol gates foreign writers on the feature
+    import scala.jdk.CollectionConverters._
+    val ld = java.nio.file.Paths.get(t, "_delta_log")
+    val protoLine = Files.list(ld).iterator.asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.takeWhile(_ != '.').forall(_.isDigit))
+      .map(_.takeWhile(_ != '.').toLong).toSeq.sorted.reverse.iterator
+      .flatMap(v => Files.readAllLines(ld.resolve(f"$v%020d.json")).asScala
+        .filter(_.contains("\"protocol\"")).lastOption)
+      .nextOption().getOrElse("")
+    assert(protoLine.contains("identityColumns") &&
+      protoLine.contains("\"minWriterVersion\":7"), protoLine)
+  }
+
+  test("identity columns: allowExplicitInsert accepts values and advances the mark past them") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.addIdentityColumn(s, t, "sid", start = 1L, step = 1L,
+      allowExplicitInsert = true)
+    val explicit = events.filter(col("event_id") <= 5)
+      .withColumn("sid", col("event_id") + 100L)
+    val nExp = explicit.count()
+    val expMax = explicit.agg(max(col("sid"))).collect()(0).getLong(0)
+    TxLog.commitAppend(explicit, t)
+    val generated = events.filter(col("event_id").between(6, 8))
+    val nGen = generated.count()
+    TxLog.commitAppend(generated.coalesce(1).sortWithinPartitions("event_id"), t)
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.count() == nExp + nGen)
+    assert(snap.agg(countDistinct(col("sid"))).collect()(0).getLong(0) ==
+      nExp + nGen, "generated values must not collide with explicit ones")
+    val gen = snap.filter(col("event_id") >= 6)
+      .agg(min(col("sid")), max(col("sid"))).collect()(0)
+    assert(gen.getLong(0) == expMax + 1L && gen.getLong(1) == expMax + nGen,
+      s"generation must resume past the explicit max $expMax: $gen")
+  }
 }
