@@ -331,6 +331,12 @@ object DeltaLog {
     * Any footer surprise (not a parquet file, exotic encodings) returns
     * None: stats are an optimization and must never fail a commit.
     */
+  /** `numRecords` alone from the footer — the id span a row-tracked
+    * file claims. Same metadata-only cost as [[fileStats]]. */
+  private[sources] def fileRowCount(file: Path): Option[Long] =
+    fileStats(file).flatMap(s =>
+      Option(mapper.readTree(s).get("numRecords")).map(_.asLong()))
+
   private[graft] def fileStats(file: Path): Option[String] = try {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -456,7 +462,9 @@ object DeltaLog {
       props: Map[String, String] = Map.empty,
       dvUpdates: Map[String, (String, Option[String])] = Map.empty,
       cdcAdds: Seq[String] = Seq.empty,
-      commitTime: Option[Long] = None): Unit = {
+      commitTime: Option[Long] = None,
+      domains: Map[String, String] = Map.empty,
+      rowIds: Map[String, (Long, Long)] = Map.empty): Unit = {
     val deltaV = txVersion - 1
     Files.createDirectories(logDir(table))
     if (Files.exists(commitPath(table, deltaV))) return
@@ -630,9 +638,13 @@ object DeltaLog {
       val needRf = if (dvUpdates.nonEmpty) Set("deletionVectors") else Set.empty[String]
       val needWf = needRf ++
         (if (cdcAdds.nonEmpty) Set("changeDataFeed") else Set.empty[String]) ++
-        (if (ictOn) Set("inCommitTimestamp") else Set.empty[String])
+        (if (ictOn) Set("inCommitTimestamp") else Set.empty[String]) ++
+        (if (domains.nonEmpty) Set("domainMetadata") else Set.empty[String]) ++
+        (if (cfgNow.get("delta.enableRowTracking").contains("true"))
+           Set("rowTracking", "domainMetadata") else Set.empty[String])
       val uncovered = inUse -- prevWf
-      if (dvUpdates.nonEmpty || cdcAdds.nonEmpty || ictOn || uncovered.nonEmpty) {
+      if (dvUpdates.nonEmpty || cdcAdds.nonEmpty || ictOn || domains.nonEmpty ||
+          (needWf -- prevWf).nonEmpty || uncovered.nonEmpty) {
         val rf = prevRf ++ needRf
         val wf = prevWf ++ needWf ++ inUse
         val protocol = mapper.createObjectNode()
@@ -679,6 +691,11 @@ object DeltaLog {
         fileStats(table.resolve(rel)).foreach(a.put("stats", _))
         a.set[ObjectNode]("deletionVector",
           mapper.readTree(newDesc).asInstanceOf[ObjectNode])
+        // a DV re-add is the SAME file: its stable row ids must ride
+        // along unchanged or replay's add-wins rule would drop them
+        rowIds.get(rel).foreach { case (b, v0) =>
+          a.put("baseRowId", b); a.put("defaultRowCommitVersion", v0); ()
+        }
         lines += mapper.writeValueAsString(an)
       }
     }
@@ -697,6 +714,9 @@ object DeltaLog {
       // footer-harvested per-file stats: what stock Delta writers emit,
       // what [[skipScan]] (and any foreign data-skipping reader) prunes on
       fileStats(table.resolve(rel)).foreach(a.put("stats", _))
+      rowIds.get(rel).foreach { case (b, v0) =>
+        a.put("baseRowId", b); a.put("defaultRowCommitVersion", v0); ()
+      }
       lines += mapper.writeValueAsString(n)
     }
     // PROTOCOL.md change-data files: row-level change records of THIS
@@ -710,6 +730,17 @@ object DeltaLog {
       c.putObject("partitionValues")
       c.put("size", Files.size(table.resolve(rel)))
       c.put("dataChange", false)
+      lines += mapper.writeValueAsString(n)
+    }
+    // domain metadata: per-domain configuration, newest-wins on replay
+    // (rowTracking's rowIdHighWaterMark rides the delta.rowTracking
+    // domain — the spec's home for it)
+    domains.toSeq.sortBy(_._1).foreach { case (d, cfg) =>
+      val n = mapper.createObjectNode()
+      val dm = n.putObject("domainMetadata")
+      dm.put("domain", d)
+      dm.put("configuration", cfg)
+      dm.put("removed", false)
       lines += mapper.writeValueAsString(n)
     }
     val tmp = Files.createTempFile(logDir(table), ".delta-", ".tmp")
@@ -1042,6 +1073,50 @@ object DeltaLog {
       }
     }
 
+  /** Live domain metadata (domain → configuration JSON) at `upTo` (or
+    * the newest version): NEWEST-WINS per domain over the JSON tail,
+    * falling back to the checkpoint's domainMetadata rows for domains
+    * whose last write was compacted away; a `removed` tombstone hides
+    * its domain. Config-scale — the scan stops at the checkpoint
+    * boundary, like protocol resolution.
+    */
+  def domainMetadataMap(spark: SparkSession, dir: String,
+      upTo: Option[Long] = None): Map[String, String] = {
+    val table = Paths.get(dir)
+    val latest = upTo
+      .orElse((versions(dir) ++ lastCheckpointVersion(table)).maxOption)
+      .getOrElse(return Map.empty)
+    val pl = replayPlan(table, latest)
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    pl.tail.reverseIterator.foreach { v =>
+      Files.readAllLines(commitPath(table, v)).asScala.reverseIterator
+        .filter(_.contains("\"domainMetadata\""))
+        .map(mapper.readTree).flatMap(n => Option(n.get("domainMetadata")))
+        .foreach { d =>
+          val name = d.get("domain").asText()
+          if (!seen.contains(name))
+            seen(name) =
+              if (Option(d.get("removed")).exists(_.asBoolean(false))) None
+              else Some(d.get("configuration").asText())
+        }
+    }
+    if (pl.cpV >= 0)
+      checkpointDF(spark, table, pl).foreach { df =>
+        if (df.columns.contains("domainMetadata"))
+          df.filter(col("domainMetadata").isNotNull)
+            .select(col("domainMetadata.domain"),
+              col("domainMetadata.configuration"),
+              col("domainMetadata.removed"))
+            .collect().foreach { r =>
+              val name = r.getString(0)
+              if (!seen.contains(name))
+                seen(name) = if (!r.isNullAt(2) && r.getBoolean(2)) None
+                  else Option(r.getString(1))
+            }
+      }
+    seen.collect { case (k, Some(v)) => k -> v }.toMap
+  }
+
   private def protocolGuard(spark: SparkSession, table: Path,
       pl: ReplayPlan): Unit = {
     newestProtocolNode(spark, table, pl).foreach { pr =>
@@ -1102,7 +1177,19 @@ object DeltaLog {
     StructField("modificationTime", LongType),
     StructField("dataChange", BooleanType),
     StructField("stats", StringType),
-    StructField("deletionVector", dvType)))
+    StructField("deletionVector", dvType),
+    // ROW TRACKING (the rowTracking writer feature): a file's stable
+    // row ids are baseRowId + position; both fields must survive
+    // replay and checkpoints or ids silently renumber after compaction
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
+  // DOMAIN METADATA (the domainMetadata writer feature): per-domain
+  // configuration with newest-wins replay; rowTracking keeps its
+  // rowIdHighWaterMark in the `delta.rowTracking` domain
+  private val domainType = StructType(Seq(
+    StructField("domain", StringType),
+    StructField("configuration", StringType),
+    StructField("removed", BooleanType)))
   private val removeType = StructType(Seq(
     StructField("path", StringType),
     StructField("deletionTimestamp", LongType),
@@ -1136,7 +1223,8 @@ object DeltaLog {
     StructField("metaData", metaType),
     StructField("add", addType),
     StructField("remove", removeType),
-    StructField("txn", txnType)))
+    StructField("txn", txnType),
+    StructField("domainMetadata", domainType)))
 
   /** All actions a replay at `upTo` covers, as ONE DataFrame
     * (add/remove/metaData structs + the `ver` they landed at): the
@@ -1212,6 +1300,8 @@ object DeltaLog {
         col("add.modificationTime").as("modificationTime"),
         col("add.stats").as("stats"),
         to_json(col("add.deletionVector")).as("dv"),
+        col("add.baseRowId").as("baseRowId"),
+        col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
         col("remove.deletionTimestamp").as("deletionTimestamp"),
         to_json(col("remove.deletionVector")).as("rdv"))
       .filter(col("path").isNotNull)
@@ -1225,7 +1315,8 @@ object DeltaLog {
           .orderBy(col("ver").desc, col("isAdd").desc)))
       .filter(col("rn") === 1)
     val live = last.filter(col("isAdd"))
-      .select("path", "partitionValues", "size", "modificationTime", "stats", "dv")
+      .select("path", "partitionValues", "size", "modificationTime", "stats",
+        "dv", "baseRowId", "defaultRowCommitVersion")
     val tombstones = last.filter(!col("isAdd"))
       .select("path", "deletionTimestamp", "rdv")
     val meta = acts.filter(col("metaData").isNotNull)
@@ -1450,9 +1541,15 @@ object DeltaLog {
           add(base.get(2)), add(base.get(3)))
       }
     }
+    // live domain metadata survives compaction (newest-wins replay would
+    // otherwise lose e.g. the rowIdHighWaterMark once the prefix ages out)
+    val domainRows: Seq[Row] = domainMetadataMap(spark, dir, Some(v)).toSeq
+      .sortBy(_._1).map { case (d, c) =>
+        Row(null, null, null, null, null, Row(d, c, false))
+      }
     val header = spark.createDataFrame(
-      java.util.List.of(
-        Row(protoRow, null, null, null, null),
+      (Seq(
+        Row(protoRow, null, null, null, null, null),
         Row(null, Row(
           m.get("id").asText(),
           Row("parquet", Map.empty[String, String]),
@@ -1460,13 +1557,14 @@ object DeltaLog {
           pcSeq,
           cfgMap,
           if (m.has("createdTime")) m.get("createdTime").asLong() else 0L),
-          null, null, null)),
+          null, null, null, null)) ++ domainRows).asJava,
       StructType(Seq(
         StructField("protocol", protocolType),
         StructField("metaData", metaType),
         StructField("add", addType),
         StructField("remove", removeType),
-        StructField("txn", txnType))))
+        StructField("txn", txnType),
+        StructField("domainMetadata", domainType))))
     val addRows = live.select(struct(
       col("path"),
       coalesce(col("partitionValues"),
@@ -1479,7 +1577,11 @@ object DeltaLog {
       col("stats"),
       // deletion vectors survive too — a DV-bearing add replayed from
       // the checkpoint must keep hiding its rows
-      from_json(col("dv"), dvType).as("deletionVector")).as("add"))
+      from_json(col("dv"), dvType).as("deletionVector"),
+      // row-tracking ids survive too — a compacted row-tracked table
+      // must not silently renumber its stable row ids
+      col("baseRowId"),
+      col("defaultRowCommitVersion")).as("add"))
     val keepCutoff = System.currentTimeMillis() - tombstoneRetentionMs
     val removeRows = tombstones
       .filter(col("deletionTimestamp").isNull ||
@@ -1504,12 +1606,12 @@ object DeltaLog {
     if (v2)
       return writeV2Checkpoint(spark, table, v,
         header.unionByName(txnRows, allowMissingColumns = true)
-          .select("protocol", "metaData", "txn"),
+          .select("protocol", "metaData", "txn", "domainMetadata"),
         addRows.unionByName(removeRows, allowMissingColumns = true)
           .select("add", "remove"),
         parts)
     val rows = header.unionByName(body, allowMissingColumns = true)
-      .select("protocol", "metaData", "add", "remove", "txn")
+      .select("protocol", "metaData", "add", "remove", "txn", "domainMetadata")
     val nActions = rows.count()
     // MULTI-PART when the action count warrants it (or a spec forces it):
     // a 10M-file table's checkpoint must not funnel through one writer

@@ -100,6 +100,79 @@ object TxLog {
     dvs.toSeq.sortBy(_._1)
       .map { case (rel, d) => s"#dv ${enc(rel)} ${enc(d)}\n" }.mkString
 
+  /** ROW TRACKING (`#rid <rel> <base> <n> <v0>` header lines): each
+    * live file's baseRowId, row count, and the version that committed
+    * its rows — a row's stable id is `base + ordinal`, and it survives
+    * merge-on-read DML because DVs hide rows without moving them.
+    * Carried forward like `#dv`; dropped with a rewritten file. The
+    * table's id high-water mark rides `#ridhwm <N>` and NEVER
+    * regresses (removed files' ids are spent forever, the spec's
+    * no-reissue rule). */
+  private[graft] final case class Rid(base: Long, n: Long, v0: Long)
+
+  private[graft] def manifestRids(table: Path, v: Long): Map[String, Rid] =
+    Files.readAllLines(manifestPath(table, v)).asScala.iterator
+      .filter(_.startsWith("#rid ")).map(_.split(" ", 5))
+      .collect { case p if p.length >= 5 =>
+        (dec(p(1)), Rid(p(2).toLong, p(3).toLong, p(4).trim.toLong))
+      }.toMap
+
+  private[graft] def manifestRidHwm(table: Path, v: Long): Option[Long] =
+    Files.readAllLines(manifestPath(table, v)).asScala.iterator
+      .filter(_.startsWith("#ridhwm "))
+      .map(_.stripPrefix("#ridhwm ").trim.toLong).nextOption()
+
+  private def ridLines(rids: Map[String, Rid], hwm: Option[Long]): String =
+    hwm.map(h => s"#ridhwm $h\n").getOrElse("") +
+      rids.toSeq.sortBy(_._1).map { case (rel, r) =>
+        s"#rid ${enc(rel)} ${r.base} ${r.n} ${r.v0}\n"
+      }.mkString
+
+  private def rowTrackingOn(dir: String): Boolean =
+    DeltaLog.tableConfig(Paths.get(dir)).get("delta.enableRowTracking")
+      .contains("true")
+
+  /** Fresh id spans for newly staged files, claimed from the current
+    * high-water mark: one footer read per new file (metadata-only),
+    * zero table reads. Loud when a footer is unreadable — silently
+    * skipping a file would alias its ids onto the next batch. Fresh
+    * values' `v0` is stamped by the committer at link time (the claimed
+    * version). Like identity columns, id uniqueness assumes the
+    * single-committer-at-a-time write model. */
+  private def freshRids(dir: String, table: Path,
+      added: Seq[String]): (Map[String, (Long, Long)], Option[Long]) = {
+    if (!rowTrackingOn(dir) || added.isEmpty) return (Map.empty, None)
+    val cur = currentVersion(dir)
+    var next = cur.flatMap(manifestRidHwm(table, _)).getOrElse(-1L) + 1
+    val m = added.sorted.map { rel =>
+      val n = DeltaLog.fileRowCount(table.resolve(rel)).getOrElse(
+        sys.error(s"$dir: row tracking requires parquet footer row " +
+          s"counts — cannot read $rel"))
+      val e = rel -> ((next, n)); next += n; e
+    }.toMap
+    (m, Some(next - 1))
+  }
+
+  /** The `delta.rowTracking` domain-metadata action version `v` should
+    * mirror: present exactly when its high-water mark moved. */
+  private def ridDomain(table: Path, v: Long): Map[String, String] = {
+    val h = manifestRidHwm(table, v)
+    val ph = if (v <= 1) None else manifestRidHwm(table, v - 1)
+    if (h.isDefined && h != ph)
+      Map("delta.rowTracking" -> s"""{"rowIdHighWaterMark":${h.get}}""")
+    else Map.empty
+  }
+
+  /** Mirror-side rowIds for version `v`: (baseRowId, Delta
+    * defaultRowCommitVersion) for every rel among `rels` that carries a
+    * rid — fresh adds stamp their own version, DV re-adds keep the
+    * ORIGINAL commit version per the spec. */
+  private def mirrorRids(table: Path, v: Long,
+      rels: Set[String]): Map[String, (Long, Long)] =
+    manifestRids(table, v).collect {
+      case (rel, r) if rels(rel) => rel -> ((r.base, r.v0 - 1))
+    }
+
   /** Change-data file rels a commit recorded (`#cdc` header lines) —
     * the manifest is the commit point, so the cdc files and the data
     * change land atomically, and backfill re-emits the `cdc` actions
@@ -256,7 +329,9 @@ object TxLog {
 
   private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean,
       schemaJson: String, txn: Option[(String, Long)] = None,
-      props: Map[String, String] = Map.empty): Long = {
+      props: Map[String, String] = Map.empty,
+      newRids: Map[String, (Long, Long)] = Map.empty,
+      ridHwm: Option[Long] = None): Long = {
     val table = Paths.get(dir)
     var committed = -1L
     var removed: Seq[String] = Seq.empty
@@ -289,12 +364,23 @@ object TxLog {
       val prevDvs =
         if (carryPrevious) cur.map(manifestDvs(table, _)).getOrElse(Map.empty)
         else Map.empty[String, String]
+      // row-tracking ids carry forward with their files; an overwrite
+      // drops the entries but NEVER the high-water mark (spent ids are
+      // spent — the spec's no-reissue rule)
+      val prevRids =
+        if (carryPrevious) cur.map(manifestRids(table, _)).getOrElse(Map.empty)
+        else Map.empty[String, Rid]
+      val rids = prevRids ++ newRids.map { case (rel, (b, n)) =>
+        rel -> Rid(b, n, next)
+      }
+      val hwm = (cur.flatMap(manifestRidHwm(table, _)).toSeq ++ ridHwm.toSeq)
+        .maxOption
       val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
       val header = txn.map { case (app, tv) => s"#txn $app $tv\n" }.getOrElse("") +
         (if (props.isEmpty) ""
          else "#props " + props.toSeq.sortBy(_._1)
            .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(" ") + "\n") +
-        dvLines(prevDvs) +
+        dvLines(prevDvs) + ridLines(rids, hwm) +
         "#op WRITE 1\n" // appends/overwrites always change data
       Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
       try {
@@ -360,8 +446,9 @@ object TxLog {
             case (rel, d) if !dvPrev.get(rel).contains(d) =>
               rel -> ((d, dvPrev.get(rel)))
           }
+          val addedV = cur.filterNot(prev.toSet)
           DeltaLog.mirrorCommit(table, v,
-            cur.filterNot(prev.toSet), prev.filterNot(cur.toSet), schemaJson,
+            addedV, prev.filterNot(cur.toSet), schemaJson,
             dataChange = bdc, operation = bop,
             txn = manifestTxn(table, v), props = manifestProps(table, v),
             dvUpdates = dvUp, cdcAdds = manifestCdc(table, v),
@@ -370,7 +457,11 @@ object TxLog {
             // wall-clock — TIMESTAMP AS OF stays historically accurate
             commitTime = scala.util.Try(
               Files.getLastModifiedTime(manifestPath(table, v)).toMillis)
-              .toOption)
+              .toOption,
+            // row-tracking ids re-derive from the manifests' #rid state,
+            // so baseRowIds stay version-accurate across a crash too
+            rowIds = mirrorRids(table, v, addedV.toSet ++ dvUp.keySet),
+            domains = ridDomain(table, v))
         } catch { case _: java.io.IOException => () }
       if (contiguous && DeltaLog.isMirrored(table, v)) floor = v
       else contiguous = false
@@ -378,7 +469,9 @@ object TxLog {
     }
     try {
       DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson,
-        dataChange, operation, txn, props, cdcAdds = cdcAdds)
+        dataChange, operation, txn, props, cdcAdds = cdcAdds,
+        rowIds = mirrorRids(table, committed, added.toSet),
+        domains = ridDomain(table, committed))
       if (contiguous && floor == committed - 1) floor = committed
     } catch { case _: java.io.IOException => () }
     mirrorFloor.updateWith(dir)(old => Some(math.max(old.getOrElse(0L), floor)))
@@ -776,8 +869,10 @@ object TxLog {
     val sj = newHwm.foldLeft(effectiveSchemaJson(full, dir)) {
       case (js, (n, h)) => withIdentityHwm(js, n, h)
     }
-    val v = commitFiles(dir, writeBatch(full, table, partitionBy),
-      carryPrevious = true, sj)
+    val added = writeBatch(full, table, partitionBy)
+    val (rids, hwm) = freshRids(dir, table, added)
+    val v = commitFiles(dir, added, carryPrevious = true, sj,
+      newRids = rids, ridHwm = hwm)
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
   }
@@ -812,11 +907,16 @@ object TxLog {
     DeltaLog.warmMetaCache(df.sparkSession, table)
     if (lastTxnVersion(df.sparkSession, dir, appId).exists(_ >= txnVersion))
       return None
-    val full = validateAndComplete(df, dir)
+    val (withIds0, newHwm0) = assignIdentity(df, dir)
+    val full = validateAndComplete(withIds0, dir)
+    val sjOnce = newHwm0.foldLeft(effectiveSchemaJson(full, dir)) {
+      case (js, (n, h)) => withIdentityHwm(js, n, h)
+    }
     val added = writeBatch(full, table, partitionBy)
+    val (rids0, hwm0) = freshRids(dir, table, added)
     val v = commitFiles(dir, added,
-      carryPrevious = true, effectiveSchemaJson(full, dir),
-      txn = Some((appId, txnVersion)))
+      carryPrevious = true, sjOnce,
+      txn = Some((appId, txnVersion)), newRids = rids0, ridHwm = hwm0)
     if (v < 0) {
       // lost the race to a concurrent identical retry: reclaim the
       // staged batch eagerly (vacuum would sweep it as an orphan later)
@@ -879,6 +979,15 @@ object TxLog {
     // (DELETE/UPDATE/MERGE/RESTORE); OPTIMIZE passes — dataChange=false
     // moves bytes, not rows, stock Delta's own rule
     if (dataChange && removedSet.nonEmpty) enforceAppendOnly(dir, operation)
+    // a rewrite REPLACES files, and replacement rows would renumber
+    // their stable ids — refuse on row-tracked tables until materialized
+    // row ids exist; the merge-on-read paths (deleteWhereDv /
+    // updateWhereDv) preserve ids and stay available
+    if (removedSet.nonEmpty && rowTrackingOn(dir))
+      sys.error(s"$dir: $operation rewrites data files on a row-tracked " +
+        "table (delta.enableRowTracking=true) — stable row ids would be " +
+        "renumbered; use the merge-on-read paths (deleteWhereDv/" +
+        "updateWhereDv) instead")
     val next = base + 1
     val prev = readManifest(table, base)
     val all = prev.filterNot(removedSet) ++ added
@@ -887,7 +996,11 @@ object TxLog {
     // a rewritten file's DV dies with it: the rewrite read the file
     // DV-filtered, so the replacement materialized the deletes
     val keptDvs = manifestDvs(table, base).filterNot(d => removedSet(d._1))
-    val header = dvLines(keptDvs) + cdcLines(cdcRels) +
+    // surviving files keep their rid entries; the high-water mark is
+    // carried even when every tracked file is gone (ids never reissue)
+    val keptRids = manifestRids(table, base).filterNot(r => removedSet(r._1))
+    val header = dvLines(keptDvs) +
+      ridLines(keptRids, manifestRidHwm(table, base)) + cdcLines(cdcRels) +
       s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
     Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
     try {
@@ -1162,9 +1275,16 @@ object TxLog {
     val table = Paths.get(dir)
     val next = base + 1
     val prev = readManifest(table, base)
+    // a DV commit moves no file: every rid carries forward; UPDATE's
+    // appended postimage files claim fresh id spans
+    val (newRids, newHwm) = freshRids(dir, table, added)
+    val keptRids = manifestRids(table, base) ++ newRids.map {
+      case (rel, (b, n)) => rel -> Rid(b, n, next)
+    }
+    val hwm = (manifestRidHwm(table, base).toSeq ++ newHwm.toSeq).maxOption
     val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-    val header = dvLines(oldDvs ++ updates) + cdcLines(cdcRels) +
-      s"#op $operation 1\n"
+    val header = dvLines(oldDvs ++ updates) + ridLines(keptRids, hwm) +
+      cdcLines(cdcRels) + s"#op $operation 1\n"
     Files.write(tmp, (header + (prev ++ added).mkString("\n")).getBytes("UTF-8"))
     try {
       Files.createLink(manifestPath(table, next), tmp)
@@ -1179,7 +1299,9 @@ object TxLog {
     try DeltaLog.mirrorCommit(table, next, added, Seq.empty, schemaJson,
       dataChange = true, operation = operation,
       dvUpdates = updates.map { case (rel, d) => rel -> ((d, oldDvs.get(rel))) },
-      cdcAdds = cdcRels)
+      cdcAdds = cdcRels,
+      rowIds = mirrorRids(table, next, added.toSet ++ updates.keySet),
+      domains = ridDomain(table, next))
     catch { case _: java.io.IOException => () }
     next
   }
@@ -1599,6 +1721,74 @@ object TxLog {
     snapshotAt(spark, dir, currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir")))
 
+  /** Snapshot with each row's STABLE id attached as `_row_id`
+    * (= the file's baseRowId + the row's physical position — exactly
+    * the Delta rowTracking fresh-id rule). Deletion vectors hide rows
+    * without moving survivors, so ids are delete-stable by
+    * construction; appends extend the id space monotonically. The
+    * per-file base map is config-scale (one row per live file,
+    * broadcast): the corpus itself is never shuffled, and the position
+    * comes free from the scan's `_metadata.row_index` — at 100 TB this
+    * costs one broadcast-hash-join probe per row, no window, no sort.
+    *
+    * Files committed before row tracking was enabled have no id span;
+    * nonzero-row legacy files refuse loudly (enable
+    * `delta.enableRowTracking` before the first data commit).
+    */
+  def snapshotWithRowIds(spark: SparkSession, dir: String): DataFrame = {
+    val table = Paths.get(dir)
+    val version = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    // config may live only in the checkpoint after the JSON prefix ages
+    DeltaLog.warmMetaCache(spark, table)
+    if (!rowTrackingOn(dir))
+      sys.error(s"$dir: snapshotWithRowIds needs delta.enableRowTracking=true")
+    val rels = readManifest(table, version)
+    val rids = manifestRids(table, version)
+    val missing = rels.filterNot(rids.contains)
+      .filterNot(rel => DeltaLog.fileRowCount(table.resolve(rel)).contains(0L))
+    if (missing.nonEmpty)
+      sys.error(s"$dir: ${missing.size} data file(s) predate row tracking " +
+        "and carry rows — enable delta.enableRowTracking before the first " +
+        "data commit")
+    val dvs = manifestDvs(table, version)
+    val schema = DeltaLog.mirroredSchemaAt(spark, table, version - 1)
+    // canonicalize `_metadata.file_path` (URI-escaped) to the raw path
+    // the manifest-derived map keys on — same rule the Iceberg reader
+    // applies to its delete-file joins
+    val norm = (c: Column) =>
+      when(c.startsWith("file:"),
+        regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
+          "^file:/+", "/"))
+        .otherwise(c)
+    def rd = schema.map(spark.read.schema).getOrElse(spark.read)
+    def withProvenance(df: DataFrame): DataFrame = {
+      val out = df
+        .withColumn("__file", norm(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      if (dvs.isEmpty) out
+      else {
+        val keep = DeletionVectors.keepUdf(spark, table, dvs)
+        out.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+      }
+    }
+    val scanned =
+      if (!rels.exists(_.split("/").exists(_.contains("="))))
+        withProvenance(rd.parquet(rels.map(r => table.resolve(r).toString): _*))
+      else rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+        .map { case (batch, fs) =>
+          withProvenance(rd.option("basePath", table.resolve(batch).toString)
+            .parquet(fs.map(r => table.resolve(r).toString): _*))
+        }.reduce(_.unionByName(_))
+    import spark.implicits._
+    val bases = rids.toSeq.map { case (rel, r) =>
+      (table.resolve(rel).toAbsolutePath.toString, r.base)
+    }.toDF("__file_abs", "__base")
+    val cols = scanned.columns.filterNot(Set("__file", "__pos")).map(col).toSeq
+    scanned.join(broadcast(bases), col("__file") === col("__file_abs"))
+      .select(cols :+ (col("__base") + col("__pos")).as("_row_id"): _*)
+  }
+
   /** The reference dashboard's raw directory glob (`dashboard.py:29-31`):
     * sees every parquet fragment, committed or not.
     */
@@ -1834,6 +2024,27 @@ object TxLog {
       table
     })
 
+  /** Row tracking enabled before the first data commit, two
+    * deterministic single-sorted-file appends (ids = row_number in
+    * (batch, event_id) order), then a merge-on-read DELETE — the
+    * surviving rows must keep their ORIGINAL ids, which is the whole
+    * point of stable row identity. */
+  private def rowIdsTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"rid:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_rid").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.limit(0), table)
+      setTableProperties(spark, table, Map(
+        "delta.enableRowTracking" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+      commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .coalesce(1).sortWithinPartitions("event_id"), table)
+      commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .coalesce(1).sortWithinPartitions("event_id"), table)
+      deleteWhereDv(spark, table, pmod(col("event_id"), lit(7)) === 0)
+      table
+    })
+
   /** Materialize the fixture tables (idempotent) — bench-warmup hook. */
   def prepare(spark: SparkSession, dir: String): Unit = {
     snapshotTable(spark, dir)
@@ -1846,6 +2057,7 @@ object TxLog {
     optimizeTable(spark, dir)
     evolutionTable(spark, dir)
     identityTable(spark, dir)
+    rowIdsTable(spark, dir)
   }
 
   /** Oracle-checked query: the snapshot must aggregate exactly the
@@ -2427,8 +2639,36 @@ object TxLog {
       |  CAST(sum(row_sid * event_id) AS BIGINT) AS chk
       |FROM ordered""".stripMargin
 
+  /** Oracle-checked ROW TRACKING: after a merge-on-read DELETE the
+    * survivors must keep the ids assigned at append time — max(_row_id)
+    * stays at the pre-delete ceiling while count shrinks, and the
+    * product checksum pins every (row, id) pairing, not just the
+    * envelope.
+    */
+  def rowIdsQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshotWithRowIds(spark, rowIdsTable(spark, dir))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("_row_id")).as("n_distinct"),
+        min(col("_row_id")).as("min_rid"),
+        max(col("_row_id")).as("max_rid"),
+        sum(col("_row_id") * col("event_id")).as("chk"))
+
+  val rowIdsQueryOracle: String =
+    """WITH ordered AS (
+      |  SELECT event_id,
+      |    row_number() OVER (ORDER BY (event_id % 2) <> 0, event_id) - 1
+      |      AS rid
+      |  FROM events
+      |)
+      |SELECT count(*) AS n,
+      |  CAST(count(DISTINCT rid) AS BIGINT) AS n_distinct,
+      |  min(rid) AS min_rid, max(rid) AS max_rid,
+      |  CAST(sum(rid * event_id) AS BIGINT) AS chk
+      |FROM ordered WHERE event_id % 7 <> 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog_identity" -> identityQuery _,
+    "q_txlog_rowids" -> rowIdsQuery _,
     "q_txlog_defaults" -> defaultsQuery _,
     "q_txlog_zorder" -> zorderQuery _,
     "q_generated_partition" -> generatedQuery _,
@@ -2451,6 +2691,7 @@ object TxLog {
 
   def oracles: Map[String, String] = Map(
     "q_txlog_identity" -> identityQueryOracle,
+    "q_txlog_rowids" -> rowIdsQueryOracle,
     "q_txlog_defaults" -> defaultsQueryOracle,
     "q_txlog_zorder" -> zorderQueryOracle,
     "q_generated_partition" -> generatedQueryOracle,

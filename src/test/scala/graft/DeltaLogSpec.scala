@@ -162,7 +162,8 @@ class DeltaLogSpec extends SparkSpec {
     assert(lc.get("size").asLong() > 2, "protocol + metaData + adds")
     // checkpoint file itself must carry the Delta checkpoint shape
     val cp = s.read.parquet(ld.resolve(f"$cpV%020d.checkpoint.parquet").toString)
-    assert(cp.columns.toSet == Set("protocol", "metaData", "add", "remove", "txn"))
+    assert(cp.columns.toSet ==
+      Set("protocol", "metaData", "add", "remove", "txn", "domainMetadata"))
     assert(cp.filter(col("protocol").isNotNull).count() == 1)
     assert(cp.filter(col("metaData").isNotNull).count() == 1)
     assert(cp.filter(col("add").isNotNull).count() > 0)
@@ -2184,6 +2185,79 @@ class DeltaLogSpec extends SparkSpec {
     }
     // the full table still replays through the external Delta path
     assert(DeltaLog.snapshot(s, t).count() == TxLog.snapshot(s, t).count())
+  }
+
+  test("row tracking mirrors as baseRowId adds + delta.rowTracking domain metadata") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_rid_mirror").toString
+    TxLog.commitAppend(ev.limit(0), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    TxLog.commitAppend(ev.filter(col("event_id") <= 300)
+      .repartitionByRange(3, col("event_id")), t)          // v3: 3 files
+    val n1 = ev.filter(col("event_id") <= 300).count()
+    // the data commit's mirror: every add carries baseRowId +
+    // defaultRowCommitVersion, spans are disjoint, and the commit's
+    // domainMetadata advances the high-water mark
+    val a2 = actions(t, 2L)
+    val adds = a2.flatMap(n => Option(n.get("add")))
+    assert(adds.nonEmpty && adds.forall(a =>
+      a.has("baseRowId") && a.get("defaultRowCommitVersion").asLong() == 2L),
+      s"adds must carry row-tracking fields: $adds")
+    val spans = adds.map(a => a.get("baseRowId").asLong()).sorted
+    assert(spans.head == 0L, s"fresh ids start at 0: $spans")
+    val dm = a2.flatMap(n => Option(n.get("domainMetadata")))
+    assert(dm.exists(d => d.get("domain").asText() == "delta.rowTracking" &&
+      d.get("configuration").asText().contains(s""""rowIdHighWaterMark":${n1 - 1}""")),
+      s"hwm domain action missing: $dm")
+    assert(DeltaLog.domainMetadataMap(s, t)
+      .get("delta.rowTracking").exists(_.contains((n1 - 1).toString)))
+    // protocol gates writers on both features
+    val proto = a2.find(_.has("protocol")).map(_.toString)
+      .orElse(actions(t, 1L).find(_.has("protocol")).map(_.toString))
+      .getOrElse("")
+    assert(proto.contains("rowTracking") && proto.contains("domainMetadata"),
+      proto)
+    // DV delete: the re-added file keeps its ORIGINAL base + version
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 50,
+      Seq(("event_id", null, java.lang.Long.valueOf(50L))))
+    val a3 = actions(t, 3L)
+    val reAdd = a3.filter(n => n.has("add") &&
+      n.get("add").has("deletionVector")).map(_.get("add"))
+    assert(reAdd.nonEmpty && reAdd.forall(a =>
+      a.has("baseRowId") && a.get("defaultRowCommitVersion").asLong() == 2L),
+      s"DV re-adds must preserve original row-tracking fields: $reAdd")
+    // checkpoint + aged-out prefix: ids and the hwm survive compaction
+    DeltaLog.checkpoint(s, t)
+    val ld = Paths.get(t, "_delta_log")
+    Files.list(ld).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach(Files.delete)
+    DeltaLog.resetMetaCache(Paths.get(t))
+    TxLog.resetMirrorCache()
+    assert(DeltaLog.domainMetadataMap(s, t)
+      .get("delta.rowTracking").exists(_.contains((n1 - 1).toString)),
+      "hwm must survive into the checkpoint")
+    val cp = spark.read.parquet(
+      Files.list(ld).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".checkpoint.parquet")).get.toString)
+    val cpAdds = cp.filter(col("add").isNotNull)
+      .select(col("add.baseRowId"),
+        get_json_object(col("add.stats"), "$.numRecords").cast("long"))
+      .collect()
+    assert(cpAdds.count(!_.isNullAt(0)) >= 3,
+      s"checkpointed adds must keep baseRowId: ${cpAdds.mkString(",")}")
+    // the only untracked file is the zero-row schema-bootstrap batch
+    cpAdds.filter(_.isNullAt(0)).foreach(r =>
+      assert(!r.isNullAt(1) && r.getLong(1) == 0L,
+        s"a row-carrying file lost its baseRowId in the checkpoint: $r"))
+    // and the engine still reads correct ids through the manifests
+    assert(TxLog.snapshotWithRowIds(s, t)
+      .agg(org.apache.spark.sql.functions.max(col("_row_id")))
+      .collect()(0).getLong(0) == n1 - 1)
   }
 
   test("backfilled ICT commits stamp the manifest mtime, not re-mirror wall clock") {

@@ -877,6 +877,52 @@ class TxLogSpec extends SparkSpec {
       protoLine.contains("\"minWriterVersion\":7"), protoLine)
   }
 
+  test("row tracking: ids are delete-stable, append-monotonic, and rewrites refuse") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    TxLog.commitAppend(events.filter(col("event_id") <= 200)
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    val before = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before.values.toSeq.distinct.size == before.size, "ids unique")
+    assert(before.values.min == 0L, "fresh ids start at 0")
+    // merge-on-read DELETE: every survivor keeps its EXACT id
+    TxLog.deleteWhereDv(s, t, pmod(col("event_id"), lit(3)) === 0)
+    val after = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.nonEmpty && after.size < before.size)
+    after.foreach { case (eid, rid) =>
+      assert(before(eid) == rid, s"row $eid was renumbered: ${before(eid)} -> $rid")
+    }
+    // a later append claims ids PAST the deleted ones (never reissued)
+    TxLog.commitAppend(events.filter(col("event_id").between(201, 220))
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    val later = TxLog.snapshotWithRowIds(s, t)
+    val newMin = later.filter(col("event_id") >= 201)
+      .agg(min(col("_row_id"))).collect()(0).getLong(0)
+    assert(newMin == before.size.toLong,
+      s"new ids must start at the old high-water mark + 1, got $newMin")
+    // copy-on-write rewrites would renumber ids -> refuse
+    val e1 = intercept[RuntimeException](
+      TxLog.deleteWhere(s, t, col("event_id") === 1))
+    assert(e1.getMessage.contains("row-tracked"), e1.getMessage)
+    val e2 = intercept[RuntimeException](TxLog.optimize(s, t))
+    assert(e2.getMessage.contains("row-tracked"), e2.getMessage)
+    // enabling late on a table that already holds rows refuses id reads
+    val t2 = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") <= 10), t2)
+    TxLog.setTableProperties(s, t2, Map("delta.enableRowTracking" -> "true"))
+    val e3 = intercept[RuntimeException](TxLog.snapshotWithRowIds(s, t2).count())
+    assert(e3.getMessage.contains("predate row tracking"), e3.getMessage)
+  }
+
   test("identity columns: allowExplicitInsert accepts values and advances the mark past them") {
     val s = spark
     import org.apache.spark.sql.functions._
