@@ -122,11 +122,25 @@ object TxLog {
       .filter(_.startsWith("#ridhwm "))
       .map(_.stripPrefix("#ridhwm ").trim.toLong).nextOption()
 
-  private def ridLines(rids: Map[String, Rid], hwm: Option[Long]): String =
+  private def ridLines(rids: Map[String, Rid], hwm: Option[Long],
+      mat: Set[String] = Set.empty): String =
     hwm.map(h => s"#ridhwm $h\n").getOrElse("") +
       rids.toSeq.sortBy(_._1).map { case (rel, r) =>
         s"#rid ${enc(rel)} ${r.base} ${r.n} ${r.v0}\n"
-      }.mkString
+      }.mkString +
+      mat.toSeq.sorted.map(rel => s"#ridmat ${enc(rel)}\n").mkString
+
+  /** Files whose rows carry MATERIALIZED row ids (an OPTIMIZE rewrote
+    * them; ids ride the named column, not base + position). Carried
+    * forward like `#rid`. */
+  private[graft] def manifestRidMat(table: Path, v: Long): Set[String] =
+    Files.readAllLines(manifestPath(table, v)).asScala.iterator
+      .filter(_.startsWith("#ridmat "))
+      .map(l => dec(l.stripPrefix("#ridmat ").trim)).toSet
+
+  private def matRowIdCol(dir: String): Option[String] =
+    DeltaLog.tableConfig(Paths.get(dir))
+      .get("delta.rowTracking.materializedRowIdColumnName")
 
   private def rowTrackingOn(dir: String): Boolean =
     DeltaLog.tableConfig(Paths.get(dir)).get("delta.enableRowTracking")
@@ -375,12 +389,16 @@ object TxLog {
       }
       val hwm = (cur.flatMap(manifestRidHwm(table, _)).toSeq ++ ridHwm.toSeq)
         .maxOption
+      val prevMat =
+        if (carryPrevious)
+          cur.map(manifestRidMat(table, _)).getOrElse(Set.empty[String])
+        else Set.empty[String]
       val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
       val header = txn.map { case (app, tv) => s"#txn $app $tv\n" }.getOrElse("") +
         (if (props.isEmpty) ""
          else "#props " + props.toSeq.sortBy(_._1)
            .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(" ") + "\n") +
-        dvLines(prevDvs) + ridLines(rids, hwm) +
+        dvLines(prevDvs) + ridLines(rids, hwm, prevMat) +
         "#op WRITE 1\n" // appends/overwrites always change data
       Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
       try {
@@ -502,8 +520,21 @@ object TxLog {
     DeltaLog.warmMetaCache(spark, table)
     val schemaJson = DeltaLog.currentSchemaString(table).getOrElse(
       sys.error(s"$dir: no mirrored metaData — commit data before setting properties"))
+    // enabling row tracking names the MATERIALIZED row-id column up
+    // front (the spec's delta.rowTracking.materializedRowIdColumnName):
+    // OPTIMIZE preserves ids by writing them under this name, and
+    // readers — ours and foreign — prefer it over base + position
+    val cfg0 = DeltaLog.tableConfig(table)
+    val effPropsSet =
+      if (props.get("delta.enableRowTracking").contains("true") &&
+          !cfg0.contains("delta.rowTracking.materializedRowIdColumnName") &&
+          !props.contains("delta.rowTracking.materializedRowIdColumnName"))
+        props + ("delta.rowTracking.materializedRowIdColumnName" ->
+          s"_row-id-col-${java.util.UUID.nameUUIDFromBytes(
+            table.toAbsolutePath.toString.getBytes("UTF-8"))}")
+      else props
     val v = commitFiles(dir, Seq.empty, carryPrevious = true, schemaJson,
-      props = props)
+      props = effPropsSet)
     // installing GOVERNANCE must be durable in the mirror enforcement
     // reads from — a swallowed mirror IO failure here would silently
     // disable the very constraints being installed. (The #props
@@ -973,17 +1004,19 @@ object TxLog {
   private[graft] def commitRewrite(dir: String, base: Long, removedSet: Set[String],
       added: Seq[String], schemaJson: String,
       dataChange: Boolean = true, operation: String = "WRITE",
-      cdcRels: Seq[String] = Seq.empty): Long = {
+      cdcRels: Seq[String] = Seq.empty,
+      matAdded: Set[String] = Set.empty): Long = {
     val table = Paths.get(dir)
     // delta.appendOnly blocks any rewrite that CHANGES visible rows
     // (DELETE/UPDATE/MERGE/RESTORE); OPTIMIZE passes — dataChange=false
     // moves bytes, not rows, stock Delta's own rule
     if (dataChange && removedSet.nonEmpty) enforceAppendOnly(dir, operation)
     // a rewrite REPLACES files, and replacement rows would renumber
-    // their stable ids — refuse on row-tracked tables until materialized
-    // row ids exist; the merge-on-read paths (deleteWhereDv /
-    // updateWhereDv) preserve ids and stay available
-    if (removedSet.nonEmpty && rowTrackingOn(dir))
+    // their stable ids — refuse on row-tracked tables UNLESS the caller
+    // materialized the ids into the replacement files (OPTIMIZE does);
+    // the merge-on-read paths (deleteWhereDv/updateWhereDv) preserve
+    // ids and stay available
+    if (removedSet.nonEmpty && rowTrackingOn(dir) && matAdded.isEmpty)
       sys.error(s"$dir: $operation rewrites data files on a row-tracked " +
         "table (delta.enableRowTracking=true) — stable row ids would be " +
         "renumbered; use the merge-on-read paths (deleteWhereDv/" +
@@ -997,10 +1030,19 @@ object TxLog {
     // DV-filtered, so the replacement materialized the deletes
     val keptDvs = manifestDvs(table, base).filterNot(d => removedSet(d._1))
     // surviving files keep their rid entries; the high-water mark is
-    // carried even when every tracked file is gone (ids never reissue)
-    val keptRids = manifestRids(table, base).filterNot(r => removedSet(r._1))
+    // carried even when every tracked file is gone (ids never reissue).
+    // Materialized replacement files claim FRESH spans (spec: every add
+    // gets a baseRowId; readers prefer the materialized column) —
+    // "wasted" ids, which the spec explicitly allows.
+    val (newRids, newHwm) =
+      if (matAdded.isEmpty) (Map.empty[String, (Long, Long)], None)
+      else freshRids(dir, table, added)
+    val keptRids = manifestRids(table, base).filterNot(r => removedSet(r._1)) ++
+      newRids.map { case (rel, (b, n)) => rel -> Rid(b, n, next) }
+    val hwm = (manifestRidHwm(table, base).toSeq ++ newHwm.toSeq).maxOption
+    val keptMat = manifestRidMat(table, base).filterNot(removedSet) ++ matAdded
     val header = dvLines(keptDvs) +
-      ridLines(keptRids, manifestRidHwm(table, base)) + cdcLines(cdcRels) +
+      ridLines(keptRids, hwm, keptMat) + cdcLines(cdcRels) +
       s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
     Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
     try {
@@ -1283,7 +1325,8 @@ object TxLog {
     }
     val hwm = (manifestRidHwm(table, base).toSeq ++ newHwm.toSeq).maxOption
     val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-    val header = dvLines(oldDvs ++ updates) + ridLines(keptRids, hwm) +
+    val header = dvLines(oldDvs ++ updates) +
+      ridLines(keptRids, hwm, manifestRidMat(table, base)) +
       cdcLines(cdcRels) + s"#op $operation 1\n"
     Files.write(tmp, (header + (prev ++ added).mkString("\n")).getBytes("UTF-8"))
     try {
@@ -1518,14 +1561,29 @@ object TxLog {
     val partCols = pathPartCols(small.head)
     val bytes = small.map(rel => Files.size(table.resolve(rel))).sum
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = readRels(spark, table, small, dvs = manifestDvs(table, base))
+    // ROW-TRACKED tables compact with their ids MATERIALIZED: the
+    // packed files carry each row's preserved id under the config-named
+    // column (hidden from the table schema), so stable identity
+    // survives the rewrite — the spec's materialization rule. The scan
+    // is the same one pass the plain path pays, plus one long column.
+    val tracked = rowTrackingOn(dir)
+    val df =
+      if (tracked) relsWithRowIds(spark, dir, base, small)
+        .withColumnRenamed("_row_id", matRowIdCol(dir).getOrElse(
+          sys.error(s"$dir: row tracking on but no materialized row-id " +
+            "column name configured")))
+      else readRels(spark, table, small, dvs = manifestDvs(table, base))
     val packed =
       if (partCols.nonEmpty) df.repartition(nOut, partCols.map(col): _*)
       else df.repartition(nOut)
     val added = writeBatch(packed, table, partCols)
-    val v = commitRewrite(dir, base, small.toSet, added,
-      effectiveSchemaJson(packed, dir),
-      dataChange = false, operation = "OPTIMIZE")
+    // the committed schema must stay the TABLE schema — the
+    // materialized id column is file-level, never a table column
+    val sjOpt = effectiveSchemaJson(
+      matRowIdCol(dir).filter(_ => tracked).foldLeft(packed)(_.drop(_)), dir)
+    val v = commitRewrite(dir, base, small.toSet, added, sjOpt,
+      dataChange = false, operation = "OPTIMIZE",
+      matAdded = if (tracked) added.toSet else Set.empty)
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, small.size.toLong, big.size.toLong)
   }
@@ -1736,23 +1794,45 @@ object TxLog {
     * `delta.enableRowTracking` before the first data commit).
     */
   def snapshotWithRowIds(spark: SparkSession, dir: String): DataFrame = {
-    val table = Paths.get(dir)
     val version = currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir"))
+    relsWithRowIds(spark, dir, version,
+      readManifest(Paths.get(dir), version))
+  }
+
+  /** The row-id-attaching scan over a rel subset of `version`'s live
+    * set — shared by [[snapshotWithRowIds]] (all rels) and OPTIMIZE's
+    * materializing rewrite (the files being compacted). A file with a
+    * MATERIALIZED id column (`#ridmat`) contributes ids from that
+    * column; everything else derives base + position. */
+  private def relsWithRowIds(spark: SparkSession, dir: String, version: Long,
+      rels: Seq[String]): DataFrame = {
+    val table = Paths.get(dir)
     // config may live only in the checkpoint after the JSON prefix ages
     DeltaLog.warmMetaCache(spark, table)
     if (!rowTrackingOn(dir))
       sys.error(s"$dir: snapshotWithRowIds needs delta.enableRowTracking=true")
-    val rels = readManifest(table, version)
     val rids = manifestRids(table, version)
+    val mat = manifestRidMat(table, version)
+    val matCol = matRowIdCol(dir)
     val missing = rels.filterNot(rids.contains)
       .filterNot(rel => DeltaLog.fileRowCount(table.resolve(rel)).contains(0L))
     if (missing.nonEmpty)
       sys.error(s"$dir: ${missing.size} data file(s) predate row tracking " +
         "and carry rows — enable delta.enableRowTracking before the first " +
         "data commit")
+    if (mat.nonEmpty && matCol.isEmpty)
+      sys.error(s"$dir: #ridmat files present but " +
+        "delta.rowTracking.materializedRowIdColumnName is unset")
     val dvs = manifestDvs(table, version)
     val schema = DeltaLog.mirroredSchemaAt(spark, table, version - 1)
+      .getOrElse(sys.error(s"$dir: row-id reads need the mirrored schema"))
+    // materialized ids live in a column HIDDEN from the table schema:
+    // extend the read schema so files that carry it surface it (files
+    // that don't read it as null — exactly what coalesce wants)
+    val readSchema = matCol.filterNot(schema.fieldNames.contains)
+      .map(c => schema.add(c, org.apache.spark.sql.types.LongType,
+        nullable = true)).getOrElse(schema)
     // canonicalize `_metadata.file_path` (URI-escaped) to the raw path
     // the manifest-derived map keys on — same rule the Iceberg reader
     // applies to its delete-file joins
@@ -1761,7 +1841,6 @@ object TxLog {
         regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
           "^file:/+", "/"))
         .otherwise(c)
-    def rd = schema.map(spark.read.schema).getOrElse(spark.read)
     def withProvenance(df: DataFrame): DataFrame = {
       val out = df
         .withColumn("__file", norm(col("_metadata.file_path")))
@@ -1772,6 +1851,7 @@ object TxLog {
         out.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
       }
     }
+    def rd = spark.read.schema(readSchema)
     val scanned =
       if (!rels.exists(_.split("/").exists(_.contains("="))))
         withProvenance(rd.parquet(rels.map(r => table.resolve(r).toString): _*))
@@ -1784,9 +1864,13 @@ object TxLog {
     val bases = rids.toSeq.map { case (rel, r) =>
       (table.resolve(rel).toAbsolutePath.toString, r.base)
     }.toDF("__file_abs", "__base")
-    val cols = scanned.columns.filterNot(Set("__file", "__pos")).map(col).toSeq
+    val internal = Set("__file", "__pos") ++ matCol
+    val cols = scanned.columns.filterNot(internal).map(col).toSeq
+    val rowId = matCol
+      .map(c => coalesce(col(c), col("__base") + col("__pos")))
+      .getOrElse(col("__base") + col("__pos"))
     scanned.join(broadcast(bases), col("__file") === col("__file_abs"))
-      .select(cols :+ (col("__base") + col("__pos")).as("_row_id"): _*)
+      .select(cols :+ rowId.as("_row_id"): _*)
   }
 
   /** The reference dashboard's raw directory glob (`dashboard.py:29-31`):
@@ -2042,6 +2126,9 @@ object TxLog {
       commitAppend(ev.filter(pmod(col("event_id"), lit(2)) === 1)
         .coalesce(1).sortWithinPartitions("event_id"), table)
       deleteWhereDv(spark, table, pmod(col("event_id"), lit(7)) === 0)
+      // compaction MATERIALIZES the ids: the oracle's expected values
+      // are unchanged — that is the whole preservation claim
+      optimize(spark, table)
       table
     })
 

@@ -909,12 +909,31 @@ class TxLogSpec extends SparkSpec {
       .agg(min(col("_row_id"))).collect()(0).getLong(0)
     assert(newMin == before.size.toLong,
       s"new ids must start at the old high-water mark + 1, got $newMin")
-    // copy-on-write rewrites would renumber ids -> refuse
+    // copy-on-write DML would renumber ids -> refuse
     val e1 = intercept[RuntimeException](
       TxLog.deleteWhere(s, t, col("event_id") === 1))
     assert(e1.getMessage.contains("row-tracked"), e1.getMessage)
-    val e2 = intercept[RuntimeException](TxLog.optimize(s, t))
-    assert(e2.getMessage.contains("row-tracked"), e2.getMessage)
+    // OPTIMIZE is allowed: it MATERIALIZES ids into the packed files,
+    // so every surviving row keeps its exact id through the rewrite
+    val preOpt = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val filesBefore = TxLog.snapshot(s, t).inputFiles.toSet
+    val r = TxLog.optimize(s, t)
+    assert(r.filesRewritten >= 2, s"optimize must pack: $r")
+    assert(TxLog.snapshot(s, t).inputFiles.toSet != filesBefore)
+    val postOpt = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(postOpt == preOpt, "OPTIMIZE must preserve every stable row id")
+    // the plain snapshot never exposes the materialized id column
+    assert(!TxLog.snapshot(s, t).columns.exists(_.startsWith("_row-id-col-")))
+    // ids keep working for DML AFTER the compaction too
+    TxLog.deleteWhereDv(s, t, col("event_id") === 7)
+    val postDel = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(postDel == preOpt - 7L, "post-optimize DV delete keeps survivor ids")
     // enabling late on a table that already holds rows refuses id reads
     val t2 = freshTable()
     TxLog.commitAppend(events.filter(col("event_id") <= 10), t2)
