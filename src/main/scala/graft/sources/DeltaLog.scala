@@ -2089,6 +2089,91 @@ object DeltaLog {
     snapshotAt(spark, dir, latest)
   }
 
+  /** FOREIGN-reader row-id snapshot: `_row_id` attached from the DELTA
+    * LOG ALONE — `add.baseRowId` via replay (JSON tail or checkpoint),
+    * positions from `_metadata.row_index`, materialized ids from the
+    * column `delta.rowTracking.materializedRowIdColumnName` names,
+    * resolved by one coalesce. The twin of [[TxLog.snapshotWithRowIds]]
+    * (which reads the `#rid` manifest headers): any rowTracking-aware
+    * Delta reader consuming this log computes the same ids, and a spec
+    * asserts the two agree. Same scale shape — one config-scale
+    * broadcast (file → base) map, the corpus never shuffles. DV-bearing
+    * files filter by position first (hidden rows keep no id).
+    * Column-mapped tables refuse (ids are orthogonal; the combined read
+    * is future work).
+    */
+  def snapshotWithRowIds(spark: SparkSession, dir: String): DataFrame = {
+    val table = Paths.get(dir)
+    val latest = (versions(dir) ++ lastCheckpointVersion(table))
+      .maxOption.getOrElse(sys.error(s"no Delta commits in $dir"))
+    val pl = replayPlan(table, latest)
+    protocolGuard(spark, table, pl)
+    val (live, _, metaOpt) = liveState(spark, table, pl)
+    val meta = metaOpt.getOrElse(sys.error(s"$dir: no metaData action"))
+    if (mappingMode(Some(meta)) != "none")
+      sys.error(s"$dir: row-id reads of column-mapped tables are not supported")
+    val cfg = Option(meta.get("configuration")).map(_.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    if (!cfg.get("delta.enableRowTracking").contains("true"))
+      sys.error(s"$dir: snapshotWithRowIds needs delta.enableRowTracking=true")
+    val matCol = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    // config-scale: one row per live file
+    val st = live.select(col("path"), col("dv"), col("baseRowId"),
+      get_json_object(col("stats"), "$.numRecords").cast(LongType).as("nr"))
+      .collect()
+    val fs = st.map { r =>
+      (decodePath(r.getString(0)), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toSeq
+    val untracked = fs.filter(f => f._3.isEmpty && !f._4.contains(0L))
+    if (untracked.nonEmpty)
+      sys.error(s"$dir: ${untracked.size} row-carrying add(s) have no " +
+        "baseRowId — the log predates row tracking for them")
+    val dvs = fs.collect { case (p, Some(d), _, _) => p -> d }.toMap
+    val schema = tableSchemaOf(dir, Some(meta))
+    val readSchema = matCol.filterNot(schema.fieldNames.contains)
+      .map(c => schema.add(c, LongType, nullable = true)).getOrElse(schema)
+    val norm = (c: org.apache.spark.sql.Column) =>
+      when(c.startsWith("file:"),
+        regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
+          "^file:/+", "/"))
+        .otherwise(c)
+    def withProvenance(df: DataFrame): DataFrame = {
+      val out = df
+        .withColumn("__file", norm(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      if (dvs.isEmpty) out
+      else {
+        val keep = DeletionVectors.keepUdf(spark, table, dvs)
+        out.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+      }
+    }
+    val rels = fs.map(_._1)
+    def rd = spark.read.schema(readSchema)
+    val scanned =
+      if (!rels.exists(_.split("/").exists(_.contains("="))))
+        withProvenance(rd.parquet(rels.map(r =>
+          resolveDataPath(table, r).toString): _*))
+      else rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+        .map { case (batch, fsB) =>
+          withProvenance(rd.option("basePath", table.resolve(batch).toString)
+            .parquet(fsB.map(r => resolveDataPath(table, r).toString): _*))
+        }.reduce(_.unionByName(_))
+    import spark.implicits._
+    val bases = fs.collect { case (p, _, Some(b), _) =>
+      (resolveDataPath(table, p).toAbsolutePath.toString, b)
+    }.toDF("__file_abs", "__base")
+    val internal = Set("__file", "__pos") ++ matCol
+    val cols = scanned.columns.filterNot(internal).map(col).toSeq
+    val rowId = matCol
+      .map(c => coalesce(col(c), col("__base") + col("__pos")))
+      .getOrElse(col("__base") + col("__pos"))
+    scanned.join(broadcast(bases), col("__file") === col("__file_abs"),
+        "left")
+      .select(cols :+ rowId.as("_row_id"): _*)
+  }
+
   /** A commit's wall-clock time: `commitInfo.timestamp` when the action
     * is present (this engine's mirror always writes it), else the commit
     * file's modification time — the exact fallback order stock Delta's

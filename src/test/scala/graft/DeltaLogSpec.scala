@@ -2258,6 +2258,16 @@ class DeltaLogSpec extends SparkSpec {
     assert(TxLog.snapshotWithRowIds(s, t)
       .agg(org.apache.spark.sql.functions.max(col("_row_id")))
       .collect()(0).getLong(0) == n1 - 1)
+    // FOREIGN path: the Delta-log-only reader (checkpointed baseRowId +
+    // DV descriptors, no manifests consulted) computes the SAME ids
+    val viaLog = DeltaLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaManifest = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLog == viaManifest,
+      "log-replay ids must equal manifest-derived ids")
   }
 
   test("backfilled ICT commits stamp the manifest mtime, not re-mirror wall clock") {

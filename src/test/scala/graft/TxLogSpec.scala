@@ -926,6 +926,11 @@ class TxLogSpec extends SparkSpec {
       .select(col("event_id"), col("_row_id")).collect()
       .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
     assert(postOpt == preOpt, "OPTIMIZE must preserve every stable row id")
+    // the Delta-log-only foreign reader agrees on the MATERIALIZED form
+    val viaLog = graft.sources.DeltaLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(viaLog == postOpt, "foreign reader must honor materialized ids")
     // the plain snapshot never exposes the materialized id column
     assert(!TxLog.snapshot(s, t).columns.exists(_.startsWith("_row-id-col-")))
     // ids keep working for DML AFTER the compaction too
