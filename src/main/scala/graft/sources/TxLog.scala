@@ -464,7 +464,16 @@ object TxLog {
             case (rel, d) if !dvPrev.get(rel).contains(d) =>
               rel -> ((d, dvPrev.get(rel)))
           }
-          val addedV = cur.filterNot(prev.toSet)
+          // a file both re-added AND DV-bearing (RESTORE) must mirror
+          // through the remove+add DV pair ONLY — two add actions for
+          // one path in one version would make replay ambiguous; a
+          // surviving file whose DV was DROPPED (RESTORE to a
+          // pre-delete state) re-adds plain, so replay stops hiding
+          // the rows the restore brought back
+          val dvDropped = (dvPrev.keySet -- manifestDvs(table, v).keySet)
+            .intersect(cur.toSet).toSeq.sorted
+          val addedV = (cur.filterNot(prev.toSet).filterNot(dvUp.keySet) ++
+            dvDropped).distinct
           DeltaLog.mirrorCommit(table, v,
             addedV, prev.filterNot(cur.toSet), schemaJson,
             dataChange = bdc, operation = bop,
@@ -486,9 +495,26 @@ object TxLog {
       v += 1
     }
     try {
-      DeltaLog.mirrorCommit(table, committed, added, removed, schemaJson,
+      // same DV-diff discipline as the backfill: a live RESTORE can
+      // re-instate, change, or drop descriptors on files it re-adds or
+      // keeps — the mirror must carry each through the spec's
+      // remove+add pair (changed) or a plain re-add (dropped), never
+      // two adds for one path in one version
+      val dvNowL = manifestDvs(table, committed)
+      val dvPrevL = if (committed <= 1) Map.empty[String, String]
+        else manifestDvs(table, committed - 1)
+      val dvUpL = dvNowL.collect {
+        case (rel, d) if !dvPrevL.get(rel).contains(d) =>
+          rel -> ((d, dvPrevL.get(rel)))
+      }
+      val curSetL = readManifest(table, committed).toSet
+      val dvDroppedL = (dvPrevL.keySet -- dvNowL.keySet)
+        .intersect(curSetL).toSeq.sorted
+      val addedL = (added.filterNot(dvUpL.keySet) ++ dvDroppedL).distinct
+      DeltaLog.mirrorCommit(table, committed, addedL, removed, schemaJson,
         dataChange, operation, txn, props, cdcAdds = cdcAdds,
-        rowIds = mirrorRids(table, committed, added.toSet),
+        dvUpdates = dvUpL,
+        rowIds = mirrorRids(table, committed, addedL.toSet ++ dvUpL.keySet),
         domains = ridDomain(table, committed))
       if (contiguous && floor == committed - 1) floor = committed
     } catch { case _: java.io.IOException => () }
@@ -1005,7 +1031,10 @@ object TxLog {
       added: Seq[String], schemaJson: String,
       dataChange: Boolean = true, operation: String = "WRITE",
       cdcRels: Seq[String] = Seq.empty,
-      matAdded: Set[String] = Set.empty): Long = {
+      matAdded: Set[String] = Set.empty,
+      restoredRids: Map[String, Rid] = Map.empty,
+      restoredMat: Set[String] = Set.empty,
+      dvOverride: Option[Map[String, String]] = None): Long = {
     val table = Paths.get(dir)
     // delta.appendOnly blocks any rewrite that CHANGES visible rows
     // (DELETE/UPDATE/MERGE/RESTORE); OPTIMIZE passes — dataChange=false
@@ -1016,7 +1045,8 @@ object TxLog {
     // materialized the ids into the replacement files (OPTIMIZE does);
     // the merge-on-read paths (deleteWhereDv/updateWhereDv) preserve
     // ids and stay available
-    if (removedSet.nonEmpty && rowTrackingOn(dir) && matAdded.isEmpty)
+    if (removedSet.nonEmpty && rowTrackingOn(dir) && matAdded.isEmpty &&
+        restoredRids.isEmpty && restoredMat.isEmpty)
       sys.error(s"$dir: $operation rewrites data files on a row-tracked " +
         "table (delta.enableRowTracking=true) — stable row ids would be " +
         "renumbered; use the merge-on-read paths (deleteWhereDv/" +
@@ -1027,20 +1057,27 @@ object TxLog {
     val removed = prev.filter(removedSet)
     val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
     // a rewritten file's DV dies with it: the rewrite read the file
-    // DV-filtered, so the replacement materialized the deletes
-    val keptDvs = manifestDvs(table, base).filterNot(d => removedSet(d._1))
+    // DV-filtered, so the replacement materialized the deletes. RESTORE
+    // overrides wholesale: every file gets the TARGET version's DV (a
+    // carried base-version bitmap could hide MORE rows than the target
+    // did, and a restored file would otherwise come back with none).
+    val keptDvs = dvOverride.getOrElse(
+      manifestDvs(table, base).filterNot(d => removedSet(d._1)))
     // surviving files keep their rid entries; the high-water mark is
     // carried even when every tracked file is gone (ids never reissue).
     // Materialized replacement files claim FRESH spans (spec: every add
     // gets a baseRowId; readers prefer the materialized column) —
-    // "wasted" ids, which the spec explicitly allows.
+    // "wasted" ids, which the spec explicitly allows. RESTORE re-adds
+    // carry their ORIGINAL entries from the restored-to manifest.
     val (newRids, newHwm) =
       if (matAdded.isEmpty) (Map.empty[String, (Long, Long)], None)
       else freshRids(dir, table, added)
     val keptRids = manifestRids(table, base).filterNot(r => removedSet(r._1)) ++
+      restoredRids ++
       newRids.map { case (rel, (b, n)) => rel -> Rid(b, n, next) }
     val hwm = (manifestRidHwm(table, base).toSeq ++ newHwm.toSeq).maxOption
-    val keptMat = manifestRidMat(table, base).filterNot(removedSet) ++ matAdded
+    val keptMat = manifestRidMat(table, base).filterNot(removedSet) ++
+      restoredMat ++ matAdded
     val header = dvLines(keptDvs) +
       ridLines(keptRids, hwm, keptMat) + cdcLines(cdcRels) +
       s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
@@ -1526,8 +1563,19 @@ object TxLog {
     // the restored version's schema travels with the commit, so the
     // mirror's metaData rolls back (or forward) with the data
     val schemaJson = snapshotAt(spark, dir, version).schema.json
+    // restore FIDELITY for commit-point metadata: every file gets the
+    // TARGET version's deletion vector (carrying the base's could hide
+    // more rows than the restored state did; re-added files would
+    // otherwise come back DV-less and resurrect deleted rows), and
+    // re-added files on row-tracked tables bring back their ORIGINAL
+    // rid entries and materialization markers
+    val targetDvs = manifestDvs(table, version)
+    val addedSet = added.toSet
+    val targetRids = manifestRids(table, version).filter(r => addedSet(r._1))
+    val targetMat = manifestRidMat(table, version).filter(addedSet)
     val v = commitRewrite(dir, base, removedSet, added, schemaJson,
-      operation = "RESTORE")
+      operation = "RESTORE", restoredRids = targetRids,
+      restoredMat = targetMat, dvOverride = Some(targetDvs))
     DeltaLog.maybeCheckpoint(spark, dir, v)
     v
   }

@@ -947,6 +947,61 @@ class TxLogSpec extends SparkSpec {
     assert(e3.getMessage.contains("predate row tracking"), e3.getMessage)
   }
 
+  test("RESTORE restores deletion vectors and row ids exactly, both views") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    TxLog.commitAppend(events.filter(col("event_id") <= 400)
+      .coalesce(1).sortWithinPartitions("event_id"), t)          // v3
+    TxLog.deleteWhereDv(s, t, pmod(col("event_id"), lit(5)) === 0) // v4
+    val atV4 = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TxLog.deleteWhereDv(s, t, pmod(col("event_id"), lit(3)) === 0) // v5
+    assert(TxLog.snapshot(s, t).count() < atV4.size)
+    // restore to v4: the DV must ROLL BACK to v4's bitmap (%3-only
+    // rows return), ids intact, and the Delta mirror view must agree
+    TxLog.restoreTo(s, t, 4L)                                      // v6
+    val restored = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(restored == atV4, "restore must reinstate v4's exact rows + ids")
+    assert(graft.sources.DeltaLog.snapshot(s, t).count() == atV4.size,
+      "mirror view must carry the rolled-back DV")
+    val viaLog = graft.sources.DeltaLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLog == atV4)
+    // restore to v3: the DV DROPS entirely — every row returns, in
+    // the engine view AND the mirror (plain re-add, no descriptor)
+    TxLog.restoreTo(s, t, 3L)                                      // v7
+    val full = events.filter(col("event_id") <= 400).count()
+    assert(TxLog.snapshot(s, t).count() == full)
+    assert(graft.sources.DeltaLog.snapshot(s, t).count() == full,
+      "mirror must stop hiding rows after a restore past the delete")
+  }
+
+  test("RESTORE re-adds a rewritten-away file with its deletion vector") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.repartitionByRange(3, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map("delta.enableDeletionVectors" -> "true"))
+    TxLog.deleteWhereDv(s, t, pmod(col("event_id"), lit(5)) === 0)   // v3
+    val atV3 = TxLog.snapshot(s, t).count()
+    // copy-on-write delete REWRITES files (drops their DVs with them)
+    TxLog.deleteWhere(s, t, col("event_id") <= 300)                  // v4
+    TxLog.restoreTo(s, t, 3L)                                        // v5
+    assert(TxLog.snapshot(s, t).count() == atV3,
+      "restored files must come back WITH their deletion vectors")
+    assert(graft.sources.DeltaLog.snapshot(s, t).count() == atV3,
+      "the mirror's re-add must carry the restored DV descriptor")
+  }
+
   test("identity columns: allowExplicitInsert accepts values and advances the mark past them") {
     val s = spark
     import org.apache.spark.sql.functions._
