@@ -2921,7 +2921,8 @@ object DeltaLog {
     val (live, _, metaOpt) = liveState(spark, srcT, pl)
     val m = metaOpt.getOrElse(sys.error(s"$src: no metaData action in log"))
     val rows = live.select(col("path"), col("partitionValues"), col("size"),
-      col("modificationTime"), col("stats"), col("dv")).collect()
+      col("modificationTime"), col("stats"), col("dv"),
+      col("baseRowId"), col("defaultRowCommitVersion")).collect()
     Files.createDirectories(logDir(dstT))
     val now = System.currentTimeMillis()
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2960,6 +2961,19 @@ object DeltaLog {
     c.put("operation", "CLONE")
     c.putObject("operationParameters").put("source", src).put("sourceVersion", v)
     lines += mapper.writeValueAsString(ci)
+    // live domain metadata clones too — losing delta.rowTracking's
+    // high-water mark would let a clone-side writer reissue spent ids,
+    // and the cloned adds below keep their baseRowId, so the clone's
+    // row ids equal the source's
+    domainMetadataMap(spark, src, Some(v)).toSeq.sortBy(_._1)
+      .foreach { case (d, cfgJson) =>
+        val n = mapper.createObjectNode()
+        val dm = n.putObject("domainMetadata")
+        dm.put("domain", d)
+        dm.put("configuration", cfgJson)
+        dm.put("removed", false)
+        lines += mapper.writeValueAsString(n)
+      }
     rows.foreach { r =>
       val abs = resolveDataPath(srcT, decodePath(r.getString(0))).toAbsolutePath
       val n = mapper.createObjectNode()
@@ -2991,6 +3005,9 @@ object DeltaLog {
         node.put("sizeInBytes", d.sizeInBytes)
         node.put("cardinality", d.cardinality)
       }
+      // row-tracking fields ride the cloned add: same file, same ids
+      if (!r.isNullAt(6)) a.put("baseRowId", r.getLong(6))
+      if (!r.isNullAt(7)) a.put("defaultRowCommitVersion", r.getLong(7))
       lines += mapper.writeValueAsString(n)
     }
     val tmp = Files.createTempFile(logDir(dstT), ".delta-", ".tmp")

@@ -2132,7 +2132,7 @@ class DeltaLogSpec extends SparkSpec {
         .flatMap(n => Option(n.get("protocol"))).lastOption).nextOption()
     }
     for (i <- 1 to 16) {
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // append fresh rows
           TxLog.commitAppend(ev.limit(20)
             .withColumn("event_id", col("event_id") + nextId), t)
@@ -2163,6 +2163,11 @@ class DeltaLogSpec extends SparkSpec {
           TxLog.commitAppend(ev.limit(5)
             .withColumn("event_id", col("event_id") + nextId), t)
           nextId += 10000L
+        case 7 => // RESTORE to a random earlier version: DV state rolls
+          // back (re-instated, changed, or dropped), protocol must not
+          val cur = TxLog.currentVersion(t).get
+          TxLog.restoreTo(s, t, 1L + rnd.nextInt(cur.toInt).toLong)
+          ()
       }
       // THE invariant: protocol upgrades are permanent. Once a DV commit
       // raised reader 3 / deletionVectors, no later commit — cdc-only,
@@ -2268,6 +2273,32 @@ class DeltaLogSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaLog == viaManifest,
       "log-replay ids must equal manifest-derived ids")
+  }
+
+  test("shallow clone preserves row ids: baseRowId adds + the rowTracking domain") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    val t = Files.createTempDirectory("graft_rid_clone_src").toString
+    TxLog.commitAppend(ev.limit(0), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    TxLog.commitAppend(ev.filter(col("event_id") <= 300)
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    TxLog.deleteWhereDv(s, t, pmod(col("event_id"), lit(4)) === 0)
+    TxLog.optimize(s, t) // materialized ids in the packed files
+    val srcIds = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dst = Files.createTempDirectory("graft_rid_clone").toString + "/c"
+    DeltaLog.shallowClone(s, t, dst)
+    val cloneIds = DeltaLog.snapshotWithRowIds(s, dst)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cloneIds == srcIds, "a clone's stable row ids must equal the source's")
+    assert(DeltaLog.domainMetadataMap(s, dst).contains("delta.rowTracking"),
+      "the id high-water mark must clone — a clone-side writer must not reissue ids")
   }
 
   test("backfilled ICT commits stamp the manifest mtime, not re-mirror wall clock") {
