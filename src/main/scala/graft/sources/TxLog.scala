@@ -837,6 +837,40 @@ object TxLog {
     v
   }
 
+  /** `ALTER TABLE … SYNC IDENTITY`: re-derive the high-water mark from
+    * the column's actual furthest value — the repair for histories
+    * where explicit inserts (allowExplicitInsert) or a restore left the
+    * recorded mark behind the data. One aggregate over the table; the
+    * mark only ever advances (spent ids stay spent). Returns the
+    * metadata-commit version, or the current version when already in
+    * sync. */
+  def syncIdentity(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.types._
+    val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
+    val js = DeltaLog.currentSchemaString(table).getOrElse(
+      sys.error(s"$dir: no mirrored metaData"))
+    val schema = DataType.fromJson(js).asInstanceOf[StructType]
+    val idF = schema.fields.find(_.metadata.contains("delta.identity.start"))
+      .getOrElse(sys.error(s"$dir: no identity column to sync"))
+    val step = idF.metadata.getLong("delta.identity.step")
+    val hwm: Option[Long] =
+      if (idF.metadata.contains("delta.identity.highWaterMark"))
+        Some(idF.metadata.getLong("delta.identity.highWaterMark")) else None
+    val agg = if (step > 0) max(col(idF.name)) else min(col(idF.name))
+    val row = snapshot(spark, dir).agg(agg.cast("long")).collect().head
+    val cur = currentVersion(dir).getOrElse(sys.error(s"no commits in $dir"))
+    if (row.isNullAt(0)) return cur
+    val furthest = row.getLong(0)
+    val newHwm = hwm.fold(furthest)(h =>
+      if (step > 0) math.max(h, furthest) else math.min(h, furthest))
+    if (hwm.contains(newHwm)) return cur
+    val v = commitFiles(dir, Seq.empty, carryPrevious = true,
+      withIdentityHwm(js, idF.name, newHwm))
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    v
+  }
+
   /** Generate identity values for a batch that omits the table's
     * identity column. TWO passes over the incoming batch, ZERO over the
     * table: per-partition counts (a map-only job collecting one long

@@ -1025,5 +1025,33 @@ class TxLogSpec extends SparkSpec {
       .agg(min(col("sid")), max(col("sid"))).collect()(0)
     assert(gen.getLong(0) == expMax + 1L && gen.getLong(1) == expMax + nGen,
       s"generation must resume past the explicit max $expMax: $gen")
+    // SYNC IDENTITY: a foreign writer that maintained the data but not
+    // the mark (stock Delta's explicit inserts don't advance it) leaves
+    // the recorded high-water mark BEHIND the column — generation would
+    // reissue live ids. Simulate by rewinding the mark in the newest
+    // mirrored metaData, then repair with syncIdentity.
+    val trueHwm = expMax + nGen
+    val ld = java.nio.file.Paths.get(t, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val newest = Files.list(ld).iterator.asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.takeWhile(_ != '.').forall(_.isDigit))
+      .map(_.takeWhile(_ != '.').toLong).max
+    val p = ld.resolve(f"$newest%020d.json")
+    val rewound = Files.readString(p).replace(
+      s"""delta.identity.highWaterMark\\":$trueHwm""",
+      s"""delta.identity.highWaterMark\\":1""")
+    assert(rewound != Files.readString(p), "sabotage must hit the mark")
+    Files.writeString(p, rewound)
+    graft.sources.DeltaLog.resetMetaCache(java.nio.file.Paths.get(t))
+    TxLog.resetMirrorCache()
+    TxLog.syncIdentity(s, t)
+    TxLog.commitAppend(events.filter(col("event_id").between(9, 12))
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    val resnap = TxLog.snapshot(s, t)
+    assert(resnap.agg(countDistinct(col("sid"))).collect()(0).getLong(0) ==
+      resnap.count(), "post-sync generation must not reissue live ids")
+    assert(resnap.filter(col("event_id") >= 9)
+      .agg(min(col("sid"))).collect()(0).getLong(0) == trueHwm + 1L,
+      "generation must resume exactly past the synced mark")
   }
 }
