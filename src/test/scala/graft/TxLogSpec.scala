@@ -947,6 +947,41 @@ class TxLogSpec extends SparkSpec {
     assert(e3.getMessage.contains("predate row tracking"), e3.getMessage)
   }
 
+  test("row tracking on a PARTITIONED table: hive layout, ids unique and delete-stable") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0)
+      .withColumn("bucket", pmod(col("event_id"), lit(3))), t,
+      partitionBy = Seq("bucket"))
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    TxLog.commitAppend(events.filter(col("event_id") <= 300)
+      .withColumn("bucket", pmod(col("event_id"), lit(3))), t,
+      partitionBy = Seq("bucket"))
+    val before = TxLog.snapshotWithRowIds(s, t)
+    val n = before.count()
+    assert(n > 0)
+    assert(before.agg(countDistinct(col("_row_id"))).collect()(0).getLong(0) == n,
+      "partitioned files must claim disjoint id spans")
+    // partition column reattaches from the hive dirs alongside _row_id
+    assert(before.select(countDistinct(col("bucket"))).collect()(0).getLong(0) == 3)
+    val pre = before.select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TxLog.deleteWhereDv(s, t, pmod(col("event_id"), lit(5)) === 0)
+    val post = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(post.nonEmpty && post.size < pre.size)
+    post.foreach { case (eid, rid) => assert(pre(eid) == rid) }
+    // the foreign (Delta-log) reader agrees on the partitioned layout
+    val viaLog = graft.sources.DeltaLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLog == post, "partitioned log-replay ids must match")
+  }
+
   test("RESTORE restores deletion vectors and row ids exactly, both views") {
     val s = spark
     import org.apache.spark.sql.functions._
