@@ -2151,13 +2151,29 @@ object DeltaLog {
     }
     val rels = fs.map(_._1)
     def rd = spark.read.schema(readSchema)
+    // hive detection and batch grouping walk the RESOLVED absolute
+    // path's parent chain, not the raw rel string: shallow-clone logs
+    // store absolute file: URIs whose first rel segment is "file:" — a
+    // rel-string groupBy would derive a bogus basePath and fail the
+    // read even though every file is reachable via resolveDataPath.
+    // The batch dir is the nearest ancestor above the hive `col=value`
+    // segments, which is exactly what partition discovery wants as
+    // basePath.
+    def batchDirOf(rel: String): Path = {
+      var p = resolveDataPath(table, rel).toAbsolutePath.getParent
+      while (p.getParent != null && p.getFileName != null &&
+          p.getFileName.toString.contains("=")) p = p.getParent
+      p
+    }
+    val hasHive = rels.exists(r =>
+      batchDirOf(r) != resolveDataPath(table, r).toAbsolutePath.getParent)
     val scanned =
-      if (!rels.exists(_.split("/").exists(_.contains("="))))
+      if (!hasHive)
         withProvenance(rd.parquet(rels.map(r =>
           resolveDataPath(table, r).toString): _*))
-      else rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+      else rels.groupBy(batchDirOf).toSeq.sortBy(_._1.toString)
         .map { case (batch, fsB) =>
-          withProvenance(rd.option("basePath", table.resolve(batch).toString)
+          withProvenance(rd.option("basePath", batch.toString)
             .parquet(fsB.map(r => resolveDataPath(table, r).toString): _*))
         }.reduce(_.unionByName(_))
     import spark.implicits._

@@ -146,23 +146,38 @@ object TxLog {
     DeltaLog.tableConfig(Paths.get(dir)).get("delta.enableRowTracking")
       .contains("true")
 
-  /** Fresh id spans for newly staged files, claimed from the current
-    * high-water mark: one footer read per new file (metadata-only),
-    * zero table reads. Loud when a footer is unreadable — silently
-    * skipping a file would alias its ids onto the next batch. Fresh
-    * values' `v0` is stamped by the committer at link time (the claimed
-    * version). Like identity columns, id uniqueness assumes the
-    * single-committer-at-a-time write model. */
-  private def freshRids(dir: String, table: Path,
-      added: Seq[String]): (Map[String, (Long, Long)], Option[Long]) = {
-    if (!rowTrackingOn(dir) || added.isEmpty) return (Map.empty, None)
-    val cur = currentVersion(dir)
-    var next = cur.flatMap(manifestRidHwm(table, _)).getOrElse(-1L) + 1
-    val m = added.sorted.map { rel =>
-      val n = DeltaLog.fileRowCount(table.resolve(rel)).getOrElse(
+  /** Per-file row counts of newly staged files on a row-tracked table:
+    * one footer read per new file (metadata-only), zero table reads.
+    * Loud when a footer is unreadable — silently skipping a file would
+    * alias its ids onto the next batch. The actual id SPANS are claimed
+    * inside [[commitFiles]]' claim loop against the manifest mark that
+    * attempt links over (bases are manifest metadata, not file
+    * contents, so a lost version race just re-claims) — the rewrite/DV
+    * paths claim via [[freshRids]] instead, protected by their
+    * base-version serialization check. */
+  private def ridCountsOf(dir: String, table: Path,
+      added: Seq[String]): Seq[(String, Long)] = {
+    if (!rowTrackingOn(dir) || added.isEmpty) return Seq.empty
+    added.sorted.map { rel =>
+      rel -> DeltaLog.fileRowCount(table.resolve(rel)).getOrElse(
         sys.error(s"$dir: row tracking requires parquet footer row " +
           s"counts — cannot read $rel"))
-      val e = rel -> ((next, n)); next += n; e
+    }
+  }
+
+  /** Fresh id spans claimed from the CURRENT high-water mark — used by
+    * the rewrite/DV commit paths only, whose `base + 1` serialization
+    * fails loudly on any racing commit (so a stale claim can never
+    * land). Fresh values' `v0` is stamped by the committer at link
+    * time (the claimed version). */
+  private def freshRids(dir: String, table: Path,
+      added: Seq[String]): (Map[String, (Long, Long)], Option[Long]) = {
+    val counts = ridCountsOf(dir, table, added)
+    if (counts.isEmpty) return (Map.empty, None)
+    val cur = currentVersion(dir)
+    var next = cur.flatMap(manifestRidHwm(table, _)).getOrElse(-1L) + 1
+    val m = counts.map { case (rel, n) =>
+      val e = rel -> ((next, n)); next = Math.addExact(next, n); e
     }.toMap
     (m, Some(next - 1))
   }
@@ -344,8 +359,7 @@ object TxLog {
   private def commitFiles(dir: String, added: Seq[String], carryPrevious: Boolean,
       schemaJson: String, txn: Option[(String, Long)] = None,
       props: Map[String, String] = Map.empty,
-      newRids: Map[String, (Long, Long)] = Map.empty,
-      ridHwm: Option[Long] = None): Long = {
+      ridCounts: Seq[(String, Long)] = Seq.empty): Long = {
     val table = Paths.get(dir)
     var committed = -1L
     var removed: Seq[String] = Seq.empty
@@ -384,11 +398,21 @@ object TxLog {
       val prevRids =
         if (carryPrevious) cur.map(manifestRids(table, _)).getOrElse(Map.empty)
         else Map.empty[String, Rid]
-      val rids = prevRids ++ newRids.map { case (rel, (b, n)) =>
-        rel -> Rid(b, n, next)
-      }
-      val hwm = (cur.flatMap(manifestRidHwm(table, _)).toSeq ++ ridHwm.toSeq)
-        .maxOption
+      // fresh id spans are claimed HERE, inside the claim loop, against
+      // the manifest mark this attempt actually links over: a lost
+      // version race re-reads the racer's (possibly advanced) mark and
+      // RE-CLAIMS — stale bases can never alias ids across writers.
+      // Re-derivation is free because rid bases are manifest metadata,
+      // not file contents (ids read as base + position).
+      val curHwm = cur.flatMap(manifestRidHwm(table, _)).getOrElse(-1L)
+      var nextRid = curHwm + 1
+      val newRids = ridCounts.map { case (rel, n) =>
+        val e = rel -> Rid(nextRid, n, next)
+        nextRid = Math.addExact(nextRid, n); e
+      }.toMap
+      val rids = prevRids ++ newRids
+      val hwm = (cur.flatMap(manifestRidHwm(table, _)).toSeq ++
+        (if (ridCounts.isEmpty) Seq.empty else Seq(nextRid - 1))).maxOption
       val prevMat =
         if (carryPrevious)
           cur.map(manifestRidMat(table, _)).getOrElse(Set.empty[String])
@@ -912,6 +936,17 @@ object TxLog {
     }
     val base = hwm.map(Math.addExact(_, step)).getOrElse(start)
     val rdd0 = df.rdd
+    // pin partition contents across the two passes: a nondeterministic
+    // upstream (rand()-salted shuffle, round-robin repartition)
+    // recomputed between the count job and the stamping job could shift
+    // rows between partitions, mis-sizing offsets and duplicating or
+    // skipping ids. localCheckpoint materializes the batch once — the
+    // count pass is the persisting job, the stamping pass replays the
+    // stored blocks — and also halves the cost of an expensive upstream
+    // plan. (Executor loss between the jobs fails loudly and the write
+    // retries whole; silently recomputing is exactly what must not
+    // happen here.)
+    rdd0.localCheckpoint()
     val counts = rdd0.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
@@ -920,15 +955,18 @@ object TxLog {
     val offsets = counts.scanLeft(0L)(_ + _)
     val outSchema = StructType(df.schema.fields :+
       StructField(idF.name, LongType, nullable = false))
+    // overflow near Long.MaxValue must fail loudly (same Math.addExact
+    // discipline as the base derivation) — a silent wrap would reissue
+    // ids the no-reissue rule spent
     val out = df.sparkSession.createDataFrame(
       rdd0.mapPartitionsWithIndex { case (i, it) =>
         var k = offsets(i)
         it.map { r =>
-          val v = base + step * k; k += 1
+          val v = Math.addExact(base, Math.multiplyExact(step, k)); k += 1
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
         }
       }, outSchema)
-    (out, Some(idF.name -> (base + step * (n - 1))))
+    (out, Some(idF.name -> Math.addExact(base, Math.multiplyExact(step, n - 1))))
   }
 
   /** The committed schemaJson with `delta.identity.highWaterMark`
@@ -961,9 +999,8 @@ object TxLog {
       case (js, (n, h)) => withIdentityHwm(js, n, h)
     }
     val added = writeBatch(full, table, partitionBy)
-    val (rids, hwm) = freshRids(dir, table, added)
     val v = commitFiles(dir, added, carryPrevious = true, sj,
-      newRids = rids, ridHwm = hwm)
+      ridCounts = ridCountsOf(dir, table, added))
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
   }
@@ -1004,10 +1041,10 @@ object TxLog {
       case (js, (n, h)) => withIdentityHwm(js, n, h)
     }
     val added = writeBatch(full, table, partitionBy)
-    val (rids0, hwm0) = freshRids(dir, table, added)
     val v = commitFiles(dir, added,
       carryPrevious = true, sjOnce,
-      txn = Some((appId, txnVersion)), newRids = rids0, ridHwm = hwm0)
+      txn = Some((appId, txnVersion)),
+      ridCounts = ridCountsOf(dir, table, added))
     if (v < 0) {
       // lost the race to a concurrent identical retry: reclaim the
       // staged batch eagerly (vacuum would sweep it as an orphan later)
@@ -1034,9 +1071,22 @@ object TxLog {
     Files.createDirectories(logDir(table))
     DeltaLog.warmMetaCache(df.sparkSession, table)
     enforceAppendOnly(dir, "OVERWRITE")
-    val full = validateAndComplete(df, dir)
-    val v = commitFiles(dir, writeBatch(full, table, partitionBy),
-      carryPrevious = false, effectiveSchemaJson(full, dir))
+    // overwrites take the SAME identity and row-tracking write paths as
+    // appends: an omitted identity column generates (and a provided one
+    // refuses under GENERATED ALWAYS), and on a row-tracked table the
+    // replacing files claim fresh id spans — without this the protocol
+    // would advertise rowTracking while the adds carried no baseRowId
+    // (spec-noncompliant; foreign readers would compute null ids). Both
+    // high-water marks carry forward through commitFiles: spent values
+    // stay spent across the overwrite.
+    val (withIds, newHwm) = assignIdentity(df, dir)
+    val full = validateAndComplete(withIds, dir)
+    val sj = newHwm.foldLeft(effectiveSchemaJson(full, dir)) {
+      case (js, (n, h)) => withIdentityHwm(js, n, h)
+    }
+    val added = writeBatch(full, table, partitionBy)
+    val v = commitFiles(dir, added, carryPrevious = false, sj,
+      ridCounts = ridCountsOf(dir, table, added))
     DeltaLog.maybeCheckpoint(df.sparkSession, dir, v)
     v
   }

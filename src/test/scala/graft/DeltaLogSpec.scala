@@ -2301,6 +2301,41 @@ class DeltaLogSpec extends SparkSpec {
       "the id high-water mark must clone — a clone-side writer must not reissue ids")
   }
 
+  test("shallow clone of a HIVE-PARTITIONED row-tracked table reads row ids") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    // partitioned + row-tracked source: the clone log stores ABSOLUTE
+    // file: URIs, so the foreign reader's hive detection and basePath
+    // grouping must key on the RESOLVED path's parent chain — a raw
+    // rel-string split would group everything under the bogus "file:"
+    // segment and fail the read
+    val t = Files.createTempDirectory("graft_rid_pclone_src").toString
+    TxLog.commitAppend(ev.limit(0)
+      .withColumn("bucket", pmod(col("event_id"), lit(3))), t,
+      partitionBy = Seq("bucket"))
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    TxLog.commitAppend(ev.filter(col("event_id") <= 300)
+      .withColumn("bucket", pmod(col("event_id"), lit(3))), t,
+      partitionBy = Seq("bucket"))
+    TxLog.deleteWhereDv(s, t, pmod(col("event_id"), lit(4)) === 0)
+    val srcIds = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dst = Files.createTempDirectory("graft_rid_pclone").toString + "/c"
+    DeltaLog.shallowClone(s, t, dst)
+    val clone = DeltaLog.snapshotWithRowIds(s, dst)
+    // partition column survives the absolute-URI read alongside the ids
+    assert(clone.select(countDistinct(col("bucket"))).collect()(0).getLong(0) == 3)
+    val cloneIds = clone
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cloneIds == srcIds,
+      "a partitioned clone's stable row ids must equal the source's")
+  }
+
   test("backfilled ICT commits stamp the manifest mtime, not re-mirror wall clock") {
     val s = spark
     import org.apache.spark.sql.functions._

@@ -1089,4 +1089,114 @@ class TxLogSpec extends SparkSpec {
       .agg(min(col("sid"))).collect()(0).getLong(0) == trueHwm + 1L,
       "generation must resume exactly past the synced mark")
   }
+
+  test("OVERWRITE takes the identity and row-tracking write paths") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // identity: an overwrite that omits the column generates, past the
+    // spent mark; one that provides it refuses under GENERATED ALWAYS
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.addIdentityColumn(s, t, "sid", start = 1L, step = 1L)
+    TxLog.commitAppend(events.filter(col("event_id") < 50)
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    val preMax = TxLog.snapshot(s, t).agg(max(col("sid")))
+      .collect()(0).getLong(0)
+    TxLog.commitOverwrite(events.filter(col("event_id").between(50, 79))
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.count() == 30L)
+    assert(snap.agg(count(col("sid"))).collect()(0).getLong(0) == 30L,
+      "an overwrite omitting the identity column must generate values")
+    assert(snap.agg(min(col("sid"))).collect()(0).getLong(0) == preMax + 1L,
+      "overwrite-generated ids must not reissue the replaced rows' ids")
+    assert(snap.agg(countDistinct(col("sid"))).collect()(0).getLong(0) == 30L)
+    val e = intercept[RuntimeException](TxLog.commitOverwrite(
+      events.filter(col("event_id") < 5).withColumn("sid", lit(1L)), t))
+    assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    // row tracking: the overwriting files must claim fresh #rid spans —
+    // both readers compute real ids (not nulls) on the overwritten table
+    val t2 = freshTable()
+    TxLog.commitAppend(events.limit(0), t2)
+    TxLog.setTableProperties(s, t2, Map("delta.enableRowTracking" -> "true"))
+    TxLog.commitAppend(events.filter(col("event_id") < 100)
+      .coalesce(1).sortWithinPartitions("event_id"), t2)
+    TxLog.commitOverwrite(events.filter(col("event_id").between(100, 149))
+      .coalesce(1).sortWithinPartitions("event_id"), t2)
+    val ids = TxLog.snapshotWithRowIds(s, t2)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.size == 50 && ids.values.toSeq.distinct.size == 50)
+    assert(ids.values.min == 100L,
+      s"overwrite spans must start past the spent mark, got ${ids.values.min}")
+    val viaLog = graft.sources.DeltaLog.snapshotWithRowIds(s, t2)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLog == ids, "foreign reader must see the overwrite's baseRowIds")
+  }
+
+  test("identity assignment is exact under a nondeterministic upstream plan") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.addIdentityColumn(s, t, "sid", start = 0L, step = 1L)
+    // a rand()-salted shuffle: without pinning the batch between the
+    // count pass and the stamping pass, recomputation could shift rows
+    // across partitions and duplicate/skip ids
+    val salted = events.filter(col("event_id") < 400)
+      .repartition(8, (rand() * 100).cast("int"))
+    TxLog.commitAppend(salted, t)
+    val snap = TxLog.snapshot(s, t)
+    val n = snap.count()
+    val row = snap.agg(countDistinct(col("sid")).as("d"),
+      min(col("sid")).as("lo"), max(col("sid")).as("hi")).collect()(0)
+    assert(row.getLong(0) == n, "ids must be unique")
+    assert(row.getLong(1) == 0L && row.getLong(2) == n - 1,
+      s"ids must be dense 0..${n - 1}: got ${row.getLong(1)}..${row.getLong(2)}")
+  }
+
+  test("identity overflow near Long.MaxValue fails loudly, never wraps") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.addIdentityColumn(s, t, "sid", start = Long.MaxValue - 1, step = 1L)
+    intercept[Exception] {
+      // 3 rows: the third value would exceed Long.MaxValue
+      TxLog.commitAppend(events.filter(col("event_id") < 3).coalesce(1), t)
+    }
+  }
+
+  test("a racing writer that moved the row-id mark cannot alias spans") {
+    val s = spark
+    import java.nio.file.{Files => F, Paths => P}
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.setTableProperties(s, t, Map("delta.enableRowTracking" -> "true"))
+    TxLog.commitAppend(events.filter(col("event_id") < 50)
+      .coalesce(1).sortWithinPartitions("event_id"), t)            // v3
+    // a "racing committer" steals v4 AND advances the id high-water
+    // mark (as a tracked append would): id spans are claimed inside
+    // the claim loop, so the retry must RE-CLAIM past the racer's
+    // mark — never commit bases that overlap the stolen span
+    val v3 = P.get(t).resolve("_txlog").resolve("v00000003.manifest")
+    val stolen = F.readAllLines(v3).asScala.map {
+      case l if l.startsWith("#ridhwm ") => "#ridhwm 500"
+      case l => l
+    }.mkString("\n")
+    F.write(P.get(t).resolve("_txlog").resolve("v00000004.manifest"),
+      stolen.getBytes("UTF-8"))
+    val v = TxLog.commitAppend(events.filter(col("event_id").between(50, 59))
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    assert(v == 5L, s"append must retry past the stolen version, got v$v")
+    val newIds = TxLog.snapshotWithRowIds(s, t)
+      .filter(col("event_id") >= 50)
+      .agg(min(col("_row_id")), max(col("_row_id"))).collect()(0)
+    assert(newIds.getLong(0) == 501L,
+      s"re-claimed spans must start past the racer's mark 500, got ${newIds.getLong(0)}")
+    assert(newIds.getLong(1) == 510L)
+  }
 }
