@@ -29,6 +29,7 @@ object Bench {
       sources.Layout.prepare(spark, sfDir) // layout build = ETL, not query time
       sources.TxLog.prepare(spark, sfDir) // manifest-log fixture tables, same
       sources.DeltaLog.prepare(spark, sfDir) // delta-mirror fixture table, same
+      sources.IcebergLog.prepare(spark, sfDir) // iceberg fixture tables, same
       val warmDir = "/root/testdata/sf0.001"
       if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
         sources.Layout.prepare(spark, warmDir)

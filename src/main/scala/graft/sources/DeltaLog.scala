@@ -3429,6 +3429,11 @@ object DeltaLog {
     clonedTable(spark, dir)
     deltaDvTable(spark, dir)
     deltaDvWriteTable(spark, dir)
+    // the v2-checkpoint fixture pays three full-corpus commits + a v2
+    // checkpoint write on first touch — staged here so the bench's
+    // first timed rep measures the READ, not the staging (round-10's
+    // 19 s driver outlier vs the 0.52 s steady-state median)
+    v2CheckpointTable(spark, dir)
     ()
   }
 

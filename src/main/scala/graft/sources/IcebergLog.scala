@@ -1723,6 +1723,22 @@ object IcebergLog {
       |FROM events WHERE NOT (event_id % 2 = 0 AND event_id <= 300)
       |GROUP BY 1""".stripMargin
 
+  /** Materialize the fixture tables (idempotent) — bench-warmup hook,
+    * so the first timed rep measures the read, not multi-commit fixture
+    * staging (round-10: `q_iceberg_skipping` rep spread 2.84 s vs a
+    * 0.13 s median — all staging). */
+  def prepare(spark: SparkSession, dir: String): Unit = {
+    goldenTable(spark, dir)
+    rangedTable(spark, dir)
+    posDeleteTable(spark, dir)
+    eqDeleteTable(spark, dir)
+    expireTable(spark, dir)
+    mirrorTable(spark, dir)
+    partMirrorTable(spark, dir)
+    dvMirrorTable(spark, dir)
+    ()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_iceberg_snapshot" -> snapshotQuery _,
     "q_iceberg_skipping" -> skippingQuery _,
