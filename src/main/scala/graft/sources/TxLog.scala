@@ -1323,18 +1323,31 @@ object TxLog {
     RewriteResult(v, updates.size.toLong, skipped.size.toLong)
   }
 
-  /** The DV-marking core shared by merge-on-read DELETE and UPDATE:
-    * scan `candidates` for rows matching `pred`, roaring-serialize the
+  /** The DV-marking core shared by merge-on-read DELETE and UPDATE. */
+  private def dvDescriptorUpdates(spark: SparkSession, table: Path,
+      dir: String, candidates: Seq[String], pred: Column,
+      oldDvs: Map[String, String],
+      applyOldDvs: Boolean): Map[String, String] =
+    dvDescriptorUpdatesBy(spark, table, dir, candidates, _.filter(pred),
+      oldDvs, applyOldDvs)
+
+  /** The general DV-marking core (merge-on-read DELETE/UPDATE/MERGE):
+    * scan `candidates`, select the matched rows with `mark` (a filter
+    * for DELETE/UPDATE; a semi-join against the source keys for MERGE
+    * — which a Column predicate cannot express), roaring-serialize the
     * matched ordinals per file (executor-side, one DV file per
     * non-empty partition), union with any superseded bitmap, and
-    * return the per-file descriptor-JSON updates. With `applyOldDvs`
-    * the scan first hides rows existing DVs already delete — required
-    * by UPDATE, whose re-written rows must be exactly the VISIBLE
+    * return the per-file descriptor-JSON updates. Provenance columns
+    * `__f`/`__p` are captured from `_metadata` BEFORE `mark` runs —
+    * metadata columns do not survive a join — and `mark` must preserve
+    * them (filters and semi-joins do). With `applyOldDvs` the scan
+    * first hides rows existing DVs already delete — required by
+    * UPDATE/MERGE, whose re-written rows must be exactly the VISIBLE
     * matches (a raw re-match would resurrect deleted rows as
     * "updates"); DELETE keeps the cheaper raw scan, whose re-matches
     * the bitmap union absorbs. */
-  private def dvDescriptorUpdates(spark: SparkSession, table: Path,
-      dir: String, candidates: Seq[String], pred: Column,
+  private def dvDescriptorUpdatesBy(spark: SparkSession, table: Path,
+      dir: String, candidates: Seq[String], mark: DataFrame => DataFrame,
       oldDvs: Map[String, String],
       applyOldDvs: Boolean): Map[String, String] = {
     val relByAbs = candidates
@@ -1355,11 +1368,12 @@ object TxLog {
       if (!applyOldDvs || oldDvs.isEmpty) None
       else Some(DeletionVectors.keepUdf(spark, table, oldDvs))
     val hits = branches.map { b =>
-      val matched = b.filter(pred)
-      keep.fold(matched)(k => matched.filter(
-          k(col("_metadata.file_path"), col("_metadata.row_index"))))
-        .select(col("_metadata.file_path").as("__f"),
-          col("_metadata.row_index").as("__p"))
+      val withProv = b
+        .withColumn("__f", col("_metadata.file_path"))
+        .withColumn("__p", col("_metadata.row_index"))
+      val visible = keep.fold(withProv)(k =>
+        withProv.filter(k(col("__f"), col("__p"))))
+      mark(visible).select(col("__f"), col("__p"))
     }.reduce(_.unionByName(_))
     import spark.implicits._
     val descRows: Seq[(String, String, Int, Int, Long)] = hits
@@ -1617,6 +1631,111 @@ object TxLog {
     } else res
   }
 
+  /** Transactional MERGE, MERGE-ON-READ (deletion vectors): the same
+    * whole-row upsert as [[mergeInto]] — source rows REPLACE visible
+    * target rows sharing `keys`, unmatched source rows INSERT — but the
+    * matched target rows are HIDDEN by DV bitmaps on their files and
+    * the entire source lands as one appended batch: NO data file is
+    * rewritten. At 100 TB this is the production upsert shape — a CDC
+    * batch touching 1000 rows across 1000 files must not rewrite a TB;
+    * the commit is O(changed rows), the reason the DV machinery exists.
+    *
+    * Shape: candidates come from the mirror's stats against the
+    * source's key envelope (as [[mergeInto]]); the matched VISIBLE
+    * (file, ordinal) pairs come from one semi-join of the candidate
+    * scan against the distinct source keys ([[dvDescriptorUpdatesBy]] —
+    * existing DVs applied first, so a previously deleted row can never
+    * resurrect as an "update"); the appended batch is the source
+    * itself, validated and generated-column-completed like any write.
+    * One serializable commit carries the `#dv` descriptors + the added
+    * file lines, `#op MERGE`, mirrored as remove/add DV pairs plus the
+    * batch's adds. On a row-tracked table the untouched and DV-hidden
+    * survivors keep their stable ids by construction (no file moves)
+    * and the appended batch claims fresh spans — copy-on-write MERGE
+    * would renumber every row of every touched file.
+    *
+    * Under `delta.enableChangeDataFeed` the commit writes PROTOCOL.md
+    * change-data files typed per row — `update_preimage` (the hidden
+    * matched rows), `update_postimage` (source rows whose key matched),
+    * `insert` (the rest) — which [[changeFeed]] and the Delta mirror's
+    * `tableChanges` read back; without CDF a later `changeFeed` across
+    * the merge refuses loudly (the DV diff alone cannot attribute the
+    * appended batch between postimages and inserts).
+    *
+    * Gates as [[deleteWhereDv]]/[[updateWhereDv]]:
+    * `delta.enableDeletionVectors` required, `delta.appendOnly`
+    * refuses. Precondition (as in Delta MERGE): at most one source row
+    * per key. A source matching no visible row degenerates to a pure
+    * append.
+    */
+  def mergeIntoDv(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String]): RewriteResult = {
+    require(keys.nonEmpty, "mergeIntoDv: at least one key column")
+    val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
+    if (!DeltaLog.tableConfig(table).get("delta.enableDeletionVectors")
+        .contains("true"))
+      sys.error(s"$dir: merge-on-read MERGE requires the deletionVectors " +
+        "feature — setTableProperties(delta.enableDeletionVectors=true) " +
+        "first (stock Delta's writer gate)")
+    enforceAppendOnly(dir, "MERGE")
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    if (source.isEmpty) return RewriteResult(base, 0L, 0L)
+    val bounds = source.select(keys.flatMap(k =>
+      Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
+      .collect().head
+    val prune = keys.zipWithIndex.map { case (k, i) =>
+      (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
+    val prev = readManifest(table, base)
+    val skipped: Set[String] =
+      scala.util.Try(DeltaLog.pruneFlags(spark, dir, prune)) match {
+        case scala.util.Success((flags, _)) =>
+          flags.collect { case (f, false) => f.path }.toSet
+        case scala.util.Failure(_) => Set.empty
+      }
+    val candidates = prev.filterNot(skipped)
+    val partCols = prev.headOption.map(pathPartCols).getOrElse(Seq.empty)
+    // the typical CDC batch is small — AQE broadcasts the semi-join's
+    // key side; a genuinely large source falls back to a shuffled
+    // semi-join, still O(changed rows + candidate files)
+    val srcKeys = source.select(keys.map(col): _*).dropDuplicates(keys)
+    val oldDvs = manifestDvs(table, base)
+    val updates =
+      if (candidates.isEmpty) Map.empty[String, String]
+      else dvDescriptorUpdatesBy(spark, table, dir, candidates,
+        _.join(srcKeys, keys, "left_semi"), oldDvs, applyOldDvs = true)
+    if (updates.isEmpty)
+      // no visible target row shares a source key: pure insert
+      return RewriteResult(commitAppend(source, dir, partCols), 0L,
+        skipped.size.toLong)
+    val replacement = validateAndComplete(
+      generatedColumnNames(dir).foldLeft(source)(_.drop(_)), dir)
+    val added = writeBatch(replacement, table, partCols)
+    val cdcRels =
+      if (!cdfEnabled(table)) Seq.empty
+      else {
+        val visMatched = readRels(spark, table, candidates, dvs = oldDvs)
+          .join(srcKeys, keys, "left_semi")
+        val matchedKeys = visMatched.select(keys.map(col): _*)
+          .dropDuplicates(keys)
+        val appended = readRels(spark, table, added)
+        writeCdcFiles(
+          visMatched.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(appended.join(matchedKeys, keys, "left_semi")
+              .withColumn("_change_type", lit("update_postimage")),
+              allowMissingColumns = true)
+            .unionByName(appended.join(matchedKeys, keys, "left_anti")
+              .withColumn("_change_type", lit("insert")),
+              allowMissingColumns = true), table)
+      }
+    val v = commitDv(dir, base, updates, oldDvs,
+      effectiveSchemaJson(replacement, dir), added = added,
+      operation = "MERGE", cdcRels = cdcRels)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    RewriteResult(v, updates.size.toLong, skipped.size.toLong)
+  }
+
   /** RESTORE to an earlier committed version (Delta's RESTORE): one
     * METADATA-ONLY commit whose manifest equals `version`'s — files
     * removed since then come back, files added since then drop out; no
@@ -1766,7 +1885,10 @@ object TxLog {
 
   /** VACUUM: expire all but the last `retainVersions` manifests and
     * physically delete every data file no retained manifest references
-    * — overwritten-away files AND orphans from dead writers. Returns
+    * — overwritten-away files AND orphans from dead writers — plus
+    * every deletion-vector bin no retained manifest's `#dv` headers
+    * name (superseded by a later merged bitmap, dropped by a
+    * materializing rewrite, or orphaned). Returns
     * (files deleted, files retained). Time travel keeps working within
     * the retention window and (correctly) fails beyond it — the same
     * contract as Delta's VACUUM/logRetention. At scale this runs from
@@ -1789,9 +1911,22 @@ object TxLog {
     val oldest = math.max(1L, cur - retainVersions + 1)
     // a prior, tighter vacuum may already have expired manifests inside
     // this window — keep is the union of those that still exist
-    val keep = (oldest to cur)
+    val retained = (oldest to cur)
       .filter(v => Files.exists(manifestPath(table, v)))
-      .flatMap(readManifest(table, _)).toSet
+    val keep = retained.flatMap(readManifest(table, _)).toSet
+    // deletion-vector files referenced by any retained manifest's #dv
+    // headers: every OTHER deletion_vector_*.bin at the table root is
+    // superseded (each DV update replaces a file's bin with a merged
+    // one) or orphaned by a dead writer — without this sweep they
+    // accumulate forever, unbounded growth at exactly the scale DVs
+    // exist for. Same retention contract as data files: a bin needed
+    // only by an expired version goes with that version.
+    val keepDv: Set[Path] = retained
+      .flatMap(v => manifestDvs(table, v).values)
+      .map(DeletionVectors.parseDescriptor)
+      .collect { case d if d.storageType == "u" =>
+        DeletionVectors.uPath(table, d.pathOrInlineDv).toAbsolutePath
+      }.toSet
     // expire manifests below the retention floor
     listDir(logDir(table)).foreach { m =>
       val n = m.getFileName.toString
@@ -1843,6 +1978,18 @@ object TxLog {
           }
         }
       }
+    // sweep unreferenced DV bins (table-root files, where this engine's
+    // DV writers put them). The same age gate protects an in-flight
+    // committer that has written its bin but not yet linked its
+    // manifest.
+    listDir(table).foreach { f =>
+      val n = f.getFileName.toString
+      if (!Files.isDirectory(f) && n.startsWith("deletion_vector_") &&
+          n.endsWith(".bin") && !keepDv(f.toAbsolutePath) && oldEnough(f)) {
+        Files.delete(f)
+        deleted += 1
+      }
+    }
     (deleted, keep.size.toLong)
   }
 
@@ -2183,6 +2330,27 @@ object TxLog {
       table
     })
 
+  /** The [[mergeTable]] history replayed MERGE-ON-READ: same base
+    * (events above id 200, 8 range files), same CDC-shaped source
+    * (id<=200 inserts + the 201..300 band doubled), but the merge
+    * hides matched rows with DVs and appends the source — no data file
+    * rewritten. The oracle is IDENTICAL to [[mergeQuery]]'s: the two
+    * merge paths must be row-for-row equivalent. */
+  private def dvMergeTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"dvmrg:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_dvmrg").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") > 200)
+        .repartitionByRange(8, col("event_id")), table)
+      setTableProperties(spark, table,
+        Map("delta.enableDeletionVectors" -> "true"))
+      val source = ev.filter(col("event_id") <= 200)
+        .unionByName(ev.filter(col("event_id").between(201, 300))
+          .withColumn("value", col("value") * 2))
+      mergeIntoDv(spark, table, source, Seq("event_id"))
+      table
+    })
+
   /** Full corpus committed, a band deleted, then RESTORE to v1: the
     * rollback must bring every deleted row back without copying data. */
   private def restoreTable(spark: SparkSession, dir: String): String =
@@ -2287,6 +2455,7 @@ object TxLog {
     rowIdsTable(spark, dir)
     dvDeleteTable(spark, dir)
     dvUpdateTable(spark, dir)
+    dvMergeTable(spark, dir)
     cdfDvTable(spark, dir)
     cdcTable(spark, dir)
     ()
@@ -2448,6 +2617,20 @@ object TxLog {
     val feeds: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
       val (op, dataChange) = manifestOp(table, v).getOrElse(("WRITE", true))
       if (!dataChange) Seq.empty
+      else if (op == "MERGE") {
+        // a MERGE's appended batch mixes update_postimage and insert
+        // rows — the DV diff alone cannot attribute them (the source
+        // keys are not in the manifest). Under CDF the commit wrote
+        // per-row-typed change-data files: read those. Without CDF,
+        // refuse loudly rather than mistype half the batch.
+        val cdcRels = manifestCdc(table, v)
+        if (cdcRels.isEmpty)
+          sys.error(s"$dir: version $v is a MERGE without change-data " +
+            "files — enable delta.enableChangeDataFeed before merging, " +
+            "or read the two snapshots instead")
+        Seq(readRels(spark, table, cdcRels)
+          .withColumn("_commit_version", lit(v)))
+      }
       else {
         val (added, removed) = commitDelta(dir, v)
         if (removed.nonEmpty)
@@ -2727,6 +2910,17 @@ object TxLog {
       |FROM events
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked MERGE-ON-READ MERGE: the identical upsert to
+    * [[mergeQuery]] — inserts restore the id<=200 rows, updates double
+    * the 201..300 band — committed as DV masks + one appended batch
+    * instead of file rewrites. Shares [[mergeQueryOracle]]: a resurrected
+    * hidden row, a matched row surviving unhidden (double-counted
+    * against its replacement), or a lost insert all flip the hash. */
+  def dvMergeQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, dvMergeTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
   /** Oracle-checked RESTORE: after delete + restore-to-v1, the snapshot
     * must equal the FULL corpus again — only a real rollback of the
     * removed files can produce that.
@@ -2916,6 +3110,7 @@ object TxLog {
     "q_delta_cdc" -> cdcQuery _,
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
+    "q_txlog_merge_dv" -> dvMergeQuery _,
     "q_txlog_restore" -> restoreQuery _,
     "q_txlog_optimize" -> optimizeQuery _,
     "q_txlog_evolution" -> evolutionQuery _
@@ -2939,6 +3134,7 @@ object TxLog {
     "q_delta_cdc" -> cdfDvQueryOracle,
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,
+    "q_txlog_merge_dv" -> mergeQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,
     "q_txlog_optimize" -> optimizeQueryOracle,
     "q_txlog_evolution" -> evolutionQueryOracle

@@ -1740,6 +1740,56 @@ class DeltaLogSpec extends SparkSpec {
     assert(TxLog.snapshot(s, t).inputFiles.toSet == filesBefore)
   }
 
+  test("merge-on-read MERGE mirrors as DV remove/add pairs + batch adds + cdc") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val ev = events
+    val t = Files.createTempDirectory("graft_dv_merge_mirror").toString
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)   // v1
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))                         // v2
+    val source = ev.filter(col("event_id").between(100, 200))
+      .withColumn("value", col("value") * 2)
+      .unionByName(ev.filter(col("event_id") <= 50)
+        .withColumn("event_id", col("event_id") + 900000L))
+    TxLog.mergeIntoDv(s, t, source, Seq("event_id"))                   // v3
+    // the mirror commit for v3 (delta version 2): every DV update is a
+    // remove+add PAIR on the SAME path with add.deletionVector set, the
+    // appended batch adds plain, cdc actions carry the typed rows
+    val nodes = Files.readAllLines(
+      java.nio.file.Paths.get(t, "_delta_log", f"${2L}%020d.json")).asScala
+      .filter(_.trim.nonEmpty)
+      .map(new com.fasterxml.jackson.databind.ObjectMapper().readTree(_))
+    val removes = nodes.filter(_.has("remove"))
+      .map(_.get("remove").get("path").asText()).toSet
+    val dvAdds = nodes.filter(n => n.has("add") &&
+      n.get("add").has("deletionVector"))
+      .map(_.get("add").get("path").asText()).toSet
+    val plainAdds = nodes.filter(n => n.has("add") &&
+      !n.get("add").has("deletionVector"))
+      .map(_.get("add").get("path").asText()).toSet
+    val cdcs = nodes.filter(_.has("cdc"))
+    assert(dvAdds.nonEmpty && dvAdds == removes,
+      s"DV updates must mirror as same-path remove/add pairs: $removes vs $dvAdds")
+    assert(plainAdds.nonEmpty, "the appended source batch must add plain")
+    assert(plainAdds.intersect(dvAdds).isEmpty,
+      "one path must never carry two adds in one version")
+    assert(cdcs.nonEmpty, "CDF-enabled MERGE must mirror cdc actions")
+    // the FOREIGN Delta reader (protocol gate + add.deletionVector) and
+    // the engine agree row-for-row
+    val expect = ev.withColumn("value",
+      when(col("event_id").between(100, 200), col("value") * 2)
+        .otherwise(col("value"))).count() + 51
+    assert(TxLog.snapshot(s, t).count() == expect)
+    assert(DeltaLog.snapshot(s, t).count() == expect)
+    assert(DeltaLog.snapshot(s, t).agg(round(sum(col("value")), 2))
+      .collect()(0).getDouble(0) ==
+      TxLog.snapshot(s, t).agg(round(sum(col("value")), 2))
+        .collect()(0).getDouble(0))
+  }
+
   test("DV round-trip: the golden-fixture Delta reader hides the mirrored rows") {
     val s = spark
     import org.apache.spark.sql.functions._

@@ -1090,6 +1090,175 @@ class TxLogSpec extends SparkSpec {
       "generation must resume exactly past the synced mark")
   }
 
+  test("merge-on-read MERGE: DVs hide matched rows, nothing rewritten, stacks compose") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.filter(col("event_id") > 200)
+      .repartitionByRange(8, col("event_id")), t)
+    // gate: refuses without the deletionVectors feature
+    val e0 = intercept[RuntimeException](TxLog.mergeIntoDv(s, t,
+      ev.filter(col("event_id") <= 10), Seq("event_id")))
+    assert(e0.getMessage.contains("deletionVectors"), e0.getMessage)
+    TxLog.setTableProperties(s, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val filesV1 = TxLog.snapshot(s, t).inputFiles.toSet
+    val source = ev.filter(col("event_id") <= 200)
+      .unionByName(ev.filter(col("event_id").between(201, 300))
+        .withColumn("value", col("value") * 2))
+    val r = TxLog.mergeIntoDv(s, t, source, Seq("event_id"))
+    assert(r.filesRewritten > 0, s"matched files must carry DVs: $r")
+    assert(r.filesSkipped > 0, s"high-range files must prune via stats: $r")
+    // NO data file was rewritten: every v1 file is still live
+    val filesNow = TxLog.snapshot(s, t).inputFiles.toSet
+    assert(filesV1.subsetOf(filesNow),
+      "merge-on-read must keep every pre-merge file live")
+    // row-for-row: full corpus with the 201..300 band doubled
+    val expect = ev.withColumn("value",
+      when(col("event_id").between(201, 300), col("value") * 2)
+        .otherwise(col("value")))
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.count() == ev.count())
+    assert(snap.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      expect.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    // a stacked second merge overlapping the first's APPENDED batch:
+    // the replaced replacements must hide (DV on the appended file) —
+    // whole-row semantics, source derives from the ORIGINAL corpus
+    val source2 = ev.filter(col("event_id").between(250, 350))
+      .withColumn("value", col("value") + 100)
+    val r2 = TxLog.mergeIntoDv(s, t, source2, Seq("event_id"))
+    assert(r2.filesRewritten > 0)
+    val expect2 = ev.withColumn("value",
+      when(col("event_id").between(250, 350), col("value") + 100)
+        .otherwise(when(col("event_id").between(201, 249), col("value") * 2)
+          .otherwise(col("value"))))
+    val snap2 = TxLog.snapshot(s, t)
+    assert(snap2.count() == ev.count(), "stacked merge must not gain/lose rows")
+    assert(snap2.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      expect2.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    // a source matching no visible row degenerates to a pure append
+    val extra = ev.filter(col("event_id") <= 50)
+      .withColumn("event_id", col("event_id") + 100000)
+    val r3 = TxLog.mergeIntoDv(s, t, extra, Seq("event_id"))
+    assert(r3.filesRewritten == 0L)
+    assert(TxLog.snapshot(s, t).count() == ev.count() + extra.count())
+  }
+
+  test("merge-on-read MERGE preserves survivor row ids; CDF + mirror round-trip") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.limit(0), t)                              // v1
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))                      // v2
+    TxLog.commitAppend(ev.filter(col("event_id").between(100, 299))
+      .coalesce(1).sortWithinPartitions("event_id"), t)             // v3
+    val pre = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = pre.size.toLong
+    // update band 200..249 (matched), insert band 500..549 (unmatched)
+    val source = ev.filter(col("event_id").between(200, 249))
+      .withColumn("value", col("value") * 3)
+      .unionByName(ev.filter(col("event_id").between(500, 549)))
+    TxLog.mergeIntoDv(s, t, source, Seq("event_id"))                // v4
+    val post = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unmatched survivors keep their EXACT ids — the claim copy-on-write
+    // MERGE cannot make
+    pre.foreach { case (eid, rid) =>
+      if (eid < 200 || eid > 249)
+        assert(post(eid) == rid, s"survivor $eid renumbered: $rid -> ${post(eid)}")
+    }
+    // merged-in rows (postimages + inserts) claim fresh spans past the mark
+    val fresh = post.filter { case (eid, _) =>
+      (eid >= 200 && eid <= 249) || eid >= 500 }
+    assert(fresh.nonEmpty && fresh.values.min >= n,
+      s"fresh ids must start past the spent mark $n, got ${fresh.values.min}")
+    assert(post.values.toSeq.distinct.size == post.size, "ids stay unique")
+    // typed change feed: per-row types from the commit's cdc files
+    val feed = TxLog.changeFeed(s, t, 3L, 4L)
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("update_preimage") == 50L, byType.toString)
+    assert(byType("update_postimage") == 50L, byType.toString)
+    assert(byType("insert") == 50L, byType.toString)
+    // postimages carry the assigned values, preimages the old ones
+    val postSum = feed.filter(col("_change_type") === "update_postimage")
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    val preSum3 = ev.filter(col("event_id").between(200, 249))
+      .agg(round(sum(col("value") * 3), 2)).collect()(0).getDouble(0)
+    assert(postSum == preSum3)
+    // FOREIGN round-trip: the Delta mirror's cdc actions type identically,
+    // and the mirrored snapshot carries the DV remove/add pairs
+    val mirror = graft.sources.DeltaLog.tableChanges(s, t, 3L, 4L)
+    val mByType = mirror.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mByType == byType, s"mirror feed types must match: $mByType vs $byType")
+    assert(graft.sources.DeltaLog.snapshot(s, t).count() ==
+      TxLog.snapshot(s, t).count())
+    // without CDF the feed across a MERGE refuses loudly
+    val t2 = freshTable()
+    TxLog.commitAppend(ev.filter(col("event_id") <= 100), t2)
+    TxLog.setTableProperties(s, t2,
+      Map("delta.enableDeletionVectors" -> "true"))
+    TxLog.mergeIntoDv(s, t2, ev.filter(col("event_id").between(50, 60))
+      .withColumn("value", col("value") + 1), Seq("event_id"))
+    val e = intercept[RuntimeException](TxLog.changeFeed(s, t2, 2L, 3L).count())
+    assert(e.getMessage.contains("MERGE without change-data"), e.getMessage)
+  }
+
+  test("vacuum reclaims superseded deletion-vector bins, keeps live ones") {
+    val s = spark
+    import java.nio.file.{Files => F, Paths => P}
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    TxLog.commitAppend(events.repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    def bins(): Set[String] = {
+      val st = F.list(P.get(t))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("deletion_vector_") && n.endsWith(".bin"))
+        .toSet
+      finally st.close()
+    }
+    // stacked overlapping deletes: the union path writes MERGED bins,
+    // superseding the first delete's bins for the overlap files
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 300)
+    val afterFirst = bins()
+    assert(afterFirst.nonEmpty)
+    TxLog.deleteWhereDv(s, t, col("event_id").between(200, 500))
+    val afterSecond = bins()
+    assert(afterSecond.size > afterFirst.size,
+      "stacked DV DML must accumulate bins pre-vacuum")
+    val preCount = TxLog.snapshot(s, t).count()
+    val preSum = TxLog.snapshot(s, t).agg(round(sum(col("value")), 2))
+      .collect()(0).getDouble(0)
+    val (deleted, _) = TxLog.vacuum(t, retainVersions = 1, minAgeMs = 0L)
+    assert(deleted > 0, "vacuum must sweep superseded DV bins")
+    val afterVacuum = bins()
+    assert(afterVacuum.nonEmpty, "live bins must survive")
+    assert(afterVacuum.size < afterSecond.size,
+      s"superseded bins must go: $afterSecond -> $afterVacuum")
+    // reads are unchanged: the retained version's bitmaps are intact
+    assert(TxLog.snapshot(s, t).count() == preCount)
+    assert(TxLog.snapshot(s, t).agg(round(sum(col("value")), 2))
+      .collect()(0).getDouble(0) == preSum)
+    // a materializing OPTIMIZE drops every DV; vacuum then clears ALL bins
+    TxLog.optimize(s, t)
+    TxLog.vacuum(t, retainVersions = 1, minAgeMs = 0L)
+    assert(bins().isEmpty,
+      "after a materializing rewrite no bin is referenced — all swept")
+    assert(TxLog.snapshot(s, t).count() == preCount)
+  }
+
   test("OVERWRITE takes the identity and row-tracking write paths") {
     val s = spark
     import org.apache.spark.sql.functions._
