@@ -576,6 +576,66 @@ object Streams {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Streaming CDF over a MERGE-ON-READ history through the native
+    * connector: a DV DELETE and a DV UPDATE land between two
+    * checkpointed AvailableNow drains, and the feed must label every
+    * version — v1's inserts RAW (a later delete must not erase
+    * delivered history), the delete's rows as typed `delete` WITH
+    * their deleted values (executors read the newly-hidden ordinals
+    * back from unchanged files via the row-index path), the update as
+    * preimage/postimage pairs, the final append as `insert`. The
+    * second drain resumes the SAME checkpoint across the DV commits —
+    * offset tracking, the DV-diff synthesis, and the labels all have
+    * to hold for the hash to match. */
+  def runStreamCdfDv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val tbl = graft.Scratch.dir("graft_stream_cdfdv_tbl").toString
+    val out = graft.Scratch.dir("graft_stream_cdfdv_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_cdfdv_ckpt").toString
+    graft.sources.TxLog.commitAppend(
+      ev.repartitionByRange(4, col("event_id")), tbl)                // v1
+    graft.sources.TxLog.setTableProperties(spark, tbl,
+      Map("delta.enableDeletionVectors" -> "true"))                  // v2
+    graft.sources.TxLog.deleteWhereDv(spark, tbl,
+      col("event_id") <= 300,
+      Seq(("event_id", null, java.lang.Long.valueOf(300L))))         // v3
+    def drain(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog").option("path", tbl)
+        .option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    drain() // run 1: v1 inserts + v3 deletes
+    graft.sources.TxLog.updateWhereDv(spark, tbl,
+      col("event_id").between(400L, 500L),
+      Map("value" -> (col("value") + 10)),
+      Seq(("event_id", java.lang.Long.valueOf(400L),
+        java.lang.Long.valueOf(500L))))                              // v4
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(900L, 1000L)), tbl)          // v5
+    drain() // run 2: resumes the checkpoint across the DV commits
+    spark.read.parquet(out)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val runStreamCdfDvOracle: String =
+    """SELECT _commit_version, _change_type, count(*) AS n,
+      |       round(sum(v), 2) AS total_value
+      |FROM (
+      |  SELECT CAST(1 AS BIGINT) AS _commit_version,
+      |         'insert' AS _change_type, value AS v FROM events
+      |  UNION ALL SELECT 3, 'delete', value FROM events
+      |    WHERE event_id <= 300
+      |  UNION ALL SELECT 4, 'update_preimage', value FROM events
+      |    WHERE event_id BETWEEN 400 AND 500
+      |  UNION ALL SELECT 4, 'update_postimage', value + 10 FROM events
+      |    WHERE event_id BETWEEN 400 AND 500
+      |  UNION ALL SELECT 5, 'insert', value FROM events
+      |    WHERE event_id BETWEEN 900 AND 1000
+      |) GROUP BY 1, 2""".stripMargin
+
   /** The MEDALLION LOOP end to end, table to table — SYMMETRIC on the
     * native connector: bronze is a committed TxLog table; silver
     * STREAMS FROM IT (`format("graft-txlog")` source — commits become
@@ -1342,6 +1402,7 @@ object Streams {
     "q_stream_exactly_once" -> runStreamExactlyOnce _,
     "q_stream_table_source" -> runStreamTableSource _,
     "q_stream_cdf" -> runStreamCdf _,
+    "q_stream_cdf_dv" -> runStreamCdfDv _,
     "q_stream_pipeline" -> runStreamPipeline _,
     "q_stream_admission" -> runStreamAdmission _,
     "q_stream_tws" -> runRunningStats _
@@ -1364,6 +1425,7 @@ object Streams {
     "q_stream_exactly_once" -> runStreamExactlyOnceOracle,
     "q_stream_table_source" -> runStreamTableSourceOracle,
     "q_stream_cdf" -> runStreamCdfOracle,
+    "q_stream_cdf_dv" -> runStreamCdfDvOracle,
     "q_stream_pipeline" -> runStreamPipelineOracle,
     "q_stream_admission" -> graft.ext.Dedup.incrementalDedupOracle(),
     "q_stream_tws" -> runRunningStatsOracle

@@ -501,22 +501,17 @@ class TxLogScan(dir: String, fullSchema: StructType,
     override def planInputPartitions(): Array[InputPartition] = {
       val cur = TxLog.currentVersion(dir).getOrElse(
         sys.error(s"no committed version in $dir"))
-      // snapshot-shaped reads hide DV'd rows natively (DvReaderFactory);
-      // a CDF replay cannot — insert rows later DV'd would silently
-      // vanish from history and the deletes would never be labeled
-      if (cdf && TxLog.hasDvs(dir, cur))
-        sys.error(s"$dir: table carries deletion vectors — the CDF replay " +
-          "cannot label merge-on-read deletes; use TxLog.changeFeed, " +
-          "which synthesizes them from the DV diffs")
       if (cdf) {
         val skip = opt("skipChangeCommits").exists(_.toBoolean)
-        // one forward manifest pass (manifests are cumulative — the
-        // per-version delta helper would read each twice: O(V^2) IO)
-        return packPartitions(pruneRels(
-          TxLog.commitDeltasRange(dir, 1L, cur).map {
-            case (v, added, removedAny) =>
-              (v, classify(v, added, removedAny, skip))
-          }.filter(_._2.nonEmpty)))
+        // `startingVersion` (inclusive, stock Delta) bounds the batch
+        // replay too; one forward manifest pass inside — manifests are
+        // cumulative, a per-version delta helper would read each twice.
+        // Merge-on-read commits surface as labeled synthetic partitions
+        // (the DV-diff synthesis TxLog.changeFeed does, on the DSv2
+        // executor read path).
+        val fromV = math.max(1L,
+          opt("startingVersion").map(_.toLong).getOrElse(1L))
+        return planCdfVersions(fromV, cur, skip)
       }
       val rels = TxLog.liveRelsAt(dir, cur)
       packPartitions(Seq((cur, rels.filterNot(skippedFiles()))))
@@ -579,38 +574,65 @@ class TxLogScan(dir: String, fullSchema: StructType,
       .getOrElse(Map.empty)
   }
 
-  private[streaming] def packPartitions(
-      versioned: Seq[(Long, Seq[String])]): Array[InputPartition] = {
-    val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
+  /** One manifest-relative file as a [[PartitionedFile]]: hive segments
+    * parsed and typed by the table schema, CDF pseudo-values appended
+    * as constants when reading the change feed. */
+  private def mkPartitionedFile(v: Long, rel: String,
+      changeType: String): PartitionedFile = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      sys.error("graft-txlog: no active SparkSession"))
     val table = Paths.get(dir)
     val zone = spark.sessionState.conf.sessionLocalTimeZone
-    val files = versioned.flatMap { case (v, rels) =>
-      rels.map { rel =>
-        val abs = table.resolve(rel)
-        val segs = rel.split("/").dropRight(1).filter(_.contains("=")).map { s =>
-          val i = s.indexOf('=')
-          (TxLogScan.unescapePath(s.take(i)), TxLogScan.unescapePath(s.drop(i + 1)))
-        }.toMap
-        val appendedVals = readPartSchema.fields.map { f =>
-          f.name match {
-            case "_change_type" if cdf => UTF8String.fromString("insert")
-            case "_commit_version" if cdf => v
-            case name =>
-              val raw = segs.getOrElse(name, sys.error(
-                s"$dir: $rel lacks partition segment $name"))
-              if (raw == "__HIVE_DEFAULT_PARTITION__") null
-              else Cast(Literal(UTF8String.fromString(raw), StringType),
-                f.dataType, Some(zone)).eval(null)
-          }
-        }.toSeq
-        val size = Files.size(abs)
-        PartitionedFile(InternalRow.fromSeq(appendedVals),
-          SparkPath.fromPathString(abs.toString), 0L, size, Array.empty,
-          Files.getLastModifiedTime(abs).toMillis, size, Map.empty)
+    val abs = table.resolve(rel)
+    val segs = rel.split("/").dropRight(1).filter(_.contains("=")).map { s =>
+      val i = s.indexOf('=')
+      (TxLogScan.unescapePath(s.take(i)), TxLogScan.unescapePath(s.drop(i + 1)))
+    }.toMap
+    val appendedVals = readPartSchema.fields.map { f =>
+      f.name match {
+        case "_change_type" if cdf => UTF8String.fromString(changeType)
+        case "_commit_version" if cdf => v
+        case name =>
+          val raw = segs.getOrElse(name, sys.error(
+            s"$dir: $rel lacks partition segment $name"))
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else Cast(Literal(UTF8String.fromString(raw), StringType),
+            f.dataType, Some(zone)).eval(null)
       }
+    }.toSeq
+    val size = Files.size(abs)
+    PartitionedFile(InternalRow.fromSeq(appendedVals),
+      SparkPath.fromPathString(abs.toString), 0L, size, Array.empty,
+      Files.getLastModifiedTime(abs).toMillis, size, Map.empty)
+  }
+
+  /** A protocol change-data file as a [[PartitionedFile]]: everything
+    * (table columns, partition columns, `_change_type`) is DATA in the
+    * file — only `_commit_version` appends, so the partition row
+    * matches the cdc factory's one-field partition schema. */
+  private def mkCdcFile(v: Long, rel: String): PartitionedFile = {
+    val abs = Paths.get(dir).resolve(rel)
+    val size = Files.size(abs)
+    val vals: Seq[Any] = readPartSchema.fields.toSeq.collect {
+      case f if f.name == "_commit_version" => v
+    }
+    PartitionedFile(InternalRow.fromSeq(vals),
+      SparkPath.fromPathString(abs.toString), 0L, size, Array.empty,
+      Files.getLastModifiedTime(abs).toMillis, size, Map.empty)
+  }
+
+  private[streaming] def packPartitions(
+      versioned: Seq[(Long, Seq[String])],
+      changeTypeOf: Long => String = _ => "insert"): Array[InputPartition] = {
+    val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
+    val files = versioned.flatMap { case (v, rels) =>
+      rels.map(rel => mkPartitionedFile(v, rel, changeTypeOf(v)))
     }
     val maxSplit = FilePartition.maxSplitBytes(spark, files.map(_.length).sum)
-    if (dvByAbs.isEmpty)
+    // the CDF replay is RAW history — current-version DVs never apply
+    // to it (a later delete must not erase an earlier insert from the
+    // feed; the deletes surface as their own labeled rows instead)
+    if (dvByAbs.isEmpty || cdf)
       return FilePartition.getFilePartitions(spark, files, maxSplit).toArray
     // DV'd files become single-file partitions (never merged or split)
     // so the per-partition reader knows its ONE file's bitmap a priori;
@@ -623,6 +645,90 @@ class TxLogScan(dir: String, fullSchema: StructType,
       FilePartition(i, p.files): InputPartition }.toArray
   }
 
+  /** Plan the CDF replay of versions `[fromV, toV]`: one labeled entry
+    * per data-changing commit —
+    *
+    *  - appends → their files, `_change_type` = `insert` (constant);
+    *  - merge-on-read DELETE/UPDATE → the NEWLY-HIDDEN ordinals of each
+    *    affected file as [[CdfHiddenPartition]]s (`delete` /
+    *    `update_preimage`), plus the UPDATE's appended batch as
+    *    `update_postimage`;
+    *  - MERGE → its protocol change-data files as
+    *    [[CdfCdcPartition]]s when CDF was enabled (`_change_type` is a
+    *    real column there — the appended batch mixes postimages and
+    *    inserts), refusing loudly otherwise;
+    *  - bytes-only commits (OPTIMIZE/ZORDER) → nothing;
+    *  - copy-on-write rewrites → the [[classify]] contract
+    *    (`skipChangeCommits` or loud failure).
+    *
+    * Scale shape: the DV diff is bitmap set-difference per affected
+    * file (driver-side, O(hidden rows) — the same walk every DV
+    * descriptor consumer does); the hidden rows themselves are read by
+    * EXECUTORS from the unchanged files. Sets [[cdfSynthetic]] so the
+    * reader factory knows to route synthetic partitions through the
+    * row-index path. */
+  private[streaming] def planCdfVersions(fromV: Long, toV: Long,
+      skipChangeCommits: Boolean): Array[InputPartition] = {
+    val table = Paths.get(dir)
+    val plain = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val plainType = scala.collection.mutable.Map.empty[Long, String]
+    val synthetic = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    TxLog.commitDeltasRange(dir, fromV, toV).foreach {
+      case (v, added, removedAny) =>
+        val (op, dataChange) =
+          TxLog.manifestOp(table, v).getOrElse(("WRITE", true))
+        val dvPrev = if (v <= 1) Map.empty[String, String]
+          else TxLog.manifestDvs(table, v - 1)
+        val dvNow = TxLog.manifestDvs(table, v)
+        if (!dataChange) () // OPTIMIZE/ZORDER: rows already delivered
+        else if (op == "MERGE") {
+          val cdc = TxLog.manifestCdc(table, v)
+          if (cdc.nonEmpty)
+            synthetic ++= cdc.map(rel => CdfCdcPartition(mkCdcFile(v, rel)))
+          else if (!skipChangeCommits)
+            sys.error(s"graft-txlog: version $v of $dir is a MERGE " +
+              "without change-data files — its appended batch mixes " +
+              "update_postimage and insert rows, which the DV diff " +
+              "cannot attribute; enable delta.enableChangeDataFeed " +
+              "before merging, or set skipChangeCommits")
+        }
+        else if (dvNow != dvPrev) {
+          val hiddenType = if (op == "UPDATE") "update_preimage" else "delete"
+          val addedType = if (op == "UPDATE") "update_postimage" else "insert"
+          dvNow.foreach { case (rel, json) =>
+            if (!dvPrev.get(rel).contains(json)) {
+              val now = graft.sources.DeletionVectors
+                .parse(graft.sources.DeletionVectors.bytesOf(table, json))
+                .values.toSet
+              val prev = dvPrev.get(rel).map(j =>
+                graft.sources.DeletionVectors.parse(
+                  graft.sources.DeletionVectors.bytesOf(table, j))
+                  .values.toSet).getOrElse(Set.empty[Long])
+              val fresh = (now -- prev).toSeq.sorted
+              if (fresh.nonEmpty)
+                synthetic += CdfHiddenPartition(
+                  mkPartitionedFile(v, rel, hiddenType),
+                  graft.sources.DeletionVectors.serialize(fresh))
+            }
+          }
+          if (added.nonEmpty) { plain += ((v, added)); plainType(v) = addedType }
+        }
+        else {
+          val cls = classify(v, added, removedAny, skipChangeCommits)
+          if (cls.nonEmpty) { plain += ((v, cls)); plainType(v) = "insert" }
+        }
+    }
+    cdfSynthetic = synthetic.nonEmpty
+    packPartitions(pruneRels(plain.toSeq.filter(_._2.nonEmpty)),
+      v => plainType.getOrElse(v, "insert")) ++ synthetic
+  }
+
+  /** Set by [[planCdfVersions]]: any synthetic partition (hidden-row or
+    * cdc-file) forces the whole scan onto the row read path — Spark's
+    * DataSourceRDD refuses mixed row/columnar partitions. Plain CDF
+    * replays (append-only history) keep the columnar fast path. */
+  @volatile private var cdfSynthetic = false
+
   /** Spark's own vectorized parquet reader factory, configured exactly
     * as `ParquetScan.createReaderFactory` configures it (requested
     * schema, session zone, int96/binary semantics) — so the executor
@@ -631,6 +737,29 @@ class TxLogScan(dir: String, fullSchema: StructType,
   private[streaming] def createReaderFactory(): PartitionReaderFactory = {
     TxLogScan.lastScan = Some((readSchema(), allFilters.length))
     val plain = buildParquetFactory(readDataSchema)
+    if (cdf) {
+      if (!cdfSynthetic) return plain // append-only history: columnar
+      val idxField = StructField(
+        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = false)
+      val hiddenInner = buildParquetFactory(
+        StructType(readDataSchema.fields :+ idxField), vectorized = false)
+      // cdc files carry the table's data AND partition columns plus
+      // `_change_type` as real columns (they were written flat); only
+      // `_commit_version` appends as a partition constant
+      val cdcData = StructType(readDataSchema.fields ++
+        readPartSchema.fields.filterNot(_.name == "_commit_version"))
+      val cdcBaseline = StructType(dataSchema.fields ++
+        fullSchema.fields.filter(f => appendedNames(f.name) &&
+          f.name != "_commit_version"))
+      val cdcPart = StructType(
+        readPartSchema.fields.filter(_.name == "_commit_version"))
+      val cdcInner = buildParquetFactory(cdcData,
+        partSchema = cdcPart, baseline = cdcBaseline)
+      return new CdfReaderFactory(plain, hiddenInner, cdcInner,
+        StructType(readDataSchema.fields ++ (idxField +: readPartSchema.fields)),
+        readDataSchema.length)
+    }
     if (dvByAbs.isEmpty) return plain
     val spark = SparkSession.getActiveSession.getOrElse(
       sys.error("graft-txlog: no active SparkSession"))
@@ -653,7 +782,11 @@ class TxLogScan(dir: String, fullSchema: StructType,
   }
 
   private def buildParquetFactory(requested: StructType,
-      vectorized: Boolean = true): ParquetPartitionReaderFactory = {
+      vectorized: Boolean = true,
+      partSchema: StructType = null,
+      baseline: StructType = null): ParquetPartitionReaderFactory = {
+    val effPart = Option(partSchema).getOrElse(readPartSchema)
+    val effBase = Option(baseline).getOrElse(dataSchema)
     val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
     val sqlConf =
       if (vectorized) spark.sessionState.conf
@@ -684,8 +817,8 @@ class TxLogScan(dir: String, fullSchema: StructType,
     hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
       sqlConf.parquetInferTimestampNTZEnabled)
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, requested,
-      readPartSchema, dataFilters, None, new ParquetOptions(options, sqlConf))
+    ParquetPartitionReaderFactory(sqlConf, bc, effBase, requested,
+      effPart, dataFilters, None, new ParquetOptions(options, sqlConf))
   }
 }
 
@@ -748,11 +881,88 @@ private[streaming] class DvReaderFactory(
     }
 }
 
+/** Executor-side CDF synthesis for the DSv2 change-feed scan over a
+  * merge-on-read history:
+  *  - [[CdfHiddenPartition]]s read their ONE file through the parquet
+  *    row-index path and KEEP exactly the newly-hidden ordinals (the
+  *    inverse of [[DvReaderFactory]]'s exclusion filter), projecting
+  *    the temporary index column back out — the hidden rows surface
+  *    with the `_change_type`/`_commit_version` constants the planner
+  *    baked into the partition values;
+  *  - [[CdfCdcPartition]]s read a protocol change-data file through
+  *    `cdc`, whose requested schema pulls the table columns, partition
+  *    columns, and `_change_type` AS DATA (a merge's batch mixes row
+  *    types) with `_commit_version` appended — the output ordering
+  *    matches the scan schema by construction;
+  *  - everything else (labeled appends) delegates to the plain
+  *    factory, row-path because one scan cannot mix row and columnar
+  *    partitions.
+  */
+private[streaming] class CdfReaderFactory(
+    plain: PartitionReaderFactory,
+    hiddenInner: PartitionReaderFactory,
+    cdc: PartitionReaderFactory,
+    hiddenSchema: StructType,
+    idxOrdinal: Int) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    p match {
+      case CdfCdcPartition(file) =>
+        cdc.createReader(FilePartition(0, Array(file)))
+      case CdfHiddenPartition(file, bytes) =>
+        val inner = hiddenInner.createReader(FilePartition(0, Array(file)))
+        val bm = graft.sources.DeletionVectors.parse(bytes)
+        val keep = hiddenSchema.indices.filterNot(_ == idxOrdinal)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(keep.map(i =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, hiddenSchema(i).dataType, true)))
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val r = inner.get()
+              if (bm.contains(r.getLong(idxOrdinal))) {
+                cur = proj(r)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = inner.close()
+        }
+      case other => plain.createReader(other)
+    }
+}
+
 /** The `maxVersionsPerTrigger` admission-control contract as a native
   * DSv2 [[ReadLimit]] — the source produces it in `getDefaultReadLimit`
   * and consumes it in `latestOffset(start, limit)`; the engine passes
   * it through (and pins it under the AvailableNow protocol). */
 case class MaxVersions(maxVersions: Long) extends ReadLimit
+
+/** CDF partition for one version's NEWLY-HIDDEN rows (a merge-on-read
+  * DELETE/UPDATE): the single data file reads through the row-index
+  * parquet path KEEPING exactly the ordinals in `bitmap` (the
+  * roaring-serialized set-difference of the version's DV against its
+  * predecessor's). `file.partitionValues` already carries the typed
+  * hive segments plus the `_change_type`/`_commit_version` constants.
+  * The bitmap rides the partition itself — O(its own hidden rows)
+  * task bytes, no broadcast. */
+private[streaming] case class CdfHiddenPartition(file: PartitionedFile,
+    bitmap: Array[Byte]) extends InputPartition
+
+/** CDF partition for one PROTOCOL change-data file (a MERGE under
+  * `delta.enableChangeDataFeed`): `_change_type` is a REAL column in
+  * the file (a merge's appended batch mixes postimages and inserts, so
+  * no per-file constant exists); partition columns ride the file as
+  * data too; only `_commit_version` appends as a constant. */
+private[streaming] case class CdfCdcPartition(file: PartitionedFile)
+    extends InputPartition
 
 class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     startingVersion: Long, skipChangeCommits: Boolean,
@@ -819,14 +1029,11 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     val fromV = ver(start)
     val toV = ver(end)
     // non-CDF streams hide DV'd rows natively (read-start DV state, see
-    // TxLogScan.dvByAbs); the CDF form refuses for the same labeling
-    // reason as the batch CDF read
-    if (cdf && TxLog.hasDvs(dir, toV))
-      sys.error(s"$dir: table carries deletion vectors — the streaming " +
-        "CDF replay cannot label merge-on-read deletes; use " +
-        "TxLog.changeFeed, which synthesizes them from the DV diffs")
+    // TxLogScan.dvByAbs); the CDF form replays merge-on-read commits as
+    // labeled synthetic partitions (DV-diff synthesis)
+    if (cdf) return scan.planCdfVersions(fromV + 1, toV, skipChangeCommits)
     val versioned =
-      if (fromV <= 0 && !cdf) Seq((toV, TxLog.liveRelsAt(dir, toV)))
+      if (fromV <= 0) Seq((toV, TxLog.liveRelsAt(dir, toV)))
       else ((fromV + 1) to toV).map(v => (v, addedOf(v)))
     scan.packPartitions(scan.pruneRels(versioned.filter(_._2.nonEmpty)))
   }

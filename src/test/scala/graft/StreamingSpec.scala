@@ -920,10 +920,100 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.count()} vs live ${expect.count()}")
     assert(streamed.filter(col("event_id") <= 300).count() == 0,
       "DV'd rows must not stream")
-    // CDF over a DV table still refuses, pointing at changeFeed
-    val e = intercept[Exception](s.read.format("graft-txlog")
-      .option("path", tbl).option("readChangeFeed", "true").load().count())
-    assert(e.getMessage != null && e.getMessage.contains("changeFeed"),
-      e.getMessage)
+    // CDF over the DV table labels the merge-on-read delete: the v1
+    // inserts stay in history RAW (the later delete must not erase
+    // them) and the hidden rows surface as typed `delete` rows
+    val cdfDf = s.read.format("graft-txlog")
+      .option("path", tbl).option("readChangeFeed", "true").load()
+    val byType = cdfDf.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == ev.count(), byType.toString)
+    assert(byType("delete") == ev.filter(col("event_id") <= 300).count(),
+      byType.toString)
+  }
+
+  test("DSv2 CDF replays a merge-on-read history per version, typed") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_dsv2_cdf_dv").toString
+    graft.sources.TxLog.commitAppend(
+      ev.repartitionByRange(4, col("event_id")), tbl)                // v1
+    graft.sources.TxLog.setTableProperties(s, tbl, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))                       // v2
+    graft.sources.TxLog.deleteWhereDv(s, tbl, col("event_id") <= 300,
+      Seq(("event_id", null, java.lang.Long.valueOf(300L))))         // v3
+    graft.sources.TxLog.updateWhereDv(s, tbl,
+      col("event_id").between(400L, 500L),
+      Map("value" -> (col("value") + 10)),
+      Seq(("event_id", java.lang.Long.valueOf(400L),
+        java.lang.Long.valueOf(500L))))                              // v4
+    graft.sources.TxLog.mergeIntoDv(s, tbl,
+      ev.filter(col("event_id").between(600L, 650L))
+        .withColumn("value", col("value") * 2)
+        .unionByName(ev.filter(col("event_id") <= 40)
+          .withColumn("event_id", col("event_id") + 800000L)),
+      Seq("event_id"))                                               // v5
+    graft.sources.TxLog.optimize(s, tbl)                             // v6 (silent)
+    // BATCH CDF from v3 on (startingVersion is inclusive)
+    val feed = s.read.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").option("startingVersion", "3").load()
+    val got = feed.groupBy(col("_commit_version"), col("_change_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nDel = ev.filter(col("event_id") <= 300).count()
+    assert(got((3L, "delete")) == nDel, got.toString)
+    assert(got((4L, "update_preimage")) == 101L, got.toString)
+    assert(got((4L, "update_postimage")) == 101L, got.toString)
+    assert(got((5L, "update_preimage")) == 51L, got.toString)
+    assert(got((5L, "update_postimage")) == 51L, got.toString)
+    assert(got((5L, "insert")) == 41L, got.toString)
+    assert(got.keys.map(_._1).toSet == Set(3L, 4L, 5L),
+      s"OPTIMIZE must stay silent in the feed: $got")
+    // values round-trip too: the deletes carry the deleted values, the
+    // postimages the assigned ones
+    val delSum = feed.filter(col("_change_type") === "delete")
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    assert(delSum == ev.filter(col("event_id") <= 300)
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    val postSum = feed.filter(col("_change_type") === "update_postimage"
+        && col("_commit_version") === 4L)
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    assert(postSum == ev.filter(col("event_id").between(400L, 500L))
+      .agg(round(sum(col("value") + 10), 2)).collect()(0).getDouble(0))
+    // STREAMING CDF: AvailableNow over the same table replays the full
+    // history per version — v1's inserts included, raw (pre-delete)
+    val outDir = Files.createTempDirectory("graft_dsv2_cdf_dv_out").toString
+    val ckpt = Files.createTempDirectory("graft_dsv2_cdf_dv_ckpt").toString
+    val q = s.readStream.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = s.read.parquet(outDir)
+    val sGot = streamed.groupBy(col("_commit_version"), col("_change_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sGot((1L, "insert")) == ev.count(), sGot.toString)
+    assert(sGot((3L, "delete")) == nDel, sGot.toString)
+    assert(sGot((4L, "update_preimage")) == 101L, sGot.toString)
+    assert(sGot((5L, "insert")) == 41L, sGot.toString)
+    // a DV delete committed AFTER the drain replays incrementally on
+    // the same checkpoint
+    graft.sources.TxLog.deleteWhereDv(s, tbl, col("event_id") === 999L) // v7
+    val q2 = s.readStream.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val inc = s.read.parquet(outDir).filter(col("_commit_version") === 7L)
+      .select(col("_change_type"), col("event_id")).collect()
+    assert(inc.length == 1 && inc(0).getString(0) == "delete" &&
+      inc(0).getLong(1) == 999L, inc.mkString(","))
   }
 }
