@@ -1190,6 +1190,16 @@ object TxLog {
     * manifest file the mirror does not know yet stays a candidate, and
     * a missing/unreadable mirror disables pruning entirely (correct,
     * just un-pruned).
+    *
+    * ROW-TRACKED tables rewrite with their ids MATERIALIZED (the same
+    * move OPTIMIZE makes): the candidate scan attaches each row's
+    * stable id, `replace` carries the hidden column through (filters
+    * and column-wise updates preserve extra columns; a closure that
+    * unions in NEW rows leaves it null — fresh rows read fresh ids
+    * from the replacement file's claimed span via the coalesce rule),
+    * and the replacement files land it under the config-named
+    * materialized column. Survivor identity is preserved value-exactly
+    * through the rewrite.
     */
   private def rewriteWhere(spark: SparkSession, dir: String,
       prune: Seq[(String, Any, Any)],
@@ -1211,15 +1221,27 @@ object TxLog {
       return RewriteResult(base, 0L, prev.size.toLong)
     val partCols = pathPartCols(candidates.head)
     DeltaLog.warmMetaCache(spark, table)
-    val src = readRels(spark, table, candidates, dvs = manifestDvs(table, base))
+    val tracked = rowTrackingOn(dir)
+    val matCol = matRowIdCol(dir).filter(_ => tracked)
+    if (tracked && matCol.isEmpty)
+      sys.error(s"$dir: row tracking on but no materialized row-id " +
+        "column name configured")
+    val src = matCol match {
+      case Some(c) => relsWithRowIds(spark, dir, base, candidates)
+        .withColumnRenamed("_row_id", c)
+      case None => readRels(spark, table, candidates,
+        dvs = manifestDvs(table, base))
+    }
     val replaced = replace(src)
     // change-data records for CDF-enabled copy-on-write DML: the
     // DELETE/UPDATE wrappers know their per-row changes (pred + set);
     // closure-generic rewrites (MERGE, RESTORE) pass None and their
-    // versions refuse a later tableChanges read rather than guess
+    // versions refuse a later tableChanges read rather than guess.
+    // Change rows are TABLE rows — the hidden id column stays out.
     val cdcRels =
       if (changeRows.isEmpty || !cdfEnabled(table)) Seq.empty
-      else writeCdcFiles(changeRows.get(src), table)
+      else writeCdcFiles(
+        changeRows.get(matCol.foldLeft(src)(_.drop(_))), table)
     // rewritten rows are WRITES: generated columns RECOMPUTE from their
     // expressions (an update touching the base column must move the
     // derived one with it — and can never smuggle a divergent value),
@@ -1228,8 +1250,11 @@ object TxLog {
     val replacement = validateAndComplete(
       generatedColumnNames(dir).foldLeft(replaced)(_.drop(_)), dir)
     val added = writeBatch(replacement, table, partCols)
+    // the committed schema stays the TABLE schema — the materialized id
+    // column is file-level, never a table column
     val v = commitRewrite(dir, base, candidates.toSet, added,
-      effectiveSchemaJson(replacement, dir), cdcRels = cdcRels)
+      effectiveSchemaJson(matCol.foldLeft(replacement)(_.drop(_)), dir),
+      cdcRels = cdcRels, matAdded = if (tracked) added.toSet else Set.empty)
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, candidates.size.toLong, skipped.size.toLong)
   }
@@ -1618,10 +1643,18 @@ object TxLog {
       .collect().head
     val prune = keys.zipWithIndex.map { case (k, i) =>
       (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
-    val res = rewriteWhere(spark, dir, prune, tgt =>
+    val res = rewriteWhere(spark, dir, prune, { tgt =>
+      // on a row-tracked table the target carries the hidden
+      // materialized-id column — source rows are NEW rows and union in
+      // with it null, so they read fresh ids from the replacement
+      // file's claimed span
+      val extra = tgt.columns.toSet -- source.columns.toSet
+      val src2 = extra.foldLeft(source)((d, c) =>
+        d.withColumn(c, lit(null).cast(tgt.schema(c).dataType)))
       tgt.join(source.select(keys.map(col): _*).dropDuplicates(keys),
           keys, "left_anti")
-        .unionByName(source))
+        .unionByName(src2)
+    })
     if (res.filesRewritten == 0L) {
       // no live file can hold any source key: every source row inserts
       val table = Paths.get(dir)

@@ -877,7 +877,7 @@ class TxLogSpec extends SparkSpec {
       protoLine.contains("\"minWriterVersion\":7"), protoLine)
   }
 
-  test("row tracking: ids are delete-stable, append-monotonic, and rewrites refuse") {
+  test("row tracking: ids are delete-stable, append-monotonic, optimize-stable") {
     val s = spark
     import org.apache.spark.sql.functions._
     val t = freshTable()
@@ -909,10 +909,6 @@ class TxLogSpec extends SparkSpec {
       .agg(min(col("_row_id"))).collect()(0).getLong(0)
     assert(newMin == before.size.toLong,
       s"new ids must start at the old high-water mark + 1, got $newMin")
-    // copy-on-write DML would renumber ids -> refuse
-    val e1 = intercept[RuntimeException](
-      TxLog.deleteWhere(s, t, col("event_id") === 1))
-    assert(e1.getMessage.contains("row-tracked"), e1.getMessage)
     // OPTIMIZE is allowed: it MATERIALIZES ids into the packed files,
     // so every surviving row keeps its exact id through the rewrite
     val preOpt = TxLog.snapshotWithRowIds(s, t)
@@ -945,6 +941,75 @@ class TxLogSpec extends SparkSpec {
     TxLog.setTableProperties(s, t2, Map("delta.enableRowTracking" -> "true"))
     val e3 = intercept[RuntimeException](TxLog.snapshotWithRowIds(s, t2).count())
     assert(e3.getMessage.contains("predate row tracking"), e3.getMessage)
+  }
+
+  test("copy-on-write DML on a row-tracked table materializes preserved ids") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    TxLog.commitAppend(events.filter(col("event_id") <= 200)
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    TxLog.commitAppend(events.filter(col("event_id").between(201, 400))
+      .coalesce(1).sortWithinPartitions("event_id"), t)
+    val pre = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = pre.size.toLong
+    // copy-on-write UPDATE: every row — updated rows INCLUDED — keeps
+    // its exact id through the file rewrite (the ids materialize into
+    // the replacement files, the same move OPTIMIZE makes)
+    val r1 = TxLog.updateWhere(s, t, col("event_id").between(50, 99),
+      Map("value" -> (col("value") * 2)))
+    assert(r1.filesRewritten > 0)
+    val postUpd = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(postUpd == pre, "copy-on-write UPDATE must preserve every id")
+    // the foreign (Delta-log) reader computes the same materialized ids
+    val viaLog = graft.sources.DeltaLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLog == pre)
+    // and the values really changed
+    assert(TxLog.snapshot(s, t).filter(col("event_id").between(50, 99))
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      events.filter(col("event_id").between(50, 99))
+        .agg(round(sum(col("value") * 2), 2)).collect()(0).getDouble(0))
+    // copy-on-write DELETE: survivors keep ids exactly
+    TxLog.deleteWhere(s, t, pmod(col("event_id"), lit(10)) === 3)
+    val postDel = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(postDel.nonEmpty && postDel.size < pre.size)
+    postDel.foreach { case (eid, rid) => assert(pre(eid) == rid) }
+    // copy-on-write MERGE: survivors keep ids, inserted rows claim
+    // FRESH unique ids past the spent mark
+    val src = events.filter(col("event_id").between(100, 149))
+      .withColumn("value", col("value") + 7)
+      .unionByName(events.filter(col("event_id") <= 30)
+        .withColumn("event_id", col("event_id") + 700000L))
+    TxLog.mergeInto(s, t, src, Seq("event_id"))
+    val postMrg = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    postMrg.foreach { case (eid, rid) =>
+      if (eid < 700000L && !(eid >= 100 && eid <= 149))
+        assert(pre(eid) == rid, s"survivor $eid renumbered")
+    }
+    assert(postMrg.values.toSeq.distinct.size == postMrg.size, "ids unique")
+    val inserted = postMrg.filter(_._1 >= 700000L)
+    assert(inserted.size == 31 && inserted.values.min >= n,
+      s"merged-in inserts must claim fresh ids past $n")
+    // merge-on-read DML still composes after the materializing rewrites
+    TxLog.deleteWhereDv(s, t, col("event_id") === 150L)
+    val end = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(end == postMrg - 150L)
   }
 
   test("row tracking on a PARTITIONED table: hive layout, ids unique and delete-stable") {
