@@ -753,6 +753,118 @@ object IcebergLog {
     (expired, orphans)
   }
 
+  /** Position-delete COMPACTION — the spec's
+    * `rewrite_position_delete_files` maintenance action: coalesce the
+    * current snapshot's position-delete files into ONE sorted delete
+    * parquet routed through ONE delete manifest, in a new snapshot
+    * that re-lists the data (and any equality-delete) manifests
+    * untouched — no data row changes, the Iceberg analog of a
+    * dataChange=false commit. After N stacked row-level deletes the
+    * read side joins ONE delete file instead of N overlapping ones per
+    * data file — at 100 TB that turns the delete-application join from
+    * O(N · hidden rows) back to O(hidden rows), and the dedup absorbs
+    * pairs named by multiple stacked deletes.
+    *
+    * Sequencing soundness: the merged file takes the MAX source delete
+    * sequence. A position delete applies iff the paths match AND
+    * dataSeq <= deleteSeq; data-file paths are never reused at later
+    * sequences, so raising an older delete's sequence cannot capture
+    * rows it never named.
+    *
+    * Metadata handling mirrors [[expireSnapshots]]: the new snapshot
+    * appends to `snapshots`/`snapshot-log` with everything else
+    * preserved verbatim, and the next metadata version is claimed
+    * CREATE_NEW; prior snapshots keep reading their own delete files
+    * (time travel unaffected). Intended for natively-written Iceberg
+    * trees; the TxLog mirror already coalesces per version. Returns
+    * (position-delete files before, after).
+    */
+  def compactPositionDeletes(spark: SparkSession, dir: String): (Int, Int) = {
+    val table = Paths.get(dir)
+    val root = mapper.readTree(Files.readString(currentMetadataPath(table)))
+      .asInstanceOf[ObjectNode]
+    val curId = Option(root.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(sys.error(s"$dir: no current snapshot"))
+    val snapsArr = Option(root.get("snapshots")).map(_.asScala.toSeq)
+      .getOrElse(Seq.empty)
+    val snap = snapsArr.find(_.get("snapshot-id").asLong() == curId)
+      .getOrElse(sys.error(s"$dir: current snapshot $curId missing"))
+    val ml = snap.get("manifest-list").asText()
+    // split the manifest-list: content-0 manifests re-list untouched;
+    // a content-1 manifest holding EQUALITY deletes re-lists untouched
+    // too (this engine's writers never mix forms in one manifest);
+    // everything else contributes its position-delete files
+    val entries = avroRecords(resolve(table, ml)).map(m =>
+      (str(m, "manifest_path"), int(m, "content")))
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val posFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    entries.foreach { case (mp, content) =>
+      if (content == 0) keep += ((mp, 0))
+      else {
+        val es = avroRecords(resolve(table, mp))
+          .filter(e => int(e, "status") != 2)
+        val dfs = es.map(_.get("data_file").asInstanceOf[GenericRecord])
+        if (dfs.exists(df => int(df, "content") == 2)) keep += ((mp, 1))
+        else es.zip(dfs).foreach { case (e, df) =>
+          posFiles += ((str(df, "file_path"),
+            longOptOf(e, "sequence_number").getOrElse(0L)))
+        }
+      }
+    }
+    if (posFiles.size <= 1) return (posFiles.size, posFiles.size)
+    val maxSeq = posFiles.map(_._2).max
+    val merged = spark.read
+      .parquet(posFiles.map(p => resolve(table, p._1).toString).toSeq: _*)
+      .select(col("file_path"), col("pos")).distinct()
+      .sort(col("file_path"), col("pos"))
+      .coalesce(1)
+    val newId = snapsArr.map(_.get("snapshot-id").asLong()).max + 1
+    val delRel = writeDataFile(merged, table, s"compact-del-$newId.parquet")
+    val mDel = writeManifest(table, s"m-del-compact-$newId.avro",
+      Seq((1, delRel)), fileContent = 1, seqs = Map(delRel -> maxSeq))
+    val newMl = writeManifestList(table, s"snap-compact-$newId.avro",
+      keep.toSeq :+ ((mDel, 1)), newId)
+    // monotonic commit time for the AS OF resolver
+    val ts = math.max(System.currentTimeMillis(),
+      Option(snap.get("timestamp-ms")).map(_.asLong() + 1).getOrElse(1L))
+    val sn = mapper.createObjectNode()
+    sn.put("snapshot-id", newId)
+    sn.put("sequence-number", newId)
+    sn.put("timestamp-ms", ts)
+    sn.put("manifest-list", newMl)
+    Option(snap.get("schema-id")).foreach(s => sn.put("schema-id", s.asInt()))
+    root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .add(sn)
+    val sl = mapper.createObjectNode()
+    sl.put("snapshot-id", newId)
+    sl.put("timestamp-ms", ts)
+    root.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .add(sl)
+    root.put("current-snapshot-id", newId)
+    root.put("last-sequence-number", math.max(
+      Option(root.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+      newId))
+    val body = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    var nextV = listDir(metadataDir(table)).map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".metadata.json"))
+      .map(_.stripPrefix("v").stripSuffix(".metadata.json"))
+      .filter(_.forall(_.isDigit)).map(_.toLong).maxOption.getOrElse(0L) + 1
+    var placed = false
+    while (!placed) {
+      try {
+        Files.writeString(metadataDir(table).resolve(s"v$nextV.metadata.json"),
+          body, java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        placed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => nextV += 1
+      }
+    }
+    Files.writeString(metadataDir(table).resolve("version-hint.text"),
+      nextV.toString)
+    (posFiles.size, 1)
+  }
+
   // ------------------------------------- golden-fixture tree (writer)
   // The engine only READS Iceberg; the builder below hand-authors a
   // spec-conformant v2 tree (avro manifests included) purely to pin
@@ -1127,6 +1239,71 @@ object IcebergLog {
       Files.writeString(metadataDir(table).resolve("version-hint.text"), "1")
       table.toString
     })
+
+  /** Tree with TWO OVERLAPPING position-delete files in one snapshot —
+    * the stacked-DML shape [[compactPositionDeletes]] exists for:
+    * del0 hides b0's %10 rows, del1 hides b0's %6 rows (overlap at %30,
+    * so the compaction's dedup is exercised) plus b1's %15 rows. */
+  private[graft] def stackedPosDeleteTable(spark: SparkSession, dir: String,
+      at: Option[Path] = None): String =
+    staged.getOrElseUpdate(s"iceberg-posdel2:$dir:${at.getOrElse("")}", {
+      val table = at.getOrElse(graft.Scratch.dir("graft_iceberg_posdel2"))
+      Files.createDirectories(metadataDir(table))
+      val ev = Tables.events(spark, dir)
+      val b0 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+        table, "b0.parquet")
+      val b1 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+        table, "b1.parquet")
+      def doomed(rel: String, mod: Int) =
+        spark.read.parquet(table.resolve(rel).toString)
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"), col("event_id"))
+          .filter(pmod(col("event_id"), lit(mod)) === 0)
+          .select("file_path", "pos")
+      val del0 = writeDataFile(doomed(b0, 10), table, "del0.parquet")
+      val del1 = writeDataFile(doomed(b0, 6).unionByName(doomed(b1, 15)),
+        table, "del1.parquet")
+      val mData = writeManifest(table, "m-data.avro", Seq((1, b0), (1, b1)))
+      val mDel0 = writeManifest(table, "m-del0.avro", Seq((1, del0)),
+        fileContent = 1)
+      val mDel1 = writeManifest(table, "m-del1.avro", Seq((1, del1)),
+        fileContent = 1)
+      val ml = writeManifestList(table, "snap-pd2-list.avro",
+        Seq((mData, 0), (mDel0, 1), (mDel1, 1)), 1L)
+      Files.writeString(metadataDir(table).resolve("v1.metadata.json"),
+        metadataJson(table, ev.schema, Seq((1L, ml)), 1L))
+      Files.writeString(metadataDir(table).resolve("version-hint.text"), "1")
+      table.toString
+    })
+
+  /** The stacked tree COMPACTED — the oracle query's fixture. */
+  private[graft] def compactedPosDeleteTable(spark: SparkSession,
+      dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-posdelc:$dir", {
+      val t = stackedPosDeleteTable(spark, dir,
+        at = Some(graft.Scratch.dir("graft_iceberg_posdelc")))
+      val (before, after) = compactPositionDeletes(spark, t)
+      require(before == 2 && after == 1,
+        s"compaction must coalesce 2 delete files to 1, got $before -> $after")
+      t
+    })
+
+  /** Oracle-checked position-delete COMPACTION: after coalescing the
+    * two overlapping delete files into one, the snapshot must
+    * aggregate exactly the same survivor set — a row resurrected by a
+    * lost delete pair, double-hidden overlap handled wrong, or a
+    * sequence mishandled on the merged file all flip the hash. */
+  def posDeleteCompactQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, compactedPosDeleteTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val posDeleteCompactQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events
+      |WHERE NOT (event_id % 2 = 0 AND (event_id % 10 = 0 OR event_id % 6 = 0))
+      |  AND NOT (event_id % 2 = 1 AND event_id % 15 = 0)
+      |GROUP BY 1""".stripMargin
 
   /** EQUALITY-delete fixture with real sequence-number semantics:
     * b0 lands at sequence 1, an equality delete on `event_type` (field
@@ -1731,6 +1908,7 @@ object IcebergLog {
     goldenTable(spark, dir)
     rangedTable(spark, dir)
     posDeleteTable(spark, dir)
+    compactedPosDeleteTable(spark, dir)
     eqDeleteTable(spark, dir)
     expireTable(spark, dir)
     mirrorTable(spark, dir)
@@ -1743,6 +1921,7 @@ object IcebergLog {
     "q_iceberg_snapshot" -> snapshotQuery _,
     "q_iceberg_skipping" -> skippingQuery _,
     "q_iceberg_posdelete" -> posDeleteQuery _,
+    "q_iceberg_posdel_compact" -> posDeleteCompactQuery _,
     "q_iceberg_eqdelete" -> eqDeleteQuery _,
     "q_iceberg_mirror" -> mirrorQuery _,
     "q_iceberg_part_mirror" -> partMirrorQuery _,
@@ -1757,6 +1936,7 @@ object IcebergLog {
     "q_iceberg_snapshot" -> snapshotQueryOracle,
     "q_iceberg_skipping" -> skippingQueryOracle,
     "q_iceberg_posdelete" -> posDeleteQueryOracle,
+    "q_iceberg_posdel_compact" -> posDeleteCompactQueryOracle,
     "q_iceberg_eqdelete" -> eqDeleteQueryOracle,
     "q_iceberg_mirror" -> mirrorQueryOracle
   )

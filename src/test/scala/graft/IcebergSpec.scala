@@ -781,4 +781,40 @@ class IcebergSpec extends SparkSpec {
       plain.toString, olderThanMillis = Long.MaxValue, retainLast = 2)
     assert(e2.isEmpty && o2.isEmpty)
   }
+
+  test("position-delete compaction: one delete file, same rows, history intact") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.stackedPosDeleteTable(s, sf,
+      at = Some(Files.createTempDirectory("graft_ice_pdc_spec")))
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val r = df.agg(count(lit(1)), sum("event_id"),
+        round(sum("value"), 2)).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val before = fingerprint(IcebergLog.snapshot(s, t))
+    // the stacked tree really hides the union of both delete files
+    val survivors = ev.filter(
+      !(pmod(col("event_id"), lit(2)) === 0 &&
+        (pmod(col("event_id"), lit(10)) === 0 ||
+          pmod(col("event_id"), lit(6)) === 0)) &&
+      !(pmod(col("event_id"), lit(2)) === 1 &&
+        pmod(col("event_id"), lit(15)) === 0))
+    assert(before == fingerprint(survivors))
+    val (nBefore, nAfter) = IcebergLog.compactPositionDeletes(s, t)
+    assert(nBefore == 2 && nAfter == 1, s"$nBefore -> $nAfter")
+    // row-identical after compaction
+    assert(fingerprint(IcebergLog.snapshot(s, t)) == before)
+    // the new snapshot's manifest-list carries exactly ONE delete
+    // manifest (data manifests re-listed untouched)
+    val hist = IcebergLog.history(t)
+    assert(hist.size == 2, hist.toString)
+    val contents = IcebergLog.avroProbe(Paths.get(t), hist.last._3)
+    assert(contents.count(_ == 1) == 1 && contents.count(_ == 0) == 1,
+      s"one data + one delete manifest expected: $contents")
+    // time travel to the pre-compaction snapshot still reads both files
+    assert(fingerprint(IcebergLog.snapshotAt(s, t, 1L)) == before)
+    // compaction is a fixpoint: a second call finds nothing to merge
+    assert(IcebergLog.compactPositionDeletes(s, t) == (1, 1))
+  }
 }
