@@ -2491,6 +2491,7 @@ object TxLog {
     dvMergeTable(spark, dir)
     cdfDvTable(spark, dir)
     cdcTable(spark, dir)
+    cowCdcTable(spark, dir)
     ()
   }
 
@@ -2666,10 +2667,21 @@ object TxLog {
       }
       else {
         val (added, removed) = commitDelta(dir, v)
+        // a copy-on-write rewrite's file swap says nothing about WHICH
+        // rows changed (the added batch mixes survivors with new
+        // versions) — but under CDF the commit wrote per-row-typed
+        // change-data files: read those. Only a cdc-less rewrite
+        // (pre-CDF DML, RESTORE) still refuses.
+        val cowCdc = if (removed.isEmpty) Seq.empty else manifestCdc(table, v)
+        if (cowCdc.nonEmpty)
+          Seq(readRels(spark, table, cowCdc)
+            .withColumn("_commit_version", lit(v)))
+        else {
         if (removed.nonEmpty)
           sys.error(s"$dir: version $v rewrote files (copy-on-write $op) — " +
             "row-level change synthesis needs merge-on-read (deletion " +
-            "vectors); read the two snapshots instead")
+            "vectors) or delta.enableChangeDataFeed at DML time; read " +
+            "the two snapshots instead")
         val dvPrev = manifestDvs(table, v - 1)
         val dvNow = manifestDvs(table, v)
         val hiddenType = if (op == "UPDATE") "update_preimage" else "delete"
@@ -2706,6 +2718,7 @@ object TxLog {
             .withColumn("_change_type", lit(addedType)))
         (hidden.toSeq ++ inserted.toSeq)
           .map(_.withColumn("_commit_version", lit(v)))
+        }
       }
     }
     feeds.reduceOption(_.unionByName(_, allowMissingColumns = true))
@@ -2879,6 +2892,38 @@ object TxLog {
       commitAppend(ev.filter(col("event_id").between(900L, 1000L)), table)
       table
     })
+
+  /** Like [[cdcTable]] but WITHOUT deletion vectors: the DML takes the
+    * COPY-ON-WRITE paths, whose file swaps say nothing about changed
+    * rows — the typed feed must come entirely from the protocol
+    * change-data files the CDF property made each rewrite record. */
+  private def cowCdcTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"cowcdc:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_cowcdc").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.repartitionByRange(4, col("event_id")), table)
+      setTableProperties(spark, table,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      deleteWhere(spark, table, col("event_id") <= 300,
+        Seq(("event_id", null, java.lang.Long.valueOf(300L))))
+      updateWhere(spark, table, col("event_id").between(400L, 500L),
+        Map("value" -> (col("value") + 10)),
+        Seq(("event_id", java.lang.Long.valueOf(400L),
+          java.lang.Long.valueOf(500L))))
+      commitAppend(ev.filter(col("event_id").between(900L, 1000L)), table)
+      table
+    })
+
+  /** Oracle-checked TYPED change feed across COPY-ON-WRITE commits:
+    * same change history and oracle as [[cdfDvQuery]], but every DML
+    * version rewrote files — the feed reads the commits' change-data
+    * parquet instead of synthesizing from DV diffs. A survivor row
+    * leaking from the rewrite batch into the feed, a missing cdc file,
+    * or a mistyped row all flip the hash. */
+  def cowCdfQuery(spark: SparkSession, dir: String): DataFrame =
+    changeFeed(spark, cowCdcTable(spark, dir), 2L, 5L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
   /** Oracle-checked FOREIGN-READABLE CDF: the same change history as
     * [[cdfDvQuery]], but read back through [[DeltaLog.tableChanges]] —
@@ -3139,6 +3184,7 @@ object TxLog {
     "q_txlog_delete_dv" -> dvDeleteQuery _,
     "q_txlog_update_dv" -> dvUpdateQuery _,
     "q_txlog_cdf_dv" -> cdfDvQuery _,
+    "q_txlog_cdf_cow" -> cowCdfQuery _,
     "q_txlog_dsv2_dv" -> dsv2DvQuery _,
     "q_delta_cdc" -> cdcQuery _,
     "q_txlog_update" -> updateQuery _,
@@ -3163,6 +3209,7 @@ object TxLog {
     "q_txlog_delete_dv" -> dvDeleteQueryOracle,
     "q_txlog_update_dv" -> dvUpdateQueryOracle,
     "q_txlog_cdf_dv" -> cdfDvQueryOracle,
+    "q_txlog_cdf_cow" -> cdfDvQueryOracle,
     "q_txlog_dsv2_dv" -> dvDeleteQueryOracle,
     "q_delta_cdc" -> cdfDvQueryOracle,
     "q_txlog_update" -> updateQueryOracle,

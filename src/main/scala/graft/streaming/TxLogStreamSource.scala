@@ -713,6 +713,13 @@ class TxLogScan(dir: String, fullSchema: StructType,
           }
           if (added.nonEmpty) { plain += ((v, added)); plainType(v) = addedType }
         }
+        else if (removedAny && TxLog.manifestCdc(table, v).nonEmpty)
+          // a copy-on-write rewrite under CDF wrote per-row-typed
+          // change-data files — read those (the added batch mixes
+          // survivors with new row versions, so it can never feed
+          // directly); cdc-less rewrites keep the classify contract
+          synthetic ++= TxLog.manifestCdc(table, v).map(rel =>
+            CdfCdcPartition(mkCdcFile(v, rel)))
         else {
           val cls = classify(v, added, removedAny, skipChangeCommits)
           if (cls.nonEmpty) { plain += ((v, cls)); plainType(v) = "insert" }

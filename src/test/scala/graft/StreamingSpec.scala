@@ -932,6 +932,48 @@ class StreamingSpec extends SparkSpec {
       byType.toString)
   }
 
+  test("DSv2 CDF replays copy-on-write DML from its change-data files") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_dsv2_cdf_cow").toString
+    graft.sources.TxLog.commitAppend(
+      ev.repartitionByRange(4, col("event_id")), tbl)                // v1
+    graft.sources.TxLog.setTableProperties(s, tbl,
+      Map("delta.enableChangeDataFeed" -> "true"))                   // v2
+    graft.sources.TxLog.deleteWhere(s, tbl, col("event_id") <= 300,
+      Seq(("event_id", null, java.lang.Long.valueOf(300L))))         // v3 CoW
+    graft.sources.TxLog.updateWhere(s, tbl,
+      col("event_id").between(400L, 500L),
+      Map("value" -> (col("value") + 10)),
+      Seq(("event_id", java.lang.Long.valueOf(400L),
+        java.lang.Long.valueOf(500L))))                              // v4 CoW
+    val feed = s.read.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").option("startingVersion", "3").load()
+    val got = feed.groupBy(col("_commit_version"), col("_change_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got((3L, "delete")) == ev.filter(col("event_id") <= 300).count(),
+      got.toString)
+    assert(got((4L, "update_preimage")) == 101L, got.toString)
+    assert(got((4L, "update_postimage")) == 101L, got.toString)
+    assert(got.size == 3,
+      s"rewrite-batch survivor rows must never leak into the feed: $got")
+    // a cdc-less rewrite (no CDF at DML time) still refuses loudly
+    val t2 = Files.createTempDirectory("graft_dsv2_cdf_cow2").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 100), t2)
+    graft.sources.TxLog.deleteWhere(s, t2, col("event_id") === 5L)
+    val e = intercept[Exception](s.read.format("graft-txlog")
+      .option("path", t2).option("readChangeFeed", "true").load().count())
+    assert(e.getMessage != null && e.getMessage.contains("removed files"),
+      e.getMessage)
+    // and TxLog.changeFeed agrees with the connector on the cdc route
+    val cf = graft.sources.TxLog.changeFeed(s, tbl, 2L, 4L)
+      .groupBy(col("_commit_version"), col("_change_type")).count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cf == got, s"changeFeed vs DSv2: $cf vs $got")
+  }
+
   test("DSv2 CDF replays a merge-on-read history per version, typed") {
     val s = spark
     import org.apache.spark.sql.functions._
