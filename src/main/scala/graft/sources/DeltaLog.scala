@@ -2110,8 +2110,19 @@ object DeltaLog {
     protocolGuard(spark, table, pl)
     val (live, _, metaOpt) = liveState(spark, table, pl)
     val meta = metaOpt.getOrElse(sys.error(s"$dir: no metaData action"))
-    if (mappingMode(Some(meta)) != "none")
-      sys.error(s"$dir: row-id reads of column-mapped tables are not supported")
+    // column mapping composes with row ids for FLAT layouts: the scan
+    // resolves physical names (or field ids) exactly like the plain
+    // snapshot read and relabels to logical after the id attach; the
+    // materialized row-id column has no mapping entry (it is file-level,
+    // never a table column) and always matches by its config name.
+    // Mapped PARTITIONED layouts need the grouped-literal fallback the
+    // plain reader uses — not composed with provenance columns yet.
+    val mode = mappingMode(Some(meta))
+    if (mode != "none" && mode != "name" && mode != "id")
+      sys.error(s"$dir: unsupported delta.columnMapping.mode '$mode'")
+    if (mode != "none" && partitionColsOf(Some(meta)).nonEmpty)
+      sys.error(s"$dir: row-id reads of column-mapped PARTITIONED " +
+        "tables are not supported")
     val cfg = Option(meta.get("configuration")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
     if (!cfg.get("delta.enableRowTracking").contains("true"))
@@ -2132,8 +2143,17 @@ object DeltaLog {
         "baseRowId — the log predates row tracking for them")
     val dvs = fs.collect { case (p, Some(d), _, _) => p -> d }.toMap
     val schema = tableSchemaOf(dir, Some(meta))
-    val readSchema = matCol.filterNot(schema.fieldNames.contains)
-      .map(c => schema.add(c, LongType, nullable = true)).getOrElse(schema)
+    def addMat(s: StructType): StructType =
+      matCol.filterNot(s.fieldNames.contains)
+        .map(c => s.add(c, LongType, nullable = true)).getOrElse(s)
+    val readSchema = mode match {
+      case "name" => addMat(physicalType(schema, table).asInstanceOf[StructType])
+      case "id" =>
+        // same session-level switch the plain id-mode read uses
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        addMat(withFieldIds(schema, table))
+      case _ => addMat(schema)
+    }
     val norm = (c: org.apache.spark.sql.Column) =>
       when(c.startsWith("file:"),
         regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
@@ -2181,7 +2201,14 @@ object DeltaLog {
       (resolveDataPath(table, p).toAbsolutePath.toString, b)
     }.toDF("__file_abs", "__base")
     val internal = Set("__file", "__pos") ++ matCol
-    val cols = scanned.columns.filterNot(internal).map(col).toSeq
+    // mode "name": relabel the physical columns back to logical shape
+    // (a projection — no data copied); "id" resolves to logical names
+    // natively; "none" passes through
+    val cols: Seq[org.apache.spark.sql.Column] =
+      if (mode == "name") schema.fields.toSeq.map(f =>
+        toLogical(scanned.col(quoted(physNameOf(f, table))), f.dataType,
+          table).as(f.name))
+      else scanned.columns.filterNot(internal).map(col).toSeq
     val rowId = matCol
       .map(c => coalesce(col(c), col("__base") + col("__pos")))
       .getOrElse(col("__base") + col("__pos"))

@@ -2351,6 +2351,59 @@ class DeltaLogSpec extends SparkSpec {
       "the id high-water mark must clone — a clone-side writer must not reissue ids")
   }
 
+  test("row-id reads compose with column mapping (rename upgrade, name mode)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events
+    // pure-Delta-log row-tracked table (renameColumn refuses TxLog
+    // mirrors — the manifest cannot represent logical renames): two
+    // single-file adds with baseRowIds, authored via mirrorCommit
+    val t = freshTable()
+    val root = Paths.get(t)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+      val tmp = Files.createTempDirectory("graft_rid_cmap_stage")
+      df.coalesce(1).sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      Files.move(part, root.resolve(name))
+      df.count()
+    }
+    val n1 = land(ev.filter(col("event_id") <= 200), "f1.parquet")
+    val n2 = land(ev.filter(col("event_id").between(201, 260)), "f2.parquet")
+    DeltaLog.mirrorCommit(root, 1L, Seq("f1.parquet"), Seq.empty,
+      ev.schema.json,
+      props = Map("delta.enableRowTracking" -> "true",
+        "delta.rowTracking.materializedRowIdColumnName" -> "_row-id-col-t"),
+      rowIds = Map("f1.parquet" -> ((0L, 0L))),
+      domains = Map("delta.rowTracking" ->
+        s"""{"rowIdHighWaterMark":${n1 - 1}}"""))
+    DeltaLog.mirrorCommit(root, 2L, Seq("f2.parquet"), Seq.empty,
+      ev.schema.json,
+      rowIds = Map("f2.parquet" -> ((n1, 1L))),
+      domains = Map("delta.rowTracking" ->
+        s"""{"rowIdHighWaterMark":${n1 + n2 - 1}}"""))
+    val pre = DeltaLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pre.size == n1 + n2 && pre.values.toSeq.distinct.size == pre.size)
+    // RENAME upgrades the table to column mapping (physical names
+    // frozen at the current names); the foreign row-id reader must now
+    // resolve physically and relabel — ids unchanged, renamed column
+    // visible under its NEW logical name
+    DeltaLog.renameColumn(s, t, "value", "amount")
+    val mapped = DeltaLog.snapshotWithRowIds(s, t)
+    assert(mapped.columns.contains("amount") &&
+      !mapped.columns.contains("value"))
+    val post = mapped.select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(post == pre, "mapping upgrade must not move any row id")
+    // values still read correctly through the relabel
+    assert(mapped.agg(round(sum(col("amount")), 2)).collect()(0).getDouble(0) ==
+      ev.filter(col("event_id") <= 260)
+        .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+  }
+
   test("shallow clone of a HIVE-PARTITIONED row-tracked table reads row ids") {
     val s = spark
     import org.apache.spark.sql.functions._
