@@ -2827,6 +2827,22 @@ object TxLog {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Oracle-checked DSv2 TIME TRAVEL: the connector's `versionAsOf`
+    * read of version 1 must aggregate exactly the FIRST committed
+    * batch — the second batch leaking in, or the read resolving to the
+    * current version, flips the hash. */
+  def dsv2AsOfQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-txlog")
+      .option("path", snapshotTable(spark, dir))
+      .option("versionAsOf", "1").load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val dsv2AsOfQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id % 3 = 0
+      |GROUP BY 1""".stripMargin
+
   /** History for the TYPED DV change feed: enable DVs, a DV DELETE, a
     * DV UPDATE on a disjoint band, then a plain append — the feed must
     * type each as delete / update_preimage+postimage / insert. */
@@ -3186,6 +3202,7 @@ object TxLog {
     "q_txlog_cdf_dv" -> cdfDvQuery _,
     "q_txlog_cdf_cow" -> cowCdfQuery _,
     "q_txlog_dsv2_dv" -> dsv2DvQuery _,
+    "q_txlog_dsv2_asof" -> dsv2AsOfQuery _,
     "q_delta_cdc" -> cdcQuery _,
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
@@ -3211,6 +3228,7 @@ object TxLog {
     "q_txlog_cdf_dv" -> cdfDvQueryOracle,
     "q_txlog_cdf_cow" -> cdfDvQueryOracle,
     "q_txlog_dsv2_dv" -> dvDeleteQueryOracle,
+    "q_txlog_dsv2_asof" -> dsv2AsOfQueryOracle,
     "q_delta_cdc" -> cdfDvQueryOracle,
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,

@@ -122,10 +122,22 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
     val dir = dirOf(options)
     if (TxLog.currentVersion(dir).isEmpty) new StructType()
     else {
-      val full = TxLogScan.readSchema(
-        SparkSession.getActiveSession.getOrElse(
-          sys.error("graft-txlog: no active SparkSession")),
-        dir, cdf = options.getBoolean("readChangeFeed", false))
+      val spark = SparkSession.getActiveSession.getOrElse(
+        sys.error("graft-txlog: no active SparkSession"))
+      // time travel presents the TABLE AT THAT VERSION's schema (stock
+      // Delta's versionAsOf contract) — a later-added column must not
+      // surface null-filled on a historical read
+      val full = TxLogScan.asOfOption(options.asCaseSensitiveMap()
+            .asScala.toMap, dir) match {
+        case Some(v) =>
+          val pcols = TxLog.partitionColumnsOf(dir)
+          val s = TxLog.snapshotAt(spark, dir, v).schema
+          val data = s.fields.filterNot(f => pcols.contains(f.name))
+          val part = pcols.flatMap(n => s.fields.find(_.name == n))
+          StructType(data ++ part)
+        case None => TxLogScan.readSchema(spark, dir,
+          cdf = options.getBoolean("readChangeFeed", false))
+      }
       TxLogScan.applyColumns(full, Option(options.get("columns")))
     }
   }
@@ -386,6 +398,35 @@ object TxLogScan {
     * here diverged on malformed escapes and multi-byte UTF-8). */
   private[streaming] def unescapePath(s: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
+  /** TIME TRAVEL options of a batch read, resolved to a TxLog version:
+    * `versionAsOf` (a committed TxLog version) or `timestampAsOf`
+    * (epoch millis, or any `java.sql.Timestamp`-parsable local
+    * datetime — resolved against the mirror's commit timestamps, the
+    * same rule as stock Delta). Case-insensitive lookup; both set is
+    * an error. */
+  private[streaming] def asOfOption(options: Map[String, String],
+      dir: String): Option[Long] = {
+    val ci = options.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val byV = ci.get("versionasof").map(_.trim.toLong)
+    val byTs = ci.get("timestampasof").map { raw =>
+      val ms = raw.trim.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(raw.trim).getTime)
+      // DeltaLog versions trail TxLog versions by one
+      graft.sources.DeltaLog.versionAsOf(dir, ms) + 1L
+    }
+    require(byV.isEmpty || byTs.isEmpty,
+      "graft-txlog: versionAsOf and timestampAsOf are mutually exclusive")
+    val asOf = byV.orElse(byTs)
+    asOf.foreach { v =>
+      val latest = TxLog.currentVersion(dir).getOrElse(
+        sys.error(s"graft-txlog: no committed version in $dir"))
+      require(v >= 1L && v <= latest, s"graft-txlog: versionAsOf $v " +
+        s"outside the committed range 1..$latest of $dir")
+    }
+    asOf
+  }
 }
 
 /** One scan = one (projection, filters, options) binding;
@@ -410,6 +451,11 @@ class TxLogScan(dir: String, fullSchema: StructType,
     optsCI.get(name.toLowerCase(java.util.Locale.ROOT))
 
   private val cdf = opt("readChangeFeed").exists(_.toBoolean)
+  // time travel (batch only): versionAsOf / timestampAsOf
+  private val asOf: Option[Long] = TxLogScan.asOfOption(optsCI, dir)
+  require(asOf.isEmpty || !cdf,
+    "graft-txlog: time travel does not combine with readChangeFeed — " +
+      "bound the feed with startingVersion instead")
   // appended (non-file) columns: real partition cols + CDF pseudo-cols
   private val partCols = TxLog.partitionColumnsOf(dir)
   private val appendedNames: Set[String] =
@@ -481,11 +527,14 @@ class TxLogScan(dir: String, fullSchema: StructType,
     s"graft-txlog $dir${if (cdf) " [changeFeed]" else ""}$pf"
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(asOf.isEmpty, "graft-txlog: versionAsOf/timestampAsOf are " +
+      "batch-read options — a stream replays history via startingVersion")
     new TxLogMicroBatchStream(this, dir,
       opt("startingVersion").map(_.toLong).getOrElse(0L),
       opt("skipChangeCommits").exists(_.toBoolean),
       opt("maxVersionsPerTrigger").map(_.toLong), cdf)
+  }
 
   override def toBatch: Batch = new Batch {
     /** Live files, minus the ones the pushed filters' range envelope
@@ -513,8 +562,16 @@ class TxLogScan(dir: String, fullSchema: StructType,
           opt("startingVersion").map(_.toLong).getOrElse(1L))
         return planCdfVersions(fromV, cur, skip)
       }
-      val rels = TxLog.liveRelsAt(dir, cur)
-      packPartitions(Seq((cur, rels.filterNot(skippedFiles()))))
+      val effV = asOf match {
+        case Some(v) =>
+          if (scala.util.Try(TxLog.liveRelsAt(dir, v)).isFailure)
+            sys.error(s"graft-txlog: cannot read $dir at version $v — " +
+              "its manifest is expired (vacuumed past retention)")
+          v
+        case None => cur
+      }
+      val rels = TxLog.liveRelsAt(dir, effV)
+      packPartitions(Seq((effV, rels.filterNot(skippedFiles()))))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       TxLogScan.this.createReaderFactory()
@@ -565,7 +622,9 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * `TxLog.changeFeed` is the retraction-aware view. */
   private lazy val dvByAbs: Map[String, String] = {
     val table = Paths.get(dir)
-    TxLog.currentVersion(dir)
+    // a time-travel read applies the DVs in force AT THAT VERSION — a
+    // later delete must not hide rows from a historical snapshot
+    asOf.orElse(TxLog.currentVersion(dir))
       .map(v => TxLog.manifestDvs(table, v).map { case (rel, d) =>
         // key through the SAME SparkPath conversion the lookup uses, so
         // escaped path segments can't split the two spellings

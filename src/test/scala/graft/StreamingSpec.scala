@@ -932,6 +932,56 @@ class StreamingSpec extends SparkSpec {
       byType.toString)
   }
 
+  test("DSv2 time travel: versionAsOf/timestampAsOf read historical snapshots") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_dsv2_asof").toString
+    graft.sources.TxLog.commitAppend(ev.filter(col("event_id") < 100), tbl) // v1
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(100, 199))
+        .withColumn("bonus", col("value") * 2), tbl)                        // v2 (evolves)
+    graft.sources.TxLog.setTableProperties(s, tbl,
+      Map("delta.enableDeletionVectors" -> "true"))                         // v3
+    graft.sources.TxLog.deleteWhereDv(s, tbl, col("event_id") < 50)         // v4
+    def rd = s.read.format("graft-txlog").option("path", tbl)
+    // current read: evolved schema, DVs applied
+    val cur = rd.load()
+    assert(cur.columns.contains("bonus"))
+    assert(cur.count() == 150L)
+    // versionAsOf 1: pre-evolution schema (no bonus), pre-delete rows
+    val v1 = rd.option("versionAsOf", "1").load()
+    assert(!v1.columns.contains("bonus"),
+      "a historical read must present the schema AT that version")
+    assert(v1.count() == 100L, "versionAsOf must see pre-delete rows")
+    assert(v1.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      ev.filter(col("event_id") < 100)
+        .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    // versionAsOf 2: both batches, still no DVs
+    assert(rd.option("versionAsOf", "2").load().count() == 200L)
+    // timestampAsOf "now" resolves to the latest version
+    assert(rd.option("timestampAsOf",
+      String.valueOf(System.currentTimeMillis() + 1000)).load().count() == 150L)
+    // guards: out-of-range version, cdf combination, streaming use
+    val e1 = intercept[Exception](rd.option("versionAsOf", "99").load().count())
+    assert(e1.getMessage.contains("outside the committed range"), e1.getMessage)
+    val e2 = intercept[Exception](rd.option("versionAsOf", "1")
+      .option("readChangeFeed", "true").load().count())
+    assert(e2.getMessage.contains("startingVersion"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      val q = s.readStream.format("graft-txlog").option("path", tbl)
+        .option("versionAsOf", "1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_asof_ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.exception.foreach(throw _)
+    }
+    assert(e3.getMessage != null &&
+      e3.getMessage.contains("batch-read options"), e3.getMessage)
+  }
+
   test("DSv2 CDF replays copy-on-write DML from its change-data files") {
     val s = spark
     import org.apache.spark.sql.functions._
