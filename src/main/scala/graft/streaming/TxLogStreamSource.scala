@@ -552,15 +552,18 @@ class TxLogScan(dir: String, fullSchema: StructType,
         sys.error(s"no committed version in $dir"))
       if (cdf) {
         val skip = opt("skipChangeCommits").exists(_.toBoolean)
-        // `startingVersion` (inclusive, stock Delta) bounds the batch
-        // replay too; one forward manifest pass inside — manifests are
-        // cumulative, a per-version delta helper would read each twice.
-        // Merge-on-read commits surface as labeled synthetic partitions
-        // (the DV-diff synthesis TxLog.changeFeed does, on the DSv2
-        // executor read path).
+        // `startingVersion` / `endingVersion` (both inclusive, stock
+        // Delta) bound the batch replay; one forward manifest pass
+        // inside — manifests are cumulative, a per-version delta helper
+        // would read each twice. Merge-on-read commits surface as
+        // labeled synthetic partitions (the DV-diff synthesis
+        // TxLog.changeFeed does, on the DSv2 executor read path).
         val fromV = math.max(1L,
           opt("startingVersion").map(_.toLong).getOrElse(1L))
-        return planCdfVersions(fromV, cur, skip)
+        val toV = opt("endingVersion").map(_.toLong).getOrElse(cur)
+        require(toV >= fromV && toV <= cur, s"graft-txlog: endingVersion " +
+          s"$toV outside the range $fromV..$cur of $dir")
+        return planCdfVersions(fromV, toV, skip)
       }
       val effV = asOf match {
         case Some(v) =>

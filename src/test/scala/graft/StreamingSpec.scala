@@ -1063,6 +1063,17 @@ class StreamingSpec extends SparkSpec {
     assert(got((5L, "insert")) == 41L, got.toString)
     assert(got.keys.map(_._1).toSet == Set(3L, 4L, 5L),
       s"OPTIMIZE must stay silent in the feed: $got")
+    // endingVersion bounds the replay (both inclusive, stock Delta)
+    val bounded = s.read.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "3").option("endingVersion", "4").load()
+      .select(col("_commit_version")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(bounded == Set(3L, 4L), s"endingVersion must exclude v5: $bounded")
+    val eEnd = intercept[Exception](s.read.format("graft-txlog")
+      .option("path", tbl).option("readChangeFeed", "true")
+      .option("endingVersion", "99").load().count())
+    assert(eEnd.getMessage.contains("endingVersion"), eEnd.getMessage)
     // values round-trip too: the deletes carry the deleted values, the
     // postimages the assigned ones
     val delSum = feed.filter(col("_change_type") === "delete")
