@@ -795,19 +795,31 @@ object IcebergLog {
     // too (this engine's writers never mix forms in one manifest);
     // everything else contributes its position-delete files
     val entries = avroRecords(resolve(table, ml)).map(m =>
-      (str(m, "manifest_path"), int(m, "content")))
+      (str(m, "manifest_path"), int(m, "content"),
+        longOpt(m, "sequence_number")))
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    // re-listed manifests must KEEP their list-entry sequence numbers —
+    // their null per-entry sequences inherit from the list entry, so
+    // dropping it would re-sequence every untouched file to 0
+    val keepSeqs = scala.collection.mutable.Map.empty[String, Long]
     val posFiles = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    entries.foreach { case (mp, content) =>
-      if (content == 0) keep += ((mp, 0))
+    entries.foreach { case (mp, content, mSeq) =>
+      if (content == 0) { keep += ((mp, 0)); keepSeqs(mp) = mSeq }
       else {
         val es = avroRecords(resolve(table, mp))
           .filter(e => int(e, "status") != 2)
         val dfs = es.map(_.get("data_file").asInstanceOf[GenericRecord])
-        if (dfs.exists(df => int(df, "content") == 2)) keep += ((mp, 1))
+        if (dfs.exists(df => int(df, "content") == 2)) {
+          keep += ((mp, 1)); keepSeqs(mp) = mSeq
+        }
         else es.zip(dfs).foreach { case (e, df) =>
+          // a null per-entry sequence INHERITS the manifest-list
+          // entry's (the spec rule [[liveFilesOf]] applies) — native
+          // writers leave same-snapshot entries null, so defaulting to
+          // 0 would land the merged delete below every data sequence
+          // and silently resurrect every deleted row
           posFiles += ((str(df, "file_path"),
-            longOptOf(e, "sequence_number").getOrElse(0L)))
+            longOptOf(e, "sequence_number").getOrElse(mSeq)))
         }
       }
     }
@@ -823,7 +835,8 @@ object IcebergLog {
     val mDel = writeManifest(table, s"m-del-compact-$newId.avro",
       Seq((1, delRel)), fileContent = 1, seqs = Map(delRel -> maxSeq))
     val newMl = writeManifestList(table, s"snap-compact-$newId.avro",
-      keep.toSeq :+ ((mDel, 1)), newId)
+      keep.toSeq :+ ((mDel, 1)), newId,
+      seqs = keepSeqs.toMap + (mDel -> maxSeq))
     // monotonic commit time for the AS OF resolver
     val ts = math.max(System.currentTimeMillis(),
       Option(snap.get("timestamp-ms")).map(_.asLong() + 1).getOrElse(1L))
@@ -877,6 +890,7 @@ object IcebergLog {
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
   private val manifestEntrySchema = new Schema.Parser().parse(
@@ -1004,15 +1018,21 @@ object IcebergLog {
   }
 
   /** Manifest-list entries as (table-relative path, content) — content
-    * 0 = data manifest, 1 = delete manifest. */
+    * 0 = data manifest, 1 = delete manifest. `seqs` (keyed by manifest
+    * rel path) writes the entry's `sequence_number`, which null
+    * per-entry manifest sequences INHERIT (the spec rule) — native
+    * writers always carry it; compaction must preserve it when
+    * re-listing untouched manifests. */
   private def writeManifestList(table: Path, name: String,
-      manifests: Seq[(String, Int)], snapshotId: Long): String = {
+      manifests: Seq[(String, Int)], snapshotId: Long,
+      seqs: Map[String, Long] = Map.empty): String = {
     val recs = manifests.map { case (rel, content) =>
       val r = new GenericData.Record(manifestListSchema)
       r.put("manifest_path", rel)
       r.put("manifest_length", Files.size(table.resolve(rel)))
       r.put("partition_spec_id", 0)
       r.put("content", content)
+      seqs.get(rel).foreach(v => r.put("sequence_number", Long.box(v)))
       r.put("added_snapshot_id", snapshotId)
       r: GenericRecord
     }
@@ -1275,6 +1295,47 @@ object IcebergLog {
       Files.writeString(metadataDir(table).resolve("version-hint.text"), "1")
       table.toString
     })
+
+  /** [[stackedPosDeleteTable]]'s NATIVE-WRITER shape: sequence numbers
+    * ride the manifest-LIST entries and the per-entry sequences are
+    * left NULL — what real Iceberg writers produce for same-snapshot
+    * entries (the spec's inheritance rule). Data manifest at sequence
+    * 1, the two stacked delete manifests at sequences 2 and 3 — so the
+    * compacted delete file must land at sequence 3 via inheritance;
+    * a 0-defaulted sequence would drop below the data sequence and
+    * resurrect every deleted row. */
+  private[graft] def nativeSeqPosDeleteTable(spark: SparkSession,
+      dir: String): String = {
+    val table = Files.createTempDirectory("graft_iceberg_posdel_seq")
+    Files.createDirectories(metadataDir(table))
+    val ev = Tables.events(spark, dir)
+    val b0 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      table, "b0.parquet")
+    val b1 = writeDataFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      table, "b1.parquet")
+    def doomed(rel: String, mod: Int) =
+      spark.read.parquet(table.resolve(rel).toString)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("event_id"))
+        .filter(pmod(col("event_id"), lit(mod)) === 0)
+        .select("file_path", "pos")
+    val del0 = writeDataFile(doomed(b0, 10), table, "del0.parquet")
+    val del1 = writeDataFile(doomed(b0, 6).unionByName(doomed(b1, 15)),
+      table, "del1.parquet")
+    // NO per-entry seqs anywhere: inheritance is the only source
+    val mData = writeManifest(table, "m-data.avro", Seq((1, b0), (1, b1)))
+    val mDel0 = writeManifest(table, "m-del0.avro", Seq((1, del0)),
+      fileContent = 1)
+    val mDel1 = writeManifest(table, "m-del1.avro", Seq((1, del1)),
+      fileContent = 1)
+    val ml = writeManifestList(table, "snap-pdseq-list.avro",
+      Seq((mData, 0), (mDel0, 1), (mDel1, 1)), 1L,
+      seqs = Map(mData -> 1L, mDel0 -> 2L, mDel1 -> 3L))
+    Files.writeString(metadataDir(table).resolve("v1.metadata.json"),
+      metadataJson(table, ev.schema, Seq((1L, ml)), 1L))
+    Files.writeString(metadataDir(table).resolve("version-hint.text"), "1")
+    table.toString
+  }
 
   /** The stacked tree COMPACTED — the oracle query's fixture. */
   private[graft] def compactedPosDeleteTable(spark: SparkSession,

@@ -1638,6 +1638,7 @@ object TxLog {
     if (source.isEmpty)
       return RewriteResult(currentVersion(dir).getOrElse(
         sys.error(s"no committed version in $dir")), 0L, 0L)
+    requireUniqueSourceKeys(source, keys, "mergeInto")
     val bounds = source.select(keys.flatMap(k =>
       Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
       .collect().head
@@ -1715,6 +1716,7 @@ object TxLog {
     val base = currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir"))
     if (source.isEmpty) return RewriteResult(base, 0L, 0L)
+    requireUniqueSourceKeys(source, keys, "mergeIntoDv")
     val bounds = source.select(keys.flatMap(k =>
       Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
       .collect().head
@@ -1767,6 +1769,417 @@ object TxLog {
       operation = "MERGE", cdcRels = cdcRels)
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, updates.size.toLong, skipped.size.toLong)
+  }
+
+  // ------------------------------------------------ conditional MERGE
+
+  /** One `WHEN` clause of a conditional MERGE — stock Delta's clause
+    * model (delta.io MERGE INTO: `WHEN MATCHED [AND cond] THEN UPDATE
+    * SET … | DELETE`, `WHEN NOT MATCHED [AND cond] THEN INSERT`).
+    * Conditions and `SET` expressions reference the two sides through
+    * the aliases `t` (target) and `s` (source), e.g.
+    * `col("t.value") < col("s.value")`; `WHEN NOT MATCHED` conditions
+    * may reference only `s` (the target side does not exist there).
+    * Clauses are ordered FIRST-MATCH-WINS within each family; a
+    * matched row no matched clause accepts is left unchanged, an
+    * unmatched source row no insert clause accepts is dropped.
+    * Conditions must be DETERMINISTIC — the merge evaluates them more
+    * than once (the mark scan and the rewrite scan see the same
+    * immutable files, so determinism makes the passes agree), the same
+    * requirement stock Delta places on merge conditions. */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** `WHEN MATCHED [AND condition] THEN UPDATE SET col = expr, …` —
+    * columns not in `set` keep their target values (partial update). */
+  final case class MatchedUpdate(set: Map[String, Column],
+      condition: Option[Column] = None) extends MergeClause
+  /** `WHEN MATCHED [AND condition] THEN DELETE`. */
+  final case class MatchedDelete(condition: Option[Column] = None)
+      extends MergeClause
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT` — the whole source
+    * row, as [[mergeInto]]'s insert half. */
+  final case class NotMatchedInsert(condition: Option[Column] = None)
+      extends MergeClause
+
+  /** Stock Delta MERGE's multiple-match rule, enforced loudly: two
+    * source rows sharing a key would both land in the appended batch
+    * (or replace one target row twice) — fail instead of silently
+    * double-writing. One aggregation over the source — cheap next to
+    * the joins the merge already runs (the source is a CDC batch). */
+  private def requireUniqueSourceKeys(source: DataFrame, keys: Seq[String],
+      what: String): Unit = {
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    if (dup.nonEmpty)
+      sys.error(s"$what: multiple source rows share the merge key (" +
+        keys.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
+          .mkString(", ") + ") — stock Delta MERGE fails on multiple " +
+        "matches; aggregate or dedupe the source first")
+  }
+
+  /** Split + validate a clause list: matched clauses (UPDATE/DELETE)
+    * and insert clauses, each family keeping its declaration order.
+    * Stock Delta's reachability rule applies — every clause of a
+    * family except its last must carry a condition (an unconditional
+    * clause makes the ones after it dead code). */
+  private def splitClauses(clauses: Seq[MergeClause], what: String)
+      : (Seq[MergeClause], Seq[NotMatchedInsert]) = {
+    require(clauses.nonEmpty, s"$what: at least one WHEN clause")
+    val matched = clauses.filter {
+      case _: MatchedUpdate | _: MatchedDelete => true; case _ => false }
+    val inserts = clauses.collect { case c: NotMatchedInsert => c }
+    (matched.dropRight(1) ++ inserts.dropRight(1)).foreach(c =>
+      require(c.condition.nonEmpty,
+        s"$what: a clause without a condition must be the LAST of its " +
+          "family (matched / not-matched) — later clauses would be " +
+          "unreachable, stock Delta's rule"))
+    (matched, inserts)
+  }
+
+  /** First-match-wins index over the matched clauses, evaluated on the
+    * joined `t`/`s` frame: the 0-based index of the first clause whose
+    * condition holds (null → false, the SQL rule), -1 when none does. */
+  private def matchedIdxExpr(matched: Seq[MergeClause]): Column =
+    matched.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (c, i)) =>
+        val cond = coalesce(c.condition.getOrElse(lit(true)), lit(false))
+        Some(acc.fold(when(cond, lit(i)))(_.when(cond, lit(i))))
+    }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
+
+  /** The post-merge value of target column `f` on the joined frame
+    * (carrying `__idx`): the first applied UPDATE clause's assignment,
+    * cast to the declared type — target's own value when the applied
+    * clause does not set `f` or no clause applied. */
+  private def clauseValue(f: org.apache.spark.sql.types.StructField,
+      matched: Seq[MergeClause]): Column = {
+    val assigns = matched.zipWithIndex.collect {
+      case (MatchedUpdate(set, _), i) if set.contains(f.name) =>
+        (i, set(f.name).cast(f.dataType))
+    }
+    assigns.foldLeft(Option.empty[Column]) { case (acc, (i, v)) =>
+      Some(acc.fold(when(col("__idx") === i, v))(
+        _.when(col("__idx") === i, v)))
+    }.map(_.otherwise(col(s"t.${f.name}")).as(f.name))
+      .getOrElse(col(s"t.${f.name}").as(f.name))
+  }
+
+  private def clauseIdxs(matched: Seq[MergeClause],
+      deletes: Boolean): Seq[Int] =
+    matched.zipWithIndex.collect {
+      case (_: MatchedDelete, i) if deletes => i
+      case (_: MatchedUpdate, i) if !deletes => i
+    }
+
+  /** OR of the insert-clause conditions (first-match-wins collapses to
+    * OR here — every insert clause inserts the same whole source row);
+    * None when the merge has no `WHEN NOT MATCHED` clause. */
+  private def insertCond(inserts: Seq[NotMatchedInsert]): Option[Column] =
+    inserts.map(c => coalesce(c.condition.getOrElse(lit(true)), lit(false)))
+      .reduceOption(_ || _)
+
+  /** Conditional MERGE, COPY-ON-WRITE — stock Delta's full clause
+    * model over [[mergeInto]]'s machinery: ordered
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE` and
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT` clauses,
+    * first-match-wins, partial-column updates, tombstone deletes —
+    * the shape every real CDC pipeline applies (see [[MergeClause]]
+    * for the `t`/`s` reference convention). Candidate files come from
+    * the mirror's stats against the source's key envelope exactly as
+    * [[mergeInto]]; untouched files are never read or rewritten. The
+    * rewrite is ONE left-outer join of the visible candidate rows
+    * against the (AQE-broadcast) source: matched rows route through
+    * the clause cascade (update / delete / pass through), unmatched
+    * target rows pass through, and insert-eligible unmatched source
+    * rows union in. On a row-tracked table updated and untouched rows
+    * KEEP their stable ids (the hidden materialized-id column rides
+    * the join untouched); inserted rows read fresh ids from the
+    * replacement file's claimed span.
+    *
+    * Under `delta.enableChangeDataFeed` the commit writes per-row-typed
+    * change-data files — `delete` for matched-DELETE rows,
+    * `update_preimage`/`update_postimage` for matched-UPDATE rows,
+    * `insert` for inserted source rows — so [[changeFeed]] and the
+    * mirror's `tableChanges` type the merge exactly.
+    *
+    * Source-key uniqueness is ENFORCED (stock MERGE's multiple-match
+    * rule). A merge with no matched clause degenerates to a
+    * conditional idempotent insert (anti-join append, no file
+    * rewritten). */
+  def mergeIntoClauses(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], clauses: Seq[MergeClause]): RewriteResult = {
+    require(keys.nonEmpty, "mergeIntoClauses: at least one key column")
+    val (matched, inserts) = splitClauses(clauses, "mergeIntoClauses")
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    if (source.isEmpty) return RewriteResult(base, 0L, 0L)
+    requireUniqueSourceKeys(source, keys, "mergeIntoClauses")
+    val table = Paths.get(dir)
+    val bounds = source.select(keys.flatMap(k =>
+      Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
+      .collect().head
+    val prune = keys.zipWithIndex.map { case (k, i) =>
+      (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val idxExpr = matchedIdxExpr(matched)
+    val delIdxs = clauseIdxs(matched, deletes = true)
+    val insCond = insertCond(inserts)
+    if (matched.isEmpty)
+      return clauseInsertOnly(spark, dir, source, keys, prune, insCond.get)
+    val res = rewriteWhere(spark, dir, prune, { tgt =>
+      val bad = matched.collect { case MatchedUpdate(set, _) =>
+        set.keySet -- tgt.columns.toSet }.fold(Set.empty)(_ ++ _)
+      require(bad.isEmpty,
+        s"mergeIntoClauses: unknown SET column(s) ${bad.mkString(", ")}")
+      val joined = tgt.alias("t")
+        .join(source.withColumn("__m", lit(true)).alias("s"),
+          keyCond, "left_outer")
+        .withColumn("__matched", coalesce(col("__m"), lit(false)))
+        .withColumn("__idx",
+          when(col("__matched"), idxExpr).otherwise(lit(-1)))
+      val kept = if (delIdxs.isEmpty) joined
+        else joined.filter(!(col("__matched") &&
+          col("__idx").isin(delIdxs.map(Integer.valueOf): _*)))
+      val survivors = kept.select(
+        tgt.schema.fields.toSeq.map(f => clauseValue(f, matched)): _*)
+      insCond match {
+        case None => survivors
+        case Some(ic) =>
+          val extra = tgt.columns.toSet -- source.columns.toSet
+          val ins0 = source.alias("s").filter(ic)
+            .join(tgt.select(keys.map(col): _*), keys, "left_anti")
+          survivors.unionByName(extra.foldLeft(ins0)((d, c) =>
+            d.withColumn(c, lit(null).cast(tgt.schema(c).dataType))))
+      }
+    }, changeRows = Some { df => // df = visible candidate TABLE rows
+      val joined = df.alias("t")
+        .join(source.alias("s"), keyCond, "inner")
+        .withColumn("__idx", idxExpr)
+      val tCols = df.columns.toSeq.map(c => col(s"t.$c").as(c))
+      val updIdxs = clauseIdxs(matched, deletes = false)
+      val del =
+        if (delIdxs.isEmpty) None
+        else Some(joined
+          .filter(col("__idx").isin(delIdxs.map(Integer.valueOf): _*))
+          .select(tCols: _*).withColumn("_change_type", lit("delete")))
+      val upd =
+        if (updIdxs.isEmpty) None
+        else {
+          val hit = joined
+            .filter(col("__idx").isin(updIdxs.map(Integer.valueOf): _*))
+          Some(hit.select(tCols: _*)
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(hit.select(df.schema.fields.toSeq
+              .map(f => clauseValue(f, matched)): _*)
+              .withColumn("_change_type", lit("update_postimage"))))
+        }
+      val ins = insCond.map(ic =>
+        source.alias("s").filter(ic)
+          .join(df.select(keys.map(col): _*), keys, "left_anti")
+          .select(df.columns.toSeq.map(col): _*)
+          .withColumn("_change_type", lit("insert")))
+      (del.toSeq ++ upd.toSeq ++ ins.toSeq)
+        .reduce(_.unionByName(_))
+    })
+    if (res.filesRewritten == 0L) {
+      // no live file can hold any source key: every source row is
+      // unmatched — conditional pure insert
+      insCond match {
+        case None => res
+        case Some(ic) =>
+          val rows = source.alias("s").filter(ic)
+          if (rows.isEmpty) res
+          else {
+            val partCols = readManifest(table, res.version).headOption
+              .map(pathPartCols).getOrElse(Seq.empty)
+            RewriteResult(commitAppend(rows, dir, partCols), 0L,
+              res.filesSkipped)
+          }
+      }
+    } else res
+  }
+
+  /** Conditional MERGE, MERGE-ON-READ — [[mergeIntoClauses]]'s clause
+    * model over [[mergeIntoDv]]'s machinery: matched rows an UPDATE or
+    * DELETE clause accepts are HIDDEN by DV bitmaps on their files
+    * (matched rows no clause accepts stay visible — nothing is
+    * touched), the UPDATE clauses' new row versions plus the
+    * insert-eligible source rows land as ONE appended batch, and no
+    * data file is rewritten: the commit stays O(changed rows), the
+    * production CDC shape at 100 TB. Candidates prune by the source
+    * key envelope; the clause cascade marks via one inner join of the
+    * VISIBLE candidate rows against the (AQE-broadcast) source —
+    * existing DVs applied first, so a dead row can never resurrect as
+    * a match. Untouched and DV-hidden survivors keep stable row ids by
+    * construction; the appended batch claims fresh spans.
+    *
+    * Under `delta.enableChangeDataFeed` the commit writes
+    * per-row-typed change-data files (`delete` / `update_preimage` /
+    * `update_postimage` / `insert`); without CDF a later [[changeFeed]]
+    * across the merge refuses loudly, as for [[mergeIntoDv]]. Gates as
+    * [[mergeIntoDv]]: `delta.enableDeletionVectors` required,
+    * `delta.appendOnly` refuses, source-key uniqueness enforced. */
+  def mergeIntoDvClauses(spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String], clauses: Seq[MergeClause]): RewriteResult = {
+    require(keys.nonEmpty, "mergeIntoDvClauses: at least one key column")
+    val (matched, inserts) = splitClauses(clauses, "mergeIntoDvClauses")
+    val table = Paths.get(dir)
+    DeltaLog.warmMetaCache(spark, table)
+    if (!DeltaLog.tableConfig(table).get("delta.enableDeletionVectors")
+        .contains("true"))
+      sys.error(s"$dir: merge-on-read MERGE requires the deletionVectors " +
+        "feature — setTableProperties(delta.enableDeletionVectors=true) " +
+        "first (stock Delta's writer gate)")
+    enforceAppendOnly(dir, "MERGE")
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    if (source.isEmpty) return RewriteResult(base, 0L, 0L)
+    requireUniqueSourceKeys(source, keys, "mergeIntoDvClauses")
+    val bounds = source.select(keys.flatMap(k =>
+      Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
+      .collect().head
+    val prune = keys.zipWithIndex.map { case (k, i) =>
+      (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val idxExpr = matchedIdxExpr(matched)
+    val delIdxs = clauseIdxs(matched, deletes = true)
+    val updIdxs = clauseIdxs(matched, deletes = false)
+    val insCond = insertCond(inserts)
+    val prev = readManifest(table, base)
+    val skipped: Set[String] =
+      scala.util.Try(DeltaLog.pruneFlags(spark, dir, prune)) match {
+        case scala.util.Success((flags, _)) =>
+          flags.collect { case (f, false) => f.path }.toSet
+        case scala.util.Failure(_) => Set.empty
+      }
+    val candidates = prev.filterNot(skipped)
+    val partCols = prev.headOption.map(pathPartCols).getOrElse(Seq.empty)
+    if (candidates.isEmpty) {
+      // no live file can hold any source key: conditional pure insert
+      val rows = insCond.map(ic => source.alias("s").filter(ic))
+      return rows match {
+        case Some(r) if !r.isEmpty =>
+          RewriteResult(commitAppend(r, dir, partCols), 0L,
+            skipped.size.toLong)
+        case _ => RewriteResult(base, 0L, skipped.size.toLong)
+      }
+    }
+    val oldDvs = manifestDvs(table, base)
+    // hide exactly the visible matched rows SOME clause accepts —
+    // matched rows the cascade rejects stay live and untouched
+    val updates =
+      if (matched.isEmpty) Map.empty[String, String]
+      else dvDescriptorUpdatesBy(spark, table, dir, candidates,
+        v => v.alias("t").join(source.alias("s"), keyCond, "inner")
+          .withColumn("__idx", idxExpr).filter(col("__idx") =!= -1),
+        oldDvs, applyOldDvs = true)
+    val visible = readRels(spark, table, candidates, dvs = oldDvs)
+    val bad = matched.collect { case MatchedUpdate(set, _) =>
+      set.keySet -- visible.columns.toSet }.fold(Set.empty)(_ ++ _)
+    require(bad.isEmpty,
+      s"mergeIntoDvClauses: unknown SET column(s) ${bad.mkString(", ")}")
+    val visJoined = visible.alias("t")
+      .join(source.alias("s"), keyCond, "inner")
+      .withColumn("__idx", idxExpr)
+    val updatedNew =
+      if (updIdxs.isEmpty) None
+      else Some(visJoined
+        .filter(col("__idx").isin(updIdxs.map(Integer.valueOf): _*))
+        .select(visible.schema.fields.toSeq
+          .map(f => clauseValue(f, matched)): _*))
+    // a source key in matchedKeys matched SOME visible row (unique
+    // source keys make the anti-join exact); the rest are inserts
+    val matchedKeys = visJoined
+      .select(keys.map(k => col(s"t.$k").as(k)): _*).dropDuplicates(keys)
+    val insRows = insCond.map(ic =>
+      source.alias("s").filter(ic).join(matchedKeys, keys, "left_anti")
+        .select(visible.columns.toSeq.map(col): _*))
+    val batch = (updatedNew.toSeq ++ insRows.toSeq)
+      .reduceOption(_.unionByName(_))
+    if (updates.isEmpty) {
+      // no row hidden — nothing was updated or deleted; the batch (if
+      // any) is pure inserts, a plain append
+      return batch.filter(!_.isEmpty) match {
+        case Some(b) => RewriteResult(commitAppend(b, dir, partCols), 0L,
+          skipped.size.toLong)
+        case None => RewriteResult(base, 0L, skipped.size.toLong)
+      }
+    }
+    val replacement = batch.map(b => validateAndComplete(
+      generatedColumnNames(dir).foldLeft(b)(_.drop(_)), dir))
+    val added = replacement.map(writeBatch(_, table, partCols))
+      .getOrElse(Seq.empty)
+    val cdcRels =
+      if (!cdfEnabled(table)) Seq.empty
+      else {
+        val tCols = visible.columns.toSeq.map(c => col(s"t.$c").as(c))
+        val del =
+          if (delIdxs.isEmpty) None
+          else Some(visJoined
+            .filter(col("__idx").isin(delIdxs.map(Integer.valueOf): _*))
+            .select(tCols: _*).withColumn("_change_type", lit("delete")))
+        val pre =
+          if (updIdxs.isEmpty) None
+          else Some(visJoined
+            .filter(col("__idx").isin(updIdxs.map(Integer.valueOf): _*))
+            .select(tCols: _*)
+            .withColumn("_change_type", lit("update_preimage")))
+        // postimages/inserts read back from the COMMITTED files, so
+        // generated columns carry their final recomputed values
+        val updKeys = visJoined
+          .filter(col("__idx").isin(updIdxs.map(Integer.valueOf): _*))
+          .select(keys.map(k => col(s"s.$k").as(k)): _*)
+          .dropDuplicates(keys)
+        val appended =
+          if (added.isEmpty) None else Some(readRels(spark, table, added))
+        val post = appended.filter(_ => updIdxs.nonEmpty).map(
+          _.join(updKeys, keys, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+        val ins2 = appended.map(a =>
+          (if (updIdxs.isEmpty) a else a.join(updKeys, keys, "left_anti"))
+            .withColumn("_change_type", lit("insert")))
+        val all = (del.toSeq ++ pre.toSeq ++ post.toSeq ++ ins2.toSeq)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        writeCdcFiles(all, table)
+      }
+    val schemaJson = replacement.map(effectiveSchemaJson(_, dir))
+      .orElse(DeltaLog.currentSchemaString(table))
+      .getOrElse(sys.error(s"$dir: no mirrored metaData for a DV commit"))
+    val v = commitDv(dir, base, updates, oldDvs, schemaJson, added = added,
+      operation = "MERGE", cdcRels = cdcRels)
+    DeltaLog.maybeCheckpoint(spark, dir, v)
+    RewriteResult(v, updates.size.toLong, skipped.size.toLong)
+  }
+
+  /** The no-matched-clause degenerate of both clause merges: a
+    * conditional idempotent insert. Source rows passing `insCond`
+    * whose key matches NO visible row append; nothing else changes and
+    * no file is touched in either DML family. Matches can only live in
+    * envelope-pruned candidate files, so only those are scanned. */
+  private def clauseInsertOnly(spark: SparkSession, dir: String,
+      source: DataFrame, keys: Seq[String], prune: Seq[(String, Any, Any)],
+      insCond: Column): RewriteResult = {
+    val table = Paths.get(dir)
+    val base = currentVersion(dir).getOrElse(
+      sys.error(s"no committed version in $dir"))
+    val prev = readManifest(table, base)
+    val skipped: Set[String] =
+      scala.util.Try(DeltaLog.pruneFlags(spark, dir, prune)) match {
+        case scala.util.Success((flags, _)) =>
+          flags.collect { case (f, false) => f.path }.toSet
+        case scala.util.Failure(_) => Set.empty
+      }
+    val candidates = prev.filterNot(skipped)
+    val partCols = prev.headOption.map(pathPartCols).getOrElse(Seq.empty)
+    val eligible = source.alias("s").filter(insCond)
+    val rows =
+      if (candidates.isEmpty) eligible
+      else eligible.join(
+        readRels(spark, table, candidates, dvs = manifestDvs(table, base))
+          .select(keys.map(col): _*),
+        keys, "left_anti")
+    if (rows.isEmpty) RewriteResult(base, 0L, skipped.size.toLong)
+    else RewriteResult(commitAppend(rows, dir, partCols), 0L,
+      skipped.size.toLong)
   }
 
   /** RESTORE to an earlier committed version (Delta's RESTORE): one
@@ -2381,6 +2794,56 @@ object TxLog {
         .unionByName(ev.filter(col("event_id").between(201, 300))
           .withColumn("value", col("value") * 2))
       mergeIntoDv(spark, table, source, Seq("event_id"))
+      table
+    })
+
+  /** The conditional-MERGE clause list shared by both DML-family
+    * fixtures — the full CDC shape: tombstone DELETEs (ids 301..350),
+    * a partial UPDATE whose SET references BOTH sides (ids 201..300 →
+    * `t.value + s.value` = 3×value, `ts` et al. untouched), matched
+    * rows no clause accepts (351..400 — must stay byte-identical), and
+    * a conditional INSERT that drops ids ≤ 100. */
+  private def clauseMergeClauses: Seq[MergeClause] = Seq(
+    MatchedDelete(Some(col("s.event_id").between(301, 350))),
+    MatchedUpdate(Map("value" -> (col("t.value") + col("s.value"))),
+      Some(col("s.event_id") <= 300)),
+    NotMatchedInsert(Some(col("s.event_id") > 100)))
+
+  private def clauseMergeSource(ev: DataFrame): DataFrame =
+    ev.filter(col("event_id") <= 400).withColumn("value", col("value") * 2)
+
+  /** Base = events above id 200 (8 range files, CDF on); clause merge
+    * COPY-ON-WRITE — see [[clauseMergeClauses]] for the shape. */
+  private def clauseMergeTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"clmrg:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_clmrg").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") > 200)
+        .repartitionByRange(8, col("event_id")), table)
+      setTableProperties(spark, table,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      mergeIntoClauses(spark, table, clauseMergeSource(ev),
+        Seq("event_id"), clauseMergeClauses)
+      table
+    })
+
+  /** The [[clauseMergeTable]] history replayed MERGE-ON-READ: same
+    * base, same source, same clauses — deletes and update preimages
+    * hidden by DVs, new versions + inserts as one appended batch, no
+    * file rewritten. The snapshot AND change-feed oracles are shared
+    * with the copy-on-write twin: the two families must be
+    * row-for-row equivalent. */
+  private def clauseMergeDvTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"clmrgdv:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_clmrgdv").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") > 200)
+        .repartitionByRange(8, col("event_id")), table)
+      setTableProperties(spark, table, Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+      mergeIntoDvClauses(spark, table, clauseMergeSource(ev),
+        Seq("event_id"), clauseMergeClauses)
       table
     })
 
@@ -3015,6 +3478,68 @@ object TxLog {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Oracle-checked CONDITIONAL MERGE (copy-on-write): after the
+    * clause-mixed merge the snapshot must hold 101..200 at 2×value
+    * (conditional inserts), 201..300 at 3×value (partial UPDATE with a
+    * both-sides SET), nothing in 301..350 (tombstone DELETE clause),
+    * 351..400 untouched (matched, no clause accepts), ids ≤ 100 absent
+    * (insert condition), everything above 400 untouched. A clause
+    * applied out of order, a pass-through row lost, or an insert that
+    * ignored its condition all flip the hash. */
+  def clauseMergeQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, clauseMergeTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val clauseMergeQueryOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE WHEN event_id BETWEEN 101 AND 200 THEN value * 2
+      |                 WHEN event_id BETWEEN 201 AND 300 THEN value * 3
+      |                 ELSE value END), 2) AS total_value
+      |FROM events
+      |WHERE event_id BETWEEN 101 AND 300 OR event_id > 350
+      |GROUP BY 1""".stripMargin
+
+  /** Oracle-checked CONDITIONAL MERGE, merge-on-read: identical history
+    * and oracle to [[clauseMergeQuery]] — DV masks + one appended
+    * batch instead of rewrites; the families must agree row-for-row. */
+  def clauseMergeDvQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, clauseMergeDvTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Oracle-checked change feed over the merge-on-read conditional
+    * MERGE: matched-DELETE rows must type `delete` (NOT
+    * update_preimage), partial updates as preimage/postimage pairs
+    * with the postimage carrying the composed SET, conditional inserts
+    * as `insert` — read from the commit's per-row-typed change-data
+    * files. */
+  def clauseMergeCdfQuery(spark: SparkSession, dir: String): DataFrame =
+    changeFeed(spark, clauseMergeDvTable(spark, dir), 2L, 3L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val clauseMergeCdfQueryOracle: String =
+    """SELECT _change_type, count(*) AS n, round(sum(v), 2) AS total_value
+      |FROM (
+      |  SELECT 'delete' AS _change_type, value AS v FROM events
+      |    WHERE event_id BETWEEN 301 AND 350
+      |  UNION ALL SELECT 'update_preimage', value FROM events
+      |    WHERE event_id BETWEEN 201 AND 300
+      |  UNION ALL SELECT 'update_postimage', value * 3 FROM events
+      |    WHERE event_id BETWEEN 201 AND 300
+      |  UNION ALL SELECT 'insert', value * 2 FROM events
+      |    WHERE event_id BETWEEN 101 AND 200
+      |) GROUP BY 1""".stripMargin
+
+  /** The same change-feed check over the COPY-ON-WRITE twin — the cdc
+    * files a clause-mixed rewrite wrote must carry the identical typed
+    * rows (shares [[clauseMergeCdfQueryOracle]]). */
+  def clauseMergeCdfCowQuery(spark: SparkSession, dir: String): DataFrame =
+    changeFeed(spark, clauseMergeTable(spark, dir), 2L, 3L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
   /** Oracle-checked RESTORE: after delete + restore-to-v1, the snapshot
     * must equal the FULL corpus again — only a real rollback of the
     * removed files can produce that.
@@ -3207,6 +3732,10 @@ object TxLog {
     "q_txlog_update" -> updateQuery _,
     "q_txlog_merge" -> mergeQuery _,
     "q_txlog_merge_dv" -> dvMergeQuery _,
+    "q_txlog_merge_clauses" -> clauseMergeQuery _,
+    "q_txlog_merge_clauses_dv" -> clauseMergeDvQuery _,
+    "q_txlog_merge_clauses_cdf" -> clauseMergeCdfQuery _,
+    "q_txlog_merge_clauses_cdf_cow" -> clauseMergeCdfCowQuery _,
     "q_txlog_restore" -> restoreQuery _,
     "q_txlog_optimize" -> optimizeQuery _,
     "q_txlog_evolution" -> evolutionQuery _
@@ -3233,6 +3762,10 @@ object TxLog {
     "q_txlog_update" -> updateQueryOracle,
     "q_txlog_merge" -> mergeQueryOracle,
     "q_txlog_merge_dv" -> mergeQueryOracle,
+    "q_txlog_merge_clauses" -> clauseMergeQueryOracle,
+    "q_txlog_merge_clauses_dv" -> clauseMergeQueryOracle,
+    "q_txlog_merge_clauses_cdf" -> clauseMergeCdfQueryOracle,
+    "q_txlog_merge_clauses_cdf_cow" -> clauseMergeCdfQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,
     "q_txlog_optimize" -> optimizeQueryOracle,
     "q_txlog_evolution" -> evolutionQueryOracle

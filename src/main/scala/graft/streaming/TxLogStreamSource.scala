@@ -720,8 +720,15 @@ class TxLogScan(dir: String, fullSchema: StructType,
     *    real column there — the appended batch mixes postimages and
     *    inserts), refusing loudly otherwise;
     *  - bytes-only commits (OPTIMIZE/ZORDER) → nothing;
-    *  - copy-on-write rewrites → the [[classify]] contract
-    *    (`skipChangeCommits` or loud failure).
+    *  - copy-on-write rewrites → their per-row-typed change-data files
+    *    when CDF was enabled at DML time (checked BEFORE the DV diff —
+    *    a rewrite that dropped removed files' DV entries also changes
+    *    the DV map, exactly as [[graft.sources.TxLog.changeFeed]]
+    *    orders the same tests), else the [[classify]] contract
+    *    (`skipChangeCommits` or loud failure);
+    *  - `skipChangeCommits` skips EVERY change-commit shape —
+    *    merge-on-read DV diffs included — delivering nothing for the
+    *    version.
     *
     * Scale shape: the DV diff is bitmap set-difference per affected
     * file (driver-side, O(hidden rows) — the same walk every DV
@@ -754,34 +761,46 @@ class TxLogScan(dir: String, fullSchema: StructType,
               "cannot attribute; enable delta.enableChangeDataFeed " +
               "before merging, or set skipChangeCommits")
         }
-        else if (dvNow != dvPrev) {
-          val hiddenType = if (op == "UPDATE") "update_preimage" else "delete"
-          val addedType = if (op == "UPDATE") "update_postimage" else "insert"
-          dvNow.foreach { case (rel, json) =>
-            if (!dvPrev.get(rel).contains(json)) {
-              val now = graft.sources.DeletionVectors
-                .parse(graft.sources.DeletionVectors.bytesOf(table, json))
-                .values.toSet
-              val prev = dvPrev.get(rel).map(j =>
-                graft.sources.DeletionVectors.parse(
-                  graft.sources.DeletionVectors.bytesOf(table, j))
-                  .values.toSet).getOrElse(Set.empty[Long])
-              val fresh = (now -- prev).toSeq.sorted
-              if (fresh.nonEmpty)
-                synthetic += CdfHiddenPartition(
-                  mkPartitionedFile(v, rel, hiddenType),
-                  graft.sources.DeletionVectors.serialize(fresh))
-            }
-          }
-          if (added.nonEmpty) { plain += ((v, added)); plainType(v) = addedType }
-        }
         else if (removedAny && TxLog.manifestCdc(table, v).nonEmpty)
-          // a copy-on-write rewrite under CDF wrote per-row-typed
-          // change-data files — read those (the added batch mixes
-          // survivors with new row versions, so it can never feed
-          // directly); cdc-less rewrites keep the classify contract
+          // removedAny FIRST (matching TxLog.changeFeed's ordering): a
+          // copy-on-write rewrite whose removed candidates carried DVs
+          // also changes the manifest DV map (commitRewrite drops their
+          // entries), so the DV-diff test alone would misclassify it as
+          // merge-on-read and deliver the whole rewritten batch —
+          // survivors included — untyped. Under CDF the commit wrote
+          // per-row-typed change-data files: read those (the added
+          // batch mixes survivors with new row versions, so it can
+          // never feed directly); cdc-less rewrites keep the classify
+          // contract below.
           synthetic ++= TxLog.manifestCdc(table, v).map(rel =>
             CdfCdcPartition(mkCdcFile(v, rel)))
+        else if (!removedAny && dvNow != dvPrev) {
+          // merge-on-read DELETE/UPDATE: a change commit — with
+          // skipChangeCommits the whole version delivers nothing (the
+          // appended postimage batch included), matching how the MERGE
+          // and classify branches skip their change-commit shapes
+          if (!skipChangeCommits) {
+            val hiddenType = if (op == "UPDATE") "update_preimage" else "delete"
+            val addedType = if (op == "UPDATE") "update_postimage" else "insert"
+            dvNow.foreach { case (rel, json) =>
+              if (!dvPrev.get(rel).contains(json)) {
+                val now = graft.sources.DeletionVectors
+                  .parse(graft.sources.DeletionVectors.bytesOf(table, json))
+                  .values.toSet
+                val prev = dvPrev.get(rel).map(j =>
+                  graft.sources.DeletionVectors.parse(
+                    graft.sources.DeletionVectors.bytesOf(table, j))
+                    .values.toSet).getOrElse(Set.empty[Long])
+                val fresh = (now -- prev).toSeq.sorted
+                if (fresh.nonEmpty)
+                  synthetic += CdfHiddenPartition(
+                    mkPartitionedFile(v, rel, hiddenType),
+                    graft.sources.DeletionVectors.serialize(fresh))
+              }
+            }
+            if (added.nonEmpty) { plain += ((v, added)); plainType(v) = addedType }
+          }
+        }
         else {
           val cls = classify(v, added, removedAny, skipChangeCommits)
           if (cls.nonEmpty) { plain += ((v, cls)); plainType(v) = "insert" }

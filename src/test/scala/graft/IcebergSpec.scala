@@ -817,4 +817,64 @@ class IcebergSpec extends SparkSpec {
     // compaction is a fixpoint: a second call finds nothing to merge
     assert(IcebergLog.compactPositionDeletes(s, t) == (1, 1))
   }
+
+  test("position-delete compaction inherits null entry sequences from the manifest list") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.nativeSeqPosDeleteTable(s, sf)
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val r = df.agg(count(lit(1)), sum("event_id"),
+        round(sum("value"), 2)).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val survivors = ev.filter(
+      !(pmod(col("event_id"), lit(2)) === 0 &&
+        (pmod(col("event_id"), lit(10)) === 0 ||
+          pmod(col("event_id"), lit(6)) === 0)) &&
+      !(pmod(col("event_id"), lit(2)) === 1 &&
+        pmod(col("event_id"), lit(15)) === 0))
+    val before = fingerprint(IcebergLog.snapshot(s, t))
+    assert(before == fingerprint(survivors),
+      "the native-sequenced tree must hide both delete files' rows")
+    val (nBefore, nAfter) = IcebergLog.compactPositionDeletes(s, t)
+    assert(nBefore == 2 && nAfter == 1, s"$nBefore -> $nAfter")
+    // the merged delete inherited max(2,3)=3 > data sequence 1, so the
+    // survivor set is unchanged — a 0-defaulted sequence would land
+    // below the data files and resurrect every deleted row
+    assert(fingerprint(IcebergLog.snapshot(s, t)) == before,
+      "deleted rows resurrected: the merged delete file lost its sequence")
+    // the re-listed data manifest kept ITS list-entry sequence too
+    assert(fingerprint(IcebergLog.snapshotAt(s, t, 1L)) == before)
+    assert(IcebergLog.compactPositionDeletes(s, t) == (1, 1))
+  }
+
+  test("UniForm mirror of a conditional MERGE hides exactly the clause-accepted rows") {
+    val s = spark
+    import graft.sources.TxLog
+    import graft.sources.TxLog.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val ev = Tables.events(s, sf)
+    val t = Files.createTempDirectory("graft_ice_clmrg").toString
+    TxLog.commitAppend(ev.filter(col("event_id") > 200)
+      .repartitionByRange(4, col("event_id")), t)
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))
+    TxLog.mergeIntoDvClauses(s, t,
+      ev.filter(col("event_id") <= 400).withColumn("value", col("value") * 2),
+      Seq("event_id"), Seq(
+        MatchedDelete(Some(col("s.event_id").between(301, 350))),
+        MatchedUpdate(Map("value" -> (col("t.value") + col("s.value"))),
+          Some(col("s.event_id") <= 300)),
+        NotMatchedInsert(Some(col("s.event_id") > 100))))
+    IcebergLog.mirror(s, t)
+    val ice = IcebergLog.snapshot(s, t)
+    val tx = TxLog.snapshot(s, t)
+    assert(ice.count() == tx.count(),
+      s"iceberg ${ice.count()} vs txlog ${tx.count()}")
+    // the deleted band is hidden, the no-clause matched band survives
+    assert(ice.filter(col("event_id").between(301, 350)).count() == 0)
+    assert(ice.filter(col("event_id").between(351, 400)).count() == 50L)
+    assert(ice.select(tx.columns.map(col).toSeq: _*).except(tx).count() == 0,
+      "the mirrored survivor set must be row-for-row the TxLog snapshot")
+  }
 }

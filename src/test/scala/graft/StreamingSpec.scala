@@ -1119,4 +1119,77 @@ class StreamingSpec extends SparkSpec {
     assert(inc.length == 1 && inc(0).getString(0) == "delete" &&
       inc(0).getLong(1) == 999L, inc.mkString(","))
   }
+
+  test("DSv2 CDF: a CoW rewrite dropping removed files' DV entries routes to its cdc files") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_dsv2_cdf_cowdv").toString
+    graft.sources.TxLog.commitAppend(
+      ev.repartitionByRange(4, col("event_id")), tbl)                // v1
+    graft.sources.TxLog.setTableProperties(s, tbl, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))                       // v2
+    graft.sources.TxLog.deleteWhereDv(s, tbl, col("event_id") <= 100,
+      Seq(("event_id", null, java.lang.Long.valueOf(100L))))         // v3: DVs land
+    // v4: COPY-ON-WRITE update over the same files — the rewrite drops
+    // the removed files' DV entries, so dvNow != dvPrev AND removedAny;
+    // the feed must read v4's typed cdc files, not misclassify the
+    // commit as merge-on-read and leak the whole rewritten batch
+    graft.sources.TxLog.updateWhere(s, tbl,
+      col("event_id").between(150L, 200L),
+      Map("value" -> (col("value") + 10)),
+      Seq(("event_id", java.lang.Long.valueOf(150L),
+        java.lang.Long.valueOf(200L))))                              // v4 CoW
+    val feed = s.read.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").option("startingVersion", "4").load()
+    val got = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("update_preimage" -> 51L, "update_postimage" -> 51L),
+      s"survivor rows must not leak into the feed untyped: $got")
+    // preimages are the VISIBLE matches only (old DVs applied first)
+    assert(feed.filter(col("_change_type") === "update_preimage" &&
+      col("event_id") <= 100).count() == 0)
+    // and the batch changeFeed API agrees on the same history
+    val cf = graft.sources.TxLog.changeFeed(s, tbl, 3L, 4L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cf == got, s"changeFeed vs DSv2: $cf vs $got")
+  }
+
+  test("DSv2 CDF skipChangeCommits skips merge-on-read DV commits entirely") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_dsv2_cdf_skip").toString
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id") < 500)
+        .repartitionByRange(4, col("event_id")), tbl)                // v1
+    graft.sources.TxLog.setTableProperties(s, tbl,
+      Map("delta.enableDeletionVectors" -> "true"))                  // v2
+    graft.sources.TxLog.updateWhereDv(s, tbl,
+      col("event_id").between(100L, 199L),
+      Map("value" -> (col("value") + 1)),
+      Seq(("event_id", java.lang.Long.valueOf(100L),
+        java.lang.Long.valueOf(199L))))                              // v3 DV
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(500, 599)), tbl)             // v4
+    val feed = s.read.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").option("startingVersion", "3")
+      .option("skipChangeCommits", "true").load()
+    val got = feed.groupBy(col("_commit_version"), col("_change_type"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // v3 delivers NOTHING — not even its appended postimage batch —
+    // matching how the MERGE and classify branches skip change commits
+    assert(got == Map((4L, "insert") -> 100L),
+      s"a skipped DV commit must deliver nothing: $got")
+    // without the option the same replay delivers the typed v3 rows
+    val full = s.read.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").option("startingVersion", "3").load()
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full == Map("update_preimage" -> 100L,
+      "update_postimage" -> 100L, "insert" -> 100L), full.toString)
+  }
 }

@@ -1433,4 +1433,204 @@ class TxLogSpec extends SparkSpec {
       s"re-claimed spans must start past the racer's mark 500, got ${newIds.getLong(0)}")
     assert(newIds.getLong(1) == 510L)
   }
+
+  test("conditional MERGE (copy-on-write): precedence, partial update, tombstones, conditional insert") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.filter(col("event_id") > 200)
+      .repartitionByRange(8, col("event_id")), t)
+    val source = ev.filter(col("event_id") <= 400)
+      .withColumn("value", col("value") * 2)
+    // the DELETE band (301..350) OVERLAPS the UPDATE condition (<= 330):
+    // rows 301..330 satisfy both clauses — first-match-wins must delete
+    val res = TxLog.mergeIntoClauses(s, t, source, Seq("event_id"), Seq(
+      MatchedDelete(Some(col("s.event_id").between(301, 350))),
+      MatchedUpdate(Map("value" -> (col("t.value") + col("s.value"))),
+        Some(col("s.event_id") <= 330)),
+      NotMatchedInsert(Some(col("s.event_id") > 100))))
+    assert(res.filesSkipped > 0, s"files above the envelope must prune: $res")
+    val snap = TxLog.snapshot(s, t)
+    // expected final state, column-exact (same double arithmetic)
+    val expect = ev.filter(col("event_id").between(101, 200))
+      .withColumn("value", col("value") * 2)                 // inserted
+      .unionByName(ev.filter(col("event_id").between(201, 300))
+        .withColumn("value", col("value") + col("value") * 2)) // updated
+      .unionByName(ev.filter(col("event_id") > 350))           // pass-through
+    assert(snap.count() == expect.count(), s"${snap.count()} vs ${expect.count()}")
+    assert(snap.select(expect.columns.map(col).toSeq: _*)
+      .except(expect).count() == 0, "row-for-row: clause result must be exact")
+    // tombstones: the delete clause wins the overlap 301..330
+    assert(snap.filter(col("event_id").between(301, 350)).count() == 0)
+    // partial update: ts/user_id/props untouched on updated rows
+    val untouched = snap.filter(col("event_id").between(201, 300))
+      .select("event_id", "ts", "user_id", "event_type", "props")
+    assert(untouched.except(ev.filter(col("event_id").between(201, 300))
+      .select("event_id", "ts", "user_id", "event_type", "props")).count() == 0,
+      "a partial UPDATE must not touch unset columns")
+    // conditional insert dropped ids <= 100
+    assert(snap.filter(col("event_id") <= 100).count() == 0)
+    // validation: an unconditional clause not last in its family refuses
+    val e1 = intercept[IllegalArgumentException](TxLog.mergeIntoClauses(
+      s, t, source, Seq("event_id"), Seq(
+        MatchedDelete(None),
+        MatchedUpdate(Map("value" -> col("s.value"))))))
+    assert(e1.getMessage.contains("unreachable"), e1.getMessage)
+    // unknown SET column refuses
+    val e2 = intercept[Exception](TxLog.mergeIntoClauses(
+      s, t, source, Seq("event_id"),
+      Seq(MatchedUpdate(Map("nope" -> lit(1))))))
+    assert(e2.getMessage.contains("unknown SET column"), e2.getMessage)
+  }
+
+  test("conditional MERGE source-key uniqueness is enforced on every merge API") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.{MatchedUpdate, NotMatchedInsert}
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.filter(col("event_id") < 500), t)
+    TxLog.setTableProperties(s, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val dup = ev.filter(col("event_id").between(10, 20))
+      .unionByName(ev.filter(col("event_id") === 15)
+        .withColumn("value", col("value") + 1))
+    def refusal(body: => Any): Unit = {
+      val e = intercept[RuntimeException](body)
+      assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    }
+    refusal(TxLog.mergeInto(s, t, dup, Seq("event_id")))
+    refusal(TxLog.mergeIntoDv(s, t, dup, Seq("event_id")))
+    refusal(TxLog.mergeIntoClauses(s, t, dup, Seq("event_id"),
+      Seq(MatchedUpdate(Map("value" -> col("s.value"))))))
+    refusal(TxLog.mergeIntoDvClauses(s, t, dup, Seq("event_id"),
+      Seq(NotMatchedInsert())))
+    // nothing committed by the refusals
+    assert(TxLog.currentVersion(t).contains(2L))
+  }
+
+  test("conditional MERGE (merge-on-read): DVs hide only accepted rows, families agree, CDF typed") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.filter(col("event_id") > 200)
+      .repartitionByRange(8, col("event_id")), t)                    // v1
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))                       // v2
+    val filesV1 = TxLog.snapshot(s, t).inputFiles.toSet
+    val source = ev.filter(col("event_id") <= 400)
+      .withColumn("value", col("value") * 2)
+    val clauses = Seq(
+      MatchedDelete(Some(col("s.event_id").between(301, 350))),
+      MatchedUpdate(Map("value" -> (col("t.value") + col("s.value"))),
+        Some(col("s.event_id") <= 330)),
+      NotMatchedInsert(Some(col("s.event_id") > 100)))
+    val res = TxLog.mergeIntoDvClauses(s, t, source, Seq("event_id"), clauses) // v3
+    assert(res.filesRewritten > 0 && res.filesSkipped > 0, res.toString)
+    // NO file rewritten: every v1 file still live
+    assert(filesV1.subsetOf(TxLog.snapshot(s, t).inputFiles.toSet),
+      "merge-on-read clauses must not rewrite files")
+    // row-for-row against the copy-on-write family on the same history
+    val t2 = freshTable()
+    TxLog.commitAppend(ev.filter(col("event_id") > 200)
+      .repartitionByRange(8, col("event_id")), t2)
+    TxLog.mergeIntoClauses(s, t2, source, Seq("event_id"), clauses)
+    val a = TxLog.snapshot(s, t)
+    val b = TxLog.snapshot(s, t2)
+    assert(a.count() == b.count())
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "the two DML families must produce identical rows")
+    // matched rows no clause accepts (351..400) stay VISIBLE and unhidden
+    assert(a.filter(col("event_id").between(351, 400)).count() == 50L)
+    // typed change feed from the commit's cdc files
+    val byType = TxLog.changeFeed(s, t, 2L, 3L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 50L, "update_preimage" -> 100L,
+      "update_postimage" -> 100L, "insert" -> 100L), byType.toString)
+    // foreign mirror parity: Delta snapshot + typed tableChanges agree
+    assert(graft.sources.DeltaLog.snapshot(s, t).count() == a.count())
+    val mByType = graft.sources.DeltaLog.tableChanges(s, t, 2L, 3L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mByType == byType, s"$mByType vs $byType")
+  }
+
+  test("conditional MERGE preserves row ids: updated keep theirs (CoW), inserts claim fresh") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.limit(0), t)                               // v1
+    TxLog.setTableProperties(s, t,
+      Map("delta.enableRowTracking" -> "true"))                      // v2
+    TxLog.commitAppend(ev.filter(col("event_id").between(100, 299))
+      .coalesce(1).sortWithinPartitions("event_id"), t)              // v3
+    val pre = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = pre.size.toLong
+    val source = ev.filter(col("event_id").between(150, 450))
+      .withColumn("value", col("value") * 2)
+    TxLog.mergeIntoClauses(s, t, source, Seq("event_id"), Seq(
+      MatchedDelete(Some(col("s.event_id") < 170)),
+      MatchedUpdate(Map("value" -> col("s.value")),
+        Some(col("s.event_id") < 250)),
+      NotMatchedInsert(Some(col("s.event_id") <= 400))))             // v4
+    val post = TxLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deleted: 150..169 gone; inserts: 300..400 only (insert condition)
+    assert(!post.contains(160L) && !post.contains(150L))
+    assert(post.contains(400L) && !post.contains(401L))
+    // UPDATED rows (170..249) and pass-through rows KEEP their exact ids
+    pre.foreach { case (eid, rid) =>
+      if (eid >= 170) assert(post(eid) == rid,
+        s"row $eid renumbered: $rid -> ${post(eid)}")
+    }
+    // inserted rows claim fresh ids past the spent mark
+    val fresh = post.filter(_._1 >= 300)
+    assert(fresh.nonEmpty && fresh.values.min >= n,
+      s"fresh ids must start past $n, got ${fresh.values.min}")
+    assert(post.values.toSeq.distinct.size == post.size, "ids stay unique")
+  }
+
+  test("conditional MERGE with no matched clause is a conditional idempotent insert") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.NotMatchedInsert
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.filter(col("event_id") < 500)
+      .repartitionByRange(4, col("event_id")), t)
+    val filesV1 = TxLog.snapshot(s, t).inputFiles.toSet
+    // source straddles the boundary: 450..499 match (must NOT re-insert),
+    // 500..599 are new, and the condition drops odd ids
+    val source = ev.filter(col("event_id").between(450, 599))
+    val res = TxLog.mergeIntoClauses(s, t, source, Seq("event_id"),
+      Seq(NotMatchedInsert(Some(pmod(col("s.event_id"), lit(2)) === 0))))
+    assert(res.filesRewritten == 0L, s"insert-only must rewrite nothing: $res")
+    assert(TxLog.snapshot(s, t).inputFiles.toSet.intersect(filesV1) == filesV1)
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.count() == 500L + 50L, s"got ${snap.count()}")
+    assert(snap.filter(col("event_id") >= 500).count() == 50L)
+    assert(snap.filter(col("event_id") >= 500 &&
+      pmod(col("event_id"), lit(2)) === 1).count() == 0L)
+    // merge-on-read family agrees on the degenerate
+    val t2 = freshTable()
+    TxLog.commitAppend(ev.filter(col("event_id") < 500)
+      .repartitionByRange(4, col("event_id")), t2)
+    TxLog.setTableProperties(s, t2,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val res2 = TxLog.mergeIntoDvClauses(s, t2, source, Seq("event_id"),
+      Seq(NotMatchedInsert(Some(pmod(col("s.event_id"), lit(2)) === 0))))
+    assert(res2.filesRewritten == 0L)
+    assert(TxLog.snapshot(s, t2).count() == 550L)
+  }
 }
