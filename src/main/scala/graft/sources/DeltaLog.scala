@@ -63,7 +63,7 @@ object DeltaLog {
 
   private def logDir(table: Path): Path = table.resolve("_delta_log")
 
-  private def commitPath(table: Path, deltaVersion: Long): Path =
+  private[sources] def commitPath(table: Path, deltaVersion: Long): Path =
     logDir(table).resolve(f"$deltaVersion%020d.json")
 
   /** `Files.list` with the stream closed (it holds a directory fd). */
@@ -3733,6 +3733,19 @@ object DeltaLog {
       |FROM events WHERE event_id % 7 <> 0
       |GROUP BY 1""".stripMargin
 
+  /** Oracle-checked FOREIGN batch DSv2 read: `spark.read.format
+    * ("graft-txlog")` over the `_delta_log`-only DV fixture — the scan
+    * derives versions, schema, and per-file deletion vectors from the
+    * STOCK log alone ([[ForeignDeltaLog]] behind [[CommitLog]]) and
+    * must hide all three DV storage types' rows. Shares [[dvQuery]]'s
+    * oracle: the DSv2 path and the batch replay path must agree
+    * row-for-row on a table neither engine wrote manifests for. */
+  def foreignDsv2Query(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-txlog")
+      .option("path", deltaDvTable(spark, dir)).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
   /** Oracle-checked COLUMN-MAPPED read: partition pruning (bucket = 1,
     * via physical-keyed `partitionValues`) composed with stats skipping
     * (event_id ≤ 800, via physical-keyed `stats`) over a mode="name"
@@ -3858,6 +3871,7 @@ object DeltaLog {
     "q_delta_changes" -> changesQuery _,
     "q_delta_vacuum" -> vacuumQuery _,
     "q_delta_dv" -> dvQuery _,
+    "q_delta_foreign_dsv2" -> foreignDsv2Query _,
     "q_delta_dv_delete" -> dvWriteQuery _,
     "q_txlog_partitioned" -> txPartitionedQuery _
   )
@@ -3874,6 +3888,7 @@ object DeltaLog {
     "q_delta_changes" -> changesQueryOracle,
     "q_delta_vacuum" -> vacuumQueryOracle,
     "q_delta_dv" -> dvQueryOracle,
+    "q_delta_foreign_dsv2" -> dvQueryOracle,
     "q_delta_dv_delete" -> dvWriteQueryOracle,
     "q_txlog_partitioned" -> txPartitionedQueryOracle
   )

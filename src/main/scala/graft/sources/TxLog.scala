@@ -216,8 +216,9 @@ object TxLog {
 
   /** Write one commit's row-level change records as PROTOCOL.md
     * change-data files under `_change_data/` (never listed as table
-    * data; VACUUM's data-batch walk does not touch the directory).
-    * `df` carries the table columns + `_change_type`. */
+    * data; VACUUM's data-batch walk does not touch the directory — a
+    * dedicated sweep reclaims cdc files past retention). `df` carries
+    * the table columns + `_change_type`. */
   private def writeCdcFiles(df: DataFrame, table: Path): Seq[String] = {
     val sub = "_change_data/cdc-" + java.util.UUID.randomUUID()
     df.write.parquet(table.resolve(sub).toString)
@@ -2334,7 +2335,10 @@ object TxLog {
     * — overwritten-away files AND orphans from dead writers — plus
     * every deletion-vector bin no retained manifest's `#dv` headers
     * name (superseded by a later merged bitmap, dropped by a
-    * materializing rewrite, or orphaned). Returns
+    * materializing rewrite, or orphaned), plus every `_change_data/`
+    * cdc parquet no retained manifest's `#cdc` headers name (stock
+    * Delta's VACUUM reclaims change data past retention the same way —
+    * the feed's storage must not grow forever). Returns
     * (files deleted, files retained). Time travel keeps working within
     * the retention window and (correctly) fails beyond it — the same
     * contract as Delta's VACUUM/logRetention. At scale this runs from
@@ -2435,6 +2439,45 @@ object TxLog {
         Files.delete(f)
         deleted += 1
       }
+    }
+    // sweep unreferenced change-data parquet (PROTOCOL.md cdc files
+    // under `_change_data/`) not named by any retained manifest's
+    // `#cdc` header — every CDF-enabled DELETE/UPDATE/MERGE writes
+    // them, so without this sweep the feed's storage grows forever
+    // (the same unbounded-growth shape as the DV-bin leak; stock
+    // Delta's VACUUM reclaims `_change_data` past retention too).
+    // Same contracts as the data-batch walk: a cdc file needed only by
+    // expired versions goes with them, and the per-directory age gate
+    // protects an in-flight committer that has written its cdc files
+    // but not yet linked the manifest.
+    val cdcRoot = table.resolve("_change_data")
+    if (Files.isDirectory(cdcRoot)) {
+      val keepCdc: Set[String] =
+        retained.flatMap(v => manifestCdc(table, v)).toSet
+      def allFiles(p: Path): Seq[Path] = listDir(p).flatMap(f =>
+        if (Files.isDirectory(f)) allFiles(f) else Seq(f))
+      def rm(p: Path): Unit = {
+        listDir(p).foreach(f =>
+          if (Files.isDirectory(f)) rm(f) else Files.delete(f))
+        Files.delete(p)
+      }
+      listDir(cdcRoot).filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("cdc-")).foreach { d =>
+        val (keptRels, junkRels) =
+          dataFilesUnder(d, s"_change_data/${d.getFileName}/")
+            .partition(keepCdc)
+        if (allFiles(d).forall(oldEnough)) {
+          if (keptRels.isEmpty) { deleted += junkRels.size; rm(d) }
+          else junkRels.foreach { r =>
+            val f = table.resolve(r)
+            Files.delete(f)
+            Files.deleteIfExists(
+              f.resolveSibling("." + f.getFileName.toString + ".crc"))
+            deleted += 1
+          }
+        }
+      }
+      if (listDir(cdcRoot).isEmpty) Files.delete(cdcRoot)
     }
     (deleted, keep.size.toLong)
   }

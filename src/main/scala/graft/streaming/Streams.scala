@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -527,6 +529,97 @@ object Streams {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events
       |GROUP BY 1""".stripMargin
+
+  /** FOREIGN Delta tail ([[graft.sources.ForeignDeltaLog]]): the same
+    * `format("graft-txlog")` source over a table that has ONLY a stock
+    * `_delta_log` — no graft manifests — i.e. a table some OTHER Delta
+    * writer owns, the most common production streaming read. Offsets
+    * are commit versions derived from log replay; run 1 drains the
+    * two-commit history, a third commit lands between runs and run 2
+    * resumes from the checkpoint reading ONLY it; a foreign
+    * merge-on-read DELETE (the spec's remove + re-add(same path, new
+    * deletionVector) pair) then commits, and run 3 delivers NOTHING
+    * for it — an append stream never re-delivers or retracts over a DV
+    * commit, exactly the native-table semantics. The final snapshot
+    * read applies the foreign DVs. Oracle = the full corpus with the
+    * deleted band REMOVED from the snapshot half and PRESENT in the
+    * streamed half (both aggregated), so a re-delivered batch, a
+    * missed resume, or an unapplied DV each flip a different half. */
+  def runStreamForeignDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeletionVectors, DeltaLog}
+    val ev = graft.Tables.events(spark, dir)
+    val root = graft.Scratch.dir("graft_stream_foreign_tbl")
+    val out = graft.Scratch.dir("graft_stream_foreign_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_foreign_ckpt").toString
+    val schema = ev.schema.json
+    def mirrorBatch(df: DataFrame, name: String): String = {
+      val tmp = graft.Scratch.dir(s"graft_stream_foreign_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = java.nio.file.Files.list(tmp)
+      val part = try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+      java.nio.file.Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(mirrorBatch(ev.filter(col("event_id") < 400), "b0")),
+      Seq.empty, schema)
+    DeltaLog.mirrorCommit(root, 2L,
+      Seq(mirrorBatch(ev.filter(col("event_id").between(400, 699)), "b1")),
+      Seq.empty, schema)
+    def drain(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog")
+        .option("path", root.toString).load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    drain() // run 1: delta history 0-1 as one batch
+    DeltaLog.mirrorCommit(root, 3L,
+      Seq(mirrorBatch(ev.filter(col("event_id") >= 700), "b2")),
+      Seq.empty, schema)
+    drain() // run 2: resumes from the checkpoint, reads ONLY commit 2
+    // a foreign merge-on-read DELETE hiding ids < 100 of b0
+    val doomed = spark.read.parquet(root.resolve("b0.parquet").toString)
+      .select(col("_metadata.row_index"), col("event_id"))
+      .filter(col("event_id") < 100)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val bitmap = DeletionVectors.serialize(doomed)
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      "graft-stream-foreign-dv".getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val off = DeletionVectors.writeDvFile(
+      root.resolve(s"deletion_vector_$uuid.bin"), Seq(bitmap)).head
+    val desc = s"""{"storageType":"u","pathOrInlineDv":"${
+      DeletionVectors.z85Encode(bb.array())}","offset":$off,""" +
+      s""""sizeInBytes":${bitmap.length},"cardinality":${doomed.size}}"""
+    DeltaLog.mirrorCommit(root, 4L, Seq.empty, Seq.empty, schema,
+      operation = "DELETE",
+      dvUpdates = Map("b0.parquet" -> ((desc, None))))
+    drain() // run 3: the DV commit delivers nothing (native semantics)
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("side", lit("streamed"))
+    val snap = spark.read.format("graft-txlog")
+      .option("path", root.toString).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("side", lit("snapshot"))
+    streamed.unionByName(snap)
+  }
+
+  val runStreamForeignDeltaOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |       'streamed' AS side
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |       'snapshot' AS side
+      |FROM events WHERE event_id >= 100 GROUP BY 1""".stripMargin
 
   /** Streaming CHANGE DATA FEED read (`.option("readChangeFeed",
     * "true")` on the `graft-txlog` source — stock Delta's CDF-stream
@@ -1401,6 +1494,7 @@ object Streams {
     "q_stream_distinct" -> runStreamDistinct _,
     "q_stream_exactly_once" -> runStreamExactlyOnce _,
     "q_stream_table_source" -> runStreamTableSource _,
+    "q_stream_foreign_delta" -> runStreamForeignDelta _,
     "q_stream_cdf" -> runStreamCdf _,
     "q_stream_cdf_dv" -> runStreamCdfDv _,
     "q_stream_pipeline" -> runStreamPipeline _,
@@ -1424,6 +1518,7 @@ object Streams {
     "q_stream_distinct" -> runStreamDistinctOracle,
     "q_stream_exactly_once" -> runStreamExactlyOnceOracle,
     "q_stream_table_source" -> runStreamTableSourceOracle,
+    "q_stream_foreign_delta" -> runStreamForeignDeltaOracle,
     "q_stream_cdf" -> runStreamCdfOracle,
     "q_stream_cdf_dv" -> runStreamCdfDvOracle,
     "q_stream_pipeline" -> runStreamPipelineOracle,

@@ -27,7 +27,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.sources.TxLog
+import graft.sources.{CommitLog, TxLog}
 
 /** `format("graft-txlog")`: the TxLog table as a first-class Spark
   * DATA SOURCE V2 — "the lakehouse table is also a replayable message
@@ -120,7 +120,7 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
     * empty table still fails loudly at planning. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = dirOf(options)
-    if (TxLog.currentVersion(dir).isEmpty) new StructType()
+    if (CommitLog.currentVersion(dir).isEmpty) new StructType()
     else {
       val spark = SparkSession.getActiveSession.getOrElse(
         sys.error("graft-txlog: no active SparkSession"))
@@ -130,8 +130,8 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
       val full = TxLogScan.asOfOption(options.asCaseSensitiveMap()
             .asScala.toMap, dir) match {
         case Some(v) =>
-          val pcols = TxLog.partitionColumnsOf(dir)
-          val s = TxLog.snapshotAt(spark, dir, v).schema
+          val pcols = CommitLog.partitionColumnsOf(dir)
+          val s = CommitLog.schemaAt(spark, dir, v)
           val data = s.fields.filterNot(f => pcols.contains(f.name))
           val part = pcols.flatMap(n => s.fields.find(_.name == n))
           StructType(data ++ part)
@@ -160,6 +160,13 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
       outputMode: OutputMode): Sink = {
     val dir = parameters.getOrElse("path",
       sys.error("graft-txlog sink needs .option(\"path\", <table dir>)"))
+    // the sink commits _txlog manifests; a table that has ONLY a
+    // foreign _delta_log is owned by another writer — writing graft
+    // manifests beside it would fork the commit history
+    require(!graft.sources.ForeignDeltaLog.isForeign(dir),
+      s"graft-txlog sink: $dir is a foreign Delta table (a _delta_log " +
+        "with no graft manifests) — the source can TAIL it, but writes " +
+        "belong to its owning writer")
     require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
       s"graft-txlog sink supports Append (commit per batch) and Complete " +
         s"(overwrite per batch), not $outputMode")
@@ -359,8 +366,8 @@ object TxLogScan {
     * pseudo-columns after that when `readChangeFeed` is on. */
   private[streaming] def readSchema(spark: SparkSession, dir: String,
       cdf: Boolean): StructType = {
-    val full = TxLog.snapshot(spark, dir).schema
-    val pcols = TxLog.partitionColumnsOf(dir)
+    val full = CommitLog.schema(spark, dir)
+    val pcols = CommitLog.partitionColumnsOf(dir)
     val data = full.fields.filterNot(f => pcols.contains(f.name))
     val part = pcols.map(n => full.fields.find(_.name == n).getOrElse(
       sys.error(s"$dir: partition column $n missing from table schema")))
@@ -420,7 +427,7 @@ object TxLogScan {
       "graft-txlog: versionAsOf and timestampAsOf are mutually exclusive")
     val asOf = byV.orElse(byTs)
     asOf.foreach { v =>
-      val latest = TxLog.currentVersion(dir).getOrElse(
+      val latest = CommitLog.currentVersion(dir).getOrElse(
         sys.error(s"graft-txlog: no committed version in $dir"))
       require(v >= 1L && v <= latest, s"graft-txlog: versionAsOf $v " +
         s"outside the committed range 1..$latest of $dir")
@@ -457,7 +464,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
     "graft-txlog: time travel does not combine with readChangeFeed — " +
       "bound the feed with startingVersion instead")
   // appended (non-file) columns: real partition cols + CDF pseudo-cols
-  private val partCols = TxLog.partitionColumnsOf(dir)
+  private val partCols = CommitLog.partitionColumnsOf(dir)
   private val appendedNames: Set[String] =
     (partCols ++ (if (cdf) TxLogScan.CdfFields.map(_.name) else Seq.empty)).toSet
   // full FILE schema (the parquet resolution baseline) vs the PRUNED
@@ -548,7 +555,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
       * snapshot-shaped read would mislabel the whole history with the
       * current version. */
     override def planInputPartitions(): Array[InputPartition] = {
-      val cur = TxLog.currentVersion(dir).getOrElse(
+      val cur = CommitLog.currentVersion(dir).getOrElse(
         sys.error(s"no committed version in $dir"))
       if (cdf) {
         val skip = opt("skipChangeCommits").exists(_.toBoolean)
@@ -567,13 +574,13 @@ class TxLogScan(dir: String, fullSchema: StructType,
       }
       val effV = asOf match {
         case Some(v) =>
-          if (scala.util.Try(TxLog.liveRelsAt(dir, v)).isFailure)
+          if (scala.util.Try(CommitLog.liveRelsAt(dir, v)).isFailure)
             sys.error(s"graft-txlog: cannot read $dir at version $v — " +
               "its manifest is expired (vacuumed past retention)")
           v
         case None => cur
       }
-      val rels = TxLog.liveRelsAt(dir, effV)
+      val rels = CommitLog.liveRelsAt(dir, effV)
       packPartitions(Seq((effV, rels.filterNot(skippedFiles()))))
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -588,7 +595,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * change when both are silent (`skipChangeCommits` recovers). */
   private[streaming] def classifiedAddsOf(v: Long,
       skipChangeCommits: Boolean): Seq[String] = {
-    val (added, removed) = TxLog.commitDelta(dir, v)
+    val (added, removed) = CommitLog.commitDelta(dir, v)
     classify(v, added, removed.nonEmpty, skipChangeCommits)
   }
 
@@ -596,7 +603,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
       skipChangeCommits: Boolean): Seq[String] = {
     if (!removedAny) return added
     val table = Paths.get(dir)
-    val bytesOnly = TxLog.manifestOp(table, v).map(!_._2)
+    val bytesOnly = CommitLog.manifestOp(table, v).map(!_._2)
       .orElse(graft.sources.DeltaLog.isBytesOnlyCommit(table, v))
     if (bytesOnly.contains(true)) Seq.empty // OPTIMIZE/REORG: rows already delivered
     else if (skipChangeCommits) Seq.empty
@@ -627,8 +634,8 @@ class TxLogScan(dir: String, fullSchema: StructType,
     val table = Paths.get(dir)
     // a time-travel read applies the DVs in force AT THAT VERSION — a
     // later delete must not hide rows from a historical snapshot
-    asOf.orElse(TxLog.currentVersion(dir))
-      .map(v => TxLog.manifestDvs(table, v).map { case (rel, d) =>
+    asOf.orElse(CommitLog.currentVersion(dir))
+      .map(v => CommitLog.manifestDvs(table, v).map { case (rel, d) =>
         // key through the SAME SparkPath conversion the lookup uses, so
         // escaped path segments can't split the two spellings
         SparkPath.fromPathString(table.resolve(rel).toString)
@@ -742,16 +749,16 @@ class TxLogScan(dir: String, fullSchema: StructType,
     val plain = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
     val plainType = scala.collection.mutable.Map.empty[Long, String]
     val synthetic = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    TxLog.commitDeltasRange(dir, fromV, toV).foreach {
+    CommitLog.commitDeltasRange(dir, fromV, toV).foreach {
       case (v, added, removedAny) =>
         val (op, dataChange) =
-          TxLog.manifestOp(table, v).getOrElse(("WRITE", true))
+          CommitLog.manifestOp(table, v).getOrElse(("WRITE", true))
         val dvPrev = if (v <= 1) Map.empty[String, String]
-          else TxLog.manifestDvs(table, v - 1)
-        val dvNow = TxLog.manifestDvs(table, v)
+          else CommitLog.manifestDvs(table, v - 1)
+        val dvNow = CommitLog.manifestDvs(table, v)
         if (!dataChange) () // OPTIMIZE/ZORDER: rows already delivered
         else if (op == "MERGE") {
-          val cdc = TxLog.manifestCdc(table, v)
+          val cdc = CommitLog.manifestCdc(table, v)
           if (cdc.nonEmpty)
             synthetic ++= cdc.map(rel => CdfCdcPartition(mkCdcFile(v, rel)))
           else if (!skipChangeCommits)
@@ -761,7 +768,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
               "cannot attribute; enable delta.enableChangeDataFeed " +
               "before merging, or set skipChangeCommits")
         }
-        else if (removedAny && TxLog.manifestCdc(table, v).nonEmpty)
+        else if (removedAny && CommitLog.manifestCdc(table, v).nonEmpty)
           // removedAny FIRST (matching TxLog.changeFeed's ordering): a
           // copy-on-write rewrite whose removed candidates carried DVs
           // also changes the manifest DV map (commitRewrite drops their
@@ -772,7 +779,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
           // batch mixes survivors with new row versions, so it can
           // never feed directly); cdc-less rewrites keep the classify
           // contract below.
-          synthetic ++= TxLog.manifestCdc(table, v).map(rel =>
+          synthetic ++= CommitLog.manifestCdc(table, v).map(rel =>
             CdfCdcPartition(mkCdcFile(v, rel)))
         else if (!removedAny && dvNow != dvPrev) {
           // merge-on-read DELETE/UPDATE: a change commit — with
@@ -1085,17 +1092,17 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
   @volatile private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(TxLog.currentVersion(dir).getOrElse(baseV))
+    availableNowCap = Some(CommitLog.currentVersion(dir).getOrElse(baseV))
 
   override def reportLatestOffset(): OffsetV2 =
-    TxLog.currentVersion(dir).map(LongOffset(_)).orNull
+    CommitLog.currentVersion(dir).map(LongOffset(_)).orNull
 
   /** Admission control: advance at most `maxVersionsPerTrigger`
     * commits per batch, clamped to the AvailableNow pin when one is
     * set. Null = no new data (the engine's idle signal). */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val startV = Option(startOffset).map(ver).getOrElse(baseV)
-    val cur = TxLog.currentVersion(dir).getOrElse(return null)
+    val cur = CommitLog.currentVersion(dir).getOrElse(return null)
     val capped = availableNowCap.fold(cur)(math.min(cur, _))
     val base = math.max(startV, baseV)
     val target = limit match {
@@ -1121,7 +1128,7 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     // labeled synthetic partitions (DV-diff synthesis)
     if (cdf) return scan.planCdfVersions(fromV + 1, toV, skipChangeCommits)
     val versioned =
-      if (fromV <= 0) Seq((toV, TxLog.liveRelsAt(dir, toV)))
+      if (fromV <= 0) Seq((toV, CommitLog.liveRelsAt(dir, toV)))
       else ((fromV + 1) to toV).map(v => (v, addedOf(v)))
     scan.packPartitions(scan.pruneRels(versioned.filter(_._2.nonEmpty)))
   }

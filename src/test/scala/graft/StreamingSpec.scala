@@ -1192,4 +1192,108 @@ class StreamingSpec extends SparkSpec {
     assert(full == Map("update_preimage" -> 100L,
       "update_postimage" -> 100L, "insert" -> 100L), full.toString)
   }
+
+  test("foreign Delta tail: a _delta_log-only table streams by version; DV + CDF + time travel native") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.{DeletionVectors, DeltaLog}
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_foreign_tail")
+    val out = Files.createTempDirectory("graft_foreign_out").toString
+    val ckpt = Files.createTempDirectory("graft_foreign_ckpt").toString
+    val schema = ev.schema.json
+    def mirrorBatch(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_foreign_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(tmp)
+      val part = try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+      Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(mirrorBatch(ev.filter(col("event_id") < 400), "b0")),
+      Seq.empty, schema)                                             // delta 0
+    DeltaLog.mirrorCommit(root, 2L,
+      Seq(mirrorBatch(ev.filter(col("event_id").between(400, 699)), "b1")),
+      Seq.empty, schema)                                             // delta 1
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain() // run 1: delta history 0-1 in one batch
+    assert(s.read.parquet(out).count() == 700L)
+    DeltaLog.mirrorCommit(root, 3L,
+      Seq(mirrorBatch(ev.filter(col("event_id") >= 700), "b2")),
+      Seq.empty, schema)                                             // delta 2
+    // delta 3: a FOREIGN merge-on-read DELETE — the spec's remove +
+    // re-add(same path, new deletionVector) pair on b0 hiding ids < 100
+    val doomed = s.read.parquet(root.resolve("b0.parquet").toString)
+      .select(col("_metadata.row_index"), col("event_id"))
+      .filter(col("event_id") < 100)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val bitmap = DeletionVectors.serialize(doomed)
+    val uuid = java.util.UUID.nameUUIDFromBytes("foreign-tail-dv".getBytes)
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val off = DeletionVectors.writeDvFile(
+      root.resolve(s"deletion_vector_$uuid.bin"), Seq(bitmap)).head
+    val desc = s"""{"storageType":"u","pathOrInlineDv":"${DeletionVectors.z85Encode(bb.array())}","offset":$off,"sizeInBytes":${bitmap.length},"cardinality":${doomed.size}}"""
+    DeltaLog.mirrorCommit(root, 4L, Seq.empty, Seq.empty, schema,
+      operation = "DELETE",
+      dvUpdates = Map("b0.parquet" -> ((desc, None))))               // delta 3
+    drain() // run 2: ONLY delta 2's adds; the DV commit delivers nothing
+    assert(s.read.parquet(out).count() == ev.count(),
+      "an append stream never re-delivers or retracts over a DV commit")
+    // batch DSv2 read of the foreign table applies the current DVs
+    def rd = s.read.format("graft-txlog").option("path", root.toString)
+    assert(rd.load().count() == ev.count() - 100L)
+    assert(rd.load().filter(col("event_id") < 100).count() == 0L)
+    // CDF batch read synthesizes typed deletes from the FOREIGN DV diff
+    val feed = rd.option("readChangeFeed", "true")
+      .option("startingVersion", "4").load()
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 100L), byType.toString)
+    assert(feed.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      ev.filter(col("event_id") < 100)
+        .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0),
+      "deleted rows surface WITH their values, read from the unchanged file")
+    // time travel: versionAsOf presents pre-delete, pre-append states
+    assert(rd.option("versionAsOf", "2").load().count() == 700L)
+    // startingVersion replay: a FRESH stream from version 3 skips the
+    // two-commit backfill and delivers only commit 2's files
+    val out2 = Files.createTempDirectory("graft_foreign_out2").toString
+    val q2 = s.readStream.format("graft-txlog").option("path", root.toString)
+      .option("startingVersion", "3").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_foreign_ckpt2").toString)
+      .option("path", out2)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q2.awaitTermination(120000)
+    q2.exception.foreach(throw _)
+    assert(s.read.parquet(out2).count() ==
+      ev.filter(col("event_id") >= 700).count(),
+      "startingVersion=3 must replay exactly commit 2's adds")
+    // the graft sink refuses to write into a foreign-owned table
+    val e = intercept[Exception] {
+      ev.limit(1).write.format("parquet") // (no-op warm)
+      val q = s.readStream.format("rate").load()
+        .writeStream.format("graft-txlog").option("path", root.toString)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_foreign_sink_ck").toString)
+        .start()
+      q.stop()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("foreign Delta"),
+      e.getMessage)
+  }
 }

@@ -1633,4 +1633,63 @@ class TxLogSpec extends SparkSpec {
     assert(res2.filesRewritten == 0L)
     assert(TxLog.snapshot(s, t2).count() == 550L)
   }
+
+  test("vacuum reclaims expired change-data files, keeps the retained feed intact") {
+    val s = spark
+    import java.nio.file.{Files => F, Paths => P}
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val t = freshTable()
+    val ev = events
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)  // v1
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableDeletionVectors" -> "true",
+      "delta.enableChangeDataFeed" -> "true"))                        // v2
+    TxLog.deleteWhereDv(s, t, col("event_id") <= 100,
+      Seq(("event_id", null, java.lang.Long.valueOf(100L))))          // v3 (cdc)
+    TxLog.updateWhereDv(s, t, col("event_id").between(200L, 250L),
+      Map("value" -> (col("value") + 1)),
+      Seq(("event_id", java.lang.Long.valueOf(200L),
+        java.lang.Long.valueOf(250L))))                               // v4 (cdc)
+    TxLog.commitAppend(ev.filter(col("event_id").between(900, 950))
+      .withColumn("event_id", col("event_id") + 100000L), t)          // v5
+    def cdcFiles(): Set[String] = {
+      val root = P.get(t).resolve("_change_data")
+      if (!F.isDirectory(root)) Set.empty
+      else {
+        def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+          val st = F.list(p)
+          try st.iterator().asScala.toSeq.flatMap(f =>
+            if (F.isDirectory(f)) walk(f) else Seq(f))
+          finally st.close()
+        }
+        walk(root).map(_.toString).filter(_.endsWith(".parquet")).toSet
+      }
+    }
+    val before = cdcFiles()
+    assert(before.nonEmpty, "the CDF DML must have written cdc files")
+    // retention keeps v4..v5: v3's cdc files expire, v4's survive
+    val (deleted, _) = TxLog.vacuum(t, retainVersions = 2, minAgeMs = 0L)
+    assert(deleted > 0, "the expired version's cdc files must be swept")
+    val after = cdcFiles()
+    assert(after.nonEmpty && after.subsetOf(before),
+      s"retained cdc files must survive: $after")
+    assert(after != before, "v3's cdc files must be gone")
+    // the retained feed reads exactly as before the vacuum: v4's cdc
+    // files survive (the mirror's typed feed reads them directly), and
+    // the in-retention manifest feed still works
+    val mByType = graft.sources.DeltaLog.tableChanges(s, t, 3L, 4L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mByType == Map("update_preimage" -> 51L,
+      "update_postimage" -> 51L), mByType.toString)
+    val byType = TxLog.changeFeed(s, t, 4L, 5L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 51L), byType.toString)
+    // a feed across the expired version refuses loudly
+    intercept[Exception](TxLog.changeFeed(s, t, 2L, 5L).count())
+    // idempotent: a second vacuum finds nothing more to sweep
+    assert(TxLog.vacuum(t, retainVersions = 2, minAgeMs = 0L)._1 == 0L)
+  }
 }
