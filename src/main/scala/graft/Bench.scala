@@ -59,12 +59,20 @@ object Bench {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
     }
-    // Per query: (median, spread = max - min over the reps). The spread
-    // is the mechanical drift-vs-regression signal: a query whose median
-    // moved less than its own observed spread is noise, not a regression
-    // (single-rep runs on this box swing ±30-50%; see SCALE.md §bench).
-    val stats = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // Multi-rep runs are SWEEPS over the whole suite, not per-query rep
+    // loops: several modules memoize a shared frame (ANN vector frame,
+    // dedup pair frame, BPE merges) that the FIRST toucher builds and
+    // later queries reuse — exactly the sharing a single reps=1 pass
+    // has. Re-running one query back-to-back would report warm medians
+    // for the memoized queries (0.04 s against a 2.7 s real cost) and
+    // make the artifact non-comparable to a reps=1 run. Sweeping the
+    // suite and evicting the query-scope memos between sweeps keeps
+    // every sweep's first-toucher cost real while `prepare()`-built ETL
+    // artifacts stay resident (they are excluded from query time by
+    // design).
+    val sweepTimes: Seq[Seq[(String, Double)]] = (1 to reps).map { r =>
+      if (reps > 1 && r > 1) Caches.clearQueryMemos()
+      selected.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
@@ -73,8 +81,17 @@ object Bench {
             if (!failed.contains(name)) failed += name
             System.err.println(s"WARNING: bench query $name failed: $e")
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
       }
+    }
+    // Per query: (median, spread = max - min over the sweeps). The spread
+    // is the mechanical drift-vs-regression signal: a query whose median
+    // moved less than its own observed spread is noise, not a regression
+    // (single-rep runs on this box swing ±30-50%; see SCALE.md §bench).
+    val byName = sweepTimes.flatten.groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val stats = selected.map { case (name, _) =>
+      val times = byName(name)
       name -> ((median(times), times.max - times.min))
     }
     val results = stats.map { case (n, (m, _)) => n -> m }

@@ -15,12 +15,24 @@ package graft
   * rebuild lazily on next touch.
   */
 object Caches {
-  def clearAll(): Unit = {
+  /** QUERY-scope memos only: the shared frames/codebooks/models that
+    * queries build on first touch. Evicting these makes the next
+    * toucher pay the real build cost again — what the bench's
+    * between-sweep eviction uses so medians stay honest — while the
+    * `prepare()`-built ETL artifacts (the streaming admission index,
+    * staged landing dirs) stay resident: those are excluded from query
+    * time by design, exactly like `Layout.prepare`'s table builds.
+    */
+  def clearQueryMemos(): Unit = {
     ext.Similarity.clearCaches()
     ext.Multimodal.clearCaches()
     ext.Dedup.clearCaches()
-    streaming.Streams.clearCaches()
     ext.TextOps.clearCaches()
     ml.PriceModel.clearCache()
+  }
+
+  def clearAll(): Unit = {
+    clearQueryMemos()
+    streaming.Streams.clearCaches()
   }
 }

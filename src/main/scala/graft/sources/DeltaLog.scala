@@ -2099,8 +2099,19 @@ object DeltaLog {
     * asserts the two agree. Same scale shape — one config-scale
     * broadcast (file → base) map, the corpus never shuffles. DV-bearing
     * files filter by position first (hidden rows keep no id).
-    * Column-mapped tables refuse (ids are orthogonal; the combined read
-    * is future work).
+    *
+    * COLUMN MAPPING composes, on any layout: the scan resolves physical
+    * names (or field ids) exactly like the plain snapshot read and
+    * relabels to logical after the id attach; the materialized row-id
+    * column has no mapping entry (it is file-level, never a table
+    * column) and always matches by its config name. PARTITION columns
+    * compose too — their directory segments and log values are keyed by
+    * PHYSICAL names, so a hive layout that agrees with the log reads
+    * through Spark's own partition discovery (directory pruning intact,
+    * the scale path) under the physical names and relabels with the
+    * rest; any other layout takes the same grouped-literal fallback the
+    * plain reader uses (values as typed literals — correct for
+    * arbitrary foreign layouts, O(distinct partitions) in plan size).
     */
   def snapshotWithRowIds(spark: SparkSession, dir: String): DataFrame = {
     val table = Paths.get(dir)
@@ -2110,50 +2121,58 @@ object DeltaLog {
     protocolGuard(spark, table, pl)
     val (live, _, metaOpt) = liveState(spark, table, pl)
     val meta = metaOpt.getOrElse(sys.error(s"$dir: no metaData action"))
-    // column mapping composes with row ids for FLAT layouts: the scan
-    // resolves physical names (or field ids) exactly like the plain
-    // snapshot read and relabels to logical after the id attach; the
-    // materialized row-id column has no mapping entry (it is file-level,
-    // never a table column) and always matches by its config name.
-    // Mapped PARTITIONED layouts need the grouped-literal fallback the
-    // plain reader uses — not composed with provenance columns yet.
     val mode = mappingMode(Some(meta))
     if (mode != "none" && mode != "name" && mode != "id")
       sys.error(s"$dir: unsupported delta.columnMapping.mode '$mode'")
-    if (mode != "none" && partitionColsOf(Some(meta)).nonEmpty)
-      sys.error(s"$dir: row-id reads of column-mapped PARTITIONED " +
-        "tables are not supported")
     val cfg = Option(meta.get("configuration")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
     if (!cfg.get("delta.enableRowTracking").contains("true"))
       sys.error(s"$dir: snapshotWithRowIds needs delta.enableRowTracking=true")
     val matCol = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    val schema = tableSchemaOf(dir, Some(meta))
+    val pcs = partitionColsOf(Some(meta))
+    // stats, partitionValues, and hive directory segments are all keyed
+    // by PHYSICAL names under mapping (identity otherwise)
+    val toPhys = physMapping(schema, table, Some(meta))
+    val physPcs = pcs.map(toPhys)
+    case class RF(path: String, dv: Option[String], base: Option[Long],
+      nr: Option[Long], pv: Map[String, String])
     // config-scale: one row per live file
     val st = live.select(col("path"), col("dv"), col("baseRowId"),
-      get_json_object(col("stats"), "$.numRecords").cast(LongType).as("nr"))
+      get_json_object(col("stats"), "$.numRecords").cast(LongType).as("nr"),
+      coalesce(col("partitionValues"),
+        typedLit(Map.empty[String, String])).as("pv"))
       .collect()
     val fs = st.map { r =>
-      (decodePath(r.getString(0)), Option(r.getString(1)),
+      RF(decodePath(r.getString(0)), Option(r.getString(1)),
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
-        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getAs[Map[String, String]](4))
     }.toSeq
-    val untracked = fs.filter(f => f._3.isEmpty && !f._4.contains(0L))
+    val untracked = fs.filter(f => f.base.isEmpty && !f.nr.contains(0L))
     if (untracked.nonEmpty)
       sys.error(s"$dir: ${untracked.size} row-carrying add(s) have no " +
         "baseRowId — the log predates row tracking for them")
-    val dvs = fs.collect { case (p, Some(d), _, _) => p -> d }.toMap
-    val schema = tableSchemaOf(dir, Some(meta))
+    val dvs = fs.collect { case RF(p, Some(d), _, _, _) => p -> d }.toMap
     def addMat(s: StructType): StructType =
       matCol.filterNot(s.fieldNames.contains)
         .map(c => s.add(c, LongType, nullable = true)).getOrElse(s)
-    val readSchema = mode match {
-      case "name" => addMat(physicalType(schema, table).asInstanceOf[StructType])
+    val readSchema = addMat(mode match {
+      case "name" => physicalType(schema, table).asInstanceOf[StructType]
       case "id" =>
         // same session-level switch the plain id-mode read uses
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        addMat(withFieldIds(schema, table))
-      case _ => addMat(schema)
-    }
+        // partition columns never live in the footers — they resolve
+        // from the directory layout (or the literal attach) under their
+        // PHYSICAL names, so they enter the read schema physically
+        // named and id-less while data fields keep field-id resolution
+        StructType(schema.fields.map { f =>
+          if (pcs.contains(f.name))
+            StructField(physNameOf(f, table), f.dataType, f.nullable)
+          else withFieldIds(StructType(Array(f)), table).fields.head
+        })
+      case _ => schema
+    })
     val norm = (c: org.apache.spark.sql.Column) =>
       when(c.startsWith("file:"),
         regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
@@ -2169,7 +2188,7 @@ object DeltaLog {
         out.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
       }
     }
-    val rels = fs.map(_._1)
+    val rels = fs.map(_.path)
     def rd = spark.read.schema(readSchema)
     // hive detection and batch grouping walk the RESOLVED absolute
     // path's parent chain, not the raw rel string: shallow-clone logs
@@ -2187,8 +2206,44 @@ object DeltaLog {
     }
     val hasHive = rels.exists(r =>
       batchDirOf(r) != resolveDataPath(table, r).toAbsolutePath.getParent)
+    // a file reads through partition DISCOVERY only when its directory
+    // chain AGREES with the log: the physPcs.length segments directly
+    // above it are `physPc=value` in order, matching add.partitionValues
+    // (Hive path escaping, null = __HIVE_DEFAULT_PARTITION__). Anything
+    // else would let a mislaid path silently override the log, so it
+    // routes to the grouped-literal fallback where the log is
+    // authoritative.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    def hiveAgree(f: RF): Boolean = {
+      val segs = resolveDataPath(table, f.path).toAbsolutePath.toString.split("/")
+      segs.length > physPcs.length + 1 && physPcs.zipWithIndex.forall {
+        case (c, i) =>
+          val v = f.pv.getOrElse(c, null)
+          segs(segs.length - 1 - physPcs.length + i) == escapePathName(c) +
+            "=" + (if (v == null) "__HIVE_DEFAULT_PARTITION__"
+                   else escapePathName(v))
+      }
+    }
     val scanned =
-      if (!hasHive)
+      if (pcs.nonEmpty && !fs.forall(hiveAgree)) {
+        // partition values live only in the log (or the layout is not
+        // hive-parseable): group files by partition tuple and attach the
+        // values as typed literals under their PHYSICAL names — the
+        // plain reader's compatibility fallback, composed with
+        // provenance + DV filtering
+        val pcFields = pcs.map(c => schema.find(_.name == c).getOrElse(
+          sys.error(s"$dir: partition column '$c' missing from schemaString")))
+        fs.groupBy(f => physPcs.map(p => f.pv.getOrElse(p, null)))
+          .toSeq.sortBy(_._1.mkString(" "))
+          .map { case (vals, g) =>
+            val base = withProvenance(rd.parquet(
+              g.map(f => resolveDataPath(table, f.path).toString): _*))
+            pcFields.zip(vals).foldLeft(base) { case (df, (fld, v)) =>
+              df.withColumn(toPhys(fld.name),
+                (if (v == null) lit(null) else lit(v)).cast(fld.dataType))
+            }
+          }.reduce(_.unionByName(_))
+      } else if (!hasHive)
         withProvenance(rd.parquet(rels.map(r =>
           resolveDataPath(table, r).toString): _*))
       else rels.groupBy(batchDirOf).toSeq.sortBy(_._1.toString)
@@ -2197,24 +2252,26 @@ object DeltaLog {
             .parquet(fsB.map(r => resolveDataPath(table, r).toString): _*))
         }.reduce(_.unionByName(_))
     import spark.implicits._
-    val bases = fs.collect { case (p, _, Some(b), _) =>
+    val bases = fs.collect { case RF(p, _, Some(b), _, _) =>
       (resolveDataPath(table, p).toAbsolutePath.toString, b)
     }.toDF("__file_abs", "__base")
-    val internal = Set("__file", "__pos") ++ matCol
-    // mode "name": relabel the physical columns back to logical shape
-    // (a projection — no data copied); "id" resolves to logical names
-    // natively; "none" passes through
-    val cols: Seq[org.apache.spark.sql.Column] =
-      if (mode == "name") schema.fields.toSeq.map(f =>
+    // per-field logical resolution: under "name" every column reads back
+    // physically named and relabels (a projection — no data copied);
+    // under "id" data fields resolve to logical names natively but
+    // partition columns are still physically named (directory layout /
+    // log keys); "none" passes through
+    val outCols: Seq[org.apache.spark.sql.Column] = schema.fields.toSeq.map { f =>
+      if (mode == "name" || (mode == "id" && pcs.contains(f.name)))
         toLogical(scanned.col(quoted(physNameOf(f, table))), f.dataType,
-          table).as(f.name))
-      else scanned.columns.filterNot(internal).map(col).toSeq
+          table).as(f.name)
+      else scanned.col(quoted(f.name))
+    }
     val rowId = matCol
       .map(c => coalesce(col(c), col("__base") + col("__pos")))
       .getOrElse(col("__base") + col("__pos"))
     scanned.join(broadcast(bases), col("__file") === col("__file_abs"),
         "left")
-      .select(cols :+ rowId.as("_row_id"): _*)
+      .select(outCols :+ rowId.as("_row_id"): _*)
   }
 
   /** A commit's wall-clock time: `commitInfo.timestamp` when the action

@@ -2404,6 +2404,146 @@ class DeltaLogSpec extends SparkSpec {
         .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
   }
 
+  test("row-id reads compose with column mapping on a HIVE-PARTITIONED layout") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events.filter(col("event_id") < 300)
+      .withColumn("bucket", pmod(col("event_id"), lit(3)))
+    val t = freshTable()
+    val root = Paths.get(t)
+    // three hive-partition files, each sorted by event_id so the row
+    // index is the sort position; bucket=2's file carries MATERIALIZED
+    // ids (base + pos + 1000 — deliberately ≠ the fresh base+pos, the
+    // shape an OPTIMIZE rewrite leaves) under the configured column name
+    val matOff = 1000L
+    var nextBase = 0L
+    var expected = Map.empty[Long, Long] // event_id -> _row_id
+    val landed = (0 to 2).map { b =>
+      val slice = ev.filter(col("bucket") === b).drop("bucket")
+        .coalesce(1).sortWithinPartitions("event_id")
+      val df = if (b == 2)
+        slice.withColumn("_rid_mat",
+          monotonically_increasing_id() + lit(matOff + nextBase))
+      else slice
+      val tmp = Files.createTempDirectory("graft_rid_cmap_part")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val rel = s"bucket=$b/f$b.parquet"
+      Files.createDirectories(root.resolve(s"bucket=$b"))
+      Files.move(part, root.resolve(rel))
+      val ids = ev.filter(col("bucket") === b).orderBy("event_id")
+        .select("event_id").collect().map(_.getLong(0))
+      val base = nextBase
+      ids.zipWithIndex.foreach { case (e, i) =>
+        expected += e -> (if (b == 2) matOff + base + i else base + i)
+      }
+      nextBase += ids.length
+      (rel, base)
+    }
+    DeltaLog.mirrorCommit(root, 1L, landed.map(_._1), Seq.empty,
+      ev.schema.json,
+      props = Map("delta.enableRowTracking" -> "true",
+        "delta.rowTracking.materializedRowIdColumnName" -> "_rid_mat"),
+      rowIds = landed.map { case (rel, base) => rel -> ((base, 0L)) }.toMap,
+      domains = Map("delta.rowTracking" ->
+        s"""{"rowIdHighWaterMark":${matOff + nextBase - 1}}"""))
+    val pre = DeltaLog.snapshotWithRowIds(s, t)
+      .select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pre == expected,
+      "partitioned fresh + materialized ids must read value-exactly")
+    // RENAME of a data column upgrades the table to column mapping —
+    // partitioned row-id reads must now resolve physically and relabel
+    DeltaLog.renameColumn(s, t, "value", "amount")
+    val mapped = DeltaLog.snapshotWithRowIds(s, t)
+    assert(mapped.columns.contains("amount") && !mapped.columns.contains("value"))
+    assert(mapped.select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expected,
+      "mapping upgrade must not move any row id")
+    assert(mapped.agg(round(sum(col("amount")), 2)).collect()(0).getDouble(0) ==
+      ev.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    // and the PARTITION column renames too: dirs stay physical
+    // (`bucket=`), the read attaches the NEW logical name
+    DeltaLog.renameColumn(s, t, "bucket", "pocket")
+    val renamed = DeltaLog.snapshotWithRowIds(s, t)
+    assert(renamed.columns.contains("pocket") && !renamed.columns.contains("bucket"))
+    assert(renamed.filter(col("pocket") =!= pmod(col("event_id"), lit(3)))
+      .isEmpty, "partition values must survive the partition-column rename")
+    assert(renamed.select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    // scale path intact: a predicate on the renamed partition column
+    // prunes DIRECTORIES in the scan (discovery under the physical name)
+    val plan = renamed.filter(col("pocket") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"partition filter must reach the scan:\n$plan")
+  }
+
+  test("row-id reads of a NON-HIVE partitioned layout take partition values from the log") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = events.filter(col("event_id") < 300)
+      .withColumn("bucket", pmod(col("event_id"), lit(3)))
+    val t = freshTable()
+    val root = Paths.get(t)
+    // opaque blob dirs — partition values exist ONLY in the log, so the
+    // read must route to the grouped-literal fallback (a basePath read
+    // would silently null-fill the partition column)
+    var nextBase = 0L
+    var expected = Map.empty[Long, Long]
+    val landed = (0 to 2).map { b =>
+      ev.filter(col("bucket") === b).drop("bucket")
+        .coalesce(1).sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(s"$t/blob$b")
+      val rel = Files.list(root.resolve(s"blob$b")).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        .getFileName.toString match { case f => s"blob$b/$f" }
+      val ids = ev.filter(col("bucket") === b).orderBy("event_id")
+        .select("event_id").collect().map(_.getLong(0))
+      val base = nextBase
+      ids.zipWithIndex.foreach { case (e, i) => expected += e -> (base + i) }
+      nextBase += ids.length
+      (rel, b, base)
+    }
+    val ld = Files.createDirectories(root.resolve("_delta_log"))
+    val metaLine = {
+      val n = mapper.createObjectNode()
+      val m = n.putObject("metaData")
+      m.put("id", "rid-nonhive")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", ev.schema.json)
+      m.putArray("partitionColumns").add("bucket")
+      m.putObject("configuration").put("delta.enableRowTracking", "true")
+      m.put("createdTime", 3L)
+      mapper.writeValueAsString(n)
+    }
+    val addLines = landed.map { case (rel, b, base) =>
+      val n = mapper.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", rel)
+      a.putObject("partitionValues").put("bucket", b.toString)
+      a.put("size", Files.size(root.resolve(rel)))
+      a.put("modificationTime", 1L)
+      a.put("dataChange", true)
+      a.put("baseRowId", base)
+      a.put("defaultRowCommitVersion", 0L)
+      mapper.writeValueAsString(n)
+    }
+    Files.writeString(ld.resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaLine) ++ addLines).mkString("\n"))
+    val snap = DeltaLog.snapshotWithRowIds(s, t)
+    assert(snap.schema("bucket").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "partition column must be typed from schemaString")
+    assert(snap.filter(col("bucket").isNull).isEmpty,
+      "log-only partition values must attach, never null-fill")
+    assert(snap.filter(col("bucket") =!= pmod(col("event_id"), lit(3))).isEmpty)
+    assert(snap.select(col("event_id"), col("_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("shallow clone of a HIVE-PARTITIONED row-tracked table reads row ids") {
     val s = spark
     import org.apache.spark.sql.functions._
