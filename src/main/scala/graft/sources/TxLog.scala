@@ -1800,6 +1800,17 @@ object TxLog {
     * row, as [[mergeInto]]'s insert half. */
   final case class NotMatchedInsert(condition: Option[Column] = None)
       extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET …` —
+    * target rows whose key matches NO source row (the full-sync / SCD
+    * shape: flag or age out rows the feed stopped carrying). Conditions
+    * and SET expressions may reference only `t.` columns — there IS no
+    * source row. */
+  final case class NotMatchedBySourceUpdate(set: Map[String, Column],
+      condition: Option[Column] = None) extends MergeClause
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE` — drop
+    * target rows absent from the source (the mirror-a-snapshot shape). */
+  final case class NotMatchedBySourceDelete(condition: Option[Column] = None)
+      extends MergeClause
 
   /** Stock Delta MERGE's multiple-match rule, enforced loudly: two
     * source rows sharing a key would both land in the appended batch
@@ -1818,23 +1829,27 @@ object TxLog {
         "matches; aggregate or dedupe the source first")
   }
 
-  /** Split + validate a clause list: matched clauses (UPDATE/DELETE)
-    * and insert clauses, each family keeping its declaration order.
-    * Stock Delta's reachability rule applies — every clause of a
+  /** Split + validate a clause list into its three families — matched
+    * (UPDATE/DELETE), not-matched (INSERT), not-matched-BY-SOURCE
+    * (UPDATE/DELETE) — each keeping its declaration order. Stock
+    * Delta's reachability rule applies per family — every clause of a
     * family except its last must carry a condition (an unconditional
     * clause makes the ones after it dead code). */
   private def splitClauses(clauses: Seq[MergeClause], what: String)
-      : (Seq[MergeClause], Seq[NotMatchedInsert]) = {
+      : (Seq[MergeClause], Seq[NotMatchedInsert], Seq[MergeClause]) = {
     require(clauses.nonEmpty, s"$what: at least one WHEN clause")
     val matched = clauses.filter {
       case _: MatchedUpdate | _: MatchedDelete => true; case _ => false }
     val inserts = clauses.collect { case c: NotMatchedInsert => c }
-    (matched.dropRight(1) ++ inserts.dropRight(1)).foreach(c =>
-      require(c.condition.nonEmpty,
+    val bySource = clauses.filter {
+      case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+      case _ => false }
+    (matched.dropRight(1) ++ inserts.dropRight(1) ++ bySource.dropRight(1))
+      .foreach(c => require(c.condition.nonEmpty,
         s"$what: a clause without a condition must be the LAST of its " +
-          "family (matched / not-matched) — later clauses would be " +
-          "unreachable, stock Delta's rule"))
-    (matched, inserts)
+          "family (matched / not-matched / not-matched-by-source) — " +
+          "later clauses would be unreachable, stock Delta's rule"))
+    (matched, inserts, bySource)
   }
 
   /** First-match-wins index over the matched clauses, evaluated on the
@@ -1847,28 +1862,38 @@ object TxLog {
         Some(acc.fold(when(cond, lit(i)))(_.when(cond, lit(i))))
     }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
 
-  /** The post-merge value of target column `f` on the joined frame
-    * (carrying `__idx`): the first applied UPDATE clause's assignment,
-    * cast to the declared type — target's own value when the applied
-    * clause does not set `f` or no clause applied. */
-  private def clauseValue(f: org.apache.spark.sql.types.StructField,
-      matched: Seq[MergeClause]): Column = {
-    val assigns = matched.zipWithIndex.collect {
+  /** The post-merge value of target column `f` on a frame carrying the
+    * family's first-match index column `idxCol`: the first applied
+    * UPDATE clause's assignment, cast to the declared type — target's
+    * own value when the applied clause does not set `f` or no clause
+    * applied. Works for the matched AND by-source families (each
+    * indexes its own clause list). */
+  private def cascadeValue(f: org.apache.spark.sql.types.StructField,
+      clauses: Seq[MergeClause], idxCol: String): Column = {
+    val assigns = clauses.zipWithIndex.collect {
       case (MatchedUpdate(set, _), i) if set.contains(f.name) =>
+        (i, set(f.name).cast(f.dataType))
+      case (NotMatchedBySourceUpdate(set, _), i) if set.contains(f.name) =>
         (i, set(f.name).cast(f.dataType))
     }
     assigns.foldLeft(Option.empty[Column]) { case (acc, (i, v)) =>
-      Some(acc.fold(when(col("__idx") === i, v))(
-        _.when(col("__idx") === i, v)))
-    }.map(_.otherwise(col(s"t.${f.name}")).as(f.name))
-      .getOrElse(col(s"t.${f.name}").as(f.name))
+      Some(acc.fold(when(col(idxCol) === i, v))(
+        _.when(col(idxCol) === i, v)))
+    }.map(_.otherwise(col(s"t.${f.name}")))
+      .getOrElse(col(s"t.${f.name}"))
   }
 
-  private def clauseIdxs(matched: Seq[MergeClause],
+  private def clauseValue(f: org.apache.spark.sql.types.StructField,
+      matched: Seq[MergeClause]): Column =
+    cascadeValue(f, matched, "__idx").as(f.name)
+
+  private def clauseIdxs(cls: Seq[MergeClause],
       deletes: Boolean): Seq[Int] =
-    matched.zipWithIndex.collect {
+    cls.zipWithIndex.collect {
       case (_: MatchedDelete, i) if deletes => i
+      case (_: NotMatchedBySourceDelete, i) if deletes => i
       case (_: MatchedUpdate, i) if !deletes => i
+      case (_: NotMatchedBySourceUpdate, i) if !deletes => i
     }
 
   /** OR of the insert-clause conditions (first-match-wins collapses to
@@ -1880,21 +1905,27 @@ object TxLog {
 
   /** Conditional MERGE, COPY-ON-WRITE — stock Delta's full clause
     * model over [[mergeInto]]'s machinery: ordered
-    * `WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE` and
-    * `WHEN NOT MATCHED [AND cond] THEN INSERT` clauses,
-    * first-match-wins, partial-column updates, tombstone deletes —
-    * the shape every real CDC pipeline applies (see [[MergeClause]]
-    * for the `t`/`s` reference convention). Candidate files come from
-    * the mirror's stats against the source's key envelope exactly as
-    * [[mergeInto]]; untouched files are never read or rewritten. The
-    * rewrite is ONE left-outer join of the visible candidate rows
-    * against the (AQE-broadcast) source: matched rows route through
-    * the clause cascade (update / delete / pass through), unmatched
-    * target rows pass through, and insert-eligible unmatched source
-    * rows union in. On a row-tracked table updated and untouched rows
-    * KEEP their stable ids (the hidden materialized-id column rides
-    * the join untouched); inserted rows read fresh ids from the
-    * replacement file's claimed span.
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …/DELETE`
+    * clauses, first-match-wins per family, partial-column updates,
+    * tombstone deletes — the shape every real CDC pipeline applies
+    * (see [[MergeClause]] for the `t`/`s` reference convention).
+    * Candidate files come from the mirror's stats against the source's
+    * key envelope exactly as [[mergeInto]]; untouched files are never
+    * read or rewritten. With BY SOURCE clauses the envelope proves
+    * nothing (any target row may be affected) so pruning is off — the
+    * full-sync cost stock Delta pays too. The rewrite is ONE left-outer
+    * join of the visible candidate rows against the (AQE-broadcast)
+    * source: matched rows route through the matched cascade (update /
+    * delete / pass through), unmatched target rows route through the
+    * by-source cascade (pass through when absent), and insert-eligible
+    * unmatched source rows union in. On a row-tracked table updated
+    * and untouched rows KEEP their stable ids (the hidden
+    * materialized-id column rides the join untouched); inserted rows
+    * read fresh ids from the replacement file's claimed span. An EMPTY
+    * source with by-source clauses is a legal full sync (age out every
+    * accepted row).
     *
     * Under `delta.enableChangeDataFeed` the commit writes per-row-typed
     * change-data files — `delete` for matched-DELETE rows,
@@ -1909,26 +1940,45 @@ object TxLog {
   def mergeIntoClauses(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], clauses: Seq[MergeClause]): RewriteResult = {
     require(keys.nonEmpty, "mergeIntoClauses: at least one key column")
-    val (matched, inserts) = splitClauses(clauses, "mergeIntoClauses")
+    val (matched, inserts, bySource) = splitClauses(clauses, "mergeIntoClauses")
     val base = currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir"))
-    if (source.isEmpty) return RewriteResult(base, 0L, 0L)
+    // an EMPTY source still drives the by-source family (a full sync
+    // against an empty feed ages out every row its conditions accept)
+    if (source.isEmpty && bySource.isEmpty) return RewriteResult(base, 0L, 0L)
     requireUniqueSourceKeys(source, keys, "mergeIntoClauses")
     val table = Paths.get(dir)
-    val bounds = source.select(keys.flatMap(k =>
-      Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
-      .collect().head
-    val prune = keys.zipWithIndex.map { case (k, i) =>
-      (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
+    // by-source clauses can touch ANY target row, matched or not — the
+    // source key envelope proves nothing about them, so pruning is off
+    // (stock Delta rewrites the same span; the clause CONDITIONS bound
+    // the change set, not the scan)
+    val prune =
+      if (bySource.nonEmpty) Seq.empty
+      else {
+        val bounds = source.select(keys.flatMap(k =>
+          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
+          .collect().head
+        keys.zipWithIndex.map { case (k, i) =>
+          (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
+      }
     val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val idxExpr = matchedIdxExpr(matched)
+    val bIdxExpr = matchedIdxExpr(bySource)
     val delIdxs = clauseIdxs(matched, deletes = true)
+    val bysDelIdxs = clauseIdxs(bySource, deletes = true)
+    val bysUpdIdxs = clauseIdxs(bySource, deletes = false)
     val insCond = insertCond(inserts)
-    if (matched.isEmpty)
+    if (matched.isEmpty && bySource.isEmpty)
       return clauseInsertOnly(spark, dir, source, keys, prune, insCond.get)
+    def outValue(f: org.apache.spark.sql.types.StructField): Column =
+      if (bySource.isEmpty) clauseValue(f, matched)
+      else when(col("__matched"), cascadeValue(f, matched, "__idx"))
+        .otherwise(cascadeValue(f, bySource, "__bidx")).as(f.name)
     val res = rewriteWhere(spark, dir, prune, { tgt =>
-      val bad = matched.collect { case MatchedUpdate(set, _) =>
-        set.keySet -- tgt.columns.toSet }.fold(Set.empty)(_ ++ _)
+      val bad = (matched ++ bySource).collect {
+        case MatchedUpdate(set, _) => set.keySet -- tgt.columns.toSet
+        case NotMatchedBySourceUpdate(set, _) => set.keySet -- tgt.columns.toSet
+      }.fold(Set.empty)(_ ++ _)
       require(bad.isEmpty,
         s"mergeIntoClauses: unknown SET column(s) ${bad.mkString(", ")}")
       val joined = tgt.alias("t")
@@ -1937,11 +1987,19 @@ object TxLog {
         .withColumn("__matched", coalesce(col("__m"), lit(false)))
         .withColumn("__idx",
           when(col("__matched"), idxExpr).otherwise(lit(-1)))
-      val kept = if (delIdxs.isEmpty) joined
-        else joined.filter(!(col("__matched") &&
-          col("__idx").isin(delIdxs.map(Integer.valueOf): _*)))
+        .withColumn("__bidx",
+          when(!col("__matched"), bIdxExpr).otherwise(lit(-1)))
+      val dropCond = Seq(
+        if (delIdxs.isEmpty) None
+        else Some(col("__matched") &&
+          col("__idx").isin(delIdxs.map(Integer.valueOf): _*)),
+        if (bysDelIdxs.isEmpty) None
+        else Some(!col("__matched") &&
+          col("__bidx").isin(bysDelIdxs.map(Integer.valueOf): _*))
+      ).flatten.reduceOption(_ || _)
+      val kept = dropCond.fold(joined)(c => joined.filter(!c))
       val survivors = kept.select(
-        tgt.schema.fields.toSeq.map(f => clauseValue(f, matched)): _*)
+        tgt.schema.fields.toSeq.map(outValue): _*)
       insCond match {
         case None => survivors
         case Some(ic) =>
@@ -1973,12 +2031,30 @@ object TxLog {
               .map(f => clauseValue(f, matched)): _*)
               .withColumn("_change_type", lit("update_postimage"))))
         }
+      // by-source change rows: unmatched TARGET rows the family accepts
+      val bysJ =
+        if (bySource.isEmpty) None
+        else Some(df.alias("t")
+          .join(source.select(keys.map(col): _*).alias("s"),
+            keyCond, "left_anti")
+          .withColumn("__bidx", bIdxExpr))
+      val bysDel = bysJ.filter(_ => bysDelIdxs.nonEmpty).map(
+        _.filter(col("__bidx").isin(bysDelIdxs.map(Integer.valueOf): _*))
+          .select(tCols: _*).withColumn("_change_type", lit("delete")))
+      val bysUpd = bysJ.filter(_ => bysUpdIdxs.nonEmpty).map { j =>
+        val hit = j.filter(col("__bidx").isin(bysUpdIdxs.map(Integer.valueOf): _*))
+        hit.select(tCols: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(hit.select(df.schema.fields.toSeq.map(f =>
+            cascadeValue(f, bySource, "__bidx").as(f.name)): _*)
+            .withColumn("_change_type", lit("update_postimage")))
+      }
       val ins = insCond.map(ic =>
         source.alias("s").filter(ic)
           .join(df.select(keys.map(col): _*), keys, "left_anti")
           .select(df.columns.toSeq.map(col): _*)
           .withColumn("_change_type", lit("insert")))
-      (del.toSeq ++ upd.toSeq ++ ins.toSeq)
+      (del.toSeq ++ upd.toSeq ++ bysDel.toSeq ++ bysUpd.toSeq ++ ins.toSeq)
         .reduce(_.unionByName(_))
     })
     if (res.filesRewritten == 0L) {
@@ -2000,18 +2076,23 @@ object TxLog {
   }
 
   /** Conditional MERGE, MERGE-ON-READ — [[mergeIntoClauses]]'s clause
-    * model over [[mergeIntoDv]]'s machinery: matched rows an UPDATE or
-    * DELETE clause accepts are HIDDEN by DV bitmaps on their files
-    * (matched rows no clause accepts stay visible — nothing is
-    * touched), the UPDATE clauses' new row versions plus the
-    * insert-eligible source rows land as ONE appended batch, and no
-    * data file is rewritten: the commit stays O(changed rows), the
-    * production CDC shape at 100 TB. Candidates prune by the source
-    * key envelope; the clause cascade marks via one inner join of the
-    * VISIBLE candidate rows against the (AQE-broadcast) source —
-    * existing DVs applied first, so a dead row can never resurrect as
-    * a match. Untouched and DV-hidden survivors keep stable row ids by
-    * construction; the appended batch claims fresh spans.
+    * model (all three families, BY SOURCE included) over
+    * [[mergeIntoDv]]'s machinery: rows an UPDATE or DELETE clause
+    * accepts — matched rows through the matched cascade,
+    * unmatched-by-source rows through the by-source cascade — are
+    * HIDDEN by DV bitmaps on their files (rows no clause accepts stay
+    * visible — nothing is touched), the UPDATE clauses' new row
+    * versions plus the insert-eligible source rows land as ONE
+    * appended batch, and no data file is rewritten: the commit stays
+    * O(changed rows), the production CDC shape at 100 TB. Candidates
+    * prune by the source key envelope (pruning off under BY SOURCE
+    * clauses — any row may be affected); the matched cascade marks via
+    * one inner join of the VISIBLE candidate rows against the
+    * (AQE-broadcast) source, the by-source cascade via one anti-join
+    * against the source keys — existing DVs applied first, so a dead
+    * row can never resurrect as a match. Untouched and DV-hidden
+    * survivors keep stable row ids by construction; the appended batch
+    * claims fresh spans.
     *
     * Under `delta.enableChangeDataFeed` the commit writes
     * per-row-typed change-data files (`delete` / `update_preimage` /
@@ -2022,7 +2103,8 @@ object TxLog {
   def mergeIntoDvClauses(spark: SparkSession, dir: String, source: DataFrame,
       keys: Seq[String], clauses: Seq[MergeClause]): RewriteResult = {
     require(keys.nonEmpty, "mergeIntoDvClauses: at least one key column")
-    val (matched, inserts) = splitClauses(clauses, "mergeIntoDvClauses")
+    val (matched, inserts, bySource) =
+      splitClauses(clauses, "mergeIntoDvClauses")
     val table = Paths.get(dir)
     DeltaLog.warmMetaCache(spark, table)
     if (!DeltaLog.tableConfig(table).get("delta.enableDeletionVectors")
@@ -2033,21 +2115,32 @@ object TxLog {
     enforceAppendOnly(dir, "MERGE")
     val base = currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir"))
-    if (source.isEmpty) return RewriteResult(base, 0L, 0L)
+    // an EMPTY source still drives the by-source family
+    if (source.isEmpty && bySource.isEmpty) return RewriteResult(base, 0L, 0L)
     requireUniqueSourceKeys(source, keys, "mergeIntoDvClauses")
-    val bounds = source.select(keys.flatMap(k =>
-      Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
-      .collect().head
-    val prune = keys.zipWithIndex.map { case (k, i) =>
-      (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
+    // by-source clauses can touch any target row — pruning off (see
+    // mergeIntoClauses)
+    val prune =
+      if (bySource.nonEmpty) Seq.empty[(String, Any, Any)]
+      else {
+        val bounds = source.select(keys.flatMap(k =>
+          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k"))): _*)
+          .collect().head
+        keys.zipWithIndex.map { case (k, i) =>
+          (k, bounds.get(2 * i), bounds.get(2 * i + 1)) }
+      }
     val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val idxExpr = matchedIdxExpr(matched)
+    val bIdxExpr = matchedIdxExpr(bySource)
     val delIdxs = clauseIdxs(matched, deletes = true)
     val updIdxs = clauseIdxs(matched, deletes = false)
+    val bysDelIdxs = clauseIdxs(bySource, deletes = true)
+    val bysUpdIdxs = clauseIdxs(bySource, deletes = false)
     val insCond = insertCond(inserts)
     val prev = readManifest(table, base)
     val skipped: Set[String] =
-      scala.util.Try(DeltaLog.pruneFlags(spark, dir, prune)) match {
+      if (prune.isEmpty) Set.empty
+      else scala.util.Try(DeltaLog.pruneFlags(spark, dir, prune)) match {
         case scala.util.Success((flags, _)) =>
           flags.collect { case (f, false) => f.path }.toSet
         case scala.util.Failure(_) => Set.empty
@@ -2065,17 +2158,34 @@ object TxLog {
       }
     }
     val oldDvs = manifestDvs(table, base)
-    // hide exactly the visible matched rows SOME clause accepts —
-    // matched rows the cascade rejects stay live and untouched
+    val srcKeys = source.select(keys.map(col): _*)
+    // hide exactly the visible rows SOME clause accepts — matched rows
+    // through the matched cascade, unmatched-by-source rows through the
+    // by-source cascade; rows no clause accepts stay live and untouched
     val updates =
-      if (matched.isEmpty) Map.empty[String, String]
+      if (matched.isEmpty && bySource.isEmpty) Map.empty[String, String]
       else dvDescriptorUpdatesBy(spark, table, dir, candidates,
-        v => v.alias("t").join(source.alias("s"), keyCond, "inner")
-          .withColumn("__idx", idxExpr).filter(col("__idx") =!= -1),
+        { v =>
+          val m =
+            if (matched.isEmpty) None
+            else Some(v.alias("t").join(source.alias("s"), keyCond, "inner")
+              .withColumn("__idx", idxExpr).filter(col("__idx") =!= -1)
+              .select(col("__f"), col("__p")))
+          val b =
+            if (bySource.isEmpty) None
+            else Some(v.alias("t")
+              .join(srcKeys.alias("s"), keyCond, "left_anti")
+              .withColumn("__bidx", bIdxExpr).filter(col("__bidx") =!= -1)
+              .select(col("__f"), col("__p")))
+          (m.toSeq ++ b.toSeq).reduce(_.unionByName(_))
+        },
         oldDvs, applyOldDvs = true)
     val visible = readRels(spark, table, candidates, dvs = oldDvs)
-    val bad = matched.collect { case MatchedUpdate(set, _) =>
-      set.keySet -- visible.columns.toSet }.fold(Set.empty)(_ ++ _)
+    val bad = (matched ++ bySource).collect {
+      case MatchedUpdate(set, _) => set.keySet -- visible.columns.toSet
+      case NotMatchedBySourceUpdate(set, _) =>
+        set.keySet -- visible.columns.toSet
+    }.fold(Set.empty)(_ ++ _)
     require(bad.isEmpty,
       s"mergeIntoDvClauses: unknown SET column(s) ${bad.mkString(", ")}")
     val visJoined = visible.alias("t")
@@ -2087,6 +2197,16 @@ object TxLog {
         .filter(col("__idx").isin(updIdxs.map(Integer.valueOf): _*))
         .select(visible.schema.fields.toSeq
           .map(f => clauseValue(f, matched)): _*))
+    // unmatched-by-source visible rows, routed through their cascade
+    val bysJoined =
+      if (bySource.isEmpty) None
+      else Some(visible.alias("t")
+        .join(srcKeys.alias("s"), keyCond, "left_anti")
+        .withColumn("__bidx", bIdxExpr))
+    val bysUpdNew = bysJoined.filter(_ => bysUpdIdxs.nonEmpty).map(
+      _.filter(col("__bidx").isin(bysUpdIdxs.map(Integer.valueOf): _*))
+        .select(visible.schema.fields.toSeq.map(f =>
+          cascadeValue(f, bySource, "__bidx").as(f.name)): _*))
     // a source key in matchedKeys matched SOME visible row (unique
     // source keys make the anti-join exact); the rest are inserts
     val matchedKeys = visJoined
@@ -2094,7 +2214,7 @@ object TxLog {
     val insRows = insCond.map(ic =>
       source.alias("s").filter(ic).join(matchedKeys, keys, "left_anti")
         .select(visible.columns.toSeq.map(col): _*))
-    val batch = (updatedNew.toSeq ++ insRows.toSeq)
+    val batch = (updatedNew.toSeq ++ bysUpdNew.toSeq ++ insRows.toSeq)
       .reduceOption(_.unionByName(_))
     if (updates.isEmpty) {
       // no row hidden — nothing was updated or deleted; the batch (if
@@ -2124,21 +2244,37 @@ object TxLog {
             .filter(col("__idx").isin(updIdxs.map(Integer.valueOf): _*))
             .select(tCols: _*)
             .withColumn("_change_type", lit("update_preimage")))
+        val bysDel = bysJoined.filter(_ => bysDelIdxs.nonEmpty).map(
+          _.filter(col("__bidx").isin(bysDelIdxs.map(Integer.valueOf): _*))
+            .select(tCols: _*).withColumn("_change_type", lit("delete")))
+        val bysPre = bysJoined.filter(_ => bysUpdIdxs.nonEmpty).map(
+          _.filter(col("__bidx").isin(bysUpdIdxs.map(Integer.valueOf): _*))
+            .select(tCols: _*)
+            .withColumn("_change_type", lit("update_preimage")))
         // postimages/inserts read back from the COMMITTED files, so
-        // generated columns carry their final recomputed values
-        val updKeys = visJoined
-          .filter(col("__idx").isin(updIdxs.map(Integer.valueOf): _*))
-          .select(keys.map(k => col(s"s.$k").as(k)): _*)
-          .dropDuplicates(keys)
+        // generated columns carry their final recomputed values; the
+        // by-source updates' keys come from the TARGET side (they have
+        // no source row by definition)
+        val updKeysM =
+          if (updIdxs.isEmpty) None
+          else Some(visJoined
+            .filter(col("__idx").isin(updIdxs.map(Integer.valueOf): _*))
+            .select(keys.map(k => col(s"s.$k").as(k)): _*))
+        val updKeysB = bysJoined.filter(_ => bysUpdIdxs.nonEmpty).map(
+          _.filter(col("__bidx").isin(bysUpdIdxs.map(Integer.valueOf): _*))
+            .select(keys.map(k => col(s"t.$k").as(k)): _*))
+        val updKeys = (updKeysM.toSeq ++ updKeysB.toSeq)
+          .reduceOption(_.unionByName(_)).map(_.dropDuplicates(keys))
         val appended =
           if (added.isEmpty) None else Some(readRels(spark, table, added))
-        val post = appended.filter(_ => updIdxs.nonEmpty).map(
-          _.join(updKeys, keys, "left_semi")
-            .withColumn("_change_type", lit("update_postimage")))
+        val post = appended.zip(updKeys).map { case (a, uk) =>
+          a.join(uk, keys, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")) }
         val ins2 = appended.map(a =>
-          (if (updIdxs.isEmpty) a else a.join(updKeys, keys, "left_anti"))
+          updKeys.fold(a)(uk => a.join(uk, keys, "left_anti"))
             .withColumn("_change_type", lit("insert")))
-        val all = (del.toSeq ++ pre.toSeq ++ post.toSeq ++ ins2.toSeq)
+        val all = (del.toSeq ++ pre.toSeq ++ bysDel.toSeq ++ bysPre.toSeq ++
+          post.toSeq ++ ins2.toSeq)
           .reduce(_.unionByName(_, allowMissingColumns = true))
         writeCdcFiles(all, table)
       }
@@ -2890,6 +3026,50 @@ object TxLog {
       table
     })
 
+  /** The FULL-SYNC clause list: [[clauseMergeClauses]] plus the
+    * BY SOURCE family — target rows the source feed no longer carries
+    * (ids > 400 here) are flagged (401..500 → value negated) or aged
+    * out (501..550 → DELETE); rows above 550 match no by-source clause
+    * and stay byte-identical. */
+  private def clauseSrcMergeClauses: Seq[MergeClause] =
+    clauseMergeClauses ++ Seq(
+      NotMatchedBySourceUpdate(Map("value" -> (-col("t.value"))),
+        Some(col("t.event_id").between(401, 500))),
+      NotMatchedBySourceDelete(Some(col("t.event_id").between(501, 550))))
+
+  /** Base = events above id 200 (8 range files, CDF on); full-sync
+    * clause merge COPY-ON-WRITE. */
+  private def clauseSrcMergeTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"clmrgsrc:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_clmrgsrc").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") > 200)
+        .repartitionByRange(8, col("event_id")), table)
+      setTableProperties(spark, table,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      mergeIntoClauses(spark, table, clauseMergeSource(ev),
+        Seq("event_id"), clauseSrcMergeClauses)
+      table
+    })
+
+  /** The [[clauseSrcMergeTable]] history replayed MERGE-ON-READ —
+    * by-source flagged/aged rows hidden by DVs, their new versions +
+    * inserts as one appended batch; snapshot and feed oracles shared
+    * with the copy-on-write twin. */
+  private def clauseSrcMergeDvTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"clmrgsrcdv:$dir", {
+      val table = graft.Scratch.dir("graft_txlog_clmrgsrcdv").toString
+      val ev = Tables.events(spark, dir)
+      commitAppend(ev.filter(col("event_id") > 200)
+        .repartitionByRange(8, col("event_id")), table)
+      setTableProperties(spark, table, Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+      mergeIntoDvClauses(spark, table, clauseMergeSource(ev),
+        Seq("event_id"), clauseSrcMergeClauses)
+      table
+    })
+
   /** Full corpus committed, a band deleted, then RESTORE to v1: the
     * rollback must bring every deleted row back without copying data. */
   private def restoreTable(spark: SparkSession, dir: String): String =
@@ -2998,6 +3178,10 @@ object TxLog {
     cdfDvTable(spark, dir)
     cdcTable(spark, dir)
     cowCdcTable(spark, dir)
+    clauseMergeTable(spark, dir)
+    clauseMergeDvTable(spark, dir)
+    clauseSrcMergeTable(spark, dir)
+    clauseSrcMergeDvTable(spark, dir)
     ()
   }
 
@@ -3583,6 +3767,71 @@ object TxLog {
       .groupBy(col("_change_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
 
+  /** Oracle-checked FULL-SYNC MERGE (copy-on-write): on top of the
+    * [[clauseMergeQuery]] expectations, 401..500 must read NEGATED
+    * (by-source UPDATE), 501..550 must be gone (by-source DELETE), and
+    * everything above 550 untouched (unmatched-by-source, no clause
+    * accepts). A by-source clause applied to a MATCHED row, a missed
+    * age-out, or a flag leaking past its condition all flip the hash. */
+  def clauseSrcMergeQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, clauseSrcMergeTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val clauseSrcMergeQueryOracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  round(sum(CASE WHEN event_id BETWEEN 101 AND 200 THEN value * 2
+      |                 WHEN event_id BETWEEN 201 AND 300 THEN value * 3
+      |                 WHEN event_id BETWEEN 401 AND 500 THEN -value
+      |                 ELSE value END), 2) AS total_value
+      |FROM events
+      |WHERE (event_id BETWEEN 101 AND 300)
+      |   OR (event_id BETWEEN 351 AND 500) OR event_id > 550
+      |GROUP BY 1""".stripMargin
+
+  /** Oracle-checked FULL-SYNC MERGE, merge-on-read: identical history
+    * and oracle to [[clauseSrcMergeQuery]] — the families must agree
+    * row-for-row. */
+  def clauseSrcMergeDvQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, clauseSrcMergeDvTable(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  /** Oracle-checked change feed over the merge-on-read full sync: the
+    * by-source family's rows must type exactly — aged-out rows
+    * `delete`, flagged rows as preimage (original) / postimage
+    * (negated) pairs — alongside the matched family's rows. */
+  def clauseSrcMergeCdfQuery(spark: SparkSession, dir: String): DataFrame =
+    changeFeed(spark, clauseSrcMergeDvTable(spark, dir), 2L, 3L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val clauseSrcMergeCdfQueryOracle: String =
+    """SELECT _change_type, count(*) AS n, round(sum(v), 2) AS total_value
+      |FROM (
+      |  SELECT 'delete' AS _change_type, value AS v FROM events
+      |    WHERE event_id BETWEEN 301 AND 350
+      |  UNION ALL SELECT 'delete', value FROM events
+      |    WHERE event_id BETWEEN 501 AND 550
+      |  UNION ALL SELECT 'update_preimage', value FROM events
+      |    WHERE event_id BETWEEN 201 AND 300
+      |  UNION ALL SELECT 'update_preimage', value FROM events
+      |    WHERE event_id BETWEEN 401 AND 500
+      |  UNION ALL SELECT 'update_postimage', value * 3 FROM events
+      |    WHERE event_id BETWEEN 201 AND 300
+      |  UNION ALL SELECT 'update_postimage', -value FROM events
+      |    WHERE event_id BETWEEN 401 AND 500
+      |  UNION ALL SELECT 'insert', value * 2 FROM events
+      |    WHERE event_id BETWEEN 101 AND 200
+      |) GROUP BY 1""".stripMargin
+
+  /** The same full-sync feed over the COPY-ON-WRITE twin (shares
+    * [[clauseSrcMergeCdfQueryOracle]]). */
+  def clauseSrcMergeCdfCowQuery(spark: SparkSession, dir: String): DataFrame =
+    changeFeed(spark, clauseSrcMergeTable(spark, dir), 2L, 3L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
   /** Oracle-checked RESTORE: after delete + restore-to-v1, the snapshot
     * must equal the FULL corpus again — only a real rollback of the
     * removed files can produce that.
@@ -3779,6 +4028,10 @@ object TxLog {
     "q_txlog_merge_clauses_dv" -> clauseMergeDvQuery _,
     "q_txlog_merge_clauses_cdf" -> clauseMergeCdfQuery _,
     "q_txlog_merge_clauses_cdf_cow" -> clauseMergeCdfCowQuery _,
+    "q_txlog_merge_clauses_src" -> clauseSrcMergeQuery _,
+    "q_txlog_merge_clauses_src_dv" -> clauseSrcMergeDvQuery _,
+    "q_txlog_merge_clauses_src_cdf" -> clauseSrcMergeCdfQuery _,
+    "q_txlog_merge_clauses_src_cdf_cow" -> clauseSrcMergeCdfCowQuery _,
     "q_txlog_restore" -> restoreQuery _,
     "q_txlog_optimize" -> optimizeQuery _,
     "q_txlog_evolution" -> evolutionQuery _
@@ -3809,6 +4062,10 @@ object TxLog {
     "q_txlog_merge_clauses_dv" -> clauseMergeQueryOracle,
     "q_txlog_merge_clauses_cdf" -> clauseMergeCdfQueryOracle,
     "q_txlog_merge_clauses_cdf_cow" -> clauseMergeCdfQueryOracle,
+    "q_txlog_merge_clauses_src" -> clauseSrcMergeQueryOracle,
+    "q_txlog_merge_clauses_src_dv" -> clauseSrcMergeQueryOracle,
+    "q_txlog_merge_clauses_src_cdf" -> clauseSrcMergeCdfQueryOracle,
+    "q_txlog_merge_clauses_src_cdf_cow" -> clauseSrcMergeCdfQueryOracle,
     "q_txlog_restore" -> restoreQueryOracle,
     "q_txlog_optimize" -> optimizeQueryOracle,
     "q_txlog_evolution" -> evolutionQueryOracle

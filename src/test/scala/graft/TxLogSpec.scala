@@ -1634,6 +1634,123 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(s, t2).count() == 550L)
   }
 
+  test("NOT MATCHED BY SOURCE clauses: flag/age out unmatched target rows, families agree, CDF typed") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.{MatchedUpdate, NotMatchedInsert,
+      NotMatchedBySourceUpdate, NotMatchedBySourceDelete}
+    val ev = events
+    val source = ev.filter(col("event_id").between(201, 400))
+      .withColumn("value", col("value") * 2)
+    // by-source bands OVERLAP (401..450 satisfies both clauses):
+    // first-match-wins must flag, not delete
+    val clauses = Seq(
+      MatchedUpdate(Map("value" -> (col("t.value") + col("s.value"))),
+        Some(col("s.event_id") <= 300)),
+      NotMatchedInsert(Some(col("s.event_id") <= 250)),
+      NotMatchedBySourceUpdate(Map("value" -> (-col("t.value"))),
+        Some(col("t.event_id").between(401, 480))),
+      NotMatchedBySourceDelete(Some(col("t.event_id").between(441, 520))))
+    def build(mor: Boolean): String = {
+      val t = freshTable()
+      TxLog.commitAppend(ev.filter(col("event_id") > 250)
+        .repartitionByRange(8, col("event_id")), t)                   // v1
+      TxLog.setTableProperties(s, t, Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))                      // v2
+      if (mor) TxLog.mergeIntoDvClauses(s, t, source, Seq("event_id"), clauses)
+      else TxLog.mergeIntoClauses(s, t, source, Seq("event_id"), clauses)
+      t
+    }
+    val tCow = build(mor = false)
+    val tMor = build(mor = true)
+    val snap = TxLog.snapshot(s, tCow)
+    // expected: 201..250 inserted at 2x, 251..300 matched-updated to 3x,
+    // 301..400 matched but no accepting clause -> untouched, 401..480
+    // by-source flagged (negated; 441..480 overlap resolves to the FIRST
+    // clause), 481..520 by-source aged out, > 520 untouched
+    val expect = ev.filter(col("event_id").between(201, 250))
+      .withColumn("value", col("value") * 2)
+      .unionByName(ev.filter(col("event_id").between(251, 300))
+        .withColumn("value", col("value") + col("value") * 2))
+      .unionByName(ev.filter(col("event_id").between(301, 400)))
+      .unionByName(ev.filter(col("event_id").between(401, 480))
+        .withColumn("value", -col("value")))
+      .unionByName(ev.filter(col("event_id") > 520))
+    assert(snap.count() == expect.count(), s"${snap.count()} vs ${expect.count()}")
+    assert(snap.select(expect.columns.map(col).toSeq: _*)
+      .except(expect).count() == 0, "by-source clause result must be row-exact")
+    assert(snap.filter(col("event_id").between(481, 520)).count() == 0,
+      "by-source DELETE must age out its band")
+    // a by-source clause must never touch a MATCHED row
+    assert(snap.filter(col("event_id").between(301, 400))
+      .except(ev.filter(col("event_id").between(301, 400))).count() == 0)
+    // merge-on-read family: identical rows, no file rewritten
+    val morSnap = TxLog.snapshot(s, tMor)
+    assert(morSnap.count() == snap.count())
+    assert(morSnap.except(snap).count() == 0 && snap.except(morSnap).count() == 0,
+      "the two DML families must produce identical full-sync rows")
+    // typed feeds agree across families and carry the by-source rows
+    def feed(t: String) = TxLog.changeFeed(s, t, 2L, 3L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fCow = feed(tCow); val fMor = feed(tMor)
+    assert(fCow == fMor, s"$fCow vs $fMor")
+    assert(fCow("delete") == 40L, s"aged-out rows must type delete: $fCow")
+    assert(fCow("update_preimage") == 50L + 80L &&
+      fCow("update_postimage") == 50L + 80L,
+      s"matched + by-source updates must pair pre/post: $fCow")
+    assert(fCow("insert") == 50L, fCow.toString)
+    // postimages carry the cascade values (negated band)
+    val post = TxLog.changeFeed(s, tMor, 2L, 3L)
+      .filter(col("_change_type") === "update_postimage" &&
+        col("event_id").between(401, 480))
+    assert(post.filter(col("value") > 0).count() == 0,
+      "by-source postimages must carry the SET value")
+    // foreign mirror parity: Delta snapshot + typed tableChanges agree
+    assert(graft.sources.DeltaLog.snapshot(s, tMor).count() == snap.count())
+    val mByType = graft.sources.DeltaLog.tableChanges(s, tMor, 2L, 3L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mByType == fMor, s"$mByType vs $fMor")
+  }
+
+  test("empty-source full sync: by-source clauses drive the whole table") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.{NotMatchedBySourceUpdate, NotMatchedBySourceDelete}
+    val ev = events
+    val empty = ev.filter(lit(false))
+    val clauses = Seq(
+      NotMatchedBySourceDelete(Some(col("t.event_id") <= 100)),
+      NotMatchedBySourceUpdate(Map("value" -> lit(0.0)),
+        Some(col("t.event_id") <= 200)))
+    // copy-on-write
+    val t = freshTable()
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t)
+    TxLog.mergeIntoClauses(s, t, empty, Seq("event_id"), clauses)
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.filter(col("event_id") <= 100).count() == 0,
+      "an empty feed must still age out the accepted band")
+    assert(snap.filter(col("event_id").between(101, 200) &&
+      col("value") =!= 0.0).count() == 0)
+    assert(snap.count() == ev.filter(col("event_id") > 100).count())
+    // merge-on-read agrees
+    val t2 = freshTable()
+    TxLog.commitAppend(ev.repartitionByRange(4, col("event_id")), t2)
+    TxLog.setTableProperties(s, t2,
+      Map("delta.enableDeletionVectors" -> "true"))
+    TxLog.mergeIntoDvClauses(s, t2, empty, Seq("event_id"), clauses)
+    val snap2 = TxLog.snapshot(s, t2)
+    assert(snap2.except(snap).count() == 0 && snap.except(snap2).count() == 0)
+    // reachability rule applies to the by-source family too
+    val e = intercept[IllegalArgumentException](TxLog.mergeIntoClauses(
+      s, t, empty, Seq("event_id"), Seq(
+        NotMatchedBySourceDelete(None),
+        NotMatchedBySourceUpdate(Map("value" -> lit(0.0))))))
+    assert(e.getMessage.contains("unreachable"), e.getMessage)
+  }
+
   test("vacuum reclaims expired change-data files, keeps the retained feed intact") {
     val s = spark
     import java.nio.file.{Files => F, Paths => P}
