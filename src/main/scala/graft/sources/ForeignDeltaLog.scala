@@ -216,57 +216,99 @@ object ForeignDeltaLog {
   }
 }
 
-/** Dispatch between the two commit-history backends by what the table
-  * dir contains: graft `_txlog` manifests (native) or only a stock
-  * `_delta_log` (foreign tail via [[ForeignDeltaLog]]). The DSv2
-  * source reads history exclusively through this object, so every
-  * read feature — version offsets, startingVersion, ReadLimit,
-  * AvailableNow, DV application, CDF replay, time travel — works
-  * identically over both. */
+/** Dispatch between the commit-history backends by what the table dir
+  * contains: graft `_txlog` manifests (native), a stock `_delta_log`
+  * with no manifests (foreign Delta tail via [[ForeignDeltaLog]]), or
+  * a stock Iceberg `metadata/` tree with neither (foreign Iceberg tail
+  * via [[ForeignIcebergLog]]). The DSv2 source reads history
+  * exclusively through this object, so every read feature — version
+  * offsets, startingVersion, ReadLimit, AvailableNow, DV application,
+  * CDF replay, time travel — works identically over all three. */
 private[graft] object CommitLog {
 
-  def foreign(dir: String): Boolean = ForeignDeltaLog.isForeign(dir)
+  private object Kind extends Enumeration { val Native, Delta, Iceberg = Value }
 
-  def currentVersion(dir: String): Option[Long] =
-    if (foreign(dir)) ForeignDeltaLog.currentVersion(dir)
-    else TxLog.currentVersion(dir)
+  private def kind(dir: String): Kind.Value =
+    if (ForeignDeltaLog.isForeign(dir)) Kind.Delta
+    else if (ForeignIcebergLog.isForeign(dir)) Kind.Iceberg
+    else Kind.Native
+
+  /** Another writer owns the table (the graft sink must refuse it). */
+  def foreign(dir: String): Boolean = kind(dir) != Kind.Native
+
+  def currentVersion(dir: String): Option[Long] = kind(dir) match {
+    case Kind.Delta => ForeignDeltaLog.currentVersion(dir)
+    case Kind.Iceberg => ForeignIcebergLog.currentVersion(dir)
+    case _ => TxLog.currentVersion(dir)
+  }
 
   def commitDelta(dir: String, v: Long): (Seq[String], Seq[String]) =
-    if (foreign(dir)) ForeignDeltaLog.commitDelta(dir, v)
-    else TxLog.commitDelta(dir, v)
+    kind(dir) match {
+      case Kind.Delta => ForeignDeltaLog.commitDelta(dir, v)
+      case Kind.Iceberg => ForeignIcebergLog.commitDelta(dir, v)
+      case _ => TxLog.commitDelta(dir, v)
+    }
 
   def commitDeltasRange(dir: String, fromV: Long,
-      toV: Long): Seq[(Long, Seq[String], Boolean)] =
-    if (foreign(dir)) ForeignDeltaLog.commitDeltasRange(dir, fromV, toV)
-    else TxLog.commitDeltasRange(dir, fromV, toV)
+      toV: Long): Seq[(Long, Seq[String], Boolean)] = kind(dir) match {
+    case Kind.Delta => ForeignDeltaLog.commitDeltasRange(dir, fromV, toV)
+    case Kind.Iceberg => ForeignIcebergLog.commitDeltasRange(dir, fromV, toV)
+    case _ => TxLog.commitDeltasRange(dir, fromV, toV)
+  }
 
-  def liveRelsAt(dir: String, v: Long): Seq[String] =
-    if (foreign(dir)) ForeignDeltaLog.liveRelsAt(dir, v)
-    else TxLog.liveRelsAt(dir, v)
+  def liveRelsAt(dir: String, v: Long): Seq[String] = kind(dir) match {
+    case Kind.Delta => ForeignDeltaLog.liveRelsAt(dir, v)
+    case Kind.Iceberg => ForeignIcebergLog.liveRelsAt(dir, v)
+    case _ => TxLog.liveRelsAt(dir, v)
+  }
 
   def manifestOp(table: Path, v: Long): Option[(String, Boolean)] =
-    if (foreign(table.toString)) ForeignDeltaLog.manifestOp(table.toString, v)
-    else TxLog.manifestOp(table, v)
+    kind(table.toString) match {
+      case Kind.Delta => ForeignDeltaLog.manifestOp(table.toString, v)
+      case Kind.Iceberg => ForeignIcebergLog.manifestOp(table.toString, v)
+      case _ => TxLog.manifestOp(table, v)
+    }
 
   def manifestDvs(table: Path, v: Long): Map[String, String] =
-    if (foreign(table.toString)) ForeignDeltaLog.manifestDvs(table.toString, v)
-    else TxLog.manifestDvs(table, v)
+    kind(table.toString) match {
+      case Kind.Delta => ForeignDeltaLog.manifestDvs(table.toString, v)
+      case Kind.Iceberg => ForeignIcebergLog.manifestDvs(table.toString, v)
+      case _ => TxLog.manifestDvs(table, v)
+    }
 
   def manifestCdc(table: Path, v: Long): Seq[String] =
-    if (foreign(table.toString)) ForeignDeltaLog.manifestCdc(table.toString, v)
-    else TxLog.manifestCdc(table, v)
+    kind(table.toString) match {
+      case Kind.Delta => ForeignDeltaLog.manifestCdc(table.toString, v)
+      case Kind.Iceberg => ForeignIcebergLog.manifestCdc(table.toString, v)
+      case _ => TxLog.manifestCdc(table, v)
+    }
 
-  def partitionColumnsOf(dir: String): Seq[String] =
-    if (foreign(dir)) ForeignDeltaLog.partitionColumnsOf(dir)
-    else TxLog.partitionColumnsOf(dir)
+  def partitionColumnsOf(dir: String): Seq[String] = kind(dir) match {
+    case Kind.Delta => ForeignDeltaLog.partitionColumnsOf(dir)
+    case Kind.Iceberg => ForeignIcebergLog.partitionColumnsOf(dir)
+    case _ => TxLog.partitionColumnsOf(dir)
+  }
 
   /** Full table schema (current version). */
-  def schema(spark: SparkSession, dir: String): StructType =
-    if (foreign(dir)) ForeignDeltaLog.schema(spark, dir)
-    else TxLog.snapshot(spark, dir).schema
+  def schema(spark: SparkSession, dir: String): StructType = kind(dir) match {
+    case Kind.Delta => ForeignDeltaLog.schema(spark, dir)
+    case Kind.Iceberg => ForeignIcebergLog.schema(spark, dir)
+    case _ => TxLog.snapshot(spark, dir).schema
+  }
 
   /** Table schema AT a version (time travel presents that era's). */
   def schemaAt(spark: SparkSession, dir: String, v: Long): StructType =
-    if (foreign(dir)) ForeignDeltaLog.schemaAt(spark, dir, v)
-    else TxLog.snapshotAt(spark, dir, v).schema
+    kind(dir) match {
+      case Kind.Delta => ForeignDeltaLog.schemaAt(spark, dir, v)
+      case Kind.Iceberg => ForeignIcebergLog.schemaAt(spark, dir, v)
+      case _ => TxLog.snapshotAt(spark, dir, v).schema
+    }
+
+  /** `timestampAsOf` → graft version, per backend: the Delta mirror's
+    * commit timestamps (native + foreign Delta, versions trail TxLog
+    * by one) or the Iceberg snapshot-log. */
+  def versionAsOf(dir: String, tsMillis: Long): Long = kind(dir) match {
+    case Kind.Iceberg => ForeignIcebergLog.versionAsOf(dir, tsMillis)
+    case _ => DeltaLog.versionAsOf(dir, tsMillis) + 1L
+  }
 }

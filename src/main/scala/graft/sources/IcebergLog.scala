@@ -85,12 +85,12 @@ object IcebergLog {
     }
   }
 
-  private def readMetadata(table: Path): JsonNode =
+  private[sources] def readMetadata(table: Path): JsonNode =
     mapper.readTree(Files.readString(currentMetadataPath(table)))
 
   /** Resolve a spec path (absolute URI, absolute path, or — in
     * golden-fixture trees — table-relative) to a filesystem path. */
-  private def resolve(table: Path, p: String): Path = {
+  private[sources] def resolve(table: Path, p: String): Path = {
     if (p.startsWith("file:")) Paths.get(new java.net.URI(p))
     else if (p.startsWith("/")) Paths.get(p)
     else table.resolve(p)
@@ -178,7 +178,7 @@ object IcebergLog {
     * EQUALITY delete files (content 2, with their `equality_ids`) —
     * both applied at read by [[applyDeletes]] under the spec's
     * sequence-number rules. */
-  private def liveFilesOf(table: Path, manifestList: String): SnapshotFiles = {
+  private[sources] def liveFilesOf(table: Path, manifestList: String): SnapshotFiles = {
     // the manifest's own sequence number rides the manifest-LIST entry;
     // a null per-entry sequence_number INHERITS it (the spec's
     // inheritance rule — real writers leave same-snapshot entries null)
@@ -521,7 +521,7 @@ object IcebergLog {
   /** The current schema of a metadata JSON as a Spark StructType; None
     * when any field's type has no mapping (the read then falls back to
     * parquet inference). */
-  private def currentSchema(meta: JsonNode,
+  private[sources] def currentSchema(meta: JsonNode,
       sidOverride: Option[Int] = None): Option[StructType] = {
     val sid = sidOverride.getOrElse(
       Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0))
@@ -541,7 +541,7 @@ object IcebergLog {
   private def int2(n: JsonNode, f: String): Int =
     Option(n.get(f)).map(_.asInt()).getOrElse(0)
 
-  private def snapshotNode(meta: JsonNode, id: Long): JsonNode =
+  private[sources] def snapshotNode(meta: JsonNode, id: Long): JsonNode =
     Option(meta.get("snapshots")).flatMap(_.asScala.find(
       _.get("snapshot-id").asLong() == id)).getOrElse(
       sys.error(s"snapshot $id not found in table metadata"))
@@ -1083,7 +1083,8 @@ object IcebergLog {
   private def metadataJsonTs(table: Path, schemaHistory: Seq[StructType],
       snapshots: Seq[(Long, Long, String)], currentId: Long,
       partitionCols: Seq[String] = Seq.empty,
-      snapshotSchemaIds: Map[Long, Int] = Map.empty): String = {
+      snapshotSchemaIds: Map[Long, Int] = Map.empty,
+      ops: Map[Long, String] = Map.empty): String = {
     require(schemaHistory.nonEmpty, s"$table: no schema to write")
     val fieldIds = assignFieldIds(schemaHistory)
     val currentSid = schemaHistory.size - 1
@@ -1133,6 +1134,7 @@ object IcebergLog {
       sn.put("timestamp-ms", ts)
       sn.put("manifest-list", ml)
       sn.put("schema-id", snapshotSchemaIds.getOrElse(id, currentSid))
+      ops.get(id).foreach(op => sn.putObject("summary").put("operation", op))
     }
     val slog = root.putArray("snapshot-log")
     snapshots.foreach { case (id, ts, _) =>
@@ -1143,9 +1145,67 @@ object IcebergLog {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  /** FOREIGN-tree authoring (specs + the streaming fixture): append ONE
+    * snapshot to a STOCK Iceberg metadata tree — no graft manifests
+    * anywhere, so [[ForeignIcebergLog.isForeign]] holds. New manifests
+    * carry the added data/delete files (status ADDED, entry sequences
+    * left null — the native-writer shape, inherited from the list
+    * entry); the previous snapshot's manifest-list entries re-list with
+    * their original sequence numbers; a fresh `vN.metadata.json` +
+    * version-hint land last (readers never see a half-written
+    * snapshot). Snapshot ids double as sequence numbers (monotone from
+    * 1), per-snapshot `summary.operation` records the op, timestamps
+    * are deterministic minutes apart (timestampAsOf is testable).
+    */
+  private[graft] def appendForeignSnapshot(table: Path, schema: StructType,
+      newData: Seq[String], newDeletes: Seq[String] = Seq.empty,
+      operation: String = "append"): Long = {
+    Files.createDirectories(metadataDir(table))
+    val prior: Seq[(Long, Long, String, String)] = // (id, ts, ml, op)
+      if (!Files.exists(metadataDir(table).resolve("version-hint.text")))
+        Seq.empty
+      else Option(readMetadata(table).get("snapshots"))
+        .map(_.asScala.toSeq.map { s =>
+          (s.get("snapshot-id").asLong(),
+            Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
+            s.get("manifest-list").asText(),
+            Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
+              .map(_.asText()).getOrElse("append"))
+        }).getOrElse(Seq.empty)
+    val id = prior.map(_._1).maxOption.getOrElse(0L) + 1L
+    val prevEntries: Seq[(String, Int, Long)] =
+      prior.lastOption.map { case (_, _, ml, _) =>
+        avroRecords(resolve(table, ml)).map(m =>
+          (str(m, "manifest_path"), int(m, "content"),
+            longOpt(m, "sequence_number")))
+      }.getOrElse(Seq.empty)
+    val mData =
+      if (newData.isEmpty) None
+      else Some(writeManifest(table, f"m-$id%03d-data.avro",
+        newData.map((1, _))))
+    val mDel =
+      if (newDeletes.isEmpty) None
+      else Some(writeManifest(table, f"m-$id%03d-del.avro",
+        newDeletes.map((1, _)), fileContent = 1))
+    val entries = prevEntries.map(e => (e._1, e._2)) ++
+      mData.map((_, 0)) ++ mDel.map((_, 1))
+    val seqs = prevEntries.map(e => e._1 -> e._3).toMap ++
+      (mData.toSeq ++ mDel.toSeq).map(_ -> id)
+    val ml = writeManifestList(table, f"snap-$id%03d-list.avro", entries,
+      id, seqs)
+    val snaps = prior.map(p => (p._1, p._2, p._3)) :+
+      ((id, 1700000000000L + id * 60000L, ml))
+    val opsMap = prior.map(p => p._1 -> p._4).toMap + (id -> operation)
+    Files.writeString(metadataDir(table).resolve(s"v$id.metadata.json"),
+      metadataJsonTs(table, Seq(schema), snaps, id, ops = opsMap))
+    Files.writeString(metadataDir(table).resolve("version-hint.text"),
+      id.toString)
+    id
+  }
+
   /** Write one parquet data file from `df`; returns its table-relative
     * path. */
-  private def writeDataFile(df: DataFrame, table: Path, name: String): String = {
+  private[graft] def writeDataFile(df: DataFrame, table: Path, name: String): String = {
     val stage = Files.createTempDirectory(table, ".stage")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = listDir(stage).find(

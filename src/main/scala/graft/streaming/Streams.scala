@@ -621,6 +621,65 @@ object Streams {
       |       'snapshot' AS side
       |FROM events WHERE event_id >= 100 GROUP BY 1""".stripMargin
 
+  /** FOREIGN Iceberg tail ([[graft.sources.ForeignIcebergLog]]): the
+    * same `format("graft-txlog")` source over a STOCK Apache Iceberg
+    * tree — `metadata/` JSON + avro manifests, no graft manifests, no
+    * Delta log — i.e. a table some other Iceberg writer owns. Offsets
+    * are the table's sequence numbers; run 1 drains the two-snapshot
+    * history, a third append lands between runs and run 2 resumes from
+    * the checkpoint reading ONLY it; a merge-on-read POSITION DELETE
+    * (a new delete manifest, data files untouched) then commits, and
+    * run 3 delivers NOTHING for it — identical to the Delta-DV
+    * semantics, because the position-delete file folds into the same
+    * per-file bitmap machinery. The final snapshot read applies the
+    * deletes. Shares [[runStreamForeignDeltaOracle]]: the two foreign
+    * formats must behave identically under the same history. */
+  def runStreamForeignIceberg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergLog
+    val ev = graft.Tables.events(spark, dir)
+    val root = graft.Scratch.dir("graft_stream_ficeberg_tbl")
+    val out = graft.Scratch.dir("graft_stream_ficeberg_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_ficeberg_ckpt").toString
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 400), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))
+    val b1 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id").between(400, 699)), root, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b1))
+    def drain(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog")
+        .option("path", root.toString).load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    drain() // run 1: snapshots 1-2 as one batch
+    val b2 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") >= 700), root, "b2.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b2))
+    drain() // run 2: resumes from the checkpoint, reads ONLY snapshot 3
+    // a merge-on-read position delete hiding ids < 100 of b0
+    val doomed = spark.read.parquet(root.resolve(b0).toString)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("event_id"))
+      .filter(col("event_id") < 100)
+      .select("file_path", "pos")
+    val del = IcebergLog.writeDataFile(doomed, root, "del0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty, Seq(del),
+      operation = "delete")
+    drain() // run 3: the delete snapshot delivers nothing (DV semantics)
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("side", lit("streamed"))
+    val snap = spark.read.format("graft-txlog")
+      .option("path", root.toString).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("side", lit("snapshot"))
+    streamed.unionByName(snap)
+  }
+
   /** Streaming CHANGE DATA FEED read (`.option("readChangeFeed",
     * "true")` on the `graft-txlog` source — stock Delta's CDF-stream
     * contract): every micro-batch emits the commits' change rows
@@ -1495,6 +1554,7 @@ object Streams {
     "q_stream_exactly_once" -> runStreamExactlyOnce _,
     "q_stream_table_source" -> runStreamTableSource _,
     "q_stream_foreign_delta" -> runStreamForeignDelta _,
+    "q_stream_foreign_iceberg" -> runStreamForeignIceberg _,
     "q_stream_cdf" -> runStreamCdf _,
     "q_stream_cdf_dv" -> runStreamCdfDv _,
     "q_stream_pipeline" -> runStreamPipeline _,
@@ -1519,6 +1579,7 @@ object Streams {
     "q_stream_exactly_once" -> runStreamExactlyOnceOracle,
     "q_stream_table_source" -> runStreamTableSourceOracle,
     "q_stream_foreign_delta" -> runStreamForeignDeltaOracle,
+    "q_stream_foreign_iceberg" -> runStreamForeignDeltaOracle,
     "q_stream_cdf" -> runStreamCdfOracle,
     "q_stream_cdf_dv" -> runStreamCdfDvOracle,
     "q_stream_pipeline" -> runStreamPipelineOracle,

@@ -161,12 +161,13 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
     val dir = parameters.getOrElse("path",
       sys.error("graft-txlog sink needs .option(\"path\", <table dir>)"))
     // the sink commits _txlog manifests; a table that has ONLY a
-    // foreign _delta_log is owned by another writer — writing graft
-    // manifests beside it would fork the commit history
-    require(!graft.sources.ForeignDeltaLog.isForeign(dir),
-      s"graft-txlog sink: $dir is a foreign Delta table (a _delta_log " +
-        "with no graft manifests) — the source can TAIL it, but writes " +
-        "belong to its owning writer")
+    // foreign _delta_log (or a stock Iceberg metadata tree) is owned by
+    // another writer — writing graft manifests beside it would fork the
+    // commit history
+    require(!graft.sources.CommitLog.foreign(dir),
+      s"graft-txlog sink: $dir is a foreign table (a _delta_log or " +
+        "Iceberg metadata/ tree with no graft manifests) — the source " +
+        "can TAIL it, but writes belong to its owning writer")
     require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
       s"graft-txlog sink supports Append (commit per batch) and Complete " +
         s"(overwrite per batch), not $outputMode")
@@ -420,8 +421,9 @@ object TxLogScan {
     val byTs = ci.get("timestampasof").map { raw =>
       val ms = raw.trim.toLongOption.getOrElse(
         java.sql.Timestamp.valueOf(raw.trim).getTime)
-      // DeltaLog versions trail TxLog versions by one
-      graft.sources.DeltaLog.versionAsOf(dir, ms) + 1L
+      // backend-resolved: mirror commit timestamps (Delta paths, where
+      // DeltaLog versions trail TxLog by one) or the Iceberg snapshot-log
+      graft.sources.CommitLog.versionAsOf(dir, ms)
     }
     require(byV.isEmpty || byTs.isEmpty,
       "graft-txlog: versionAsOf and timestampAsOf are mutually exclusive")

@@ -1293,7 +1293,118 @@ class StreamingSpec extends SparkSpec {
         .start()
       q.stop()
     }
-    assert(e.getMessage != null && e.getMessage.contains("foreign Delta"),
+    assert(e.getMessage != null && e.getMessage.contains("foreign table"),
       e.getMessage)
+  }
+
+  test("foreign Iceberg tail: a stock metadata tree streams by sequence; pos-deletes + CDF + time travel") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.{ForeignIcebergLog, IcebergLog}
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_ficeberg_tail")
+    val out = Files.createTempDirectory("graft_ficeberg_out").toString
+    val ckpt = Files.createTempDirectory("graft_ficeberg_ckpt").toString
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 400), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))      // seq 1
+    val b1 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id").between(400, 699)), root, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b1))      // seq 2
+    assert(ForeignIcebergLog.isForeign(root.toString),
+      "a metadata/-only tree must classify as foreign Iceberg")
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain() // run 1: snapshots 1-2 in one batch
+    assert(s.read.parquet(out).count() == 700L)
+    val b2 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") >= 700), root, "b2.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b2))      // seq 3
+    // seq 4: a COMPACTION (replace) — rewrites carry no new rows
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty,
+      operation = "replace")
+    // seq 5: a merge-on-read POSITION DELETE hiding ids < 100 of b0
+    val doomed = s.read.parquet(root.resolve(b0).toString)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("event_id"))
+      .filter(col("event_id") < 100).select("file_path", "pos")
+    val del = IcebergLog.writeDataFile(doomed, root, "del0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty, Seq(del),
+      operation = "delete")
+    drain() // run 2: ONLY snapshot 3's adds; replace + delete deliver nothing
+    assert(s.read.parquet(out).count() == ev.count(),
+      "an append stream never re-delivers over a replace or a pos-delete")
+    // batch DSv2 read applies the position deletes as bitmaps
+    def rd = s.read.format("graft-txlog").option("path", root.toString)
+    assert(rd.load().count() == ev.count() - 100L)
+    assert(rd.load().filter(col("event_id") < 100).count() == 0L)
+    // and agrees row-for-row with the batch Iceberg reader
+    val viaIceberg = IcebergLog.snapshot(s, root.toString)
+    assert(rd.load().exceptAll(viaIceberg).isEmpty &&
+      viaIceberg.exceptAll(rd.load()).isEmpty,
+      "the DSv2 scan and IcebergLog.snapshot must agree")
+    // CDF batch read synthesizes typed deletes from the delete file
+    val feed = rd.option("readChangeFeed", "true")
+      .option("startingVersion", "5").load()
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 100L), byType.toString)
+    assert(feed.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      ev.filter(col("event_id") < 100)
+        .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0),
+      "deleted rows surface WITH their values, read from the unchanged file")
+    // time travel: versionAsOf (sequence) + timestampAsOf (snapshot-log)
+    assert(rd.option("versionAsOf", "2").load().count() == 700L)
+    assert(rd.option("versionAsOf", "3").load().count() == ev.count())
+    assert(rd.option("timestampAsOf",
+      (1700000000000L + 2L * 60000L).toString).load().count() == 700L)
+    // startingVersion replay: a fresh stream from sequence 3 delivers
+    // only that snapshot's adds
+    val out2 = Files.createTempDirectory("graft_ficeberg_out2").toString
+    val q2 = s.readStream.format("graft-txlog").option("path", root.toString)
+      .option("startingVersion", "3").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_ficeberg_ckpt2").toString)
+      .option("path", out2)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q2.awaitTermination(120000)
+    q2.exception.foreach(throw _)
+    assert(s.read.parquet(out2).count() ==
+      ev.filter(col("event_id") >= 700).count(),
+      "startingVersion=3 must replay exactly snapshot 3's adds")
+    // the graft sink refuses to write into a foreign-owned Iceberg table
+    val e = intercept[Exception] {
+      val q = s.readStream.format("rate").load()
+        .writeStream.format("graft-txlog").option("path", root.toString)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ficeberg_sink_ck").toString)
+        .start()
+      q.stop()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("foreign table"),
+      e.getMessage)
+  }
+
+  test("foreign Iceberg tail refuses equality deletes loudly (positions cannot express them)") {
+    val s = spark
+    import graft.sources.{ForeignIcebergLog, IcebergLog}
+    // the eq-delete fixture is a stock metadata/-only tree — foreign
+    val eqTree = IcebergLog.eqDeleteTable(s, "/root/testdata/sf0.001")
+    assert(ForeignIcebergLog.isForeign(eqTree))
+    val e1 = intercept[Exception] {
+      s.read.format("graft-txlog").option("path", eqTree).load().count()
+    }
+    assert(e1.getMessage != null &&
+      (e1.getMessage.contains("EQUALITY") || e1.getMessage.contains("equality")),
+      e1.getMessage)
+    // the batch Iceberg reader stays the supported path for the shape
+    assert(IcebergLog.snapshot(s, eqTree).count() > 0)
   }
 }
