@@ -311,4 +311,17 @@ private[graft] object CommitLog {
     case Kind.Iceberg => ForeignIcebergLog.versionAsOf(dir, tsMillis)
     case _ => DeltaLog.versionAsOf(dir, tsMillis) + 1L
   }
+
+  /** Stats-based whole-file skip flags for the scan's filterExpr /
+    * pushed range predicates, keyed by the backend's rel spelling:
+    * the Delta mirror's per-file stats (native tables AND foreign
+    * `_delta_log` tables — the stats ride the log either way) or the
+    * Iceberg manifests' column bounds. */
+  def pruneFlags(spark: SparkSession, dir: String,
+      preds: Seq[(String, Any, Any)]): Seq[(String, Boolean)] =
+    kind(dir) match {
+      case Kind.Iceberg => IcebergLog.pruneFlags(dir, preds)
+      case _ => DeltaLog.pruneFlags(spark, dir, preds)._1
+        .map { case (f, keep) => f.path -> keep }
+    }
 }

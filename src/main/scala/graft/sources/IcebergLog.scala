@@ -430,6 +430,61 @@ object IcebergLog {
     */
   @volatile private[graft] var lastSkipScan: (Long, Long) = (0L, 0L)
 
+  /** Prunable columns of the current schema: name → (field id, Spark
+    * type). uuid maps to StringType for READING, but its bounds are 16
+    * raw bytes — lexicographic comparison against uuid text would
+    * prune unsoundly, so uuid columns never prune. */
+  private def boundsFieldIds(dir: String,
+      meta: JsonNode): Map[String, (Int, DataType)] = {
+    val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
+    val schemaNode = Option(meta.get("schemas"))
+      .flatMap(_.asScala.find(s => int2(s, "schema-id") == sid))
+      .getOrElse(sys.error(s"$dir: no schema $sid"))
+    schemaNode.get("fields").asScala.flatMap { f =>
+      val t = f.get("type")
+      if (t.isTextual && t.asText() == "uuid") None
+      else sparkType(t).map(dt =>
+        f.get("name").asText() -> (f.get("id").asInt(), dt))
+    }.toMap
+  }
+
+  /** A file survives unless its manifest bounds PROVE the range
+    * disjoint — an incomparable (bound, predicate) pair proves
+    * nothing, an unknown column never prunes. */
+  private def fileSurvives(f: IceFile, preds: Seq[(String, Any, Any)],
+      fieldIds: Map[String, (Int, DataType)]): Boolean =
+    preds.forall { case (c, lo, hi) =>
+      fieldIds.get(c) match {
+        case None => true
+        case Some((id, dt)) =>
+          val lb = f.lowerBounds.get(id).flatMap(decodeBound(_, dt))
+          val ub = f.upperBounds.get(id).flatMap(decodeBound(_, dt))
+          val aboveHi = hi != null &&
+            lb.exists(l => cmpBound(l, hi, dt).exists(_ > 0))
+          val belowLo = lo != null &&
+            ub.exists(u => cmpBound(u, lo, dt).exists(_ < 0))
+          !(aboveHi || belowLo)
+      }
+    }
+
+  /** Whole-file skip flags against the CURRENT snapshot's manifest
+    * bounds, keyed by resolved absolute path (the spelling
+    * [[ForeignIcebergLog]] rels use) — the streaming scan's filterExpr
+    * pruning over foreign Iceberg trees; same survive-unless-provably-
+    * disjoint rule as [[skipScan]]. */
+  private[graft] def pruneFlags(dir: String,
+      preds: Seq[(String, Any, Any)]): Seq[(String, Boolean)] = {
+    val table = Paths.get(dir)
+    val meta = readMetadata(table)
+    val cur = Option(meta.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(sys.error(s"$dir: no current snapshot"))
+    val files = liveFilesOf(table,
+      snapshotNode(meta, cur).get("manifest-list").asText()).data
+    val fieldIds = boundsFieldIds(dir, meta)
+    files.map(f => f.path.toAbsolutePath.normalize().toString ->
+      fileSurvives(f, preds, fieldIds))
+  }
+
   def skipScan(spark: SparkSession, dir: String,
       preds: Seq[(String, Any, Any)]): DataFrame = {
     val table = Paths.get(dir)
@@ -439,37 +494,8 @@ object IcebergLog {
     val snapFiles = liveFilesOf(table,
       snapshotNode(meta, cur).get("manifest-list").asText())
     val files = snapFiles.data
-    val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
-    val schemaNode = Option(meta.get("schemas"))
-      .flatMap(_.asScala.find(s => int2(s, "schema-id") == sid))
-      .getOrElse(sys.error(s"$dir: no schema $sid"))
-    val fieldIds: Map[String, (Int, DataType)] =
-      schemaNode.get("fields").asScala.flatMap { f =>
-        val t = f.get("type")
-        // uuid maps to StringType for READING, but its bounds are 16
-        // raw bytes — lexicographic comparison against uuid text would
-        // prune unsoundly, so uuid columns never prune
-        if (t.isTextual && t.asText() == "uuid") None
-        else sparkType(t).map(dt =>
-          f.get("name").asText() -> (f.get("id").asInt(), dt))
-      }.toMap
-    val surviving = files.filter { f =>
-      preds.forall { case (c, lo, hi) =>
-        fieldIds.get(c) match {
-          case None => true // unknown column: never prune on it
-          case Some((id, dt)) =>
-            val lb = f.lowerBounds.get(id).flatMap(decodeBound(_, dt))
-            val ub = f.upperBounds.get(id).flatMap(decodeBound(_, dt))
-            // intersect? the file survives unless PROVABLY disjoint —
-            // an incomparable (bound, predicate) pair proves nothing
-            val aboveHi = hi != null &&
-              lb.exists(l => cmpBound(l, hi, dt).exists(_ > 0))
-            val belowLo = lo != null &&
-              ub.exists(u => cmpBound(u, lo, dt).exists(_ < 0))
-            !(aboveHi || belowLo)
-        }
-      }
-    }
+    val fieldIds = boundsFieldIds(dir, meta)
+    val surviving = files.filter(fileSurvives(_, preds, fieldIds))
     lastSkipScan = (files.size.toLong, surviving.size.toLong)
     val schemaOpt = currentSchema(meta)
     if (surviving.isEmpty) {

@@ -509,9 +509,9 @@ class TxLogScan(dir: String, fullSchema: StructType,
     val preds = TxLogScan.rangeTriples(allFilters)
     if (preds.isEmpty) Set.empty
     else scala.util.Try(
-      graft.sources.DeltaLog.pruneFlags(
+      graft.sources.CommitLog.pruneFlags(
         SparkSession.getActiveSession.get, dir, preds)
-        ._1.collect { case (f, false) => f.path }.toSet)
+        .collect { case (f, false) => f }.toSet)
       .getOrElse(Set.empty)
   }
 

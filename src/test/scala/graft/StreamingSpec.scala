@@ -1392,6 +1392,34 @@ class StreamingSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("foreign Iceberg tail: filterExpr stats-prunes whole files from the manifest bounds") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    // the ranged fixture: 8 band files whose event_id bounds ride the
+    // manifest entries, in a stock metadata-only tree — foreign
+    val tbl = IcebergLog.rangedTable(s, "/root/testdata/sf0.001")
+    graft.streaming.TxLogScan.lastStreamPrune = None
+    val out = Files.createTempDirectory("graft_ficeberg_prune_out").toString
+    val q = s.readStream.format("graft-txlog").option("path", tbl)
+      .option("filterExpr", "event_id between 100 and 199").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_ficeberg_prune_ck").toString)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    // rows: exactly the filtered band (residual filter still applies)
+    assert(s.read.parquet(out).filter(col("event_id").between(100, 199))
+      .count() == ev.filter(col("event_id").between(100, 199)).count())
+    val (cand, kept) = graft.streaming.TxLogScan.lastStreamPrune
+      .getOrElse(fail("no prune tally — Iceberg bounds never consulted"))
+    assert(kept < cand,
+      s"manifest bounds must stats-prune whole files, got $kept/$cand")
+  }
+
   test("foreign Iceberg tail refuses equality deletes loudly (positions cannot express them)") {
     val s = spark
     import graft.sources.{ForeignIcebergLog, IcebergLog}
