@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** FOREIGN-Delta commit history: the same primitives the DSv2 source
   * consumes from `_txlog` manifests ([[TxLog.currentVersion]],
@@ -195,18 +195,74 @@ object ForeignDeltaLog {
       .getOrElse(Seq.empty)
 
   /** Table schema AT a version, from the last metaData at or below it
-    * (schema evolution reads each era's own columns). Refuses
-    * column-mapped tables: the shared scan resolves parquet by LOGICAL
-    * names; mapped physical names need [[DeltaLog.snapshot]]'s batch
-    * path. */
+    * (schema evolution reads each era's own columns) — LOGICAL names;
+    * mode-"name" mapped tables stream through the [[fileFieldRename]]
+    * translation below. Mode "id" refuses (field-id resolution needs
+    * the batch path); mapped PARTITIONED tables refuse (directory
+    * segments carry physical names the scan's hive parsing reads as
+    * logical). */
   def schemaAt(spark: SparkSession, dir: String, v: Long): StructType = {
-    val (schemaJson, _, cfg) = metaAt(dir, v).getOrElse(
+    val (schemaJson, pcols, cfg) = metaAt(dir, v).getOrElse(
       sys.error(s"$dir: no metaData action in the Delta log"))
-    cfg.get("delta.columnMapping.mode").filter(_ != "none").foreach(m =>
-      sys.error(s"$dir: columnMapping.mode=$m — the graft-txlog scan " +
-        "reads parquet by logical column names; read column-mapped " +
-        "foreign tables through DeltaLog.snapshot instead"))
+    cfg.get("delta.columnMapping.mode").filter(_ != "none").foreach { m =>
+      if (m != "name")
+        sys.error(s"$dir: columnMapping.mode=$m — the graft-txlog scan " +
+          "streams mode 'name' only; read id-mode tables through " +
+          "DeltaLog.snapshot instead")
+      if (pcols.nonEmpty)
+        sys.error(s"$dir: column-mapped PARTITIONED foreign tables do " +
+          "not stream (physical-named directory segments); read through " +
+          "DeltaLog.snapshot instead")
+    }
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+
+  private val PhysKey = "delta.columnMapping.physicalName"
+
+  private def physType(req: DataType, logical: DataType): DataType =
+    (req, logical) match {
+      case (rs: StructType, ls: StructType) =>
+        val byName = ls.fields.map(f => f.name -> f).toMap
+        StructType(rs.fields.map(f =>
+          byName.get(f.name).map(physField(f, _)).getOrElse(f)))
+      case (org.apache.spark.sql.types.ArrayType(re, n),
+            org.apache.spark.sql.types.ArrayType(le, _)) =>
+        org.apache.spark.sql.types.ArrayType(physType(re, le), n)
+      case (org.apache.spark.sql.types.MapType(rk, rv, n),
+            org.apache.spark.sql.types.MapType(lk, lv, _)) =>
+        org.apache.spark.sql.types.MapType(
+          physType(rk, lk), physType(rv, lv), n)
+      case _ => req
+    }
+
+  private def physField(req: StructField,
+      logical: StructField): StructField = {
+    val name =
+      if (logical.metadata.contains(PhysKey))
+        logical.metadata.getString(PhysKey)
+      else logical.name
+    StructField(name, physType(req.dataType, logical.dataType), req.nullable)
+  }
+
+  /** Mode-"name" FILE-schema translator: rename each requested field
+    * (recursively, nested structs included) to its
+    * `delta.columnMapping.physicalName`, so the shared parquet reader
+    * factory resolves the physically-named file columns while the scan
+    * keeps presenting the logical shape — positions and types are
+    * untouched, so the produced rows are positionally identical to the
+    * logical read schema. Fields the table schema does not know
+    * (synthetic scan columns like the row-index temporary or CDF
+    * `_change_type` in cdc files) pass through unchanged. None for
+    * unmapped tables. */
+  def fileFieldRename(dir: String): Option[StructType => StructType] = {
+    val cur = currentVersion(dir).getOrElse(return None)
+    val (schemaJson, _, cfg) = metaAt(dir, cur).getOrElse(return None)
+    cfg.get("delta.columnMapping.mode").filter(_ == "name").map { _ =>
+      val logical = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val top = logical.fields.map(f => f.name -> f).toMap
+      (s: StructType) => StructType(s.fields.map(f =>
+        top.get(f.name).map(physField(f, _)).getOrElse(f)))
+    }
   }
 
   def schema(spark: SparkSession, dir: String): StructType = {
@@ -323,5 +379,14 @@ private[graft] object CommitLog {
       case Kind.Iceberg => IcebergLog.pruneFlags(dir, preds)
       case _ => DeltaLog.pruneFlags(spark, dir, preds)._1
         .map { case (f, keep) => f.path -> keep }
+    }
+
+  /** FILE-schema translation for the parquet reader factory — defined
+    * only for mode-"name" column-mapped foreign Delta tables (see
+    * [[ForeignDeltaLog.fileFieldRename]]). */
+  def fileFieldRename(dir: String): Option[StructType => StructType] =
+    kind(dir) match {
+      case Kind.Delta => ForeignDeltaLog.fileFieldRename(dir)
+      case _ => None
     }
 }

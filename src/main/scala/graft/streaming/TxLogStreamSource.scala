@@ -878,12 +878,26 @@ class TxLogScan(dir: String, fullSchema: StructType,
       readDataSchema.length)
   }
 
-  private def buildParquetFactory(requested: StructType,
+  /** Mode-"name" COLUMN-MAPPED foreign tables: the files carry physical
+    * (`col-<uuid>`) column names, so the factory's requested/baseline
+    * schemas translate field-by-field to those names — positions and
+    * types are untouched, making the produced rows positionally
+    * identical to the logical `readSchema()` downstream consumes (DSv2
+    * binds columns by position, never by name). Filters reference
+    * logical names and the builder keeps EVERY filter as a residual, so
+    * mapped tables simply skip the parquet row-group-pruning hint. */
+  private lazy val toFileSchema: StructType => StructType =
+    graft.sources.CommitLog.fileFieldRename(dir).getOrElse(identity)
+  private lazy val fileRenamed: Boolean =
+    graft.sources.CommitLog.fileFieldRename(dir).isDefined
+
+  private def buildParquetFactory(requested0: StructType,
       vectorized: Boolean = true,
       partSchema: StructType = null,
       baseline: StructType = null): ParquetPartitionReaderFactory = {
+    val requested = toFileSchema(requested0)
     val effPart = Option(partSchema).getOrElse(readPartSchema)
-    val effBase = Option(baseline).getOrElse(dataSchema)
+    val effBase = toFileSchema(Option(baseline).getOrElse(dataSchema))
     val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
     val sqlConf =
       if (vectorized) spark.sessionState.conf
@@ -915,7 +929,8 @@ class TxLogScan(dir: String, fullSchema: StructType,
       sqlConf.parquetInferTimestampNTZEnabled)
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     ParquetPartitionReaderFactory(sqlConf, bc, effBase, requested,
-      effPart, dataFilters, None, new ParquetOptions(options, sqlConf))
+      effPart, if (fileRenamed) Array.empty else dataFilters, None,
+      new ParquetOptions(options, sqlConf))
   }
 }
 

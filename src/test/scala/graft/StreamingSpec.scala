@@ -1297,6 +1297,71 @@ class StreamingSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("foreign Delta tail streams COLUMN-MAPPED (name-mode) tables under logical names") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_fdelta_cmap")
+    val out = Files.createTempDirectory("graft_fdelta_cmap_out").toString
+    val ckpt = Files.createTempDirectory("graft_fdelta_cmap_ckpt").toString
+    val schema = ev.schema.json
+    def land(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_fdelta_cmap_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(tmp)
+      val part = try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+      Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(land(ev.filter(col("event_id") < 400), "b0")), Seq.empty, schema)
+    // RENAME upgrades the table to column mapping: physical names freeze
+    // at the current names, the files keep their original columns
+    DeltaLog.renameColumn(s, root.toString, "value", "amount")
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain()
+    val streamed = s.read.parquet(out)
+    assert(streamed.columns.contains("amount") &&
+      !streamed.columns.contains("value"),
+      "the stream must present the LOGICAL (renamed) schema")
+    assert(streamed.agg(round(sum(col("amount")), 2)).collect()(0).getDouble(0)
+      == ev.filter(col("event_id") < 400)
+        .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0),
+      "physical file columns must resolve under their logical names")
+    // a post-upgrade commit lands; the resumed stream reads only it
+    DeltaLog.mirrorCommit(root, 3L,
+      Seq(land(ev.filter(col("event_id") >= 400), "b1")), Seq.empty,
+      DeltaLog.currentSchemaString(root).get)
+    drain()
+    assert(s.read.parquet(out).count() == ev.count())
+    // batch DSv2 read agrees value-exactly with the mapping-aware replay
+    val dsv2 = s.read.format("graft-txlog").option("path", root.toString).load()
+    assert(dsv2.agg(round(sum(col("amount")), 2)).collect()(0).getDouble(0)
+      == ev.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    val viaLog = DeltaLog.snapshot(s, root.toString)
+    assert(dsv2.exceptAll(viaLog).isEmpty && viaLog.exceptAll(dsv2).isEmpty,
+      "the DSv2 scan and DeltaLog.snapshot must agree on a mapped table")
+    // time travel BEFORE the upgrade presents that era's logical name
+    val pre = s.read.format("graft-txlog").option("path", root.toString)
+      .option("versionAsOf", "1").load()
+    assert(pre.columns.contains("value") && !pre.columns.contains("amount"))
+    assert(pre.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+      == ev.filter(col("event_id") < 400)
+        .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+  }
+
   test("foreign Iceberg tail: a stock metadata tree streams by sequence; pos-deletes + CDF + time travel") {
     val s = spark
     import org.apache.spark.sql.functions._
