@@ -23,9 +23,13 @@ import org.apache.spark.sql.types.StructType
   * stable across snapshot expiry, unlike list indexes; `snapshot-log`
   * supplies the main-line order, branch/WAP snapshots never enter).
   * v1 trees (no sequence numbers — all 0) fall back to 1-based
-  * main-line ordinals. A sequence number with no main-line snapshot
-  * (consumed by a branch) is an EMPTY version: the stream delivers
-  * nothing for it.
+  * main-line ordinals; NOTE that ordinal offsets are stable only while
+  * the owner expires no snapshot (expiry renumbers the list — resume a
+  * v1-tree stream from a fresh checkpoint after an expiry, exactly as
+  * a vacuumed-prefix Delta stream restarts). Sequence numbers, the v2
+  * path every current writer produces, have no such caveat. A sequence
+  * number with no main-line snapshot (consumed by a branch) is an
+  * EMPTY version: the stream delivers nothing for it.
   *
   * Derivations:
   *  - per-version adds/removes by diffing consecutive snapshots' live
@@ -210,7 +214,11 @@ object ForeignIcebergLog {
         val seqOf: Map[String, Long] =
           sf.data.map(f => canon(table, f.path.toString) -> f.seq).toMap
         sf.posDeletes.flatMap { case (p, dseq) =>
-          spark.read.parquet(p.toString).select("file_path", "pos")
+          // pos casts to long defensively — the spec says int64, but an
+          // int32-writing engine must not crash the fold
+          spark.read.parquet(p.toString)
+            .select(org.apache.spark.sql.functions.col("file_path"),
+              org.apache.spark.sql.functions.col("pos").cast("long"))
             .collect().iterator
             .map(r => (canon(table, r.getString(0)), r.getLong(1), dseq))
         }
@@ -245,6 +253,12 @@ object ForeignIcebergLog {
     * [[schema]]); the scan reads them as ordinary data columns. */
   def partitionColumnsOf(dir: String): Seq[String] = Seq.empty
 
+  /** Identity-partition probe results, cached per metadata file (one
+    * footer read per metadata VERSION, as advertised — not per
+    * schema() call, which planning invokes repeatedly). */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
   private def schemaFor(spark: SparkSession, dir: String,
       sid: Option[Int]): StructType = {
     val table = Paths.get(dir)
@@ -253,23 +267,27 @@ object ForeignIcebergLog {
       sys.error(s"$dir: the Iceberg schema carries a type the engine " +
         "does not map — refusing to infer"))
     // identity-partition probe: stream only when data files CARRY the
-    // partition columns (one footer read, once per metadata version)
-    val line = mainLine(dir)
-    line.lastOption.foreach { case (_, snap) =>
-      val sf = liveAt(dir, snap)
-      val pKeys = sf.data.flatMap(_.partition.keys).distinct
-      if (pKeys.nonEmpty && sf.data.nonEmpty) {
-        val inFile = spark.read.parquet(sf.data.head.path.toString)
-          .schema.fieldNames.toSet
-        val missing = pKeys.filterNot(inFile)
-        if (missing.nonEmpty)
-          sys.error(s"$dir: identity-partitioned Iceberg tree whose " +
-            s"data files do not carry ${missing.mkString(", ")} in-file " +
-            "(hive-style layout) — the streaming scan reads file " +
-            "columns only; read through IcebergLog.snapshot (manifest " +
-            "partition attach)")
+    // partition columns (one footer read, cached per metadata version)
+    val metaPath = IcebergLog.currentMetadataPath(table)
+      .toAbsolutePath.toString
+    val missing = probeCache.computeIfAbsent(metaPath, { _ =>
+      mainLine(dir).lastOption.flatMap { case (_, snap) =>
+        val sf = liveAt(dir, snap)
+        val pKeys = sf.data.flatMap(_.partition.keys).distinct
+        if (pKeys.isEmpty || sf.data.isEmpty) None
+        else {
+          val inFile = spark.read.parquet(sf.data.head.path.toString)
+            .schema.fieldNames.toSet
+          Some(pKeys.filterNot(inFile)).filter(_.nonEmpty)
+            .map(_.mkString(", "))
+        }
       }
-    }
+    })
+    missing.foreach(m =>
+      sys.error(s"$dir: identity-partitioned Iceberg tree whose " +
+        s"data files do not carry $m in-file (hive-style layout) — the " +
+        "streaming scan reads file columns only; read through " +
+        "IcebergLog.snapshot (manifest partition attach)"))
     schema
   }
 

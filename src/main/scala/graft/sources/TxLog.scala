@@ -1816,10 +1816,20 @@ object TxLog {
     * source rows sharing a key would both land in the appended batch
     * (or replace one target row twice) — fail instead of silently
     * double-writing. One aggregation over the source — cheap next to
-    * the joins the merge already runs (the source is a CDC batch). */
+    * the joins the merge already runs (the source is a CDC batch).
+    * NULL-keyed rows are exempt: under the merge's `===` condition a
+    * null key can never match ANY target row (so it can never
+    * multiple-match — stock Delta accepts them too; they simply route
+    * through the not-matched family). Strictly, stock Delta also
+    * accepts duplicate NON-null keys that happen to match no target
+    * row; this engine refuses those up-front — a double-keyed CDC
+    * batch is a pipeline bug worth failing loudly on, and the eager
+    * check is what keeps the merge itself a single pass. */
   private def requireUniqueSourceKeys(source: DataFrame, keys: Seq[String],
       what: String): Unit = {
-    val dup = source.groupBy(keys.map(col): _*)
+    val dup = source
+      .filter(keys.map(k => col(k).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .limit(1).collect()
     if (dup.nonEmpty)
@@ -1828,6 +1838,27 @@ object TxLog {
           .mkString(", ") + ") — stock Delta MERGE fails on multiple " +
         "matches; aggregate or dedupe the source first")
   }
+
+  /** Null-fill TARGET-only columns on a source-shaped insert frame —
+    * stock MERGE's INSERT contract (columns the source does not carry
+    * become null, typed by the table). Source-only columns pass
+    * through untouched (they widen the table exactly as a plain
+    * append would). */
+  private def fillToTarget(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame =
+    target.fields.filterNot(f => df.columns.contains(f.name))
+      .foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+
+  /** [[fillToTarget]] against the table's CURRENT mirrored schema — for
+    * the degenerate insert-only appends, where a narrow source batch
+    * must not REGRESS the mirrored schemaString (metaData re-emission
+    * follows the committed batch's shape). */
+  private def fillToTableSchema(dir: String, df: DataFrame): DataFrame =
+    DeltaLog.currentSchemaString(Paths.get(dir))
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .map(fillToTarget(df, _)).getOrElse(df)
 
   /** Split + validate a clause list into its three families — matched
     * (UPDATE/DELETE), not-matched (INSERT), not-matched-BY-SOURCE
@@ -2050,8 +2081,10 @@ object TxLog {
             .withColumn("_change_type", lit("update_postimage")))
       }
       val ins = insCond.map(ic =>
-        source.alias("s").filter(ic)
-          .join(df.select(keys.map(col): _*), keys, "left_anti")
+        // a partial-width source null-fills target-only columns, same
+        // as the rewrite closure's insert union
+        fillToTarget(source.alias("s").filter(ic)
+          .join(df.select(keys.map(col): _*), keys, "left_anti"), df.schema)
           .select(df.columns.toSeq.map(col): _*)
           .withColumn("_change_type", lit("insert")))
       (del.toSeq ++ upd.toSeq ++ bysDel.toSeq ++ bysUpd.toSeq ++ ins.toSeq)
@@ -2063,7 +2096,7 @@ object TxLog {
       insCond match {
         case None => res
         case Some(ic) =>
-          val rows = source.alias("s").filter(ic)
+          val rows = fillToTableSchema(dir, source.alias("s").filter(ic))
           if (rows.isEmpty) res
           else {
             val partCols = readManifest(table, res.version).headOption
@@ -2149,7 +2182,8 @@ object TxLog {
     val partCols = prev.headOption.map(pathPartCols).getOrElse(Seq.empty)
     if (candidates.isEmpty) {
       // no live file can hold any source key: conditional pure insert
-      val rows = insCond.map(ic => source.alias("s").filter(ic))
+      val rows = insCond.map(ic =>
+        fillToTableSchema(dir, source.alias("s").filter(ic)))
       return rows match {
         case Some(r) if !r.isEmpty =>
           RewriteResult(commitAppend(r, dir, partCols), 0L,
@@ -2208,11 +2242,14 @@ object TxLog {
         .select(visible.schema.fields.toSeq.map(f =>
           cascadeValue(f, bySource, "__bidx").as(f.name)): _*))
     // a source key in matchedKeys matched SOME visible row (unique
-    // source keys make the anti-join exact); the rest are inserts
+    // source keys make the anti-join exact); the rest are inserts — a
+    // partial-width source null-fills target-only columns (stock
+    // INSERT semantics, matching the copy-on-write twin)
     val matchedKeys = visJoined
       .select(keys.map(k => col(s"t.$k").as(k)): _*).dropDuplicates(keys)
     val insRows = insCond.map(ic =>
-      source.alias("s").filter(ic).join(matchedKeys, keys, "left_anti")
+      fillToTarget(source.alias("s").filter(ic)
+        .join(matchedKeys, keys, "left_anti"), visible.schema)
         .select(visible.columns.toSeq.map(col): _*))
     val batch = (updatedNew.toSeq ++ bysUpdNew.toSeq ++ insRows.toSeq)
       .reduceOption(_.unionByName(_))
@@ -2307,7 +2344,8 @@ object TxLog {
       }
     val candidates = prev.filterNot(skipped)
     val partCols = prev.headOption.map(pathPartCols).getOrElse(Seq.empty)
-    val eligible = source.alias("s").filter(insCond)
+    val eligible = fillToTableSchema(dir,
+      source.alias("s").filter(insCond))
     val rows =
       if (candidates.isEmpty) eligible
       else eligible.join(

@@ -467,6 +467,16 @@ class TxLogScan(dir: String, fullSchema: StructType,
       "bound the feed with startingVersion instead")
   // appended (non-file) columns: real partition cols + CDF pseudo-cols
   private val partCols = CommitLog.partitionColumnsOf(dir)
+  // graft-written change-data files are FLAT (partition columns ride
+  // in-file as data); stock Delta writers hive-partition _change_data,
+  // so a foreign partitioned table's cdc files would read the partition
+  // columns as null — refuse instead of silently nulling them
+  require(!cdf || partCols.isEmpty ||
+      !graft.sources.ForeignDeltaLog.isForeign(dir),
+    s"graft-txlog: CDF reads of a PARTITIONED foreign Delta table are " +
+      "not supported (stock writers hive-partition _change_data, so the " +
+      "cdc files do not carry the partition columns in-file); read the " +
+      "feed through DeltaLog.tableChanges")
   private val appendedNames: Set[String] =
     (partCols ++ (if (cdf) TxLogScan.CdfFields.map(_.name) else Seq.empty)).toSet
   // full FILE schema (the parquet resolution baseline) vs the PRUNED
@@ -751,26 +761,35 @@ class TxLogScan(dir: String, fullSchema: StructType,
     val plain = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
     val plainType = scala.collection.mutable.Map.empty[Long, String]
     val synthetic = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    // the DV map is folded ONCE per version, carried iteration-to-
+    // iteration — the foreign backends derive manifestDvs(v) by an
+    // O(v) replay, so re-deriving both endpoints per version would
+    // make a long CDF resume O(range × v)
+    val start = math.max(1L, fromV)
+    var dvPrev: Map[String, String] =
+      if (start <= 1) Map.empty else CommitLog.manifestDvs(table, start - 1)
     CommitLog.commitDeltasRange(dir, fromV, toV).foreach {
       case (v, added, removedAny) =>
         val (op, dataChange) =
           CommitLog.manifestOp(table, v).getOrElse(("WRITE", true))
-        val dvPrev = if (v <= 1) Map.empty[String, String]
-          else CommitLog.manifestDvs(table, v - 1)
         val dvNow = CommitLog.manifestDvs(table, v)
+        val cdc = CommitLog.manifestCdc(table, v)
         if (!dataChange) () // OPTIMIZE/ZORDER: rows already delivered
         else if (op == "MERGE") {
-          val cdc = CommitLog.manifestCdc(table, v)
-          if (cdc.nonEmpty)
+          // a MERGE is a change commit (insert-only merges degenerate
+          // to plain appends and never carry the MERGE op) — with
+          // skipChangeCommits the whole version delivers nothing
+          if (skipChangeCommits) ()
+          else if (cdc.nonEmpty)
             synthetic ++= cdc.map(rel => CdfCdcPartition(mkCdcFile(v, rel)))
-          else if (!skipChangeCommits)
+          else
             sys.error(s"graft-txlog: version $v of $dir is a MERGE " +
               "without change-data files — its appended batch mixes " +
               "update_postimage and insert rows, which the DV diff " +
               "cannot attribute; enable delta.enableChangeDataFeed " +
               "before merging, or set skipChangeCommits")
         }
-        else if (removedAny && CommitLog.manifestCdc(table, v).nonEmpty)
+        else if (removedAny && cdc.nonEmpty) {
           // removedAny FIRST (matching TxLog.changeFeed's ordering): a
           // copy-on-write rewrite whose removed candidates carried DVs
           // also changes the manifest DV map (commitRewrite drops their
@@ -780,9 +799,11 @@ class TxLogScan(dir: String, fullSchema: StructType,
           // per-row-typed change-data files: read those (the added
           // batch mixes survivors with new row versions, so it can
           // never feed directly); cdc-less rewrites keep the classify
-          // contract below.
-          synthetic ++= CommitLog.manifestCdc(table, v).map(rel =>
-            CdfCdcPartition(mkCdcFile(v, rel)))
+          // contract below. A cdc-carrying rewrite IS a change commit —
+          // skipChangeCommits skips it entirely, like every other shape.
+          if (!skipChangeCommits)
+            synthetic ++= cdc.map(rel => CdfCdcPartition(mkCdcFile(v, rel)))
+        }
         else if (!removedAny && dvNow != dvPrev) {
           // merge-on-read DELETE/UPDATE: a change commit — with
           // skipChangeCommits the whole version delivers nothing (the
@@ -814,6 +835,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
           val cls = classify(v, added, removedAny, skipChangeCommits)
           if (cls.nonEmpty) { plain += ((v, cls)); plainType(v) = "insert" }
         }
+        dvPrev = dvNow
     }
     cdfSynthetic = synthetic.nonEmpty
     packPartitions(pruneRels(plain.toSeq.filter(_._2.nonEmpty)),

@@ -1297,6 +1297,68 @@ class StreamingSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("skipChangeCommits skips copy-on-write change commits too (cdc-backed rewrites and MERGEs)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    import graft.sources.{TxLog => TL}
+    val t = Files.createTempDirectory("graft_skipcow").toString
+    TL.commitAppend(ev.filter(col("event_id") < 300), t)             // v1
+    TL.setTableProperties(s, t,
+      Map("delta.enableChangeDataFeed" -> "true"))                   // v2
+    // v3: a copy-on-write DELETE — a cdc-carrying change commit
+    TL.deleteWhere(s, t, col("event_id") < 50,
+      Seq(("event_id", null, java.lang.Long.valueOf(50L))))
+    TL.commitAppend(ev.filter(col("event_id").between(300, 399)), t) // v4
+    def rd = s.read.format("graft-txlog").option("path", t)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+    // without the option: the delete rows surface typed
+    val full = rd.load().groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.getOrElse("delete", 0L) == 50L, full.toString)
+    // with it: the CoW change commit delivers NOTHING — same contract
+    // as the merge-on-read and MERGE shapes
+    val skipped = rd.option("skipChangeCommits", "true").load()
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skipped == Map("insert" -> 400L),
+      s"a cdc-backed rewrite must be skipped entirely: $skipped")
+  }
+
+  test("CDF reads of a PARTITIONED foreign Delta table refuse (cdc files lack partition columns)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_fdelta_pcdf")
+    // hive-layout foreign table: bucket=<b>/f.parquet per band
+    import scala.jdk.CollectionConverters._
+    val rels = (0 to 1).map { b =>
+      val tmp = Files.createTempDirectory(s"graft_fdelta_pcdf_$b")
+      ev.filter(pmod(col("event_id"), lit(2)) === b).drop("bucket")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val part = try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+      Files.createDirectories(root.resolve(s"bucket=$b"))
+      Files.move(part, root.resolve(s"bucket=$b/f$b.parquet"))
+      s"bucket=$b/f$b.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 1L, rels, Seq.empty,
+      ev.withColumn("bucket", lit(0L)).schema.json)
+    // plain foreign streaming read of the partitioned table works
+    assert(s.read.format("graft-txlog").option("path", root.toString)
+      .load().count() == ev.count())
+    // the CDF read refuses loudly instead of nulling partition columns
+    val e = intercept[Exception] {
+      s.read.format("graft-txlog").option("path", root.toString)
+        .option("readChangeFeed", "true").load().count()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("PARTITIONED foreign Delta"), e.getMessage)
+  }
+
   test("foreign Delta tail streams COLUMN-MAPPED (name-mode) tables under logical names") {
     val s = spark
     import org.apache.spark.sql.functions._

@@ -1751,6 +1751,82 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("unreachable"), e.getMessage)
   }
 
+  test("clause MERGE accepts a PARTIAL-WIDTH source: inserts null-fill target-only columns, CDF included") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.{MatchedUpdate, NotMatchedInsert}
+    val ev = events
+    // source carries ONLY (event_id, value) — the CDC-feed shape
+    val source = ev.filter(col("event_id") <= 300)
+      .select(col("event_id"), (col("value") * 2).as("value"))
+    val clauses = Seq(
+      MatchedUpdate(Map("value" -> col("s.value"))),
+      NotMatchedInsert(Some(col("s.event_id") > 100)))
+    def build(mor: Boolean): String = {
+      val t = freshTable()
+      TxLog.commitAppend(ev.filter(col("event_id") > 200)
+        .repartitionByRange(4, col("event_id")), t)
+      TxLog.setTableProperties(s, t, Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+      if (mor) TxLog.mergeIntoDvClauses(s, t, source, Seq("event_id"), clauses)
+      else TxLog.mergeIntoClauses(s, t, source, Seq("event_id"), clauses)
+      t
+    }
+    val tCow = build(mor = false)
+    val tMor = build(mor = true)
+    val a = TxLog.snapshot(s, tCow); val b = TxLog.snapshot(s, tMor)
+    // inserted rows (101..200): value doubled, every other column null
+    Seq(a, b).foreach { snap =>
+      val ins = snap.filter(col("event_id").between(101, 200))
+      assert(ins.count() == 100L)
+      assert(ins.filter(col("ts").isNotNull || col("user_id").isNotNull)
+        .count() == 0, "target-only columns must null-fill on insert")
+      // updated rows (201..300) keep their full width
+      assert(snap.filter(col("event_id").between(201, 300) &&
+        col("ts").isNull).count() == 0)
+    }
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "the families must agree on partial-width sources")
+    // the typed feed carries the inserts too (this crashed before the
+    // fix: the cdc insert branch selected unresolvable target columns)
+    def feed(t: String) = TxLog.changeFeed(s, t, 2L, 3L)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val f = feed(tCow)
+    assert(f == feed(tMor) && f("insert") == 100L, f.toString)
+    // schema must NOT regress on the pure-insert degenerate either
+    val t3 = freshTable()
+    TxLog.commitAppend(ev.filter(col("event_id") > 500), t3)
+    TxLog.mergeIntoClauses(s, t3,
+      source.filter(col("event_id") <= 200), Seq("event_id"),
+      Seq(NotMatchedInsert(None)))
+    assert(TxLog.snapshot(s, t3).columns.toSet == ev.columns.toSet,
+      "a narrow insert-only merge must not drop table columns")
+  }
+
+  test("merge APIs accept NULL-keyed source rows (they can never multiple-match)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog.NotMatchedInsert
+    val ev = events
+    val t = freshTable()
+    TxLog.commitAppend(ev.filter(col("event_id") < 100), t)
+    // two null-keyed rows: stock MERGE accepts them (null === x is never
+    // true, so they cannot match any target row — they just insert)
+    val src = ev.limit(2).withColumn("event_id", lit(null).cast("long"))
+    TxLog.mergeInto(s, t, src, Seq("event_id"))
+    assert(TxLog.snapshot(s, t).filter(col("event_id").isNull).count() == 2L)
+    TxLog.mergeIntoClauses(s, t, src, Seq("event_id"),
+      Seq(NotMatchedInsert(None)))
+    assert(TxLog.snapshot(s, t).filter(col("event_id").isNull).count() == 4L)
+    // duplicate NON-null keys still refuse
+    val dup = ev.limit(1).unionByName(ev.limit(1))
+    val e = intercept[RuntimeException](
+      TxLog.mergeInto(s, t, dup, Seq("event_id")))
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+  }
+
   test("vacuum reclaims expired change-data files, keeps the retained feed intact") {
     val s = spark
     import java.nio.file.{Files => F, Paths => P}
