@@ -1487,6 +1487,21 @@ class StreamingSpec extends SparkSpec {
       ev.filter(col("event_id") < 100)
         .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0),
       "deleted rows surface WITH their values, read from the unchanged file")
+    // STREAMING CDF drain over the same history: the micro-batch path
+    // plans the delete snapshot's hidden rows exactly like batch
+    val cdfOut = Files.createTempDirectory("graft_ficeberg_cdfout").toString
+    val qc = s.readStream.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true").option("startingVersion", "4").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_ficeberg_cdfck").toString)
+      .option("path", cdfOut)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    qc.awaitTermination(120000)
+    qc.exception.foreach(throw _)
+    val sByType = s.read.parquet(cdfOut).groupBy(col("_change_type"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sByType == Map("delete" -> 100L),
+      s"the streamed feed must match the batch feed: $sByType")
     // time travel: versionAsOf (sequence) + timestampAsOf (snapshot-log)
     assert(rd.option("versionAsOf", "2").load().count() == 700L)
     assert(rd.option("versionAsOf", "3").load().count() == ev.count())
