@@ -205,10 +205,8 @@ object ForeignDeltaLog {
     val (schemaJson, pcols, cfg) = metaAt(dir, v).getOrElse(
       sys.error(s"$dir: no metaData action in the Delta log"))
     cfg.get("delta.columnMapping.mode").filter(_ != "none").foreach { m =>
-      if (m != "name")
-        sys.error(s"$dir: columnMapping.mode=$m — the graft-txlog scan " +
-          "streams mode 'name' only; read id-mode tables through " +
-          "DeltaLog.snapshot instead")
+      if (m != "name" && m != "id")
+        sys.error(s"$dir: unsupported columnMapping.mode '$m'")
       if (pcols.nonEmpty)
         sys.error(s"$dir: column-mapped PARTITIONED foreign tables do " +
           "not stream (physical-named directory segments); read through " +
@@ -244,26 +242,67 @@ object ForeignDeltaLog {
     StructField(name, physType(req.dataType, logical.dataType), req.nullable)
   }
 
-  /** Mode-"name" FILE-schema translator: rename each requested field
-    * (recursively, nested structs included) to its
-    * `delta.columnMapping.physicalName`, so the shared parquet reader
-    * factory resolves the physically-named file columns while the scan
-    * keeps presenting the logical shape — positions and types are
-    * untouched, so the produced rows are positionally identical to the
-    * logical read schema. Fields the table schema does not know
-    * (synthetic scan columns like the row-index temporary or CDF
-    * `_change_type` in cdc files) pass through unchanged. None for
-    * unmapped tables. */
+  /** COLUMN-MAPPED FILE-schema translator, per mode:
+    *  - "name": rename each requested field (recursively, nested
+    *    structs included) to its `delta.columnMapping.physicalName`, so
+    *    the shared parquet reader factory resolves the physically-named
+    *    file columns while the scan keeps presenting the logical shape
+    *    — positions and types untouched, so the produced rows are
+    *    positionally identical to the logical read schema;
+    *  - "id": annotate each requested field with Spark's
+    *    `parquet.field.id` metadata from `delta.columnMapping.id` —
+    *    the reader (field-id resolution force-enabled, see
+    *    [[fileFieldIdRead]]) then matches the ids id-mode writers
+    *    stamped into the footers and returns logical names directly.
+    * Fields the table schema does not know (synthetic scan columns
+    * like the row-index temporary or CDF `_change_type` in cdc files)
+    * pass through unchanged. None for unmapped tables. */
   def fileFieldRename(dir: String): Option[StructType => StructType] = {
     val cur = currentVersion(dir).getOrElse(return None)
     val (schemaJson, _, cfg) = metaAt(dir, cur).getOrElse(return None)
-    cfg.get("delta.columnMapping.mode").filter(_ == "name").map { _ =>
-      val logical = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      val top = logical.fields.map(f => f.name -> f).toMap
-      (s: StructType) => StructType(s.fields.map(f =>
-        top.get(f.name).map(physField(f, _)).getOrElse(f)))
+    cfg.get("delta.columnMapping.mode").filter(_ != "none").map {
+      case "name" =>
+        val logical = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val top = logical.fields.map(f => f.name -> f).toMap
+        (s: StructType) => StructType(s.fields.map(f =>
+          top.get(f.name).map(physField(f, _)).getOrElse(f)))
+      case "id" =>
+        val logical = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val top = logical.fields.map(f => f.name -> f).toMap
+        (s: StructType) => StructType(s.fields.map(f =>
+          top.get(f.name).map(idField(f, _)).getOrElse(f)))
+      case m => sys.error(s"$dir: unsupported columnMapping.mode '$m'")
     }
   }
+
+  private def idField(req: StructField, logical: StructField): StructField =
+    if (!logical.metadata.contains("delta.columnMapping.id")) req
+    else StructField(req.name, idType(req.dataType, logical.dataType),
+      req.nullable,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id",
+          logical.metadata.getLong("delta.columnMapping.id")).build())
+
+  private def idType(req: DataType, logical: DataType): DataType =
+    (req, logical) match {
+      case (rs: StructType, ls: StructType) =>
+        val byName = ls.fields.map(f => f.name -> f).toMap
+        StructType(rs.fields.map(f =>
+          byName.get(f.name).map(idField(f, _)).getOrElse(f)))
+      case (org.apache.spark.sql.types.ArrayType(re, n),
+            org.apache.spark.sql.types.ArrayType(le, _)) =>
+        org.apache.spark.sql.types.ArrayType(idType(re, le), n)
+      case (org.apache.spark.sql.types.MapType(rk, rv, n),
+            org.apache.spark.sql.types.MapType(lk, lv, _)) =>
+        org.apache.spark.sql.types.MapType(idType(rk, lk), idType(rv, lv), n)
+      case _ => req
+    }
+
+  /** True when the table needs parquet FIELD-ID resolution (mapping
+    * mode "id") — the reader factory force-enables it per scan. */
+  def fileFieldIdRead(dir: String): Boolean =
+    currentVersion(dir).flatMap(metaAt(dir, _)).exists(
+      _._3.get("delta.columnMapping.mode").contains("id"))
 
   def schema(spark: SparkSession, dir: String): StructType = {
     val cur = currentVersion(dir).getOrElse(
@@ -382,11 +421,18 @@ private[graft] object CommitLog {
     }
 
   /** FILE-schema translation for the parquet reader factory — defined
-    * only for mode-"name" column-mapped foreign Delta tables (see
+    * only for column-mapped foreign Delta tables (see
     * [[ForeignDeltaLog.fileFieldRename]]). */
   def fileFieldRename(dir: String): Option[StructType => StructType] =
     kind(dir) match {
       case Kind.Delta => ForeignDeltaLog.fileFieldRename(dir)
       case _ => None
     }
+
+  /** Force parquet field-id resolution for the scan (mapping mode
+    * "id"). */
+  def fileFieldIdRead(dir: String): Boolean = kind(dir) match {
+    case Kind.Delta => ForeignDeltaLog.fileFieldIdRead(dir)
+    case _ => false
+  }
 }

@@ -900,14 +900,16 @@ class TxLogScan(dir: String, fullSchema: StructType,
       readDataSchema.length)
   }
 
-  /** Mode-"name" COLUMN-MAPPED foreign tables: the files carry physical
+  /** COLUMN-MAPPED foreign tables: the files carry physical
     * (`col-<uuid>`) column names, so the factory's requested/baseline
-    * schemas translate field-by-field to those names — positions and
-    * types are untouched, making the produced rows positionally
-    * identical to the logical `readSchema()` downstream consumes (DSv2
-    * binds columns by position, never by name). Filters reference
-    * logical names and the builder keeps EVERY filter as a residual, so
-    * mapped tables simply skip the parquet row-group-pruning hint. */
+    * schemas translate field-by-field — a physical RENAME under mode
+    * "name", a `parquet.field.id` ANNOTATION under mode "id" (with
+    * field-id resolution force-enabled below) — positions and types
+    * untouched, making the produced rows positionally identical to the
+    * logical `readSchema()` downstream consumes (DSv2 binds columns by
+    * position, never by name). Filters reference logical names and the
+    * builder keeps EVERY filter as a residual, so mapped tables simply
+    * skip the parquet row-group-pruning hint. */
   private lazy val toFileSchema: StructType => StructType =
     graft.sources.CommitLog.fileFieldRename(dir).getOrElse(identity)
   private lazy val fileRenamed: Boolean =
@@ -946,7 +948,11 @@ class TxLogScan(dir: String, fullSchema: StructType,
     hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
       sqlConf.legacyParquetNanosAsLong)
     hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
-      sqlConf.parquetFieldIdReadEnabled)
+      // id-mode column mapping resolves columns by the parquet field
+      // ids the writer stamped — force the resolution on for the scan
+      // (the translated requested schema carries the id metadata)
+      sqlConf.parquetFieldIdReadEnabled ||
+        graft.sources.CommitLog.fileFieldIdRead(dir))
     hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
       sqlConf.parquetInferTimestampNTZEnabled)
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))

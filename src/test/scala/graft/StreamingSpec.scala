@@ -1424,6 +1424,66 @@ class StreamingSpec extends SparkSpec {
         .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
   }
 
+  test("foreign Delta tail streams id-mode COLUMN-MAPPED tables (parquet field-id resolution)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+      .filter(col("event_id") < 300)
+    val root = Files.createTempDirectory("graft_fdelta_idmap")
+    // the data file: PHYSICAL col-<n> names with parquet field ids
+    // stamped into the footer — what id-mode writers produce
+    val physSel = ev.schema.fieldNames.toSeq.zipWithIndex
+      .map { case (n, i) => col(n).as(s"col-$i") }
+    val slice = ev.select(physSel: _*)
+    val withIds = StructType(slice.schema.fields.zipWithIndex.map {
+      case (f, j) => StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().putLong("parquet.field.id", j + 1L).build())
+    })
+    s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val tmp = Files.createTempDirectory("graft_fdelta_idmap_b0")
+    s.createDataFrame(slice.collectAsList(), withIds)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val st = Files.list(tmp)
+    val part = try st.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally st.close()
+    Files.move(part, root.resolve("b0.parquet"))
+    // the log: LOGICAL names with the id-mode mapping metadata
+    val mapped = StructType(ev.schema.fields.zipWithIndex.map { case (f, i) =>
+      StructField(f.name, f.dataType, f.nullable,
+        new MetadataBuilder().putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", s"col-$i").build())
+    })
+    DeltaLog.mirrorCommit(root, 1L, Seq("b0.parquet"), Seq.empty, mapped.json,
+      props = Map("delta.columnMapping.mode" -> "id"))
+    // batch DSv2 read resolves by field id, returns logical names
+    val dsv2 = s.read.format("graft-txlog").option("path", root.toString).load()
+    assert(dsv2.columns.toSeq == ev.columns.toSeq)
+    assert(dsv2.count() == ev.count())
+    assert(dsv2.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+      == ev.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    assert(dsv2.exceptAll(ev).isEmpty && ev.exceptAll(dsv2).isEmpty,
+      "field-id resolution must return the exact logical rows")
+    // and the stream tails it
+    val out = Files.createTempDirectory("graft_fdelta_idmap_out").toString
+    val q = s.readStream.format("graft-txlog").option("path", root.toString)
+      .load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_fdelta_idmap_ck").toString)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    val streamed = s.read.parquet(out)
+    assert(streamed.count() == ev.count())
+    assert(streamed.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+      == ev.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+  }
+
   test("foreign Iceberg tail: a stock metadata tree streams by sequence; pos-deletes + CDF + time travel") {
     val s = spark
     import org.apache.spark.sql.functions._
