@@ -264,6 +264,39 @@ object DeltaLog {
       .map(r => mapper.readTree(r.getString(0)).asInstanceOf[ObjectNode])
   }
 
+  /** Checkpoint versions present in the log dir — the foreign-tail
+    * seed selection ([[ForeignDeltaLog]]) needs the directory evidence,
+    * not just the `_last_checkpoint` pointer. */
+  private[sources] def checkpointVersionsIn(table: Path): Seq[Long] =
+    checkpointVersions(table)
+
+  /** The complete LIVE-FILE state plus the metaData a checkpoint
+    * carries, for seeding a foreign tail's version fold when the JSON
+    * prefix was aged out: `(decoded add paths with their DV descriptor
+    * JSONs, metaData node)`. One driver collect of O(live files) path
+    * strings — the same metadata scale every fold in the foreign tail
+    * already carries; the million-file regime reads batch through
+    * [[snapshot]]'s distributed replay instead. All checkpoint formats
+    * (classic, multi-part, v2+sidecars) via [[checkpointDF]]. */
+  private[sources] def checkpointLiveState(spark: SparkSession, table: Path,
+      cpV: Long): (Seq[(String, Option[String])], Option[ObjectNode]) = {
+    val df = checkpointDF(spark, table, ReplayPlan(cpV, Seq.empty))
+      .getOrElse(sys.error(s"$table: no checkpoint file at version $cpV"))
+    val adds =
+      if (!df.columns.contains("add")) Seq.empty
+      else {
+        val hasDv = df.schema("add").dataType.asInstanceOf[StructType]
+          .fieldNames.contains("deletionVector")
+        df.filter(col("add").isNotNull)
+          .select(col("add.path"),
+            if (hasDv) to_json(col("add.deletionVector"))
+            else lit(null).cast(StringType))
+          .collect().toSeq
+          .map(r => (decodePath(r.getString(0)), Option(r.getString(1))))
+      }
+    (adds, checkpointMetaNode(spark, table, cpV))
+  }
+
   private def metaDataNode(table: Path, schemaJson: String,
       id: String, createdTime: Long,
       partitionCols: Seq[String] = Seq.empty): ObjectNode = {
@@ -2374,6 +2407,29 @@ object DeltaLog {
   /** Snapshot-isolated read as of a wall-clock timestamp. */
   def snapshotAsOf(spark: SparkSession, dir: String, timestampMs: Long): DataFrame =
     snapshotAt(spark, dir, versionAsOf(dir, timestampMs))
+
+  /** The FIRST retained Delta version whose (monotonicized, ICT-aware
+    * — [[versionAsOf]]'s identical clock) commit timestamp is at or
+    * after `timestampMs` — the streaming `startingTimestamp` contract:
+    * "all changes committed at or after the timestamp". One PAST the
+    * newest version when the timestamp postdates every commit: the
+    * stream starts empty and tails future commits, stock Delta's
+    * shape. Resolution is over the RETAINED JSON commits; history aged
+    * past the newest checkpoint cannot be timestamp-addressed (it
+    * cannot be replayed either). */
+  def versionAtOrAfter(dir: String, timestampMs: Long): Long = {
+    val table = Paths.get(dir)
+    val vs = versions(dir)
+    if (vs.isEmpty) sys.error(s"no Delta commit files in $dir — " +
+      "startingTimestamp needs the JSON commits")
+    var eff = Long.MinValue
+    var ans = -1L
+    vs.foreach { v =>
+      eff = math.max(commitTimestamp(commitPath(table, v)), eff + 1)
+      if (ans < 0 && eff >= timestampMs) ans = v
+    }
+    if (ans < 0) vs.max + 1 else ans
+  }
 
   // ----------------------------------------------------- data skipping
 

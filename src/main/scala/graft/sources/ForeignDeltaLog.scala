@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -33,15 +33,31 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *  - schema/partitioning/configuration from the last `metaData` at or
   *    below the version.
   *
+  * CHECKPOINT-COMPACTED LOGS (the shape of virtually every production
+  * Delta table — stock writers checkpoint every 10 commits and age the
+  * JSON prefix out on `logRetentionDuration`): when the JSON history no
+  * longer starts at commit 0, the version fold SEEDS from the newest
+  * usable checkpoint — live files, DV descriptors, and metaData come
+  * from the checkpoint's own action rows ([[DeltaLog
+  * .checkpointLiveState]], all three checkpoint formats), and the
+  * retained JSON commits fold forward from there. A fresh stream with
+  * no `startingVersion` then delivers the seeded snapshot as its first
+  * batch (stock Delta's initial-snapshot semantics) and tails the JSON
+  * commits after it; a stream RESUMING past the checkpoint never needs
+  * the seed at all. Only a `startingVersion` whose per-commit JSON was
+  * itself aged out refuses — that history is genuinely gone (stock
+  * sources fail the same way).
+  *
   * Scale + scope ceilings (documented, loud):
-  *  - the fold needs the contiguous JSON history from commit 0 — a log
-  *    whose prefix was compacted into a checkpoint refuses (stock
-  *    streaming sources make the same demand of `startingVersion 0`);
-  *    parsed commits are cached (immutable files), so a long-lived
-  *    stream pays one parse per NEW commit;
-  *  - column-mapped foreign tables refuse (the scan would need
-  *    physical-name read schemas; batch reads via [[DeltaLog.snapshot]]
-  *    already handle mapping);
+  *  - parsed commits are cached (immutable files), so a long-lived
+  *    stream pays one parse per NEW commit; the checkpoint seed is one
+  *    O(live files) driver collect, cached per checkpoint version;
+  *  - column-mapped foreign tables stream in BOTH modes — "name" via a
+  *    physical rename of the requested file schema, "id" via
+  *    `parquet.field.id` resolution ([[fileFieldRename]] /
+  *    [[fileFieldIdRead]]) — including mapped PARTITIONED layouts,
+  *    whose directory segments carry physical names the scan
+  *    translates back through [[partitionPhysicalNames]];
   *  - partitioned foreign tables must use the hive `col=value` layout
   *    (what stock delta-spark writes) — partition values are parsed
   *    from path segments by the shared scan machinery.
@@ -63,6 +79,21 @@ object ForeignDeltaLog {
       removes: Seq[(String, Boolean)], cdc: Seq[String],
       meta: Option[(String, Seq[String], Map[String, String])])
 
+  /** Canonical (key-sorted, null-free) serialization of a DV
+    * descriptor. Descriptors reach the fold from two spellings of the
+    * same protocol object — commit-JSON nodes (writer field order) and
+    * checkpoint structs (schema field order) — and the CDF DV-diff
+    * compares them as STRINGS, so both derivations must serialize
+    * identically or the seed boundary would fabricate a change. */
+  private def canonDv(node: JsonNode): String = {
+    val tm = new java.util.TreeMap[String, Object]()
+    node.fields().asScala.foreach { e =>
+      if (!e.getValue.isNull)
+        tm.put(e.getKey, mapper.treeToValue(e.getValue, classOf[Object]))
+    }
+    mapper.writeValueAsString(tm)
+  }
+
   /** Parsed commit JSONs, cached — Delta commit files are immutable
     * once written, so the cache never invalidates; a tailing stream
     * parses each commit once. */
@@ -74,10 +105,11 @@ object ForeignDeltaLog {
       { _ =>
         val p = DeltaLog.commitPath(Paths.get(dir), v - 1)
         if (!Files.exists(p))
-          sys.error(s"$dir: Delta commit ${v - 1} has no JSON file — the " +
-            "foreign tail needs the contiguous JSON history (aged out " +
-            "into a checkpoint?); start a fresh stream from a retained " +
-            "version via startingVersion")
+          sys.error(s"$dir: Delta commit ${v - 1} has no JSON file — its " +
+            "per-commit history was aged out past the newest checkpoint " +
+            "and is genuinely gone; start a fresh stream from a retained " +
+            "version via startingVersion, or drop startingVersion to " +
+            "receive the checkpoint-seeded snapshot as the first batch")
         val nodes = Files.readAllLines(p).asScala
           .filter(_.trim.nonEmpty).map(mapper.readTree).toSeq
         val op = nodes.collectFirst { case n if n.has("commitInfo") =>
@@ -87,7 +119,7 @@ object ForeignDeltaLog {
           val a = n.get("add")
           Add(DeltaLog.pathDecode(a.get("path").asText()),
             Option(a.get("deletionVector")).filterNot(_.isNull)
-              .map(mapper.writeValueAsString),
+              .map(canonDv),
             Option(a.get("dataChange")).forall(_.asBoolean(true)))
         }
         val removes = nodes.collect { case n if n.has("remove") =>
@@ -110,9 +142,73 @@ object ForeignDeltaLog {
       })
 
   /** Latest committed graft version (`delta max + 1`); None for an
-    * empty or absent log. */
+    * empty or absent log. A freshly-compacted log may momentarily hold
+    * ZERO retained JSON commits — the newest checkpoint then IS the
+    * table's committed state. */
   def currentVersion(dir: String): Option[Long] =
-    DeltaLog.versions(dir).maxOption.map(_ + 1)
+    (DeltaLog.versions(dir) ++
+      DeltaLog.checkpointVersionsIn(Paths.get(dir))).maxOption.map(_ + 1)
+
+  /** The version fold's CHECKPOINT SEED: complete table state (live
+    * files, DV descriptors, metaData) at graft version `graftV`, read
+    * from a checkpoint's own action rows. */
+  private case class Seed(graftV: Long, live: Seq[Add],
+      meta: Option[(String, Seq[String], Map[String, String])])
+
+  /** Seeds cached per (table, checkpoint version) — checkpoint files
+    * are immutable once landed, so the one O(live files) collect
+    * amortizes over the stream's lifetime. */
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seed]()
+
+  /** The fold's starting state. None when JSON history from commit 0
+    * is retained (the fold starts empty, the original shape); a Seed
+    * when the prefix was compacted away — the newest checkpoint whose
+    * JSON tail is contiguous behind the retained head. Loud when the
+    * prefix is gone AND no checkpoint can bridge the gap: that table
+    * state is unreconstructable by any reader. */
+  private def seedOf(dir: String): Option[Seed] = {
+    val vs = DeltaLog.versions(dir)
+    if (vs.headOption.contains(0L)) return None
+    val table = Paths.get(dir)
+    val cps = DeltaLog.checkpointVersionsIn(table)
+    if (vs.isEmpty && cps.isEmpty) return None
+    val cpV = cps.filter(c => vs.headOption.forall(_ <= c + 1)).maxOption
+      .getOrElse(sys.error(s"$dir: the Delta log's JSON prefix was aged " +
+        s"out and no checkpoint at or after version ${vs.head - 1} " +
+        "exists — the pre-gap history is unreconstructable"))
+    Some(seedCache.computeIfAbsent((table.toAbsolutePath.toString, cpV), { _ =>
+      val spark = SparkSession.getActiveSession.getOrElse(
+        sys.error("graft-txlog: no active SparkSession"))
+      val (adds, metaNode) = DeltaLog.checkpointLiveState(spark, table, cpV)
+      val meta = metaNode.map { m =>
+        (m.get("schemaString").asText(),
+          Option(m.get("partitionColumns")).map(_.asScala.toSeq
+            .map(_.asText())).getOrElse(Seq.empty),
+          Option(m.get("configuration")).map(_.fields().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty[String, String]))
+      }
+      Seed(cpV + 1,
+        adds.map { case (rel, dv) =>
+          Add(rel, dv.map(j => canonDv(mapper.readTree(j))),
+            dataChange = false)
+        }, meta)
+    }))
+  }
+
+  /** First graft version the JSON fold covers, given the seed; a
+    * request BELOW the seed's own version is genuinely gone. */
+  private def foldFloor(dir: String, v: Long, seed: Option[Seed]): Long =
+    seed match {
+      case Some(s) =>
+        if (v < s.graftV)
+          sys.error(s"$dir: version $v predates the retained history — " +
+            s"the newest checkpoint reconstructs version ${s.graftV} and " +
+            "later only")
+        s.graftV + 1
+      case None => 1L
+    }
 
   /** dataChange adds/removes of one version — what [[TxLog.commitDelta]]
     * answers from consecutive manifests, with the spec's intra-version
@@ -141,10 +237,15 @@ object ForeignDeltaLog {
 
   /** Live file rels at version `v`: fold adds over removes (every add,
     * dataChange or not — an OPTIMIZE's re-adds ARE the state), removes
-    * before adds within a version (the spec's DV remove+re-add pair). */
+    * before adds within a version (the spec's DV remove+re-add pair).
+    * On a compacted log the fold starts from the checkpoint seed's
+    * live set instead of empty. */
   def liveRelsAt(dir: String, v: Long): Seq[String] = {
+    val seed = seedOf(dir)
+    val from = foldFloor(dir, v, seed)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    (1L to v).foreach { u =>
+    seed.foreach(_.live.foreach(a => live += a.rel))
+    (from to v).foreach { u =>
       val c = commitActions(dir, u)
       c.removes.foreach(r => live -= r._1)
       c.adds.foreach(a => live += a.rel)
@@ -166,8 +267,11 @@ object ForeignDeltaLog {
     * parsed commits come from the cache, and the CDF planner walks
     * versions in order so the fold stays the cheap part. */
   def manifestDvs(dir: String, v: Long): Map[String, String] = {
+    val seed = seedOf(dir)
+    val from = foldFloor(dir, v, seed)
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    (1L to v).foreach { u =>
+    seed.foreach(_.live.foreach(a => a.dv.foreach(dvs(a.rel) = _)))
+    (from to v).foreach { u =>
       val c = commitActions(dir, u)
       c.removes.foreach(r => dvs -= r._1)
       c.adds.foreach { a =>
@@ -186,9 +290,13 @@ object ForeignDeltaLog {
     commitActions(dir, v).cdc
 
   private def metaAt(dir: String,
-      v: Long): Option[(String, Seq[String], Map[String, String])] =
-    (v to 1L by -1L).iterator.map(commitActions(dir, _).meta)
+      v: Long): Option[(String, Seq[String], Map[String, String])] = {
+    val seed = seedOf(dir)
+    val floor = foldFloor(dir, v, seed)
+    (v to floor by -1L).iterator.map(commitActions(dir, _).meta)
       .collectFirst { case Some(m) => m }
+      .orElse(seed.flatMap(_.meta))
+  }
 
   def partitionColumnsOf(dir: String): Seq[String] =
     currentVersion(dir).flatMap(metaAt(dir, _)).map(_._2)
@@ -196,26 +304,67 @@ object ForeignDeltaLog {
 
   /** Table schema AT a version, from the last metaData at or below it
     * (schema evolution reads each era's own columns) — LOGICAL names;
-    * mode-"name" mapped tables stream through the [[fileFieldRename]]
-    * translation below. Mode "id" refuses (field-id resolution needs
-    * the batch path); mapped PARTITIONED tables refuse (directory
-    * segments carry physical names the scan's hive parsing reads as
-    * logical). */
+    * column-mapped tables stream in BOTH modes through the
+    * [[fileFieldRename]] translation below ("name" = physical rename,
+    * "id" = `parquet.field.id` resolution). Mapped PARTITIONED tables
+    * stream too: the hive directory segments carry PHYSICAL names,
+    * which the scan translates back through
+    * [[partitionPhysicalNames]]. */
   def schemaAt(spark: SparkSession, dir: String, v: Long): StructType = {
-    val (schemaJson, pcols, cfg) = metaAt(dir, v).getOrElse(
+    val (schemaJson, _, cfg) = metaAt(dir, v).getOrElse(
       sys.error(s"$dir: no metaData action in the Delta log"))
     cfg.get("delta.columnMapping.mode").filter(_ != "none").foreach { m =>
       if (m != "name" && m != "id")
         sys.error(s"$dir: unsupported columnMapping.mode '$m'")
-      if (pcols.nonEmpty)
-        sys.error(s"$dir: column-mapped PARTITIONED foreign tables do " +
-          "not stream (physical-named directory segments); read through " +
-          "DeltaLog.snapshot instead")
     }
     DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
+  /** Logical → PHYSICAL name of each top-level column, for tables with
+    * column mapping enabled (empty otherwise). Partition-segment
+    * parsing and parquet pushed-filter translation both key files'
+    * physical spellings back to the logical schema through this. */
+  def partitionPhysicalNames(dir: String): Map[String, String] =
+    currentVersion(dir).flatMap(metaAt(dir, _)) match {
+      case Some((schemaJson, _, cfg))
+          if cfg.get("delta.columnMapping.mode").exists(_ != "none") =>
+        DataType.fromJson(schemaJson).asInstanceOf[StructType].fields
+          .collect { case f if f.metadata.contains(PhysKey) =>
+            f.name -> f.metadata.getString(PhysKey) }.toMap
+      case _ => Map.empty
+    }
+
   private val PhysKey = "delta.columnMapping.physicalName"
+
+  /** Dotted LOGICAL path → dotted PHYSICAL path for every (nested)
+    * struct field of a column-mapped table's schema — what the pushed
+    * parquet filters translate through so row-group/page pruning keeps
+    * working against physically-named footers (files carry physical
+    * names under BOTH mapping modes). Empty for unmapped tables. */
+  def physicalPathMap(dir: String): Map[String, String] = {
+    val cur = currentVersion(dir).getOrElse(return Map.empty)
+    metaAt(dir, cur) match {
+      case Some((schemaJson, _, cfg))
+          if cfg.get("delta.columnMapping.mode").exists(_ != "none") =>
+        val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        def walk(s: StructType, lp: Seq[String], pp: Seq[String]): Unit =
+          s.fields.foreach { f =>
+            val phys =
+              if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+              else f.name
+            val (l, p) = (lp :+ f.name, pp :+ phys)
+            out(l.mkString(".")) = p.mkString(".")
+            f.dataType match {
+              case st: StructType => walk(st, l, p)
+              case _ => ()
+            }
+          }
+        walk(DataType.fromJson(schemaJson).asInstanceOf[StructType],
+          Seq.empty, Seq.empty)
+        out.toMap
+      case _ => Map.empty
+    }
+  }
 
   private def physType(req: DataType, logical: DataType): DataType =
     (req, logical) match {
@@ -407,6 +556,15 @@ private[graft] object CommitLog {
     case _ => DeltaLog.versionAsOf(dir, tsMillis) + 1L
   }
 
+  /** Streaming `startingTimestamp` → the first graft version committed
+    * at or after the timestamp (one past the newest when it postdates
+    * every commit — the stream starts empty and tails what lands
+    * next), per backend through the same clocks as [[versionAsOf]]. */
+  def versionAtOrAfter(dir: String, tsMillis: Long): Long = kind(dir) match {
+    case Kind.Iceberg => ForeignIcebergLog.versionAtOrAfter(dir, tsMillis)
+    case _ => DeltaLog.versionAtOrAfter(dir, tsMillis) + 1L
+  }
+
   /** Stats-based whole-file skip flags for the scan's filterExpr /
     * pushed range predicates, keyed by the backend's rel spelling:
     * the Delta mirror's per-file stats (native tables AND foreign
@@ -434,5 +592,21 @@ private[graft] object CommitLog {
   def fileFieldIdRead(dir: String): Boolean = kind(dir) match {
     case Kind.Delta => ForeignDeltaLog.fileFieldIdRead(dir)
     case _ => false
+  }
+
+  /** Logical → physical TOP-LEVEL column names (column-mapped foreign
+    * Delta tables; empty elsewhere) — hive partition segments of mapped
+    * tables are keyed by the physical spelling. */
+  def partitionPhysicalNames(dir: String): Map[String, String] =
+    kind(dir) match {
+      case Kind.Delta => ForeignDeltaLog.partitionPhysicalNames(dir)
+      case _ => Map.empty
+    }
+
+  /** Dotted logical → physical paths for pushed-filter translation
+    * (column-mapped foreign Delta tables; empty elsewhere). */
+  def physicalPathMap(dir: String): Map[String, String] = kind(dir) match {
+    case Kind.Delta => ForeignDeltaLog.physicalPathMap(dir)
+    case _ => Map.empty
   }
 }

@@ -40,15 +40,17 @@ import org.apache.spark.sql.types.StructType
   *    overwrite → OVERWRITE — or MERGE when the overwrite ALSO adds
   *    delete files (the MoR row-delta shape, whose appended batch mixes
   *    postimages and inserts exactly like a graft MERGE);
-  *  - `#dv`: POSITION-delete files folded into per-data-file inline
-  *    roaring descriptors ("i" storage, the Delta form the shared scan
-  *    already applies), honoring the sequence rule (a delete names rows
-  *    of files at `dataSeq <= deleteSeq` only). MoR DELETE commits thus
-  *    plan exactly like native DV commits: nothing re-delivered on an
-  *    append stream, hidden-row synthesis on a CDF stream. EQUALITY
-  *    deletes refuse loudly — they name rows by VALUE, which no
-  *    position bitmap can express without scanning; batch reads via
-  *    [[IcebergLog.snapshot]] handle them.
+  *  - `#dv`: delete files folded into per-data-file inline roaring
+  *    descriptors ("i" storage, the Delta form the shared scan already
+  *    applies) — POSITION deletes directly (the spec's `dataSeq <=
+  *    deleteSeq` rule), EQUALITY deletes by first RESOLVING values to
+  *    positions executor-side ([[eqHiddenAt]]: key-column scan with
+  *    `_metadata` provenance, null-safe semi-join, STRICTLY-older
+  *    sequence rule — the batch reader's own predicate). MoR DELETE
+  *    commits thus plan exactly like native DV commits: nothing
+  *    re-delivered on an append stream, hidden-row synthesis on a CDF
+  *    stream — for both delete-file forms, including the Flink-CDC
+  *    eq-delete shape.
   *
   * Scale + scope ceilings (documented, loud):
   *  - the delete-file fold reads position-delete parquet on the driver
@@ -74,16 +76,33 @@ object ForeignIcebergLog {
   private def longOf(n: JsonNode, f: String, dflt: Long = 0L): Long =
     Option(n.get(f)).map(_.asLong()).getOrElse(dflt)
 
+  /** Tiny synchronized LRU for the driver-side metadata caches below:
+    * every entry is an immutable derivation (re-parseable on a miss),
+    * so eviction costs only a re-read. Bounds a long-lived tail over
+    * an ACTIVE foreign table — unbounded, the caches would accrete one
+    * entry per metadata version / snapshot for the stream's lifetime
+    * (round-12 advisory); bounded, a resume can still reference the
+    * last few snapshots warm and anything older re-derives. */
+  private final class Lru[K, V](cap: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > cap
+    }
+    def get(k: K)(f: => V): V = m.synchronized {
+      Option(m.get(k)).getOrElse { val v = f; m.put(k, v); v }
+    }
+  }
+
   /** Main-line snapshots as (graft version, snapshot node), oldest
-    * first — cached per metadata file (immutable once written). */
-  private val lineCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Long, JsonNode)]]()
+    * first — cached per metadata file (immutable once written;
+    * superseded metadata versions age out of the small LRU). */
+  private val lineCache = new Lru[String, Seq[(Long, JsonNode)]](4)
 
   private def mainLine(dir: String): Seq[(Long, JsonNode)] = {
     val table = Paths.get(dir)
     val metaPath = IcebergLog.currentMetadataPath(table)
       .toAbsolutePath.toString
-    lineCache.computeIfAbsent(metaPath, { _ =>
+    lineCache.get(metaPath) {
       val meta = IcebergLog.readMetadata(table)
       val snaps = Option(meta.get("snapshots"))
         .map(_.asScala.toSeq).getOrElse(Seq.empty)
@@ -98,7 +117,7 @@ object ForeignIcebergLog {
         .getOrElse(0L)
       if (maxSeq > 0L) ordered.map(s => longOf(s, "sequence-number") -> s)
       else ordered.zipWithIndex.map { case (s, i) => (i + 1L) -> s }
-    })
+    }
   }
 
   def currentVersion(dir: String): Option[Long] =
@@ -124,15 +143,15 @@ object ForeignIcebergLog {
     else IcebergLog.resolve(table, p).toAbsolutePath.normalize().toString
 
   /** A snapshot's live file sets, cached per (table, snapshot id) —
-    * manifests are immutable. */
-  private val filesCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), IcebergLog.SnapshotFiles]()
+    * manifests are immutable; old snapshots age out of the LRU. */
+  private val filesCache = new Lru[(String, Long), IcebergLog.SnapshotFiles](64)
 
   private def liveAt(dir: String, snap: JsonNode): IcebergLog.SnapshotFiles = {
     val table = Paths.get(dir)
     val sid = snap.get("snapshot-id").asLong()
-    filesCache.computeIfAbsent((table.toAbsolutePath.toString, sid),
-      _ => IcebergLog.liveFilesOf(table, snap.get("manifest-list").asText()))
+    filesCache.get((table.toAbsolutePath.toString, sid)) {
+      IcebergLog.liveFilesOf(table, snap.get("manifest-list").asText())
+    }
   }
 
   private def dataRels(dir: String, snap: JsonNode): Set[String] = {
@@ -178,42 +197,42 @@ object ForeignIcebergLog {
         case "replace" => Some(("OPTIMIZE", false))
         case "delete" => Some(("DELETE", true))
         case "overwrite" =>
-          // MoR row-delta (adds delete files): the appended batch mixes
-          // postimages and inserts — a graft MERGE's exact CDF contract
+          // MoR row-delta (adds delete files, position OR equality):
+          // the appended batch mixes postimages and inserts — a graft
+          // MERGE's exact CDF contract
+          def delSet(sn: JsonNode): Set[String] = {
+            val sf = liveAt(dir, sn)
+            (sf.posDeletes.map(_._1.toString) ++
+              sf.eqDeletes.map(_._1.toString)).toSet
+          }
           val prevDel = line.filter(_._1 < v).lastOption
-            .map(p => liveAt(dir, p._2).posDeletes.map(_._1.toString).toSet)
-            .getOrElse(Set.empty[String])
-          val curDel = liveAt(dir, s).posDeletes.map(_._1.toString).toSet
-          Some((if ((curDel -- prevDel).nonEmpty) "MERGE" else "OVERWRITE",
+            .map(p => delSet(p._2)).getOrElse(Set.empty[String])
+          Some((if ((delSet(s) -- prevDel).nonEmpty) "MERGE" else "OVERWRITE",
             true))
         case other => Some((other.toUpperCase(java.util.Locale.ROOT), true))
       }
     }
   }
 
-  /** Per-data-file hidden ordinals at a snapshot: every live
-    * position-delete file's (file_path, pos) rows, sequence rule
-    * applied. Driver-side O(deleted rows), cached per snapshot. */
-  private val hiddenCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Map[String, Seq[Long]]]()
+  /** Per-data-file hidden ordinals at a snapshot: every live delete
+    * file's resolved (file_path, pos) rows, sequence rules applied.
+    * Driver-side O(deleted rows) per entry — the HEAVY cache, so its
+    * LRU is the smallest (a tailing stream references the previous and
+    * current snapshots; anything older is a cold resume). */
+  private val hiddenCache = new Lru[(String, Long), Map[String, Seq[Long]]](16)
 
   private def hiddenAt(dir: String, snap: JsonNode): Map[String, Seq[Long]] = {
     val table = Paths.get(dir)
     val sid = snap.get("snapshot-id").asLong()
-    hiddenCache.computeIfAbsent((table.toAbsolutePath.toString, sid), { _ =>
+    hiddenCache.get((table.toAbsolutePath.toString, sid)) {
       val sf = liveAt(dir, snap)
-      if (sf.eqDeletes.nonEmpty)
-        sys.error(s"$dir: the Iceberg snapshot carries EQUALITY delete " +
-          "files — they name rows by value, which the streaming scan " +
-          "cannot express as positions; read this table through " +
-          "IcebergLog.snapshot (batch)")
-      if (sf.posDeletes.isEmpty) Map.empty
+      if (sf.posDeletes.isEmpty && sf.eqDeletes.isEmpty) Map.empty
       else {
         val spark = SparkSession.getActiveSession.getOrElse(
           sys.error("graft-txlog: no active SparkSession"))
         val seqOf: Map[String, Long] =
           sf.data.map(f => canon(table, f.path.toString) -> f.seq).toMap
-        sf.posDeletes.flatMap { case (p, dseq) =>
+        val posHidden = sf.posDeletes.flatMap { case (p, dseq) =>
           // pos casts to long defensively — the spec says int64, but an
           // int32-writing engine must not crash the fold
           spark.read.parquet(p.toString)
@@ -223,10 +242,74 @@ object ForeignIcebergLog {
             .map(r => (canon(table, r.getString(0)), r.getLong(1), dseq))
         }
           .filter { case (f, _, dseq) => seqOf.get(f).exists(_ <= dseq) }
+          .map(t => (t._1, t._2))
+        (posHidden ++ eqHiddenAt(spark, dir, sf))
           .groupBy(_._1).map { case (f, xs) =>
             f -> xs.map(_._2).distinct.sorted }
       }
-    })
+    }
+  }
+
+  /** EQUALITY deletes resolved to POSITIONS, so the tail can fold them
+    * into the same inline DV descriptors position deletes use (Flink
+    * CDC — the dominant Iceberg streaming writer — emits eq-deletes on
+    * every upsert; refusing them would bar the most common MoR tree).
+    * Resolution is EXECUTOR-side: the affected data files' key columns
+    * scan WITH `_metadata` provenance and semi-join the delete rows
+    * null-safely under the STRICTLY-OLDER sequence rule — the same
+    * predicate [[IcebergLog.snapshot]]'s batch anti-join applies, so
+    * the two paths cannot diverge on survivor sets. Only the matched
+    * (file, ordinal) pairs reach the driver: O(deleted rows), the
+    * documented ceiling class the position-delete fold already carries
+    * (SCALE.md's CDF-over-DV note). */
+  private def eqHiddenAt(spark: SparkSession, dir: String,
+      sf: IcebergLog.SnapshotFiles): Seq[(String, Long)] = {
+    if (sf.eqDeletes.isEmpty) return Seq.empty
+    import org.apache.spark.sql.functions._
+    val table = Paths.get(dir)
+    val fieldName = IcebergLog.fieldNamesById(IcebergLog.readMetadata(table))
+    // path canonicalization executor-side, the same three-spelling rule
+    // the batch reader applies (URI-escaped `_metadata.file_path` vs
+    // whatever the delete writer stored)
+    val norm = (c: org.apache.spark.sql.Column) =>
+      when(c.startsWith("file:"),
+        regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
+          "^file:/+", "/"))
+        .otherwise(c)
+    sf.eqDeletes.groupBy(_._3).toSeq.flatMap { case (ids, group) =>
+      val names = ids.map(id => fieldName.getOrElse(id, sys.error(
+        s"$dir: equality_ids name unknown field id $id")))
+      // a delete only ever hides rows of STRICTLY older files — files
+      // at or past the newest delete's sequence can skip the scan
+      val maxDel = group.map(_._2).max
+      val cands = sf.data.filter(_.seq < maxDel)
+      if (cands.isEmpty) Seq.empty
+      else {
+        val dels = group.map { case (p, dseq, _) =>
+          spark.read.parquet(p.toString)
+            .select(names.map(n => col(n).as(s"__del_$n")) :+
+              lit(dseq).as("__del_seq"): _*)
+        }.reduce(_.unionByName(_))
+        val seqRows = cands
+          .map(f => org.apache.spark.sql.Row(canon(table, f.path.toString), f.seq))
+        val seqDf = spark.createDataFrame(seqRows.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__sf",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("__seq",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val cond = names.map(n => col(n) <=> col(s"__del_$n")).reduce(_ && _) &&
+          col("__seq") < col("__del_seq")
+        spark.read.parquet(cands.map(_.path.toString): _*)
+          .select(names.map(col) :+
+            norm(col("_metadata.file_path")).as("__file") :+
+            col("_metadata.row_index").as("__pos"): _*)
+          .join(broadcast(seqDf), col("__file") === col("__sf"))
+          .join(dels, cond, "left_semi")
+          .select(col("__file"), col("__pos"))
+          .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      }
+    }
   }
 
   /** Per-file DV descriptor JSONs in force at version `v` — position
@@ -254,10 +337,9 @@ object ForeignIcebergLog {
   def partitionColumnsOf(dir: String): Seq[String] = Seq.empty
 
   /** Identity-partition probe results, cached per metadata file (one
-    * footer read per metadata VERSION, as advertised — not per
-    * schema() call, which planning invokes repeatedly). */
-  private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+    * probe per metadata VERSION, as advertised — not per schema()
+    * call, which planning invokes repeatedly). */
+  private val probeCache = new Lru[String, Option[String]](4)
 
   private def schemaFor(spark: SparkSession, dir: String,
       sid: Option[Int]): StructType = {
@@ -267,22 +349,31 @@ object ForeignIcebergLog {
       sys.error(s"$dir: the Iceberg schema carries a type the engine " +
         "does not map — refusing to infer"))
     // identity-partition probe: stream only when data files CARRY the
-    // partition columns (one footer read, cached per metadata version)
+    // partition columns in-file. SAMPLED guarantee, one footer per
+    // DISTINCT partition key-set (a tree mixing specs probes each
+    // spec's shape; a tree mixing carrying and non-carrying files
+    // UNDER ONE key-set is probed by its first file only — such trees
+    // read partition columns null for the non-carrying files and
+    // belong on IcebergLog.snapshot's manifest-attach path).
     val metaPath = IcebergLog.currentMetadataPath(table)
       .toAbsolutePath.toString
-    val missing = probeCache.computeIfAbsent(metaPath, { _ =>
+    val missing = probeCache.get(metaPath) {
       mainLine(dir).lastOption.flatMap { case (_, snap) =>
         val sf = liveAt(dir, snap)
-        val pKeys = sf.data.flatMap(_.partition.keys).distinct
-        if (pKeys.isEmpty || sf.data.isEmpty) None
+        if (sf.data.isEmpty) None
         else {
-          val inFile = spark.read.parquet(sf.data.head.path.toString)
-            .schema.fieldNames.toSet
-          Some(pKeys.filterNot(inFile)).filter(_.nonEmpty)
-            .map(_.mkString(", "))
+          val byKeySet = sf.data.filter(_.partition.nonEmpty)
+            .groupBy(_.partition.keySet.toSeq.sorted)
+          val gaps = byKeySet.toSeq.sortBy(_._1.mkString(","))
+            .flatMap { case (pKeys, fs) =>
+              val inFile = spark.read.parquet(fs.head.path.toString)
+                .schema.fieldNames.toSet
+              pKeys.filterNot(inFile)
+            }.distinct
+          Some(gaps).filter(_.nonEmpty).map(_.mkString(", "))
         }
       }
-    })
+    }
     missing.foreach(m =>
       sys.error(s"$dir: identity-partitioned Iceberg tree whose " +
         s"data files do not carry $m in-file (hive-style layout) — the " +
@@ -310,4 +401,13 @@ object ForeignIcebergLog {
       .lastOption.map(_._1)
       .getOrElse(sys.error(s"$dir: no Iceberg snapshot at or before " +
         s"$tsMillis"))
+
+  /** Streaming `startingTimestamp` resolution: the first main-line
+    * snapshot committed at or after `tsMillis`; one past the newest
+    * when the timestamp postdates every snapshot (the stream starts
+    * empty and tails future commits). */
+  def versionAtOrAfter(dir: String, tsMillis: Long): Long =
+    mainLine(dir).find(s => longOf(s._2, "timestamp-ms") >= tsMillis)
+      .map(_._1)
+      .getOrElse(currentVersion(dir).getOrElse(0L) + 1L)
 }

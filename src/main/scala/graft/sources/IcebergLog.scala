@@ -344,7 +344,7 @@ object IcebergLog {
   }
 
   /** Field-id → column-name map of the metadata's current schema. */
-  private def fieldNamesById(meta: JsonNode): Map[Int, String] = {
+  private[sources] def fieldNamesById(meta: JsonNode): Map[Int, String] = {
     val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
     Option(meta.get("schemas"))
       .flatMap(_.asScala.find(s => int2(s, "schema-id") == sid))
@@ -1185,7 +1185,9 @@ object IcebergLog {
     */
   private[graft] def appendForeignSnapshot(table: Path, schema: StructType,
       newData: Seq[String], newDeletes: Seq[String] = Seq.empty,
-      operation: String = "append"): Long = {
+      operation: String = "append",
+      newEqDeletes: Seq[String] = Seq.empty,
+      equalityIds: Seq[Int] = Seq.empty): Long = {
     Files.createDirectories(metadataDir(table))
     val prior: Seq[(Long, Long, String, String)] = // (id, ts, ml, op)
       if (!Files.exists(metadataDir(table).resolve("version-hint.text")))
@@ -1213,10 +1215,15 @@ object IcebergLog {
       if (newDeletes.isEmpty) None
       else Some(writeManifest(table, f"m-$id%03d-del.avro",
         newDeletes.map((1, _)), fileContent = 1))
+    val mEqDel =
+      if (newEqDeletes.isEmpty) None
+      else Some(writeManifest(table, f"m-$id%03d-eqdel.avro",
+        newEqDeletes.map((1, _)), fileContent = 2,
+        equalityIds = equalityIds))
     val entries = prevEntries.map(e => (e._1, e._2)) ++
-      mData.map((_, 0)) ++ mDel.map((_, 1))
+      mData.map((_, 0)) ++ mDel.map((_, 1)) ++ mEqDel.map((_, 1))
     val seqs = prevEntries.map(e => e._1 -> e._3).toMap ++
-      (mData.toSeq ++ mDel.toSeq).map(_ -> id)
+      (mData.toSeq ++ mDel.toSeq ++ mEqDel.toSeq).map(_ -> id)
     val ml = writeManifestList(table, f"snap-$id%03d-list.avro", entries,
       id, seqs)
     val snaps = prior.map(p => (p._1, p._2, p._3)) :+

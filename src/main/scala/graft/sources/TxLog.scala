@@ -1205,7 +1205,8 @@ object TxLog {
   private def rewriteWhere(spark: SparkSession, dir: String,
       prune: Seq[(String, Any, Any)],
       replace: DataFrame => DataFrame,
-      changeRows: Option[DataFrame => DataFrame] = None): RewriteResult = {
+      changeRows: Option[DataFrame => DataFrame] = None,
+      keepOnly: Option[Set[String]] = None): RewriteResult = {
     val table = Paths.get(dir)
     val base = currentVersion(dir).getOrElse(
       sys.error(s"no committed version in $dir"))
@@ -1217,7 +1218,12 @@ object TxLog {
           flags.collect { case (f, false) => f.path }.toSet
         case scala.util.Failure(_) => Set.empty
       }
-    val candidates = prev.filterNot(skipped)
+    // `keepOnly`: a caller-supplied TOUCHED-FILE set (positive
+    // discovery, e.g. the by-source merge's join pass) — candidates
+    // narrow to it; the caller owns the proof that excluded files hold
+    // no row its closure would change
+    val candidates = keepOnly.fold(prev.filterNot(skipped))(k =>
+      prev.filterNot(skipped).filter(k))
     if (candidates.isEmpty)
       return RewriteResult(base, 0L, prev.size.toLong)
     val partCols = pathPartCols(candidates.head)
@@ -1945,8 +1951,12 @@ object TxLog {
     * Candidate files come from the mirror's stats against the source's
     * key envelope exactly as [[mergeInto]]; untouched files are never
     * read or rewritten. With BY SOURCE clauses the envelope proves
-    * nothing (any target row may be affected) so pruning is off — the
-    * full-sync cost stock Delta pays too. The rewrite is ONE left-outer
+    * nothing (any target row may be affected), so candidates come from
+    * a TOUCHED-FILE DISCOVERY pass instead — one provenance-tagged
+    * join of the visible rows against the source keeps exactly the
+    * files holding a row some clause accepts (stock Delta's
+    * findTouchedFiles shape); files no clause touches are read once
+    * for discovery but never rewritten. The rewrite is ONE left-outer
     * join of the visible candidate rows against the (AQE-broadcast)
     * source: matched rows route through the matched cascade (update /
     * delete / pass through), unmatched target rows route through the
@@ -2005,6 +2015,37 @@ object TxLog {
       if (bySource.isEmpty) clauseValue(f, matched)
       else when(col("__matched"), cascadeValue(f, matched, "__idx"))
         .otherwise(cascadeValue(f, bySource, "__bidx")).as(f.name)
+    // TOUCHED-FILE DISCOVERY (by-source family): the key envelope
+    // proves nothing under BY SOURCE clauses, but most syncs still
+    // change only a SUBSET of files. One extra pass joins the visible
+    // rows (with file provenance) against the source and keeps the
+    // files holding at least one row SOME clause accepts — only those
+    // rewrite (stock Delta's findTouchedFiles shape); untouched files
+    // keep their bytes and row ids entirely. The insert anti-join then
+    // runs against EVERY visible key, not just the touched files' — a
+    // source key living in an untouched file is matched, never
+    // insertable. O(touched file paths) to the driver, never rows.
+    val discovery: Option[(Set[String], DataFrame)] =
+      if (bySource.isEmpty) None
+      else {
+        val prevRels = readManifest(table, base)
+        val prov = readRelsWithProvenance(spark, table, prevRels,
+          manifestDvs(table, base))
+        val absToRel = prevRels.map(rel =>
+          table.resolve(rel).toAbsolutePath.normalize().toString -> rel).toMap
+        val touched = prov.alias("t")
+          .join(source.withColumn("__m", lit(true)).alias("s"),
+            keyCond, "left_outer")
+          .withColumn("__matched", coalesce(col("__m"), lit(false)))
+          .filter((col("__matched") && idxExpr >= 0) ||
+            (!col("__matched") && bIdxExpr >= 0))
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0))
+          .map(f => absToRel.getOrElse(f, sys.error(
+            s"mergeIntoClauses: provenance path $f matches no manifest entry")))
+          .toSet
+        Some((touched, prov.select(keys.map(col): _*)))
+      }
     val res = rewriteWhere(spark, dir, prune, { tgt =>
       val bad = (matched ++ bySource).collect {
         case MatchedUpdate(set, _) => set.keySet -- tgt.columns.toSet
@@ -2035,12 +2076,15 @@ object TxLog {
         case None => survivors
         case Some(ic) =>
           val extra = tgt.columns.toSet -- source.columns.toSet
+          val antiKeys = discovery.map(_._2)
+            .getOrElse(tgt.select(keys.map(col): _*))
           val ins0 = source.alias("s").filter(ic)
-            .join(tgt.select(keys.map(col): _*), keys, "left_anti")
+            .join(antiKeys, keys, "left_anti")
           survivors.unionByName(extra.foldLeft(ins0)((d, c) =>
             d.withColumn(c, lit(null).cast(tgt.schema(c).dataType))))
       }
-    }, changeRows = Some { df => // df = visible candidate TABLE rows
+    }, keepOnly = discovery.map(_._1),
+    changeRows = Some { df => // df = visible candidate TABLE rows
       val joined = df.alias("t")
         .join(source.alias("s"), keyCond, "inner")
         .withColumn("__idx", idxExpr)
@@ -2082,21 +2126,28 @@ object TxLog {
       }
       val ins = insCond.map(ic =>
         // a partial-width source null-fills target-only columns, same
-        // as the rewrite closure's insert union
+        // as the rewrite closure's insert union; under discovery the
+        // anti-join sees every visible key, not just touched files'
         fillToTarget(source.alias("s").filter(ic)
-          .join(df.select(keys.map(col): _*), keys, "left_anti"), df.schema)
+          .join(discovery.map(_._2)
+            .getOrElse(df.select(keys.map(col): _*)), keys, "left_anti"),
+          df.schema)
           .select(df.columns.toSeq.map(col): _*)
           .withColumn("_change_type", lit("insert")))
       (del.toSeq ++ upd.toSeq ++ bysDel.toSeq ++ bysUpd.toSeq ++ ins.toSeq)
         .reduce(_.unionByName(_))
     })
     if (res.filesRewritten == 0L) {
-      // no live file can hold any source key: every source row is
-      // unmatched — conditional pure insert
+      // envelope path: no live file can hold any source key, so every
+      // source row is unmatched — conditional pure insert. Discovery
+      // path: zero TOUCHED files still allows matched-but-unaccepted
+      // keys to exist, so the anti-join against the visible keys stays.
       insCond match {
         case None => res
         case Some(ic) =>
-          val rows = fillToTableSchema(dir, source.alias("s").filter(ic))
+          val cand0 = source.alias("s").filter(ic)
+          val rows = fillToTableSchema(dir, discovery.map(d =>
+            cand0.join(d._2, keys, "left_anti")).getOrElse(cand0))
           if (rows.isEmpty) res
           else {
             val partCols = readManifest(table, res.version).headOption
@@ -2696,6 +2747,35 @@ object TxLog {
       .toSeq.sortBy(_._1)
       .map { case (batch, fs) =>
         dvFiltered(rd.option("basePath", table.resolve(batch).toString)
+          .parquet(fs.map(rel => table.resolve(rel).toString): _*))
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** [[readRels]] plus a `__file` provenance column (the normalized
+    * absolute data-file path — URI escaping decoded so it joins
+    * against `table.resolve(rel)` spellings), DV-filtered to VISIBLE
+    * rows. Feeds the by-source merge's touched-file discovery, which
+    * needs to know which FILE each surviving row came from. */
+  private def readRelsWithProvenance(spark: SparkSession, table: Path,
+      rels: Seq[String], dvs: Map[String, String]): DataFrame = {
+    def withProv(df: DataFrame): DataFrame = {
+      val p = col("_metadata.file_path")
+      val normed = when(p.startsWith("file:"),
+        regexp_replace(url_decode(regexp_replace(p, "\\+", "%2B")),
+          "^file:/+", "/")).otherwise(p)
+      val out = df.withColumn("__file", normed)
+      if (dvs.isEmpty) out
+      else out.filter(DeletionVectors.keepUdf(spark, table, dvs)(
+        col("_metadata.file_path"), col("_metadata.row_index")))
+    }
+    if (!rels.exists(_.split("/").exists(_.contains("="))))
+      withProv(spark.read.parquet(
+        rels.map(rel => table.resolve(rel).toString): _*))
+    else rels.groupBy(_.split("/").head)
+      .toSeq.sortBy(_._1)
+      .map { case (batch, fs) =>
+        withProv(spark.read.option("basePath", table.resolve(batch).toString)
           .parquet(fs.map(rel => table.resolve(rel).toString): _*))
       }
       .reduce(_.unionByName(_))

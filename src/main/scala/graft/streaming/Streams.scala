@@ -680,6 +680,156 @@ object Streams {
     streamed.unionByName(snap)
   }
 
+  /** FOREIGN Delta tail over a CHECKPOINT-COMPACTED log — the shape of
+    * virtually every production table (stock writers checkpoint every
+    * 10 commits and age the JSON prefix out on `logRetentionDuration`):
+    * two commits land, a classic checkpoint compacts them, and the
+    * JSON prefix is DELETED before the stream ever starts. Run 1 must
+    * deliver the checkpoint-seeded snapshot as its first batch (stock
+    * initial-snapshot semantics — no JSON describes that history
+    * anymore); a post-checkpoint commit lands and run 2 resumes reading
+    * ONLY its JSON; a merge-on-read DV DELETE (remove + re-add with a
+    * descriptor) commits after the checkpoint and run 3 delivers
+    * NOTHING for it, while the final snapshot read folds checkpoint
+    * seed + JSON tail and applies the DV. Oracle = streamed full
+    * corpus vs snapshot minus the deleted band — a dropped seed file,
+    * a double-delivered history, or an unapplied post-checkpoint DV
+    * each flip one half. */
+  def runStreamForeignCkpt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeletionVectors, DeltaLog}
+    val ev = graft.Tables.events(spark, dir)
+    val root = graft.Scratch.dir("graft_stream_fckpt_tbl")
+    val out = graft.Scratch.dir("graft_stream_fckpt_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_fckpt_ckpt").toString
+    val schema = ev.schema.json
+    def mirrorBatch(df: DataFrame, name: String): String = {
+      val tmp = graft.Scratch.dir(s"graft_stream_fckpt_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = java.nio.file.Files.list(tmp)
+      val part = try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+      java.nio.file.Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(mirrorBatch(ev.filter(col("event_id") < 400), "b0")),
+      Seq.empty, schema)
+    DeltaLog.mirrorCommit(root, 2L,
+      Seq(mirrorBatch(ev.filter(col("event_id").between(400, 699)), "b1")),
+      Seq.empty, schema)
+    // compact: classic checkpoint at delta version 1, then AGE OUT the
+    // JSON prefix — exactly what logRetentionDuration does in production
+    DeltaLog.checkpoint(spark, root.toString)
+    Seq(0L, 1L).foreach(v => java.nio.file.Files.delete(
+      root.resolve("_delta_log").resolve(f"$v%020d.json")))
+    def drain(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog")
+        .option("path", root.toString).load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    drain() // run 1: the CHECKPOINT-SEEDED snapshot as the first batch
+    DeltaLog.mirrorCommit(root, 3L,
+      Seq(mirrorBatch(ev.filter(col("event_id") >= 700), "b2")),
+      Seq.empty, schema)
+    drain() // run 2: resumes past the checkpoint, reads ONLY commit 2
+    // a post-checkpoint merge-on-read DELETE hiding ids < 100 of b0
+    val doomed = spark.read.parquet(root.resolve("b0.parquet").toString)
+      .select(col("_metadata.row_index"), col("event_id"))
+      .filter(col("event_id") < 100)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val bitmap = DeletionVectors.serialize(doomed)
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      "graft-stream-fckpt-dv".getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val off = DeletionVectors.writeDvFile(
+      root.resolve(s"deletion_vector_$uuid.bin"), Seq(bitmap)).head
+    val desc = s"""{"storageType":"u","pathOrInlineDv":"${
+      DeletionVectors.z85Encode(bb.array())}","offset":$off,""" +
+      s""""sizeInBytes":${bitmap.length},"cardinality":${doomed.size}}"""
+    DeltaLog.mirrorCommit(root, 4L, Seq.empty, Seq.empty, schema,
+      operation = "DELETE",
+      dvUpdates = Map("b0.parquet" -> ((desc, None))))
+    drain() // run 3: the DV commit delivers nothing (native semantics)
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("side", lit("streamed"))
+    val snap = spark.read.format("graft-txlog")
+      .option("path", root.toString).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("side", lit("snapshot"))
+    streamed.unionByName(snap)
+  }
+
+  /** FOREIGN Iceberg tail over EQUALITY DELETES — the Flink-CDC shape
+    * (the dominant Iceberg streaming writer emits eq-deletes on every
+    * upsert): b0 lands at sequence 1 and streams; an eq-delete on
+    * `event_type` commits at sequence 2 as a pure-delete snapshot and
+    * the append stream delivers NOTHING for it; b1 lands at sequence 3
+    * and streams. The final snapshot read resolves the delete's VALUES
+    * to positions under the strictly-older rule — b0's 'error' rows
+    * vanish, b1's SURVIVE (they postdate the delete). The oracle's
+    * residue split is the batch eq-delete query's own
+    * ([[graft.sources.IcebergLog.eqDeleteQueryOracle]]): only a tail
+    * honoring both the equality join and the sequence rule matches. */
+  def runStreamForeignIcebergEq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergLog
+    val ev = graft.Tables.events(spark, dir)
+    val root = graft.Scratch.dir("graft_stream_ficeberg_eq_tbl")
+    val out = graft.Scratch.dir("graft_stream_ficeberg_eq_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_ficeberg_eq_ckpt").toString
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0)) // seq 1
+    def drain(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog")
+        .option("path", root.toString).load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    drain() // run 1: b0
+    // seq 2: a PURE equality-delete snapshot naming event_type='error'
+    // (field ids are 1-based over the schema, the metadataJson rule)
+    val delRel = IcebergLog.writeDataFile(
+      ev.select("event_type").filter(col("event_type") === "error").limit(1),
+      root, "eqdel0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty,
+      operation = "delete", newEqDeletes = Seq(delRel),
+      equalityIds = Seq(ev.schema.fieldIndex("event_type") + 1))
+    drain() // run 2: the eq-delete delivers nothing on an append stream
+    val b1 = IcebergLog.writeDataFile(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), root, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b1)) // seq 3
+    drain() // run 3: b1 (its rows POSTDATE the delete and must survive)
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("side", lit("streamed"))
+    val snap = spark.read.format("graft-txlog")
+      .option("path", root.toString).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .withColumn("side", lit("snapshot"))
+    streamed.unionByName(snap)
+  }
+
+  val runStreamForeignIcebergEqOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |       'streamed' AS side
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+      |       'snapshot' AS side
+      |FROM events WHERE NOT (event_id % 2 = 0 AND event_type = 'error')
+      |GROUP BY 1""".stripMargin
+
   /** Streaming CHANGE DATA FEED read (`.option("readChangeFeed",
     * "true")` on the `graft-txlog` source — stock Delta's CDF-stream
     * contract): every micro-batch emits the commits' change rows
@@ -1554,7 +1704,9 @@ object Streams {
     "q_stream_exactly_once" -> runStreamExactlyOnce _,
     "q_stream_table_source" -> runStreamTableSource _,
     "q_stream_foreign_delta" -> runStreamForeignDelta _,
+    "q_stream_foreign_ckpt" -> runStreamForeignCkpt _,
     "q_stream_foreign_iceberg" -> runStreamForeignIceberg _,
+    "q_stream_foreign_iceberg_eq" -> runStreamForeignIcebergEq _,
     "q_stream_cdf" -> runStreamCdf _,
     "q_stream_cdf_dv" -> runStreamCdfDv _,
     "q_stream_pipeline" -> runStreamPipeline _,
@@ -1579,7 +1731,9 @@ object Streams {
     "q_stream_exactly_once" -> runStreamExactlyOnceOracle,
     "q_stream_table_source" -> runStreamTableSourceOracle,
     "q_stream_foreign_delta" -> runStreamForeignDeltaOracle,
+    "q_stream_foreign_ckpt" -> runStreamForeignDeltaOracle,
     "q_stream_foreign_iceberg" -> runStreamForeignDeltaOracle,
+    "q_stream_foreign_iceberg_eq" -> runStreamForeignIcebergEqOracle,
     "q_stream_cdf" -> runStreamCdfOracle,
     "q_stream_cdf_dv" -> runStreamCdfDvOracle,
     "q_stream_pipeline" -> runStreamPipelineOracle,

@@ -50,7 +50,10 @@ import graft.sources.{CommitLog, TxLog}
   *    crash between commit and checkpoint replays into a skip.
   *
   * Read options: `startingVersion` (INCLUSIVE first version, stock
-  * Delta semantics; default 0 = full history), `skipChangeCommits`
+  * Delta semantics; default 0 = full history), `startingTimestamp`
+  * (the other stock spelling: the first version committed at or after
+  * the timestamp, resolved per backend — Delta commit clocks,
+  * ICT-aware, or the Iceberg snapshot-log), `skipChangeCommits`
   * (skip non-append commits instead of failing), `maxVersionsPerTrigger`
   * (admission control: ≤ N commit versions per micro-batch),
   * `readChangeFeed` (emit `_change_type`/`_commit_version` CDF columns;
@@ -286,6 +289,45 @@ object TxLogScan {
     * option actually skipped whole files before any IO. */
   @volatile private[graft] var lastStreamPrune: Option[(Int, Int)] = None
 
+  /** Observability for specs: the exact filters handed to the parquet
+    * reader factory at its most recent construction — on a
+    * column-mapped table these must carry PHYSICAL column names, or
+    * row-group pruning silently matches nothing. */
+  @volatile private[graft] var lastFileFilters: Array[SFilter] = Array.empty
+
+  /** Respell every column reference of a source filter through `m`
+    * (dotted logical path → physical path). None when any reference is
+    * missing from the map — that filter drops from the best-effort
+    * row-group-pruning hint while the post-scan residual stays the
+    * exact gate, so the translation can never affect correctness. */
+  private[streaming] def renameFilterCols(f: SFilter,
+      m: Map[String, String]): Option[SFilter] = {
+    import org.apache.spark.sql.{sources => sf}
+    def t(c: String): Option[String] = m.get(c)
+    f match {
+      case sf.EqualTo(c, v) => t(c).map(sf.EqualTo(_, v))
+      case sf.EqualNullSafe(c, v) => t(c).map(sf.EqualNullSafe(_, v))
+      case sf.GreaterThan(c, v) => t(c).map(sf.GreaterThan(_, v))
+      case sf.GreaterThanOrEqual(c, v) => t(c).map(sf.GreaterThanOrEqual(_, v))
+      case sf.LessThan(c, v) => t(c).map(sf.LessThan(_, v))
+      case sf.LessThanOrEqual(c, v) => t(c).map(sf.LessThanOrEqual(_, v))
+      case sf.In(c, vs) => t(c).map(sf.In(_, vs))
+      case sf.IsNull(c) => t(c).map(sf.IsNull(_))
+      case sf.IsNotNull(c) => t(c).map(sf.IsNotNull(_))
+      case sf.StringStartsWith(c, v) => t(c).map(sf.StringStartsWith(_, v))
+      case sf.StringEndsWith(c, v) => t(c).map(sf.StringEndsWith(_, v))
+      case sf.StringContains(c, v) => t(c).map(sf.StringContains(_, v))
+      case sf.And(a, b) => for { x <- renameFilterCols(a, m)
+                                 y <- renameFilterCols(b, m) } yield sf.And(x, y)
+      case sf.Or(a, b) => for { x <- renameFilterCols(a, m)
+                                y <- renameFilterCols(b, m) } yield sf.Or(x, y)
+      case sf.Not(a) => renameFilterCols(a, m).map(sf.Not(_))
+      case at: sf.AlwaysTrue => Some(at)
+      case af: sf.AlwaysFalse => Some(af)
+      case _ => None
+    }
+  }
+
   /** The `columns` option: prune the presented table schema to the
     * listed names (full-schema field order is kept so the data /
     * partition / CDF column split downstream stays stable). Unknown
@@ -467,6 +509,10 @@ class TxLogScan(dir: String, fullSchema: StructType,
       "bound the feed with startingVersion instead")
   // appended (non-file) columns: real partition cols + CDF pseudo-cols
   private val partCols = CommitLog.partitionColumnsOf(dir)
+  // logical → physical partition-segment spelling (column-mapped
+  // foreign tables hive-partition by physical names; empty otherwise)
+  private lazy val partPhysNames: Map[String, String] =
+    CommitLog.partitionPhysicalNames(dir)
   // graft-written change-data files are FLAT (partition columns ride
   // in-file as data); stock Delta writers hive-partition _change_data,
   // so a foreign partitioned table's cdc files would read the partition
@@ -548,9 +594,24 @@ class TxLogScan(dir: String, fullSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     require(asOf.isEmpty, "graft-txlog: versionAsOf/timestampAsOf are " +
-      "batch-read options — a stream replays history via startingVersion")
+      "batch-read options — a stream replays history via startingVersion" +
+      "/startingTimestamp")
+    // `startingTimestamp` (stock Delta's second spelling of the start):
+    // epoch millis or any Timestamp-parsable local datetime, resolved
+    // to the FIRST version committed at or after it — the exact twin of
+    // the equivalent startingVersion, including the no-initial-snapshot
+    // semantics (a timestamp start means "changes since", never the
+    // whole table)
+    val byV = opt("startingVersion").map(_.toLong)
+    val byTs = opt("startingTimestamp").map { raw =>
+      val ms = raw.trim.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(raw.trim).getTime)
+      CommitLog.versionAtOrAfter(dir, ms)
+    }
+    require(byV.isEmpty || byTs.isEmpty, "graft-txlog: startingVersion " +
+      "and startingTimestamp are mutually exclusive")
     new TxLogMicroBatchStream(this, dir,
-      opt("startingVersion").map(_.toLong).getOrElse(0L),
+      byV.orElse(byTs).getOrElse(0L),
       opt("skipChangeCommits").exists(_.toBoolean),
       opt("maxVersionsPerTrigger").map(_.toLong), cdf)
   }
@@ -674,8 +735,12 @@ class TxLogScan(dir: String, fullSchema: StructType,
         case "_change_type" if cdf => UTF8String.fromString(changeType)
         case "_commit_version" if cdf => v
         case name =>
-          val raw = segs.getOrElse(name, sys.error(
-            s"$dir: $rel lacks partition segment $name"))
+          // column-mapped foreign tables hive-partition by the PHYSICAL
+          // column name — the segment lookup translates, the scan keeps
+          // presenting the logical one
+          val segKey = partPhysNames.getOrElse(name, name)
+          val raw = segs.getOrElse(segKey, sys.error(
+            s"$dir: $rel lacks partition segment $segKey"))
           if (raw == "__HIVE_DEFAULT_PARTITION__") null
           else Cast(Literal(UTF8String.fromString(raw), StringType),
             f.dataType, Some(zone)).eval(null)
@@ -907,13 +972,25 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * field-id resolution force-enabled below) — positions and types
     * untouched, making the produced rows positionally identical to the
     * logical `readSchema()` downstream consumes (DSv2 binds columns by
-    * position, never by name). Filters reference logical names and the
-    * builder keeps EVERY filter as a residual, so mapped tables simply
-    * skip the parquet row-group-pruning hint. */
+    * position, never by name). Pushed filters translate their column
+    * references through the SAME logical→physical map (files carry
+    * physical names under both modes), so mapped tables keep parquet
+    * row-group/page pruning; a filter with an untranslatable reference
+    * just drops from the hint — every filter stays a residual, so
+    * correctness never depends on the translation. */
   private lazy val toFileSchema: StructType => StructType =
     graft.sources.CommitLog.fileFieldRename(dir).getOrElse(identity)
   private lazy val fileRenamed: Boolean =
     graft.sources.CommitLog.fileFieldRename(dir).isDefined
+
+  /** `dataFilters` with references respelled physically for the file
+    * footers (identity for unmapped tables). */
+  private lazy val fileFilters: Array[SFilter] =
+    if (!fileRenamed) dataFilters
+    else {
+      val m = graft.sources.CommitLog.physicalPathMap(dir)
+      dataFilters.flatMap(TxLogScan.renameFilterCols(_, m))
+    }
 
   private def buildParquetFactory(requested0: StructType,
       vectorized: Boolean = true,
@@ -956,8 +1033,9 @@ class TxLogScan(dir: String, fullSchema: StructType,
     hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
       sqlConf.parquetInferTimestampNTZEnabled)
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    TxLogScan.lastFileFilters = fileFilters
     ParquetPartitionReaderFactory(sqlConf, bc, effBase, requested,
-      effPart, if (fileRenamed) Array.empty else dataFilters, None,
+      effPart, fileFilters, None,
       new ParquetOptions(options, sqlConf))
   }
 }

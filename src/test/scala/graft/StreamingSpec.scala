@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -1622,19 +1624,353 @@ class StreamingSpec extends SparkSpec {
       s"manifest bounds must stats-prune whole files, got $kept/$cand")
   }
 
-  test("foreign Iceberg tail refuses equality deletes loudly (positions cannot express them)") {
+  test("foreign Iceberg tail resolves EQUALITY deletes to positions (Flink-CDC shape)") {
     val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
     import graft.sources.{ForeignIcebergLog, IcebergLog}
-    // the eq-delete fixture is a stock metadata/-only tree — foreign
+    // the single-snapshot eq-delete fixture: the DSv2 scan must now
+    // agree row-for-row with the batch reader's anti-join survivor set
     val eqTree = IcebergLog.eqDeleteTable(s, "/root/testdata/sf0.001")
     assert(ForeignIcebergLog.isForeign(eqTree))
-    val e1 = intercept[Exception] {
-      s.read.format("graft-txlog").option("path", eqTree).load().count()
+    val dsv2 = s.read.format("graft-txlog").option("path", eqTree).load()
+    val viaIceberg = IcebergLog.snapshot(s, eqTree)
+    assert(dsv2.count() == viaIceberg.count())
+    assert(dsv2.exceptAll(viaIceberg).isEmpty &&
+      viaIceberg.exceptAll(dsv2).isEmpty,
+      "the DSv2 scan and IcebergLog.snapshot must agree on eq-deletes")
+    // multi-snapshot tree with a PURE eq-delete snapshot in the middle:
+    // b0 @ seq 1, eq-delete(event_type='error') @ seq 2, b1 @ seq 3
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_ficeberg_eqtail")
+    val out = Files.createTempDirectory("graft_ficeberg_eqtail_out").toString
+    val ckpt = Files.createTempDirectory("graft_ficeberg_eqtail_ck").toString
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
     }
-    assert(e1.getMessage != null &&
-      (e1.getMessage.contains("EQUALITY") || e1.getMessage.contains("equality")),
-      e1.getMessage)
-    // the batch Iceberg reader stays the supported path for the shape
-    assert(IcebergLog.snapshot(s, eqTree).count() > 0)
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))
+    drain() // seq 1: b0, delivered BEFORE any delete exists
+    val delivered0 = s.read.parquet(out).count()
+    val delRel = IcebergLog.writeDataFile(
+      ev.select("event_type").filter(col("event_type") === "error").limit(1),
+      root, "eqdel0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty,
+      operation = "delete", newEqDeletes = Seq(delRel),
+      equalityIds = Seq(ev.schema.fieldIndex("event_type") + 1))
+    val b1 = IcebergLog.writeDataFile(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), root, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b1))
+    val doomed = ev.filter(pmod(col("event_id"), lit(2)) === 0 &&
+      col("event_type") === "error").count()
+    assert(doomed > 0, "fixture must actually delete something")
+    drain() // seq 2 (pure eq-delete) delivers NOTHING; seq 3 adds b1
+    assert(delivered0 == ev.filter(pmod(col("event_id"), lit(2)) === 0).count())
+    assert(s.read.parquet(out).count() == ev.count(),
+      "an append stream never re-delivers or retracts over an eq-delete")
+    // snapshot read: b0's error rows vanish, b1's SURVIVE (strictly-
+    // older sequence rule — the CDC upsert semantics)
+    val snap = s.read.format("graft-txlog").option("path", root.toString).load()
+    assert(snap.count() == ev.count() - doomed)
+    assert(snap.filter(pmod(col("event_id"), lit(2)) === 0 &&
+      col("event_type") === "error").count() == 0)
+    assert(snap.filter(pmod(col("event_id"), lit(2)) === 1 &&
+      col("event_type") === "error").count() ==
+      ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+        col("event_type") === "error").count(),
+      "rows written AFTER the delete must survive it")
+    // CDF: the eq-delete snapshot's rows surface typed `delete`, with
+    // their values, read from the unchanged data file
+    val feed = s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "2").load()
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> doomed), byType.toString)
+  }
+
+  test("foreign Delta tail streams from a CHECKPOINT-COMPACTED log (seeded initial snapshot)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_fdelta_ckpt")
+    val schema = ev.schema.json
+    def land(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_fdelta_ckpt_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(land(ev.filter(col("event_id") < 300), "b0")), Seq.empty, schema)
+    DeltaLog.mirrorCommit(root, 2L,
+      Seq(land(ev.filter(col("event_id").between(300, 599)), "b1")),
+      Seq.empty, schema)
+    // compact and AGE OUT the JSON prefix — the production table shape
+    DeltaLog.checkpoint(s, root.toString)
+    Seq(0L, 1L).foreach(v => Files.delete(
+      root.resolve("_delta_log").resolve(f"$v%020d.json")))
+    val out = Files.createTempDirectory("graft_fdelta_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_fdelta_ckpt_ck").toString
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain() // the checkpoint-SEEDED snapshot is the first batch
+    assert(s.read.parquet(out).count() == 600L,
+      "the seeded initial snapshot must deliver the pre-checkpoint state")
+    // a fresh per-version replay into the aged prefix refuses LOUDLY
+    val e = intercept[Exception] {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .option("startingVersion", "2").load()
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory("graft_fdelta_ckpt_ref").toString)
+        .option("path", Files.createTempDirectory("graft_fdelta_ckpt_refo").toString)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("genuinely gone"), msgs)
+    // a post-compaction commit lands; the resumed stream reads ONLY it
+    DeltaLog.mirrorCommit(root, 3L,
+      Seq(land(ev.filter(col("event_id") >= 600), "b2")), Seq.empty, schema)
+    drain()
+    assert(s.read.parquet(out).count() == ev.count())
+    // batch DSv2 read folds checkpoint seed + JSON tail like the replay
+    val dsv2 = s.read.format("graft-txlog").option("path", root.toString).load()
+    val viaLog = DeltaLog.snapshot(s, root.toString)
+    assert(dsv2.exceptAll(viaLog).isEmpty && viaLog.exceptAll(dsv2).isEmpty,
+      "DSv2 and DeltaLog.snapshot must agree on a compacted foreign log")
+  }
+
+  test("foreign Delta tail: a pre-compaction stream checkpoint RESUMES across the boundary") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_fdelta_ckres")
+    val schema = ev.schema.json
+    def land(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_fdelta_ckres_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(land(ev.filter(col("event_id") < 300), "b0")), Seq.empty, schema)
+    DeltaLog.mirrorCommit(root, 2L,
+      Seq(land(ev.filter(col("event_id").between(300, 599)), "b1")),
+      Seq.empty, schema)
+    val out = Files.createTempDirectory("graft_fdelta_ckres_out").toString
+    val ckpt = Files.createTempDirectory("graft_fdelta_ckres_ck").toString
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain() // offset 2, saved while the full JSON history still existed
+    // a third commit lands, THEN the log compacts and ages its prefix
+    DeltaLog.mirrorCommit(root, 3L,
+      Seq(land(ev.filter(col("event_id") >= 600), "b2")), Seq.empty, schema)
+    DeltaLog.checkpoint(s, root.toString) // at delta 2
+    Seq(0L, 1L).foreach(v => Files.delete(
+      root.resolve("_delta_log").resolve(f"$v%020d.json")))
+    drain() // resumes at offset 2: reads ONLY retained JSON commit 2
+    assert(s.read.parquet(out).count() == ev.count(),
+      "the resumed stream must cross the compaction without re-delivery")
+  }
+
+  test("foreign Delta tail streams column-mapped PARTITIONED tables (physical segments)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+      .filter(col("event_id") < 300)
+      .withColumn("bucket", pmod(col("event_id"), lit(3)))
+    val root = Files.createTempDirectory("graft_fdelta_mpart")
+    // three hive-partition files under the ORIGINAL (soon physical) name
+    val landed = (0 to 2).map { b =>
+      val tmp = Files.createTempDirectory(s"graft_fdelta_mpart_$b")
+      ev.filter(col("bucket") === b).drop("bucket")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.createDirectories(root.resolve(s"bucket=$b"))
+      val rel = s"bucket=$b/f$b.parquet"
+      Files.move(part, root.resolve(rel))
+      rel
+    }
+    DeltaLog.mirrorCommit(root, 1L, landed, Seq.empty, ev.schema.json)
+    // RENAMES upgrade to column mapping: a data column AND the
+    // partition column go logical; dirs stay physical (`bucket=`)
+    DeltaLog.renameColumn(s, root.toString, "value", "amount")
+    DeltaLog.renameColumn(s, root.toString, "bucket", "pocket")
+    // batch DSv2 read presents logical names with partition attach
+    val dsv2 = s.read.format("graft-txlog").option("path", root.toString).load()
+    assert(dsv2.columns.contains("amount") && dsv2.columns.contains("pocket"))
+    assert(dsv2.filter(col("pocket") =!= pmod(col("event_id"), lit(3))).isEmpty,
+      "physical segments must resolve under the renamed logical name")
+    val viaLog = DeltaLog.snapshot(s, root.toString)
+    assert(dsv2.exceptAll(viaLog).isEmpty && viaLog.exceptAll(dsv2).isEmpty,
+      "the DSv2 scan and DeltaLog.snapshot must agree, mapped+partitioned")
+    // and the STREAM tails it row-identically
+    val out = Files.createTempDirectory("graft_fdelta_mpart_out").toString
+    graft.streaming.TxLogScan.lastStreamPrune = None
+    val q = s.readStream.format("graft-txlog").option("path", root.toString)
+      .option("filterExpr", "pocket = 1").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_fdelta_mpart_ck").toString)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    val streamed = s.read.parquet(out)
+    assert(streamed.columns.contains("amount") && streamed.columns.contains("pocket"))
+    // partition PRUNING plan-asserted: only pocket=1's file survives
+    val (cand, kept) = graft.streaming.TxLogScan.lastStreamPrune
+      .getOrElse(fail("no prune tally — partition values never consulted"))
+    assert(cand == 3 && kept == 1,
+      s"partition pruning must keep exactly the matching dir, got $kept/$cand")
+    assert(streamed.filter(col("pocket") === 1).count() ==
+      ev.filter(col("bucket") === 1).count(),
+      "the streamed partition must arrive complete")
+  }
+
+  test("pushed filters reach mapped files under PHYSICAL names (row-group pruning keeps working)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+      .filter(col("event_id") < 300)
+    val root = Files.createTempDirectory("graft_fdelta_physfilter")
+    val tmp = Files.createTempDirectory("graft_fdelta_physfilter_b0")
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, root.resolve("b0.parquet"))
+    DeltaLog.mirrorCommit(root, 1L, Seq("b0.parquet"), Seq.empty, ev.schema.json)
+    // rename upgrades to name-mode mapping: physical stays "value"
+    DeltaLog.renameColumn(s, root.toString, "value", "amount")
+    graft.streaming.TxLogScan.lastFileFilters = Array.empty
+    val got = s.read.format("graft-txlog").option("path", root.toString)
+      .load().filter(col("amount") > 50.0)
+    val expected = ev.filter(col("value") > 50.0)
+    assert(got.count() == expected.count(),
+      "translated filters must not change the row set (residual exact)")
+    val pushed = graft.streaming.TxLogScan.lastFileFilters
+    assert(pushed.nonEmpty, "the mapped scan must still push parquet filters")
+    assert(pushed.forall(_.references.forall(r =>
+        r == "value" || !r.contains("amount"))),
+      s"pushed filters must carry PHYSICAL names, got ${pushed.mkString(", ")}")
+    assert(pushed.exists(_.references.contains("value")),
+      s"the amount predicate must respell as value, got ${pushed.mkString(", ")}")
+  }
+
+  test("startingTimestamp resolves to the first commit at-or-after and twins startingVersion") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.{DeltaLog, IcebergLog}
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    // FOREIGN Delta fixture with EXPLICIT commit times (deterministic)
+    val root = Files.createTempDirectory("graft_startts")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_startts_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    val schema = ev.schema.json
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(land(ev.filter(col("event_id") < 300), "b0")), Seq.empty, schema,
+      commitTime = Some(1000L))
+    DeltaLog.mirrorCommit(root, 2L,
+      Seq(land(ev.filter(col("event_id").between(300, 599)), "b1")),
+      Seq.empty, schema, commitTime = Some(2000L))
+    DeltaLog.mirrorCommit(root, 3L,
+      Seq(land(ev.filter(col("event_id") >= 600), "b2")), Seq.empty, schema,
+      commitTime = Some(3000L))
+    def drainWith(opts: Map[String, String]): Long = {
+      val out = Files.createTempDirectory("graft_startts_out").toString
+      var r = s.readStream.format("graft-txlog").option("path", root.toString)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load()
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory("graft_startts_ck").toString)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+      // a zero-batch drain leaves no parquet files at all — count by
+      // listing (read.parquet on an empty dir cannot infer a schema)
+      val files = Files.list(java.nio.file.Paths.get(out)).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      if (files.isEmpty) 0L
+      else s.read.parquet(out).count()
+    }
+    // 2500 ms falls between commits 2 and 3 → first commit at-or-after
+    // is delta 2 (graft 3): exactly the startingVersion=3 twin
+    val byTs = drainWith(Map("startingTimestamp" -> "2500"))
+    val byV = drainWith(Map("startingVersion" -> "3"))
+    assert(byTs == byV && byTs == ev.filter(col("event_id") >= 600).count(),
+      s"timestamp start must twin the version start: $byTs vs $byV")
+    // an EXACT commit-time hit is INCLUSIVE ("at or after")
+    assert(drainWith(Map("startingTimestamp" -> "2000")) ==
+      ev.filter(col("event_id") >= 300).count())
+    // a future timestamp starts empty and tails what lands next
+    assert(drainWith(Map("startingTimestamp" -> "99999")) == 0L)
+    // mutually exclusive with startingVersion
+    val e = intercept[Exception] {
+      drainWith(Map("startingTimestamp" -> "2500", "startingVersion" -> "2"))
+    }
+    val emsgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(emsgs.contains("mutually exclusive"), emsgs)
+    // Iceberg backend: snapshot-log timestamps resolve the same way
+    // (appendForeignSnapshot stamps 1700000000000 + id*60000)
+    val iroot = Files.createTempDirectory("graft_startts_ice")
+    val i0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 500), iroot, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(iroot, ev.schema, Seq(i0))
+    val i1 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") >= 500), iroot, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(iroot, ev.schema, Seq(i1))
+    val iout = Files.createTempDirectory("graft_startts_iout").toString
+    val qi = s.readStream.format("graft-txlog").option("path", iroot.toString)
+      .option("startingTimestamp", (1700000000000L + 90000L).toString).load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_startts_ick").toString)
+      .option("path", iout)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    qi.awaitTermination(120000)
+    qi.exception.foreach(throw _)
+    assert(s.read.parquet(iout).count() ==
+      ev.filter(col("event_id") >= 500).count(),
+      "the Iceberg backend must resolve startingTimestamp off its snapshot-log")
   }
 }

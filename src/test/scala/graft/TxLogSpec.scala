@@ -1751,6 +1751,52 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("unreachable"), e.getMessage)
   }
 
+  test("by-source merges rewrite ONLY touched files (discovery pass), inserts see untouched keys") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.{CommitLog, TxLog => TL}
+    import graft.sources.TxLog.{MatchedUpdate, NotMatchedInsert,
+      NotMatchedBySourceDelete}
+    val ev = events
+    val t = freshTable()
+    // 8 range files: the clauses below touch only the low id bands, so
+    // the high-band files must SURVIVE IN PLACE (never rewritten)
+    TxLog.commitAppend(ev.repartitionByRange(8, col("event_id")), t) // v1
+    val live1 = CommitLog.liveRelsAt(t, 1L).toSet
+    assert(live1.size == 8)
+    // source: updates for 100..150, PLUS key 700 (matched, but no
+    // clause accepts it — its file must stay untouched) and key 2000
+    // (genuinely new — must insert), PLUS a by-source delete band
+    val source = ev.filter(col("event_id").between(100, 150) ||
+        col("event_id") === 700)
+      .unionByName(ev.filter(col("event_id") === 1).withColumn(
+        "event_id", lit(2000L)))
+    val res = TL.mergeIntoClauses(s, t, source, Seq("event_id"), Seq(
+      MatchedUpdate(Map("value" -> (col("t.value") * 2)),
+        Some(col("s.event_id").between(100, 150))),
+      NotMatchedInsert(None),
+      NotMatchedBySourceDelete(Some(col("t.event_id").between(200, 220)))))
+    val live2 = CommitLog.liveRelsAt(t, res.version).toSet
+    val kept = live1.intersect(live2)
+    assert(res.filesRewritten > 0 && res.filesRewritten < live1.size,
+      s"discovery must rewrite a strict subset: $res")
+    assert(kept.nonEmpty && live1.size - kept.size == res.filesRewritten,
+      s"untouched files must survive the rewrite in place: " +
+        s"kept ${kept.size} of ${live1.size}, rewrote ${res.filesRewritten}")
+    val snap = TL.snapshot(s, t)
+    // correctness unchanged by the narrowing
+    assert(snap.filter(col("event_id") === 700).count() == 1,
+      "a source key living in an UNTOUCHED file is matched, never inserted")
+    assert(snap.filter(col("event_id") === 2000).count() == 1,
+      "a genuinely new key still inserts")
+    assert(snap.filter(col("event_id").between(200, 220)).count() == 0)
+    assert(snap.filter(col("event_id").between(100, 150))
+      .join(ev.filter(col("event_id").between(100, 150))
+        .select(col("event_id"), (col("value") * 2).as("v2")), "event_id")
+      .filter(col("value") =!= col("v2")).count() == 0)
+    assert(snap.count() == ev.count() - 21 + 1)
+  }
+
   test("clause MERGE accepts a PARTIAL-WIDTH source: inserts null-fill target-only columns, CDF included") {
     val s = spark
     import org.apache.spark.sql.functions._
