@@ -1759,6 +1759,48 @@ class StreamingSpec extends SparkSpec {
       "DSv2 and DeltaLog.snapshot must agree on a compacted foreign log")
   }
 
+  test("checkpoint seeding reads MULTI-PART and V2 checkpoint formats too") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    for ((label, parts, v2) <- Seq(("multipart", Some(3), false),
+        ("v2", None, true))) {
+      val root = Files.createTempDirectory(s"graft_fdelta_ck$label")
+      def land(df: org.apache.spark.sql.DataFrame, name: String): String = {
+        val tmp = Files.createTempDirectory(s"graft_fdelta_ck${label}_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, root.resolve(s"$name.parquet"))
+        s"$name.parquet"
+      }
+      DeltaLog.mirrorCommit(root, 1L,
+        Seq(land(ev.filter(col("event_id") < 300), "b0")), Seq.empty,
+        ev.schema.json)
+      DeltaLog.mirrorCommit(root, 2L,
+        Seq(land(ev.filter(col("event_id") >= 300), "b1")), Seq.empty,
+        ev.schema.json)
+      DeltaLog.checkpoint(s, root.toString, parts = parts, v2 = v2)
+      Seq(0L, 1L).foreach(v => Files.delete(
+        root.resolve("_delta_log").resolve(f"$v%020d.json")))
+      val dsv2 = s.read.format("graft-txlog").option("path", root.toString).load()
+      assert(dsv2.count() == ev.count(), s"$label-seeded batch read")
+      val out = Files.createTempDirectory(s"graft_fdelta_ck${label}_out").toString
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory(s"graft_fdelta_ck${label}_ck").toString)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+      assert(s.read.parquet(out).count() == ev.count(),
+        s"$label-seeded stream must deliver the full snapshot")
+    }
+  }
+
   test("foreign Delta tail: a pre-compaction stream checkpoint RESUMES across the boundary") {
     val s = spark
     import org.apache.spark.sql.functions._
