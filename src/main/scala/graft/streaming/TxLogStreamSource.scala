@@ -54,11 +54,15 @@ import graft.sources.{CommitLog, TxLog}
   * (the other stock spelling: the first version committed at or after
   * the timestamp, resolved per backend — Delta commit clocks,
   * ICT-aware, or the Iceberg snapshot-log), `skipChangeCommits`
-  * (skip non-append commits instead of failing), `maxVersionsPerTrigger`
-  * (admission control: ≤ N commit versions per micro-batch),
+  * (skip non-append commits instead of failing; legacy spellings
+  * `ignoreDeletes` / `ignoreChanges` keep their stock migration
+  * semantics — see [[ChangePolicy]]), `maxVersionsPerTrigger` and/or
+  * `maxFilesPerTrigger` (admission control: ≤ N commit versions / ≤ N
+  * added files per micro-batch, whole versions, composable),
   * `readChangeFeed` (emit `_change_type`/`_commit_version` CDF columns;
-  * see [[TxLogScan]]), and the STREAMING-PRUNING pair `columns` /
-  * `filterExpr` (below).
+  * see [[TxLogScan]]; batch CDF reads also take `startingTimestamp` /
+  * `endingTimestamp` bounds), and the STREAMING-PRUNING pair
+  * `columns` / `filterExpr` (below).
   *
   * Streaming pruning: Spark applies DSv2 operator pushdown to BATCH
   * scans only — a long-running tail of a wide table would read every
@@ -610,10 +614,21 @@ class TxLogScan(dir: String, fullSchema: StructType,
     }
     require(byV.isEmpty || byTs.isEmpty, "graft-txlog: startingVersion " +
       "and startingTimestamp are mutually exclusive")
-    new TxLogMicroBatchStream(this, dir,
-      byV.orElse(byTs).getOrElse(0L),
+    val policy = ChangePolicy(
       opt("skipChangeCommits").exists(_.toBoolean),
-      opt("maxVersionsPerTrigger").map(_.toLong), cdf)
+      opt("ignoreDeletes").exists(_.toBoolean),
+      opt("ignoreChanges").exists(_.toBoolean))
+    // the legacy spellings are APPEND-stream semantics (skip / re-
+    // deliver); a change feed types every row instead — only
+    // skipChangeCommits composes with it (skip = deliver nothing)
+    require(!cdf || (!policy.ignoreDeletes && !policy.ignoreChanges),
+      "graft-txlog: ignoreDeletes/ignoreChanges do not combine with " +
+        "readChangeFeed — the feed types change rows; use " +
+        "skipChangeCommits to skip change commits entirely")
+    new TxLogMicroBatchStream(this, dir,
+      byV.orElse(byTs).getOrElse(0L), policy,
+      opt("maxVersionsPerTrigger").map(_.toLong),
+      opt("maxFilesPerTrigger").map(_.toLong), cdf)
   }
 
   override def toBatch: Batch = new Batch {
@@ -633,14 +648,32 @@ class TxLogScan(dir: String, fullSchema: StructType,
       if (cdf) {
         val skip = opt("skipChangeCommits").exists(_.toBoolean)
         // `startingVersion` / `endingVersion` (both inclusive, stock
-        // Delta) bound the batch replay; one forward manifest pass
-        // inside — manifests are cumulative, a per-version delta helper
-        // would read each twice. Merge-on-read commits surface as
-        // labeled synthetic partitions (the DV-diff synthesis
-        // TxLog.changeFeed does, on the DSv2 executor read path).
+        // Delta) bound the batch replay — or their TIMESTAMP spellings
+        // `startingTimestamp` (first commit at or after) /
+        // `endingTimestamp` (newest commit at or before), resolved
+        // through the same backend clocks as the stream and time
+        // travel. One forward manifest pass inside — manifests are
+        // cumulative, a per-version delta helper would read each
+        // twice. Merge-on-read commits surface as labeled synthetic
+        // partitions (the DV-diff synthesis TxLog.changeFeed does, on
+        // the DSv2 executor read path).
+        def tsMillis(raw: String): Long = raw.trim.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(raw.trim).getTime)
+        require(opt("startingVersion").isEmpty ||
+          opt("startingTimestamp").isEmpty, "graft-txlog: startingVersion " +
+          "and startingTimestamp are mutually exclusive")
+        require(opt("endingVersion").isEmpty ||
+          opt("endingTimestamp").isEmpty, "graft-txlog: endingVersion " +
+          "and endingTimestamp are mutually exclusive")
         val fromV = math.max(1L,
-          opt("startingVersion").map(_.toLong).getOrElse(1L))
-        val toV = opt("endingVersion").map(_.toLong).getOrElse(cur)
+          opt("startingVersion").map(_.toLong)
+            .orElse(opt("startingTimestamp").map(raw =>
+              CommitLog.versionAtOrAfter(dir, tsMillis(raw))))
+            .getOrElse(1L))
+        val toV = opt("endingVersion").map(_.toLong)
+          .orElse(opt("endingTimestamp").map(raw =>
+            CommitLog.versionAsOf(dir, tsMillis(raw))))
+          .getOrElse(cur)
         require(toV >= fromV && toV <= cur, s"graft-txlog: endingVersion " +
           s"$toV outside the range $fromV..$cur of $dir")
         return planCdfVersions(fromV, toV, skip)
@@ -665,25 +698,34 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * manifest's own `#op` header (written atomically WITH the commit)
     * answers instantly; manifests from pre-`#op` writers fall back to
     * one Delta-mirror read and classify conservatively as a data
-    * change when both are silent (`skipChangeCommits` recovers). */
+    * change when both are silent (the change policy recovers). */
   private[streaming] def classifiedAddsOf(v: Long,
-      skipChangeCommits: Boolean): Seq[String] = {
+      policy: ChangePolicy): Seq[String] = {
     val (added, removed) = CommitLog.commitDelta(dir, v)
-    classify(v, added, removed.nonEmpty, skipChangeCommits)
+    classify(v, added, removed.nonEmpty, policy)
   }
 
   private def classify(v: Long, added: Seq[String], removedAny: Boolean,
-      skipChangeCommits: Boolean): Seq[String] = {
+      policy: ChangePolicy): Seq[String] = {
     if (!removedAny) return added
     val table = Paths.get(dir)
     val bytesOnly = CommitLog.manifestOp(table, v).map(!_._2)
       .orElse(graft.sources.DeltaLog.isBytesOnlyCommit(table, v))
     if (bytesOnly.contains(true)) Seq.empty // OPTIMIZE/REORG: rows already delivered
-    else if (skipChangeCommits) Seq.empty
+    else if (policy.skipChangeCommits) Seq.empty
+    // stock Delta's LEGACY spellings, kept for migration parity:
+    //  - ignoreChanges: deliver the change commit's NEW files anyway —
+    //    documented at-least-once (surviving rows re-deliver; the
+    //    consumer dedups downstream). Subsumes ignoreDeletes.
+    //  - ignoreDeletes: skip commits that ONLY remove (partition-drop
+    //    shape); rewrites that also add still fail loudly.
+    else if (policy.ignoreChanges) added
+    else if (policy.ignoreDeletes && added.isEmpty) Seq.empty
     else sys.error(s"graft-txlog: version $v of $dir removed files — a " +
       "DELETE/UPDATE/MERGE rewrite cannot stream as an append (its " +
       "surviving rows were already delivered). Set " +
-      ".option(\"skipChangeCommits\",\"true\") to skip such commits.")
+      ".option(\"skipChangeCommits\",\"true\") to skip such commits " +
+      "(or the legacy ignoreDeletes/ignoreChanges spellings).")
   }
 
   /** Resolve (version, manifest-relative files) to [[FilePartition]]s:
@@ -897,7 +939,8 @@ class TxLogScan(dir: String, fullSchema: StructType,
           }
         }
         else {
-          val cls = classify(v, added, removedAny, skipChangeCommits)
+          val cls = classify(v, added, removedAny,
+            ChangePolicy(skipChangeCommits, false, false))
           if (cls.nonEmpty) { plain += ((v, cls)); plainType(v) = "insert" }
         }
         dvPrev = dvNow
@@ -1163,6 +1206,15 @@ private[streaming] class CdfReaderFactory(
   * it through (and pins it under the AvailableNow protocol). */
 case class MaxVersions(maxVersions: Long) extends ReadLimit
 
+/** How an append stream treats a CHANGE commit (a version that removed
+  * files): `skipChangeCommits` (the current stock option — skip every
+  * change shape), plus Delta's LEGACY migration spellings
+  * `ignoreDeletes` (skip remove-only commits, fail on rewrites) and
+  * `ignoreChanges` (deliver the commit's new files — documented
+  * at-least-once re-delivery). */
+private[streaming] case class ChangePolicy(skipChangeCommits: Boolean,
+    ignoreDeletes: Boolean, ignoreChanges: Boolean)
+
 /** CDF partition for one version's NEWLY-HIDDEN rows (a merge-on-read
   * DELETE/UPDATE): the single data file reads through the row-index
   * parquet path KEEPING exactly the ordinals in `bitmap` (the
@@ -1183,8 +1235,9 @@ private[streaming] case class CdfCdcPartition(file: PartitionedFile)
     extends InputPartition
 
 class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
-    startingVersion: Long, skipChangeCommits: Boolean,
-    maxVersionsPerTrigger: Option[Long], cdf: Boolean)
+    startingVersion: Long, policy: ChangePolicy,
+    maxVersionsPerTrigger: Option[Long],
+    maxFilesPerTrigger: Option[Long], cdf: Boolean)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -1207,8 +1260,16 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(MaxVersions(_)).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits: Seq[ReadLimit] =
+      maxVersionsPerTrigger.map(MaxVersions(_)).toSeq ++
+        maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n.toInt)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** AvailableNow pin: versions committed AFTER prepare wait for the
     * next run — the trigger's exact contract. */
@@ -1221,22 +1282,44 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     CommitLog.currentVersion(dir).map(LongOffset(_)).orNull
 
   /** Admission control: advance at most `maxVersionsPerTrigger`
-    * commits per batch, clamped to the AvailableNow pin when one is
-    * set. Null = no new data (the engine's idle signal). */
+    * commits and/or `maxFilesPerTrigger` added files per batch (whole
+    * versions only — offsets are commit versions; the first admitted
+    * version always fits, so a single over-wide commit cannot stall
+    * the stream), clamped to the AvailableNow pin when one is set.
+    * Composite limits take the most restrictive target. Null = no new
+    * data (the engine's idle signal). */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val startV = Option(startOffset).map(ver).getOrElse(baseV)
     val cur = CommitLog.currentVersion(dir).getOrElse(return null)
     val capped = availableNowCap.fold(cur)(math.min(cur, _))
     val base = math.max(startV, baseV)
-    val target = limit match {
+    def targetFor(l: ReadLimit): Long = l match {
       case MaxVersions(n) => math.min(capped, base + n)
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        // whole-version admission by cumulative added-file counts —
+        // driver metadata from the cached commit parses. Counts of
+        // history aged into a checkpoint read as 0: the seeded
+        // snapshot delivers as one batch regardless.
+        var v = base
+        var files = 0L
+        var stop = false
+        while (!stop && v < capped) {
+          val n = scala.util.Try(
+            CommitLog.commitDelta(dir, v + 1)._1.size).getOrElse(0)
+          if (v > base && files + n > mf.maxFiles()) stop = true
+          else { v += 1; files += n }
+        }
+        v
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.map(targetFor).min
       case _ => capped
     }
+    val target = targetFor(limit)
     if (target <= base) null else LongOffset(target)
   }
 
   private def addedOf(v: Long): Seq[String] =
-    scan.classifiedAddsOf(v, skipChangeCommits)
+    scan.classifiedAddsOf(v, policy)
 
   /** The versions in `(start, end]` as file lists. A fresh stream from
     * the table's origin reads the END version's manifest as ONE
@@ -1249,7 +1332,8 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     // non-CDF streams hide DV'd rows natively (read-start DV state, see
     // TxLogScan.dvByAbs); the CDF form replays merge-on-read commits as
     // labeled synthetic partitions (DV-diff synthesis)
-    if (cdf) return scan.planCdfVersions(fromV + 1, toV, skipChangeCommits)
+    if (cdf) return scan.planCdfVersions(fromV + 1, toV,
+      policy.skipChangeCommits)
     val versioned =
       if (fromV <= 0) Seq((toV, CommitLog.liveRelsAt(dir, toV)))
       else ((fromV + 1) to toV).map(v => (v, addedOf(v)))

@@ -1931,6 +1931,192 @@ class StreamingSpec extends SparkSpec {
       s"the amount predicate must respell as value, got ${pushed.mkString(", ")}")
   }
 
+  test("maxFilesPerTrigger admits whole versions by cumulative file count (composes with maxVersions)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_maxfiles_tbl").toString
+    // three single-file commits
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id") < 300).coalesce(1), tbl)
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id").between(300, 599)).coalesce(1), tbl)
+    graft.sources.TxLog.commitAppend(
+      ev.filter(col("event_id") >= 600).coalesce(1), tbl)
+    def batches(opts: Map[String, String]): (Int, Long) = {
+      val out = Files.createTempDirectory("graft_maxfiles_out").toString
+      val ck = Files.createTempDirectory("graft_maxfiles_ck")
+      var r = s.readStream.format("graft-txlog").option("path", tbl)
+        .option("startingVersion", "1")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load()
+        .writeStream.option("checkpointLocation", ck.toString)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+      val n = Files.list(ck.resolve("offsets")).iterator.asScala
+        .count(!_.getFileName.toString.startsWith("."))
+      (n, s.read.parquet(out).count())
+    }
+    // 2 files admit per batch: versions (1,2) then (3) — 2 batches
+    val (b2, rows2) = batches(Map("maxFilesPerTrigger" -> "2"))
+    assert(rows2 == ev.count())
+    assert(b2 == 2, s"maxFilesPerTrigger=2 over 3 single-file commits " +
+      s"must take 2 batches, took $b2")
+    // composite: maxVersions=1 is more restrictive — 3 batches
+    val (b3, rows3) = batches(Map("maxFilesPerTrigger" -> "2",
+      "maxVersionsPerTrigger" -> "1"))
+    assert(rows3 == ev.count() && b3 == 3,
+      s"the composite limit must take the most restrictive target: $b3")
+    // a single over-wide commit cannot stall: maxFiles=1 still drains
+    val (b1, rows1) = batches(Map("maxFilesPerTrigger" -> "1"))
+    assert(rows1 == ev.count() && b1 == 3, s"$b1")
+  }
+
+  test("legacy ignoreDeletes skips remove-only commits; ignoreChanges re-delivers rewrites") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_legacyopts")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_legacyopts_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    val schema = ev.schema.json
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(land(ev.filter(col("event_id") < 300), "b0")), Seq.empty, schema)
+    DeltaLog.mirrorCommit(root, 2L,
+      Seq(land(ev.filter(col("event_id") >= 300), "b1")), Seq.empty, schema)
+    def drain(opts: Map[String, String], out: String, ck: String): Unit = {
+      var r = s.readStream.format("graft-txlog").option("path", root.toString)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load()
+        .writeStream.option("checkpointLocation", ck).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    val out = Files.createTempDirectory("graft_legacyopts_out").toString
+    val ck = Files.createTempDirectory("graft_legacyopts_ck").toString
+    drain(Map("ignoreDeletes" -> "true"), out, ck)
+    assert(s.read.parquet(out).count() == ev.count())
+    // delta commit 2: a REMOVE-ONLY commit (the partition-drop shape)
+    DeltaLog.mirrorCommit(root, 3L, Seq.empty, Seq("b1.parquet"), schema,
+      operation = "DELETE")
+    drain(Map("ignoreDeletes" -> "true"), out, ck) // skips, no error
+    assert(s.read.parquet(out).count() == ev.count(),
+      "ignoreDeletes must skip a remove-only commit silently")
+    // without the option the same replay FAILS loudly (per-version
+    // start — a fresh default stream would take the snapshot shortcut)
+    val out2 = Files.createTempDirectory("graft_legacyopts_out2").toString
+    val e = intercept[Exception] {
+      drain(Map("startingVersion" -> "3"), out2,
+        Files.createTempDirectory("graft_legacyopts_ck2").toString)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("removed files"), msgs)
+    // delta commit 3: a REWRITE (remove b0, add its surviving band) —
+    // ignoreDeletes still refuses, ignoreChanges RE-DELIVERS the adds
+    DeltaLog.mirrorCommit(root, 4L,
+      Seq(land(ev.filter(col("event_id") < 200), "b0r")),
+      Seq("b0.parquet"), schema, operation = "DELETE")
+    val e2 = intercept[Exception] {
+      drain(Map("ignoreDeletes" -> "true"), out, ck)
+    }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs2.contains("removed files"), msgs2)
+    val ck3 = Files.createTempDirectory("graft_legacyopts_ck3").toString
+    val out3 = Files.createTempDirectory("graft_legacyopts_out3").toString
+    drain(Map("ignoreChanges" -> "true"), out3, ck3) // fresh: snapshot
+    val snapRows = s.read.parquet(out3).count()
+    assert(snapRows == ev.filter(col("event_id") < 200).count(),
+      "fresh ignoreChanges stream delivers the current snapshot")
+    // resume the ORIGINAL checkpoint with ignoreChanges: the rewrite's
+    // new file re-delivers (documented at-least-once)
+    drain(Map("ignoreChanges" -> "true"), out, ck)
+    assert(s.read.parquet(out).count() ==
+      ev.count() + ev.filter(col("event_id") < 200).count(),
+      "ignoreChanges must re-deliver the rewrite's added files")
+  }
+
+  test("CDF reads take timestamp bounds; CDF streams work over compacted foreign logs") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_cdfts")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_cdfts_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    val schema = ev.schema.json
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(land(ev.filter(col("event_id") < 250), "b0")), Seq.empty, schema,
+      commitTime = Some(1000L))
+    DeltaLog.mirrorCommit(root, 2L,
+      Seq(land(ev.filter(col("event_id").between(250, 499)), "b1")),
+      Seq.empty, schema, commitTime = Some(2000L))
+    DeltaLog.checkpoint(s, root.toString) // at delta 1 (graft 2)
+    DeltaLog.mirrorCommit(root, 3L,
+      Seq(land(ev.filter(col("event_id").between(500, 749)), "b2")),
+      Seq.empty, schema, commitTime = Some(3000L))
+    DeltaLog.mirrorCommit(root, 4L,
+      Seq(land(ev.filter(col("event_id") >= 750), "b3")), Seq.empty, schema,
+      commitTime = Some(4000L))
+    def rd = s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true")
+    // timestamp bounds twin the version bounds
+    val byTs = rd.option("startingTimestamp", "2500")
+      .option("endingTimestamp", "3500").load()
+    val byV = rd.option("startingVersion", "3")
+      .option("endingVersion", "3").load()
+    assert(byTs.exceptAll(byV).isEmpty && byV.exceptAll(byTs).isEmpty,
+      "CDF timestamp bounds must twin the version bounds")
+    assert(byTs.count() == ev.filter(col("event_id").between(500, 749)).count())
+    val ex = intercept[Exception] {
+      rd.option("startingTimestamp", "1500").option("startingVersion", "2")
+        .load().count()
+    }
+    val exm = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(exm.contains("mutually exclusive"), exm)
+    // age the pre-checkpoint prefix: a CDF STREAM from the first
+    // retained startingVersion still replays — the DV fold's prior
+    // state (start-1 = graft 2) comes from the checkpoint SEED exactly
+    // at the boundary
+    Seq(0L, 1L).foreach(v => Files.delete(
+      root.resolve("_delta_log").resolve(f"$v%020d.json")))
+    val out = Files.createTempDirectory("graft_cdfts_out").toString
+    val q = s.readStream.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true").option("startingVersion", "3").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_cdfts_ck").toString)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    val streamed = s.read.parquet(out)
+    assert(streamed.count() == ev.filter(col("event_id") >= 500).count(),
+      "the compacted-log CDF stream must replay the retained versions")
+    assert(streamed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
   test("startingTimestamp resolves to the first commit at-or-after and twins startingVersion") {
     val s = spark
     import org.apache.spark.sql.functions._
