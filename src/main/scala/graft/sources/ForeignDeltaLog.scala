@@ -161,22 +161,30 @@ object ForeignDeltaLog {
   private val seedCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seed]()
 
-  /** The fold's starting state. None when JSON history from commit 0
-    * is retained (the fold starts empty, the original shape); a Seed
-    * when the prefix was compacted away — the newest checkpoint whose
-    * JSON tail is contiguous behind the retained head. Loud when the
-    * prefix is gone AND no checkpoint can bridge the gap: that table
-    * state is unreconstructable by any reader. */
-  private def seedOf(dir: String): Option[Seed] = {
+  /** The fold's starting state FOR A READ AT VERSION `v`. None when
+    * JSON history from commit 0 is retained (the fold starts empty,
+    * the original shape); a Seed when the prefix was compacted away —
+    * the newest checkpoint AT OR BELOW `v` whose JSON tail is
+    * contiguous behind the retained head (multi-checkpoint logs pick
+    * per request: a retained-JSON version BELOW the newest checkpoint
+    * must still read through an OLDER checkpoint that bridges it).
+    * Loud when the prefix is gone AND no checkpoint can bridge the
+    * gap for `v`: that table state is unreconstructable by any
+    * reader. */
+  private def seedFor(dir: String, v: Long): Option[Seed] = {
     val vs = DeltaLog.versions(dir)
     if (vs.headOption.contains(0L)) return None
     val table = Paths.get(dir)
     val cps = DeltaLog.checkpointVersionsIn(table)
     if (vs.isEmpty && cps.isEmpty) return None
-    val cpV = cps.filter(c => vs.headOption.forall(_ <= c + 1)).maxOption
-      .getOrElse(sys.error(s"$dir: the Delta log's JSON prefix was aged " +
-        s"out and no checkpoint at or after version ${vs.head - 1} " +
-        "exists — the pre-gap history is unreconstructable"))
+    // usable for v: state at graft c+1 ≤ v, and the JSON fold c+2..v
+    // (delta c+1..v-1) lies inside the retained head (contiguity of
+    // the retained range itself is enforced per-commit at parse)
+    val cpV = cps.filter(c => c + 1 <= v && vs.headOption.forall(_ <= c + 1))
+      .maxOption
+      .getOrElse(sys.error(s"$dir: version $v predates the retained " +
+        "history — its JSON was aged out and no checkpoint at or below " +
+        "it survives; that state is genuinely gone"))
     Some(seedCache.computeIfAbsent((table.toAbsolutePath.toString, cpV), { _ =>
       val spark = SparkSession.getActiveSession.getOrElse(
         sys.error("graft-txlog: no active SparkSession"))
@@ -197,18 +205,10 @@ object ForeignDeltaLog {
     }))
   }
 
-  /** First graft version the JSON fold covers, given the seed; a
-    * request BELOW the seed's own version is genuinely gone. */
-  private def foldFloor(dir: String, v: Long, seed: Option[Seed]): Long =
-    seed match {
-      case Some(s) =>
-        if (v < s.graftV)
-          sys.error(s"$dir: version $v predates the retained history — " +
-            s"the newest checkpoint reconstructs version ${s.graftV} and " +
-            "later only")
-        s.graftV + 1
-      case None => 1L
-    }
+  /** First graft version the JSON fold covers, given the per-version
+    * seed ([[seedFor]] already refused an unreconstructable `v`). */
+  private def foldFloor(seed: Option[Seed]): Long =
+    seed.map(_.graftV + 1).getOrElse(1L)
 
   /** dataChange adds/removes of one version — what [[TxLog.commitDelta]]
     * answers from consecutive manifests, with the spec's intra-version
@@ -241,8 +241,8 @@ object ForeignDeltaLog {
     * On a compacted log the fold starts from the checkpoint seed's
     * live set instead of empty. */
   def liveRelsAt(dir: String, v: Long): Seq[String] = {
-    val seed = seedOf(dir)
-    val from = foldFloor(dir, v, seed)
+    val seed = seedFor(dir, v)
+    val from = foldFloor(seed)
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     seed.foreach(_.live.foreach(a => live += a.rel))
     (from to v).foreach { u =>
@@ -267,8 +267,8 @@ object ForeignDeltaLog {
     * parsed commits come from the cache, and the CDF planner walks
     * versions in order so the fold stays the cheap part. */
   def manifestDvs(dir: String, v: Long): Map[String, String] = {
-    val seed = seedOf(dir)
-    val from = foldFloor(dir, v, seed)
+    val seed = seedFor(dir, v)
+    val from = foldFloor(seed)
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     seed.foreach(_.live.foreach(a => a.dv.foreach(dvs(a.rel) = _)))
     (from to v).foreach { u =>
@@ -291,8 +291,8 @@ object ForeignDeltaLog {
 
   private def metaAt(dir: String,
       v: Long): Option[(String, Seq[String], Map[String, String])] = {
-    val seed = seedOf(dir)
-    val floor = foldFloor(dir, v, seed)
+    val seed = seedFor(dir, v)
+    val floor = foldFloor(seed)
     (v to floor by -1L).iterator.map(commitActions(dir, _).meta)
       .collectFirst { case Some(m) => m }
       .orElse(seed.flatMap(_.meta))

@@ -88,9 +88,19 @@ object ForeignIcebergLog {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
         size() > cap
     }
-    def get(k: K)(f: => V): V = m.synchronized {
-      Option(m.get(k)).getOrElse { val v = f; m.put(k, v); v }
-    }
+    /** Compute OUTSIDE the monitor: a miss may run a multi-second
+      * driver-side Spark job (the hidden-ordinal fold), and holding the
+      * lock through it would serialize every other stream on this
+      * cache. Values are immutable derivations, so a racing duplicate
+      * compute is merely wasted work, never wrong. */
+    def get(k: K)(f: => V): V =
+      m.synchronized(Option(m.get(k))) match {
+        case Some(v) => v
+        case None =>
+          val v = f
+          m.synchronized { m.put(k, v); () }
+          v
+      }
   }
 
   /** Main-line snapshots as (graft version, snapshot node), oldest
@@ -268,14 +278,10 @@ object ForeignIcebergLog {
     import org.apache.spark.sql.functions._
     val table = Paths.get(dir)
     val fieldName = IcebergLog.fieldNamesById(IcebergLog.readMetadata(table))
-    // path canonicalization executor-side, the same three-spelling rule
-    // the batch reader applies (URI-escaped `_metadata.file_path` vs
+    // path canonicalization executor-side — the batch reader's ONE
+    // shared spelling rule (URI-escaped `_metadata.file_path` vs
     // whatever the delete writer stored)
-    val norm = (c: org.apache.spark.sql.Column) =>
-      when(c.startsWith("file:"),
-        regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
-          "^file:/+", "/"))
-        .otherwise(c)
+    val norm = IcebergLog.normPathCol _
     sf.eqDeletes.groupBy(_._3).toSeq.flatMap { case (ids, group) =>
       val names = ids.map(id => fieldName.getOrElse(id, sys.error(
         s"$dir: equality_ids name unknown field id $id")))
@@ -304,7 +310,16 @@ object ForeignIcebergLog {
           .select(names.map(col) :+
             norm(col("_metadata.file_path")).as("__file") :+
             col("_metadata.row_index").as("__pos"): _*)
-          .join(broadcast(seqDf), col("__file") === col("__sf"))
+          .join(broadcast(seqDf), col("__file") === col("__sf"), "left")
+          // FAIL CLOSED on coverage gaps, the batch reader's own rule:
+          // a row whose normalized path missed the sequence map would
+          // silently skip the delete test and RESURRECT deleted rows —
+          // surface the canonicalization bug at execution instead
+          .withColumn("__seq", when(col("__seq").isNotNull, col("__seq"))
+            .otherwise(raise_error(concat(
+              lit("iceberg eq-delete fold: data file missing from the " +
+                "snapshot's sequence-number map (path canonicalization " +
+                "bug?): "), col("__file")))))
           .join(dels, cond, "left_semi")
           .select(col("__file"), col("__pos"))
           .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))

@@ -245,6 +245,22 @@ object IcebergLog {
     * All joins scale with the delete sets (AQE broadcasts the typical
     * small ones), never the table; no bitmaps, no driver row lists.
     */
+  /** Canonical file-path COLUMN, the ONE implementation every join of
+    * `_metadata.file_path` against stored path spellings goes through:
+    * `_metadata` arrives URI-escaped (`file:///a/my%20table/…`) while a
+    * delete file's `file_path` (or a manifest's resolution) holds
+    * whatever its writer stored — escaped URI or raw path. Decoding
+    * the URI-escaped forms (pre-protecting literal '+', which
+    * url_decode would turn into a space) makes every source join on
+    * one spelling; normalizing only one side silently un-applies
+    * deletes, so no caller may roll its own copy of this rule. */
+  private[graft] def normPathCol(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.startsWith("file:"),
+      regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
+        "^file:/+", "/"))
+      .otherwise(c)
+
   private def applyDeletes(spark: SparkSession, df: DataFrame,
       files: Seq[IceFile], sf: SnapshotFiles,
       fieldName: Map[Int, String]): DataFrame = {
@@ -252,17 +268,7 @@ object IcebergLog {
     val partitioned = files.exists(_.partition.nonEmpty)
     if (!hasDeletes && !partitioned) return df
     // Canonicalize EVERY path to the raw (unescaped) filesystem form:
-    // `_metadata.file_path` arrives URI-escaped (file:///a/my%20table/…),
-    // while a delete file's `file_path` column holds whatever its writer
-    // stored — escaped URI or raw path. Decoding the URI-escaped forms
-    // (plus pre-protecting literal '+', which url_decode would turn into
-    // a space) makes all three sources join on one spelling; normalizing
-    // only one side silently un-applies every delete on escaped paths.
-    val norm = (c: org.apache.spark.sql.Column) =>
-      when(c.startsWith("file:"),
-        regexp_replace(url_decode(regexp_replace(c, "\\+", "%2B")),
-          "^file:/+", "/"))
-        .otherwise(c)
+    val norm = normPathCol _
     val cols = df.columns.toSeq
     import spark.implicits._
     // provenance is captured ONCE, directly on the scan — `_metadata`

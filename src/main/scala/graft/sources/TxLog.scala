@@ -2029,8 +2029,8 @@ object TxLog {
       if (bySource.isEmpty) None
       else {
         val prevRels = readManifest(table, base)
-        val prov = readRelsWithProvenance(spark, table, prevRels,
-          manifestDvs(table, base))
+        val prov = readRels(spark, table, prevRels,
+          dvs = manifestDvs(table, base), provenance = true)
         val absToRel = prevRels.map(rel =>
           table.resolve(rel).toAbsolutePath.normalize().toString -> rel).toMap
         val touched = prov.alias("t")
@@ -2727,55 +2727,38 @@ object TxLog {
     * always; partitioned layouts read per batch so each batch dir
     * anchors its own partition discovery.
     */
+  /** `provenance = true` appends a `__file` column (the normalized
+    * absolute data-file path — [[IcebergLog.normPathCol]]'s shared
+    * spelling rule, so it joins against `table.resolve(rel)` forms) —
+    * the by-source merge's touched-file discovery needs to know which
+    * FILE each visible row came from. */
   private def readRels(spark: SparkSession, table: Path, rels: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      dvs: Map[String, String] = Map.empty): DataFrame = {
+      dvs: Map[String, String] = Map.empty,
+      provenance: Boolean = false): DataFrame = {
     def rd = schema.map(spark.read.schema).getOrElse(spark.read)
     // deletion vectors filter EACH scan before any union: the row-index
     // UDF needs `_metadata`, which a union does not carry through
-    def dvFiltered(df: DataFrame): DataFrame =
-      if (dvs.isEmpty) df
+    def post(df: DataFrame): DataFrame = {
+      val withP =
+        if (!provenance) df
+        else df.withColumn("__file",
+          IcebergLog.normPathCol(col("_metadata.file_path")))
+      if (dvs.isEmpty) withP
       else {
-        val cols = df.columns.toSeq
+        val cols = withP.columns.toSeq
         val keep = DeletionVectors.keepUdf(spark, table, dvs)
-        df.filter(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+        withP.filter(
+          keep(col("_metadata.file_path"), col("_metadata.row_index")))
           .select(cols.map(col): _*)
       }
-    if (!rels.exists(_.split("/").exists(_.contains("="))))
-      dvFiltered(rd.parquet(rels.map(rel => table.resolve(rel).toString): _*))
-    else rels.groupBy(_.split("/").head)
-      .toSeq.sortBy(_._1)
-      .map { case (batch, fs) =>
-        dvFiltered(rd.option("basePath", table.resolve(batch).toString)
-          .parquet(fs.map(rel => table.resolve(rel).toString): _*))
-      }
-      .reduce(_.unionByName(_))
-  }
-
-  /** [[readRels]] plus a `__file` provenance column (the normalized
-    * absolute data-file path — URI escaping decoded so it joins
-    * against `table.resolve(rel)` spellings), DV-filtered to VISIBLE
-    * rows. Feeds the by-source merge's touched-file discovery, which
-    * needs to know which FILE each surviving row came from. */
-  private def readRelsWithProvenance(spark: SparkSession, table: Path,
-      rels: Seq[String], dvs: Map[String, String]): DataFrame = {
-    def withProv(df: DataFrame): DataFrame = {
-      val p = col("_metadata.file_path")
-      val normed = when(p.startsWith("file:"),
-        regexp_replace(url_decode(regexp_replace(p, "\\+", "%2B")),
-          "^file:/+", "/")).otherwise(p)
-      val out = df.withColumn("__file", normed)
-      if (dvs.isEmpty) out
-      else out.filter(DeletionVectors.keepUdf(spark, table, dvs)(
-        col("_metadata.file_path"), col("_metadata.row_index")))
     }
     if (!rels.exists(_.split("/").exists(_.contains("="))))
-      withProv(spark.read.parquet(
-        rels.map(rel => table.resolve(rel).toString): _*))
+      post(rd.parquet(rels.map(rel => table.resolve(rel).toString): _*))
     else rels.groupBy(_.split("/").head)
       .toSeq.sortBy(_._1)
       .map { case (batch, fs) =>
-        withProv(spark.read.option("basePath", table.resolve(batch).toString)
+        post(rd.option("basePath", table.resolve(batch).toString)
           .parquet(fs.map(rel => table.resolve(rel).toString): _*))
       }
       .reduce(_.unionByName(_))

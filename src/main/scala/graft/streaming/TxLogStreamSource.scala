@@ -321,8 +321,16 @@ object TxLogScan {
       case sf.StringStartsWith(c, v) => t(c).map(sf.StringStartsWith(_, v))
       case sf.StringEndsWith(c, v) => t(c).map(sf.StringEndsWith(_, v))
       case sf.StringContains(c, v) => t(c).map(sf.StringContains(_, v))
-      case sf.And(a, b) => for { x <- renameFilterCols(a, m)
-                                 y <- renameFilterCols(b, m) } yield sf.And(x, y)
+      case sf.And(a, b) =>
+        // a conjunction may keep its translatable side alone — each
+        // conjunct is independently a sound over-approximation (an OR
+        // or NOT must stay all-or-nothing: dropping a disjunct narrows)
+        (renameFilterCols(a, m), renameFilterCols(b, m)) match {
+          case (Some(x), Some(y)) => Some(sf.And(x, y))
+          case (Some(x), None) => Some(x)
+          case (None, Some(y)) => Some(y)
+          case _ => None
+        }
       case sf.Or(a, b) => for { x <- renameFilterCols(a, m)
                                 y <- renameFilterCols(b, m) } yield sf.Or(x, y)
       case sf.Not(a) => renameFilterCols(a, m).map(sf.Not(_))
@@ -447,6 +455,27 @@ object TxLogScan {
       .filter(t => t._2 != null || t._3 != null)
   }
 
+  /** Timestamp-option value parse (`startingTimestamp` /
+    * `endingTimestamp` / `timestampAsOf`): epoch millis,
+    * `yyyy-MM-dd HH:mm:ss[.f]`, date-only `yyyy-MM-dd` (midnight,
+    * system zone), or ISO-8601 with 'T' and optional offset/Z — the
+    * spellings stock Delta documents for these exact options. */
+  private[streaming] def parseTsMillis(raw: String): Long = {
+    val s = raw.trim
+    s.toLongOption.getOrElse {
+      import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneId}
+      scala.util.Try(java.sql.Timestamp.valueOf(s).getTime)
+        .orElse(scala.util.Try(OffsetDateTime.parse(s).toInstant.toEpochMilli))
+        .orElse(scala.util.Try(Instant.parse(s).toEpochMilli))
+        .orElse(scala.util.Try(LocalDateTime.parse(s)
+          .atZone(ZoneId.systemDefault()).toInstant.toEpochMilli))
+        .orElse(scala.util.Try(LocalDate.parse(s)
+          .atStartOfDay(ZoneId.systemDefault()).toInstant.toEpochMilli))
+        .getOrElse(sys.error(s"graft-txlog: cannot parse timestamp '$s' " +
+          "— use epoch millis, 'yyyy-MM-dd[ HH:mm:ss]', or ISO-8601"))
+    }
+  }
+
   /** Hive path-segment unescape — Spark's own implementation, shared
     * with the Delta mirror's segment parsing (a hand-rolled %xx loop
     * here diverged on malformed escapes and multi-byte UTF-8). */
@@ -465,11 +494,9 @@ object TxLogScan {
       k.toLowerCase(java.util.Locale.ROOT) -> v }
     val byV = ci.get("versionasof").map(_.trim.toLong)
     val byTs = ci.get("timestampasof").map { raw =>
-      val ms = raw.trim.toLongOption.getOrElse(
-        java.sql.Timestamp.valueOf(raw.trim).getTime)
       // backend-resolved: mirror commit timestamps (Delta paths, where
       // DeltaLog versions trail TxLog by one) or the Iceberg snapshot-log
-      graft.sources.CommitLog.versionAsOf(dir, ms)
+      graft.sources.CommitLog.versionAsOf(dir, parseTsMillis(raw))
     }
     require(byV.isEmpty || byTs.isEmpty,
       "graft-txlog: versionAsOf and timestampAsOf are mutually exclusive")
@@ -601,19 +628,23 @@ class TxLogScan(dir: String, fullSchema: StructType,
       "batch-read options — a stream replays history via startingVersion" +
       "/startingTimestamp")
     // `startingTimestamp` (stock Delta's second spelling of the start):
-    // epoch millis or any Timestamp-parsable local datetime, resolved
-    // to the FIRST version committed at or after it — the exact twin of
-    // the equivalent startingVersion, including the no-initial-snapshot
+    // epoch millis / datetime / date / ISO-8601, resolved to the FIRST
+    // version committed at or after it — the exact twin of the
+    // equivalent startingVersion, including the no-initial-snapshot
     // semantics (a timestamp start means "changes since", never the
-    // whole table)
+    // whole table). Resolution is LAZY (a thunk the stream evaluates
+    // only when it actually needs the base offset): a RESUMING stream
+    // reads its position from the checkpoint, and re-resolving a
+    // timestamp against a log whose clocks moved on must not be able
+    // to fail — or shift — an already-positioned stream.
     val byV = opt("startingVersion").map(_.toLong)
-    val byTs = opt("startingTimestamp").map { raw =>
-      val ms = raw.trim.toLongOption.getOrElse(
-        java.sql.Timestamp.valueOf(raw.trim).getTime)
-      CommitLog.versionAtOrAfter(dir, ms)
-    }
-    require(byV.isEmpty || byTs.isEmpty, "graft-txlog: startingVersion " +
+    val byTsRaw = opt("startingTimestamp")
+    require(byV.isEmpty || byTsRaw.isEmpty, "graft-txlog: startingVersion " +
       "and startingTimestamp are mutually exclusive")
+    val resolveStart: () => Long = () =>
+      byV.orElse(byTsRaw.map(raw =>
+        CommitLog.versionAtOrAfter(dir, TxLogScan.parseTsMillis(raw))))
+        .getOrElse(0L)
     val policy = ChangePolicy(
       opt("skipChangeCommits").exists(_.toBoolean),
       opt("ignoreDeletes").exists(_.toBoolean),
@@ -625,8 +656,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
       "graft-txlog: ignoreDeletes/ignoreChanges do not combine with " +
         "readChangeFeed — the feed types change rows; use " +
         "skipChangeCommits to skip change commits entirely")
-    new TxLogMicroBatchStream(this, dir,
-      byV.orElse(byTs).getOrElse(0L), policy,
+    new TxLogMicroBatchStream(this, dir, resolveStart, policy,
       opt("maxVersionsPerTrigger").map(_.toLong),
       opt("maxFilesPerTrigger").map(_.toLong), cdf)
   }
@@ -657,8 +687,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
         // twice. Merge-on-read commits surface as labeled synthetic
         // partitions (the DV-diff synthesis TxLog.changeFeed does, on
         // the DSv2 executor read path).
-        def tsMillis(raw: String): Long = raw.trim.toLongOption.getOrElse(
-          java.sql.Timestamp.valueOf(raw.trim).getTime)
+        def tsMillis(raw: String): Long = TxLogScan.parseTsMillis(raw)
         require(opt("startingVersion").isEmpty ||
           opt("startingTimestamp").isEmpty, "graft-txlog: startingVersion " +
           "and startingTimestamp are mutually exclusive")
@@ -1235,15 +1264,17 @@ private[streaming] case class CdfCdcPartition(file: PartitionedFile)
     extends InputPartition
 
 class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
-    startingVersion: Long, policy: ChangePolicy,
+    resolveStart: () => Long, policy: ChangePolicy,
     maxVersionsPerTrigger: Option[Long],
     maxFilesPerTrigger: Option[Long], cdf: Boolean)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
-  /** `startingVersion` is INCLUSIVE (stock Delta): the stream's base
-    * offset is the version before it. */
-  private val baseV = math.max(0L, startingVersion - 1L)
+  /** The starting version is INCLUSIVE (stock Delta): the stream's
+    * base offset is the version before it. LAZY — a resumed stream
+    * takes its position from the checkpoint and must never pay (or be
+    * failed by) re-resolving a startingTimestamp. */
+  private lazy val baseV = math.max(0L, resolveStart() - 1L)
 
   private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
@@ -1289,10 +1320,12 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     * Composite limits take the most restrictive target. Null = no new
     * data (the engine's idle signal). */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val startV = Option(startOffset).map(ver).getOrElse(baseV)
+    // a present startOffset IS the position (checkpointed progress can
+    // only be at or past the base) — baseV resolves only on a fresh
+    // start, keeping startingTimestamp re-resolution off the resume path
+    val base = Option(startOffset).map(ver).getOrElse(baseV)
     val cur = CommitLog.currentVersion(dir).getOrElse(return null)
     val capped = availableNowCap.fold(cur)(math.min(cur, _))
-    val base = math.max(startV, baseV)
     def targetFor(l: ReadLimit): Long = l match {
       case MaxVersions(n) => math.min(capped, base + n)
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
@@ -1347,6 +1380,5 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
 
   override def stop(): Unit = ()
 
-  override def toString: String =
-    s"TxLogMicroBatchStream[$dir, startingVersion=$startingVersion]"
+  override def toString: String = s"TxLogMicroBatchStream[$dir]"
 }

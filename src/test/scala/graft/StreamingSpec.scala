@@ -1759,6 +1759,54 @@ class StreamingSpec extends SparkSpec {
       "DSv2 and DeltaLog.snapshot must agree on a compacted foreign log")
   }
 
+  test("multi-checkpoint logs seed PER REQUESTED VERSION (older retained versions read through older checkpoints)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_fdelta_multicp")
+    def land(df: org.apache.spark.sql.DataFrame, name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_fdelta_multicp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, root.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    val schema = ev.schema.json
+    val bands = Seq(0 -> 200, 200 -> 400, 400 -> 600, 600 -> 800, 800 -> 1000)
+    bands.zipWithIndex.foreach { case ((lo, hi), i) =>
+      DeltaLog.mirrorCommit(root, i + 1L,
+        Seq(land(ev.filter(col("event_id") >= lo && col("event_id") < hi),
+          s"b$i")), Seq.empty, schema, commitTime = Some(1000L * (i + 1)))
+      if (i == 2 || i == 4) DeltaLog.checkpoint(s, root.toString)
+    }
+    // age delta 0-1: retained JSON {2,3,4}, checkpoints at delta 2 AND 4
+    Seq(0L, 1L).foreach(v => Files.delete(
+      root.resolve("_delta_log").resolve(f"$v%020d.json")))
+    // a read AT graft 3 (= the older checkpoint's own state) must route
+    // through checkpoint 2, not refuse against the newest (4)
+    val at3 = s.read.format("graft-txlog").option("path", root.toString)
+      .option("versionAsOf", "3").load()
+    assert(at3.count() == ev.filter(col("event_id") < 600).count(),
+      "a retained version below the newest checkpoint must stay readable")
+    // CDF from graft 4: the DV-prior state at graft 3 seeds from the
+    // OLDER checkpoint (the newest reconstructs 5+ only)
+    val feed = s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true").option("startingVersion", "4").load()
+    assert(feed.count() == ev.filter(col("event_id") >= 600).count())
+    assert(feed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(4L, 5L))
+    // and a version below EVERY bridgeable state refuses loudly
+    val e = intercept[Exception] {
+      s.read.format("graft-txlog").option("path", root.toString)
+        .option("versionAsOf", "2").load().count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("genuinely gone") || msgs.contains("expired"), msgs)
+  }
+
   test("checkpoint seeding reads MULTI-PART and V2 checkpoint formats too") {
     val s = spark
     import org.apache.spark.sql.functions._
