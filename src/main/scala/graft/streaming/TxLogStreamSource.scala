@@ -545,15 +545,14 @@ class TxLogScan(dir: String, fullSchema: StructType,
   private lazy val partPhysNames: Map[String, String] =
     CommitLog.partitionPhysicalNames(dir)
   // graft-written change-data files are FLAT (partition columns ride
-  // in-file as data); stock Delta writers hive-partition _change_data,
-  // so a foreign partitioned table's cdc files would read the partition
-  // columns as null — refuse instead of silently nulling them
-  require(!cdf || partCols.isEmpty ||
-      !graft.sources.ForeignDeltaLog.isForeign(dir),
-    s"graft-txlog: CDF reads of a PARTITIONED foreign Delta table are " +
-      "not supported (stock writers hive-partition _change_data, so the " +
-      "cdc files do not carry the partition columns in-file); read the " +
-      "feed through DeltaLog.tableChanges")
+  // in-file as data; only `_commit_version` appends); stock Delta
+  // writers HIVE-PARTITION `_change_data/`, so a foreign partitioned
+  // table's cdc reads append the partition columns from the cdc file's
+  // own path segments instead — this set names what appends per shape
+  private lazy val cdcAppendedNames: Set[String] =
+    if (partCols.nonEmpty && graft.sources.ForeignDeltaLog.isForeign(dir))
+      partCols.toSet + "_commit_version"
+    else Set("_commit_version")
   private val appendedNames: Set[String] =
     (partCols ++ (if (cdf) TxLogScan.CdfFields.map(_.name) else Seq.empty)).toSet
   // full FILE schema (the parquet resolution baseline) vs the PRUNED
@@ -823,16 +822,38 @@ class TxLogScan(dir: String, fullSchema: StructType,
       Files.getLastModifiedTime(abs).toMillis, size, Map.empty)
   }
 
-  /** A protocol change-data file as a [[PartitionedFile]]: everything
-    * (table columns, partition columns, `_change_type`) is DATA in the
-    * file — only `_commit_version` appends, so the partition row
-    * matches the cdc factory's one-field partition schema. */
+  /** A protocol change-data file as a [[PartitionedFile]]. Graft cdc
+    * files are FLAT (table columns, partition columns, `_change_type`
+    * all DATA in the file; only `_commit_version` appends); a stock
+    * partitioned writer's cdc files sit under hive `_change_data/`
+    * segments, so their partition columns append from the PATH —
+    * parsed, physical-name-translated, and typed exactly like a data
+    * file's ([[mkPartitionedFile]]). The appended set is
+    * [[cdcAppendedNames]] in both shapes, keeping this row aligned
+    * with the cdc factory's partition schema by construction. */
   private def mkCdcFile(v: Long, rel: String): PartitionedFile = {
     val abs = Paths.get(dir).resolve(rel)
     val size = Files.size(abs)
-    val vals: Seq[Any] = readPartSchema.fields.toSeq.collect {
-      case f if f.name == "_commit_version" => v
-    }
+    val spark = SparkSession.getActiveSession.getOrElse(
+      sys.error("graft-txlog: no active SparkSession"))
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val segs = rel.split("/").dropRight(1).filter(_.contains("=")).map { s =>
+      val i = s.indexOf('=')
+      (TxLogScan.unescapePath(s.take(i)), TxLogScan.unescapePath(s.drop(i + 1)))
+    }.toMap
+    val vals: Seq[Any] = readPartSchema.fields.toSeq
+      .filter(f => cdcAppendedNames(f.name)).map { f =>
+        f.name match {
+          case "_commit_version" => v
+          case name =>
+            val segKey = partPhysNames.getOrElse(name, name)
+            val raw = segs.getOrElse(segKey, sys.error(
+              s"$dir: cdc file $rel lacks partition segment $segKey"))
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else Cast(Literal(UTF8String.fromString(raw), StringType),
+              f.dataType, Some(zone)).eval(null)
+        }
+      }
     PartitionedFile(InternalRow.fromSeq(vals),
       SparkPath.fromPathString(abs.toString), 0L, size, Array.empty,
       Files.getLastModifiedTime(abs).toMillis, size, Map.empty)
@@ -1000,21 +1021,32 @@ class TxLogScan(dir: String, fullSchema: StructType,
           .ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = false)
       val hiddenInner = buildParquetFactory(
         StructType(readDataSchema.fields :+ idxField), vectorized = false)
-      // cdc files carry the table's data AND partition columns plus
-      // `_change_type` as real columns (they were written flat); only
-      // `_commit_version` appends as a partition constant
+      // graft cdc files carry the table's data AND partition columns
+      // plus `_change_type` as real columns (written flat; only
+      // `_commit_version` appends); a stock partitioned writer's cdc
+      // files carry data + `_change_type` in-file and the partition
+      // columns append from their hive segments — cdcAppendedNames
+      // splits the two shapes, mkCdcFile builds the matching row
       val cdcData = StructType(readDataSchema.fields ++
-        readPartSchema.fields.filterNot(_.name == "_commit_version"))
+        readPartSchema.fields.filterNot(f => cdcAppendedNames(f.name)))
       val cdcBaseline = StructType(dataSchema.fields ++
         fullSchema.fields.filter(f => appendedNames(f.name) &&
-          f.name != "_commit_version"))
+          !cdcAppendedNames(f.name)))
       val cdcPart = StructType(
-        readPartSchema.fields.filter(_.name == "_commit_version"))
+        readPartSchema.fields.filter(f => cdcAppendedNames(f.name)))
       val cdcInner = buildParquetFactory(cdcData,
         partSchema = cdcPart, baseline = cdcBaseline)
+      // a cdc read produces [cdcData..., cdcPart...]; on the foreign-
+      // partitioned shape that ordering differs from the scan's
+      // declared [data, partition, _change_type, _commit_version] —
+      // DSv2 binds by POSITION, so the executor reorders (identity =
+      // no wrap, the graft-flat fast path)
+      val cdcProduced = StructType(cdcData.fields ++ cdcPart.fields)
+      val cdcReorder = readSchema().fields.map(f =>
+        cdcProduced.fieldIndex(f.name))
       return new CdfReaderFactory(plain, hiddenInner, cdcInner,
         StructType(readDataSchema.fields ++ (idxField +: readPartSchema.fields)),
-        readDataSchema.length)
+        readDataSchema.length, cdcProduced, cdcReorder)
     }
     if (dvByAbs.isEmpty) return plain
     val spark = SparkSession.getActiveSession.getOrElse(
@@ -1193,15 +1225,32 @@ private[streaming] class CdfReaderFactory(
     hiddenInner: PartitionReaderFactory,
     cdc: PartitionReaderFactory,
     hiddenSchema: StructType,
-    idxOrdinal: Int) extends PartitionReaderFactory {
+    idxOrdinal: Int,
+    cdcProduced: StructType,
+    cdcReorder: Array[Int]) extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  private def reorderedCdc(inner:
+      org.apache.spark.sql.connector.read.PartitionReader[InternalRow])
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    if (cdcReorder.zipWithIndex.forall { case (s, t) => s == t }) return inner
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(cdcReorder.toSeq.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, cdcProduced(i).dataType, true)))
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+  }
 
   override def createReader(p: InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
     p match {
       case CdfCdcPartition(file) =>
-        cdc.createReader(FilePartition(0, Array(file)))
+        reorderedCdc(cdc.createReader(FilePartition(0, Array(file))))
       case CdfHiddenPartition(file, bytes) =>
         val inner = hiddenInner.createReader(FilePartition(0, Array(file)))
         val bm = graft.sources.DeletionVectors.parse(bytes)

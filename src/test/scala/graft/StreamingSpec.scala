@@ -1327,7 +1327,7 @@ class StreamingSpec extends SparkSpec {
       s"a cdc-backed rewrite must be skipped entirely: $skipped")
   }
 
-  test("CDF reads of a PARTITIONED foreign Delta table refuse (cdc files lack partition columns)") {
+  test("CDF reads of a PARTITIONED foreign Delta table attach partition values from the cdc path") {
     val s = spark
     import org.apache.spark.sql.functions._
     import graft.sources.DeltaLog
@@ -1352,13 +1352,57 @@ class StreamingSpec extends SparkSpec {
     // plain foreign streaming read of the partitioned table works
     assert(s.read.format("graft-txlog").option("path", root.toString)
       .load().count() == ev.count())
-    // the CDF read refuses loudly instead of nulling partition columns
-    val e = intercept[Exception] {
-      s.read.format("graft-txlog").option("path", root.toString)
-        .option("readChangeFeed", "true").load().count()
+    // version 2: a MERGE whose cdc files sit under HIVE-PARTITIONED
+    // `_change_data/bucket=<b>/` segments, the stock writer layout —
+    // data columns + `_change_type` in-file, bucket only in the path
+    def landCdc(b: Int): String = {
+      val rows = ev.filter(pmod(col("event_id"), lit(2)) === b)
+        .filter(col("event_id") < 100)
+        .withColumn("_change_type", lit("insert"))
+      val tmp = Files.createTempDirectory(s"graft_fdelta_pcdf_cdc$b")
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val part = try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+      Files.createDirectories(root.resolve(s"_change_data/bucket=$b"))
+      val rel = s"_change_data/bucket=$b/cdc-$b.parquet"
+      Files.move(part, root.resolve(rel))
+      rel
     }
-    assert(e.getMessage != null &&
-      e.getMessage.contains("PARTITIONED foreign Delta"), e.getMessage)
+    val post = {
+      val tmp = Files.createTempDirectory("graft_fdelta_pcdf_post")
+      ev.filter(col("event_id") < 100 &&
+          pmod(col("event_id"), lit(2)) === 0)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val st = Files.list(tmp)
+      val part = try st.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally st.close()
+      Files.move(part, root.resolve("bucket=0/m0.parquet"))
+      "bucket=0/m0.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 2L, Seq(post), Seq.empty,
+      ev.withColumn("bucket", lit(0L)).schema.json,
+      operation = "MERGE", cdcAdds = Seq(landCdc(0), landCdc(1)))
+    // the CDF read attaches the partition column FROM THE PATH and
+    // reads `_change_type` from the file
+    val feed = s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true").option("startingVersion", "2").load()
+    val want = ev.filter(col("event_id") < 100)
+    assert(feed.count() == want.count())
+    assert(feed.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(feed.filter(col("_commit_version") =!= 2L).count() == 0)
+    val byBucket = feed.groupBy(col("bucket")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantByBucket = want.groupBy(pmod(col("event_id"), lit(2)).as("b"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBucket == wantByBucket,
+      s"partition values must come from the cdc path segments: " +
+        s"$byBucket vs $wantByBucket")
+    // value columns land in the right slots despite the reorder
+    assert(feed.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0) ==
+      want.agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
   }
 
   test("foreign Delta tail streams COLUMN-MAPPED (name-mode) tables under logical names") {
