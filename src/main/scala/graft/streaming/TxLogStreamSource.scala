@@ -931,6 +931,27 @@ class TxLogScan(dir: String, fullSchema: StructType,
           CommitLog.manifestOp(table, v).getOrElse(("WRITE", true))
         val dvNow = CommitLog.manifestDvs(table, v)
         val cdc = CommitLog.manifestCdc(table, v)
+        // merge-on-read DV-diff synthesis, shared by the plain MoR
+        // branch and the Iceberg-changelog MERGE shape below
+        def dvDiffSynthesis(hiddenType: String, addedType: String): Unit = {
+          dvNow.foreach { case (rel, json) =>
+            if (!dvPrev.get(rel).contains(json)) {
+              val now = graft.sources.DeletionVectors
+                .parse(graft.sources.DeletionVectors.bytesOf(table, json))
+                .values.toSet
+              val prev = dvPrev.get(rel).map(j =>
+                graft.sources.DeletionVectors.parse(
+                  graft.sources.DeletionVectors.bytesOf(table, j))
+                  .values.toSet).getOrElse(Set.empty[Long])
+              val fresh = (now -- prev).toSeq.sorted
+              if (fresh.nonEmpty)
+                synthetic += CdfHiddenPartition(
+                  mkPartitionedFile(v, rel, hiddenType),
+                  graft.sources.DeletionVectors.serialize(fresh))
+            }
+          }
+          if (added.nonEmpty) { plain += ((v, added)); plainType(v) = addedType }
+        }
         if (!dataChange) () // OPTIMIZE/ZORDER: rows already delivered
         else if (op == "MERGE") {
           // a MERGE is a change commit (insert-only merges degenerate
@@ -939,6 +960,16 @@ class TxLogScan(dir: String, fullSchema: StructType,
           if (skipChangeCommits) ()
           else if (cdc.nonEmpty)
             synthetic ++= cdc.map(rel => CdfCdcPartition(mkCdcFile(v, rel)))
+          else if (!removedAny &&
+              graft.sources.ForeignIcebergLog.isForeign(dir))
+            // an Iceberg MoR row-delta (the Flink-CDC upsert: new data
+            // files + new delete files, no data file removed) has NO
+            // update images by FORMAT DESIGN — stock Iceberg's own
+            // changelog emits DELETE + INSERT pairs for exactly this
+            // shape, so the feed types the newly-hidden rows `delete`
+            // and the appended batch `insert` (the DV diff attributes
+            // them exactly; nothing mixes)
+            dvDiffSynthesis("delete", "insert")
           else
             sys.error(s"graft-txlog: version $v of $dir is a MERGE " +
               "without change-data files — its appended batch mixes " +
@@ -967,25 +998,8 @@ class TxLogScan(dir: String, fullSchema: StructType,
           // appended postimage batch included), matching how the MERGE
           // and classify branches skip their change-commit shapes
           if (!skipChangeCommits) {
-            val hiddenType = if (op == "UPDATE") "update_preimage" else "delete"
-            val addedType = if (op == "UPDATE") "update_postimage" else "insert"
-            dvNow.foreach { case (rel, json) =>
-              if (!dvPrev.get(rel).contains(json)) {
-                val now = graft.sources.DeletionVectors
-                  .parse(graft.sources.DeletionVectors.bytesOf(table, json))
-                  .values.toSet
-                val prev = dvPrev.get(rel).map(j =>
-                  graft.sources.DeletionVectors.parse(
-                    graft.sources.DeletionVectors.bytesOf(table, j))
-                    .values.toSet).getOrElse(Set.empty[Long])
-                val fresh = (now -- prev).toSeq.sorted
-                if (fresh.nonEmpty)
-                  synthetic += CdfHiddenPartition(
-                    mkPartitionedFile(v, rel, hiddenType),
-                    graft.sources.DeletionVectors.serialize(fresh))
-              }
-            }
-            if (added.nonEmpty) { plain += ((v, added)); plainType(v) = addedType }
+            if (op == "UPDATE") dvDiffSynthesis("update_preimage", "update_postimage")
+            else dvDiffSynthesis("delete", "insert")
           }
         }
         else {

@@ -1739,6 +1739,63 @@ class StreamingSpec extends SparkSpec {
     assert(byType == Map("delete" -> doomed), byType.toString)
   }
 
+  test("Flink-upsert shape (Iceberg MoR MERGE, no cdc): CDF emits stock changelog delete+insert pairs") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_ficeberg_upsert")
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 500), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0)) // seq 1
+    // seq 2: the Flink CDC upsert — ONE snapshot carrying the new row
+    // versions AND an equality delete on their keys (op: overwrite)
+    val upsert = ev.filter(col("event_id").between(400, 599))
+      .withColumn("value", round(col("value") * 2, 2))
+    val b1 = IcebergLog.writeDataFile(upsert, root, "b1.parquet")
+    val del = IcebergLog.writeDataFile(
+      upsert.select("event_id"), root, "del0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b1),
+      operation = "overwrite", newEqDeletes = Seq(del),
+      equalityIds = Seq(ev.schema.fieldIndex("event_id") + 1))
+    // the upsert snapshot classifies MERGE (overwrite + new delete
+    // files) — and the cdc-less CDF read emits Iceberg's own changelog
+    // semantics: hidden rows `delete`, appended batch `insert`
+    val feed = s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true").option("startingVersion", "2").load()
+    val byType = feed.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 100L, "insert" -> 200L), byType.toString)
+    // the deleted rows are b0's OLD versions (original values), the
+    // inserts the new ones (doubled)
+    val delSum = feed.filter(col("_change_type") === "delete")
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    assert(delSum == ev.filter(col("event_id").between(400, 499))
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0))
+    val insSum = feed.filter(col("_change_type") === "insert")
+      .agg(round(sum(col("value")), 2)).collect()(0).getDouble(0)
+    assert(insSum == upsert.agg(round(sum(col("value")), 2))
+      .collect()(0).getDouble(0))
+    // snapshot read: old versions replaced, new band present
+    val snap = s.read.format("graft-txlog").option("path", root.toString).load()
+    assert(snap.count() == 400L + 200L)
+    assert(snap.filter(col("event_id").between(400, 599)).count() == 200L)
+    // append tail over the same history never retracts (delivers b1
+    // as the upsert's appended batch)
+    val out = Files.createTempDirectory("graft_ficeberg_upsert_out").toString
+    val q = s.readStream.format("graft-txlog").option("path", root.toString)
+      .load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_ficeberg_upsert_ck").toString)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    assert(s.read.parquet(out).count() == snap.count(),
+      "fresh append tail = snapshot batch (read-start delete state)")
+  }
+
   test("foreign Delta tail streams from a CHECKPOINT-COMPACTED log (seeded initial snapshot)") {
     val s = spark
     import org.apache.spark.sql.functions._
