@@ -820,6 +820,59 @@ object Streams {
     streamed.unionByName(snap)
   }
 
+  /** FLINK-UPSERT CDC TAIL, oracle-checked: a stock Iceberg tree takes
+    * one overwrite snapshot carrying the new row versions AND an
+    * equality delete on their keys — the exact shape Flink CDC writes
+    * per upsert batch. The streaming CDF drain must emit stock
+    * Iceberg's changelog for it: sequence 1's corpus as `insert` rows
+    * at version 1, the upsert as `delete` rows carrying the OLD values
+    * (position-resolved from the eq-delete, read from the unchanged
+    * file) plus `insert` rows carrying the NEW values, all labeled
+    * version 2. The oracle derives all three legs from the residue
+    * split — an unresolved eq-delete, a postimage mislabel, or a
+    * version smear each flip a different group. */
+  def runStreamIcebergUpsertCdf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergLog
+    val ev = graft.Tables.events(spark, dir)
+    val root = graft.Scratch.dir("graft_stream_fice_upsert_tbl")
+    val out = graft.Scratch.dir("graft_stream_fice_upsert_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_fice_upsert_ckpt").toString
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 500), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0)) // seq 1
+    val upsert = ev.filter(col("event_id").between(400, 599))
+      .withColumn("value", round(col("value") * 2, 2))
+    val b1 = IcebergLog.writeDataFile(upsert, root, "b1.parquet")
+    val del = IcebergLog.writeDataFile(
+      upsert.select("event_id"), root, "del0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b1),
+      operation = "overwrite", newEqDeletes = Seq(del),
+      equalityIds = Seq(ev.schema.fieldIndex("event_id") + 1)) // seq 2
+    withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog")
+        .option("path", root.toString)
+        .option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val runStreamIcebergUpsertCdfOracle: String =
+    """SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id < 500
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'delete', count(*), round(sum(value), 2)
+      |FROM events WHERE event_id BETWEEN 400 AND 499
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'insert', count(*),
+      |       round(sum(round(value * 2, 2)), 2)
+      |FROM events WHERE event_id BETWEEN 400 AND 599""".stripMargin
+
   val runStreamForeignIcebergEqOracle: String =
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
       |       'streamed' AS side
@@ -1707,6 +1760,7 @@ object Streams {
     "q_stream_foreign_ckpt" -> runStreamForeignCkpt _,
     "q_stream_foreign_iceberg" -> runStreamForeignIceberg _,
     "q_stream_foreign_iceberg_eq" -> runStreamForeignIcebergEq _,
+    "q_stream_iceberg_upsert_cdf" -> runStreamIcebergUpsertCdf _,
     "q_stream_cdf" -> runStreamCdf _,
     "q_stream_cdf_dv" -> runStreamCdfDv _,
     "q_stream_pipeline" -> runStreamPipeline _,
@@ -1734,6 +1788,7 @@ object Streams {
     "q_stream_foreign_ckpt" -> runStreamForeignDeltaOracle,
     "q_stream_foreign_iceberg" -> runStreamForeignDeltaOracle,
     "q_stream_foreign_iceberg_eq" -> runStreamForeignIcebergEqOracle,
+    "q_stream_iceberg_upsert_cdf" -> runStreamIcebergUpsertCdfOracle,
     "q_stream_cdf" -> runStreamCdfOracle,
     "q_stream_cdf_dv" -> runStreamCdfDvOracle,
     "q_stream_pipeline" -> runStreamPipelineOracle,
