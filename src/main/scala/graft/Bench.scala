@@ -142,10 +142,18 @@ object Bench {
         .getOrElse("unavailable")
       val fullJson =
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"spread":$spreadQs,"n_queries":${results.size},"queries_omitted":0,"failed":$failedJson,"reps":$reps,"sf":"$sfDir","loadavg":"$load"}"""
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), fullJson)
+      // Default to an epoch-stamped filename: an un-flagged run (the driver's
+      // per-round bench) must NOT clobber the committed closing artifact
+      // BENCH.json in the repo working tree — that already happened once
+      // (round 13: the driver's post-close run overwrote the builder's
+      // committed 138.7 s artifact; the judge had to restore it). Overwriting
+      // BENCH.json is now an explicit opt-in via --out=BENCH.json.
+      val outPath = args.collectFirst { case s if s.startsWith("--out=") => s.drop(6) }
+        .getOrElse(s"BENCH_${System.currentTimeMillis() / 1000}.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), fullJson)
       catch { case e: Throwable =>
         // a silent failure here leaves a STALE artifact misreporting the run
-        System.err.println(s"WARNING: failed to write BENCH.json: $e")
+        System.err.println(s"WARNING: failed to write $outPath: $e")
       }
     }
     Caches.clearAll() // teardown: release per-corpus memo storage

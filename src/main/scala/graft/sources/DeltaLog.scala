@@ -187,6 +187,26 @@ object DeltaLog {
       6 -> Set("identityColumns"))
       .filter(_._1 <= mwv).flatMap(_._2).toSet
 
+  /** The schema a single commit DECLARED (its last `metaData` action's
+    * schemaString), None when the commit carries no metaData or its
+    * JSON is gone — the streaming schema-change detector: a running
+    * tail compares each admitted version's declaration against the
+    * schema pinned at stream start and stops loudly on a mismatch
+    * (stock Delta's contract), instead of silently misbinding columns
+    * after a mid-tail rename/drop. Config-only metaData re-emits carry
+    * the unchanged schemaString and pass the comparison for free. */
+  private[sources] def metaSchemaInCommit(table: Path,
+      deltaV: Long): Option[StructType] = {
+    val p = commitPath(table, deltaV)
+    if (!Files.exists(p)) return None
+    Files.readAllLines(p).asScala
+      .filter(_.contains("\"metaData\""))
+      .flatMap(l => Option(mapper.readTree(l).get("metaData")))
+      .lastOption
+      .map(m => DataType.fromJson(m.get("schemaString").asText())
+        .asInstanceOf[StructType])
+  }
+
   /** Newest metaData action at or below `fromV`, scanning backward
     * through the JSON commits. Returns None when the prefix was aged out
     * before any metaData was seen — the caller then re-emits one, which

@@ -157,9 +157,13 @@ object ForeignDeltaLog {
 
   /** Seeds cached per (table, checkpoint version) — checkpoint files
     * are immutable once landed, so the one O(live files) collect
-    * amortizes over the stream's lifetime. */
-  private val seedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seed]()
+    * amortizes over the stream's lifetime. BOUNDED (same small Lru as
+    * the Iceberg caches): each entry holds an O(live files) Seq, and a
+    * long-lived CDF tail over an active compacted table (stock writers
+    * checkpoint every 10 commits) would otherwise accrete one seed per
+    * new checkpoint forever. Seeds are immutable derivations, so
+    * eviction only costs a re-collect. */
+  private val seedCache = new ForeignIcebergLog.Lru[(String, Long), Seed](4)
 
   /** The fold's starting state FOR A READ AT VERSION `v`. None when
     * JSON history from commit 0 is retained (the fold starts empty,
@@ -185,7 +189,7 @@ object ForeignDeltaLog {
       .getOrElse(sys.error(s"$dir: version $v predates the retained " +
         "history — its JSON was aged out and no checkpoint at or below " +
         "it survives; that state is genuinely gone"))
-    Some(seedCache.computeIfAbsent((table.toAbsolutePath.toString, cpV), { _ =>
+    Some(seedCache.get((table.toAbsolutePath.toString, cpV)) {
       val spark = SparkSession.getActiveSession.getOrElse(
         sys.error("graft-txlog: no active SparkSession"))
       val (adds, metaNode) = DeltaLog.checkpointLiveState(spark, table, cpV)
@@ -202,13 +206,24 @@ object ForeignDeltaLog {
           Add(rel, dv.map(j => canonDv(mapper.readTree(j))),
             dataChange = false)
         }, meta)
-    }))
+    })
   }
 
   /** First graft version the JSON fold covers, given the per-version
     * seed ([[seedFor]] already refused an unreconstructable `v`). */
   private def foldFloor(seed: Option[Seed]): Long =
     seed.map(_.graftV + 1).getOrElse(1L)
+
+  /** First graft version whose PER-COMMIT JSON is retained — the floor
+    * below which a per-version CDF replay is impossible on a
+    * checkpoint-compacted log. Append streams below it fall back to
+    * the checkpoint-seeded snapshot; a change feed has no such
+    * fallback, so its planner refuses with a floor-aware message
+    * instead of failing mid-parse with append-stream advice. One past
+    * the newest version when no JSON survives at all. */
+  def replayFloor(dir: String): Long =
+    DeltaLog.versions(dir).headOption.map(_ + 1)
+      .orElse(currentVersion(dir).map(_ + 1)).getOrElse(1L)
 
   /** dataChange adds/removes of one version — what [[TxLog.commitDelta]]
     * answers from consecutive manifests, with the spec's intra-version
@@ -288,6 +303,14 @@ object ForeignDeltaLog {
     * header twin. */
   def manifestCdc(dir: String, v: Long): Seq[String] =
     commitActions(dir, v).cdc
+
+  /** The schema version `v` DECLARED via a metaData action (None when
+    * it carried none) — cached-commit lookup, so the streaming
+    * schema-change detector costs nothing beyond the parse the
+    * admission path already did. */
+  def declaredSchemaAt(dir: String, v: Long): Option[StructType] =
+    commitActions(dir, v).meta.map { case (schemaJson, _, _) =>
+      DataType.fromJson(schemaJson).asInstanceOf[StructType] }
 
   private def metaAt(dir: String,
       v: Long): Option[(String, Seq[String], Map[String, String])] = {
@@ -609,4 +632,27 @@ private[graft] object CommitLog {
     case Kind.Delta => ForeignDeltaLog.physicalPathMap(dir)
     case _ => Map.empty
   }
+
+  /** First version a CDF read can replay PER COMMIT — foreign-Delta
+    * logs compacted past a checkpoint lose the aged-out prefix; native
+    * manifests and Iceberg metadata retain full history until
+    * vacuum/expiry (whose own failures stay loud at parse). */
+  def cdfReplayFloor(dir: String): Long = kind(dir) match {
+    case Kind.Delta => ForeignDeltaLog.replayFloor(dir)
+    case _ => 1L
+  }
+
+  /** The schema version `v` DECLARED (a metaData action / a snapshot
+    * schema-id change), None when it declared nothing — what the
+    * streaming schema-change detector compares against the schema
+    * pinned at stream start. Cheap on every backend: cached commit
+    * parses (foreign Delta), cached metadata (Iceberg), or one small
+    * mirror-commit JSON read (native — per NEW version only). */
+  def declaredSchemaAt(dir: String, v: Long): Option[StructType] =
+    kind(dir) match {
+      case Kind.Delta => ForeignDeltaLog.declaredSchemaAt(dir, v)
+      case Kind.Iceberg => ForeignIcebergLog.declaredSchemaAt(dir, v)
+      // native graft version v mirrors to Delta commit v-1
+      case _ => DeltaLog.metaSchemaInCommit(Paths.get(dir), v - 1)
+    }
 }

@@ -83,7 +83,7 @@ object ForeignIcebergLog {
     * entry per metadata version / snapshot for the stream's lifetime
     * (round-12 advisory); bounded, a resume can still reference the
     * last few snapshots warm and anything older re-derives. */
-  private final class Lru[K, V](cap: Int) {
+  private[sources] final class Lru[K, V](cap: Int) {
     private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
         size() > cap
@@ -277,7 +277,15 @@ object ForeignIcebergLog {
     if (sf.eqDeletes.isEmpty) return Seq.empty
     import org.apache.spark.sql.functions._
     val table = Paths.get(dir)
-    val fieldName = IcebergLog.fieldNamesById(IcebergLog.readMetadata(table))
+    val metaNode = IcebergLog.readMetadata(table)
+    val fieldName = IcebergLog.fieldNamesById(metaNode)
+    // key columns resolve in candidate files BY CURRENT NAME — sound
+    // only while the name never changed: a key column renamed after
+    // older data files were written would read as null there and the
+    // null-safe join could mis-resolve the delete (deleted rows
+    // resurrect). Stock Iceberg resolves by field id; until this path
+    // does, a renamed key column refuses loudly instead of guessing.
+    val namesEver = IcebergLog.fieldNamesByIdAcrossSchemas(metaNode)
     // path canonicalization executor-side — the batch reader's ONE
     // shared spelling rule (URI-escaped `_metadata.file_path` vs
     // whatever the delete writer stored)
@@ -285,6 +293,15 @@ object ForeignIcebergLog {
     sf.eqDeletes.groupBy(_._3).toSeq.flatMap { case (ids, group) =>
       val names = ids.map(id => fieldName.getOrElse(id, sys.error(
         s"$dir: equality_ids name unknown field id $id")))
+      ids.foreach { id =>
+        val ever = namesEver.getOrElse(id, Set.empty)
+        if (ever.size > 1)
+          sys.error(s"$dir: equality-delete key field $id was RENAMED " +
+            s"across the schema history (${ever.toSeq.sorted.mkString(" -> ")})" +
+            " — by-name resolution would read the old spelling's files as " +
+            "null and could resurrect deleted rows; read this table " +
+            "through a field-id-resolving engine or rewrite the deletes")
+      }
       // a delete only ever hides rows of STRICTLY older files — files
       // at or past the newest delete's sequence can skip the scan
       val maxDel = group.map(_._2).max
@@ -406,6 +423,24 @@ object ForeignIcebergLog {
     val sid = snapAtOrBefore(dir, v)
       .flatMap(s => Option(s._2.get("schema-id")).map(_.asInt()))
     schemaFor(spark, dir, sid)
+  }
+
+  /** The schema version `v` DECLARED: defined only when the snapshot's
+    * recorded `schema-id` DIFFERS from its main-line predecessor's (the
+    * Iceberg spelling of "this commit changed the schema") — resolved
+    * from the already-cached metadata, no IO. The first main-line
+    * snapshot declares its own schema, mirroring Delta's commit-0
+    * metaData. Gap versions (no snapshot) declare nothing. */
+  def declaredSchemaAt(dir: String, v: Long): Option[StructType] = {
+    val line = mainLine(dir)
+    line.find(_._1 == v).flatMap { case (_, s) =>
+      val sid = Option(s.get("schema-id")).map(_.asInt())
+      val prevSid = line.filter(_._1 < v).lastOption
+        .flatMap(p => Option(p._2.get("schema-id")).map(_.asInt()))
+      if (sid.isEmpty || sid == prevSid) None
+      else IcebergLog.currentSchema(
+        IcebergLog.readMetadata(Paths.get(dir)), sid)
+    }
   }
 
   /** `timestampAsOf` resolution: the newest main-line snapshot whose

@@ -359,6 +359,21 @@ object IcebergLog {
       .getOrElse(Map.empty)
   }
 
+  /** EVERY name a field id has carried across the metadata's whole
+    * schema history — the rename detector: a field with >1 name was
+    * renamed at some point, so older data files may store it under the
+    * previous spelling and a BY-NAME parquet read of those files would
+    * bind it to null. Callers that resolve columns by current name
+    * must refuse (or switch to field-id resolution) when the set has
+    * more than one element. */
+  private[sources] def fieldNamesByIdAcrossSchemas(
+      meta: JsonNode): Map[Int, Set[String]] =
+    Option(meta.get("schemas")).map(_.asScala.toSeq
+        .flatMap(_.get("fields").asScala.map(f =>
+          f.get("id").asInt() -> f.get("name").asText()))
+        .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet })
+      .getOrElse(Map.empty)
+
   // ------------------------------------ bound decode + file skipping
 
   /** Iceberg's binary single-value serialization (spec appendix D):
@@ -1193,9 +1208,10 @@ object IcebergLog {
       newData: Seq[String], newDeletes: Seq[String] = Seq.empty,
       operation: String = "append",
       newEqDeletes: Seq[String] = Seq.empty,
-      equalityIds: Seq[Int] = Seq.empty): Long = {
+      equalityIds: Seq[Int] = Seq.empty,
+      schemaHistory: Seq[StructType] = Seq.empty): Long = {
     Files.createDirectories(metadataDir(table))
-    val prior: Seq[(Long, Long, String, String)] = // (id, ts, ml, op)
+    val prior: Seq[(Long, Long, String, String, Option[Int])] = // (id, ts, ml, op, sid)
       if (!Files.exists(metadataDir(table).resolve("version-hint.text")))
         Seq.empty
       else Option(readMetadata(table).get("snapshots"))
@@ -1204,11 +1220,12 @@ object IcebergLog {
             Option(s.get("timestamp-ms")).map(_.asLong()).getOrElse(0L),
             s.get("manifest-list").asText(),
             Option(s.get("summary")).flatMap(n => Option(n.get("operation")))
-              .map(_.asText()).getOrElse("append"))
+              .map(_.asText()).getOrElse("append"),
+            Option(s.get("schema-id")).map(_.asInt()))
         }).getOrElse(Seq.empty)
     val id = prior.map(_._1).maxOption.getOrElse(0L) + 1L
     val prevEntries: Seq[(String, Int, Long)] =
-      prior.lastOption.map { case (_, _, ml, _) =>
+      prior.lastOption.map { case (_, _, ml, _, _) =>
         avroRecords(resolve(table, ml)).map(m =>
           (str(m, "manifest_path"), int(m, "content"),
             longOpt(m, "sequence_number")))
@@ -1235,8 +1252,17 @@ object IcebergLog {
     val snaps = prior.map(p => (p._1, p._2, p._3)) :+
       ((id, 1700000000000L + id * 60000L, ml))
     val opsMap = prior.map(p => p._1 -> p._4).toMap + (id -> operation)
+    // SCHEMA EVOLUTION (fixture support): pass the full history and the
+    // NEW snapshot records the last entry's schema-id while prior
+    // snapshots keep the ids their own metadata recorded — the shape a
+    // stock writer leaves after ALTER TABLE. Default (empty history)
+    // keeps the original single-schema behavior byte-stable.
+    val history = if (schemaHistory.nonEmpty) schemaHistory else Seq(schema)
+    val sids = prior.flatMap(p => p._5.map(p._1 -> _)).toMap +
+      (id -> (history.size - 1))
     Files.writeString(metadataDir(table).resolve(s"v$id.metadata.json"),
-      metadataJsonTs(table, Seq(schema), snaps, id, ops = opsMap))
+      metadataJsonTs(table, history, snaps, id,
+        snapshotSchemaIds = sids, ops = opsMap))
     Files.writeString(metadataDir(table).resolve("version-hint.text"),
       id.toString)
     id

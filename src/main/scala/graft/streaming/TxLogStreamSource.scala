@@ -303,9 +303,16 @@ object TxLogScan {
     * (dotted logical path → physical path). None when any reference is
     * missing from the map — that filter drops from the best-effort
     * row-group-pruning hint while the post-scan residual stays the
-    * exact gate, so the translation can never affect correctness. */
+    * exact gate, so the translation can never affect correctness.
+    *
+    * `pos` tracks POLARITY: a conjunction may keep its translatable
+    * side alone only in POSITIVE position — under a Not, And(a, b)
+    * weakened to And(a) and then negated yields Not(a), which is
+    * NARROWER than Not(And(a, b)) (¬(a∧b) = ¬a ∨ ¬b ⊇ ¬a) and could
+    * wrongly prune row groups. Negative-position Ands are therefore
+    * all-or-nothing, exactly like Ors. */
   private[streaming] def renameFilterCols(f: SFilter,
-      m: Map[String, String]): Option[SFilter] = {
+      m: Map[String, String], pos: Boolean = true): Option[SFilter] = {
     import org.apache.spark.sql.{sources => sf}
     def t(c: String): Option[String] = m.get(c)
     f match {
@@ -322,18 +329,20 @@ object TxLogScan {
       case sf.StringEndsWith(c, v) => t(c).map(sf.StringEndsWith(_, v))
       case sf.StringContains(c, v) => t(c).map(sf.StringContains(_, v))
       case sf.And(a, b) =>
-        // a conjunction may keep its translatable side alone — each
-        // conjunct is independently a sound over-approximation (an OR
-        // or NOT must stay all-or-nothing: dropping a disjunct narrows)
-        (renameFilterCols(a, m), renameFilterCols(b, m)) match {
+        // a POSITIVE-position conjunction may keep its translatable
+        // side alone — each conjunct is independently a sound
+        // over-approximation; under a Not it must stay all-or-nothing
+        // (see the polarity note above), and an OR always must
+        // (dropping a disjunct narrows)
+        (renameFilterCols(a, m, pos), renameFilterCols(b, m, pos)) match {
           case (Some(x), Some(y)) => Some(sf.And(x, y))
-          case (Some(x), None) => Some(x)
-          case (None, Some(y)) => Some(y)
+          case (Some(x), None) if pos => Some(x)
+          case (None, Some(y)) if pos => Some(y)
           case _ => None
         }
-      case sf.Or(a, b) => for { x <- renameFilterCols(a, m)
-                                y <- renameFilterCols(b, m) } yield sf.Or(x, y)
-      case sf.Not(a) => renameFilterCols(a, m).map(sf.Not(_))
+      case sf.Or(a, b) => for { x <- renameFilterCols(a, m, pos)
+                                y <- renameFilterCols(b, m, pos) } yield sf.Or(x, y)
+      case sf.Not(a) => renameFilterCols(a, m, !pos).map(sf.Not(_))
       case at: sf.AlwaysTrue => Some(at)
       case af: sf.AlwaysFalse => Some(af)
       case _ => None
@@ -657,7 +666,8 @@ class TxLogScan(dir: String, fullSchema: StructType,
         "skipChangeCommits to skip change commits entirely")
     new TxLogMicroBatchStream(this, dir, resolveStart, policy,
       opt("maxVersionsPerTrigger").map(_.toLong),
-      opt("maxFilesPerTrigger").map(_.toLong), cdf)
+      opt("maxFilesPerTrigger").map(_.toLong), cdf,
+      opt("allowAdditiveSchemaChange").exists(_.toBoolean))
   }
 
   override def toBatch: Batch = new Batch {
@@ -915,6 +925,19 @@ class TxLogScan(dir: String, fullSchema: StructType,
   private[streaming] def planCdfVersions(fromV: Long, toV: Long,
       skipChangeCommits: Boolean): Array[InputPartition] = {
     val table = Paths.get(dir)
+    // a change feed REPLAYS per commit — on a checkpoint-compacted
+    // foreign log the aged-out prefix is unreplayable, and the append
+    // stream's escape hatch ("drop startingVersion for the seeded
+    // snapshot") does not exist here (a CDF read has no initial
+    // snapshot), so refuse with the floor instead of failing mid-parse
+    // with circular advice
+    val floor = CommitLog.cdfReplayFloor(dir)
+    if (math.max(1L, fromV) < floor)
+      sys.error(s"graft-txlog: readChangeFeed cannot replay versions " +
+        s"${math.max(1L, fromV)}..${floor - 1} of $dir — their per-commit " +
+        "JSON was aged out past the newest checkpoint, and a change feed " +
+        "has no initial-snapshot fallback (that applies to append streams " +
+        s"only); set startingVersion to a retained version (>= $floor)")
     val plain = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
     val plainType = scala.collection.mutable.Map.empty[Long, String]
     val synthetic = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
@@ -1329,7 +1352,8 @@ private[streaming] case class CdfCdcPartition(file: PartitionedFile)
 class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     resolveStart: () => Long, policy: ChangePolicy,
     maxVersionsPerTrigger: Option[Long],
-    maxFilesPerTrigger: Option[Long], cdf: Boolean)
+    maxFilesPerTrigger: Option[Long], cdf: Boolean,
+    allowAdditive: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -1338,6 +1362,56 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     * takes its position from the checkpoint and must never pay (or be
     * failed by) re-resolving a startingTimestamp. */
   private lazy val baseV = math.max(0L, resolveStart() - 1L)
+
+  /** MID-STREAM SCHEMA-CHANGE CONTRACT (stock Delta's): the scan's
+    * read schema is pinned when this query RUN starts, so a schema
+    * change landing in an admitted version can misbind silently — a
+    * column-mapped foreign rename leaves the stale logical→physical
+    * map translating to a column that no longer exists, a drop+re-add
+    * re-types positions. Each admitted version's DECLARED schema
+    * (metaData action / Iceberg schema-id change) therefore compares
+    * against the schema pinned here; anything but an identical field
+    * set stops the stream loudly naming the version — restart the
+    * query to adopt the new schema (the checkpoint keeps its offset).
+    * ADDITIVE-only changes (every pinned field intact, new fields
+    * appended) may opt in to continue via
+    * `.option("allowAdditiveSchemaChange", "true")` — the pinned
+    * projection keeps reading, the added column surfaces after the
+    * next restart. Comparison is (name, dataType) — nullability and
+    * metadata drift (config re-emits, mapping bookkeeping) are not
+    * schema changes. Pinned LAZILY at the first plan of this run:
+    * a RESUMED stream re-pins to the current schema, so replaying the
+    * change-carrying version compares new-vs-new and passes — exactly
+    * stock Delta's restart-to-recover contract. */
+  private lazy val pinnedFields: Set[(String, org.apache.spark.sql.types.DataType)] = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      sys.error("graft-txlog: no active SparkSession"))
+    CommitLog.schema(spark, dir).fields.map(f => (f.name, f.dataType)).toSet
+  }
+
+  private def checkSchemaStability(fromV: Long, toV: Long): Unit = {
+    if (fromV > toV) return
+    val pinned = pinnedFields
+    (fromV to toV).foreach { v =>
+      CommitLog.declaredSchemaAt(dir, v).foreach { s =>
+        val now = s.fields.map(f => (f.name, f.dataType)).toSet
+        if (now != pinned && !(allowAdditive && pinned.subsetOf(now))) {
+          def show(fs: Set[(String, org.apache.spark.sql.types.DataType)]) =
+            fs.toSeq.sortBy(_._1)
+              .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")
+          sys.error(s"graft-txlog: schema of $dir changed at version $v — " +
+            s"stream pinned [${show(pinned)}], version declares " +
+            s"[${show(now)}]. Restart the streaming query to adopt the " +
+            "new schema (the checkpoint keeps its position)" +
+            (if (pinned.subsetOf(now))
+              "; this change is additive-only — set " +
+                ".option(\"allowAdditiveSchemaChange\",\"true\") to " +
+                "continue under the pinned projection"
+            else ""))
+        }
+      }
+    }
+  }
 
   private def ver(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
@@ -1357,7 +1431,11 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
   override def getDefaultReadLimit: ReadLimit = {
     val limits: Seq[ReadLimit] =
       maxVersionsPerTrigger.map(MaxVersions(_)).toSeq ++
-        maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n.toInt)).toSeq
+        // clamp, don't narrow: a value above Int.MaxValue would
+        // overflow toInt to a NEGATIVE cap and silently degrade
+        // admission to one version per batch instead of "unlimited"
+        maxFilesPerTrigger.map(n =>
+          ReadLimit.maxFiles(math.min(n, Int.MaxValue.toLong).toInt)).toSeq
     limits match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -1425,14 +1503,27 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
   override def planInputPartitions(start: OffsetV2, end: OffsetV2): Array[InputPartition] = {
     val fromV = ver(start)
     val toV = ver(end)
+    // PIN the schema at the run's FIRST plan, whatever shape it takes —
+    // left to the first checkSchemaStability call, a fresh stream's
+    // initial-snapshot batch would skip pinning and the pin would land
+    // AFTER any change admitted next, comparing new-vs-new and missing it
+    pinnedFields
     // non-CDF streams hide DV'd rows natively (read-start DV state, see
     // TxLogScan.dvByAbs); the CDF form replays merge-on-read commits as
     // labeled synthetic partitions (DV-diff synthesis)
-    if (cdf) return scan.planCdfVersions(fromV + 1, toV,
-      policy.skipChangeCommits)
+    if (cdf) {
+      checkSchemaStability(fromV + 1, toV)
+      return scan.planCdfVersions(fromV + 1, toV, policy.skipChangeCommits)
+    }
     val versioned =
       if (fromV <= 0) Seq((toV, CommitLog.liveRelsAt(dir, toV)))
-      else ((fromV + 1) to toV).map(v => (v, addedOf(v)))
+      else {
+        // fresh initial-snapshot batches (fromV <= 0) are read with the
+        // pinned CURRENT schema by construction and never checked —
+        // history folded into one snapshot has no per-version replay
+        checkSchemaStability(fromV + 1, toV)
+        ((fromV + 1) to toV).map(v => (v, addedOf(v)))
+      }
     scan.packPartitions(scan.pruneRels(versioned.filter(_._2.nonEmpty)))
   }
 

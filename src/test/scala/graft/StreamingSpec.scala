@@ -2350,4 +2350,170 @@ class StreamingSpec extends SparkSpec {
       ev.filter(col("event_id") >= 500).count(),
       "the Iceberg backend must resolve startingTimestamp off its snapshot-log")
   }
+
+  /** Throwable chain as one searchable string (streaming failures
+    * arrive wrapped in StreamingQueryException). */
+  private def chainMsgs(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  test("mid-stream schema change stops the native tail; additive continues only under opt-in; restart recovers") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val tbl = Files.createTempDirectory("graft_schemachg_nat").toString
+    TxLog.commitAppend(ev.filter(col("event_id") < 200), tbl)
+    val ck = Files.createTempDirectory("graft_schemachg_nat_ck").toString
+    val out = Files.createTempDirectory("graft_schemachg_nat_out").toString
+    // file sink, not memory: the restart leg below must RECOVER from
+    // the checkpoint, which the memory sink refuses
+    def start() = s.readStream.format("graft-txlog").option("path", tbl).load()
+      .select(ev.columns.map(col).toSeq: _*) // stable projection across restarts
+      .writeStream.option("checkpointLocation", ck).option("path", out)
+      .outputMode(OutputMode.Append())
+      .format("parquet").start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(s.read.parquet(out).count() ==
+        ev.filter(col("event_id") < 200).count())
+      // ADD COLUMN lands as its own (empty) commit, then data: the
+      // RUNNING query pinned the pre-change schema, so the admitted
+      // change version must stop it loudly — stock Delta's contract
+      TxLog.addColumnWithDefault(s, tbl, "grade", org.apache.spark.sql.types.StringType, "'x'")
+      TxLog.commitAppend(ev.filter(col("event_id").between(200, 399))
+        .withColumn("grade", lit("y")), tbl)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = chainMsgs(e)
+      assert(msgs.contains("schema") && msgs.contains("changed at version 2"),
+        msgs)
+      assert(msgs.contains("additive-only"),
+        s"an added column should be diagnosed as additive: $msgs")
+    } finally q.stop()
+    // RESTART adopts the new schema (re-pinned) and resumes from the
+    // checkpoint: the change version + the data version replay clean
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(s.read.parquet(out).count() ==
+        ev.filter(col("event_id") < 400).count(),
+        "the restarted run must deliver the post-change batch exactly once")
+    } finally q2.stop()
+    // OPT-IN: a running tail keeps going across an ADDITIVE change,
+    // reading under the pinned projection
+    val tbl2 = Files.createTempDirectory("graft_schemachg_nat2").toString
+    TxLog.commitAppend(ev.filter(col("event_id") < 200), tbl2)
+    val q3 = s.readStream.format("graft-txlog").option("path", tbl2)
+      .option("allowAdditiveSchemaChange", "true").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_schemachg_nat2_ck").toString)
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("schemachg_nat2").start()
+    try {
+      q3.processAllAvailable()
+      TxLog.addColumnWithDefault(s, tbl2, "grade", org.apache.spark.sql.types.StringType, "'x'")
+      TxLog.commitAppend(ev.filter(col("event_id").between(200, 399))
+        .withColumn("grade", lit("y")), tbl2)
+      q3.processAllAvailable() // must NOT fail
+      assert(s.table("schemachg_nat2").count() ==
+        ev.filter(col("event_id") < 400).count(),
+        "the opted-in tail must keep delivering under the pinned projection")
+      assert(!s.table("schemachg_nat2").columns.contains("grade"),
+        "the pinned projection cannot surface the added column until restart")
+    } finally q3.stop()
+  }
+
+  test("mid-stream RENAME/DROP on a (mapped) foreign Delta tail stops the stream loudly") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.DeltaLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    // RENAME: upgrades the table to column mapping mid-tail — the
+    // running scan's logical→physical map is stale, the exact silent
+    // misbind path the contract exists to close
+    val root = Files.createTempDirectory("graft_schemachg_fd")
+    def land(r: java.nio.file.Path, df: org.apache.spark.sql.DataFrame,
+        name: String): String = {
+      val tmp = Files.createTempDirectory(s"graft_schemachg_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, r.resolve(s"$name.parquet"))
+      s"$name.parquet"
+    }
+    DeltaLog.mirrorCommit(root, 1L,
+      Seq(land(root, ev.filter(col("event_id") < 300), "b0")), Seq.empty,
+      ev.schema.json)
+    val q = s.readStream.format("graft-txlog").option("path", root.toString)
+      .load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_schemachg_fd_ck").toString)
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("schemachg_fd").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("schemachg_fd").count() ==
+        ev.filter(col("event_id") < 300).count())
+      DeltaLog.renameColumn(s, root.toString, "value", "amount") // graft v2
+      DeltaLog.mirrorCommit(root, 3L,
+        Seq(land(root, ev.filter(col("event_id") >= 300), "b1")), Seq.empty,
+        DeltaLog.currentSchemaString(root).get)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(chainMsgs(e).contains("changed at version 2"), chainMsgs(e))
+    } finally q.stop()
+    // DROP mid-tail on a second fixture
+    val root2 = Files.createTempDirectory("graft_schemachg_fd2")
+    DeltaLog.mirrorCommit(root2, 1L,
+      Seq(land(root2, ev.filter(col("event_id") < 300), "b0")), Seq.empty,
+      ev.schema.json)
+    val q2 = s.readStream.format("graft-txlog").option("path", root2.toString)
+      .load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_schemachg_fd2_ck").toString)
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("schemachg_fd2").start()
+    try {
+      q2.processAllAvailable()
+      DeltaLog.dropColumn(s, root2.toString, "value") // graft v2
+      val e2 = intercept[Exception] { q2.processAllAvailable() }
+      val msgs = chainMsgs(e2)
+      assert(msgs.contains("changed at version 2"), msgs)
+      assert(!msgs.contains("additive-only"),
+        s"a drop is never additive: $msgs")
+    } finally q2.stop()
+  }
+
+  test("mid-stream Iceberg schema-id change stops the foreign tail loudly") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_schemachg_ice")
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 500), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))
+    val q = s.readStream.format("graft-txlog").option("path", root.toString)
+      .load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_schemachg_ice_ck").toString)
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("schemachg_ice").start()
+    try {
+      q.processAllAvailable()
+      assert(s.table("schemachg_ice").count() ==
+        ev.filter(col("event_id") < 500).count())
+      // snapshot 2 records a NEW schema-id (value renamed to amount) —
+      // the running tail pinned schema-id 0 and must stop
+      val renamed = ev.withColumnRenamed("value", "amount")
+      val b1 = IcebergLog.writeDataFile(
+        renamed.filter(col("event_id") >= 500), root, "b1.parquet")
+      IcebergLog.appendForeignSnapshot(root, renamed.schema, Seq(b1),
+        schemaHistory = Seq(ev.schema, renamed.schema))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = chainMsgs(e)
+      assert(msgs.contains("changed at version 2") &&
+        msgs.contains("amount"), msgs)
+    } finally q.stop()
+  }
 }
