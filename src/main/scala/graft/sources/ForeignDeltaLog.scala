@@ -642,6 +642,16 @@ private[graft] object CommitLog {
     case _ => 1L
   }
 
+  /** Per-file MANIFEST partition values at a version (hive-layout
+    * foreign Iceberg trees, whose identity values live only in the
+    * manifests' partition tuples; empty elsewhere — hive Delta/native
+    * tables parse values from path segments instead). */
+  def filePartitionValues(dir: String,
+      v: Long): Map[String, Map[String, String]] = kind(dir) match {
+    case Kind.Iceberg => ForeignIcebergLog.filePartitionValues(dir, v)
+    case _ => Map.empty
+  }
+
   /** The schema version `v` DECLARED (a metaData action / a snapshot
     * schema-id change), None when it declared nothing — what the
     * streaming schema-change detector compares against the schema

@@ -286,11 +286,8 @@ object ForeignIcebergLog {
     // resurrect). Stock Iceberg resolves by field id; until this path
     // does, a renamed key column refuses loudly instead of guessing.
     val namesEver = IcebergLog.fieldNamesByIdAcrossSchemas(metaNode)
-    // path canonicalization executor-side — the batch reader's ONE
-    // shared spelling rule (URI-escaped `_metadata.file_path` vs
-    // whatever the delete writer stored)
-    val norm = IcebergLog.normPathCol _
-    sf.eqDeletes.groupBy(_._3).toSeq.flatMap { case (ids, group) =>
+    var pruneTally = (0, 0)
+    val out = sf.eqDeletes.groupBy(_._3).toSeq.flatMap { case (ids, group) =>
       val names = ids.map(id => fieldName.getOrElse(id, sys.error(
         s"$dir: equality_ids name unknown field id $id")))
       ids.foreach { id =>
@@ -305,14 +302,68 @@ object ForeignIcebergLog {
       // a delete only ever hides rows of STRICTLY older files — files
       // at or past the newest delete's sequence can skip the scan
       val maxDel = group.map(_._2).max
-      val cands = sf.data.filter(_.seq < maxDel)
-      if (cands.isEmpty) Seq.empty
+      val older = sf.data.filter(_.seq < maxDel)
+      if (older.isEmpty) Seq.empty
       else {
         val dels = group.map { case (p, dseq, _) =>
           spark.read.parquet(p.toString)
             .select(names.map(n => col(n).as(s"__del_$n")) :+
               lit(dseq).as("__del_seq"): _*)
         }.reduce(_.unionByName(_))
+        // MANIFEST-BOUNDS CANDIDATE PRUNING: one tiny agg over the
+        // delete rows (O(deleted rows) — already this fold's ceiling)
+        // computes the delete batch's per-key-column envelope, and
+        // every strictly-older file whose manifest bounds prove it
+        // DISJOINT from the envelope skips the key-column scan — the
+        // same envelope move TxLog.mergeIntoClauses makes with its
+        // source keys. Narrow upserts then scan O(affected files), not
+        // O(corpus). Sound directions only: a key column with ANY null
+        // delete value never prunes (bounds don't speak for nulls the
+        // null-safe join may match), absent/undecodable bounds never
+        // prune (fileSurvives' own rule).
+        val aggs = count(lit(1)).as("__n") +: names.flatMap(n => Seq(
+          min(col(s"__del_$n")), max(col(s"__del_$n")),
+          sum(when(col(s"__del_$n").isNull, 1L).otherwise(0L))))
+        val env = dels.agg(aggs.head, aggs.tail: _*).collect()(0)
+        if (env.getLong(0) == 0L) Seq.empty
+        else {
+          val preds = names.zipWithIndex.flatMap { case (n, i) =>
+            val base = 1 + i * 3
+            if (env.getLong(base + 2) > 0L) None
+            else Some((n, env.get(base), env.get(base + 1)))
+          }
+          val fieldIds = IcebergLog.boundsFieldIds(dir, metaNode)
+          val cands =
+            if (preds.isEmpty) older
+            else older.filter(f => IcebergLog.fileSurvives(f, preds, fieldIds))
+          pruneTally = (pruneTally._1 + older.size, pruneTally._2 + cands.size)
+          if (cands.isEmpty) Seq.empty
+          else eqResolve(spark, table, names, dels, cands)
+        }
+      }
+    }
+    if (pruneTally._1 > 0) lastEqPrune = Some(pruneTally)
+    out
+  }
+
+  /** Observability for specs: (strictly-older candidates, files kept)
+    * across the most recent [[eqHiddenAt]] fold — proves the envelope
+    * pruning actually skipped files before any key-column IO. */
+  @volatile private[graft] var lastEqPrune: Option[(Int, Int)] = None
+
+  /** Resolve one equality-id group's delete rows against the surviving
+    * candidate files — executor-side scan + null-safe semi-join under
+    * the strictly-older rule (see [[eqHiddenAt]]). */
+  private def eqResolve(spark: SparkSession, table: Path,
+      names: Seq[String],
+      dels: org.apache.spark.sql.DataFrame,
+      cands: Seq[IcebergLog.IceFile]): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions._
+    // path canonicalization executor-side — the batch reader's ONE
+    // shared spelling rule (URI-escaped `_metadata.file_path` vs
+    // whatever the delete writer stored)
+    val norm = IcebergLog.normPathCol _
+    {
         val seqRows = cands
           .map(f => org.apache.spark.sql.Row(canon(table, f.path.toString), f.seq))
         val seqDf = spark.createDataFrame(seqRows.asJava,
@@ -340,7 +391,6 @@ object ForeignIcebergLog {
           .join(dels, cond, "left_semi")
           .select(col("__file"), col("__pos"))
           .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
-      }
     }
   }
 
@@ -363,55 +413,77 @@ object ForeignIcebergLog {
     * (or skip), exactly the native cdc-less contract. */
   def manifestCdc(dir: String, v: Long): Seq[String] = Seq.empty
 
-  /** Partition columns as SCAN-APPENDED columns: none — identity
-    * values live IN the data files on real Iceberg writers (probed in
-    * [[schema]]); the scan reads them as ordinary data columns. */
-  def partitionColumnsOf(dir: String): Seq[String] = Seq.empty
+  /** Partition columns as SCAN-APPENDED columns: the identity-partition
+    * columns whose values do NOT ride the data files in-file — the
+    * hive/`add_files`-migrated layout, where values live only in the
+    * manifests' partition tuples. The shared scan then appends them per
+    * file from [[filePartitionValues]], exactly as it appends a hive
+    * Delta table's path-segment values. Empty when files carry their
+    * values in-file (what real Iceberg writers store — the columns
+    * read as ordinary data) or the table is unpartitioned. */
+  def partitionColumnsOf(dir: String): Seq[String] = hiveLayoutCols(dir)
+
+  /** Manifest-tuple partition VALUES of every live data file at version
+    * `v` (canonical absolute path → column → stringified identity
+    * value) — the scan's per-file append source on hive-layout trees.
+    * Derived from the cached [[liveAt]] snapshot walk, O(files) map
+    * build per (version, scan). */
+  def filePartitionValues(dir: String,
+      v: Long): Map[String, Map[String, String]] =
+    if (hiveLayoutCols(dir).isEmpty) Map.empty
+    else {
+      val table = Paths.get(dir)
+      snapAtOrBefore(dir, v).map { case (_, snap) =>
+        liveAt(dir, snap).data
+          .map(f => canon(table, f.path.toString) -> f.partition).toMap
+      }.getOrElse(Map.empty)
+    }
 
   /** Identity-partition probe results, cached per metadata file (one
     * probe per metadata VERSION, as advertised — not per schema()
-    * call, which planning invokes repeatedly). */
-  private val probeCache = new Lru[String, Option[String]](4)
+    * call, which planning invokes repeatedly). Holds the columns the
+    * scan must APPEND (probe: one footer per distinct partition
+    * key-set; a column missing from ANY probed footer appends
+    * globally — appended values come from the manifest tuples, which
+    * are authoritative for carrying and non-carrying files alike). */
+  private val probeCache = new Lru[String, Seq[String]](4)
+
+  private def hiveLayoutCols(dir: String): Seq[String] = {
+    val table = Paths.get(dir)
+    val metaPath = IcebergLog.currentMetadataPath(table)
+      .toAbsolutePath.toString
+    probeCache.get(metaPath) {
+      mainLine(dir).lastOption.map { case (_, snap) =>
+        val sf = liveAt(dir, snap)
+        if (sf.data.isEmpty || sf.data.forall(_.partition.isEmpty)) Seq.empty
+        else {
+          val spark = SparkSession.getActiveSession.getOrElse(
+            sys.error("graft-txlog: no active SparkSession"))
+          val meta = IcebergLog.readMetadata(table)
+          // identity fields only: a transform field (days/bucket/…)
+          // names no schema column and never enters the read schema
+          val schemaCols = IcebergLog.currentSchema(meta, None)
+            .map(_.fieldNames.toSet).getOrElse(Set.empty)
+          sf.data.filter(_.partition.nonEmpty)
+            .groupBy(_.partition.keySet.toSeq.sorted)
+            .toSeq.sortBy(_._1.mkString(","))
+            .flatMap { case (pKeys, fs) =>
+              val inFile = spark.read.parquet(fs.head.path.toString)
+                .schema.fieldNames.toSet
+              pKeys.filter(schemaCols).filterNot(inFile)
+            }.distinct
+        }
+      }.getOrElse(Seq.empty)
+    }
+  }
 
   private def schemaFor(spark: SparkSession, dir: String,
       sid: Option[Int]): StructType = {
     val table = Paths.get(dir)
     val meta = IcebergLog.readMetadata(table)
-    val schema = IcebergLog.currentSchema(meta, sid).getOrElse(
+    IcebergLog.currentSchema(meta, sid).getOrElse(
       sys.error(s"$dir: the Iceberg schema carries a type the engine " +
         "does not map — refusing to infer"))
-    // identity-partition probe: stream only when data files CARRY the
-    // partition columns in-file. SAMPLED guarantee, one footer per
-    // DISTINCT partition key-set (a tree mixing specs probes each
-    // spec's shape; a tree mixing carrying and non-carrying files
-    // UNDER ONE key-set is probed by its first file only — such trees
-    // read partition columns null for the non-carrying files and
-    // belong on IcebergLog.snapshot's manifest-attach path).
-    val metaPath = IcebergLog.currentMetadataPath(table)
-      .toAbsolutePath.toString
-    val missing = probeCache.get(metaPath) {
-      mainLine(dir).lastOption.flatMap { case (_, snap) =>
-        val sf = liveAt(dir, snap)
-        if (sf.data.isEmpty) None
-        else {
-          val byKeySet = sf.data.filter(_.partition.nonEmpty)
-            .groupBy(_.partition.keySet.toSeq.sorted)
-          val gaps = byKeySet.toSeq.sortBy(_._1.mkString(","))
-            .flatMap { case (pKeys, fs) =>
-              val inFile = spark.read.parquet(fs.head.path.toString)
-                .schema.fieldNames.toSet
-              pKeys.filterNot(inFile)
-            }.distinct
-          Some(gaps).filter(_.nonEmpty).map(_.mkString(", "))
-        }
-      }
-    }
-    missing.foreach(m =>
-      sys.error(s"$dir: identity-partitioned Iceberg tree whose " +
-        s"data files do not carry $m in-file (hive-style layout) — the " +
-        "streaming scan reads file columns only; read through " +
-        "IcebergLog.snapshot (manifest partition attach)"))
-    schema
   }
 
   def schema(spark: SparkSession, dir: String): StructType =

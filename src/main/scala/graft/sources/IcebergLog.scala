@@ -455,7 +455,7 @@ object IcebergLog {
     * type). uuid maps to StringType for READING, but its bounds are 16
     * raw bytes — lexicographic comparison against uuid text would
     * prune unsoundly, so uuid columns never prune. */
-  private def boundsFieldIds(dir: String,
+  private[sources] def boundsFieldIds(dir: String,
       meta: JsonNode): Map[String, (Int, DataType)] = {
     val sid = Option(meta.get("current-schema-id")).map(_.asInt()).getOrElse(0)
     val schemaNode = Option(meta.get("schemas"))
@@ -469,17 +469,40 @@ object IcebergLog {
     }.toMap
   }
 
+  /** An identity-partition tuple value as a [[cmpBound]]-comparable
+    * bound (the value is constant across the file, so lower = upper =
+    * it): numerics/date-days/timestamp-micros to Number, strings as-is.
+    * None never prunes — the sound direction. */
+  private def partIdentBound(f: IceFile, c: String,
+      dt: DataType): Option[Any] =
+    f.partition.get(c).filter(_ != null).flatMap { v =>
+      dt match {
+        case StringType => Some(v)
+        case LongType | IntegerType | DateType
+            | TimestampType | TimestampNTZType =>
+          v.toLongOption.map(Long.box)
+        case DoubleType | FloatType => v.toDoubleOption.map(Double.box)
+        case _ => None
+      }
+    }
+
   /** A file survives unless its manifest bounds PROVE the range
     * disjoint — an incomparable (bound, predicate) pair proves
-    * nothing, an unknown column never prunes. */
-  private def fileSurvives(f: IceFile, preds: Seq[(String, Any, Any)],
+    * nothing, an unknown column never prunes. Files without explicit
+    * bounds for a column fall back to its identity-PARTITION tuple
+    * value when one exists (constant per file, so it IS both bounds) —
+    * hive-layout/`add_files` trees then prune partition predicates
+    * without any writer-supplied column stats. */
+  private[sources] def fileSurvives(f: IceFile, preds: Seq[(String, Any, Any)],
       fieldIds: Map[String, (Int, DataType)]): Boolean =
     preds.forall { case (c, lo, hi) =>
       fieldIds.get(c) match {
         case None => true
         case Some((id, dt)) =>
           val lb = f.lowerBounds.get(id).flatMap(decodeBound(_, dt))
+            .orElse(partIdentBound(f, c, dt))
           val ub = f.upperBounds.get(id).flatMap(decodeBound(_, dt))
+            .orElse(partIdentBound(f, c, dt))
           val aboveHi = hi != null &&
             lb.exists(l => cmpBound(l, hi, dt).exists(_ > 0))
           val belowLo = lo != null &&
@@ -1021,14 +1044,19 @@ object IcebergLog {
   }
 
   /** One manifest avro of (status, relPath) entries (optionally with
-    * per-file field bounds); returns its table-relative path. */
+    * per-file field bounds, and — for hive-layout fixtures — per-file
+    * identity PARTITION tuples typed by `partTypes`); returns its
+    * table-relative path. */
   private def writeManifest(table: Path, name: String,
       entries: Seq[(Int, String)],
       bounds: Map[String, Map[Int, (Any, Any)]] = Map.empty,
       fileContent: Int = 0,
       seqs: Map[String, Long] = Map.empty,
-      equalityIds: Seq[Int] = Seq.empty): String = {
-    val dfSchema = manifestEntrySchema.getField("data_file").schema()
+      equalityIds: Seq[Int] = Seq.empty,
+      partitions: Map[String, Map[String, String]] = Map.empty,
+      partTypes: Seq[(String, DataType)] = Seq.empty): String = {
+    val entrySchema = mirrorEntrySchema(partTypes)
+    val dfSchema = entrySchema.getField("data_file").schema()
     val kvSchema = dfSchema.getField("lower_bounds").schema()
       .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
     def kvArray(m: Map[Int, Any]): java.util.List[GenericRecord] =
@@ -1053,14 +1081,22 @@ object IcebergLog {
       }
       if (equalityIds.nonEmpty)
         dataFile.put("equality_ids", equalityIds.map(Int.box).asJava)
-      val e = new GenericData.Record(manifestEntrySchema)
+      if (partTypes.nonEmpty) {
+        val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+        val byName = partitions.getOrElse(rel, Map.empty)
+        partTypes.foreach { case (n, dt) =>
+          pr.put(n, partTypedValue(byName.getOrElse(n, null), dt))
+        }
+        dataFile.put("partition", pr)
+      }
+      val e = new GenericData.Record(entrySchema)
       e.put("status", status)
       seqs.get(rel).foreach(v => e.put("sequence_number", Long.box(v)))
       e.put("data_file", dataFile)
       e: GenericRecord
     }
     val rel = s"metadata/$name"
-    writeAvro(table.resolve(rel), manifestEntrySchema, recs)
+    writeAvro(table.resolve(rel), entrySchema, recs)
     rel
   }
 
@@ -1209,7 +1245,10 @@ object IcebergLog {
       operation: String = "append",
       newEqDeletes: Seq[String] = Seq.empty,
       equalityIds: Seq[Int] = Seq.empty,
-      schemaHistory: Seq[StructType] = Seq.empty): Long = {
+      schemaHistory: Seq[StructType] = Seq.empty,
+      bounds: Map[String, Map[Int, (Any, Any)]] = Map.empty,
+      partitions: Map[String, Map[String, String]] = Map.empty,
+      partitionCols: Seq[(String, DataType)] = Seq.empty): Long = {
     Files.createDirectories(metadataDir(table))
     val prior: Seq[(Long, Long, String, String, Option[Int])] = // (id, ts, ml, op, sid)
       if (!Files.exists(metadataDir(table).resolve("version-hint.text")))
@@ -1233,7 +1272,8 @@ object IcebergLog {
     val mData =
       if (newData.isEmpty) None
       else Some(writeManifest(table, f"m-$id%03d-data.avro",
-        newData.map((1, _))))
+        newData.map((1, _)), bounds = bounds,
+        partitions = partitions, partTypes = partitionCols))
     val mDel =
       if (newDeletes.isEmpty) None
       else Some(writeManifest(table, f"m-$id%03d-del.avro",
@@ -1262,6 +1302,7 @@ object IcebergLog {
       (id -> (history.size - 1))
     Files.writeString(metadataDir(table).resolve(s"v$id.metadata.json"),
       metadataJsonTs(table, history, snaps, id,
+        partitionCols = partitionCols.map(_._1),
         snapshotSchemaIds = sids, ops = opsMap))
     Files.writeString(metadataDir(table).resolve("version-hint.text"),
       id.toString)

@@ -796,8 +796,23 @@ class TxLogScan(dir: String, fullSchema: StructType,
       .getOrElse(Map.empty)
   }
 
-  /** One manifest-relative file as a [[PartitionedFile]]: hive segments
-    * parsed and typed by the table schema, CDF pseudo-values appended
+  /** Per-version manifest partition-value maps (hive-layout foreign
+    * Iceberg trees; empty elsewhere), cached per scan — one cheap map
+    * build per (version, scan), not one per file. Planning is
+    * driver-side and single-threaded per batch; the synchronization
+    * only guards scan reuse across batches. */
+  private val manifestPartVals =
+    scala.collection.mutable.HashMap.empty[Long, Map[String, Map[String, String]]]
+  private def partValsAt(v: Long): Map[String, Map[String, String]] =
+    manifestPartVals.synchronized {
+      manifestPartVals.getOrElseUpdate(v,
+        graft.sources.CommitLog.filePartitionValues(dir, v))
+    }
+
+  /** One manifest-relative file as a [[PartitionedFile]]: partition
+    * values from the backend's MANIFEST TUPLES when it has them
+    * (hive-layout foreign Iceberg) else parsed from the hive path
+    * segments, typed by the table schema; CDF pseudo-values appended
     * as constants when reading the change feed. */
   private def mkPartitionedFile(v: Long, rel: String,
       changeType: String): PartitionedFile = {
@@ -817,11 +832,13 @@ class TxLogScan(dir: String, fullSchema: StructType,
         case name =>
           // column-mapped foreign tables hive-partition by the PHYSICAL
           // column name — the segment lookup translates, the scan keeps
-          // presenting the logical one
+          // presenting the logical one. Manifest tuples (hive-layout
+          // foreign Iceberg) are authoritative when present.
           val segKey = partPhysNames.getOrElse(name, name)
-          val raw = segs.getOrElse(segKey, sys.error(
-            s"$dir: $rel lacks partition segment $segKey"))
-          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          val raw = partValsAt(v).get(rel).map(_.getOrElse(name, null))
+            .getOrElse(segs.getOrElse(segKey, sys.error(
+              s"$dir: $rel lacks partition segment $segKey")))
+          if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") null
           else Cast(Literal(UTF8String.fromString(raw), StringType),
             f.dataType, Some(zone)).eval(null)
       }

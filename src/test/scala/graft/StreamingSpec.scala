@@ -1739,6 +1739,123 @@ class StreamingSpec extends SparkSpec {
     assert(byType == Map("delete" -> doomed), byType.toString)
   }
 
+  test("hive-layout foreign Iceberg trees stream: partition values attach from manifest tuples, predicates prune") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_ficeberg_hive")
+    val types = ev.select("event_type").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val pcols = Seq(("event_type", org.apache.spark.sql.types.StringType))
+    // the add_files-migrated shape: data files do NOT carry the
+    // partition column; its values live only in the manifest tuples
+    def landSnap(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+      val rels = types.map { t =>
+        IcebergLog.writeDataFile(
+          ev.filter(pred && col("event_type") === t).drop("event_type"),
+          root, s"$tag-$t.parquet") -> Map("event_type" -> t)
+      }
+      IcebergLog.appendForeignSnapshot(root, ev.schema, rels.map(_._1),
+        partitions = rels.toMap, partitionCols = pcols)
+    }
+    landSnap(col("event_id") < 500, "a")
+    val out = Files.createTempDirectory("graft_ficeberg_hive_out").toString
+    val ckpt = Files.createTempDirectory("graft_ficeberg_hive_ck").toString
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain()
+    assert(s.read.parquet(out).count() ==
+      ev.filter(col("event_id") < 500).count())
+    landSnap(col("event_id") >= 500, "b") // snapshot 2: only its files stream
+    drain()
+    val streamed = s.read.parquet(out)
+    assert(streamed.count() == ev.count())
+    // the attached values are REAL (typed, grouped) — a missed attach
+    // nulls the keys, a crossed file→tuple map scrambles the groups
+    val got = streamed.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+    // row-identical to the batch reader's manifest-attach path
+    val dsv2 = s.read.format("graft-txlog").option("path", root.toString)
+      .load()
+    val viaIceberg = IcebergLog.snapshot(s, root.toString)
+      .select(dsv2.columns.map(col).toSeq: _*)
+    assert(dsv2.exceptAll(viaIceberg).isEmpty &&
+      viaIceberg.exceptAll(dsv2).isEmpty,
+      "DSv2 and IcebergLog.snapshot must agree on a hive-layout tree")
+    // partition-predicate pruning: the identity TUPLE value doubles as
+    // both bounds, so a one-type filterExpr prunes the other types'
+    // files before any IO — no writer-supplied column stats needed
+    graft.streaming.TxLogScan.lastStreamPrune = None
+    val out2 = Files.createTempDirectory("graft_ficeberg_hive_out2").toString
+    val q2 = s.readStream.format("graft-txlog").option("path", root.toString)
+      .option("filterExpr", s"event_type = '${types.head}'").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_ficeberg_hive_ck2").toString)
+      .option("path", out2)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q2.awaitTermination(120000)
+    q2.exception.foreach(throw _)
+    val (cand, kept) = graft.streaming.TxLogScan.lastStreamPrune
+      .getOrElse(fail("no prune tally — partition tuples never consulted"))
+    assert(kept == 2 && cand == types.size * 2,
+      s"one type per snapshot must survive the prune: $kept/$cand")
+    assert(s.read.parquet(out2)
+      .filter(col("event_type") === types.head).count() ==
+      ev.filter(col("event_type") === types.head).count())
+  }
+
+  test("eq-delete fold prunes candidate files via manifest bounds (narrow upserts scan O(affected files))") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ForeignIcebergLog, IcebergLog}
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_eqprune")
+    val idField = ev.schema.fieldIndex("event_id") + 1
+    // two data files with DISJOINT event_id bounds in the manifests
+    val lo = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 500), root, "lo.parquet")
+    val hi = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") >= 500), root, "hi.parquet")
+    val loMax = ev.filter(col("event_id") < 500)
+      .agg(max("event_id")).collect()(0).getLong(0)
+    val hiMax = ev.agg(max("event_id")).collect()(0).getLong(0)
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(lo, hi),
+      bounds = Map(
+        lo -> Map(idField -> ((0L: Any, loMax: Any))),
+        hi -> Map(idField -> ((500L: Any, hiMax: Any)))))
+    // a NARROW eq-delete: keys land entirely inside lo.parquet's bounds
+    val delRel = IcebergLog.writeDataFile(
+      ev.select("event_id").filter(col("event_id").isin(10L, 20L, 30L)),
+      root, "eqdel.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty,
+      operation = "delete", newEqDeletes = Seq(delRel),
+      equalityIds = Seq(idField))
+    ForeignIcebergLog.lastEqPrune = None
+    val snap = s.read.format("graft-txlog").option("path", root.toString)
+      .load()
+    assert(snap.count() == ev.count() - 3)
+    assert(snap.filter(col("event_id").isin(10L, 20L, 30L)).count() == 0)
+    val (cand, kept) = ForeignIcebergLog.lastEqPrune
+      .getOrElse(fail("no prune tally — envelope pruning never ran"))
+    assert((cand, kept) == ((2, 1)),
+      s"hi.parquet's disjoint bounds must skip its key scan: $kept/$cand")
+    // parity with the batch reader's anti-join survivor set
+    val viaIceberg = IcebergLog.snapshot(s, root.toString)
+    assert(snap.exceptAll(viaIceberg).isEmpty &&
+      viaIceberg.exceptAll(snap).isEmpty)
+  }
+
   test("Flink-upsert shape (Iceberg MoR MERGE, no cdc): CDF emits stock changelog delete+insert pairs") {
     val s = spark
     import org.apache.spark.sql.functions._
