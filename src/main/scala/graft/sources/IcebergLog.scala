@@ -302,8 +302,16 @@ object IcebergLog {
               "partition-value map: "), col("__file")))))
       pcols.foreach { c =>
         val dt = df.schema(c).dataType
-        out = out.withColumn(c,
-          coalesce(col(c), col(s"__pv_$c").cast(dt)))
+        // tuples serialize dates as epoch DAYS and timestamps as epoch
+        // MICROS (spec single-value form) — a plain string cast would
+        // null them; everything else casts directly
+        val raw = col(s"__pv_$c")
+        val attached = dt match {
+          case DateType => date_from_unix_date(raw.cast("int"))
+          case TimestampType => timestamp_micros(raw.cast("long"))
+          case _ => raw.cast(dt)
+        }
+        out = out.withColumn(c, coalesce(col(c), attached))
       }
       out = out.drop("__pf" +: pcols.map(c => s"__pv_$c"): _*)
     }
@@ -1167,7 +1175,8 @@ object IcebergLog {
       snapshots: Seq[(Long, Long, String)], currentId: Long,
       partitionCols: Seq[String] = Seq.empty,
       snapshotSchemaIds: Map[Long, Int] = Map.empty,
-      ops: Map[Long, String] = Map.empty): String = {
+      ops: Map[Long, String] = Map.empty,
+      partTransforms: Map[String, (String, String)] = Map.empty): String = {
     require(schemaHistory.nonEmpty, s"$table: no schema to write")
     val fieldIds = assignFieldIds(schemaHistory)
     val currentSid = schemaHistory.size - 1
@@ -1200,11 +1209,17 @@ object IcebergLog {
     spec.put("spec-id", 0)
     val specFields = spec.putArray("fields")
     partitionCols.zipWithIndex.foreach { case (name, i) =>
-      val sourceId = fieldIds.getOrElse(name,
-        sys.error(s"$table: partition column '$name' absent from the table schema"))
+      // non-identity transforms (days(ts), …) reference their SOURCE
+      // column's field id; the partition field keeps the hive column's
+      // name so tuple keys and read-side attach stay aligned
+      val (transform, source) =
+        partTransforms.getOrElse(name, ("identity", name))
+      val sourceId = fieldIds.getOrElse(source,
+        sys.error(s"$table: partition source column '$source' absent " +
+          "from the table schema"))
       val pf = specFields.addObject()
       pf.put("name", name)
-      pf.put("transform", "identity")
+      pf.put("transform", transform)
       pf.put("source-id", sourceId)
       pf.put("field-id", 1000 + i) // the spec: partition field ids from 1000
     }
@@ -1706,16 +1721,20 @@ object IcebergLog {
   }
 
   /** Identity-partition types the mirror writes natively into avro
-    * partition tuples (and bounds); anything else refuses loudly. */
+    * partition tuples (and bounds); anything else refuses loudly.
+    * DATE serializes as the spec's `int` epoch days, TIMESTAMP as
+    * `long` epoch micros (Appendix D single-value serialization). */
   private def partAvroType(dt: DataType): String = dt match {
     case LongType => "long"
     case IntegerType => "int"
     case DoubleType => "double"
     case BooleanType => "boolean"
     case StringType => "string"
+    case DateType => "int"
+    case TimestampType => "long"
     case other => sys.error(s"iceberg mirror: unsupported partition-column " +
-      s"type $other — identity transforms on long/int/double/boolean/string " +
-      "only (date/timestamp transforms are not written yet)")
+      s"type $other — identity transforms on " +
+      "long/int/double/boolean/string/date/timestamp only")
   }
 
   private def partTypedValue(v: String, dt: DataType): Any =
@@ -1724,6 +1743,17 @@ object IcebergLog {
       case IntegerType => java.lang.Integer.valueOf(v)
       case DoubleType => java.lang.Double.valueOf(v)
       case BooleanType => java.lang.Boolean.valueOf(v)
+      // hive segments render dates `yyyy-MM-dd` and timestamps
+      // `yyyy-MM-dd HH:mm:ss[.f]` in the (UTC-pinned) session zone;
+      // the spec serializes them as epoch days / UTC epoch micros
+      case DateType =>
+        java.lang.Integer.valueOf(
+          java.time.LocalDate.parse(v).toEpochDay.toInt)
+      case TimestampType =>
+        val i = java.time.LocalDateTime
+          .parse(v.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
       case _ => v
     }
 
@@ -1943,6 +1973,31 @@ object IcebergLog {
           partAvroType(f.dataType) // refuses unsupported types loudly
           (n, f.dataType)
         }
+    // the `days(ts)` transform: a DATE partition column GENERATED as
+    // `CAST(<ts> AS DATE)` of a timestamp column IS Iceberg's days
+    // transform (same value domain — epoch days of the UTC timestamp),
+    // so the spec records it as such and any spec-conformant planner
+    // can derive the partition from `ts` predicates directly; the tuple
+    // values and identity bounds are unchanged. Everything else stays
+    // an identity transform on itself.
+    val metaSchema = DeltaLog.currentSchemaString(table)
+      .map(js => DataType.fromJson(js).asInstanceOf[StructType])
+      .getOrElse(schema)
+    val DaysGen =
+      """(?i)\s*cast\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s+date\s*\)\s*""".r
+    val partTransforms: Map[String, (String, String)] =
+      partCols.flatMap { case (n, dt) =>
+        if (dt != DateType) None
+        else metaSchema.fields.find(_.name == n)
+          .filter(_.metadata.contains("delta.generationExpression"))
+          .map(_.metadata.getString("delta.generationExpression")) match {
+          case Some(DaysGen(src))
+              if metaSchema.fields.exists(f =>
+                f.name == src && f.dataType == TimestampType) =>
+            Some(n -> (("days", src)))
+          case _ => None
+        }
+      }.toMap
     for (v <- (from + 1) to cur) {
       val (added, removed) = TxLog.commitDelta(dir, v)
       val vSchema = nrm(DeltaLog.mirroredSchemaAt(spark, table, v - 1)
@@ -2013,7 +2068,7 @@ object IcebergLog {
       schemaHistory :+= schema
     Files.writeString(metadataDir(table).resolve(s"v$cur.metadata.json"),
       metadataJsonTs(table, schemaHistory, snaps, cur, partCols.map(_._1),
-        snapSchemaIds))
+        snapSchemaIds, partTransforms = partTransforms))
     Files.writeString(hint, cur.toString)
     cur
   }
@@ -2085,6 +2140,44 @@ object IcebergLog {
       |FROM events WHERE event_id % 5 <> 2
       |GROUP BY 1""".stripMargin
 
+  /** DATE-partitioned TxLog table (hive layout by the GENERATED column
+    * `event_day` = CAST(ts AS DATE)) mirrored to Iceberg: the tree
+    * carries a `days(ts)` TRANSFORM spec (the most common real Iceberg
+    * partitioning), date tuple values as spec `int` epoch days, and
+    * identity bounds on the generated column so manifest-stats
+    * skipping prunes the partition dimension. */
+  private[graft] def daysMirrorTable(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-daysmirror:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_daysmirror").toString
+      val ev = Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(col("event_id") < 400)
+          .withColumn("event_day", col("ts").cast("date")),
+        table, partitionBy = Seq("event_day"))
+      TxLog.setGenerationExpression(spark, table,
+        "event_day", "CAST(ts AS DATE)")
+      // later batches omit the column — it generates at write
+      TxLog.commitAppend(ev.filter(col("event_id") >= 400), table,
+        partitionBy = Seq("event_day"))
+      mirror(spark, table)
+      table
+    })
+
+  /** Oracle-checked read of the engine-written DAYS-partitioned Iceberg
+    * tree, grouped BY THE DATE PARTITION COLUMN: hive data files do not
+    * contain `event_day`, so every group key came from an `int`
+    * epoch-days tuple — a missed attach nulls the keys, a
+    * string-attach bug (casting "19723" to date) nulls them too, and
+    * either flips the hash. */
+  def daysMirrorQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, daysMirrorTable(spark, dir))
+      .groupBy(col("event_day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val daysMirrorQueryOracle: String =
+    """SELECT CAST(ts AS DATE) AS event_day, count(*) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** TxLog table with MERGE-ON-READ history mirrored to Iceberg: a DV
     * DELETE on the even batch, an append landing AFTER it (its rows
     * must not be hidden — the sequence rule), then a DV UPDATE banding
@@ -2140,6 +2233,7 @@ object IcebergLog {
     expireTable(spark, dir)
     mirrorTable(spark, dir)
     partMirrorTable(spark, dir)
+    daysMirrorTable(spark, dir)
     dvMirrorTable(spark, dir)
     ()
   }
@@ -2152,12 +2246,14 @@ object IcebergLog {
     "q_iceberg_eqdelete" -> eqDeleteQuery _,
     "q_iceberg_mirror" -> mirrorQuery _,
     "q_iceberg_part_mirror" -> partMirrorQuery _,
+    "q_iceberg_days_mirror" -> daysMirrorQuery _,
     "q_iceberg_dv_mirror" -> dvMirrorQuery _,
     "q_iceberg_expire" -> expireQuery _
   )
 
   def oracles: Map[String, String] = Map(
     "q_iceberg_part_mirror" -> partMirrorQueryOracle,
+    "q_iceberg_days_mirror" -> daysMirrorQueryOracle,
     "q_iceberg_dv_mirror" -> dvMirrorQueryOracle,
     "q_iceberg_expire" -> expireQueryOracle,
     "q_iceberg_snapshot" -> snapshotQueryOracle,

@@ -839,8 +839,18 @@ class TxLogScan(dir: String, fullSchema: StructType,
             .getOrElse(segs.getOrElse(segKey, sys.error(
               s"$dir: $rel lacks partition segment $segKey")))
           if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") null
-          else Cast(Literal(UTF8String.fromString(raw), StringType),
-            f.dataType, Some(zone)).eval(null)
+          else f.dataType match {
+            // manifest tuples serialize dates/timestamps as epoch
+            // days/micros — Catalyst's exact internal forms, so a
+            // digit string passes through; hive segments keep the
+            // string cast below
+            case org.apache.spark.sql.types.DateType
+                if raw.matches("-?\\d+") => raw.toInt
+            case org.apache.spark.sql.types.TimestampType
+                if raw.matches("-?\\d+") => raw.toLong
+            case _ => Cast(Literal(UTF8String.fromString(raw), StringType),
+              f.dataType, Some(zone)).eval(null)
+          }
       }
     }.toSeq
     val size = Files.size(abs)

@@ -547,10 +547,56 @@ class IcebergSpec extends SparkSpec {
     import graft.sources.TxLog
     val ev = Tables.events(s, sf)
     val t = Files.createTempDirectory("iceberg_mirror_part").toString
-    TxLog.commitAppend(ev.withColumn("day", col("ts").cast("date")), t,
-      partitionBy = Seq("day"))
+    // decimal identity partitions have no single-value serialization
+    // here (dates/timestamps DO mirror since round 14)
+    TxLog.commitAppend(
+      ev.withColumn("bucketed", col("value").cast("decimal(10,2)")), t,
+      partitionBy = Seq("bucketed"))
     val e = intercept[RuntimeException](IcebergLog.mirror(s, t))
     assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("UniForm mirror writes days(ts) transform specs for generated date partitions; attach + pruning typed") {
+    val s = spark
+    import scala.jdk.CollectionConverters._
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.daysMirrorTable(s, sf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      IcebergLog.currentMetadataPath(Paths.get(t))))
+    // the spec records the DAYS transform sourced from the TIMESTAMP
+    // column — not an identity on the generated date column
+    val specField = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(specField.get("name").asText() == "event_day")
+    assert(specField.get("transform").asText() == "days",
+      specField.toString)
+    val tsId = meta.get("schemas").get(0).get("fields").elements()
+      .asScala.find(_.get("name").asText() == "ts").get.get("id").asInt()
+    assert(specField.get("source-id").asInt() == tsId, specField.toString)
+    // tuple values are spec `int` epoch DAYS, not date strings
+    val files = IcebergLog.filesOfSnapshot(t,
+      meta.get("current-snapshot-id").asLong())
+    assert(files.nonEmpty && files.forall(f =>
+      f.partition.get("event_day").exists(_.matches("\\d+"))),
+      files.map(_.partition).toString)
+    // read-back attaches the days back as typed DATEs
+    val snap = IcebergLog.snapshot(s, t)
+    assert(snap.schema("event_day").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(snap.filter(col("event_day").isNull).count() == 0,
+      "date attach must fill every row (a string-cast bug nulls them)")
+    val want = ev.groupBy(col("ts").cast("date").as("d")).count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val got = snap.groupBy("event_day").count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+    // manifest stats prune the partition dimension on a DATE predicate
+    val oneDay = java.sql.Date.valueOf(want.keys.min)
+    val pruned = IcebergLog.skipScan(s, t,
+      Seq(("event_day", oneDay, oneDay)))
+    assert(pruned.count() == want(oneDay.toString))
+    val (total, scanned) = IcebergLog.lastSkipScan
+    assert(scanned < total, s"date-partition pruning: $scanned of $total")
   }
 
   test("UniForm mirror writes identity partition specs; read attaches tuple values") {
