@@ -1263,7 +1263,8 @@ object IcebergLog {
       schemaHistory: Seq[StructType] = Seq.empty,
       bounds: Map[String, Map[Int, (Any, Any)]] = Map.empty,
       partitions: Map[String, Map[String, String]] = Map.empty,
-      partitionCols: Seq[(String, DataType)] = Seq.empty): Long = {
+      partitionCols: Seq[(String, DataType)] = Seq.empty,
+      removedData: Seq[String] = Seq.empty): Long = {
     Files.createDirectories(metadataDir(table))
     val prior: Seq[(Long, Long, String, String, Option[Int])] = // (id, ts, ml, op, sid)
       if (!Files.exists(metadataDir(table).resolve("version-hint.text")))
@@ -1298,7 +1299,35 @@ object IcebergLog {
       else Some(writeManifest(table, f"m-$id%03d-eqdel.avro",
         newEqDeletes.map((1, _)), fileContent = 2,
         equalityIds = equalityIds))
-    val entries = prevEntries.map(e => (e._1, e._2)) ++
+    // REMOVAL (the copy-on-write rewrite shape): compact the prior DATA
+    // manifests into one manifest of the survivors (status EXISTING,
+    // per-entry sequence numbers preserved — the spec's manifest-
+    // compaction rule); delete manifests re-list untouched. Fixture
+    // scope: survivor bounds/partition tuples are not re-carried.
+    val keptPrev: Seq[(String, Int)] =
+      if (removedData.isEmpty) prevEntries.map(e => (e._1, e._2))
+      else {
+        val survivors: Seq[(String, Long)] = prevEntries
+          .filter(_._2 == 0).flatMap { case (mp, _, mSeq) =>
+            avroRecords(resolve(table, mp)).flatMap { e =>
+              if (int(e, "status") == 2) None
+              else {
+                val df = e.get("data_file").asInstanceOf[GenericRecord]
+                val rel = str(df, "file_path")
+                if (removedData.contains(rel)) None
+                else Some(rel ->
+                  longOptOf(e, "sequence_number").getOrElse(mSeq))
+              }
+            }
+          }
+        val compacted =
+          if (survivors.isEmpty) None
+          else Some(writeManifest(table, f"m-$id%03d-compact.avro",
+            survivors.map(s => (0, s._1)), seqs = survivors.toMap))
+        compacted.map((_, 0)).toSeq ++
+          prevEntries.filter(_._2 == 1).map(e => (e._1, e._2))
+      }
+    val entries = keptPrev ++
       mData.map((_, 0)) ++ mDel.map((_, 1)) ++ mEqDel.map((_, 1))
     val seqs = prevEntries.map(e => e._1 -> e._3).toMap ++
       (mData.toSeq ++ mDel.toSeq ++ mEqDel.toSeq).map(_ -> id)

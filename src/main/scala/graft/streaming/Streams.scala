@@ -861,6 +861,58 @@ object Streams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** CDF over the COPY-ON-WRITE rewrite shape (Spark-on-Iceberg
+    * MERGE/DELETE/UPDATE: remove data files, re-house survivors, no cdc
+    * in the format): seq 1 appends b0; seq 2 REWRITES it — survivors
+    * carried into a new file plus a batch of fresh rows. Stock
+    * Iceberg's changelog resolves this with CARRYOVER ANALYSIS, and so
+    * does the feed: survivors are suppressed, the feed emits exactly
+    * the net `delete` (dropped) and `insert` (fresh) rows. The oracle
+    * derives both sets from the residue split — a carryover leaking
+    * through (survivors re-emitted as inserts, or worse as deletes)
+    * flips the hash. */
+  def runStreamIcebergRewriteCdf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergLog
+    val ev = graft.Tables.events(spark, dir)
+    val root = graft.Scratch.dir("graft_stream_fice_rewrite_tbl")
+    val out = graft.Scratch.dir("graft_stream_fice_rewrite_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_fice_rewrite_ckpt").toString
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 600), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0)) // seq 1
+    // seq 2, the CoW MERGE: b0 removed; survivors (id % 7 != 3)
+    // re-housed; a fresh batch (600..699) lands alongside
+    val b0r = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 600 && pmod(col("event_id"), lit(7)) =!= 3),
+      root, "b0r.parquet")
+    val b1 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id").between(600, 699)), root, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0r, b1),
+      operation = "overwrite", removedData = Seq(b0))
+    withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog")
+        .option("path", root.toString)
+        .option("readChangeFeed", "true").load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out)
+      .groupBy(col("_commit_version"), col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val runStreamIcebergRewriteCdfOracle: String =
+    """SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE event_id < 600
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'delete', count(*), round(sum(value), 2)
+      |FROM events WHERE event_id < 600 AND event_id % 7 = 3
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'insert', count(*), round(sum(value), 2)
+      |FROM events WHERE event_id BETWEEN 600 AND 699""".stripMargin
+
   val runStreamIcebergUpsertCdfOracle: String =
     """SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
       |       count(*) AS n, round(sum(value), 2) AS total_value
@@ -1761,6 +1813,7 @@ object Streams {
     "q_stream_foreign_iceberg" -> runStreamForeignIceberg _,
     "q_stream_foreign_iceberg_eq" -> runStreamForeignIcebergEq _,
     "q_stream_iceberg_upsert_cdf" -> runStreamIcebergUpsertCdf _,
+    "q_stream_iceberg_rewrite_cdf" -> runStreamIcebergRewriteCdf _,
     "q_stream_cdf" -> runStreamCdf _,
     "q_stream_cdf_dv" -> runStreamCdfDv _,
     "q_stream_pipeline" -> runStreamPipeline _,
@@ -1789,6 +1842,7 @@ object Streams {
     "q_stream_foreign_iceberg" -> runStreamForeignDeltaOracle,
     "q_stream_foreign_iceberg_eq" -> runStreamForeignIcebergEqOracle,
     "q_stream_iceberg_upsert_cdf" -> runStreamIcebergUpsertCdfOracle,
+    "q_stream_iceberg_rewrite_cdf" -> runStreamIcebergRewriteCdfOracle,
     "q_stream_cdf" -> runStreamCdfOracle,
     "q_stream_cdf_dv" -> runStreamCdfDvOracle,
     "q_stream_pipeline" -> runStreamPipelineOracle,

@@ -835,7 +835,11 @@ class TxLogScan(dir: String, fullSchema: StructType,
           // presenting the logical one. Manifest tuples (hive-layout
           // foreign Iceberg) are authoritative when present.
           val segKey = partPhysNames.getOrElse(name, name)
-          val raw = partValsAt(v).get(rel).map(_.getOrElse(name, null))
+          // a REMOVED file (carryover-analysis deletes) is no longer
+          // live at v — its tuple lives in the predecessor snapshot
+          val raw = partValsAt(v).get(rel)
+            .orElse(if (v > 1) partValsAt(v - 1).get(rel) else None)
+            .map(_.getOrElse(name, null))
             .getOrElse(segs.getOrElse(segKey, sys.error(
               s"$dir: $rel lacks partition segment $segKey")))
           if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") null
@@ -1052,6 +1056,25 @@ class TxLogScan(dir: String, fullSchema: StructType,
             else dvDiffSynthesis("delete", "insert")
           }
         }
+        else if (removedAny &&
+            graft.sources.ForeignIcebergLog.isForeign(dir)) {
+          // foreign-Iceberg COPY-ON-WRITE rewrite (Spark-on-Iceberg
+          // MERGE/DELETE/UPDATE: data files removed, survivors
+          // re-housed in new files, no cdc anywhere in the format) —
+          // stock Iceberg's changelog resolves it with CARRYOVER
+          // ANALYSIS, and so does this feed ([[planCarryover]]). A
+          // snapshot that ALSO changes delete files keeps the loud
+          // refusal: its net rows would mix two attribution rules.
+          if (!skipChangeCommits) {
+            if (dvNow != dvPrev)
+              sys.error(s"graft-txlog: version $v of $dir rewrites data " +
+                "files AND changes delete files in one snapshot — the " +
+                "carryover analysis and the DV diff cannot attribute " +
+                "one batch between them; set skipChangeCommits to skip it")
+            val (_, removedRels) = CommitLog.commitDelta(dir, v)
+            synthetic ++= planCarryover(v, removedRels, added)
+          }
+        }
         else {
           val cls = classify(v, added, removedAny,
             ChangePolicy(skipChangeCommits, false, false))
@@ -1069,6 +1092,73 @@ class TxLogScan(dir: String, fullSchema: StructType,
     * DataSourceRDD refuses mixed row/columnar partitions. Plain CDF
     * replays (append-only history) keep the columnar fast path. */
   @volatile private var cdfSynthetic = false
+
+  /** CARRYOVER ANALYSIS for a copy-on-write REWRITE commit without
+    * change-data files (stock Iceberg's `create_changelog_view`
+    * procedure, the CoW MERGE/DELETE/UPDATE shape every Spark-on-
+    * Iceberg writer produces): rows present in BOTH the removed and the
+    * added files are carryovers the rewrite merely re-housed — not
+    * changes — so the feed emits only the NET difference, typed
+    * `delete` (in removed, not re-added) / `insert` (in added, not
+    * removed). Multiset semantics via per-tuple ranking: a tuple
+    * occurring r times before and a times after nets max(0, r-a)
+    * deletes and max(0, a-r) inserts, exactly stock's count-based
+    * carryover rule (null keys group together on both sides).
+    *
+    * Scale shape: the compare is one EXECUTOR-side job over just the
+    * rewritten files' rows (a window rank + a null-safe count join —
+    * O(rewritten rows), never the table); only the NET (file, ordinal)
+    * pairs reach the driver — O(actual change rows), the documented
+    * CDF ceiling class. The net rows themselves are then read by
+    * executors through the same row-index bitmap partitions the DV
+    * diff uses. */
+  private[streaming] def planCarryover(v: Long, removed: Seq[String],
+      added: Seq[String]): Seq[InputPartition] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = SparkSession.getActiveSession.getOrElse(
+      sys.error("graft-txlog: no active SparkSession"))
+    val table = Paths.get(dir)
+    val cols = dataSchema.fieldNames.toSeq
+    def side(rels: Seq[String]) =
+      spark.read.schema(dataSchema)
+        .parquet(rels.map(r => table.resolve(r).toString): _*)
+        .select(cols.map(col) :+
+          graft.sources.IcebergLog.normPathCol(col("_metadata.file_path"))
+            .as("__file") :+
+          col("_metadata.row_index").as("__pos"): _*)
+    def ranked(df: DataFrame) = df.withColumn("__rk",
+      row_number().over(Window.partitionBy(cols.map(col): _*)
+        .orderBy(col("__file"), col("__pos"))))
+    def counted(df: DataFrame, cName: String) =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(cName))
+        .select(cols.map(c => col(c).as(s"__o_$c")) :+ col(cName): _*)
+    val matchCond = cols.map(c => col(c) <=> col(s"__o_$c")).reduce(_ && _)
+    def net(keep: DataFrame, other: DataFrame,
+        cName: String): Seq[(String, Long)] =
+      ranked(keep).join(counted(other, cName), matchCond, "left")
+        .filter(col("__rk") > coalesce(col(cName), lit(0L)))
+        .select(col("__file"), col("__pos"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val r = side(removed)
+    val a = side(added)
+    val dels = net(r, a, "__ca")
+    val ins = net(a, r, "__cr")
+    // normalized executor spelling → the manifest rel, fail-closed
+    val relOf: Map[String, String] = (removed ++ added).map { rel =>
+      SparkPath.fromPathString(table.resolve(rel).toString)
+        .toPath.toUri.getPath -> rel
+    }.toMap
+    def parts(pairs: Seq[(String, Long)], changeType: String) =
+      pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (abs, xs) =>
+        val rel = relOf.getOrElse(abs, sys.error(
+          s"graft-txlog: carryover row maps to no planned file " +
+            s"(path canonicalization bug?): $abs"))
+        CdfHiddenPartition(mkPartitionedFile(v, rel, changeType),
+          graft.sources.DeletionVectors.serialize(xs.map(_._2).sorted))
+      }
+    parts(dels, "delete") ++ parts(ins, "insert")
+  }
 
   /** Spark's own vectorized parquet reader factory, configured exactly
     * as `ParquetScan.createReaderFactory` configures it (requested

@@ -1913,6 +1913,71 @@ class StreamingSpec extends SparkSpec {
       "fresh append tail = snapshot batch (read-start delete state)")
   }
 
+  test("CoW rewrite CDF: carryover analysis suppresses re-housed rows, multiset-exact; mixed shapes refuse") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_carryover")
+    // b0: rows < 100 PLUS a duplicate copy of row 42 (multiset check)
+    val dup = ev.filter(col("event_id") === 42)
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 100).unionAll(dup), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0)) // seq 1
+    // seq 2, the CoW UPDATE: drop id 7, double id 13's value, keep ONE
+    // of the two id-42 copies, carry everything else unchanged
+    val rewritten = ev.filter(col("event_id") < 100 &&
+        col("event_id") =!= 7 && col("event_id") =!= 13)
+      .unionAll(ev.filter(col("event_id") === 13)
+        .withColumn("value", round(col("value") * 2, 2)))
+    val b0r = IcebergLog.writeDataFile(rewritten, root, "b0r.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0r),
+      operation = "overwrite", removedData = Seq(b0))
+    val feed = s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").load()
+    val rows = feed.select("_change_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // net deletes: id 7 (dropped), id 13 (old value), ONE id-42 copy
+    // (duplicate collapsed); net inserts: id 13 (new value). Carryovers
+    // (~97 rows re-housed verbatim) must not surface at all.
+    assert(rows.filter(_._1 == "delete").map(_._2).sorted ==
+      Seq(7L, 13L, 42L), rows.filter(_._1 == "delete").toString)
+    assert(rows.filter(_._1 == "insert").map(_._2) == Seq(13L),
+      rows.filter(_._1 == "insert").toString)
+    val newVal = feed.filter(col("_change_type") === "insert")
+      .select("value").collect()(0).getDouble(0)
+    val oldVal = ev.filter(col("event_id") === 13)
+      .select(round(col("value") * 2, 2)).collect()(0).getDouble(0)
+    assert(math.abs(newVal - oldVal) < 1e-9,
+      "the insert must carry the post-update value")
+    // skipChangeCommits skips the whole rewrite, like every change shape
+    assert(s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true").option("skipChangeCommits", "true")
+      .option("startingVersion", "2").load().count() == 0)
+    // a snapshot that rewrites data files AND adds delete files refuses
+    val root2 = Files.createTempDirectory("graft_carryover_mixed")
+    val c0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 100), root2, "c0.parquet")
+    IcebergLog.appendForeignSnapshot(root2, ev.schema, Seq(c0))
+    val c0r = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 90), root2, "c0r.parquet")
+    val eqd = IcebergLog.writeDataFile(
+      ev.select("event_id").filter(col("event_id") === 5), root2, "eqd.parquet")
+    IcebergLog.appendForeignSnapshot(root2, ev.schema, Seq(c0r),
+      operation = "overwrite", removedData = Seq(c0),
+      newEqDeletes = Seq(eqd),
+      equalityIds = Seq(ev.schema.fieldIndex("event_id") + 1))
+    val e = intercept[Exception] {
+      s.read.format("graft-txlog").option("path", root2.toString)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2").load().count()
+    }
+    val msgs = chainMsgs(e)
+    assert(msgs.contains("cannot attribute") || msgs.contains("delete files"),
+      msgs)
+  }
+
   test("foreign Delta tail streams from a CHECKPOINT-COMPACTED log (seeded initial snapshot)") {
     val s = spark
     import org.apache.spark.sql.functions._
