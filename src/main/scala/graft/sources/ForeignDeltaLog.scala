@@ -162,8 +162,11 @@ object ForeignDeltaLog {
     * long-lived CDF tail over an active compacted table (stock writers
     * checkpoint every 10 commits) would otherwise accrete one seed per
     * new checkpoint forever. Seeds are immutable derivations, so
-    * eviction only costs a re-collect. */
-  private val seedCache = new ForeignIcebergLog.Lru[(String, Long), Seed](4)
+    * eviction only costs a re-collect. Cap 16, not per-table: the keys
+    * are (table, checkpoint version) and the cache is GLOBAL, so a
+    * pipeline tailing several compacted tables concurrently must not
+    * thrash it back into per-batch O(live files) re-collects. */
+  private val seedCache = new ForeignIcebergLog.Lru[(String, Long), Seed](16)
 
   /** The fold's starting state FOR A READ AT VERSION `v`. None when
     * JSON history from commit 0 is retained (the fold starts empty,

@@ -319,11 +319,19 @@ object ForeignIcebergLog {
         // source keys. Narrow upserts then scan O(affected files), not
         // O(corpus). Sound directions only: a key column with ANY null
         // delete value never prunes (bounds don't speak for nulls the
-        // null-safe join may match), absent/undecodable bounds never
-        // prune (fileSurvives' own rule).
-        val aggs = count(lit(1)).as("__n") +: names.flatMap(n => Seq(
-          min(col(s"__del_$n")), max(col(s"__del_$n")),
-          sum(when(col(s"__del_$n").isNull, 1L).otherwise(0L))))
+        // null-safe join may match), ditto NaN on float/double keys
+        // (`<=>` matches NaN = NaN but min/max and spec bounds both
+        // exclude NaN), and absent/undecodable bounds never prune
+        // (fileSurvives' own rule).
+        val fieldIds = IcebergLog.boundsFieldIds(dir, metaNode)
+        def floaty(n: String): Boolean = fieldIds.get(n).exists(t =>
+          t._2 == org.apache.spark.sql.types.FloatType ||
+            t._2 == org.apache.spark.sql.types.DoubleType)
+        val aggs = count(lit(1)).as("__n") +: names.flatMap { n =>
+          val c = col(s"__del_$n")
+          val unbounded = if (floaty(n)) c.isNull || isnan(c) else c.isNull
+          Seq(min(c), max(c), sum(when(unbounded, 1L).otherwise(0L)))
+        }
         val env = dels.agg(aggs.head, aggs.tail: _*).collect()(0)
         if (env.getLong(0) == 0L) Seq.empty
         else {
@@ -332,7 +340,6 @@ object ForeignIcebergLog {
             if (env.getLong(base + 2) > 0L) None
             else Some((n, env.get(base), env.get(base + 1)))
           }
-          val fieldIds = IcebergLog.boundsFieldIds(dir, metaNode)
           val cands =
             if (preds.isEmpty) older
             else older.filter(f => IcebergLog.fileSurvives(f, preds, fieldIds))

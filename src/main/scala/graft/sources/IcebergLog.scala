@@ -1774,15 +1774,21 @@ object IcebergLog {
       case BooleanType => java.lang.Boolean.valueOf(v)
       // hive segments render dates `yyyy-MM-dd` and timestamps
       // `yyyy-MM-dd HH:mm:ss[.f]` in the (UTC-pinned) session zone;
-      // the spec serializes them as epoch days / UTC epoch micros
+      // the spec serializes them as epoch days / UTC epoch micros.
+      // An all-digits value is ALREADY serialized — a mirror RESUME
+      // rebuilds live entries from the prior avro tuples, whose
+      // stringified form is the epoch number, and re-parsing it as a
+      // calendar string would crash the next rewrite compaction.
       case DateType =>
-        java.lang.Integer.valueOf(
-          java.time.LocalDate.parse(v).toEpochDay.toInt)
+        java.lang.Integer.valueOf(v.toIntOption.getOrElse(
+          java.time.LocalDate.parse(v).toEpochDay.toInt))
       case TimestampType =>
-        val i = java.time.LocalDateTime
-          .parse(v.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC)
-        java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+        java.lang.Long.valueOf(v.toLongOption.getOrElse {
+          val i = java.time.LocalDateTime
+            .parse(v.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        })
       case _ => v
     }
 

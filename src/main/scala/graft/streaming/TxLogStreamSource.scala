@@ -625,6 +625,19 @@ class TxLogScan(dir: String, fullSchema: StructType,
   override def readSchema(): StructType =
     StructType(readDataSchema.fields ++ readPartSchema.fields)
 
+  /** The REAL table fields this scan resolved at analysis (CDF
+    * pseudo-columns excluded) — what the schema-change pin
+    * cross-checks against the table's state at run start. */
+  private[streaming] def tableFields: Set[(String, org.apache.spark.sql.types.DataType)] = {
+    val pseudo = TxLogScan.CdfFields.map(_.name).toSet
+    fullSchema.fields.filterNot(f => cdf && pseudo(f.name))
+      .map(f => (f.name, f.dataType)).toSet
+  }
+
+  /** True when the `columns` option pruned the presented schema — the
+    * pin's consistency check then tests subset, not equality. */
+  private[streaming] def columnsPruned: Boolean = opt("columns").isDefined
+
   override def description(): String = {
     val pf = if (allFilters.isEmpty) ""
       else allFilters.mkString(", PushedFilters: [", ", ", "]")
@@ -1119,14 +1132,61 @@ class TxLogScan(dir: String, fullSchema: StructType,
     val spark = SparkSession.getActiveSession.getOrElse(
       sys.error("graft-txlog: no active SparkSession"))
     val table = Paths.get(dir)
-    val cols = dataSchema.fieldNames.toSeq
-    def side(rels: Seq[String]) =
-      spark.read.schema(dataSchema)
+    // map-typed columns have no equality Spark can group/join on — the
+    // compare would die in analysis; refuse with the change-commit
+    // escape hatch instead
+    def unorderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => true
+        case s: StructType => s.fields.exists(f => unorderable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          unorderable(a.elementType)
+        case _ => false
+      }
+    dataSchema.fields.find(f => unorderable(f.dataType)).foreach(f =>
+      sys.error(s"graft-txlog: version $v of $dir is a rewrite and the " +
+        s"table carries map-typed column '${f.name}' — carryover " +
+        "analysis cannot compare it; set skipChangeCommits to skip " +
+        "rewrite commits"))
+    val dataCols = dataSchema.fieldNames.toSeq
+    // appended (manifest-tuple) partition values join INTO the compare:
+    // on hive-layout trees the partition column is not in the files,
+    // and a rewrite that moves a row across partitions with identical
+    // data columns must net delete+insert, not carryover
+    val partVals: Map[String, Map[String, String]] =
+      if (partCols.isEmpty) Map.empty
+      else (if (v > 1) partValsAt(v - 1)
+            else Map.empty[String, Map[String, String]]) ++ partValsAt(v)
+    val appendedPart = partCols.filter(_ => partVals.nonEmpty)
+    val cols = dataCols ++ appendedPart.map(c => s"__pp_$c")
+    def side(rels: Seq[String]) = {
+      val base = spark.read.schema(dataSchema)
         .parquet(rels.map(r => table.resolve(r).toString): _*)
-        .select(cols.map(col) :+
+        .select(dataCols.map(col) :+
           graft.sources.IcebergLog.normPathCol(col("_metadata.file_path"))
             .as("__file") :+
           col("_metadata.row_index").as("__pos"): _*)
+      if (appendedPart.isEmpty) base
+      else {
+        // one broadcast (file → tuple values) join per side — both
+        // sides derive from the same manifest maps, so the compare
+        // stays consistent by construction
+        val rows = rels.map { rel =>
+          val key = SparkPath.fromPathString(table.resolve(rel).toString)
+            .toPath.toUri.getPath
+          val vals = partVals.getOrElse(rel, Map.empty)
+          org.apache.spark.sql.Row.fromSeq(
+            key +: appendedPart.map(c => vals.getOrElse(c, null)))
+        }
+        val schema = StructType(
+          StructField("__pf", StringType, nullable = false) +:
+            appendedPart.map(c => StructField(s"__pp_$c", StringType, true)))
+        val pv = spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+        base.join(broadcast(pv), col("__file") === col("__pf"), "left")
+          .drop("__pf")
+      }
+    }
     def ranked(df: DataFrame) = df.withColumn("__rk",
       row_number().over(Window.partitionBy(cols.map(col): _*)
         .orderBy(col("__file"), col("__pos"))))
@@ -1486,41 +1546,65 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     * column-mapped foreign rename leaves the stale logical→physical
     * map translating to a column that no longer exists, a drop+re-add
     * re-types positions. Each admitted version's DECLARED schema
-    * (metaData action / Iceberg schema-id change) therefore compares
-    * against the schema pinned here; anything but an identical field
-    * set stops the stream loudly naming the version — restart the
-    * query to adopt the new schema (the checkpoint keeps its offset).
-    * ADDITIVE-only changes (every pinned field intact, new fields
-    * appended) may opt in to continue via
-    * `.option("allowAdditiveSchemaChange", "true")` — the pinned
-    * projection keeps reading, the added column surfaces after the
-    * next restart. Comparison is (name, dataType) — nullability and
-    * metadata drift (config re-emits, mapping bookkeeping) are not
-    * schema changes. Pinned LAZILY at the first plan of this run:
-    * a RESUMED stream re-pins to the current schema, so replaying the
-    * change-carrying version compares new-vs-new and passes — exactly
-    * stock Delta's restart-to-recover contract. */
-  private lazy val pinnedFields: Set[(String, org.apache.spark.sql.types.DataType)] = {
+    * (metaData action / Iceberg schema-id change) compares against the
+    * schema pinned here, with stock's TWO rules:
+    *
+    *  - a version at or before the pin point is HISTORY being
+    *    replayed: it passes when its declared fields are a SUBSET of
+    *    the pinned schema (stock's isReadCompatible — files written
+    *    before a column existed null-fill it; a fresh stream over an
+    *    evolved table must replay, not refuse forever);
+    *  - a version AFTER the pin point is a live change: anything but
+    *    an identical (name, dataType) field set stops the stream
+    *    loudly naming the version — restart to adopt the new schema
+    *    (the checkpoint keeps its offset; the restarted run re-pins,
+    *    the change version becomes history, and replay recovers).
+    *    ADDITIVE-only changes may opt in to continue via
+    *    `.option("allowAdditiveSchemaChange", "true")` — the pinned
+    *    projection keeps reading, the added column surfaces after the
+    *    next restart.
+    *
+    * Nullability and metadata drift (config re-emits, mapping
+    * bookkeeping) are not schema changes. The pin also cross-checks
+    * the SCAN's analysis-time schema: a table that moved between
+    * `load()` and this run's start would read batch 0 with a stale
+    * binding no per-version check can see — that run refuses up
+    * front instead. */
+  private lazy val pinned: (Set[(String, org.apache.spark.sql.types.DataType)], Long) = {
     val spark = SparkSession.getActiveSession.getOrElse(
       sys.error("graft-txlog: no active SparkSession"))
-    CommitLog.schema(spark, dir).fields.map(f => (f.name, f.dataType)).toSet
+    val full = CommitLog.schema(spark, dir).fields
+      .map(f => (f.name, f.dataType)).toSet
+    val pinV = CommitLog.currentVersion(dir).getOrElse(0L)
+    val scanFields = scan.tableFields
+    val consistent =
+      if (scan.columnsPruned) scanFields.subsetOf(full)
+      else scanFields == full
+    require(consistent, s"graft-txlog: the schema of $dir changed " +
+      "between the query's analysis and this run's start — the scan " +
+      "would read with a stale binding; restart the streaming query " +
+      "to re-resolve")
+    (full, pinV)
   }
 
   private def checkSchemaStability(fromV: Long, toV: Long): Unit = {
     if (fromV > toV) return
-    val pinned = pinnedFields
+    val (pinnedF, pinV) = pinned
     (fromV to toV).foreach { v =>
       CommitLog.declaredSchemaAt(dir, v).foreach { s =>
         val now = s.fields.map(f => (f.name, f.dataType)).toSet
-        if (now != pinned && !(allowAdditive && pinned.subsetOf(now))) {
+        val ok =
+          if (v <= pinV) now.subsetOf(pinnedF) // replayed history
+          else now == pinnedF || (allowAdditive && pinnedF.subsetOf(now))
+        if (!ok) {
           def show(fs: Set[(String, org.apache.spark.sql.types.DataType)]) =
             fs.toSeq.sortBy(_._1)
               .map { case (n, t) => s"$n:${t.simpleString}" }.mkString(", ")
           sys.error(s"graft-txlog: schema of $dir changed at version $v — " +
-            s"stream pinned [${show(pinned)}], version declares " +
+            s"stream pinned [${show(pinnedF)}], version declares " +
             s"[${show(now)}]. Restart the streaming query to adopt the " +
             "new schema (the checkpoint keeps its position)" +
-            (if (pinned.subsetOf(now))
+            (if (v > pinV && pinnedF.subsetOf(now))
               "; this change is additive-only — set " +
                 ".option(\"allowAdditiveSchemaChange\",\"true\") to " +
                 "continue under the pinned projection"
@@ -1624,13 +1708,17 @@ class TxLogMicroBatchStream(scan: TxLogScan, dir: String,
     // left to the first checkSchemaStability call, a fresh stream's
     // initial-snapshot batch would skip pinning and the pin would land
     // AFTER any change admitted next, comparing new-vs-new and missing it
-    pinnedFields
+    pinned
     // non-CDF streams hide DV'd rows natively (read-start DV state, see
     // TxLogScan.dvByAbs); the CDF form replays merge-on-read commits as
-    // labeled synthetic partitions (DV-diff synthesis)
+    // labeled synthetic partitions (DV-diff synthesis). planCdfVersions
+    // runs FIRST: its floor check owns the aged-out-prefix refusal (the
+    // CDF-specific message) — the per-version schema lookup would
+    // otherwise die mid-parse with append-stream advice
     if (cdf) {
+      val parts = scan.planCdfVersions(fromV + 1, toV, policy.skipChangeCommits)
       checkSchemaStability(fromV + 1, toV)
-      return scan.planCdfVersions(fromV + 1, toV, policy.skipChangeCommits)
+      return parts
     }
     val versioned =
       if (fromV <= 0) Seq((toV, CommitLog.liveRelsAt(dir, toV)))

@@ -642,6 +642,30 @@ class IcebergSpec extends SparkSpec {
       ev.filter(pmod(col("event_id"), lit(2)) === 0).count())
   }
 
+  test("mirror RESUME over a date-partitioned table survives a rewrite compaction") {
+    val s = spark
+    import graft.sources.TxLog
+    val ev = Tables.events(s, sf)
+    val t = Files.createTempDirectory("iceberg_mirror_dateresume").toString
+    TxLog.commitAppend(ev.filter(col("event_id") < 400)
+        .withColumn("event_day", col("ts").cast("date")),
+      t, partitionBy = Seq("event_day"))
+    TxLog.setGenerationExpression(s, t, "event_day", "CAST(ts AS DATE)")
+    IcebergLog.mirror(s, t)
+    // a removal commit forces the RESUME path to rebuild live entries
+    // from the prior avro tuples (stringified epoch days) and
+    // re-serialize them into the compacted manifest — the round-14
+    // review found partTypedValue crashed re-parsing "19723" as a date
+    TxLog.deleteWhere(s, t, pmod(col("event_id"), lit(5)) === 2)
+    IcebergLog.mirror(s, t)
+    val snap = IcebergLog.snapshot(s, t)
+    assert(snap.count() ==
+      ev.filter(col("event_id") < 400 &&
+        pmod(col("event_id"), lit(5)) =!= 2).count())
+    assert(snap.filter(col("event_day").isNull).count() == 0,
+      "re-serialized tuples must still attach as typed dates")
+  }
+
   test("UniForm mirror translates deletion vectors into position-delete files") {
     val s = spark
     import graft.sources.TxLog

@@ -2582,6 +2582,24 @@ class StreamingSpec extends SparkSpec {
         ev.filter(col("event_id") < 400).count(),
         "the restarted run must deliver the post-change batch exactly once")
     } finally q2.stop()
+    // REGRESSION (round-14 review): a FRESH stream replaying history
+    // ACROSS the (now historical) schema change must work — a replayed
+    // version's declared schema compares as a read-compatible SUBSET
+    // of the pin, never as a live change; the old equality rule would
+    // have refused forever (restart advice that can't resolve)
+    val q4 = s.readStream.format("graft-txlog").option("path", tbl)
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_schemachg_nat_ck4").toString)
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("schemachg_nat_replay").start()
+    try {
+      q4.processAllAvailable()
+      assert(s.table("schemachg_nat_replay").count() ==
+        ev.filter(col("event_id") < 400).count(),
+        "fresh CDF replay across an evolved history must deliver all rows")
+    } finally q4.stop()
     // OPT-IN: a running tail keeps going across an ADDITIVE change,
     // reading under the pinned projection
     val tbl2 = Files.createTempDirectory("graft_schemachg_nat2").toString
