@@ -605,18 +605,22 @@ private[graft] object CommitLog {
     }
 
   /** FILE-schema translation for the parquet reader factory — defined
-    * only for column-mapped foreign Delta tables (see
-    * [[ForeignDeltaLog.fileFieldRename]]). */
+    * for column-mapped foreign Delta tables (physical rename / id
+    * annotation) and for RENAMED foreign Iceberg tables (field-id
+    * annotation — stock Iceberg's resolution). */
   def fileFieldRename(dir: String): Option[StructType => StructType] =
     kind(dir) match {
       case Kind.Delta => ForeignDeltaLog.fileFieldRename(dir)
+      case Kind.Iceberg => ForeignIcebergLog.fileFieldRename(dir)
       case _ => None
     }
 
-  /** Force parquet field-id resolution for the scan (mapping mode
-    * "id"). */
+  /** Force parquet field-id resolution for the scan (Delta mapping
+    * mode "id"; Iceberg tables with a rename in their schema
+    * history). */
   def fileFieldIdRead(dir: String): Boolean = kind(dir) match {
     case Kind.Delta => ForeignDeltaLog.fileFieldIdRead(dir)
+    case Kind.Iceberg => ForeignIcebergLog.fileFieldIdRead(dir)
     case _ => false
   }
 

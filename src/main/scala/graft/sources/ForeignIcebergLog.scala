@@ -290,23 +290,54 @@ object ForeignIcebergLog {
     val out = sf.eqDeletes.groupBy(_._3).toSeq.flatMap { case (ids, group) =>
       val names = ids.map(id => fieldName.getOrElse(id, sys.error(
         s"$dir: equality_ids name unknown field id $id")))
-      ids.foreach { id =>
-        val ever = namesEver.getOrElse(id, Set.empty)
-        if (ever.size > 1)
-          sys.error(s"$dir: equality-delete key field $id was RENAMED " +
-            s"across the schema history (${ever.toSeq.sorted.mkString(" -> ")})" +
-            " — by-name resolution would read the old spelling's files as " +
-            "null and could resurrect deleted rows; read this table " +
-            "through a field-id-resolving engine or rewrite the deletes")
-      }
+      val fieldIds = IcebergLog.boundsFieldIds(dir, metaNode)
+      // a key column RENAMED across the schema history resolves in
+      // candidate AND delete files by PARQUET FIELD ID — stock
+      // Iceberg's own rule: a by-name read would bind the old
+      // spelling's files to null and resurrect deleted rows. The
+      // requested key schema carries `parquet.field.id` metadata and
+      // the session flag enables the resolution; files WITHOUT stamped
+      // ids then fail loudly (Spark's field-id read errors on id-less
+      // files — a shape no spec-conformant Iceberg writer produces),
+      // never null-fill.
+      val renamed = ids.exists(id =>
+        namesEver.getOrElse(id, Set.empty).size > 1)
+      val keySchema: Option[org.apache.spark.sql.types.StructType] =
+        if (!renamed) None
+        else Some(org.apache.spark.sql.types.StructType(
+          ids.zip(names).map { case (id, n) =>
+            val dt = fieldIds.get(n).map(_._2).getOrElse(sys.error(
+              s"$dir: equality-delete key '$n' was renamed across the " +
+                "schema history and its type has no field-id-readable " +
+                "Spark mapping — cannot resolve the deletes"))
+            org.apache.spark.sql.types.StructField(n, dt, nullable = true,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id", id.toLong).build())
+          }))
+      // flipping the session flag is safe for concurrent queries: the
+      // resolution only activates for requested schemas that CARRY the
+      // id metadata, which only the schemas built above do
+      def withIdRead[T](f: => T): T =
+        if (keySchema.isEmpty) f
+        else {
+          val key = org.apache.spark.sql.internal.SQLConf
+            .PARQUET_FIELD_ID_READ_ENABLED.key
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "true")
+          try f finally prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
       // a delete only ever hides rows of STRICTLY older files — files
       // at or past the newest delete's sequence can skip the scan
       val maxDel = group.map(_._2).max
       val older = sf.data.filter(_.seq < maxDel)
       if (older.isEmpty) Seq.empty
-      else {
+      else withIdRead {
         val dels = group.map { case (p, dseq, _) =>
-          spark.read.parquet(p.toString)
+          keySchema.map(spark.read.schema).getOrElse(spark.read)
+            .parquet(p.toString)
             .select(names.map(n => col(n).as(s"__del_$n")) :+
               lit(dseq).as("__del_seq"): _*)
         }.reduce(_.unionByName(_))
@@ -323,7 +354,6 @@ object ForeignIcebergLog {
         // (`<=>` matches NaN = NaN but min/max and spec bounds both
         // exclude NaN), and absent/undecodable bounds never prune
         // (fileSurvives' own rule).
-        val fieldIds = IcebergLog.boundsFieldIds(dir, metaNode)
         def floaty(n: String): Boolean = fieldIds.get(n).exists(t =>
           t._2 == org.apache.spark.sql.types.FloatType ||
             t._2 == org.apache.spark.sql.types.DoubleType)
@@ -345,7 +375,7 @@ object ForeignIcebergLog {
             else older.filter(f => IcebergLog.fileSurvives(f, preds, fieldIds))
           pruneTally = (pruneTally._1 + older.size, pruneTally._2 + cands.size)
           if (cands.isEmpty) Seq.empty
-          else eqResolve(spark, table, names, dels, cands)
+          else eqResolve(spark, table, names, dels, cands, keySchema)
         }
       }
     }
@@ -364,7 +394,8 @@ object ForeignIcebergLog {
   private def eqResolve(spark: SparkSession, table: Path,
       names: Seq[String],
       dels: org.apache.spark.sql.DataFrame,
-      cands: Seq[IcebergLog.IceFile]): Seq[(String, Long)] = {
+      cands: Seq[IcebergLog.IceFile],
+      keySchema: Option[StructType]): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions._
     // path canonicalization executor-side — the batch reader's ONE
     // shared spelling rule (URI-escaped `_metadata.file_path` vs
@@ -381,7 +412,10 @@ object ForeignIcebergLog {
               org.apache.spark.sql.types.LongType, nullable = false))))
         val cond = names.map(n => col(n) <=> col(s"__del_$n")).reduce(_ && _) &&
           col("__seq") < col("__del_seq")
-        spark.read.parquet(cands.map(_.path.toString): _*)
+        // a renamed key reads candidates by field id (see eqHiddenAt);
+        // the caller's conf window is still open around this collect
+        keySchema.map(spark.read.schema).getOrElse(spark.read)
+          .parquet(cands.map(_.path.toString): _*)
           .select(names.map(col) :+
             norm(col("_metadata.file_path")).as("__file") :+
             col("_metadata.row_index").as("__pos"): _*)
@@ -521,6 +555,48 @@ object ForeignIcebergLog {
         IcebergLog.readMetadata(Paths.get(dir)), sid)
     }
   }
+
+  /** FILE-schema translator for RENAMED Iceberg tables: when any field
+    * id ever carried more than one name across the schema history, a
+    * by-name parquet read would bind the old spelling's files to null —
+    * so the requested schema's fields annotate with their
+    * `parquet.field.id` (stock Iceberg's own resolution; the spec
+    * mandates ids in Iceberg-written files) and [[fileFieldIdRead]]
+    * force-enables the reader's id resolution. Never-renamed tables
+    * return None and keep exact by-name resolution — which also keeps
+    * `add_files`-migrated ID-LESS files readable; once renamed, id-less
+    * files fail loudly rather than null-fill (fail-closed). Synthetic
+    * scan columns (row-index temporary, CDF pseudo-columns) are not in
+    * the table schema and pass through unannotated (Spark matches
+    * unannotated fields by name even in id mode). Top-level fields
+    * only — the flat-table shape this engine reads. */
+  def fileFieldRename(dir: String): Option[StructType => StructType] = {
+    val meta = IcebergLog.readMetadata(Paths.get(dir))
+    val everRenamed = IcebergLog.fieldNamesByIdAcrossSchemas(meta)
+      .values.exists(_.size > 1)
+    if (!everRenamed) None
+    else {
+      val idOf: Map[String, Int] =
+        IcebergLog.fieldNamesById(meta).map(_.swap)
+      Some { s =>
+        StructType(s.fields.map { f =>
+          idOf.get(f.name) match {
+            case Some(id) => org.apache.spark.sql.types.StructField(
+              f.name, f.dataType, f.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id", id.toLong).build())
+            case None => f
+          }
+        })
+      }
+    }
+  }
+
+  /** Force parquet field-id resolution for the scan — only once a
+    * rename makes by-name resolution unsound (see [[fileFieldRename]]). */
+  def fileFieldIdRead(dir: String): Boolean =
+    IcebergLog.fieldNamesByIdAcrossSchemas(
+      IcebergLog.readMetadata(Paths.get(dir))).values.exists(_.size > 1)
 
   /** `timestampAsOf` resolution: the newest main-line snapshot whose
     * commit timestamp is ≤ `tsMillis` (the Iceberg snapshot-log

@@ -1176,9 +1176,13 @@ object IcebergLog {
       partitionCols: Seq[String] = Seq.empty,
       snapshotSchemaIds: Map[Long, Int] = Map.empty,
       ops: Map[Long, String] = Map.empty,
-      partTransforms: Map[String, (String, String)] = Map.empty): String = {
+      partTransforms: Map[String, (String, String)] = Map.empty,
+      fieldIdOverrides: Map[String, Int] = Map.empty): String = {
     require(schemaHistory.nonEmpty, s"$table: no schema to write")
-    val fieldIds = assignFieldIds(schemaHistory)
+    // overrides model a REAL rename: the spec keeps a renamed column's
+    // field id, but assignFieldIds is first-seen-by-NAME and would
+    // mint a fresh id for the new spelling
+    val fieldIds = assignFieldIds(schemaHistory) ++ fieldIdOverrides
     val currentSid = schemaHistory.size - 1
     val root = mapper.createObjectNode()
     root.put("format-version", 2)
@@ -1187,7 +1191,7 @@ object IcebergLog {
     root.put("location", table.toString)
     root.put("last-sequence-number",
       snapshots.map(_._1).maxOption.getOrElse(0L))
-    root.put("last-column-id", fieldIds.size)
+    root.put("last-column-id", fieldIds.values.maxOption.getOrElse(0))
     root.put("current-snapshot-id", currentId)
     root.put("current-schema-id", currentSid)
     val schemas = root.putArray("schemas")
@@ -1264,7 +1268,8 @@ object IcebergLog {
       bounds: Map[String, Map[Int, (Any, Any)]] = Map.empty,
       partitions: Map[String, Map[String, String]] = Map.empty,
       partitionCols: Seq[(String, DataType)] = Seq.empty,
-      removedData: Seq[String] = Seq.empty): Long = {
+      removedData: Seq[String] = Seq.empty,
+      fieldIdOverrides: Map[String, Int] = Map.empty): Long = {
     Files.createDirectories(metadataDir(table))
     val prior: Seq[(Long, Long, String, String, Option[Int])] = // (id, ts, ml, op, sid)
       if (!Files.exists(metadataDir(table).resolve("version-hint.text")))
@@ -1347,10 +1352,29 @@ object IcebergLog {
     Files.writeString(metadataDir(table).resolve(s"v$id.metadata.json"),
       metadataJsonTs(table, history, snaps, id,
         partitionCols = partitionCols.map(_._1),
-        snapshotSchemaIds = sids, ops = opsMap))
+        snapshotSchemaIds = sids, ops = opsMap,
+        fieldIdOverrides = fieldIdOverrides))
     Files.writeString(metadataDir(table).resolve("version-hint.text"),
       id.toString)
     id
+  }
+
+  /** Like [[writeDataFile]] but stamps PARQUET FIELD IDS into the
+    * footer (the Iceberg spec mandates them in Iceberg-written files;
+    * Spark's writer emits them from `parquet.field.id` schema
+    * metadata) — the fixture twin of a stock writer's output, needed
+    * wherever field-id resolution is under test. */
+  private[graft] def writeDataFileWithIds(df: DataFrame, table: Path,
+      name: String, ids: Map[String, Int]): String = {
+    val annotated = df.select(df.columns.map { c =>
+      ids.get(c) match {
+        case Some(id) => col(c).as(c,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+        case None => col(c)
+      }
+    }.toSeq: _*)
+    writeDataFile(annotated, table, name)
   }
 
   /** Write one parquet data file from `df`; returns its table-relative

@@ -861,6 +861,53 @@ object Streams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Streaming tail of a HIVE-LAYOUT foreign Iceberg tree (the
+    * `add_files`-migrated shape: data files do NOT carry the partition
+    * column — its values live only in the manifests' partition
+    * tuples): the scan appends them per file, so every group key in
+    * the result came from a manifest tuple. Two snapshots drain
+    * incrementally through one checkpoint; a missed attach nulls the
+    * keys, a crossed file→tuple map scrambles the groups, and either
+    * flips the oracle hash. */
+  def runStreamIcebergHive(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IcebergLog
+    val ev = graft.Tables.events(spark, dir)
+    val root = graft.Scratch.dir("graft_stream_fice_hive_tbl")
+    val out = graft.Scratch.dir("graft_stream_fice_hive_out").toString
+    val ckpt = graft.Scratch.dir("graft_stream_fice_hive_ckpt").toString
+    val types = ev.select("event_type").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    val pcols = Seq(("event_type", org.apache.spark.sql.types.StringType))
+    def landSnap(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+      val rels = types.map { t =>
+        IcebergLog.writeDataFile(
+          ev.filter(pred && col("event_type") === t).drop("event_type"),
+          root, s"$tag-$t.parquet") -> Map("event_type" -> t)
+      }
+      IcebergLog.appendForeignSnapshot(root, ev.schema, rels.map(_._1),
+        partitions = rels.toMap, partitionCols = pcols)
+      ()
+    }
+    def drain(): Unit = withStatePartitions(spark) {
+      val q = spark.readStream.format("graft-txlog")
+        .option("path", root.toString).load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+    landSnap(col("event_id") < 500, "a")
+    drain()
+    landSnap(col("event_id") >= 500, "b") // only snapshot 2's files stream
+    drain()
+    spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+  }
+
+  val runStreamIcebergHiveOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1""".stripMargin
+
   /** CDF over the COPY-ON-WRITE rewrite shape (Spark-on-Iceberg
     * MERGE/DELETE/UPDATE: remove data files, re-house survivors, no cdc
     * in the format): seq 1 appends b0; seq 2 REWRITES it — survivors
@@ -1814,6 +1861,7 @@ object Streams {
     "q_stream_foreign_iceberg_eq" -> runStreamForeignIcebergEq _,
     "q_stream_iceberg_upsert_cdf" -> runStreamIcebergUpsertCdf _,
     "q_stream_iceberg_rewrite_cdf" -> runStreamIcebergRewriteCdf _,
+    "q_stream_iceberg_hive" -> runStreamIcebergHive _,
     "q_stream_cdf" -> runStreamCdf _,
     "q_stream_cdf_dv" -> runStreamCdfDv _,
     "q_stream_pipeline" -> runStreamPipeline _,
@@ -1843,6 +1891,7 @@ object Streams {
     "q_stream_foreign_iceberg_eq" -> runStreamForeignIcebergEqOracle,
     "q_stream_iceberg_upsert_cdf" -> runStreamIcebergUpsertCdfOracle,
     "q_stream_iceberg_rewrite_cdf" -> runStreamIcebergRewriteCdfOracle,
+    "q_stream_iceberg_hive" -> runStreamIcebergHiveOracle,
     "q_stream_cdf" -> runStreamCdfOracle,
     "q_stream_cdf_dv" -> runStreamCdfDvOracle,
     "q_stream_pipeline" -> runStreamPipelineOracle,

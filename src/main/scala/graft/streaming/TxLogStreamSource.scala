@@ -1037,6 +1037,17 @@ class TxLogScan(dir: String, fullSchema: StructType,
             // and the appended batch `insert` (the DV diff attributes
             // them exactly; nothing mixes)
             dvDiffSynthesis("delete", "insert")
+          else if (graft.sources.ForeignIcebergLog.isForeign(dir))
+            // foreign-Iceberg MERGE that BOTH adds delete files and
+            // removes data files (upsert + compaction in one snapshot):
+            // the carryover analysis and the delete-file diff cannot
+            // attribute one batch between them — Iceberg has no cdc
+            // escape hatch, so the advice is operational
+            sys.error(s"graft-txlog: version $v of $dir adds delete " +
+              "files AND removes data files in one snapshot — the " +
+              "change feed cannot attribute its batch between the " +
+              "delete-file diff and carryover analysis; commit upserts " +
+              "and compactions separately, or set skipChangeCommits")
           else
             sys.error(s"graft-txlog: version $v of $dir is a MERGE " +
               "without change-data files — its appended batch mixes " +
@@ -1318,6 +1329,23 @@ class TxLogScan(dir: String, fullSchema: StructType,
     val effPart = Option(partSchema).getOrElse(readPartSchema)
     val effBase = toFileSchema(Option(baseline).getOrElse(dataSchema))
     val spark = SparkSession.getActiveSession.getOrElse(sys.error("graft-txlog: no active SparkSession"))
+    // FIELD-ID tables (Delta mapping mode "id"; Iceberg with a rename in
+    // its history) need the resolution flag in TWO places: Spark's
+    // VECTORIZED reader honors the hadoopConf flag set below, but the
+    // ROW-path converter (the row-index reads merge-on-read/DV/CDF
+    // partitions ride) consults the SESSION conf via SQLConf.get — left
+    // unset, those reads would silently NULL every id-resolved column.
+    // The flag only activates for requested schemas that CARRY id
+    // metadata (exactly these tables' scans), so enabling it
+    // session-wide is behavior-neutral for everything else.
+    if (graft.sources.CommitLog.fileFieldIdRead(dir) &&
+        !spark.sessionState.conf.parquetFieldIdReadEnabled) {
+      System.err.println(s"graft-txlog: enabling " +
+        s"${SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key} for $dir " +
+        "(field-id-resolved table; the parquet ROW reader consults the " +
+        "session conf)")
+      spark.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
+    }
     val sqlConf =
       if (vectorized) spark.sessionState.conf
       else {

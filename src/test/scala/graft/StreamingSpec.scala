@@ -2684,6 +2684,61 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("renamed foreign Iceberg tables resolve by parquet FIELD ID: scan columns and eq-delete keys survive the rename") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_ice_rename")
+    // stock-writer shape: files carry parquet field ids
+    val ids = ev.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val b0 = IcebergLog.writeDataFileWithIds(
+      ev.filter(col("event_id") < 100), root, "b0.parquet", ids)
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))
+    // ALTER TABLE RENAME event_id -> event_key: the field KEEPS its id
+    // (the spec's evolution rule); the eq-delete lands under the new
+    // name, the data file still stores the old one
+    val renamed = ev.withColumnRenamed("event_id", "event_key")
+    val over = Map("event_key" -> ids("event_id"))
+    val del = IcebergLog.writeDataFileWithIds(
+      renamed.select("event_key").filter(col("event_key").isin(7L, 13L)),
+      root, "eqdel.parquet", Map("event_key" -> ids("event_id")))
+    IcebergLog.appendForeignSnapshot(root, renamed.schema, Seq.empty,
+      operation = "delete", newEqDeletes = Seq(del),
+      equalityIds = Seq(ids("event_id")),
+      schemaHistory = Seq(ev.schema, renamed.schema),
+      fieldIdOverrides = over)
+    val snap = s.read.format("graft-txlog").option("path", root.toString)
+      .load()
+    assert(snap.columns.contains("event_key") &&
+      !snap.columns.contains("event_id"),
+      "the scan must present the renamed logical schema")
+    // by-name resolution would read event_key as NULL from b0 (stored
+    // as event_id) — field-id resolution reads the real values
+    assert(snap.filter(col("event_key").isNull).count() == 0,
+      "renamed column must resolve by field id, not null-fill")
+    assert(snap.count() == ev.filter(col("event_id") < 100).count() - 2)
+    assert(snap.filter(col("event_key").isin(7L, 13L)).count() == 0,
+      "eq-delete keys must resolve across the rename")
+    assert(snap.agg(sum(col("event_key"))).collect()(0).getLong(0) ==
+      ev.filter(col("event_id") < 100 && !col("event_id").isin(7L, 13L))
+        .agg(sum(col("event_id"))).collect()(0).getLong(0))
+    // a fresh stream reads the same values through the same factory
+    val out = Files.createTempDirectory("graft_ice_rename_out").toString
+    val q = s.readStream.format("graft-txlog").option("path", root.toString)
+      .load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_ice_rename_ck").toString)
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    assert(s.read.parquet(out).filter(col("event_key").isNull).count() == 0)
+    assert(s.read.parquet(out).count() == snap.count())
+  }
+
   test("mid-stream Iceberg schema-id change stops the foreign tail loudly") {
     val s = spark
     import org.apache.spark.sql.functions._
