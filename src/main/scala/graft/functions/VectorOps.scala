@@ -144,6 +144,30 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SetSketchCard].getName, "graft_set_card"),
       (children: Seq[Expression]) => SetSketchCard(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_iceberg_bucket"),
+      new ExpressionInfo(classOf[IcebergBucket].getName, "graft_iceberg_bucket"),
+      (children: Seq[Expression]) => IcebergBucket(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_iceberg_truncate"),
+      new ExpressionInfo(classOf[IcebergTruncate].getName, "graft_iceberg_truncate"),
+      (children: Seq[Expression]) => IcebergTruncate(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_iceberg_hours"),
+      new ExpressionInfo(classOf[IcebergHours].getName, "graft_iceberg_hours"),
+      (children: Seq[Expression]) => IcebergHours(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_iceberg_months"),
+      new ExpressionInfo(classOf[IcebergMonths].getName, "graft_iceberg_months"),
+      (children: Seq[Expression]) => IcebergMonths(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_iceberg_years"),
+      new ExpressionInfo(classOf[IcebergYears].getName, "graft_iceberg_years"),
+      (children: Seq[Expression]) => IcebergYears(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dv_agg"),
+      new ExpressionInfo(classOf[DvBitmapAgg].getName, "graft_dv_agg"),
+      (children: Seq[Expression]) => DvBitmapAgg(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) =>

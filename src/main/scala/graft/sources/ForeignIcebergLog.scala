@@ -44,7 +44,7 @@ import org.apache.spark.sql.types.StructType
   *    descriptors ("i" storage, the Delta form the shared scan already
   *    applies) — POSITION deletes directly (the spec's `dataSeq <=
   *    deleteSeq` rule), EQUALITY deletes by first RESOLVING values to
-  *    positions executor-side ([[eqHiddenAt]]: key-column scan with
+  *    positions executor-side ([[eqHiddenFrames]]: key-column scan with
   *    `_metadata` provenance, null-safe semi-join, STRICTLY-older
   *    sequence rule — the batch reader's own predicate). MoR DELETE
   *    commits thus plan exactly like native DV commits: nothing
@@ -53,9 +53,13 @@ import org.apache.spark.sql.types.StructType
   *    eq-delete shape.
   *
   * Scale + scope ceilings (documented, loud):
-  *  - the delete-file fold reads position-delete parquet on the driver
-  *    (O(deleted rows), cached per snapshot) — the same ceiling as the
-  *    CDF-over-DV bitmap walk (SCALE.md);
+  *  - the delete-file fold is EXECUTOR-side end to end ([[hiddenAt]]):
+  *    matched positions reduce to per-file roaring bitmaps via
+  *    [[graft.functions.DvBitmapAgg]] and the driver collects
+  *    O(affected files) bitmap-byte rows — KBs per file — never
+  *    O(deleted rows) tuples (a MoR table accumulates delete files
+  *    between compactions, so anything row-proportional on the driver
+  *    would grow with table HISTORY, not change size);
   *  - identity-partitioned trees stream only when the data files CARRY
   *    their partition columns in-file (what real Iceberg writers store;
   *    probed once against one footer) — hive-layout trees whose values
@@ -224,14 +228,30 @@ object ForeignIcebergLog {
     }
   }
 
-  /** Per-data-file hidden ordinals at a snapshot: every live delete
-    * file's resolved (file_path, pos) rows, sequence rules applied.
-    * Driver-side O(deleted rows) per entry — the HEAVY cache, so its
-    * LRU is the smallest (a tailing stream references the previous and
-    * current snapshots; anything older is a cold resume). */
-  private val hiddenCache = new Lru[(String, Long), Map[String, Seq[Long]]](16)
+  /** Per-data-file hidden ordinals at a snapshot, as SERIALIZED roaring
+    * bitmaps (the portable RoaringBitmapArray form the DV descriptors
+    * carry verbatim): every live delete file's matched positions,
+    * sequence rules applied. The fold is EXECUTOR-side end to end —
+    * position-delete parquet and eq-delete resolution both reduce
+    * through [[graft.functions.DvBitmapAgg]] per file, so the driver
+    * collects O(affected files) rows of KB-scale bitmap bytes, never
+    * O(deleted rows) (file, pos) tuples. That matters because a
+    * Flink-style MoR table ACCUMULATES delete files between
+    * compactions: a per-snapshot fold proportional to total deleted
+    * rows grows with table history; this one is proportional to
+    * affected-file count on the driver. Cached per immutable snapshot;
+    * the LRU is the smallest (a tailing stream references the previous
+    * and current snapshots; anything older is a cold resume). */
+  private val hiddenCache = new Lru[(String, Long), Map[String, Array[Byte]]](16)
 
-  private def hiddenAt(dir: String, snap: JsonNode): Map[String, Seq[Long]] = {
+  /** Observability for specs: (rows the driver collected, total hidden
+    * cardinality, total bitmap bytes) of the most recent [[hiddenAt]]
+    * fold — proves the driver received per-file bitmaps, not row
+    * tuples (rows == affected files << cardinality on a large-delete
+    * fixture). */
+  @volatile private[graft] var lastHiddenFold: Option[(Int, Long, Long)] = None
+
+  private def hiddenAt(dir: String, snap: JsonNode): Map[String, Array[Byte]] = {
     val table = Paths.get(dir)
     val sid = snap.get("snapshot-id").asLong()
     hiddenCache.get((table.toAbsolutePath.toString, sid)) {
@@ -240,24 +260,73 @@ object ForeignIcebergLog {
       else {
         val spark = SparkSession.getActiveSession.getOrElse(
           sys.error("graft-txlog: no active SparkSession"))
-        val seqOf: Map[String, Long] =
-          sf.data.map(f => canon(table, f.path.toString) -> f.seq).toMap
-        val posHidden = sf.posDeletes.flatMap { case (p, dseq) =>
-          // pos casts to long defensively — the spec says int64, but an
-          // int32-writing engine must not crash the fold
-          spark.read.parquet(p.toString)
-            .select(org.apache.spark.sql.functions.col("file_path"),
-              org.apache.spark.sql.functions.col("pos").cast("long"))
-            .collect().iterator
-            .map(r => (canon(table, r.getString(0)), r.getLong(1), dseq))
+        val frames = posHiddenFrame(spark, table, sf).toSeq ++
+          eqHiddenFrames(spark, dir, sf)
+        if (frames.isEmpty) Map.empty
+        else {
+          import org.apache.spark.sql.functions.col
+          val rows = frames.reduce(_.unionByName(_))
+            .groupBy(col("__file"))
+            .agg(graft.functions.DvBitmapAgg.dvAgg(col("__pos")).as("__dv"))
+            .collect()
+          val out = rows.iterator
+            .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+          lastHiddenFold = Some((rows.length,
+            out.valuesIterator.map(b => DeletionVectors.parse(b).cardinality).sum,
+            out.valuesIterator.map(_.length.toLong).sum))
+          out
         }
-          .filter { case (f, _, dseq) => seqOf.get(f).exists(_ <= dseq) }
-          .map(t => (t._1, t._2))
-        (posHidden ++ eqHiddenAt(spark, dir, sf))
-          .groupBy(_._1).map { case (f, xs) =>
-            f -> xs.map(_._2).distinct.sorted }
       }
     }
+  }
+
+  /** Position deletes as a lazy (__file, __pos) frame: the delete
+    * parquet scans, path canonicalization, and the spec's
+    * `dataSeq <= deleteSeq` rule all run executor-side (one broadcast
+    * (file → sequence) join); deletes naming files not live at this
+    * snapshot drop in the join, the old driver fold's filter rule. */
+  private def posHiddenFrame(spark: SparkSession, table: Path,
+      sf: IcebergLog.SnapshotFiles): Option[org.apache.spark.sql.DataFrame] = {
+    if (sf.posDeletes.isEmpty) return None
+    import org.apache.spark.sql.functions._
+    val seqRows = sf.data
+      .map(f => org.apache.spark.sql.Row(canon(table, f.path.toString), f.seq))
+    val seqDf = spark.createDataFrame(seqRows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__sf",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__seq",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // pos casts to long defensively — the spec says int64, but an
+    // int32-writing engine must not crash the fold
+    val dels = sf.posDeletes.map { case (p, dseq) =>
+      spark.read.parquet(p.toString)
+        .select(canonCol(table)(col("file_path")).as("__file"),
+          col("pos").cast("long").as("__pos"),
+          lit(dseq).as("__dseq"))
+    }.reduce(_.unionByName(_))
+    Some(dels.join(broadcast(seqDf), col("__file") === col("__sf"))
+      .filter(col("__seq") <= col("__dseq"))
+      .select(col("__file"), col("__pos")))
+  }
+
+  /** Executor-side twin of [[canon]] — the same spelling rule as a
+    * column function, so delete-file `file_path` values canonicalize
+    * inside the scan instead of row-by-row on the driver. The closure
+    * captures only the table's absolute-path STRING (serializable;
+    * executors never touch the driver's Path objects). */
+  private def canonCol(table: Path)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val tableAbs = table.toAbsolutePath.toString
+    org.apache.spark.sql.functions.udf((p: String) =>
+      if (p.startsWith("file:"))
+        java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+          .replaceFirst("^file:/+", "/")
+      else {
+        val pp = Paths.get(p)
+        (if (pp.isAbsolute) pp else Paths.get(tableAbs).resolve(pp))
+          .toAbsolutePath.normalize().toString
+      })
   }
 
   /** EQUALITY deletes resolved to POSITIONS, so the tail can fold them
@@ -268,12 +337,12 @@ object ForeignIcebergLog {
     * scan WITH `_metadata` provenance and semi-join the delete rows
     * null-safely under the STRICTLY-OLDER sequence rule — the same
     * predicate [[IcebergLog.snapshot]]'s batch anti-join applies, so
-    * the two paths cannot diverge on survivor sets. Only the matched
-    * (file, ordinal) pairs reach the driver: O(deleted rows), the
-    * documented ceiling class the position-delete fold already carries
-    * (SCALE.md's CDF-over-DV note). */
-  private def eqHiddenAt(spark: SparkSession, dir: String,
-      sf: IcebergLog.SnapshotFiles): Seq[(String, Long)] = {
+    * the two paths cannot diverge on survivor sets. Returns LAZY
+    * (__file, __pos) frames per equality-id group; [[hiddenAt]] folds
+    * them through the per-file bitmap aggregate, so matched positions
+    * never ride to the driver as rows. */
+  private def eqHiddenFrames(spark: SparkSession, dir: String,
+      sf: IcebergLog.SnapshotFiles): Seq[org.apache.spark.sql.DataFrame] = {
     if (sf.eqDeletes.isEmpty) return Seq.empty
     import org.apache.spark.sql.functions._
     val table = Paths.get(dir)
@@ -314,27 +383,30 @@ object ForeignIcebergLog {
               new org.apache.spark.sql.types.MetadataBuilder()
                 .putLong("parquet.field.id", id.toLong).build())
           }))
-      // flipping the session flag is safe for concurrent queries: the
+      // the session flag enables STICKY (never save/restored): the
       // resolution only activates for requested schemas that CARRY the
-      // id metadata, which only the schemas built above do
-      def withIdRead[T](f: => T): T =
-        if (keySchema.isEmpty) f
-        else {
-          val key = org.apache.spark.sql.internal.SQLConf
-            .PARQUET_FIELD_ID_READ_ENABLED.key
-          val prev = spark.conf.getOption(key)
-          spark.conf.set(key, "true")
-          try f finally prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
-          }
-        }
+      // id metadata, which only the schemas built above do — so the
+      // flip is behavior-neutral for every other read, while a
+      // save/restore would race concurrent folds on the shared session
+      // (one fold's restore-to-unset mid-flight in another's id-keyed
+      // read silently null-fills renamed key columns) AND would close
+      // the window before these frames' DEFERRED execution in
+      // [[hiddenAt]]'s combined aggregate. Same rule as the scan's
+      // createReaderFactory.
+      if (keySchema.isDefined &&
+          !spark.sessionState.conf.parquetFieldIdReadEnabled) {
+        val key = org.apache.spark.sql.internal.SQLConf
+          .PARQUET_FIELD_ID_READ_ENABLED.key
+        System.err.println(s"graft-txlog: enabling $key for $dir " +
+          "(renamed eq-delete key columns resolve by parquet field id)")
+        spark.conf.set(key, "true")
+      }
       // a delete only ever hides rows of STRICTLY older files — files
       // at or past the newest delete's sequence can skip the scan
       val maxDel = group.map(_._2).max
       val older = sf.data.filter(_.seq < maxDel)
       if (older.isEmpty) Seq.empty
-      else withIdRead {
+      else {
         val dels = group.map { case (p, dseq, _) =>
           keySchema.map(spark.read.schema).getOrElse(spark.read)
             .parquet(p.toString)
@@ -375,7 +447,7 @@ object ForeignIcebergLog {
             else older.filter(f => IcebergLog.fileSurvives(f, preds, fieldIds))
           pruneTally = (pruneTally._1 + older.size, pruneTally._2 + cands.size)
           if (cands.isEmpty) Seq.empty
-          else eqResolve(spark, table, names, dels, cands, keySchema)
+          else Seq(eqResolve(spark, table, names, dels, cands, keySchema))
         }
       }
     }
@@ -384,18 +456,20 @@ object ForeignIcebergLog {
   }
 
   /** Observability for specs: (strictly-older candidates, files kept)
-    * across the most recent [[eqHiddenAt]] fold — proves the envelope
-    * pruning actually skipped files before any key-column IO. */
+    * across the most recent [[eqHiddenFrames]] fold — proves the
+    * envelope pruning actually skipped files before any key-column IO. */
   @volatile private[graft] var lastEqPrune: Option[(Int, Int)] = None
 
   /** Resolve one equality-id group's delete rows against the surviving
-    * candidate files — executor-side scan + null-safe semi-join under
-    * the strictly-older rule (see [[eqHiddenAt]]). */
+    * candidate files as a LAZY (__file, __pos) frame — executor-side
+    * scan + null-safe semi-join under the strictly-older rule (see
+    * [[eqHiddenFrames]]); executed inside [[hiddenAt]]'s combined
+    * per-file bitmap aggregate. */
   private def eqResolve(spark: SparkSession, table: Path,
       names: Seq[String],
       dels: org.apache.spark.sql.DataFrame,
       cands: Seq[IcebergLog.IceFile],
-      keySchema: Option[StructType]): Seq[(String, Long)] = {
+      keySchema: Option[StructType]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     // path canonicalization executor-side — the batch reader's ONE
     // shared spelling rule (URI-escaped `_metadata.file_path` vs
@@ -431,7 +505,6 @@ object ForeignIcebergLog {
                 "bug?): "), col("__file")))))
           .join(dels, cond, "left_semi")
           .select(col("__file"), col("__pos"))
-          .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
     }
   }
 
@@ -440,12 +513,13 @@ object ForeignIcebergLog {
     * applies natively. */
   def manifestDvs(dir: String, v: Long): Map[String, String] =
     snapAtOrBefore(dir, v).map { case (_, snap) =>
-      hiddenAt(dir, snap).map { case (f, positions) =>
-        val bytes = DeletionVectors.serialize(positions)
+      hiddenAt(dir, snap).map { case (f, bytes) =>
+        // bytes arrive already in descriptor form from the executor-side
+        // fold; cardinality reads the container headers, O(containers)
         f -> (s"""{"storageType":"i","pathOrInlineDv":""" +
           s""""${DeletionVectors.z85Encode(bytes)}",""" +
           s""""sizeInBytes":${bytes.length},""" +
-          s""""cardinality":${positions.size}}""")
+          s""""cardinality":${DeletionVectors.parse(bytes).cardinality}}""")
       }
     }.getOrElse(Map.empty)
 

@@ -85,8 +85,28 @@ object IcebergLog {
     }
   }
 
-  private[sources] def readMetadata(table: Path): JsonNode =
-    mapper.readTree(Files.readString(currentMetadataPath(table)))
+  /** Parsed-metadata LRU keyed by (metadata file path, mtime): the
+    * rename probes ([[ForeignIcebergLog.fileFieldIdRead]]/
+    * [[ForeignIcebergLog.fileFieldRename]]) consult the CURRENT
+    * metadata on every plan of every micro-batch of a foreign tail —
+    * uncached, that is one file read + JSON parse per plan. Metadata
+    * files are written-once (a new table version is a NEW v*.json), so
+    * (path, mtime) is a sound identity; superseded versions age out. */
+  private val metadataCache =
+    new ForeignIcebergLog.Lru[(String, Long), JsonNode](8)
+
+  /** Number of cold parses performed (spec observability — a tailing
+    * stream should parse each metadata version once, not per batch). */
+  private[graft] val metadataParses = new java.util.concurrent.atomic.AtomicLong
+
+  private[sources] def readMetadata(table: Path): JsonNode = {
+    val p = currentMetadataPath(table)
+    val key = (p.toAbsolutePath.toString, Files.getLastModifiedTime(p).toMillis)
+    metadataCache.get(key) {
+      metadataParses.incrementAndGet()
+      mapper.readTree(Files.readString(p))
+    }
+  }
 
   /** Resolve a spec path (absolute URI, absolute path, or — in
     * golden-fixture trees — table-relative) to a filesystem path. */
@@ -519,6 +539,121 @@ object IcebergLog {
       }
     }
 
+  /** Non-identity fields of the metadata's DEFAULT partition spec as
+    * (partition field name, transform, source column name) — the
+    * read-side half of transform partitioning. Unknown source ids and
+    * void transforms drop (they never prune — sound). */
+  private[graft] def partitionTransforms(
+      meta: JsonNode): Seq[(String, String, String)] = {
+    val names = fieldNamesById(meta)
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    Option(meta.get("partition-specs"))
+      .flatMap(_.asScala.find(s => int2(s, "spec-id") == specId))
+      .map(_.get("fields").asScala.toSeq.flatMap { pf =>
+        val tr = pf.get("transform").asText()
+        if (tr == "identity" || tr == "void") None
+        else names.get(pf.get("source-id").asInt())
+          .map(src => (pf.get("name").asText(), tr, src))
+      })
+      .getOrElse(Seq.empty)
+  }
+
+  /** TRANSFORM-tuple pruning: a file survives unless a partition
+    * transform's tuple value PROVES the predicate's range disjoint on
+    * the SOURCE column — the pruning a spec-conformant planner derives
+    * from `bucket[N]` / `truncate[W]` / temporal transforms:
+    *
+    *  - `bucket[N]`: an EQUALITY predicate (lo == hi, non-null)
+    *    determines the row's bucket — a file whose tuple differs can
+    *    not hold it. Range predicates prove nothing (the hash destroys
+    *    order); null-eq never prunes (hash of null is unspecified).
+    *  - `truncate[W]` int/long: tuple t bounds the source to
+    *    [t, t+W−1]; strings bound below by the prefix t and above by
+    *    the EXCLUSIVE next-prefix (last codepoint bumped — no bump
+    *    exists at the codepoint ceiling, which then never prunes).
+    *  - `hours`/`days`/`months`/`years`: the tuple's UTC time range
+    *    bounds the source timestamp (dates: the day range).
+    *
+    * Every unprovable direction keeps the file, the same fail-open
+    * rule as [[fileSurvives]]. */
+  private[graft] def transformSurvives(f: IceFile,
+      preds: Seq[(String, Any, Any)],
+      specs: Seq[(String, String, String)],
+      fieldIds: Map[String, (Int, DataType)]): Boolean = {
+    val BucketT = """bucket\[(\d+)\]""".r
+    val TruncT = """truncate\[(\d+)\]""".r
+    preds.forall { case (c, lo, hi) =>
+      specs.filter(_._3 == c).forall { case (pname, transform, _) =>
+        val tupleV = f.partition.get(pname).filter(_ != null)
+        val srcDt = fieldIds.get(c).map(_._2)
+        (tupleV, srcDt) match {
+          case (Some(t), Some(dt)) =>
+            // synthesized inclusive source bounds (lb, ub) from the
+            // tuple; None on a side proves nothing on that side
+            def keepByBounds(lb: Option[Any], ub: Option[Any]): Boolean = {
+              val aboveHi = hi != null &&
+                lb.exists(l => cmpBound(l, hi, dt).exists(_ > 0))
+              val belowLo = lo != null &&
+                ub.exists(u => cmpBound(u, lo, dt).exists(_ < 0))
+              !(aboveHi || belowLo)
+            }
+            transform match {
+              case BucketT(n) if lo != null && hi != null && lo == hi =>
+                (for {
+                  tb <- t.toIntOption
+                  b <- graft.functions.IcebergTransforms.bucketOf(n.toInt, lo, dt)
+                } yield tb == b).getOrElse(true)
+              case TruncT(w) => dt match {
+                case IntegerType | LongType =>
+                  t.toLongOption.forall(tl => keepByBounds(
+                    Some(Long.box(tl)), Some(Long.box(tl + w.toLong - 1))))
+                case StringType =>
+                  // prefix lower bound is the prefix itself; the upper
+                  // bound is EXCLUSIVE next(t) — emulate inclusivity by
+                  // pruning only when next(t) <= lo strictly proves all
+                  // values < lo ... next(t) <= lo ⇒ value < next(t) <= lo
+                  val belowLo = lo != null && nextPrefix(t).exists(np =>
+                    cmpBound(np, lo, dt).exists(_ <= 0))
+                  keepByBounds(Some(t), None) && !belowLo
+                case _ => true
+              }
+              case tr @ ("hours" | "hour" | "days" | "day"
+                  | "months" | "month" | "years" | "year") =>
+                t.toLongOption.forall { tl =>
+                  dt match {
+                    case TimestampType | TimestampNTZType =>
+                      graft.functions.IcebergTransforms
+                        .temporalRangeMicros(tr, tl)
+                        .forall { case (s, e) => keepByBounds(
+                          Some(Long.box(s)), Some(Long.box(e - 1L))) }
+                    case DateType =>
+                      graft.functions.IcebergTransforms
+                        .temporalRangeMicros(tr, tl)
+                        .forall { case (s, e) => keepByBounds(
+                          Some(Long.box(s / 86400000000L)),
+                          Some(Long.box(e / 86400000000L - 1L))) }
+                    case _ => true
+                  }
+                }
+              case _ => true
+            }
+          case _ => true
+        }
+      }
+    }
+  }
+
+  /** The smallest string strictly greater than every string with
+    * prefix `s`: the last codepoint bumped by one (None at the
+    * codepoint ceiling — no such string exists there). */
+  private def nextPrefix(s: String): Option[String] = {
+    if (s.isEmpty) return None
+    val cps = s.codePoints().toArray
+    val last = cps(cps.length - 1)
+    if (last >= Character.MAX_CODE_POINT) None
+    else Some(new String(cps.init :+ (last + 1), 0, cps.length))
+  }
+
   /** Whole-file skip flags against the CURRENT snapshot's manifest
     * bounds, keyed by resolved absolute path (the spelling
     * [[ForeignIcebergLog]] rels use) — the streaming scan's filterExpr
@@ -533,8 +668,10 @@ object IcebergLog {
     val files = liveFilesOf(table,
       snapshotNode(meta, cur).get("manifest-list").asText()).data
     val fieldIds = boundsFieldIds(dir, meta)
+    val specs = partitionTransforms(meta)
     files.map(f => f.path.toAbsolutePath.normalize().toString ->
-      fileSurvives(f, preds, fieldIds))
+      (fileSurvives(f, preds, fieldIds) &&
+        transformSurvives(f, preds, specs, fieldIds)))
   }
 
   def skipScan(spark: SparkSession, dir: String,
@@ -547,7 +684,9 @@ object IcebergLog {
       snapshotNode(meta, cur).get("manifest-list").asText())
     val files = snapFiles.data
     val fieldIds = boundsFieldIds(dir, meta)
-    val surviving = files.filter(fileSurvives(_, preds, fieldIds))
+    val specs = partitionTransforms(meta)
+    val surviving = files.filter(f => fileSurvives(f, preds, fieldIds) &&
+      transformSurvives(f, preds, specs, fieldIds))
     lastSkipScan = (files.size.toLong, surviving.size.toLong)
     val schemaOpt = currentSchema(meta)
     if (surviving.isEmpty) {
@@ -2044,16 +2183,39 @@ object IcebergLog {
       .getOrElse(schema)
     val DaysGen =
       """(?i)\s*cast\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s+date\s*\)\s*""".r
+    // the graft_iceberg_* generation expressions ARE the transforms'
+    // value domains ([[graft.functions.IcebergTransforms]] — spec
+    // Appendix B bucket hash, Appendix "Partition Transforms"
+    // truncate/hours/months/years), so recognizing them records the
+    // real transform spec with tuple values and identity bounds
+    // unchanged — exactly the days(ts) move, widened to the family
+    val BucketGen =
+      """(?i)\s*graft_iceberg_bucket\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
+    val TruncGen =
+      """(?i)\s*graft_iceberg_truncate\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
+    val TemporalGen =
+      """(?i)\s*graft_iceberg_(hours|months|years)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*""".r
+    def srcTyped(src: String, ok: DataType => Boolean): Boolean =
+      metaSchema.fields.exists(f => f.name == src && ok(f.dataType))
     val partTransforms: Map[String, (String, String)] =
       partCols.flatMap { case (n, dt) =>
-        if (dt != DateType) None
-        else metaSchema.fields.find(_.name == n)
+        metaSchema.fields.find(_.name == n)
           .filter(_.metadata.contains("delta.generationExpression"))
           .map(_.metadata.getString("delta.generationExpression")) match {
-          case Some(DaysGen(src))
-              if metaSchema.fields.exists(f =>
-                f.name == src && f.dataType == TimestampType) =>
+          case Some(DaysGen(src)) if dt == DateType &&
+              srcTyped(src, _ == TimestampType) =>
             Some(n -> (("days", src)))
+          case Some(BucketGen(w, src)) if dt == IntegerType &&
+              srcTyped(src, t => t == IntegerType || t == LongType ||
+                t == DateType || t == TimestampType || t == StringType) =>
+            Some(n -> ((s"bucket[$w]", src)))
+          case Some(TruncGen(w, src)) if srcTyped(src, _ == dt) &&
+              (dt == IntegerType || dt == LongType || dt == StringType) =>
+            Some(n -> ((s"truncate[$w]", src)))
+          case Some(TemporalGen(unit, src)) if dt == IntegerType &&
+              srcTyped(src, t => t == TimestampType ||
+                (t == DateType && unit.toLowerCase != "hours")) =>
+            Some(n -> ((unit.toLowerCase, src)))
           case _ => None
         }
       }.toMap
@@ -2237,6 +2399,101 @@ object IcebergLog {
       |       round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** TxLog table partitioned by TWO generated transform columns —
+    * `uid_bucket = graft_iceberg_bucket(8, user_id)` (the Flink-style
+    * upsert-distribution key) and `etype_pfx =
+    * graft_iceberg_truncate(2, event_type)` — mirrored to Iceberg: the
+    * tree carries REAL `bucket[8]` and `truncate[2]` transform specs
+    * referencing the SOURCE columns' field ids, int/string tuple
+    * values, and identity bounds on the generated columns. */
+  private[graft] def transformMirrorTable(spark: SparkSession,
+      dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-tmirror:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_tmirror").toString
+      val ev = Tables.events(spark, dir)
+      TxLog.commitAppend(ev.filter(col("event_id") < 400)
+          .withColumn("uid_bucket",
+            expr("graft_iceberg_bucket(8, user_id)"))
+          .withColumn("etype_pfx",
+            expr("graft_iceberg_truncate(2, event_type)")),
+        table, partitionBy = Seq("uid_bucket", "etype_pfx"))
+      TxLog.setGenerationExpression(spark, table,
+        "uid_bucket", "graft_iceberg_bucket(8, user_id)")
+      TxLog.setGenerationExpression(spark, table,
+        "etype_pfx", "graft_iceberg_truncate(2, event_type)")
+      // later batches omit both columns — they generate at write
+      TxLog.commitAppend(ev.filter(col("event_id") >= 400), table,
+        partitionBy = Seq("uid_bucket", "etype_pfx"))
+      mirror(spark, table)
+      table
+    })
+
+  /** Oracle-checked BUCKET-pruned read: the skip-scan carries a
+    * `user_id = 7` equality predicate, which prunes via the `bucket[8]`
+    * tuples (the hash destroys order, so ONLY the transform — not
+    * min/max bounds alone — can prove most files disjoint on a
+    * multi-user file). A wrongly-pruned file loses rows and flips the
+    * hash; the spec asserts the prune count. */
+  def bucketMirrorQuery(spark: SparkSession, dir: String): DataFrame =
+    skipScan(spark, transformMirrorTable(spark, dir),
+      Seq(("user_id", java.lang.Long.valueOf(7L), java.lang.Long.valueOf(7L))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val bucketMirrorQueryOracle: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE user_id = 7
+      |GROUP BY 1""".stripMargin
+
+  /** Oracle-checked read GROUPED BY the truncate partition column: hive
+    * data files do not contain `etype_pfx`, so every group key came
+    * from a `truncate[2]` manifest tuple — a missed attach nulls the
+    * keys and flips the hash against DuckDB's `substring(event_type,
+    * 1, 2)`. */
+  def truncMirrorQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, transformMirrorTable(spark, dir))
+      .groupBy(col("etype_pfx"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val truncMirrorQueryOracle: String =
+    """SELECT substring(event_type, 1, 2) AS etype_pfx, count(*) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** TxLog table partitioned by the generated `event_hour =
+    * graft_iceberg_hours(ts)` over one day of events, mirrored with the
+    * spec's `hours` transform (epoch-hours int tuples). */
+  private[graft] def hoursMirrorTable(spark: SparkSession,
+      dir: String): String =
+    staged.getOrElseUpdate(s"iceberg-hmirror:$dir", {
+      val table = graft.Scratch.dir("graft_iceberg_hmirror").toString
+      val ev = Tables.events(spark, dir)
+        .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+      TxLog.commitAppend(ev.filter(col("event_id") < 300)
+          .withColumn("event_hour", expr("graft_iceberg_hours(ts)")),
+        table, partitionBy = Seq("event_hour"))
+      TxLog.setGenerationExpression(spark, table,
+        "event_hour", "graft_iceberg_hours(ts)")
+      TxLog.commitAppend(ev.filter(col("event_id") >= 300), table,
+        partitionBy = Seq("event_hour"))
+      mirror(spark, table)
+      table
+    })
+
+  /** Oracle-checked read GROUPED BY the hours partition column: every
+    * group key is an epoch-hours int attached from a manifest tuple,
+    * pinned against DuckDB's `floor(epoch(ts)/3600)`. */
+  def hoursMirrorQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshot(spark, hoursMirrorTable(spark, dir))
+      .groupBy(col("event_hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+
+  val hoursMirrorQueryOracle: String =
+    """SELECT CAST(floor(epoch(ts) / 3600) AS INTEGER) AS event_hour,
+      |       count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events WHERE ts < TIMESTAMP '2024-01-02'
+      |GROUP BY 1""".stripMargin
+
   /** TxLog table with MERGE-ON-READ history mirrored to Iceberg: a DV
     * DELETE on the even batch, an append landing AFTER it (its rows
     * must not be hidden — the sequence rule), then a DV UPDATE banding
@@ -2293,6 +2550,8 @@ object IcebergLog {
     mirrorTable(spark, dir)
     partMirrorTable(spark, dir)
     daysMirrorTable(spark, dir)
+    transformMirrorTable(spark, dir)
+    hoursMirrorTable(spark, dir)
     dvMirrorTable(spark, dir)
     ()
   }
@@ -2306,6 +2565,9 @@ object IcebergLog {
     "q_iceberg_mirror" -> mirrorQuery _,
     "q_iceberg_part_mirror" -> partMirrorQuery _,
     "q_iceberg_days_mirror" -> daysMirrorQuery _,
+    "q_iceberg_bucket_mirror" -> bucketMirrorQuery _,
+    "q_iceberg_trunc_mirror" -> truncMirrorQuery _,
+    "q_iceberg_hours_mirror" -> hoursMirrorQuery _,
     "q_iceberg_dv_mirror" -> dvMirrorQuery _,
     "q_iceberg_expire" -> expireQuery _
   )
@@ -2313,6 +2575,9 @@ object IcebergLog {
   def oracles: Map[String, String] = Map(
     "q_iceberg_part_mirror" -> partMirrorQueryOracle,
     "q_iceberg_days_mirror" -> daysMirrorQueryOracle,
+    "q_iceberg_bucket_mirror" -> bucketMirrorQueryOracle,
+    "q_iceberg_trunc_mirror" -> truncMirrorQueryOracle,
+    "q_iceberg_hours_mirror" -> hoursMirrorQueryOracle,
     "q_iceberg_dv_mirror" -> dvMirrorQueryOracle,
     "q_iceberg_expire" -> expireQueryOracle,
     "q_iceberg_snapshot" -> snapshotQueryOracle,

@@ -1104,13 +1104,34 @@ object TxLog {
       filesSkipped: Long)
 
   /** Conflict-checked commit for a rewrite that READ version `base`:
-    * links exactly `base + 1`, and a racing committer that took that
-    * version first is a serialization failure — unlike appends (which
-    * retry at the next version, commuting with anything), a rewrite's
-    * removed-file set was chosen against `base`'s manifest, so blindly
-    * re-linking above a foreign commit could resurrect files the racer
-    * removed or drop ones it added. Delta's ConcurrentModificationException
-    * contract: the caller re-runs against the new snapshot.
+    * links at `base + 1`, and a racing committer that took that version
+    * first triggers stock Delta's LOGICAL conflict re-check — the
+    * racer's commits re-read, and the rewrite re-links past them iff
+    * every racer provably COMMUTES with it:
+    *
+    *  - a racer that removed or re-deleted (DV-changed) any file this
+    *    rewrite also rewrites conflicts (delete/delete — the
+    *    replacement was derived from stale contents);
+    *  - a racer with NO file changes at all is metadata-shaped
+    *    (schema/properties) and conflicts — stock's metadata rule,
+    *    applied conservatively without parsing the mirror;
+    *  - a racer's ADDED files conflict unless this rewrite is
+    *    byte-moving (`dataChange = false` — OPTIMIZE reads no
+    *    predicate, stock lets appends race it) or the mirror stats
+    *    PROVE every added file disjoint from `readPreds` (the same
+    *    envelope that picked the rewrite's candidates — an added file
+    *    inside it could hold rows the predicate should have seen:
+    *    stock's ConcurrentAppendException);
+    *  - row-tracked rewrites (materialized/restored id spans, DV
+    *    overrides) never retry: their claimed id spans are already
+    *    baked into the replacement files and cannot re-base.
+    *
+    * Anything unprovable keeps the ConcurrentModificationException
+    * contract: the caller re-runs against the new snapshot. On a clean
+    * re-check the manifest REBUILDS against the racer's version (its
+    * adds/removes/DVs carry through), so a partition-local DELETE or
+    * OPTIMIZE no longer loses to every unrelated append on a busy
+    * table.
     */
   private[graft] def commitRewrite(dir: String, base: Long, removedSet: Set[String],
       added: Seq[String], schemaJson: String,
@@ -1119,7 +1140,9 @@ object TxLog {
       matAdded: Set[String] = Set.empty,
       restoredRids: Map[String, Rid] = Map.empty,
       restoredMat: Set[String] = Set.empty,
-      dvOverride: Option[Map[String, String]] = None): Long = {
+      dvOverride: Option[Map[String, String]] = None,
+      readPreds: Seq[(String, Any, Any)] = Seq.empty,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Long = {
     val table = Paths.get(dir)
     // delta.appendOnly blocks any rewrite that CHANGES visible rows
     // (DELETE/UPDATE/MERGE/RESTORE); OPTIMIZE passes — dataChange=false
@@ -1136,50 +1159,117 @@ object TxLog {
         "table (delta.enableRowTracking=true) — stable row ids would be " +
         "renumbered; use the merge-on-read paths (deleteWhereDv/" +
         "updateWhereDv) instead")
-    val next = base + 1
-    val prev = readManifest(table, base)
-    val all = prev.filterNot(removedSet) ++ added
-    val removed = prev.filter(removedSet)
-    val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
-    // a rewritten file's DV dies with it: the rewrite read the file
-    // DV-filtered, so the replacement materialized the deletes. RESTORE
-    // overrides wholesale: every file gets the TARGET version's DV (a
-    // carried base-version bitmap could hide MORE rows than the target
-    // did, and a restored file would otherwise come back with none).
-    val keptDvs = dvOverride.getOrElse(
-      manifestDvs(table, base).filterNot(d => removedSet(d._1)))
-    // surviving files keep their rid entries; the high-water mark is
-    // carried even when every tracked file is gone (ids never reissue).
-    // Materialized replacement files claim FRESH spans (spec: every add
-    // gets a baseRowId; readers prefer the materialized column) —
-    // "wasted" ids, which the spec explicitly allows. RESTORE re-adds
-    // carry their ORIGINAL entries from the restored-to manifest.
-    val (newRids, newHwm) =
-      if (matAdded.isEmpty) (Map.empty[String, (Long, Long)], None)
-      else freshRids(dir, table, added)
-    val keptRids = manifestRids(table, base).filterNot(r => removedSet(r._1)) ++
-      restoredRids ++
-      newRids.map { case (rel, (b, n)) => rel -> Rid(b, n, next) }
-    val hwm = (manifestRidHwm(table, base).toSeq ++ newHwm.toSeq).maxOption
-    val keptMat = manifestRidMat(table, base).filterNot(removedSet) ++
-      restoredMat ++ matAdded
-    val header = dvLines(keptDvs) +
-      ridLines(keptRids, hwm, keptMat) + cdcLines(cdcRels) +
-      s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
-    Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
-    try {
-      Files.createLink(manifestPath(table, next), tmp)
-      Files.deleteIfExists(tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
+    // row-tracked rewrites never re-base: their id spans are baked in
+    val retryable = matAdded.isEmpty && restoredRids.isEmpty &&
+      restoredMat.isEmpty && dvOverride.isEmpty
+    var effBase = base
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val next = effBase + 1
+      val prev = readManifest(table, effBase)
+      val all = prev.filterNot(removedSet) ++ added
+      val removed = prev.filter(removedSet)
+      val tmp = Files.createTempFile(logDir(table), ".commit-", ".tmp")
+      // a rewritten file's DV dies with it: the rewrite read the file
+      // DV-filtered, so the replacement materialized the deletes. RESTORE
+      // overrides wholesale: every file gets the TARGET version's DV (a
+      // carried base-version bitmap could hide MORE rows than the target
+      // did, and a restored file would otherwise come back with none).
+      val keptDvs = dvOverride.getOrElse(
+        manifestDvs(table, effBase).filterNot(d => removedSet(d._1)))
+      // surviving files keep their rid entries; the high-water mark is
+      // carried even when every tracked file is gone (ids never reissue).
+      // Materialized replacement files claim FRESH spans (spec: every add
+      // gets a baseRowId; readers prefer the materialized column) —
+      // "wasted" ids, which the spec explicitly allows. RESTORE re-adds
+      // carry their ORIGINAL entries from the restored-to manifest.
+      val (newRids, newHwm) =
+        if (matAdded.isEmpty) (Map.empty[String, (Long, Long)], None)
+        else freshRids(dir, table, added)
+      val keptRids = manifestRids(table, effBase).filterNot(r => removedSet(r._1)) ++
+        restoredRids ++
+        newRids.map { case (rel, (b, n)) => rel -> Rid(b, n, next) }
+      val hwm = (manifestRidHwm(table, effBase).toSeq ++ newHwm.toSeq).maxOption
+      val keptMat = manifestRidMat(table, effBase).filterNot(removedSet) ++
+        restoredMat ++ matAdded
+      val header = dvLines(keptDvs) +
+        ridLines(keptRids, hwm, keptMat) + cdcLines(cdcRels) +
+        s"#op ${enc(operation)} ${if (dataChange) "1" else "0"}\n"
+      Files.write(tmp, (header + all.mkString("\n")).getBytes("UTF-8"))
+      val linked =
+        try {
+          Files.createLink(manifestPath(table, next), tmp)
+          Files.deleteIfExists(tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(tmp)
+            false
+        }
+      if (linked) {
+        mirrorWithBackfill(dir, table, next, added, removed, schemaJson,
+          dataChange, operation, cdcAdds = cdcRels)
+        return next
+      }
+      def refuse(why: String): Nothing =
         sys.error(s"$dir: concurrent commit at version $next — this rewrite " +
-          s"read version $base and cannot serialize past a racing writer; " +
-          "re-run the operation against the new snapshot")
+          s"read version $base and cannot serialize past the racing writer " +
+          s"($why); re-run the operation against the new snapshot")
+      if (!retryable)
+        refuse("row-tracked/restore rewrites carry pre-claimed id spans " +
+          "and never re-base")
+      if (attempts > 20) refuse("retry budget exhausted under churn")
+      val cur = currentVersion(dir).getOrElse(refuse("no current version"))
+      ((effBase + 1) to cur).foreach { rv =>
+        racerConflict(dir, table, rv, removedSet, readPreds, dataChange,
+          spark).foreach(refuse)
+      }
+      effBase = cur
     }
-    mirrorWithBackfill(dir, table, next, added, removed, schemaJson,
-      dataChange, operation, cdcAdds = cdcRels)
-    next
+    sys.error("unreachable")
+  }
+
+  /** Why racing version `rv` does NOT commute with a rewrite of
+    * `removedSet` under `readPreds` — None when it provably does (see
+    * [[commitRewrite]]'s rules). */
+  private def racerConflict(dir: String, table: Path, rv: Long,
+      removedSet: Set[String], readPreds: Seq[(String, Any, Any)],
+      dataChange: Boolean,
+      spark: Option[org.apache.spark.sql.SparkSession]): Option[String] = {
+    val before = readManifest(table, rv - 1).toSet
+    val after = readManifest(table, rv).toSet
+    val rAdds = after -- before
+    val rRemoves = before -- after
+    val dvBefore = manifestDvs(table, rv - 1)
+    val dvAfter = manifestDvs(table, rv)
+    val dvChanged = (dvBefore.keySet ++ dvAfter.keySet)
+      .filter(k => dvBefore.get(k) != dvAfter.get(k))
+    if ((rRemoves ++ dvChanged).exists(removedSet))
+      Some(s"version $rv removed or re-deleted files this rewrite rewrites")
+    else if (rAdds.isEmpty && rRemoves.isEmpty && dvChanged.isEmpty)
+      Some(s"version $rv is a metadata-shaped commit (no file changes)")
+    else if (rAdds.isEmpty || !dataChange) None
+    else if (readPreds.isEmpty)
+      Some(s"version $rv added files and this rewrite read the whole table")
+    else spark match {
+      case None =>
+        Some(s"version $rv added files and no session can stats-check them")
+      case Some(s) =>
+        scala.util.Try(DeltaLog.pruneFlags(s, dir, readPreds)) match {
+          case scala.util.Success((flags, _)) =>
+            val survive = flags.map(f => f._1.path -> f._2).toMap
+            // flag false = stats PROVE the file disjoint from the
+            // envelope; anything else (true, or not found — already
+            // re-removed/mirror lag) conflicts, fail-closed
+            if (rAdds.forall(a => survive.get(a).contains(false))) None
+            else Some(s"version $rv added files inside this rewrite's " +
+              "read predicate")
+          case scala.util.Failure(_) =>
+            Some(s"version $rv added files and the mirror stats are " +
+              "unavailable to prove them disjoint")
+        }
+    }
   }
 
   /** Copy-on-write core shared by DELETE/UPDATE/MERGE: pick the
@@ -1261,7 +1351,8 @@ object TxLog {
     // column is file-level, never a table column
     val v = commitRewrite(dir, base, candidates.toSet, added,
       effectiveSchemaJson(matCol.foldLeft(replacement)(_.drop(_)), dir),
-      cdcRels = cdcRels, matAdded = if (tracked) added.toSet else Set.empty)
+      cdcRels = cdcRels, matAdded = if (tracked) added.toSet else Set.empty,
+      readPreds = prune, spark = Some(spark))
     DeltaLog.maybeCheckpoint(spark, dir, v)
     RewriteResult(v, candidates.size.toLong, skipped.size.toLong)
   }
@@ -3473,7 +3564,11 @@ object TxLog {
             "row-level change synthesis needs merge-on-read (deletion " +
             "vectors) or delta.enableChangeDataFeed at DML time; read " +
             "the two snapshots instead")
-        val dvPrev = manifestDvs(table, v - 1)
+        // v1 has no predecessor manifest — a (0, toV] range is the
+        // "whole history" spelling and must not die reading v0
+        val dvPrev =
+          if (v <= 1L) Map.empty[String, String]
+          else manifestDvs(table, v - 1)
         val dvNow = manifestDvs(table, v)
         val hiddenType = if (op == "UPDATE") "update_preimage" else "delete"
         val addedType = if (op == "UPDATE") "update_postimage" else "insert"
@@ -3512,7 +3607,39 @@ object TxLog {
         }
       }
     }
-    feeds.reduceOption(_.unionByName(_, allowMissingColumns = true))
+    // SCHEMA CONTRACT across evolution (stock Delta's CDF rule): every
+    // row presents under the END version's schema. Additive changes are
+    // read-compatible — older frames null-fill the new columns below —
+    // but a frame carrying a column the end schema lost (DROP/RENAME)
+    // or re-typed would silently re-shape history, so it refuses
+    // loudly. The per-version frames carry their files' REAL columns
+    // (readRels infers from footers), so the check rides the actual
+    // rows presented, not metadata that might overclaim.
+    val endSchema = snapshotAt(spark, dir, toV).schema
+    val pseudo = Set("_change_type", "_commit_version")
+    val aligned = feeds.map { df =>
+      df.schema.fields.filterNot(f => pseudo(f.name)).foreach { f =>
+        endSchema.fields.find(_.name == f.name) match {
+          case Some(p) if p.dataType == f.dataType => ()
+          case Some(p) => sys.error(s"$dir: changeFeed ($fromV, $toV] " +
+            s"spans a schema change — column '${f.name}' was " +
+            s"${f.dataType.simpleString} in an older version but is " +
+            s"${p.dataType.simpleString} at version $toV; stock Delta " +
+            "refuses read-incompatible CDF ranges — narrow the range or " +
+            "read the snapshots")
+          case None => sys.error(s"$dir: changeFeed ($fromV, $toV] spans " +
+            s"a DROP/RENAME — column '${f.name}' exists in an older " +
+            s"version's rows but not in version $toV's schema; stock " +
+            "Delta refuses read-incompatible CDF ranges — narrow the " +
+            "range or read the snapshots")
+        }
+      }
+      df.select(endSchema.fields.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq ++
+        Seq(col("_change_type"), col("_commit_version")): _*)
+    }
+    aligned.reduceOption(_.unionByName(_))
       .getOrElse(snapshotAt(spark, dir, toV).limit(0)
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(toV)))

@@ -131,6 +131,24 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
     else {
       val spark = SparkSession.getActiveSession.getOrElse(
         sys.error("graft-txlog: no active SparkSession"))
+      // field-id-resolved tables (Delta mapping mode "id"; Iceberg with
+      // a rename in its history) enable the session resolution flag AT
+      // ANALYSIS TIME, not first-plan time: the parquet ROW-path
+      // converter consults the SQLConf CAPTURED when an action STARTS —
+      // a set made mid-planning (createReaderFactory, planCarryover)
+      // misses the very first action's capture, and its row-path reads
+      // (DV/CDF/merge-on-read partitions) would silently null-fill
+      // every id-resolved column exactly once. Behavior-neutral
+      // otherwise: the flag only activates for requested schemas that
+      // CARRY id metadata, which only these tables' scans build.
+      if (CommitLog.fileFieldIdRead(dir) &&
+          !spark.sessionState.conf.parquetFieldIdReadEnabled) {
+        System.err.println(s"graft-txlog: enabling " +
+          s"${SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key} for $dir " +
+          "(field-id-resolved table; the parquet ROW reader consults " +
+          "the session conf captured at action start)")
+        spark.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
+      }
       // time travel presents the TABLE AT THAT VERSION's schema (stock
       // Delta's versionAsOf contract) — a later-added column must not
       // surface null-filled on a historical read
@@ -298,6 +316,12 @@ object TxLogScan {
     * column-mapped table these must carry PHYSICAL column names, or
     * row-group pruning silently matches nothing. */
   @volatile private[graft] var lastFileFilters: Array[SFilter] = Array.empty
+
+  /** Observability for specs: (rows the driver collected, total bitmap
+    * bytes) of the most recent [[TxLogScan.planCarryover]] nets —
+    * proves the driver received per-file roaring bitmaps, not
+    * O(change rows) (file, pos) tuples. */
+  @volatile private[graft] var lastCarryoverFold: Option[(Int, Long)] = None
 
   /** Respell every column reference of a source filter through `m`
     * (dotted logical path → physical path). None when any reference is
@@ -727,6 +751,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
           .getOrElse(cur)
         require(toV >= fromV && toV <= cur, s"graft-txlog: endingVersion " +
           s"$toV outside the range $fromV..$cur of $dir")
+        checkCdfRangeSchemas(fromV, toV)
         return planCdfVersions(fromV, toV, skip)
       }
       val effV = asOf match {
@@ -742,6 +767,47 @@ class TxLogScan(dir: String, fullSchema: StructType,
     }
     override def createReaderFactory(): PartitionReaderFactory =
       TxLogScan.this.createReaderFactory()
+  }
+
+  /** BATCH-CDF SCHEMA CONTRACT across evolution (stock Delta's rule):
+    * the feed presents every row under the END presentation schema (the
+    * scan's resolved table schema), which is sound only when each
+    * version's IN-FORCE schema in the range is READ-COMPATIBLE with it —
+    * additive changes null-fill preimages natively (an old file simply
+    * lacks the new column), but a range spanning a DROP, RENAME, or
+    * type change would silently re-shape historical rows into the new
+    * schema (dropped columns vanish, renamed ones null-fill), so it
+    * refuses loudly instead. Checked from the range start's in-force
+    * schema plus each DECLARED change inside the range — metadata-scale
+    * work, no file IO. */
+  private[streaming] def checkCdfRangeSchemas(fromV: Long, toV: Long): Unit = {
+    val spark = SparkSession.getActiveSession.getOrElse(
+      sys.error("graft-txlog: no active SparkSession"))
+    val pseudo = Set("_change_type", "_commit_version")
+    val present = fullSchema.fields.filterNot(f => pseudo(f.name))
+    def compat(v: Long, h: StructType): Unit = h.fields
+      .filterNot(f => pseudo(f.name)).foreach { f =>
+        present.find(_.name == f.name) match {
+          case Some(p) if p.dataType == f.dataType => ()
+          case Some(p) => sys.error(s"graft-txlog: readChangeFeed range " +
+            s"$fromV..$toV of $dir spans a schema change — column " +
+            s"'${f.name}' was ${f.dataType.simpleString} at version $v " +
+            s"but presents as ${p.dataType.simpleString}; stock Delta " +
+            "refuses read-incompatible CDF ranges — narrow the range or " +
+            "read the snapshots")
+          case None => sys.error(s"graft-txlog: readChangeFeed range " +
+            s"$fromV..$toV of $dir spans a DROP/RENAME — column " +
+            s"'${f.name}' was in force at version $v but is not in the " +
+            "presented schema; stock Delta refuses read-incompatible " +
+            "CDF ranges — narrow the range or read the snapshots")
+        }
+      }
+    val start = math.max(1L, fromV)
+    scala.util.Try(CommitLog.schemaAt(spark, dir, start))
+      .foreach(compat(start, _))
+    ((start + 1) to toV).foreach { v =>
+      CommitLog.declaredSchemaAt(dir, v).foreach(compat(v, _))
+    }
   }
 
   /** Added files of one version, classified per the non-append rule —
@@ -811,15 +877,28 @@ class TxLogScan(dir: String, fullSchema: StructType,
 
   /** Per-version manifest partition-value maps (hive-layout foreign
     * Iceberg trees; empty elsewhere), cached per scan — one cheap map
-    * build per (version, scan), not one per file. Planning is
+    * build per (version, scan), not one per file. BOUNDED: planning
+    * only ever looks up the current version and its predecessor, so a
+    * tiny access-order LRU suffices — unbounded, a long-lived tail of
+    * an active hive-layout tree would accrete one O(live files) map
+    * per admitted version for the scan's lifetime (the leak class the
+    * foreign-Delta seed cache fixed in round 14). Planning is
     * driver-side and single-threaded per batch; the synchronization
     * only guards scan reuse across batches. */
   private val manifestPartVals =
-    scala.collection.mutable.HashMap.empty[Long, Map[String, Map[String, String]]]
+    new java.util.LinkedHashMap[Long, Map[String, Map[String, String]]](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Map[String, Map[String, String]]])
+          : Boolean = size() > 4
+    }
   private def partValsAt(v: Long): Map[String, Map[String, String]] =
     manifestPartVals.synchronized {
-      manifestPartVals.getOrElseUpdate(v,
-        graft.sources.CommitLog.filePartitionValues(dir, v))
+      Option(manifestPartVals.get(v)).getOrElse {
+        val m = graft.sources.CommitLog.filePartitionValues(dir, v)
+        manifestPartVals.put(v, m)
+        m
+      }
     }
 
   /** One manifest-relative file as a [[PartitionedFile]]: partition
@@ -1131,11 +1210,19 @@ class TxLogScan(dir: String, fullSchema: StructType,
     *
     * Scale shape: the compare is one EXECUTOR-side job over just the
     * rewritten files' rows (a window rank + a null-safe count join —
-    * O(rewritten rows), never the table); only the NET (file, ordinal)
-    * pairs reach the driver — O(actual change rows), the documented
-    * CDF ceiling class. The net rows themselves are then read by
-    * executors through the same row-index bitmap partitions the DV
-    * diff uses. */
+    * O(rewritten rows), never the table); the net rows reduce to
+    * per-file roaring bitmaps EXECUTOR-side
+    * ([[graft.functions.DvBitmapAgg]]), so the driver collects
+    * O(affected files) bitmap-byte rows, never O(change rows) tuples.
+    * The net rows themselves are then read by executors through the
+    * same row-index bitmap partitions the DV diff uses.
+    *
+    * Renamed tables (a foreign-Iceberg field id that ever carried more
+    * than one name) read BOTH sides through the same field-id-annotated
+    * schema the scan itself uses ([[CommitLog.fileFieldRename]]):
+    * a by-name read would bind pre-rename files' renamed column to
+    * null, mis-netting unchanged carried-over rows into spurious
+    * delete/insert pairs. */
   private[streaming] def planCarryover(v: Long, removed: Seq[String],
       added: Seq[String]): Seq[InputPartition] = {
     import org.apache.spark.sql.expressions.Window
@@ -1170,8 +1257,16 @@ class TxLogScan(dir: String, fullSchema: StructType,
             else Map.empty[String, Map[String, String]]) ++ partValsAt(v)
     val appendedPart = partCols.filter(_ => partVals.nonEmpty)
     val cols = dataCols ++ appendedPart.map(c => s"__pp_$c")
+    // renamed tables: annotate the read schema with parquet field ids
+    // and enable the session resolution flag (sticky — the same rule
+    // buildParquetFactory applies; these reads execute AFTER planning
+    // returns, inside the net aggregates below)
+    val sideSchema = toFileSchema(dataSchema)
+    if (graft.sources.CommitLog.fileFieldIdRead(dir) &&
+        !spark.sessionState.conf.parquetFieldIdReadEnabled)
+      spark.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
     def side(rels: Seq[String]) = {
-      val base = spark.read.schema(dataSchema)
+      val base = spark.read.schema(sideSchema)
         .parquet(rels.map(r => table.resolve(r).toString): _*)
         .select(dataCols.map(col) :+
           graft.sources.IcebergLog.normPathCol(col("_metadata.file_path"))
@@ -1205,28 +1300,32 @@ class TxLogScan(dir: String, fullSchema: StructType,
       df.groupBy(cols.map(col): _*).agg(count(lit(1)).as(cName))
         .select(cols.map(c => col(c).as(s"__o_$c")) :+ col(cName): _*)
     val matchCond = cols.map(c => col(c) <=> col(s"__o_$c")).reduce(_ && _)
+    // net rows reduce to per-file bitmaps EXECUTOR-side; the driver's
+    // collect is O(affected files) rows of KB-scale roaring bytes
     def net(keep: DataFrame, other: DataFrame,
-        cName: String): Seq[(String, Long)] =
+        cName: String): Seq[(String, Array[Byte])] =
       ranked(keep).join(counted(other, cName), matchCond, "left")
         .filter(col("__rk") > coalesce(col(cName), lit(0L)))
-        .select(col("__file"), col("__pos"))
-        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(col("__file"))
+        .agg(graft.functions.DvBitmapAgg.dvAgg(col("__pos")).as("__dv"))
+        .collect().toSeq.map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
     val r = side(removed)
     val a = side(added)
     val dels = net(r, a, "__ca")
     val ins = net(a, r, "__cr")
+    TxLogScan.lastCarryoverFold = Some((dels.size + ins.size,
+      (dels ++ ins).map(_._2.length.toLong).sum))
     // normalized executor spelling → the manifest rel, fail-closed
     val relOf: Map[String, String] = (removed ++ added).map { rel =>
       SparkPath.fromPathString(table.resolve(rel).toString)
         .toPath.toUri.getPath -> rel
     }.toMap
-    def parts(pairs: Seq[(String, Long)], changeType: String) =
-      pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (abs, xs) =>
+    def parts(pairs: Seq[(String, Array[Byte])], changeType: String) =
+      pairs.sortBy(_._1).map { case (abs, bytes) =>
         val rel = relOf.getOrElse(abs, sys.error(
           s"graft-txlog: carryover row maps to no planned file " +
             s"(path canonicalization bug?): $abs"))
-        CdfHiddenPartition(mkPartitionedFile(v, rel, changeType),
-          graft.sources.DeletionVectors.serialize(xs.map(_._2).sorted))
+        CdfHiddenPartition(mkPartitionedFile(v, rel, changeType), bytes)
       }
     parts(dels, "delete") ++ parts(ins, "insert")
   }

@@ -16,6 +16,18 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Expression ↔ Column hops for the engine's INTERNAL folds — lets a
+    * native aggregate run on ANY session (the foreign-table tails run
+    * under whatever session the user owns; function-registry
+    * registration is only guaranteed on extensions-configured ones). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Whether the session's planner already carries `strategy` — covers
     * BOTH registration paths (extension-injected strategies and
     * `experimental.extraStrategies`), so callers can self-heal without

@@ -33,4 +33,43 @@ class CachesSpec extends SparkSpec {
     assert(out.count() > 0, "memoized queries must rebuild after eviction")
     Caches.clearAll()
   }
+
+  test("Iceberg metadata JSON parses once per (path, mtime), not per plan") {
+    // the rename probes consult current metadata on EVERY micro-batch
+    // plan of a foreign tail — a 3-batch drain over an unchanged tree
+    // must hit the parsed-metadata LRU, not re-read + re-parse
+    val s = spark
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_metacache")
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 300), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))
+    val out = Files.createTempDirectory("graft_metacache_out").toString
+    val ckpt = Files.createTempDirectory("graft_metacache_ck").toString
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-txlog").option("path", root.toString)
+        .load()
+        .writeStream.option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    drain() // warm the cache for this metadata version
+    val before = IcebergLog.metadataParses.get()
+    drain(); drain() // two more drains over the UNCHANGED tree
+    val cold = IcebergLog.metadataParses.get() - before
+    assert(cold == 0, s"unchanged metadata re-parsed $cold times")
+    // a NEW metadata version (new snapshot) is a legitimate cold parse
+    val b1 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") >= 300), root, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b1))
+    drain()
+    assert(IcebergLog.metadataParses.get() > before,
+      "a new metadata version must parse cold")
+    assert(s.read.parquet(out).count() == ev.count())
+  }
 }

@@ -361,6 +361,61 @@ class DeltaLogSpec extends SparkSpec {
       actions(t, 0L).find(_.has("metaData")).get.get("metaData").get("id").asText())
   }
 
+  test("tableChanges across an ADD null-fills preimages under the end " +
+      "schema; across a DROP it refuses") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    val b0 = events.filter(col("event_id") < 200)
+    val b1 = events.filter(col("event_id").between(200, 399))
+      .withColumn("grade", lit("y"))
+    b0.write.parquet(s"$t/part-b0")
+    b1.write.parquet(s"$t/part-b1")
+    def dataFiles(sub: String): Seq[String] =
+      Files.list(Paths.get(t, sub)).iterator.asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(n => s"$sub/$n").toSeq.sorted
+    val ld = Files.createDirectories(Paths.get(t, "_delta_log"))
+    def metaLine(schema: org.apache.spark.sql.types.StructType) = {
+      val n = mapper.createObjectNode()
+      val m = n.putObject("metaData")
+      m.put("id", "x")
+      val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+      m.put("schemaString", schema.json)
+      m.putArray("partitionColumns"); m.putObject("configuration"); m.put("createdTime", 3L)
+      mapper.writeValueAsString(n)
+    }
+    def addLine(p: String) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":${Files.size(Paths.get(t, p))},"modificationTime":1,"dataChange":true}}"""
+    Files.writeString(ld.resolve(f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaLine(b0.schema)) ++ dataFiles("part-b0").map(addLine))
+        .mkString("\n"))
+    Files.writeString(ld.resolve(f"${1L}%020d.json"),
+      (metaLine(b1.schema) +: dataFiles("part-b1").map(addLine))
+        .mkString("\n"))
+    val feed = DeltaLog.tableChanges(s, t, 0L, 2L)
+    assert(feed.columns.contains("grade"))
+    assert(feed.count() == 400L)
+    assert(feed.filter(col("event_id") < 200 && col("grade").isNull)
+      .count() == 200L, "preimages must null-fill the added column")
+    assert(feed.filter(col("grade") === "y").count() == 200L)
+    // commit 2 DROPS `props`: a range spanning it must refuse — the
+    // older frames' rows carry the column the end schema lost
+    val b2 = events.filter(col("event_id").between(400, 599))
+      .withColumn("grade", lit("z")).drop("props")
+    b2.write.parquet(s"$t/part-b2")
+    Files.writeString(ld.resolve(f"${2L}%020d.json"),
+      (metaLine(b2.schema) +: dataFiles("part-b2").map(addLine))
+        .mkString("\n"))
+    val e = intercept[RuntimeException](
+      DeltaLog.tableChanges(s, t, 0L, 3L).count())
+    assert(e.getMessage.contains("DROP/RENAME") &&
+      e.getMessage.contains("props"), e.getMessage)
+    // a range that starts PAST the drop presents cleanly
+    assert(DeltaLog.tableChanges(s, t, 2L, 3L).count() == 200L)
+  }
+
   test("checkpoint-of-checkpoint round-trips metaData createdTime and configuration") {
     val s = spark
     import org.apache.spark.sql.functions._

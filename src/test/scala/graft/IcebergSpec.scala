@@ -947,4 +947,185 @@ class IcebergSpec extends SparkSpec {
     assert(ice.select(tx.columns.map(col).toSeq: _*).except(tx).count() == 0,
       "the mirrored survivor set must be row-for-row the TxLog snapshot")
   }
+
+  test("transform expressions match the Iceberg spec's Appendix B vectors") {
+    import graft.functions.IcebergTransforms._
+    // bucket hash: the spec's own published test vectors pin the
+    // murmur3_x86_32(seed 0, little-endian long / UTF-8) conformance
+    assert(bucketHashLong(34L) == 2017239379, "long 34")
+    assert(murmur3("iceberg".getBytes("UTF-8")) == 1210000089, "'iceberg'")
+    assert(bucketHashLong(
+      java.time.LocalDate.parse("2017-11-16").toEpochDay) == -653330422,
+      "date 2017-11-16")
+    val micros = java.time.Instant.parse("2017-11-16T22:31:08Z")
+      .getEpochSecond * 1000000L
+    assert(bucketHashLong(micros) == -2047944441, "ts 2017-11-16T22:31:08")
+    // int and long of the same value hash identically (ints widen)
+    assert(bucketLong(16, 34L) == (2017239379 & Int.MaxValue) % 16)
+    // truncate: floor-to-multiple incl. negatives; strings by CODEPOINT
+    assert(truncateLong(10, 37L) == 30L)
+    assert(truncateLong(10, -3L) == -10L)
+    assert(truncateLong(10, -10L) == -10L)
+    assert(truncateUtf8(3,
+      org.apache.spark.unsafe.types.UTF8String.fromString("iceberg"))
+      .toString == "ice")
+    val astro = "a😀bc" // 😀 is ONE codepoint, two UTF-16 chars
+    assert(truncateUtf8(2,
+      org.apache.spark.unsafe.types.UTF8String.fromString(astro))
+      .toString == "a😀")
+    // temporal: epoch-unit ints, floor semantics pre-epoch
+    assert(hoursOf(micros) == (micros / 3600000000L).toInt)
+    assert(hoursOf(-1L) == -1, "pre-epoch hours floor")
+    assert(monthsOfMicros(micros) == (2017 - 1970) * 12 + 10)
+    assert(yearsOfMicros(micros) == 47)
+    assert(monthsOfDays(java.time.LocalDate.parse("1969-12-31")
+      .toEpochDay.toInt) == -1, "pre-epoch months floor")
+    assert(yearsOfDays(java.time.LocalDate.parse("1969-01-01")
+      .toEpochDay.toInt) == -1)
+    // the SQL surface agrees with the static halves
+    val s = spark
+    val row = s.sql(
+      "SELECT graft_iceberg_bucket(8, CAST(7 AS BIGINT)), " +
+        "graft_iceberg_truncate(2, 'purchase'), " +
+        "graft_iceberg_truncate(100, CAST(-250 AS BIGINT)), " +
+        "graft_iceberg_hours(TIMESTAMP '2017-11-16 22:31:08'), " +
+        "graft_iceberg_months(TIMESTAMP '2017-11-16 22:31:08'), " +
+        "graft_iceberg_years(DATE '2017-11-16')").collect()(0)
+    assert(row.getInt(0) == bucketLong(8, 7L))
+    assert(row.getString(1) == "pu")
+    assert(row.getLong(2) == -300L)
+    assert(row.getInt(3) == hoursOf(micros))
+    assert(row.getInt(4) == (2017 - 1970) * 12 + 10)
+    assert(row.getInt(5) == 47)
+  }
+
+  test("UniForm mirror writes bucket[8] + truncate[2] transform specs; " +
+      "equality predicates prune via bucket tuples") {
+    val s = spark
+    import scala.jdk.CollectionConverters._
+    val ev = Tables.events(s, sf)
+    val t = IcebergLog.transformMirrorTable(s, sf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      IcebergLog.currentMetadataPath(Paths.get(t))))
+    val specFields = meta.get("partition-specs").get(0).get("fields")
+      .elements().asScala.toSeq
+    val byName = specFields.map(f => f.get("name").asText() -> f).toMap
+    def fieldId(col: String): Int = meta.get("schemas").get(0).get("fields")
+      .elements().asScala.find(_.get("name").asText() == col)
+      .get.get("id").asInt()
+    assert(byName("uid_bucket").get("transform").asText() == "bucket[8]")
+    assert(byName("uid_bucket").get("source-id").asInt() == fieldId("user_id"))
+    assert(byName("etype_pfx").get("transform").asText() == "truncate[2]")
+    assert(byName("etype_pfx").get("source-id").asInt() == fieldId("event_type"))
+    // tuple values: int bucket ordinals + string prefixes
+    val files = IcebergLog.filesOfSnapshot(t,
+      meta.get("current-snapshot-id").asLong())
+    assert(files.nonEmpty && files.forall(f =>
+      f.partition.get("uid_bucket").exists(_.matches("\\d+")) &&
+        f.partition.get("etype_pfx").exists(_.length <= 2)),
+      files.map(_.partition).toString)
+    // attached generated columns equal their recomputed expressions
+    val snap = IcebergLog.snapshot(s, t)
+    assert(snap.filter(col("uid_bucket") =!=
+      expr("graft_iceberg_bucket(8, user_id)")).count() == 0,
+      "attached bucket tuples must equal the spec hash of user_id")
+    assert(snap.filter(col("etype_pfx") =!=
+      expr("graft_iceberg_truncate(2, event_type)")).count() == 0)
+    // a user_id EQUALITY predicate prunes via the bucket tuple: only
+    // files in bucket(7)'s partitions scan, and the rows are exact
+    val pruned = IcebergLog.skipScan(s, t,
+      Seq(("user_id", java.lang.Long.valueOf(7L), java.lang.Long.valueOf(7L))))
+    assert(pruned.count() == ev.filter(col("user_id") === 7L).count())
+    val (total, scanned) = IcebergLog.lastSkipScan
+    assert(scanned * 4 <= total,
+      s"bucket pruning must skip the other buckets: $scanned of $total")
+  }
+
+  test("UniForm mirror writes the hours transform; temporal tuples bound " +
+      "the source timestamp") {
+    val s = spark
+    import scala.jdk.CollectionConverters._
+    val ev = Tables.events(s, sf)
+      .filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+    val t = IcebergLog.hoursMirrorTable(s, sf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(Files.readString(
+      IcebergLog.currentMetadataPath(Paths.get(t))))
+    val specField = meta.get("partition-specs").get(0).get("fields").get(0)
+    assert(specField.get("name").asText() == "event_hour")
+    assert(specField.get("transform").asText() == "hours", specField.toString)
+    val tsId = meta.get("schemas").get(0).get("fields").elements()
+      .asScala.find(_.get("name").asText() == "ts").get.get("id").asInt()
+    assert(specField.get("source-id").asInt() == tsId)
+    // attach: epoch-hours ints fill every row and match a recompute
+    val snap = IcebergLog.snapshot(s, t)
+    assert(snap.filter(col("event_hour").isNull).count() == 0)
+    assert(snap.filter(col("event_hour") =!=
+      expr("graft_iceberg_hours(ts)")).count() == 0)
+    // a ts range predicate covering ONE hour prunes to that partition
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 05:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-01 05:59:59")
+    val pruned = IcebergLog.skipScan(s, t, Seq(("ts", lo, hi)))
+    assert(pruned.count() == ev.filter(col("ts").between(lo, hi)).count())
+    val (total, scanned) = IcebergLog.lastSkipScan
+    assert(scanned < total, s"hour pruning: $scanned of $total")
+  }
+
+  test("transformSurvives prunes on tuples alone (no column bounds) and " +
+      "fails open on every unprovable shape") {
+    import graft.functions.IcebergTransforms
+    import org.apache.spark.sql.types._
+    val fieldIds = Map(
+      "user_id" -> (1, LongType: DataType),
+      "name" -> (2, StringType: DataType),
+      "ts" -> (3, TimestampType: DataType),
+      "d" -> (4, DateType: DataType))
+    def file(tuple: (String, String)*) = IcebergLog.IceFile(
+      Paths.get("/x/f.parquet"), Map.empty, Map.empty, 1L, tuple.toMap)
+    def surv(f: IcebergLog.IceFile, pred: (String, Any, Any),
+        spec: (String, String, String)): Boolean =
+      IcebergLog.transformSurvives(f, Seq(pred), Seq(spec), fieldIds)
+    val b7 = IcebergTransforms.bucketLong(8, 7L)
+    val bSpec = ("uid_bucket", "bucket[8]", "user_id")
+    val eq7 = ("user_id", java.lang.Long.valueOf(7L), java.lang.Long.valueOf(7L))
+    // bucket: equality prunes the wrong bucket, keeps the right one
+    assert(surv(file("uid_bucket" -> b7.toString), eq7, bSpec))
+    assert(!surv(file("uid_bucket" -> ((b7 + 1) % 8).toString), eq7, bSpec))
+    // range predicates and null tuples never prune via bucket
+    assert(surv(file("uid_bucket" -> ((b7 + 1) % 8).toString),
+      ("user_id", java.lang.Long.valueOf(0L), java.lang.Long.valueOf(99L)), bSpec))
+    assert(surv(file(), eq7, bSpec))
+    // truncate int: tuple t bounds the source to [t, t+w-1]
+    val tSpec = ("u_t", "truncate[10]", "user_id")
+    assert(!surv(file("u_t" -> "30"),
+      ("user_id", java.lang.Long.valueOf(40L), null), tSpec))
+    assert(surv(file("u_t" -> "30"),
+      ("user_id", java.lang.Long.valueOf(39L), null), tSpec))
+    assert(!surv(file("u_t" -> "30"),
+      ("user_id", null, java.lang.Long.valueOf(29L)), tSpec))
+    // truncate string: prefix bounds, incl. the exclusive next-prefix
+    val sSpec = ("n_t", "truncate[2]", "name")
+    assert(!surv(file("n_t" -> "pu"), ("name", null, "pt"), sSpec))
+    assert(!surv(file("n_t" -> "pu"), ("name", "pv", null), sSpec))
+    assert(surv(file("n_t" -> "pu"), ("name", "purchase", "purchase"), sSpec))
+    // codepoint-ceiling prefixes can't bound above — fail open
+    val ceiling = new String(Array(Character.MAX_CODE_POINT), 0, 1)
+    assert(surv(file("n_t" -> ceiling), ("name", ceiling + "zz", null), sSpec))
+    // temporal: months/years tuples bound the source ts (and dates)
+    val mSpec = ("ts_m", "months", "ts")
+    val janIn = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val febIn = java.sql.Timestamp.valueOf("2024-02-15 00:00:00")
+    val m2024jan = (2024 - 1970) * 12 // months since epoch for 2024-01
+    assert(surv(file("ts_m" -> m2024jan.toString), ("ts", janIn, janIn), mSpec))
+    assert(!surv(file("ts_m" -> m2024jan.toString), ("ts", febIn, febIn), mSpec))
+    val ySpec = ("d_y", "years", "d")
+    val d23 = java.sql.Date.valueOf("2023-06-01")
+    val d24 = java.sql.Date.valueOf("2024-06-01")
+    assert(surv(file("d_y" -> "54"), ("d", d24, d24), ySpec)) // 2024
+    assert(!surv(file("d_y" -> "54"), ("d", d23, d23), ySpec))
+    // unknown transform / missing source type: fail open
+    assert(surv(file("x" -> "1"), eq7, ("x", "zorder[2]", "user_id")))
+    assert(surv(file("x" -> "1"), ("nope", "a", "b"), ("x", "bucket[8]", "nope")))
+  }
 }

@@ -1856,6 +1856,56 @@ class StreamingSpec extends SparkSpec {
       viaIceberg.exceptAll(snap).isEmpty)
   }
 
+  test("delete-position folds are executor-side: the driver collects per-file bitmaps, not row tuples") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ForeignIcebergLog, IcebergLog}
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_bitmapfold")
+    // two data files; a LARGE delete load for the fixture's scale: a
+    // position-delete file hiding ~300 rows of b0 PLUS an equality
+    // delete hiding ~300 ids of b1 — the accumulated-MoR shape whose
+    // fold must stay O(affected files) on the driver
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 500), root, "b0.parquet")
+    val b1 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") >= 500), root, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0, b1)) // seq 1
+    val doomed = s.read.parquet(root.resolve(b0).toString)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("event_id"))
+      .filter(col("event_id") < 300).select("file_path", "pos")
+    val pd = IcebergLog.writeDataFile(doomed, root, "del_pos.parquet")
+    val eqd = IcebergLog.writeDataFile(
+      ev.select("event_id").filter(col("event_id").between(600, 899)),
+      root, "del_eq.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty, Seq(pd),
+      operation = "delete", newEqDeletes = Seq(eqd),
+      equalityIds = Seq(ev.schema.fieldIndex("event_id") + 1)) // seq 2
+    ForeignIcebergLog.lastHiddenFold = None
+    val snap = s.read.format("graft-txlog").option("path", root.toString).load()
+    val survivors = ev.filter(col("event_id") >= 300 &&
+      !col("event_id").between(600, 899))
+    assert(snap.count() == survivors.count())
+    assert(snap.filter(col("event_id") < 300).count() == 0)
+    assert(snap.filter(col("event_id").between(600, 899)).count() == 0)
+    val (rows, card, bytes) = ForeignIcebergLog.lastHiddenFold
+      .getOrElse(fail("the hidden-ordinal fold never ran"))
+    val hidden = ev.count() - survivors.count()
+    assert(rows == 2,
+      s"the driver must collect ONE bitmap row per affected file, got $rows")
+    assert(card == hidden, s"bitmap cardinality $card vs $hidden hidden rows")
+    // roaring array containers price ~2 bytes/position (+ headers) —
+    // far under the 16+ bytes/row a (path, long) tuple collect pays
+    // BEFORE object overheads; the assert pins the representation
+    assert(bytes > 0 && bytes < hidden * 4,
+      s"$bytes bitmap bytes for $hidden positions — tuples leaked?")
+    // the collected bytes are the DV descriptor payload VERBATIM
+    val dvs = ForeignIcebergLog.manifestDvs(root.toString, 2L)
+    assert(dvs.size == 2)
+    assert(dvs.values.forall(_.contains("\"storageType\":\"i\"")))
+  }
+
   test("Flink-upsert shape (Iceberg MoR MERGE, no cdc): CDF emits stock changelog delete+insert pairs") {
     val s = spark
     import org.apache.spark.sql.functions._
@@ -1933,11 +1983,18 @@ class StreamingSpec extends SparkSpec {
     val b0r = IcebergLog.writeDataFile(rewritten, root, "b0r.parquet")
     IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0r),
       operation = "overwrite", removedData = Seq(b0))
+    graft.streaming.TxLogScan.lastCarryoverFold = None
     val feed = s.read.format("graft-txlog").option("path", root.toString)
       .option("readChangeFeed", "true")
       .option("startingVersion", "2").load()
     val rows = feed.select("_change_type", "event_id").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the net compare collected per-file BITMAPS (one delete-side row
+    // for b0, one insert-side row for b0r), never (file, pos) tuples
+    val (cRows, cBytes) = graft.streaming.TxLogScan.lastCarryoverFold
+      .getOrElse(fail("the carryover nets never ran"))
+    assert(cRows == 2 && cBytes > 0,
+      s"carryover must collect one bitmap row per affected file: $cRows")
     // net deletes: id 7 (dropped), id 13 (old value), ONE id-42 copy
     // (duplicate collapsed); net inserts: id 13 (new value). Carryovers
     // (~97 rows re-housed verbatim) must not surface at all.
@@ -2737,6 +2794,87 @@ class StreamingSpec extends SparkSpec {
     q.exception.foreach(throw _)
     assert(s.read.parquet(out).filter(col("event_key").isNull).count() == 0)
     assert(s.read.parquet(out).count() == snap.count())
+  }
+
+  test("CoW-rewrite carryover on a RENAMED table reads both sides by field id (no spurious nets)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_carryover_rename")
+    val ids = ev.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    // seq 1: pre-rename data file (stores `event_id`, stamped ids)
+    val b0 = IcebergLog.writeDataFileWithIds(
+      ev.filter(col("event_id") < 100), root, "b0.parquet", ids)
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))
+    // seq 2: ALTER TABLE RENAME event_id -> event_key (metadata only)
+    val renamed = ev.withColumnRenamed("event_id", "event_key")
+    val over = Map("event_key" -> ids("event_id"))
+    IcebergLog.appendForeignSnapshot(root, renamed.schema, Seq.empty,
+      schemaHistory = Seq(ev.schema, renamed.schema),
+      fieldIdOverrides = over)
+    // seq 3: CoW UPDATE under the NEW name — drop key 7, double key
+    // 13's value, carry the rest verbatim. A by-name compare would
+    // bind b0's `event_key` to null and mis-net EVERY carried row as a
+    // delete/insert pair; the field-id read nets exactly the changes.
+    val rewritten = renamed.filter(col("event_key") < 100 &&
+        col("event_key") =!= 7 && col("event_key") =!= 13)
+      .unionByName(renamed.filter(col("event_key") === 13)
+        .withColumn("value", round(col("value") * 2, 2)))
+    val b0r = IcebergLog.writeDataFileWithIds(
+      rewritten, root, "b0r.parquet", over ++ (ids - "event_id"))
+    IcebergLog.appendForeignSnapshot(root, renamed.schema, Seq(b0r),
+      operation = "overwrite", removedData = Seq(b0),
+      schemaHistory = Seq(ev.schema, renamed.schema),
+      fieldIdOverrides = over)
+    val feed = s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "3").load()
+    val rows = feed.select("_change_type", "event_key").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.filter(_._1 == "delete").map(_._2).sorted == Seq(7L, 13L),
+      s"spurious nets — rename mis-bound a side: $rows")
+    assert(rows.filter(_._1 == "insert").map(_._2) == Seq(13L), rows.toString)
+  }
+
+  test("batch readChangeFeed refuses a range spanning a RENAME; post-rename ranges read clean") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.IcebergLog
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_cdf_rename_range")
+    val ids = ev.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val b0 = IcebergLog.writeDataFileWithIds(
+      ev.filter(col("event_id") < 200), root, "b0.parquet", ids)
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0)) // seq 1
+    // seq 2: rename event_id -> event_key (id-mapped, so the SCAN can
+    // read both eras — but the CDF contract still presents ONE schema,
+    // and a range whose older rows were in force under the old name is
+    // read-INCOMPATIBLE with it: stock Delta refuses)
+    val renamed = ev.withColumnRenamed("event_id", "event_key")
+    val over = Map("event_key" -> ids("event_id"))
+    val b1 = IcebergLog.writeDataFileWithIds(
+      renamed.filter(col("event_key").between(200, 399)), root,
+      "b1.parquet", over ++ (ids - "event_id"))
+    IcebergLog.appendForeignSnapshot(root, renamed.schema, Seq(b1),
+      schemaHistory = Seq(ev.schema, renamed.schema),
+      fieldIdOverrides = over)
+    val e = intercept[Exception] {
+      s.read.format("graft-txlog").option("path", root.toString)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load().count()
+    }
+    val msgs = chainMsgs(e)
+    assert(msgs.contains("DROP/RENAME") && msgs.contains("event_id"), msgs)
+    // a range fully PAST the rename presents the new schema cleanly
+    val feed = s.read.format("graft-txlog").option("path", root.toString)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").load()
+    assert(feed.columns.contains("event_key"))
+    assert(feed.count() == 200L)
+    assert(feed.filter(col("event_key").isNull).count() == 0)
   }
 
   test("mid-stream Iceberg schema-id change stops the foreign tail loudly") {

@@ -404,7 +404,9 @@ class TxLogSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val t = freshTable()
     TxLog.commitAppend(events.filter(col("event_id") < 100), t)
-    // a racing committer takes v2 between our snapshot read and commit
+    // a racing committer takes v2 between our snapshot read and commit;
+    // with NO read predicate the rewrite read the whole table, so the
+    // racer's added rows could have changed its result — refuse
     TxLog.commitAppend(events.filter(col("event_id").between(100, 199)), t)
     val e = intercept[RuntimeException] {
       TxLog.commitRewrite(t, base = 1L, removedSet = Set.empty,
@@ -412,6 +414,105 @@ class TxLogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("concurrent commit"),
       s"rewrites must not serialize past a racing writer: ${e.getMessage}")
+  }
+
+  test("logical conflict check: a partition-local rewrite serializes past " +
+      "an unrelated racing append") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500), t)
+    val mine = TxLog.liveRelsAt(t, 1L).toSet
+    // the racer lands AFTER this rewrite read version 1 — its file's
+    // mirror stats (event_id >= 500) prove it disjoint from the read
+    // predicate, so the rewrite re-links past it (stock Delta's
+    // ConcurrentAppend re-check)
+    TxLog.commitAppend(events.filter(col("event_id") >= 500), t)
+    val v = TxLog.commitRewrite(t, base = 1L, removedSet = mine,
+      added = Seq.empty, schemaJson = events.schema.json,
+      operation = "DELETE",
+      readPreds = Seq(("event_id", null, java.lang.Long.valueOf(499L))),
+      spark = Some(s))
+    assert(v == 3L, s"re-based commit must land at 3, got $v")
+    // the racer's rows survive; the rewrite's removal applied
+    val snap = TxLog.snapshot(s, t)
+    assert(snap.count() == events.filter(col("event_id") >= 500).count())
+    assert(snap.filter(col("event_id") < 500).count() == 0)
+  }
+
+  test("logical conflict check: OPTIMIZE (dataChange=false) tolerates any " +
+      "racing append; overlapping and unprovable racers still refuse") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // 1) byte-moving rewrite vs unrelated append: serializes
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t)
+    val small = TxLog.liveRelsAt(t, 1L).toSet
+    TxLog.commitAppend(events.filter(col("event_id").between(100, 199)), t)
+    val packedRel = graft.sources.IcebergLog.writeDataFile(
+      TxLog.snapshotAt(s, t, 1L), java.nio.file.Paths.get(t),
+      "packed-opt.parquet")
+    val v = TxLog.commitRewrite(t, base = 1L, removedSet = small,
+      added = Seq(packedRel), schemaJson = events.schema.json,
+      dataChange = false, operation = "OPTIMIZE")
+    assert(v == 3L)
+    assert(TxLog.snapshot(s, t).count() ==
+      events.filter(col("event_id") < 200).count())
+    // 2) racer appended INSIDE the read predicate: refuse
+    val t2 = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 500), t2)
+    val mine2 = TxLog.liveRelsAt(t2, 1L).toSet
+    TxLog.commitAppend(events.filter(col("event_id").between(400, 599)), t2)
+    val e2 = intercept[RuntimeException] {
+      TxLog.commitRewrite(t2, base = 1L, removedSet = mine2,
+        added = Seq.empty, schemaJson = events.schema.json,
+        operation = "DELETE",
+        readPreds = Seq(("event_id", null, java.lang.Long.valueOf(499L))),
+        spark = Some(s))
+    }
+    assert(e2.getMessage.contains("read predicate"), e2.getMessage)
+    // 3) racer removed the files this rewrite rewrites: refuse
+    val t3 = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t3)
+    val mine3 = TxLog.liveRelsAt(t3, 1L).toSet
+    TxLog.deleteWhere(s, t3, col("event_id") < 10) // racer rewrote file A
+    val e3 = intercept[RuntimeException] {
+      TxLog.commitRewrite(t3, base = 1L, removedSet = mine3,
+        added = Seq.empty, schemaJson = events.schema.json,
+        operation = "DELETE",
+        readPreds = Seq(("event_id", null, java.lang.Long.valueOf(99L))),
+        spark = Some(s))
+    }
+    assert(e3.getMessage.contains("removed or re-deleted"), e3.getMessage)
+    // 4) racer DV-deleted rows inside the files this rewrite rewrites
+    val t4 = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t4)
+    TxLog.setTableProperties(s, t4,
+      Map("delta.enableDeletionVectors" -> "true")) // v2
+    val mine4 = TxLog.liveRelsAt(t4, 2L).toSet
+    TxLog.deleteWhereDv(s, t4, col("event_id") < 5,
+      Seq(("event_id", null, java.lang.Long.valueOf(5L)))) // racer, v3
+    val e4 = intercept[RuntimeException] {
+      TxLog.commitRewrite(t4, base = 2L, removedSet = mine4,
+        added = Seq.empty, schemaJson = events.schema.json,
+        operation = "DELETE",
+        readPreds = Seq(("event_id", null, java.lang.Long.valueOf(99L))),
+        spark = Some(s))
+    }
+    assert(e4.getMessage.contains("removed or re-deleted"), e4.getMessage)
+    // 5) metadata-shaped racer (no file changes): refuse conservatively
+    val t5 = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 100), t5)
+    val mine5 = TxLog.liveRelsAt(t5, 1L).toSet
+    TxLog.setTableProperties(s, t5, Map("graft.note" -> "racer"))
+    val e5 = intercept[RuntimeException] {
+      TxLog.commitRewrite(t5, base = 1L, removedSet = mine5,
+        added = Seq.empty, schemaJson = events.schema.json,
+        operation = "DELETE",
+        readPreds = Seq(("event_id", null, java.lang.Long.valueOf(99L))),
+        spark = Some(s))
+    }
+    assert(e5.getMessage.contains("metadata-shaped"), e5.getMessage)
   }
 
   test("commitAppendOnce: a replayed (appId, batchId) lands exactly once") {
@@ -1276,6 +1377,32 @@ class TxLogSpec extends SparkSpec {
       .withColumn("value", col("value") + 1), Seq("event_id"))
     val e = intercept[RuntimeException](TxLog.changeFeed(s, t2, 2L, 3L).count())
     assert(e.getMessage.contains("MERGE without change-data"), e.getMessage)
+  }
+
+  test("batch changeFeed across an ADD presents the END schema with " +
+      "null-filled preimages") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.filter(col("event_id") < 200), t) // v1
+    TxLog.addColumnWithDefault(s, t, "grade",
+      org.apache.spark.sql.types.StringType, "'x'") // v2: metadata only
+    TxLog.commitAppend(events.filter(col("event_id").between(200, 399))
+      .withColumn("grade", lit("y")), t) // v3
+    val feed = TxLog.changeFeed(s, t, 0L, 3L)
+    // stock contract: ONE schema — the end version's — for every row
+    assert(feed.columns.contains("grade"))
+    assert(feed.count() == events.filter(col("event_id") < 400).count())
+    // pre-evolution rows null-fill the added column (they predate its
+    // default, and CDF presents what the rows carried, not the default)
+    assert(feed.filter(col("event_id") < 200 && col("grade").isNull)
+      .count() == events.filter(col("event_id") < 200).count())
+    assert(feed.filter(col("event_id") >= 200 && col("grade") === "y")
+      .count() == events.filter(col("event_id").between(200, 399)).count())
+    // every row is a real per-version insert under the end schema
+    assert(feed.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 200L, 3L -> 200L))
   }
 
   test("vacuum reclaims superseded deletion-vector bins, keeps live ones") {
