@@ -87,8 +87,11 @@ object IcebergTransforms {
 
   /** Driver-side bucket of an already-decoded predicate value, typed by
     * the SOURCE column — the read path's half (prune a `src = X`
-    * predicate to the one matching bucket tuple). None when the value
-    * shape has no spec serialization here (never prunes — sound). */
+    * predicate to the one matching bucket tuple). None when the value's
+    * runtime shape does not match the source type's spec serialization
+    * (never prunes — sound): a string-SPELLED predicate on a date/long
+    * bucket column (a spelling cmpBound accepts for ranges) must not
+    * hash the string's bytes and prune the wrong bucket. */
   def bucketOf(n: Int, value: Any, dt: DataType): Option[Int] = value match {
     case null => None
     case v: Number => dt match {
@@ -96,9 +99,9 @@ object IcebergTransforms {
           | TimestampNTZType => Some(bucketLong(n, v.longValue))
       case _ => None // float/double buckets are spec'd but meaningless keys
     }
-    case s: String => Some((murmur3(
+    case s: String if dt == StringType => Some((murmur3(
       s.getBytes(StandardCharsets.UTF_8)) & Integer.MAX_VALUE) % n)
-    case s: UTF8String => Some(bucketUtf8(n, s))
+    case s: UTF8String if dt == StringType => Some(bucketUtf8(n, s))
     case _ => None
   }
 
@@ -170,6 +173,20 @@ object IcebergTransforms {
         if v > 0 => v
     case _ => sys.error(s"$what expects a positive integer literal width")
   }
+
+  /** ANALYSIS-time width validation shared by bucket/truncate: the
+    * interpreted and codegen paths must agree, and a zero/negative or
+    * non-literal width must fail at plan time, not per-row (codegen
+    * embeds the operand directly — `% 0` would throw mid-query). */
+  private[functions] def checkWidth(e: Expression,
+      what: String): Option[TypeCheckResult] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) =>
+      if (v > 0) None
+      else Some(TypeCheckResult.TypeCheckFailure(
+        s"$what expects a POSITIVE width, got $v"))
+    case _ => Some(TypeCheckResult.TypeCheckFailure(
+      s"$what expects an integer LITERAL width"))
+  }
 }
 
 /** `graft_iceberg_bucket(N, col)` → int: the spec's `bucket[N]`
@@ -186,7 +203,9 @@ case class IcebergBucket(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (IntegerType, IntegerType | LongType | DateType | TimestampType
-          | TimestampNTZType | StringType) => TypeCheckResult.TypeCheckSuccess
+          | TimestampNTZType | StringType) =>
+        IcebergTransforms.checkWidth(left, "graft_iceberg_bucket")
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"graft_iceberg_bucket expects (int literal N, " +
           s"int/long/date/timestamp/string), got (${l.simpleString}, " +
@@ -223,7 +242,8 @@ case class IcebergTruncate(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (IntegerType, IntegerType | LongType | StringType) =>
-        TypeCheckResult.TypeCheckSuccess
+        IcebergTransforms.checkWidth(left, "graft_iceberg_truncate")
+          .getOrElse(TypeCheckResult.TypeCheckSuccess)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"graft_iceberg_truncate expects (int literal W, int/long/string), " +
           s"got (${l.simpleString}, ${r.simpleString})")

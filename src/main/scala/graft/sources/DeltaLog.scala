@@ -2401,35 +2401,17 @@ object DeltaLog {
           .withColumn("_commit_version", lit(v)))
       else None
     }
-    // SCHEMA CONTRACT across evolution (stock Delta's CDF rule): rows
-    // present under the END version's schema; additive ranges null-fill
-    // older frames, a DROP/RENAME/re-type inside the range refuses
-    // loudly (frames carry their files' real footer columns, so the
-    // check rides the actual rows presented). Same contract as
-    // TxLog.changeFeed and the DSv2 checkCdfRangeSchemas.
-    // tableChanges takes graft versions; the Delta log is 0-based
-    val endSchema = snapshotAt(spark, dir, toV - 1).schema
-    val pseudo = Set("_change_type", "_commit_version")
-    val aligned = feeds.map { df =>
-      df.schema.fields.filterNot(f => pseudo(f.name)).foreach { f =>
-        endSchema.fields.find(_.name == f.name) match {
-          case Some(p) if p.dataType == f.dataType => ()
-          case Some(p) => sys.error(s"$dir: tableChanges ($fromV, $toV] " +
-            s"spans a schema change — column '${f.name}' was " +
-            s"${f.dataType.simpleString} in an older version but is " +
-            s"${p.dataType.simpleString} at version $toV; stock Delta " +
-            "refuses read-incompatible CDF ranges")
-          case None => sys.error(s"$dir: tableChanges ($fromV, $toV] " +
-            s"spans a DROP/RENAME — column '${f.name}' exists in an " +
-            s"older version's rows but not in version $toV's schema; " +
-            "stock Delta refuses read-incompatible CDF ranges")
-        }
-      }
-      df.select(endSchema.fields.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toSeq ++
-        Seq(col("_change_type"), col("_commit_version")): _*)
-    }
+    // SCHEMA CONTRACT across evolution (stock Delta's CDF rule),
+    // shared with TxLog.changeFeed: see [[CdfAlign]]. tableChanges
+    // takes graft versions; the Delta log is 0-based. The materialized
+    // row-id column is file-level (a row-tracked OPTIMIZE bakes it
+    // into replacement footers, never the table schema) and excluded
+    // from the drop check.
+    val aligned = CdfAlign.align(dir, "tableChanges", fromV, toV,
+      snapshotAt(spark, dir, toV - 1).schema,
+      tableConfig(table)
+        .get("delta.rowTracking.materializedRowIdColumnName").toSet,
+      feeds)
     aligned.reduceOption(_.unionByName(_))
       .getOrElse(snapshot(spark, dir).limit(0)
         .withColumn("_change_type", lit("insert"))

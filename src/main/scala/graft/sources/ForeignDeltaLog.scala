@@ -506,6 +506,34 @@ private[graft] object CommitLog {
   /** Another writer owns the table (the graft sink must refuse it). */
   def foreign(dir: String): Boolean = kind(dir) != Kind.Native
 
+  /** Enable the parquet field-id SESSION resolution flag for a table
+    * that requires it (Delta mapping mode "id"; Iceberg with a rename
+    * in its schema history) — the one shared enable rule for every
+    * call site (analysis, factory build, eq-delete folds, carryover
+    * compares). The flag only activates for requested schemas that
+    * CARRY id metadata, so enabling it is behavior-neutral elsewhere —
+    * but a user who EXPLICITLY set it false (their own parquet may
+    * carry bogus ids that must resolve by name) gets a loud refusal:
+    * silently overriding their setting would change their other reads,
+    * and silently honoring it would null-fill this table's columns. */
+  def ensureFieldIdSessionFlag(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    if (!fileFieldIdRead(dir)) return
+    val conf = spark.sessionState.conf
+    if (conf.parquetFieldIdReadEnabled) return
+    val key = org.apache.spark.sql.internal.SQLConf
+      .PARQUET_FIELD_ID_READ_ENABLED.key
+    if (conf.contains(key))
+      sys.error(s"graft-txlog: $dir requires parquet field-id " +
+        s"resolution (id-mode column mapping or a renamed Iceberg " +
+        s"schema history), but $key is EXPLICITLY false in this " +
+        "session — unset it, or set it true, to read this table")
+    System.err.println(s"graft-txlog: enabling $key for $dir " +
+      "(field-id-resolved table; the parquet ROW reader consults the " +
+      "session conf captured at action start)")
+    spark.conf.set(key, "true")
+  }
+
   def currentVersion(dir: String): Option[Long] = kind(dir) match {
     case Kind.Delta => ForeignDeltaLog.currentVersion(dir)
     case Kind.Iceberg => ForeignIcebergLog.currentVersion(dir)

@@ -383,24 +383,15 @@ object ForeignIcebergLog {
               new org.apache.spark.sql.types.MetadataBuilder()
                 .putLong("parquet.field.id", id.toLong).build())
           }))
-      // the session flag enables STICKY (never save/restored): the
-      // resolution only activates for requested schemas that CARRY the
-      // id metadata, which only the schemas built above do — so the
-      // flip is behavior-neutral for every other read, while a
+      // the session flag enables STICKY (never save/restored): a
       // save/restore would race concurrent folds on the shared session
       // (one fold's restore-to-unset mid-flight in another's id-keyed
       // read silently null-fills renamed key columns) AND would close
       // the window before these frames' DEFERRED execution in
-      // [[hiddenAt]]'s combined aggregate. Same rule as the scan's
-      // createReaderFactory.
-      if (keySchema.isDefined &&
-          !spark.sessionState.conf.parquetFieldIdReadEnabled) {
-        val key = org.apache.spark.sql.internal.SQLConf
-          .PARQUET_FIELD_ID_READ_ENABLED.key
-        System.err.println(s"graft-txlog: enabling $key for $dir " +
-          "(renamed eq-delete key columns resolve by parquet field id)")
-        spark.conf.set(key, "true")
-      }
+      // [[hiddenAt]]'s combined aggregate. One shared rule with the
+      // scan (explicit-false refuses loudly, default-false enables).
+      if (keySchema.isDefined)
+        CommitLog.ensureFieldIdSessionFlag(spark, dir)
       // a delete only ever hides rows of STRICTLY older files — files
       // at or past the newest delete's sequence can skip the scan
       val maxDel = group.map(_._2).max

@@ -627,7 +627,12 @@ object IcebergLog {
                         .forall { case (s, e) => keepByBounds(
                           Some(Long.box(s)), Some(Long.box(e - 1L))) }
                     case DateType =>
-                      graft.functions.IcebergTransforms
+                      // only DAY-ALIGNED transforms bound a DATE
+                      // source; an (invalid-spec) hours-over-date
+                      // would floor-divide into INVERTED bounds and
+                      // wrongly prune — fail open instead
+                      if (tr == "hours" || tr == "hour") true
+                      else graft.functions.IcebergTransforms
                         .temporalRangeMicros(tr, tl)
                         .forall { case (s, e) => keepByBounds(
                           Some(Long.box(s / 86400000000L)),
@@ -644,13 +649,19 @@ object IcebergLog {
   }
 
   /** The smallest string strictly greater than every string with
-    * prefix `s`: the last codepoint bumped by one (None at the
-    * codepoint ceiling — no such string exists there). */
+    * prefix `s` UNDER UTF-16 code-unit comparison (what
+    * `String.compareTo` — and thus [[cmpBound]] — uses): the last
+    * codepoint bumped by one. SOUND ONLY while the bump stays strictly
+    * below the surrogate range — a bump from the BMP into surrogates
+    * or supplementary codepoints does NOT preserve code-unit order
+    * (U+FFFF sorts ABOVE a supplementary codepoint's lead surrogate),
+    * so those cases return None and never prune. Real truncate keys
+    * (ASCII/latin prefixes) all take the fast path. */
   private def nextPrefix(s: String): Option[String] = {
     if (s.isEmpty) return None
     val cps = s.codePoints().toArray
     val last = cps(cps.length - 1)
-    if (last >= Character.MAX_CODE_POINT) None
+    if (last + 1 >= Character.MIN_SURROGATE.toInt) None
     else Some(new String(cps.init :+ (last + 1), 0, cps.length))
   }
 

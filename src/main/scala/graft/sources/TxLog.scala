@@ -1162,6 +1162,15 @@ object TxLog {
     // row-tracked rewrites never re-base: their id spans are baked in
     val retryable = matAdded.isEmpty && restoredRids.isEmpty &&
       restoredMat.isEmpty && dvOverride.isEmpty
+    // memoized across the racer-check loop: version rv's "after" state
+    // is rv+1's "before", and a k-racer chain would otherwise read
+    // each manifest + DV header set twice
+    val manifestMemo = scala.collection.mutable.Map.empty[Long, Set[String]]
+    def manifestAt(v: Long): Set[String] =
+      manifestMemo.getOrElseUpdate(v, readManifest(table, v).toSet)
+    val dvMemo = scala.collection.mutable.Map.empty[Long, Map[String, String]]
+    def dvAt(v: Long): Map[String, String] =
+      dvMemo.getOrElseUpdate(v, manifestDvs(table, v))
     var effBase = base
     var attempts = 0
     while (true) {
@@ -1222,8 +1231,8 @@ object TxLog {
       if (attempts > 20) refuse("retry budget exhausted under churn")
       val cur = currentVersion(dir).getOrElse(refuse("no current version"))
       ((effBase + 1) to cur).foreach { rv =>
-        racerConflict(dir, table, rv, removedSet, readPreds, dataChange,
-          spark).foreach(refuse)
+        racerConflict(dir, manifestAt, dvAt, rv, removedSet, readPreds,
+          dataChange, spark).foreach(refuse)
       }
       effBase = cur
     }
@@ -1232,17 +1241,20 @@ object TxLog {
 
   /** Why racing version `rv` does NOT commute with a rewrite of
     * `removedSet` under `readPreds` — None when it provably does (see
-    * [[commitRewrite]]'s rules). */
-  private def racerConflict(dir: String, table: Path, rv: Long,
+    * [[commitRewrite]]'s rules). `manifestAt`/`dvAt` are the caller's
+    * memoized readers (consecutive versions share endpoint states). */
+  private def racerConflict(dir: String,
+      manifestAt: Long => Set[String], dvAt: Long => Map[String, String],
+      rv: Long,
       removedSet: Set[String], readPreds: Seq[(String, Any, Any)],
       dataChange: Boolean,
       spark: Option[org.apache.spark.sql.SparkSession]): Option[String] = {
-    val before = readManifest(table, rv - 1).toSet
-    val after = readManifest(table, rv).toSet
+    val before = manifestAt(rv - 1)
+    val after = manifestAt(rv)
     val rAdds = after -- before
     val rRemoves = before -- after
-    val dvBefore = manifestDvs(table, rv - 1)
-    val dvAfter = manifestDvs(table, rv)
+    val dvBefore = dvAt(rv - 1)
+    val dvAfter = dvAt(rv)
     val dvChanged = (dvBefore.keySet ++ dvAfter.keySet)
       .filter(k => dvBefore.get(k) != dvAfter.get(k))
     if ((rRemoves ++ dvChanged).exists(removedSet))
@@ -3607,38 +3619,13 @@ object TxLog {
         }
       }
     }
-    // SCHEMA CONTRACT across evolution (stock Delta's CDF rule): every
-    // row presents under the END version's schema. Additive changes are
-    // read-compatible — older frames null-fill the new columns below —
-    // but a frame carrying a column the end schema lost (DROP/RENAME)
-    // or re-typed would silently re-shape history, so it refuses
-    // loudly. The per-version frames carry their files' REAL columns
-    // (readRels infers from footers), so the check rides the actual
-    // rows presented, not metadata that might overclaim.
-    val endSchema = snapshotAt(spark, dir, toV).schema
-    val pseudo = Set("_change_type", "_commit_version")
-    val aligned = feeds.map { df =>
-      df.schema.fields.filterNot(f => pseudo(f.name)).foreach { f =>
-        endSchema.fields.find(_.name == f.name) match {
-          case Some(p) if p.dataType == f.dataType => ()
-          case Some(p) => sys.error(s"$dir: changeFeed ($fromV, $toV] " +
-            s"spans a schema change — column '${f.name}' was " +
-            s"${f.dataType.simpleString} in an older version but is " +
-            s"${p.dataType.simpleString} at version $toV; stock Delta " +
-            "refuses read-incompatible CDF ranges — narrow the range or " +
-            "read the snapshots")
-          case None => sys.error(s"$dir: changeFeed ($fromV, $toV] spans " +
-            s"a DROP/RENAME — column '${f.name}' exists in an older " +
-            s"version's rows but not in version $toV's schema; stock " +
-            "Delta refuses read-incompatible CDF ranges — narrow the " +
-            "range or read the snapshots")
-        }
-      }
-      df.select(endSchema.fields.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toSeq ++
-        Seq(col("_change_type"), col("_commit_version")): _*)
-    }
+    // SCHEMA CONTRACT across evolution (stock Delta's CDF rule),
+    // shared with DeltaLog.tableChanges: see [[CdfAlign]]. The
+    // materialized row-id column is FILE-level (a row-tracked
+    // OPTIMIZE bakes it into replacement footers, never into the
+    // table schema) and must not trip the drop check.
+    val aligned = CdfAlign.align(dir, "changeFeed", fromV, toV,
+      snapshotAt(spark, dir, toV).schema, matRowIdCol(dir).toSet, feeds)
     aligned.reduceOption(_.unionByName(_))
       .getOrElse(snapshotAt(spark, dir, toV).limit(0)
         .withColumn("_change_type", lit("insert"))

@@ -138,17 +138,8 @@ class TxLogStreamProvider extends TableProvider with DataSourceRegister
       // a set made mid-planning (createReaderFactory, planCarryover)
       // misses the very first action's capture, and its row-path reads
       // (DV/CDF/merge-on-read partitions) would silently null-fill
-      // every id-resolved column exactly once. Behavior-neutral
-      // otherwise: the flag only activates for requested schemas that
-      // CARRY id metadata, which only these tables' scans build.
-      if (CommitLog.fileFieldIdRead(dir) &&
-          !spark.sessionState.conf.parquetFieldIdReadEnabled) {
-        System.err.println(s"graft-txlog: enabling " +
-          s"${SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key} for $dir " +
-          "(field-id-resolved table; the parquet ROW reader consults " +
-          "the session conf captured at action start)")
-        spark.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
-      }
+      // every id-resolved column exactly once.
+      CommitLog.ensureFieldIdSessionFlag(spark, dir)
       // time travel presents the TABLE AT THAT VERSION's schema (stock
       // Delta's versionAsOf contract) — a later-added column must not
       // surface null-filled on a historical read
@@ -803,8 +794,16 @@ class TxLogScan(dir: String, fullSchema: StructType,
         }
       }
     val start = math.max(1L, fromV)
-    scala.util.Try(CommitLog.schemaAt(spark, dir, start))
-      .foreach(compat(start, _))
+    // the range-start in-force schema is the HALF of the check that
+    // catches a rename/drop declared BEFORE any change inside the
+    // range — if it cannot be derived, refuse rather than silently
+    // skip the contract in exactly the degraded-history case
+    compat(start, scala.util.Try(CommitLog.schemaAt(spark, dir, start))
+      .getOrElse(sys.error(s"graft-txlog: readChangeFeed range " +
+        s"$fromV..$toV of $dir — the schema in force at version $start " +
+        "cannot be derived (expired or unreadable history), so " +
+        "read-compatibility with the presented schema cannot be " +
+        "proven; start the range at a retained version")))
     ((start + 1) to toV).foreach { v =>
       CommitLog.declaredSchemaAt(dir, v).foreach(compat(v, _))
     }
@@ -1258,13 +1257,11 @@ class TxLogScan(dir: String, fullSchema: StructType,
     val appendedPart = partCols.filter(_ => partVals.nonEmpty)
     val cols = dataCols ++ appendedPart.map(c => s"__pp_$c")
     // renamed tables: annotate the read schema with parquet field ids
-    // and enable the session resolution flag (sticky — the same rule
+    // and ensure the session resolution flag (sticky — the same rule
     // buildParquetFactory applies; these reads execute AFTER planning
     // returns, inside the net aggregates below)
     val sideSchema = toFileSchema(dataSchema)
-    if (graft.sources.CommitLog.fileFieldIdRead(dir) &&
-        !spark.sessionState.conf.parquetFieldIdReadEnabled)
-      spark.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
+    graft.sources.CommitLog.ensureFieldIdSessionFlag(spark, dir)
     def side(rels: Seq[String]) = {
       val base = spark.read.schema(sideSchema)
         .parquet(rels.map(r => table.resolve(r).toString): _*)
@@ -1434,17 +1431,7 @@ class TxLogScan(dir: String, fullSchema: StructType,
     // ROW-path converter (the row-index reads merge-on-read/DV/CDF
     // partitions ride) consults the SESSION conf via SQLConf.get — left
     // unset, those reads would silently NULL every id-resolved column.
-    // The flag only activates for requested schemas that CARRY id
-    // metadata (exactly these tables' scans), so enabling it
-    // session-wide is behavior-neutral for everything else.
-    if (graft.sources.CommitLog.fileFieldIdRead(dir) &&
-        !spark.sessionState.conf.parquetFieldIdReadEnabled) {
-      System.err.println(s"graft-txlog: enabling " +
-        s"${SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key} for $dir " +
-        "(field-id-resolved table; the parquet ROW reader consults the " +
-        "session conf)")
-      spark.conf.set(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, "true")
-    }
+    graft.sources.CommitLog.ensureFieldIdSessionFlag(spark, dir)
     val sqlConf =
       if (vectorized) spark.sessionState.conf
       else {

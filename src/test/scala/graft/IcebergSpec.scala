@@ -1127,5 +1127,24 @@ class IcebergSpec extends SparkSpec {
     // unknown transform / missing source type: fail open
     assert(surv(file("x" -> "1"), eq7, ("x", "zorder[2]", "user_id")))
     assert(surv(file("x" -> "1"), ("nope", "a", "b"), ("x", "bucket[8]", "nope")))
+    // a STRING-spelled equality on a LONG-bucketed column must not
+    // hash the string's bytes and prune the wrong bucket — fail open
+    // (cmpBound accepts string spellings for range preds, so they
+    // reach this code path)
+    assert(surv(file("uid_bucket" -> ((b7 + 1) % 8).toString),
+      ("user_id", "7", "7"), bSpec))
+    // hours over a DATE source (invalid spec shape): fail open, the
+    // floor-divided bounds would otherwise invert and wrongly prune
+    assert(surv(file("d_h" -> "25"), ("d", java.sql.Date.valueOf("1970-01-02"),
+      java.sql.Date.valueOf("1970-01-02")), ("d_h", "hours", "d")))
+    // width validation is an ANALYSIS error, shared by both paths —
+    // codegen would otherwise throw `% 0` per row mid-query
+    val s2 = spark
+    val ze = intercept[Exception](
+      s2.sql("SELECT graft_iceberg_bucket(0, CAST(1 AS BIGINT))").collect())
+    assert(ze.getMessage.contains("POSITIVE"), ze.getMessage)
+    val nl = intercept[Exception](
+      s2.sql("SELECT graft_iceberg_truncate(CAST(2 AS INT) + 1, 'ab')").collect())
+    assert(nl.getMessage.contains("LITERAL"), nl.getMessage)
   }
 }

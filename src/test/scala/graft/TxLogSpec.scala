@@ -1405,6 +1405,66 @@ class TxLogSpec extends SparkSpec {
       Map(1L -> 200L, 3L -> 200L))
   }
 
+  test("changeFeed over a ROW-TRACKED table: the file-level materialized " +
+      "id column never trips the schema contract") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val t = freshTable()
+    TxLog.commitAppend(events.limit(0), t) // rowTracking before data
+    TxLog.setTableProperties(s, t, Map(
+      "delta.enableRowTracking" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    TxLog.commitAppend(events.filter(col("event_id") < 100)
+      .repartition(4), t)
+    // OPTIMIZE bakes the hidden materialized row-id column into the
+    // packed files' FOOTERS (it is never a table column) ...
+    TxLog.optimize(s, t, smallBytes = 1L << 30)
+    // ... and a later DV delete's feed reads those footers
+    TxLog.deleteWhereDv(s, t, col("event_id") < 10,
+      Seq(("event_id", null, java.lang.Long.valueOf(10L))))
+    val feed = TxLog.changeFeed(s, t, 4L, 5L)
+    assert(feed.filter(col("_change_type") === "delete").count() == 10L,
+      "the mat column must be excluded from the drop check, not refuse")
+    assert(!feed.columns.exists(_.contains("row-id")),
+      s"file-level columns must not surface: ${feed.columns.mkString(",")}")
+  }
+
+  test("explicitly-disabled field-id resolution refuses an id-resolved " +
+      "table loudly instead of overriding or null-filling") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.IcebergLog
+    val key = org.apache.spark.sql.internal.SQLConf
+      .PARQUET_FIELD_ID_READ_ENABLED.key
+    val ev = events
+    val root = java.nio.file.Files.createTempDirectory("graft_flag_refuse")
+    val ids = ev.schema.fieldNames.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val b0 = IcebergLog.writeDataFileWithIds(
+      ev.filter(col("event_id") < 50), root, "b0.parquet", ids)
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))
+    val renamed = ev.withColumnRenamed("event_id", "event_key")
+    IcebergLog.appendForeignSnapshot(root, renamed.schema, Seq.empty,
+      schemaHistory = Seq(ev.schema, renamed.schema),
+      fieldIdOverrides = Map("event_key" -> ids("event_id")))
+    s.conf.set(key, "false") // the user's EXPLICIT choice
+    try {
+      val e = intercept[Exception] {
+        s.read.format("graft-txlog").option("path", root.toString)
+          .load().count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("EXPLICITLY false"), msgs)
+    } finally s.conf.unset(key)
+    // with the explicit setting removed, the engine enables the flag
+    // itself and the renamed column resolves
+    val snap = s.read.format("graft-txlog").option("path", root.toString)
+      .load()
+    assert(snap.filter(col("event_key").isNull).count() == 0)
+  }
+
   test("vacuum reclaims superseded deletion-vector bins, keeps live ones") {
     val s = spark
     import java.nio.file.{Files => F, Paths => P}
