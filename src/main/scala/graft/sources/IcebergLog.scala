@@ -1419,7 +1419,8 @@ object IcebergLog {
       partitions: Map[String, Map[String, String]] = Map.empty,
       partitionCols: Seq[(String, DataType)] = Seq.empty,
       removedData: Seq[String] = Seq.empty,
-      fieldIdOverrides: Map[String, Int] = Map.empty): Long = {
+      fieldIdOverrides: Map[String, Int] = Map.empty,
+      partTransforms: Map[String, (String, String)] = Map.empty): Long = {
     Files.createDirectories(metadataDir(table))
     val prior: Seq[(Long, Long, String, String, Option[Int])] = // (id, ts, ml, op, sid)
       if (!Files.exists(metadataDir(table).resolve("version-hint.text")))
@@ -1503,6 +1504,7 @@ object IcebergLog {
       metadataJsonTs(table, history, snaps, id,
         partitionCols = partitionCols.map(_._1),
         snapshotSchemaIds = sids, ops = opsMap,
+        partTransforms = partTransforms,
         fieldIdOverrides = fieldIdOverrides))
     Files.writeString(metadataDir(table).resolve("version-hint.text"),
       id.toString)

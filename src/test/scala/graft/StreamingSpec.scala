@@ -1815,6 +1815,58 @@ class StreamingSpec extends SparkSpec {
       ev.filter(col("event_type") === types.head).count())
   }
 
+  test("streaming filterExpr prunes a foreign BUCKET-partitioned Iceberg tree via transform tuples") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.IcebergLog
+    import graft.functions.IcebergTransforms
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_ficeberg_bucket")
+    // the REAL foreign bucket layout: data files carry FULL rows (the
+    // bucket value lives only in the manifest tuple + transform spec),
+    // files hold disjoint bucket populations, NO column bounds at all —
+    // only the bucket[8] transform can prune a user_id equality
+    val b7 = IcebergTransforms.bucketLong(8, 7L)
+    val inB7 = (u: Long) => IcebergTransforms.bucketLong(8, u) == b7
+    val users = ev.select("user_id").distinct().collect().map(_.getLong(0))
+    val (hit, miss) = users.partition(inB7)
+    assert(hit.nonEmpty && miss.nonEmpty, s"need both: ${users.toSeq}")
+    val otherB = IcebergTransforms.bucketLong(8, miss.head)
+    val f1 = IcebergLog.writeDataFile(
+      ev.filter(col("user_id").isin(hit.toSeq: _*)), root, "f1.parquet")
+    val f2 = IcebergLog.writeDataFile(
+      ev.filter(col("user_id").isin(miss.toSeq: _*)), root, "f2.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(f1, f2),
+      partitions = Map(
+        f1 -> Map("uid_bucket" -> b7.toString),
+        f2 -> Map("uid_bucket" -> otherB.toString)),
+      partitionCols = Seq(("uid_bucket",
+        org.apache.spark.sql.types.IntegerType)),
+      partTransforms = Map("uid_bucket" -> (("bucket[8]", "user_id"))))
+    // the spec records the REAL transform, not identity
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(IcebergLog.currentMetadataPath(root)))
+    assert(meta.get("partition-specs").get(0).get("fields").get(0)
+      .get("transform").asText() == "bucket[8]")
+    graft.streaming.TxLogScan.lastStreamPrune = None
+    val out = Files.createTempDirectory("graft_ficeberg_bucket_out").toString
+    val q = s.readStream.format("graft-txlog").option("path", root.toString)
+      .option("filterExpr", "user_id = 7").load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("graft_ficeberg_bucket_ck").toString)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow()).format("parquet").start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    val (cand, kept) = graft.streaming.TxLogScan.lastStreamPrune
+      .getOrElse(fail("no prune tally — transform tuples never consulted"))
+    assert((cand, kept) == ((2, 1)),
+      s"bucket(7)'s file alone must survive: $kept/$cand")
+    assert(s.read.parquet(out).filter(col("user_id") === 7L).count() ==
+      ev.filter(col("user_id") === 7L).count())
+  }
+
   test("eq-delete fold prunes candidate files via manifest bounds (narrow upserts scan O(affected files))") {
     val s = spark
     import org.apache.spark.sql.functions._
