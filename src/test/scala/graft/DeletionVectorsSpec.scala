@@ -252,4 +252,40 @@ class DeletionVectorsSpec extends SparkSpec {
       events.filter(pmod(col("event_id"), lit(7)) =!= 0).count(),
       "a DV replayed from the checkpoint must keep hiding its rows")
   }
+
+  test("graft_dv_agg round-trips through the portable roaring codec: " +
+      "dense/sparse/high-bit positions, duplicates, per-group isolation") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    // sparse lows, one dense run (promotes a bitmap container past the
+    // 4096-cardinality array cutoff), values above 2^32 (exercises the
+    // multi-bitmap high split), and deliberate DUPLICATES
+    val sparse = Seq.fill(500)(rnd.nextLong(1L << 20)).map(math.abs)
+    val dense = (100000L to 106000L)
+    val highs = Seq.fill(50)((5L << 32) + rnd.nextLong(1L << 16))
+    val a = (sparse ++ dense ++ highs ++ sparse.take(100)).map(("a", _))
+    val b = Seq.fill(300)(rnd.nextLong(1L << 24)).map(math.abs).map(("b", _))
+    val out = (a ++ b).toDF("f", "pos")
+      .repartition(8) // partial buffers must merge across partitions
+      .groupBy(col("f"))
+      .agg(graft.functions.DvBitmapAgg.dvAgg(col("pos")).as("dv"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    def decoded(bytes: Array[Byte]): Seq[Long] =
+      graft.sources.DeletionVectors.parse(bytes).values.toSeq
+    assert(decoded(out("a")) ==
+      (sparse ++ dense ++ highs).distinct.sorted,
+      "group a must round-trip exactly (dedup + sort)")
+    assert(decoded(out("b")) == b.map(_._2).distinct.sorted)
+    // cardinality header agrees without full decode
+    assert(graft.sources.DeletionVectors.parse(out("a")).cardinality ==
+      (sparse ++ dense ++ highs).distinct.size)
+    // a global aggregate over ZERO rows evaluates to null (no empty
+    // bitmap exists in the spec serialization)
+    val empty = Seq.empty[Long].toDF("pos")
+      .agg(graft.functions.DvBitmapAgg.dvAgg(col("pos")).as("dv"))
+      .collect()(0)
+    assert(empty.isNullAt(0), "empty fold must be null, not a crash")
+  }
 }
