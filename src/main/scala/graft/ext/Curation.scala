@@ -31,7 +31,8 @@ object Curation {
     */
   private def gramArrays(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
-    docs.select(col("doc_id"), col("source"),
+    Tables.fanOut(docs.select(col("doc_id"), col("source"), col("text")), "doc_id")
+      .select(col("doc_id"), col("source"),
       array_distinct(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), n)).as("grams"))
   }
 
@@ -208,7 +209,8 @@ object Curation {
     */
   def repetition(docs: DataFrame, maxDupRatio: Double = 0.2): DataFrame = {
     val spark = docs.sparkSession
-    docs.select(col("doc_id"),
+    Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
       explode(array(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), 2))).as("grams"))
       .select(
         col("doc_id"),
@@ -587,7 +589,7 @@ object Curation {
     */
   def chunkPipeline(docs: DataFrame, budget: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val kept = docs.join(
+    val kept = Tables.fanOut(docs, "doc_id").join(
       TextOps.quality(docs).filter(col("keep")).select(col("doc_id")), "doc_id")
     val surv = kept.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
       .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
@@ -679,7 +681,7 @@ object Curation {
     * run their entire pre-tokenization pipeline on this engine" query.
     */
   def curationPipeline(docs: DataFrame, budget: Int = 512): DataFrame = {
-    val kept = docs.join(
+    val kept = Tables.fanOut(docs, "doc_id").join(
       TextOps.quality(docs).filter(col("keep")).select(col("doc_id")), "doc_id")
     val surv = kept.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
       .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
@@ -757,7 +759,9 @@ object Curation {
   def admissionLedger(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val n = 5
     val q = TextOps.quality(docs).select(col("doc_id"), col("keep"))
-    val base = docs.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+    val base = Tables.fanOut(
+        docs.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+          .select(col("doc_id"), col("source"), col("text")), "doc_id")
       .select(col("doc_id"), col("source"),
         md5(concat_ws(" ", toks(col("text")))).as("key"))
       .join(q, "doc_id")

@@ -52,8 +52,9 @@ object Dedup {
     */
   private def shingleArrays(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    docs.select(col("doc_id"),
-      array_distinct(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), shingleWidth)).as("sh"))
+    Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.NGramsOps.ngrams(spark, toks(col("text")), shingleWidth)).as("sh"))
   }
 
   // shingle width aliased from the native signature expression: the
@@ -71,7 +72,8 @@ object Dedup {
     * Output: per-source doc/dup accounting (the pipeline's dedup report).
     */
   def exactDedup(docs: DataFrame): DataFrame =
-    docs.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
+    Tables.fanOut(docs.select(col("doc_id"), col("source"), col("text")), "doc_id")
+      .withColumn("key", md5(concat_ws(" ", toks(col("text")))))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -89,7 +91,8 @@ object Dedup {
     * dedup operator, not just the report).
     */
   def exactSurvivors(docs: DataFrame): DataFrame =
-    docs.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
+    Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("key", md5(concat_ws(" ", toks(col("text")))))
       .groupBy(col("key"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
@@ -132,7 +135,8 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
-    docs.select(keep :+
+    Tables.fanOut(docs.select(keep :+ col("text"): _*), "doc_id")
+      .select(keep :+
       graft.functions.SimHashOps.minhash8(
         docs.sparkSession, toks(col("text"))).as("sigs"): _*)
       .select(keep ++
@@ -520,7 +524,8 @@ object Dedup {
     */
   def repeatedKgrams(docs: DataFrame, k: Int = 5): DataFrame = {
     val spark = docs.sparkSession
-    val base = docs.select(col("doc_id"),
+    val base = Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
       array_distinct(
         graft.functions.NGramsOps.ngrams(spark, toks(col("text")), k)).as("garr"))
     val perDoc = base.select(col("doc_id"), size(col("garr")).cast("bigint").as("n_kgrams"))
@@ -778,7 +783,8 @@ object Dedup {
     * round-2 bench regression; 64 bits would have made it 4× worse.
     */
   def simhashSignature(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
       graft.functions.SimHashOps.simhash64(
         docs.sparkSession, array_distinct(toks(col("text")))).as("simhash"))
 

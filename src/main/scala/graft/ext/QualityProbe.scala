@@ -47,7 +47,8 @@ object QualityProbe {
     */
   def features(docs: DataFrame): DataFrame = {
     val words = size(split(col("text"), " "))
-    docs.select(col("doc_id"),
+    graft.Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
       words.cast("double").as("x1"),
       (size(array_distinct(split(col("text"), " "))).cast("double") /
         words).as("x2"))

@@ -50,7 +50,7 @@ object TextOps {
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
     val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]"))
-    docs.select(
+    graft.Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id").select(
       col("doc_id"),
       nTok.as("n_tokens"),
       round(nPunct.cast("double") / length(col("text")), 6).as("punct_ratio"),
@@ -93,8 +93,10 @@ object TextOps {
     // attribute, so CollapseProject can't inline the regex split into
     // every score column (which would run the tokenizer once per
     // language — measured 2× the whole query's cost).
-    val scored0 = docs.select(col("doc_id"), col("lang"), col("text"),
-      explode(array(tokens(col("text")))).as("toks"))
+    val scored0 = graft.Tables.fanOut(
+        docs.select(col("doc_id"), col("lang"), col("text")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"),
+        explode(array(tokens(col("text")))).as("toks"))
     val scored = markers.foldLeft(scored0) {
       case (df, (l, ws)) =>
         val arr = array(ws.map(lit): _*)
@@ -150,7 +152,8 @@ object TextOps {
     // Generate barrier (both fingerprints consume it), then the 5-gram
     // build + min-md5 winnow run in native expressions — one JVM pass
     // per document instead of an interpreted md5 lambda per shingle.
-    docs.select(col("doc_id"), explode(array(toks)).as("arr"))
+    graft.Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), explode(array(toks)).as("arr"))
       .select(
         col("doc_id"),
         md5(concat_ws(" ", col("arr"))).as("exact_fp"),
@@ -186,8 +189,13 @@ object TextOps {
     // sum — no second corpus scan, no term self-join. n_docs is a
     // metadata-only count(*) (doc_id unique per row).
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val tok = docs.select(col("doc_id"), col("source"),
-      explode(tokens(lower(col("text")))).as("term"))
+    // fan the tokenizer input out to the session's parallelism when the
+    // scan under-splits (guide §2: one small parquet file = one task);
+    // the n_docs branch stays a metadata-scale scan
+    val tok = graft.Tables.fanOut(
+        docs.select(col("doc_id"), col("source"), col("text")), "doc_id")
+      .select(col("doc_id"), col("source"),
+        explode(tokens(lower(col("text")))).as("term"))
     // two-level agg instead of count+countDistinct in one: a mixed
     // distinct aggregate plans an Expand that doubles the exploded
     // token stream before the exchange; aggregating per (source, term,
@@ -241,7 +249,7 @@ object TextOps {
     * a 10⁸-term vocabulary never lands in one partition.
     */
   def vocabReport(docs: DataFrame, topN: Int = 100): DataFrame = {
-    val freqs = docs
+    val freqs = graft.Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(explode(TextNorm.toks(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("f"))
@@ -289,7 +297,7 @@ object TextOps {
   def bpePairs(docs: DataFrame, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    val arrd = docs
+    val arrd = graft.Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(explode(array(TextNorm.toks(col("text")))).as("arr"))
       .filter(size(col("arr")) >= 2)
     val freqs = arrd
@@ -770,9 +778,12 @@ object TextOps {
     // then df as a term-partitioned window over the PRUNED postings
     // (all postings of a query term survive the prune, so the count is
     // the true document frequency).
-    val stats = docs.select(count(lit(1)).as("n_docs"),
+    // both tokenizing branches read the same fanned-out projection, so
+    // the parallelism-floor exchange plans once and ReuseExchange shares it
+    val fdocs = graft.Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id")
+    val stats = fdocs.select(count(lit(1)).as("n_docs"),
       sum(size(tokens(lower(col("text"))))).as("total_tokens"))
-    val tf = docs.select(col("doc_id"),
+    val tf = fdocs.select(col("doc_id"),
         explode(tokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -47,4 +47,56 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("ts#") || !plan.matches("(?s).*ts#\\d+L? [<>].*"))
     assert(df.count() > 0)
   }
+
+  // ---- Tables.fanOut: size-derived parallelism floor (round-15 opt) ----
+
+  private def withConf[T](pairs: (String, String)*)(f: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("fanOut below the per-task byte floor is the identity (no exchange)") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // sf0.001 documents is a few KB << the 1 MiB default floor
+    assert(Tables.fanOut(docs, "doc_id") eq docs)
+  }
+
+  test("fanOut engages above the floor: keyed exchange, same rows") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    withConf("spark.graft.fanout.minBytesPerTask" -> "1") {
+      val fanned = Tables.fanOut(docs, "doc_id")
+      assert(fanned ne docs)
+      // capped at the session's parallelism, pinned against AQE coalescing
+      assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+      val plan = fanned.queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(doc_id"), s"expected keyed exchange in:\n$plan")
+      assert(fanned.orderBy("doc_id").collect().toSeq ==
+        docs.orderBy("doc_id").collect().toSeq)
+    }
+  }
+
+  test("fanOut is the identity when the scan already splits naturally") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // shrink maxPartitionBytes so size >= natural-split capacity: at
+    // production scale the scan parallelizes itself and fanOut must not
+    // add a shuffle on top
+    withConf(
+      "spark.graft.fanout.minBytesPerTask" -> "1",
+      "spark.sql.files.maxPartitionBytes" -> "1") {
+      assert(Tables.fanOut(docs, "doc_id") eq docs)
+    }
+  }
+
+  test("operator results are invariant under a forced fanOut") {
+    val docs = Tables.documents(spark, dir)
+    val base = graft.ext.Dedup.exactSurvivors(docs).orderBy("doc_id").collect().toSeq
+    withConf("spark.graft.fanout.minBytesPerTask" -> "1") {
+      val fanned = graft.ext.Dedup.exactSurvivors(docs).orderBy("doc_id").collect().toSeq
+      assert(fanned == base)
+    }
+  }
 }
