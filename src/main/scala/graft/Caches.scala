@@ -34,5 +34,9 @@ object Caches {
   def clearAll(): Unit = {
     clearQueryMemos()
     streaming.Streams.clearCaches()
+    // machinery memo (reader-factory conf broadcasts), not a query
+    // result: resident across bench sweeps like the staged-schema memo,
+    // dropped here so a session crossing many corpora frees the blocks
+    streaming.TxLogScan.clearConfBroadcasts()
   }
 }

@@ -308,6 +308,40 @@ object TxLogScan {
     * row-group pruning silently matches nothing. */
   @volatile private[graft] var lastFileFilters: Array[SFilter] = Array.empty
 
+  /** Hadoop-conf broadcast memo for reader factories. A DSv2 streaming
+    * scan rebuilds its reader factory per micro-batch AND per query run
+    * (every drain restart), and each build used to clone the full
+    * session Hadoop configuration and `sparkContext.broadcast` it —
+    * 15–60 ms of driver time per build, the largest single
+    * driver-profile frame in the streaming tier (thread-dump sampled).
+    * Stock Spark pays this once per plan instance; a restart-heavy tail
+    * pays it O(drains × factories-per-plan). The broadcast's content is
+    * fully determined by (appId, table dir, scan options, requested
+    * file schema, the eight SQLConf values copied in, the field-id
+    * resolution bit) — that tuple is the key, so any session-conf
+    * change misses the memo and builds fresh. Access-order LRU, 64
+    * entries: bounded driver+executor footprint even across many
+    * corpora; evicted via [[graft.Caches.clearAll]] with the other
+    * machinery memos (NOT between bench sweeps — this is config
+    * plumbing, not a query result or data artifact).
+    */
+  private val confBcMemo =
+    new java.util.LinkedHashMap[Object, org.apache.spark.broadcast.Broadcast[SerializableConfiguration]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Object, org.apache.spark.broadcast.Broadcast[SerializableConfiguration]]): Boolean =
+        size() > 64
+    }
+  private[streaming] def confBroadcast(key: Object)(
+      build: => org.apache.spark.broadcast.Broadcast[SerializableConfiguration])
+      : org.apache.spark.broadcast.Broadcast[SerializableConfiguration] =
+    confBcMemo.synchronized {
+      val hit = confBcMemo.get(key)
+      if (hit != null) hit
+      else { val b = build; confBcMemo.put(key, b); b }
+    }
+  private[graft] def clearConfBroadcasts(): Unit =
+    confBcMemo.synchronized(confBcMemo.clear())
+
   /** Observability for specs: (rows the driver collected, total bitmap
     * bytes) of the most recent [[TxLogScan.planCarryover]] nets —
     * proves the driver received per-file roaring bitmaps, not
@@ -1439,32 +1473,43 @@ class TxLogScan(dir: String, fullSchema: StructType,
         c.setConf(SQLConf.PARQUET_VECTORIZED_READER_ENABLED, false)
         c
       }
-    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
-    hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
-    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, requested.json)
-    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
-      sqlConf.sessionLocalTimeZone)
-    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
-      sqlConf.nestedSchemaPruningEnabled)
-    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
-      sqlConf.caseSensitiveAnalysis)
-    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
-      sqlConf.isParquetBinaryAsString)
-    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
-      sqlConf.isParquetINT96AsTimestamp)
-    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
-      sqlConf.legacyParquetNanosAsLong)
-    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
-      // id-mode column mapping resolves columns by the parquet field
-      // ids the writer stamped — force the resolution on for the scan
-      // (the translated requested schema carries the id metadata)
-      sqlConf.parquetFieldIdReadEnabled ||
-        graft.sources.CommitLog.fileFieldIdRead(dir))
-    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-      sqlConf.parquetInferTimestampNTZEnabled)
-    val bc = spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    // id-mode column mapping resolves columns by the parquet field
+    // ids the writer stamped — force the resolution on for the scan
+    // (the translated requested schema carries the id metadata)
+    val fieldIdRead = sqlConf.parquetFieldIdReadEnabled ||
+      graft.sources.CommitLog.fileFieldIdRead(dir)
+    // every input the broadcast conf is built from participates in the
+    // memo key, so a changed session/scan setting builds fresh instead
+    // of serving a stale conf (see TxLogScan.confBcMemo)
+    val bcKey = (spark.sparkContext.applicationId, dir,
+      options.toSeq.sorted.mkString(""), requested.json,
+      sqlConf.sessionLocalTimeZone, sqlConf.nestedSchemaPruningEnabled,
+      sqlConf.caseSensitiveAnalysis, sqlConf.isParquetBinaryAsString,
+      sqlConf.isParquetINT96AsTimestamp, sqlConf.legacyParquetNanosAsLong,
+      fieldIdRead, sqlConf.parquetInferTimestampNTZEnabled)
+    val bc = TxLogScan.confBroadcast(bcKey) {
+      val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
+      hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+      hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, requested.json)
+      hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key,
+        sqlConf.sessionLocalTimeZone)
+      hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+        sqlConf.nestedSchemaPruningEnabled)
+      hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key,
+        sqlConf.caseSensitiveAnalysis)
+      hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+        sqlConf.isParquetBinaryAsString)
+      hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+        sqlConf.isParquetINT96AsTimestamp)
+      hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+        sqlConf.legacyParquetNanosAsLong)
+      hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, fieldIdRead)
+      hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+        sqlConf.parquetInferTimestampNTZEnabled)
+      spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    }
     TxLogScan.lastFileFilters = fileFilters
     ParquetPartitionReaderFactory(sqlConf, bc, effBase, requested,
       effPart, fileFilters, None,
