@@ -239,10 +239,49 @@ object ForeignIcebergLog {
     * Flink-style MoR table ACCUMULATES delete files between
     * compactions: a per-snapshot fold proportional to total deleted
     * rows grows with table history; this one is proportional to
-    * affected-file count on the driver. Cached per immutable snapshot;
-    * the LRU is the smallest (a tailing stream references the previous
-    * and current snapshots; anything older is a cold resume). */
-  private val hiddenCache = new Lru[(String, Long), Map[String, Array[Byte]]](16)
+    * affected-file count on the driver. Cached by FOLD-INPUT
+    * fingerprint, not snapshot id: the fold's output is a pure
+    * function of the live delete files (path/sequence/equality ids),
+    * the data files old enough to be affected by them, and — for
+    * eq-deletes — the schema history the key columns resolve through.
+    * An APPEND snapshot advances the snapshot id but changes none of
+    * those inputs (the new file postdates every delete), so a tailing
+    * stream over the dominant append-mostly MoR shape re-plans in a
+    * map lookup instead of re-running the multi-job Spark fold once
+    * per appended snapshot — O(delete-set changes), not O(snapshots).
+    * The LRU is the smallest (a tailing stream references the previous
+    * and current delete-sets; anything older is a cold resume). */
+  private val hiddenCache = new Lru[(String, String), Map[String, Array[Byte]]](16)
+
+  /** Fingerprint of every input [[hiddenAt]]'s fold result is derived
+    * from. Iceberg files are immutable and never rewritten in place, so
+    * (path, sequence) identifies a delete/data file's contribution;
+    * data files at or past every delete's sequence cannot be affected
+    * (the strictly-older eq rule; `dataSeq <= deleteSeq` for position
+    * deletes whose named files are unknown without reading them — so
+    * any position delete keeps ALL data files in the key, the
+    * conservative direction). The schemas history covers key-column
+    * names, renames (field-id resolution switch) and types. */
+  private def foldKey(dir: String, sf: IcebergLog.SnapshotFiles): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def add(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0: Byte) }
+    sf.posDeletes.map { case (p, s) => s"P|$p|$s" }.sorted.foreach(add)
+    sf.eqDeletes.map { case (p, s, ids) => s"E|$p|$s|${ids.mkString(",")}" }
+      .sorted.foreach(add)
+    val affected =
+      if (sf.posDeletes.nonEmpty) sf.data
+      else {
+        val maxEq = sf.eqDeletes.map(_._2).max
+        sf.data.filter(_.seq < maxEq)
+      }
+    affected.map(f => s"D|${f.path}|${f.seq}").sorted.foreach(add)
+    if (sf.eqDeletes.nonEmpty) {
+      val meta = IcebergLog.readMetadata(Paths.get(dir))
+      add(Option(meta.get("schemas")).map(_.toString).getOrElse(""))
+      add(Option(meta.get("current-schema-id")).map(_.toString).getOrElse(""))
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
 
   /** Observability for specs: (rows the driver collected, total hidden
     * cardinality, total bitmap bytes) of the most recent [[hiddenAt]]
@@ -253,29 +292,26 @@ object ForeignIcebergLog {
 
   private def hiddenAt(dir: String, snap: JsonNode): Map[String, Array[Byte]] = {
     val table = Paths.get(dir)
-    val sid = snap.get("snapshot-id").asLong()
-    hiddenCache.get((table.toAbsolutePath.toString, sid)) {
-      val sf = liveAt(dir, snap)
-      if (sf.posDeletes.isEmpty && sf.eqDeletes.isEmpty) Map.empty
+    val sf = liveAt(dir, snap)
+    if (sf.posDeletes.isEmpty && sf.eqDeletes.isEmpty) return Map.empty
+    hiddenCache.get((table.toAbsolutePath.toString, foldKey(dir, sf))) {
+      val spark = SparkSession.getActiveSession.getOrElse(
+        sys.error("graft-txlog: no active SparkSession"))
+      val frames = posHiddenFrame(spark, table, sf).toSeq ++
+        eqHiddenFrames(spark, dir, sf)
+      if (frames.isEmpty) Map.empty
       else {
-        val spark = SparkSession.getActiveSession.getOrElse(
-          sys.error("graft-txlog: no active SparkSession"))
-        val frames = posHiddenFrame(spark, table, sf).toSeq ++
-          eqHiddenFrames(spark, dir, sf)
-        if (frames.isEmpty) Map.empty
-        else {
-          import org.apache.spark.sql.functions.col
-          val rows = frames.reduce(_.unionByName(_))
-            .groupBy(col("__file"))
-            .agg(graft.functions.DvBitmapAgg.dvAgg(col("__pos")).as("__dv"))
-            .collect()
-          val out = rows.iterator
-            .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-          lastHiddenFold = Some((rows.length,
-            out.valuesIterator.map(b => DeletionVectors.parse(b).cardinality).sum,
-            out.valuesIterator.map(_.length.toLong).sum))
-          out
-        }
+        import org.apache.spark.sql.functions.col
+        val rows = frames.reduce(_.unionByName(_))
+          .groupBy(col("__file"))
+          .agg(graft.functions.DvBitmapAgg.dvAgg(col("__pos")).as("__dv"))
+          .collect()
+        val out = rows.iterator
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        lastHiddenFold = Some((rows.length,
+          out.valuesIterator.map(b => DeletionVectors.parse(b).cardinality).sum,
+          out.valuesIterator.map(_.length.toLong).sum))
+        out
       }
     }
   }

@@ -1958,6 +1958,57 @@ class StreamingSpec extends SparkSpec {
     assert(dvs.values.forall(_.contains("\"storageType\":\"i\"")))
   }
 
+  test("hidden-ordinal fold is content-keyed: an append-only snapshot advance reuses the fold") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ForeignIcebergLog, IcebergLog}
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_foldkey")
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 500), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0)) // seq 1
+    val delRel = IcebergLog.writeDataFile(
+      ev.select("event_id").filter(col("event_id").isin(10L, 20L)),
+      root, "eqdel.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty,
+      operation = "delete", newEqDeletes = Seq(delRel),
+      equalityIds = Seq(ev.schema.fieldIndex("event_id") + 1)) // seq 2
+    ForeignIcebergLog.lastHiddenFold = None
+    val dvsAtDelete = ForeignIcebergLog.manifestDvs(root.toString, 2L)
+    assert(ForeignIcebergLog.lastHiddenFold.isDefined,
+      "the delete commit must run the fold")
+    assert(dvsAtDelete.size == 1)
+    // seq 3: PURE APPEND — the new file postdates every delete, so the
+    // fold's inputs (delete set + affected candidates) are unchanged and
+    // the Flink-CDC tailing shape must re-plan in a map lookup, not by
+    // re-running the multi-job Spark fold once per appended snapshot
+    val b1 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") >= 500), root, "b1.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b1))
+    ForeignIcebergLog.lastHiddenFold = None
+    val dvsAfterAppend = ForeignIcebergLog.manifestDvs(root.toString, 3L)
+    assert(ForeignIcebergLog.lastHiddenFold.isEmpty,
+      "an append-only advance must reuse the cached fold, not re-run it")
+    assert(dvsAfterAppend == dvsAtDelete)
+    // seq 4: a SECOND delete changes the fold inputs — must re-fold,
+    // and b1 (seq 3 < 4) is now a candidate of the new delete
+    val delRel2 = IcebergLog.writeDataFile(
+      ev.select("event_id").filter(col("event_id").isin(30L)),
+      root, "eqdel2.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq.empty,
+      operation = "delete", newEqDeletes = Seq(delRel2),
+      equalityIds = Seq(ev.schema.fieldIndex("event_id") + 1))
+    ForeignIcebergLog.lastHiddenFold = None
+    ForeignIcebergLog.manifestDvs(root.toString, 4L)
+    assert(ForeignIcebergLog.lastHiddenFold.isDefined,
+      "a new delete file must invalidate the content key and re-fold")
+    // end-to-end: the snapshot read agrees with the accumulated deletes
+    val snap = s.read.format("graft-txlog")
+      .option("path", root.toString).load()
+    assert(snap.filter(col("event_id").isin(10L, 20L, 30L)).count() == 0)
+    assert(snap.count() == ev.count() - 3)
+  }
+
   test("Flink-upsert shape (Iceberg MoR MERGE, no cdc): CDF emits stock changelog delete+insert pairs") {
     val s = spark
     import org.apache.spark.sql.functions._
