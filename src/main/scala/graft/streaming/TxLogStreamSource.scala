@@ -318,8 +318,11 @@ object TxLogScan {
     * pays it O(drains × factories-per-plan). The broadcast's content is
     * fully determined by (appId, table dir, scan options, requested
     * file schema, the eight SQLConf values copied in, the field-id
-    * resolution bit) — that tuple is the key, so any session-conf
-    * change misses the memo and builds fresh. Access-order LRU, 64
+    * resolution bit, and a fingerprint of the mutable base conf the
+    * clone starts from — SparkContext Hadoop conf + session SQL-conf
+    * map, see [[baseConfFingerprint]]) — that tuple is the key, so any
+    * session-conf change misses the memo and builds fresh. Access-order
+    * LRU, 64
     * entries: bounded driver+executor footprint even across many
     * corpora; evicted via [[graft.Caches.clearAll]] with the other
     * machinery memos (NOT between bench sweeps — this is config
@@ -328,19 +331,55 @@ object TxLogScan {
   private val confBcMemo =
     new java.util.LinkedHashMap[Object, org.apache.spark.broadcast.Broadcast[SerializableConfiguration]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Object, org.apache.spark.broadcast.Broadcast[SerializableConfiguration]]): Boolean =
-        size() > 64
+          e: java.util.Map.Entry[Object, org.apache.spark.broadcast.Broadcast[SerializableConfiguration]]): Boolean = {
+        val evict = size() > 64
+        // drop the evicted entry's executor-side blocks instead of
+        // waiting for a driver GC + ContextCleaner pass — a long
+        // session crossing many corpora must not hold more broadcast
+        // memory than the cap suggests. unpersist (not destroy): a
+        // factory still holding the broadcast lazily re-fetches.
+        if (evict) scala.util.Try(e.getValue.unpersist(false))
+        evict
+      }
     }
+
+  /** Observability for specs: broadcast builds (memo misses) so far. */
+  private[graft] val confBcBuilds = new java.util.concurrent.atomic.AtomicLong(0)
+
   private[streaming] def confBroadcast(key: Object)(
       build: => org.apache.spark.broadcast.Broadcast[SerializableConfiguration])
       : org.apache.spark.broadcast.Broadcast[SerializableConfiguration] =
     confBcMemo.synchronized {
       val hit = confBcMemo.get(key)
       if (hit != null) hit
-      else { val b = build; confBcMemo.put(key, b); b }
+      else { confBcBuilds.incrementAndGet(); val b = build; confBcMemo.put(key, b); b }
     }
   private[graft] def clearConfBroadcasts(): Unit =
-    confBcMemo.synchronized(confBcMemo.clear())
+    confBcMemo.synchronized {
+      confBcMemo.values().forEach(b => scala.util.Try(b.unpersist(false)))
+      confBcMemo.clear()
+    }
+
+  /** Fingerprint of the MUTABLE base configuration
+    * [[org.apache.spark.sql.internal.SessionState.newHadoopConfWithOptions]]
+    * snapshots beyond the values the factory copies in explicitly: the
+    * SparkContext-level Hadoop conf (fs.* / credentials / spark.hadoop.*
+    * seeds) and the session's entire SQL-conf map (newHadoopConf folds
+    * every set entry into the built configuration). Participates in the
+    * broadcast memo key so ANY mid-session conf mutation misses and
+    * rebuilds instead of serving a stale broadcast. O(set entries) per
+    * factory build — microseconds against the 15–60 ms build it guards. */
+  private[streaming] def baseConfFingerprint(
+      spark: org.apache.spark.sql.SparkSession): (Int, Int) = {
+    var h = 1
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      h = h * 31 + e.getKey.hashCode
+      h = h * 31 + (if (e.getValue == null) 0 else e.getValue.hashCode)
+    }
+    (h, spark.sessionState.conf.getAllConfs.hashCode)
+  }
 
   /** Observability for specs: (rows the driver collected, total bitmap
     * bytes) of the most recent [[TxLogScan.planCarryover]] nets —
@@ -1479,14 +1518,22 @@ class TxLogScan(dir: String, fullSchema: StructType,
     val fieldIdRead = sqlConf.parquetFieldIdReadEnabled ||
       graft.sources.CommitLog.fileFieldIdRead(dir)
     // every input the broadcast conf is built from participates in the
-    // memo key, so a changed session/scan setting builds fresh instead
-    // of serving a stale conf (see TxLogScan.confBcMemo)
+    // memo key — the explicitly-copied SQLConf values below PLUS a
+    // fingerprint of the mutable base conf (SparkContext Hadoop conf +
+    // full session SQL-conf map) that newHadoopConfWithOptions folds
+    // into the built configuration — so ANY mid-session conf change
+    // builds fresh instead of serving a stale broadcast (see
+    // TxLogScan.confBcMemo). Options encode with explicit record and
+    // field separators so adjacent keys/values cannot alias.
     val bcKey = (spark.sparkContext.applicationId, dir,
-      options.toSeq.sorted.mkString(""), requested.json,
+      options.toSeq.sorted
+        .map { case (k, v) => k + "\u0000" + v }.mkString("\u0001"),
+      requested.json,
       sqlConf.sessionLocalTimeZone, sqlConf.nestedSchemaPruningEnabled,
       sqlConf.caseSensitiveAnalysis, sqlConf.isParquetBinaryAsString,
       sqlConf.isParquetINT96AsTimestamp, sqlConf.legacyParquetNanosAsLong,
-      fieldIdRead, sqlConf.parquetInferTimestampNTZEnabled)
+      fieldIdRead, sqlConf.parquetInferTimestampNTZEnabled,
+      TxLogScan.baseConfFingerprint(spark))
     val bc = TxLogScan.confBroadcast(bcKey) {
       val hadoopConf = spark.sessionState.newHadoopConfWithOptions(options)
       hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,

@@ -72,4 +72,40 @@ class CachesSpec extends SparkSpec {
       "a new metadata version must parse cold")
     assert(s.read.parquet(out).count() == ev.count())
   }
+
+  test("reader-factory conf broadcast: memo hit on unchanged conf, miss after a session conf change") {
+    // newHadoopConfWithOptions folds the WHOLE session conf into the
+    // broadcast configuration, so the memo key must cover more than the
+    // explicitly-copied values: any session conf change — including one
+    // the factory never reads directly — must miss and rebuild, or
+    // readers would see a stale conf
+    val s = spark
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.sources.IcebergLog
+    import graft.streaming.TxLogScan
+    val ev = Tables.events(s, "/root/testdata/sf0.001")
+    val root = Files.createTempDirectory("graft_confbc")
+    val b0 = IcebergLog.writeDataFile(
+      ev.filter(col("event_id") < 300), root, "b0.parquet")
+    IcebergLog.appendForeignSnapshot(root, ev.schema, Seq(b0))
+    def readOnce(): Long =
+      s.read.format("graft-txlog").option("path", root.toString).load().count()
+    val n = readOnce() // first build for this (table, conf)
+    val before = TxLogScan.confBcBuilds.get()
+    readOnce(); readOnce()
+    assert(TxLogScan.confBcBuilds.get() == before,
+      "re-reads under an unchanged conf must hit the broadcast memo")
+    val key = "spark.hadoop.graft.test.confbc.fingerprint"
+    s.conf.set(key, "v1")
+    try {
+      readOnce()
+      assert(TxLogScan.confBcBuilds.get() == before + 1,
+        "a session conf change must miss the memo and rebuild")
+      val after = TxLogScan.confBcBuilds.get()
+      assert(readOnce() == n)
+      assert(TxLogScan.confBcBuilds.get() == after,
+        "the changed conf memoizes in turn")
+    } finally s.conf.unset(key)
+  }
 }
