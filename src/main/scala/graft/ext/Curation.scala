@@ -589,8 +589,13 @@ object Curation {
     */
   def chunkPipeline(docs: DataFrame, budget: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val kept = Tables.fanOut(docs, "doc_id").join(
-      TextOps.quality(docs).filter(col("keep")).select(col("doc_id")), "doc_id")
+    // ONE fanned frame feeds both the kept-docs side and the quality
+    // branch (via the no-fan qualityScores), so ReuseExchange shares a
+    // single exchange over the scan instead of planning two
+    val fanned = Tables.fanOut(docs, "doc_id")
+    val kept = fanned.join(
+      TextOps.qualityScores(fanned.select(col("doc_id"), col("text")))
+        .filter(col("keep")).select(col("doc_id")), "doc_id")
     val surv = kept.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
       .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
@@ -681,8 +686,11 @@ object Curation {
     * run their entire pre-tokenization pipeline on this engine" query.
     */
   def curationPipeline(docs: DataFrame, budget: Int = 512): DataFrame = {
-    val kept = Tables.fanOut(docs, "doc_id").join(
-      TextOps.quality(docs).filter(col("keep")).select(col("doc_id")), "doc_id")
+    // same shared-exchange shape as chunkPipeline
+    val fanned = Tables.fanOut(docs, "doc_id")
+    val kept = fanned.join(
+      TextOps.qualityScores(fanned.select(col("doc_id"), col("text")))
+        .filter(col("keep")).select(col("doc_id")), "doc_id")
     val surv = kept.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
       .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
@@ -758,10 +766,16 @@ object Curation {
     */
   def admissionLedger(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val n = 5
-    val q = TextOps.quality(docs).select(col("doc_id"), col("keep"))
-    val base = Tables.fanOut(
-        docs.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
-          .select(col("doc_id"), col("source"), col("text")), "doc_id")
+    // one fanned frame feeds the key-hash side AND the quality branch
+    // (ReuseExchange). Scoring only the benchmark-filtered docs is
+    // row-identical after the inner join — quality is per-row — and
+    // skips scoring rows the join would drop anyway.
+    val base0 = Tables.fanOut(
+      docs.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+        .select(col("doc_id"), col("source"), col("text")), "doc_id")
+    val q = TextOps.qualityScores(base0.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("keep"))
+    val base = base0
       .select(col("doc_id"), col("source"),
         md5(concat_ws(" ", toks(col("text")))).as("key"))
       .join(q, "doc_id")

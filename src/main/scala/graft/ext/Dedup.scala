@@ -8,6 +8,12 @@ import graft.Tables
 /** Deduplication for a training-data pipeline: exact, MinHash+LSH,
   * SimHash, and verified n-gram-Jaccard near-dup detection.
   *
+  * Frame contract: every operator takes the documents frame and
+  * requires its `doc_id` column even where the computation itself only
+  * reads source/text — `doc_id` is the corpus's unique key and the
+  * fan-out/repartition key ([[graft.Tables.fanOut]] needs a
+  * high-cardinality key; `source` is low-cardinality and would skew).
+  *
   * Portability: every hash is derived from `md5(...)` (identical output
   * in Spark and DuckDB), so oracle comparisons are byte-exact. MinHash_i
   * = min over shingles of md5(shingle || '#' || i) — a string-min is a

@@ -11,6 +11,11 @@ import graft.Tables
   * shuffle except the final aggregates) — at 100 TB these run as a
   * map-only pass over the corpus with filters pushed to the scan.
   *
+  * Frame contract: every operator takes the documents frame and
+  * requires its `doc_id` column even where the computation itself only
+  * reads text — `doc_id` is the corpus's unique key and the fan-out
+  * key ([[graft.Tables.fanOut]] needs a high-cardinality key).
+  *
   * Not present in the reference (its only text op is JSON parse,
   * SURVEY §2.7) — this is north-star extension surface (SURVEY §7.2 M6).
   */
@@ -44,13 +49,22 @@ object TextOps {
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * token length → a keep/discard flag (C4/Gopher-style rule filter).
     */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame): DataFrame =
+    qualityScores(graft.Tables.fanOut(
+      docs.select(col("doc_id"), col("text")), "doc_id"))
+
+  /** [[quality]] minus its own fan-out, for callers that already hold a
+    * fanned frame of the corpus: feeding BOTH pipeline branches (the
+    * kept-docs side and the quality filter) one shared fanned frame
+    * lets ReuseExchange plan ONE exchange over the scan instead of two
+    * different-projection exchanges that cannot be shared. */
+  private[graft] def qualityScores(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, t => array_contains(stopArr, t)))
     val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]"))
-    graft.Tables.fanOut(docs.select(col("doc_id"), col("text")), "doc_id").select(
+    docs.select(
       col("doc_id"),
       nTok.as("n_tokens"),
       round(nPunct.cast("double") / length(col("text")), 6).as("punct_ratio"),
@@ -482,9 +496,13 @@ object TextOps {
         .limit(1).collect()(0)
       val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
       out += ((r, s"$a $b", c))
-      // tokens are [a-z0-9 ]+ — safe to inline as SQL string literals
-      cur = cur.withColumn("s", expr(s"replace(s, ';$a;;$b;', ';$a $b;')"))
-        .localCheckpoint()
+      // tokens are [a-z0-9 ]+ — safe to inline as SQL string literals.
+      // The FINAL round's merged corpus is never read again (the merge
+      // table is the output) — skip its replace + checkpoint pass, one
+      // of merges+1 full-corpus materializations
+      if (r < merges)
+        cur = cur.withColumn("s", expr(s"replace(s, ';$a;;$b;', ';$a $b;')"))
+          .localCheckpoint()
     }
     out.toSeq.toDF("merge_rank", "pair", "n")
       .select(col("merge_rank").cast("int").as("merge_rank"), col("pair"), col("n"))
@@ -557,10 +575,16 @@ object TextOps {
           s"pairs available this round (window=${window.length}) — corpus " +
           "cannot seat the batch; lower batchK or merges")
       picked.foreach { case (a, b, c) => rank += 1; out += ((rank, a, b, c)) }
-      val merged = picked.foldLeft("s") { case (e, (a, b, _)) =>
-        s"replace($e, ';$a;;$b;', ';$a $b;')"
+      // the final batch's merged corpus is never read again (the merge
+      // table is the output) — skip its replace + checkpoint pass: at
+      // the default merges=4/batchK=2 that is one of only TWO
+      // full-corpus materialization passes
+      if (rank < merges) {
+        val merged = picked.foldLeft("s") { case (e, (a, b, _)) =>
+          s"replace($e, ';$a;;$b;', ';$a $b;')"
+        }
+        cur = cur.withColumn("s", expr(merged)).localCheckpoint()
       }
-      cur = cur.withColumn("s", expr(merged)).localCheckpoint()
     }
     out.toSeq
   }
