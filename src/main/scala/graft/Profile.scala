@@ -78,7 +78,13 @@ object Profile {
         Caches.clearAll()
       }
       streaming.Streams.prepare(spark, sfDir)
-    } catch { case _: Throwable => }
+    } catch {
+      // NonFatal only: an OOM/linkage error must crash, not silently
+      // profile cold paths; and a skipped warmup must be VISIBLE, or
+      // the printed timings mislead
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARNING: profile warmup failed (timings are cold): $e")
+    }
 
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
