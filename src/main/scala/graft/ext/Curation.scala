@@ -589,13 +589,11 @@ object Curation {
     */
   def chunkPipeline(docs: DataFrame, budget: Int = 128): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ONE fanned frame feeds both the kept-docs side and the quality
-    // branch (via the no-fan qualityScores), so ReuseExchange shares a
-    // single exchange over the scan instead of planning two
-    val fanned = Tables.fanOut(docs, "doc_id")
-    val kept = fanned.join(
-      TextOps.qualityScores(fanned.select(col("doc_id"), col("text")))
-        .filter(col("keep")).select(col("doc_id")), "doc_id")
+    // quality's keep flag is ROW-LOCAL, so the standalone operator's
+    // `join(quality(docs).filter(keep))` self-join on the corpus key is
+    // row-identical to filtering inline — one corpus scan instead of
+    // two plus a broadcast join (TextOps.keepExpr pins the equivalence)
+    val kept = Tables.fanOut(docs, "doc_id").filter(TextOps.keepExpr)
     val surv = kept.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
       .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
@@ -686,11 +684,9 @@ object Curation {
     * run their entire pre-tokenization pipeline on this engine" query.
     */
   def curationPipeline(docs: DataFrame, budget: Int = 512): DataFrame = {
-    // same shared-exchange shape as chunkPipeline
-    val fanned = Tables.fanOut(docs, "doc_id")
-    val kept = fanned.join(
-      TextOps.qualityScores(fanned.select(col("doc_id"), col("text")))
-        .filter(col("keep")).select(col("doc_id")), "doc_id")
+    // same inline row-local quality filter as chunkPipeline: one corpus
+    // scan, no self-join
+    val kept = Tables.fanOut(docs, "doc_id").filter(TextOps.keepExpr)
     val surv = kept.withColumn("key", md5(concat_ws(" ", toks(col("text")))))
       .groupBy(col("key")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
@@ -766,19 +762,17 @@ object Curation {
     */
   def admissionLedger(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val n = 5
-    // one fanned frame feeds the key-hash side AND the quality branch
-    // (ReuseExchange). Scoring only the benchmark-filtered docs is
-    // row-identical after the inner join — quality is per-row — and
-    // skips scoring rows the join would drop anyway.
-    val base0 = Tables.fanOut(
-      docs.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
-        .select(col("doc_id"), col("source"), col("text")), "doc_id")
-    val q = TextOps.qualityScores(base0.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), col("keep"))
-    val base = base0
+    // the ledger needs the keep FLAG per row (its "quality" reason) —
+    // quality's flag is row-local, so compute it in the same projection
+    // as the dedup key instead of re-scanning the corpus and re-attaching
+    // it through a self-join on doc_id (TextOps.keepExpr pins the
+    // equivalence)
+    val base = Tables.fanOut(
+        docs.filter(pmod(col("doc_id"), lit(benchmarkMod)) =!= 0)
+          .select(col("doc_id"), col("source"), col("text")), "doc_id")
       .select(col("doc_id"), col("source"),
-        md5(concat_ws(" ", toks(col("text")))).as("key"))
-      .join(q, "doc_id")
+        md5(concat_ws(" ", toks(col("text")))).as("key"),
+        TextOps.keepExpr.as("keep"))
       .join(contaminatedDocIds(docs, n).withColumn("contam_hit", lit(1)),
         Seq("doc_id"), "left")
       .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")

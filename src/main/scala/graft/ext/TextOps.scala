@@ -53,11 +53,24 @@ object TextOps {
     qualityScores(graft.Tables.fanOut(
       docs.select(col("doc_id"), col("text")), "doc_id"))
 
+  /** The keep/discard rule of [[quality]] as a ROW-LOCAL predicate (the
+    * exact same expressions, rounding included). quality's flag depends
+    * only on the row's own text, so `docs JOIN quality(docs).filter(keep)
+    * ON doc_id` — doc_id being the corpus key — is row-identical to
+    * `docs.filter(keepExpr)`: the pipelines use this to keep ONE corpus
+    * scan instead of a second scan plus a self-join to re-attach a flag
+    * each row could compute locally. */
+  private[graft] def keepExpr: Column = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]"))
+    val punct = round(nPunct.cast("double") / length(col("text")), 6)
+    val meanTok = round((length(col("text")) - nTok + 1).cast("double") / nTok, 6)
+    (nTok >= 10) && (punct < 0.2) && (meanTok >= 2) && (meanTok <= 12)
+  }
+
   /** [[quality]] minus its own fan-out, for callers that already hold a
-    * fanned frame of the corpus: feeding BOTH pipeline branches (the
-    * kept-docs side and the quality filter) one shared fanned frame
-    * lets ReuseExchange plan ONE exchange over the scan instead of two
-    * different-projection exchanges that cannot be shared. */
+    * fanned frame of the corpus. */
   private[graft] def qualityScores(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks)
